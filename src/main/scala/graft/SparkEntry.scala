@@ -1,13 +1,957 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Files
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.Chain
+import graft.catalog.Catalog
+import graft.delta.Delta
+import graft.files.FileOps
+import graft.functions.GraftFunctions._
+import graft.ops.{Dedup, Multimodal, Similarity, Split, TextAnalysis}
+import graft.streaming.EventStream
+
+// ---- typed-UDF row models (top-level for Encoder derivation) ----
+case class ValRow(id: Long, name: String, score: Double)
+case class PartIn(p_partkey: Long, p_name: String)
+case class PartOut(p_partkey: Long, rev_name: String, name_len: Long)
+case class WordOut(p_partkey: Long, word: String)
+case class LineIn(l_orderkey: Long, l_linenumber: Int, l_returnflag: String,
+                  l_linestatus: String, l_extendedprice: Double)
+case class TopOut(l_returnflag: String, l_linestatus: String,
+                  l_orderkey: Long, l_extendedprice: Double, rk: Long)
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY §2 that is SQL-expressible carries a DuckDB
+  * oracle; approximate / hash-specific / side-effecting operators are
+  * rows-only and additionally golden-tested in ScalaTest.
+  */
 object SparkEntry {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; read ns-as-long and convert exactly (integer div) to micros. */
+  private def E(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    T(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def C(s: SparkSession, dir: String, name: String): Chain =
+    Chain.readParquet(s, s"$dir/$name.parquet")
+
+  /** Exact decimal sum surfaced as double — deterministic across engines
+    * (plain double sums are order-dependent). */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+  private def davg(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double") / count(lit(1))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // ======================================================================
+  // Queries
+  // ======================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ------------------------------------------------------------ sources
+    "q1_agg" -> ((s, dir) =>
+      C(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupByAgg(Seq("l_returnflag", "l_linestatus"),
+          "sum_qty" -> dsum(col("l_quantity")),
+          "sum_base_price" -> dsum(col("l_extendedprice")),
+          "sum_disc_price" -> dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          "avg_qty" -> davg(col("l_quantity")),
+          "avg_price" -> davg(col("l_extendedprice")),
+          "count_order" -> count(lit(1)))
+        .toDF),
+
+    "q_read_parquet" -> ((s, dir) =>
+      C(s, dir, "part")
+        .filter(col("p_size") < 20)
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .toDF),
+
+    "q_read_csv" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_csv").toString
+      T(s, dir, "nation").coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(tmp)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      Chain.readCsv(s, tmp, header = true, schema = Some(schema)).toDF
+    }),
+
+    "q_read_json" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_json").toString
+      T(s, dir, "region").coalesce(1).write.mode("overwrite").json(tmp)
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+      Chain.readJson(s, tmp, Some(schema)).toDF
+    }),
+
+    "q_read_values" -> ((s, dir) => {
+      import s.implicits._
+      Chain.readValues(s, Seq(
+        ValRow(1L, "alpha", 3.5), ValRow(2L, "beta", -1.25), ValRow(3L, "gamma", 0.0)))
+        .toDF
+    }),
+
+    "q_save_roundtrip" -> ((s, dir) => {
+      val root = Files.createTempDirectory("graft_cat").toString
+      val cat = new Catalog(root, s)
+      val agg = C(s, dir, "supplier")
+        .groupByAgg(Seq("s_nationkey"),
+          "n_suppliers" -> count(lit(1)),
+          "total_bal" -> dsum(col("s_acctbal")))
+      cat.save(agg, "supplier_stats")
+      cat.readDataset("supplier_stats").selectExcept("sys").toDF
+    }),
+
+    // ------------------------------------------------- projection / filter
+    "q_mutate" -> ((s, dir) =>
+      C(s, dir, "part")
+        .mutate(
+          "bumped" -> round(col("p_retailprice") * 1.1, 2),
+          "brand_u" -> upper(col("p_brand")),
+          "name_len" -> length(col("p_name")).cast("long"))
+        .select("p_partkey", "bumped", "brand_u", "name_len")
+        .toDF),
+
+    "q_filter" -> ((s, dir) =>
+      C(s, dir, "customer")
+        .filter(
+          col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"),
+          col("c_name").like("Customer%"),
+          col("c_name").rlike("[02468]$"),
+          col("c_acctbal") > 0)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .toDF),
+
+    "q_order_limit" -> ((s, dir) =>
+      C(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .toDF),
+
+    "q_offset" -> ((s, dir) =>
+      C(s, dir, "orders")
+        .orderBy(col("o_orderkey").asc)
+        .offset(10).limit(15)
+        .select("o_orderkey", "o_custkey")
+        .toDF),
+
+    "q_distinct" -> ((s, dir) =>
+      C(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .through(c => Chain(c.toDF.distinct()))
+        .toDF),
+
+    "q_chunk" -> ((s, dir) =>
+      Split.byKeyMod(T(s, dir, "lineitem"), "l_orderkey", 4, 1)
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
+    "q_sample" -> ((s, dir) =>
+      C(s, dir, "orders").sample(100).select("o_orderkey").toDF),
+
+    "q_shuffle" -> ((s, dir) =>
+      C(s, dir, "nation").shuffle(seed = 7).selectExcept("sys").toDF),
+
+    // -------------------------------------------------------- set ops
+    "q_union" -> ((s, dir) => {
+      val a = C(s, dir, "orders").filter(col("o_orderkey") <= 100)
+        .select("o_orderkey", "o_totalprice")
+      val b = C(s, dir, "orders")
+        .filter(col("o_orderkey").between(50, 150))
+        .select("o_orderkey", "o_totalprice")
+      a.union(b).toDF
+    }),
+
+    "q_subtract" -> ((s, dir) => {
+      val cust = C(s, dir, "customer")
+      val ords = C(s, dir, "orders").rename("o_custkey", "c_custkey")
+      cust.subtract(ords, on = Seq("c_custkey"))
+        .select("c_custkey", "c_name").toDF
+    }),
+
+    // ----------------------------------------------------------- joins
+    "q_merge_inner" -> ((s, dir) => {
+      val o = C(s, dir, "orders").rename("o_custkey", "c_custkey")
+      val c = C(s, dir, "customer")
+      o.merge(c, on = Seq("c_custkey"), how = "inner")
+        .select("o_orderkey", "c_custkey", "c_name", "o_totalprice")
+        .toDF
+    }),
+
+    "q_merge_left" -> ((s, dir) => {
+      val c = C(s, dir, "customer").filter(col("c_custkey") <= 500)
+      val o = C(s, dir, "orders").rename("o_custkey", "c_custkey")
+      c.merge(o, on = Seq("c_custkey"))  // default left-outer
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .toDF
+    }),
+
+    "q_merge_full" -> ((s, dir) => {
+      val l = C(s, dir, "nation").filter(col("n_regionkey") < 2)
+        .select("n_nationkey", "n_name")
+      val r = C(s, dir, "nation").filter(col("n_regionkey") > 0)
+        .select("n_nationkey", "n_name")
+      l.merge(r, on = Seq("n_nationkey"), how = "full_outer").toDF
+    }),
+
+    "q_merge_expr" -> ((s, dir) => {
+      val n = C(s, dir, "nation")
+      val r = C(s, dir, "region")
+      n.merge(r, on = Seq.empty, how = "inner",
+          condition = Some(col("n_regionkey") === col("r_regionkey")))
+        .select("n_nationkey", "n_name", "r_name")
+        .toDF
+    }),
+
+    // ------------------------------------------------------ diff / delta
+    "q_diff" -> ((s, dir) => {
+      val oldV = C(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .select("o_orderkey", "o_totalprice")
+      val newV = C(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
+        .mutate("o_totalprice" -> when(pmod(col("o_orderkey"), lit(5)) === 0,
+          round(col("o_totalprice") * 2, 2)).otherwise(col("o_totalprice")))
+        .select("o_orderkey", "o_totalprice")
+      newV.diff(oldV, on = Seq("o_orderkey"), compare = Seq("o_totalprice"),
+        statusCol = Some("status")).toDF
+    }),
+
+    "q_file_diff" -> ((s, dir) => {
+      def files(c: Chain): Chain = Chain(c.toDF.select(struct(
+        lit("synth://docs").as("source"),
+        concat(lit("doc_"), col("doc_id"), lit(".txt")).as("path"),
+        col("n_chars").as("size"),
+        lit("").as("version"),
+        col("etag"),
+        lit(true).as("is_latest"),
+        lit(null).cast("timestamp").as("last_modified"),
+        lit(null).cast("string").as("location")).as("file")))
+      val oldV = files(C(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .mutate("etag" -> col("n_chars").cast("string")))
+      val newV = files(C(s, dir, "documents")
+        .mutate("etag" -> when(pmod(col("doc_id"), lit(17)) === 0,
+          (col("n_chars") + 1).cast("string"))
+          .otherwise(col("n_chars").cast("string"))))
+      newV.fileDiff(oldV, added = true, deleted = true, modified = true,
+          same = false, statusCol = Some("status"))
+        .selectExpr(col("file.path").as("path"), col("status"))
+        .toDF
+    }),
+
+    // ------------------------------------------------------- aggregation
+    "q_group_collect" -> ((s, dir) =>
+      C(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .groupByAgg(Seq("l_orderkey"),
+          "items" -> array_sort(collect_list(col("l_linenumber"))),
+          "items_csv" -> concat_ws(",", array_sort(collect_list(col("l_linenumber")))),
+          "n" -> count(lit(1)))
+        .toDF),
+
+    "q_any_value" -> ((s, dir) => {
+      val c = C(s, dir, "customer").rename("c_nationkey", "n_nationkey")
+      val n = C(s, dir, "nation")
+      c.merge(n, on = Seq("n_nationkey"), how = "inner")
+        .groupByAgg(Seq("n_nationkey"),
+          "nation_name" -> any_value(col("n_name")),
+          "n_customers" -> count(lit(1)),
+          "total_bal" -> dsum(col("c_acctbal")))
+        .toDF
+    }),
+
+    "q_scalar_agg" -> ((s, dir) =>
+      C(s, dir, "lineitem")
+        .groupByAgg(Seq.empty,
+          "cnt" -> count(lit(1)),
+          "sum_qty" -> dsum(col("l_quantity")),
+          "avg_price" -> davg(col("l_extendedprice")),
+          "min_ship" -> date_format(min(col("l_shipdate")), "yyyy-MM-dd"),
+          "max_ship" -> date_format(max(col("l_shipdate")), "yyyy-MM-dd"))
+        .toDF),
+
+    "q_count_distinct" -> ((s, dir) =>
+      C(s, dir, "lineitem")
+        .groupByAgg(Seq("l_returnflag"),
+          "n_parts" -> countDistinct(col("l_partkey")),
+          "n_supps" -> countDistinct(col("l_suppkey")),
+          "n_rows" -> count(lit(1)))
+        .toDF),
+
+    "q_approx_distinct" -> ((s, dir) =>
+      C(s, dir, "lineitem")
+        .groupByAgg(Seq("l_returnflag"),
+          "approx_parts" -> approx_count_distinct(col("l_partkey")))
+        .toDF),
+
+    // ----------------------------------------------------------- window
+    "q_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "lineitem").filter(col("l_suppkey") <= 20)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          row_number().over(w).cast("long").as("rn"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("nt"),
+          lag(col("l_quantity"), 1).over(w).as("lag_qty"),
+          lead(col("l_quantity"), 1).over(w).as("lead_qty"),
+          first(col("l_quantity")).over(w).as("first_qty"),
+          round(sum(col("l_quantity")).over(wr), 2).as("running_qty"))
+    }),
+
+    // ------------------------------------------------------- typed UDFs
+    "q_map_udf" -> ((s, dir) => {
+      import s.implicits._
+      Chain(T(s, dir, "part").select(col("p_partkey"), col("p_name")))
+        .mapTyped[PartIn, PartOut](p =>
+          PartOut(p.p_partkey, p.p_name.reverse, p.p_name.length.toLong))
+        .toDF
+    }),
+
+    "q_gen_udf" -> ((s, dir) => {
+      import s.implicits._
+      Chain(T(s, dir, "part").filter(col("p_partkey") < 2000)
+          .select(col("p_partkey"), col("p_name")))
+        .genTyped[PartIn, WordOut](p =>
+          p.p_name.split(" ").toSeq.map(w => WordOut(p.p_partkey, w)))
+        .toDF
+    }),
+
+    "q_agg_udf" -> ((s, dir) => {
+      import s.implicits._
+      // N:M group-wise generator: top-2 line items per (flag,status) by
+      // price — bounded-heap accumulation, so group iterators stream
+      // (no whole-group buffering; safe for 100×-sized groups).
+      Chain(T(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_linestatus"), col("l_extendedprice")))
+        .aggTyped[LineIn, (String, String), TopOut](
+          r => (r.l_returnflag, r.l_linestatus)) { case ((f, st), it) =>
+          implicit val ord: Ordering[LineIn] = Ordering.by(r =>
+            (-r.l_extendedprice, r.l_orderkey, r.l_linenumber.toLong))
+          val top = it.foldLeft(List.empty[LineIn]) { (acc, r) =>
+            (r :: acc).sorted.take(2)
+          }
+          top.zipWithIndex.map { case (r, i) =>
+            TopOut(f, st, r.l_orderkey, r.l_extendedprice, i + 1L)
+          }
+        }
+        .toDF
+    }),
+
+    // -------------------------------------------------- scalar functions
+    "q_string_funcs" -> ((s, dir) =>
+      T(s, dir, "part").select(
+        col("p_partkey"),
+        length(col("p_name")).cast("long").as("name_len"),
+        regexp_replace(col("p_brand"), "Brand#", "B-").as("brand2"),
+        regexp_replace(col("p_type"), "[aeiou]", "").as("devowel"),
+        element_at(split(col("p_type"), " "), 1).as("first_word"),
+        upper(col("p_brand")).as("up"),
+        lower(col("p_name")).as("lo"),
+        substring(col("p_name"), 1, 5).as("pfx"))),
+
+    "q_path_funcs" -> ((s, dir) => {
+      val p = concat(lit("data/"), col("source"), lit("/doc_"), col("doc_id"),
+        lit(".txt"))
+      val p2 = concat(col("doc_id"), lit(".tar.gz"))
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        path_parent(p).as("parent"),
+        path_name(p).as("name"),
+        path_file_stem(p).as("stem"),
+        path_file_ext(p).as("ext"),
+        path_parent(p2).as("parent2"),
+        path_file_stem(p2).as("stem2"),
+        path_file_ext(p2).as("ext2"))
+    }),
+
+    "q_array_funcs" -> ((s, dir) => {
+      // arrays of length 2..6 (never empty slices: DuckDB returns NULL for
+      // out-of-range list slices where Spark returns [])
+      val arr = sequence(lit(1L), pmod(col("vec_id"), lit(5)) + 2)
+      T(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(arr).cast("long").as("n"),
+        array_join(arr.cast("array<string>"), "-").as("joined"),
+        element_at(arr, 1).as("first_el"),
+        array_join(slice(arr, 2, 2).cast("array<string>"), "-").as("sliced"),
+        array_contains(arr, 3L).as("has3"))
+    }),
+
+    "q_numeric_funcs" -> ((s, dir) =>
+      T(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(col("o_custkey")).as("band"),
+        col("o_orderkey").bitwiseOR(col("o_custkey")).as("bor"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("bxor"),
+        shiftleft(col("o_orderkey"), 2).as("shl"),
+        shiftright(col("o_orderkey"), 1).as("shr"),
+        bit_hamming_distance(col("o_orderkey"), col("o_custkey")).cast("int")
+          .as("bham"))),
+
+    "q_hash_funcs" -> ((s, dir) =>
+      // int_hash_64 / sip_hash_64 / byte_hamming have no portable DuckDB
+      // twin — rows-only here, golden-valued in FunctionsSpec.
+      T(s, dir, "orders").limit(1000).select(
+        col("o_orderkey"),
+        int_hash_64(col("o_orderkey")).as("ih"),
+        sip_hash_64(col("o_orderstatus")).as("sh"),
+        byte_hamming_distance(col("o_orderstatus"), lit("O")).as("bh"),
+        TextAnalysis.fingerprint64(col("o_orderpriority")).as("fp64"),
+        sim_hash_64(col("o_orderpriority")).as("simh"))),
+
+    "q_conditional" -> ((s, dir) =>
+      T(s, dir, "customer").select(
+        col("c_custkey"),
+        greatest(col("c_acctbal"), lit(0.0)).as("g"),
+        least(col("c_acctbal"), lit(1000.0)).as("l"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("bucket"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER"))
+          .as("seg"),
+        col("c_acctbal").isNull.as("isnull"))),
+
+    "q_datetime" -> ((s, dir) =>
+      C(s, dir, "orders")
+        .mutate("yr" -> year(col("o_orderdate")).cast("long"),
+          "mo" -> month(col("o_orderdate")).cast("long"))
+        .groupByAgg(Seq("yr", "mo"),
+          "n" -> count(lit(1)),
+          "total" -> dsum(col("o_totalprice")))
+        .toDF),
+
+    "q_explode_json" -> ((s, dir) =>
+      E(s, dir).filter(col("event_id") < 2000)
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+
+    // -------------------------------------------------------- streaming
+    "q_streaming" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = T(s, dir, "events").schema
+      // the streaming file source wants a directory: stage a symlink dir
+      val stage = Files.createTempDirectory("graft_stream")
+      Files.createSymbolicLink(stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream.schema(schema)
+        .parquet(stage.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"), col("event_type"), col("n"), col("value_sum"))
+      val ckpt = Files.createTempDirectory("graft_ckpt").toString
+      val qn = "evw_" + math.abs(scala.util.Random.nextInt())
+      val q = stream.writeStream.outputMode("complete").format("memory")
+        .queryName(qn).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(qn)
+    }),
+
+    // --------------------------------------------------- splits / chunks
+    "q_train_test_split" -> ((s, dir) => {
+      val train = Split.byKeyMod(E(s, dir), "event_id", 10, 0)
+        .unionByName(Split.byKeyMod(E(s, dir), "event_id", 10, 1))
+      val test = Split.byKeyMod(E(s, dir), "event_id", 10, 9)
+      train.select(lit("train").as("part"), col("event_id"))
+        .unionByName(test.select(lit("test").as("part"), col("event_id")))
+    }),
+
+    // ------------------------------------------------------------- dedup
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val dups = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      val corpus = docs.unionByName(dups)
+      corpus.groupBy(TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("dup_count"))
+    }),
+
+    "q_minhash_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val nearDups = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" tail marker token")))
+      val corpus = docs.unionByName(nearDups).select("doc_id", "text")
+      Dedup.minhashDedupEdges(corpus, "text", "doc_id",
+        threshold = 0.5, k = 64, bands = 16, ngram = 5)
+    }),
+
+    "q_simhash_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val nearDups = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" tail")))
+      Dedup.simhashNearDups(docs.unionByName(nearDups).select("doc_id", "text"),
+        "text", "doc_id", maxHamming = 6)
+    }),
+
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val g = T(s, dir, "documents").filter(col("doc_id") < 80)
+        .select(col("doc_id"),
+          TextAnalysis.charNgrams(col("text"), 3).as("grams"))
+      val a = g.select(col("doc_id").as("id_a"), col("grams").as("ga"))
+      val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.ngramJaccardArrays(col("ga"), col("gb")), 4).as("jaccard"))
+    }),
+
+    "q_embed_dedup" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val copies = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      Dedup.embeddingNearDups(emb.unionByName(copies), "embedding", "vec_id",
+        threshold = 0.98, planes = 12)
+    }),
+
+    "q_embed_pairs" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings").filter(col("vec_id") < 60)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(lit(1.0) - cosine_distance(col("va"), col("vb")), 6).as("sim"))
+    }),
+
+    // ------------------------------------------------- similarity search
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(emb, queries, k = 5)
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (assigned, centroids) = Similarity.ivfBuild(emb, nlist = 16,
+        iterations = 1)
+      Similarity.ivfTopK(assigned, centroids, queries, k = 5, nprobe = 4)
+    }),
+
+    // ------------------------------------------------------ text analysis
+    "q_lang_id" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))),
+
+    "q_text_quality" -> ((s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("token_count"),
+        round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
+        round(TextAnalysis.upperRatio(col("text")), 4).as("upper_ratio"),
+        round(TextAnalysis.meanWordLen(col("text")), 4).as("mean_word_len"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "q_fingerprint" -> ((s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))),
+
+    // ------------------------------------------------------- multimodal
+    "q_multimodal" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(T(s, dir, "documents"), "doc_id", "text")
+      Multimodal.decodeImages(media)
+        .select(col("id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_bytes").as("n_bytes"),
+          round(element_at(col("features"), 1), 4).as("f0"))
+    }),
+
+    // ------------------------------------------------------ file listing
+    "q_read_storage" -> ((s, dir) =>
+      FileOps.readStorage(s, dir, pattern = Some("*.parquet"))
+        .selectExpr(col("file.path").as("path"), col("file.size").as("size"))
+        .toDF)
+  )
+
+  // ======================================================================
+  // DuckDB oracles — identical semantics, identical output column names.
+  // ======================================================================
+
+  private def markerSql(words: Seq[String]): String =
+    words.map(w =>
+      s"(CASE WHEN regexp_matches(text, '(?i)(^|\\s)$w(\\s|$$)') THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  def oracleSql: Map[String, String] = {
+    val en = markerSql(TextAnalysis.enStop)
+    val de = markerSql(TextAnalysis.deStop)
+    val fr = markerSql(TextAnalysis.frStop)
+    val es = markerSql(TextAnalysis.esStop)
+    val all = markerSql(TextAnalysis.enStop ++ TextAnalysis.deStop ++
+      TextAnalysis.frStop ++ TextAnalysis.esStop)
+    val norm = raw"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+
+    Map(
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+          | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+          | count(*) AS count_order
+          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q_read_parquet" ->
+        "SELECT p_partkey, p_brand, p_retailprice FROM part WHERE p_size < 20",
+
+      "q_read_csv" -> "SELECT * FROM nation",
+      "q_read_json" -> "SELECT * FROM region",
+
+      "q_read_values" ->
+        """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'alpha', 3.5),
+          | (CAST(2 AS BIGINT), 'beta', -1.25),
+          | (CAST(3 AS BIGINT), 'gamma', 0.0)) AS t(id, name, score)""".stripMargin,
+
+      "q_save_roundtrip" ->
+        """SELECT s_nationkey, count(*) AS n_suppliers,
+          | CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+          |FROM supplier GROUP BY s_nationkey""".stripMargin,
+
+      "q_mutate" ->
+        """SELECT p_partkey, round(p_retailprice * 1.1, 2) AS bumped,
+          | upper(p_brand) AS brand_u, CAST(length(p_name) AS BIGINT) AS name_len
+          |FROM part""".stripMargin,
+
+      "q_filter" ->
+        """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+          |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+          | AND c_name LIKE 'Customer%'
+          | AND regexp_matches(c_name, '[02468]$')
+          | AND c_acctbal > 0""".stripMargin,
+
+      "q_order_limit" ->
+        """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+      "q_offset" ->
+        """SELECT o_orderkey, o_custkey FROM orders
+          |ORDER BY o_orderkey ASC LIMIT 15 OFFSET 10""".stripMargin,
+
+      "q_distinct" ->
+        "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+      "q_chunk" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+          |WHERE l_orderkey % 4 = 1""".stripMargin,
+
+      "q_shuffle" -> "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+      "q_union" ->
+        """SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= 100
+          |UNION ALL
+          |SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_orderkey BETWEEN 50 AND 150""".stripMargin,
+
+      "q_subtract" ->
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+      "q_merge_inner" ->
+        """SELECT o.o_orderkey, o.o_custkey AS c_custkey, c.c_name, o.o_totalprice
+          |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+
+      "q_merge_left" ->
+        """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+          |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          |WHERE c.c_custkey <= 500""".stripMargin,
+
+      "q_merge_full" ->
+        """WITH l AS (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 2),
+          | r AS (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey > 0)
+          |SELECT COALESCE(l.n_nationkey, r.n_nationkey) AS n_nationkey,
+          | l.n_name AS n_name, r.n_name AS right_n_name
+          |FROM l FULL JOIN r ON l.n_nationkey = r.n_nationkey""".stripMargin,
+
+      "q_merge_expr" ->
+        """SELECT n.n_nationkey, n.n_name, r.r_name
+          |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin,
+
+      "q_diff" ->
+        """WITH oldv AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0),
+          | newv AS (SELECT o_orderkey,
+          |   CASE WHEN o_orderkey % 5 = 0 THEN round(o_totalprice * 2, 2)
+          |        ELSE o_totalprice END AS o_totalprice
+          |   FROM orders WHERE o_orderkey % 11 <> 0)
+          |SELECT
+          | CASE WHEN r.o_orderkey IS NULL THEN l.o_orderkey
+          |      WHEN l.o_orderkey IS NULL THEN r.o_orderkey
+          |      ELSE l.o_orderkey END AS o_orderkey,
+          | CASE WHEN l.o_orderkey IS NULL THEN r.o_totalprice
+          |      ELSE l.o_totalprice END AS o_totalprice,
+          | CASE WHEN r.o_orderkey IS NULL THEN 'A'
+          |      WHEN l.o_orderkey IS NULL THEN 'D'
+          |      WHEN l.o_totalprice <> r.o_totalprice THEN 'M'
+          |      ELSE 'S' END AS status
+          |FROM newv l FULL JOIN oldv r ON l.o_orderkey = r.o_orderkey""".stripMargin,
+
+      "q_file_diff" ->
+        """WITH oldv AS (SELECT 'doc_' || doc_id || '.txt' AS path,
+          |   CAST(n_chars AS VARCHAR) AS etag
+          |   FROM documents WHERE doc_id % 13 <> 0),
+          | newv AS (SELECT 'doc_' || doc_id || '.txt' AS path,
+          |   CASE WHEN doc_id % 17 = 0 THEN CAST(n_chars + 1 AS VARCHAR)
+          |        ELSE CAST(n_chars AS VARCHAR) END AS etag
+          |   FROM documents)
+          |SELECT
+          | CASE WHEN l.path IS NULL THEN r.path ELSE l.path END AS path,
+          | CASE WHEN r.path IS NULL THEN 'A'
+          |      WHEN l.path IS NULL THEN 'D'
+          |      WHEN l.etag <> r.etag THEN 'M'
+          |      ELSE 'S' END AS status
+          |FROM newv l FULL JOIN oldv r ON l.path = r.path
+          |WHERE NOT (l.path IS NOT NULL AND r.path IS NOT NULL AND l.etag = r.etag)""".stripMargin,
+
+      "q_group_collect" ->
+        """SELECT l_orderkey,
+          | list_sort(list(l_linenumber)) AS items,
+          | string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS items_csv,
+          | count(*) AS n
+          |FROM lineitem WHERE l_orderkey < 1000 GROUP BY l_orderkey""".stripMargin,
+
+      "q_any_value" ->
+        """SELECT c.c_nationkey AS n_nationkey, any_value(n.n_name) AS nation_name,
+          | count(*) AS n_customers,
+          | CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+          |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+          |GROUP BY c.c_nationkey""".stripMargin,
+
+      "q_scalar_agg" ->
+        """SELECT count(*) AS cnt,
+          | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+          | strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+          | strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
+          |FROM lineitem""".stripMargin,
+
+      "q_count_distinct" ->
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+          | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+      "q_window" ->
+        """SELECT l_suppkey, l_orderkey, l_linenumber,
+          | CAST(row_number() OVER w AS BIGINT) AS rn,
+          | CAST(rank() OVER w AS BIGINT) AS rnk,
+          | CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+          | CAST(ntile(4) OVER w AS BIGINT) AS nt,
+          | lag(l_quantity, 1) OVER w AS lag_qty,
+          | lead(l_quantity, 1) OVER w AS lead_qty,
+          | first_value(l_quantity) OVER w AS first_qty,
+          | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+          |   ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+          |FROM lineitem WHERE l_suppkey <= 20
+          |WINDOW w AS (PARTITION BY l_suppkey
+          | ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC)""".stripMargin,
+
+      "q_map_udf" ->
+        """SELECT p_partkey, reverse(p_name) AS rev_name,
+          | CAST(length(p_name) AS BIGINT) AS name_len FROM part""".stripMargin,
+
+      "q_gen_udf" ->
+        """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+          |FROM part WHERE p_partkey < 2000""".stripMargin,
+
+      "q_agg_udf" ->
+        """WITH r AS (SELECT l_returnflag, l_linestatus, l_orderkey, l_extendedprice,
+          |  row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+          |    ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rk
+          | FROM lineitem)
+          |SELECT l_returnflag, l_linestatus, l_orderkey, l_extendedprice,
+          | CAST(rk AS BIGINT) AS rk
+          |FROM r WHERE rk <= 2""".stripMargin,
+
+      "q_string_funcs" ->
+        """SELECT p_partkey, CAST(length(p_name) AS BIGINT) AS name_len,
+          | regexp_replace(p_brand, 'Brand#', 'B-', 'g') AS brand2,
+          | regexp_replace(p_type, '[aeiou]', '', 'g') AS devowel,
+          | string_split(p_type, ' ')[1] AS first_word,
+          | upper(p_brand) AS up, lower(p_name) AS lo,
+          | substr(p_name, 1, 5) AS pfx
+          |FROM part""".stripMargin,
+
+      "q_path_funcs" ->
+        """WITH x AS (SELECT doc_id,
+          |  'data/' || source || '/doc_' || doc_id || '.txt' AS p,
+          |  doc_id || '.tar.gz' AS p2 FROM documents),
+          | y AS (SELECT doc_id, p, p2,
+          |  regexp_extract(p, '([^/]*)$', 1) AS nm,
+          |  regexp_extract(p2, '([^/]*)$', 1) AS nm2 FROM x),
+          | z AS (SELECT *,
+          |  CASE WHEN strpos(nm, '.') > 0 THEN regexp_extract(nm, '\.([^.]*)$', 1) ELSE '' END AS ext,
+          |  CASE WHEN strpos(nm2, '.') > 0 THEN regexp_extract(nm2, '\.([^.]*)$', 1) ELSE '' END AS ext2
+          | FROM y)
+          |SELECT doc_id,
+          | CASE WHEN strpos(p, '/') > 0 THEN regexp_extract(p, '^(.*?)/+[^/]*$', 1) ELSE '' END AS parent,
+          | nm AS name,
+          | rtrim(substr(nm, 1, CAST(length(nm) AS INT) -
+          |   (CASE WHEN strpos(nm, '.') > 0 THEN CAST(length(ext) AS INT) ELSE 0 END)), '.') AS stem,
+          | ext,
+          | CASE WHEN strpos(p2, '/') > 0 THEN regexp_extract(p2, '^(.*?)/+[^/]*$', 1) ELSE '' END AS parent2,
+          | rtrim(substr(nm2, 1, CAST(length(nm2) AS INT) -
+          |   (CASE WHEN strpos(nm2, '.') > 0 THEN CAST(length(ext2) AS INT) ELSE 0 END)), '.') AS stem2,
+          | ext2
+          |FROM z""".stripMargin,
+
+      "q_array_funcs" ->
+        """WITH a AS (SELECT vec_id, range(1, vec_id % 5 + 3) AS arr FROM embeddings)
+          |SELECT vec_id, CAST(len(arr) AS BIGINT) AS n,
+          | array_to_string(arr, '-') AS joined,
+          | arr[1] AS first_el,
+          | array_to_string(arr[2:3], '-') AS sliced,
+          | list_contains(arr, 3) AS has3
+          |FROM a""".stripMargin,
+
+      "q_numeric_funcs" ->
+        """SELECT o_orderkey,
+          | o_orderkey & o_custkey AS band,
+          | o_orderkey | o_custkey AS bor,
+          | xor(o_orderkey, o_custkey) AS bxor,
+          | o_orderkey << 2 AS shl,
+          | o_orderkey >> 1 AS shr,
+          | CAST(bit_count(xor(o_orderkey, o_custkey)) AS INTEGER) AS bham
+          |FROM orders""".stripMargin,
+
+      "q_conditional" ->
+        """SELECT c_custkey, greatest(c_acctbal, 0.0) AS g,
+          | least(c_acctbal, 1000.0) AS l,
+          | CASE WHEN c_acctbal < 0 THEN 'neg'
+          |      WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bucket,
+          | coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+          | c_acctbal IS NULL AS isnull
+          |FROM customer""".stripMargin,
+
+      "q_datetime" ->
+        """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+          | CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+          | count(*) AS n,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders GROUP BY 1, 2""".stripMargin,
+
+      "q_explode_json" ->
+        """SELECT event_id, event_type,
+          | CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          |FROM events WHERE event_id < 2000""".stripMargin,
+
+      "q_streaming" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+          | event_type, count(*) AS n,
+          | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+          |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q_train_test_split" ->
+        """SELECT 'train' AS part, event_id FROM events WHERE event_id % 10 IN (0, 1)
+          |UNION ALL
+          |SELECT 'test' AS part, event_id FROM events WHERE event_id % 10 = 9""".stripMargin,
+
+      "q_dedup_exact" ->
+        s"""WITH corpus AS (
+           | SELECT * FROM documents
+           | UNION ALL
+           | SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+           | FROM documents WHERE doc_id % 3 = 0)
+           |SELECT md5($norm) AS fp, min(doc_id) AS keep_id, count(*) AS dup_count
+           |FROM corpus GROUP BY 1""".stripMargin,
+
+      "q_ngram_jaccard" ->
+        s"""WITH g AS (SELECT doc_id,
+           |  list_distinct(list_transform(
+           |    range(1, CAST(greatest(length($norm) - 2, 0) AS BIGINT) + 1),
+           |    i -> substr($norm, CAST(i AS INT), 3))) AS grams
+           | FROM documents WHERE doc_id < 80)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           | round(CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 0.0
+           |   ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+           |        len(list_distinct(a.grams || b.grams)) END, 4) AS jaccard
+           |FROM g a JOIN g b ON a.doc_id < b.doc_id""".stripMargin,
+
+      "q_embed_pairs" ->
+        """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60)
+          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          | round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |   CAST(b.embedding AS DOUBLE[])), 6) AS sim
+          |FROM e a JOIN e b ON a.vec_id < b.vec_id""".stripMargin,
+
+      "q_ann_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+          | s AS (SELECT q.query_id, e.vec_id,
+          |   list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+          |     CAST(e.embedding AS DOUBLE[])) AS sim0
+          |   FROM q CROSS JOIN embeddings e),
+          | r AS (SELECT query_id, vec_id, sim0,
+          |   row_number() OVER (PARTITION BY query_id
+          |     ORDER BY sim0 DESC, vec_id ASC) AS rk FROM s)
+          |SELECT query_id, vec_id, round(sim0, 6) AS sim, CAST(rk AS BIGINT) AS rank
+          |FROM r WHERE rk <= 5""".stripMargin,
+
+      "q_lang_id" ->
+        s"""WITH p AS (SELECT doc_id, lang,
+           |  CASE WHEN greatest($en, $de, $fr, $es) = 0 THEN 'und'
+           |       WHEN $en = greatest($en, $de, $fr, $es) THEN 'en'
+           |       WHEN $de = greatest($en, $de, $fr, $es) THEN 'de'
+           |       WHEN $fr = greatest($en, $de, $fr, $es) THEN 'fr'
+           |       ELSE 'es' END AS predicted
+           | FROM documents)
+           |SELECT lang, predicted, count(*) AS n FROM p GROUP BY 1, 2""".stripMargin,
+
+      "q_text_quality" ->
+        s"""SELECT doc_id,
+           | CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS token_count,
+           | round(CASE WHEN length(text) = 0 THEN 0.0
+           |   ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+           |        / length(text) END, 4) AS punct_ratio,
+           | round(CASE WHEN length(text) = 0 THEN 0.0
+           |   ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+           |        / length(text) END, 4) AS upper_ratio,
+           | round(CASE WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 0.0
+           |   ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+           |        / len(string_split_regex(trim(text), '\\s+')) END, 4) AS mean_word_len,
+           | round((
+           |   (CASE WHEN len(string_split_regex(trim(text), '\\s+')) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+           |   (CASE WHEN $all > 0 THEN 1.0 ELSE 0.0 END) +
+           |   (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END) < 0.3 THEN 1.0 ELSE 0.0 END) +
+           |   (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) END) < 0.3 THEN 1.0 ELSE 0.0 END) +
+           |   (CASE WHEN (CASE WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 0.0
+           |      ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+           |           / len(string_split_regex(trim(text), '\\s+')) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+           | ) / 5.0, 2) AS quality
+           |FROM documents""".stripMargin,
+
+      "q_fingerprint" ->
+        s"SELECT doc_id, md5($norm) AS fp_md5 FROM documents"
+    )
+  }
 }

@@ -1,0 +1,146 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.{Chain, OpTree, Sys}
+import graft.schema.SignalSchema
+
+/**
+ * Versioned dataset catalog — the Spark restatement of the reference's
+ * metastore + warehouse split (reference: src/datachain/data_storage/
+ * metastore.py, warehouse.py:353, dataset.py:187,361).
+ *
+ * Physical layout (one warehouse root, any Hadoop-compatible FS — local in
+ * tests, S3A/HDFS on a cluster):
+ *
+ *   <root>/datasets/<name>/v<semver>/data/        parquet (partitioned)
+ *   <root>/datasets/<name>/v<semver>/meta.json    schema JSON, lineage deps,
+ *                                                 chain hash, created_at, job
+ *
+ * Version resolution: exact "1.2.3", or latest when omitted. Each version is
+ * immutable once written (writes go to a fresh dir), so `readDataset` is a
+ * plain parquet scan with full predicate/column pushdown and no table locks —
+ * the same property Delta/Iceberg snapshots give, without a format dependency
+ * (swap the layout for Delta on clusters that ship it).
+ *
+ * Checkpoints: `findCheckpoint(chainHash)` mirrors the reference's skip of
+ * `save()` calls whose chain hash matches a prior job's checkpoint
+ * (reference: src/datachain/lib/dc/datachain.py:696-723).
+ */
+final case class SemVer(major: Int, minor: Int, patch: Int) extends Ordered[SemVer] {
+  override def toString = s"$major.$minor.$patch"
+  def compare(o: SemVer): Int =
+    Ordering[(Int, Int, Int)].compare((major, minor, patch), (o.major, o.minor, o.patch))
+  def bumpMajor: SemVer = SemVer(major + 1, 0, 0)
+  def bumpMinor: SemVer = SemVer(major, minor + 1, 0)
+  def bumpPatch: SemVer = SemVer(major, minor, patch + 1)
+}
+
+object SemVer {
+  def parse(s: String): SemVer = s.split('.') match {
+    case Array(a, b, c) => SemVer(a.toInt, b.toInt, c.toInt)
+    case _ => throw new IllegalArgumentException(s"bad semver: $s")
+  }
+}
+
+final case class VersionMeta(
+    name: String, version: String, chainHash: String,
+    schemaJson: String, deps: Seq[String], createdAt: String, rows: Long)
+
+final class Catalog(val root: String, spark: SparkSession) {
+
+  private def dsDir(name: String): Path = Paths.get(root, "datasets", name)
+  private def vDir(name: String, v: SemVer): Path = dsDir(name).resolve(s"v$v")
+
+  def datasets(): Seq[String] = {
+    val d = Paths.get(root, "datasets")
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator.asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  def versions(name: String): Seq[SemVer] = {
+    val d = dsDir(name)
+    if (!Files.isDirectory(d)) Seq.empty
+    else Files.list(d).iterator.asScala
+      .map(_.getFileName.toString).filter(_.startsWith("v"))
+      .map(s => SemVer.parse(s.drop(1))).toSeq.sorted
+  }
+
+  def latestVersion(name: String): Option[SemVer] = versions(name).lastOption
+
+  /**
+   * Materialize a chain as a new dataset version (reference `save`,
+   * src/datachain/lib/dc/datachain.py:602-672). Stamps sys columns, writes
+   * parquet, records schema + lineage. Returns the written version.
+   */
+  def save(chain: Chain, name: String, version: Option[SemVer] = None,
+           deps: Seq[String] = Seq.empty): SemVer = {
+    val v = version.getOrElse(
+      latestVersion(name).map(_.bumpMinor).getOrElse(SemVer(1, 0, 0)))
+    val dir = vDir(name, v)
+    require(!Files.exists(dir), s"version $name@v$v already exists (immutable)")
+    val stamped = Sys.stamp(chain.toDF)
+    stamped.write.mode("errorifexists").parquet(dir.resolve("data").toString)
+    val rows = spark.read.parquet(dir.resolve("data").toString).count()
+    val meta = metaJson(VersionMeta(
+      name, v.toString, chain.hash, SignalSchema.toJson(chain.schema),
+      deps, java.time.Instant.now.toString, rows))
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    v
+  }
+
+  /** Load a saved version (latest when not given) as a Chain
+    * (reference `read_dataset`, src/datachain/lib/dc/datasets.py:27). */
+  def readDataset(name: String, version: Option[SemVer] = None): Chain = {
+    val v = version.orElse(latestVersion(name))
+      .getOrElse(throw new NoSuchElementException(s"dataset $name not found"))
+    val df = spark.read.parquet(vDir(name, v).resolve("data").toString)
+    Chain(df, OpTree.empty.append("read_dataset", name, v.toString))
+  }
+
+  def readMeta(name: String, version: SemVer): String =
+    new String(Files.readAllBytes(vDir(name, version).resolve("meta.json")), "UTF-8")
+
+  def deleteDataset(name: String): Unit = {
+    val d = dsDir(name)
+    if (Files.exists(d)) {
+      Files.walk(d).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
+  /** Find a dataset version whose chain hash matches (checkpoint reuse). */
+  def findCheckpoint(chainHash: String): Option[(String, SemVer)] =
+    datasets().iterator.flatMap { n =>
+      versions(n).flatMap { v =>
+        val meta = readMeta(n, v)
+        if (meta.contains("\"chainHash\": \"" + chainHash + "\"")) Some((n, v))
+        else None
+      }
+    }.nextOption()
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def metaJson(m: VersionMeta): String = {
+    val deps = m.deps.map(d => "\"" + esc(d) + "\"").mkString("[", ",", "]")
+    s"""{
+  "name": "${esc(m.name)}",
+  "version": "${m.version}",
+  "chainHash": "${m.chainHash}",
+  "createdAt": "${m.createdAt}",
+  "rows": ${m.rows},
+  "deps": $deps,
+  "schema": "${esc(m.schemaJson)}"
+}"""
+  }
+}

@@ -1,0 +1,331 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.SignalSchema
+
+/**
+ * The graft `Chain` — a lazy, immutable chain of operations over a table of
+ * nested records; the Spark-native counterpart of the reference's
+ * `DataChain` (reference: src/datachain/lib/dc/datachain.py:108).
+ *
+ * Architecture: every relational operator is a *declarative* DataFrame
+ * transformation, so Catalyst owns optimization (predicate pushdown, column
+ * pruning, join strategy, AQE). The Chain itself only adds:
+ *   - an [[OpTree]] recording lineage + a stable content hash (checkpoints,
+ *     delta recompute — reference: src/datachain/query/dataset.py:164-174),
+ *   - dotted-path signal resolution over nested StructTypes,
+ *   - the reference's operator semantics where they differ from Spark
+ *     defaults (merge collision renaming, null-safe subtract, diff statuses).
+ *
+ * Scale posture: nothing here collects to the driver; `sample`, `shuffle`,
+ * `chunk` are pushdown-friendly filters/sorts over persisted `sys.rand`
+ * rather than driver-side row picks.
+ */
+final class Chain private (
+    private[graft] val df: DataFrame,
+    val ops: OpTree) {
+
+  def spark: SparkSession = df.sparkSession
+  def toDF: DataFrame = df
+  def schema = df.schema
+  def hash: String = ops.hash
+
+  private def next(d: DataFrame, op: String, args: String*): Chain =
+    new Chain(d, ops.append(op, args: _*))
+
+  // ------------------------------------------------------------- projection
+
+  /** Keep the given signals (dotted paths re-nest under their leaf name). */
+  def select(cols: String*): Chain =
+    next(df.select(cols.map(c => SignalSchema.resolve(c).as(c.replace('.', '_'))): _*),
+      "select", cols: _*)
+
+  def selectExpr(cols: Column*): Chain =
+    next(df.select(cols: _*), "selectExpr", cols.map(_.toString): _*)
+
+  /** Drop the given top-level signals. */
+  def selectExcept(cols: String*): Chain =
+    next(df.drop(cols: _*), "select_except", cols: _*)
+
+  /** Add / replace computed columns; evaluated by Catalyst, never row-code. */
+  def mutate(exprs: (String, Column)*): Chain =
+    next(df.withColumns(exprs.toMap), "mutate", exprs.map(_._1): _*)
+
+  def rename(from: String, to: String): Chain =
+    next(df.withColumnRenamed(from, to), "rename", from, to)
+
+  // ----------------------------------------------------------------- filter
+
+  /** AND of the given predicates (consecutive filters fuse in Catalyst). */
+  def filter(preds: Column*): Chain =
+    next(preds.foldLeft(df)((d, p) => d.filter(p)), "filter",
+      preds.map(_.toString): _*)
+
+  // --------------------------------------------------------------- ordering
+
+  /** Order is only guaranteed into an immediately following limit/collect —
+    * the same caveat the reference documents
+    * (reference: src/datachain/lib/dc/datachain.py:1126-1131). */
+  def orderBy(cols: Column*): Chain =
+    next(df.orderBy(cols: _*), "order_by", cols.map(_.toString): _*)
+
+  def limit(n: Int): Chain = next(df.limit(n), "limit", n.toString)
+  def offset(n: Int): Chain = next(df.offset(n), "offset", n.toString)
+
+  // ------------------------------------------------------------ set-like ops
+
+  /** One arbitrary representative row per distinct key
+    * (reference semantics: src/datachain/lib/dc/datachain.py:1139-1153). */
+  def distinctOn(cols: String*): Chain =
+    next(df.dropDuplicates(cols), "distinct", cols: _*)
+
+  /** Random sample of ~n rows. At scale this is a sample-fraction pushdown,
+    * not the reference's `ORDER BY random() LIMIT n` full sort. */
+  def sample(n: Int): Chain = {
+    val total = df.count()
+    val frac = if (total == 0) 0.0 else math.min(1.0, n * 1.2 / total.toDouble)
+    next(df.sample(frac).limit(n), "sample", n.toString)
+  }
+
+  /** Deterministic reshuffle by persisted sys.rand (stamps sys if absent). */
+  def shuffle(seed: Long = 0L): Chain = {
+    val stamped = if (df.columns.contains(Sys.ColName)) df else Sys.stamp(df, seed)
+    next(stamped.orderBy(col("sys.rand")), "shuffle", seed.toString)
+  }
+
+  /** Deterministic 1/total split by sys.rand
+    * (reference: src/datachain/lib/dc/datachain.py:2879). */
+  def chunk(index: Int, total: Int): Chain = {
+    require(index >= 0 && index < total, s"chunk index $index out of [0,$total)")
+    val stamped = if (df.columns.contains(Sys.ColName)) df else Sys.stamp(df)
+    next(stamped.filter(pmod(col("sys.rand"), lit(total)) === index),
+      "chunk", index.toString, total.toString)
+  }
+
+  /** UNION ALL by signal name; errors list the missing columns per side,
+    * mirroring the reference (src/datachain/lib/dc/datachain.py:1711-1727). */
+  def union(other: Chain): Chain = {
+    val l = df.columns.toSet
+    val r = other.df.columns.toSet
+    require(l == r,
+      s"union schema mismatch: left missing ${(r -- l).toSeq.sorted.mkString(",")}; " +
+        s"right missing ${(l -- r).toSeq.sorted.mkString(",")}")
+    new Chain(df.unionByName(other.df),
+      ops.append("union").withParent(other.ops.hash))
+  }
+
+  /** NULL-safe anti-join on key columns
+    * (reference: src/datachain/lib/dc/datachain.py:1729-1793). */
+  def subtract(other: Chain, on: Seq[String], rightOn: Seq[String] = Seq.empty): Chain = {
+    val rOn = if (rightOn.nonEmpty) rightOn else on
+    require(rOn.size == on.size, "on/right_on length mismatch")
+    val r = other.df.select(rOn.map(col): _*)
+    val cond = on.zip(rOn).map { case (a, b) => df(a) <=> r(b) }.reduce(_ && _)
+    new Chain(df.join(r, cond, "left_anti"),
+      ops.append("subtract", on ++ rOn: _*).withParent(other.ops.hash))
+  }
+
+  // ------------------------------------------------------------------ joins
+
+  /**
+   * Merge (join) with the reference's semantics
+   * (reference: src/datachain/lib/dc/datachain.py:1601-1709):
+   * default LEFT OUTER; `inner`/`full` flags; right-side column-name
+   * collisions (other than equi-join keys joined by name) renamed with the
+   * `rname` prefix; `sys` dropped from the right side. Arbitrary `Column`
+   * join conditions (theta joins) supported via `condition`.
+   *
+   * Physical strategy is Catalyst's: broadcast when one side is small
+   * (AQE-threshold), else shuffle. Call with `broadcast(right.toDF)`
+   * upstream when the dimension side is known-small.
+   */
+  def merge(right: Chain, on: Seq[String], rightOn: Seq[String] = Seq.empty,
+            how: String = "left_outer", rname: String = "right_",
+            condition: Option[Column] = None): Chain = {
+    val r0 = Sys.drop(right.df)
+    val joined =
+      if (condition.isDefined) {
+        // Expression join: keep all columns, rename right collisions.
+        val mapping = SignalSchema.mergeRootMapping(
+          df.columns.toSeq, r0.columns.toSeq, rname)
+        val r = mapping.foldLeft(r0) { case (d, (from, to)) =>
+          if (from == to) d else d.withColumnRenamed(from, to)
+        }
+        df.join(r, condition.get, how)
+      } else if (rightOn.isEmpty || rightOn == on) {
+        // Equi-join by name: using-columns join keeps one key copy; rename
+        // remaining right collisions with the rname prefix.
+        val collide = (r0.columns.toSet -- on).intersect(df.columns.toSet)
+        val mapping = SignalSchema.mergeRootMapping(
+          df.columns.toSeq, collide.toSeq.sorted, rname)
+        val r = collide.foldLeft(r0)((d, c) => d.withColumnRenamed(c, mapping(c)))
+        df.join(r, on, how)
+      } else {
+        val collide = r0.columns.toSet.intersect(df.columns.toSet)
+        val mapping = SignalSchema.mergeRootMapping(
+          df.columns.toSeq, collide.toSeq.sorted, rname)
+        val r = collide.foldLeft(r0)((d, c) => d.withColumnRenamed(c, mapping(c)))
+        val rOnMapped = rightOn.map(c => mapping.getOrElse(c, c))
+        val cond = on.zip(rOnMapped).map { case (a, b) => df(a) === r(b) }
+          .reduce(_ && _)
+        df.join(r, cond, how)
+      }
+    new Chain(joined,
+      ops.append("merge", (on ++ rightOn :+ how): _*).withParent(right.ops.hash))
+  }
+
+  // ------------------------------------------------------------ aggregation
+
+  /** GROUP BY over (possibly dotted/nested) keys with named aggregates
+    * (reference: src/datachain/lib/dc/datachain.py:1172-1293). */
+  def groupByAgg(keys: Seq[String], aggs: (String, Column)*): Chain = {
+    require(aggs.nonEmpty, "group_by requires at least one aggregate")
+    val keyCols = keys.map(k => SignalSchema.resolve(k).as(k.replace('.', '_')))
+    val aggCols = aggs.map { case (n, c) => c.as(n) }
+    val out =
+      if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+      else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    next(out, "group_by", keys ++ aggs.map(_._1): _*)
+  }
+
+  // whole-chain scalar shortcuts (reference: datachain.py:2569-2636)
+  def count(): Long = df.count()
+  def isEmpty: Boolean = df.isEmpty
+  def sumOf(c: String): Row = df.agg(sum(col(c))).first()
+  def avgOf(c: String): Row = df.agg(avg(col(c))).first()
+  def minOf(c: String): Row = df.agg(min(col(c))).first()
+  def maxOf(c: String): Row = df.agg(max(col(c))).first()
+
+  // ------------------------------------------------------------------- diff
+
+  /**
+   * Row-level changeset vs `other` (reference: src/datachain/diff/__init__.py:27-163):
+   * full outer join on `on` keys (null-safe); status per row:
+   *   A = key only here, D = key only in other, M = keys match but a
+   *   `compare` column differs, S = same. Deleted rows take `other`'s values.
+   * Keeps requested statuses; `statusCol` optionally retained.
+   */
+  def diff(other: Chain, on: Seq[String], compare: Seq[String] = Seq.empty,
+           added: Boolean = true, deleted: Boolean = true,
+           modified: Boolean = true, same: Boolean = true,
+           statusCol: Option[String] = None): Chain = {
+    val l = Sys.drop(df).alias("l")
+    val r = Sys.drop(other.df).alias("r")
+    val cond = on.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val cmp = if (compare.nonEmpty) compare
+      else Sys.drop(df).columns.toSeq.filterNot(on.contains)
+    // A row exists on a side iff any of its key cols is non-null after the
+    // full join (presence markers tolerate all-null key corner cases).
+    val joined = l.join(r, cond, "full_outer")
+      .withColumn("__l_present",
+        on.map(k => col(s"l.$k").isNotNull).reduce(_ || _))
+      .withColumn("__r_present",
+        on.map(k => col(s"r.$k").isNotNull).reduce(_ || _))
+    val modifiedCond =
+      if (cmp.isEmpty) lit(false)
+      else cmp.map(c => !(col(s"l.$c") <=> col(s"r.$c"))).reduce(_ || _)
+    val status = when(col("__l_present") && !col("__r_present"), "A")
+      .when(!col("__l_present") && col("__r_present"), "D")
+      .when(modifiedCond, "M")
+      .otherwise("S")
+    val withStatus = joined.withColumn("__diff", status)
+    val wanted = Seq("A" -> added, "D" -> deleted, "M" -> modified, "S" -> same)
+      .collect { case (s, true) => s }
+    val filtered = withStatus.filter(col("__diff").isin(wanted: _*))
+    // Deleted rows surface the right side's values; everything else the left's.
+    val lCols = Sys.drop(df).columns.toSeq
+    val outCols = lCols.map { c =>
+      val rSide = if (Sys.drop(other.df).columns.contains(c)) col(s"r.$c")
+        else lit(null)
+      when(col("__diff") === "D", rSide).otherwise(col(s"l.$c")).as(c)
+    } ++ statusCol.map(sc => Seq(col("__diff").as(sc))).getOrElse(Seq.empty)
+    new Chain(filtered.select(outCols: _*),
+      ops.append("diff", on ++ compare: _*).withParent(other.ops.hash))
+  }
+
+  /** `diff` keyed on file identity, comparing file version/etag
+    * (reference: src/datachain/lib/dc/datachain.py:1863-1933). */
+  def fileDiff(other: Chain, fileCol: String = "file",
+               added: Boolean = true, deleted: Boolean = false,
+               modified: Boolean = true, same: Boolean = false,
+               statusCol: Option[String] = None): Chain =
+    diff(other,
+      on = Seq(s"$fileCol.source", s"$fileCol.path"),
+      compare = Seq(s"$fileCol.version", s"$fileCol.etag"),
+      added = added, deleted = deleted, modified = modified, same = same,
+      statusCol = statusCol)
+
+  // -------------------------------------------------------------- typed UDFs
+
+  /** 1:1 typed row mapping (reference `map`, src/datachain/lib/dc/datachain.py:809).
+    * Unlike the reference there is no join-back on sys__id: the closure
+    * carries the full typed row through the executor. */
+  def mapTyped[T: Encoder, U: Encoder](f: T => U): Chain =
+    next(df.as[T].map(f).toDF, "map")
+
+  /** 1:N typed generator (reference `gen`, datachain.py:862) — output rows
+    * replace the input row set. */
+  def genTyped[T: Encoder, U: Encoder](f: T => IterableOnce[U]): Chain =
+    next(df.as[T].flatMap(f).toDF, "gen")
+
+  /** N:M group-wise generator (reference `agg`, datachain.py:901): rows
+    * grouped by key, UDF sees the whole group, yields any number of rows.
+    * Spark's shuffle+sort replaces the reference's dense_rank partition
+    * table (src/datachain/query/dataset.py:582-615). */
+  def aggTyped[T: Encoder, K: Encoder, U: Encoder](key: T => K)(
+      f: (K, Iterator[T]) => IterableOnce[U]): Chain =
+    next(df.as[T].groupByKey(key).flatMapGroups(f).toDF, "agg_udf")
+
+  /** N:N batched mapping over partition iterators (reference `batch_map`). */
+  def batchMapTyped[T: Encoder, U: Encoder](batch: Int)(
+      f: Seq[T] => Seq[U]): Chain =
+    next(df.as[T].mapPartitions(it => it.grouped(batch).flatMap(f)).toDF,
+      "batch_map", batch.toString)
+
+  // ------------------------------------------------------------ persistence
+
+  /** Stamp sys columns (id, rand) — applied automatically at save. */
+  def withSys(seed: Long = 0L): Chain = next(Sys.stamp(df, seed), "with_sys")
+
+  /** Session-scoped persist (reference `persist`, datachain.py:570). */
+  def persist(): Chain = next(df.persist(), "persist")
+
+  // ------------------------------------------------------------ composition
+
+  /** `apply`-style composition helper (reference: datachain.py:786). */
+  def through(f: Chain => Chain): Chain = f(this)
+}
+
+object Chain {
+  def apply(df: DataFrame): Chain =
+    new Chain(df, OpTree.empty.append("source", df.schema.map(_.name): _*))
+
+  def apply(df: DataFrame, ops: OpTree): Chain = new Chain(df, ops)
+
+  /** read_parquet (reference: src/datachain/lib/dc/parquet.py:15). */
+  def readParquet(spark: SparkSession, path: String): Chain =
+    new Chain(spark.read.parquet(path), OpTree.empty.append("read_parquet", path))
+
+  /** read_csv (reference: src/datachain/lib/dc/csv.py:15). */
+  def readCsv(spark: SparkSession, path: String,
+              header: Boolean = true, delimiter: String = ",",
+              schema: Option[org.apache.spark.sql.types.StructType] = None): Chain = {
+    val r = spark.read.option("header", header.toString).option("sep", delimiter)
+    val df = schema.map(s => r.schema(s)).getOrElse(r.option("inferSchema", "true"))
+      .csv(path)
+    new Chain(df, OpTree.empty.append("read_csv", path))
+  }
+
+  /** read_json / jsonl (reference: src/datachain/lib/dc/json.py:19). */
+  def readJson(spark: SparkSession, path: String,
+               schema: Option[org.apache.spark.sql.types.StructType] = None): Chain = {
+    val r = spark.read
+    val df = schema.map(s => r.schema(s)).getOrElse(r).json(path)
+    new Chain(df, OpTree.empty.append("read_json", path))
+  }
+
+  /** read_values (reference: src/datachain/lib/dc/values.py:18). */
+  def readValues[T <: Product : Encoder](spark: SparkSession, rows: Seq[T]): Chain =
+    new Chain(spark.createDataset(rows).toDF, OpTree.empty.append("read_values"))
+}

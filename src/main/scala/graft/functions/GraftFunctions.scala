@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft._
+import org.apache.spark.sql.graft.bridge.{column => toCol, expression => toExpr}
+import org.apache.spark.sql.functions._
+
+/**
+ * graft's scalar-function DSL — the Spark-side equivalent of the reference's
+ * `datachain.func` package (reference: src/datachain/func package). Everything
+ * that Spark ships as a built-in is a thin alias (codegen'd, pushdown-able);
+ * the rest are our custom Catalyst expressions from [[expressions]].
+ */
+object GraftFunctions {
+
+  // ------------------------------------------------------------ custom exprs
+
+  /** ClickHouse-style IntHash64 (reference: src/datachain/func/numeric.py:142). */
+  def int_hash_64(c: Column): Column = toCol(IntHash64(toExpr(c)))
+
+  /** SipHash-2-4, zero key (reference: src/datachain/func/array.py:382). */
+  def sip_hash_64(c: Column): Column = toCol(SipHash64(toExpr(c)))
+
+  /** popcount(a^b) (reference: src/datachain/func/numeric.py:178). */
+  def bit_hamming_distance(a: Column, b: Column): Column =
+    toCol(BitHammingDistance(toExpr(a), toExpr(b)))
+
+  /** char-wise hamming (reference: src/datachain/func/string.py:179). */
+  def byte_hamming_distance(a: Column, b: Column): Column =
+    toCol(ByteHammingDistance(toExpr(a), toExpr(b)))
+
+  /** 1 - cos(a,b) over float vectors (reference: src/datachain/func/array.py:10). */
+  def cosine_distance(a: Column, b: Column): Column =
+    toCol(CosineDistance(toExpr(a), toExpr(b)))
+
+  /** L2 distance over float vectors (reference: src/datachain/func/array.py:65). */
+  def euclidean_distance(a: Column, b: Column): Column =
+    toCol(EuclideanDistance(toExpr(a), toExpr(b)))
+
+  /** dot(a,b) over float vectors — ANN scoring kernel. */
+  def dot_product(a: Column, b: Column): Column =
+    toCol(DotProduct(toExpr(a), toExpr(b)))
+
+  /** L2 norm of a float vector. */
+  def vector_norm(a: Column): Column = toCol(VectorNorm(toExpr(a)))
+
+  /** SimHash-64 text fingerprint (near-dup detection). */
+  def sim_hash_64(c: Column): Column = toCol(SimHash64(toExpr(c)))
+
+  // -------------------------------------------------------------- path funcs
+  // Mirror the reference's SQL semantics (src/datachain/sql/sqlite/base.py:326-391),
+  // including its multi-slash and trailing-dot edge cases, composed purely from
+  // codegen'd built-ins (regexp/substr/trim) so Catalyst can optimize freely.
+
+  /** Parent directory of a path; "" when the path has no slash. */
+  def path_parent(p: Column): Column =
+    when(p.contains("/"), regexp_extract(p, "^(.*?)/+[^/]*$", 1)).otherwise(lit(""))
+
+  /** Final path component (after the last slash). */
+  def path_name(p: Column): Column = regexp_extract(p, "([^/]*)$", 1)
+
+  /** Extension of the final component, without the dot; "" when none. */
+  def path_file_ext(p: Column): Column = {
+    val nm = path_name(p)
+    when(instr(nm, ".") > 0, regexp_extract(nm, "\\.([^.]*)$", 1)).otherwise(lit(""))
+  }
+
+  /** Final component minus its extension (trailing dots trimmed). */
+  def path_file_stem(p: Column): Column = {
+    val nm = path_name(p)
+    val extLen = when(instr(nm, ".") > 0, length(path_file_ext(p))).otherwise(lit(0))
+    rtrim(nm.substr(lit(1), length(nm) - extLen), ".")
+  }
+
+  // ------------------------------------------------------------- array funcs
+  // Aliases onto Spark built-ins, named as in src/datachain/func/array.py.
+
+  def array_length(c: Column): Column = size(c)
+  def array_contains_(c: Column, v: Any): Column = array_contains(c, v)
+  def array_slice(c: Column, offset: Int, len: Int): Column =
+    slice(c, offset + 1, len) // reference is 0-based
+  def array_join_(c: Column, sep: String): Column = array_join(c, sep)
+  def array_get_element(c: Column, idx: Int): Column =
+    element_at(c, idx + 1) // reference is 0-based
+
+  // ------------------------------------------------------- conditional funcs
+
+  def ifelse(cond: Column, ifTrue: Column, ifFalse: Column): Column =
+    when(cond, ifTrue).otherwise(ifFalse)
+  def isnone(c: Column): Column = c.isNull
+
+  // ------------------------------------------------------------ random funcs
+
+  /** Non-negative pseudo-random Long, like the reference's `rand()`
+    * (abs(random()) in SQLite). Deterministic variants should prefer
+    * [[graft.core.Sys]]'s persisted `sys.rand`. */
+  def rand_uint63(): Column = (rand() * Long.MaxValue).cast("long")
+
+  // ----------------------------------------------------------- registration
+
+  /** Register the custom expressions for SQL use (`SELECT int_hash_64(x)`). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("int_hash_64", es => IntHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("sip_hash_64", es => SipHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("bit_hamming_distance",
+      es => BitHammingDistance(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("byte_hamming_distance",
+      es => ByteHammingDistance(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("cosine_distance",
+      es => CosineDistance(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("euclidean_distance",
+      es => EuclideanDistance(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("vector_norm",
+      es => VectorNorm(es.head), "built-in")
+    reg.createOrReplaceTempFunction("sim_hash_64",
+      es => SimHash64(es.head), "built-in")
+  }
+}

@@ -1,0 +1,178 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Static evaluation helpers for graft's custom Catalyst expressions.
+ *
+ * Kept as static methods on an object so generated code (whole-stage
+ * codegen) can call them with a single `staticInvoke`-style snippet —
+ * the expression stays inside the codegen'd stage instead of falling
+ * back to interpreted eval.
+ *
+ * Algorithms re-expressed from public sources:
+ *  - intHash64: ClickHouse's IntHash64 finalizer (xor-shift-multiply,
+ *    the same avalanche used by MurmurHash3/SplitMix64 family); the
+ *    reference registers it as a SQLite UDF
+ *    (reference: src/datachain/sql/sqlite/base.py:187-198).
+ *  - sipHash64: SipHash-2-4 with a zero key over UTF-8 bytes, matching
+ *    ClickHouse's `sipHash64` (reference exposes sip_hash_64 in
+ *    src/datachain/func/array.py:382).
+ *  - bit/byteHamming: reference src/datachain/sql/sqlite/base.py:199-215.
+ */
+object Impl {
+
+  /** ClickHouse IntHash64: salt xor + Murmur-style 64-bit finalizer. */
+  def intHash64(x0: Long): Long = {
+    var x = x0 ^ 0x4CF2D2BAAE6DA887L
+    x ^= x >>> 33
+    x *= 0xFF51AFD7ED558CCDL
+    x ^= x >>> 33
+    x *= 0xC4CEB9FE1A85EC53L
+    x ^= x >>> 33
+    x
+  }
+
+  /** Number of differing bits between two 64-bit values. */
+  def bitHammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /**
+   * Character-wise Hamming distance between two strings; a length
+   * difference counts one per missing character.
+   */
+  def byteHammingDistance(au: UTF8String, bu: UTF8String): Int = {
+    val a = au.toString
+    val b = bu.toString
+    val n = math.min(a.length, b.length)
+    var diff = math.abs(a.length - b.length)
+    var i = 0
+    while (i < n) {
+      if (a.charAt(i) != b.charAt(i)) diff += 1
+      i += 1
+    }
+    diff
+  }
+
+  // ---------------------------------------------------------------- SipHash
+
+  @inline private def rotl(x: Long, b: Int): Long = (x << b) | (x >>> (64 - b))
+
+  /** SipHash-2-4, zero key, over the UTF-8 bytes of `s`. */
+  def sipHash64(s: UTF8String): Long = sipHash64Bytes(s.getBytes)
+
+  def sipHash64Bytes(data: Array[Byte]): Long = {
+    // Initial state for key (0, 0): the SipHash constants unmodified.
+    var v0 = 0x736f6d6570736575L
+    var v1 = 0x646f72616e646f6dL
+    var v2 = 0x6c7967656e657261L
+    var v3 = 0x7465646279746573L
+
+    @inline def sipRound(): Unit = {
+      v0 += v1; v1 = rotl(v1, 13); v1 ^= v0; v0 = rotl(v0, 32)
+      v2 += v3; v3 = rotl(v3, 16); v3 ^= v2
+      v0 += v3; v3 = rotl(v3, 21); v3 ^= v0
+      v2 += v1; v1 = rotl(v1, 17); v1 ^= v2; v2 = rotl(v2, 32)
+    }
+
+    val n = data.length
+    val end = n - (n % 8)
+    var i = 0
+    while (i < end) {
+      var m = 0L
+      var j = 7
+      while (j >= 0) { m = (m << 8) | (data(i + j) & 0xffL); j -= 1 }
+      v3 ^= m
+      sipRound(); sipRound()
+      v0 ^= m
+      i += 8
+    }
+    var last = (n.toLong & 0xffL) << 56
+    var j = n - 1
+    while (j >= end) { last |= (data(j) & 0xffL) << (8 * (j - end)); j -= 1 }
+    v3 ^= last
+    sipRound(); sipRound()
+    v0 ^= last
+    v2 ^= 0xff
+    sipRound(); sipRound(); sipRound(); sipRound()
+    v0 ^ v1 ^ v2 ^ v3
+  }
+
+  // ------------------------------------------------------- vector distances
+
+  /** Cosine distance (1 - cosine similarity) between two float vectors. */
+  def cosineDistanceFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"vector length mismatch: $n vs ${b.numElements()}")
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 1.0
+    else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Euclidean (L2) distance between two float vectors. */
+  def euclideanDistanceFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"vector length mismatch: $n vs ${b.numElements()}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  /** Dot product between two float vectors (ANN scoring kernel). */
+  def dotFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  /** L2 norm of a float vector. */
+  def normFloat(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val x = a.getFloat(i).toDouble; acc += x * x; i += 1 }
+    math.sqrt(acc)
+  }
+
+  // ------------------------------------------------------------- text hashes
+
+  /**
+   * SimHash-64 over whitespace tokens: each token is sipHash64'd; bit i of
+   * the result is 1 iff the sum over tokens of (+1 / -1 for bit i set/unset)
+   * is positive. Near-duplicate texts land within a few bits of each other.
+   */
+  def simHash64(text: UTF8String): Long = {
+    val tokens = text.toString.toLowerCase.split("\\s+")
+    val acc = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      if (tokens(t).nonEmpty) {
+        val h = sipHash64Bytes(tokens(t).getBytes("UTF-8"))
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+    out
+  }
+}

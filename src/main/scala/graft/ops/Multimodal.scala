@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal (image/audio/video) column plumbing.
+ *
+ * Design (mirrors the reference's `ImageFile`/`VideoFile`/`AudioFile`
+ * models, reference: src/datachain/lib/file.py:812-1003): media payloads
+ * travel as opaque `binary` columns with a typed metadata struct alongside;
+ * decode/resize/frame-sample run as partition-local batch transforms
+ * (`mapPartitions`), which is Spark's executor-parallel path for per-blob
+ * CPU work — the Scala analogue of `mapInPandas` batches.
+ *
+ * The actual codec calls are STUBBED (this container ships no image/audio
+ * libraries): `decodeImageStub` produces a deterministic fake decode from
+ * the bytes. The Spark-side contract — schema, batch iteration, partition
+ * parallelism, metadata propagation — is real and tested; swap the stub for
+ * a JNI/javax.imageio call in production.
+ */
+object Multimodal {
+
+  /** Typed metadata carried next to every media payload. */
+  val imageMetaSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  case class ImageMeta(format: String, width: Int, height: Int, n_bytes: Long)
+  case class MediaRow(id: Long, payload: Array[Byte], format: String)
+  case class DecodedRow(id: Long, meta: ImageMeta, features: Array[Float])
+
+  /**
+   * Deterministic fake "decode": dimensions and features derived from the
+   * payload bytes. STUB — stands in for an image codec; byte-identical
+   * inputs give byte-identical outputs so tests can assert on it.
+   */
+  def decodeImageStub(payload: Array[Byte], format: String): (ImageMeta, Array[Float]) = {
+    val h = graft.functions.Impl.sipHash64Bytes(payload)
+    val w = (math.abs(h) % 1920 + 1).toInt
+    val ht = (math.abs(h >> 16) % 1080 + 1).toInt
+    val feats = Array.tabulate(8)(i =>
+      ((h >>> (i * 8)) & 0xff).toFloat / 255f)
+    (ImageMeta(format, w, ht, payload.length.toLong), feats)
+  }
+
+  /**
+   * Decode + feature-extract over a media DataFrame
+   * (id: long, payload: binary, format: string). Partition-local, batched;
+   * no shuffle — scales linearly with executors.
+   */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"), col("format"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.map { m =>
+          val (meta, feats) = decodeImageStub(m.payload, m.format)
+          DecodedRow(m.id, meta, feats)
+        }
+      }
+      .toDF
+  }
+
+  /**
+   * Frame-sampling plumbing for video payloads: yields `n` evenly spaced
+   * frame records per video row (1:N generator shape, like the reference's
+   * `VideoFile.get_frames`, file.py:901-1003). Frame bytes are stub-sliced.
+   */
+  case class FrameRow(id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  def sampleFrames(media: DataFrame, n: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"), col("format"))
+      .as[MediaRow]
+      .flatMap { m =>
+        val len = math.max(1, m.payload.length / math.max(1, n))
+        (0 until n).map { i =>
+          val from = math.min(i * len, m.payload.length)
+          val until = math.min(from + len, m.payload.length)
+          FrameRow(m.id, i, m.payload.slice(from, until))
+        }
+      }
+      .toDF
+  }
+
+  /** Build a synthetic media table from any table (payload = utf-8 of a
+    * string col) — test/demo helper so the plumbing runs without real blobs. */
+  def syntheticMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      lit("synthetic").as("format"))
+}

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`Array[Float]`).
+ *
+ * Scale design: the brute-force path broadcasts the (small) query set and
+ * computes cosine via the codegen'd [[graft.functions.CosineDistance]]
+ * kernel — one scan over the corpus, no shuffle until the final per-query
+ * top-k (a windowed rank over queryCount × k rows). The IVF path clusters
+ * the corpus once (k-means on a sample), stores a `centroid_id` per row
+ * (partition/cluster pruning), and probes only `nprobe` nearest centroids
+ * per query — at 100 TB the probe scan touches centroid-pruned parquet
+ * partitions only.
+ */
+object Similarity {
+
+  /** Cosine similarity column (1 - distance). */
+  def cosineSim(a: Column, b: Column): Column = lit(1.0) - cosine_distance(a, b)
+
+  /**
+   * Brute-force top-k: for every query row, the k most-cosine-similar corpus
+   * rows. `queries` must be small (it is broadcast). Deterministic
+   * tie-break on corpus id.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     vecCol: String = "embedding", idCol: String = "vec_id",
+                     queryIdCol: String = "query_id"): DataFrame = {
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__qv"))
+    val scored = corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .join(broadcast(q))
+      .withColumn("__sim", cosineSim(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__sim").desc, col(idCol).asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("__sim"), 6).as("sim"),
+        col("__rank").as("rank"))
+  }
+
+  /**
+   * LSH-bucketed ANN: corpus and queries hashed into random-hyperplane
+   * buckets (deterministic, same planes); each query only scans its bucket.
+   * Recall is traded via `planes` (fewer planes → bigger buckets → higher
+   * recall, more compute). The bucket join shuffles on an 8-byte key.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 8,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              queryIdCol: String = "query_id"): DataFrame = {
+    val cb = corpus.select(col(idCol), col(vecCol).as("__cv"),
+      Dedup.hyperplaneBucket(col(vecCol), planes).as("__bucket"))
+    val qb = queries.select(col(queryIdCol), col(vecCol).as("__qv"),
+      Dedup.hyperplaneBucket(col(vecCol), planes).as("__bucket"))
+    val scored = cb.join(broadcast(qb), "__bucket")
+      .withColumn("__sim", cosineSim(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__sim").desc, col(idCol).asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("__sim"), 6).as("sim"),
+        col("__rank").as("rank"))
+  }
+
+  /**
+   * IVF index build: pick `nlist` centroids from a deterministic sample
+   * (ids hashed, first nlist), then assign every corpus row to its nearest
+   * centroid. Returns (corpusWithCentroid, centroids). One corpus scan per
+   * Lloyd iteration; default 0 extra iterations (sampled centroids) keeps
+   * build cost linear.
+   */
+  def ivfBuild(corpus: DataFrame, nlist: Int, iterations: Int = 2,
+               vecCol: String = "embedding", idCol: String = "vec_id")
+      : (DataFrame, DataFrame) = {
+    var centroids = corpus
+      .orderBy(graft.functions.GraftFunctions.int_hash_64(col(idCol).cast("long")))
+      .limit(nlist)
+      .select(monotonically_increasing_id().as("centroid_id"),
+        col(vecCol).cast("array<double>").as("__centroid"))
+    for (_ <- 0 until iterations) {
+      val assigned = assign(corpus, centroids, vecCol, idCol)
+      centroids = assigned
+        .withColumn("__vd", col(vecCol).cast("array<double>"))
+        .groupBy("centroid_id")
+        .agg(meanVector(col("__vd")).as("__centroid"))
+    }
+    (assign(corpus, centroids, vecCol, idCol), centroids)
+  }
+
+  /** Element-wise mean of equal-length double vectors per group. */
+  private def meanVector(v: Column): Column = {
+    // sum vectors with zip_with inside an aggregate buffer via collect —
+    // expressed as: transpose-free running sum using aggregate over
+    // collect_list (groups are bucket-sized, not corpus-sized).
+    val lists = collect_list(v)
+    val zero = transform(element_at(lists, 1), x => x * lit(0.0))
+    transform(
+      aggregate(lists, zero,
+        (acc, x) => zip_with(acc, x, (a, b) => a + b)),
+      s => s / size(lists))
+  }
+
+  private def assign(corpus: DataFrame, centroids: DataFrame,
+                     vecCol: String, idCol: String): DataFrame = {
+    val scored = corpus.join(broadcast(centroids))
+      .withColumn("__d",
+        euclidean_distance(col(vecCol), col("__centroid").cast("array<float>")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__d").asc,
+      col("centroid_id").asc)
+    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .drop("__d", "__r", "__centroid")
+  }
+
+  /**
+   * IVF probe: per query, find `nprobe` nearest centroids, scan only those
+   * inverted lists, rank top-k. Centroids and queries broadcast; the scan
+   * is a semi-join-pruned pass over the assigned corpus.
+   */
+  def ivfTopK(corpusAssigned: DataFrame, centroids: DataFrame,
+              queries: DataFrame, k: Int, nprobe: Int = 4,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              queryIdCol: String = "query_id"): DataFrame = {
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__qv"))
+    val qc = q.join(broadcast(centroids))
+      .withColumn("__d",
+        euclidean_distance(col("__qv"), col("__centroid").cast("array<float>")))
+    val wq = Window.partitionBy(col(queryIdCol)).orderBy(col("__d").asc,
+      col("centroid_id").asc)
+    val probes = qc.withColumn("__r", row_number().over(wq))
+      .filter(col("__r") <= nprobe)
+      .select(col(queryIdCol), col("__qv"), col("centroid_id"))
+    val scored = corpusAssigned.join(broadcast(probes), "centroid_id")
+      .withColumn("__sim", cosineSim(col("__qv"), col(vecCol)))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__sim").desc, col(idCol).asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("__sim"), 6).as("sim"),
+        col("__rank").as("rank"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: language
+ * ID, quality scoring, token counting, fingerprinting. All are pure column
+ * expressions (codegen'd, no UDFs), so they run inside whole-stage codegen
+ * and scan-prune at 100 TB — a filter on `quality_score` composed of these
+ * still pushes the underlying column reads down to parquet.
+ */
+object TextAnalysis {
+
+  /** Whitespace-token count. */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /**
+   * BPE-ish subword proxy count: words + digits + punctuation runs counted
+   * separately (a cheap, deterministic stand-in for a real tokenizer's token
+   * count, good for length-based quality cuts).
+   */
+  def subwordCount(text: Column): Column =
+    size(split(trim(text), "\\s+")) +
+      length(regexp_replace(text, "[^0-9.,;:!?]", "")).cast("int")
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double") /
+        length(text).cast("double"))
+
+  /** Fraction of characters that are uppercase letters. */
+  def upperRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[^A-Z]", "")).cast("double") /
+        length(text).cast("double"))
+
+  /** Mean word length (characters per whitespace token). */
+  def meanWordLen(text: Column): Column = {
+    val toks = tokenCount(text)
+    when(toks === 0, 0.0).otherwise(
+      length(regexp_replace(text, "\\s+", "")).cast("double") / toks.cast("double"))
+  }
+
+  val enStop = Seq("the", "and", "of", "to", "in", "is", "that", "for")
+  val deStop = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu")
+  val frStop = Seq("le", "la", "les", "et", "est", "une", "que", "pour")
+  val esStop = Seq("el", "los", "las", "es", "una", "que", "por", "para")
+
+  private def markerHits(text: Column, words: Seq[String]): Column =
+    words.map { w =>
+      when(text.rlike("(?i)(^|\\s)" + w + "(\\s|$)"), 1).otherwise(0)
+    }.reduce(_ + _)
+
+  /**
+   * Heuristic language ID over stopword markers (n-gram-style heuristic;
+   * deterministic and SQL-expressible so it can be oracle-checked). Returns
+   * en/de/fr/es or "und" when no marker hits.
+   */
+  def langId(text: Column): Column = {
+    val en = markerHits(text, enStop)
+    val de = markerHits(text, deStop)
+    val fr = markerHits(text, frStop)
+    val es = markerHits(text, esStop)
+    val best = greatest(en, de, fr, es)
+    when(best === 0, "und")
+      .when(en === best, "en")
+      .when(de === best, "de")
+      .when(fr === best, "fr")
+      .otherwise("es")
+  }
+
+  /**
+   * Composite quality score in [0,1]: rewards stopword presence and sane
+   * word lengths, penalizes extreme punctuation/uppercase — the classic
+   * C4/Gopher-style cheap filters, all as one codegen'd expression.
+   */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text).cast("double")
+    val lenOk = when(toks.between(5, 100000), 1.0).otherwise(0.0)
+    val stopHit = when(markerHits(text, enStop ++ deStop ++ frStop ++ esStop) > 0, 1.0)
+      .otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.3, 1.0).otherwise(0.0)
+    val upperOk = when(upperRatio(text) < 0.3, 1.0).otherwise(0.0)
+    val wordOk = when(meanWordLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
+    round((lenOk + stopHit + punctOk + upperOk + wordOk) / 5.0, 2)
+  }
+
+  /** Normalized-text md5 fingerprint: lowercase, collapse whitespace. */
+  def fingerprintMd5(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** 64-bit content fingerprint via SipHash of the normalized text. */
+  def fingerprint64(text: Column): Column =
+    graft.functions.GraftFunctions.sip_hash_64(
+      lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** Character n-gram set (overlapping shingles) as an array column. */
+  def charNgrams(text: Column, n: Int): Column = {
+    // sequence(1, len-n+1) → substr at each offset; distinct for set
+    // semantics. Stays in Catalyst (no UDF): transform over a sequence.
+    val cleaned = lower(regexp_replace(trim(text), "\\s+", " "))
+    val cnt = length(cleaned) - (n - 1)
+    // sequence(a,b) is descending when b<a — guard short strings explicitly.
+    when(cnt < 1, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(1), cnt), i => cleaned.substr(i, lit(n)))))
+  }
+}

@@ -1,0 +1,155 @@
+package org.apache.spark.sql.graft
+
+import graft.functions.Impl
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Custom Catalyst expressions for the functions the reference has that
+ * Spark lacks as built-ins (reference: src/datachain/func/numeric.py,
+ * src/datachain/func/array.py, src/datachain/func/string.py).
+ *
+ * All of them generate code as a single static call into [[Impl]], so they
+ * stay inside whole-stage codegen (no interpreted-eval fallback, no UDF
+ * serialization cost) — this is the "native Expression beats UDF" path.
+ */
+
+/** 64-bit integer hash (ClickHouse IntHash64 semantics). */
+case class IntHash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "int_hash_64"
+  override protected def nullSafeEval(v: Any): Any =
+    Impl.intHash64(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.intHash64($c)")
+  override protected def withNewChildInternal(c: Expression): IntHash64 = copy(c)
+}
+
+/** SipHash-2-4 (zero key) of a string's UTF-8 bytes. */
+case class SipHash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sip_hash_64"
+  override protected def nullSafeEval(v: Any): Any =
+    Impl.sipHash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.sipHash64($c)")
+  override protected def withNewChildInternal(c: Expression): SipHash64 = copy(c)
+}
+
+/** popcount(a ^ b) — hamming distance between two 64-bit values. */
+case class BitHammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bit_hamming_distance"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Impl.bitHammingDistance(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}
+
+/** Character-wise hamming distance between two strings (length diff counts). */
+case class ByteHammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "byte_hamming_distance"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Impl.byteHammingDistance(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Impl.byteHammingDistance($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}
+
+/** 1 - cosine similarity between two float vectors. */
+case class CosineDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_distance"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Impl.cosineDistanceFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Impl.cosineDistanceFloat($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}
+
+/** Euclidean (L2) distance between two float vectors. */
+case class EuclideanDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "euclidean_distance"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Impl.euclideanDistanceFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Impl.euclideanDistanceFloat($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}
+
+/** Dot product between two float vectors (ANN scoring kernel). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Impl.dotFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Impl.dotFloat($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}
+
+/** L2 norm of a float vector. */
+case class VectorNorm(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vector_norm"
+  override protected def nullSafeEval(v: Any): Any =
+    Impl.normFloat(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.normFloat($c)")
+  override protected def withNewChildInternal(c: Expression): VectorNorm = copy(c)
+}
+
+/** SimHash-64 fingerprint of a text (whitespace tokens, SipHash bit votes). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sim_hash_64"
+  override protected def nullSafeEval(v: Any): Any =
+    Impl.simHash64(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.simHash64($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.catalog.{Catalog, SemVer}
+import graft.core.Chain
+import graft.delta.Delta
+import graft.files.FileOps
+
+/** Catalog versioning, checkpoint lookup, delta incremental save, file ops. */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("save / read / versions / latest") {
+    val root = Files.createTempDirectory("cat").toString
+    val cat = new Catalog(root, spark)
+    val c = Chain(spark.read.parquet(s"$sf/nation.parquet"))
+    val v1 = cat.save(c, "nations")
+    assert(v1 === SemVer(1, 0, 0))
+    val v2 = cat.save(c.filter(col("n_regionkey") === 0), "nations")
+    assert(v2 === SemVer(1, 1, 0))
+    assert(cat.versions("nations") === Seq(v1, v2))
+    assert(cat.readDataset("nations").count() <
+      cat.readDataset("nations", Some(v1)).count())
+    // saved data carries sys columns for chunk/shuffle reproducibility
+    assert(cat.readDataset("nations").toDF.columns.contains("sys"))
+    // versions are immutable
+    intercept[IllegalArgumentException](cat.save(c, "nations", Some(v1)))
+  }
+
+  test("checkpoint lookup by chain hash") {
+    val root = Files.createTempDirectory("cat").toString
+    val cat = new Catalog(root, spark)
+    val c = Chain(spark.read.parquet(s"$sf/region.parquet"))
+      .filter(col("r_regionkey") > 0)
+    cat.save(c, "regions")
+    assert(cat.findCheckpoint(c.hash).map(_._1) === Some("regions"))
+    assert(cat.findCheckpoint("nope").isEmpty)
+  }
+
+  test("delta save: full on first run, incremental on change, no-op when same") {
+    val root = Files.createTempDirectory("cat").toString
+    val cat = new Catalog(root, spark)
+    val v1data = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "value")
+    def transform(c: Chain): Chain =
+      c.mutate("value2" -> (col("value") * 2))
+
+    val r1 = Delta.deltaSave(cat, Chain(v1data), "out",
+      deltaOn = Seq("id"), compare = Seq("value"), transform)
+    assert(r1.fullRecompute)
+    assert(cat.readDataset("out").count() === 3)
+
+    // second run, one modified + one added row
+    val v2data = Seq((1L, "a", 10.0), (2L, "b", 25.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("id", "name", "value")
+    val r2 = Delta.deltaSave(cat, Chain(v2data), "out",
+      deltaOn = Seq("id"), compare = Seq("value"), transform)
+    assert(!r2.fullRecompute)
+    assert(r2.changedRows === 2)
+    val out = cat.readDataset("out").toDF
+    assert(out.count() === 4)
+    assert(out.filter(col("id") === 2).select("value2").as[Double].head() === 50.0)
+
+    // third run with identical source → previous version stands
+    val r3 = Delta.deltaSave(cat, Chain(v2data), "out",
+      deltaOn = Seq("id"), compare = Seq("value"), transform)
+    assert(r3.changedRows === 0)
+    assert(r3.version === r2.version)
+  }
+
+  test("delta guards against delta-disabled ops") {
+    val root = Files.createTempDirectory("cat").toString
+    val cat = new Catalog(root, spark)
+    val data = Seq((1L, 1.0)).toDF("id", "value")
+    intercept[IllegalArgumentException] {
+      Delta.deltaSave(cat, Chain(data), "bad", Seq("id"), Seq("value"),
+        c => c.groupByAgg(Seq("id"), "n" -> count(lit(1))))
+    }
+  }
+
+  test("read_storage lists files with glob; to_storage exports them") {
+    val tmp = Files.createTempDirectory("tree")
+    Files.createDirectories(tmp.resolve("cats"))
+    Files.createDirectories(tmp.resolve("dogs/others"))
+    Files.writeString(tmp.resolve("cats/cat1.txt"), "meow")
+    Files.writeString(tmp.resolve("cats/cat2.txt"), "mrow")
+    Files.writeString(tmp.resolve("dogs/dog1.txt"), "woof")
+    Files.writeString(tmp.resolve("dogs/others/dog4.md"), "ruff")
+    Files.writeString(tmp.resolve("description"), "Cats and Dogs")
+
+    val all = FileOps.readStorage(spark, tmp.toString)
+    assert(all.count() === 5)
+    val txt = FileOps.readStorage(spark, tmp.toString, Some("**/*.txt"))
+    assert(txt.count() === 3)
+    val glob = FileOps.readStorage(spark, tmp.toString, Some("cats/*"))
+    assert(glob.count() === 2)
+    val sizes = all.toDF.select(col("file.path"), col("file.size"))
+      .as[(String, Long)].collect().toMap
+    assert(sizes("cats/cat1.txt") === 4)
+
+    // export with fullpath placement
+    val dest = Files.createTempDirectory("dest").toString
+    FileOps.toStorage(txt.toDF, dest)
+    assert(Files.exists(java.nio.file.Paths.get(dest, "cats/cat1.txt")))
+    assert(new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dest, "dogs/dog1.txt"))) === "woof")
+  }
+
+  test("glob translation corner cases") {
+    assert(FileOps.globMatch("*.txt", "a.txt"))
+    assert(!FileOps.globMatch("*.txt", "d/a.txt")) // * does not cross /
+    assert(FileOps.globMatch("**/*.txt", "d/e/a.txt"))
+    assert(FileOps.globMatch("{cats,dogs}/*", "cats/x"))
+    assert(!FileOps.globMatch("{cats,dogs}/*", "birds/x"))
+    assert(FileOps.globMatch("a?c/*", "abc/z"))
+  }
+}

@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Chain, Sys}
+import graft.schema.SignalSchema
+
+case class Person(first_name: String, age: Long, city: String)
+
+/** Per-operator tests mirroring the reference's unit expectations
+  * (reference: tests/unit/lib/test_datachain.py DF_DATA fixtures). */
+class ChainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def people = Chain.readValues(spark, Seq(
+    Person("Alice", 25, "NYC"), Person("Bob", 30, "LA"),
+    Person("Charlie", 35, "NYC"), Person("David", 40, "SF"),
+    Person("Eva", 28, "LA")))
+
+  test("select / select_except / mutate / rename") {
+    assert(people.select("first_name", "age").toDF.columns.toSeq ===
+      Seq("first_name", "age"))
+    assert(people.selectExcept("city").toDF.columns.toSeq ===
+      Seq("first_name", "age"))
+    val m = people.mutate("age2" -> (col("age") * 2)).toDF
+    assert(m.filter(col("first_name") === "Alice").select("age2")
+      .as[Long].head() === 50)
+    assert(people.rename("city", "town").toDF.columns.contains("town"))
+  }
+
+  test("filter merges predicates (AND)") {
+    val f = people.filter(col("age") > 26, col("city") === "LA").toDF
+    assert(f.select("first_name").as[String].collect().toSet === Set("Bob", "Eva"))
+  }
+
+  test("order_by / limit / offset") {
+    val names = people.orderBy(col("age").desc).limit(2).toDF
+      .select("first_name").as[String].collect().toSeq
+    assert(names === Seq("David", "Charlie"))
+    val off = people.orderBy(col("age").asc).offset(3).limit(2).toDF
+      .select("first_name").as[String].collect().toSeq
+    assert(off === Seq("Charlie", "David"))
+  }
+
+  test("distinct_on keeps one row per key") {
+    val d = people.distinctOn("city").toDF
+    assert(d.count() === 3)
+  }
+
+  test("union validates schemas and lists missing columns") {
+    val u = people.union(people)
+    assert(u.count() === 10)
+    val bad = people.select("first_name", "age")
+    val err = intercept[IllegalArgumentException](people.union(bad))
+    assert(err.getMessage.contains("city"))
+  }
+
+  test("subtract is a null-safe anti-join") {
+    val other = Chain.readValues(spark, Seq(
+      Person("Alice", 0, ""), Person("Eva", 0, "")))
+    val left = people.subtract(other, on = Seq("first_name"))
+    assert(left.toDF.select("first_name").as[String].collect().toSet ===
+      Set("Bob", "Charlie", "David"))
+  }
+
+  test("merge: left default, collision rname, full outer") {
+    val teams = Chain.readValues(spark, Seq(
+      Person("Alice", 99, "team-x"), Person("Zed", 1, "team-y")))
+    // collision on age & city → right side renamed with prefix
+    val j = people.merge(teams, on = Seq("first_name"))
+    val cols = j.toDF.columns.toSeq
+    assert(cols.contains("right_age") && cols.contains("right_city"))
+    assert(j.count() === 5) // left outer keeps all left rows
+    val full = people.merge(teams, on = Seq("first_name"), how = "full_outer")
+    assert(full.count() === 6)
+    val inner = people.merge(teams, on = Seq("first_name"), how = "inner")
+    assert(inner.count() === 1)
+  }
+
+  test("merge root mapping avoids cascading collisions") {
+    val m = SignalSchema.mergeRootMapping(
+      Seq("a", "right_a"), Seq("a", "b"), "right_")
+    assert(m("a") === "right_right_a")
+    assert(m("b") === "b")
+  }
+
+  test("group_by with nested-free keys and aggregates") {
+    val g = people.groupByAgg(Seq("city"),
+      "n" -> count(lit(1)), "avg_age" -> avg(col("age")))
+    val nyc = g.toDF.filter(col("city") === "NYC").head()
+    assert(nyc.getAs[Long]("n") === 2)
+    assert(nyc.getAs[Double]("avg_age") === 30.0)
+  }
+
+  test("diff statuses A/D/M/S") {
+    val oldV = Chain.readValues(spark, Seq(
+      Person("Alice", 25, "NYC"), Person("Bob", 30, "LA"),
+      Person("Gone", 1, "X")))
+    val newV = Chain.readValues(spark, Seq(
+      Person("Alice", 26, "NYC"),   // modified
+      Person("Bob", 30, "LA"),      // same
+      Person("New", 5, "Y")))       // added
+    val d = newV.diff(oldV, on = Seq("first_name"), compare = Seq("age"),
+      statusCol = Some("status"))
+    val statuses = d.toDF.select("first_name", "status").as[(String, String)]
+      .collect().toMap
+    assert(statuses === Map("Alice" -> "M", "Bob" -> "S", "New" -> "A",
+      "Gone" -> "D"))
+    // deleted row carries the right side's values
+    val gone = d.toDF.filter(col("first_name") === "Gone").head()
+    assert(gone.getAs[Long]("age") === 1)
+  }
+
+  test("chunk partitions the row set deterministically and completely") {
+    val c = Chain(spark.read.parquet(s"$sf/orders.parquet"))
+    val total = c.count()
+    val chunks = (0 until 4).map(i => c.chunk(i, 4).count())
+    assert(chunks.sum === total)
+    // deterministic: same chunk twice → same rows
+    val a = c.chunk(0, 4).toDF.select("o_orderkey").as[Long].collect().toSet
+    val b = c.chunk(0, 4).toDF.select("o_orderkey").as[Long].collect().toSet
+    assert(a === b)
+  }
+
+  test("shuffle preserves the row multiset") {
+    val c = Chain(spark.read.parquet(s"$sf/nation.parquet"))
+    val shuffled = c.shuffle(seed = 3)
+    assert(shuffled.toDF.drop("sys").collect().toSet ===
+      c.toDF.collect().toSet)
+  }
+
+  test("typed map / gen / agg UDFs") {
+    val mapped = people.mapTyped[Person, Person](p =>
+      p.copy(first_name = p.first_name.toUpperCase))
+    assert(mapped.toDF.select("first_name").as[String].collect().toSet
+      .contains("ALICE"))
+    val gen = people.genTyped[Person, (String, Long)](p =>
+      Seq((p.first_name, p.age), (p.first_name + "!", p.age + 1)))
+    assert(gen.count() === 10)
+    val agged = people.aggTyped[Person, String, (String, Long)](_.city) {
+      (city, it) => Seq((city, it.map(_.age).max))
+    }
+    val m = agged.toDF.as[(String, Long)].collect().toMap
+    assert(m === Map("NYC" -> 35L, "LA" -> 30L, "SF" -> 40L))
+  }
+
+  test("op-tree hash is stable and order-sensitive") {
+    val a = people.filter(col("age") > 26).select("first_name")
+    val b = people.filter(col("age") > 26).select("first_name")
+    val c = people.select("first_name")
+    assert(a.hash === b.hash)
+    assert(a.hash !== c.hash)
+  }
+
+  test("sys stamping is deterministic per materialized data") {
+    val df = Sys.stamp(spark.read.parquet(s"$sf/nation.parquet"))
+    assert(df.columns.contains("sys"))
+    val rands = df.select("sys.rand").as[Long].collect()
+    assert(rands.forall(_ >= 0))
+  }
+
+  test("flatten / unflatten round-trips nested structs") {
+    val nested = people.toDF.select(struct(col("first_name"), col("age")).as("who"),
+      col("city"))
+    val flat = SignalSchema.flatten(nested)
+    assert(flat.columns.toSeq === Seq("who__first_name", "who__age", "city"))
+    val back = SignalSchema.unflatten(flat)
+    assert(back.schema === nested.schema)
+    assert(back.collect().toSet === nested.collect().toSet)
+  }
+}

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, Split, TextAnalysis}
+import graft.core.Chain
+
+/** Dedup / similarity / text-analysis / multimodal operator tests. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river shore"), // near dup of 1
+    (4L, "completely different text about spark catalyst and tungsten codegen"),
+    (5L, "der hund und die katze sind nicht zu hause heute")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized texts") {
+    val groups = Dedup.exactDupGroups(docs, "text", "doc_id")
+    val g = groups.collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("keep_id") === 1L)
+    assert(g.head.getAs[Long]("dup_count") === 2L)
+  }
+
+  test("minhash signatures: identical for dups, k values, deterministic") {
+    val sig = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), k = 16).as("sig"))
+    val m = sig.as[(Long, Seq[Long])].collect().toMap
+    assert(m(1L) === m(2L))             // exact dup → identical signature
+    assert(m.values.forall(_.size === 16))
+    val overlap13 = m(1L).zip(m(3L)).count { case (a, b) => a == b }
+    val overlap14 = m(1L).zip(m(4L)).count { case (a, b) => a == b }
+    assert(overlap13 > overlap14)       // near dup shares more minhashes
+  }
+
+  test("minhash LSH finds near-dup candidate pairs, not unrelated ones") {
+    val edges = Dedup.minhashDedupEdges(docs, "text", "doc_id",
+      threshold = 0.5, k = 16, bands = 8, ngram = 4)
+    val pairs = edges.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash near-dups") {
+    val nd = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 10)
+    val pairs = nd.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard: 1.0 for identical, low for unrelated") {
+    val j = docs.alias("a").join(docs.alias("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        Dedup.ngramJaccard(col("a.text"), col("b.text"), 3).as("j"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(j((1L, 2L)) === 1.0)
+    assert(j((1L, 3L)) > 0.7)
+    assert(j((1L, 5L)) < 0.4)
+  }
+
+  test("embedding near-dups via hyperplane LSH find planted copies") {
+    val vecs = (0 until 50).map { i =>
+      val v = Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat)
+      (i.toLong, v)
+    }
+    val planted = vecs.take(5).map { case (id, v) => (id + 1000L, v) }
+    val df = (vecs ++ planted).toDF("vec_id", "embedding")
+    val nd = Dedup.embeddingNearDups(df, "embedding", "vec_id",
+      threshold = 0.999, planes = 8)
+    val pairs = nd.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0 until 5).foreach(i => assert(pairs.contains((i.toLong, i + 1000L))))
+  }
+
+  test("brute-force ANN returns self as top-1 with sim 1.0") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val topk = Similarity.bruteForceTopK(emb, queries, k = 3)
+    val top1 = topk.filter(col("rank") === 1)
+      .select("query_id", "vec_id", "sim")
+      .as[(Long, Long, Double)].collect()
+    top1.foreach { case (q, v, s) => assert(q === v); assert(s === 1.0) }
+  }
+
+  test("IVF ANN: self in top-k with high probe coverage") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val (assigned, centroids) = Similarity.ivfBuild(emb, nlist = 4, iterations = 1)
+    assert(assigned.count() === emb.count())
+    val topk = Similarity.ivfTopK(assigned, centroids, queries, k = 3, nprobe = 4)
+    // nprobe == nlist → exhaustive → self must be rank 1
+    val top1 = topk.filter(col("rank") === 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    top1.foreach { case (q, v) => assert(q === v) }
+  }
+
+  test("language id picks marker-heavy language") {
+    val r = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) === "en")
+    assert(r(5L) === "de")
+  }
+
+  test("text quality / token count / fingerprint") {
+    val r = docs.filter(col("doc_id") === 1)
+      .select(TextAnalysis.tokenCount(col("text")),
+        TextAnalysis.qualityScore(col("text")),
+        TextAnalysis.fingerprintMd5(col("text")))
+      .head()
+    assert(r.getInt(0) === 13)
+    assert(r.getDouble(1) >= 0.8)
+    assert(r.getString(2).length === 32)
+    // fingerprint normalization: whitespace/case-insensitive
+    val fps = Seq("A  b", "a b").toDF("text")
+      .select(TextAnalysis.fingerprintMd5(col("text"))).as[String].collect()
+    assert(fps(0) === fps(1))
+  }
+
+  test("train/test split is deterministic, complete, and disjoint") {
+    val c = Chain(spark.read.parquet(s"$sf/orders.parquet"))
+    val Seq(train, test) = Split.trainTestSplit(c, Seq(0.8, 0.2))
+    val n = c.count()
+    assert(train.count() + test.count() === n)
+    val t1 = train.toDF.select("o_orderkey").as[Long].collect().toSet
+    val t2 = test.toDF.select("o_orderkey").as[Long].collect().toSet
+    assert(t1.intersect(t2).isEmpty)
+    val again = Split.trainTestSplit(c, Seq(0.8, 0.2)).head
+      .toDF.select("o_orderkey").as[Long].collect().toSet
+    assert(again === t1)
+  }
+
+  test("multimodal decode stub: deterministic schema-stable plumbing") {
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet")
+    val media = Multimodal.syntheticMedia(docsDf, "doc_id", "text")
+    val decoded = Multimodal.decodeImages(media)
+    assert(decoded.columns.toSeq === Seq("id", "meta", "features"))
+    assert(decoded.count() === docsDf.count())
+    val twice = Multimodal.decodeImages(media)
+    assert(decoded.select("id", "meta.width").collect().toSet ===
+      twice.select("id", "meta.width").collect().toSet)
+    val frames = Multimodal.sampleFrames(media.limit(3), n = 4)
+    assert(frames.count() === 12)
+  }
+}
