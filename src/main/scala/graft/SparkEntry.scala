@@ -497,7 +497,7 @@ object SparkEntry {
         .withColumn("text", concat(col("text"), lit(" tail marker token")))
       val corpus = docs.unionByName(nearDups).select("doc_id", "text")
       Dedup.minhashDedupEdges(corpus, "text", "doc_id",
-        threshold = 0.5, k = 64, bands = 16, ngram = 5)
+        threshold = 0.5, k = 32, bands = 8, ngram = 5)
     }),
 
     "q_simhash_dedup" -> ((s, dir) => {

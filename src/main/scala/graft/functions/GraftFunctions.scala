@@ -47,6 +47,13 @@ object GraftFunctions {
   /** SimHash-64 text fingerprint (near-dup detection). */
   def sim_hash_64(c: Column): Column = toCol(SimHash64(toExpr(c)))
 
+  /** Distinct char n-gram set of normalized text (codegen'd kernel). */
+  def char_ngrams(c: Column, n: Int): Column = toCol(CharNgrams(toExpr(c), n))
+
+  /** k-wide MinHash signature over w-token shingles (codegen'd kernel). */
+  def minhash_signature(c: Column, k: Int, w: Int): Column =
+    toCol(MinHashSignature(toExpr(c), k, w))
+
   // -------------------------------------------------------------- path funcs
   // Mirror the reference's SQL semantics (src/datachain/sql/sqlite/base.py:326-391),
   // including its multi-slash and trailing-dot edge cases, composed purely from

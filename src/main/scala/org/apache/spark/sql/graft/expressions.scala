@@ -140,6 +140,38 @@ case class VectorNorm(child: Expression)
   override protected def withNewChildInternal(c: Expression): VectorNorm = copy(c)
 }
 
+/** Distinct overlapping character n-grams of normalized text (shingle set). */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n > 0, "ngram size must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_ngrams"
+  override protected def nullSafeEval(v: Any): Any =
+    Impl.charNgrams(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.charNgrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): CharNgrams =
+    copy(child = c)
+}
+
+/** k-wide MinHash signature over w-token word shingles. */
+case class MinHashSignature(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(k > 0 && w > 0, "k and shingle width must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+  override protected def nullSafeEval(v: Any): Any =
+    Impl.minhashSignature(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.minhashSignature($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+}
+
 /** SimHash-64 fingerprint of a text (whitespace tokens, SipHash bit votes). */
 case class SimHash64(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
