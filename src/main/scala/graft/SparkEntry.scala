@@ -84,8 +84,8 @@ object SparkEntry {
 
     "q_read_csv" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft_csv").toString
-      T(s, dir, "nation").coalesce(1).write.mode("overwrite")
-        .option("header", "true").csv(tmp)
+      graft.io.Writers.toCsv(T(s, dir, "nation").coalesce(1), tmp,
+        mode = org.apache.spark.sql.SaveMode.Overwrite)
       val schema = StructType(Seq(
         StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
         StructField("n_regionkey", IntegerType)))
@@ -94,7 +94,8 @@ object SparkEntry {
 
     "q_read_json" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft_json").toString
-      T(s, dir, "region").coalesce(1).write.mode("overwrite").json(tmp)
+      graft.io.Writers.toJsonl(T(s, dir, "region").coalesce(1), tmp,
+        mode = org.apache.spark.sql.SaveMode.Overwrite)
       val schema = StructType(Seq(
         StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
       Chain.readJson(s, tmp, Some(schema)).toDF
@@ -441,9 +442,10 @@ object SparkEntry {
         .toDF),
 
     "q_explode_json" -> ((s, dir) =>
-      E(s, dir).filter(col("event_id") < 2000)
-        .select(col("event_id"), col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))),
+      Chain(E(s, dir).filter(col("event_id") < 2000))
+        .explodeJson("props", StructType(Seq(StructField("k", LongType))))
+        .select("event_id", "event_type", "k")
+        .toDF),
 
     // -------------------------------------------------------- streaming
     "q_streaming" -> ((s, dir) => {

@@ -112,6 +112,14 @@ final class Catalog(val root: String, spark: SparkSession) {
     }
   }
 
+  /** Meta-chain over the catalog itself: one row per dataset version
+    * (reference `datasets()`, src/datachain/lib/dc/datasets.py:523). */
+  def datasetsDF(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    datasets().flatMap(n => versions(n).map(v => (n, v.toString)))
+      .toDF("name", "version")
+  }
+
   /** Find a dataset version whose chain hash matches (checkpoint reuse). */
   def findCheckpoint(chainHash: String): Option[(String, SemVer)] =
     datasets().iterator.flatMap { n =>

@@ -80,6 +80,9 @@ final class Chain private (
   def distinctOn(cols: String*): Chain =
     next(df.dropDuplicates(cols), "distinct", cols: _*)
 
+  /** Whole-row distinct. */
+  def distinct(): Chain = next(df.distinct(), "distinct")
+
   /** Random sample of ~n rows. At scale this is a sample-fraction pushdown,
     * not the reference's `ORDER BY random() LIMIT n` full sort. */
   def sample(n: Int): Chain = {
@@ -283,6 +286,28 @@ final class Chain private (
     next(df.as[T].mapPartitions(it => it.grouped(batch).flatMap(f)).toDF,
       "batch_map", batch.toString)
 
+  // ----------------------------------------------------------------- json
+
+  /** Parse a JSON-string column into a struct and explode it to columns
+    * (reference `explode`/`from_json`, datachain.py:451-466). */
+  def explodeJson(jsonCol: String, schema: org.apache.spark.sql.types.StructType,
+                  keep: Boolean = false): Chain = {
+    val parsed = df.withColumn("__obj", from_json(col(jsonCol), schema))
+    val base = if (keep) parsed else parsed.drop(jsonCol)
+    next(base.select(col("*"), col("__obj.*")).drop("__obj"),
+      "explode_json", jsonCol)
+  }
+
+  // -------------------------------------------------------------- consume
+
+  /** Streamed row iterator (reference `to_iter`/`collect`) — paginates
+    * partitions through the driver without materializing the result. */
+  def toLocalIterator(): java.util.Iterator[Row] = df.toLocalIterator()
+
+  def toList(): Seq[Row] = df.collect().toSeq
+
+  def show(n: Int = 20): Unit = df.show(n, truncate = false)
+
   // ------------------------------------------------------------ persistence
 
   /** Stamp sys columns (id, rand) — applied automatically at save. */
@@ -328,4 +353,23 @@ object Chain {
   /** read_values (reference: src/datachain/lib/dc/values.py:18). */
   def readValues[T <: Product : Encoder](spark: SparkSession, rows: Seq[T]): Chain =
     new Chain(spark.createDataset(rows).toDF, OpTree.empty.append("read_values"))
+
+  /** read_records: rows as maps + explicit schema
+    * (reference: src/datachain/lib/dc/records.py:21). */
+  def readRecords(spark: SparkSession, rows: Seq[Row],
+                  schema: org.apache.spark.sql.types.StructType): Chain =
+    new Chain(
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), schema),
+      OpTree.empty.append("read_records"))
+
+  /** read_database via JDBC (reference: src/datachain/lib/dc/database.py:298).
+    * Partitioned reads (`partitionColumn`/bounds) are the scale path; no
+    * JDBC driver ships in this container, so this is exercised on clusters. */
+  def readDatabase(spark: SparkSession, url: String, query: String,
+                   props: java.util.Properties = new java.util.Properties())
+      : Chain =
+    new Chain(spark.read.jdbc(url, s"($query) AS q", props),
+      OpTree.empty.append("read_database", url, query))
 }

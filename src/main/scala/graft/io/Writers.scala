@@ -1,0 +1,96 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import graft.schema.SignalSchema
+
+/**
+ * Export sinks — graft's counterpart of the reference's `to_parquet/to_csv/
+ * to_json/to_jsonl/to_database` (reference: src/datachain/lib/dc/
+ * datachain.py:2217-2460). All distributed writers; none collect.
+ */
+object Writers {
+
+  /** Key under which the signal schema JSON is embedded in parquet footers,
+    * mirroring DATACHAIN_SIGNAL_SCHEMA_PARQUET_KEY (reference:
+    * src/datachain/lib/dc/datachain.py:2305-2310). */
+  val SchemaMetaKey = "graft.signal_schema"
+
+  /** Parquet export; optional hive partitioning; schema JSON is persisted
+    * as a sidecar (parquet footer KV metadata isn't writable through the
+    * public DataFrame API — the sidecar round-trips through readParquet). */
+  def toParquet(df: DataFrame, path: String,
+                partitionBy: Seq[String] = Seq.empty,
+                mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
+    val w = df.write.mode(mode)
+    val pw = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+    pw.parquet(path)
+    val meta = s"""{"$SchemaMetaKey": ${escape(SignalSchema.toJson(df.schema))}}"""
+    writeSidecar(df, path, meta)
+  }
+
+  /** Restore the signal schema recorded by [[toParquet]] (if present). */
+  def readSchemaSidecar(df: DataFrame, path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_schema.json")
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+  }
+
+  def toCsv(df: DataFrame, path: String, header: Boolean = true,
+            delimiter: String = ",",
+            mode: SaveMode = SaveMode.ErrorIfExists): Unit =
+    // nested signals flattened to `__` columns at the flat-format boundary
+    SignalSchema.flatten(df).write.mode(mode)
+      .option("header", header.toString).option("sep", delimiter).csv(path)
+
+  /** JSONL (the line-delimited layout Spark writes natively). */
+  def toJsonl(df: DataFrame, path: String,
+              mode: SaveMode = SaveMode.ErrorIfExists): Unit =
+    df.write.mode(mode).json(path)
+
+  /** Single JSON array document (driver-streamed; for small exports only —
+    * the reference's to_json writes one array file too). */
+  def toJsonArray(df: DataFrame, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try {
+      out.write('[')
+      var first = true
+      df.toJSON.toLocalIterator().forEachRemaining { line =>
+        if (!first) out.write(',')
+        out.write('\n')
+        out.write(line.getBytes("UTF-8"))
+        first = false
+      }
+      out.write("\n]".getBytes("UTF-8"))
+    } finally out.close()
+  }
+
+  /** JDBC sink (reference `to_database`). No JDBC driver ships in this
+    * container — exercised only by its plan shape; on a cluster pass the
+    * driver class via spark.jars. */
+  def toDatabase(df: DataFrame, url: String, table: String,
+                 props: java.util.Properties = new java.util.Properties(),
+                 mode: SaveMode = SaveMode.Append): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
+
+  private def writeSidecar(df: DataFrame, dir: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_schema.json")
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def escape(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

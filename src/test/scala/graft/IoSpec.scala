@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SaveMode
+import graft.core.Chain
+import graft.io.Writers
+import graft.udf.{Prefetcher, SetupRegistry}
+import graft.schema.SignalSchema
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parquet export embeds and restores the signal schema sidecar") {
+    val tmp = Files.createTempDirectory("wp").toString + "/out"
+    val df = spark.read.parquet(s"$sf/region.parquet")
+    Writers.toParquet(df, tmp)
+    val sidecar = Writers.readSchemaSidecar(df, tmp)
+    assert(sidecar.exists(_.contains("r_regionkey")))
+    assert(spark.read.parquet(tmp).collect().toSet === df.collect().toSet)
+  }
+
+  test("csv export flattens nested signals at the boundary") {
+    val tmp = Files.createTempDirectory("wc").toString + "/out"
+    val nested = Seq(("a", 1L)).toDF("x", "y")
+      .select(struct(col("x"), col("y")).as("s"), col("x").as("top"))
+    Writers.toCsv(nested, tmp)
+    val back = spark.read.option("header", "true").csv(tmp)
+    assert(back.columns.toSeq === Seq("s__x", "s__y", "top"))
+    assert(SignalSchema.unflatten(back).columns.toSeq === Seq("s", "top"))
+  }
+
+  test("json array export produces one valid document") {
+    val tmp = Files.createTempDirectory("wj").toString + "/out.json"
+    Writers.toJsonArray(spark.read.parquet(s"$sf/region.parquet"), tmp)
+    val content = new String(Files.readAllBytes(java.nio.file.Paths.get(tmp)))
+    assert(content.trim.startsWith("[") && content.trim.endsWith("]"))
+    assert(content.contains("r_regionkey"))
+  }
+
+  test("explodeJson surfaces JSON fields as columns") {
+    val df = Seq((1L, """{"k": 7, "v": "x"}""")).toDF("id", "props")
+    val out = Chain(df).explodeJson("props",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+    val r = out.toDF.head()
+    assert(out.toDF.columns.toSeq === Seq("id", "k", "v"))
+    assert(r.getAs[Long]("k") === 7L)
+  }
+
+  test("prefetcher preserves order and propagates errors") {
+    val xs = (1 to 100).iterator
+    assert(Prefetcher.ahead(xs, 4).toSeq === (1 to 100))
+    val failing = Iterator(1, 2) ++ Iterator.continually[Int](
+      throw new RuntimeException("boom")).take(1)
+    val wrapped = Prefetcher.ahead(failing, 2)
+    intercept[RuntimeException] { wrapped.toList }
+  }
+
+  test("setup registry initializes once per JVM") {
+    SetupRegistry.clear()
+    var inits = 0
+    (1 to 10).foreach { _ =>
+      SetupRegistry.get("client") { inits += 1; new Object }
+    }
+    assert(inits === 1)
+  }
+
+  test("catalog meta-chain lists dataset versions") {
+    val root = Files.createTempDirectory("cat").toString
+    val cat = new graft.catalog.Catalog(root, spark)
+    cat.save(Chain(spark.read.parquet(s"$sf/region.parquet")), "r")
+    cat.save(Chain(spark.read.parquet(s"$sf/region.parquet")), "r")
+    val meta = cat.datasetsDF().as[(String, String)].collect().toSet
+    assert(meta === Set(("r", "1.0.0"), ("r", "1.1.0")))
+  }
+}
