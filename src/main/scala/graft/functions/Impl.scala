@@ -61,12 +61,15 @@ object Impl {
   /** SipHash-2-4, zero key, over the UTF-8 bytes of `s`. */
   def sipHash64(s: UTF8String): Long = sipHash64Bytes(s.getBytes)
 
-  def sipHash64Bytes(data: Array[Byte]): Long = {
-    // Initial state for key (0, 0): the SipHash constants unmodified.
-    var v0 = 0x736f6d6570736575L
-    var v1 = 0x646f72616e646f6dL
-    var v2 = 0x6c7967656e657261L
-    var v3 = 0x7465646279746573L
+  def sipHash64Bytes(data: Array[Byte]): Long = sipHash64Keyed(0L, 0L, data)
+
+  /** SipHash-2-4 with an explicit 128-bit key (k0, k1) — validated against
+    * the reference vectors from the SipHash paper (Aumasson & Bernstein). */
+  def sipHash64Keyed(k0: Long, k1: Long, data: Array[Byte]): Long = {
+    var v0 = 0x736f6d6570736575L ^ k0
+    var v1 = 0x646f72616e646f6dL ^ k1
+    var v2 = 0x6c7967656e657261L ^ k0
+    var v3 = 0x7465646279746573L ^ k1
 
     @inline def sipRound(): Unit = {
       v0 += v1; v1 = rotl(v1, 13); v1 ^= v0; v0 = rotl(v0, 32)

@@ -69,6 +69,26 @@ class CatalogSpec extends SparkSpec {
     assert(r3.version === r2.version)
   }
 
+  test("delta retry reprocesses rows flagged with errors") {
+    val root = Files.createTempDirectory("cat").toString
+    val cat = new Catalog(root, spark)
+    // transform marks value<0 rows with an error (first pass "fails" them)
+    def transform(c: Chain): Chain = c.mutate(
+      "result" -> (col("value") * 2),
+      "error" -> when(col("value") < 0, "bad input").otherwise(lit("")))
+    val v1 = Seq((1L, 10.0), (2L, -5.0), (3L, 30.0)).toDF("id", "value")
+    Delta.deltaSave(cat, Chain(v1), "retr", Seq("id"), Seq("value"), transform,
+      retryOn = Some("error"))
+    // same source, but row 2 now "fixed" upstream → still same source data;
+    // retry should re-run the errored key even though nothing changed
+    val r2 = Delta.deltaSave(cat, Chain(v1), "retr", Seq("id"), Seq("value"),
+      transform, retryOn = Some("error"))
+    assert(!r2.fullRecompute)
+    assert(r2.changedRows === 1) // only the errored row was reprocessed
+    val out = cat.readDataset("retr").toDF
+    assert(out.count() === 3)
+  }
+
   test("delta guards against delta-disabled ops") {
     val root = Files.createTempDirectory("cat").toString
     val cat = new Catalog(root, spark)

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions: SQL-only access to the custom expressions. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions registers graft functions for pure SQL") {
+    // force the shared context up first, then build a sibling session with
+    // extensions on the same SparkContext
+    TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s.sql(
+        """SELECT int_hash_64(42L) AS ih,
+          | sip_hash_64('hello') AS sh,
+          | bit_hamming_distance(0L, -1L) AS bh,
+          | size(char_ngrams('abcd', 2)) AS ng,
+          | size(minhash_signature('a b c d e', 8, 3)) AS mh""".stripMargin)
+        .head()
+      assert(r.getAs[Long]("ih") === graft.functions.Impl.intHash64(42L))
+      assert(r.getAs[Long]("sh") ===
+        graft.functions.Impl.sipHash64Bytes("hello".getBytes))
+      assert(r.getAs[Int]("bh") === 64)
+      assert(r.getAs[Int]("ng") === 3)
+      assert(r.getAs[Int]("mh") === 8)
+    } finally {
+      SparkSession.setActiveSession(TestSpark.spark)
+      SparkSession.setDefaultSession(TestSpark.spark)
+    }
+  }
+}

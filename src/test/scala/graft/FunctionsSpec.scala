@@ -27,6 +27,27 @@ class FunctionsSpec extends SparkSpec {
     assert(got.toSeq === Seq(ref(0), ref(1), ref(42)))
   }
 
+  test("sipHash64Keyed matches the official SipHash-2-4 reference vectors") {
+    // Vectors from the SipHash paper / reference implementation:
+    // key = 0x0f0e...0100 (k0 = 0x0706050403020100, k1 = 0x0f0e0d0c0b0a0908),
+    // input = first n bytes of 00 01 02 ...
+    val k0 = 0x0706050403020100L
+    val k1 = 0x0f0e0d0c0b0a0908L
+    def in(n: Int): Array[Byte] = Array.tabulate(n)(_.toByte)
+    val expected = Map(
+      0 -> 0x726fdb47dd0e0e31L,
+      1 -> 0x74f839c593dc67fdL,
+      2 -> 0x0d6c8009d9a94f5aL,
+      3 -> 0x85676696d7fb7e2dL,
+      7 -> 0xab0200f58b01d137L,   // exercises the tail-only path
+      8 -> 0x93f5f5799a932462L,   // exactly one full block
+      15 -> 0xa129ca6149be45e5L)  // full block + 7-byte tail
+    expected.foreach { case (n, want) =>
+      assert(Impl.sipHash64Keyed(k0, k1, in(n)) === want,
+        s"sipHash64Keyed mismatch for input length $n")
+    }
+  }
+
   test("sipHash64 zero-key matches SipHash-2-4 semantics") {
     // deterministic + distinct on simple inputs; stable across sessions
     val a = Impl.sipHash64Bytes("".getBytes)
