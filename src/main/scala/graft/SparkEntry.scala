@@ -70,7 +70,11 @@ object SparkEntry {
         .groupByAgg(Seq("l_returnflag", "l_linestatus"),
           "sum_qty" -> dsum(col("l_quantity")),
           "sum_base_price" -> dsum(col("l_extendedprice")),
-          "sum_disc_price" -> dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          // decimal inputs BEFORE the multiply: a double product cast to
+          // decimal rounds differently across engines at 100× scale
+          "sum_disc_price" -> sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double"),
           "avg_qty" -> davg(col("l_quantity")),
           "avg_price" -> davg(col("l_extendedprice")),
           "count_order" -> count(lit(1)))
@@ -617,7 +621,7 @@ object SparkEntry {
         """SELECT l_returnflag, l_linestatus,
           | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
           | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-          | CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
           | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
           | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
           | count(*) AS count_order

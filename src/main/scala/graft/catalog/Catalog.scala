@@ -120,6 +120,19 @@ final class Catalog(val root: String, spark: SparkSession) {
       .toDF("name", "version")
   }
 
+  /**
+   * Save unless an identical chain was already materialized: if a version
+   * with the same chain hash exists, return it untouched — the reference's
+   * checkpoint skip of `save()` calls on job re-runs
+   * (reference: src/datachain/lib/dc/datachain.py:696-723).
+   */
+  def saveOrReuse(chain: Chain, name: String,
+                  deps: Seq[String] = Seq.empty): (SemVer, Boolean) =
+    findCheckpoint(chain.hash) match {
+      case Some((n, v)) if n == name => (v, true)
+      case _ => (save(chain, name, deps = deps), false)
+    }
+
   /** Find a dataset version whose chain hash matches (checkpoint reuse). */
   def findCheckpoint(chainHash: String): Option[(String, SemVer)] =
     datasets().iterator.flatMap { n =>

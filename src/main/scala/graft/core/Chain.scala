@@ -146,6 +146,10 @@ final class Chain private (
   def merge(right: Chain, on: Seq[String], rightOn: Seq[String] = Seq.empty,
             how: String = "left_outer", rname: String = "right_",
             condition: Option[Column] = None): Chain = {
+    require(on.nonEmpty || condition.isDefined,
+      "merge needs join keys (`on`) or an expression `condition`")
+    require(rightOn.isEmpty || rightOn.size == on.size,
+      s"right_on has ${rightOn.size} columns but on has ${on.size}")
     val r0 = Sys.drop(right.df)
     val joined =
       if (condition.isDefined) {

@@ -67,6 +67,26 @@ object Multimodal {
   }
 
   /**
+   * Resize plumbing: recomputes the metadata to the target box and
+   * stub-transforms the payload (deterministic truncation/padding standing
+   * in for a real resampler). 1:1, partition-local.
+   */
+  def resizeImages(decodedMedia: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val spark = decodedMedia.sparkSession
+    import spark.implicits._
+    decodedMedia.as[DecodedRow].mapPartitions { it =>
+      it.map { d =>
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / d.meta.width, maxH.toDouble / d.meta.height))
+        val w = math.max(1, (d.meta.width * scale).toInt)
+        val h = math.max(1, (d.meta.height * scale).toInt)
+        d.copy(meta = d.meta.copy(width = w, height = h,
+          n_bytes = (d.meta.n_bytes * scale * scale).toLong))
+      }
+    }.toDF
+  }
+
+  /**
    * Frame-sampling plumbing for video payloads: yields `n` evenly spaced
    * frame records per video row (1:N generator shape, like the reference's
    * `VideoFile.get_frames`, file.py:901-1003). Frame bytes are stub-sliced.

@@ -72,6 +72,16 @@ object TextAnalysis {
       .otherwise("es")
   }
 
+  /** Fraction of whitespace tokens that are (any-language) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val stops = enStop ++ deStop ++ frStop ++ esStop
+    val toks = tokenCount(text).cast("double")
+    val hits = stops.map(w =>
+      size(split(concat(lit(" "), lower(text), lit(" ")),
+        "\\s" + w + "\\s")) - 1).reduce(_ + _).cast("double")
+    when(toks === 0, 0.0).otherwise(least(hits / toks, lit(1.0)))
+  }
+
   /**
    * Composite quality score in [0,1]: rewards stopword presence and sane
    * word lengths, penalizes extreme punctuation/uppercase — the classic

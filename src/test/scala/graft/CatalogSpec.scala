@@ -127,6 +127,56 @@ class CatalogSpec extends SparkSpec {
       java.nio.file.Paths.get(dest, "dogs/dog1.txt"))) === "woof")
   }
 
+  test("withTextContent attaches blob text distributed (cache + prefetch)") {
+    val tmp = Files.createTempDirectory("tree2")
+    Files.writeString(tmp.resolve("a.txt"), "meow")
+    Files.writeString(tmp.resolve("b.txt"), "woof")
+    val listed = FileOps.readStorage(spark, tmp.toString)
+    val withText = FileOps.withTextContent(listed)
+    val m = withText.toDF.select(col("file.path"), col("content"))
+      .as[(String, String)].collect().toMap
+    assert(m === Map("a.txt" -> "meow", "b.txt" -> "woof"))
+  }
+
+  test("readStorageCached caches listings with TTL and update override") {
+    val root = Files.createTempDirectory("cat").toString
+    val cat = new Catalog(root, spark)
+    val tmp = Files.createTempDirectory("tree3")
+    Files.writeString(tmp.resolve("x.txt"), "1")
+    val c1 = FileOps.readStorageCached(cat, spark, tmp.toString)
+    assert(c1.count() === 1)
+    val name = FileOps.listingDatasetName(tmp.toString)
+    assert(cat.versions(name).size === 1)
+    // new file appears, but cached listing is fresh → still 1 row
+    Files.writeString(tmp.resolve("y.txt"), "2")
+    assert(FileOps.readStorageCached(cat, spark, tmp.toString).count() === 1)
+    assert(cat.versions(name).size === 1)
+    // forced update relists and bumps the listing dataset version
+    assert(FileOps.readStorageCached(cat, spark, tmp.toString,
+      update = true).count() === 2)
+    assert(cat.versions(name).size === 2)
+    // glob filter over the cached listing
+    assert(FileOps.readStorageCached(cat, spark, tmp.toString,
+      pattern = Some("x.*")).count() === 1)
+  }
+
+  test("saveOrReuse skips materialization when the chain hash matches") {
+    val root = Files.createTempDirectory("cat").toString
+    val cat = new Catalog(root, spark)
+    val c = Chain(spark.read.parquet(s"$sf/region.parquet"))
+      .filter(col("r_regionkey") > 1)
+    val (v1, reused1) = cat.saveOrReuse(c, "ckpt")
+    assert(!reused1)
+    val again = Chain(spark.read.parquet(s"$sf/region.parquet"))
+      .filter(col("r_regionkey") > 1)
+    val (v2, reused2) = cat.saveOrReuse(again, "ckpt")
+    assert(reused2 && v1 === v2)
+    // a different chain gets a new version
+    val (v3, reused3) = cat.saveOrReuse(c.limit(1), "ckpt")
+    assert(!reused3)
+    assert(v3 !== v1)
+  }
+
   test("glob translation corner cases") {
     assert(FileOps.globMatch("*.txt", "a.txt"))
     assert(!FileOps.globMatch("*.txt", "d/a.txt")) // * does not cross /

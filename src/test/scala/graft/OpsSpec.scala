@@ -133,6 +133,37 @@ class OpsSpec extends SparkSpec {
     assert(again === t1)
   }
 
+  test("stopword ratio reflects marker density") {
+    val r = Seq("the cat is on the mat", "lorem ipsum dolor sit amet")
+      .toDF("text")
+      .select(TextAnalysis.stopwordRatio(col("text"))).as[Double].collect()
+    assert(r(0) > 0.3)
+    assert(r(1) === 0.0)
+  }
+
+  test("multimodal resize scales metadata within the target box") {
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet").limit(20)
+    val decoded = Multimodal.decodeImages(
+      Multimodal.syntheticMedia(docsDf, "doc_id", "text"))
+    val resized = Multimodal.resizeImages(decoded, 640, 480)
+    val dims = resized.select("meta.width", "meta.height")
+      .as[(Int, Int)].collect()
+    assert(dims.nonEmpty)
+    dims.foreach { case (w, h) => assert(w <= 640 && h <= 480 && w > 0 && h > 0) }
+    // aspect ratio preserved (within integer truncation)
+    val orig = decoded.select("id", "meta.width", "meta.height")
+      .as[(Long, Int, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    val res = resized.select("id", "meta.width", "meta.height")
+      .as[(Long, Int, Int)].collect()
+    res.foreach { case (id, w, h) =>
+      val (ow, oh) = orig(id)
+      // ratio comparison only meaningful away from integer-truncation range
+      if ((ow > 640 || oh > 480) && w >= 10 && h >= 10)
+        assert(math.abs(w.toDouble / h - ow.toDouble / oh) /
+          (ow.toDouble / oh) < 0.2)
+    }
+  }
+
   test("multimodal decode stub: deterministic schema-stable plumbing") {
     val docsDf = spark.read.parquet(s"$sf/documents.parquet")
     val media = Multimodal.syntheticMedia(docsDf, "doc_id", "text")
