@@ -591,6 +591,86 @@ object SparkEntry {
           round(element_at(col("features"), 1), 4).as("f0"))
     }),
 
+    // ------------------------------------------- composite / incremental
+    "q_merge_stem" -> ((s, dir) => {
+      // expression join on a path function — the reference's documented
+      // merge-on-file_stem example (datachain.py:1630-1634)
+      val l = Chain(T(s, dir, "documents").select(col("doc_id"),
+        concat(lit("docs/doc_"), col("doc_id"), lit(".txt")).as("path"),
+        col("n_chars")))
+      val r = Chain(T(s, dir, "documents").select(
+        concat(lit("doc_"), col("doc_id")).as("stem_key"), col("lang")))
+      l.merge(r, on = Seq.empty, how = "inner",
+          condition = Some(path_file_stem(col("path")) === col("stem_key")))
+        .select("doc_id", "n_chars", "lang")
+        .toDF
+    }),
+
+    "q_window_frames" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val rows3 = w.rowsBetween(-2, Window.currentRow)
+      val wr = Window.partitionBy(col("user_id")).orderBy(col("event_id").asc)
+        .rangeBetween(-100, Window.currentRow)
+      E(s, dir).filter(col("user_id") < 100)
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value").cast("decimal(18,6)")).over(rows3)
+            .cast("double"), 4).as("moving_sum3"),
+          round(sum(col("value").cast("decimal(18,6)")).over(wr)
+            .cast("double"), 4).as("range_sum"))
+    }),
+
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val gap = unix_timestamp(col("ts")) -
+        unix_timestamp(lag(col("ts"), 1).over(w))
+      val newSession = when(lag(col("ts"), 1).over(w).isNull, 1)
+        .when(gap > 1800, 1).otherwise(0)
+      E(s, dir).filter(col("user_id") < 100)
+        .withColumn("__new", newSession)
+        .select(col("event_id"), col("user_id"),
+          sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("long").as("session_id"))
+    }),
+
+    "q_pipeline_clean" -> ((s, dir) => {
+      // end-to-end training-data cleaning: dedup (exact, keep min id) →
+      // quality/token filters — the composite pipeline shape this engine
+      // exists for, verified row-for-row against the oracle
+      val docs = T(s, dir, "documents")
+      val dups = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      val corpus = docs.unionByName(dups)
+        .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
+      val keep = corpus.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      corpus.join(keep, Seq("fp", "doc_id"))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("token_count"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.6 &&
+          col("token_count").between(20, 100000))
+    }),
+
+    "q_delta_inc" -> ((s, dir) => {
+      // delta-incremental save == full recompute (the delta correctness
+      // property, checked against an oracle that computes the full result)
+      val root = Files.createTempDirectory("graft_delta").toString
+      val cat = new Catalog(root, s)
+      def transform(c: Chain): Chain =
+        c.mutate("value2" -> round(col("value") * 2, 6))
+          .selectExpr(col("event_id"), col("event_type"), col("value2"))
+      val v1 = Chain(E(s, dir).filter(col("event_id") < 5000)
+        .select(col("event_id"), col("event_type"), col("value")))
+      Delta.deltaSave(cat, v1, "ds", Seq("event_id"), Seq("value"), transform)
+      val v2 = Chain(E(s, dir)
+        .withColumn("value", when(pmod(col("event_id"), lit(7)) === 0,
+          col("value") + 1).otherwise(col("value")))
+        .select(col("event_id"), col("event_type"), col("value")))
+      Delta.deltaSave(cat, v2, "ds", Seq("event_id"), Seq("value"), transform)
+      cat.readDataset("ds").selectExcept("sys").toDF
+    }),
+
     // ------------------------------------------------------ file listing
     "q_read_storage" -> ((s, dir) =>
       FileOps.readStorage(s, dir, pattern = Some("*.parquet"))
@@ -615,6 +695,19 @@ object SparkEntry {
     val all = markerSql(TextAnalysis.enStop ++ TextAnalysis.deStop ++
       TextAnalysis.frStop ++ TextAnalysis.esStop)
     val norm = raw"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+    val tokCount = raw"len(string_split_regex(trim(text), '\s+'))"
+    val qualityExpr =
+      s"""round((
+         |   (CASE WHEN $tokCount BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN $all > 0 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END) < 0.3 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) END) < 0.3 THEN 1.0 ELSE 0.0 END) +
+         |   (CASE WHEN (CASE WHEN $tokCount = 0 THEN 0.0
+         |      ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |           / $tokCount END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+         | ) / 5.0, 2)""".stripMargin
 
     Map(
       "q1_agg" ->
@@ -957,7 +1050,59 @@ object SparkEntry {
            |FROM documents""".stripMargin,
 
       "q_fingerprint" ->
-        s"SELECT doc_id, md5($norm) AS fp_md5 FROM documents"
+        s"SELECT doc_id, md5($norm) AS fp_md5 FROM documents",
+
+      "q_merge_stem" ->
+        """WITH l AS (SELECT doc_id, 'docs/doc_' || doc_id || '.txt' AS path, n_chars
+          |  FROM documents),
+          | r AS (SELECT 'doc_' || doc_id AS stem_key, lang FROM documents)
+          |SELECT l.doc_id, l.n_chars, r.lang
+          |FROM l JOIN r ON r.stem_key = 'doc_' || l.doc_id""".stripMargin,
+
+      "q_window_frames" ->
+        """SELECT event_id, user_id,
+          | round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER
+          |   (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS moving_sum3,
+          | round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER
+          |   (PARTITION BY user_id ORDER BY event_id ASC
+          |    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE), 4) AS range_sum
+          |FROM events WHERE user_id < 100""".stripMargin,
+
+      "q_sessionize" ->
+        """WITH x AS (SELECT event_id, user_id, ts,
+          |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+          | FROM events WHERE user_id < 100)
+          |SELECT event_id, user_id,
+          | CAST(sum(CASE WHEN prev_ts IS NULL THEN 1
+          |               WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1
+          |               ELSE 0 END) OVER
+          |   (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+          |FROM x""".stripMargin,
+
+      "q_pipeline_clean" ->
+        s"""WITH corpus AS (
+           |  SELECT * FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+           |  FROM documents WHERE doc_id % 3 = 0),
+           | f AS (SELECT doc_id, lang, text, md5($norm) AS fp FROM corpus),
+           | keep AS (SELECT fp, min(doc_id) AS doc_id FROM f GROUP BY fp),
+           | kept AS (SELECT f.* FROM f JOIN keep
+           |   ON f.fp = keep.fp AND f.doc_id = keep.doc_id),
+           | m AS (SELECT doc_id, lang,
+           |   CAST($tokCount AS BIGINT) AS token_count,
+           |   $qualityExpr AS quality
+           |  FROM kept)
+           |SELECT doc_id, lang, token_count, quality FROM m
+           |WHERE quality >= 0.6 AND token_count BETWEEN 20 AND 100000""".stripMargin,
+
+      "q_delta_inc" ->
+        """SELECT event_id, event_type,
+          | round((CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END) * 2, 6)
+          |   AS value2
+          |FROM events""".stripMargin
     )
   }
 }
