@@ -63,7 +63,8 @@ object Dedup {
    * and O(candidates), never O(n²).
    */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        k: Int = 64, bands: Int = 16): DataFrame = {
+                        k: Int = 64, bands: Int = 16,
+                        maxBucketSize: Int = 10000): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val rows = k / bands
     val sig = df.select(col(idCol).as("__id"),
@@ -72,12 +73,25 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         sip_hash_64(concat_ws(",",
           slice(col("__sig"), b * rows + 1, lit(rows)))))).as(Seq("__band", "__bh")))
-    val l = banded.alias("a")
-    val r = banded.alias("b")
+    // Skew guard: a degenerate bucket (e.g. millions of identical boiler-
+    // plate docs sharing a band hash) would make the self-join quadratic.
+    // Buckets above the cap are dropped — their members are by construction
+    // near-identical and are caught by exact dedup far more cheaply.
+    val guarded = capBuckets(banded, Seq("__band", "__bh"), maxBucketSize)
+    val l = guarded.alias("a")
+    val r = guarded.alias("b")
     l.join(r, col("a.__band") === col("b.__band") &&
         col("a.__bh") === col("b.__bh") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
+  }
+
+  /** Drop rows belonging to join buckets larger than `cap` (quadratic-blowup
+    * guard for LSH self-joins). Map-side partial counts keep this cheap. */
+  private def capBuckets(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    if (cap <= 0) return df
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bucket_n"))
+    df.join(counts.filter(col("__bucket_n") <= cap).drop("__bucket_n"), keys)
   }
 
   /**

@@ -106,13 +106,17 @@ object Similarity {
 
   private def assign(corpus: DataFrame, centroids: DataFrame,
                      vecCol: String, idCol: String): DataFrame = {
+    // nearest centroid via min_by aggregation: partial-aggregates map-side,
+    // so the shuffle carries one row per corpus row — NOT the N×nlist scored
+    // rows a window-sort formulation would move. Deterministic tie-break by
+    // folding centroid_id into the ordering key tuple.
     val scored = corpus.join(broadcast(centroids))
       .withColumn("__d",
         euclidean_distance(col(vecCol), col("__centroid").cast("array<float>")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__d").asc,
-      col("centroid_id").asc)
-    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-      .drop("__d", "__r", "__centroid")
+    val best = scored.groupBy(col(idCol))
+      .agg(min_by(col("centroid_id"), struct(col("__d"), col("centroid_id")))
+        .as("centroid_id"))
+    corpus.join(best, idCol)
   }
 
   /**

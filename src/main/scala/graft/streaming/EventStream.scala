@@ -55,6 +55,43 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Per-user session state for [[statefulSessionize]]. */
+  case class SessionState(sessionId: Long, lastTsMicros: Long)
+  case class SessionOut(user_id: Long, event_id: Long, session_id: Long)
+  case class EventIn(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+
+  /**
+   * Custom-state sessionization with `flatMapGroupsWithState`: events are
+   * assigned per-user session ids, a new session starting after `gapSec`
+   * of inactivity. This is the arbitrary-state API the reference has no
+   * counterpart for — state lives in the state store, checkpointed,
+   * recovered on restart. (Within a micro-batch, events are sorted by
+   * event time before state is applied.)
+   */
+  def statefulSessionize(events: org.apache.spark.sql.Dataset[EventIn],
+                         gapSec: Long = 1800)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[EventIn], state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val tsMicros = e.ts.getTime * 1000L
+            val gapExceeded = st.lastTsMicros != Long.MinValue &&
+              (tsMicros - st.lastTsMicros) > gapSec * 1000000L
+            val sid = if (st.lastTsMicros == Long.MinValue || gapExceeded)
+              st.sessionId + 1 else st.sessionId
+            st = SessionState(sid, tsMicros)
+            SessionOut(userId, e.event_id, sid)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /**
    * Sessionization-style stateful aggregation over user activity:
    * per-user event counts with flatMapGroupsWithState shape is showcased in

@@ -38,6 +38,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().toSet === want.collect().toSet)
   }
 
+  test("stateful sessionization assigns gap-based session ids with custom state") {
+    import spark.implicits._
+    val dir = stageDir(s"$sf/events.parquet")
+    val schema = spark.read.parquet(dir).schema
+    val ckpt = Files.createTempDirectory("ckpt3").toString
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[EventStream.EventIn]
+    val sessions = EventStream.statefulSessionize(stream, gapSec = 1800)
+    val q = sessions.toDF.writeStream.outputMode("append").format("memory")
+      .queryName("ev_sessions").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ev_sessions")
+    val batch = spark.read.parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    assert(got.count() === batch.count())
+    // session ids are contiguous and start at 1 per user
+    val perUser = got.groupBy("user_id")
+      .agg(min("session_id").as("mn"), max("session_id").as("mx"),
+        countDistinct("session_id").as("n"))
+      .as[(Long, Long, Long, Long)].collect()
+    perUser.foreach { case (_, mn, mx, n) =>
+      assert(mn === 1L)
+      assert(mx === n) // contiguous 1..n
+    }
+    // spot-check one user against the batch window-function equivalent
+    val u = perUser.head._1
+    val expected = batch.filter(col("user_id") === u)
+      .select(col("event_id"), col("ts")).as[(Long, java.sql.Timestamp)]
+      .collect().sortBy(e => (e._2.getTime, e._1))
+      .foldLeft((List.empty[(Long, Long)], 0L, Long.MinValue)) {
+        case ((acc, sid, last), (eid, ts)) =>
+          val t = ts.getTime
+          val nsid = if (last == Long.MinValue || t - last > 1800 * 1000L)
+            sid + 1 else sid
+          ((eid, nsid) :: acc, nsid, t)
+      }._1.toMap
+    val gotU = got.filter(col("user_id") === u)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(gotU === expected)
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val dir = stageDir(s"$sf/events.parquet")
     val schema = spark.read.parquet(dir).schema
