@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/**
+ * Physical-plan regression tests: the properties that make these queries
+ * scale (scan pushdown, column pruning, broadcast dim joins, map-side
+ * top-k) are asserted on the plan text so a refactor can't silently
+ * regress them into full scans or shuffle joins.
+ */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q1_agg: filter pushed to parquet, columns pruned, partial agg") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("LessThanOrEqual(l_shipdate"), p)
+    // only the 6 needed columns are read, not all 11
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_returnflag:string,l_linestatus:string,l_shipdate"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q_merge_inner: dimension join broadcasts") {
+    val p = plan("q_merge_inner")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_ann_topk: map-side top-k (WindowGroupLimit) before the exchange") {
+    val p = plan("q_ann_topk")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_read_parquet: projection pruned at the scan") {
+    val p = plan("q_read_parquet")
+    assert(p.contains("PushedFilters:") && p.contains("LessThan(p_size,20)"), p)
+    assert(p.contains(
+      "ReadSchema: struct<p_partkey:bigint,p_brand:string,p_size:int," +
+        "p_retailprice:double>") ||
+      p.contains("ReadSchema: struct<p_partkey:bigint,p_brand:string," +
+        "p_retailprice:double,p_size:int>"), p)
+  }
+
+  test("q_subtract: null-safe anti-join stays a join, not a subquery loop") {
+    val p = plan("q_subtract")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("custom expressions stay inside whole-stage codegen") {
+    val df = SparkEntry.queries("q_hash_funcs")(spark, sf)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
+    // one codegen'd stage containing our static kernel calls — no
+    // interpreted-eval fallback for the custom expressions
+    assert(p.contains("graft.functions.Impl"), p.take(2000))
+  }
+}
