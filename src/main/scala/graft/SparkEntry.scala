@@ -133,15 +133,17 @@ object SparkEntry {
         .select("p_partkey", "bumped", "brand_u", "name_len")
         .toDF),
 
-    "q_filter" -> ((s, dir) =>
+    "q_filter" -> ((s, dir) => {
+      import graft.dsl.{C => $c, GraftColumn}
       C(s, dir, "customer")
         .filter(
-          col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"),
-          col("c_name").like("Customer%"),
-          col("c_name").rlike("[02468]$"),
-          col("c_acctbal") > 0)
+          $c("c_mktsegment").in_("BUILDING", "AUTOMOBILE"),
+          $c("c_name").glob("Customer*"),
+          $c("c_name").regexp("[02468]$"),
+          $c("c_acctbal") > 0)
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
-        .toDF),
+        .toDF
+    }),
 
     "q_order_limit" -> ((s, dir) =>
       C(s, dir, "orders")

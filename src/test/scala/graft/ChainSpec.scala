@@ -27,6 +27,17 @@ class ChainSpec extends SparkSpec {
     assert(people.rename("city", "town").toDF.columns.contains("town"))
   }
 
+  test("column DSL: C(), glob, regexp, in_") {
+    import graft.dsl._
+    val files = Chain.readValues(spark, Seq(
+      Person("cats/cat1.jpg", 1, "x"), Person("dogs/d/deep.jpg", 2, "x"),
+      Person("cats/readme.txt", 3, "x")))
+    assert(files.filter(C("first_name").glob("cats/*.jpg")).count() === 1)
+    assert(files.filter(C("first_name").glob("**.jpg")).count() === 2)
+    assert(files.filter(C("first_name").regexp("\\.txt$")).count() === 1)
+    assert(files.filter(C("age").in_(1, 3)).count() === 2)
+  }
+
   test("filter merges predicates (AND)") {
     val f = people.filter(col("age") > 26, col("city") === "LA").toDF
     assert(f.select("first_name").as[String].collect().toSet === Set("Bob", "Eva"))
