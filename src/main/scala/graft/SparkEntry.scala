@@ -673,6 +673,20 @@ object SparkEntry {
       cat.readDataset("ds").selectExcept("sys").toDF
     }),
 
+    "q_file_du" -> ((s, dir) => {
+      // per-directory cumulative sizes over a synthetic file tree derived
+      // from documents (dir depth 2: source/subK/docN)
+      val listing = T(s, dir, "documents").select(struct(
+        lit("synth://x").as("source"),
+        concat(col("source"), lit("/sub"), pmod(col("doc_id"), lit(3)),
+          lit("/doc"), col("doc_id"), lit(".txt")).as("path"),
+        col("n_chars").as("size"),
+        lit("").as("version"), lit("").as("etag"), lit(true).as("is_latest"),
+        lit(null).cast("timestamp").as("last_modified"),
+        lit(null).cast("string").as("location")).as("file"))
+      FileOps.du(listing)
+    }),
+
     // ------------------------------------------------------ file listing
     "q_read_storage" -> ((s, dir) =>
       FileOps.readStorage(s, dir, pattern = Some("*.parquet"))
@@ -1099,6 +1113,19 @@ object SparkEntry {
            |  FROM kept)
            |SELECT doc_id, lang, token_count, quality FROM m
            |WHERE quality >= 0.6 AND token_count BETWEEN 20 AND 100000""".stripMargin,
+
+      "q_file_du" ->
+        """WITH files AS (SELECT
+          |   source || '/sub' || (doc_id % 3) || '/doc' || doc_id || '.txt' AS path,
+          |   n_chars AS size FROM documents),
+          | x AS (SELECT path, size, string_split(path, '/') AS parts FROM files),
+          | a AS (SELECT size, unnest(
+          |   list_prepend('', list_transform(range(1, CAST(len(parts) AS BIGINT)),
+          |     i -> array_to_string(parts[1:CAST(i AS INT)], '/')))) AS dir
+          |  FROM x)
+          |SELECT dir, CAST(sum(size) AS BIGINT) AS total_size,
+          | count(*) AS n_files
+          |FROM a GROUP BY dir""".stripMargin,
 
       "q_delta_inc" ->
         """SELECT event_id, event_type,

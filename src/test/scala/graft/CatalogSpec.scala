@@ -177,6 +177,23 @@ class CatalogSpec extends SparkSpec {
     assert(v3 !== v1)
   }
 
+  test("du and ls aggregate the file tree per directory") {
+    val tmp = Files.createTempDirectory("tree4")
+    Files.createDirectories(tmp.resolve("a/b"))
+    Files.writeString(tmp.resolve("a/x.txt"), "12345")     // 5 bytes
+    Files.writeString(tmp.resolve("a/b/y.txt"), "123")     // 3 bytes
+    Files.writeString(tmp.resolve("top.txt"), "1")         // 1 byte
+    val listing = FileOps.readStorage(spark, tmp.toString).toDF
+    val du = FileOps.du(listing).as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(du("") === ((9L, 3L)))        // root: all files
+    assert(du("a") === ((8L, 2L)))
+    assert(du("a/b") === ((3L, 1L)))
+    val ls = FileOps.ls(listing, "a").as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(ls === Map("x.txt" -> ((5L, 1L)), "b/" -> ((3L, 1L))))
+  }
+
   test("glob translation corner cases") {
     assert(FileOps.globMatch("*.txt", "a.txt"))
     assert(!FileOps.globMatch("*.txt", "d/a.txt")) // * does not cross /
