@@ -314,6 +314,13 @@ final class Chain private (
 
   // ------------------------------------------------------------ persistence
 
+  /** Hash-partition by the given keys (pre-shuffle for a co-located join
+    * or repeated aggregations over the same keys — Catalyst reuses the
+    * exchange across stages that need this partitioning). */
+  def repartitionBy(n: Int, cols: String*): Chain =
+    next(df.repartition(n, cols.map(SignalSchema.resolve): _*),
+      "repartition", (n.toString +: cols): _*)
+
   /** Stamp sys columns (id, rand) — applied automatically at save. */
   def withSys(seed: Long = 0L): Chain = next(Sys.stamp(df, seed), "with_sys")
 

@@ -35,3 +35,36 @@ object Split {
   def byKeyMod(df: DataFrame, keyCol: String, total: Int, index: Int): DataFrame =
     df.filter(pmod(col(keyCol), lit(total)) === index)
 }
+
+/**
+ * Skew-handling helpers for hot keys. AQE's skew-join handling covers
+ * joins automatically; [[Skew.groupBySalted]] covers aggregations whose
+ * key distribution is too skewed for a single reducer per key.
+ */
+object Skew {
+
+  /** Deterministic salt bucket derived from the whole row's hash. */
+  def saltCol(buckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(buckets))
+
+  /**
+   * Two-phase salted aggregation for algebraic aggregates (sum/count/min/
+   * max): phase 1 aggregates per (key, salt) — spreading a hot key over
+   * `buckets` reducers — phase 2 combines the partials per key. Results
+   * are identical to a direct groupBy; only the shuffle shape changes.
+   */
+  def groupBySalted(df: DataFrame, keys: Seq[String], buckets: Int,
+                    sums: Seq[String] = Seq.empty,
+                    counts: Boolean = true): DataFrame = {
+    val salted = df.withColumn("__salt", saltCol(buckets))
+    val phase1Aggs =
+      sums.map(c => sum(col(c)).as(s"__sum_$c")) ++
+        (if (counts) Seq(count(lit(1)).as("__cnt")) else Seq.empty)
+    val p1 = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(phase1Aggs.head, phase1Aggs.tail: _*)
+    val phase2Aggs =
+      sums.map(c => sum(col(s"__sum_$c")).as(s"sum_$c")) ++
+        (if (counts) Seq(sum(col("__cnt")).cast("long").as("n")) else Seq.empty)
+    p1.groupBy(keys.map(col): _*).agg(phase2Aggs.head, phase2Aggs.tail: _*)
+  }
+}

@@ -133,6 +133,25 @@ class OpsSpec extends SparkSpec {
     assert(again === t1)
   }
 
+  test("salted two-phase aggregation equals the direct groupBy") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity")).as("sum_l_quantity"),
+        count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().toSet
+    val salted = graft.ops.Skew.groupBySalted(li, Seq("l_returnflag"),
+        buckets = 8, sums = Seq("l_quantity"))
+      .as[(String, Double, Long)].collect().toSet
+    // sums of doubles: compare with tolerance (association order differs)
+    val d = direct.map(t => t._1 -> ((t._2, t._3))).toMap
+    val s = salted.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(d.keySet === s.keySet)
+    d.foreach { case (k, (sd, nd)) =>
+      assert(math.abs(sd - s(k)._1) / math.max(1.0, math.abs(sd)) < 1e-12)
+      assert(nd === s(k)._2)
+    }
+  }
+
   test("stopword ratio reflects marker density") {
     val r = Seq("the cat is on the mat", "lorem ipsum dolor sit amet")
       .toDF("text")
