@@ -41,10 +41,22 @@ object Writers {
 
   def toCsv(df: DataFrame, path: String, header: Boolean = true,
             delimiter: String = ",",
-            mode: SaveMode = SaveMode.ErrorIfExists): Unit =
-    // nested signals flattened to `__` columns at the flat-format boundary
-    SignalSchema.flatten(df).write.mode(mode)
+            mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
+    // nested signals flattened to `__` columns at the flat-format boundary;
+    // arrays/maps (unwritable as CSV cells) serialized to JSON strings,
+    // like the reference's flat exports
+    import org.apache.spark.sql.functions.{col, to_json}
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val flat = SignalSchema.flatten(df)
+    val csvSafe = flat.select(flat.schema.fields.map { f =>
+      f.dataType match {
+        case _: ArrayType | _: MapType => to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
+    csvSafe.write.mode(mode)
       .option("header", header.toString).option("sep", delimiter).csv(path)
+  }
 
   /** JSONL (the line-delimited layout Spark writes natively). */
   def toJsonl(df: DataFrame, path: String,

@@ -27,13 +27,16 @@ object Dedup {
 
   /**
    * Exact dedup: keep one representative row (min of `idCol`) per distinct
-   * normalized-content hash. Single shuffle on the 8-byte hash.
+   * normalized-content hash, annotated with the group's `dup_count`.
+   * Single shuffle on the 8-byte hash.
    */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val keyed = df.withColumn("__ck", contentKey(col(textCol)))
     val reps = keyed.groupBy(col("__ck"))
-      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
-    keyed.drop(idCol).join(reps, "__ck").drop("__ck")
+      .agg(min(col(idCol)).as("__keep"), count(lit(1)).as("dup_count"))
+    keyed.join(reps, "__ck")
+      .filter(col(idCol) === col("__keep"))
+      .drop("__ck", "__keep")
   }
 
   /** Exact-dup groups only (hash, representative id, count>1). */

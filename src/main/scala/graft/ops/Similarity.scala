@@ -83,25 +83,21 @@ object Similarity {
         col(vecCol).cast("array<double>").as("__centroid"))
     for (_ <- 0 until iterations) {
       val assigned = assign(corpus, centroids, vecCol, idCol)
+      // Centroid recompute by dimension, not by collecting whole clusters:
+      // posexplode → (centroid, dim) partial-aggregated averages → re-pack.
+      // Shuffle volume is rows×dim scalars (map-side combined), never a
+      // collect_list of a billion-vector cluster.
       centroids = assigned
-        .withColumn("__vd", col(vecCol).cast("array<double>"))
+        .select(col("centroid_id"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("__d", "__v")))
+        .groupBy("centroid_id", "__d")
+        .agg(avg("__v").as("__m"))
         .groupBy("centroid_id")
-        .agg(meanVector(col("__vd")).as("__centroid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__d"), col("__m")))),
+          x => x.getField("__m")).as("__centroid"))
     }
     (assign(corpus, centroids, vecCol, idCol), centroids)
-  }
-
-  /** Element-wise mean of equal-length double vectors per group. */
-  private def meanVector(v: Column): Column = {
-    // sum vectors with zip_with inside an aggregate buffer via collect —
-    // expressed as: transpose-free running sum using aggregate over
-    // collect_list (groups are bucket-sized, not corpus-sized).
-    val lists = collect_list(v)
-    val zero = transform(element_at(lists, 1), x => x * lit(0.0))
-    transform(
-      aggregate(lists, zero,
-        (acc, x) => zip_with(acc, x, (a, b) => a + b)),
-      s => s / size(lists))
   }
 
   private def assign(corpus: DataFrame, centroids: DataFrame,

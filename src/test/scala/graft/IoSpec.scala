@@ -30,6 +30,14 @@ class IoSpec extends SparkSpec {
     assert(SignalSchema.unflatten(back).columns.toSeq === Seq("s", "top"))
   }
 
+  test("csv export serializes array columns as JSON strings") {
+    val tmp = Files.createTempDirectory("wa").toString + "/out"
+    val df = Seq((1L, Seq(1, 2, 3))).toDF("id", "xs")
+    Writers.toCsv(df, tmp)
+    val back = spark.read.option("header", "true").csv(tmp).head()
+    assert(back.getString(1) === "[1,2,3]")
+  }
+
   test("json array export produces one valid document") {
     val tmp = Files.createTempDirectory("wj").toString + "/out.json"
     Writers.toJsonArray(spark.read.parquet(s"$sf/region.parquet"), tmp)

@@ -24,6 +24,16 @@ class OpsSpec extends SparkSpec {
     assert(g.head.getAs[Long]("dup_count") === 2L)
   }
 
+  test("exact dedup keeps one representative row per content hash") {
+    val deduped = Dedup.exact(docs, "text", "doc_id")
+    val ids = deduped.select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 3L, 4L, 5L)) // 2 is the dup of 1; 1 is kept
+    val dup = deduped.filter(col("doc_id") === 1).head()
+    assert(dup.getAs[Long]("dup_count") === 2L)
+    assert(deduped.filter(col("doc_id") === 3).head()
+      .getAs[Long]("dup_count") === 1L)
+  }
+
   test("minhash signatures: identical for dups, k values, deterministic") {
     val sig = docs.select(col("doc_id"),
       Dedup.minhashSignature(col("text"), k = 16).as("sig"))
