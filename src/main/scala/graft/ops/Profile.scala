@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/**
+ * Dataset profiling for pipeline QA: one pass over the data computes
+ * per-column null counts, distinct estimates, and numeric/string summary
+ * stats. All sketch-based (`approx_count_distinct`, `approx_percentile`)
+ * so the single aggregation scales to arbitrary row counts — no exact
+ * distinct, no sort.
+ */
+object Profile {
+
+  /** One row per column: nulls, approx distinct, min/max/mean/p50/p95
+    * (numeric), min/max length (string). */
+  def summarize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val total = lit(null).cast("double")
+    val aggs = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      val base = Seq(
+        count(lit(1)).as(s"__n_${f.name}"),
+        sum(when(c.isNull, 1).otherwise(0)).cast("long").as(s"__nulls_${f.name}"),
+        approx_count_distinct(c).as(s"__dist_${f.name}"))
+      val typed = f.dataType match {
+        case _: NumericType => Seq(
+          min(c).cast("double").as(s"__min_${f.name}"),
+          max(c).cast("double").as(s"__max_${f.name}"),
+          avg(c.cast("double")).as(s"__mean_${f.name}"),
+          percentile_approx(c.cast("double"), lit(0.5), lit(1000))
+            .as(s"__p50_${f.name}"),
+          percentile_approx(c.cast("double"), lit(0.95), lit(1000))
+            .as(s"__p95_${f.name}"))
+        case StringType => Seq(
+          min(length(c)).cast("double").as(s"__min_${f.name}"),
+          max(length(c)).cast("double").as(s"__max_${f.name}"),
+          avg(length(c).cast("double")).as(s"__mean_${f.name}"),
+          lit(null).cast("double").as(s"__p50_${f.name}"),
+          lit(null).cast("double").as(s"__p95_${f.name}"))
+        case _ => Seq(
+          lit(null).cast("double").as(s"__min_${f.name}"),
+          lit(null).cast("double").as(s"__max_${f.name}"),
+          lit(null).cast("double").as(s"__mean_${f.name}"),
+          lit(null).cast("double").as(s"__p50_${f.name}"),
+          lit(null).cast("double").as(s"__p95_${f.name}"))
+      }
+      base ++ typed
+    }.toSeq
+    val wide = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = df.schema.fields.toSeq.map { f =>
+      (f.name, f.dataType.simpleString,
+        wide.getAs[Long](s"__n_${f.name}"),
+        wide.getAs[Long](s"__nulls_${f.name}"),
+        wide.getAs[Long](s"__dist_${f.name}"),
+        Option(wide.getAs[java.lang.Double](s"__min_${f.name}")).map(_.toDouble),
+        Option(wide.getAs[java.lang.Double](s"__max_${f.name}")).map(_.toDouble),
+        Option(wide.getAs[java.lang.Double](s"__mean_${f.name}")).map(_.toDouble),
+        Option(wide.getAs[java.lang.Double](s"__p50_${f.name}")).map(_.toDouble),
+        Option(wide.getAs[java.lang.Double](s"__p95_${f.name}")).map(_.toDouble))
+    }
+    rows.toDF("column", "dtype", "n", "nulls", "approx_distinct",
+      "min", "max", "mean", "p50", "p95")
+  }
+}

@@ -143,6 +143,21 @@ class OpsSpec extends SparkSpec {
     assert(again === t1)
   }
 
+  test("profile summarizes columns in one pass") {
+    val p = graft.ops.Profile.summarize(
+      spark.read.parquet(s"$sf/customer.parquet"))
+    val byCol = p.collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(byCol.keySet === Set("c_custkey", "c_name", "c_nationkey",
+      "c_acctbal", "c_mktsegment"))
+    val bal = byCol("c_acctbal")
+    assert(bal.getAs[Long]("nulls") === 0L)
+    assert(bal.getAs[Double]("min") <= bal.getAs[Double]("p50"))
+    assert(bal.getAs[Double]("p50") <= bal.getAs[Double]("p95"))
+    assert(bal.getAs[Double]("p95") <= bal.getAs[Double]("max"))
+    val name = byCol("c_name")
+    assert(name.getAs[Double]("min") > 0) // string → length stats
+  }
+
   test("salted two-phase aggregation equals the direct groupBy") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val direct = li.groupBy("l_returnflag")
