@@ -673,6 +673,20 @@ object SparkEntry {
       cat.readDataset("ds").selectExcept("sys").toDF
     }),
 
+    "q_bbox_iou" -> ((s, dir) => {
+      // CV model math (reference BBox): boxes derived from part attributes,
+      // IoU/area/containment as pure Catalyst arithmetic
+      import graft.model.CvColumns._
+      val d = col("p_size").cast("double")
+      val boxed = T(s, dir, "part").select(col("p_partkey"),
+        array(d, d, d + 10.0, d + 10.0).as("box_a"),
+        array(d + 5.0, d + 5.0, d + 20.0, d + 18.0).as("box_b"))
+      boxed.select(col("p_partkey"),
+        round(bboxArea(col("box_a")), 4).as("area_a"),
+        round(bboxIou(col("box_a"), col("box_b")), 6).as("iou"),
+        bboxContains(col("box_a"), col("box_b")).as("contains_b"))
+    }),
+
     "q_file_du" -> ((s, dir) => {
       // per-directory cumulative sizes over a synthetic file tree derived
       // from documents (dir depth 2: source/subK/docN)
@@ -1113,6 +1127,19 @@ object SparkEntry {
            |  FROM kept)
            |SELECT doc_id, lang, token_count, quality FROM m
            |WHERE quality >= 0.6 AND token_count BETWEEN 20 AND 100000""".stripMargin,
+
+      "q_bbox_iou" ->
+        """WITH b AS (SELECT p_partkey, CAST(p_size AS DOUBLE) AS d FROM part),
+          | g AS (SELECT p_partkey,
+          |  greatest(least(d + 10.0, d + 20.0) - greatest(d, d + 5.0), 0.0) AS ix,
+          |  greatest(least(d + 10.0, d + 18.0) - greatest(d, d + 5.0), 0.0) AS iy,
+          |  100.0 AS area_a, (15.0 * 13.0) AS area_b
+          | FROM b)
+          |SELECT p_partkey, round(area_a, 4) AS area_a,
+          | round(CASE WHEN (area_a + area_b - ix * iy) <= 0 THEN 0.0
+          |   ELSE ix * iy / (area_a + area_b - ix * iy) END, 6) AS iou,
+          | FALSE AS contains_b
+          |FROM g""".stripMargin,
 
       "q_file_du" ->
         """WITH files AS (SELECT

@@ -143,6 +143,28 @@ class OpsSpec extends SparkSpec {
     assert(again === t1)
   }
 
+  test("cv model columns: area, iou, containment, pose visibility") {
+    import graft.model._
+    import graft.model.CvColumns._
+    val df = Seq(
+      (Seq(0.0, 0.0, 10.0, 10.0), Seq(0.0, 0.0, 10.0, 10.0)),   // identical
+      (Seq(0.0, 0.0, 10.0, 10.0), Seq(20.0, 20.0, 30.0, 30.0)), // disjoint
+      (Seq(0.0, 0.0, 10.0, 10.0), Seq(2.0, 2.0, 8.0, 8.0)))     // contained
+      .toDF("a", "b")
+    val r = df.select(round(bboxIou(col("a"), col("b")), 4).as("iou"),
+      bboxContains(col("a"), col("b")).as("c")).collect()
+    assert(r(0).getDouble(0) === 1.0)
+    assert(r(1).getDouble(0) === 0.0)
+    assert(r(2).getDouble(0) === 0.36) // 36/100
+    assert(r(2).getBoolean(1))
+    val pose = Seq(Tuple1(Seq(1.0, 0.0, 0.9, 0.2))).toDF("visible")
+      .select(poseVisibleRatio(col("visible"))).as[Double].head()
+    assert(pose === 0.5)
+    // typed rows round-trip through Encoders
+    val ds = Seq(BBox("cat", Seq(1f, 2f, 3f, 4f))).toDS()
+    assert(ds.head().coords === Seq(1f, 2f, 3f, 4f))
+  }
+
   test("profile summarizes columns in one pass") {
     val p = graft.ops.Profile.summarize(
       spark.read.parquet(s"$sf/customer.parquet"))
