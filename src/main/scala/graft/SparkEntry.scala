@@ -265,13 +265,127 @@ object SparkEntry {
 
     // ------------------------------------------------------- aggregation
     "q_group_collect" -> ((s, dir) =>
+      // collect_list exercised via the sorted-CSV surface: the driver's
+      // pandas compare cannot sort raw array cells, so the array stays
+      // internal and the gate sees a deterministic string rendering.
       C(s, dir, "lineitem")
         .filter(col("l_orderkey") < 1000)
         .groupByAgg(Seq("l_orderkey"),
-          "items" -> array_sort(collect_list(col("l_linenumber"))),
           "items_csv" -> concat_ws(",", array_sort(collect_list(col("l_linenumber")))),
           "n" -> count(lit(1)))
         .toDF),
+
+    "q_group_concat" -> ((s, dir) =>
+      // reference `concat` group aggregate (group_concat with separator,
+      // func/aggregate.py:230) — deterministic via sorted collect
+      C(s, dir, "customer")
+        .groupByAgg(Seq("c_nationkey"),
+          "segs" -> concat_ws("|", array_sort(collect_list(col("c_mktsegment")))),
+          "n" -> count(lit(1)))
+        .toDF),
+
+    "q_cube" -> ((s, dir) =>
+      // grouping-sets family (SURVEY §2.5 lists it as a Spark freebie)
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+
+    "q_rollup" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .rollup(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))),
+
+    "q_pivot" -> ((s, dir) =>
+      // pivot with explicit value list: no extra distinct-scan, plan is a
+      // single hash aggregate — the shape that survives a 100× scale-up
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))),
+
+    "q_intersect" -> ((s, dir) => {
+      val cust = C(s, dir, "customer")
+      val ords = C(s, dir, "orders").rename("o_custkey", "c_custkey")
+      cust.semiJoin(ords, on = Seq("c_custkey"))
+        .select("c_custkey", "c_name").toDF
+    }),
+
+    "q_stats_agg" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+            .as("covar_qp"))),
+
+    "q_percentile" -> ((s, dir) =>
+      // exact percentiles (linear interpolation — same contract as DuckDB
+      // quantile_cont); approx_percentile is the >TB-scale variant, kept out
+      // of the gate because approximation is engine-specific
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          round(expr("median(l_extendedprice)"), 6).as("med_price"))),
+
+    "q_math_funcs" -> ((s, dir) =>
+      T(s, dir, "orders").select(
+        col("o_orderkey"),
+        round(sqrt(col("o_totalprice")), 6).as("sq"),
+        round(pow(col("o_totalprice"), lit(0.3)), 6).as("pw"),
+        round(log(col("o_totalprice") + 1), 6).as("ln1"),
+        round(log10(col("o_totalprice") + 1), 6).as("lg10"),
+        round(exp(col("o_totalprice") / 100000.0), 6).as("ex"),
+        abs(col("o_custkey") - 500).as("ab"),
+        ceil(col("o_totalprice")).as("ce"),
+        floor(col("o_totalprice")).as("fl"),
+        signum(col("o_custkey") - 500).cast("int").as("sg"),
+        pmod(col("o_orderkey"), lit(7)).as("md"))),
+
+    "q_date_funcs" -> ((s, dir) =>
+      T(s, dir, "orders").select(
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+        date_format(date_trunc("month", col("o_orderdate")),
+          "yyyy-MM-dd HH:mm:ss").as("mstart"))),
+
+    "q_json_path" -> ((s, dir) => {
+      // nested JSON-path extraction (reference jmespath support,
+      // lib/meta_formats.py): build a nested doc per row, extract leaf +
+      // array-index paths with get_json_object (codegen'd, no UDF)
+      val j = concat(lit("{\"meta\":{\"ids\":[1,2,3],\"tag\":\"t\"},\"payload\":"),
+        col("props"), lit("}"))
+      E(s, dir).filter(col("event_id") < 2000).select(
+        col("event_id"),
+        get_json_object(j, "$.payload.k").cast("long").as("k"),
+        get_json_object(j, "$.meta.ids[1]").cast("long").as("id1"),
+        get_json_object(j, "$.meta.tag").as("tag"))
+    }),
+
+    "q_batch_map" -> ((s, dir) => {
+      import s.implicits._
+      // batch_map (N:N batched mapper, reference datachain.py:1037) — same
+      // row contract as map, executed over 500-row slices of each partition
+      Chain(T(s, dir, "part").select(col("p_partkey"), col("p_name")))
+        .batchMapTyped[PartIn, PartOut](500)(batch =>
+          batch.map(p => PartOut(p.p_partkey, p.p_name.reverse, p.p_name.length.toLong)))
+        .toDF
+    }),
+
+    "q_skew_agg" -> ((s, dir) =>
+      // two-phase salted aggregation: identical result to a direct groupBy,
+      // hot keys spread over 16 reducers first (the 100TB skew path)
+      graft.ops.Skew.groupBySalted(T(s, dir, "lineitem"),
+        Seq("l_returnflag"), buckets = 16, sums = Seq("l_quantity"))),
 
     "q_any_value" -> ((s, dir) => {
       val c = C(s, dir, "customer").rename("c_nationkey", "n_nationkey")
@@ -863,10 +977,107 @@ object SparkEntry {
 
       "q_group_collect" ->
         """SELECT l_orderkey,
-          | list_sort(list(l_linenumber)) AS items,
           | string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS items_csv,
           | count(*) AS n
           |FROM lineitem WHERE l_orderkey < 1000 GROUP BY l_orderkey""".stripMargin,
+
+      "q_group_concat" ->
+        """SELECT c_nationkey,
+          | string_agg(c_mktsegment, '|' ORDER BY c_mktsegment) AS segs,
+          | count(*) AS n
+          |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+      "q_cube" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+      "q_rollup" ->
+        """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+          | CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mo,
+          | count(*) AS n,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders
+          |GROUP BY ROLLUP(EXTRACT(year FROM o_orderdate),
+          |                EXTRACT(month FROM o_orderdate))""".stripMargin,
+
+      "q_pivot" ->
+        """SELECT l_returnflag,
+          | CAST(sum(CASE WHEN l_linestatus = 'F'
+          |   THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+          | CAST(sum(CASE WHEN l_linestatus = 'O'
+          |   THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+      "q_intersect" ->
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+      "q_stats_agg" ->
+        """SELECT l_returnflag,
+          | round(stddev_samp(l_quantity), 4) AS sd_qty,
+          | round(var_samp(l_quantity), 4) AS var_qty,
+          | round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+          | round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+      "q_percentile" ->
+        """SELECT l_returnflag,
+          | round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+          | round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+          | round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+          | round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+      "q_math_funcs" ->
+        """SELECT o_orderkey,
+          | round(sqrt(o_totalprice), 6) AS sq,
+          | round(pow(o_totalprice, 0.3), 6) AS pw,
+          | round(ln(o_totalprice + 1), 6) AS ln1,
+          | round(log10(o_totalprice + 1), 6) AS lg10,
+          | round(exp(o_totalprice / 100000.0), 6) AS ex,
+          | abs(o_custkey - 500) AS ab,
+          | CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+          | CAST(floor(o_totalprice) AS BIGINT) AS fl,
+          | CAST(sign(o_custkey - 500) AS INTEGER) AS sg,
+          | o_orderkey % 7 AS md
+          |FROM orders""".stripMargin,
+
+      "q_date_funcs" ->
+        """SELECT o_orderkey,
+          | strftime(o_orderdate, '%Y-%m-%d') AS d,
+          | CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+          | CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+          | CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+          | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+          | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+          | strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+          | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS mstart
+          |FROM orders""".stripMargin,
+
+      "q_json_path" ->
+        """WITH j AS (SELECT event_id,
+          |  '{"meta":{"ids":[1,2,3],"tag":"t"},"payload":' || props || '}' AS doc
+          | FROM events WHERE event_id < 2000)
+          |SELECT event_id,
+          | CAST(json_extract_string(doc, '$.payload.k') AS BIGINT) AS k,
+          | CAST(json_extract_string(doc, '$.meta.ids[1]') AS BIGINT) AS id1,
+          | json_extract_string(doc, '$.meta.tag') AS tag
+          |FROM j""".stripMargin,
+
+      "q_batch_map" ->
+        """SELECT p_partkey, reverse(p_name) AS rev_name,
+          | CAST(length(p_name) AS BIGINT) AS name_len FROM part""".stripMargin,
+
+      "q_skew_agg" ->
+        """SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity,
+          | count(*) AS n
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+      "q_read_storage" ->
+        """SELECT regexp_extract(filename, '([^/]*)$', 1) AS path,
+          | CAST(size AS BIGINT) AS size
+          |FROM read_blob('{SF_DIR}/*.parquet')""".stripMargin,
 
       "q_any_value" ->
         """SELECT c.c_nationkey AS n_nationkey, any_value(n.n_name) AS nation_name,

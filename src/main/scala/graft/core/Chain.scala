@@ -129,6 +129,19 @@ final class Chain private (
       ops.append("subtract", on ++ rOn: _*).withParent(other.ops.hash))
   }
 
+  /** NULL-safe semi-join: rows of this chain whose key exists in `other`.
+    * The reference has no `intersect`; this is the Spark-native complement
+    * of [[subtract]] (left_semi — no right columns materialize, so the
+    * build side ships only its key columns over the wire). */
+  def semiJoin(other: Chain, on: Seq[String], rightOn: Seq[String] = Seq.empty): Chain = {
+    val rOn = if (rightOn.nonEmpty) rightOn else on
+    require(rOn.size == on.size, "on/right_on length mismatch")
+    val r = other.df.select(rOn.map(col): _*)
+    val cond = on.zip(rOn).map { case (a, b) => df(a) <=> r(b) }.reduce(_ && _)
+    new Chain(df.join(r, cond, "left_semi"),
+      ops.append("semi_join", on ++ rOn: _*).withParent(other.ops.hash))
+  }
+
   // ------------------------------------------------------------------ joins
 
   /**
