@@ -387,6 +387,31 @@ object SparkEntry {
       graft.ops.Skew.groupBySalted(T(s, dir, "lineitem"),
         Seq("l_returnflag"), buckets = 16, sums = Seq("l_quantity"))),
 
+    "q_asof_join" -> ((s, dir) => {
+      // backward as-of: each event picks up the latest checkpoint value at
+      // or before its timestamp for the same user (single-shuffle plan)
+      val ev = E(s, dir)
+      val refs = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("ref_value"))
+      val l = ev.select("event_id", "user_id", "ts")
+      graft.ops.Joins.asofBackward(l, refs, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), round(col("ref_value"), 6).as("ref_value"))
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      // interval containment as a binned equi-join: customers matched to
+      // non-overlapping balance tiers derived from nation
+      val tiers = T(s, dir, "nation").select(
+        col("n_nationkey").as("tier"),
+        (col("n_nationkey") * 440.0 - 1000.0).as("lo"),
+        (col("n_nationkey") * 440.0 - 560.0).as("hi"))
+      graft.ops.Joins.rangeJoinBinned(
+          T(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")),
+          "c_acctbal", tiers, "lo", "hi", binWidth = 200.0)
+        .select(col("c_custkey"), col("tier"))
+    }),
+
     "q_any_value" -> ((s, dir) => {
       val c = C(s, dir, "customer").rename("c_nationkey", "n_nationkey")
       val n = C(s, dir, "nation")
@@ -1078,6 +1103,20 @@ object SparkEntry {
         """SELECT regexp_extract(filename, '([^/]*)$', 1) AS path,
           | CAST(size AS BIGINT) AS size
           |FROM read_blob('{SF_DIR}/*.parquet')""".stripMargin,
+
+      "q_asof_join" ->
+        """WITH r AS (SELECT user_id, ts, max(value) AS ref_value FROM events
+          |  WHERE event_id % 10 = 0 GROUP BY 1, 2),
+          | l AS (SELECT event_id, user_id, ts FROM events)
+          |SELECT l.event_id, round(r.ref_value, 6) AS ref_value
+          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+      "q_range_join" ->
+        """WITH tiers AS (SELECT n_nationkey AS tier,
+          |  n_nationkey * 440.0 - 1000.0 AS lo,
+          |  n_nationkey * 440.0 - 560.0 AS hi FROM nation)
+          |SELECT c_custkey, tier FROM customer
+          |JOIN tiers ON c_acctbal >= lo AND c_acctbal < hi""".stripMargin,
 
       "q_any_value" ->
         """SELECT c.c_nationkey AS n_nationkey, any_value(n.n_name) AS nation_name,

@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal / interval join operators the reference lacks (its merge is
+ * equi-or-theta only, reference: src/datachain/lib/dc/datachain.py:1601) but
+ * large-scale event pipelines need. Both avoid the naive broadcast-nested-
+ * loop plan Spark would pick for an inequality condition:
+ *
+ *  - [[asofBackward]]: ONE shuffle (union + window), never a cross product.
+ *    For each left row (key, t) it attaches the right row with the greatest
+ *    right-time <= t for the same key — the standard "merge two sorted
+ *    streams" formulation, so 100 TB of events against 100 TB of quotes
+ *    costs the same as one sort-merge join on the key.
+ *  - [[rangeJoinBinned]]: maps the interval containment `lo <= p < hi` onto
+ *    an equi-join over fixed-width bins (interval exploded to the bins it
+ *    covers), then re-filters exactly. Shuffle-hash-joinable, AQE-skew-
+ *    splittable; bin width trades duplication factor vs selectivity.
+ */
+object Joins {
+
+  /**
+   * Backward as-of join. `right`'s non-key, non-time columns are attached to
+   * each left row from the latest right row whose time <= the left row's
+   * time (per key). Rows with no preceding right row keep nulls (left
+   * semantics). `tolerance` (same units as the time column; epoch seconds
+   * for timestamps) drops matches further back than the given distance.
+   *
+   * Right rows should be unique per (key, time) — pre-aggregate otherwise
+   * (ties would be resolved arbitrarily, same as any engine).
+   */
+  def asofBackward(left: DataFrame, right: DataFrame, on: Seq[String],
+                   leftTime: String, rightTime: String,
+                   tolerance: Option[Double] = None): DataFrame = {
+    require(on.nonEmpty, "asofBackward needs at least one key column")
+    val valueCols = right.columns.toSeq.filterNot(c => on.contains(c) || c == rightTime)
+    require(valueCols.nonEmpty, "right side has no value columns to attach")
+    val collide = valueCols.toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty, s"right value columns collide with left: $collide")
+
+    val l2 = left.withColumn("__t", col(leftTime).cast("double"))
+      .withColumn("__side", lit(1))
+    val r2 = right.withColumn("__t", col(rightTime).cast("double"))
+      .withColumn("__side", lit(0))
+      .drop(rightTime)
+    val merged = l2.unionByName(r2, allowMissingColumns = true)
+
+    // Right rows sort before left rows at equal times (side 0 < 1), so an
+    // exactly-coincident right row is visible to the left row.
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // The whole right payload rides in one struct so genuinely-null value
+    // columns survive (last(ignoreNulls) over bare columns would skip them).
+    val payload = when(col("__side") === 0,
+      struct((valueCols.map(col) :+ col("__t").as("__rt")): _*))
+    val matched = merged.withColumn("__m", last(payload, ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val withinTol = tolerance match {
+      case Some(tol) => col("__m").isNotNull && (col("__t") - col("__m.__rt") <= tol)
+      case None      => col("__m").isNotNull
+    }
+    val outVals = valueCols.map(v => when(withinTol, col(s"__m.$v")).as(v))
+    matched.select(left.columns.map(col).toSeq ++ outVals: _*)
+  }
+
+  /**
+   * Inner range join: each point row joins interval rows containing it
+   * (`lo <= point < hi`). Intervals explode to the fixed-width bins they
+   * cover; the join runs as a hash equi-join on the bin plus the exact
+   * containment filter. Pick `binWidth` near the typical interval length:
+   * duplication factor = interval_len / binWidth + 1.
+   */
+  def rangeJoinBinned(points: DataFrame, pointCol: String,
+                      intervals: DataFrame, loCol: String, hiCol: String,
+                      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val bin = (c: Column) => floor(c / binWidth).cast("long")
+    val pts = points.withColumn("__bin", bin(col(pointCol)))
+    val ivs = intervals
+      .withColumn("__bin", explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+    pts.join(ivs, Seq("__bin"), "inner")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

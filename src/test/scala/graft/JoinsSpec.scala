@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Joins
+
+/** As-of and binned range join semantics. */
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofBackward picks the latest right row at or before the left time") {
+    val left = Seq((1L, "a", 10.0), (2L, "a", 25.0), (3L, "a", 5.0),
+      (4L, "b", 50.0)).toDF("id", "k", "t")
+    val right = Seq(("a", 10.0, 100.0), ("a", 20.0, 200.0), ("b", 60.0, 999.0))
+      .toDF("k", "rt", "v")
+    val out = Joins.asofBackward(left, right, Seq("k"), "t", "rt")
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) === Some(100.0)) // coincident right row matches
+    assert(out(2L) === Some(200.0)) // latest preceding, not first
+    assert(out(3L) === None)        // nothing at or before t=5
+    assert(out(4L) === None)        // right row is after left time
+  }
+
+  test("asofBackward tolerance drops stale matches") {
+    val left = Seq((1L, "a", 100.0)).toDF("id", "k", "t")
+    val right = Seq(("a", 10.0, 7.0)).toDF("k", "rt", "v")
+    val hit = Joins.asofBackward(left, right, Seq("k"), "t", "rt",
+      tolerance = Some(100.0)).select("v").as[Option[Double]].head()
+    val miss = Joins.asofBackward(left, right, Seq("k"), "t", "rt",
+      tolerance = Some(50.0)).select("v").as[Option[Double]].head()
+    assert(hit === Some(7.0))
+    assert(miss === None)
+  }
+
+  test("asofBackward preserves genuinely-null right values for real matches") {
+    val left = Seq((1L, "a", 30.0)).toDF("id", "k", "t")
+    val right = Seq(("a", 10.0, Some(5.0)), ("a", 20.0, None))
+      .toDF("k", "rt", "v")
+    // the t=20 row IS the match; its null value must not fall back to t=10's
+    val out = Joins.asofBackward(left, right, Seq("k"), "t", "rt")
+      .select("v").as[Option[Double]].head()
+    assert(out === None)
+  }
+
+  test("rangeJoinBinned equals the naive inequality join") {
+    val points = (1 to 200).map(i => (i.toLong, i * 7.3 % 500)).toDF("id", "p")
+    val ivs = (0 to 9).map(i => (i.toLong, i * 50.0 - 3.0, i * 50.0 + 61.0))
+      .toDF("tier", "lo", "hi")
+    val binned = Joins.rangeJoinBinned(points, "p", ivs, "lo", "hi", 50.0)
+      .select("id", "tier").as[(Long, Long)].collect().toSet
+    val naive = points.join(ivs, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("id", "tier").as[(Long, Long)].collect().toSet
+    assert(binned === naive)
+    assert(binned.nonEmpty)
+  }
+}
