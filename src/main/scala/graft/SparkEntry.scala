@@ -1035,8 +1035,10 @@ object SparkEntry {
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
       "q_intersect" ->
+        // IS NOT DISTINCT FROM mirrors semiJoin's null-safe <=> exactly
         """SELECT c_custkey, c_name FROM customer c
-          |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey IS NOT DISTINCT FROM c.c_custkey)""".stripMargin,
 
       "q_stats_agg" ->
         """SELECT l_returnflag,
@@ -1105,9 +1107,13 @@ object SparkEntry {
           |FROM read_blob('{SF_DIR}/*.parquet')""".stripMargin,
 
       "q_asof_join" ->
-        """WITH r AS (SELECT user_id, ts, max(value) AS ref_value FROM events
+        // CAST(ts AS TIMESTAMP) truncates any ns-precision parquet timestamp
+        // to micros, matching Spark's micros-truncated reads — keeps strict
+        // "at or before" semantics identical on both sides
+        """WITH r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+          |  max(value) AS ref_value FROM events
           |  WHERE event_id % 10 = 0 GROUP BY 1, 2),
-          | l AS (SELECT event_id, user_id, ts FROM events)
+          | l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
           |SELECT l.event_id, round(r.ref_value, 6) AS ref_value
           |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 

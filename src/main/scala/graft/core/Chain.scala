@@ -123,9 +123,14 @@ final class Chain private (
   def subtract(other: Chain, on: Seq[String], rightOn: Seq[String] = Seq.empty): Chain = {
     val rOn = if (rightOn.nonEmpty) rightOn else on
     require(rOn.size == on.size, "on/right_on length mismatch")
-    val r = other.df.select(rOn.map(col): _*)
-    val cond = on.zip(rOn).map { case (a, b) => df(a) <=> r(b) }.reduce(_ && _)
-    new Chain(df.join(r, cond, "left_anti"),
+    // Alias the build side so self-subtract (shared lineage) resolves
+    // unambiguously; ship only the key columns to the join.
+    val l = df.alias("__sub_l")
+    val r = other.df.select(rOn.map(col): _*).alias("__sub_r")
+    val cond = on.zip(rOn)
+      .map { case (a, b) => col(s"__sub_l.$a") <=> col(s"__sub_r.$b") }
+      .reduce(_ && _)
+    new Chain(l.join(r, cond, "left_anti"),
       ops.append("subtract", on ++ rOn: _*).withParent(other.ops.hash))
   }
 
@@ -136,9 +141,12 @@ final class Chain private (
   def semiJoin(other: Chain, on: Seq[String], rightOn: Seq[String] = Seq.empty): Chain = {
     val rOn = if (rightOn.nonEmpty) rightOn else on
     require(rOn.size == on.size, "on/right_on length mismatch")
-    val r = other.df.select(rOn.map(col): _*)
-    val cond = on.zip(rOn).map { case (a, b) => df(a) <=> r(b) }.reduce(_ && _)
-    new Chain(df.join(r, cond, "left_semi"),
+    val l = df.alias("__semi_l")
+    val r = other.df.select(rOn.map(col): _*).alias("__semi_r")
+    val cond = on.zip(rOn)
+      .map { case (a, b) => col(s"__semi_l.$a") <=> col(s"__semi_r.$b") }
+      .reduce(_ && _)
+    new Chain(l.join(r, cond, "left_semi"),
       ops.append("semi_join", on ++ rOn: _*).withParent(other.ops.hash))
   }
 

@@ -40,6 +40,9 @@ object Joins {
     require(valueCols.nonEmpty, "right side has no value columns to attach")
     val collide = valueCols.toSet.intersect(left.columns.toSet)
     require(collide.isEmpty, s"right value columns collide with left: $collide")
+    val reserved = Set("__t", "__side", "__m")
+    val reservedHit = (left.columns ++ right.columns).filter(reserved.contains).toSet
+    require(reservedHit.isEmpty, s"input columns use reserved internal names: $reservedHit")
 
     val l2 = left.withColumn("__t", col(leftTime).cast("double"))
       .withColumn("__side", lit(1))
@@ -77,12 +80,24 @@ object Joins {
    */
   def rangeJoinBinned(points: DataFrame, pointCol: String,
                       intervals: DataFrame, loCol: String, hiCol: String,
-                      binWidth: Double): DataFrame = {
+                      binWidth: Double, maxBinsPerInterval: Int = 100000): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require((points.columns ++ intervals.columns).forall(_ != "__bin"),
+      "input columns use reserved internal name __bin")
     val bin = (c: Column) => floor(c / binWidth).cast("long")
     val pts = points.withColumn("__bin", bin(col(pointCol)))
-    val ivs = intervals
-      .withColumn("__bin", explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+    // Guard against intervals vastly wider than binWidth (or corrupt lo > hi,
+    // where sequence() would silently descend): fail fast per row rather than
+    // exceeding Spark's sequence-length cap mid-job.
+    val lo = bin(col(loCol))
+    val hi = bin(col(hiCol))
+    val guarded = when(hi < lo, raise_error(concat(
+        lit(s"rangeJoinBinned: $loCol > $hiCol on row with lo="), col(loCol).cast("string"))))
+      .when(hi - lo >= maxBinsPerInterval, raise_error(concat(
+        lit(s"rangeJoinBinned: interval spans >= $maxBinsPerInterval bins; raise binWidth (lo="),
+        col(loCol).cast("string"), lit(")"))))
+      .otherwise(sequence(lo, hi))
+    val ivs = intervals.withColumn("__bin", explode(guarded))
     pts.join(ivs, Seq("__bin"), "inner")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")
