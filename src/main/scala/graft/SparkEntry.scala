@@ -610,10 +610,18 @@ object SparkEntry {
           .as("window_start"), col("event_type"), col("n"), col("value_sum"))
       val ckpt = Files.createTempDirectory("graft_ckpt").toString
       val qn = "evw_" + math.abs(scala.util.Random.nextInt())
-      val q = stream.writeStream.outputMode("complete").format("memory")
-        .queryName(qn).option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      // State-store instances scale with shuffle partitions; for a windowed
+      // agg whose state is small, fewer+bigger state partitions commit far
+      // faster (each partition fsyncs its own delta file per batch). On a
+      // real cluster this is sized to state volume, not core count.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream.outputMode("complete").format("memory")
+          .queryName(qn).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(qn)
     }),
 
@@ -838,6 +846,98 @@ object SparkEntry {
         lit(null).cast("timestamp").as("last_modified"),
         lit(null).cast("string").as("location")).as("file"))
       FileOps.du(listing)
+    }),
+
+    // ----------------------------------------- round-3 pipeline operators
+    "q_dedup_clusters" -> ((s, dir) => {
+      // near-dup edges (exact 3-gram Jaccard >= 0.5 over planted variants)
+      // → connected components → cluster assignment; the "keep one doc per
+      // duplicate cluster" primitive, end-to-end
+      val base = T(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text"))
+      val variants = base.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" tail")))
+      val corpus = base.unionByName(variants)
+      val g = corpus.select(col("doc_id"),
+        TextAnalysis.charNgrams(col("text"), 3).as("grams"))
+      val a = g.select(col("doc_id").as("id_a"), col("grams").as("ga"))
+      val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
+      val edges = a.join(b, col("id_a") < col("id_b"))
+        .filter(Dedup.ngramJaccardArrays(col("ga"), col("gb")) >= 0.5)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(edges)
+    }),
+
+    "q_doc_chunks" -> ((s, dir) =>
+      // 1:N chunking for LLM context windows: 500-char chunks, 100 overlap
+      T(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(TextAnalysis.chunkText(col("text"), 500, 100)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          col("c.chunk").as("chunk"))),
+
+    "q_tfidf" -> ((s, dir) => {
+      // corpus-wide TF-IDF, top-3 terms per doc: two aggregations plus a
+      // broadcast of the tiny (n_docs) scalar; the df table is per-word
+      // (vocabulary-sized), so the join is broadcast at any corpus scale
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 300)
+      val words = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(col("word").rlike("^[a-z]{3,}$"))
+      val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(dfreq), "word").crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("word").asc)
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "word", "tfidf", "rk")
+    }),
+
+    "q_stratified" -> ((s, dir) =>
+      // class-balanced deterministic sampling: <=20 docs per language,
+      // chosen by md5 order (reproducible across engines and runs)
+      Split.stratifiedSample(
+        T(s, dir, "documents").select("doc_id", "lang"), "lang", "doc_id", 20)),
+
+    "q_sample_det" -> ((s, dir) =>
+      C(s, dir, "orders").sampleDeterministic(100, "o_orderkey")
+        .select("o_orderkey", "o_totalprice").toDF),
+
+    "q_pii_scrub" -> ((s, dir) =>
+      // plant synthetic PII (email/phone/SSN) then scrub — validates the
+      // redaction patterns byte-for-byte against the oracle's RE2 engine
+      T(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextAnalysis.scrubPii(concat(col("text"),
+            lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1-555-123-4567 ssn 123-45-6789")))
+            .as("clean"))),
+
+    "q_multimodal_frames" -> ((s, dir) => {
+      // video frame-sampling plumbing (1:N) over synthetic payloads; the
+      // byte-slicing math is SQL-expressible, so unlike the stubbed decode
+      // this multimodal path is hash-checked against the oracle
+      val media = Multimodal.syntheticMedia(
+        T(s, dir, "documents").filter(col("doc_id") < 300), "doc_id", "text")
+      Multimodal.sampleFrames(media, 4)
+        .select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame_bytes")).cast("long").as("frame_len"))
+    }),
+
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      E(s, dir).filter(col("user_id") < 50).select(
+        col("event_id"), col("user_id"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(col("value") - lag(col("value"), 1).over(w), 6).as("delta_v"))
     }),
 
     // ------------------------------------------------------ file listing
@@ -1414,7 +1514,94 @@ object SparkEntry {
         """SELECT event_id, event_type,
           | round((CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END) * 2, 6)
           |   AS value2
-          |FROM events""".stripMargin
+          |FROM events""".stripMargin,
+
+      "q_dedup_clusters" ->
+        s"""WITH RECURSIVE corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id < 60
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS doc_id, text || ' tail' AS text
+           |  FROM documents WHERE doc_id < 60 AND doc_id % 4 = 0),
+           | g AS (SELECT doc_id, list_distinct(list_transform(
+           |    range(1, CAST(greatest(length($norm) - 2, 0) AS BIGINT) + 1),
+           |    i -> substr($norm, CAST(i AS INT), 3))) AS grams FROM corpus),
+           | e AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |   FROM g a JOIN g b ON a.doc_id < b.doc_id
+           |   WHERE (CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 0.0
+           |     ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+           |          len(list_distinct(a.grams || b.grams)) END) >= 0.5),
+           | sym AS (SELECT id_a AS a, id_b AS b FROM e
+           |         UNION SELECT id_b, id_a FROM e),
+           | reach AS (SELECT a AS id, a AS r FROM sym
+           |   UNION
+           |   SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.id)
+           |SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+
+      "q_doc_chunks" ->
+        """WITH d AS (SELECT doc_id, text,
+          |  greatest(CAST(ceil((length(text) - 100) / 400.0) AS BIGINT), 1) AS n
+          | FROM documents WHERE doc_id < 200),
+          | x AS (SELECT doc_id, text, unnest(range(0, n)) AS chunk_idx FROM d)
+          |SELECT doc_id, chunk_idx,
+          | substr(text, CAST(chunk_idx * 400 + 1 AS INT), 500) AS chunk
+          |FROM x""".stripMargin,
+
+      "q_tfidf" ->
+        raw"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+           | w0 AS (SELECT doc_id,
+           |   unnest(string_split_regex(lower(text), '\s+')) AS word FROM d),
+           | w AS (SELECT doc_id, word FROM w0
+           |   WHERE regexp_matches(word, '^[a-z]{3,}$$')),
+           | tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+           | df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+           | n AS (SELECT count(*) AS n_docs FROM d),
+           | sc AS (SELECT tf.doc_id, tf.word,
+           |   round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+           |  FROM tf JOIN df USING (word) CROSS JOIN n),
+           | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |   ORDER BY tfidf DESC, word ASC) AS rk FROM sc)
+           |SELECT doc_id, word, tfidf, CAST(rk AS BIGINT) AS rk
+           |FROM r WHERE rk <= 3""".stripMargin,
+
+      "q_stratified" ->
+        """WITH r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+          |  ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+          | FROM documents)
+          |SELECT doc_id, lang FROM r WHERE rk <= 20""".stripMargin,
+
+      "q_sample_det" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |ORDER BY md5(CAST(o_orderkey AS VARCHAR)) ASC, o_orderkey ASC
+          |LIMIT 100""".stripMargin,
+
+      "q_pii_scrub" ->
+        raw"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+           |  text || ' contact user' || doc_id ||
+           |    '@example.com or +1-555-123-4567 ssn 123-45-6789',
+           |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |  '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+           |  '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}',
+           |  '<PHONE>', 'g') AS clean
+           |FROM documents WHERE doc_id < 200""".stripMargin,
+
+      "q_multimodal_frames" ->
+        """WITH d AS (SELECT doc_id AS id, strlen(text) AS L
+          |  FROM documents WHERE doc_id < 300),
+          | f AS (SELECT id, i AS frame_idx, greatest(1, L // 4) AS flen, L
+          |  FROM d CROSS JOIN range(0, 4) t(i))
+          |SELECT id, frame_idx,
+          | CAST(least(least(frame_idx * flen, L) + flen, L)
+          |   - least(frame_idx * flen, L) AS BIGINT) AS frame_len
+          |FROM f""".stripMargin,
+
+      "q_window_lag" ->
+        """SELECT event_id, user_id,
+          | lag(event_type) OVER w AS prev_type,
+          | lead(event_type) OVER w AS next_type,
+          | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          | round(value - lag(value) OVER w, 6) AS delta_v
+          |FROM events WHERE user_id < 50
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin
     )
   }
 }

@@ -3,6 +3,7 @@ package graft.catalog
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 import graft.core.{Chain, OpTree, Sys}
 import graft.schema.SignalSchema
 
@@ -81,9 +82,12 @@ final class Catalog(val root: String, spark: SparkSession) {
       latestVersion(name).map(_.bumpMinor).getOrElse(SemVer(1, 0, 0)))
     val dir = vDir(name, v)
     require(!Files.exists(dir), s"version $name@v$v already exists (immutable)")
-    val stamped = Sys.stamp(chain.toDF)
+    // Row count rides along the write via Observation — no second scan of
+    // the written data (at 100 TB a read-back count doubles the save cost).
+    val obs = org.apache.spark.sql.Observation()
+    val stamped = Sys.stamp(chain.toDF).observe(obs, count(lit(1)).as("rows"))
     stamped.write.mode("errorifexists").parquet(dir.resolve("data").toString)
-    val rows = spark.read.parquet(dir.resolve("data").toString).count()
+    val rows = obs.get("rows").asInstanceOf[Long]
     val meta = metaJson(VersionMeta(
       name, v.toString, chain.hash, SignalSchema.toJson(chain.schema),
       deps, java.time.Instant.now.toString, rows))
@@ -104,6 +108,12 @@ final class Catalog(val root: String, spark: SparkSession) {
 
   def readMeta(name: String, version: SemVer): String =
     new String(Files.readAllBytes(vDir(name, version).resolve("meta.json")), "UTF-8")
+
+  /** Recorded row count of a saved version (from meta, no data scan). */
+  def rowsOf(name: String, version: SemVer): Long =
+    "\"rows\": (\\d+)".r.findFirstMatchIn(readMeta(name, version))
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(s"no rows in $name@v$version meta"))
 
   def deleteDataset(name: String): Unit = {
     val d = dsDir(name)

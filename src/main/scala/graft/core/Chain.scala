@@ -91,6 +91,15 @@ final class Chain private (
     next(df.sample(frac).limit(n), "sample", n.toString)
   }
 
+  /** Deterministic pseudo-random sample: exactly min(n, count) rows chosen
+    * by md5-hash order of `keyCol` — reproducible across runs and engines
+    * (unlike [[sample]]'s fraction-based draw). Plans as a TakeOrderedAndProject
+    * (per-partition top-n, then merge), never a full sort. */
+  def sampleDeterministic(n: Int, keyCol: String): Chain =
+    next(df.orderBy(md5(SignalSchema.resolve(keyCol).cast("string")).asc,
+      SignalSchema.resolve(keyCol).asc).limit(n),
+      "sample_det", n.toString, keyCol)
+
   /** Deterministic reshuffle by persisted sys.rand (stamps sys if absent). */
   def shuffle(seed: Long = 0L): Chain = {
     val stamped = if (df.columns.contains(Sys.ColName)) df else Sys.stamp(df, seed)

@@ -54,12 +54,21 @@ object Delta {
     val snapName = s"__src__$name"
     val prevSnap = catalog.latestVersion(snapName)
     val prevResult = catalog.latestVersion(name)
+    // The snapshot exists only to answer "which keys changed?" next run —
+    // the diff reads nothing but keys + comparators from it (deleted rows
+    // are dropped, so right-side payloads never surface). Persisting only
+    // those columns makes snapshot cost O(keys), not O(payload): at 100 TB
+    // the snapshot of a wide media table is a few GB of keys+etags.
+    def snapshot(): Chain =
+      Chain(source.toDF.select((deltaOn ++ compare).distinct.map(col): _*))
 
     if (prevSnap.isEmpty || prevResult.isEmpty) {
       val out = transform(source)
       val v = catalog.save(out, name, deps = Seq(s"$snapName@full"))
-      catalog.save(source, snapName)
-      return DeltaResult(v, fullRecompute = true, changedRows = source.count())
+      val snapV = catalog.save(snapshot(), snapName)
+      // row count comes from the snapshot save's own metadata — no extra scan
+      return DeltaResult(v, fullRecompute = true,
+        changedRows = catalog.rowsOf(snapName, snapV))
     }
 
     // sys columns are a materialization artifact — strip them before
@@ -81,21 +90,26 @@ object Delta {
         Chain(source.toDF.join(errKeys, deltaOn, "left_semi"))
       case None => Chain(source.toDF.limit(0))
     }
-    val toProcess = Chain(changed.toDF.unionByName(retried.toDF).distinct())
-    val nChanged = toProcess.count()
+    // The changed-set feeds three consumers (count, replay, anti-join) —
+    // persist it so the diff's full-outer join runs once, not three times.
+    val toProcessDF = changed.toDF.unionByName(retried.toDF).distinct().persist()
+    try {
+      val toProcess = Chain(toProcessDF)
+      val nChanged = toProcessDF.count()
 
-    if (nChanged == 0) {
-      // No changes: current result version stands.
-      return DeltaResult(prevResult.get, fullRecompute = false, changedRows = 0)
-    }
+      if (nChanged == 0) {
+        // No changes: current result version stands.
+        return DeltaResult(prevResult.get, fullRecompute = false, changedRows = 0)
+      }
 
-    val replayed = transform(toProcess)
-    // Previous result rows whose key was NOT re-derived, kept as-is.
-    val kept = prevOut.subtract(replayed, on = deltaOn)
-    val out = Chain(kept.toDF.unionByName(replayed.toDF))
-    val v = catalog.save(out, name,
-      deps = Seq(s"$snapName@v${prevSnap.get}", s"$name@v${prevResult.get}"))
-    catalog.save(source, snapName)
-    DeltaResult(v, fullRecompute = false, changedRows = nChanged)
+      val replayed = transform(toProcess)
+      // Previous result rows whose key was NOT re-derived, kept as-is.
+      val kept = prevOut.subtract(replayed, on = deltaOn)
+      val out = Chain(kept.toDF.unionByName(replayed.toDF))
+      val v = catalog.save(out, name,
+        deps = Seq(s"$snapName@v${prevSnap.get}", s"$name@v${prevResult.get}"))
+      catalog.save(snapshot(), snapName)
+      DeltaResult(v, fullRecompute = false, changedRows = nChanged)
+    } finally toProcessDF.unpersist()
   }
 }

@@ -170,6 +170,49 @@ object Dedup {
   }
 
   /**
+   * Connected components over a duplicate-edge list — turns pairwise
+   * near-dup edges (from [[minhashDedupEdges]] / [[simhashNearDups]] /
+   * [[embeddingNearDups]]) into cluster assignments `(id, cluster_id)`,
+   * cluster_id = min id reachable in the undirected dup graph. "Keep one
+   * per cluster" then = `filter(id === cluster_id)`.
+   *
+   * Algorithm: iterative min-label propagation — each round every node
+   * adopts the minimum label among itself and its neighbors; converges in
+   * O(graph diameter) rounds. Each round is one shuffle (join + groupBy on
+   * node id); `localCheckpoint` truncates the growing lineage so round N
+   * doesn't replay rounds 1..N-1. Duplicate clusters are near-cliques
+   * (diameter ~2-3), so this settles in a handful of rounds even at 100 TB;
+   * for adversarial long-chain graphs, switch to large-star/small-star
+   * (Kiveris et al.) — same join primitives, O(log n) rounds.
+   */
+  def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
+                          dstCol: String = "id_b",
+                          maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .unionByName(edges.select(col(dstCol).cast("long").as("src"),
+        col(srcCol).cast("long").as("dst")))
+      .distinct().persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next_label"))
+        .localCheckpoint()
+      changed = next.filter(col("next_label") < col("label")).count()
+      labels = next.select(col("id"), col("next_label").as("label"))
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /**
    * Random-hyperplane sign bucket: bit p = sign(sum_i v_i * h(p, i)) where
    * h is a deterministic ±1 hash. Pure Catalyst (aggregate over the array).
    */

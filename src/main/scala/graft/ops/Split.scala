@@ -34,6 +34,23 @@ object Split {
   /** Deterministic modulo split on an existing integer key (no sys needed). */
   def byKeyMod(df: DataFrame, keyCol: String, total: Int, index: Int): DataFrame =
     df.filter(pmod(col(keyCol), lit(total)) === index)
+
+  /**
+   * Stratified deterministic sample: at most `perGroup` rows per stratum,
+   * chosen by md5-hash order of the key — reproducible across engines and
+   * runs (training-data class balancing). One shuffle (window per stratum);
+   * the rank prunes map-side via WindowGroupLimit, so only ~perGroup rows
+   * per stratum per partition ever reach the exchange.
+   */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       perGroup: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perGroup)
+      .drop("__rk")
+  }
 }
 
 /**

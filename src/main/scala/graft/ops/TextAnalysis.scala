@@ -107,6 +107,40 @@ object TextAnalysis {
     graft.functions.GraftFunctions.sip_hash_64(
       lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /**
+   * Fixed-size character chunks with overlap — the LLM-training document
+   * chunking primitive (1:N gen shape). Returns an array of
+   * struct(chunk_idx, chunk) to explode; chunks start every
+   * `size - overlap` chars, the final chunk may be shorter. Pure Catalyst
+   * (sequence + transform + substring), so chunking a 100 TB corpus is one
+   * codegen'd projection with no shuffle.
+   */
+  def chunkText(text: Column, size: Int, overlap: Int = 0): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val n = greatest(ceil((length(text) - lit(overlap)).cast("double") / stride)
+      .cast("int"), lit(1))
+    transform(sequence(lit(0), n - 1), i =>
+      struct(i.cast("long").as("chunk_idx"),
+        substring(text, (i * stride + 1).cast("int"), lit(size)).as("chunk")))
+  }
+
+  /**
+   * PII scrubbing: replaces emails, international/US phone numbers, and
+   * SSN-shaped ids with typed placeholders. One pass of chained
+   * regexp_replace — codegen'd, no UDF. Patterns use a portable regex
+   * subset (character classes + quantifiers) so external SQL engines apply
+   * the identical rewrite.
+   */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ssn = regexp_replace(email, "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>")
+    regexp_replace(ssn,
+      "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}", "<PHONE>")
+  }
+
   /** Character n-gram set (overlapping shingles) as an array column.
     * Backed by the codegen'd [[graft.functions.Impl.charNgrams]] kernel —
     * the equivalent transform/sequence/array_distinct composition runs

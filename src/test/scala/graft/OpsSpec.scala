@@ -242,4 +242,53 @@ class OpsSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media.limit(3), n = 4)
     assert(frames.count() === 12)
   }
+
+  test("connected components merge transitively linked dup edges") {
+    // components: {1,2,3} via 1-2, 2-3; {10,11}; 4,5 isolated (absent)
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: long chain converges within diameter rounds") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    assert(cc.size === 12 && cc.values.forall(_ === 1L))
+  }
+
+  test("chunkText covers the text with the declared stride and overlap") {
+    val df = Seq((1L, "a" * 950), (2L, "xy"), (3L, "")).toDF("id", "text")
+    val chunks = df.select(col("id"),
+        explode(TextAnalysis.chunkText(col("text"), 400, 100)).as("c"))
+      .select(col("id"), col("c.chunk_idx"), length(col("c.chunk")).as("len"))
+      .as[(Long, Long, Int)].collect()
+    // 950 chars, stride 300: starts 0,300,600 → lens 400,400,350
+    assert(chunks.filter(_._1 == 1L).map(c => (c._2, c._3)).sorted.toSeq ===
+      Seq((0L, 400), (1L, 400), (2L, 350)))
+    assert(chunks.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 2)))
+    assert(chunks.filter(_._1 == 3L).toSeq === Seq((3L, 0L, 0)))
+  }
+
+  test("scrubPii redacts emails, phones, ssns; leaves clean text alone") {
+    val df = Seq(
+      "mail me at jo.doe+x@corp.example.org today",
+      "call +1-555-123-4567 or 44 555 0100 200",
+      "ssn 078-05-1120 ok",
+      "nothing sensitive here").toDF("text")
+    val out = df.select(TextAnalysis.scrubPii(col("text"))).as[String].collect()
+    assert(out(0) === "mail me at <EMAIL> today")
+    assert(out(1).contains("<PHONE>") && !out(1).contains("555-123"))
+    assert(out(2) === "ssn <SSN> ok")
+    assert(out(3) === "nothing sensitive here")
+  }
+
+  test("stratified sample caps each stratum deterministically") {
+    val df = (1 to 100).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "grp")
+    val s1 = Split.stratifiedSample(df, "grp", "id", 10)
+    val s2 = Split.stratifiedSample(df, "grp", "id", 10)
+    assert(s1.groupBy("grp").count().as[(String, Long)].collect().toMap ===
+      Map("a" -> 10L, "b" -> 10L))
+    assert(s1.collect().toSet === s2.collect().toSet) // reproducible
+  }
 }
