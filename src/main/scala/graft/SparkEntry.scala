@@ -565,6 +565,15 @@ object SparkEntry {
         TextAnalysis.fingerprint64(col("o_orderpriority")).as("fp64"),
         sim_hash_64(col("o_orderpriority")).as("simh"))),
 
+    "q_int_hash" -> ((s, dir) =>
+      // custom codegen'd IntHash64 Catalyst expression, hash-matched against
+      // an independent 128-bit-limb emulation in the oracle (the one hash
+      // family portable enough to cross-check engine-to-engine)
+      T(s, dir, "orders").filter(col("o_orderkey") < 3000).select(
+        col("o_orderkey"),
+        int_hash_64(col("o_orderkey")).as("ih_key"),
+        int_hash_64(col("o_custkey")).as("ih_cust"))),
+
     "q_conditional" -> ((s, dir) =>
       T(s, dir, "customer").select(
         col("c_custkey"),
@@ -955,6 +964,37 @@ object SparkEntry {
     words.map(w =>
       s"(CASE WHEN regexp_matches(text, '(?i)(^|\\s)$w(\\s|$$)') THEN 1 ELSE 0 END)")
       .mkString("(", " + ", ")")
+
+  /** DuckDB emulation of our IntHash64 Catalyst expression: unsigned-64
+    * wraparound multiply rebuilt from 32-bit limbs in HUGEINT (DuckDB
+    * integer ops trap on overflow, so c * x mod 2^64 needs the split). */
+  private def intHash64OracleStages: String = {
+    val m32 = "4294967296"; val m64 = "18446744073709551616"
+    val c1 = "5544725790478674055"  // 0x4CF2D2BAAE6DA887
+    val c2 = "18397679294719823053" // 0xFF51AFD7ED558CCD
+    val c3 = "14181476777654086739" // 0xC4CEB9FE1A85EC53
+    def xsh(v: String) =
+      s"CAST(xor(CAST($v AS UBIGINT), CAST($v AS UBIGINT) >> 33) AS HUGEINT)"
+    def mulm(a: String, c: String) =
+      s"(((($a)%$m32)*(($c)%$m32) + (((($a)//$m32)*(($c)%$m32) + " +
+        s"(($a)%$m32)*(($c)//$m32))%$m32)*$m32) % $m64)"
+    def sgn(v: String) =
+      s"CAST(CASE WHEN $v >= 9223372036854775808 THEN $v - $m64 ELSE $v END AS BIGINT)"
+    def both(f: String => String) = s"${f("a")} AS a, ${f("b")} AS b"
+    s"""WITH i AS (SELECT o_orderkey,
+       |  CAST(o_orderkey AS HUGEINT) + CASE WHEN o_orderkey < 0 THEN $m64 ELSE 0 END AS a,
+       |  CAST(o_custkey AS HUGEINT) + CASE WHEN o_custkey < 0 THEN $m64 ELSE 0 END AS b
+       | FROM orders WHERE o_orderkey < 3000),
+       | s1 AS (SELECT o_orderkey, ${both(v =>
+              s"CAST(xor(CAST($v AS UBIGINT), CAST($c1 AS UBIGINT)) AS HUGEINT)")} FROM i),
+       | s2 AS (SELECT o_orderkey, ${both(xsh)} FROM s1),
+       | s3 AS (SELECT o_orderkey, ${both(mulm(_, c2))} FROM s2),
+       | s4 AS (SELECT o_orderkey, ${both(xsh)} FROM s3),
+       | s5 AS (SELECT o_orderkey, ${both(mulm(_, c3))} FROM s4),
+       | s6 AS (SELECT o_orderkey, ${both(xsh)} FROM s5)
+       |SELECT o_orderkey, ${sgn("a")} AS ih_key, ${sgn("b")} AS ih_cust
+       |FROM s6""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = {
     val en = markerSql(TextAnalysis.enStop)
@@ -1515,6 +1555,8 @@ object SparkEntry {
           | round((CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END) * 2, 6)
           |   AS value2
           |FROM events""".stripMargin,
+
+      "q_int_hash" -> intHash64OracleStages,
 
       "q_dedup_clusters" ->
         s"""WITH RECURSIVE corpus AS (

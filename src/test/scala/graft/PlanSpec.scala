@@ -52,6 +52,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q_sample_det: deterministic sample plans as top-n, not a full sort") {
+    val p = plan("q_sample_det")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q_stratified: per-stratum cap prunes map-side via WindowGroupLimit") {
+    val p = plan("q_stratified")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_tfidf: df and n_docs joins broadcast (no shuffle join on tf)") {
+    val p = plan("q_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_doc_chunks: chunking is one projection over the scan (no shuffle)") {
+    val p = plan("q_doc_chunks")
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q_hash_funcs")(spark, sf)
     val p = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
