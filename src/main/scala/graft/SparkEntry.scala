@@ -960,10 +960,11 @@ object SparkEntry {
   // DuckDB oracles — identical semantics, identical output column names.
   // ======================================================================
 
-  private def markerSql(words: Seq[String]): String =
-    words.map(w =>
-      s"(CASE WHEN regexp_matches(text, '(?i)(^|\\s)$w(\\s|$$)') THEN 1 ELSE 0 END)")
-      .mkString("(", " + ", ")")
+  /** Mirrors TextAnalysis.markerHits: distinct whole-token marker hits. */
+  private def markerSql(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString("[", ",", "]")
+    raw"len(list_intersect(list_distinct(string_split_regex(lower(text), '\s+')), $list))"
+  }
 
   /** DuckDB emulation of our IntHash64 Catalyst expression: unsigned-64
     * wraparound multiply rebuilt from 32-bit limbs in HUGEINT (DuckDB

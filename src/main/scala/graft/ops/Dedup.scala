@@ -193,19 +193,29 @@ object Dedup {
       .unionByName(edges.select(col(dstCol).cast("long").as("src"),
         col(srcCol).cast("long").as("dst")))
       .distinct().persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // Round 0 folded into initialization: label = min(id, neighbors).
+    // Dup clusters are near-cliques, so this alone usually converges and
+    // the loop's first pass just confirms (changed = 0).
+    var labels = sym.groupBy(col("src").as("id"))
+      .agg(least(first(col("src")), min(col("dst"))).as("label"))
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val neighborMin = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nmin"))
+      // Convergence count rides the checkpoint job via Observation — one
+      // Spark job per round, not two.
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("next_label"))
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("nmin") < col("label")).as("__moved"))
+        .observe(obs, sum(when(col("__moved"), 1L).otherwise(0L)).as("changed"))
+        .drop("__moved")
         .localCheckpoint()
-      changed = next.filter(col("next_label") < col("label")).count()
-      labels = next.select(col("id"), col("next_label").as("label"))
+      changed = Option(obs.get("changed")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      labels = next
       iter += 1
     }
     sym.unpersist()

@@ -49,10 +49,12 @@ object TextAnalysis {
   val frStop = Seq("le", "la", "les", "et", "est", "une", "que", "pour")
   val esStop = Seq("el", "los", "las", "es", "una", "que", "por", "para")
 
+  /** Number of DISTINCT marker words present as whole whitespace tokens.
+    * One tokenize + set-intersect instead of |words| regex scans — langId
+    * over 32 markers costs one pass of the text, not 32. */
   private def markerHits(text: Column, words: Seq[String]): Column =
-    words.map { w =>
-      when(text.rlike("(?i)(^|\\s)" + w + "(\\s|$)"), 1).otherwise(0)
-    }.reduce(_ + _)
+    size(array_intersect(split(lower(text), "\\s+"),
+      array(words.map(lit): _*)))
 
   /**
    * Heuristic language ID over stopword markers (n-gram-style heuristic;
