@@ -122,6 +122,52 @@ final class Catalog(val root: String, spark: SparkSession) {
     }
   }
 
+  /** Rename a dataset, all versions included (reference `move_dataset`,
+    * src/datachain/lib/dc/datasets.py). Metadata is patched so the stored
+    * name matches; the data files never move byte-wise beyond the dir
+    * rename (an O(1) metadata operation on any real FS). */
+  def moveDataset(from: String, to: String): Unit = {
+    require(Files.isDirectory(dsDir(from)), s"dataset $from not found")
+    require(!Files.exists(dsDir(to)), s"dataset $to already exists")
+    Files.createDirectories(dsDir(to).getParent)
+    Files.move(dsDir(from), dsDir(to))
+    versions(to).foreach { v =>
+      val patched = readMeta(to, v).replaceFirst(
+        "\"name\": \"" + java.util.regex.Pattern.quote(esc(from)) + "\"",
+        java.util.regex.Matcher.quoteReplacement("\"name\": \"" + esc(to) + "\""))
+      Files.write(vDir(to, v).resolve("meta.json"), patched.getBytes("UTF-8"),
+        StandardOpenOption.TRUNCATE_EXISTING)
+    }
+  }
+
+  // ---- namespaces (reference: src/datachain/lib/dc/namespaces.py) ----
+  // Dataset full names are dot-paths "namespace.project.name"; a namespace
+  // is a registered prefix. Registration is a marker file, so namespace ops
+  // are metadata-only.
+
+  private def nsFile(ns: String): Path = Paths.get(root, "namespaces", ns)
+
+  def createNamespace(ns: String): Unit = {
+    require(ns.nonEmpty && !ns.contains('/'), s"bad namespace: $ns")
+    Files.createDirectories(nsFile(ns).getParent)
+    if (!Files.exists(nsFile(ns))) Files.createFile(nsFile(ns))
+  }
+
+  def namespaces(): Seq[String] = {
+    val d = Paths.get(root, "namespaces")
+    val registered =
+      if (!Files.isDirectory(d)) Seq.empty
+      else Files.list(d).iterator.asScala.map(_.getFileName.toString).toSeq
+    val implied = datasets().filter(_.contains('.')).map(_.split('.').head)
+    (registered ++ implied).distinct.sorted
+  }
+
+  def deleteNamespace(ns: String): Unit = {
+    require(!datasets().exists(_.startsWith(ns + ".")),
+      s"namespace $ns still has datasets")
+    Files.deleteIfExists(nsFile(ns))
+  }
+
   /** Meta-chain over the catalog itself: one row per dataset version
     * (reference `datasets()`, src/datachain/lib/dc/datasets.py:523). */
   def datasetsDF(): org.apache.spark.sql.DataFrame = {

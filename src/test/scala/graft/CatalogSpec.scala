@@ -202,4 +202,48 @@ class CatalogSpec extends SparkSpec {
     assert(!FileOps.globMatch("{cats,dogs}/*", "birds/x"))
     assert(FileOps.globMatch("a?c/*", "abc/z"))
   }
+
+  test("moveDataset renames all versions and patches metadata") {
+    val root = Files.createTempDirectory("cat").toString
+    val cat = new Catalog(root, spark)
+    val c = Chain(spark.read.parquet(s"$sf/region.parquet"))
+    cat.save(c, "regions"); cat.save(c, "regions")
+    cat.moveDataset("regions", "geo.main.regions")
+    assert(cat.versions("regions").isEmpty)
+    assert(cat.versions("geo.main.regions").size === 2)
+    assert(cat.readMeta("geo.main.regions", SemVer(1, 0, 0))
+      .contains("\"name\": \"geo.main.regions\""))
+    assert(cat.readDataset("geo.main.regions").count() === 5)
+    intercept[IllegalArgumentException](cat.moveDataset("nope", "x"))
+  }
+
+  test("namespaces: create, list (registered + implied), guarded delete") {
+    val root = Files.createTempDirectory("cat").toString
+    val cat = new Catalog(root, spark)
+    cat.createNamespace("ml")
+    val c = Chain(spark.read.parquet(s"$sf/region.parquet"))
+    cat.save(c, "prod.corpus.docs")
+    assert(cat.namespaces() === Seq("ml", "prod"))
+    intercept[IllegalArgumentException](cat.deleteNamespace("prod"))
+    cat.deleteNamespace("ml")
+    assert(cat.namespaces() === Seq("prod"))
+  }
+
+  test("job metrics: params, scalars, executor-side counters, sidecar") {
+    import graft.catalog.JobMetrics
+    val root = Files.createTempDirectory("cat").toString
+    val cat = new Catalog(root, spark)
+    val jm = JobMetrics(cat, "job-42", spark)
+    jm.setParam("threshold", "0.8")
+    jm.set("rows_per_sec", 1234.5)
+    val dropped = jm.counter("dropped")
+    // counter bumped from executor-side tasks, merged on the driver
+    spark.range(100).foreach { i => if (i % 4 == 0) dropped.add(1) }
+    jm.persist()
+    val json = JobMetrics.read(cat, "job-42").get
+    assert(json.contains("\"threshold\": \"0.8\""))
+    assert(json.contains("\"rows_per_sec\": 1234.5"))
+    assert(json.contains("\"dropped\": 25"))
+    assert(JobMetrics.read(cat, "nope").isEmpty)
+  }
 }
