@@ -290,6 +290,23 @@ object SparkEntry {
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
 
+    "q_grouping_sets" -> ((s, dir) =>
+      // explicit grouping sets (finer than cube/rollup): per-flag, per-status,
+      // and grand total in ONE pass — Spark expands to a single Expand+Agg
+      T(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
+
+    "q_merge_right" -> ((s, dir) => {
+      val l = C(s, dir, "orders").selectExpr(
+        col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val r = C(s, dir, "customer").selectExpr(col("c_custkey"), col("c_name"))
+      l.merge(r, on = Seq("c_custkey"), how = "right_outer")
+        .select("c_custkey", "o_orderkey", "o_totalprice", "c_name").toDF
+    }),
+
     "q_rollup" -> ((s, dir) =>
       T(s, dir, "orders")
         .rollup(year(col("o_orderdate")).cast("long").as("yr"),
@@ -1558,6 +1575,17 @@ object SparkEntry {
           |FROM events""".stripMargin,
 
       "q_int_hash" -> intHash64OracleStages,
+
+      "q_grouping_sets" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+      "q_merge_right" ->
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice, c.c_name
+          |FROM orders o RIGHT JOIN customer c
+          |ON o.o_custkey = c.c_custkey""".stripMargin,
 
       "q_dedup_clusters" ->
         s"""WITH RECURSIVE corpus AS (

@@ -83,13 +83,12 @@ final class Chain private (
   /** Whole-row distinct. */
   def distinct(): Chain = next(df.distinct(), "distinct")
 
-  /** Random sample of ~n rows. At scale this is a sample-fraction pushdown,
-    * not the reference's `ORDER BY random() LIMIT n` full sort. */
-  def sample(n: Int): Chain = {
-    val total = df.count()
-    val frac = if (total == 0) 0.0 else math.min(1.0, n * 1.2 / total.toDouble)
-    next(df.sample(frac).limit(n), "sample", n.toString)
-  }
+  /** Random sample of exactly min(n, count) rows — the reference's
+    * `ORDER BY random() LIMIT n` (datachain.py:2767), which Spark plans as
+    * TakeOrderedAndProject: a bounded heap per partition + driver merge,
+    * one pass, no full sort and no pre-count scan. */
+  def sample(n: Int): Chain =
+    next(df.orderBy(rand()).limit(n), "sample", n.toString)
 
   /** Deterministic pseudo-random sample: exactly min(n, count) rows chosen
     * by md5-hash order of `keyCol` — reproducible across runs and engines
