@@ -966,6 +966,21 @@ object SparkEntry {
         round(col("value") - lag(col("value"), 1).over(w), 6).as("delta_v"))
     }),
 
+    "q_file_find" -> ((s, dir) => {
+      // `find` over a listing: glob + size predicates as pure Column
+      // filters (same synthetic tree as q_file_du)
+      val listing = T(s, dir, "documents").select(struct(
+        lit("synth://x").as("source"),
+        concat(col("source"), lit("/sub"), pmod(col("doc_id"), lit(3)),
+          lit("/doc"), col("doc_id"), lit(".txt")).as("path"),
+        col("n_chars").as("size"),
+        lit("").as("version"), lit("").as("etag"), lit(true).as("is_latest"),
+        lit(null).cast("timestamp").as("last_modified"),
+        lit(null).cast("string").as("location")).as("file"))
+      FileOps.find(listing, glob = Some("*/sub1/*.txt"), minSize = 500)
+        .select(col("file.path").as("path"), col("file.size").as("size"))
+    }),
+
     // ------------------------------------------------------ file listing
     "q_read_storage" -> ((s, dir) =>
       FileOps.readStorage(s, dir, pattern = Some("*.parquet"))
@@ -1567,6 +1582,15 @@ object SparkEntry {
           |SELECT dir, CAST(sum(size) AS BIGINT) AS total_size,
           | count(*) AS n_files
           |FROM a GROUP BY dir""".stripMargin,
+
+      "q_file_find" ->
+        raw"""SELECT source || '/sub' || (doc_id % 3) || '/doc' || doc_id || '.txt' AS path,
+           | n_chars AS size
+           |FROM documents
+           |WHERE regexp_matches(
+           |   source || '/sub' || (doc_id % 3) || '/doc' || doc_id || '.txt',
+           |   '^[^/]*/sub1/[^/]*\.txt$$')
+           | AND n_chars >= 500""".stripMargin,
 
       "q_delta_inc" ->
         """SELECT event_id, event_type,

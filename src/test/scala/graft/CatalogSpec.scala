@@ -203,6 +203,22 @@ class CatalogSpec extends SparkSpec {
     assert(FileOps.globMatch("a?c/*", "abc/z"))
   }
 
+  test("find filters listings by glob, name regex, and size bounds") {
+    val listing = Seq(
+      ("a/sub1/x.txt", 100L), ("a/sub1/y.log", 900L),
+      ("a/sub2/z.txt", 900L), ("b/sub1/w.txt", 900L))
+      .toDF("p", "s")
+      .select(struct(col("p").as("path"), col("s").as("size")).as("file"))
+    def paths(df: org.apache.spark.sql.DataFrame) =
+      df.select("file.path").as[String].collect().toSet
+    assert(paths(FileOps.find(listing, glob = Some("*/sub1/*.txt"))) ===
+      Set("a/sub1/x.txt", "b/sub1/w.txt"))
+    assert(paths(FileOps.find(listing, glob = Some("a/**"), minSize = 500)) ===
+      Set("a/sub1/y.log", "a/sub2/z.txt"))
+    assert(paths(FileOps.find(listing, nameRegex = Some("^[wx]"), maxSize = 500)) ===
+      Set("a/sub1/x.txt"))
+  }
+
   test("moveDataset renames all versions and patches metadata") {
     val root = Files.createTempDirectory("cat").toString
     val cat = new Catalog(root, spark)
