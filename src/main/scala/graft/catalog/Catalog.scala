@@ -106,6 +106,53 @@ final class Catalog(val root: String, spark: SparkSession) {
     Chain(df, OpTree.empty.append("read_dataset", name, v.toString))
   }
 
+  /**
+   * Load by version specifier (reference version specifiers,
+   * src/datachain/lib/dc/datasets.py + semver.py): exact `"1.2.3"`,
+   * comparators `">=1.2.0"` / `">1.0"` / `"<=2"` / `"<2.0.0"`, caret
+   * `"^1.2"` (same major), tilde `"~1.2"` (same major.minor). Picks the
+   * LATEST version satisfying the spec.
+   */
+  def readDatasetSpec(name: String, spec: String): Chain = {
+    val v = resolveSpec(name, spec).getOrElse(throw new NoSuchElementException(
+      s"dataset $name has no version matching '$spec' " +
+        s"(available: ${versions(name).mkString(", ")})"))
+    readDataset(name, Some(v))
+  }
+
+  /** Latest version of `name` satisfying `spec`; see [[readDatasetSpec]]. */
+  def resolveSpec(name: String, spec: String): Option[SemVer] = {
+    def pad(s: String): (SemVer, Int) = {
+      val parts = s.trim.split('.')
+      require(parts.nonEmpty && parts.length <= 3 &&
+        parts.forall(_.forall(_.isDigit)), s"bad version in spec: $s")
+      (SemVer(parts.head.toInt,
+        if (parts.length > 1) parts(1).toInt else 0,
+        if (parts.length > 2) parts(2).toInt else 0), parts.length)
+    }
+    val vs = versions(name)
+    val t = spec.trim
+    val pred: SemVer => Boolean = t match {
+      case s if s.startsWith(">=") => v => v >= pad(s.drop(2))._1
+      case s if s.startsWith("<=") => v => v <= pad(s.drop(2))._1
+      case s if s.startsWith(">")  => v => v > pad(s.drop(1))._1
+      case s if s.startsWith("<")  => v => v < pad(s.drop(1))._1
+      case s if s.startsWith("^")  =>
+        val (lo, _) = pad(s.drop(1)); v => v >= lo && v.major == lo.major
+      case s if s.startsWith("~")  =>
+        val (lo, _) = pad(s.drop(1))
+        v => v >= lo && v.major == lo.major && v.minor == lo.minor
+      case s =>
+        val (exact, given) = pad(s)
+        given match {
+          case 3 => v => v == exact
+          case 2 => v => v.major == exact.major && v.minor == exact.minor
+          case _ => v => v.major == exact.major
+        }
+    }
+    vs.filter(pred).lastOption
+  }
+
   def readMeta(name: String, version: SemVer): String =
     new String(Files.readAllBytes(vDir(name, version).resolve("meta.json")), "UTF-8")
 

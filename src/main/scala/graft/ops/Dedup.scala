@@ -188,10 +188,14 @@ object Dedup {
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
                           dstCol: String = "id_b",
                           maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .unionByName(edges.select(col(dstCol).cast("long").as("src"),
-        col(srcCol).cast("long").as("dst")))
+    // Symmetrize in ONE pass over the edge list (explode to both
+    // directions) — a self-union would evaluate the upstream edge
+    // computation (often an expensive similarity join) twice.
+    val sym = edges.select(explode(array(
+        struct(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")),
+        struct(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst"))))
+        .as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct().persist()
     // Round 0 folded into initialization: label = min(id, neighbors).
     // Dup clusters are near-cliques, so this alone usually converges and

@@ -203,6 +203,29 @@ class CatalogSpec extends SparkSpec {
     assert(FileOps.globMatch("a?c/*", "abc/z"))
   }
 
+  test("version specifiers resolve to the latest satisfying version") {
+    val root = Files.createTempDirectory("cat").toString
+    val cat = new Catalog(root, spark)
+    val c = Chain(spark.read.parquet(s"$sf/region.parquet"))
+    cat.save(c, "d", Some(SemVer(1, 0, 0)))
+    cat.save(c, "d", Some(SemVer(1, 2, 0)))
+    cat.save(c, "d", Some(SemVer(1, 2, 5)))
+    cat.save(c, "d", Some(SemVer(2, 0, 0)))
+    def r(spec: String) = cat.resolveSpec("d", spec).map(_.toString)
+    assert(r("1.2.5") === Some("1.2.5"))
+    assert(r("1.2") === Some("1.2.5"))   // prefix match
+    assert(r("1") === Some("1.2.5"))
+    assert(r(">=1.2.0") === Some("2.0.0"))
+    assert(r("<2.0.0") === Some("1.2.5"))
+    assert(r("<=1.2.0") === Some("1.2.0"))
+    assert(r(">2") === None)
+    assert(r("^1.0") === Some("1.2.5"))  // same major
+    assert(r("~1.2") === Some("1.2.5"))  // same major.minor
+    assert(r("~1.0") === Some("1.0.0"))
+    assert(cat.readDatasetSpec("d", "^1").count() === 5)
+    intercept[NoSuchElementException](cat.readDatasetSpec("d", ">2.0.0"))
+  }
+
   test("find filters listings by glob, name regex, and size bounds") {
     val listing = Seq(
       ("a/sub1/x.txt", 100L), ("a/sub1/y.log", 900L),
