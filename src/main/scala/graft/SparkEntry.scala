@@ -972,6 +972,44 @@ object SparkEntry {
         round(col("value") - lag(col("value"), 1).over(w), 6).as("delta_v"))
     }),
 
+    "q_seq_pack" -> ((s, dir) =>
+      // sequence packing: 4 parallel shard streams, ~2000-token packs
+      graft.ops.Pack.byTokenBudget(
+        T(s, dir, "documents").filter(col("doc_id") < 400)
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("tokens")),
+        "tokens", "doc_id", budget = 2000, shards = 4)),
+
+    "q_dedup_keep_best" -> ((s, dir) => {
+      // keep-best dedup: one representative per content group chosen by a
+      // quality key (longest doc, id-desc tiebreak), not just min id
+      val docs = T(s, dir, "documents")
+      val dups = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      val corpus = docs.unionByName(dups)
+        .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
+      val w = Window.partitionBy(col("fp"))
+        .orderBy(col("n_chars").desc, col("doc_id").desc)
+      corpus.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("fp"), col("doc_id"), col("n_chars"))
+    }),
+
+    "q_contamination" -> ((s, dir) => {
+      // train/test decontamination: flag test docs whose normalized-content
+      // fingerprint appears in train (planted overlap guarantees hits).
+      // At scale: semi-join on the 16-byte fingerprint only.
+      val docs = T(s, dir, "documents")
+      val train = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+      val test = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+          .withColumn("doc_id", col("doc_id") + 200000))
+      val fpOf = (d: org.apache.spark.sql.DataFrame) =>
+        d.select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      fpOf(test).join(fpOf(train).select("fp").distinct(), Seq("fp"), "left_semi")
+        .select("doc_id", "fp")
+    }),
+
     "q_file_find" -> ((s, dir) => {
       // `find` over a listing: glob + size predicates as pure Column
       // filters (same synthetic tree as q_file_du)
@@ -1593,6 +1631,40 @@ object SparkEntry {
           |SELECT dir, CAST(sum(size) AS BIGINT) AS total_size,
           | count(*) AS n_files
           |FROM a GROUP BY dir""".stripMargin,
+
+      "q_seq_pack" ->
+        s"""WITH d AS (SELECT doc_id,
+           |  CAST($tokCount AS BIGINT) AS tokens,
+           |  doc_id % 4 AS shard
+           | FROM documents WHERE doc_id < 400)
+           |SELECT doc_id, tokens, shard,
+           | CAST(floor(CAST(coalesce(sum(tokens) OVER (PARTITION BY shard
+           |   ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING
+           |   AND 1 PRECEDING), 0) AS DOUBLE) / 2000) AS BIGINT) AS pack_id
+           |FROM d""".stripMargin,
+
+      "q_dedup_keep_best" ->
+        s"""WITH corpus AS (
+           |  SELECT * FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+           |  FROM documents WHERE doc_id % 3 = 0),
+           | f AS (SELECT doc_id, n_chars, md5($norm) AS fp,
+           |   row_number() OVER (PARTITION BY md5($norm)
+           |     ORDER BY n_chars DESC, doc_id DESC) AS rk
+           |  FROM corpus)
+           |SELECT fp, doc_id, n_chars FROM f WHERE rk = 1""".stripMargin,
+
+      "q_contamination" ->
+        s"""WITH train AS (SELECT md5($norm) AS fp FROM documents
+           |   WHERE doc_id % 10 < 8),
+           | test AS (SELECT doc_id, md5($norm) AS fp FROM documents
+           |   WHERE doc_id % 10 >= 8
+           |  UNION ALL
+           |  SELECT doc_id + 200000 AS doc_id, md5($norm) AS fp
+           |  FROM documents WHERE doc_id % 17 = 0)
+           |SELECT doc_id, fp FROM test
+           |WHERE EXISTS (SELECT 1 FROM train WHERE train.fp = test.fp)""".stripMargin,
 
       "q_file_find" ->
         raw"""SELECT source || '/sub' || (doc_id % 3) || '/doc' || doc_id || '.txt' AS path,
