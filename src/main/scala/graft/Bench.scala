@@ -16,11 +16,22 @@ object Bench {
     // untimed warmup: session init, codegen compiler, parquet footer caches
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // local-iteration knobs (driver leaves them unset → full single pass):
+    // SPARK_GRAFT_QUERIES=a,b,c runs a subset; SPARK_GRAFT_REPEAT=n times
+    // each query n times and reports the minimum (steady-state timing).
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val times = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -185,6 +185,9 @@ object Dedup {
    * for adversarial long-chain graphs, switch to large-star/small-star
    * (Kiveris et al.) — same join primitives, O(log n) rounds.
    */
+  /** Rounds the last [[connectedComponents]] call took (diagnostics). */
+  @volatile var lastRounds: Int = 0
+
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
                           dstCol: String = "id_b",
                           maxIter: Int = 25): DataFrame = {
@@ -222,6 +225,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // (A path-halving variant — also adopting label-of-label each round —
+    // was measured SLOWER here: dup graphs are near-cliques, so rounds are
+    // already few and the extra self-join per round dominates. For long-
+    // chain graphs prefer large-star/small-star.)
+    lastRounds = iter
     sym.unpersist()
     labels.select(col("id"), col("label").as("cluster_id"))
   }
