@@ -103,4 +103,39 @@ object EventStream {
     normTs(spark.readStream.schema(schema).parquet(dir))
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id")
+
+  /**
+   * Stream-static enrichment: join the unbounded stream with a bounded
+   * dimension on `keys`. Spark broadcasts the static side per micro-batch
+   * (no stream-side state), so enrichment adds no state store and scales
+   * with the dimension's broadcastability — the streaming counterpart of a
+   * dimension `merge`.
+   */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+             how: String = "left_outer"): DataFrame =
+    stream.join(broadcast(dim), keys, how)
+
+  /**
+   * Versioned streaming sink: every micro-batch materializes as a NEW
+   * dataset version in the catalog (foreachBatch → Catalog.save), so a
+   * continuously-running pipeline produces the same immutable, lineage-
+   * tracked versions a batch `save` does — time travel over stream output.
+   * Returns the started query; call `.awaitTermination()` (AvailableNow
+   * runs drain what's available, then stop).
+   */
+  def toCatalog(stream: DataFrame, catalog: graft.catalog.Catalog,
+                name: String, checkpointDir: String,
+                trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          catalog.save(graft.core.Chain(batch), name,
+            deps = Seq(s"stream@batch$batchId"))
+        ()
+      }
+      .start()
 }

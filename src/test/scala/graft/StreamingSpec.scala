@@ -82,6 +82,42 @@ class StreamingSpec extends SparkSpec {
     assert(gotU === expected)
   }
 
+  test("stream-static enrichment joins a broadcast dimension per batch") {
+    val dir = stageDir(s"$sf/events.parquet")
+    val schema = spark.read.parquet(dir).schema
+    val dim = spark.range(0, 2000).select(col("id").as("user_id"),
+      concat(lit("seg_"), pmod(col("id"), lit(4))).as("segment"))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .select("event_id", "user_id")
+    val enriched = EventStream.enrich(stream, dim, Seq("user_id"))
+    val ckpt = Files.createTempDirectory("ckpt4").toString
+    val q = enriched.writeStream.outputMode("append").format("memory")
+      .queryName("ev_enrich").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ev_enrich")
+    assert(got.count() === spark.read.parquet(dir).count())
+    assert(got.filter(col("segment").isNull).count() === 0)
+    assert(got.filter(col("user_id") === 7 && col("segment") =!= "seg_3")
+      .count() === 0)
+  }
+
+  test("toCatalog materializes each micro-batch as a dataset version") {
+    val dir = stageDir(s"$sf/events.parquet")
+    val schema = spark.read.parquet(dir).schema
+    val root = Files.createTempDirectory("cat_stream").toString
+    val cat = new graft.catalog.Catalog(root, spark)
+    val ckpt = Files.createTempDirectory("ckpt5").toString
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .select("event_id", "event_type")
+    EventStream.toCatalog(stream, cat, "ev_versions", ckpt).awaitTermination()
+    val vs = cat.versions("ev_versions")
+    assert(vs.nonEmpty) // AvailableNow over one file → one batch/version
+    assert(cat.readDataset("ev_versions").count() ===
+      spark.read.parquet(dir).count())
+    assert(cat.readMeta("ev_versions", vs.head).contains("stream@batch"))
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val dir = stageDir(s"$sf/events.parquet")
     val schema = spark.read.parquet(dir).schema
