@@ -341,6 +341,13 @@ final class Chain private (
 
   def show(n: Int = 20): Unit = df.show(n, truncate = false)
 
+  /** Execute the chain for its side effects, discarding rows
+    * (reference `exec`, datachain.py). */
+  def exec(): Unit = df.foreach(_ => ())
+
+  /** Print the (nested) schema tree (reference `print_schema`). */
+  def printSchema(): Unit = df.printSchema()
+
   // ------------------------------------------------------------ persistence
 
   /** Hash-partition by the given keys (pre-shuffle for a co-located join

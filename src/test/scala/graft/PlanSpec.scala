@@ -74,6 +74,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q_asof_join: one shuffle (union + window), never a join") {
+    val p = plan("q_asof_join")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Window"), p)
+    // union + window: exchanges only for the key partitioning (+ final agg)
+    assert("Exchange \\(".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q_contamination: fingerprint semi-join, text never shuffles") {
+    val p = plan("q_contamination")
+    assert(p.contains("LeftSemi"), p)
+    // the join ships fingerprints, not document text
+    assert(!p.contains("text") ||
+      !p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text")), p)
+  }
+
+  test("q_dedup_exact: aggregation is partial before the exchange") {
+    val p = plan("q_dedup_exact")
+    assert(p.contains("partial_min") || p.contains("partial_count"), p)
+  }
+
+  test("q_seq_pack: one exchange on the shard key, window runs per shard") {
+    val p = plan("q_seq_pack")
+    assert("Exchange \\(".r.findAllIn(p).size === 1, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q_hash_funcs")(spark, sf)
     val p = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
