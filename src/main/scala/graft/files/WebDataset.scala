@@ -1,0 +1,112 @@
+package graft.files
+
+import org.apache.commons.compress.archivers.tar.TarFile
+import org.apache.commons.compress.utils.SeekableInMemoryByteChannel
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * WebDataset reader — tar shards of multimodal training samples
+ * (reference: src/datachain/lib/webdataset.py, tar.py). A shard is a .tar
+ * whose members group by stem: `dir/0001.jpg` + `dir/0001.json` + ... form
+ * ONE sample keyed `dir/0001`, with one part per extension.
+ *
+ * Scale design: shards are the parallelism unit (the WebDataset contract —
+ * shards are sized for sequential read), so each tar is parsed inside a
+ * single task via `binaryFile` + flatMap; a 100 TB corpus of 1 GB shards
+ * fans out to 100k independent tasks with zero shuffle until the optional
+ * per-sample grouping. Member rows carry (tar_path, offset, size) — the
+ * reference's TarVFile pointer — so payloads can be re-read lazily from
+ * the archive by byte range ([[FileRef]] `location`) instead of shipping
+ * bytes through every downstream stage.
+ */
+object WebDataset {
+
+  case class WdsMember(sample_key: String, ext: String, tar_path: String,
+                       offset: Long, size: Long, data: Array[Byte])
+
+  /** Split "dir/0001.jpg" → ("dir/0001", "jpg"); extension-less members
+    * get ext "" (the reference errors on unknown extensions only when a
+    * typed schema demands it — here the schema is (key, ext) generic). */
+  private[files] def splitKey(name: String): (String, String) = {
+    val base = name.stripSuffix("/")
+    val slash = base.lastIndexOf('/')
+    val dot = base.lastIndexOf('.')
+    if (dot > slash + 1) (base.substring(0, dot), base.substring(dot + 1))
+    else (base, "")
+  }
+
+  /**
+   * One row per tar member: sample_key, ext, provenance (tar_path, offset,
+   * size) and the member bytes. `withData = false` keeps payloads out of
+   * the rows entirely — downstream stages read byte ranges lazily via the
+   * location pointer, which is the 100 TB path.
+   */
+  def readTarMembers(spark: SparkSession, glob: String,
+                     withData: Boolean = true): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (tarPath, bytes) =>
+        val tf = new TarFile(new SeekableInMemoryByteChannel(bytes))
+        try {
+          val out = scala.collection.mutable.ArrayBuffer.empty[WdsMember]
+          tf.getEntries.forEach { e =>
+            if (e.isFile) {
+              val (key, ext) = splitKey(e.getName)
+              val data =
+                if (!withData) Array.empty[Byte]
+                else {
+                  val in = tf.getInputStream(e)
+                  try in.readAllBytes() finally in.close()
+                }
+              out += WdsMember(key, ext, tarPath, e.getDataOffset, e.getSize, data)
+            }
+          }
+          out.toSeq
+        } finally tf.close()
+      }
+      .toDF
+  }
+
+  /**
+   * One row per SAMPLE: key + a map ext → bytes + a map ext → location
+   * pointer (reference `Builder.produce`, webdataset.py:168). The grouping
+   * shuffles on (tar_path, sample_key) — members of a sample are adjacent
+   * in their shard, so map-side partial aggregation keeps this cheap.
+   */
+  def readSamples(spark: SparkSession, glob: String,
+                  withData: Boolean = true): DataFrame =
+    readTarMembers(spark, glob, withData)
+      .groupBy(col("tar_path"), col("sample_key"))
+      .agg(
+        map_from_entries(collect_list(struct(col("ext"), col("data"))))
+          .as("parts"),
+        map_from_entries(collect_list(struct(col("ext"),
+          to_json(struct(col("tar_path").as("parent"), col("offset"),
+            col("size")))))).as("locations"))
+
+  /** Read one member's bytes by its location pointer
+    * `{"parent": tarPath, "offset": n, "size": m}` — a byte-range read of
+    * the shard, no tar scan (reference TarVFile, lib/tar.py). */
+  def readVirtual(location: String,
+                  conf: org.apache.hadoop.conf.Configuration =
+                    new org.apache.hadoop.conf.Configuration()): Array[Byte] = {
+    def field(k: String): String =
+      ("\"" + k + "\"\\s*:\\s*\"?([^,\"}]+)\"?").r.findFirstMatchIn(location)
+        .getOrElse(throw new IllegalArgumentException(s"bad location: $location"))
+        .group(1)
+    val p = new org.apache.hadoop.fs.Path(field("parent"))
+    val offset = field("offset").toLong
+    val size = field("size").toInt
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      in.seek(offset)
+      val buf = new Array[Byte](size)
+      in.readFully(buf)
+      buf
+    } finally in.close()
+  }
+}

@@ -203,6 +203,41 @@ class CatalogSpec extends SparkSpec {
     assert(FileOps.globMatch("a?c/*", "abc/z"))
   }
 
+  test("webdataset: tar shards group into samples; virtual reads hit byte ranges") {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    import graft.files.WebDataset
+    val dir = Files.createTempDirectory("wds")
+    val tar = dir.resolve("shard-000.tar")
+    val out = new TarArchiveOutputStream(Files.newOutputStream(tar))
+    def add(name: String, bytes: Array[Byte]): Unit = {
+      val e = new TarArchiveEntry(name)
+      e.setSize(bytes.length)
+      out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+    }
+    add("a/0001.jpg", "JPGDATA1".getBytes)
+    add("a/0001.json", """{"caption":"one"}""".getBytes)
+    add("a/0002.jpg", "JPGDATA22".getBytes)
+    add("a/0002.json", """{"caption":"two"}""".getBytes)
+    out.close()
+
+    val members = WebDataset.readTarMembers(spark, tar.toString)
+    assert(members.count() === 4)
+    assert(members.select("sample_key").distinct().count() === 2)
+
+    val samples = WebDataset.readSamples(spark, tar.toString)
+    assert(samples.count() === 2)
+    val row = samples.filter(col("sample_key") === "a/0001").head()
+    val parts = row.getAs[Map[String, Array[Byte]]]("parts")
+    assert(new String(parts("jpg")) === "JPGDATA1")
+    assert(new String(parts("json")).contains("one"))
+
+    // virtual read: byte-range fetch via the location pointer, no payload
+    val lazySamples = WebDataset.readSamples(spark, tar.toString, withData = false)
+    val loc = lazySamples.filter(col("sample_key") === "a/0002").head()
+      .getAs[Map[String, String]]("locations")("jpg")
+    assert(new String(WebDataset.readVirtual(loc)) === "JPGDATA22")
+  }
+
   test("FileRef.resolve re-stats from storage; rebase re-roots the source") {
     import graft.files.FileRef
     val dir = Files.createTempDirectory("fr")
