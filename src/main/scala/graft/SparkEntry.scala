@@ -1010,6 +1010,16 @@ object SparkEntry {
         .select("doc_id", "fp")
     }),
 
+    "q_provenance" -> ((s, dir) =>
+      // per-row source-file provenance (reference ArrowRow, lib/arrow.py):
+      // Spark's _metadata struct rides the scan for free — no extra I/O
+      T(s, dir, "part")
+        .filter(col("p_size") < 10)
+        .select(col("p_partkey"),
+          regexp_extract(col("_metadata.file_path"), "([^/]+)$", 1)
+            .as("src_file"),
+          (col("_metadata.file_size") > 0).as("has_size"))),
+
     "q_file_find" -> ((s, dir) => {
       // `find` over a listing: glob + size predicates as pure Column
       // filters (same synthetic tree as q_file_du)
@@ -1665,6 +1675,13 @@ object SparkEntry {
            |  FROM documents WHERE doc_id % 17 = 0)
            |SELECT doc_id, fp FROM test
            |WHERE EXISTS (SELECT 1 FROM train WHERE train.fp = test.fp)""".stripMargin,
+
+      "q_provenance" ->
+        """SELECT p_partkey,
+          | regexp_extract(filename, '([^/]*)$', 1) AS src_file,
+          | TRUE AS has_size
+          |FROM read_parquet('{SF_DIR}/part.parquet', filename=true)
+          |WHERE p_size < 10""".stripMargin,
 
       "q_file_find" ->
         raw"""SELECT source || '/sub' || (doc_id % 3) || '/doc' || doc_id || '.txt' AS path,

@@ -236,6 +236,12 @@ class CatalogSpec extends SparkSpec {
     val loc = lazySamples.filter(col("sample_key") === "a/0002").head()
       .getAs[Map[String, String]]("locations")("jpg")
     assert(new String(WebDataset.readVirtual(loc)) === "JPGDATA22")
+
+    // a FileRef whose location carries the pointer reads the member, not
+    // the whole tar (TarVFile semantics)
+    val vf = graft.files.FileRef("file://" + dir, "shard-000.tar", 0L, "", "v",
+      is_latest = true, null, loc)
+    assert(new String(vf.readBytes()) === "JPGDATA22")
   }
 
   test("FileRef.resolve re-stats from storage; rebase re-roots the source") {
