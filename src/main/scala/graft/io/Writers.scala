@@ -82,6 +82,23 @@ object Writers {
     } finally out.close()
   }
 
+  /**
+   * Bucketed table save: hash-bucket (and sort) by join keys so repeated
+   * joins/aggregations on those keys run with NO exchange — the
+   * materialized-partitioning play for fact tables that join the same
+   * dimension keys query after query at 100 TB. Spark's bucketing requires
+   * a catalog table (saveAsTable), so these live under the session's
+   * warehouse dir rather than a plain path.
+   */
+  def saveBucketed(df: DataFrame, table: String, keys: Seq[String],
+                   buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(keys.nonEmpty && buckets > 0, "need keys and positive buckets")
+    df.write.mode(mode).format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
+
   /** JDBC sink (reference `to_database`). No JDBC driver ships in this
     * container — exercised only by its plan shape; on a cluster pass the
     * driver class via spark.jars. */

@@ -85,4 +85,33 @@ class IoSpec extends SparkSpec {
     val meta = cat.datasetsDF().as[(String, String)].collect().toSet
     assert(meta === Set(("r", "1.0.0"), ("r", "1.1.0")))
   }
+
+  test("bucketed tables join with zero exchange (co-located join)") {
+    import org.apache.spark.sql.functions._
+    graft.io.Writers.saveBucketed(
+      spark.read.parquet(s"$sf/orders.parquet"), "b_orders",
+      Seq("o_custkey"), buckets = 4)
+    graft.io.Writers.saveBucketed(
+      spark.read.parquet(s"$sf/customer.parquet"), "b_customer",
+      Seq("c_custkey"), buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucket-aligned SMJ: both sides pre-partitioned + pre-sorted on the
+      // key, so the plan has NO shuffle at all
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() ===
+        spark.read.parquet(s"$sf/orders.parquet")
+          .join(spark.read.parquet(s"$sf/customer.parquet"),
+            col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
 }
