@@ -72,10 +72,16 @@ object Dedup {
     val rows = k / bands
     val sig = df.select(col(idCol).as("__id"),
       minhashSignature(col(textCol), k).as("__sig"))
+    // The banded frame feeds the skew guard AND both sides of the
+    // candidate self-join — four consumers of the same subtree. Without a
+    // cache each consumer re-shingles and re-hashes the full corpus (the
+    // dominant cost); the cached frame is only (id, band, hash) rows,
+    // orders of magnitude smaller than the text. LRU-evictable.
     val banded = sig.select(col("__id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
         sip_hash_64(concat_ws(",",
           slice(col("__sig"), b * rows + 1, lit(rows)))))).as(Seq("__band", "__bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Skew guard: a degenerate bucket (e.g. millions of identical boiler-
     // plate docs sharing a band hash) would make the self-join quadratic.
     // Buckets above the cap are dropped — their members are by construction
@@ -106,8 +112,11 @@ object Dedup {
                         threshold: Double, k: Int = 64, bands: Int = 16,
                         ngram: Int = 5): DataFrame = {
     val cands = minhashCandidates(df, textCol, idCol, k, bands)
+    // Both candidate sides need the shingle arrays — cache so the n-gram
+    // kernel runs once per doc, not once per join side.
     val grams = df.select(col(idCol).as("__gid"),
       TextAnalysis.charNgrams(col(textCol), ngram).as("__grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(grams.withColumnRenamed("__gid", "id_a")
         .withColumnRenamed("__grams", "__ga"), "id_a")
@@ -135,10 +144,13 @@ object Dedup {
                       maxHamming: Int = 3): DataFrame = {
     val sh = df.select(col(idCol).as("__id"),
       sim_hash_64(col(textCol)).as("__sh"))
+    // both self-join sides reuse the banded fingerprints — cache so the
+    // simhash kernel runs once per doc (rows are just (id, hash, band))
     val banded = sh.select(col("__id"), col("__sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("__sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("__band", "__bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.alias("a")
     val r = banded.alias("b")
     l.join(r, col("a.__band") === col("b.__band") &&
@@ -157,8 +169,11 @@ object Dedup {
    */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         threshold: Double, planes: Int = 16): DataFrame = {
+    // hyperplane signs are higher-order-function expressions (interpreted);
+    // cache so they evaluate once per vector, not once per join side
     val withKey = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__bucket", hyperplaneBucket(col("__v"), planes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = withKey.alias("a")
     val r = withKey.alias("b")
     l.join(r, col("a.__bucket") === col("b.__bucket") &&
