@@ -824,8 +824,13 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 100000)
       val corpus = docs.unionByName(dups)
         .withColumn("fp", TextAnalysis.fingerprintMd5(col("text")))
-      val keep = corpus.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      corpus.join(keep, Seq("fp", "doc_id"))
+      // keep-min-id per fingerprint via a windowed rank — ONE corpus scan
+      // and one shuffle, where a groupBy + join-back would scan (and
+      // re-fingerprint) the corpus twice
+      val w = Window.partitionBy(col("fp"))
+        .orderBy(col("doc_id").asc)
+      corpus.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
         .select(col("doc_id"), col("lang"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("token_count"),
           TextAnalysis.qualityScore(col("text")).as("quality"))

@@ -44,9 +44,19 @@ final class Chain private (
   def selectExpr(cols: Column*): Chain =
     next(df.select(cols: _*), "selectExpr", cols.map(_.toString): _*)
 
-  /** Drop the given top-level signals. */
-  def selectExcept(cols: String*): Chain =
-    next(df.drop(cols: _*), "select_except", cols: _*)
+  /** Drop the given signals; dotted paths drop nested struct fields
+    * (reference select_except is nested-path aware,
+    * src/datachain/lib/dc/datachain.py:1163). */
+  def selectExcept(cols: String*): Chain = {
+    val (nested, top) = cols.partition(_.contains('.'))
+    val dropped = top.foldLeft(df)((d, c) => d.drop(c))
+    val out = nested.foldLeft(dropped) { (d, path) =>
+      val i = path.indexOf('.')
+      val (root, rest) = (path.substring(0, i), path.substring(i + 1))
+      d.withColumn(root, col(root).dropFields(rest))
+    }
+    next(out, "select_except", cols: _*)
+  }
 
   /** Add / replace computed columns; evaluated by Catalyst, never row-code. */
   def mutate(exprs: (String, Column)*): Chain =

@@ -27,6 +27,16 @@ class ChainSpec extends SparkSpec {
     assert(people.rename("city", "town").toDF.columns.contains("town"))
   }
 
+  test("select_except drops nested struct fields by dotted path") {
+    val nested = Chain(people.toDF.select(
+      struct(col("first_name").as("name"), col("city").as("loc")).as("who"),
+      col("age")))
+    val out = nested.selectExcept("who.loc", "age")
+    assert(out.toDF.columns.toSeq === Seq("who"))
+    assert(out.schema("who").dataType.asInstanceOf[
+      org.apache.spark.sql.types.StructType].fieldNames.toSeq === Seq("name"))
+  }
+
   test("column DSL: C(), glob, regexp, in_") {
     import graft.dsl._
     val files = Chain.readValues(spark, Seq(
