@@ -1015,6 +1015,44 @@ object SparkEntry {
         .select("doc_id", "fp")
     }),
 
+    "q_text_clean" -> ((s, dir) =>
+      // boilerplate removal: plant HTML + URLs, strip both
+      T(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextAnalysis.stripUrls(TextAnalysis.stripHtml(
+            concat(lit("<html><body class=\"x\">"), col("text"),
+              lit(" see https://example.com/a?b=1 and www.test.org now</body>"))))
+            .as("clean"))),
+
+    "q_repetition" -> ((s, dir) => {
+      // Gopher-style repetition: duplicate-line fraction (array expr) +
+      // top-token share computed relationally (explode → count → max),
+      // which scales where a per-row HOF would be quadratic
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          concat(col("text"), lit("\nrepeat me\nrepeat me\nrepeat me"))
+            .as("text"))
+      val dup = docs.select(col("doc_id"),
+        round(TextAnalysis.dupLineFraction(col("text")), 6).as("dup_line_frac"))
+      val toks = docs.select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      val top = toks.groupBy("doc_id")
+        .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+          .as("raw"))
+        .select(col("doc_id"), round(col("raw"), 6).as("top_token_frac"))
+      dup.join(top, "doc_id")
+    }),
+
+    "q_histogram" -> ((s, dir) =>
+      // fixed-bound histogram for profiling: one aggregation, bucket ids
+      // computed scan-side (width 50k, clamped to 10 buckets)
+      T(s, dir, "orders")
+        .groupBy(least(floor(col("o_totalprice") / 50000.0), lit(9.0))
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"))),
+
     "q_provenance" -> ((s, dir) =>
       // per-row source-file provenance (reference ArrowRow, lib/arrow.py):
       // Spark's _metadata struct rides the scan for free — no extra I/O
@@ -1680,6 +1718,43 @@ object SparkEntry {
            |  FROM documents WHERE doc_id % 17 = 0)
            |SELECT doc_id, fp FROM test
            |WHERE EXISTS (SELECT 1 FROM train WHERE train.fp = test.fp)""".stripMargin,
+
+      "q_text_clean" ->
+        raw"""SELECT doc_id, trim(regexp_replace(regexp_replace(
+           |  regexp_replace(
+           |    '<html><body class="x">' || text ||
+           |      ' see https://example.com/a?b=1 and www.test.org now</body>',
+           |    '<[^>]*>', ' ', 'g'),
+           |  '(https?://|www\.)[^\s]+', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+           |FROM documents WHERE doc_id < 200""".stripMargin,
+
+      "q_repetition" ->
+        raw"""WITH d AS (SELECT doc_id,
+           |   text || chr(10) || 'repeat me' || chr(10) || 'repeat me' ||
+           |     chr(10) || 'repeat me' AS text
+           |  FROM documents WHERE doc_id < 300),
+           | lines AS (SELECT doc_id,
+           |   list_filter(string_split(text, chr(10)),
+           |     l -> length(trim(l)) > 0) AS ls FROM d),
+           | dup AS (SELECT doc_id, round(CASE WHEN len(ls) <= 0 THEN 0.0
+           |   ELSE CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls)
+           |   END, 6) AS dup_line_frac FROM lines),
+           | toks AS (SELECT doc_id,
+           |   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+           |  FROM d),
+           | tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+           | top AS (SELECT doc_id,
+           |   round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_frac
+           |  FROM tc GROUP BY doc_id)
+           |SELECT dup.doc_id, dup.dup_line_frac, top.top_token_frac
+           |FROM dup JOIN top ON dup.doc_id = top.doc_id""".stripMargin,
+
+      "q_histogram" ->
+        """SELECT CAST(least(floor(o_totalprice / 50000.0), 9.0) AS BIGINT)
+          |   AS bucket,
+          | count(*) AS n,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders GROUP BY 1""".stripMargin,
 
       "q_provenance" ->
         """SELECT p_partkey,

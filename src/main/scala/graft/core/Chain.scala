@@ -310,6 +310,31 @@ final class Chain private (
   def mapTyped[T: Encoder, U: Encoder](f: T => U): Chain =
     next(df.as[T].map(f).toDF, "map")
 
+  /**
+   * 1:1 typed mapping with per-row error capture: a failing row yields
+   * null outputs plus the exception message in `errorCol` instead of
+   * failing the job — the reference's error-column contract that
+   * `Delta.deltaSave(retryOn = ...)` consumes to re-process failed rows
+   * on the next incremental run (reference: src/datachain/delta.py:126-186).
+   */
+  def mapTypedSafe[T: Encoder, U: Encoder](f: T => U,
+                                           errorCol: String = "error"): Chain = {
+    val tupEnc = org.apache.spark.sql.Encoders.tuple(
+      implicitly[Encoder[U]], org.apache.spark.sql.Encoders.STRING)
+    val mapped = df.as[T].map { t =>
+      try (f(t), null: String)
+      catch { case scala.util.control.NonFatal(e) =>
+        (null.asInstanceOf[U], s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+    }(tupEnc).toDF
+    val isStruct = mapped.schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.StructType]
+    val out =
+      if (isStruct) mapped.select(col("_1.*"), col("_2").as(errorCol))
+      else mapped.select(col("_1").as("value"), col("_2").as(errorCol))
+    next(out, "map_safe", errorCol)
+  }
+
   /** 1:N typed generator (reference `gen`, datachain.py:862) — output rows
     * replace the input row set. */
   def genTyped[T: Encoder, U: Encoder](f: T => IterableOnce[U]): Chain =

@@ -128,6 +128,33 @@ object TextAnalysis {
         substring(text, (i * stride + 1).cast("int"), lit(size)).as("chunk")))
   }
 
+  /** Strip HTML/XML tags and collapse the whitespace that's left — the
+    * cheap boilerplate-removal pass before quality scoring. */
+  def stripHtml(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "<[^>]*>", " "), "\\s+", " "))
+
+  /** Remove http(s)/www URLs (replaced by a space, whitespace collapsed). */
+  def stripUrls(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text,
+      "(https?://|www\\.)[^\\s]+", " "), "\\s+", " "))
+
+  /**
+   * Gopher-style repetition metric: fraction of non-blank lines that are
+   * duplicates of an earlier line (0 = no repetition). High values flag
+   * boilerplate/spam documents. Pure array expressions — one pass.
+   */
+  def dupLineFraction(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val n = size(lines)
+    when(n <= 0, 0.0).otherwise(
+      (n - size(array_distinct(lines))).cast("double") / n.cast("double"))
+  }
+
+  // (top-token-share repetition is deliberately NOT a per-row column
+  // function: an array-HOF formulation is O(distinct × tokens) interpreted
+  // per document. Compute it relationally — explode tokens, count per
+  // (doc, token), max over doc — as in the q_repetition gate.)
+
   /**
    * PII scrubbing: replaces emails, international/US phone numbers, and
    * SSN-shaped ids with typed placeholders. One pass of chained

@@ -164,6 +164,24 @@ class ChainSpec extends SparkSpec {
     assert(m === Map("NYC" -> 35L, "LA" -> 30L, "SF" -> 40L))
   }
 
+  test("mapTypedSafe captures per-row failures in the error column") {
+    val out = people.mapTypedSafe[Person, Person]({ p =>
+      if (p.age > 30) throw new IllegalStateException(s"too old: ${p.first_name}")
+      p.copy(city = p.city.toLowerCase)
+    }).toDF
+    assert(out.columns.toSeq ===
+      Seq("first_name", "age", "city", "error"))
+    assert(out.filter(col("error").isNotNull).count() === 2) // Charlie, David
+    assert(out.filter(col("error").isNull).count() === 3)
+    assert(out.filter(col("first_name") === "Alice")
+      .select("city").as[String].head() === "nyc")
+    val err = out.filter(col("error").isNotNull)
+      .select("error").as[String].head()
+    assert(err.contains("IllegalStateException") && err.contains("too old"))
+    // the failed rows feed Delta retryOn: next incremental run re-processes
+    // exactly the error-flagged keys
+  }
+
   test("op-tree hash is stable and order-sensitive") {
     val a = people.filter(col("age") > 26).select("first_name")
     val b = people.filter(col("age") > 26).select("first_name")
