@@ -269,6 +269,47 @@ class OpsSpec extends SparkSpec {
     assert(chunks.filter(_._1 == 3L).toSeq === Seq((3L, 0L, 0)))
   }
 
+  test("connected components agree with union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find oracle
+      val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === want)
+    }
+  }
+
+  test("chunkText chunks reconstruct the text exactly (random configs)") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 4) {
+      val len = rnd.nextInt(3000)
+      val size = 1 + rnd.nextInt(500)
+      val overlap = rnd.nextInt(size)
+      val stride = size - overlap
+      val text = rnd.alphanumeric.take(len).mkString
+      val chunks = Seq(Tuple1(text)).toDF("text")
+        .select(explode(TextAnalysis.chunkText(col("text"), size, overlap)).as("c"))
+        .select("c.chunk_idx", "c.chunk")
+        .as[(Long, String)].collect().sortBy(_._1).map(_._2)
+      // strip each chunk's overlap-with-previous, concatenate → original
+      val rebuilt = chunks.head + chunks.tail.map(_.drop(overlap)).mkString
+      assert(rebuilt === text, s"len=$len size=$size overlap=$overlap")
+      // every chunk except the last is full-size
+      chunks.dropRight(1).foreach(c => assert(c.length === size))
+    }
+  }
+
   test("scrubPii redacts emails, phones, ssns; leaves clean text alone") {
     val df = Seq(
       "mail me at jo.doe+x@corp.example.org today",
