@@ -580,7 +580,7 @@ object SparkEntry {
     "q_hash_funcs" -> ((s, dir) =>
       // int_hash_64 / sip_hash_64 / byte_hamming have no portable DuckDB
       // twin — rows-only here, golden-valued in FunctionsSpec.
-      T(s, dir, "orders").limit(1000).select(
+      T(s, dir, "orders").filter(col("o_orderkey") < 3000).select(
         col("o_orderkey"),
         int_hash_64(col("o_orderkey")).as("ih"),
         sip_hash_64(col("o_orderstatus")).as("sh"),
@@ -752,6 +752,7 @@ object SparkEntry {
       T(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("token_count"),
+        TextAnalysis.subwordCount(col("text")).cast("long").as("subword_count"),
         round(TextAnalysis.punctRatio(col("text")), 4).as("punct_ratio"),
         round(TextAnalysis.upperRatio(col("text")), 4).as("upper_ratio"),
         round(TextAnalysis.meanWordLen(col("text")), 4).as("mean_word_len"),
@@ -1588,6 +1589,9 @@ object SparkEntry {
       "q_text_quality" ->
         s"""SELECT doc_id,
            | CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS token_count,
+           | CAST(len(string_split_regex(trim(text), '\\s+')) +
+           |   length(regexp_replace(text, '[^0-9.,;:!?]', '', 'g')) AS BIGINT)
+           |   AS subword_count,
            | round(CASE WHEN length(text) = 0 THEN 0.0
            |   ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
            |        / length(text) END, 4) AS punct_ratio,
