@@ -1016,6 +1016,23 @@ object SparkEntry {
         .select("doc_id", "fp")
     }),
 
+    "q_fuzzy_match" -> ((s, dir) => {
+      // fuzzy record matching on edit distance — candidate pairs pre-pruned
+      // by a cheap equi-key (first word of the type) so the quadratic
+      // levenshtein only runs inside blocks, the standard blocking design
+      val p = T(s, dir, "part").filter(col("p_partkey") < 300)
+        .select(col("p_partkey"), col("p_type"),
+          element_at(split(col("p_type"), " "), 1).as("blk"))
+      val a = p.select(col("p_partkey").as("id_a"), col("p_type").as("ta"),
+        col("blk"))
+      val b = p.select(col("p_partkey").as("id_b"), col("p_type").as("tb"),
+        col("blk"))
+      a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+        .withColumn("dist", levenshtein(col("ta"), col("tb")))
+        .filter(col("dist") <= 8)
+        .select("id_a", "id_b", "dist")
+    }),
+
     "q_text_clean" -> ((s, dir) =>
       // boilerplate removal: plant HTML + URLs, strip both
       T(s, dir, "documents").filter(col("doc_id") < 200)
@@ -1722,6 +1739,15 @@ object SparkEntry {
            |  FROM documents WHERE doc_id % 17 = 0)
            |SELECT doc_id, fp FROM test
            |WHERE EXISTS (SELECT 1 FROM train WHERE train.fp = test.fp)""".stripMargin,
+
+      "q_fuzzy_match" ->
+        """WITH p AS (SELECT p_partkey, p_type,
+          |   string_split(p_type, ' ')[1] AS blk
+          |  FROM part WHERE p_partkey < 300)
+          |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+          | CAST(levenshtein(a.p_type, b.p_type) AS INTEGER) AS dist
+          |FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+          |WHERE levenshtein(a.p_type, b.p_type) <= 8""".stripMargin,
 
       "q_text_clean" ->
         raw"""SELECT doc_id, trim(regexp_replace(regexp_replace(
