@@ -179,7 +179,7 @@ final class Chain private (
    * join conditions (theta joins) supported via `condition`.
    *
    * Physical strategy is Catalyst's: broadcast when one side is small
-   * (AQE-threshold), else shuffle. Call with `broadcast(right.toDF)`
+   * (AQE-threshold), else shuffle. Call with `broadcast(right.toDF())`
    * upstream when the dimension side is known-small.
    */
   def merge(right: Chain, on: Seq[String], rightOn: Seq[String] = Seq.empty,
@@ -308,7 +308,7 @@ final class Chain private (
     * Unlike the reference there is no join-back on sys__id: the closure
     * carries the full typed row through the executor. */
   def mapTyped[T: Encoder, U: Encoder](f: T => U): Chain =
-    next(df.as[T].map(f).toDF, "map")
+    next(df.as[T].map(f).toDF(), "map")
 
   /**
    * 1:1 typed mapping with per-row error capture: a failing row yields
@@ -326,7 +326,7 @@ final class Chain private (
       catch { case scala.util.control.NonFatal(e) =>
         (null.asInstanceOf[U], s"${e.getClass.getSimpleName}: ${e.getMessage}")
       }
-    }(tupEnc).toDF
+    }(tupEnc).toDF()
     val isStruct = mapped.schema.head.dataType
       .isInstanceOf[org.apache.spark.sql.types.StructType]
     val out =
@@ -338,7 +338,7 @@ final class Chain private (
   /** 1:N typed generator (reference `gen`, datachain.py:862) — output rows
     * replace the input row set. */
   def genTyped[T: Encoder, U: Encoder](f: T => IterableOnce[U]): Chain =
-    next(df.as[T].flatMap(f).toDF, "gen")
+    next(df.as[T].flatMap(f).toDF(), "gen")
 
   /** N:M group-wise generator (reference `agg`, datachain.py:901): rows
     * grouped by key, UDF sees the whole group, yields any number of rows.
@@ -346,12 +346,12 @@ final class Chain private (
     * table (src/datachain/query/dataset.py:582-615). */
   def aggTyped[T: Encoder, K: Encoder, U: Encoder](key: T => K)(
       f: (K, Iterator[T]) => IterableOnce[U]): Chain =
-    next(df.as[T].groupByKey(key).flatMapGroups(f).toDF, "agg_udf")
+    next(df.as[T].groupByKey(key).flatMapGroups(f).toDF(), "agg_udf")
 
   /** N:N batched mapping over partition iterators (reference `batch_map`). */
   def batchMapTyped[T: Encoder, U: Encoder](batch: Int)(
       f: Seq[T] => Seq[U]): Chain =
-    next(df.as[T].mapPartitions(it => it.grouped(batch).flatMap(f)).toDF,
+    next(df.as[T].mapPartitions(it => it.grouped(batch).flatMap(f)).toDF(),
       "batch_map", batch.toString)
 
   // ----------------------------------------------------------------- json
@@ -434,7 +434,7 @@ object Chain {
 
   /** read_values (reference: src/datachain/lib/dc/values.py:18). */
   def readValues[T <: Product : Encoder](spark: SparkSession, rows: Seq[T]): Chain =
-    new Chain(spark.createDataset(rows).toDF, OpTree.empty.append("read_values"))
+    new Chain(spark.createDataset(rows).toDF(), OpTree.empty.append("read_values"))
 
   /** read_records: rows as maps + explicit schema
     * (reference: src/datachain/lib/dc/records.py:21). */

@@ -67,7 +67,7 @@ object WebDataset {
           out.toSeq
         } finally tf.close()
       }
-      .toDF
+      .toDF()
   }
 
   /**
