@@ -76,8 +76,15 @@ final class Catalog(val root: String, spark: SparkSession) {
    * src/datachain/lib/dc/datachain.py:602-672). Stamps sys columns, writes
    * parquet, records schema + lineage. Returns the written version.
    */
+  /** Dataset names are dot-path identifiers — never filesystem paths. */
+  private def requireValidName(name: String): Unit =
+    require(name.nonEmpty && !name.contains('/') && !name.contains('\\') &&
+      name != "." && name != ".." && !name.startsWith("."),
+      s"invalid dataset name: '$name'")
+
   def save(chain: Chain, name: String, version: Option[SemVer] = None,
            deps: Seq[String] = Seq.empty): SemVer = {
+    requireValidName(name)
     val v = version.getOrElse(
       latestVersion(name).map(_.bumpMinor).getOrElse(SemVer(1, 0, 0)))
     val dir = vDir(name, v)
@@ -174,6 +181,7 @@ final class Catalog(val root: String, spark: SparkSession) {
     * name matches; the data files never move byte-wise beyond the dir
     * rename (an O(1) metadata operation on any real FS). */
   def moveDataset(from: String, to: String): Unit = {
+    requireValidName(to)
     require(Files.isDirectory(dsDir(from)), s"dataset $from not found")
     require(!Files.exists(dsDir(to)), s"dataset $to already exists")
     Files.createDirectories(dsDir(to).getParent)

@@ -17,6 +17,8 @@ import org.apache.spark.util.LongAccumulator
  */
 final class JobMetrics(catalog: Catalog, val jobId: String,
                        spark: SparkSession) {
+  require(jobId.nonEmpty && !jobId.contains('/') && !jobId.contains('\\') &&
+    !jobId.startsWith("."), s"invalid job id: '$jobId'")
 
   private val params = TrieMap.empty[String, String]
   private val metrics = TrieMap.empty[String, Double]

@@ -319,6 +319,8 @@ final class Chain private (
    */
   def mapTypedSafe[T: Encoder, U: Encoder](f: T => U,
                                            errorCol: String = "error"): Chain = {
+    require(!implicitly[Encoder[U]].schema.fieldNames.contains(errorCol),
+      s"output type already has a '$errorCol' field — pass a different errorCol")
     val tupEnc = org.apache.spark.sql.Encoders.tuple(
       implicitly[Encoder[U]], org.apache.spark.sql.Encoders.STRING)
     val mapped = df.as[T].map { t =>

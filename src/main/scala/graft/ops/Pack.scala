@@ -27,6 +27,9 @@ object Pack {
   def byTokenBudget(df: DataFrame, tokenCol: String, orderCol: String,
                     budget: Int, shards: Int = 32): DataFrame = {
     require(budget > 0 && shards > 0, "budget and shards must be positive")
+    val reserved = df.columns.toSet.intersect(Set("shard", "pack_id"))
+    require(reserved.isEmpty,
+      s"input columns collide with pack output columns: $reserved")
     val w = Window.partitionBy(col("shard"))
       .orderBy(col(orderCol).asc)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -44,6 +44,9 @@ object Split {
    */
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
                        perGroup: Int): DataFrame = {
+    require(perGroup > 0, "perGroup must be positive")
+    require(!df.columns.contains("__rk"),
+      "input columns use reserved internal name __rk")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
       .orderBy(md5(col(keyCol).cast("string")).asc, col(keyCol).asc)
