@@ -416,6 +416,19 @@ object SparkEntry {
         .select(col("event_id"), round(col("ref_value"), 6).as("ref_value"))
     }),
 
+    "q_asof_tolerance" -> ((s, dir) => {
+      // as-of with a staleness bound: matches further back than 1 hour are
+      // dropped (kept as nulls) — the quote-staleness contract
+      val ev = E(s, dir)
+      val refs = ev.filter(pmod(col("event_id"), lit(50)) === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("ref_value"))
+      val l = ev.select("event_id", "user_id", "ts")
+      graft.ops.Joins.asofBackward(l, refs, Seq("user_id"), "ts", "ts",
+          tolerance = Some(3600.0))
+        .select(col("event_id"), round(col("ref_value"), 6).as("ref_value"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // interval containment as a binned equi-join: customers matched to
       // non-overlapping balance tiers derived from nation
@@ -1403,6 +1416,16 @@ object SparkEntry {
           |  WHERE event_id % 10 = 0 GROUP BY 1, 2),
           | l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
           |SELECT l.event_id, round(r.ref_value, 6) AS ref_value
+          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+      "q_asof_tolerance" ->
+        """WITH r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+          |  max(value) AS ref_value FROM events
+          |  WHERE event_id % 50 = 0 GROUP BY 1, 2),
+          | l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+          |SELECT l.event_id,
+          | CASE WHEN (epoch_us(l.ts) - epoch_us(r.ts)) <= 3600000000
+          |      THEN round(r.ref_value, 6) END AS ref_value
           |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
       "q_range_join" ->

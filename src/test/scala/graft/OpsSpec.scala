@@ -323,6 +323,29 @@ class OpsSpec extends SparkSpec {
     assert(out(3) === "nothing sensitive here")
   }
 
+  test("stripHtml / stripUrls / dupLineFraction edge cases") {
+    val rows = Seq(
+      "<p>hello <b>world</b></p>",          // nested tags
+      "no tags here",
+      "<a href=\"x\">link</a><br/>text",    // adjacent tags
+      "see https://a.b/c and www.d.e end",  // two urls
+      "",                                   // empty
+      "line\n\nline\nline\nother")          // blank + dup lines
+      .toDF("text")
+    val got = rows.select(
+      TextAnalysis.stripHtml(col("text")).as("h"),
+      TextAnalysis.stripUrls(col("text")).as("u"),
+      round(TextAnalysis.dupLineFraction(col("text")), 4).as("d"))
+      .collect()
+    assert(got(0).getString(0) === "hello world")
+    assert(got(1).getString(0) === "no tags here")
+    assert(got(2).getString(0) === "link text")
+    assert(got(3).getString(1) === "see and end")
+    assert(got(4).getString(0) === "" && got(4).getDouble(2) === 0.0)
+    // 4 non-blank lines, 2 distinct -> half are repeats of earlier lines
+    assert(got(5).getDouble(2) === 0.5)
+  }
+
   test("stratified sample caps each stratum deterministically") {
     val df = (1 to 100).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
       .toDF("id", "grp")
