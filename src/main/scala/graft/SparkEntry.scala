@@ -307,6 +307,14 @@ object SparkEntry {
         .select("c_custkey", "o_orderkey", "o_totalprice", "c_name").toDF
     }),
 
+    "q_merge_self" -> ((s, dir) => {
+      // self-merge: right-side collisions take the rname prefix (the
+      // reference auto-clones self-joins; Spark just needs the rename,
+      // datachain.py:1601-1709 + signal_schema.py:85-135)
+      val c = C(s, dir, "customer").selectExpr(col("c_custkey"), col("c_name"))
+      c.merge(c, on = Seq("c_custkey"), how = "inner").toDF
+    }),
+
     "q_rollup" -> ((s, dir) =>
       T(s, dir, "orders")
         .rollup(year(col("o_orderdate")).cast("long").as("yr"),
@@ -1832,6 +1840,10 @@ object SparkEntry {
           |FROM events""".stripMargin,
 
       "q_int_hash" -> intHash64OracleStages,
+
+      "q_merge_self" ->
+        """SELECT a.c_custkey, a.c_name, b.c_name AS right_c_name
+          |FROM customer a JOIN customer b ON a.c_custkey = b.c_custkey""".stripMargin,
 
       "q_grouping_sets" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n,
