@@ -316,6 +316,11 @@ final class Chain private (
    * failing the job — the reference's error-column contract that
    * `Delta.deltaSave(retryOn = ...)` consumes to re-process failed rows
    * on the next incremental run (reference: src/datachain/delta.py:126-186).
+   *
+   * Use a case-class `U` when failed rows must carry null values: for a
+   * primitive `U` (Long/Double/...) the value column holds the type's
+   * default on error rows (primitives can't encode null) — `errorCol`
+   * IS NULL remains the authoritative success test either way.
    */
   def mapTypedSafe[T: Encoder, U: Encoder](f: T => U,
                                            errorCol: String = "error"): Chain = {
