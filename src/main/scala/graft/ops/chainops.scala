@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.core.Chain
+
+/**
+ * Fluent training-data operations on [[Chain]] — lets reference-style
+ * pipelines stay one chain end-to-end:
+ *
+ * {{{
+ * import graft.ops.chainops._
+ * chain.cleanText("text")
+ *   .withQuality("text")
+ *   .dedupExact("text", "doc_id")
+ *   .packByTokens("tokens", "doc_id", budget = 2048)
+ * }}}
+ *
+ * Each method delegates to the corresponding operator object (same plans,
+ * same scale shapes); the implicit class only provides the chaining sugar.
+ */
+object chainops {
+
+  implicit class TrainingDataChain(private val c: Chain) extends AnyVal {
+
+    /** HTML-strip + URL-strip + PII-scrub `textCol` in place. */
+    def cleanText(textCol: String): Chain =
+      c.mutate(textCol -> TextAnalysis.scrubPii(
+        TextAnalysis.stripUrls(TextAnalysis.stripHtml(col(textCol)))))
+
+    /** Attach token_count / quality / lang columns. */
+    def withQuality(textCol: String): Chain =
+      c.mutate(
+        "token_count" -> TextAnalysis.tokenCount(col(textCol)).cast("long"),
+        "quality" -> TextAnalysis.qualityScore(col(textCol)),
+        "lang_pred" -> TextAnalysis.langId(col(textCol)))
+
+    /** Keep one row per exact (normalized) content hash. */
+    def dedupExact(textCol: String, idCol: String): Chain =
+      Chain(Dedup.exact(c.toDF, textCol, idCol))
+
+    /** Near-dup edge list via MinHash-LSH + exact-Jaccard verification. */
+    def nearDupEdges(textCol: String, idCol: String,
+                     threshold: Double = 0.8): Chain =
+      Chain(Dedup.minhashDedupEdges(c.toDF, textCol, idCol, threshold))
+
+    /** Drop near-duplicates: keeps the minimum-id member of every
+      * duplicate cluster (MinHash-LSH edges → connected components). */
+    def dedupNear(textCol: String, idCol: String,
+                  threshold: Double = 0.8): Chain = {
+      val clusters = Dedup.connectedComponents(
+        Dedup.minhashDedupEdges(c.toDF, textCol, idCol, threshold))
+      Chain(c.toDF.join(clusters, c.toDF(idCol) === clusters("id"), "left_outer")
+        .filter(col("cluster_id").isNull || col(idCol) === col("cluster_id"))
+        .drop("id", "cluster_id"))
+    }
+
+    /** 1:N character chunking (see [[TextAnalysis.chunkText]]). */
+    def chunkDocs(textCol: String, size: Int, overlap: Int = 0): Chain =
+      Chain(c.toDF
+        .withColumn("__c", explode(TextAnalysis.chunkText(col(textCol), size, overlap)))
+        .withColumn("chunk_idx", col("__c.chunk_idx"))
+        .withColumn(textCol, col("__c.chunk"))
+        .drop("__c"))
+
+    /** Token-budget sequence packing (see [[Pack.byTokenBudget]]). */
+    def packByTokens(tokenCol: String, orderCol: String, budget: Int,
+                     shards: Int = 32): Chain =
+      Chain(Pack.byTokenBudget(c.toDF, tokenCol, orderCol, budget, shards))
+
+    /** Deterministic per-stratum cap (see [[Split.stratifiedSample]]). */
+    def stratified(stratumCol: String, keyCol: String, perGroup: Int): Chain =
+      Chain(Split.stratifiedSample(c.toDF, stratumCol, keyCol, perGroup))
+  }
+}

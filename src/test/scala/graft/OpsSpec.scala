@@ -243,6 +243,24 @@ class OpsSpec extends SparkSpec {
     assert(frames.count() === 12)
   }
 
+  test("fluent chainops pipeline: clean -> quality -> dedup -> pack") {
+    import graft.ops.chainops._
+    val c = Chain(docs.unionByName(
+      docs.filter(col("doc_id") === 1).withColumn("doc_id", lit(99L))))
+    val out = c.cleanText("text")
+      .withQuality("text")
+      .dedupExact("text", "doc_id")
+      .packByTokens("token_count", "doc_id", budget = 20, shards = 2)
+    val rows = out.toDF
+    assert(rows.columns.contains("quality") && rows.columns.contains("pack_id"))
+    // 1==2==99 exact dups -> one survivor with dup_count 3
+    assert(rows.count() === 4)
+    assert(rows.filter(col("doc_id") === 1).head()
+      .getAs[Long]("dup_count") === 3L)
+    val near = c.dedupNear("text", "doc_id", threshold = 0.5)
+    assert(near.count() < c.count()) // near-dup 3 collapses too
+  }
+
   test("connected components merge transitively linked dup edges") {
     // components: {1,2,3} via 1-2, 2-3; {10,11}; 4,5 isolated (absent)
     val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
