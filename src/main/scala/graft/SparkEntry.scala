@@ -823,19 +823,12 @@ object SparkEntry {
             .cast("double"), 4).as("range_sum"))
     }),
 
-    "q_sessionize" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
-      val gap = unix_timestamp(col("ts")) -
-        unix_timestamp(lag(col("ts"), 1).over(w))
-      val newSession = when(lag(col("ts"), 1).over(w).isNull, 1)
-        .when(gap > 1800, 1).otherwise(0)
-      E(s, dir).filter(col("user_id") < 100)
-        .withColumn("__new", newSession)
-        .select(col("event_id"), col("user_id"),
-          sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)).cast("long").as("session_id"))
-    }),
+    "q_sessionize" -> ((s, dir) =>
+      graft.ops.Sessions.sessionize(
+          E(s, dir).filter(col("user_id") < 100),
+          keyCol = "user_id", tsCol = "ts", gapSec = 1800,
+          tieBreak = Some("event_id"))
+        .select("event_id", "user_id", "session_id")),
 
     "q_pipeline_clean" -> ((s, dir) => {
       // end-to-end training-data cleaning: dedup (exact, keep min id) →
