@@ -109,6 +109,40 @@ object Multimodal {
       .toDF
   }
 
+  /**
+   * Audio fragment extraction plumbing (reference `AudioFile.get_fragments`,
+   * file.py:1005+): 1:N — each audio row yields fragments of `fragmentSec`
+   * seconds. Byte ranges are computed from a declared duration and uniform
+   * bitrate (STUB standing in for a real audio demuxer; swap the range
+   * math for a codec call in production — the row shape, generator
+   * cardinality and partition-local execution are the real contract).
+   */
+  case class AudioRow(id: Long, payload: Array[Byte], duration_sec: Double)
+  case class FragmentRow(id: Long, fragment_idx: Int, start_sec: Double,
+                         end_sec: Double, fragment_bytes: Array[Byte])
+
+  def sampleAudioFragments(media: DataFrame, fragmentSec: Double): DataFrame = {
+    require(fragmentSec > 0, "fragmentSec must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"),
+        col("duration_sec").cast("double"))
+      .as[AudioRow]
+      .flatMap { a =>
+        val dur = math.max(a.duration_sec, 1e-9)
+        val n = math.max(1, math.ceil(dur / fragmentSec).toInt)
+        val bytesPerSec = a.payload.length / dur
+        (0 until n).map { i =>
+          val s = i * fragmentSec
+          val e = math.min(s + fragmentSec, dur)
+          val from = math.min((s * bytesPerSec).toInt, a.payload.length)
+          val until = math.min((e * bytesPerSec).toInt, a.payload.length)
+          FragmentRow(a.id, i, s, e, a.payload.slice(from, until))
+        }
+      }
+      .toDF()
+  }
+
   /** Build a synthetic media table from any table (payload = utf-8 of a
     * string col) — test/demo helper so the plumbing runs without real blobs. */
   def syntheticMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =

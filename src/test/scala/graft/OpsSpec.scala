@@ -287,6 +287,21 @@ class OpsSpec extends SparkSpec {
     assert(chunks.filter(_._1 == 3L).toSeq === Seq((3L, 0L, 0)))
   }
 
+  test("audio fragment sampling covers the declared duration") {
+    val media = Seq(
+      (1L, Array.fill[Byte](1000)(7), 10.0),  // 10s -> 4 fragments of 3s
+      (2L, Array.fill[Byte](30)(1), 2.0))     // shorter than one fragment
+      .toDF("id", "payload", "duration_sec")
+    val frags = Multimodal.sampleAudioFragments(media, fragmentSec = 3.0)
+      .select("id", "fragment_idx", "start_sec", "end_sec")
+      .as[(Long, Int, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    val a1 = frags.filter(_._1 == 1L)
+    assert(a1.length === 4)
+    assert(a1.last._4 === 10.0)                       // last fragment ends at dur
+    assert(a1.map(f => f._4 - f._3).sum === 10.0)     // fragments tile the clip
+    assert(frags.filter(_._1 == 2L).toSeq === Seq((2L, 0, 0.0, 2.0)))
+  }
+
   test("connected components agree with union-find on random graphs") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 3) {
