@@ -223,12 +223,19 @@ final class Catalog(val root: String, spark: SparkSession) {
     Files.deleteIfExists(nsFile(ns))
   }
 
-  /** Meta-chain over the catalog itself: one row per dataset version
+  /** Meta-chain over the catalog itself: one row per dataset version with
+    * its recorded row count and creation time
     * (reference `datasets()`, src/datachain/lib/dc/datasets.py:523). */
   def datasetsDF(): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    datasets().flatMap(n => versions(n).map(v => (n, v.toString)))
-      .toDF("name", "version")
+    def metaField(meta: String, key: String): Option[String] =
+      ("\"" + key + "\": \"?([^\",]+)\"?").r.findFirstMatchIn(meta).map(_.group(1))
+    datasets().flatMap(n => versions(n).map { v =>
+      val meta = readMeta(n, v)
+      (n, v.toString,
+        metaField(meta, "rows").map(_.toLong).getOrElse(-1L),
+        metaField(meta, "createdAt").getOrElse(""))
+    }).toDF("name", "version", "rows", "created_at")
   }
 
   /**

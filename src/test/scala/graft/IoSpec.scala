@@ -82,8 +82,11 @@ class IoSpec extends SparkSpec {
     val cat = new graft.catalog.Catalog(root, spark)
     cat.save(Chain(spark.read.parquet(s"$sf/region.parquet")), "r")
     cat.save(Chain(spark.read.parquet(s"$sf/region.parquet")), "r")
-    val meta = cat.datasetsDF().as[(String, String)].collect().toSet
-    assert(meta === Set(("r", "1.0.0"), ("r", "1.1.0")))
+    val meta = cat.datasetsDF().as[(String, String, Long, String)]
+      .collect().toSet
+    assert(meta.map(m => (m._1, m._2)) === Set(("r", "1.0.0"), ("r", "1.1.0")))
+    assert(meta.forall(_._3 === 5L))      // region row count from meta
+    assert(meta.forall(_._4.nonEmpty))    // created_at recorded
   }
 
   test("bucketed tables join with zero exchange (co-located join)") {
