@@ -886,6 +886,16 @@ object SparkEntry {
         bboxContains(col("box_a"), col("box_b")).as("contains_b"))
     }),
 
+    "q_polygon_area" -> ((s, dir) => {
+      // Segment polygon math (shoelace) over synthetic quads
+      import graft.model.CvColumns._
+      val v = col("p_size").cast("double")
+      T(s, dir, "part").select(col("p_partkey"),
+        round(segmentArea(
+          array(lit(0.0), v, v + 3.0, lit(1.0)),
+          array(lit(0.0), lit(1.0), v, v + 1.0)), 4).as("area"))
+    }),
+
     "q_file_du" -> ((s, dir) => {
       // per-directory cumulative sizes over a synthetic file tree derived
       // from documents (dir depth 2: source/subK/docN)
@@ -1716,6 +1726,16 @@ object SparkEntry {
           |   ELSE ix * iy / (area_a + area_b - ix * iy) END, 6) AS iou,
           | FALSE AS contains_b
           |FROM g""".stripMargin,
+
+      "q_polygon_area" ->
+        """WITH p AS (SELECT p_partkey, CAST(p_size AS DOUBLE) AS s FROM part),
+          | poly AS (SELECT p_partkey,
+          |  [0, s, s+3, 1] AS xs, [0, 1, s, s+1] AS ys FROM p)
+          |SELECT p_partkey, round(abs(
+          |  (xs[1]*ys[2]-xs[2]*ys[1]) + (xs[2]*ys[3]-xs[3]*ys[2]) +
+          |  (xs[3]*ys[4]-xs[4]*ys[3]) + (xs[4]*ys[1]-xs[1]*ys[4])) / 2, 4)
+          |  AS area
+          |FROM poly""".stripMargin,
 
       "q_file_du" ->
         """WITH files AS (SELECT

@@ -57,4 +57,17 @@ object CvColumns {
     when(size(visible) === 0, 0.0).otherwise(
       size(filter(visible, v => v > threshold)).cast("double") /
         size(visible).cast("double"))
+
+  /** Polygon (Segment) area via the shoelace formula over parallel x/y
+    * vertex arrays; 0 for degenerate (<3 vertex) polygons. */
+  def segmentArea(x: Column, y: Column): Column = {
+    val n = size(x)
+    val cross = aggregate(sequence(lit(1), n), lit(0.0),
+      (acc, i) => {
+        val j = when(i === n, 1).otherwise(i + 1)
+        acc + (element_at(x, i) * element_at(y, j) -
+          element_at(x, j) * element_at(y, i)).cast("double")
+      })
+    when(n < 3, 0.0).otherwise(abs(cross) / 2)
+  }
 }
