@@ -203,6 +203,20 @@ class CatalogSpec extends SparkSpec {
     assert(FileOps.globMatch("a?c/*", "abc/z"))
   }
 
+  test("listings() enumerates cached listing datasets with freshness") {
+    val root = Files.createTempDirectory("cat").toString
+    val cat = new Catalog(root, spark)
+    val dataDir = Files.createTempDirectory("lst_src")
+    Files.write(dataDir.resolve("a.txt"), "x".getBytes)
+    FileOps.readStorageCached(cat, spark, s"file://$dataDir")
+    cat.save(Chain(spark.read.parquet(s"$sf/region.parquet")), "not_a_listing")
+    val ls = FileOps.listings(cat).collect()
+    assert(ls.length === 1)
+    assert(ls.head.getAs[String]("name").startsWith("lst__"))
+    assert(ls.head.getAs[Long]("rows") === 1L)
+    assert(!ls.head.getAs[Boolean]("expired"))
+  }
+
   test("webdataset: tar shards group into samples; virtual reads hit byte ranges") {
     import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
     import graft.files.WebDataset
