@@ -940,9 +940,11 @@ object SparkEntry {
           col("c.chunk").as("chunk"))),
 
     "q_tfidf" -> ((s, dir) => {
-      // corpus-wide TF-IDF, top-3 terms per doc: two aggregations plus a
-      // broadcast of the tiny (n_docs) scalar; the df table is per-word
-      // (vocabulary-sized), so the join is broadcast at any corpus scale
+      // corpus-wide TF-IDF, top-3 terms per doc. The n_docs scalar is
+      // always broadcast; the per-word df table is VOCABULARY-sized, so
+      // its join strategy is left to AQE — broadcast when the vocabulary
+      // fits, shuffle-hash when a web-scale corpus makes it gigabytes
+      // (forcing broadcast here would OOM at 100 TB)
       val docs = T(s, dir, "documents").filter(col("doc_id") < 300)
       val words = docs.select(col("doc_id"),
           explode(split(lower(col("text")), "\\s+")).as("word"))
@@ -950,7 +952,7 @@ object SparkEntry {
       val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(broadcast(dfreq), "word").crossJoin(broadcast(nDocs))
+      val scored = tf.join(dfreq, "word").crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
       val w = Window.partitionBy(col("doc_id"))
