@@ -106,14 +106,15 @@ object EventStream {
 
   /**
    * Stream-static enrichment: join the unbounded stream with a bounded
-   * dimension on `keys`. Spark broadcasts the static side per micro-batch
-   * (no stream-side state), so enrichment adds no state store and scales
-   * with the dimension's broadcastability — the streaming counterpart of a
-   * dimension `merge`.
+   * dimension on `keys` — no stream-side state, the streaming counterpart
+   * of a dimension `merge`. `broadcastDim = true` (default) hints the
+   * static side for per-batch broadcast; pass `false` for dimensions too
+   * large to broadcast, where each micro-batch runs a shuffle join.
    */
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
-             how: String = "left_outer"): DataFrame =
-    stream.join(broadcast(dim), keys, how)
+             how: String = "left_outer",
+             broadcastDim: Boolean = true): DataFrame =
+    stream.join(if (broadcastDim) broadcast(dim) else dim, keys, how)
 
   /**
    * Versioned streaming sink: every micro-batch materializes as a NEW
