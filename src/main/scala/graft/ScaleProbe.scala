@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scaling probe: runs the MinHash-LSH dedup pipeline (signatures → banded
+ * candidates → Jaccard verification) over the sf0.1 documents corpus
+ * amplified K× (text perturbed per copy so signatures differ), and prints
+ * sec per K — evidence that the operator scales linearly in corpus size
+ * (candidate generation is bucket-local, never O(n²)).
+ *
+ * Run: sbt "runMain graft.ScaleProbe 1 4 8"
+ */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 8)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select("doc_id", "text").cache()
+    docs.count()
+
+    val results = ks.map { k =>
+      val corpus = docs.crossJoin(
+          spark.range(k).select(col("id").as("__copy")))
+        .select((col("doc_id") * k + col("__copy")).as("doc_id"),
+          // distinct suffix per copy so copies aren't trivial exact dups
+          concat(col("text"), lit(" v"), col("__copy")).as("text"))
+      val t0 = System.nanoTime()
+      val edges = graft.ops.Dedup.minhashDedupEdges(
+        corpus, "text", "doc_id", threshold = 0.5, k = 32, bands = 8)
+      val n = edges.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"K=$k%-3d rows=${5000L * k}%-8d edges=$n%-10d ${sec}%.2f s")
+      (k, sec)
+    }
+    val (k1, s1) = results.head
+    val (kN, sN) = results.last
+    println(f"scale factor ${kN.toDouble / k1}%.0fx -> time factor ${sN / s1}%.2fx")
+    spark.stop()
+  }
+}
