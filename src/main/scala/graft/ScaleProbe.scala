@@ -36,7 +36,12 @@ object ScaleProbe {
         corpus, "text", "doc_id", threshold = 0.5, k = 32, bands = 8)
       val n = edges.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"K=$k%-3d rows=${5000L * k}%-8d edges=$n%-10d ${sec}%.2f s")
+      val t1 = System.nanoTime()
+      val nClusters = graft.ops.Dedup.connectedComponents(edges)
+        .select("cluster_id").distinct().count()
+      val ccSec = (System.nanoTime() - t1) / 1e9
+      println(f"K=$k%-3d rows=${5000L * k}%-8d edges=$n%-10d ${sec}%.2f s   " +
+        f"cc: $nClusters%-7d clusters in ${graft.ops.Dedup.lastRounds} rounds ${ccSec}%.2f s")
       (k, sec)
     }
     val (k1, s1) = results.head
