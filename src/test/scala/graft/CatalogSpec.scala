@@ -203,6 +203,16 @@ class CatalogSpec extends SparkSpec {
     assert(FileOps.globMatch("a?c/*", "abc/z"))
   }
 
+  test("webdataset key split: hidden files, multi-dot names, no extension") {
+    import graft.files.WebDataset.splitKey
+    assert(splitKey("a/0001.jpg") === ("a/0001", "jpg"))
+    assert(splitKey("a/archive.tar.gz") === ("a/archive.tar", "gz"))
+    assert(splitKey("noext") === ("noext", ""))
+    assert(splitKey("dir/.hidden") === ("dir/.hidden", "")) // dot-prefix is not an ext
+    assert(splitKey("dir/sub/x.json") === ("dir/sub/x", "json"))
+    assert(splitKey("trailing/") === ("trailing", ""))
+  }
+
   test("listings() enumerates cached listing datasets with freshness") {
     val root = Files.createTempDirectory("cat").toString
     val cat = new Catalog(root, spark)
