@@ -28,7 +28,7 @@ object WebDataset {
   /** Split "dir/0001.jpg" → ("dir/0001", "jpg"); extension-less members
     * get ext "" (the reference errors on unknown extensions only when a
     * typed schema demands it — here the schema is (key, ext) generic). */
-  private[files] def splitKey(name: String): (String, String) = {
+  private[graft] def splitKey(name: String): (String, String) = {
     val base = name.stripSuffix("/")
     val slash = base.lastIndexOf('/')
     val dot = base.lastIndexOf('.')
