@@ -559,6 +559,19 @@ object SparkEntry {
         lower(col("p_name")).as("lo"),
         substring(col("p_name"), 1, 5).as("pfx"))),
 
+    "q_string_funcs2" -> ((s, dir) =>
+      // second string family: regexp group extraction, padding, repeat,
+      // translate — all codegen'd built-ins
+      T(s, dir, "part").select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "Brand#(\\d)(\\d)", 1).as("brand_major"),
+        regexp_extract(col("p_brand"), "Brand#(\\d)(\\d)", 2).as("brand_minor"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded_key"),
+        rpad(col("p_type"), 30, ".").as("padded_type"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("vowels_upper"),
+        repeat(lit("ab"), pmod(col("p_partkey"), lit(3)).cast("int") + 1)
+          .as("rep"))),
+
     "q_path_funcs" -> ((s, dir) => {
       val p = concat(lit("data/"), col("source"), lit("/doc_"), col("doc_id"),
         lit(".txt"))
@@ -1514,6 +1527,16 @@ object SparkEntry {
           | upper(p_brand) AS up, lower(p_name) AS lo,
           | substr(p_name, 1, 5) AS pfx
           |FROM part""".stripMargin,
+
+      "q_string_funcs2" ->
+        raw"""SELECT p_partkey,
+           | regexp_extract(p_brand, 'Brand#(\d)(\d)', 1) AS brand_major,
+           | regexp_extract(p_brand, 'Brand#(\d)(\d)', 2) AS brand_minor,
+           | lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+           | rpad(p_type, 30, '.') AS padded_type,
+           | translate(p_name, 'aeiou', 'AEIOU') AS vowels_upper,
+           | repeat('ab', CAST(p_partkey % 3 AS INTEGER) + 1) AS rep
+           |FROM part""".stripMargin,
 
       "q_path_funcs" ->
         """WITH x AS (SELECT doc_id,
