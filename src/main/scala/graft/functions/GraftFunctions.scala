@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
  * graft's scalar-function DSL — the Spark-side equivalent of the reference's
  * `datachain.func` package (reference: src/datachain/func package). Everything
  * that Spark ships as a built-in is a thin alias (codegen'd, pushdown-able);
- * the rest are our custom Catalyst expressions from [[expressions]].
+ * the rest are our custom Catalyst expressions from `org.apache.spark.sql.graft` expressions.
  */
 object GraftFunctions {
 

@@ -63,7 +63,7 @@ object Multimodal {
           DecodedRow(m.id, meta, feats)
         }
       }
-      .toDF
+      .toDF()
   }
 
   /**
@@ -83,7 +83,7 @@ object Multimodal {
         d.copy(meta = d.meta.copy(width = w, height = h,
           n_bytes = (d.meta.n_bytes * scale * scale).toLong))
       }
-    }.toDF
+    }.toDF()
   }
 
   /**
@@ -106,7 +106,7 @@ object Multimodal {
           FrameRow(m.id, i, m.payload.slice(from, until))
         }
       }
-      .toDF
+      .toDF()
   }
 
   /**

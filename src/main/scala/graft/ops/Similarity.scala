@@ -10,7 +10,7 @@ import graft.functions.GraftFunctions._
  * (`Array[Float]`).
  *
  * Scale design: the brute-force path broadcasts the (small) query set and
- * computes cosine via the codegen'd [[graft.functions.CosineDistance]]
+ * computes cosine via the codegen'd `CosineDistance`
  * kernel — one scan over the corpus, no shuffle until the final per-query
  * top-k (a windowed rank over queryCount × k rows). The IVF path clusters
  * the corpus once (k-means on a sample), stores a `centroid_id` per row

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.core.Chain
 
 /**
- * Fluent training-data operations on [[Chain]] — lets reference-style
+ * Fluent training-data operations on [[graft.core.Chain]] — lets reference-style
  * pipelines stay one chain end-to-end:
  *
  * {{{
