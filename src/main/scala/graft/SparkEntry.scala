@@ -290,6 +290,17 @@ object SparkEntry {
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))),
 
+    "q_empty_agg" -> ((s, dir) =>
+      // aggregate over an EMPTY relation: count=0, sum/min/max/avg=NULL —
+      // the null-vs-zero parity corner both engines must agree on
+      T(s, dir, "lineitem").filter(col("l_quantity") < -1)
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("s"),
+          min(col("l_quantity")).as("mn"),
+          max(col("l_quantity")).as("mx"),
+          avg(col("l_quantity")).as("av"),
+          count_distinct(col("l_returnflag")).as("nd"))),
+
     "q_grouping_sets" -> ((s, dir) =>
       // explicit grouping sets (finer than cube/rollup): per-flag, per-status,
       // and grand total in ONE pass — Spark expands to a single Expand+Agg
@@ -1882,6 +1893,14 @@ object SparkEntry {
       "q_merge_self" ->
         """SELECT a.c_custkey, a.c_name, b.c_name AS right_c_name
           |FROM customer a JOIN customer b ON a.c_custkey = b.c_custkey""".stripMargin,
+
+      "q_empty_agg" ->
+        """SELECT count(*) AS n,
+          | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+          | min(l_quantity) AS mn, max(l_quantity) AS mx,
+          | avg(l_quantity) AS av,
+          | count(DISTINCT l_returnflag) AS nd
+          |FROM lineitem WHERE l_quantity < -1""".stripMargin,
 
       "q_grouping_sets" ->
         """SELECT l_returnflag, l_linestatus, count(*) AS n,
