@@ -28,6 +28,11 @@ import graft.schema.SignalSchema
  * Checkpoints: `findCheckpoint(chainHash)` mirrors the reference's skip of
  * `save()` calls whose chain hash matches a prior job's checkpoint
  * (reference: src/datachain/lib/dc/datachain.py:696-723).
+ *
+ * Concurrency contract: single writer per dataset name (the same contract
+ * the reference's metastore transactionality provides). Two racing saves
+ * of one name may pick the same next version; the loser fails fast on the
+ * immutability check rather than corrupting a version directory.
  */
 final case class SemVer(major: Int, minor: Int, patch: Int) extends Ordered[SemVer] {
   override def toString = s"$major.$minor.$patch"
