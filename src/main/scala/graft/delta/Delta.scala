@@ -38,6 +38,23 @@ object Delta {
     !chain.ops.ops.exists(op => DeltaDisabledOps.contains(op.name))
 
   /**
+   * Time-travel changeset between two saved versions of a dataset:
+   * `diffVersions(cat, "docs", v1, v2)` returns v2's rows labeled
+   * A/D/M/S relative to v1 (the reference's `compare` flow applied to the
+   * catalog's immutable snapshots). Pure composition of `read_dataset` +
+   * `diff`, so it is one full-outer join at any scale.
+   */
+  def diffVersions(catalog: Catalog, name: String,
+                   from: SemVer, to: SemVer,
+                   on: Seq[String], compare: Seq[String] = Seq.empty,
+                   statusCol: String = "diff"): Chain = {
+    def at(v: SemVer) =
+      Chain(graft.core.Sys.drop(catalog.readDataset(name, Some(v)).toDF))
+    at(to).diff(at(from), on = on, compare = compare,
+      statusCol = Some(statusCol))
+  }
+
+  /**
    * Incremental save of `transform(source)` under `name`.
    *
    * `sourceSnapshotName` is the catalog dataset where each run persists its

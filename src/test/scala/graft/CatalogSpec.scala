@@ -283,6 +283,20 @@ class CatalogSpec extends SparkSpec {
     assert(stale.rebase("s3a://bucket/").uri === "s3a://bucket/a.txt")
   }
 
+  test("diffVersions labels changes between two saved versions") {
+    val root = Files.createTempDirectory("cat").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    val v1 = cat.save(Chain(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "v")), "d")
+    val v2 = cat.save(Chain(Seq((1L, "a"), (2L, "B"), (4L, "d"))
+      .toDF("id", "v")), "d")
+    val m = Delta.diffVersions(cat, "d", v1, v2, on = Seq("id"),
+        compare = Seq("v"))
+      .toDF.select("id", "diff").as[(Long, String)].collect().toMap
+    assert(m === Map(1L -> "S", 2L -> "M", 3L -> "D", 4L -> "A"))
+  }
+
   test("version specifiers resolve to the latest satisfying version") {
     val root = Files.createTempDirectory("cat").toString
     val cat = new Catalog(root, spark)
