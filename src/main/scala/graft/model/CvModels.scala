@@ -58,6 +58,16 @@ object CvColumns {
       size(filter(visible, v => v > threshold)).cast("double") /
         size(visible).cast("double"))
 
+  /** Oriented-box area from interleaved [x1,y1,x2,y2,x3,y3,x4,y4] corners
+    * (reference OBBox layout, src/datachain/model/bbox.py:218) — the
+    * 4-vertex case of [[segmentArea]]. */
+  def obboxArea(coords: Column): Column =
+    segmentArea(
+      array(element_at(coords, 1), element_at(coords, 3),
+        element_at(coords, 5), element_at(coords, 7)),
+      array(element_at(coords, 2), element_at(coords, 4),
+        element_at(coords, 6), element_at(coords, 8)))
+
   /** Polygon (Segment) area via the shoelace formula over parallel x/y
     * vertex arrays; 0 for degenerate (<3 vertex) polygons. */
   def segmentArea(x: Column, y: Column): Column = {

@@ -163,6 +163,15 @@ class OpsSpec extends SparkSpec {
     // typed rows round-trip through Encoders
     val ds = Seq(BBox("cat", Seq(1f, 2f, 3f, 4f))).toDS()
     assert(ds.head().coords === Seq(1f, 2f, 3f, 4f))
+    // oriented box: 3-4-5 right triangle doubled = rotated rect, area 12;
+    // segment shoelace agrees on the axis-aligned unit square
+    val ob = Seq(Tuple1(Seq(0.0, 0.0, 3.0, 4.0, 6.0, 0.0, 3.0, -4.0)))
+      .toDF("coords").select(obboxArea(col("coords"))).as[Double].head()
+    assert(ob === 24.0)
+    val sq = Seq((Seq(0.0, 1.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0, 1.0)))
+      .toDF("x", "y").select(segmentArea(col("x"), col("y")))
+      .as[Double].head()
+    assert(sq === 1.0)
   }
 
   test("profile summarizes columns in one pass") {
