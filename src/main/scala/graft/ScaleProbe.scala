@@ -37,7 +37,10 @@ object ScaleProbe {
       val n = edges.count()
       val sec = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      val nClusters = graft.ops.Dedup.connectedComponents(edges)
+      // localEdgeThreshold=0 pins the distributed label-propagation path —
+      // this probe is the evidence that the 100 TB path scales, so the
+      // small-graph driver shortcut must not kick in here
+      val nClusters = graft.ops.Dedup.connectedComponents(edges, localEdgeThreshold = 0L)
         .select("cluster_id").distinct().count()
       val ccSec = (System.nanoTime() - t1) / 1e9
       println(f"K=$k%-3d rows=${5000L * k}%-8d edges=$n%-10d ${sec}%.2f s   " +

@@ -108,14 +108,40 @@ object Dedup {
    * threshold; returns rows of (id_a, id_b, jaccard) — the edges of the
    * duplicate graph. (Connected components / keep-one is a separate pass.)
    */
+  /**
+   * @param shingleCandidatesOnly scope of the verification shingle pass.
+   *   `false` (default): shingle the whole corpus — the gram stage is
+   *   independent of the LSH stages, so the scheduler overlaps them on
+   *   idle cores (fastest when a large fraction of docs appear in some
+   *   candidate pair, as in dedup-heavy corpora). `true`: semi-join the
+   *   corpus to candidate-pair members first, so verification cost scales
+   *   with |candidates| rather than |corpus| — the right plan when
+   *   candidates are a small fraction (a web-scale corpus where ~1% of
+   *   docs have a near-dup): shingling a 3 KB doc allocates thousands of
+   *   strings, and paying that for the 99% that never meet a candidate
+   *   dominates the whole job. The cost is a serialized DAG (grams wait
+   *   on the LSH self-join).
+   */
   def minhashDedupEdges(df: DataFrame, textCol: String, idCol: String,
                         threshold: Double, k: Int = 64, bands: Int = 16,
-                        ngram: Int = 5): DataFrame = {
+                        ngram: Int = 5,
+                        shingleCandidatesOnly: Boolean = false): DataFrame = {
+    // The candidate pairs feed several consumers (optionally the member-id
+    // semi-join, plus both sides of the gram join) — persist so the LSH
+    // self-join runs once. Pairs are two longs; negligible storage.
     val cands = minhashCandidates(df, textCol, idCol, k, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gramSource =
+      if (shingleCandidatesOnly) {
+        val members = cands.select(col("id_a").as("__gid"))
+          .unionByName(cands.select(col("id_b").as("__gid"))).distinct()
+        df.join(members, col(idCol) === col("__gid"), "left_semi")
+      } else df
     // Both candidate sides need the shingle arrays — cache so the n-gram
     // kernel runs once per doc, not once per join side.
-    val grams = df.select(col(idCol).as("__gid"),
-      TextAnalysis.charNgrams(col(textCol), ngram).as("__grams"))
+    val grams = gramSource
+      .select(col(idCol).as("__gid"),
+        TextAnalysis.charNgrams(col(textCol), ngram).as("__grams"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(grams.withColumnRenamed("__gid", "id_a")
@@ -205,7 +231,8 @@ object Dedup {
 
   def connectedComponents(edges: DataFrame, srcCol: String = "id_a",
                           dstCol: String = "id_b",
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          localEdgeThreshold: Long = 2000000L): DataFrame = {
     // Symmetrize in ONE pass over the edge list (explode to both
     // directions) — a self-union would evaluate the upstream edge
     // computation (often an expensive similarity join) twice.
@@ -215,6 +242,39 @@ object Dedup {
         .as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct().persist()
+    // Size-adaptive plan: below the threshold, union-find on the driver
+    // beats distributed label propagation by an order of magnitude — each
+    // distributed round costs 2-3 jobs of fixed scheduling latency, while
+    // 2M (long, long) edges are ~32 MB and union-find is near-linear.
+    // Above it, fall through to the iterative joins (the 100 TB path).
+    // The count reads the persisted symmetrized edges, which every
+    // downstream round needs anyway.
+    val nEdges = sym.count()
+    if (nEdges <= localEdgeThreshold) {
+      val spark = edges.sparkSession
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val seen = scala.collection.mutable.LongMap.empty[Unit]
+      sym.select(col("src"), col("dst")).collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        seen(a) = (); seen(b) = ()
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min-label union keeps cluster_id = min reachable id
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val out = seen.keys.toSeq.map(id => (id, find(id)))
+      lastRounds = 0
+      sym.unpersist()
+      import spark.implicits._
+      return out.toDF("id", "cluster_id")
+    }
     // Round 0 folded into initialization: label = min(id, neighbors).
     // Dup clusters are near-cliques, so this alone usually converges and
     // the loop's first pass just confirms (changed = 0).

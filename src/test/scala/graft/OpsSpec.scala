@@ -53,6 +53,15 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash edges identical whichever shingle scope is used") {
+    def run(candsOnly: Boolean) =
+      Dedup.minhashDedupEdges(docs, "text", "doc_id", threshold = 0.5,
+        k = 16, bands = 8, ngram = 4, shingleCandidatesOnly = candsOnly)
+        .select("id_a", "id_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    assert(run(candsOnly = true) === run(candsOnly = false))
+  }
+
   test("simhash near-dups") {
     val nd = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 10)
     val pairs = nd.select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -270,16 +279,21 @@ class OpsSpec extends SparkSpec {
     assert(near.count() < c.count()) // near-dup 3 collapses too
   }
 
-  test("connected components merge transitively linked dup edges") {
+  test("connected components merge transitively linked dup edges (both paths)") {
     // components: {1,2,3} via 1-2, 2-3; {10,11}; 4,5 isolated (absent)
     val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
-    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    for (thresh <- Seq(2000000L, 0L)) { // driver union-find / label propagation
+      val cc = Dedup.connectedComponents(edges, localEdgeThreshold = thresh)
+        .as[(Long, Long)].collect().toMap
+      assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    }
   }
 
   test("connected components: long chain converges within diameter rounds") {
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    // force the distributed path — the rounds bound is what's under test
+    val cc = Dedup.connectedComponents(chain, localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
     assert(cc.size === 12 && cc.values.forall(_ === 1L))
   }
 
@@ -326,9 +340,12 @@ class OpsSpec extends SparkSpec {
       }
       val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(x => x -> find(x)).toMap
-      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
-        .as[(Long, Long)].collect().toMap
-      assert(got === want)
+      for (thresh <- Seq(2000000L, 0L)) {
+        val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+            localEdgeThreshold = thresh)
+          .as[(Long, Long)].collect().toMap
+        assert(got === want)
+      }
     }
   }
 
