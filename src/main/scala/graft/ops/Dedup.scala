@@ -153,6 +153,36 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /**
+   * SimHash near-dup edges verified by exact char-n-gram Jaccard ≥
+   * `threshold` — simhash is the cheap banded candidate generator, exact
+   * Jaccard the verifier (same verify-after-LSH shape as
+   * [[minhashDedupEdges]], so both families emit comparable
+   * (id_a, id_b, jaccard) edges). Candidates stay O(|bucket pairs|); the
+   * gram join only ever touches candidate members.
+   */
+  def simhashDedupEdges(df: DataFrame, textCol: String, idCol: String,
+                        maxHamming: Int = 8, threshold: Double = 0.5,
+                        ngram: Int = 5): DataFrame = {
+    val cands = simhashNearDups(df, textCol, idCol, maxHamming)
+      .select("id_a", "id_b")
+    // verification grams: only candidate members need shingling
+    val members = cands.select(col("id_a").as("__gid"))
+      .unionByName(cands.select(col("id_b").as("__gid"))).distinct()
+    val grams = df.join(members, col(idCol) === col("__gid"), "left_semi")
+      .select(col(idCol).as("__gid"),
+        TextAnalysis.charNgrams(col(textCol), ngram).as("__grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cands
+      .join(grams.withColumnRenamed("__gid", "id_a")
+        .withColumnRenamed("__grams", "__ga"), "id_a")
+      .join(grams.withColumnRenamed("__gid", "id_b")
+        .withColumnRenamed("__grams", "__gb"), "id_b")
+      .withColumn("jaccard", ngramJaccardArrays(col("__ga"), col("__gb")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Exact Jaccard between two shingle-set array columns (Catalyst-only). */
   def ngramJaccardArrays(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
@@ -164,18 +194,29 @@ object Dedup {
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
     ngramJaccardArrays(TextAnalysis.charNgrams(a, n), TextAnalysis.charNgrams(b, n))
 
-  /** SimHash near-dup candidate pairs: equal 16-bit band of the 64-bit
-    * simhash → candidate; verify hamming ≤ maxHamming. */
+  /** SimHash near-dup candidate pairs: the 64-bit simhash is split into
+    * `maxHamming + 1` bands (pigeonhole: a pair within the hamming budget
+    * has at least one band with zero differing bits, so banded equality
+    * GUARANTEES recall — no probabilistic miss); candidates are then
+    * verified with the exact popcount. Larger budgets mean narrower bands
+    * and coarser buckets — for web-scale corpora with large `maxHamming`,
+    * the block-combination scheme of Manku et al. (WWW'07) trades more
+    * tables for finer keys, built from these same primitives. */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3): DataFrame = {
+    val nBands = math.min(maxHamming + 1, 64)
     val sh = df.select(col(idCol).as("__id"),
       sim_hash_64(col(textCol)).as("__sh"))
+    val bandCols = (0 until nBands).map { i =>
+      val lo = i * 64 / nBands
+      val width = (i + 1) * 64 / nBands - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftright(col("__sh"), lo).bitwiseAND(lit(mask))
+    }
     // both self-join sides reuse the banded fingerprints — cache so the
     // simhash kernel runs once per doc (rows are just (id, hash, band))
     val banded = sh.select(col("__id"), col("__sh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("__sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("__band", "__bh")))
+      posexplode(array(bandCols: _*)).as(Seq("__band", "__bh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.alias("a")
     val r = banded.alias("b")
