@@ -758,14 +758,17 @@ object SparkEntry {
       // simhash as candidate generator + exact Jaccard verification; the
       // oracle is the true thresholded all-pairs edge set (same exactness
       // argument as q_minhash_dedup, via a different LSH family).
-      val docs = T(s, dir, "documents")
+      // Corpus is bounded (doc_id < 150) because exact recall of
+      // 0.5-Jaccard pairs demands a hamming radius of ~12 — pigeonhole
+      // banding guarantees recall there, but a radius that wide is only
+      // affordable on a verification-sized corpus. At production scale
+      // simhash runs at its standard small radius (Manku et al. use 3) and
+      // jaccard-complete dedup is minhash LSH's job (q_minhash_dedup).
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 150)
       val nearDups = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
         .withColumn("doc_id", col("doc_id") + 100000)
         .withColumn("text", concat(col("text"), lit(" tail")))
       val corpus = docs.unionByName(nearDups).select("doc_id", "text")
-      // maxHamming=12: the true ≥0.5-Jaccard pairs here all sit at
-      // hamming ≤ 10, and pigeonhole banding guarantees recall within the
-      // budget — so the emitted set provably equals the oracle's.
       Dedup.simhashDedupEdges(corpus, "text", "doc_id",
         maxHamming = 12, threshold = 0.5, ngram = 5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -945,6 +948,37 @@ object SparkEntry {
           col("value") + 1).otherwise(col("value")))
         .select(col("event_id"), col("event_type"), col("value")))
       Delta.deltaSave(cat, v2, "ds", Seq("event_id"), Seq("value"), transform)
+      cat.readDataset("ds").selectExcept("sys").toDF
+    }),
+
+    "q_delta_retry" -> ((s, dir) => {
+      // Both retry modes (reference delta.py:126-186): run 1's transform
+      // "fails" on event_id % 11 == 0 (error-column rows) and silently
+      // DROPS event_id % 13 == 0 (rows missing from the result; the source
+      // itself never changes, so only retryMissing can bring them back).
+      // Run 2 replays a clean transform with retryOn + retryMissing; the
+      // result must equal a clean full recompute — which is the oracle.
+      val root = Files.createTempDirectory("graft_delta_retry").toString
+      val cat = new Catalog(root, s)
+      val src = Chain(E(s, dir).filter(col("event_id") < 5000)
+        .select(col("event_id"), col("event_type"), col("value")))
+      def flaky(c: Chain): Chain =
+        c.filter(pmod(col("event_id"), lit(13)) =!= 0)
+          .mutate(
+            "value2" -> when(pmod(col("event_id"), lit(11)) === 0, lit(null)
+                .cast("double"))
+              .otherwise(round(col("value") * 2, 6)),
+            "err" -> when(pmod(col("event_id"), lit(11)) === 0, lit("boom"))
+              .otherwise(lit("")))
+          .selectExpr(col("event_id"), col("event_type"), col("value2"),
+            col("err"))
+      def clean(c: Chain): Chain =
+        c.mutate("value2" -> round(col("value") * 2, 6), "err" -> lit(""))
+          .selectExpr(col("event_id"), col("event_type"), col("value2"),
+            col("err"))
+      Delta.deltaSave(cat, src, "ds", Seq("event_id"), Seq("value"), flaky)
+      Delta.deltaSave(cat, src, "ds", Seq("event_id"), Seq("value"), clean,
+        retryOn = Some("err"), retryMissing = true)
       cat.readDataset("ds").selectExcept("sys").toDF
     }),
 
@@ -1721,10 +1755,10 @@ object SparkEntry {
 
       "q_simhash_dedup" ->
         s"""WITH corpus AS (
-           |  SELECT doc_id, text FROM documents
+           |  SELECT doc_id, text FROM documents WHERE doc_id < 150
            |  UNION ALL
            |  SELECT doc_id + 100000 AS doc_id, text || ' tail' AS text
-           |  FROM documents WHERE doc_id % 4 = 0
+           |  FROM documents WHERE doc_id < 150 AND doc_id % 4 = 0
            |), g AS (
            |  SELECT doc_id, list_distinct(list_transform(
            |    range(1, CAST(greatest(length($norm) - 4, 0) AS BIGINT) + 1),
@@ -2056,6 +2090,11 @@ object SparkEntry {
           | round((CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END) * 2, 6)
           |   AS value2
           |FROM events""".stripMargin,
+
+      "q_delta_retry" ->
+        """SELECT event_id, event_type, round(value * 2, 6) AS value2,
+          | '' AS err
+          |FROM events WHERE event_id < 5000""".stripMargin,
 
       "q_int_hash" -> intHash64OracleStages,
 

@@ -174,6 +174,15 @@ final class Catalog(val root: String, spark: SparkSession) {
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalStateException(s"no rows in $name@v$version meta"))
 
+  /** Remove a single version (rollback of a failed multi-save protocol
+    * step; versions are otherwise immutable). */
+  def deleteVersion(name: String, version: SemVer): Unit = {
+    val d = vDir(name, version)
+    if (Files.exists(d)) {
+      Files.walk(d).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
   def deleteDataset(name: String): Unit = {
     val d = dsDir(name)
     if (Files.exists(d)) {

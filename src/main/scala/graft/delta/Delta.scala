@@ -1,5 +1,8 @@
 package graft.delta
 
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration.Duration
+import scala.concurrent.ExecutionContext.Implicits.global
 import org.apache.spark.sql.functions._
 import graft.catalog.{Catalog, SemVer}
 import graft.core.Chain
@@ -15,8 +18,14 @@ import graft.core.Chain
  *   2. replays the transformation only on the changed rows,
  *   3. unions with the previous result rows that weren't re-derived,
  *   4. saves as a new version.
- * `retryOn` additionally re-processes previous-result rows whose error
- * column is non-empty (reference: delta.py:126-186).
+ * Retry modes (reference: src/datachain/delta.py:126-186 `_get_retry_chain`):
+ *   - `retryOn = Some(errCol)`: re-process source rows whose previous-result
+ *     row carries a non-empty error marker (`delta_retry="column"`),
+ *   - `retryMissing = true`: re-process source rows whose keys are ABSENT
+ *     from the previous result — rows a crashed/partial prior run never
+ *     emitted (`delta_retry=True`).
+ * Both overlap the regular changed-set; the union is deduplicated before
+ * replay (the reference subtracts the diff chain for the same reason).
  *
  * At scale this is the classic incremental-batch pattern: the diff is one
  * null-safe anti-join (shuffle on the key), the replay touches only changed
@@ -36,6 +45,17 @@ object Delta {
 
   def deltaCompatible(chain: Chain): Boolean =
     !chain.ops.ops.exists(op => DeltaDisabledOps.contains(op.name))
+
+  /** The ops `transform` appended on top of `in` — checked on the REAL
+    * output chain (not a dry run), so a transform that branches on data
+    * shape is still caught. */
+  private def requireCompatible(in: Chain, out: Chain): Unit = {
+    val appended = out.ops.ops.drop(in.ops.ops.length).map(_.name)
+    require(!appended.exists(DeltaDisabledOps.contains),
+      s"transformation contains delta-disabled ops " +
+        s"(${appended.filter(DeltaDisabledOps.contains).mkString(",")} of " +
+        s"${DeltaDisabledOps.mkString(",")})")
+  }
 
   /**
    * Time-travel changeset between two saved versions of a dataset:
@@ -65,9 +85,8 @@ object Delta {
   def deltaSave(catalog: Catalog, source: Chain, name: String,
                 deltaOn: Seq[String], compare: Seq[String],
                 transform: Chain => Chain,
-                retryOn: Option[String] = None): DeltaResult = {
-    require(deltaCompatible(transform(Chain(source.toDF.limit(0)))),
-      s"transformation contains delta-disabled ops (${DeltaDisabledOps.mkString(",")})")
+                retryOn: Option[String] = None,
+                retryMissing: Boolean = false): DeltaResult = {
     val snapName = s"__src__$name"
     val prevSnap = catalog.latestVersion(snapName)
     val prevResult = catalog.latestVersion(name)
@@ -78,11 +97,28 @@ object Delta {
     // the snapshot of a wide media table is a few GB of keys+etags.
     def snapshot(): Chain =
       Chain(source.toDF.select((deltaOn ++ compare).distinct.map(col): _*))
+    // Result and snapshot land in different (immutable) version dirs, so
+    // the two write jobs are independent — submit them concurrently and the
+    // scheduler overlaps them on idle cores instead of serializing two
+    // small jobs (the dominant per-call latency at bench scale).
+    def saveBoth(out: Chain, deps: Seq[String]): (SemVer, SemVer) = {
+      val snapF = Future(catalog.save(snapshot(), snapName))
+      val v =
+        try catalog.save(out, name, deps = deps)
+        catch { case e: Throwable =>
+          // roll the concurrent snapshot back — a surviving newer snapshot
+          // beside a stale result would make the next diff skip its changes
+          try catalog.deleteVersion(snapName, Await.result(snapF, Duration.Inf))
+          catch { case s: Throwable => e.addSuppressed(s) }
+          throw e
+        }
+      (v, Await.result(snapF, Duration.Inf))
+    }
 
     if (prevSnap.isEmpty || prevResult.isEmpty) {
       val out = transform(source)
-      val v = catalog.save(out, name, deps = Seq(s"$snapName@full"))
-      val snapV = catalog.save(snapshot(), snapName)
+      requireCompatible(source, out)
+      val (v, snapV) = saveBoth(out, Seq(s"$snapName@full"))
       // row count comes from the snapshot save's own metadata — no extra scan
       return DeltaResult(v, fullRecompute = true,
         changedRows = catalog.rowsOf(snapName, snapV))
@@ -98,18 +134,25 @@ object Delta {
 
     val prevOut = Chain(graft.core.Sys.drop(
       catalog.readDataset(name, prevResult).toDF))
-    val retried = retryOn match {
+    val retriedErr = retryOn match {
       case Some(errCol) =>
         // keys of previous-result rows with a non-empty error marker
         val errKeys = prevOut.toDF
           .filter(col(errCol).isNotNull && col(errCol) =!= "")
           .select(deltaOn.map(col): _*).distinct()
-        Chain(source.toDF.join(errKeys, deltaOn, "left_semi"))
-      case None => Chain(source.toDF.limit(0))
+        source.toDF.join(errKeys, deltaOn, "left_semi")
+      case None => source.toDF.limit(0)
     }
+    // delta_retry=True: source keys the previous result never emitted
+    // (reference delta.py:166-169 `source_dc.subtract(result_dataset, on)`)
+    val retriedMissing =
+      if (retryMissing) Chain(source.toDF).subtract(prevOut, on = deltaOn).toDF
+      else source.toDF.limit(0)
     // The changed-set feeds three consumers (count, replay, anti-join) —
     // persist it so the diff's full-outer join runs once, not three times.
-    val toProcessDF = changed.toDF.unionByName(retried.toDF).distinct().persist()
+    val toProcessDF = changed.toDF
+      .unionByName(retriedErr).unionByName(retriedMissing)
+      .distinct().persist()
     try {
       val toProcess = Chain(toProcessDF)
       val nChanged = toProcessDF.count()
@@ -120,12 +163,12 @@ object Delta {
       }
 
       val replayed = transform(toProcess)
+      requireCompatible(toProcess, replayed)
       // Previous result rows whose key was NOT re-derived, kept as-is.
       val kept = prevOut.subtract(replayed, on = deltaOn)
       val out = Chain(kept.toDF.unionByName(replayed.toDF))
-      val v = catalog.save(out, name,
-        deps = Seq(s"$snapName@v${prevSnap.get}", s"$name@v${prevResult.get}"))
-      catalog.save(snapshot(), snapName)
+      val (v, _) = saveBoth(out,
+        Seq(s"$snapName@v${prevSnap.get}", s"$name@v${prevResult.get}"))
       DeltaResult(v, fullRecompute = false, changedRows = nChanged)
     } finally toProcessDF.unpersist()
   }

@@ -47,6 +47,10 @@ object GraftFunctions {
   /** SimHash-64 text fingerprint (near-dup detection). */
   def sim_hash_64(c: Column): Column = toCol(SimHash64(toExpr(c)))
 
+  /** SimHash-64 over distinct char n-gram shingles (short-doc-stable). */
+  def sim_hash_64_shingles(c: Column, n: Int): Column =
+    toCol(SimHash64Shingles(toExpr(c), n))
+
   /** Distinct char n-gram set of normalized text (codegen'd kernel). */
   def char_ngrams(c: Column, n: Int): Column = toCol(CharNgrams(toExpr(c), n))
 

@@ -185,3 +185,20 @@ case class SimHash64(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.Impl.simHash64($c)")
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
 }
+
+/** SimHash-64 over distinct char n-gram shingles (low-variance fingerprint
+  * for short documents; see Impl.simHash64Shingles). */
+case class SimHash64Shingles(child: Expression, n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(n > 0, "ngram size must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sim_hash_64_shingles"
+  override protected def nullSafeEval(v: Any): Any =
+    Impl.simHash64Shingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Impl.simHash64Shingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): SimHash64Shingles =
+    copy(child = c)
+}
