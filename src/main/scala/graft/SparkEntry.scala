@@ -112,6 +112,26 @@ object SparkEntry {
         .toDF
     }),
 
+    "q_read_database" -> ((s, dir) => {
+      // REAL JDBC round-trip against embedded Derby (ships in Spark's jar
+      // dir): to_database writes nation through executor-side connections,
+      // read_database pulls it back as a 4-way partitioned range read (the
+      // scale shape); oracle is the original table.
+      System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+      val db = Files.createTempDirectory("graft_derby").resolve("db")
+      val url = s"jdbc:derby:$db;create=true"
+      val src = T(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      graft.io.Writers.toDatabase(src, url, "nation_db")
+      // Spark's JDBC writer quotes identifiers at CREATE, so Derby stores
+      // them case-sensitively lowercase — the readback query must quote too.
+      Chain.readDatabasePartitioned(s, url,
+          """SELECT "n_nationkey", "n_name", "n_regionkey" FROM nation_db""",
+          partitionColumn = "n_nationkey", lowerBound = 0L, upperBound = 25L,
+          numPartitions = 4)
+        .toDF
+    }),
+
     "q_save_roundtrip" -> ((s, dir) => {
       val root = Files.createTempDirectory("graft_cat").toString
       val cat = new Catalog(root, s)
@@ -1324,6 +1344,9 @@ object SparkEntry {
         """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'alpha', 3.5),
           | (CAST(2 AS BIGINT), 'beta', -1.25),
           | (CAST(3 AS BIGINT), 'gamma', 0.0)) AS t(id, name, score)""".stripMargin,
+
+      "q_read_database" ->
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
       "q_save_roundtrip" ->
         """SELECT s_nationkey, count(*) AS n_suppliers,

@@ -454,11 +454,26 @@ object Chain {
       OpTree.empty.append("read_records"))
 
   /** read_database via JDBC (reference: src/datachain/lib/dc/database.py:298).
-    * Partitioned reads (`partitionColumn`/bounds) are the scale path; no
-    * JDBC driver ships in this container, so this is exercised on clusters. */
+    * Exercised for real against embedded Derby (ships with Spark's jars) in
+    * the q_read_database gate and IoSpec; [[readDatabasePartitioned]] is the
+    * scale path. */
   def readDatabase(spark: SparkSession, url: String, query: String,
                    props: java.util.Properties = new java.util.Properties())
       : Chain =
     new Chain(spark.read.jdbc(url, s"($query) AS q", props),
       OpTree.empty.append("read_database", url, query))
+
+  /** Partitioned JDBC read — the 100 TB-side shape: `numPartitions`
+    * executors each pull a `partitionColumn` range slice concurrently
+    * instead of one connection streaming the whole result set
+    * (reference `read_database`'s engine-side batching, database.py:325). */
+  def readDatabasePartitioned(spark: SparkSession, url: String, query: String,
+                              partitionColumn: String, lowerBound: Long,
+                              upperBound: Long, numPartitions: Int,
+                              props: java.util.Properties =
+                                new java.util.Properties()): Chain =
+    new Chain(spark.read.jdbc(url, s"($query) AS q", partitionColumn,
+        lowerBound, upperBound, numPartitions, props),
+      OpTree.empty.append("read_database", url, query,
+        s"$partitionColumn/$numPartitions"))
 }

@@ -99,9 +99,10 @@ object Writers {
       .saveAsTable(table)
   }
 
-  /** JDBC sink (reference `to_database`). No JDBC driver ships in this
-    * container — exercised only by its plan shape; on a cluster pass the
-    * driver class via spark.jars. */
+  /** JDBC sink (reference `to_database`). Exercised for real against
+    * embedded Derby (ships with Spark's jars) in the q_read_database gate
+    * and IoSpec; writes stream per-partition through executor-side
+    * connections, so sink throughput scales with executors. */
   def toDatabase(df: DataFrame, url: String, table: String,
                  props: java.util.Properties = new java.util.Properties(),
                  mode: SaveMode = SaveMode.Append): Unit =

@@ -83,6 +83,22 @@ class ChainSpec extends SparkSpec {
       Set("Bob", "Charlie", "David"))
   }
 
+  test("semiJoin is null-safe: NULL keys match NULL keys") {
+    val withNull = Chain(people.toDF
+      .withColumn("first_name",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("first_name") === "Alice",
+          org.apache.spark.sql.functions.lit(null: String))
+          .otherwise(org.apache.spark.sql.functions.col("first_name"))))
+    val probe = Chain.readValues(spark, Seq(Person(null, 0, ""), Person("Bob", 0, "")))
+    val hit = withNull.semiJoin(probe, on = Seq("first_name"))
+    // <=> matches the NULL-keyed row (Alice's) as well as Bob's
+    assert(hit.count() === 2)
+    assert(hit.toDF.select("age").as[Long].collect().toSet ===
+      people.toDF.filter("first_name in ('Alice','Bob')")
+        .select("age").as[Long].collect().toSet)
+  }
+
   test("merge: left default, collision rname, full outer") {
     val teams = Chain.readValues(spark, Seq(
       Person("Alice", 99, "team-x"), Person("Zed", 1, "team-y")))

@@ -117,4 +117,22 @@ class IoSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_customer")
     }
   }
+
+  test("JDBC round-trip through embedded Derby, partitioned read") {
+    System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    val db = Files.createTempDirectory("derby_io").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val src = Seq((1L, "alpha", 10.5), (2L, "beta", -3.25), (3L, "gamma", 0.0))
+      .toDF("id", "name", "score")
+    Writers.toDatabase(src, url, "vals")
+    val whole = Chain.readDatabase(spark, url,
+      """SELECT "id", "name", "score" FROM vals""").toDF
+    assert(whole.collect().toSet === src.collect().toSet)
+    val parted = Chain.readDatabasePartitioned(spark, url,
+      """SELECT "id", "name", "score" FROM vals""",
+      partitionColumn = "id", lowerBound = 0L, upperBound = 4L,
+      numPartitions = 3)
+    assert(parted.toDF.rdd.getNumPartitions === 3)
+    assert(parted.toDF.collect().toSet === src.collect().toSet)
+  }
 }
