@@ -106,8 +106,23 @@ final class Catalog(val root: String, spark: SparkSession) {
     Files.createDirectories(dir)
     Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    appendCheckpointIndex(chain.hash, name, v)
     v
   }
+
+  // ---- checkpoint index: hash → (name, version) without scanning metas ----
+  // One append-only line per save; lookup is a single small-file read
+  // instead of O(total versions) meta.json reads. Entries are validated
+  // against the version dir on hit, so deletes need no index rewrite.
+
+  private def ckptIndex: Path = Paths.get(root, "checkpoints.idx")
+
+  private def appendCheckpointIndex(hash: String, name: String, v: SemVer): Unit =
+    synchronized {
+      Files.createDirectories(ckptIndex.getParent)
+      Files.write(ckptIndex, s"$hash\t$name\tv$v\n".getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
 
   /** Load a saved version (latest when not given) as a Chain
     * (reference `read_dataset`, src/datachain/lib/dc/datasets.py:27). */
@@ -265,15 +280,31 @@ final class Catalog(val root: String, spark: SparkSession) {
       case _ => (save(chain, name, deps = deps), false)
     }
 
-  /** Find a dataset version whose chain hash matches (checkpoint reuse). */
-  def findCheckpoint(chainHash: String): Option[(String, SemVer)] =
-    datasets().iterator.flatMap { n =>
+  /** Find a dataset version whose chain hash matches (checkpoint reuse).
+    * Served from the append-only index; falls back to a full meta scan for
+    * catalogs written before the index existed. */
+  def findCheckpoint(chainHash: String): Option[(String, SemVer)] = {
+    if (Files.exists(ckptIndex)) {
+      val hit = Files.readAllLines(ckptIndex).asScala.iterator
+        .map(_.split('\t'))
+        .collectFirst {
+          case Array(h, n, vs) if h == chainHash &&
+            Files.exists(vDir(n, SemVer.parse(vs.drop(1))).resolve("meta.json")) =>
+            (n, SemVer.parse(vs.drop(1)))
+        }
+      if (hit.isDefined) return hit
+    }
+    val scanned = datasets().iterator.flatMap { n =>
       versions(n).flatMap { v =>
         val meta = readMeta(n, v)
         if (meta.contains("\"chainHash\": \"" + chainHash + "\"")) Some((n, v))
         else None
       }
     }.nextOption()
+    // self-heal: index pre-index-era hits so the next lookup is O(1)
+    scanned.foreach { case (n, v) => appendCheckpointIndex(chainHash, n, v) }
+    scanned
+  }
 
   private def esc(s: String): String =
     s.flatMap {

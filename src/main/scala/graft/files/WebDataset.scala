@@ -90,16 +90,21 @@ object WebDataset {
   /** Read one member's bytes by its location pointer
     * `{"parent": tarPath, "offset": n, "size": m}` — a byte-range read of
     * the shard, no tar scan (reference TarVFile, lib/tar.py). */
-  def readVirtual(location: String,
-                  conf: org.apache.hadoop.conf.Configuration =
-                    new org.apache.hadoop.conf.Configuration()): Array[Byte] = {
+  /** Parse a virtual-file location JSON into (parent path, offset, size). */
+  def virtualRange(location: String)
+      : (org.apache.hadoop.fs.Path, Long, Int) = {
     def field(k: String): String =
       ("\"" + k + "\"\\s*:\\s*\"?([^,\"}]+)\"?").r.findFirstMatchIn(location)
         .getOrElse(throw new IllegalArgumentException(s"bad location: $location"))
         .group(1)
-    val p = new org.apache.hadoop.fs.Path(field("parent"))
-    val offset = field("offset").toLong
-    val size = field("size").toInt
+    (new org.apache.hadoop.fs.Path(field("parent")),
+      field("offset").toLong, field("size").toInt)
+  }
+
+  def readVirtual(location: String,
+                  conf: org.apache.hadoop.conf.Configuration =
+                    new org.apache.hadoop.conf.Configuration()): Array[Byte] = {
+    val (p, offset, size) = virtualRange(location)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     try {

@@ -379,4 +379,27 @@ class CatalogSpec extends SparkSpec {
     assert(json.contains("\"dropped\": 25"))
     assert(JobMetrics.read(cat, "nope").isEmpty)
   }
+
+  test("checkpoint index serves many-version catalogs without meta scans") {
+    val root = Files.createTempDirectory("cat_idx").toString
+    val cat = new Catalog(root, spark)
+    val base = Chain(spark.read.parquet(s"$sf/region.parquet"))
+    // 30 distinct versions (limit(n) changes the chain hash)
+    val chains = (1 to 30).map(n => base.limit(n))
+    chains.foreach(c => cat.save(c, "many"))
+    // every hash resolves through the index file
+    assert(Files.exists(java.nio.file.Paths.get(root, "checkpoints.idx")))
+    chains.zipWithIndex.foreach { case (c, i) =>
+      assert(cat.findCheckpoint(c.hash) ===
+        Some(("many", graft.catalog.SemVer(1, i, 0))))
+    }
+    // deleting a version invalidates its (stale) index entry
+    cat.deleteVersion("many", graft.catalog.SemVer(1, 4, 0))
+    assert(cat.findCheckpoint(chains(4).hash).isEmpty)
+    // index self-heals for pre-index catalogs: drop the file, hit via scan,
+    // then the entry is back
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "checkpoints.idx"))
+    assert(cat.findCheckpoint(chains(9).hash).isDefined)
+    assert(Files.exists(java.nio.file.Paths.get(root, "checkpoints.idx")))
+  }
 }

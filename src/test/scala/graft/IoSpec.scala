@@ -135,4 +135,49 @@ class IoSpec extends SparkSpec {
     assert(parted.toDF.rdd.getNumPartitions === 3)
     assert(parted.toDF.collect().toSet === src.collect().toSet)
   }
+
+  test("FileRef.open streams blobs larger than the byte-bounded LRU cache") {
+    import graft.files.{FileCache, FileRef}
+    val dir = Files.createTempDirectory("blobs")
+    def mk(name: String, size: Int, fill: Byte): FileRef = {
+      val bytes = Array.fill[Byte](size)(fill)
+      Files.write(dir.resolve(name), bytes)
+      FileRef(s"file://$dir", name, size.toLong, "", s"etag-$name", true,
+        new java.sql.Timestamp(0L), "")
+    }
+    FileCache.clear()
+    FileCache.setMaxBytes(4096L)
+    try {
+      // a blob 16x the cache bound streams through open() in constant
+      // memory and never touches the cache
+      val big = mk("big.bin", 64 * 1024, 1)
+      val in = big.open()
+      try {
+        val buf = new Array[Byte](1024)
+        var total = 0L
+        var n = in.read(buf)
+        while (n >= 0) { total += n; n = in.read(buf) }
+        assert(total === 64L * 1024)
+      } finally in.close()
+      assert(FileCache.currentBytes === 0L)
+      // readBytes on an oversized blob (> bound/8) serves but never caches
+      big.readBytes()
+      assert(FileCache.currentBytes === 0L)
+      // small blobs cache with LRU eviction under the byte bound
+      val a = mk("a.bin", 400, 2); val b = mk("b.bin", 400, 3)
+      val more = (0 until 12).map(i => mk(s"c$i.bin", 400, 4))
+      a.readBytes(); b.readBytes()
+      assert(FileCache.currentBytes === 800L)
+      more.foreach(_.readBytes())   // 12 * 400 > 4096 forces eviction
+      assert(FileCache.currentBytes <= 4096L)
+      // single-file export round-trips bytes under each placement
+      val out = Files.createTempDirectory("export")
+      val uri = a.export(s"file://$out", placement = "filename")
+      assert(uri.endsWith("a.bin"))
+      assert(Files.readAllBytes(out.resolve("a.bin")).forall(_ == 2))
+    } finally {
+      FileCache.setMaxBytes(256L * 1024 * 1024)
+      FileCache.clear()
+    }
+  }
 }
