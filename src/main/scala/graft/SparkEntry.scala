@@ -112,6 +112,21 @@ object SparkEntry {
         .toDF
     }),
 
+    "q_json_infer" -> ((s, dir) => {
+      // schemaless JSONL: documents round-trip through nested JSON text,
+      // read back with SAMPLE-inferred schema + jmespath descent into the
+      // payload subtree — no hand-built StructType anywhere.
+      val tmp = Files.createTempDirectory("graft_jsonl").toString + "/docs"
+      T(s, dir, "documents").select(to_json(struct(
+          struct(col("doc_id"), col("lang"), col("n_chars")).as("payload"),
+          lit("v1").as("gen"))).as("value"))
+        .write.mode("overwrite").text(tmp)
+      Chain.readJsonInferred(s, tmp, jmespath = Some("payload"),
+          sampleSize = 200)
+        .toDF
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     "q_read_database" -> ((s, dir) => {
       // REAL JDBC round-trip against embedded Derby (ships in Spark's jar
       // dir): to_database writes nation through executor-side connections,
@@ -374,6 +389,27 @@ object SparkEntry {
       val ords = C(s, dir, "orders").rename("o_custkey", "c_custkey")
       cust.semiJoin(ords, on = Seq("c_custkey"))
         .select("c_custkey", "c_name").toDF
+    }),
+
+    "q_group_by_file" -> ((s, dir) => {
+      // complex-signal partition_by: group on the whole `file` struct
+      // (expanded to leaves, re-packed as a partial model) — reference
+      // datachain.py:1172-1293. Output projects from the re-packed struct,
+      // so the gate covers expansion AND partial reconstruction.
+      val listing = T(s, dir, "documents").select(
+        struct(lit("s3://corpus").as("source"),
+          concat(lit("docs/sub"), pmod(col("doc_id"), lit(7)),
+            lit("/data.txt")).as("path")).as("file"),
+        col("n_chars"), col("lang"))
+      Chain(listing)
+        .groupByAgg(Seq("file"),
+          "n_docs" -> count(lit(1)),
+          "total_chars" -> sum(col("n_chars")).cast("long"),
+          "n_langs" -> countDistinct(col("lang")))
+        .toDF
+        .select(col("file.source").as("file_source"),
+          col("file.path").as("file_path"),
+          col("n_docs"), col("total_chars"), col("n_langs"))
     }),
 
     "q_stats_agg" -> ((s, dir) =>
@@ -1345,6 +1381,10 @@ object SparkEntry {
           | (CAST(2 AS BIGINT), 'beta', -1.25),
           | (CAST(3 AS BIGINT), 'gamma', 0.0)) AS t(id, name, score)""".stripMargin,
 
+      "q_json_infer" ->
+        """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+          | CAST(n_chars AS BIGINT) AS n_chars FROM documents""".stripMargin,
+
       "q_read_database" ->
         "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
@@ -1486,6 +1526,14 @@ object SparkEntry {
         """SELECT c_custkey, c_name FROM customer c
           |WHERE EXISTS (SELECT 1 FROM orders o
           |              WHERE o.o_custkey IS NOT DISTINCT FROM c.c_custkey)""".stripMargin,
+
+      "q_group_by_file" ->
+        """SELECT 's3://corpus' AS file_source,
+          | 'docs/sub' || CAST(doc_id % 7 AS VARCHAR) || '/data.txt' AS file_path,
+          | count(*) AS n_docs,
+          | CAST(sum(n_chars) AS BIGINT) AS total_chars,
+          | count(DISTINCT lang) AS n_langs
+          |FROM documents GROUP BY 1, 2""".stripMargin,
 
       "q_stats_agg" ->
         """SELECT l_returnflag,

@@ -225,13 +225,62 @@ final class Chain private (
 
   /** GROUP BY over (possibly dotted/nested) keys with named aggregates
     * (reference: src/datachain/lib/dc/datachain.py:1172-1293). */
+  /**
+   * Group by signals + named aggregates. A key naming a COMPLEX signal (a
+   * struct column, e.g. `file`) expands to its leaf columns for grouping
+   * and is re-packed into the struct afterwards — the reference's
+   * complex-signal `partition_by` with partial output models
+   * (reference: src/datachain/lib/dc/datachain.py:1172-1293,
+   * signal_schema.py:821-853). Grouping on scalar leaves keeps the
+   * aggregation fully codegen'd; struct equality == leafwise equality, so
+   * semantics match grouping on the struct itself.
+   */
   def groupByAgg(keys: Seq[String], aggs: (String, Column)*): Chain = {
     require(aggs.nonEmpty, "group_by requires at least one aggregate")
-    val keyCols = keys.map(k => SignalSchema.resolve(k).as(k.replace('.', '_')))
+    def typeOf(path: String): Option[org.apache.spark.sql.types.DataType] = {
+      def walk(t: org.apache.spark.sql.types.DataType, parts: List[String])
+          : Option[org.apache.spark.sql.types.DataType] = (t, parts) match {
+        case (t, Nil) => Some(t)
+        case (s: org.apache.spark.sql.types.StructType, p :: rest) =>
+          s.fields.find(_.name == p).flatMap(f => walk(f.dataType, rest))
+        case _ => None
+      }
+      walk(df.schema, path.split('.').toList)
+    }
+    val structKeys: Map[String, org.apache.spark.sql.types.StructType] =
+      keys.flatMap(k => typeOf(k) match {
+        case Some(s: org.apache.spark.sql.types.StructType) => Some(k -> s)
+        case _ => None
+      }).toMap
+    val leafKeys: Seq[String] = keys.flatMap { k =>
+      structKeys.get(k) match {
+        case Some(s) => SignalSchema.leafPaths(s, k)
+        case None    => Seq(k)
+      }
+    }
+    val keyCols = leafKeys.map(k => SignalSchema.resolve(k).as(k.replace('.', '_')))
     val aggCols = aggs.map { case (n, c) => c.as(n) }
-    val out =
-      if (keys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+    val grouped =
+      if (leafKeys.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
       else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+    // re-pack each struct key from its flattened leaves (partial model)
+    def repack(s: org.apache.spark.sql.types.StructType, prefix: String): Column =
+      struct(s.fields.toSeq.map { f =>
+        val p = s"$prefix.${f.name}"
+        f.dataType match {
+          case ns: org.apache.spark.sql.types.StructType => repack(ns, p).as(f.name)
+          case _ => col(p.replace('.', '_')).as(f.name)
+        }
+      }: _*)
+    val out =
+      if (structKeys.isEmpty) grouped
+      else grouped.select(
+        keys.map { k =>
+          structKeys.get(k) match {
+            case Some(s) => repack(s, k).as(k)
+            case None    => col(k.replace('.', '_'))
+          }
+        } ++ aggs.map { case (n, _) => col(n) }: _*)
     next(out, "group_by", keys ++ aggs.map(_._1): _*)
   }
 
@@ -373,6 +422,20 @@ final class Chain private (
       "explode_json", jsonCol)
   }
 
+  /** [[explodeJson]] without a hand-built schema: the struct type is
+    * inferred from a bounded sample of the column (reference
+    * meta_formats.py's sample-driven model inference) and then applied to
+    * every row — inference cost is O(sampleSize) regardless of table size. */
+  def explodeJsonInferred(jsonCol: String, sampleSize: Int = 1000,
+                          keep: Boolean = false): Chain = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = df.select(col(jsonCol)).na.drop().limit(sampleSize)
+      .as[String]
+    val inferred = spark.read.json(sample).schema
+    explodeJson(jsonCol, inferred, keep)
+  }
+
   // -------------------------------------------------------------- consume
 
   /** Streamed row iterator (reference `to_iter`/`collect`) — paginates
@@ -437,6 +500,36 @@ object Chain {
     val r = spark.read
     val df = schema.map(s => r.schema(s)).getOrElse(r).json(path)
     new Chain(df, OpTree.empty.append("read_json", path))
+  }
+
+  /**
+   * Schemaless JSONL read with SAMPLE-based schema inference + jmespath-lite
+   * descent (reference `read_json`'s model inference and jmespath handling,
+   * src/datachain/lib/meta_formats.py): the schema is inferred from the
+   * first `sampleSize` lines only — at 100 TB the inference pass reads a
+   * few KB, not the corpus — then applied to the full scan. `jmespath`
+   * supports dotted struct descent and `[*]` array explosion
+   * (e.g. `"payload.items[*]"`): each step re-roots the rows at that
+   * subtree, like the reference's jmespath extraction.
+   */
+  def readJsonInferred(spark: SparkSession, path: String,
+                       jmespath: Option[String] = None,
+                       sampleSize: Int = 1000): Chain = {
+    import spark.implicits._
+    val sample = spark.read.text(path).limit(sampleSize).as[String]
+    val inferred = spark.read.json(sample).schema
+    var out = spark.read.schema(inferred).json(path)
+    jmespath.map(_.trim).filter(_.nonEmpty).foreach { jp =>
+      jp.split('.').foreach { seg =>
+        out =
+          if (seg.endsWith("[*]")) {
+            val name = seg.dropRight(3)
+            out.select(explode(col(name)).as("__e")).select(col("__e.*"))
+          } else out.select(col(seg).as("__o")).select(col("__o.*"))
+      }
+    }
+    new Chain(out,
+      OpTree.empty.append("read_json", path, jmespath.getOrElse("")))
   }
 
   /** read_values (reference: src/datachain/lib/dc/values.py:18). */

@@ -128,6 +128,24 @@ class ChainSpec extends SparkSpec {
     assert(nyc.getAs[Double]("avg_age") === 30.0)
   }
 
+  test("group_by on a complex signal expands leaves and re-packs partials") {
+    val nested = Chain(people.toDF.select(
+      struct(col("city").as("name"),
+        struct(col("city").substr(0, 1).as("initial")).as("geo")).as("place"),
+      col("age")))
+    val g = nested.groupByAgg(Seq("place"),
+      "n" -> count(lit(1)), "max_age" -> max(col("age")))
+    // the struct key survives as a (nested) struct column
+    val schema = g.toDF.schema
+    assert(schema("place").dataType.isInstanceOf[
+      org.apache.spark.sql.types.StructType])
+    val rows = g.toDF
+      .select(col("place.name"), col("place.geo.initial"), col("n"), col("max_age"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(rows === Set(("NYC", "N", 2L, 35L), ("LA", "L", 2L, 30L),
+      ("SF", "S", 1L, 40L)))
+  }
+
   test("diff statuses A/D/M/S") {
     val oldV = Chain.readValues(spark, Seq(
       Person("Alice", 25, "NYC"), Person("Bob", 30, "LA"),

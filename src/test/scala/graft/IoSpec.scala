@@ -180,4 +180,22 @@ class IoSpec extends SparkSpec {
       FileCache.clear()
     }
   }
+
+  test("readJsonInferred: sample inference + jmespath array descent") {
+    val dir = Files.createTempDirectory("jsonl")
+    val lines = Seq(
+      """{"batch":"b1","items":[{"id":1,"tag":"x"},{"id":2,"tag":"y"}]}""",
+      """{"batch":"b2","items":[{"id":3,"tag":"z"}]}""")
+    Files.write(dir.resolve("part-0.jsonl"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val rows = Chain.readJsonInferred(spark, dir.toString,
+        jmespath = Some("items[*]"))
+      .toDF.as[(Long, String)].collect().toSet
+    assert(rows === Set((1L, "x"), (2L, "y"), (3L, "z")))
+    // explodeJsonInferred: same inference applied to a JSON string column
+    val tbl = Seq("""{"a":5,"b":"p"}""", """{"a":6,"b":"q"}""").toDF("js")
+    val exploded = Chain(tbl).explodeJsonInferred("js").toDF
+      .as[(Long, String)].collect().toSet
+    assert(exploded === Set((5L, "p"), (6L, "q")))
+  }
 }
