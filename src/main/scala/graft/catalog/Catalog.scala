@@ -54,6 +54,18 @@ final case class VersionMeta(
     name: String, version: String, chainHash: String,
     schemaJson: String, deps: Seq[String], createdAt: String, rows: Long)
 
+/** A registered project inside a namespace (reference Project,
+  * src/datachain/project.py:13-46). */
+final case class Project(namespace: String, name: String,
+                         descr: String, createdAt: String)
+
+object Catalog {
+  /** Reference Namespace.default / Project.default / Project.listing. */
+  val DefaultNamespace = "local"
+  val DefaultProject = "local"
+  val ListingProject = "listing"
+}
+
 final class Catalog(val root: String, spark: SparkSession) {
 
   private def dsDir(name: String): Path = Paths.get(root, "datasets", name)
@@ -243,13 +255,142 @@ final class Catalog(val root: String, spark: SparkSession) {
       if (!Files.isDirectory(d)) Seq.empty
       else Files.list(d).iterator.asScala.map(_.getFileName.toString).toSeq
     val implied = datasets().filter(_.contains('.')).map(_.split('.').head)
-    (registered ++ implied).distinct.sorted
+    (registered ++ implied ++ Seq(Catalog.DefaultNamespace)).distinct.sorted
   }
 
   def deleteNamespace(ns: String): Unit = {
+    require(ns != Catalog.DefaultNamespace, s"namespace $ns is reserved")
     require(!datasets().exists(_.startsWith(ns + ".")),
       s"namespace $ns still has datasets")
+    require(listProjects(Some(ns)).isEmpty, s"namespace $ns still has projects")
     Files.deleteIfExists(nsFile(ns))
+  }
+
+  // ---- projects (reference: src/datachain/project.py,
+  // data_storage/metastore.py:860-1003) ----
+  // A project lives inside a namespace; dataset full names are
+  // "namespace.project.name". The default project is local.local (reference
+  // Project.default/Namespace.default); "listing" is where bucket-listing
+  // datasets land. Registration is one small JSON per project — metadata
+  // only, no data movement, safe on any Hadoop FS.
+
+  private def projFile(ns: String, name: String): Path =
+    Paths.get(root, "projects", ns, name + ".json")
+
+  private def validIdent(s: String): Boolean =
+    s.nonEmpty && !s.contains('.') && !s.contains('@') && !s.contains('/') &&
+      !s.contains('\\')
+
+  /** Register a project (idempotent). Reference `create_project`
+    * (src/datachain/data_storage/metastore.py:860). Reserved names
+    * ("local", "listing") may only be created through [[getProject]]'s
+    * auto-create, mirroring the reference's validate-then-autocreate split
+    * (project.py:24-37, metastore.py:912-915). */
+  def createProject(ns: String, name: String, descr: String = ""): Project = {
+    require(validIdent(ns), s"bad namespace name: '$ns'")
+    require(validIdent(name), s"bad project name: '$name'")
+    require(name != Catalog.DefaultProject && name != Catalog.ListingProject,
+      s"project name $name is reserved")
+    createProjectUnchecked(ns, name, descr)
+  }
+
+  private def createProjectUnchecked(ns: String, name: String, descr: String): Project = {
+    createNamespace(ns)
+    val f = projFile(ns, name)
+    Files.createDirectories(f.getParent)
+    if (!Files.exists(f)) {
+      val createdAt = java.time.Instant.now.toString
+      val json =
+        s"""{"namespace": "${esc(ns)}", "name": "${esc(name)}", """ +
+          s""""descr": "${esc(descr)}", "createdAt": "$createdAt"}"""
+      Files.write(f, json.getBytes("UTF-8"), StandardOpenOption.CREATE)
+    }
+    readProject(ns, name)
+  }
+
+  private def readProject(ns: String, name: String): Project = {
+    val meta = new String(Files.readAllBytes(projFile(ns, name)), "UTF-8")
+    def field(k: String): String =
+      ("\"" + k + "\": \"([^\"]*)\"").r.findFirstMatchIn(meta)
+        .map(_.group(1)).getOrElse("")
+    Project(ns, name, field("descr"), field("createdAt"))
+  }
+
+  /** Fetch a project; auto-creates the default ("local.local") and
+    * "listing" projects on first touch (reference metastore.py:912-915). */
+  def getProject(ns: String, name: String): Project = {
+    if (!Files.exists(projFile(ns, name))) {
+      val autoCreate = ns == Catalog.DefaultNamespace &&
+        (name == Catalog.DefaultProject || name == Catalog.ListingProject)
+      if (autoCreate) return createProjectUnchecked(ns, name, "")
+      throw new NoSuchElementException(s"project $ns.$name not found")
+    }
+    readProject(ns, name)
+  }
+
+  /** Projects in one namespace, or all (reference `list_projects`,
+    * metastore.py:966). Includes projects implied by existing
+    * fully-qualified dataset names. */
+  def listProjects(ns: Option[String] = None): Seq[Project] = {
+    val d = Paths.get(root, "projects")
+    val registered: Seq[(String, String)] =
+      if (!Files.isDirectory(d)) Seq.empty
+      else Files.list(d).iterator.asScala.filter(Files.isDirectory(_)).flatMap { nsDir =>
+        Files.list(nsDir).iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".json"))
+          .map(f => (nsDir.getFileName.toString,
+            f.getFileName.toString.stripSuffix(".json")))
+      }.toSeq
+    val implied = datasets().map(_.split('.')).collect {
+      case Array(n, p, _) => (n, p)
+    }
+    (registered ++ implied).distinct
+      .filter { case (n, _) => ns.forall(_ == n) }
+      .sortBy(identity)
+      .map { case (n, p) =>
+        if (Files.exists(projFile(n, p))) readProject(n, p)
+        else Project(n, p, "", "")
+      }
+  }
+
+  /** Remove a registered project; refuses while datasets still live under
+    * it, and never removes the reserved defaults. */
+  def deleteProject(ns: String, name: String): Unit = {
+    require(!(ns == Catalog.DefaultNamespace && name == Catalog.DefaultProject),
+      s"project $ns.$name is reserved")
+    require(!datasets().exists(_.startsWith(s"$ns.$name.")),
+      s"project $ns.$name still has datasets")
+    Files.deleteIfExists(projFile(ns, name))
+  }
+
+  /** Split a dataset name into (namespace, project, short name), filling
+    * defaults (reference `parse_dataset_name`, src/datachain/dataset.py:78):
+    * "n" → local.local.n; "p.n" → local.p.n; "ns.p.n" as-is; more dots →
+    * error. */
+  def parseDatasetName(full: String): (String, String, String) = {
+    require(full.nonEmpty, "dataset name cannot be empty")
+    full.split('.') match {
+      case Array(n) => (Catalog.DefaultNamespace, Catalog.DefaultProject, n)
+      case Array(p, n) => (Catalog.DefaultNamespace, p, n)
+      case Array(ns, p, n) => (ns, p, n)
+      case _ => throw new IllegalArgumentException(s"invalid dataset name $full")
+    }
+  }
+
+  /** Save into an explicit project; the stored name is the fully-qualified
+    * dot-path, so every existing read/version API works on the result. */
+  def saveIn(chain: Chain, ns: String, project: String, name: String,
+             deps: Seq[String] = Seq.empty): SemVer = {
+    require(validIdent(name), s"bad dataset short name: '$name'")
+    getProject(ns, project) // must exist (or auto-create the defaults)
+    save(chain, s"$ns.$project.$name", deps = deps)
+  }
+
+  /** Meta-chain over projects (reference `projects()` listing). */
+  def projectsDF(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    listProjects(None).map(p => (p.namespace, p.name, p.descr, p.createdAt))
+      .toDF("namespace", "name", "descr", "created_at")
   }
 
   /** Meta-chain over the catalog itself: one row per dataset version with

@@ -356,10 +356,11 @@ class CatalogSpec extends SparkSpec {
     cat.createNamespace("ml")
     val c = Chain(spark.read.parquet(s"$sf/region.parquet"))
     cat.save(c, "prod.corpus.docs")
-    assert(cat.namespaces() === Seq("ml", "prod"))
+    // "local" (the default namespace) is always present
+    assert(cat.namespaces() === Seq("local", "ml", "prod"))
     intercept[IllegalArgumentException](cat.deleteNamespace("prod"))
     cat.deleteNamespace("ml")
-    assert(cat.namespaces() === Seq("prod"))
+    assert(cat.namespaces() === Seq("local", "prod"))
   }
 
   test("job metrics: params, scalars, executor-side counters, sidecar") {
@@ -401,5 +402,62 @@ class CatalogSpec extends SparkSpec {
     java.nio.file.Files.delete(java.nio.file.Paths.get(root, "checkpoints.idx"))
     assert(cat.findCheckpoint(chains(9).hash).isDefined)
     assert(Files.exists(java.nio.file.Paths.get(root, "checkpoints.idx")))
+  }
+
+  test("projects: create / get / list / delete, reserved names, auto-create") {
+    val root = Files.createTempDirectory("cat").toString
+    val cat = new Catalog(root, spark)
+    // default project auto-creates on first touch, is never creatable directly
+    val dflt = cat.getProject(Catalog.DefaultNamespace, Catalog.DefaultProject)
+    assert(dflt.namespace === "local" && dflt.name === "local")
+    intercept[IllegalArgumentException](cat.createProject("dev", "local"))
+    intercept[IllegalArgumentException](cat.createProject("dev", "listing"))
+    intercept[IllegalArgumentException](cat.createProject("dev", "has.dot"))
+    intercept[IllegalArgumentException](cat.createProject("dev", "has@at"))
+    intercept[IllegalArgumentException](cat.createProject("bad.ns", "p"))
+    // create + read back metadata
+    val p = cat.createProject("dev", "vision", descr = "cv datasets")
+    assert(p.descr === "cv datasets" && p.createdAt.nonEmpty)
+    assert(cat.getProject("dev", "vision").descr === "cv datasets")
+    // idempotent create keeps the original record
+    assert(cat.createProject("dev", "vision").createdAt === p.createdAt)
+    // unknown projects are an error, no silent creation
+    intercept[NoSuchElementException](cat.getProject("dev", "nope"))
+    // listing filters by namespace and includes dataset-implied projects
+    val c = Chain(spark.read.parquet(s"$sf/region.parquet"))
+    cat.save(c, "team.nlp.regions")
+    val devNames = cat.listProjects(Some("dev")).map(_.name)
+    assert(devNames === Seq("vision"))
+    val all = cat.listProjects(None).map(p => (p.namespace, p.name))
+    assert(all.contains(("team", "nlp")) && all.contains(("dev", "vision")))
+    assert(cat.projectsDF().columns.toSeq ===
+      Seq("namespace", "name", "descr", "created_at"))
+  }
+
+  test("projects: saveIn qualifies names; delete guards on content") {
+    val root = Files.createTempDirectory("cat").toString
+    val cat = new Catalog(root, spark)
+    val c = Chain(spark.read.parquet(s"$sf/nation.parquet"))
+    cat.createProject("team", "nlp")
+    val v = cat.saveIn(c, "team", "nlp", "nations")
+    assert(cat.datasets().contains("team.nlp.nations"))
+    assert(cat.readDataset("team.nlp.nations", Some(v)).count() === c.count())
+    // parseDatasetName default-filling (reference dataset.py:78)
+    assert(cat.parseDatasetName("n") === (("local", "local", "n")))
+    assert(cat.parseDatasetName("p.n") === (("local", "p", "n")))
+    assert(cat.parseDatasetName("ns.p.n") === (("ns", "p", "n")))
+    intercept[IllegalArgumentException](cat.parseDatasetName("a.b.c.d"))
+    // saveIn into an unregistered project fails — projects are explicit
+    intercept[NoSuchElementException](cat.saveIn(c, "team", "ghost", "x"))
+    // deletion refuses while datasets remain, then succeeds after cleanup
+    intercept[IllegalArgumentException](cat.deleteProject("team", "nlp"))
+    intercept[IllegalArgumentException](cat.deleteNamespace("team"))
+    cat.deleteDataset("team.nlp.nations")
+    cat.deleteProject("team", "nlp")
+    cat.deleteNamespace("team")
+    assert(!cat.namespaces().contains("team"))
+    // the default namespace/project can never be deleted
+    intercept[IllegalArgumentException](cat.deleteNamespace("local"))
+    intercept[IllegalArgumentException](cat.deleteProject("local", "local"))
   }
 }
