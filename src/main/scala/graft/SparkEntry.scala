@@ -11,7 +11,7 @@ import graft.catalog.Catalog
 import graft.delta.Delta
 import graft.files.FileOps
 import graft.functions.GraftFunctions._
-import graft.ops.{Dedup, Multimodal, Similarity, Split, TextAnalysis}
+import graft.ops.{Corpus, Dedup, Multimodal, Similarity, Split, TextAnalysis}
 import graft.streaming.EventStream
 
 // ---- typed-UDF row models (top-level for Encoder derivation) ----
@@ -928,6 +928,50 @@ object SparkEntry {
           element_at(col("features"), 2).cast("double").as("mean_g"),
           element_at(col("features"), 3).cast("double").as("mean_b"))
     }),
+
+    "q_audio_decode" -> ((s, dir) => {
+      // REAL audio codec round-trip: ids → PCM_SIGNED 16-bit WAVs encoded
+      // with javax.sound.sampled → decodeAudios reads true sample rate /
+      // channels / frame counts back through the same JDK codec; the
+      // oracle derives identical numbers arithmetically from the id.
+      val media = Multimodal.syntheticWavMedia(T(s, dir, "documents"), "doc_id")
+      Multimodal.decodeAudios(media)
+        .select(col("id"), col("meta.format").as("format"),
+          col("meta.codec").as("codec"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.channels").as("channels"),
+          col("meta.samples").as("samples"),
+          round(col("meta.duration"), 6).as("duration"),
+          col("meta.bit_rate").as("bit_rate"))
+    }),
+
+    "q_line_dedup" -> ((s, dir) => {
+      // CCNet-style cross-document line dedup: synthesize 3-line docs where
+      // line 2 is shared boilerplate (5 variants x ~100 docs each) and
+      // line 3 is unique; at minDocs=3 the boilerplate (and any text line
+      // repeated across >=3 docs — the planted dup docs) must vanish while
+      // every unique line survives in order.
+      val threeLine = T(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("\npromo block "), pmod(col("doc_id"), lit(5)),
+          lit("\ntail marker "), col("doc_id")).as("text"))
+      Corpus.dedupLines(threeLine, "doc_id", "text", minDocs = 3)
+    }),
+
+    "q_domain_mix" -> ((s, dir) =>
+      // deterministic domain-mix sampling: md5-coin per row, per-source
+      // keep fractions (curated kept, crawl downsampled, rest dropped) —
+      // zero-shuffle map-side filter, bit-identical in any engine
+      Corpus.mixDomains(
+        T(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        fractions = Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 0.5,
+          "src3" -> 0.5, "src4" -> 0.2, "src5" -> 0.2),
+        defaultFraction = 0.0, seed = "mix1")),
+
+    "q_top_tokens" -> ((s, dir) =>
+      // corpus vocabulary head: top-50 whitespace tokens by global count,
+      // deterministic tie-break on the token text
+      Corpus.topTokens(T(s, dir, "documents"), "text", n = 50)),
 
     // ------------------------------------------- composite / incremental
     "q_merge_stem" -> ((s, dir) => {
@@ -1913,6 +1957,44 @@ object SparkEntry {
           | CAST(doc_id * 59 % 256 AS DOUBLE) AS mean_g,
           | CAST(doc_id * 83 % 256 AS DOUBLE) AS mean_b
           |FROM documents""".stripMargin,
+
+      "q_audio_decode" ->
+        """SELECT doc_id AS id, 'wav' AS format, 'pcm_signed_16' AS codec,
+          | 8000 AS sample_rate,
+          | CAST(1 + doc_id % 2 AS INT) AS channels,
+          | CAST(400 + (doc_id % 32) * 25 AS BIGINT) AS samples,
+          | round((400 + (doc_id % 32) * 25) / 8000.0, 6) AS duration,
+          | CAST(8000 * 16 * (1 + doc_id % 2) AS INT) AS bit_rate
+          |FROM documents""".stripMargin,
+
+      "q_line_dedup" ->
+        """WITH d AS (SELECT doc_id,
+          |   text || chr(10) || 'promo block ' || (doc_id % 5) ||
+          |   chr(10) || 'tail marker ' || doc_id AS text FROM documents),
+          | l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+          |   generate_subscripts(string_split(text, chr(10)), 1) AS pos FROM d),
+          | dup AS (SELECT line FROM l GROUP BY line
+          |   HAVING count(DISTINCT doc_id) >= 3),
+          | kept AS (SELECT l.* FROM l ANTI JOIN dup USING (line))
+          |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+          |FROM kept GROUP BY doc_id""".stripMargin,
+
+      "q_domain_mix" ->
+        """SELECT doc_id, source FROM documents
+          |WHERE substring(md5(doc_id || ':mix1'), 1, 8) <
+          | CASE source
+          |  WHEN 'src0' THEN 'zzzzzzzz' WHEN 'src1' THEN 'zzzzzzzz'
+          |  WHEN 'src2' THEN '80000000' WHEN 'src3' THEN '80000000'
+          |  WHEN 'src4' THEN '33333333' WHEN 'src5' THEN '33333333'
+          |  ELSE '00000000' END""".stripMargin,
+
+      "q_top_tokens" ->
+        raw"""SELECT token, cnt FROM (
+           |  SELECT token, count(*) AS cnt FROM (
+           |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+           |    FROM documents)
+           |  WHERE token <> '' GROUP BY token)
+           |ORDER BY cnt DESC, token ASC LIMIT 50""".stripMargin,
 
       "q_embed_pairs" ->
         """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60)

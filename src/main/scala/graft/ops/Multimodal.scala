@@ -179,6 +179,110 @@ object Multimodal {
       .toDF()
   }
 
+  // ---- audio: REAL WAV decode via javax.sound.sampled (JDK built-in) ----
+
+  /** Audio metadata, mirroring the reference `Audio` model field-for-field
+    * (src/datachain/lib/file.py:1318-1345): -1 / "" on unknown. */
+  case class AudioMeta(sample_rate: Int, channels: Int, duration: Double,
+                       samples: Long, format: String, codec: String,
+                       bit_rate: Int)
+  case class DecodedAudioRow(id: Long, meta: AudioMeta)
+
+  /**
+   * Real audio metadata decode for WAV/AIFF/AU payloads through
+   * `javax.sound.sampled.AudioSystem` (ships with the JDK — no external
+   * codec). Compressed containers (mp3/ogg/mp4) have no JDK codec and fall
+   * back to the deterministic stub so the pipeline shape still runs.
+   * Reference contract: `AudioFile.get_info` → `Audio`
+   * (src/datachain/lib/file.py:1005-1049).
+   */
+  def decodeAudio(payload: Array[Byte], format: String): AudioMeta = {
+    val looksRiff = payload.length > 12 && payload(0) == 'R'.toByte &&
+      payload(1) == 'I'.toByte && payload(2) == 'F'.toByte && payload(3) == 'F'.toByte
+    val looksAiff = payload.length > 12 && payload(0) == 'F'.toByte &&
+      payload(1) == 'O'.toByte && payload(2) == 'R'.toByte && payload(3) == 'M'.toByte
+    val looksAu = payload.length > 4 && payload(0) == '.'.toByte &&
+      payload(1) == 's'.toByte && payload(2) == 'n'.toByte && payload(3) == 'd'.toByte
+    if (!looksRiff && !looksAiff && !looksAu) return decodeAudioStub(payload, format)
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val f = in.getFormat
+        val frames = in.getFrameLength
+        val rate = f.getSampleRate.toInt
+        val dur = if (frames >= 0 && rate > 0) frames.toDouble / rate else -1.0
+        val bitRate =
+          if (rate > 0 && f.getSampleSizeInBits > 0 && f.getChannels > 0)
+            rate * f.getSampleSizeInBits * f.getChannels
+          else -1
+        AudioMeta(rate, f.getChannels, dur, frames,
+          if (looksRiff) "wav" else if (looksAiff) "aiff" else "au",
+          f.getEncoding.toString.toLowerCase + "_" + f.getSampleSizeInBits,
+          bitRate)
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+           _: java.io.IOException => decodeAudioStub(payload, format)
+    }
+  }
+
+  /** Deterministic stub for codecs the JDK lacks (mp3/ogg/…): metadata
+    * derived from payload bytes; byte-identical input → identical output. */
+  def decodeAudioStub(payload: Array[Byte], format: String): AudioMeta = {
+    val h = graft.functions.Impl.sipHash64Bytes(payload)
+    val rate = 8000 + (math.abs(h) % 5).toInt * 8000
+    val ch = 1 + (math.abs(h >> 8) % 2).toInt
+    val frames = payload.length.toLong.max(1L)
+    AudioMeta(rate, ch, frames.toDouble / rate, frames, format, "stub", -1)
+  }
+
+  /** Decode audio metadata over a media DataFrame
+    * (id: long, payload: binary, format: string). Partition-local 1:1 —
+    * no shuffle, scales linearly with executors. */
+  def decodeAudios(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"), col("format"))
+      .as[MediaRow]
+      .mapPartitions(_.map(m => DecodedAudioRow(m.id, decodeAudio(m.payload, m.format))))
+      .toDF()
+  }
+
+  /**
+   * Deterministic REAL-WAV media table: each id becomes a PCM_SIGNED 16-bit
+   * WAV (encoded with `javax.sound.sampled.AudioSystem.write`) whose shape
+   * derives from the id — sample_rate = 8000, channels = 1 + id % 2,
+   * frames = 400 + (id % 32) * 25, samples are a deterministic sawtooth.
+   * Lets decode gates assert real codec output against an arithmetic
+   * oracle, same trick as [[syntheticPngMedia]].
+   */
+  def syntheticWavMedia(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val channels = (1 + id % 2).toInt
+        val frames = (400 + (id % 32) * 25).toInt
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, channels, true, false)
+        val pcm = new Array[Byte](frames * channels * 2)
+        var i = 0
+        while (i < frames * channels) {
+          val v = (((id * 131 + i * 17) % 4096) - 2048).toShort
+          pcm(2 * i) = (v & 0xFF).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRow(id, bos.toByteArray, "wav")
+      }
+    }.toDF()
+  }
+
   /** Build a synthetic media table from any table (payload = utf-8 of a
     * string col) — test/demo helper so the plumbing runs without real blobs. */
   def syntheticMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -261,6 +261,85 @@ class OpsSpec extends SparkSpec {
     assert(frames.count() === 12)
   }
 
+  test("real WAV decode round-trips javax.sound encode via AudioSystem") {
+    val docsDf = spark.read.parquet(s"$sf/documents.parquet").limit(20)
+    val media = Multimodal.syntheticWavMedia(docsDf, "doc_id")
+    val decoded = Multimodal.decodeAudios(media)
+    val rows = decoded.select("id", "meta.sample_rate", "meta.channels",
+      "meta.samples", "meta.format", "meta.codec", "meta.bit_rate").collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) === 8000)
+      assert(r.getInt(2) === (1 + id % 2).toInt)
+      assert(r.getLong(3) === 400 + (id % 32) * 25)
+      assert(r.getString(4) === "wav")
+      assert(r.getString(5) === "pcm_signed_16")
+      assert(r.getInt(6) === 8000 * 16 * (1 + id % 2).toInt)
+    }
+    // non-audio payloads fall back to the deterministic stub, never throw
+    val textMedia = Multimodal.syntheticMedia(docsDf, "doc_id", "text")
+    val stubbed = Multimodal.decodeAudios(textMedia)
+    assert(stubbed.count() === 20)
+    assert(stubbed.select("meta.codec").distinct().head().getString(0) === "stub")
+  }
+
+  test("dedupLines removes corpus boilerplate, keeps unique lines in order") {
+    import graft.ops.Corpus
+    val docs = Seq(
+      (1L, "alpha one\nSHARED FOOTER\nbeta one"),
+      (2L, "alpha two\nSHARED FOOTER\nbeta two"),
+      (3L, "alpha three\nSHARED FOOTER\nbeta three"),
+      (4L, "SHARED FOOTER\nonly line left"),
+      (5L, "SHARED FOOTER") // all lines removed -> doc dropped
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupLines(docs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "alpha one\nbeta one",
+      2L -> "alpha two\nbeta two",
+      3L -> "alpha three\nbeta three",
+      4L -> "only line left"))
+    // below the threshold nothing is removed
+    val loose = Corpus.dedupLines(docs, "doc_id", "text", minDocs = 6)
+    assert(loose.count() === 5)
+    assert(loose.filter(col("doc_id") === 1).head().getString(1) ===
+      "alpha one\nSHARED FOOTER\nbeta one")
+  }
+
+  test("mixDomains: exact at 0/1, deterministic and monotone in between") {
+    import graft.ops.Corpus
+    val df = spark.range(2000).select(col("id"),
+      concat(lit("d"), pmod(col("id"), lit(4))).as("dom"))
+    val out = Corpus.mixDomains(df, "id", "dom",
+      Map("d0" -> 1.0, "d1" -> 0.5, "d2" -> 0.0), defaultFraction = 0.25,
+      seed = "s1")
+    val counts = out.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("d0") === 500)            // keep-all
+    assert(!counts.contains("d2"))          // drop-all
+    assert(counts("d1") > 150 && counts("d1") < 350)   // ~0.5 of 500
+    assert(counts("d3") > 50 && counts("d3") < 200)    // default 0.25
+    // same seed -> identical sample; different seed -> different sample
+    val again = Corpus.mixDomains(df, "id", "dom",
+      Map("d1" -> 0.5), defaultFraction = 0.0, seed = "s1")
+    val other = Corpus.mixDomains(df, "id", "dom",
+      Map("d1" -> 0.5), defaultFraction = 0.0, seed = "s2")
+    assert(again.collect().toSet === again.collect().toSet)
+    assert(again.select("id").collect().toSet !==
+      other.select("id").collect().toSet)
+    // a 0.5 sample is a subset of rows, never modified rows
+    assert(again.select("id", "dom").except(df).count() === 0)
+  }
+
+  test("topTokens counts globally with deterministic tie-break") {
+    import graft.ops.Corpus
+    val docs = Seq("b a a", "c b A", "c b").toDF("text")
+    val top = Corpus.topTokens(docs, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.toSeq === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
+  }
+
   test("fluent chainops pipeline: clean -> quality -> dedup -> pack") {
     import graft.ops.chainops._
     val c = Chain(docs.unionByName(
