@@ -23,6 +23,11 @@ import org.apache.spark.sql.types._
  */
 object Multimodal {
 
+  // ImageIO defaults to disk-backed stream caching (a temp file per call)
+  // — pure overhead for in-memory byte[] payloads and a point of contention
+  // with 32 decode threads. Executor JVMs pick this up on class load.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried next to every media payload. */
   val imageMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType),
@@ -67,11 +72,14 @@ object Multimodal {
     val w = img.getWidth
     val h = img.getHeight
     var r = 0L; var g = 0L; var b = 0L
+    // one bulk pixel fetch per row instead of w*h synchronized getRGB calls
+    val rowBuf = new Array[Int](w)
     var y = 0
     while (y < h) {
+      img.getRGB(0, y, w, 1, rowBuf, 0, w)
       var x = 0
       while (x < w) {
-        val p = img.getRGB(x, y)
+        val p = rowBuf(x)
         r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
         x += 1
       }
