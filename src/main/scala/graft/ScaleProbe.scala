@@ -50,6 +50,27 @@ object ScaleProbe {
     val (k1, s1) = results.head
     val (kN, sN) = results.last
     println(f"scale factor ${kN.toDouble / k1}%.0fx -> time factor ${sN / s1}%.2fx")
+
+    // Cross-document line dedup at the same amplifications: multi-line docs
+    // where one line is corpus-wide boilerplate. Wide stages touch only
+    // 8-byte hashes, so time should track corpus size ~linearly too.
+    val lineResults = ks.map { k =>
+      val corpus = docs.crossJoin(
+          spark.range(k).select(col("id").as("__copy")))
+        .select((col("doc_id") * k + col("__copy")).as("doc_id"),
+          concat(col("text"), lit(" v"), col("__copy"),
+            lit("\nshared boilerplate line\nunique tail "),
+            col("doc_id") * k + col("__copy")).as("text"))
+      val t0 = System.nanoTime()
+      val kept = graft.ops.Corpus.dedupLines(corpus, "doc_id", "text", minDocs = 3)
+      val n = kept.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"lineDedup K=$k%-3d docs=${5000L * k}%-8d kept=$n%-8d ${sec}%.2f s")
+      (k, sec)
+    }
+    val (lk1, ls1) = lineResults.head
+    val (lkN, lsN) = lineResults.last
+    println(f"lineDedup scale ${lkN.toDouble / lk1}%.0fx -> time ${lsN / ls1}%.2fx")
     spark.stop()
   }
 }

@@ -1,0 +1,148 @@
+package graft.cli
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.{Catalog, SemVer}
+import graft.files.FileOps
+
+/**
+ * Thin command-line surface over the engine — the Spark restatement of the
+ * reference CLI (reference: src/datachain/cli/commands/{ls,du,datasets,
+ * show}.py). Every command is a pure function from parsed args to a small
+ * result string computed by the same library calls users script against;
+ * the CLI adds no second code path.
+ *
+ *   graft-cli ls <uri> [--glob P]           list files under a storage root
+ *   graft-cli du <uri>                      per-directory byte totals
+ *   graft-cli find <uri> [--name R] [--min-size N] [--max-size N]
+ *   graft-cli cp <uri> <dest> [--glob P]    export matching blobs
+ *   graft-cli datasets                      saved datasets with versions/rows
+ *   graft-cli versions <name>               versions of one dataset
+ *   graft-cli show <name> [--version V] [-n N]   head of a saved dataset
+ *   graft-cli rm-dataset <name>             delete a dataset (all versions)
+ *   graft-cli mv-dataset <from> <to>        rename a dataset
+ *   graft-cli namespaces                    list namespaces
+ *   graft-cli projects [namespace]          list projects
+ *
+ * Catalog root comes from --catalog <dir> or GRAFT_CATALOG (default
+ * ./graft_catalog), matching the reference's implicit local metastore.
+ */
+object Cli {
+
+  final case class Parsed(cmd: String, positional: Seq[String],
+                          flags: Map[String, String])
+
+  def parse(args: Seq[String]): Parsed = {
+    require(args.nonEmpty, usage)
+    val cmd = args.head
+    val (flags, pos) = {
+      var f = Map.empty[String, String]
+      val p = Seq.newBuilder[String]
+      var i = 1
+      while (i < args.length) {
+        val a = args(i)
+        if (a.startsWith("--")) {
+          require(i + 1 < args.length, s"flag $a needs a value")
+          f += (a.drop(2) -> args(i + 1)); i += 2
+        } else if (a == "-n") {
+          require(i + 1 < args.length, "-n needs a value")
+          f += ("n" -> args(i + 1)); i += 2
+        } else { p += a; i += 1 }
+      }
+      (f, p.result())
+    }
+    Parsed(cmd, pos, flags)
+  }
+
+  val usage: String =
+    """usage: graft-cli <command> [args]
+      |commands: ls du find cp datasets versions show rm-dataset mv-dataset
+      |          namespaces projects""".stripMargin
+
+  /** Run a command; returns (exit code, rendered output). Never calls
+    * System.exit — `main` owns process concerns, tests call this. */
+  def run(args: Seq[String], spark: SparkSession): (Int, String) =
+    try {
+      val p = parse(args)
+      val catRoot = p.flags.getOrElse("catalog",
+        sys.env.getOrElse("GRAFT_CATALOG", "graft_catalog"))
+      lazy val cat = new Catalog(catRoot, spark)
+      def listing(uri: String) =
+        FileOps.readStorage(spark, uri, p.flags.get("glob")).toDF
+      val out = p.cmd match {
+        case "ls" =>
+          render(listing(arg(p, 0, "uri"))
+            .select(col("file.path"), col("file.size"))
+            .orderBy("path"))
+        case "du" =>
+          render(FileOps.du(listing(arg(p, 0, "uri")))
+            .orderBy("dir"))
+        case "find" =>
+          render(FileOps.find(listing(arg(p, 0, "uri")),
+              glob = p.flags.get("glob"), nameRegex = p.flags.get("name"),
+              minSize = p.flags.getOrElse("min-size", "-1").toLong,
+              maxSize = p.flags.getOrElse("max-size", "-1").toLong)
+            .select(col("file.path"), col("file.size")).orderBy("path"))
+        case "cp" =>
+          val src = listing(arg(p, 0, "uri"))
+          FileOps.toStorage(src, arg(p, 1, "dest"),
+            placement = p.flags.getOrElse("placement", "fullpath"))
+          s"copied ${src.count()} files to ${arg(p, 1, "dest")}"
+        case "datasets" => render(cat.datasetsDF().orderBy("name", "version"))
+        case "versions" =>
+          cat.versions(arg(p, 0, "name")).map(v => s"v$v").mkString("\n")
+        case "show" =>
+          val name = arg(p, 0, "name")
+          val version = p.flags.get("version").map(SemVer.parse)
+          val n = p.flags.getOrElse("n", "10").toInt
+          render(graft.core.Sys.drop(cat.readDataset(name, version).toDF)
+            .limit(n))
+        case "rm-dataset" => cat.deleteDataset(arg(p, 0, "name"))
+          s"deleted ${arg(p, 0, "name")}"
+        case "mv-dataset" => cat.moveDataset(arg(p, 0, "from"), arg(p, 1, "to"))
+          s"moved ${arg(p, 0, "from")} -> ${arg(p, 1, "to")}"
+        case "namespaces" => cat.namespaces().mkString("\n")
+        case "projects" =>
+          cat.listProjects(p.positional.headOption)
+            .map(pr => s"${pr.namespace}.${pr.name}" +
+              (if (pr.descr.nonEmpty) s"  # ${pr.descr}" else ""))
+            .mkString("\n")
+        case other => return (2, s"unknown command: $other\n$usage")
+      }
+      (0, out)
+    } catch {
+      case e: IllegalArgumentException => (2, s"error: ${e.getMessage}")
+      case e: NoSuchElementException => (1, s"error: ${e.getMessage}")
+    }
+
+  private def arg(p: Parsed, i: Int, name: String): String = {
+    require(p.positional.length > i, s"${p.cmd} needs <$name>")
+    p.positional(i)
+  }
+
+  /** Plain-text table: header + up to 1000 rows (CLI output, not a data
+    * path — exports go through `cp`/to_parquet). */
+  private def render(df: DataFrame): String = {
+    val cols = df.columns
+    val rows = df.limit(1000).collect()
+    (cols.mkString("\t") +: rows.map(_.toSeq.map {
+      case null => ""
+      case s: String => s
+      case x => x.toString
+    }.mkString("\t"))).mkString("\n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (code, out) = run(args.toSeq, spark)
+    println(out)
+    spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+}

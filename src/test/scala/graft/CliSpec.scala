@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+import graft.catalog.Catalog
+import graft.cli.Cli
+import graft.core.Chain
+
+/** CLI surface: each command drives the same library calls and renders
+  * plain text (reference: src/datachain/cli/commands/). */
+class CliSpec extends SparkSpec {
+
+  private def storageDir(): String = {
+    val d = Files.createTempDirectory("clifs")
+    Files.writeString(d.resolve("a.txt"), "hello")
+    Files.createDirectories(d.resolve("sub"))
+    Files.writeString(d.resolve("sub/b.bin"), "0123456789")
+    d.toString
+  }
+
+  test("ls / du / find render listings") {
+    val dir = storageDir()
+    val (c1, out1) = Cli.run(Seq("ls", dir), spark)
+    assert(c1 === 0)
+    assert(out1.linesIterator.toSeq.head === "path\tsize")
+    assert(out1.contains("a.txt\t5") && out1.contains("sub/b.bin\t10"))
+
+    val (c2, out2) = Cli.run(Seq("du", dir), spark)
+    assert(c2 === 0)
+    // root dir "" totals both files; "sub" totals its own
+    assert(out2.linesIterator.exists(_.startsWith("\t15\t2")))
+    assert(out2.linesIterator.exists(l => l.startsWith("sub\t10\t1")))
+
+    val (c3, out3) = Cli.run(Seq("find", dir, "--name", "\\.bin$"), spark)
+    assert(c3 === 0)
+    assert(out3.contains("sub/b.bin") && !out3.contains("a.txt"))
+  }
+
+  test("cp exports blobs with placement") {
+    val dir = storageDir()
+    val dest = Files.createTempDirectory("clidest").toString
+    val (c, out) = Cli.run(Seq("cp", dir, dest), spark)
+    assert(c === 0 && out.startsWith("copied 2 files"))
+    assert(Files.readString(java.nio.file.Paths.get(dest, "sub/b.bin")) ===
+      "0123456789")
+  }
+
+  test("dataset commands: datasets/versions/show/mv/rm against a catalog") {
+    val root = Files.createTempDirectory("clicat").toString
+    val cat = new Catalog(root, spark)
+    cat.save(Chain(spark.read.parquet(s"$sf/region.parquet")), "regions")
+    val cargs = Seq("--catalog", root)
+
+    val (c1, out1) = Cli.run(Seq("datasets") ++ cargs, spark)
+    assert(c1 === 0 && out1.contains("regions\t1.0.0\t5"))
+
+    val (c2, out2) = Cli.run(Seq("versions", "regions") ++ cargs, spark)
+    assert(c2 === 0 && out2.trim === "v1.0.0")
+
+    val (c3, out3) = Cli.run(Seq("show", "regions", "-n", "2") ++ cargs, spark)
+    assert(c3 === 0)
+    assert(out3.linesIterator.toSeq.head.split('\t').contains("r_name"))
+    assert(out3.linesIterator.size === 3) // header + 2 rows
+
+    val (c4, _) = Cli.run(Seq("mv-dataset", "regions", "geo") ++ cargs, spark)
+    assert(c4 === 0)
+    val (c5, out5) = Cli.run(Seq("versions", "geo") ++ cargs, spark)
+    assert(c5 === 0 && out5.trim === "v1.0.0")
+    val (c6, _) = Cli.run(Seq("rm-dataset", "geo") ++ cargs, spark)
+    assert(c6 === 0)
+    assert(cat.datasets().isEmpty)
+  }
+
+  test("namespaces / projects / error paths") {
+    val root = Files.createTempDirectory("clicat").toString
+    val cat = new Catalog(root, spark)
+    cat.createProject("dev", "vision", descr = "cv")
+    val cargs = Seq("--catalog", root)
+
+    val (c1, out1) = Cli.run(Seq("namespaces") ++ cargs, spark)
+    assert(c1 === 0 && out1.linesIterator.toSet === Set("dev", "local"))
+
+    val (c2, out2) = Cli.run(Seq("projects", "dev") ++ cargs, spark)
+    assert(c2 === 0 && out2.trim === "dev.vision  # cv")
+
+    val (c3, out3) = Cli.run(Seq("bogus"), spark)
+    assert(c3 === 2 && out3.contains("unknown command"))
+    val (c4, out4) = Cli.run(Seq("show", "nope") ++ cargs, spark)
+    assert(c4 === 1 && out4.startsWith("error:"))
+    val (c5, out5) = Cli.run(Seq("versions") ++ cargs, spark)
+    assert(c5 === 2 && out5.contains("needs <name>"))
+  }
+}

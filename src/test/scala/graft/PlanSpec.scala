@@ -105,6 +105,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("q_domain_mix: pure map-side filter — zero exchanges, md5 codegen'd") {
+    val p = plan("q_domain_mix")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("PushedFilters") || p.contains("Filter"), p)
+  }
+
+  test("q_top_tokens: partial count before the exchange, top-n not full sort") {
+    val p = plan("q_top_tokens")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort ["), p) // no global sort stage
+  }
+
+  test("q_line_dedup: dup keys counted on 8-byte hashes, text joined once") {
+    val p = plan("q_line_dedup")
+    // the distinct-doc count aggregates xxhash64 keys, partial first
+    assert(p.contains("xxhash64"), p)
+    assert(p.contains("partial_count") || p.contains("partial_first"), p)
+    // anti join against the dup-key set (AQE may pick broadcast)
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q_hash_funcs")(spark, sf)
     val p = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
