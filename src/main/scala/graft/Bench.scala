@@ -71,10 +71,51 @@ object Bench {
           else Seq(first)
         name -> times.min
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the LAST 2000 chars of stdout and parses the
+    // JSON line out of that tail. 100+ full-precision entries overflow the
+    // window and the line never parses (r1-r3 all came back parsed:null).
+    // Keep stdout compact: millisecond precision and a bounded headline
+    // subset covering every operator family; the complete map goes to a
+    // sidecar file and stderr for the record.
+    def fmt(v: Double): String = f"$v%.3f"
+    val headline = Vector(
+      "q1_agg", "q_scalar_agg", "q_group_collect",
+      "q_merge_inner", "q_merge_left", "q_asof_join", "q_range_join",
+      "q_intersect", "q_diff",
+      "q_window", "q_window_frames", "q_window_lag",
+      "q_filter", "q_mutate", "q_distinct", "q_chunk",
+      "q_read_parquet", "q_read_csv", "q_read_json", "q_save_roundtrip",
+      "q_map_udf", "q_gen_udf", "q_agg_udf", "q_batch_map",
+      "q_string_funcs", "q_int_hash",
+      "q_dedup_exact", "q_minhash_dedup", "q_simhash_dedup", "q_embed_dedup",
+      "q_dedup_clusters", "q_line_dedup",
+      "q_ann_topk", "q_ann_ivf",
+      "q_lang_id", "q_text_quality", "q_pii_scrub", "q_repetition",
+      "q_fingerprint", "q_tfidf",
+      "q_pipeline_clean", "q_contamination", "q_seq_pack",
+      "q_train_test_split", "q_domain_mix",
+      "q_multimodal", "q_multimodal_frames", "q_audio_decode",
+      "q_delta_inc", "q_delta_retry", "q_streaming", "q_sessionize")
+    val shown =
+      if (only.isDefined) results.keys.toVector.sorted // local subset run: show all
+      else headline.filter(results.contains)
+    val qs = shown.map(k => "\"" + k + "\":" + fmt(results(k)))
       .mkString("{", ",", "}")
+    val allQs = results.toVector.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalS = fmt(total)
+    val full =
+      s"""{"metric":"total","value":$totalS,"unit":"sec","nq":${results.size},"queries":$allQs,"sf":"$sfDir"}"""
+    // full line first on stderr, flushed, THEN the compact line on stdout —
+    // so even a merged-stream capture ends with the compact parseable line
+    System.err.println(full)
+    System.err.flush()
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full_local.json"), full + "\n")
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
     spark.stop()
   }
 }

@@ -973,6 +973,45 @@ object SparkEntry {
       // deterministic tie-break on the token text
       Corpus.topTokens(T(s, dir, "documents"), "text", n = 50)),
 
+    "q_lm_perplexity" -> ((s, dir) => {
+      // CCNet-style bigram-LM quality signal: train interpolated counts on
+      // the even-id half of the corpus, score the odd-id half (guarantees
+      // the unseen-token smoothing path is exercised); rounded outputs are
+      // engine-exact
+      val docs = T(s, dir, "documents")
+      Corpus.lmPerplexity(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+    }),
+
+    "q_wds_export" -> ((s, dir) => {
+      // WebDataset round-trip: export documents as tar shards (range-
+      // partitioned, sorted, rolling at 64 KiB), read the shards back with
+      // the member reader, and prove key/ext/size/payload fidelity
+      val out = Files.createTempDirectory("graft_wds").toString
+      val members = T(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(
+          concat(lit("docs/"), format_string("%05d", col("doc_id")))
+            .as("sample_key"),
+          lit("txt").as("ext"), encode(col("text"), "UTF-8").as("data"))
+        .repartitionByRange(4, col("sample_key"))
+        .sortWithinPartitions("sample_key")
+      graft.files.WebDataset.writeTarShards(members, out,
+        maxShardBytes = 64 * 1024)
+      graft.files.WebDataset.readTarMembers(s, s"$out/*.tar")
+        .select(col("sample_key"), col("ext"), col("size"),
+          decode(col("data"), "UTF-8").as("text"))
+    }),
+
+    "q_ann_hamming" -> ((s, dir) => {
+      // binary-quantized ANN: sign-bit signatures (64 dims/limb) ranked by
+      // XOR popcount — the 32×-smaller first-stage filter before exact
+      // cosine re-rank at scale
+      val emb = T(s, dir, "embeddings")
+      Similarity.hammingTopK(emb,
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding")), k = 10)
+    }),
+
     // ------------------------------------------- composite / incremental
     "q_merge_stem" -> ((s, dir) => {
       // expression join on a path function — the reference's documented
@@ -2018,6 +2057,54 @@ object SparkEntry {
       "q_ann_ivf" ->
         """SELECT vec_id AS query_id, TRUE AS recall_ok
           |FROM embeddings WHERE vec_id < 3""".stripMargin,
+
+      "q_ann_hamming" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+          | h AS (SELECT q.query_id, e.vec_id,
+          |   CAST(len(list_filter(generate_series(1, len(q.qv)),
+          |     i -> (q.qv[i] > 0) <> (e.embedding[i] > 0))) AS BIGINT) AS hamming
+          |   FROM q CROSS JOIN embeddings e),
+          | r AS (SELECT query_id, vec_id, hamming,
+          |   row_number() OVER (PARTITION BY query_id
+          |     ORDER BY hamming ASC, vec_id ASC) AS rk FROM h)
+          |SELECT query_id, vec_id, hamming, CAST(rk AS BIGINT) AS rank
+          |FROM r WHERE rk <= 10""".stripMargin,
+
+      "q_lm_perplexity" ->
+        raw"""WITH d AS (SELECT doc_id,
+           |   list_filter(string_split_regex(trim(regexp_replace(lower(text),
+           |     '[^a-z0-9\s]', ' ', 'g')), '\s+'), t -> t <> '') AS toks
+           |  FROM documents),
+           | tr AS (SELECT doc_id, toks FROM d WHERE doc_id % 2 = 0),
+           | sc AS (SELECT doc_id, toks FROM d WHERE doc_id % 2 = 1),
+           | trtok AS (SELECT doc_id, unnest(toks) AS w,
+           |   unnest(generate_series(1, len(toks))) AS i FROM tr),
+           | sctok AS (SELECT doc_id, unnest(toks) AS w,
+           |   unnest(generate_series(1, len(toks))) AS i FROM sc),
+           | u AS (SELECT w, count(*) AS u FROM trtok GROUP BY 1),
+           | tot AS (SELECT CAST(sum(u) AS DOUBLE) AS t, count(*) AS v FROM u),
+           | b AS (SELECT a.w AS w1, z.w AS w2, count(*) AS b FROM trtok a
+           |   JOIN trtok z ON a.doc_id = z.doc_id AND z.i = a.i + 1
+           |   GROUP BY 1, 2),
+           | scbg AS (SELECT a.doc_id, a.w AS w1, z.w AS w2 FROM sctok a
+           |   JOIN sctok z ON a.doc_id = z.doc_id AND z.i = a.i + 1),
+           | j AS (SELECT s.doc_id,
+           |    ln(0.9 * coalesce(CAST(b.b AS DOUBLE) / u1.u, 0) +
+           |       (1 - 0.9) * (coalesce(u2.u, 0) + 1) / (tot.t + tot.v)) AS lp
+           |   FROM scbg s
+           |   LEFT JOIN b ON s.w1 = b.w1 AND s.w2 = b.w2
+           |   LEFT JOIN u u1 ON s.w1 = u1.w
+           |   LEFT JOIN u u2 ON s.w2 = u2.w
+           |   CROSS JOIN tot)
+           |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logp,
+           |  round(exp(-round(avg(lp), 6)), 3) AS ppl
+           |FROM j GROUP BY 1""".stripMargin,
+
+      "q_wds_export" ->
+        """SELECT 'docs/' || lpad(CAST(doc_id AS VARCHAR), 5, '0') AS sample_key,
+          | 'txt' AS ext, CAST(octet_length(encode(text)) AS BIGINT) AS size,
+          | text
+          |FROM documents WHERE doc_id < 200""".stripMargin,
 
       "q_lang_id" ->
         s"""WITH p AS (SELECT doc_id, lang,

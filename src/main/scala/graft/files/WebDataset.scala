@@ -114,4 +114,65 @@ object WebDataset {
       buf
     } finally in.close()
   }
+
+  /**
+   * WebDataset writer — the export half of the shard contract (reference
+   * exports samples back to storage via `to_storage`; the tar sharding here
+   * follows the public WebDataset convention the reader above consumes).
+   *
+   * Each input partition streams its rows into `shard-{partition}-{seq}.tar`
+   * files under `outDir`, rolling to a new shard when `maxShardBytes` of
+   * member payload has been written — executors write their own shards
+   * directly to the target filesystem with no shuffle and no driver
+   * involvement, so a 100 TB export fans out to one independent writer per
+   * partition. Callers control shard count and ordering with
+   * `repartitionByRange`/`sortWithinPartitions` before the call (sorted
+   * input → deterministic shard contents).
+   *
+   * Expects columns (`keyCol`: string, `extCol`: string, `dataCol`: binary);
+   * the member name is `key.ext` (or bare `key` when ext is empty), which
+   * round-trips through [[splitKey]].
+   */
+  def writeTarShards(df: DataFrame, outDir: String,
+                     keyCol: String = "sample_key", extCol: String = "ext",
+                     dataCol: String = "data",
+                     maxShardBytes: Long = 1L << 30): Unit = {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    import org.apache.spark.TaskContext
+    val rows = df.select(col(keyCol).cast("string"), col(extCol).cast("string"),
+      col(dataCol).cast("binary"))
+    rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val pid = TaskContext.getPartitionId()
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val dir = new org.apache.hadoop.fs.Path(outDir)
+        val fs = dir.getFileSystem(conf)
+        var seq = 0
+        var written = 0L
+        var tar: TarArchiveOutputStream = null
+        def roll(): Unit = {
+          if (tar != null) tar.close()
+          val p = new org.apache.hadoop.fs.Path(dir, f"shard-$pid%05d-$seq%03d.tar")
+          tar = new TarArchiveOutputStream(fs.create(p, true))
+          tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+          seq += 1
+          written = 0L
+        }
+        roll()
+        it.foreach { r =>
+          val key = r.getString(0)
+          val ext = Option(r.getString(1)).getOrElse("")
+          val data = Option(r.getAs[Array[Byte]](2)).getOrElse(Array.empty[Byte])
+          if (written > 0 && written + data.length > maxShardBytes) roll()
+          val e = new TarArchiveEntry(if (ext.isEmpty) key else s"$key.$ext")
+          e.setSize(data.length.toLong)
+          tar.putArchiveEntry(e)
+          tar.write(data)
+          tar.closeArchiveEntry()
+          written += data.length
+        }
+        tar.close()
+      }
+    }
+  }
 }

@@ -92,4 +92,64 @@ object Corpus {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(n)
+
+  /** Normalized token array for the LM ops: lowercase, non-alphanumerics
+    * collapsed to spaces, empty tokens dropped. Pure projection (codegen,
+    * no shuffle). */
+  private def lmTokens(textCol: String): Column =
+    filter(split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", " ")),
+      "\\s+"), t => t =!= lit(""))
+
+  /**
+   * Bigram language-model perplexity — the CCNet-style quality signal a
+   * pretraining pipeline uses to rank crawl documents against a clean
+   * reference corpus. Trains interpolated bigram/unigram counts on `train`
+   * and scores each `score` document with its average token log-probability
+   * and perplexity:
+   *
+   *   P(w2|w1) = lambda * B(w1,w2)/U(w1) + (1-lambda) * (U(w2)+1)/(T+V)
+   *
+   * (add-one-smoothed unigram backoff, so unseen words never hit ln 0).
+   *
+   * Scale shape: bigram derivation is a per-row array `transform` — the
+   * corpus text never shuffles to build n-grams. The wide stages touch
+   * only count tables: U is vocabulary-sized, B is bigram-type-sized
+   * (≪ corpus tokens); their join strategy is left to AQE, which
+   * broadcasts when they fit and shuffle-hash-joins when a web-scale
+   * vocabulary makes them large. The scalar (T, V) row is always a
+   * broadcast. Outputs are rounded (6 dp) so every engine reproduces the
+   * same bits regardless of float summation order.
+   */
+  def lmPerplexity(train: DataFrame, score: DataFrame, idCol: String,
+                   textCol: String, lambda: Double = 0.9): DataFrame = {
+    def bigrams(df: DataFrame, extra: Seq[Column]): DataFrame =
+      df.withColumn("__toks", lmTokens(textCol))
+        .select(extra :+ explode(expr(
+          """transform(slice(__toks, 1, greatest(size(__toks)-1, 0)),
+            |  (w, i) -> struct(w AS w1, __toks[i+1] AS w2))""".stripMargin))
+          .as("__bg"): _*)
+        .select(extra :+ col("__bg.w1") :+ col("__bg.w2"): _*)
+    val uni = train.withColumn("__toks", lmTokens(textCol))
+      .select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("u"))
+    val totals = uni.agg(sum(col("u")).as("t"), count(lit(1)).as("v"))
+    val big = bigrams(train, Seq.empty)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("b"))
+    val scored = bigrams(score, Seq(col(idCol)))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("u", "u1"),
+        Seq("w1"), "left")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("u", "u2"),
+        Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+    val pBig = coalesce(col("b").cast("double") / col("u1"), lit(0.0))
+    val pUni = (coalesce(col("u2"), lit(0L)) + lit(1)).cast("double") /
+      (col("t") + col("v"))
+    scored
+      .withColumn("__lp", log(lit(lambda) * pBig + lit(1.0 - lambda) * pUni))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__lp")), 6).as("avg_logp"))
+      .withColumn("ppl", round(exp(-col("avg_logp")), 3))
+  }
 }

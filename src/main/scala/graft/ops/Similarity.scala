@@ -142,4 +142,42 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), round(col("__sim"), 6).as("sim"),
         col("__rank").as("rank"))
   }
+
+  /**
+   * Sign-bit signature: dimension i contributes bit (i mod 64) of limb
+   * (i / 64), set when the coordinate is > 0. A 1024-dim float vector
+   * compresses to 16 longs — 32× less than the raw floats — which is what
+   * makes billion-vector candidate scans memory-feasible. Pure projection
+   * (array `transform`/`aggregate`, no shuffle, stays in codegen).
+   */
+  def signSignature(vec: Column): Column =
+    transform(sequence(lit(0), ((size(vec) + 63) / 64).cast("int") - 1), j =>
+      aggregate(slice(vec, j * 64 + 1, lit(64)), lit(0L),
+        (acc, x) => shiftleft(acc, 1)
+          .bitwiseOR(when(x > lit(0.0f), 1L).otherwise(0L))))
+
+  /**
+   * Hamming-distance top-k over sign signatures — the binary-quantized ANN
+   * path: signatures are computed at the scan (corpus rows enter the join
+   * as id + a few longs, never the float vectors), queries broadcast, and
+   * per-query top-k ranks XOR popcounts. At 100 TB this is the first-stage
+   * filter before exact cosine re-ranking of the survivors.
+   */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                  vecCol: String = "embedding", idCol: String = "vec_id",
+                  queryIdCol: String = "query_id"): DataFrame = {
+    val c = corpus.select(col(idCol), signSignature(col(vecCol)).as("__cs"))
+    val q = queries.select(col(queryIdCol), signSignature(col(vecCol)).as("__qs"))
+    val scored = c.join(broadcast(q))
+      .withColumn("__ham",
+        aggregate(zip_with(col("__cs"), col("__qs"),
+          (x, y) => bit_count(x.bitwiseXOR(y))), lit(0),
+          (acc, v) => acc + v).cast("long"))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__ham").asc, col(idCol).asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("__ham").as("hamming"),
+        col("__rank").as("rank"))
+  }
 }

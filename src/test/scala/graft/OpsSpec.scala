@@ -493,4 +493,73 @@ class OpsSpec extends SparkSpec {
       Map("a" -> 10L, "b" -> 10L))
     assert(s1.collect().toSet === s2.collect().toSet) // reproducible
   }
+
+  test("lmPerplexity matches hand-computed interpolated bigram scores") {
+    val train = Seq((0L, "a b a b")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val r = graft.ops.Corpus.lmPerplexity(train, score, "doc_id", "text")
+      .collect().head
+    // train: U(a)=2 U(b)=2 T=4 V=2; B(a,b)=2 B(b,a)=1
+    val pAB = 0.9 * 2.0 / 2.0 + (1 - 0.9) * (2 + 1) / 6.0
+    val pBC = 0.0 + (1 - 0.9) * (0 + 1) / 6.0 // unseen bigram AND unseen w2
+    val expAvg = BigDecimal((math.log(pAB) + math.log(pBC)) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n_bigrams") === 2L)
+    assert(math.abs(r.getAs[Double]("avg_logp") - expAvg) < 2e-6)
+    assert(math.abs(r.getAs[Double]("ppl") - math.exp(-expAvg)) < 1e-2)
+  }
+
+  test("lmPerplexity ranks in-domain text as less perplexed than gibberish") {
+    val train = docs
+    val score = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "zxq wvut plof gmern kwyt blarg snee")).toDF("doc_id", "text")
+    val m = graft.ops.Corpus.lmPerplexity(train, score, "doc_id", "text")
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
+    assert(m(10L) < m(11L))
+  }
+
+  test("writeTarShards round-trips keys, exts and payload bytes") {
+    val out = java.nio.file.Files.createTempDirectory("wds_w").toString
+    val rows = (1 to 30).map(i => (f"s/k$i%03d", "txt",
+      ("payload " * (i % 5 + 1) + i).getBytes("UTF-8")))
+      .toDF("sample_key", "ext", "data")
+    graft.files.WebDataset.writeTarShards(
+      rows.repartitionByRange(2, col("sample_key"))
+        .sortWithinPartitions("sample_key"),
+      out, maxShardBytes = 200)
+    val back = graft.files.WebDataset.readTarMembers(spark, s"$out/*.tar")
+      .select("sample_key", "ext", "data")
+      .as[(String, String, Array[Byte])].collect()
+      .map { case (k, e, d) => (k, e, new String(d, "UTF-8")) }.toSet
+    val want = (1 to 30).map(i => (f"s/k$i%03d", "txt",
+      "payload " * (i % 5 + 1) + i)).toSet
+    assert(back === want)
+    // 200-byte roll on ~40-150-byte members must produce multiple shards
+    assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".tar")) > 4)
+  }
+
+  test("signSignature packs sign bits into 64-dim limbs") {
+    val df = Seq(
+      (1L, Array(1.0f, -1.0f, 1.0f)),
+      (2L, Array.fill(130)(1.0f))).toDF("id", "v")
+    val sig = df.select(col("id"), Similarity.signSignature(col("v")).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(1L) === Seq(5L)) // 101b
+    assert(sig(2L) === Seq(-1L, -1L, 3L)) // 64 ones, 64 ones, 2 ones
+  }
+
+  test("hammingTopK ranks by sign-bit hamming with id tie-break") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f, 1.0f, -1.0f)),
+      (3L, Array(-1.0f, -1.0f, 1.0f, 1.0f)),
+      (4L, Array(-1.0f, -1.0f, -1.0f, -1.0f))).toDF("vec_id", "embedding")
+    val q = Seq((0L, Array(1.0f, 1.0f, 1.0f, 1.0f))).toDF("query_id", "embedding")
+    val r = Similarity.hammingTopK(corpus, q, k = 4)
+      .select("vec_id", "hamming", "rank").as[(Long, Long, Int)]
+      .collect().sortBy(_._3)
+    assert(r.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(r.map(_._2).toSeq === Seq(0L, 1L, 2L, 4L))
+  }
 }
