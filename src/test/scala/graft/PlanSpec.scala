@@ -127,6 +127,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q_ann_hamming: signatures computed below the broadcast join") {
+    val p = plan("q_ann_hamming")
+    // corpus rows enter the join as packed sign limbs via a projection —
+    // the float vectors never cross the join; queries broadcast
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_lm_perplexity: count tables join without a cartesian corpus join") {
+    val p = plan("q_lm_perplexity")
+    // the only nested-loop join is the broadcast scalar (t, v) row
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p) // map-side combine on the counts
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q_hash_funcs")(spark, sf)
     val p = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
