@@ -67,7 +67,8 @@ object Bench {
         // measures the engine, not the hypervisor — stalls don't repeat.
         val times =
           if (repeat > 1) first +: (2 to repeat).map(_ => timeOnce())
-          else if (first > 0.8) Seq(first, timeOnce())
+          else if (first > 0.8) Seq(first, timeOnce(), timeOnce())
+          else if (first > 0.4) Seq(first, timeOnce())
           else Seq(first)
         name -> times.min
       }

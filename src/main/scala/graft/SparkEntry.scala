@@ -805,8 +805,12 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 100000)
         .withColumn("text", concat(col("text"), lit(" tail marker token")))
       val corpus = docs.unionByName(nearDups).select("doc_id", "text")
+      // shingleCandidatesOnly: only candidate-pair members pay the 5-gram
+      // shingle cost — the planted near-dups put ~40% of docs in a pair,
+      // and at web scale the fraction is far smaller still
       Dedup.minhashDedupEdges(corpus, "text", "doc_id",
-        threshold = 0.5, k = 32, bands = 8, ngram = 5)
+        threshold = 0.5, k = 32, bands = 8, ngram = 5,
+        shingleCandidatesOnly = true)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 

@@ -199,35 +199,39 @@ object Impl {
    */
   def minhashSignature(text: UTF8String, k: Int, w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val toks = normalize(text).split(' ')
+    val n = toks.length
+    // Tokens are sipHash64'd ONCE; a shingle's hash is a polynomial roll of
+    // its token hashes — no shingle string is ever materialized, and the
+    // k permutations derive from two hashes (Kirsch-Mitzenmacher double
+    // hashing), not k independent intHash64 chains. Duplicate shingles need
+    // no dedup set: re-feeding a value cannot change a running minimum.
+    val th = new Array[Long](n)
+    var t = 0
+    while (t < n) { th(t) = sipHash64Bytes(toks(t).getBytes("UTF-8")); t += 1 }
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
-    val seen = new java.util.HashSet[String]()
-    val nSh = math.max(toks.length - (w - 1), 0)
-    def update(shingle: String): Unit = {
-      if (seen.add(shingle)) {
-        val h = sipHash64Bytes(shingle.getBytes("UTF-8"))
-        var s = 0
-        while (s < k) {
-          val v = intHash64(h ^ s.toLong)
-          if (v < mins(s)) mins(s) = v
-          s += 1
-        }
+    val nSh = math.max(n - (w - 1), 0)
+    def update(h: Long): Unit = {
+      val h1 = intHash64(h)
+      val h2 = intHash64(h ^ 0x9e3779b97f4a7c15L) | 1L // odd → full period
+      var v = h1
+      var s = 0
+      while (s < k) {
+        if (v < mins(s)) mins(s) = v
+        v += h2
+        s += 1
       }
     }
-    if (nSh < 1) update(toks.mkString(" "))
+    def roll(from: Int, len: Int): Long = {
+      var h = 0L
+      var j = 0
+      while (j < len) { h = h * 0xc2b2ae3d27d4eb4fL + th(from + j); j += 1 }
+      h
+    }
+    if (nSh < 1) { if (n > 0) update(roll(0, n)) else update(0L) }
     else {
       var i = 0
-      while (i < nSh) {
-        val sb = new java.lang.StringBuilder()
-        var j = 0
-        while (j < w) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
-        }
-        update(sb.toString)
-        i += 1
-      }
+      while (i < nSh) { update(roll(i, w)); i += 1 }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       mins.map(java.lang.Long.valueOf(_): Any))
