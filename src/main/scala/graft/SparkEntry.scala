@@ -977,6 +977,16 @@ object SparkEntry {
       // deterministic tie-break on the token text
       Corpus.topTokens(T(s, dir, "documents"), "text", n = 50)),
 
+    "q_decontaminate" -> ((s, dir) => {
+      // GPT-3-style 13-gram decontamination: every 7th doc doubles as the
+      // benchmark, so those docs are fully contaminated and the rest carry
+      // only natural overlap — all counts exactly reproduced by the oracle
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      Corpus.ngramDecontaminate(docs,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 0), "doc_id", "text",
+        n = 13)
+    }),
+
     "q_lm_perplexity" -> ((s, dir) => {
       // CCNet-style bigram-LM quality signal: train interpolated counts on
       // the even-id half of the corpus, score the odd-id half (guarantees
@@ -2073,6 +2083,24 @@ object SparkEntry {
           |     ORDER BY hamming ASC, vec_id ASC) AS rk FROM h)
           |SELECT query_id, vec_id, hamming, CAST(rk AS BIGINT) AS rank
           |FROM r WHERE rk <= 10""".stripMargin,
+
+      "q_decontaminate" ->
+        raw"""WITH d AS (SELECT doc_id,
+           |   list_filter(string_split_regex(trim(regexp_replace(lower(text),
+           |     '[^a-z0-9\s]', ' ', 'g')), '\s+'), t -> t <> '') AS toks
+           |  FROM documents),
+           | g0 AS (SELECT doc_id, unnest(list_transform(
+           |     generate_series(1, greatest(len(toks) - 12, 0)),
+           |     i -> array_to_string(toks[i:i+12], ' '))) AS g FROM d),
+           | g AS (SELECT DISTINCT doc_id, g FROM g0),
+           | bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+           | t AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+           | h AS (SELECT g.doc_id, count(*) AS n_contaminated
+           |   FROM g JOIN bg USING (g) GROUP BY 1)
+           |SELECT t.doc_id, t.n_grams,
+           |  coalesce(h.n_contaminated, 0) AS n_contaminated,
+           |  coalesce(h.n_contaminated, 0) > 0 AS contaminated
+           |FROM t LEFT JOIN h ON t.doc_id = h.doc_id""".stripMargin,
 
       "q_lm_perplexity" ->
         raw"""WITH d AS (SELECT doc_id,

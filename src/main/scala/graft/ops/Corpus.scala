@@ -100,6 +100,47 @@ object Corpus {
     filter(split(trim(regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", " ")),
       "\\s+"), t => t =!= lit(""))
 
+  /** Word n-grams as space-joined strings, derived map-side inside the
+    * array domain (no explode shuffle): slice+transform over the token
+    * array. Empty when the document has fewer than n tokens. */
+  private def wordNgrams(toksCol: Column, n: Int): Column =
+    transform(
+      slice(toksCol, lit(1), greatest(size(toksCol) - (n - 1), lit(0))),
+      (_, i) => array_join(slice(toksCol, i + 1, lit(n)), " "))
+
+  /**
+   * GPT-3-style n-gram decontamination: score every corpus document by how
+   * many of its distinct word `n`-grams also occur in a benchmark/eval set
+   * (the standard 13-gram overlap check run before pretraining). Returns
+   * one row per corpus doc: distinct n-gram count, contaminated n-gram
+   * count, and a `contaminated` flag.
+   *
+   * Scale shape: n-grams derive map-side; the join runs on 8-byte
+   * `xxhash64` gram keys, so corpus text never shuffles and the benchmark
+   * side (distinct gram hashes of an eval suite — thousands of docs, not
+   * billions) broadcasts under AQE. Collision risk of the 64-bit key is
+   * ~(|grams|²/2⁶⁵) — negligible below trillions of distinct grams; at
+   * that scale widen to a 128-bit fingerprint.
+   */
+  def ngramDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 13): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), explode(wordNgrams(lmTokens(textCol), n)).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
+      .distinct()
+    val docGrams = grams(corpus)
+    val benchGrams = grams(benchmark).select("__gh").distinct()
+    val totals = docGrams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = docGrams.join(benchGrams, Seq("__gh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
   /**
    * Bigram language-model perplexity — the CCNet-style quality signal a
    * pretraining pipeline uses to rank crawl documents against a clean

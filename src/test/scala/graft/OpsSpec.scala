@@ -539,6 +539,19 @@ class OpsSpec extends SparkSpec {
     assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".tar")) > 4)
   }
 
+  test("ngramDecontaminate counts exact benchmark n-gram overlap") {
+    val corpus = Seq((1L, "a b c d e"), (2L, "x y z w"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "b c d e")).toDF("doc_id", "text")
+    val r = graft.ops.Corpus.ngramDecontaminate(corpus, bench,
+        "doc_id", "text", n = 3)
+      .select("doc_id", "n_grams", "n_contaminated", "contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    // doc1 grams {abc,bcd,cde}; bench grams {bcd,cde} → 2 of 3 hit
+    // doc3 has fewer than 3 tokens → no grams → absent from the report
+    assert(r === Set((1L, 3L, 2L, true), (2L, 2L, 0L, false)))
+  }
+
   test("signSignature packs sign bits into 64-dim limbs") {
     val df = Seq(
       (1L, Array(1.0f, -1.0f, 1.0f)),
