@@ -71,5 +71,27 @@ object chainops {
     /** Deterministic per-stratum cap (see [[Split.stratifiedSample]]). */
     def stratified(stratumCol: String, keyCol: String, perGroup: Int): Chain =
       Chain(Split.stratifiedSample(c.toDF, stratumCol, keyCol, perGroup))
+
+    /** Attach `avg_logp`/`ppl` from a bigram LM trained on `reference`
+      * and drop rows above `maxPpl` (CCNet-style quality filtering; see
+      * [[Corpus.lmPerplexity]]). */
+    def filterByPerplexity(reference: Chain, textCol: String, idCol: String,
+                           maxPpl: Double): Chain = {
+      val scores = Corpus.lmPerplexity(reference.toDF, c.toDF, idCol, textCol)
+      Chain(c.toDF.join(scores.select(col(idCol), col("avg_logp"), col("ppl")),
+          Seq(idCol), "inner")
+        .filter(col("ppl") <= maxPpl))
+    }
+
+    /** Drop rows sharing any word `n`-gram with `benchmark` (GPT-3-style
+      * decontamination; see [[Corpus.ngramDecontaminate]]). Rows too short
+      * to have an n-gram are kept. */
+    def decontaminate(benchmark: Chain, textCol: String, idCol: String,
+                      n: Int = 13): Chain = {
+      val bad = Corpus.ngramDecontaminate(c.toDF, benchmark.toDF,
+          idCol, textCol, n)
+        .filter(col("contaminated")).select(col(idCol))
+      Chain(c.toDF.join(bad, Seq(idCol), "left_anti"))
+    }
   }
 }

@@ -552,6 +552,22 @@ class OpsSpec extends SparkSpec {
     assert(r === Set((1L, 3L, 2L, true), (2L, 2L, 0L, false)))
   }
 
+  test("chainops decontaminate and perplexity filters compose on Chain") {
+    import graft.ops.chainops._
+    val corpus = Chain(docs)
+    val bench = Chain(Seq((9L, "jumps over the lazy dog near the river"))
+      .toDF("doc_id", "text"))
+    val kept = corpus.decontaminate(bench, "text", "doc_id", n = 5)
+      .toDF.select("doc_id").as[Long].collect().toSet
+    // docs 1-3 share 5-gram windows with the benchmark; 4 and 5 do not
+    assert(kept === Set(4L, 5L))
+    val filtered = corpus
+      .filterByPerplexity(corpus, "text", "doc_id", maxPpl = 1e9)
+      .toDF
+    assert(filtered.count() === 5)
+    assert(filtered.columns.contains("ppl"))
+  }
+
   test("signSignature packs sign bits into 64-dim limbs") {
     val df = Seq(
       (1L, Array(1.0f, -1.0f, 1.0f)),
