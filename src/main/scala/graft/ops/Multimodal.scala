@@ -66,7 +66,13 @@ object Multimodal {
       payload(1) == 'P'.toByte && payload(2) == 'N'.toByte && payload(3) == 'G'.toByte
     val isJpeg = payload.length > 3 && (payload(0) & 0xFF) == 0xFF &&
       (payload(1) & 0xFF) == 0xD8
-    if (!isPng && !isJpeg) return decodeImageStub(payload, format)
+    val isGif = payload.length > 6 && payload(0) == 'G'.toByte &&
+      payload(1) == 'I'.toByte && payload(2) == 'F'.toByte &&
+      payload(3) == '8'.toByte
+    val isBmp = payload.length > 2 && payload(0) == 'B'.toByte &&
+      payload(1) == 'M'.toByte
+    if (!isPng && !isJpeg && !isGif && !isBmp)
+      return decodeImageStub(payload, format)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     if (img == null) return decodeImageStub(payload, format)
     val w = img.getWidth
@@ -88,7 +94,9 @@ object Multimodal {
     val n = (w.toLong * h).toDouble
     val feats = Array((r / n).toFloat, (g / n).toFloat, (b / n).toFloat,
       w.toFloat, h.toFloat, payload.length.toFloat, 0f, 0f)
-    (ImageMeta(if (isPng) "png" else "jpeg", w, h, payload.length.toLong), feats)
+    val fmt = if (isPng) "png" else if (isJpeg) "jpeg"
+      else if (isGif) "gif" else "bmp"
+    (ImageMeta(fmt, w, h, payload.length.toLong), feats)
   }
 
   /**

@@ -261,6 +261,22 @@ class OpsSpec extends SparkSpec {
     assert(frames.count() === 12)
   }
 
+  test("real image decode covers GIF and BMP via ImageIO") {
+    for ((fmt, w, h) <- Seq(("gif", 17, 9), ("bmp", 23, 11))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, 0x336699)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      val (meta, feats) = Multimodal.decodeImage(bos.toByteArray, "raw")
+      assert(meta.format === fmt)
+      assert(meta.width === w && meta.height === h)
+      // solid-color image → channel means match the fill exactly
+      assert(feats(0) === 0x33.toFloat && feats(1) === 0x66.toFloat &&
+        feats(2) === 0x99.toFloat)
+    }
+  }
+
   test("real WAV decode round-trips javax.sound encode via AudioSystem") {
     val docsDf = spark.read.parquet(s"$sf/documents.parquet").limit(20)
     val media = Multimodal.syntheticWavMedia(docsDf, "doc_id")
