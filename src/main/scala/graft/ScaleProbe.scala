@@ -71,6 +71,46 @@ object ScaleProbe {
     val (lk1, ls1) = lineResults.head
     val (lkN, lsN) = lineResults.last
     println(f"lineDedup scale ${lkN.toDouble / lk1}%.0fx -> time ${lsN / ls1}%.2fx")
+
+    // 13-gram decontamination at the same amplifications: benchmark stays
+    // fixed-size (an eval suite doesn't grow with the corpus), so time
+    // should track corpus size while the benchmark side always broadcasts.
+    val bench = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+    val dcResults = ks.map { k =>
+      val corpus = docs.crossJoin(
+          spark.range(k).select(col("id").as("__copy")))
+        .select((col("doc_id") * k + col("__copy")).as("doc_id"),
+          concat(col("text"), lit(" v"), col("__copy")).as("text"))
+      val t0 = System.nanoTime()
+      val flagged = graft.ops.Corpus.ngramDecontaminate(
+          corpus, bench, "doc_id", "text", n = 13)
+        .filter(col("contaminated")).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"decontaminate K=$k%-3d docs=${5000L * k}%-8d flagged=$flagged%-8d ${sec}%.2f s")
+      (k, sec)
+    }
+    val (dk1, ds1) = dcResults.head
+    val (dkN, dsN) = dcResults.last
+    println(f"decontaminate scale ${dkN.toDouble / dk1}%.0fx -> time ${dsN / ds1}%.2fx")
+
+    // Bigram-LM scoring: train on the base corpus, score the amplified one.
+    // The count tables are vocabulary-sized (they DON'T grow with copies —
+    // the suffix tokens add O(K) types), so scoring should scale linearly.
+    val lmResults = ks.map { k =>
+      val corpus = docs.crossJoin(
+          spark.range(k).select(col("id").as("__copy")))
+        .select((col("doc_id") * k + col("__copy")).as("doc_id"),
+          concat(col("text"), lit(" v"), col("__copy")).as("text"))
+      val t0 = System.nanoTime()
+      val n = graft.ops.Corpus.lmPerplexity(docs, corpus, "doc_id", "text")
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"lmScore K=$k%-3d docs=${5000L * k}%-8d scored=$n%-8d ${sec}%.2f s")
+      (k, sec)
+    }
+    val (mk1, ms1) = lmResults.head
+    val (mkN, msN) = lmResults.last
+    println(f"lmScore scale ${mkN.toDouble / mk1}%.0fx -> time ${msN / ms1}%.2fx")
     spark.stop()
   }
 }

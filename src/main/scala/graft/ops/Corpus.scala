@@ -125,8 +125,13 @@ object Corpus {
   def ngramDecontaminate(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String,
                          n: Int = 13): DataFrame = {
+    // tokens materialize in their own projection BEFORE the n-gram HOF:
+    // lambdas re-evaluate captured expression trees per element, so
+    // inlining lmTokens here would re-run the tokenizer regex once per
+    // gram instead of once per document
     def grams(df: DataFrame) = df
-      .select(col(idCol), explode(wordNgrams(lmTokens(textCol), n)).as("__g"))
+      .withColumn("__toks", lmTokens(textCol))
+      .select(col(idCol), explode(wordNgrams(col("__toks"), n)).as("__g"))
       .select(col(idCol), xxhash64(col("__g")).as("__gh"))
       .distinct()
     val docGrams = grams(corpus)
