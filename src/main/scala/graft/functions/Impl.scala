@@ -201,10 +201,14 @@ object Impl {
     val toks = normalize(text).split(' ')
     val n = toks.length
     // Tokens are sipHash64'd ONCE; a shingle's hash is a polynomial roll of
-    // its token hashes — no shingle string is ever materialized, and the
-    // k permutations derive from two hashes (Kirsch-Mitzenmacher double
-    // hashing), not k independent intHash64 chains. Duplicate shingles need
-    // no dedup set: re-feeding a value cannot change a running minimum.
+    // its token hashes — no shingle string is ever materialized. Duplicate
+    // shingles need no dedup set: re-feeding a value cannot change a
+    // running minimum. The k permutation values stay INDEPENDENT
+    // intHash64(h ^ s) chains on purpose: double-hashing shortcuts
+    // (h1 + s*h2) correlate the minima across s — two docs sharing one
+    // low-hash shingle then collide on whole BANDS, band-match probability
+    // inflates from j^bandRows toward j, and LSH buckets go quadratic
+    // (observed: 8x corpus went 13x wall instead of ~1.5x).
     val th = new Array[Long](n)
     var t = 0
     while (t < n) { th(t) = sipHash64Bytes(toks(t).getBytes("UTF-8")); t += 1 }
@@ -212,13 +216,10 @@ object Impl {
     java.util.Arrays.fill(mins, Long.MaxValue)
     val nSh = math.max(n - (w - 1), 0)
     def update(h: Long): Unit = {
-      val h1 = intHash64(h)
-      val h2 = intHash64(h ^ 0x9e3779b97f4a7c15L) | 1L // odd → full period
-      var v = h1
       var s = 0
       while (s < k) {
+        val v = intHash64(h ^ s.toLong)
         if (v < mins(s)) mins(s) = v
-        v += h2
         s += 1
       }
     }
