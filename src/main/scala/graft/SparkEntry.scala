@@ -801,7 +801,13 @@ object SparkEntry {
       // emitted nothing below threshold (precision), with edge weights
       // agreeing to 4 decimals.
       val docs = T(s, dir, "documents")
-      val nearDups = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      // plant near-dups only on docs long enough (n_chars >= 200) that the
+      // suffix keeps their shingle-Jaccard deep in the LSH high-recall
+      // zone — a 0.74-Jaccard pair from a tiny doc sits where 4-row bands
+      // miss ~5% of the time, and "passes when the hash gets lucky" is not
+      // a gate
+      val nearDups = docs
+        .filter(pmod(col("doc_id"), lit(4)) === 0 && col("n_chars") >= 200)
         .withColumn("doc_id", col("doc_id") + 100000)
         .withColumn("text", concat(col("text"), lit(" tail marker token")))
       val corpus = docs.unionByName(nearDups).select("doc_id", "text")
@@ -809,7 +815,7 @@ object SparkEntry {
       // shingle cost — the planted near-dups put ~40% of docs in a pair,
       // and at web scale the fraction is far smaller still
       Dedup.minhashDedupEdges(corpus, "text", "doc_id",
-        threshold = 0.5, k = 32, bands = 8, ngram = 5,
+        threshold = 0.5, k = 64, bands = 16, ngram = 5,
         shingleCandidatesOnly = true)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
@@ -1907,7 +1913,7 @@ object SparkEntry {
            |  SELECT doc_id, text FROM documents
            |  UNION ALL
            |  SELECT doc_id + 100000 AS doc_id, text || ' tail marker token' AS text
-           |  FROM documents WHERE doc_id % 4 = 0
+           |  FROM documents WHERE doc_id % 4 = 0 AND n_chars >= 200
            |), g AS (
            |  SELECT doc_id, list_distinct(list_transform(
            |    range(1, CAST(greatest(length($norm) - 4, 0) AS BIGINT) + 1),
