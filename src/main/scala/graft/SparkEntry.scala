@@ -820,6 +820,25 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
+    "q_ann_rerank" -> ((s, dir) => {
+      // two-stage ANN (hamming prefilter → exact cosine re-rank): recall@5
+      // ≥ 0.6 per query vs in-Spark brute force, same honest property
+      // pattern as q_ann_ivf — prefilter=40 of 500 keeps the pruning real
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val rr = Similarity.hammingRerankTopK(emb, queries, k = 5,
+        prefilter = 40)
+      val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      val hits = rr.select(col("query_id"), col("vec_id"))
+        .intersect(bf.select(col("query_id"), col("vec_id")))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      queries.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_hits"), lit(0L)) >= 3).as("recall_ok"))
+    }),
+
     "q_simhash_dedup" -> ((s, dir) => {
       // simhash as candidate generator + exact Jaccard verification; the
       // oracle is the true thresholded all-pairs edge set (same exactness
@@ -2075,6 +2094,10 @@ object SparkEntry {
           |FROM r WHERE rk <= 5""".stripMargin,
 
       "q_ann_ivf" ->
+        """SELECT vec_id AS query_id, TRUE AS recall_ok
+          |FROM embeddings WHERE vec_id < 3""".stripMargin,
+
+      "q_ann_rerank" ->
         """SELECT vec_id AS query_id, TRUE AS recall_ok
           |FROM embeddings WHERE vec_id < 3""".stripMargin,
 

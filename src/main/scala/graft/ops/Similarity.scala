@@ -180,4 +180,32 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("__ham").as("hamming"),
         col("__rank").as("rank"))
   }
+
+  /**
+   * Two-stage ANN: hamming prefilter over sign signatures keeps the
+   * `prefilter` closest ids per query (the cheap pass — the corpus scan
+   * moves 8-byte limbs, not vectors), then exact cosine re-ranks only the
+   * survivors. This is the billion-vector production shape: stage 1 cost
+   * is a popcount scan, stage 2 touches `queries × prefilter` vectors via
+   * a broadcast candidate semi-join, never the corpus.
+   */
+  def hammingRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                        prefilter: Int = 0,
+                        vecCol: String = "embedding", idCol: String = "vec_id",
+                        queryIdCol: String = "query_id"): DataFrame = {
+    val pre = if (prefilter > 0) prefilter else 8 * k
+    val cand = hammingTopK(corpus, queries, pre, vecCol, idCol, queryIdCol)
+      .select(col(queryIdCol), col(idCol))
+    val scored = corpus.select(col(idCol), col(vecCol).as("__cv"))
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qv"))),
+        Seq(queryIdCol))
+      .withColumn("__sim", cosineSim(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__sim").desc, col(idCol).asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("__sim"), 6).as("sim"),
+        col("__rank").as("rank"))
+  }
 }

@@ -594,6 +594,19 @@ class OpsSpec extends SparkSpec {
     assert(sig(2L) === Seq(-1L, -1L, 3L)) // 64 ones, 64 ones, 2 ones
   }
 
+  test("hammingRerankTopK recalls most brute-force neighbors") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val exact = Similarity.bruteForceTopK(emb, q, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val rr = Similarity.hammingRerankTopK(emb, q, k = 10, prefilter = 64)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(rr.size === exact.size)
+    val recall = (rr & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall=$recall")
+  }
+
   test("hammingTopK ranks by sign-bit hamming with id tie-break") {
     val corpus = Seq(
       (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)),
