@@ -143,6 +143,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // map-side combine on the counts
   }
 
+  test("q_decontaminate: grams hash before the shuffle, text never moves") {
+    val p = plan("q_decontaminate")
+    // n-gram derivation is map-side; only 8-byte xxhash64 keys shuffle
+    assert(p.contains("xxhash64"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q_hash_funcs")(spark, sf)
     val p = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
