@@ -384,6 +384,17 @@ object SparkEntry {
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))),
 
+    "q_unpivot" -> ((s, dir) =>
+      // melt: wide measures → (key, measure, value) rows; pure projection
+      // + generator, zero shuffle at any scale
+      T(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "value")),
+
     "q_intersect" -> ((s, dir) => {
       val cust = C(s, dir, "customer")
       val ords = C(s, dir, "orders").rename("o_custkey", "c_custkey")
@@ -1642,6 +1653,17 @@ object SparkEntry {
           | CAST(sum(CASE WHEN l_linestatus = 'O'
           |   THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+      "q_unpivot" ->
+        """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+          |  l_quantity AS value
+          |FROM lineitem WHERE l_orderkey < 100
+          |UNION ALL
+          |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+          |FROM lineitem WHERE l_orderkey < 100
+          |UNION ALL
+          |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+          |FROM lineitem WHERE l_orderkey < 100""".stripMargin,
 
       "q_intersect" ->
         // IS NOT DISTINCT FROM mirrors semiJoin's null-safe <=> exactly
