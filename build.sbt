@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness reads ONLY the last ~2000 chars of merged
+// stdout+stderr and parses the final JSON line. Two sbt-logger behaviors
+// break that: (a) forked-run stdout gets an "[info] " prefix through the
+// default LoggedOutput strategy, (b) sbt appends a "[success] Total time"
+// epilogue after the run. Pass forked output through raw and drop the
+// epilogue so the JVM's own println is the last parseable line.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
