@@ -121,13 +121,22 @@ object WebDataset {
    * follows the public WebDataset convention the reader above consumes).
    *
    * Each input partition streams its rows into `shard-{partition}-{seq}.tar`
-   * files under `outDir`, rolling to a new shard when `maxShardBytes` of
-   * member payload has been written — executors write their own shards
-   * directly to the target filesystem with no shuffle and no driver
-   * involvement, so a 100 TB export fans out to one independent writer per
-   * partition. Callers control shard count and ordering with
-   * `repartitionByRange`/`sortWithinPartitions` before the call (sorted
-   * input → deterministic shard contents).
+   * files under `outDir`, rolling to a new shard when ~`maxShardBytes` of
+   * on-disk tar bytes (payload + 512 B header and 512 B padding per member
+   * + 1 KiB trailer; POSIX long-name extension blocks are not counted, so
+   * the bound is approximate for very long member names) has been written —
+   * executors write their own shards directly to the target filesystem with
+   * no shuffle and no driver involvement, so a 100 TB export fans out to
+   * one independent writer per partition. Callers control shard count and
+   * ordering with `repartitionByRange`/`sortWithinPartitions` before the
+   * call (sorted input → deterministic shard contents).
+   *
+   * Task retry/speculation safety: each attempt writes to attempt-scoped
+   * `.tmp` names (which a `*.tar` glob never matches) and renames them to
+   * the final shard names only after its iterator drains — a failed or
+   * losing attempt leaves behind only `.tmp` litter, never a stale
+   * higher-seq `shard-*.tar` that a later read would pick up as a
+   * duplicate/phantom shard.
    *
    * Expects columns (`keyCol`: string, `extCol`: string, `dataCol`: binary);
    * the member name is `key.ext` (or bare `key` when ext is empty), which
@@ -143,35 +152,66 @@ object WebDataset {
       col(dataCol).cast("binary"))
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
-        val pid = TaskContext.getPartitionId()
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
+        val attempt = tc.taskAttemptId()
         val conf = new org.apache.hadoop.conf.Configuration()
         val dir = new org.apache.hadoop.fs.Path(outDir)
         val fs = dir.getFileSystem(conf)
+        // on-disk cost of one member: 512 B header + payload padded to 512
+        def entryBytes(payload: Long): Long = 512L + ((payload + 511L) / 512L) * 512L
+        val trailerBytes = 1024L
         var seq = 0
         var written = 0L
         var tar: TarArchiveOutputStream = null
+        val pending = scala.collection.mutable.ArrayBuffer
+          .empty[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)]
+        def tmpPath(s: Int) = new org.apache.hadoop.fs.Path(
+          dir, f".shard-$pid%05d-$s%03d.attempt$attempt.tmp")
+        def finalPath(s: Int) = new org.apache.hadoop.fs.Path(
+          dir, f"shard-$pid%05d-$s%03d.tar")
         def roll(): Unit = {
           if (tar != null) tar.close()
-          val p = new org.apache.hadoop.fs.Path(dir, f"shard-$pid%05d-$seq%03d.tar")
+          val p = tmpPath(seq)
+          pending += ((p, finalPath(seq)))
           tar = new TarArchiveOutputStream(fs.create(p, true))
           tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
           seq += 1
           written = 0L
         }
-        roll()
-        it.foreach { r =>
-          val key = r.getString(0)
-          val ext = Option(r.getString(1)).getOrElse("")
-          val data = Option(r.getAs[Array[Byte]](2)).getOrElse(Array.empty[Byte])
-          if (written > 0 && written + data.length > maxShardBytes) roll()
-          val e = new TarArchiveEntry(if (ext.isEmpty) key else s"$key.$ext")
-          e.setSize(data.length.toLong)
-          tar.putArchiveEntry(e)
-          tar.write(data)
-          tar.closeArchiveEntry()
-          written += data.length
+        var committed = false
+        try {
+          roll()
+          it.foreach { r =>
+            val key = r.getString(0)
+            val ext = Option(r.getString(1)).getOrElse("")
+            val data = Option(r.getAs[Array[Byte]](2)).getOrElse(Array.empty[Byte])
+            val cost = entryBytes(data.length.toLong)
+            if (written > 0 && written + cost + trailerBytes > maxShardBytes) roll()
+            val e = new TarArchiveEntry(if (ext.isEmpty) key else s"$key.$ext")
+            e.setSize(data.length.toLong)
+            tar.putArchiveEntry(e)
+            tar.write(data)
+            tar.closeArchiveEntry()
+            written += cost
+          }
+          tar.close()
+          tar = null
+          // commit: promote this attempt's tmp files to the final names
+          // (delete-then-rename — Hadoop rename does not overwrite)
+          pending.foreach { case (tmp, fin) =>
+            if (fs.exists(fin)) fs.delete(fin, false)
+            if (!fs.rename(tmp, fin))
+              throw new java.io.IOException(s"rename $tmp -> $fin failed")
+          }
+          committed = true
+        } finally {
+          if (tar != null) { try tar.close() catch { case _: Throwable => () } }
+          if (!committed)
+            pending.foreach { case (tmp, _) =>
+              try fs.delete(tmp, false) catch { case _: Throwable => () }
+            }
         }
-        tar.close()
       }
     }
   }

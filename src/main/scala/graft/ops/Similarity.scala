@@ -144,8 +144,13 @@ object Similarity {
   }
 
   /**
-   * Sign-bit signature: dimension i contributes bit (i mod 64) of limb
-   * (i / 64), set when the coordinate is > 0. A 1024-dim float vector
+   * Sign-bit signature: the fold packs from the high side, so dimension i
+   * contributes bit (L-1 - i mod 64) of limb (i / 64), where L is that
+   * limb's slice length (64 for full limbs; the trailing partial limb
+   * lands in the low bits), set when the coordinate is > 0. Hamming
+   * distances are layout-independent, but anyone comparing against
+   * externally packed signatures needs this exact layout. A 1024-dim
+   * float vector
    * compresses to 16 longs — 32× less than the raw floats — which is what
    * makes billion-vector candidate scans memory-feasible. Pure projection
    * (array `transform`/`aggregate`, no shuffle, stays in codegen).

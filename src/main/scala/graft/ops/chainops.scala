@@ -74,13 +74,16 @@ object chainops {
 
     /** Attach `avg_logp`/`ppl` from a bigram LM trained on `reference`
       * and drop rows above `maxPpl` (CCNet-style quality filtering; see
-      * [[Corpus.lmPerplexity]]). */
+      * [[Corpus.lmPerplexity]]). Rows too short to score (fewer than two
+      * tokens → no bigrams) are KEPT with null `ppl`, consistent with
+      * [[decontaminate]]'s keep-too-short rule — a quality filter should
+      * not silently eat rows it could not measure. */
     def filterByPerplexity(reference: Chain, textCol: String, idCol: String,
                            maxPpl: Double): Chain = {
       val scores = Corpus.lmPerplexity(reference.toDF, c.toDF, idCol, textCol)
       Chain(c.toDF.join(scores.select(col(idCol), col("avg_logp"), col("ppl")),
-          Seq(idCol), "inner")
-        .filter(col("ppl") <= maxPpl))
+          Seq(idCol), "left_outer")
+        .filter(col("ppl").isNull || col("ppl") <= maxPpl))
     }
 
     /** Drop rows sharing any word `n`-gram with `benchmark` (GPT-3-style

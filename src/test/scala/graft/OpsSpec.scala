@@ -555,6 +555,22 @@ class OpsSpec extends SparkSpec {
     assert(new java.io.File(out).listFiles().count(_.getName.endsWith(".tar")) > 4)
   }
 
+  test("writeTarShards bounds on-disk shard size including tar overhead") {
+    val out = java.nio.file.Files.createTempDirectory("wds_sz").toString
+    // 1-byte payloads cost 1024 B on disk each (512 header + 512 padding);
+    // with the 1 KiB trailer, a 4096-byte budget fits exactly 3 members
+    val rows = (1 to 12).map(i => (f"k$i%02d", "bin", Array[Byte](1)))
+      .toDF("sample_key", "ext", "data").coalesce(1)
+    graft.files.WebDataset.writeTarShards(rows, out, maxShardBytes = 4096)
+    val shards = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".tar"))
+    assert(shards.length === 4)
+    assert(shards.forall(_.length <= 4096),
+      shards.map(f => s"${f.getName}=${f.length}").mkString(","))
+    // no attempt-scoped tmp litter survives a successful commit
+    assert(new java.io.File(out).listFiles().forall(!_.getName.endsWith(".tmp")))
+  }
+
   test("ngramDecontaminate counts exact benchmark n-gram overlap") {
     val corpus = Seq((1L, "a b c d e"), (2L, "x y z w"), (3L, "a b"))
       .toDF("doc_id", "text")
@@ -582,6 +598,13 @@ class OpsSpec extends SparkSpec {
       .toDF
     assert(filtered.count() === 5)
     assert(filtered.columns.contains("ppl"))
+    // rows too short to score (no bigrams) are kept with null ppl, like
+    // decontaminate's keep-too-short rule — not silently dropped
+    val withShort = Chain(docs.union(Seq((6L, "solo")).toDF("doc_id", "text")))
+      .filterByPerplexity(corpus, "text", "doc_id", maxPpl = 1e9).toDF
+    assert(withShort.count() === 6)
+    assert(withShort.filter(col("doc_id") === 6L && col("ppl").isNull)
+      .count() === 1)
   }
 
   test("signSignature packs sign bits into 64-dim limbs") {
