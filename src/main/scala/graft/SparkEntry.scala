@@ -147,6 +147,22 @@ object SparkEntry {
         .toDF
     }),
 
+    "q_read_hf" -> ((s, dir) => {
+      // HF parquet-export bridge: stage nation as a two-split dataset dir
+      // (train/validation, split by key mod 5) with hub-style denormalized
+      // column names; readHf must discover both splits, prepend the split
+      // column, and normalize "N-Name"/"RegionKey" → n_name/regionkey.
+      val root = Files.createTempDirectory("graft_hf").toString
+      val src = T(s, dir, "nation").select(col("n_nationkey"),
+        col("n_name").as("N-Name"), col("n_regionkey").as("RegionKey"))
+      src.filter(col("n_nationkey") % 5 =!= 0)
+        .write.mode("overwrite").parquet(s"$root/train")
+      src.filter(col("n_nationkey") % 5 === 0)
+        .write.mode("overwrite").parquet(s"$root/validation")
+      Chain.readHf(s, root).toDF
+        .select("split", "n_nationkey", "n_name", "regionkey")
+    }),
+
     "q_save_roundtrip" -> ((s, dir) => {
       val root = Files.createTempDirectory("graft_cat").toString
       val cat = new Catalog(root, s)
@@ -1508,6 +1524,11 @@ object SparkEntry {
 
       "q_read_csv" -> "SELECT * FROM nation",
       "q_read_json" -> "SELECT * FROM region",
+
+      "q_read_hf" ->
+        """SELECT CASE WHEN n_nationkey % 5 = 0 THEN 'validation'
+          | ELSE 'train' END AS split,
+          | n_nationkey, n_name, n_regionkey AS regionkey FROM nation""".stripMargin,
 
       "q_read_values" ->
         """SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'alpha', 3.5),

@@ -532,6 +532,77 @@ object Chain {
       OpTree.empty.append("read_json", path, jmespath.getOrElse("")))
   }
 
+  /** Reference `utils.normalize_col_names` (src/datachain/lib/utils.py:55):
+    * lowercase, collapse non-[0-9a-z] runs to "_", strip edge "_", then make
+    * the result a unique identifier with a `cN_` counter prefix on collision
+    * or non-identifier (keeping earlier names' claims, including `existing`
+    * columns already in the output like "split"). Returns originals→new in
+    * input order. */
+  private[graft] def normalizeColNames(existing: Seq[String],
+                                       cols: Seq[String]): Seq[(String, String)] = {
+    val taken = scala.collection.mutable.Set.empty[String]
+    val orgSet = (existing ++ cols).toSet
+    var counter = 0
+    def isIdent(s: String): Boolean =
+      s.nonEmpty && (s.head.isLetter || s.head == '_') &&
+        s.forall(c => c.isLetterOrDigit || c == '_')
+    val all = (existing ++ cols).map { org =>
+      val base = "[^0-9a-z]+".r.replaceAllIn(org.toLowerCase, "_")
+        .stripPrefix("_").stripSuffix("_")
+      var gen = base
+      while (!isIdent(gen) || taken(gen) || (gen != org && orgSet(gen))) {
+        gen = if (base.nonEmpty) s"c${counter}_$base" else s"c$counter"
+        counter += 1
+      }
+      taken += gen
+      org -> gen
+    }
+    all.drop(existing.length)
+  }
+
+  /**
+   * read_hf — parquet bridge over a HuggingFace-exported dataset directory
+   * (reference: src/datachain/lib/dc/hf.py:17, lib/hf.py:123 stream_splits).
+   * The reference streams rows from `datasets.load_dataset`; the public
+   * interchange format this bridge consumes is the hub's parquet export — a
+   * dataset root with one subdirectory per split, each holding `*.parquet`.
+   * Reference semantics kept:
+   *  - `split` selects one split; empty reads ALL splits found
+   *  - a `split` column is prepended only when more than one split is read
+   *    (reference `hf.py` adds it when `len(ds_dict) > 1`)
+   *  - column names are normalized exactly like `utils.normalize_col_names`
+   *  - `limit > 0` caps rows per split (reference `take(limit)`)
+   * Scale shape: the driver lists only the split directories (one metadata
+   * round-trip); each split is a plain distributed parquet scan and the
+   * per-split union is a zero-shuffle plan concat, so pushdown/pruning reach
+   * every leaf scan untouched.
+   */
+  def readHf(spark: SparkSession, path: String, split: String = "",
+             limit: Int = 0): Chain = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val splits =
+      if (split.nonEmpty) Seq(split)
+      else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(_.startsWith(".")).sorted.toSeq
+    require(splits.nonEmpty, s"no split directories under $path")
+    val multi = splits.length > 1
+    val frames = splits.map { sp =>
+      val df0 = spark.read.parquet(new org.apache.hadoop.fs.Path(root, sp).toString)
+      val df1 = if (limit > 0) df0.limit(limit) else df0
+      val renamed = normalizeColNames(if (multi) Seq("split") else Nil,
+          df1.columns.toSeq)
+        .foldLeft(df1) { case (d, (org, norm)) =>
+          if (org == norm) d else d.withColumnRenamed(org, norm)
+        }
+      if (multi) renamed.select(lit(sp).as("split") +: renamed.columns
+        .map(c => col(s"`$c`")): _*)
+      else renamed
+    }
+    new Chain(frames.reduce(_.unionByName(_)),
+      OpTree.empty.append("read_hf", path, split))
+  }
+
   /** read_values (reference: src/datachain/lib/dc/values.py:18). */
   def readValues[T <: Product : Encoder](spark: SparkSession, rows: Seq[T]): Chain =
     new Chain(spark.createDataset(rows).toDF(), OpTree.empty.append("read_values"))

@@ -181,6 +181,40 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("readHf: split discovery, split column, limit, name normalization") {
+    val root = Files.createTempDirectory("hf").toString
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("Doc ID", "Text-Body")
+      .write.parquet(s"$root/train")
+    Seq((9, "z")).toDF("Doc ID", "Text-Body")
+      .write.parquet(s"$root/test")
+    // multi-split: split column prepended, names normalized
+    val all = Chain.readHf(spark, root).toDF
+    assert(all.columns.toSeq === Seq("split", "doc_id", "text_body"))
+    assert(all.groupBy("split").count().as[(String, Long)].collect().toSet
+      === Set(("train", 3L), ("test", 1L)))
+    // single split selected: no split column
+    val one = Chain.readHf(spark, root, split = "train").toDF
+    assert(one.columns.toSeq === Seq("doc_id", "text_body"))
+    assert(one.count() === 3)
+    // limit caps rows per split
+    assert(Chain.readHf(spark, root, limit = 1).toDF.count() === 2)
+  }
+
+  test("normalizeColNames matches reference collision and identifier rules") {
+    // collision after normalization → counter prefix; leading digit → not
+    // an identifier → counter prefix; reserved existing name "split" claims
+    // its slot first (reference normalize_col_names, utils.py:55)
+    val m = Chain.normalizeColNames(Seq("split"),
+      Seq("A B", "a_b", "9lives", "Split", "")).toMap
+    // "A B" normalizes to "a_b" but that IS another original column → c0_;
+    // "a_b" itself keeps its name (gen == org skips the original-name rule)
+    assert(m("A B") === "c0_a_b")
+    assert(m("a_b") === "a_b")
+    assert(m("9lives") === "c1_9lives")
+    assert(m("Split") === "c2_split") // "split" taken by the existing column
+    assert(m("") === "c3")
+  }
+
   test("readJsonInferred: sample inference + jmespath array descent") {
     val dir = Files.createTempDirectory("jsonl")
     val lines = Seq(
