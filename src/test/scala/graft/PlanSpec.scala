@@ -151,6 +151,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_chunk: zero-exchange map-side pmod filter, columns pruned") {
+    val p = plan("q_chunk")
+    // chunk is a reproducible pure filter over the deterministic key — at
+    // 100 TB each chunk is a scan subset, never a shuffle
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("pmod"), p)
+  }
+
+  test("q_train_test_split: zero-exchange pmod bucket filters unioned") {
+    val p = plan("q_train_test_split")
+    // each part is an independent map-side filter on the split key; the
+    // union is a plan concat, not an exchange
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Union"), p)
+    assert(p.contains("pmod"), p)
+  }
+
+  test("q_shuffle: deterministic hash sort — one range exchange, no rand()") {
+    val p = plan("q_shuffle")
+    // global reorder needs exactly the sort's range exchange, and the key
+    // is the stamped xxhash64 sys.rand, never a nondeterministic rand()
+    assert("Exchange \\(".r.findAllIn(p).size === 1, p)
+    assert(p.contains("xxhash64"), p)
+    assert(!p.contains("rand("), p)
+  }
+
   test("custom expressions stay inside whole-stage codegen") {
     val df = SparkEntry.queries("q_hash_funcs")(spark, sf)
     val p = df.queryExecution.explainString(ExplainMode.fromString("codegen"))
