@@ -838,12 +838,16 @@ object SparkEntry {
         .withColumn("doc_id", col("doc_id") + 100000)
         .withColumn("text", concat(col("text"), lit(" tail marker token")))
       val corpus = docs.unionByName(nearDups).select("doc_id", "text")
-      // shingleCandidatesOnly: only candidate-pair members pay the 5-gram
-      // shingle cost — the planted near-dups put ~40% of docs in a pair,
-      // and at web scale the fraction is far smaller still
+      // shingleCandidatesOnly=false, measured: the planted near-dups put
+      // ~40% of docs in a candidate pair, so corpus-wide shingling costs
+      // little extra gram work and lets the scheduler overlap the gram
+      // stage with the LSH self-join (sf0.1 min-of-3: ~1.7s vs ~2.2s for
+      // the serialized candidates-only DAG). At web scale, where candidates
+      // are ~1% of the corpus, flip it to true — see the scaladoc trade
+      // note on Dedup.minhashDedupEdges.
       Dedup.minhashDedupEdges(corpus, "text", "doc_id",
         threshold = 0.5, k = 64, bands = 16, ngram = 5,
-        shingleCandidatesOnly = true)
+        shingleCandidatesOnly = false)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 

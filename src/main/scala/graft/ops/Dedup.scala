@@ -126,11 +126,16 @@ object Dedup {
                         threshold: Double, k: Int = 64, bands: Int = 16,
                         ngram: Int = 5,
                         shingleCandidatesOnly: Boolean = false): DataFrame = {
-    // The candidate pairs feed several consumers (optionally the member-id
-    // semi-join, plus both sides of the gram join) — persist so the LSH
-    // self-join runs once. Pairs are two longs; negligible storage.
-    val cands = minhashCandidates(df, textCol, idCol, k, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // With shingleCandidatesOnly the pairs feed TWO consumers (the
+    // member-id semi-join and the verification join chain) — persist so the
+    // LSH self-join runs once; pairs are two longs, negligible storage.
+    // Otherwise the join chain is the single consumer and a persist would
+    // only add a materialization barrier.
+    val cands0 = minhashCandidates(df, textCol, idCol, k, bands)
+    val cands =
+      if (shingleCandidatesOnly)
+        cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cands0
     val gramSource =
       if (shingleCandidatesOnly) {
         val members = cands.select(col("id_a").as("__gid"))
