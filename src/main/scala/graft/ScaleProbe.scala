@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 8)
+    // SPARK_GRAFT_PROBE=minhash,linededup,decontaminate,lm,ann (default all)
+    val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
+      .map(_.split(',').map(_.trim).toSet)
+      .map(s => (x: String) => s(x)).getOrElse(_ => true)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -25,92 +29,168 @@ object ScaleProbe {
       .select("doc_id", "text").cache()
     docs.count()
 
-    val results = ks.map { k =>
-      val corpus = docs.crossJoin(
-          spark.range(k).select(col("id").as("__copy")))
-        .select((col("doc_id") * k + col("__copy")).as("doc_id"),
-          // distinct suffix per copy so copies aren't trivial exact dups
-          concat(col("text"), lit(" v"), col("__copy")).as("text"))
-      val t0 = System.nanoTime()
-      val edges = graft.ops.Dedup.minhashDedupEdges(
-        corpus, "text", "doc_id", threshold = 0.5, k = 32, bands = 8)
-      val n = edges.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      // localEdgeThreshold=0 pins the distributed label-propagation path —
-      // this probe is the evidence that the 100 TB path scales, so the
-      // small-graph driver shortcut must not kick in here
-      val nClusters = graft.ops.Dedup.connectedComponents(edges, localEdgeThreshold = 0L)
-        .select("cluster_id").distinct().count()
-      val ccSec = (System.nanoTime() - t1) / 1e9
-      println(f"K=$k%-3d rows=${5000L * k}%-8d edges=$n%-10d ${sec}%.2f s   " +
-        f"cc: $nClusters%-7d clusters in ${graft.ops.Dedup.lastRounds} rounds ${ccSec}%.2f s")
-      (k, sec)
+    if (want("minhash")) {
+      val results = ks.map { k =>
+        val corpus = docs.crossJoin(
+            spark.range(k).select(col("id").as("__copy")))
+          .select((col("doc_id") * k + col("__copy")).as("doc_id"),
+            // distinct suffix per copy so copies aren't trivial exact dups
+            concat(col("text"), lit(" v"), col("__copy")).as("text"))
+        val t0 = System.nanoTime()
+        val edges = graft.ops.Dedup.minhashDedupEdges(
+          corpus, "text", "doc_id", threshold = 0.5, k = 32, bands = 8)
+        val n = edges.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        // localEdgeThreshold=0 pins the distributed label-propagation path —
+        // this probe is the evidence that the 100 TB path scales, so the
+        // small-graph driver shortcut must not kick in here
+        val nClusters = graft.ops.Dedup.connectedComponents(edges, localEdgeThreshold = 0L)
+          .select("cluster_id").distinct().count()
+        val ccSec = (System.nanoTime() - t1) / 1e9
+        println(f"K=$k%-3d rows=${5000L * k}%-8d edges=$n%-10d ${sec}%.2f s   " +
+          f"cc: $nClusters%-7d clusters in ${graft.ops.Dedup.lastRounds} rounds ${ccSec}%.2f s")
+        (k, sec)
+      }
+      val (k1, s1) = results.head
+      val (kN, sN) = results.last
+      println(f"scale factor ${kN.toDouble / k1}%.0fx -> time factor ${sN / s1}%.2fx")
     }
-    val (k1, s1) = results.head
-    val (kN, sN) = results.last
-    println(f"scale factor ${kN.toDouble / k1}%.0fx -> time factor ${sN / s1}%.2fx")
 
     // Cross-document line dedup at the same amplifications: multi-line docs
     // where one line is corpus-wide boilerplate. Wide stages touch only
     // 8-byte hashes, so time should track corpus size ~linearly too.
-    val lineResults = ks.map { k =>
-      val corpus = docs.crossJoin(
-          spark.range(k).select(col("id").as("__copy")))
-        .select((col("doc_id") * k + col("__copy")).as("doc_id"),
-          concat(col("text"), lit(" v"), col("__copy"),
-            lit("\nshared boilerplate line\nunique tail "),
-            col("doc_id") * k + col("__copy")).as("text"))
-      val t0 = System.nanoTime()
-      val kept = graft.ops.Corpus.dedupLines(corpus, "doc_id", "text", minDocs = 3)
-      val n = kept.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"lineDedup K=$k%-3d docs=${5000L * k}%-8d kept=$n%-8d ${sec}%.2f s")
-      (k, sec)
+    if (want("linededup")) {
+      val lineResults = ks.map { k =>
+        val corpus = docs.crossJoin(
+            spark.range(k).select(col("id").as("__copy")))
+          .select((col("doc_id") * k + col("__copy")).as("doc_id"),
+            concat(col("text"), lit(" v"), col("__copy"),
+              lit("\nshared boilerplate line\nunique tail "),
+              col("doc_id") * k + col("__copy")).as("text"))
+        val t0 = System.nanoTime()
+        val kept = graft.ops.Corpus.dedupLines(corpus, "doc_id", "text", minDocs = 3)
+        val n = kept.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"lineDedup K=$k%-3d docs=${5000L * k}%-8d kept=$n%-8d ${sec}%.2f s")
+        (k, sec)
+      }
+      val (lk1, ls1) = lineResults.head
+      val (lkN, lsN) = lineResults.last
+      println(f"lineDedup scale ${lkN.toDouble / lk1}%.0fx -> time ${lsN / ls1}%.2fx")
     }
-    val (lk1, ls1) = lineResults.head
-    val (lkN, lsN) = lineResults.last
-    println(f"lineDedup scale ${lkN.toDouble / lk1}%.0fx -> time ${lsN / ls1}%.2fx")
 
     // 13-gram decontamination at the same amplifications: benchmark stays
     // fixed-size (an eval suite doesn't grow with the corpus), so time
     // should track corpus size while the benchmark side always broadcasts.
-    val bench = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
-    val dcResults = ks.map { k =>
-      val corpus = docs.crossJoin(
-          spark.range(k).select(col("id").as("__copy")))
-        .select((col("doc_id") * k + col("__copy")).as("doc_id"),
-          concat(col("text"), lit(" v"), col("__copy")).as("text"))
-      val t0 = System.nanoTime()
-      val flagged = graft.ops.Corpus.ngramDecontaminate(
-          corpus, bench, "doc_id", "text", n = 13)
-        .filter(col("contaminated")).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"decontaminate K=$k%-3d docs=${5000L * k}%-8d flagged=$flagged%-8d ${sec}%.2f s")
-      (k, sec)
+    if (want("decontaminate")) {
+      val bench = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      val dcResults = ks.map { k =>
+        val corpus = docs.crossJoin(
+            spark.range(k).select(col("id").as("__copy")))
+          .select((col("doc_id") * k + col("__copy")).as("doc_id"),
+            concat(col("text"), lit(" v"), col("__copy")).as("text"))
+        val t0 = System.nanoTime()
+        val flagged = graft.ops.Corpus.ngramDecontaminate(
+            corpus, bench, "doc_id", "text", n = 13)
+          .filter(col("contaminated")).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"decontaminate K=$k%-3d docs=${5000L * k}%-8d flagged=$flagged%-8d ${sec}%.2f s")
+        (k, sec)
+      }
+      val (dk1, ds1) = dcResults.head
+      val (dkN, dsN) = dcResults.last
+      println(f"decontaminate scale ${dkN.toDouble / dk1}%.0fx -> time ${dsN / ds1}%.2fx")
     }
-    val (dk1, ds1) = dcResults.head
-    val (dkN, dsN) = dcResults.last
-    println(f"decontaminate scale ${dkN.toDouble / dk1}%.0fx -> time ${dsN / ds1}%.2fx")
 
     // Bigram-LM scoring: train on the base corpus, score the amplified one.
     // The count tables are vocabulary-sized (they DON'T grow with copies —
     // the suffix tokens add O(K) types), so scoring should scale linearly.
-    val lmResults = ks.map { k =>
-      val corpus = docs.crossJoin(
-          spark.range(k).select(col("id").as("__copy")))
-        .select((col("doc_id") * k + col("__copy")).as("doc_id"),
-          concat(col("text"), lit(" v"), col("__copy")).as("text"))
-      val t0 = System.nanoTime()
-      val n = graft.ops.Corpus.lmPerplexity(docs, corpus, "doc_id", "text")
-        .count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"lmScore K=$k%-3d docs=${5000L * k}%-8d scored=$n%-8d ${sec}%.2f s")
-      (k, sec)
+    if (want("lm")) {
+      val lmResults = ks.map { k =>
+        val corpus = docs.crossJoin(
+            spark.range(k).select(col("id").as("__copy")))
+          .select((col("doc_id") * k + col("__copy")).as("doc_id"),
+            concat(col("text"), lit(" v"), col("__copy")).as("text"))
+        val t0 = System.nanoTime()
+        val n = graft.ops.Corpus.lmPerplexity(docs, corpus, "doc_id", "text")
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"lmScore K=$k%-3d docs=${5000L * k}%-8d scored=$n%-8d ${sec}%.2f s")
+        (k, sec)
+      }
+      val (mk1, ms1) = lmResults.head
+      val (mkN, msN) = lmResults.last
+      println(f"lmScore scale ${mkN.toDouble / mk1}%.0fx -> time ${msN / ms1}%.2fx")
     }
-    val (mk1, ms1) = lmResults.head
-    val (mkN, msN) = lmResults.last
-    println(f"lmScore scale ${mkN.toDouble / mk1}%.0fx -> time ${msN / ms1}%.2fx")
+
+    // ANN family: amplify the embeddings corpus K× with a small
+    // deterministic per-copy jitter (copies stay near their original, so
+    // the neighbor structure is preserved but signatures/centroids differ),
+    // then check that each approximate index (a) keeps the gate's recall
+    // property — ≥3 of 5 brute-force neighbors per query — against brute
+    // force recomputed on the SAME amplified corpus, and (b) scales
+    // ~linearly in corpus size. hammingTopK is timed as the stage-1 scan;
+    // ivf and rerank carry the recall bound.
+    if (want("ann")) {
+      import graft.ops.Similarity
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select("vec_id", "embedding").cache()
+      val nEmb = emb.count()
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      def recallOk(ann: org.apache.spark.sql.DataFrame,
+                   bf: org.apache.spark.sql.DataFrame): Long =
+        ann.select(col("query_id"), col("vec_id"))
+          .intersect(bf.select(col("query_id"), col("vec_id")))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+          .filter(col("n_hits") >= 3).count()
+      // untimed warm pass: codegen + encoder JIT for all three pipelines,
+      // so the K=1 measurement isn't dominated by first-query compilation
+      Similarity.hammingTopK(emb, queries, 5).count()
+      locally {
+        val (a0, c0) = Similarity.ivfBuild(emb, nlist = 16, iterations = 1)
+        Similarity.ivfTopK(a0, c0, queries, 5, nprobe = 8).count()
+      }
+      Similarity.hammingRerankTopK(emb, queries, 5, prefilter = 40).count()
+      val annResults = ks.map { k =>
+        val corpus = emb.crossJoin(
+            spark.range(k).select(col("id").as("__copy")))
+          .select((col("vec_id") * k + col("__copy")).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x + (pmod(col("__copy") * 31 + i, lit(7)) - lit(3))
+                .cast("float") * lit(0.01f)).as("embedding"))
+          .cache()
+        corpus.count()
+        val bf = Similarity.bruteForceTopK(corpus, queries, 5)
+          .select("query_id", "vec_id").cache()
+        bf.count()
+        val t0 = System.nanoTime()
+        Similarity.hammingTopK(corpus, queries, 5).count()
+        val hamSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val (assigned, centroids) = Similarity.ivfBuild(corpus, nlist = 16,
+          iterations = 1)
+        val ivfOk = recallOk(
+          Similarity.ivfTopK(assigned, centroids, queries, 5, nprobe = 8), bf)
+        val ivfSec = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val rrOk = recallOk(
+          Similarity.hammingRerankTopK(corpus, queries, 5, prefilter = 40), bf)
+        val rrSec = (System.nanoTime() - t2) / 1e9
+        println(f"ann K=$k%-3d vecs=${nEmb * k}%-8d hamming ${hamSec}%.2f s   " +
+          f"ivf(recall_ok=$ivfOk/3) ${ivfSec}%.2f s   " +
+          f"rerank(recall_ok=$rrOk/3) ${rrSec}%.2f s")
+        require(ivfOk == 3 && rrOk == 3,
+          s"ANN recall property failed at K=$k: ivf=$ivfOk rerank=$rrOk")
+        corpus.unpersist(); bf.unpersist()
+        (k, hamSec, ivfSec, rrSec)
+      }
+      val f = annResults.head
+      val l = annResults.last
+      println(f"ann scale ${l._1.toDouble / f._1}%.0fx -> hamming ${l._2 / f._2}%.2fx " +
+        f"ivf ${l._3 / f._3}%.2fx rerank ${l._4 / f._4}%.2fx")
+    }
     spark.stop()
   }
 }
