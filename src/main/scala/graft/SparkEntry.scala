@@ -1445,7 +1445,31 @@ object SparkEntry {
     "q_read_storage" -> ((s, dir) =>
       FileOps.readStorage(s, dir, pattern = Some("*.parquet"))
         .selectExpr(col("file.path").as("path"), col("file.size").as("size"))
-        .toDF)
+        .toDF),
+
+    "q_to_storage" -> ((s, dir) => {
+      // end-to-end export sweep: stage one real file per document, list the
+      // staging dir (readStorage), copy every blob through
+      // FileOps.toStorage (executor-side stream-to-stream export), then
+      // re-list the DESTINATION — the oracle recomputes each exported
+      // file's (name, byte size) from the documents table, so a hash match
+      // proves the export moved every file with byte-exact sizes.
+      val src = Files.createTempDirectory("graft_tostorage_src").toString
+      val dest = Files.createTempDirectory("graft_tostorage_dst").toString
+      // fixture staging only (40 small files) — the operator under test is
+      // the distributed list→export→re-list cycle below
+      T(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text")).collect().foreach { r =>
+          Files.write(
+            java.nio.file.Paths.get(src, s"doc${r.getLong(0)}.txt"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      val listing = FileOps.readStorage(s, src, pattern = Some("*.txt"))
+      FileOps.toStorage(listing.toDF, dest, placement = "filename")
+      FileOps.readStorage(s, dest, pattern = Some("*.txt"))
+        .selectExpr(col("file.path").as("path"), col("file.size").as("size"))
+        .toDF
+    })
   )
 
   // ======================================================================
@@ -1769,6 +1793,11 @@ object SparkEntry {
         """SELECT regexp_extract(filename, '([^/]*)$', 1) AS path,
           | CAST(size AS BIGINT) AS size
           |FROM read_blob('{SF_DIR}/*.parquet')""".stripMargin,
+
+      "q_to_storage" ->
+        """SELECT 'doc' || doc_id || '.txt' AS path,
+          | CAST(strlen(text) AS BIGINT) AS size
+          |FROM documents WHERE doc_id < 40""".stripMargin,
 
       "q_asof_join" ->
         // CAST(ts AS TIMESTAMP) truncates any ns-precision parquet timestamp
