@@ -163,6 +163,55 @@ object SparkEntry {
         .select("split", "n_nationkey", "n_name", "regionkey")
     }),
 
+    "q_streaming_late" -> ((s, dir) => {
+      // Watermark late-data accounting, made deterministic: three staged
+      // files become three ordered micro-batches (mtime order,
+      // maxFilesPerTrigger=1). Spark filters late records with the
+      // watermark of the PREVIOUS micro-batch (SPARK-40925 two-watermark
+      // model: filter-for-data lags eviction by one batch), so batch 3
+      // (event_id % 3 == 0, the out-of-order arrivals) is filtered against
+      // the watermark in effect during batch 2 — max(batch-1 ts) - 1h —
+      // and a late row is DROPPED iff its whole 10-minute window closed at
+      // or below that watermark. Append mode then emits exactly the
+      // windows whose end <= the final watermark (max kept ts - 1h).
+      // The oracle reproduces both rules from the static frame
+      // (timestamps truncated to whole seconds on both sides; neither
+      // watermark lands on a window boundary, so the comparison is exact).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = T(s, dir, "events")
+        .withColumn("ts", date_trunc("second", timestamp_micros(expr("ts div 1000"))))
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val stage = Files.createTempDirectory("graft_late")
+      def stageFile(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft_late_w").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = stage.resolve(name)
+        Files.copy(part.toPath, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+      }
+      // fixed epoch millis — only the relative order matters to the source
+      stageFile(ev.filter(pmod(col("event_id"), lit(3)) === 1), "01.parquet",
+        1700000000000L)
+      stageFile(ev.filter(pmod(col("event_id"), lit(3)) === 2), "02.parquet",
+        1700000100000L)
+      stageFile(ev.filter(pmod(col("event_id"), lit(3)) === 0), "03.parquet",
+        1700000200000L)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"))
+      val ckpt = Files.createTempDirectory("graft_late_ckpt").toString
+      val qn = "late_" + math.abs(scala.util.Random.nextInt())
+      graft.streaming.EventStream.runAvailableNow(stream, qn, ckpt)
+    }),
+
     "q_save_roundtrip" -> ((s, dir) => {
       val root = Files.createTempDirectory("graft_cat").toString
       val cat = new Catalog(root, s)
@@ -1972,6 +2021,24 @@ object SparkEntry {
           | event_type, count(*) AS n,
           | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q_streaming_late" ->
+        """WITH ev AS (SELECT event_id, date_trunc('second', ts) AS ts,
+          |   event_type FROM events),
+          | b3 AS (SELECT * FROM ev WHERE event_id % 3 = 0),
+          | wd AS (SELECT (SELECT max(ts) FROM ev WHERE event_id % 3 = 1)
+          |   - INTERVAL 1 HOUR AS w),
+          | kept AS (SELECT * FROM ev WHERE event_id % 3 <> 0
+          |   UNION ALL
+          |   SELECT b3.* FROM b3, wd
+          |   WHERE time_bucket(INTERVAL '10 minutes', b3.ts)
+          |     + INTERVAL '10 minutes' > wd.w),
+          | wf AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM kept),
+          | agg AS (SELECT time_bucket(INTERVAL '10 minutes', ts)
+          |     AS window_start, event_type, count(*) AS n
+          |   FROM kept GROUP BY 1, 2)
+          |SELECT agg.window_start, agg.event_type, agg.n FROM agg, wf
+          |WHERE agg.window_start + INTERVAL '10 minutes' <= wf.w""".stripMargin,
 
       "q_train_test_split" ->
         """SELECT 'train' AS part, event_id FROM events WHERE event_id % 10 IN (0, 1)
