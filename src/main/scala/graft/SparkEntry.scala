@@ -519,6 +519,17 @@ object SparkEntry {
           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
           round(expr("median(l_extendedprice)"), 6).as("med_price"))),
 
+    "q_profile" -> ((s, dir) =>
+      // one-pass column profiler; the gate pins its exact metrics
+      // (count/nulls/min/max/mean — value stats for numerics, length stats
+      // for strings, null for other types). approx_distinct and the
+      // t-digest percentiles stay out: approximation is engine-specific,
+      // and they are covered by q_approx_distinct / q_percentile
+      graft.ops.Profile.summarize(T(s, dir, "orders"))
+        .select(col("column"), col("dtype"), col("n"), col("nulls"),
+          round(col("min"), 4).as("min_v"), round(col("max"), 4).as("max_v"),
+          round(col("mean"), 4).as("mean_v"))),
+
     "q_math_funcs" -> ((s, dir) =>
       T(s, dir, "orders").select(
         col("o_orderkey"),
@@ -1101,6 +1112,19 @@ object SparkEntry {
       Corpus.ngramDecontaminate(docs,
         docs.filter(pmod(col("doc_id"), lit(7)) === 0), "doc_id", "text",
         n = 13)
+    }),
+
+    "q_dup_fraction" -> ((s, dir) => {
+      // Lee-et-al duplication fraction: every 5th doc is planted back into
+      // the corpus with a re-id and a short tail edit, so planted pairs
+      // score near 1.0 while the rest carry only natural overlap — all
+      // counts exactly reproduced by the oracle
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" extra tail")))
+      Corpus.duplicatedGramFraction(docs.unionByName(copies), "doc_id",
+        "text", n = 13)
     }),
 
     "q_lm_perplexity" -> ((s, dir) => {
@@ -1804,6 +1828,47 @@ object SparkEntry {
           | round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
+      "q_profile" ->
+        """SELECT 'o_orderkey' AS "column", 'bigint' AS dtype, count(*) AS n,
+          |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nulls,
+          |  round(CAST(min(o_orderkey) AS DOUBLE), 4) AS min_v,
+          |  round(CAST(max(o_orderkey) AS DOUBLE), 4) AS max_v,
+          |  round(avg(CAST(o_orderkey AS DOUBLE)), 4) AS mean_v
+          |FROM orders
+          |UNION ALL
+          |SELECT 'o_custkey', 'bigint', count(*),
+          |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+          |  round(CAST(min(o_custkey) AS DOUBLE), 4),
+          |  round(CAST(max(o_custkey) AS DOUBLE), 4),
+          |  round(avg(CAST(o_custkey AS DOUBLE)), 4)
+          |FROM orders
+          |UNION ALL
+          |SELECT 'o_orderstatus', 'string', count(*),
+          |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+          |  round(CAST(min(length(o_orderstatus)) AS DOUBLE), 4),
+          |  round(CAST(max(length(o_orderstatus)) AS DOUBLE), 4),
+          |  round(avg(CAST(length(o_orderstatus) AS DOUBLE)), 4)
+          |FROM orders
+          |UNION ALL
+          |SELECT 'o_totalprice', 'double', count(*),
+          |  sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+          |  round(CAST(min(o_totalprice) AS DOUBLE), 4),
+          |  round(CAST(max(o_totalprice) AS DOUBLE), 4),
+          |  round(avg(CAST(o_totalprice AS DOUBLE)), 4)
+          |FROM orders
+          |UNION ALL
+          |SELECT 'o_orderdate', 'timestamp_ntz', count(*),
+          |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+          |  NULL, NULL, NULL
+          |FROM orders
+          |UNION ALL
+          |SELECT 'o_orderpriority', 'string', count(*),
+          |  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+          |  round(CAST(min(length(o_orderpriority)) AS DOUBLE), 4),
+          |  round(CAST(max(length(o_orderpriority)) AS DOUBLE), 4),
+          |  round(avg(CAST(length(o_orderpriority) AS DOUBLE)), 4)
+          |FROM orders""".stripMargin,
+
       "q_math_funcs" ->
         """SELECT o_orderkey,
           | round(sqrt(o_totalprice), 6) AS sq,
@@ -2284,6 +2349,28 @@ object SparkEntry {
            |  coalesce(h.n_contaminated, 0) AS n_contaminated,
            |  coalesce(h.n_contaminated, 0) > 0 AS contaminated
            |FROM t LEFT JOIN h ON t.doc_id = h.doc_id""".stripMargin,
+
+      "q_dup_fraction" ->
+        raw"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000, text || ' extra tail'
+           |  FROM documents WHERE doc_id % 5 = 0),
+           | d AS (SELECT doc_id,
+           |   list_filter(string_split_regex(trim(regexp_replace(lower(text),
+           |     '[^a-z0-9\s]', ' ', 'g')), '\s+'), t -> t <> '') AS toks
+           |  FROM corpus),
+           | g0 AS (SELECT doc_id, unnest(list_transform(
+           |     generate_series(1, greatest(len(toks) - 12, 0)),
+           |     i -> array_to_string(toks[i:i+12], ' '))) AS g FROM d),
+           | g AS (SELECT DISTINCT doc_id, g FROM g0),
+           | dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2)
+           |SELECT g.doc_id, count(*) AS n_grams,
+           |  CAST(sum(CASE WHEN dup.g IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_dup_grams,
+           |  round(sum(CASE WHEN dup.g IS NOT NULL THEN 1 ELSE 0 END)
+           |    / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+           |FROM g LEFT JOIN dup USING (g) GROUP BY g.doc_id""".stripMargin,
 
       "q_lm_perplexity" ->
         raw"""WITH d AS (SELECT doc_id,

@@ -147,6 +147,46 @@ object Corpus {
   }
 
   /**
+   * Intra-corpus duplication measurement (Lee et al., "Deduplicating
+   * Training Data Makes Language Models Better"): for every document, the
+   * fraction of its distinct word `n`-grams that also occur in at least
+   * `minDocs` documents of the corpus (itself included). Docs shorter than
+   * `n` tokens contribute no grams and drop out, like
+   * [[ngramDecontaminate]]. The standard use is ranking a crawl snapshot
+   * by how much of each page is boilerplate shared across the crawl before
+   * choosing a dedup threshold.
+   *
+   * Scale shape: grams derive map-side and immediately collapse to 8-byte
+   * `xxhash64` keys, so document text never shuffles. The wide stages are
+   * the (id, gram-hash) distinct, the gram-frequency count (partial-agg'd
+   * map-side), and one join of gram hashes against the duplicated-key set
+   * — AQE broadcasts that set when boilerplate is rare, shuffle-joins
+   * when it isn't. A single per-doc aggregation then produces totals and
+   * dup counts together (no second join back to the corpus).
+   */
+  def duplicatedGramFraction(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int = 13, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "minDocs must be at least 2")
+    // tokens materialize before the n-gram HOF (same rationale as
+    // ngramDecontaminate: lambdas re-evaluate captured trees per element)
+    val grams = docs
+      .withColumn("__toks", lmTokens(textCol))
+      .select(col(idCol), explode(wordNgrams(col("__toks"), n)).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__gh"))
+      .distinct()
+    val dupKeys = grams.groupBy("__gh")
+      .agg(count(lit(1)).as("__docs")) // grams is distinct per (id, hash)
+      .filter(col("__docs") >= minDocs)
+      .select(col("__gh"), lit(1L).as("__dup"))
+    grams.join(dupKeys, Seq("__gh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__dup"), lit(0L))).as("n_dup_grams"))
+      .withColumn("dup_fraction",
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+  }
+
+  /**
    * Bigram language-model perplexity — the CCNet-style quality signal a
    * pretraining pipeline uses to rank crawl documents against a clean
    * reference corpus. Trains interpolated bigram/unigram counts on `train`

@@ -323,6 +323,24 @@ class OpsSpec extends SparkSpec {
       "alpha one\nSHARED FOOTER\nbeta one")
   }
 
+  test("duplicatedGramFraction scores shared grams, drops short docs") {
+    import graft.ops.Corpus
+    val docs = Seq(
+      (1L, "the cat sat on the mat today"),   // grams shared with doc 2
+      (2L, "the cat sat on the mat tonight"), // differs in last token
+      (3L, "completely different words entirely here now folks"),
+      (4L, "too short")                       // < n tokens -> no grams
+    ).toDF("doc_id", "text")
+    val out = Corpus.duplicatedGramFraction(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 7 tokens -> 5 trigrams; docs 1 and 2 share the first 4 (the 5th
+    // differs in its final token); doc 3 shares none; doc 4 vanishes
+    assert(out === Map(1L -> ((5L, 4L)), 2L -> ((5L, 4L)), 3L -> ((5L, 0L))))
+    val frac = Corpus.duplicatedGramFraction(docs, "doc_id", "text", n = 3)
+      .filter(col("doc_id") === 1).head().getDouble(3)
+    assert(frac === 0.8)
+  }
+
   test("mixDomains: exact at 0/1, deterministic and monotone in between") {
     import graft.ops.Corpus
     val df = spark.range(2000).select(col("id"),
