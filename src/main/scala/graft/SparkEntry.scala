@@ -163,6 +163,48 @@ object SparkEntry {
         .select("split", "n_nationkey", "n_name", "regionkey")
     }),
 
+    "q_stream_join" -> ((s, dir) => {
+      // Stream-stream attribution join: a views stream joins a purchases
+      // stream on user with the purchase inside [view, view + 6h] — the
+      // canonical watermarked interval join whose state the time-range
+      // condition bounds (each side buffers at most watermark + range).
+      // Both sides arrive in one AvailableNow batch, so no input is late
+      // and the emitted matches equal the static interval join exactly,
+      // which is what the oracle computes.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = T(s, dir, "events").filter(col("event_id") < 20000)
+        .withColumn("ts", date_trunc("second", timestamp_micros(expr("ts div 1000"))))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      def stageDir(df: DataFrame): String = {
+        val d = Files.createTempDirectory("graft_sj").toString
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        d
+      }
+      val vDir = stageDir(ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("vts")))
+      val pDir = stageDir(ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("pts")))
+      def src(d: String) = {
+        val schema = s.read.parquet(d).schema
+        s.readStream.schema(schema).parquet(d)
+      }
+      val views = src(vDir).withWatermark("vts", "1 hour")
+      val purch = src(pDir).withWatermark("pts", "1 hour")
+      val joined = views.join(purch,
+          col("user_id") === col("p_user") &&
+          col("pts") >= col("vts") &&
+          col("pts") <= col("vts") + expr("INTERVAL 6 HOURS"))
+        .select(col("user_id"), col("view_id"), col("purchase_id"))
+      val ckpt = Files.createTempDirectory("graft_sj_ckpt").toString
+      val qn = "sj_" + math.abs(scala.util.Random.nextInt())
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try graft.streaming.EventStream.runAvailableNow(joined, qn, ckpt)
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     "q_streaming_late" -> ((s, dir) => {
       // Watermark late-data accounting, made deterministic: three staged
       // files become three ordered micro-batches (mtime order,
@@ -2097,6 +2139,18 @@ object SparkEntry {
           | event_type, count(*) AS n,
           | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q_stream_join" ->
+        """WITH ev AS (SELECT event_id, date_trunc('second', ts) AS ts,
+          |   user_id, event_type FROM events WHERE event_id < 20000),
+          | v AS (SELECT event_id AS view_id, user_id, ts AS vts
+          |   FROM ev WHERE event_type = 'view'),
+          | p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+          |   FROM ev WHERE event_type = 'purchase')
+          |SELECT v.user_id, v.view_id, p.purchase_id
+          |FROM v JOIN p ON v.user_id = p.user_id
+          | AND p.pts >= v.vts
+          | AND p.pts <= v.vts + INTERVAL 6 HOUR""".stripMargin,
 
       "q_streaming_late" ->
         """WITH ev AS (SELECT event_id, date_trunc('second', ts) AS ts,

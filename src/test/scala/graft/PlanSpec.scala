@@ -151,6 +151,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_dup_fraction: gram hashes shuffle, one per-doc aggregation") {
+    val p = plan("q_dup_fraction")
+    // grams collapse to xxhash64 keys map-side; the dup-key join feeds a
+    // single per-doc aggregate (totals + dup counts together), so there is
+    // no second join back to the corpus and never a cartesian
+    assert(p.contains("xxhash64"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_chunk: zero-exchange map-side pmod filter, columns pruned") {
     val p = plan("q_chunk")
     // chunk is a reproducible pure filter over the deterministic key — at
