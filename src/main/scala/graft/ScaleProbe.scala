@@ -103,6 +103,28 @@ object ScaleProbe {
       println(f"decontaminate scale ${dkN.toDouble / dk1}%.0fx -> time ${dsN / ds1}%.2fx")
     }
 
+    // duplication fraction at the same amplifications: copies share all
+    // grams except the per-copy suffix tail, so the duplicated-key set
+    // grows with the corpus — the worst (most shuffle-heavy) regime.
+    if (want("dupfraction")) {
+      val dfResults = ks.map { k =>
+        val corpus = docs.crossJoin(
+            spark.range(k).select(col("id").as("__copy")))
+          .select((col("doc_id") * k + col("__copy")).as("doc_id"),
+            concat(col("text"), lit(" v"), col("__copy")).as("text"))
+        val t0 = System.nanoTime()
+        val scored = graft.ops.Corpus.duplicatedGramFraction(
+            corpus, "doc_id", "text", n = 13)
+          .filter(col("dup_fraction") >= 0.5).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"dupFraction K=$k%-3d docs=${5000L * k}%-8d dup>=.5=$scored%-8d ${sec}%.2f s")
+        (k, sec)
+      }
+      val (fk1, fs1) = dfResults.head
+      val (fkN, fsN) = dfResults.last
+      println(f"dupFraction scale ${fkN.toDouble / fk1}%.0fx -> time ${fsN / fs1}%.2fx")
+    }
+
     // Bigram-LM scoring: train on the base corpus, score the amplified one.
     // The count tables are vocabulary-sized (they DON'T grow with copies —
     // the suffix tokens add O(K) types), so scoring should scale linearly.

@@ -96,5 +96,17 @@ object chainops {
         .filter(col("contaminated")).select(col(idCol))
       Chain(c.toDF.join(bad, Seq(idCol), "left_anti"))
     }
+
+    /** Drop rows whose duplicated-gram fraction is at or above `maxFrac`
+      * (see [[Corpus.duplicatedGramFraction]]). Rows too short to have an
+      * n-gram are unscored and KEPT — same keep-too-short rule as
+      * [[decontaminate]] and [[filterByPerplexity]]. */
+    def filterByDupFraction(textCol: String, idCol: String, maxFrac: Double,
+                            n: Int = 13, minDocs: Int = 2): Chain = {
+      val bad = Corpus.duplicatedGramFraction(c.toDF, idCol, textCol, n,
+          minDocs)
+        .filter(col("dup_fraction") >= maxFrac).select(col(idCol))
+      Chain(c.toDF.join(bad, Seq(idCol), "left_anti"))
+    }
   }
 }

@@ -623,6 +623,17 @@ class OpsSpec extends SparkSpec {
     assert(withShort.count() === 6)
     assert(withShort.filter(col("doc_id") === 6L && col("ppl").isNull)
       .count() === 1)
+    // dup-fraction filter: planted near-copies drop, unique docs and
+    // too-short (unscored) rows stay
+    val planted = docs.union(
+      docs.filter(col("doc_id") === 1)
+        .select((col("doc_id") + 100).as("doc_id"), col("text")))
+      .union(Seq((6L, "solo")).toDF("doc_id", "text"))
+    val deduped = Chain(planted)
+      .filterByDupFraction("text", "doc_id", maxFrac = 0.99, n = 3)
+      .toDF.select("doc_id").as[Long].collect().toSet
+    assert(!deduped.contains(1L) && !deduped.contains(101L))
+    assert(deduped.contains(6L))
   }
 
   test("signSignature packs sign bits into 64-dim limbs") {
