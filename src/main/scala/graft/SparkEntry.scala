@@ -86,6 +86,24 @@ object SparkEntry {
         .select("p_partkey", "p_brand", "p_retailprice")
         .toDF),
 
+    "q_schema_merge" -> ((s, dir) => {
+      // Schema-evolution read: two snapshot generations of the same
+      // dataset — the older written before a column existed — come back as
+      // one frame under mergeSchema, with nulls where the old files have
+      // no column (the reference's dataset versions evolve schemas the
+      // same way; Spark's parquet footer merge is the engine-native path)
+      val root = Files.createTempDirectory("graft_merge").toString
+      val nation = T(s, dir, "nation")
+      nation.filter(col("n_nationkey") < 13)
+        .select("n_nationkey", "n_name")
+        .write.mode("overwrite").parquet(s"$root/gen=1")
+      nation.filter(col("n_nationkey") >= 13)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .write.mode("overwrite").parquet(s"$root/gen=2")
+      s.read.option("mergeSchema", "true").parquet(root)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    }),
+
     "q_read_csv" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft_csv").toString
       graft.io.Writers.toCsv(T(s, dir, "nation").coalesce(1), tmp,
@@ -199,8 +217,12 @@ object SparkEntry {
         .select(col("user_id"), col("view_id"), col("purchase_id"))
       val ckpt = Files.createTempDirectory("graft_sj_ckpt").toString
       val qn = "sj_" + math.abs(scala.util.Random.nextInt())
+      // stream-stream joins keep FOUR state stores per partition per side;
+      // at gate-sized state the per-partition commit fsyncs dominate, so
+      // run the fresh checkpoint with 4 partitions (cluster sizing follows
+      // state volume, not core count)
       val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       try graft.streaming.EventStream.runAvailableNow(joined, qn, ckpt)
       finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
@@ -1681,6 +1703,11 @@ object SparkEntry {
 
       "q_read_csv" -> "SELECT * FROM nation",
       "q_read_json" -> "SELECT * FROM region",
+
+      "q_schema_merge" ->
+        """SELECT n_nationkey, n_name,
+          | CASE WHEN n_nationkey >= 13 THEN n_regionkey END AS n_regionkey
+          |FROM nation""".stripMargin,
 
       "q_read_hf" ->
         """SELECT CASE WHEN n_nationkey % 5 = 0 THEN 'validation'
