@@ -38,6 +38,47 @@ class StreamingSpec extends SparkSpec {
     assert(got.collect().toSet === want.collect().toSet)
   }
 
+  test("late rows filter against the previous batch's watermark (two-watermark model)") {
+    // Three mtime-ordered single-file batches; watermark delay 1h, 10-min
+    // windows. Batch 3's data filter uses the watermark in effect during
+    // batch 2 = max(batch-1 ts) - 1h = 09:59:05, so its 10:05 row (window
+    // end 10:10 > 09:59:05) is KEPT and merges into the 10:00 window,
+    // while its 08:00 row (window end 08:10 <= 09:59:05) is DROPPED.
+    // Final watermark = max kept ts (11:30:05) - 1h = 10:30:05 emits only
+    // windows ending at or before it: (10:00, n=2) and (10:10, n=1); the
+    // 10:59/11:30 rows stay withheld in state.
+    import spark.implicits._
+    val day = "2024-03-01 "
+    def frame(ts: String*) = ts.map(t => day + t).toDF("raw")
+      .select(to_timestamp(col("raw")).as("ts"))
+    val stage = Files.createTempDirectory("late_stage")
+    def stageBatch(df: org.apache.spark.sql.DataFrame, name: String,
+                   mtimeMs: Long): Unit = {
+      val tmp = Files.createTempDirectory("late_w").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = stage.resolve(name)
+      Files.copy(part.toPath, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    stageBatch(frame("10:00:05", "10:11:05", "10:59:05"), "01.parquet", 1000L)
+    stageBatch(frame("11:30:05"), "02.parquet", 2000L)
+    stageBatch(frame("10:05:00", "08:00:00"), "03.parquet", 3000L)
+    val schema = spark.read.parquet(stage.toString).schema
+    val ckpt = Files.createTempDirectory("late_ckpt").toString
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string").as("ws"), col("n"))
+    val got = EventStream.runAvailableNow(stream, "late_test", ckpt)
+      .as[(String, Long)].collect().toSet
+    assert(got === Set((day + "10:00:00", 2L), (day + "10:10:00", 1L)))
+  }
+
   test("stateful sessionization assigns gap-based session ids with custom state") {
     import spark.implicits._
     val dir = stageDir(s"$sf/events.parquet")
