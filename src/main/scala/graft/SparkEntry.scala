@@ -287,6 +287,19 @@ object SparkEntry {
       finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    "q_datasets" -> ((s, dir) => {
+      // catalog meta-chain under the oracle: three saves (one a version
+      // bump) list back with the exact recorded row counts; created_at is
+      // wall-clock so it stays out of the gate projection
+      val root = Files.createTempDirectory("graft_meta").toString
+      val cat = new Catalog(root, s)
+      cat.save(Chain(T(s, dir, "nation")), "meta.nations")
+      cat.save(Chain(T(s, dir, "region")), "meta.regions")
+      cat.save(Chain(T(s, dir, "nation").filter(col("n_regionkey") === 0)),
+        "meta.nations")
+      cat.datasetsDF().select("name", "version", "rows")
+    }),
+
     "q_save_roundtrip" -> ((s, dir) => {
       val root = Files.createTempDirectory("graft_cat").toString
       val cat = new Catalog(root, s)
@@ -1703,6 +1716,16 @@ object SparkEntry {
 
       "q_read_csv" -> "SELECT * FROM nation",
       "q_read_json" -> "SELECT * FROM region",
+
+      "q_datasets" ->
+        """SELECT 'meta.nations' AS name, '1.0.0' AS version,
+          | (SELECT count(*) FROM nation) AS "rows"
+          |UNION ALL
+          |SELECT 'meta.nations', '1.1.0',
+          | (SELECT count(*) FROM nation WHERE n_regionkey = 0)
+          |UNION ALL
+          |SELECT 'meta.regions', '1.0.0',
+          | (SELECT count(*) FROM region)""".stripMargin,
 
       "q_schema_merge" ->
         """SELECT n_nationkey, n_name,
