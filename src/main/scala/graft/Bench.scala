@@ -49,15 +49,18 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "3").toInt.max(1)
     val qlist = SparkEntry.queries.toVector
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // None = the query threw; a crash's wall time must never enter the
+    // min-of-passes, or a broken query reads as a very fast one
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // untimed isolation: queries that persist() intermediates (LSH
       // frontiers, CC edge lists) would otherwise leave cached blocks
       // behind, and later queries would pay their eviction/GC bill
       try spark.catalog.clearCache() catch { case _: Throwable => () }
-      dt
+      if (ok) Some(dt) else None
     }
     // This guest is a microVM; the host occasionally steals the CPU for
     // seconds-to-minutes at a time (observed: the same query 0.6s..131s
@@ -68,10 +71,15 @@ object Bench {
     // and every query keeps (passes-1) clean measurements.
     val best = collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to passes; (name, fn) <- qlist) {
-      val dt = timeOnce(fn)
-      best(name) = best.get(name).fold(dt)(math.min(_, dt))
+      timeOnce(fn).foreach { dt =>
+        best(name) = best.get(name).fold(dt)(math.min(_, dt))
+      }
     }
-    val results = qlist.map { case (name, _) => name -> best(name) }.toMap
+    // a query that failed EVERY pass reports -1 — visibly wrong in the
+    // JSON rather than silently fast or silently absent
+    val results = qlist.map { case (name, _) =>
+      name -> best.getOrElse(name, -1.0)
+    }.toMap
     // The driver captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that tail. 100+ full-precision entries overflow the
     // window and the line never parses (r1-r3 all came back parsed:null).

@@ -9,7 +9,11 @@ object PlanDump {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // first arg is the data dir; a query name there (invocation without a
+    // dir) would silently dump nothing, so validate it is a directory
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    require(new java.io.File(dir).isDirectory,
+      s"first arg must be the sf data directory, got: $dir")
     args.drop(1).foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       println(s"========= $name")

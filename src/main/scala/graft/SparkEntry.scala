@@ -601,8 +601,9 @@ object SparkEntry {
       // (count/nulls/min/max/mean — value stats for numerics, length stats
       // for strings, null for other types). approx_distinct and the
       // t-digest percentiles stay out: approximation is engine-specific,
-      // and they are covered by q_approx_distinct / q_percentile
-      graft.ops.Profile.summarize(T(s, dir, "orders"))
+      // and they are covered by q_approx_distinct / q_percentile —
+      // sketches = false also keeps their cost out of the aggregation
+      graft.ops.Profile.summarize(T(s, dir, "orders"), sketches = false)
         .select(col("column"), col("dtype"), col("n"), col("nulls"),
           round(col("min"), 4).as("min_v"), round(col("max"), 4).as("max_v"),
           round(col("mean"), 4).as("mean_v"))),

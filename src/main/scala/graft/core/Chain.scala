@@ -599,8 +599,11 @@ object Chain {
         .map(c => col(s"`$c`")): _*)
       else renamed
     }
+    // limit is part of the chain identity: two readHf chains differing only
+    // in limit must not share a content hash, or checkpoint reuse would
+    // hand back the truncated materialization
     new Chain(frames.reduce(_.unionByName(_)),
-      OpTree.empty.append("read_hf", path, split))
+      OpTree.empty.append("read_hf", path, split, limit.toString))
   }
 
   /** read_values (reference: src/datachain/lib/dc/values.py:18). */

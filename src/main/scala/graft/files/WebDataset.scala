@@ -132,11 +132,17 @@ object WebDataset {
    * call (sorted input → deterministic shard contents).
    *
    * Task retry/speculation safety: each attempt writes to attempt-scoped
-   * `.tmp` names (which a `*.tar` glob never matches) and renames them to
-   * the final shard names only after its iterator drains — a failed or
-   * losing attempt leaves behind only `.tmp` litter, never a stale
-   * higher-seq `shard-*.tar` that a later read would pick up as a
-   * duplicate/phantom shard.
+   * `.tmp` names (which a `*.tar` glob never matches) and promotes them to
+   * the final shard names only after its iterator drains, first-commit-wins
+   * per shard — an attempt finding the final name already present treats it
+   * as committed by a sibling and discards its own copy, and final files
+   * are never deleted (a zombie that deleted-then-died would lose a
+   * committed shard). A failed or losing attempt therefore leaves behind
+   * only `.tmp` litter. Caveat shared with every committer-less side-file
+   * writer: if the upstream partition contents are NONdeterministic across
+   * attempts, two attempts may produce different shard counts and a stale
+   * higher-seq shard from the larger attempt can survive — sort/repartition
+   * deterministically before the call (as documented above).
    *
    * Expects columns (`keyCol`: string, `extCol`: string, `dataCol`: binary);
    * the member name is `key.ext` (or bare `key` when ext is empty), which
@@ -197,12 +203,18 @@ object WebDataset {
           }
           tar.close()
           tar = null
-          // commit: promote this attempt's tmp files to the final names
-          // (delete-then-rename — Hadoop rename does not overwrite)
+          // commit: promote this attempt's tmp files to the final names.
+          // First-commit-wins — an existing final shard means a sibling
+          // attempt of this partition already committed that seq, so this
+          // attempt just drops its own tmp. Never delete a final file: a
+          // zombie attempt that deleted-then-died would lose a committed
+          // shard.
           pending.foreach { case (tmp, fin) =>
-            if (fs.exists(fin)) fs.delete(fin, false)
-            if (!fs.rename(tmp, fin))
-              throw new java.io.IOException(s"rename $tmp -> $fin failed")
+            if (fs.exists(fin) || !fs.rename(tmp, fin)) {
+              if (!fs.exists(fin))
+                throw new java.io.IOException(s"rename $tmp -> $fin failed")
+              try fs.delete(tmp, false) catch { case _: Throwable => () }
+            }
           }
           committed = true
         } finally {

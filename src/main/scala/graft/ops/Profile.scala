@@ -14,26 +14,31 @@ import org.apache.spark.sql.types.{NumericType, StringType}
 object Profile {
 
   /** One row per column: nulls, approx distinct, min/max/mean/p50/p95
-    * (numeric), min/max length (string). */
-  def summarize(df: DataFrame): DataFrame = {
+    * (numeric), min/max length (string). `sketches = false` drops the
+    * HLL-distinct and t-digest percentile columns from the aggregation
+    * (they become null) — the sketches dominate the profiling cost, so
+    * callers wanting only the exact metrics should not pay for them. */
+  def summarize(df: DataFrame, sketches: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val total = lit(null).cast("double")
+    val nullL = lit(null).cast("long")
+    val nullD = lit(null).cast("double")
     val aggs = df.schema.fields.flatMap { f =>
       val c = col(f.name)
       val base = Seq(
         count(lit(1)).as(s"__n_${f.name}"),
         sum(when(c.isNull, 1).otherwise(0)).cast("long").as(s"__nulls_${f.name}"),
-        approx_count_distinct(c).as(s"__dist_${f.name}"))
+        (if (sketches) approx_count_distinct(c) else nullL)
+          .as(s"__dist_${f.name}"))
       val typed = f.dataType match {
         case _: NumericType => Seq(
           min(c).cast("double").as(s"__min_${f.name}"),
           max(c).cast("double").as(s"__max_${f.name}"),
           avg(c.cast("double")).as(s"__mean_${f.name}"),
-          percentile_approx(c.cast("double"), lit(0.5), lit(1000))
-            .as(s"__p50_${f.name}"),
-          percentile_approx(c.cast("double"), lit(0.95), lit(1000))
-            .as(s"__p95_${f.name}"))
+          (if (sketches) percentile_approx(c.cast("double"), lit(0.5), lit(1000))
+           else nullD).as(s"__p50_${f.name}"),
+          (if (sketches) percentile_approx(c.cast("double"), lit(0.95), lit(1000))
+           else nullD).as(s"__p95_${f.name}"))
         case StringType => Seq(
           min(length(c)).cast("double").as(s"__min_${f.name}"),
           max(length(c)).cast("double").as(s"__max_${f.name}"),
@@ -54,7 +59,8 @@ object Profile {
       (f.name, f.dataType.simpleString,
         wide.getAs[Long](s"__n_${f.name}"),
         wide.getAs[Long](s"__nulls_${f.name}"),
-        wide.getAs[Long](s"__dist_${f.name}"),
+        Option(wide.getAs[java.lang.Long](s"__dist_${f.name}"))
+          .map(Long2long).getOrElse(-1L),
         Option(wide.getAs[java.lang.Double](s"__min_${f.name}")).map(_.toDouble),
         Option(wide.getAs[java.lang.Double](s"__max_${f.name}")).map(_.toDouble),
         Option(wide.getAs[java.lang.Double](s"__mean_${f.name}")).map(_.toDouble),
