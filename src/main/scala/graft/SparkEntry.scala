@@ -300,6 +300,27 @@ object SparkEntry {
       cat.datasetsDF().select("name", "version", "rows")
     }),
 
+    "q_job_metrics" -> ((s, dir) => {
+      // job metrics under the oracle: executor tasks bump accumulators
+      // (one per row, one per name char), the job sidecar persists, and
+      // the read-back values must equal exact count/sum arithmetic
+      val root = Files.createTempDirectory("graft_jobs").toString
+      val cat = new Catalog(root, s)
+      val jm = graft.catalog.JobMetrics(cat, "gate_job", s)
+      val rows = jm.counter("rows_seen")
+      val chars = jm.counter("name_chars")
+      T(s, dir, "nation").foreach { r =>
+        rows.add(1)
+        chars.add(r.getAs[String]("n_name").length.toLong)
+      }
+      jm.setParam("source", "nation")
+      jm.persist()
+      s.read.json(s"$root/jobs")
+        .select(col("job"), col("counters.rows_seen").cast("long")
+          .as("rows_seen"), col("counters.name_chars").cast("long")
+          .as("name_chars"))
+    }),
+
     "q_save_roundtrip" -> ((s, dir) => {
       val root = Files.createTempDirectory("graft_cat").toString
       val cat = new Catalog(root, s)
@@ -1717,6 +1738,11 @@ object SparkEntry {
 
       "q_read_csv" -> "SELECT * FROM nation",
       "q_read_json" -> "SELECT * FROM region",
+
+      "q_job_metrics" ->
+        """SELECT 'gate_job' AS job, count(*) AS rows_seen,
+          | CAST(sum(length(n_name)) AS BIGINT) AS name_chars
+          |FROM nation""".stripMargin,
 
       "q_datasets" ->
         """SELECT 'meta.nations' AS name, '1.0.0' AS version,
