@@ -37,6 +37,65 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("partitioned write prunes partitions at read (100 TB layout path)") {
+    // date/category-partitioned layouts are how a 100 TB corpus avoids
+    // full scans: a filter on the partition column must become a
+    // PartitionFilters entry (metadata pruning), never a data filter over
+    // every file
+    val root = java.nio.file.Files.createTempDirectory("plan_part").toString
+    spark.read.parquet(s"$sf/nation.parquet")
+      .write.mode("overwrite").partitionBy("n_regionkey").parquet(root)
+    val df = spark.read.parquet(root)
+      .filter(org.apache.spark.sql.functions.col("n_regionkey") === 2)
+      .select("n_nationkey", "n_name")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters: [isnotnull(n_regionkey"), p)
+    assert(p.contains("(n_regionkey"), p)
+    // pruning happened at planning: only the matching partition dir scans
+    val parts = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(parts === Seq(1), parts.toString)
+  }
+
+  test("selective dim join injects a runtime bloom filter on the fact scan") {
+    // at 100 TB the shuffle of non-matching fact rows dominates a selective
+    // dim join; Spark's runtime bloom filter prunes them at the scan. Pin
+    // that the optimizer still injects it when thresholds are met.
+    val c = spark.conf
+    val enabledKey = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val appThreshKey =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val prevEnabled = c.get(enabledKey)
+    val prevAppThresh = c.get(appThreshKey)
+    val abtKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prevAbt = c.get(abtKey)
+    c.set(enabledKey, "true")
+    // the production gate is a 10GB fact side that can't broadcast; test
+    // data is far smaller, so lower the thresholds to model it — the
+    // PROPERTY pinned is that the rule fires in the at-scale shape
+    c.set(appThreshKey, "0")
+    c.set(abtKey, "-1")
+    try {
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+      val dim = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+        // defeat the broadcast so the bloom path (the at-scale shape) plans
+        .hint("shuffle_hash")
+      val joined = fact.join(dim,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("BloomFilterMightContain") ||
+        p.contains("might_contain"), p.take(4000))
+    } finally {
+      c.set(enabledKey, prevEnabled)
+      c.set(appThreshKey, prevAppThresh)
+      c.set(abtKey, prevAbt)
+    }
+  }
+
   test("q_read_parquet: projection pruned at the scan") {
     val p = plan("q_read_parquet")
     assert(p.contains("PushedFilters:") && p.contains("LessThan(p_size,20)"), p)
