@@ -104,7 +104,8 @@ object Bench {
       "q_pipeline_clean", "q_contamination", "q_seq_pack",
       "q_train_test_split", "q_domain_mix",
       "q_multimodal", "q_multimodal_frames", "q_audio_decode",
-      "q_delta_inc", "q_delta_retry", "q_streaming", "q_sessionize")
+      "q_delta_inc", "q_delta_retry", "q_streaming", "q_sessionize",
+      "q_streaming_late", "q_stream_join", "q_dup_fraction", "q_profile")
     val shown =
       if (only.isDefined) results.keys.toVector.sorted // local subset run: show all
       else headline.filter(results.contains)
