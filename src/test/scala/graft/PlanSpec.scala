@@ -96,6 +96,44 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions.{col, when, lit}
+    // a hot key owning a third of the fact side models the skewed-web-
+    // domain join; AQE must split that partition rather than let one task
+    // carry it. Thresholds lowered to make test-scale bytes qualify.
+    val c = spark.conf
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled"
+    ).map(k => k -> c.get(k))
+    c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1b")
+    c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1b")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      // skew splits reassign MAP outputs of the hot reduce partition, so
+      // the fact side must have >1 mapper (a single small parquet file
+      // scans as one task and its output is unsplittable) — at 100 TB
+      // there are thousands of mappers; model that with a repartition
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+        .repartition(8)
+        .select(when(col("l_orderkey") % 3 === 0, lit(0L))
+          .otherwise(col("l_orderkey")).as("k"), col("l_quantity"))
+      val dim = spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      val joined = fact.join(dim, "k")
+      // AQE decides on runtime stats: execute THIS dataset's plan (count()
+      // would plan a different, aggregated query), then inspect
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), p.take(3000))
+    } finally prev.foreach { case (k, v) => c.set(k, v) }
+  }
+
   test("q_read_parquet: projection pruned at the scan") {
     val p = plan("q_read_parquet")
     assert(p.contains("PushedFilters:") && p.contains("LessThan(p_size,20)"), p)
