@@ -1024,12 +1024,16 @@ object SparkEntry {
     "q_ann_rerank" -> ((s, dir) => {
       // two-stage ANN (hamming prefilter → exact cosine re-rank): recall@5
       // ≥ 0.6 per query vs in-Spark brute force, same honest property
-      // pattern as q_ann_ivf — prefilter=40 of 500 keeps the pruning real
+      // pattern as q_ann_ivf. The prefilter is a constant FRACTION of the
+      // corpus (8%, floor 40 = the sf0.01 value), not a constant count —
+      // a fixed width silently loses recall as the corpus grows (measured:
+      // prefilter=40 drops a query below 3/5 recall at sf0.1's 2000
+      // vectors), which is exactly the production mis-sizing trap
       val emb = T(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val rr = Similarity.hammingRerankTopK(emb, queries, k = 5,
-        prefilter = 40)
+        prefilter = math.max(40L, emb.count() * 2 / 25).toInt)
       val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
       val hits = rr.select(col("query_id"), col("vec_id"))
         .intersect(bf.select(col("query_id"), col("vec_id")))
