@@ -147,6 +147,60 @@ object ScaleProbe {
       println(f"lmScore scale ${mkN.toDouble / mk1}%.0fx -> time ${msN / ms1}%.2fx")
     }
 
+    // DSIR importance weights: the curated target stays fixed-size (a
+    // target corpus doesn't grow with the crawl), the raw corpus amplifies
+    // K×. The count/lambda tables are bucket-bounded (B rows) regardless of
+    // K, so time should track raw-corpus size ~linearly.
+    if (want("dsir")) {
+      val target = docs.filter(pmod(col("doc_id"), lit(20)) < 2)
+      val dsResults = ks.map { k =>
+        val corpus = docs.crossJoin(
+            spark.range(k).select(col("id").as("__copy")))
+          .select((col("doc_id") * k + col("__copy")).as("doc_id"),
+            concat(col("text"), lit(" v"), col("__copy")).as("text"))
+        val t0 = System.nanoTime()
+        val n = graft.ops.Corpus.dsirWeights(target, corpus, "doc_id", "text",
+          buckets = 4096).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"dsir K=$k%-3d docs=${5000L * k}%-8d scored=$n%-8d ${sec}%.2f s")
+        (k, sec)
+      }
+      val (xk1, xs1) = dsResults.head
+      val (xkN, xsN) = dsResults.last
+      println(f"dsir scale ${xkN.toDouble / xk1}%.0fx -> time ${xsN / xs1}%.2fx")
+    }
+
+    // SemDeDup at constant cluster size: the anchor count grows with the
+    // corpus (8 per amplification unit — exactly how the paper operates
+    // k-means: k scales so clusters stay ~10^4-10^5), so the within-cluster
+    // all-pairs stage does constant work per cluster and total time tracks
+    // corpus size ~linearly.
+    if (want("semdedup")) {
+      val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select("vec_id", "embedding").cache()
+      val nEmb0 = emb0.count()
+      val sdResults = ks.map { k =>
+        val corpus = emb0.crossJoin(
+            spark.range(k).select(col("id").as("__copy")))
+          .select((col("vec_id") * k + col("__copy")).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x + (pmod(col("__copy") * 31 + i, lit(7)) - lit(3))
+                .cast("float") * lit(0.01f)).as("embedding"))
+        val anchors = corpus.filter(col("vec_id") < 8 * k)
+        val t0 = System.nanoTime()
+        val out = graft.ops.Dedup.semanticDedup(corpus, "vec_id", "embedding",
+          anchors, "vec_id", "embedding", threshold = 0.98)
+        val dropped = out.filter(!col("kept")).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"semdedup K=$k%-3d vecs=${nEmb0 * k}%-8d anchors=${8 * k}%-5d " +
+          f"dropped=$dropped%-8d ${sec}%.2f s")
+        (k, sec)
+      }
+      val (zk1, zs1) = sdResults.head
+      val (zkN, zsN) = sdResults.last
+      println(f"semdedup scale ${zkN.toDouble / zk1}%.0fx -> time ${zsN / zs1}%.2fx")
+    }
+
     // ANN family: amplify the embeddings corpus K× with a small
     // deterministic per-copy jitter (copies stay near their original, so
     // the neighbor structure is preserved but signatures/centroids differ),

@@ -1083,6 +1083,21 @@ object SparkEntry {
         threshold = 0.98, planes = 12)
     }),
 
+    "q_semdedup" -> ((s, dir) => {
+      // SemDeDup over embeddings: every 5th vector planted back re-id'd
+      // (cosine exactly 1.0 with its original), anchors = the first 8
+      // vectors; originals survive, planted copies land in the same
+      // cluster and are dropped — assignment, clusters, and kept flags all
+      // reproduced exactly by the oracle's own argmax + all-pairs check
+      val emb = T(s, dir, "embeddings")
+      val corpus = emb.unionByName(
+        emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+          .withColumn("vec_id", col("vec_id") + 100000))
+      Dedup.semanticDedup(corpus, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        threshold = 0.98)
+    }),
+
     "q_embed_pairs" -> ((s, dir) => {
       val e = T(s, dir, "embeddings").filter(col("vec_id") < 60)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
@@ -1139,6 +1154,15 @@ object SparkEntry {
         round(TextAnalysis.upperRatio(col("text")), 4).as("upper_ratio"),
         round(TextAnalysis.meanWordLen(col("text")), 4).as("mean_word_len"),
         TextAnalysis.qualityScore(col("text")).as("quality"))),
+
+    "q_quality_classifier" -> ((s, dir) =>
+      // model-based quality filtering (GPT-3/LLaMA-style linear classifier
+      // inference, fixed weights): sigmoid over the cheap text features —
+      // one codegen'd projection, oracle reproduces the arithmetic exactly
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.qualityLogistic(col("text")).as("quality_prob"))
+        .withColumn("keep", col("quality_prob") >= 0.5)),
 
     "q_fingerprint" -> ((s, dir) =>
       T(s, dir, "documents").select(
@@ -1239,6 +1263,30 @@ object SparkEntry {
       Corpus.lmPerplexity(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
     }),
+
+    "q_dsir" -> ((s, dir) => {
+      // DSIR importance weights: curated target = src0/src1 docs, raw =
+      // the other 18 sources; hashed unigram+bigram buckets (md5 mod 1024,
+      // collisions are part of the model) make the feature space
+      // engine-exact, so every weight reproduces bit-for-bit in the oracle
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      Corpus.dsirWeights(
+        docs.filter(col("source").isin("src0", "src1")),
+        docs.filter(!col("source").isin("src0", "src1")),
+        "doc_id", "text", buckets = 1024, alpha = 1.0)
+    }),
+
+    "q_temperature_mix" -> ((s, dir) =>
+      // temperature-flattened domain mix over a skewed corpus (every 3rd
+      // doc dropped except in src0/src1, so domain sizes split 25/17/16):
+      // rates derive from exact long counts only — no float summation —
+      // and the md5 coin reproduces the exact surviving sample
+      Corpus.temperatureMix(
+        T(s, dir, "documents")
+          .filter(col("doc_id") % 3 =!= 0 || col("source").isin("src0", "src1"))
+          .select(col("doc_id"), col("source")),
+        "doc_id", "source", temperature = 0.5, seed = "temp1")),
 
     "q_wds_export" -> ((s, dir) => {
       // WebDataset round-trip: export documents as tar shards (range-
@@ -2338,6 +2386,29 @@ object SparkEntry {
           |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
           |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.98""".stripMargin,
 
+      "q_semdedup" ->
+        """WITH corpus AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])
+          |  FROM embeddings WHERE vec_id % 5 = 0),
+          | a AS (SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av
+          |   FROM embeddings WHERE vec_id < 8),
+          | s AS (SELECT c.vec_id, a.aid,
+          |   list_cosine_similarity(c.v, a.av) AS sim
+          |   FROM corpus c CROSS JOIN a),
+          | asg AS (SELECT vec_id, aid, row_number() OVER
+          |   (PARTITION BY vec_id ORDER BY sim DESC, aid ASC) AS rk FROM s),
+          | cl AS (SELECT vec_id, aid AS cluster FROM asg WHERE rk = 1),
+          | dropped AS (SELECT DISTINCT y.vec_id
+          |   FROM cl x JOIN cl y ON x.cluster = y.cluster
+          |     AND x.vec_id < y.vec_id
+          |   JOIN corpus cx ON cx.vec_id = x.vec_id
+          |   JOIN corpus cy ON cy.vec_id = y.vec_id
+          |   WHERE list_cosine_similarity(cx.v, cy.v) >= 0.98)
+          |SELECT cl.vec_id, cl.cluster, dropped.vec_id IS NULL AS kept
+          |FROM cl LEFT JOIN dropped ON cl.vec_id = dropped.vec_id""".stripMargin,
+
       "q_hash_funcs" ->
         """SELECT * FROM (VALUES
           |(0,4761183170873013810,8786273878450987434,0,5704371099999008445,-4007762839887001341),(1,-7869394227045998544,4358605616530791692,1,-6498601739002993585,657966039262562307),(2,-248608356505383867,856228434405501679,1,-1385632245090889598,-3953733285172608765),
@@ -2510,6 +2581,47 @@ object SparkEntry {
            |    / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
            |FROM g LEFT JOIN dup USING (g) GROUP BY g.doc_id""".stripMargin,
 
+      "q_dsir" ->
+        raw"""WITH d AS (SELECT doc_id, source,
+           |   list_filter(string_split_regex(trim(regexp_replace(lower(text),
+           |     '[^a-z0-9\s]', ' ', 'g')), '\s+'), t -> t <> '') AS toks
+           |  FROM documents),
+           | g AS (SELECT doc_id, source, unnest(list_concat(toks,
+           |     list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+           |       i -> toks[i] || ' ' || toks[i+1]))) AS g FROM d),
+           | bk AS (SELECT doc_id, source,
+           |   CAST(('0x' || substring(md5(g), 1, 6)) AS BIGINT) % 1024 AS b
+           |  FROM g),
+           | ct AS (SELECT b, count(*) AS ct FROM bk
+           |   WHERE source IN ('src0','src1') GROUP BY 1),
+           | cr AS (SELECT b, count(*) AS cr FROM bk
+           |   WHERE source NOT IN ('src0','src1') GROUP BY 1),
+           | tt AS (SELECT sum(ct) AS tt FROM ct),
+           | tr AS (SELECT sum(cr) AS tr FROM cr),
+           | lam AS (SELECT coalesce(ct.b, cr.b) AS b,
+           |    ln((coalesce(ct, 0) + 1.0) / (tt + 1024.0)) -
+           |    ln((coalesce(cr, 0) + 1.0) / (tr + 1024.0)) AS lam
+           |   FROM ct FULL OUTER JOIN cr ON ct.b = cr.b
+           |   CROSS JOIN tt CROSS JOIN tr)
+           |SELECT doc_id, count(*) AS n_grams,
+           |  round(avg(lam), 6) AS dsir_logratio
+           |FROM bk JOIN lam USING (b)
+           |WHERE source NOT IN ('src0','src1') GROUP BY 1""".stripMargin,
+
+      "q_temperature_mix" ->
+        """WITH docs AS (SELECT doc_id, source FROM documents
+          |   WHERE doc_id % 3 <> 0 OR source IN ('src0','src1')),
+          | c AS (SELECT source, count(*) AS n FROM docs GROUP BY 1),
+          | m AS (SELECT min(n) AS nmin FROM c),
+          | r AS (SELECT source,
+          |   round(pow(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE), 0.5), 9)
+          |     AS keep FROM c CROSS JOIN m),
+          | t AS (SELECT source, CASE WHEN keep >= 1.0 THEN 'zzzzzzzz'
+          |   ELSE printf('%08x', CAST(floor(keep * 4294967296.0) AS BIGINT))
+          |   END AS thr FROM r)
+          |SELECT doc_id, source FROM docs JOIN t USING (source)
+          |WHERE substring(md5(doc_id || ':temp1'), 1, 8) < thr""".stripMargin,
+
       "q_lm_perplexity" ->
         raw"""WITH d AS (SELECT doc_id,
            |   list_filter(string_split_regex(trim(regexp_replace(lower(text),
@@ -2583,6 +2695,23 @@ object SparkEntry {
            |           / len(string_split_regex(trim(text), '\\s+')) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
            | ) / 5.0, 2) AS quality
            |FROM documents""".stripMargin,
+
+      "q_quality_classifier" ->
+        raw"""SELECT doc_id, quality_prob, quality_prob >= 0.5 AS keep FROM (
+           |SELECT doc_id, round(1.0 / (1.0 + exp(-(
+           |  -1.0
+           |  + 2.0 * least($tokCount / 100.0, 1.0)
+           |  + 3.0 * least($all / 8.0, 1.0)
+           |  - 4.0 * (CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+           |           / length(text) END)
+           |  - 2.0 * (CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+           |           / length(text) END)
+           |  + 0.5 * (CASE WHEN (CASE WHEN $tokCount = 0 THEN 0.0
+           |      ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+           |           / $tokCount END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+           |))), 6) AS quality_prob FROM documents)""".stripMargin,
 
       "q_fingerprint" ->
         s"SELECT doc_id, md5($norm) AS fp_md5 FROM documents",

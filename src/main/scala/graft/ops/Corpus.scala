@@ -186,6 +186,108 @@ object Corpus {
         round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
   }
 
+  /** md5 hash-bucket id for a gram string: first 6 hex chars (24 bits) mod
+    * `buckets`. md5 is reproduced bit-identically by every engine, so
+    * bucket membership — which IS the feature definition in hashed-n-gram
+    * models, collisions included — oracles exactly. */
+  private def md5Bucket(g: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(g), 1, 6), 16, 10).cast("long"), lit(buckets.toLong))
+
+  /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection via
+   * Importance Resampling"): score each raw-corpus document by how much
+   * its hashed n-gram distribution looks like a curated target corpus.
+   * Features are hashed unigram+bigram buckets (collisions are part of the
+   * model); each bucket gets a smoothed log-likelihood ratio
+   *
+   *   lambda(b) = ln((ct(b)+a)/(Tt+a*B)) - ln((cr(b)+a)/(Tr+a*B))
+   *
+   * (ct/cr = target/raw bucket counts, Tt/Tr totals, B buckets, a the
+   * add-a smoothing), and a document's weight is the average lambda over
+   * its gram occurrences (multiplicity kept, per the paper's bag-of-grams
+   * feature). Pretraining pipelines rank the raw corpus by this weight and
+   * resample the top slice to match the target domain.
+   *
+   * Output: one row per raw doc with ≥1 token — (id, n_grams,
+   * dsir_logratio rounded to 6 dp).
+   *
+   * Scale shape: grams derive map-side and collapse immediately to an
+   * 8-byte bucket id, so corpus text never shuffles. Both count tables are
+   * at most B rows (thousands), the lambda table is built with one tiny
+   * full-outer join and always broadcasts into the scoring join; the only
+   * corpus-sized wide stage is the final per-doc average, which
+   * partial-aggregates map-side.
+   */
+  def dsirWeights(target: DataFrame, raw: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 1024,
+                  alpha: Double = 1.0): DataFrame = {
+    require(buckets > 0 && alpha > 0)
+    // tokens materialize before the n-gram HOFs (lambdas re-evaluate
+    // captured trees per element — same rationale as ngramDecontaminate)
+    def bucketRows(df: DataFrame, extra: Seq[Column]): DataFrame = df
+      .withColumn("__toks", lmTokens(textCol))
+      .select(extra :+ explode(concat(wordNgrams(col("__toks"), 1),
+        wordNgrams(col("__toks"), 2))).as("__g"): _*)
+      .select(extra :+ md5Bucket(col("__g"), buckets).as("__b"): _*)
+    val ct = bucketRows(target, Seq.empty)
+      .groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val cr = bucketRows(raw, Seq.empty)
+      .groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val tt = ct.agg(sum(col("__ct")).as("__tt"))
+    val tr = cr.agg(sum(col("__cr")).as("__tr"))
+    // full outer: a bucket seen only in raw still needs a (smoothed)
+    // target probability, and vice versa
+    val lam = ct.join(cr, Seq("__b"), "full_outer")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(tr))
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)) + lit(alpha)) /
+             (col("__tt") + lit(alpha * buckets))) -
+         log((coalesce(col("__cr"), lit(0L)) + lit(alpha)) /
+             (col("__tr") + lit(alpha * buckets)))).as("__lam"))
+    bucketRows(raw, Seq(col(idCol)))
+      .join(broadcast(lam), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        round(avg(col("__lam")), 6).as("dsir_logratio"))
+  }
+
+  /**
+   * Temperature-scaled domain mixing: downsample each domain with rate
+   * (n_min / n_d)^(1-t) — at t=1 every domain keeps everything, at t=0
+   * every domain is flattened to the smallest domain's size in
+   * expectation, between is the standard multinomial temperature used to
+   * rebalance source mixes (crawl vs curated) before pretraining. The
+   * per-row coin is the same md5(id:seed) device as [[mixDomains]], so
+   * the exact sample reproduces in any engine.
+   *
+   * Rates deliberately avoid any floating-point SUM (no sum of weights):
+   * n_min and n_d are exact longs, and pow/div are correctly-rounded IEEE
+   * ops, so the rate — rounded to 9 dp before the threshold floor — is
+   * bit-identical across engines and partitionings.
+   *
+   * Scale shape: one tiny per-domain count aggregate (partial-agg'd),
+   * whose result broadcasts back onto the corpus; the filter itself is
+   * map-side. Output: the input rows that survive.
+   */
+  def temperatureMix(df: DataFrame, idCol: String, domainCol: String,
+                     temperature: Double, seed: String = ""): DataFrame = {
+    require(temperature >= 0.0 && temperature <= 1.0)
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("__keep", round(
+        pow(col("__nmin").cast("double") / col("__n").cast("double"),
+          lit(1.0 - temperature)), 9))
+      .withColumn("__thr", when(col("__keep") >= 1.0, lit("zzzzzzzz"))
+        .otherwise(format_string("%08x",
+          floor(col("__keep") * lit(4294967296.0)).cast("long"))))
+      .select(col(domainCol), col("__thr"))
+    val u = substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 8)
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(u < col("__thr"))
+      .select(df.columns.map(col): _*)
+  }
+
   /**
    * Bigram language-model perplexity — the CCNet-style quality signal a
    * pretraining pipeline uses to rank crawl documents against a clean

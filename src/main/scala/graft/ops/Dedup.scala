@@ -262,6 +262,63 @@ object Dedup {
   }
 
   /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023): assign every
+   * embedding to its nearest anchor by cosine (ties: lower anchor id), then
+   * within each cluster drop any vector whose cosine similarity to an
+   * EARLIER-id member of the same cluster is ≥ `threshold` — the earliest
+   * member of each semantic near-dup set survives. Anchors are supplied by
+   * the caller (the paper uses k-means centroids; any deterministic anchor
+   * set — e.g. a fixed sample, or [[graft.ops.Similarity.ivfBuild]]
+   * centroids — works and keeps the op reproducible).
+   *
+   * Note this is "similar to ANY earlier member", not the greedy
+   * keep-set-only chain — the chained variant is order-sequential and
+   * cannot run data-parallel; at SemDeDup's operating thresholds
+   * (cos ≥ ~0.95) the two differ only on chains of borderline pairs.
+   *
+   * Output: (id, cluster, kept) for every input vector.
+   *
+   * Scale shape: the anchor table broadcasts (k anchors ≪ corpus), so
+   * assignment is one map-side pass with a per-row top-1 (WindowGroupLimit
+   * keeps it streaming). The intra-cluster pair join shuffles on cluster id
+   * once; all-pairs-within-cluster is the published SemDeDup shape — k is
+   * chosen so clusters run ~10^4-10^5 vectors, bounding each partition's
+   * pair work, and a skew-capped variant (cap per-cluster membership like
+   * [[minhashCandidates]]'s capBuckets) guards degenerate clusterings.
+   */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+                    anchors: DataFrame, anchorIdCol: String,
+                    anchorVecCol: String, threshold: Double,
+                    cache: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = broadcast(anchors.select(col(anchorIdCol).as("__aid"),
+      col(anchorVecCol).as("__av")))
+    val sim = lit(1.0) - cosine_distance(col(vecCol), col("__av"))
+    val assigned0 = vecs.select(col(idCol).as("__id"), col(vecCol))
+      .crossJoin(a)
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("__id"))
+        .orderBy(sim.desc, col("__aid").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("__id"), col(vecCol).as("__v"), col("__aid").as("cluster"))
+    // the assignment feeds both pair-join sides AND the final output —
+    // persist so the k-way cross join runs once, not three times
+    // (cache=false keeps the raw plan visible for the PlanSpec shape pins)
+    val assigned = if (cache)
+      assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else assigned0
+    val l = assigned.alias("a")
+    val r = assigned.alias("b")
+    val dropped = l.join(r, col("a.cluster") === col("b.cluster") &&
+        col("a.__id") < col("b.__id") &&
+        lit(1.0) - cosine_distance(col("a.__v"), col("b.__v")) >= threshold)
+      .select(col("b.__id").as("__id")).distinct()
+      .withColumn("__drop", lit(true))
+    assigned.join(dropped, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("cluster"),
+        coalesce(col("__drop"), lit(false)).unary_!.as("kept"))
+  }
+
+  /**
    * Connected components over a duplicate-edge list — turns pairwise
    * near-dup edges (from [[minhashDedupEdges]] / [[simhashNearDups]] /
    * [[embeddingNearDups]]) into cluster assignments `(id, cluster_id)`,

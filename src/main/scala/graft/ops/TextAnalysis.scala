@@ -100,6 +100,36 @@ object TextAnalysis {
     round((lenOk + stopHit + punctOk + upperOk + wordOk) / 5.0, 2)
   }
 
+  /** Distinct stopword markers present (all four languages) — the shared
+    * feature between [[qualityScore]] and [[qualityLogistic]]. */
+  private def allMarkerHits(text: Column): Column =
+    markerHits(text, enStop ++ deStop ++ frStop ++ esStop)
+
+  /**
+   * fastText-style linear quality classifier — INFERENCE only, with fixed
+   * weights over the cheap SQL features above (a stand-in for externally
+   * trained weights; training a real classifier is out of engine scope).
+   * This is the "model-based quality filter" stage of a pretraining
+   * pipeline (GPT-3 / LLaMA use a linear classifier over web docs), as
+   * opposed to [[qualityScore]]'s hand-rule filter:
+   *
+   *   z = -1 + 2*min(tokens/100,1) + 3*min(markers/8,1)
+   *       - 4*punct_ratio - 2*upper_ratio + 0.5*[3 <= mean_word_len <= 10]
+   *   score = sigmoid(z), rounded 6 dp
+   *
+   * One codegen'd expression — no shuffle, no UDF; a filter on the score
+   * still scan-prunes at 100 TB.
+   */
+  def qualityLogistic(text: Column): Column = {
+    val z = lit(-1.0) +
+      lit(2.0) * least(tokenCount(text).cast("double") / lit(100.0), lit(1.0)) +
+      lit(3.0) * least(allMarkerHits(text).cast("double") / lit(8.0), lit(1.0)) +
+      lit(-4.0) * punctRatio(text) +
+      lit(-2.0) * upperRatio(text) +
+      lit(0.5) * when(meanWordLen(text).between(3.0, 10.0), 1.0).otherwise(0.0)
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
   /** Normalized-text md5 fingerprint: lowercase, collapse whitespace. */
   def fingerprintMd5(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))

@@ -659,6 +659,74 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall=$recall")
   }
 
+  test("dsirWeights ranks target-like docs above off-domain docs") {
+    import graft.ops.Corpus
+    val target = Seq(
+      (100L, "alpha beta gamma alpha beta gamma alpha beta"),
+      (101L, "alpha beta gamma delta alpha beta")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma alpha beta"), // looks like the target domain
+      (2L, "zulu yankee xray whiskey victor uniform"), // off-domain
+      (3L, "")).toDF("doc_id", "text") // no tokens -> no grams -> drops out
+    val w = Corpus.dsirWeights(target, raw, "doc_id", "text", buckets = 64)
+    val m = w.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[Double]("dsir_logratio")).toMap
+    assert(m.keySet === Set(1L, 2L))
+    assert(m(1L) > m(2L), m.toString)
+  }
+
+  test("temperatureMix: t=1 keeps all; lower t nests and flattens domains") {
+    import graft.ops.Corpus
+    val df = (1 to 300).map(i =>
+      (i.toLong, if (i <= 200) "big" else "small")).toDF("id", "dom")
+    assert(Corpus.temperatureMix(df, "id", "dom", 1.0, "s").count() === 300)
+    val half = Corpus.temperatureMix(df, "id", "dom", 0.5, "s")
+      .select("id").as[Long].collect().toSet
+    val flat = Corpus.temperatureMix(df, "id", "dom", 0.0, "s")
+      .select("id").as[Long].collect().toSet
+    // lower temperature -> lower per-domain rate -> same coin, lower
+    // threshold -> strictly nested surviving sets
+    assert(flat.subsetOf(half))
+    // the smallest domain's rate is exactly 1 at every temperature
+    assert(half.count(_ > 200) === 100)
+    assert(flat.count(_ > 200) === 100)
+    // big domain: rate sqrt(100/200)=0.707 at t=0.5, 0.5 at t=0
+    val big5 = half.count(_ <= 200)
+    val big0 = flat.count(_ <= 200)
+    assert(big5 > 200 * 0.55 && big5 < 200 * 0.85, s"big5=$big5")
+    assert(big0 > 200 * 0.35 && big0 < 200 * 0.65, s"big0=$big0")
+  }
+
+  test("semanticDedup drops the later copy inside a cluster, keeps the rest") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0f, 0f, 1f)),
+      (10L, Array(0.8f, 0.6f, 0f)), // cluster 0 (cos .8 vs anchor0, .6 vs 1)
+      (11L, Array(0.6f, 0.8f, 0f)), // cluster 1
+      (110L, Array(0.8f, 0.6f, 0f)) // exact copy of 10 -> dropped
+    ).toDF("id", "vec")
+    val out = Dedup.semanticDedup(vecs, "id", "vec",
+        vecs.filter(col("id") < 3), "id", "vec", threshold = 0.98,
+        cache = false)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Boolean]("kept")))).toMap
+    assert(out(10L) === ((0L, true)))
+    assert(out(110L) === ((0L, false))) // same cluster, later id, cos 1.0
+    assert(out(11L) === ((1L, true)))
+    assert(out.values.count(!_._2) === 1) // nothing else dropped
+  }
+
+  test("qualityLogistic: bounded scores, prose above punctuation noise") {
+    val df = Seq(
+      (1L, "the quick brown fox is glad that it runs for the hills today"),
+      (2L, "!!! ??? ;;; *** ((( ))) @@@ ###")).toDF("doc_id", "text")
+    val s = df.select(col("doc_id"),
+        TextAnalysis.qualityLogistic(col("text")).as("p"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("p")).toMap
+    assert(s.values.forall(p => p > 0.0 && p < 1.0), s.toString)
+    assert(s(1L) > 0.5 && s(2L) < 0.5, s.toString)
+  }
+
   test("hammingTopK ranks by sign-bit hamming with id tie-break") {
     val corpus = Seq(
       (1L, Array(1.0f, 1.0f, 1.0f, 1.0f)),

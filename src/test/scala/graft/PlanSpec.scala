@@ -208,6 +208,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") || p.contains("Filter"), p)
   }
 
+  test("q_dsir: text collapses to bucket ids map-side; lambda table broadcasts") {
+    val p = plan("q_dsir")
+    // the B-row log-ratio table broadcasts into the scoring join
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    // document text never rides an exchange — only bucket ids and doc ids do
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text")), p)
+  }
+
+  test("q_temperature_mix: rate table broadcasts back; no corpus-sized shuffle") {
+    val p = plan("q_temperature_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only exchanges feed the tiny per-domain count aggregate, never
+    // the corpus rows themselves — corpus columns stay out of exchanges
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("doc_id")), p)
+  }
+
+  test("q_quality_classifier: single zero-exchange codegen'd projection") {
+    val p = plan("q_quality_classifier")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("[codegen id : 1]"), p) // whole projection in one span
+  }
+
+  test("semanticDedup: anchors broadcast, top-1 assignment is WindowGroupLimit") {
+    // probe the op directly with cache=false (the gate's persist() hides
+    // the assignment plan inside an InMemoryRelation)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.ops.Dedup.semanticDedup(emb, "vec_id", "embedding",
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 4),
+      "vec_id", "embedding", threshold = 0.98, cache = false)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_top_tokens: partial count before the exchange, top-n not full sort") {
     val p = plan("q_top_tokens")
     assert(p.contains("partial_count"), p)
