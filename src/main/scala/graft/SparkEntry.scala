@@ -1264,6 +1264,22 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
     }),
 
+    "q_exact_substr" -> ((s, dir) => {
+      // Lee-et-al ExactSubstr dedup: every 7th doc is replanted re-id'd
+      // with a 4-token suffix appended — too short to form its own
+      // 13-token window, so each copy's body is excised as ONE merged span
+      // (the original, being globally first, survives verbatim) while the
+      // windows straddling body+suffix stay unique and keep the copy's
+      // tail. Spans, token counts, and rebuilt text all oracle exactly.
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"),
+          lit(" planted unique suffix marker")))
+      Corpus.exactSubstrDedup(docs.unionByName(copies), "doc_id", "text",
+        minLen = 13)
+    }),
+
     "q_dsir" -> ((s, dir) => {
       // DSIR importance weights: curated target = src0/src1 docs, raw =
       // the other 18 sources; hashed unigram+bigram buckets (md5 mod 1024,
@@ -2580,6 +2596,48 @@ object SparkEntry {
            |  round(sum(CASE WHEN dup.g IS NOT NULL THEN 1 ELSE 0 END)
            |    / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
            |FROM g LEFT JOIN dup USING (g) GROUP BY g.doc_id""".stripMargin,
+
+      "q_exact_substr" ->
+        raw"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 100000, text || ' planted unique suffix marker'
+           |  FROM documents WHERE doc_id % 7 = 0),
+           | d AS (SELECT doc_id,
+           |   list_filter(string_split_regex(trim(regexp_replace(lower(text),
+           |     '[^a-z0-9\s]', ' ', 'g')), '\s+'), t -> t <> '') AS toks
+           |  FROM corpus),
+           | w AS (SELECT doc_id,
+           |   unnest(generate_series(1, greatest(len(toks) - 12, 0))) AS p,
+           |   unnest(list_transform(generate_series(1, greatest(len(toks) - 12, 0)),
+           |     i -> array_to_string(toks[i:i+12], ' '))) AS g FROM d),
+           | m AS (SELECT doc_id, p AS s, p + 12 AS e FROM (
+           |   SELECT doc_id, p,
+           |     row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn
+           |   FROM w) WHERE rn >= 2),
+           | isl AS (SELECT doc_id, s, e,
+           |   CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |   THEN 1 ELSE 0 END AS nw FROM m),
+           | grp AS (SELECT doc_id, s, e, sum(nw) OVER (PARTITION BY doc_id
+           |   ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |   AS grp FROM isl),
+           | sp AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM grp
+           |   GROUP BY doc_id, grp),
+           | rem AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS removed
+           |   FROM sp GROUP BY 1),
+           | tok AS (SELECT doc_id, unnest(toks) AS w,
+           |   unnest(generate_series(1, len(toks))) AS i FROM d),
+           | kept AS (SELECT t.doc_id, t.w, t.i FROM tok t
+           |   WHERE NOT EXISTS (SELECT 1 FROM sp
+           |     WHERE sp.doc_id = t.doc_id AND t.i BETWEEN sp.s AND sp.e)),
+           | txt AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text_clean
+           |   FROM kept GROUP BY 1)
+           |SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+           |  coalesce(rem.removed, 0) AS n_removed,
+           |  coalesce(txt.text_clean, '') AS text_clean
+           |FROM d LEFT JOIN rem ON d.doc_id = rem.doc_id
+           |LEFT JOIN txt ON d.doc_id = txt.doc_id""".stripMargin,
 
       "q_dsir" ->
         raw"""WITH d AS (SELECT doc_id, source,

@@ -186,6 +186,70 @@ object Corpus {
         round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
   }
 
+  /**
+   * Exact-substring deduplication (Lee et al., "Deduplicating Training
+   * Data Makes Language Models Better" — the ExactSubstr variant): any
+   * token window of length `minLen` that occurs more than once in the
+   * corpus is a duplicated span; every occurrence EXCEPT the globally
+   * first (ordered by doc id, then position) is removed from its document.
+   * Overlapping/adjacent marked windows merge into maximal spans, so a
+   * wholesale copied passage is excised in one piece while the first
+   * occurrence survives verbatim. Operates in normalized token space
+   * (lowercase, punctuation stripped — [[lmTokens]]), like the paper
+   * operates on tokenizer output rather than raw bytes.
+   *
+   * Output: (id, n_tokens, n_removed, text_clean) per document.
+   *
+   * Scale shape: windows collapse map-side to (doc, pos, xxhash64) — the
+   * window TEXT never shuffles (the paper's suffix array is a different
+   * route to the same marks; hashing is the shuffle-friendly one). The
+   * wide stages are the per-gram first-occurrence window (shuffle on
+   * 8-byte hashes), the per-doc span merge (shuffle on doc id), and one
+   * join of spans back onto the corpus. Everything else — interval
+   * merging, token filtering, text rebuild — is per-doc projection work.
+   */
+  def exactSubstrDedup(docs: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 13): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minLen >= 2, "minLen must be at least 2")
+    val toks = docs.select(col(idCol).as("__id"), lmTokens(textCol).as("__toks"))
+    // (doc, 0-based window pos, window hash) — one row per token position
+    val wins = toks
+      .select(col("__id"),
+        posexplode(wordNgrams(col("__toks"), minLen)).as(Seq("__p", "__g")))
+      .select(col("__id"), col("__p"), xxhash64(col("__g")).as("__gh"))
+    // global first occurrence of each window survives; later ones are marks
+    val occ = Window.partitionBy(col("__gh"))
+      .orderBy(col("__id").asc, col("__p").asc)
+    val marks = wins
+      .withColumn("__rn", row_number().over(occ))
+      .filter(col("__rn") >= 2)
+      // token interval [start, end], 1-based inclusive
+      .select(col("__id"), (col("__p") + 1).as("__s"),
+        (col("__p") + lit(minLen)).as("__e"))
+    // merge overlapping/adjacent intervals per doc (gaps-and-islands)
+    val byDoc = Window.partitionBy(col("__id")).orderBy(col("__s"))
+    val prevMax = max(col("__e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = marks
+      .withColumn("__new", when(prevMax.isNull || col("__s") > prevMax, 1).otherwise(0))
+      .withColumn("__grp", sum(col("__new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id"), col("__grp"))
+      .agg(min(col("__s")).as("__s"), max(col("__e")).as("__e"))
+      .groupBy(col("__id"))
+      .agg(collect_list(struct(col("__s"), col("__e"))).as("__iv"),
+        sum(col("__e") - col("__s") + 1).as("__removed"))
+    toks.join(spans, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        coalesce(col("__removed"), lit(0L)).as("n_removed"),
+        array_join(filter(col("__toks"), (_, i) =>
+          !exists(coalesce(col("__iv"),
+              array().cast("array<struct<__s:int,__e:int>>")),
+            v => (i + 1) >= v.getField("__s") && (i + 1) <= v.getField("__e"))),
+          " ").as("text_clean"))
+  }
+
   /** md5 hash-bucket id for a gram string: first 6 hex chars (24 bits) mod
     * `buckets`. md5 is reproduced bit-identically by every engine, so
     * bucket membership — which IS the feature definition in hashed-n-gram

@@ -659,6 +659,24 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall=$recall")
   }
 
+  test("exactSubstrDedup excises later copies and intra-doc repeats, keeps firsts") {
+    import graft.ops.Corpus
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),          // all windows globally first
+      (2L, "a b c d e f g h x y"),      // copy of 1 + unique tail
+      (3L, "p q r s p q r s p q r s")   // phrase repeated 3x within one doc
+    ).toDF("doc_id", "text")
+    val out = Corpus.exactSubstrDedup(corpus, "doc_id", "text", minLen = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("text_clean")))).toMap
+    assert(out(1L) === ((8L, 0L, "a b c d e f g h")))
+    // doc 2: marked windows at positions 1..5 merge to span [1,8]
+    assert(out(2L) === ((10L, 8L, "x y")))
+    // doc 3: second+third occurrences of the phrase merge to span [5,12]
+    assert(out(3L) === ((12L, 8L, "p q r s")))
+  }
+
   test("dsirWeights ranks target-like docs above off-domain docs") {
     import graft.ops.Corpus
     val target = Seq(

@@ -208,6 +208,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") || p.contains("Filter"), p)
   }
 
+  test("q_exact_substr: windows hash map-side; window text never shuffles") {
+    val p = plan("q_exact_substr")
+    assert(p.contains("xxhash64"), p.take(4000))
+    // the gram string column (__g) collapses to a hash before any exchange
+    assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("__g")), p)
+  }
+
   test("q_dsir: text collapses to bucket ids map-side; lambda table broadcasts") {
     val p = plan("q_dsir")
     // the B-row log-ratio table broadcasts into the scoring join
