@@ -147,6 +147,30 @@ object ScaleProbe {
       println(f"lmScore scale ${mkN.toDouble / mk1}%.0fx -> time ${msN / ms1}%.2fx")
     }
 
+    // Exact-substring dedup in the worst regime: every copy shares its
+    // whole body with the original, so nearly every window row becomes a
+    // mark and nearly the whole amplified corpus is excised — maximal
+    // span-merge and rebuild work per input row.
+    if (want("exactsubstr")) {
+      val esResults = ks.map { k =>
+        val corpus = docs.crossJoin(
+            spark.range(k).select(col("id").as("__copy")))
+          .select((col("doc_id") * k + col("__copy")).as("doc_id"),
+            concat(col("text"), lit(" v"), col("__copy")).as("text"))
+        val t0 = System.nanoTime()
+        val agg = graft.ops.Corpus.exactSubstrDedup(corpus, "doc_id", "text",
+            minLen = 13)
+          .agg(sum("n_tokens").as("t"), sum("n_removed").as("r")).head()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"exactSubstr K=$k%-3d docs=${5000L * k}%-8d " +
+          f"removed=${agg.getLong(1)}%-10d of ${agg.getLong(0)}%-10d ${sec}%.2f s")
+        (k, sec)
+      }
+      val (ek1, es1) = esResults.head
+      val (ekN, esN) = esResults.last
+      println(f"exactSubstr scale ${ekN.toDouble / ek1}%.0fx -> time ${esN / es1}%.2fx")
+    }
+
     // DSIR importance weights: the curated target stays fixed-size (a
     // target corpus doesn't grow with the crawl), the raw corpus amplifies
     // K×. The count/lambda tables are bucket-bounded (B rows) regardless of

@@ -677,6 +677,24 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) === ((12L, 8L, "p q r s")))
   }
 
+  test("exactSubstrDedup invariant: n_tokens = n_removed + |text_clean| (random corpora)") {
+    import graft.ops.Corpus
+    // tiny vocabulary + short windows force heavy natural duplication
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val corpus = (1L to 40L).map { i =>
+      val n = 5 + rnd.nextInt(30)
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Corpus.exactSubstrDedup(corpus, "doc_id", "text", minLen = 5)
+    assert(out.count() === 40)
+    val bad = out.filter(col("n_tokens") =!= col("n_removed") +
+      size(filter(split(col("text_clean"), " "), t => t =!= lit("")))).count()
+    assert(bad === 0L)
+    // with 5^5 possible windows over ~800 positions, something must dedup
+    assert(out.agg(sum("n_removed")).head().getLong(0) > 0L)
+  }
+
   test("dsirWeights ranks target-like docs above off-domain docs") {
     import graft.ops.Corpus
     val target = Seq(
