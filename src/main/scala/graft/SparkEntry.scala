@@ -1083,6 +1083,18 @@ object SparkEntry {
         threshold = 0.98, planes = 12)
     }),
 
+    "q_subtract_seen" -> ((s, dir) => {
+      // incremental dedup against ingested history: history = every 3rd
+      // doc, new batch = the whole corpus; the bloom prefilter routes
+      // definite-new rows join-free and the anti-join confirms the rest —
+      // the result is the exact unseen set regardless of fpp
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("text"))
+      Dedup.subtractSeen(docs, docs.filter(col("doc_id") % 3 === 0),
+          "text", "doc_id", expectedItems = 1000L, fpp = 0.01)
+        .select(col("doc_id"), col("source"))
+    }),
+
     "q_semdedup" -> ((s, dir) => {
       // SemDeDup over embeddings: every 5th vector planted back re-id'd
       // (cosine exactly 1.0 with its original), anchors = the first 8
@@ -2401,6 +2413,13 @@ object SparkEntry {
           |      CAST(b.embedding AS DOUBLE[])), 6) AS cosine
           |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
           |SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.98""".stripMargin,
+
+      "q_subtract_seen" ->
+        raw"""SELECT d.doc_id, d.source FROM documents d
+           |WHERE NOT EXISTS (SELECT 1 FROM documents h
+           |  WHERE h.doc_id % 3 = 0
+           |  AND lower(regexp_replace(trim(h.text), '\s+', ' ', 'g')) =
+           |      lower(regexp_replace(trim(d.text), '\s+', ' ', 'g')))""".stripMargin,
 
       "q_semdedup" ->
         """WITH corpus AS (

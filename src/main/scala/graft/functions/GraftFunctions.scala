@@ -29,6 +29,11 @@ object GraftFunctions {
   def byte_hamming_distance(a: Column, b: Column): Column =
     toCol(ByteHammingDistance(toExpr(a), toExpr(b)))
 
+  /** probe a spark-sketch Bloom filter (serialized bytes) — the broadcast
+    * history-membership prefilter for incremental dedup. */
+  def bloom_might_contain(c: Column, bloom: Array[Byte]): Column =
+    toCol(BloomMightContain(toExpr(c), bloom))
+
   /** 1 - cos(a,b) over float vectors (reference: src/datachain/func/array.py:10). */
   def cosine_distance(a: Column, b: Column): Column =
     toCol(CosineDistance(toExpr(a), toExpr(b)))

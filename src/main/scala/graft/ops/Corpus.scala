@@ -295,8 +295,13 @@ object Corpus {
       .select(extra :+ md5Bucket(col("__g"), buckets).as("__b"): _*)
     val ct = bucketRows(target, Seq.empty)
       .groupBy("__b").agg(count(lit(1)).as("__ct"))
-    val cr = bucketRows(raw, Seq.empty)
-      .groupBy("__b").agg(count(lit(1)).as("__cr"))
+    // the raw corpus feeds BOTH the count table and the scoring pass —
+    // persist the (id, bucket) rows so tokenize+gram+hash runs once, not
+    // twice. The persisted frame is 16 bytes/gram (what the count stage
+    // shuffles anyway, ~a tenth of the corpus bytes) and spills to disk.
+    val rawBuckets = bucketRows(raw, Seq(col(idCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cr = rawBuckets.groupBy("__b").agg(count(lit(1)).as("__cr"))
     val tt = ct.agg(sum(col("__ct")).as("__tt"))
     val tr = cr.agg(sum(col("__cr")).as("__tr"))
     // full outer: a bucket seen only in raw still needs a (smoothed)
@@ -308,7 +313,7 @@ object Corpus {
              (col("__tt") + lit(alpha * buckets))) -
          log((coalesce(col("__cr"), lit(0L)) + lit(alpha)) /
              (col("__tr") + lit(alpha * buckets)))).as("__lam"))
-    bucketRows(raw, Seq(col(idCol)))
+    rawBuckets
       .join(broadcast(lam), Seq("__b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),

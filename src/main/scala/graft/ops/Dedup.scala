@@ -262,6 +262,46 @@ object Dedup {
   }
 
   /**
+   * Incremental exact dedup against already-ingested history: keep only the
+   * rows of `newDf` whose normalized content does not appear in `history`.
+   * This is the daily-crawl-against-100 TB-corpus shape — the history CANNOT
+   * be joined wholesale, so it collapses to a broadcast Bloom filter over
+   * 8-byte content keys (built distributed via `stat.bloomFilter`'s
+   * treeAggregate) and the filter splits the new batch map-side:
+   * definite-new rows (bloom miss — the vast majority of a real crawl) pass
+   * WITHOUT ANY JOIN; probable duplicates go through an exact anti-join
+   * confirmation against the history keys. `fpp` therefore tunes only how
+   * many rows take the join path — the ANSWER is always exact (false
+   * positives are resolved by the join; Bloom false negatives don't exist).
+   *
+   * Sizing: n=10⁹ history docs at fpp=0.01 is a ~1.1 GB broadcast — fine on
+   * executor memory; beyond that, shard the filter by key range (one bloom
+   * per shard, probe the matching shard). The confirmation join ships only
+   * (key, id) pairs, never text.
+   */
+  def subtractSeen(newDf: DataFrame, history: DataFrame, textCol: String,
+                   idCol: String, expectedItems: Long = 1000000L,
+                   fpp: Double = 0.01): DataFrame = {
+    val keyed = newDf.withColumn("__k", contentKey(col(textCol)))
+    val histKeys = history.select(contentKey(col(textCol)).as("__k"))
+    // empty history: everything is new (and Spark's bloom aggregate
+    // returns null for zero rows, which readFrom would NPE on)
+    if (histKeys.isEmpty) return newDf
+    val bloomBytes = {
+      val bf = histKeys.stat.bloomFilter("__k", math.max(expectedItems, 1L), fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val might = graft.functions.GraftFunctions.bloom_might_contain(col("__k"), bloomBytes)
+    val definiteNew = keyed.filter(!might)
+    val confirmedNew = keyed.filter(might)
+      .join(histKeys.distinct(), Seq("__k"), "left_anti")
+    definiteNew.unionByName(confirmedNew)
+      .select(newDf.columns.map(col): _*)
+  }
+
+  /**
    * SemDeDup-style semantic deduplication (Abbas et al. 2023): assign every
    * embedding to its nearest anchor by cosine (ties: lower anchor id), then
    * within each cluster drop any vector whose cosine similarity to an

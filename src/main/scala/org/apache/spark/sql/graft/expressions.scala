@@ -202,3 +202,33 @@ case class SimHash64Shingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): SimHash64Shingles =
     copy(child = c)
 }
+
+/**
+ * Membership probe against a pre-built broadcast Bloom filter (spark-sketch
+ * serialized form, as produced by `DataFrameStatFunctions.bloomFilter`).
+ * The filter bytes ride the expression into the codegen references, so the
+ * probe is one virtual call inside whole-stage codegen — this is the
+ * incremental-dedup prefilter shape: a 100 TB history collapses to a
+ * broadcastable bitset and only probable duplicates proceed to the exact
+ * confirmation join.
+ */
+case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_might_contain"
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+  /** public for generated code */
+  def test(v: Long): Boolean = bloom.mightContainLong(v)
+  override protected def nullSafeEval(v: Any): Any = test(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBloom", this,
+      classOf[BloomMightContain].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.test($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
+}

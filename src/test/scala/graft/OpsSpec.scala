@@ -695,6 +695,25 @@ class OpsSpec extends SparkSpec {
     assert(out.agg(sum("n_removed")).head().getLong(0) > 0L)
   }
 
+  test("subtractSeen equals exact anti-join at any fpp (bloom is only a router)") {
+    val history = Seq((1L, "seen doc one"), (2L, "seen doc two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen doc one"),      // dup of history (different id)
+      (11L, "seen doc two"),
+      (12L, "genuinely new doc"),
+      (13L, "another new doc")).toDF("doc_id", "text")
+    for (fpp <- Seq(0.5, 0.01)) { // coarse and tight filters, same answer
+      val out = Dedup.subtractSeen(batch, history, "text", "doc_id",
+        expectedItems = 10L, fpp = fpp)
+      assert(out.select("doc_id").as[Long].collect().toSet === Set(12L, 13L), s"fpp=$fpp")
+      assert(out.columns.toSeq === Seq("doc_id", "text")) // schema preserved
+    }
+    // empty history: everything is new
+    val none = Dedup.subtractSeen(batch, history.limit(0), "text", "doc_id",
+      expectedItems = 10L)
+    assert(none.count() === 4)
+  }
+
   test("dsirWeights ranks target-like docs above off-domain docs") {
     import graft.ops.Corpus
     val target = Seq(

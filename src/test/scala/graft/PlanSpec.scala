@@ -208,6 +208,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters") || p.contains("Filter"), p)
   }
 
+  test("q_subtract_seen: codegen'd bloom prefilter routes rows; anti-join confirms") {
+    val p = plan("q_subtract_seen")
+    // the bloom probe is a native expression inside the scan-side filter
+    assert(p.contains("bloom_might_contain"), p.take(4000))
+    // only the probable-duplicate branch joins, and it's an anti join
+    assert(p.contains("LeftAnti"), p)
+  }
+
   test("q_exact_substr: windows hash map-side; window text never shuffles") {
     val p = plan("q_exact_substr")
     assert(p.contains("xxhash64"), p.take(4000))
