@@ -1292,6 +1292,20 @@ object SparkEntry {
         minLen = 13)
     }),
 
+    "q_pagerank" -> ((s, dir) => {
+      // link-graph authority signal (the web-graph document-quality input
+      // of CommonCrawl-scale pipelines) over the supplier→part bipartite
+      // graph from lineitem: 3 power iterations at d=0.85 with
+      // dangling-mass redistribution (every part node is dangling, so the
+      // correction path carries real mass). Decimal-summed, 12-dp-rounded
+      // iterations are bit-exact cross-engine — the oracle unrolls the
+      // same three iterations in SQL and hash-matches the full vector.
+      val li = T(s, dir, "lineitem")
+      val edges = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3)
+    }),
+
     "q_dsir" -> ((s, dir) => {
       // DSIR importance weights: curated target = src0/src1 docs, raw =
       // the other 18 sources; hashed unigram+bigram buckets (md5 mod 1024,
@@ -2657,6 +2671,45 @@ object SparkEntry {
            |  coalesce(txt.text_clean, '') AS text_clean
            |FROM d LEFT JOIN rem ON d.doc_id = rem.doc_id
            |LEFT JOIN txt ON d.doc_id = txt.doc_id""".stripMargin,
+
+      // unrolled power iteration; every arithmetic step mirrors
+      // Graph.pageRank exactly (12-dp rounds, DECIMAL(38,18) sums), so the
+      // rank vector is bit-equal, not approximately equal
+      "q_pagerank" ->
+        """WITH e AS (SELECT DISTINCT 's'||l_suppkey AS src, 'p'||l_partkey AS dst
+          |   FROM lineitem),
+          | nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          | dg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+          | nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+          | r0 AS (SELECT node, round(1.0/(SELECT n FROM nn), 12) AS rank FROM nd),
+          | c1 AS (SELECT e.dst AS node,
+          |     CAST(sum(CAST(round(r.rank/dg.d, 12) AS DECIMAL(38,18))) AS DOUBLE) AS c
+          |   FROM e JOIN r0 r ON e.src = r.node JOIN dg ON e.src = dg.src
+          |   GROUP BY e.dst),
+          | d1 AS (SELECT coalesce(CAST(sum(CAST(r.rank AS DECIMAL(38,18))) AS DOUBLE), 0) AS dm
+          |   FROM r0 r LEFT JOIN dg ON r.node = dg.src WHERE dg.src IS NULL),
+          | r1 AS (SELECT nd.node, round((1-0.85)/(SELECT n FROM nn)
+          |     + 0.85*(coalesce(c1.c, 0) + (SELECT dm FROM d1)/(SELECT n FROM nn)), 12) AS rank
+          |   FROM nd LEFT JOIN c1 ON nd.node = c1.node),
+          | c2 AS (SELECT e.dst AS node,
+          |     CAST(sum(CAST(round(r.rank/dg.d, 12) AS DECIMAL(38,18))) AS DOUBLE) AS c
+          |   FROM e JOIN r1 r ON e.src = r.node JOIN dg ON e.src = dg.src
+          |   GROUP BY e.dst),
+          | d2 AS (SELECT coalesce(CAST(sum(CAST(r.rank AS DECIMAL(38,18))) AS DOUBLE), 0) AS dm
+          |   FROM r1 r LEFT JOIN dg ON r.node = dg.src WHERE dg.src IS NULL),
+          | r2 AS (SELECT nd.node, round((1-0.85)/(SELECT n FROM nn)
+          |     + 0.85*(coalesce(c2.c, 0) + (SELECT dm FROM d2)/(SELECT n FROM nn)), 12) AS rank
+          |   FROM nd LEFT JOIN c2 ON nd.node = c2.node),
+          | c3 AS (SELECT e.dst AS node,
+          |     CAST(sum(CAST(round(r.rank/dg.d, 12) AS DECIMAL(38,18))) AS DOUBLE) AS c
+          |   FROM e JOIN r2 r ON e.src = r.node JOIN dg ON e.src = dg.src
+          |   GROUP BY e.dst),
+          | d3 AS (SELECT coalesce(CAST(sum(CAST(r.rank AS DECIMAL(38,18))) AS DOUBLE), 0) AS dm
+          |   FROM r2 r LEFT JOIN dg ON r.node = dg.src WHERE dg.src IS NULL),
+          | r3 AS (SELECT nd.node, round((1-0.85)/(SELECT n FROM nn)
+          |     + 0.85*(coalesce(c3.c, 0) + (SELECT dm FROM d3)/(SELECT n FROM nn)), 12) AS rank
+          |   FROM nd LEFT JOIN c3 ON nd.node = c3.node)
+          |SELECT node, rank FROM r3""".stripMargin,
 
       "q_dsir" ->
         raw"""WITH d AS (SELECT doc_id, source,

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Graph operators over plain (src, dst) edge DataFrames. The motivating
+ * workload is web-corpus curation: link-graph authority scores (PageRank,
+ * harmonic-centrality-style signals) are a standard document-quality input
+ * for CommonCrawl-scale pretraining pipelines, ranking domains before the
+ * text filters run. No reference counterpart (its graph surface is zero) —
+ * a graft extension alongside [[Corpus]]/[[Dedup]].
+ *
+ * Scale notes:
+ *  - Edges are the big side (trillions at web scale) and are never
+ *    collected or re-derived: the out-degree table is joined into the
+ *    edge list ONCE before the loop and the combined frame persisted, so
+ *    each iteration shuffles only the (node, rank) table — 16 bytes/row —
+ *    into the pre-partitioned edge frame. On a real cluster, bucket the
+ *    edge table by `src` so the per-iteration join is co-located.
+ *  - Contributions partial-aggregate map-side (sum by dst) before the
+ *    exchange; the rank vector, nodes, and degree tables are all O(nodes),
+ *    orders of magnitude smaller than the edge list.
+ *  - Dangling mass is a 1-row aggregate cross-joined back (broadcast), not
+ *    a driver action; the only driver actions are the one-time node count
+ *    and the per-iteration localCheckpoint that truncates lineage so the
+ *    plan stays constant-size at any iteration count.
+ */
+object Graph {
+
+  /**
+   * PageRank with damping `d` over the DISTINCT edge set, run for a fixed
+   * `iterations` count. Returns (node, rank) with ranks summing to 1.
+   *
+   * Dangling nodes (no out-edges) redistribute their mass uniformly each
+   * iteration — the standard power-iteration correction, without which
+   * rank mass leaks and the vector no longer sums to 1.
+   *
+   * Cross-engine determinism (this is what the DuckDB oracle relies on):
+   * per-edge contributions are rounded to 12 dp and summed as
+   * DECIMAL(38,18) — exact, order-independent — then each new rank is
+   * rounded back to 12 dp. Every arithmetic step is therefore bit-equal
+   * in any engine that implements decimal rounding, so the oracle can
+   * unroll the same iterations in SQL and hash-match exactly.
+   */
+  def pageRank(edgesRaw: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be at least 1")
+    val spark = edgesRaw.sparkSession
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+    val edges = edgesRaw
+      .select(col(srcCol).cast("string").as("__src"),
+        col(dstCol).cast("string").as("__dst"))
+      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      .distinct()
+    val deg = edges.groupBy("__src").agg(count(lit(1)).as("__deg"))
+    // static across iterations: join degree into the edge list once
+    val edgesDeg = edges.join(deg, "__src").persist(MEMORY_AND_DISK)
+    val nodes = edges.select(col("__src").as("node"))
+      .union(edges.select(col("__dst")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val n = nodes.count()
+    val dec = DecimalType(38, 18)
+
+    var ranks = nodes
+      .withColumn("rank", round(lit(1.0) / lit(n.toDouble), 12))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contribs = edgesDeg
+        .join(ranks.withColumnRenamed("node", "__src"), "__src")
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(round(col("rank") / col("__deg"), 12).cast(dec))
+          .cast("double").as("__c"))
+      // mass parked on dangling nodes (no out-edges), as a broadcastable
+      // 1-row frame — no driver action
+      val dangling = ranks.join(deg,
+          ranks("node") === deg("__src"), "left_anti")
+        .agg(coalesce(sum(col("rank").cast(dec)).cast("double"), lit(0.0))
+          .as("__dm"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          round(lit((1.0 - damping) / n.toDouble) +
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) +
+              col("__dm") / lit(n.toDouble)), 12).as("rank"))
+        .localCheckpoint()
+    }
+    edgesDeg.unpersist(); nodes.unpersist()
+    ranks
+  }
+}

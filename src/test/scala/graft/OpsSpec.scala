@@ -714,6 +714,31 @@ class OpsSpec extends SparkSpec {
     assert(none.count() === 4)
   }
 
+  test("pageRank: hand-computed dangling case, mass conservation, edge-multiplicity invariance") {
+    import graft.ops.Graph
+    // n=2, single edge a→b, one iteration: r0 = 0.5 each; b is dangling so
+    // dm = 0.5; a = 0.15/2 + 0.85*(0 + 0.25) = 0.2875, b = 0.075 +
+    // 0.85*(0.5 + 0.25) = 0.7125
+    val r1 = Graph.pageRank(Seq(("a", "b")).toDF("src", "dst"), "src", "dst",
+        iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r1("a") - 0.2875) < 1e-9)
+    assert(math.abs(r1("b") - 0.7125) < 1e-9)
+    // cycle with an authority and a feeder: c collects the most rank, and
+    // the dangling correction keeps the vector summing to 1
+    val e2 = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "c"))
+      .toDF("src", "dst")
+    val r2 = Graph.pageRank(e2, "src", "dst", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r2.values.sum - 1.0) < 1e-6)
+    assert(r2("c") > r2("a") && r2("c") > r2("b") && r2("c") > r2("d"))
+    // PageRank is defined on the distinct edge set: duplicated edges must
+    // not change the answer
+    val dup = Graph.pageRank(e2.unionAll(e2), "src", "dst", iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(dup === r2)
+  }
+
   test("dsirWeights ranks target-like docs above off-domain docs") {
     import graft.ops.Corpus
     val target = Seq(
