@@ -1292,6 +1292,16 @@ object SparkEntry {
         minLen = 13)
     }),
 
+    "q_gopher_rules" -> ((s, dir) => {
+      // Gopher/MassiveText quality rules (Rae et al. 2021 App. A): exact
+      // integer counts + one 6-dp-rounded division per signal, so every
+      // ratio, per-rule verdict, and the overall pass flag reproduce
+      // bit-for-bit in the oracle
+      TextAnalysis.gopherSignals(
+        T(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        .drop("text")
+    }),
+
     "q_pagerank" -> ((s, dir) => {
       // link-graph authority signal (the web-graph document-quality input
       // of CommonCrawl-scale pipelines) over the supplier→part bipartite
@@ -2671,6 +2681,51 @@ object SparkEntry {
            |  coalesce(txt.text_clean, '') AS text_clean
            |FROM d LEFT JOIN rem ON d.doc_id = rem.doc_id
            |LEFT JOIN txt ON d.doc_id = txt.doc_id""".stripMargin,
+
+      "q_gopher_rules" ->
+        raw"""WITH d AS (SELECT doc_id, text,
+           |   list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks,
+           |   string_split(text, chr(10)) AS lines
+           |  FROM documents)
+           |SELECT doc_id,
+           |  len(toks) AS n_words,
+           |  round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           |    / CAST(len(toks) AS DOUBLE), 6) AS mean_word_len,
+           |  round(CAST((length(text) - length(replace(text, '#', '')))
+           |      + (length(text) - length(replace(text, '...', ''))) / 3
+           |      + (length(text) - length(replace(text, '…', ''))) AS DOUBLE)
+           |    / CAST(len(toks) AS DOUBLE), 6) AS symbol_ratio,
+           |  round(CAST(len(list_filter(lines,
+           |      l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+           |    / CAST(len(lines) AS DOUBLE), 6) AS bullet_frac,
+           |  round(CAST(len(list_filter(lines,
+           |      l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+           |    / CAST(len(lines) AS DOUBLE), 6) AS ellipsis_frac,
+           |  round(CAST(len(list_filter(toks,
+           |      x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+           |    / CAST(len(toks) AS DOUBLE), 6) AS alpha_frac,
+           |  len(list_filter(['the','be','to','of','and','that','have','with'],
+           |    w -> list_contains(list_transform(toks, x -> lower(x)), w))) AS stop_hits,
+           |  (len(toks) BETWEEN 50 AND 100000)
+           |    AND (round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           |      / CAST(len(toks) AS DOUBLE), 6) BETWEEN 3.0 AND 10.0)
+           |    AND (round(CAST((length(text) - length(replace(text, '#', '')))
+           |        + (length(text) - length(replace(text, '...', ''))) / 3
+           |        + (length(text) - length(replace(text, '…', ''))) AS DOUBLE)
+           |      / CAST(len(toks) AS DOUBLE), 6) <= 0.1)
+           |    AND (round(CAST(len(list_filter(lines,
+           |        l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+           |      / CAST(len(lines) AS DOUBLE), 6) <= 0.9)
+           |    AND (round(CAST(len(list_filter(lines,
+           |        l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+           |      / CAST(len(lines) AS DOUBLE), 6) <= 0.3)
+           |    AND (round(CAST(len(list_filter(toks,
+           |        x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+           |      / CAST(len(toks) AS DOUBLE), 6) >= 0.8)
+           |    AND (len(list_filter(['the','be','to','of','and','that','have','with'],
+           |      w -> list_contains(list_transform(toks, x -> lower(x)), w))) >= 2)
+           |    AS gopher_pass
+           |FROM d""".stripMargin,
 
       // unrolled power iteration; every arithmetic step mirrors
       // Graph.pageRank exactly (12-dp rounds, DECIMAL(38,18) sums), so the

@@ -206,4 +206,70 @@ object TextAnalysis {
     * interpreted (Spark HOFs don't codegen) and measured ~10× slower. */
   def charNgrams(text: Column, n: Int): Column =
     graft.functions.GraftFunctions.char_ngrams(text, n)
+
+  /** The eight Gopher "stop words" (Rae et al. 2021, Appendix A) — NOT a
+    * stopword list for removal; a document must contain at least two to
+    * pass the rules. */
+  val gopherStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher quality rules (Rae et al. 2021, Appendix A — the MassiveText
+   * filter, reused by many later pretraining corpora): per-document
+   * signals plus the per-rule verdicts and the overall pass flag.
+   *
+   *  1. 50 ≤ word count ≤ 100,000
+   *  2. 3 ≤ mean word length ≤ 10
+   *  3. symbol-to-word ratio ≤ 0.1 (symbols: '#', '…', literal "...")
+   *  4. ≤ 90% of lines start with a bullet ('-', '*', '•')
+   *  5. ≤ 30% of lines end with an ellipsis
+   *  6. ≥ 80% of words contain at least one alphabetic character
+   *  7. at least 2 of the 8 [[gopherStop]] words appear as whole tokens
+   *
+   * Pure projection — no shuffle, no UDF; ratios are exact integer counts
+   * with one final division rounded to 6 dp, so every signal reproduces
+   * bit-for-bit in any SQL engine (the q_gopher_rules oracle). Zero-word
+   * documents produce degenerate (NaN) word ratios — drop empty docs
+   * first (rule 1 fails them anyway).
+   */
+  def gopherSignals(df: org.apache.spark.sql.DataFrame,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val toks = filter(split(trim(t), "\\s+"), x => length(x) > 0)
+    val nWords = size(toks)
+    val charSum = aggregate(toks, lit(0), (acc, x) => acc + length(x))
+    val meanLen = round(charSum.cast("double") / nWords.cast("double"), 6)
+    val symCount = (length(t) - length(regexp_replace(t, "#", ""))) +
+      (length(t) - length(replace(t, lit("...")))) / lit(3) +
+      (length(t) - length(replace(t, lit("…"))))
+    val symRatio = round(symCount.cast("double") / nWords.cast("double"), 6)
+    val lines = split(t, "\n", -1)
+    val nLines = size(lines)
+    val bulletFrac = round(
+      size(filter(lines, l => substring(ltrim(l), 1, 1).isin("-", "*", "•")))
+        .cast("double") / nLines.cast("double"), 6)
+    val ellipsisFrac = round(
+      size(filter(lines, l =>
+        endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
+        .cast("double") / nLines.cast("double"), 6)
+    val alphaFrac = round(
+      size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("double") /
+        nWords.cast("double"), 6)
+    val stopHits = size(array_intersect(transform(toks, x => lower(x)),
+      array(gopherStop.map(lit): _*)))
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("symbol_ratio", symRatio)
+      .withColumn("bullet_frac", bulletFrac)
+      .withColumn("ellipsis_frac", ellipsisFrac)
+      .withColumn("alpha_frac", alphaFrac)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("gopher_pass",
+        col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_frac") <= 0.9 &&
+          col("ellipsis_frac") <= 0.3 &&
+          col("alpha_frac") >= 0.8 &&
+          col("stop_hits") >= 2)
+  }
 }

@@ -714,6 +714,28 @@ class OpsSpec extends SparkSpec {
     assert(none.count() === 4)
   }
 
+  test("gopherSignals: each rule fires on its crafted violator") {
+    val base = ("the data to be of use must have come with fifty words " +
+      "at least so this sentence keeps adding plain english filler words " +
+      "until the counter clears the minimum threshold set by the paper " +
+      "which is fifty whitespace separated words in total here now done " +
+      "extra pad tokens one two three four five six seven eight nine ten")
+    val rows = Seq(
+      (1L, base),                                     // passes everything
+      (2L, "too few words"),                          // rule 1: word count
+      (3L, base + " ####### ## ### #### ## # ## ## ### ## # ## # ## ## #"), // rule 3: symbols
+      (4L, (1 to 60).map(i => s"- bullet $i").mkString("\n")), // rule 4: bullets
+      (5L, base.split(" ").map(w => w + "...").mkString("\n")), // rule 5: ellipsis lines
+      (6L, (1 to 60).map(_.toString).mkString(" ") + " the of"), // rule 6: alpha + rule 1 ok
+      (7L, Seq.fill(60)("zz qq xx").mkString(" "))    // rule 7: no stop words
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherSignals(rows, "text")
+      .select("doc_id", "gopher_pass", "n_words", "stop_hits")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(1L) === true)
+    for (id <- 2L to 7L) assert(out(id) === false, s"doc $id should fail")
+  }
+
   test("pageRank: hand-computed dangling case, mass conservation, edge-multiplicity invariance") {
     import graft.ops.Graph
     // n=2, single edge a→b, one iteration: r0 = 0.5 each; b is dangling so
