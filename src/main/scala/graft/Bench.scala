@@ -107,7 +107,8 @@ object Bench {
       "q_delta_inc", "q_delta_retry", "q_streaming", "q_sessionize",
       "q_streaming_late", "q_stream_join", "q_dup_fraction", "q_profile",
       "q_dsir", "q_temperature_mix", "q_semdedup", "q_quality_classifier",
-      "q_exact_substr", "q_subtract_seen", "q_pagerank", "q_gopher_rules")
+      "q_exact_substr", "q_subtract_seen", "q_pagerank", "q_gopher_rules",
+      "q_weighted_sample")
     val shown =
       if (only.isDefined) results.keys.toVector.sorted // local subset run: show all
       else headline.filter(results.contains)

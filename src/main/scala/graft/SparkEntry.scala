@@ -1292,6 +1292,14 @@ object SparkEntry {
         minLen = 13)
     }),
 
+    "q_weighted_sample" -> ((s, dir) =>
+      // Efraimidis–Spirakis weighted sample, weight = document length:
+      // md5-uniform keys make the draw engine-exact; TakeOrdered top-n
+      Split.weightedSample(
+        T(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "doc_id", "n_chars", n = 100, seed = "ws")),
+
     "q_gopher_rules" -> ((s, dir) => {
       // Gopher/MassiveText quality rules (Rae et al. 2021 App. A): exact
       // integer counts + one 6-dp-rounded division per signal, so every
@@ -2681,6 +2689,15 @@ object SparkEntry {
            |  coalesce(txt.text_clean, '') AS text_clean
            |FROM d LEFT JOIN rem ON d.doc_id = rem.doc_id
            |LEFT JOIN txt ON d.doc_id = txt.doc_id""".stripMargin,
+
+      "q_weighted_sample" ->
+        """SELECT doc_id, source, n_chars FROM (
+          |  SELECT doc_id, source, n_chars,
+          |    round(pow(CAST(CAST('0x' || substr(md5(doc_id || ':ws'), 1, 13)
+          |        AS BIGINT) AS DOUBLE) / 4503599627370496.0,
+          |      1.0 / CAST(n_chars AS DOUBLE)), 12) AS k
+          |  FROM documents WHERE n_chars > 0
+          |  ORDER BY k DESC, doc_id ASC LIMIT 100)""".stripMargin,
 
       "q_gopher_rules" ->
         raw"""WITH d AS (SELECT doc_id, text,

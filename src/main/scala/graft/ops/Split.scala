@@ -36,6 +36,37 @@ object Split {
     df.filter(pmod(col(keyCol), lit(total)) === index)
 
   /**
+   * Weighted sample without replacement of `n` rows (Efraimidis–Spirakis
+   * A-ES, 2006): each row gets key u^(1/w) where u is a 52-bit uniform
+   * derived from `md5(id:seed)`, and the n largest keys win — inclusion
+   * probability is proportional to weight, exactly as the classic
+   * algorithm, but the "random" draw is a content hash, so the sample is
+   * reproducible across runs, engines, and cluster sizes (the
+   * q_weighted_sample oracle replays the identical formula in SQL; keys
+   * round to 12 dp with an id tiebreak so libm pow ulp differences can't
+   * flip the order). Rows with non-positive weight are excluded (the
+   * algorithm is defined for w > 0).
+   *
+   * Scale shape: orderBy+limit plans as TakeOrderedAndProject — each
+   * partition keeps its local top-n and only n rows per partition reach
+   * the single reducer; nothing global is sorted. This is the
+   * "downsample 100 TB to a weighted 1 B-row corpus" primitive.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, n: Int,
+                     seed: String = ""): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + seed))), 1, 13), 16, 10).cast("double") /
+      lit(4503599627370496.0) // 2^52
+    val key = round(pow(u, lit(1.0) / col(weightCol).cast("double")), 12)
+    df.filter(col(weightCol) > 0)
+      .withColumn("__wk", key)
+      .orderBy(col("__wk").desc, col(idCol).asc)
+      .limit(n)
+      .drop("__wk")
+  }
+
+  /**
    * Stratified deterministic sample: at most `perGroup` rows per stratum,
    * chosen by md5-hash order of the key — reproducible across engines and
    * runs (training-data class balancing). One shuffle (window per stratum);

@@ -714,6 +714,28 @@ class OpsSpec extends SparkSpec {
     assert(none.count() === 4)
   }
 
+  test("weightedSample matches an independent replay of the A-ES formula") {
+    // independent implementation: JDK MessageDigest, no Spark expressions
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def key(id: Long, w: Double): Double = {
+      val u = java.lang.Long.parseLong(md5hex(s"$id:t").take(13), 16) / 4503599627370496.0
+      BigDecimal(math.pow(u, 1.0 / w)).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rows = (1L to 50L).map(i => (i, (i % 7 + 1).toDouble)) :+ (51L, 0.0)
+    val df = rows.toDF("id", "w")
+    val got = Split.weightedSample(df, "id", "w", n = 10, seed = "t")
+      .select("id").as[Long].collect().toSet
+    val want = rows.filter(_._2 > 0)
+      .sortBy { case (id, w) => (-key(id, w), id) }.take(10).map(_._1).toSet
+    assert(got === want)
+    // zero-weight row can never appear, even with n > rows
+    val all = Split.weightedSample(df, "id", "w", n = 100, seed = "t")
+      .select("id").as[Long].collect().toSet
+    assert(!all.contains(51L) && all.size === 50)
+  }
+
   test("gopherSignals: each rule fires on its crafted violator") {
     val base = ("the data to be of use must have come with fifty words " +
       "at least so this sentence keeps adding plain english filler words " +

@@ -155,6 +155,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("q_weighted_sample: A-ES top-n plans as TakeOrdered, not a full sort") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("q_stratified: per-stratum cap prunes map-side via WindowGroupLimit") {
     val p = plan("q_stratified")
     assert(p.contains("WindowGroupLimit"), p)
