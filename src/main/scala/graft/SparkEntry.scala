@@ -1292,6 +1292,33 @@ object SparkEntry {
         minLen = 13)
     }),
 
+    "q_c4_rules" -> ((s, dir) => {
+      // C4 cleaning (Raffel et al. 2020): the corpus is single-line, so
+      // synthesize a 3-line page per document (equal token thirds, each
+      // closed with a period), then plant violations — every 7th doc says
+      // "javascript" in line 2 (line rule), every 11th gains a lorem-ipsum
+      // line (page rule), every 13th a brace (page rule). Short docs make
+      // <5-word lines, exercising the word-count rule. All counts, keeps,
+      // and rebuilt texts reproduce exactly in the oracle.
+      val toks = filter(split(trim(col("text")), "\\s+"), w => length(w) > 0)
+      val nt = size(toks)
+      val k = (nt / lit(3)).cast("int")
+      val l1 = concat(array_join(slice(toks, lit(1), k), " "), lit("."))
+      val l2b = array_join(slice(toks, k + 1, k), " ")
+      val l2 = when(col("doc_id") % 7 === 0,
+        concat(l2b, lit(" javascript."))).otherwise(concat(l2b, lit(".")))
+      val l3b = array_join(slice(toks, k * 2 + 1, nt - k * 2), " ")
+      val l3 = when(col("doc_id") % 13 === 0,
+        concat(l3b, lit(" {."))).otherwise(concat(l3b, lit(".")))
+      val page = when(col("doc_id") % 11 === 0,
+        concat_ws("\n", l1, l2, l3, lit("lorem ipsum dolor sit amet words.")))
+        .otherwise(concat_ws("\n", l1, l2, l3))
+      val input = T(s, dir, "documents")
+        .select(col("doc_id"), page.as("text"))
+      TextAnalysis.c4Signals(input, "doc_id", "text")
+        .select("doc_id", "n_lines", "n_kept", "c4_keep", "text_clean")
+    }),
+
     "q_weighted_sample" -> ((s, dir) =>
       // Efraimidis–Spirakis weighted sample, weight = document length:
       // md5-uniform keys make the draw engine-exact; TakeOrdered top-n
@@ -2689,6 +2716,41 @@ object SparkEntry {
            |  coalesce(txt.text_clean, '') AS text_clean
            |FROM d LEFT JOIN rem ON d.doc_id = rem.doc_id
            |LEFT JOIN txt ON d.doc_id = txt.doc_id""".stripMargin,
+
+      "q_c4_rules" ->
+        raw"""WITH d AS (SELECT doc_id,
+           |   list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks
+           |  FROM documents),
+           | sz AS (SELECT doc_id, toks, len(toks) AS nt, len(toks)//3 AS k FROM d),
+           | pg AS (SELECT doc_id,
+           |   array_to_string(toks[1:k], ' ') || '.' AS l1,
+           |   CASE WHEN doc_id % 7 = 0
+           |     THEN array_to_string(toks[k+1:2*k], ' ') || ' javascript.'
+           |     ELSE array_to_string(toks[k+1:2*k], ' ') || '.' END AS l2,
+           |   CASE WHEN doc_id % 13 = 0
+           |     THEN array_to_string(toks[2*k+1:nt], ' ') || ' {.'
+           |     ELSE array_to_string(toks[2*k+1:nt], ' ') || '.' END AS l3
+           |  FROM sz),
+           | t2 AS (SELECT doc_id,
+           |   CASE WHEN doc_id % 11 = 0
+           |     THEN l1 || chr(10) || l2 || chr(10) || l3 || chr(10) ||
+           |       'lorem ipsum dolor sit amet words.'
+           |     ELSE l1 || chr(10) || l2 || chr(10) || l3 END AS text
+           |  FROM pg),
+           | s AS (SELECT doc_id, text,
+           |   string_split(text, chr(10)) AS lines,
+           |   list_filter(string_split(text, chr(10)), l ->
+           |     (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!')
+           |       OR ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+           |     AND len(list_filter(string_split_regex(trim(l), '\s+'),
+           |       w -> w <> '')) >= 5
+           |     AND NOT contains(lower(l), 'javascript')) AS kept
+           |  FROM t2)
+           |SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+           |  len(kept) >= 3 AND NOT contains(lower(text), 'lorem ipsum')
+           |    AND NOT contains(text, '{') AS c4_keep,
+           |  coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+           |FROM s""".stripMargin,
 
       "q_weighted_sample" ->
         """SELECT doc_id, source, n_chars FROM (

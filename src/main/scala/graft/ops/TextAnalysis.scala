@@ -231,6 +231,47 @@ object TextAnalysis {
    * documents produce degenerate (NaN) word ratios — drop empty docs
    * first (rule 1 fails them anyway).
    */
+  /**
+   * C4 cleaning rules (Raffel et al. 2020 §2.2): line-level — keep only
+   * lines that end in terminal punctuation ('.', '!', '?', '"'), have at
+   * least five words, and do not mention "javascript"; document-level —
+   * drop pages left with fewer than three kept lines, or containing
+   * "lorem ipsum" or a curly brace. (The original also applies a bad-word
+   * blocklist; that list is externally licensed and is a caller-supplied
+   * filter here, not baked in.) Adds `n_lines`, `n_kept`, `c4_keep`, and
+   * the rebuilt `text_clean`; [[c4Clean]] applies the verdict. Pure
+   * projection — exact counts, no shuffle, engine-reproducible
+   * (q_c4_rules oracle).
+   */
+  def c4Signals(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n", -1)
+    val kept = filter(lines, l => {
+      val r = rtrim(l)
+      (endswith(r, lit(".")) || endswith(r, lit("!")) ||
+        endswith(r, lit("?")) || endswith(r, lit("\""))) &&
+        size(filter(split(trim(l), "\\s+"), w => length(w) > 0)) >= 5 &&
+        !contains(lower(l), lit("javascript"))
+    })
+    df.withColumn("n_lines", size(lines))
+      .withColumn("n_kept", size(kept))
+      .withColumn("text_clean", array_join(kept, "\n"))
+      .withColumn("c4_keep",
+        col("n_kept") >= 3 &&
+          !contains(lower(t), lit("lorem ipsum")) &&
+          !contains(t, lit("{")))
+  }
+
+  /** Apply the C4 verdict: surviving documents with their cleaned text
+    * replacing `textCol`. */
+  def c4Clean(df: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String): org.apache.spark.sql.DataFrame =
+    c4Signals(df, idCol, textCol)
+      .filter(col("c4_keep"))
+      .withColumn(textCol, col("text_clean"))
+      .drop("n_lines", "n_kept", "text_clean", "c4_keep")
+
   def gopherSignals(df: org.apache.spark.sql.DataFrame,
                     textCol: String): org.apache.spark.sql.DataFrame = {
     val t = col(textCol)

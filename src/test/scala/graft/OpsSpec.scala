@@ -714,6 +714,27 @@ class OpsSpec extends SparkSpec {
     assert(none.count() === 4)
   }
 
+  test("c4 rules: line and page verdicts, cleaned text rebuild") {
+    val rows = Seq(
+      (1L, "this line has five good words.\nanother line with enough words here.\na third qualifying line sits here."),
+      (2L, "no terminal punctuation on this line\nshort line.\nthis page keeps too few lines overall."),
+      (3L, "this page uses javascript in every line javascript.\nmore javascript mentions on this line javascript.\njavascript rules drop these lines too javascript."),
+      (4L, "a fine line with enough words.\nanother fine line with plenty words.\nthird fine line is long enough.\nbut lorem ipsum poisons the page."),
+      (5L, "curly brace { kills the whole page.\nsecond line with sufficient word count.\nthird line also has enough words.")
+    ).toDF("doc_id", "text")
+    val s = TextAnalysis.c4Signals(rows, "doc_id", "text")
+      .select("doc_id", "n_kept", "c4_keep").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(s(1L) === ((3, true)))
+    assert(s(2L) === ((1, false))) // only the last line qualifies
+    assert(s(3L) === ((0, false))) // javascript line rule removes all
+    assert(s(4L) === ((4, false))) // lines fine, page rule: lorem ipsum
+    assert(s(5L) === ((3, false))) // all lines pass line rules; brace is a page rule
+    val cleaned = TextAnalysis.c4Clean(rows, "doc_id", "text")
+    assert(cleaned.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    assert(cleaned.select("text").as[String].head().split("\n").length === 3)
+  }
+
   test("weightedSample matches an independent replay of the A-ES formula") {
     // independent implementation: JDK MessageDigest, no Spark expressions
     def md5hex(s: String): String =
