@@ -1292,6 +1292,16 @@ object SparkEntry {
         minLen = 13)
     }),
 
+    "q_kmeans" -> ((s, dir) => {
+      // engine-exact Lloyd's k-means (k=8, 2 update iterations) over the
+      // embeddings: decimal-summed distances and means make every
+      // assignment and centroid bit-reproducible — the oracle unrolls the
+      // same two iterations in SQL
+      val (assignments, _) =
+        Similarity.kmeans(T(s, dir, "embeddings"), k = 8, iterations = 2)
+      assignments
+    }),
+
     "q_c4_rules" -> ((s, dir) => {
       // C4 cleaning (Raffel et al. 2020): the corpus is single-line, so
       // synthesize a 3-line page per document (equal token thirds, each
@@ -2716,6 +2726,50 @@ object SparkEntry {
            |  coalesce(txt.text_clean, '') AS text_clean
            |FROM d LEFT JOIN rem ON d.doc_id = rem.doc_id
            |LEFT JOIN txt ON d.doc_id = txt.doc_id""".stripMargin,
+
+      // unrolled Lloyd iterations mirroring Similarity.kmeans arithmetic
+      // exactly (12-dp rounds, DECIMAL(38,18) sums, 9-dp distances, cid
+      // tiebreak) — assignments and distances are bit-equal
+      "q_kmeans" ->
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+          | c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x
+          |   FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+          | d1 AS (SELECT v.vec_id, c.cid,
+          |     round(CAST(list_sum(list_transform(generate_series(1, 64),
+          |       i -> CAST(round((v.x[i] - c.x[i]) * (v.x[i] - c.x[i]), 12)
+          |         AS DECIMAL(38,18)))) AS DOUBLE), 9) AS d
+          |   FROM v, c0 c),
+          | a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+          |     row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |   FROM d1) WHERE rn = 1),
+          | u1 AS (SELECT a.cid, i.i AS dim,
+          |     round(CAST(sum(CAST(round(v.x[i.i], 12) AS DECIMAL(38,18)))
+          |       AS DOUBLE) / count(*), 12) AS m
+          |   FROM a1 a JOIN v USING (vec_id), generate_series(1, 64) AS i(i)
+          |   GROUP BY a.cid, i.i),
+          | c1 AS (SELECT cid, list(m ORDER BY dim) AS x FROM u1 GROUP BY cid),
+          | d2 AS (SELECT v.vec_id, c.cid,
+          |     round(CAST(list_sum(list_transform(generate_series(1, 64),
+          |       i -> CAST(round((v.x[i] - c.x[i]) * (v.x[i] - c.x[i]), 12)
+          |         AS DECIMAL(38,18)))) AS DOUBLE), 9) AS d
+          |   FROM v, c1 c),
+          | a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+          |     row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |   FROM d2) WHERE rn = 1),
+          | u2 AS (SELECT a.cid, i.i AS dim,
+          |     round(CAST(sum(CAST(round(v.x[i.i], 12) AS DECIMAL(38,18)))
+          |       AS DOUBLE) / count(*), 12) AS m
+          |   FROM a2 a JOIN v USING (vec_id), generate_series(1, 64) AS i(i)
+          |   GROUP BY a.cid, i.i),
+          | c2 AS (SELECT cid, list(m ORDER BY dim) AS x FROM u2 GROUP BY cid),
+          | d3 AS (SELECT v.vec_id, c.cid,
+          |     round(CAST(list_sum(list_transform(generate_series(1, 64),
+          |       i -> CAST(round((v.x[i] - c.x[i]) * (v.x[i] - c.x[i]), 12)
+          |         AS DECIMAL(38,18)))) AS DOUBLE), 9) AS d
+          |   FROM v, c2 c)
+          |SELECT vec_id, cid AS cluster, d AS dist FROM (SELECT vec_id, cid, d,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          |  FROM d3) WHERE rn = 1""".stripMargin,
 
       "q_c4_rules" ->
         raw"""WITH d AS (SELECT doc_id,

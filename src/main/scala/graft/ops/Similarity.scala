@@ -100,6 +100,69 @@ object Similarity {
     (assign(corpus, centroids, vecCol, idCol), centroids)
   }
 
+  /**
+   * Lloyd's k-means with engine-exact arithmetic — the oracled counterpart
+   * of [[ivfBuild]]'s float-path training (same algorithm, same scale
+   * shape; use this when the clustering itself is the product, e.g.
+   * SemDeDup cluster assignment or an auditable IVF build).
+   *
+   * Determinism contract (what the q_kmeans oracle replays in SQL):
+   * initial centroids are the `k` lowest-id vectors (cid by id order);
+   * per-dimension squared differences round to 12 dp and sum as
+   * DECIMAL(38,18) — exact, order-independent — with distances rounded to
+   * 9 dp and ties broken by lower cid; centroid means use the same
+   * decimal-sum trick rounded back to 12 dp. Every assignment and
+   * centroid therefore reproduces bit-for-bit in any SQL engine. A
+   * centroid left with no members drops out (standard Lloyd degeneracy),
+   * identically on both engines.
+   *
+   * Scale shape mirrors [[ivfBuild]]: centroids broadcast; assignment
+   * partial-aggregates via min(struct) map-side (one row per corpus row
+   * crosses the shuffle); centroid recompute explodes by dimension — the
+   * shuffle carries rows×dim scalars with map-side combine, never a
+   * collect_list of a cluster.
+   *
+   * Returns (assignments (idCol, cluster, dist), centroids (cluster, __c)).
+   */
+  def kmeans(corpus: DataFrame, k: Int, iterations: Int,
+             vecCol: String = "embedding", idCol: String = "vec_id")
+      : (DataFrame, DataFrame) = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val v = corpus.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__x"))
+    def dist(x: Column, c: Column): Column =
+      round(aggregate(
+        zip_with(x, c, (a, b) => round((a - b) * (a - b), 12).cast(dec)),
+        lit(0).cast(dec), (acc, e) => (acc + e).cast(dec)).cast("double"), 9)
+    var cents = v.orderBy("__id").limit(k)
+      .withColumn("cid",
+        row_number().over(Window.orderBy(col("__id"))).cast("int") - 1)
+      .select(col("cid"), col("__x").as("__c"))
+      .localCheckpoint()
+    def assignAll(): DataFrame =
+      v.crossJoin(broadcast(cents))
+        .withColumn("__d", dist(col("__x"), col("__c")))
+        .groupBy("__id")
+        .agg(min(struct(col("__d"), col("cid"))).as("__b"),
+          first(col("__x")).as("__x"))
+    for (_ <- 1 to iterations) {
+      cents = assignAll()
+        .select(col("__b.cid").as("cid"),
+          posexplode(col("__x")).as(Seq("__dim", "__val")))
+        .groupBy("cid", "__dim")
+        .agg(round(sum(round(col("__val"), 12).cast(dec)).cast("double") /
+          count(lit(1)), 12).as("__m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__m")))),
+          x => x.getField("__m")).as("__c"))
+        .localCheckpoint()
+    }
+    val out = assignAll()
+      .select(col("__id").as(idCol), col("__b.cid").as("cluster"),
+        col("__b.__d").as("dist"))
+    (out, cents.select(col("cid").as("cluster"), col("__c")))
+  }
+
   private def assign(corpus: DataFrame, centroids: DataFrame,
                      vecCol: String, idCol: String): DataFrame = {
     // nearest centroid via min_by aggregation: partial-aggregates map-side,

@@ -714,6 +714,24 @@ class OpsSpec extends SparkSpec {
     assert(none.count() === 4)
   }
 
+  test("kmeans separates two obvious blobs and assigns every row once") {
+    val blobA = (1L to 10L).map(i => (i, Array(1.0f + i * 0.001f, 1.0f)))
+    val blobB = (11L to 20L).map(i => (i, Array(-1.0f, -1.0f - i * 0.001f)))
+    val df = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val (assign, cents) = Similarity.kmeans(df, k = 2, iterations = 3)
+    val byCluster = assign.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byCluster.size === 20)
+    val aClusters = (1L to 10L).map(byCluster).toSet
+    val bClusters = (11L to 20L).map(byCluster).toSet
+    assert(aClusters.size === 1 && bClusters.size === 1 &&
+      aClusters != bClusters)
+    assert(cents.count() === 2)
+    // determinism: a second run yields the identical assignment
+    val (again, _) = Similarity.kmeans(df, k = 2, iterations = 3)
+    assert(again.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap === byCluster)
+  }
+
   test("c4 rules: line and page verdicts, cleaned text rebuild") {
     val rows = Seq(
       (1L, "this line has five good words.\nanother line with enough words here.\na third qualifying line sits here."),
