@@ -292,6 +292,71 @@ object ScaleProbe {
       println(f"ann scale ${l._1.toDouble / f._1}%.0fx -> hamming ${l._2 / f._2}%.2fx " +
         f"ivf ${l._3 / f._3}%.2fx rerank ${l._4 / f._4}%.2fx")
     }
+    // PageRank at K disjoint copies of the supplier→part graph: node count
+    // and edge count both scale K×; per-iteration cost is the edges⋈ranks
+    // join, so time should track K ~linearly. Mass conservation (Σrank=1)
+    // must hold at every K — it exercises the dangling-mass path, since
+    // every part node is dangling.
+    if (want("graph")) {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst")).cache()
+      val nEdge = li.count()
+      val results = ks.map { k =>
+        val edges = li.crossJoin(spark.range(k).select(col("id").as("__c")))
+          .select(concat(col("src"), lit("_"), col("__c")).as("src"),
+            concat(col("dst"), lit("_"), col("__c")).as("dst"))
+        val t0 = System.nanoTime()
+        val ranks = graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3)
+        val (nNodes, total) = {
+          val r = ranks.agg(count(lit(1)), sum("rank")).head()
+          (r.getLong(0), r.getDouble(1))
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"pagerank K=$k%-3d edges=${nEdge * k}%-9d nodes=$nNodes%-8d " +
+          f"mass=$total%.9f ${sec}%.2f s")
+        require(math.abs(total - 1.0) < 1e-6,
+          s"rank mass leaked at K=$k: $total")
+        (k, sec)
+      }
+      println(f"pagerank scale ${results.last._1.toDouble / results.head._1}%.0fx " +
+        f"-> time factor ${results.last._2 / results.head._2}%.2fx")
+    }
+
+    // Engine-exact k-means at K× jittered embeddings: assignment is a
+    // broadcast-centroid scan (linear), recompute shuffles rows×dim
+    // scalars with map-side combine — time should track K ~linearly and
+    // all 8 clusters must stay populated.
+    if (want("kmeans")) {
+      import graft.ops.Similarity
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select("vec_id", "embedding").cache()
+      val nEmb = emb.count()
+      val results = ks.map { k =>
+        // id = copy*n + vec_id keeps the k lowest ids (the deterministic
+        // init) DISTINCT vectors of copy 0 — vec_id*k+copy would make all
+        // 8 initial centroids jittered clones of vector 0 and collapse a
+        // cluster (observed: 7/8 at K=8)
+        val corpus = emb.crossJoin(
+            spark.range(k).select(col("id").as("__copy")))
+          .select((col("__copy") * nEmb + col("vec_id")).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x + (pmod(col("__copy") * 31 + i, lit(7)) - lit(3))
+                .cast("float") * lit(0.01f)).as("embedding"))
+        val t0 = System.nanoTime()
+        val (assign, cents) = Similarity.kmeans(corpus, k = 8, iterations = 2)
+        val nAssigned = assign.count()
+        val nCents = cents.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"kmeans K=$k%-3d vecs=${nEmb * k}%-8d assigned=$nAssigned%-8d " +
+          f"clusters=$nCents ${sec}%.2f s")
+        require(nAssigned == nEmb * k && nCents == 8,
+          s"kmeans degenerate at K=$k: $nAssigned rows, $nCents clusters")
+        (k, sec)
+      }
+      println(f"kmeans scale ${results.last._1.toDouble / results.head._1}%.0fx " +
+        f"-> time factor ${results.last._2 / results.head._2}%.2fx")
+    }
     spark.stop()
   }
 }
