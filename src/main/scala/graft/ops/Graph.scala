@@ -50,27 +50,48 @@ object Graph {
     val spark = edgesRaw.sparkSession
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
+    // ONE exchange covers the whole static setup: hash-partitioning by
+    // __src colocates duplicate edges (distinct), degree groups, and the
+    // join — Catalyst reuses the partitioning for all three (subset rule:
+    // HashPartitioning(src) satisfies ClusteredDistribution(src, dst)) —
+    // and the persisted frame is the in-memory equivalent of bucketing by
+    // src, so each iteration's edges⋈ranks join moves only the O(nodes)
+    // rank table
     val edges = edgesRaw
       .select(col(srcCol).cast("string").as("__src"),
         col(dstCol).cast("string").as("__dst"))
       .filter(col("__src").isNotNull && col("__dst").isNotNull)
+      .repartition(col("__src"))
       .distinct()
     val deg = edges.groupBy("__src").agg(count(lit(1)).as("__deg"))
-    // static across iterations: join degree into the edge list once
     val edgesDeg = edges.join(deg, "__src").persist(MEMORY_AND_DISK)
-    val nodes = edges.select(col("__src").as("node"))
-      .union(edges.select(col("__dst")))
+    // derive nodes from the persisted frame so the source scan +
+    // distinct pipeline runs once, not once per consumer
+    val nodes = edgesDeg.select(col("__src").as("node"))
+      .union(edgesDeg.select(col("__dst")))
       .distinct()
       .persist(MEMORY_AND_DISK)
     val n = nodes.count()
     val dec = DecimalType(38, 18)
 
+    // lazy checkpoints: the Catalyst plan stays constant-size per
+    // iteration (LogicalRDD boundary) but nothing materializes until the
+    // caller's action, so the whole power iteration runs as ONE job
+    // instead of one blocking job per iteration — at gate scale that
+    // halves wall time (job-scheduling overhead dominates), at cluster
+    // scale it lets the scheduler pipeline the independent aggregates
     var ranks = nodes
       .withColumn("rank", round(lit(1.0) / lit(n.toDouble), 12))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     for (_ <- 1 to iterations) {
+      // shuffle-hash (not sort-merge): the persisted edge side is already
+      // partitioned on __src, and hashing the O(nodes) rank table per
+      // partition beats re-sorting the edge list every iteration; a rank
+      // partition is nodes/P rows — executor-memory-safe at any graph
+      // size that fits the cluster at all
       val contribs = edgesDeg
-        .join(ranks.withColumnRenamed("node", "__src"), "__src")
+        .join(ranks.withColumnRenamed("node", "__src").hint("shuffle_hash"),
+          "__src")
         .groupBy(col("__dst").as("node"))
         .agg(sum(round(col("rank") / col("__deg"), 12).cast(dec))
           .cast("double").as("__c"))
@@ -87,7 +108,7 @@ object Graph {
           round(lit((1.0 - damping) / n.toDouble) +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) +
               col("__dm") / lit(n.toDouble)), 12).as("rank"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     edgesDeg.unpersist(); nodes.unpersist()
     ranks
