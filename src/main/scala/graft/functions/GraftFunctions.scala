@@ -38,6 +38,11 @@ object GraftFunctions {
   def cosine_distance(a: Column, b: Column): Column =
     toCol(CosineDistance(toExpr(a), toExpr(b)))
 
+  /** Engine-exact squared euclidean distance over double vectors (12-dp
+    * decimal-summed) — the codegen'd kernel behind `Similarity.kmeans`. */
+  def decimal_sq_distance(a: Column, b: Column): Column =
+    toCol(DecimalSqDistance(toExpr(a), toExpr(b)))
+
   /** L2 distance over float vectors (reference: src/datachain/func/array.py:65). */
   def euclidean_distance(a: Column, b: Column): Column =
     toCol(EuclideanDistance(toExpr(a), toExpr(b)))

@@ -103,6 +103,30 @@ object Impl {
 
   // ------------------------------------------------------- vector distances
 
+  /**
+   * Engine-exact squared euclidean distance over double vectors: each
+   * squared difference is rounded to 12 dp through the SAME BigDecimal
+   * path Spark's `round(x, 12)` uses (valueOf → setScale HALF_UP), summed
+   * exactly in decimal, and the total converted back to double. This is
+   * the codegen'd kernel behind [[graft.ops.Similarity.kmeans]] — the
+   * equivalent zip_with/aggregate HOF composition evaluates interpreted
+   * (lambda per element) and measured ~5× slower; the result is
+   * bit-identical, so the unrolled SQL oracle is unaffected.
+   */
+  def decimalSqDist(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"vector length mismatch: $n vs ${b.numElements()}")
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc = acc.add(java.math.BigDecimal.valueOf(d * d)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    acc.doubleValue()
+  }
+
   /** Cosine distance (1 - cosine similarity) between two float vectors. */
   def cosineDistanceFloat(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()

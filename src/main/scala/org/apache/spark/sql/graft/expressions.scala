@@ -203,6 +203,23 @@ case class SimHash64Shingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Engine-exact squared euclidean distance (12-dp decimal-summed; see
+  * [[graft.functions.Impl.decimalSqDist]]) — the codegen'd k-means kernel. */
+case class DecimalSqDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "decimal_sq_distance"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Impl.decimalSqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.Impl.decimalSqDist($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}
+
 /**
  * Membership probe against a pre-built broadcast Bloom filter (spark-sketch
  * serialized form, as produced by `DataFrameStatFunctions.bloomFilter`).
