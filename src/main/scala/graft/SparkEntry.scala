@@ -1292,6 +1292,13 @@ object SparkEntry {
         minLen = 13)
     }),
 
+    "q_bm25" -> ((s, dir) =>
+      // BM25 relevance against a 3-term query; corpus stats (N, Σdl, df)
+      // are one broadcast row, scores are exact-count arithmetic — the
+      // oracle reproduces the formula term-for-term
+      Corpus.bm25(T(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", Seq("spark", "table", "hash"))),
+
     "q_kmeans" -> ((s, dir) => {
       // engine-exact Lloyd's k-means (k=8, 2 update iterations) over the
       // embeddings: decimal-summed distances and means make every
@@ -2726,6 +2733,35 @@ object SparkEntry {
            |  coalesce(txt.text_clean, '') AS text_clean
            |FROM d LEFT JOIN rem ON d.doc_id = rem.doc_id
            |LEFT JOIN txt ON d.doc_id = txt.doc_id""".stripMargin,
+
+      "q_bm25" ->
+        raw"""WITH d AS (SELECT doc_id,
+           |   list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS toks
+           |  FROM documents),
+           | f AS (SELECT doc_id, len(toks) AS dl,
+           |   len(list_filter(toks, x -> x = 'spark')) AS tf0,
+           |   len(list_filter(toks, x -> x = 'table')) AS tf1,
+           |   len(list_filter(toks, x -> x = 'hash')) AS tf2
+           |  FROM d),
+           | g AS (SELECT count(*) AS n, sum(dl) AS sdl,
+           |   sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+           |   sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+           |   sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+           |  FROM f)
+           |SELECT doc_id, round(
+           |   ln(1.0 + (CAST(n AS DOUBLE) - df0 + 0.5) / (df0 + 0.5))
+           |     * (CAST(tf0 AS DOUBLE) * (1.2 + 1.0))
+           |     / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+           |        / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+           | + ln(1.0 + (CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5))
+           |     * (CAST(tf1 AS DOUBLE) * (1.2 + 1.0))
+           |     / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+           |        / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))
+           | + ln(1.0 + (CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5))
+           |     * (CAST(tf2 AS DOUBLE) * (1.2 + 1.0))
+           |     / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+           |        / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS score
+           |FROM f, g WHERE tf0 + tf1 + tf2 > 0""".stripMargin,
 
       // unrolled Lloyd iterations mirroring Similarity.kmeans arithmetic
       // exactly (12-dp rounds, DECIMAL(38,18) sums, 9-dp distances, cid

@@ -409,4 +409,52 @@ object Corpus {
         round(avg(col("__lp")), 6).as("avg_logp"))
       .withColumn("ppl", round(exp(-col("avg_logp")), 3))
   }
+
+  /**
+   * BM25 (Robertson–Spärck Jones) relevance of every document against a
+   * fixed term set — the retrieval scorer behind query-targeted data
+   * selection ("find the corpus subset that looks like my eval set").
+   * Standard formula with idf = ln(1 + (N - df + ½)/(df + ½)); only docs
+   * matching at least one term are returned, scores rounded to 6 dp.
+   *
+   * Scale shape: one map-side pass computes per-doc term frequencies and
+   * length (whitespace tokens, lowercased); the corpus statistics the
+   * formula needs (N, Σdl, per-term df) collapse to ONE broadcast row, so
+   * there is no shuffle proportional to the corpus at all — at 100 TB
+   * this is a scan, a 1-row aggregate, and a second scan. Term count is
+   * expression-compiled (one `size(filter(...))` per term), so keep the
+   * query under ~100 terms; beyond that, explode+join a term table
+   * instead. All arithmetic is exact counts → fixed-shape double
+   * expressions, reproduced term-for-term by the q_bm25 oracle.
+   */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val withTf = docs
+      .withColumn("__dl", size(toks))
+      .withColumns(queryTerms.zipWithIndex.map { case (t, i) =>
+        s"__tf_$i" -> size(filter(toks, x => x === lit(t)))
+      }.toMap)
+    val aggs = count(lit(1)).as("__n") +:
+      sum(col("__dl")).as("__sdl") +:
+      queryTerms.indices.map(i =>
+        sum((col(s"__tf_$i") > 0).cast("long")).as(s"__df_$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val avgdl = col("__sdl").cast("double") / col("__n").cast("double")
+    val score = queryTerms.indices.map { i =>
+      val tf = col(s"__tf_$i").cast("double")
+      val df = col(s"__df_$i")
+      val idf = log(lit(1.0) +
+        (col("__n").cast("double") - df + lit(0.5)) / (df + lit(0.5)))
+      idf * (tf * (lit(k1) + lit(1.0))) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .filter(queryTerms.indices.map(i => col(s"__tf_$i")).reduce(_ + _) > 0)
+      .withColumn("score", round(score, 6))
+      .select(col(idCol), col("score"))
+  }
 }

@@ -714,6 +714,30 @@ class OpsSpec extends SparkSpec {
     assert(none.count() === 4)
   }
 
+  test("bm25 matches an independent replay of the formula") {
+    import graft.ops.Corpus
+    val rows = Seq(
+      (1L, "spark spark table fast"),
+      (2L, "table scan only here"),
+      (3L, "nothing relevant at all whatsoever")).toDF("doc_id", "text")
+    val got = Corpus.bm25(rows, "doc_id", "text", Seq("spark", "table"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent replay: N=3, sdl=13, avgdl=13/3
+    def term(tf: Int, df: Int, dl: Int): Double = {
+      if (tf == 0) return 0.0 * math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+      val idf = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+      idf * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / (13.0 / 3.0)))
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.keySet === Set(1L, 2L)) // doc 3 matches nothing
+    assert(got(1L) === r6(term(2, 1, 4) + term(1, 2, 4)))
+    assert(got(2L) === r6(term(0, 1, 4) + term(1, 2, 4)))
+    // doc 1 mentions both terms, one twice: must outrank doc 2
+    assert(got(1L) > got(2L))
+  }
+
   test("kmeans separates two obvious blobs and assigns every row once") {
     val blobA = (1L to 10L).map(i => (i, Array(1.0f + i * 0.001f, 1.0f)))
     val blobB = (11L to 20L).map(i => (i, Array(-1.0f, -1.0f - i * 0.001f)))
