@@ -1292,6 +1292,15 @@ object SparkEntry {
         minLen = 13)
     }),
 
+    "q_blocklist" -> ((s, dir) =>
+      // Aho–Corasick blocklist scan (the deferred C4 bad-word rule):
+      // occurrence counts of 3 patterns incl. a 2-word phrase, overlapping
+      // substring semantics — the oracle counts positions per pattern
+      TextAnalysis.blocklistSignals(
+        T(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", Seq("spark", "hash", "row scan"))
+        .select("doc_id", "n_blocked", "blocklist_pass")),
+
     "q_bm25" -> ((s, dir) =>
       // BM25 relevance against a 3-term query; corpus stats (N, Σdl, df)
       // are one broadcast row, scores are exact-count arithmetic — the
@@ -2733,6 +2742,20 @@ object SparkEntry {
            |  coalesce(txt.text_clean, '') AS text_clean
            |FROM d LEFT JOIN rem ON d.doc_id = rem.doc_id
            |LEFT JOIN txt ON d.doc_id = txt.doc_id""".stripMargin,
+
+      // positional substring counts (overlapping) mirror Aho–Corasick
+      // all-occurrence semantics exactly
+      "q_blocklist" ->
+        """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+          | c AS (SELECT doc_id,
+          |   len(list_filter(generate_series(1, length(t) - 4),
+          |     i -> substr(t, i, 5) = 'spark'))
+          | + len(list_filter(generate_series(1, length(t) - 3),
+          |     i -> substr(t, i, 4) = 'hash'))
+          | + len(list_filter(generate_series(1, length(t) - 7),
+          |     i -> substr(t, i, 8) = 'row scan')) AS n_blocked
+          |  FROM d)
+          |SELECT doc_id, n_blocked, n_blocked = 0 AS blocklist_pass FROM c""".stripMargin,
 
       "q_bm25" ->
         raw"""WITH d AS (SELECT doc_id,

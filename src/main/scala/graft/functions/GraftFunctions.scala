@@ -43,6 +43,11 @@ object GraftFunctions {
   def decimal_sq_distance(a: Column, b: Column): Column =
     toCol(DecimalSqDistance(toExpr(a), toExpr(b)))
 
+  /** Total occurrences of all `patterns` (overlapping counted) in one
+    * Aho–Corasick pass — the blocklist scan for bad-word filtering. */
+  def multi_pattern_count(c: Column, patterns: Seq[String]): Column =
+    toCol(MultiPatternCount(toExpr(c), patterns))
+
   /** L2 distance over float vectors (reference: src/datachain/func/array.py:65). */
   def euclidean_distance(a: Column, b: Column): Column =
     toCol(EuclideanDistance(toExpr(a), toExpr(b)))

@@ -207,6 +207,30 @@ object TextAnalysis {
   def charNgrams(text: Column, n: Int): Column =
     graft.functions.GraftFunctions.char_ngrams(text, n)
 
+  /**
+   * Blocklist scan (the C4 bad-word rule, pattern list caller-supplied):
+   * `n_blocked` = total occurrences of any pattern (substring matches,
+   * overlapping counted) via ONE Aho–Corasick automaton pass —
+   * P patterns cost one text scan, not P regex passes — plus the
+   * `blocklist_pass` keep flag. Case-insensitive (text and patterns are
+   * lowercased together). Pure codegen'd projection; scan-prunes at
+   * 100 TB like every other signal here.
+   */
+  def blocklistSignals(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       patterns: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val n = graft.functions.GraftFunctions.multi_pattern_count(
+      lower(col(textCol)), patterns.map(_.toLowerCase))
+    df.withColumn("n_blocked", n)
+      .withColumn("blocklist_pass", col("n_blocked") === 0)
+  }
+
+  /** Apply the blocklist: keep only documents with zero pattern hits. */
+  def blocklistFilter(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      patterns: Seq[String]): org.apache.spark.sql.DataFrame =
+    blocklistSignals(df, textCol, patterns)
+      .filter(col("blocklist_pass"))
+      .drop("n_blocked", "blocklist_pass")
+
   /** The eight Gopher "stop words" (Rae et al. 2021, Appendix A) — NOT a
     * stopword list for removal; a document must contain at least two to
     * pass the rules. */

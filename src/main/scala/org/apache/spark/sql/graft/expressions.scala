@@ -203,6 +203,33 @@ case class SimHash64Shingles(child: Expression, n: Int)
     copy(child = c)
 }
 
+/**
+ * Total occurrences of a fixed pattern set in a string — one Aho–Corasick
+ * automaton pass (overlapping matches included), codegen'd as a single
+ * virtual call. The blocklist/bad-word scan of a C4-style pipeline: P
+ * patterns cost one text scan, not P. The automaton rides the expression
+ * into codegen references and rebuilds lazily per executor.
+ */
+case class MultiPatternCount(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "multi_pattern_count"
+  @transient private lazy val aho = new graft.functions.AhoCorasick(patterns)
+  /** public for generated code */
+  def count(s: UTF8String): Int = aho.countAll(s.toString)
+  override protected def nullSafeEval(v: Any): Any =
+    count(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftAho", this,
+      classOf[MultiPatternCount].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.count($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): MultiPatternCount =
+    copy(child = c)
+}
+
 /** Engine-exact squared euclidean distance (12-dp decimal-summed; see
   * [[graft.functions.Impl.decimalSqDist]]) — the codegen'd k-means kernel. */
 case class DecimalSqDistance(left: Expression, right: Expression)

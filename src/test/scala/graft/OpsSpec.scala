@@ -714,6 +714,24 @@ class OpsSpec extends SparkSpec {
     assert(none.count() === 4)
   }
 
+  test("blocklist: Aho-Corasick counts overlapping multi-pattern hits") {
+    val rows = Seq(
+      (1L, "ababa"),             // "aba" twice (overlapping), "ba" twice
+      (2L, "clean text here"),
+      (3L, "ABA uppercase hit"), // case-insensitive: one "aba"
+      (4L, "suffix overlap abab")).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistSignals(rows, "text", Seq("aba", "ba"))
+      .select("doc_id", "n_blocked", "blocklist_pass")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((4, false)))
+    assert(out(2L) === ((0, true)))
+    assert(out(3L) === ((2, false))) // "aba" + its inner "ba"
+    assert(out(4L) === ((2, false))) // "aba" and its inner "ba" in "abab"
+    val kept = TextAnalysis.blocklistFilter(rows, "text", Seq("aba", "ba"))
+    assert(kept.select("doc_id").as[Long].collect().toSeq === Seq(2L))
+    assert(kept.columns.toSeq === Seq("doc_id", "text"))
+  }
+
   test("bm25 matches an independent replay of the formula") {
     import graft.ops.Corpus
     val rows = Seq(
