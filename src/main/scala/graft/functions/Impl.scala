@@ -108,9 +108,11 @@ object Impl {
    * squared difference is rounded to 12 dp through the SAME BigDecimal
    * path Spark's `round(x, 12)` uses (valueOf → setScale HALF_UP), summed
    * exactly in decimal, and the total converted back to double. This is
-   * the codegen'd kernel behind [[graft.ops.Similarity.kmeans]] — the
-   * equivalent zip_with/aggregate HOF composition evaluates interpreted
-   * (lambda per element) and measured ~5× slower; the result is
+   * the compiled kernel behind [[graft.ops.Similarity.kmeans]] — one
+   * virtual call per row pair whether or not the surrounding operator is
+   * whole-stage-codegen'd (the k-means assignment join isn't), versus the
+   * equivalent zip_with/aggregate HOF composition's per-element lambda
+   * interpretation, measured ~5× slower end-to-end; the result is
    * bit-identical, so the unrolled SQL oracle is unaffected.
    */
   def decimalSqDist(a: ArrayData, b: ArrayData): Double = {

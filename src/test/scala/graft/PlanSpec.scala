@@ -347,4 +347,18 @@ class PlanSpec extends SparkSpec {
     // interpreted-eval fallback for the custom expressions
     assert(p.contains("graft.functions.Impl"), p.take(2000))
   }
+
+  test("blocklist and k-means kernels are codegen'd, not interpreted") {
+    val bl = SparkEntry.queries("q_blocklist")(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("codegen"))
+    assert(bl.contains(".count("), bl.take(2000)) // MultiPatternCount ref call
+    // the k-means assignment plan has no whole-stage-codegen subtree (the
+    // min(struct) aggregate and the broadcast cross join don't support
+    // codegen) — but the distance must be the single-call kernel, not the
+    // interpreted per-element HOF chain it replaced
+    val km = SparkEntry.queries("q_kmeans")(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(km.contains("decimal_sq_distance"), km.take(2000))
+    assert(!km.contains("zip_with"), km.take(2000))
+  }
 }
