@@ -101,6 +101,44 @@ object chainops {
       * (see [[Corpus.duplicatedGramFraction]]). Rows too short to have an
       * n-gram are unscored and KEPT — same keep-too-short rule as
       * [[decontaminate]] and [[filterByPerplexity]]. */
+    /** Drop rows failing the Gopher quality rules (Rae et al. 2021; see
+      * [[TextAnalysis.gopherSignals]]). */
+    def gopherFilter(textCol: String): Chain =
+      Chain(TextAnalysis.gopherSignals(c.toDF, textCol)
+        .filter(col("gopher_pass"))
+        .drop("n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+          "ellipsis_frac", "alpha_frac", "stop_hits", "gopher_pass"))
+
+    /** C4 line+page cleaning (Raffel et al. 2020; see
+      * [[TextAnalysis.c4Clean]]): surviving docs with rebuilt text. */
+    def c4Clean(idCol: String, textCol: String): Chain =
+      Chain(TextAnalysis.c4Clean(c.toDF, idCol, textCol))
+
+    /** Drop rows containing any blocklist pattern (one Aho–Corasick scan;
+      * see [[TextAnalysis.blocklistFilter]]). */
+    def blocklist(textCol: String, patterns: Seq[String]): Chain =
+      Chain(TextAnalysis.blocklistFilter(c.toDF, textCol, patterns))
+
+    /** Deterministic weighted sample without replacement (see
+      * [[Split.weightedSample]]). */
+    def weightedSample(idCol: String, weightCol: String, n: Int,
+                       seed: String = ""): Chain =
+      Chain(Split.weightedSample(c.toDF, idCol, weightCol, n, seed))
+
+    /** Attach a BM25 relevance score against `queryTerms` and keep only
+      * matching rows (see [[Corpus.bm25]]) — retrieval-targeted selection. */
+    def bm25Select(idCol: String, textCol: String,
+                   queryTerms: Seq[String]): Chain =
+      Chain(c.toDF.join(
+        Corpus.bm25(c.toDF, idCol, textCol, queryTerms), Seq(idCol), "inner"))
+
+    /** Drop rows whose normalized content already appears in `history`
+      * (bloom-prefiltered incremental dedup; see [[Dedup.subtractSeen]]). */
+    def subtractSeen(history: Chain, textCol: String, idCol: String,
+                     expectedItems: Long = 1000000L): Chain =
+      Chain(Dedup.subtractSeen(c.toDF, history.toDF, textCol, idCol,
+        expectedItems))
+
     def filterByDupFraction(textCol: String, idCol: String, maxFrac: Double,
                             n: Int = 13, minDocs: Int = 2): Chain = {
       val bad = Corpus.duplicatedGramFraction(c.toDF, idCol, textCol, n,

@@ -714,6 +714,29 @@ class OpsSpec extends SparkSpec {
     assert(none.count() === 4)
   }
 
+  test("chainops sugar composes the r5 ops end-to-end") {
+    import graft.ops.chainops._
+    val base = ("the data to be of use must have come with fifty words " +
+      "at least so this sentence keeps adding plain english filler words " +
+      "until the counter clears the minimum threshold set by the paper " +
+      "which is fifty whitespace separated words in total here now done " +
+      "extra pad tokens one two three four five six seven eight nine ten")
+    val docs = Chain((1L to 20L).map(i =>
+      (i, s"$base doc $i", i * 10L)).toDF("doc_id", "text", "weight"))
+    val out = docs
+      .gopherFilter("text")
+      .blocklist("text", Seq("forbidden phrase"))
+      .weightedSample("doc_id", "weight", n = 5, seed = "t")
+      .bm25Select("doc_id", "text", Seq("fifty"))
+    val rows = out.toDF.collect()
+    assert(rows.length === 5)
+    assert(out.toDF.columns.contains("score"))
+    val hist = Chain(Seq((100L, s"$base doc 3", 1L))
+      .toDF("doc_id", "text", "weight"))
+    val unseen = docs.subtractSeen(hist, "text", "doc_id")
+    assert(unseen.toDF.count() === 19) // doc 3's content is in history
+  }
+
   test("blocklist: Aho-Corasick counts overlapping multi-pattern hits") {
     val rows = Seq(
       (1L, "ababa"),             // "aba" twice (overlapping), "ba" twice
