@@ -97,10 +97,6 @@ object chainops {
       Chain(c.toDF.join(bad, Seq(idCol), "left_anti"))
     }
 
-    /** Drop rows whose duplicated-gram fraction is at or above `maxFrac`
-      * (see [[Corpus.duplicatedGramFraction]]). Rows too short to have an
-      * n-gram are unscored and KEPT — same keep-too-short rule as
-      * [[decontaminate]] and [[filterByPerplexity]]. */
     /** Drop rows failing the Gopher quality rules (Rae et al. 2021; see
       * [[TextAnalysis.gopherSignals]]). */
     def gopherFilter(textCol: String): Chain =
@@ -139,6 +135,10 @@ object chainops {
       Chain(Dedup.subtractSeen(c.toDF, history.toDF, textCol, idCol,
         expectedItems))
 
+    /** Drop rows whose duplicated-gram fraction is at or above `maxFrac`
+      * (see [[Corpus.duplicatedGramFraction]]). Rows too short to have an
+      * n-gram are unscored and KEPT — same keep-too-short rule as
+      * [[decontaminate]] and [[filterByPerplexity]]. */
     def filterByDupFraction(textCol: String, idCol: String, maxFrac: Double,
                             n: Int = 13, minDocs: Int = 2): Chain = {
       val bad = Corpus.duplicatedGramFraction(c.toDF, idCol, textCol, n,
