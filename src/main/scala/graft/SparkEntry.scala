@@ -1377,6 +1377,25 @@ object SparkEntry {
       graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3)
     }),
 
+    "q_triangles" -> ((s, dir) => {
+      // per-node triangle count + local clustering coefficient over the
+      // part co-occurrence graph (parts sharing an order, high-quantity
+      // lineitems only — the filter keeps the graph sparse; unfiltered,
+      // TPC-H co-occurrence is near-regular with degree ~1k at sf0.1 and
+      // the wedge space explodes to billions). LCC separates organic
+      // neighborhoods from clique-like spam farms — q_pagerank's
+      // companion web-curation signal. Degree-oriented wedge join bounds
+      // out-degree by O(sqrt E); counts exact, lcc one 12-dp-rounded
+      // IEEE division — bit-exact cross-engine.
+      val li = T(s, dir, "lineitem").filter(col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("l1").join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+        .select(col("l1.l_partkey").as("src"), col("l2.l_partkey").as("dst"))
+      graft.ops.Graph.triangleCount(e, "src", "dst")
+    }),
+
     "q_dsir" -> ((s, dir) => {
       // DSIR importance weights: curated target = src0/src1 docs, raw =
       // the other 18 sources; hashed unigram+bigram buckets (md5 mod 1024,
@@ -2957,6 +2976,26 @@ object SparkEntry {
           |     + 0.85*(coalesce(c3.c, 0) + (SELECT dm FROM d3)/(SELECT n FROM nn)), 12) AS rank
           |   FROM nd LEFT JOIN c3 ON nd.node = c3.node)
           |SELECT node, rank FROM r3""".stripMargin,
+
+      "q_triangles" ->
+        """WITH pe AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+          |   FROM lineitem l1 JOIN lineitem l2
+          |     ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+          |   WHERE l1.l_quantity > 30 AND l2.l_quantity > 30),
+          | tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          |   FROM pe e1 JOIN pe e2 ON e2.a = e1.a AND e2.b > e1.b
+          |              JOIN pe e3 ON e3.a = e1.b AND e3.b = e2.b),
+          | corners AS (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+          |   UNION ALL SELECT z FROM tri),
+          | t AS (SELECT node, count(*) AS triangles FROM corners GROUP BY node),
+          | d AS (SELECT node, count(*) AS degree FROM
+          |    (SELECT a AS node FROM pe UNION ALL SELECT b FROM pe) GROUP BY node)
+          |SELECT CAST(d.node AS VARCHAR) AS node, d.degree,
+          |  coalesce(t.triangles, 0) AS triangles,
+          |  CASE WHEN d.degree >= 2
+          |    THEN round(2.0*coalesce(t.triangles, 0)/(d.degree*(d.degree - 1)), 12)
+          |    ELSE 0.0 END AS lcc
+          |FROM d LEFT JOIN t ON d.node = t.node""".stripMargin,
 
       "q_dsir" ->
         raw"""WITH d AS (SELECT doc_id, source,

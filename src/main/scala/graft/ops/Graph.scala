@@ -113,4 +113,84 @@ object Graph {
     edgesDeg.unpersist(); nodes.unpersist()
     ranks
   }
+
+  /**
+   * Per-node triangle count + local clustering coefficient over the
+   * undirected distinct edge set. Returns (node: string, degree: long,
+   * triangles: long, lcc: double) for every non-isolated node, where
+   * `lcc = 2*triangles / (degree*(degree-1))` rounded to 12 dp (0.0 for
+   * degree-1 nodes). Web-curation use: LCC separates organic link
+   * neighborhoods from spam farms/cliques, a standard domain-quality
+   * signal next to [[pageRank]].
+   *
+   * Scale shape — degree orientation (the MR triangle-count standard,
+   * cf. Suri & Vassilvitskii WWW'11): each undirected edge is oriented
+   * from its lower-(degree, id) endpoint to the higher one, which bounds
+   * every node's out-degree by O(sqrt(|E|)) regardless of how skewed the
+   * raw degree distribution is — the celebrity-node wedge explosion
+   * (deg^2 pairs from one hub) cannot happen. Wedges are generated by a
+   * self-join of the oriented edges on the low endpoint and confirmed by
+   * a join back against the oriented edge set; every join key is a
+   * (node, node) pair, so nothing wider than two ids ever shuffles. The
+   * canonical edge frame is persisted once and feeds degrees, orientation
+   * and the closing join without re-derivation.
+   *
+   * Determinism: counts are exact integers and lcc is one IEEE double
+   * division rounded to 12 dp (a 12-dp decimal tie is not representable
+   * in binary, so round-half modes cannot diverge) — bit-equal in any
+   * engine, no tolerance needed.
+   */
+  def triangleCount(edgesRaw: DataFrame, srcCol: String, dstCol: String)
+  : DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // canonical undirected edges: (a, b) with a < b as strings — the
+    // unordered pair SET (and so degrees/triangles) is independent of
+    // which total order canonicalizes it
+    val canon = edgesRaw
+      .select(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__t"))
+      .filter(col("__s").isNotNull && col("__t").isNotNull &&
+        col("__s") =!= col("__t"))
+      .select(least(col("__s"), col("__t")).as("__a"),
+        greatest(col("__s"), col("__t")).as("__b"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val deg = canon.select(col("__a").as("node"))
+      .union(canon.select(col("__b")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // orient each edge low→high by (degree, id); carry the head's order
+    // key so the wedge join can impose a canonical order between heads
+    val keyed = canon
+      .join(deg.select(col("node").as("__a"), col("degree").as("__da")), "__a")
+      .join(deg.select(col("node").as("__b"), col("degree").as("__db")), "__b")
+    val oriented = keyed.select(
+        when(struct(col("__da"), col("__a")) < struct(col("__db"), col("__b")),
+          struct(col("__a").as("u"), col("__b").as("v"),
+            struct(col("__db").as("kd"), col("__b").as("kn")).as("vk")))
+          .otherwise(struct(col("__b").as("u"), col("__a").as("v"),
+            struct(col("__da").as("kd"), col("__a").as("kn")).as("vk")))
+          .as("__e"))
+      .select(col("__e.u").as("u"), col("__e.v").as("v"), col("__e.vk").as("vk"))
+      .persist(MEMORY_AND_DISK)
+    // wedges u→(v1, v2) with v1 before v2 in the total order close into a
+    // triangle iff oriented edge v1→v2 exists (orientation respects the
+    // same order, so only that direction needs checking)
+    val o1 = oriented.select(col("u"), col("v").as("v1"), col("vk").as("k1"))
+    val o2 = oriented.select(col("u"), col("v").as("v2"), col("vk").as("k2"))
+    val tri = o1.join(o2, Seq("u")).filter(col("k1") < col("k2"))
+      .join(oriented.select(col("u").as("v1"), col("v").as("v2")),
+        Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    val out = deg.join(perNode, Seq("node"), "left_outer")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          round(lit(2.0) * coalesce(col("triangles"), lit(0L)) /
+            (col("degree") * (col("degree") - 1)), 12))
+          .otherwise(lit(0.0)).as("lcc"))
+    out
+  }
 }

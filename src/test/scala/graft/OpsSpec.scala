@@ -887,6 +887,47 @@ class OpsSpec extends SparkSpec {
     assert(dup === r2)
   }
 
+  test("triangleCount: hand graph, K4, dirty edges, brute-force cross-check") {
+    import graft.ops.Graph
+    // two triangles joined by a bridge: 1-2-3 and 4-5-6, bridge 3-4.
+    // Dirty input: duplicates, reversed duplicates, a self-loop.
+    val e = Seq(("1", "2"), ("2", "3"), ("1", "3"), ("3", "4"),
+        ("4", "5"), ("5", "6"), ("4", "6"), ("2", "1"), ("1", "3"),
+        ("5", "5"))
+      .toDF("src", "dst")
+    val r = Graph.triangleCount(e, "src", "dst").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r.keySet === Set("1", "2", "3", "4", "5", "6"))
+    assert(r("1") === ((2L, 1L, 1.0)) && r("2") === ((2L, 1L, 1.0)))
+    assert(r("3") === ((3L, 1L, 0.333333333333)))
+    assert(r("4") === ((3L, 1L, 0.333333333333)))
+    assert(r("5") === ((2L, 1L, 1.0)) && r("6") === ((2L, 1L, 1.0)))
+    // K4: every node sits in C(3,2)=3 triangles, lcc 1.0
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a < b }
+      yield (a.toString, b.toString)).toDF("src", "dst")
+    Graph.triangleCount(k4, "src", "dst").collect().foreach { x =>
+      assert(x.getLong(1) === 3L && x.getLong(2) === 3L &&
+        x.getDouble(3) === 1.0)
+    }
+    // deterministic pseudo-random graph vs a brute-force count
+    val n = 24
+    val rnd = for { a <- 0 until n; b <- 0 until n
+      if a < b && (a * 31 + b * 17) % 5 == 0 } yield (a, b)
+    val adj = rnd.toSet
+    def linked(x: Int, y: Int) = adj.contains((math.min(x, y), math.max(x, y)))
+    val brute = (for { a <- 0 until n; b <- 0 until n; c <- 0 until n
+      if a < b && b < c && linked(a, b) && linked(b, c) && linked(a, c) }
+      yield Seq(a, b, c)).flatten.groupBy(identity).map { case (k, v) =>
+        k.toString -> v.size.toLong }
+    val got = Graph.triangleCount(
+        rnd.map(p => (p._1.toString, p._2.toString)).toDF("src", "dst"),
+        "src", "dst")
+      .collect().map(x => x.getString(0) -> x.getLong(2)).toMap
+    brute.foreach { case (k, v) => assert(got(k) === v) }
+    assert(got.filter(_._2 > 0).keySet === brute.filter(_._2 > 0).keySet)
+  }
+
   test("dsirWeights ranks target-like docs above off-domain docs") {
     import graft.ops.Corpus
     val target = Seq(

@@ -361,4 +361,16 @@ class PlanSpec extends SparkSpec {
     assert(km.contains("decimal_sq_distance"), km.take(2000))
     assert(!km.contains("zip_with"), km.take(2000))
   }
+
+  test("q_triangles: wedge join shuffles ids only — no cartesian product") {
+    val p = plan("q_triangles")
+    // degree orientation makes every stage a hash join on (node, node)
+    // keys; a CartesianProduct / BroadcastNestedLoopJoin here would mean
+    // the wedge enumeration regressed to all-pairs
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the canonical edge frame is persisted and reused (degrees,
+    // orientation, closing join), not re-derived from the source scan
+    assert(p.contains("InMemoryTableScan"), p)
+  }
 }
