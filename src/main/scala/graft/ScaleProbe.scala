@@ -323,6 +323,44 @@ object ScaleProbe {
         f"-> time factor ${results.last._2 / results.head._2}%.2fx")
     }
 
+    // Triangle counting at K disjoint copies of the co-occurrence graph:
+    // wedge space and triangle set both scale exactly K×, so the summed
+    // per-node triangle count must be K × the base count (a correctness
+    // invariant, not just a timing) and time should track K ~linearly —
+    // degree orientation keeps the per-node wedge fan-out constant as
+    // copies are added.
+    if (want("triangles")) {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .filter(col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val base = li.as("l1").join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+        .select(col("l1.l_partkey").cast("string").as("src"),
+          col("l2.l_partkey").cast("string").as("dst")).cache()
+      val nEdge = base.count()
+      var baseTri = -1L
+      val results = ks.map { k =>
+        val edges = base.crossJoin(spark.range(k).select(col("id").as("__c")))
+          .select(concat(col("src"), lit("_"), col("__c")).as("src"),
+            concat(col("dst"), lit("_"), col("__c")).as("dst"))
+        val t0 = System.nanoTime()
+        val r = graft.ops.Graph.triangleCount(edges, "src", "dst")
+          .agg(sum("triangles"), count(lit(1))).head()
+        val (tri3, nNodes) = (r.getLong(0), r.getLong(1))
+        val sec = (System.nanoTime() - t0) / 1e9
+        // per-copy count: the first probed K anchors the invariant
+        if (baseTri < 0) baseTri = tri3 / k
+        println(f"triangles K=$k%-3d edges~${nEdge * k}%-9d nodes=$nNodes%-8d " +
+          f"tri3=$tri3%-9d ${sec}%.2f s")
+        require(tri3 == baseTri * k,
+          s"triangle count not K-linear at K=$k: $tri3 vs ${baseTri * k}")
+        (k, sec)
+      }
+      println(f"triangles scale ${results.last._1.toDouble / results.head._1}%.0fx " +
+        f"-> time factor ${results.last._2 / results.head._2}%.2fx")
+    }
+
     // Engine-exact k-means at K× jittered embeddings: assignment is a
     // broadcast-centroid scan (linear), recompute shuffles rows×dim
     // scalars with map-side combine — time should track K ~linearly and
