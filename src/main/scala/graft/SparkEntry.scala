@@ -1095,6 +1095,35 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    "q_subtract_seen_near" -> ((s, dir) => {
+      // incremental NEAR-dup dedup: history = the full corpus; the new
+      // batch mixes (a) tail-marked near-dups of long history docs (same
+      // high-recall planting as q_minhash_dedup — their Jaccard sits deep
+      // above the 0.5 threshold), (b) exact copies (Jaccard 1.0, every
+      // band collides), (c) genuinely fresh rows. Oracled EXACTLY: DuckDB
+      // recomputes all new×history pair Jaccards, so a hash match proves
+      // the banded join surfaced every true near-dup (recall) and the
+      // verify step dropped nothing fresh (precision).
+      val docs = T(s, dir, "documents")
+      val hist = docs.select(col("doc_id"), col("text"))
+      val newBatch = docs
+        .filter(pmod(col("doc_id"), lit(4)) === 0 && col("n_chars") >= 200)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" tail marker token")).as("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(4)) === 2)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            concat(lit("entirely fresh content row number "), col("doc_id"),
+              lit(" with no shared phrasing")).as("text")))
+      // candidates cover ~half the batch (planted dups), so corpus-wide
+      // shingling beats the candidate semi-joins here — the web-scale
+      // default (shingleCandidatesOnly=true) wins when candidates are ~1%
+      Dedup.subtractSeenNear(newBatch, hist, "text", "doc_id",
+          threshold = 0.5, shingleCandidatesOnly = false)
+        .select(col("doc_id"))
+    }),
+
     "q_semdedup" -> ((s, dir) => {
       // SemDeDup over embeddings: every 5th vector planted back re-id'd
       // (cosine exactly 1.0 with its original), anchors = the first 8
@@ -2524,6 +2553,35 @@ object SparkEntry {
            |  WHERE h.doc_id % 3 = 0
            |  AND lower(regexp_replace(trim(h.text), '\s+', ' ', 'g')) =
            |      lower(regexp_replace(trim(d.text), '\s+', ' ', 'g')))""".stripMargin,
+
+      "q_subtract_seen_near" ->
+        s"""WITH newb AS (
+           |  SELECT doc_id + 200000 AS doc_id, text || ' tail marker token' AS text
+           |    FROM documents WHERE doc_id % 4 = 0 AND n_chars >= 200
+           |  UNION ALL
+           |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 4 = 1
+           |  UNION ALL
+           |  SELECT doc_id + 400000, 'entirely fresh content row number ' ||
+           |      doc_id || ' with no shared phrasing'
+           |    FROM documents WHERE doc_id % 4 = 2
+           |), gh AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    range(1, CAST(greatest(length($norm) - 4, 0) AS BIGINT) + 1),
+           |    i -> substr($norm, CAST(i AS INT), 5))) AS grams
+           |  FROM documents
+           |), gn AS (
+           |  SELECT doc_id, list_distinct(list_transform(
+           |    range(1, CAST(greatest(length($norm) - 4, 0) AS BIGINT) + 1),
+           |    i -> substr($norm, CAST(i AS INT), 5))) AS grams
+           |  FROM newb
+           |), dup AS (
+           |  SELECT DISTINCT n.doc_id
+           |  FROM gn n JOIN gh h ON
+           |    CASE WHEN len(list_distinct(n.grams || h.grams)) = 0 THEN 0.0
+           |      ELSE CAST(len(list_intersect(n.grams, h.grams)) AS DOUBLE) /
+           |           len(list_distinct(n.grams || h.grams)) END >= 0.5)
+           |SELECT doc_id FROM newb
+           |WHERE doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
 
       "q_semdedup" ->
         """WITH corpus AS (

@@ -68,19 +68,12 @@ object Dedup {
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 64, bands: Int = 16,
                         maxBucketSize: Int = 10000): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
-    val rows = k / bands
-    val sig = df.select(col(idCol).as("__id"),
-      minhashSignature(col(textCol), k).as("__sig"))
     // The banded frame feeds the skew guard AND both sides of the
     // candidate self-join — four consumers of the same subtree. Without a
     // cache each consumer re-shingles and re-hashes the full corpus (the
     // dominant cost); the cached frame is only (id, band, hash) rows,
     // orders of magnitude smaller than the text. LRU-evictable.
-    val banded = sig.select(col("__id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
-        sip_hash_64(concat_ws(",",
-          slice(col("__sig"), b * rows + 1, lit(rows)))))).as(Seq("__band", "__bh")))
+    val banded = bandedMinhash(df, textCol, idCol, k, bands)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Skew guard: a degenerate bucket (e.g. millions of identical boiler-
     // plate docs sharing a band hash) would make the self-join quadratic.
@@ -93,6 +86,23 @@ object Dedup {
         col("a.__bh") === col("b.__bh") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
+  }
+
+  /** (id, band, band-hash) rows: k minhashes split into `bands` bands of
+    * k/bands rows, each band collapsed to one sip_hash_64 bucket key. The
+    * common candidate-generation input for the self-join
+    * ([[minhashCandidates]]) and the two-sided history join
+    * ([[subtractSeenNear]]). */
+  private def bandedMinhash(df: DataFrame, textCol: String, idCol: String,
+                            k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val rows = k / bands
+    df.select(col(idCol).as("__id"),
+        minhashSignature(col(textCol), k).as("__sig"))
+      .select(col("__id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          sip_hash_64(concat_ws(",",
+            slice(col("__sig"), b * rows + 1, lit(rows)))))).as(Seq("__band", "__bh")))
   }
 
   /** Drop rows belonging to join buckets larger than `cap` (quadratic-blowup
@@ -299,6 +309,68 @@ object Dedup {
       .join(histKeys.distinct(), Seq("__k"), "left_anti")
     definiteNew.unionByName(confirmedNew)
       .select(newDf.columns.map(col): _*)
+  }
+
+  /**
+   * Incremental NEAR-dup filter — the continuous-crawl companion to
+   * [[subtractSeen]]: drop rows of `newDf` whose text is a near-duplicate
+   * (exact char-n-gram Jaccard ≥ `threshold`; exact copies score 1.0 and
+   * are dropped too) of ANY row in the accumulated `history` corpus.
+   * Returns the surviving `newDf` rows, schema unchanged.
+   *
+   * Scale shape: both sides band their MinHash signatures
+   * ([[bandedMinhash]]) and candidates come from a new×history join on
+   * (band, bucket) — never a self-join, never all-pairs, and the daily
+   * batch side is tiny next to the history. The history side is
+   * bucket-capped ([[capBuckets]]): a boilerplate bucket with millions of
+   * accumulated members would make the join quadratic, and its near-
+   * identical members are [[subtractSeen]]'s (exact, bloom-routed) job
+   * anyway. With `shingleCandidatesOnly` (the default) verification
+   * shingles ONLY candidate members on each side (semi-join first — the
+   * web-scale trade from [[minhashDedupEdges]], the right default here
+   * because history is unbounded); flip it to false when candidates are a
+   * large fraction of both sides (a dedup-heavy batch at modest scale),
+   * which saves the two member semi-join stages by shingling outright.
+   * In steady production the history bands would be precomputed once at
+   * ingest and stored ([[minhashSignature]] is deterministic), making the
+   * incremental cost O(batch + candidates).
+   */
+  def subtractSeenNear(newDf: DataFrame, history: DataFrame, textCol: String,
+                       idCol: String, threshold: Double = 0.5,
+                       k: Int = 64, bands: Int = 16, ngram: Int = 5,
+                       maxBucketSize: Int = 10000,
+                       shingleCandidatesOnly: Boolean = true): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nb = bandedMinhash(newDf, textCol, idCol, k, bands)
+    val hb = capBuckets(bandedMinhash(history, textCol, idCol, k, bands),
+      Seq("__band", "__bh"), maxBucketSize)
+    // with candidate-scoped shingling the pairs feed three consumers (two
+    // member semi-joins + the verification join) — persist the id pairs,
+    // which are two longs per row; otherwise the verification join is the
+    // single consumer and a persist would only add a barrier
+    val cands0 = nb.alias("n").join(hb.alias("h"),
+        col("n.__band") === col("h.__band") && col("n.__bh") === col("h.__bh"))
+      .select(col("n.__id").as("__nid"), col("h.__id").as("__hid"))
+      .distinct()
+    val cands =
+      if (shingleCandidatesOnly) cands0.persist(MEMORY_AND_DISK) else cands0
+    def gramsOf(df: DataFrame, member: Column, out: String) = {
+      val scoped =
+        if (shingleCandidatesOnly)
+          df.join(cands.select(member.as("__gid")).distinct(),
+            col(idCol) === col("__gid"), "left_semi")
+        else df
+      scoped.select(col(idCol).as("__gid"),
+        TextAnalysis.charNgrams(col(textCol), ngram).as(out))
+    }
+    val dup = cands
+      .join(gramsOf(newDf, col("__nid"), "__ga")
+        .withColumnRenamed("__gid", "__nid"), "__nid")
+      .join(gramsOf(history, col("__hid"), "__gb")
+        .withColumnRenamed("__gid", "__hid"), "__hid")
+      .filter(ngramJaccardArrays(col("__ga"), col("__gb")) >= threshold)
+      .select(col("__nid")).distinct()
+    newDf.join(dup, col(idCol) === col("__nid"), "left_anti")
   }
 
   /**

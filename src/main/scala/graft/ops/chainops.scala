@@ -135,6 +135,14 @@ object chainops {
       Chain(Dedup.subtractSeen(c.toDF, history.toDF, textCol, idCol,
         expectedItems))
 
+    /** Drop rows near-duplicating any `history` row (banded MinHash
+      * new×history join + exact-Jaccard confirm; see
+      * [[Dedup.subtractSeenNear]]). */
+    def subtractSeenNear(history: Chain, textCol: String, idCol: String,
+                         threshold: Double = 0.5): Chain =
+      Chain(Dedup.subtractSeenNear(c.toDF, history.toDF, textCol, idCol,
+        threshold))
+
     /** Drop rows whose duplicated-gram fraction is at or above `maxFrac`
       * (see [[Corpus.duplicatedGramFraction]]). Rows too short to have an
       * n-gram are unscored and KEPT — same keep-too-short rule as

@@ -714,6 +714,39 @@ class OpsSpec extends SparkSpec {
     assert(none.count() === 4)
   }
 
+  test("subtractSeenNear drops exact and near copies of history, keeps fresh") {
+    val body = ("rivers braid across the delta carrying silt from the " +
+      "high plateau down to the patient sea where terns wheel over the " +
+      "shallows and fishermen mend their long nets at first light while " +
+      "the tide writes and rewrites the same sentence in the sand")
+    val history = Seq((1L, body), (2L, "short unrelated note about tea"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, body),                              // exact copy → dropped
+      (11L, body + " tail marker token"),       // near-dup → dropped
+      (12L, "a wholly different report on turbine maintenance schedules " +
+        "with no overlapping phrasing at all in any of its clauses"),
+      (13L, "short unrelated note about coffee")) // below 0.5 vs "tea" note?
+      .toDF("doc_id", "text")
+    val out = Dedup.subtractSeenNear(batch, history, "text", "doc_id",
+      threshold = 0.5)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(10L) && !kept.contains(11L))
+    assert(kept.contains(12L))
+    assert(out.columns.toSeq === Seq("doc_id", "text")) // schema preserved
+    // tighter threshold keeps the sibling note; looser drops it iff its
+    // true 5-gram Jaccard crosses — just pin the exact-arith behavior of
+    // the two fixed rows rather than asserting the borderline one
+    val strict = Dedup.subtractSeenNear(batch, history, "text", "doc_id",
+      threshold = 0.95)
+    val keptStrict = strict.select("doc_id").as[Long].collect().toSet
+    assert(!keptStrict.contains(10L)) // exact copy still J=1.0
+    assert(keptStrict.contains(11L))  // tail-marked J<0.95 survives
+    // empty history: nothing bands, everything survives
+    assert(Dedup.subtractSeenNear(batch, history.limit(0), "text", "doc_id")
+      .count() === 4)
+  }
+
   test("chainops sugar composes the r5 ops end-to-end") {
     import graft.ops.chainops._
     val base = ("the data to be of use must have come with fifty words " +
