@@ -1095,6 +1095,19 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    "q_zorder" -> ((s, dir) => {
+      // Z-order (Morton) layout key over (o_custkey, o_totalprice):
+      // linear bins over the exact min/max, bit-plane interleave — a pure
+      // codegen'd projection after one min/max agg. The write path
+      // (Layout.writeZOrdered) range-partitions on this value so every
+      // file gets a narrow min/max envelope on BOTH columns (footer-stat
+      // skipping on either predicate dimension); the oracle reproduces
+      // the exact z-value per row (IEEE-identical binning arithmetic).
+      val o = T(s, dir, "orders")
+      graft.io.Layout.zorderFrame(o, "o_custkey", "o_totalprice")
+        .select(col("o_orderkey"), col("zval"))
+    }),
+
     "q_subtract_seen_near" -> ((s, dir) => {
       // incremental NEAR-dup dedup: history = the full corpus; the new
       // batch mixes (a) tail-marked near-dups of long history docs (same
@@ -2553,6 +2566,22 @@ object SparkEntry {
            |  WHERE h.doc_id % 3 = 0
            |  AND lower(regexp_replace(trim(h.text), '\s+', ' ', 'g')) =
            |      lower(regexp_replace(trim(d.text), '\s+', ' ', 'g')))""".stripMargin,
+
+      "q_zorder" ->
+        """WITH r AS (SELECT min(CAST(o_custkey AS DOUBLE)) AS xmin,
+          |    max(CAST(o_custkey AS DOUBLE)) AS xmax,
+          |    min(CAST(o_totalprice AS DOUBLE)) AS ymin,
+          |    max(CAST(o_totalprice AS DOUBLE)) AS ymax FROM orders),
+          | b AS (SELECT o_orderkey,
+          |   CAST(least(greatest(floor((CAST(o_custkey AS DOUBLE) - xmin)
+          |     * 65535.0 / (xmax - xmin)), 0), 65535) AS BIGINT) AS bxx,
+          |   CAST(least(greatest(floor((CAST(o_totalprice AS DOUBLE) - ymin)
+          |     * 65535.0 / (ymax - ymin)), 0), 65535) AS BIGINT) AS byy
+          |  FROM orders CROSS JOIN r)
+          |SELECT o_orderkey, CAST(list_sum(list_transform(range(0, 16), i ->
+          |    (((bxx >> i) & 1) << (2*i + 1)) + (((byy >> i) & 1) << (2*i))))
+          |  AS BIGINT) AS zval
+          |FROM b""".stripMargin,
 
       "q_subtract_seen_near" ->
         s"""WITH newb AS (

@@ -118,6 +118,59 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered layout prunes files on BOTH dimensions; sorted layout can't") {
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    val root = java.nio.file.Files.createTempDirectory("zorder").toString
+    // 64 files = 2^6 top z-cells = a balanced 8x8 grid (odd bits go to x,
+    // even to y — a non-square file count splits one dimension coarser)
+    graft.io.Layout.writeZOrdered(orders, s"$root/z", "o_custkey",
+      "o_totalprice", nFiles = 64)
+    // baseline: the same table range-sorted on o_custkey alone
+    orders.repartitionByRange(64, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.parquet(s"$root/sorted")
+    // per-file min/max envelopes — what parquet footer stats give a scan
+    def envelopes(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_custkey").as("xlo"), max("o_custkey").as("xhi"),
+        min("o_totalprice").as("ylo"), max("o_totalprice").as("yhi"))
+      .collect()
+    val (zEnv, sEnv) = (envelopes(s"$root/z"), envelopes(s"$root/sorted"))
+    // cell-aligned range boundaries are sampled: a merged pair of cells
+    // costs a file or two, never correctness
+    assert(zEnv.length >= 56 && zEnv.length <= 64, zEnv.length.toString)
+    assert(sEnv.length === 64)
+    // a window holding ~12.5% of ROWS on each dimension (quantile-based —
+    // domain-width windows would conflate data density with layout
+    // quality on the skewed o_totalprice distribution)
+    val Array(qx1, qx2) = orders
+      .selectExpr("CAST(o_custkey AS DOUBLE) AS x")
+      .stat.approxQuantile("x", Array(0.40, 0.525), 0.001)
+    val Array(qy1, qy2) =
+      orders.stat.approxQuantile("o_totalprice", Array(0.40, 0.525), 0.001)
+    def hitsX(env: Array[org.apache.spark.sql.Row]) = env.count(e =>
+      e.getLong(2) >= qx1 && e.getLong(1) <= qx2)
+    def hitsY(env: Array[org.apache.spark.sql.Row]) = env.count(e =>
+      e.getDouble(4) >= qy1 && e.getDouble(3) <= qy2)
+    // z-order: both dimensions prune — each file covers ~1/8 of the row
+    // mass on each dimension, so a 1/8-mass window touches 1-2 strips
+    // (8-16 files) plus boundary spill; well under half either way
+    assert(hitsX(zEnv) <= 24, s"z x-hits ${hitsX(zEnv)}")
+    assert(hitsY(zEnv) <= 24, s"z y-hits ${hitsY(zEnv)}")
+    // single-column sort: its own column prunes hard, the OTHER dimension
+    // reads essentially everything — the property z-order trades away
+    assert(hitsX(sEnv) <= 12, s"sorted x-hits ${hitsX(sEnv)}")
+    assert(hitsY(sEnv) >= 56, s"sorted y-hits ${hitsY(sEnv)}")
+    assert(hitsY(zEnv) * 2 < hitsY(sEnv), s"${hitsY(zEnv)} vs ${hitsY(sEnv)}")
+    // content preserved by the rewrite
+    val back = spark.read.parquet(s"$root/z")
+    assert(back.count() === orders.count())
+    assert(back.agg(sum("o_orderkey")).head().getLong(0) ===
+      orders.agg(sum("o_orderkey")).head().getLong(0))
+    assert(back.columns.sorted === orders.columns.sorted)
+  }
+
   test("JDBC round-trip through embedded Derby, partitioned read") {
     System.setProperty("derby.stream.error.file", "/tmp/derby.log")
     val db = Files.createTempDirectory("derby_io").resolve("db")

@@ -362,6 +362,15 @@ class PlanSpec extends SparkSpec {
     assert(!km.contains("zip_with"), km.take(2000))
   }
 
+  test("q_zorder: the z-value is a zero-exchange codegen'd projection") {
+    val p = plan("q_zorder")
+    // after the one min/max agg (consumed at build time), stamping the
+    // z-value must stay a pure map-side projection — shift/mask/or over
+    // two linear bins, no shuffle, no interpreted expression
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("* Project"), p.take(2000)) // starred = codegen'd
+  }
+
   test("q_triangles: wedge join shuffles ids only — no cartesian product") {
     val p = plan("q_triangles")
     // degree orientation makes every stage a hash join on (node, node)
