@@ -124,4 +124,44 @@ object Layout {
       .drop("zval", "__zcell")
       .write.mode("overwrite").parquet(path)
   }
+
+  /**
+   * Bin-pack a parquet dataset's small files into ~`targetBytes` files at
+   * `outPath` — the routine maintenance pass every streamed/incremental
+   * 100 TB table needs (thousands of kilobyte files from micro-batch
+   * appends turn every scan into a file-open storm and starve the
+   * scheduler with single-row tasks).
+   *
+   * Scale shape: file count is computed from the ACTUAL on-disk bytes
+   * (one FileSystem listing, no data read), and the rewrite uses
+   * `coalesce`, not `repartition` — merging partitions is shuffle-free
+   * (each output task reads a handful of input files sequentially), so
+   * compaction moves every byte exactly once: disk → task → disk. A
+   * shuffle would double the network cost for zero layout benefit.
+   * Returns (filesBefore, filesAfter, totalBytes).
+   */
+  def compactTo(spark: org.apache.spark.sql.SparkSession, inPath: String,
+                outPath: String,
+                targetBytes: Long = 128L * 1024 * 1024): (Int, Int, Long) = {
+    val hp = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hp).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val total = files.map(_.getLen).sum
+    val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    // coalesce can only REDUCE the scan's partition count, so size the
+    // scan itself to the target (maxPartitionBytes governs how many
+    // source files pack into one read task) and restore the conf after
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, targetBytes.toString)
+      spark.read.parquet(inPath)
+        .coalesce(n)
+        .write.mode("overwrite").parquet(outPath)
+    } finally spark.conf.set(key, prev)
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length, after, total)
+  }
 }

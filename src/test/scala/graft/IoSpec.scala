@@ -171,6 +171,32 @@ class IoSpec extends SparkSpec {
     assert(back.columns.sorted === orders.columns.sorted)
   }
 
+  test("compaction bin-packs small files without a shuffle") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("compact").toString
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    // simulate micro-batch debris: 64 tiny files
+    orders.repartition(64).write.parquet(s"$root/small")
+    val small = new java.io.File(s"$root/small").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(small === 64)
+    val perFile = new java.io.File(s"$root/small").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum / 8
+    val (before, after, _) = graft.io.Layout.compactTo(
+      spark, s"$root/small", s"$root/packed", targetBytes = perFile)
+    assert(before === 64)
+    assert(after >= 6 && after <= 10, after.toString) // ~8 target-size files
+    // content preserved
+    val back = spark.read.parquet(s"$root/packed")
+    assert(back.count() === orders.count())
+    assert(back.agg(sum("o_orderkey")).head().getLong(0) ===
+      orders.agg(sum("o_orderkey")).head().getLong(0))
+    // and the rewrite plan is shuffle-free: coalesce, never an exchange
+    val p = spark.read.parquet(s"$root/small").coalesce(8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("JDBC round-trip through embedded Derby, partitioned read") {
     System.setProperty("derby.stream.error.file", "/tmp/derby.log")
     val db = Files.createTempDirectory("derby_io").resolve("db")
