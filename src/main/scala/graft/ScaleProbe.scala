@@ -254,6 +254,7 @@ object ScaleProbe {
         Similarity.ivfTopK(a0, c0, queries, 5, nprobe = 8).count()
       }
       Similarity.hammingRerankTopK(emb, queries, 5, prefilter = 40).count()
+      Similarity.sq8TopK(emb, queries, 5).count()
       val annResults = ks.map { k =>
         val corpus = emb.crossJoin(
             spark.range(k).select(col("id").as("__copy")))
@@ -279,18 +280,29 @@ object ScaleProbe {
         val rrOk = recallOk(
           Similarity.hammingRerankTopK(corpus, queries, 5, prefilter = 40), bf)
         val rrSec = (System.nanoTime() - t2) / 1e9
+        val t3 = System.nanoTime()
+        val sqOk = recallOk(Similarity.sq8TopK(corpus, queries, 5), bf)
+        val sqSec = (System.nanoTime() - t3) / 1e9
         println(f"ann K=$k%-3d vecs=${nEmb * k}%-8d hamming ${hamSec}%.2f s   " +
           f"ivf(recall_ok=$ivfOk/3) ${ivfSec}%.2f s   " +
-          f"rerank(recall_ok=$rrOk/3) ${rrSec}%.2f s")
-        require(ivfOk == 3 && rrOk == 3,
-          s"ANN recall property failed at K=$k: ivf=$ivfOk rerank=$rrOk")
+          f"rerank(recall_ok=$rrOk/3) ${rrSec}%.2f s   " +
+          f"sq8(recall_ok=$sqOk/3) ${sqSec}%.2f s")
+        // sq8 bound is 2/3, not 3/3: the probe's jittered clones sit
+        // ~0.01 apart — BELOW the int8 quantization step on this value
+        // range — so neighbor flips among clones are expected physics at
+        // high clone density (production answer: sq8 prefilter + exact
+        // rerank, same as the hamming pipeline). On the real (non-clone)
+        // corpus sq8 matches exact top-k bit-for-bit minus quantization
+        // error (OpsSpec recall >= 0.8, q_ann_sq8 oracle).
+        require(ivfOk == 3 && rrOk == 3 && sqOk >= 2,
+          s"ANN recall property failed at K=$k: ivf=$ivfOk rerank=$rrOk sq8=$sqOk")
         corpus.unpersist(); bf.unpersist()
-        (k, hamSec, ivfSec, rrSec)
+        (k, hamSec, ivfSec, rrSec, sqSec)
       }
       val f = annResults.head
       val l = annResults.last
       println(f"ann scale ${l._1.toDouble / f._1}%.0fx -> hamming ${l._2 / f._2}%.2fx " +
-        f"ivf ${l._3 / f._3}%.2fx rerank ${l._4 / f._4}%.2fx")
+        f"ivf ${l._3 / f._3}%.2fx rerank ${l._4 / f._4}%.2fx sq8 ${l._5 / f._5}%.2fx")
     }
     // PageRank at K disjoint copies of the supplier→part graph: node count
     // and edge count both scale K×; per-iteration cost is the edges⋈ranks

@@ -1169,6 +1169,19 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, queries, k = 5)
     }),
 
+    "q_ann_sq8" -> ((s, dir) => {
+      // SQ8 scalar-quantized ANN: corpus collapses to 1 byte/dim (4×
+      // compression), queries scan the codes asymmetrically. Oracled
+      // EXACTLY — encode (per-dim min/max linear bins, HALF_UP) and
+      // asymmetric distance (dequantize + 12-dp decimal sum) are
+      // engine-exact arithmetic, so DuckDB reproduces every distance and
+      // the full top-k list bit-for-bit (not just a recall property).
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.sq8TopK(emb, queries, k = 5)
+    }),
+
     "q_ann_ivf" -> ((s, dir) => {
       // recall@5 ≥ 0.6 per query vs the in-Spark brute force (itself
       // pinned exactly against DuckDB in q_ann_topk) — an honest property
@@ -2745,6 +2758,31 @@ object SparkEntry {
           |   row_number() OVER (PARTITION BY query_id
           |     ORDER BY sim0 DESC, vec_id ASC) AS rk FROM s)
           |SELECT query_id, vec_id, round(sim0, 6) AS sim, CAST(rk AS BIGINT) AS rank
+          |FROM r WHERE rk <= 5""".stripMargin,
+
+      "q_ann_sq8" ->
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+          | st AS (SELECT i.i AS dim, min(v.x[i.i]) AS mn,
+          |     (max(v.x[i.i]) - min(v.x[i.i])) / 255.0 AS sc
+          |   FROM v, generate_series(1, 64) AS i(i) GROUP BY i.i),
+          | mm AS (SELECT list(mn ORDER BY dim) AS mins,
+          |     list(sc ORDER BY dim) AS scs FROM st),
+          | c AS (SELECT v.vec_id, list_transform(generate_series(1, 64),
+          |     i -> CASE WHEN m.scs[i] = 0 THEN 0
+          |       ELSE CAST(least(greatest(floor((v.x[i] - m.mins[i]) / m.scs[i]
+          |         + 0.5), 0), 255) AS INT) END) AS code
+          |   FROM v CROSS JOIN mm m),
+          | q AS (SELECT vec_id AS query_id, x AS qv FROM v WHERE vec_id < 3),
+          | s AS (SELECT q.query_id, c.vec_id,
+          |     round(CAST(list_sum(list_transform(generate_series(1, 64),
+          |       i -> CAST(round((q.qv[i] - (m.mins[i] + c.code[i] * m.scs[i]))
+          |          * (q.qv[i] - (m.mins[i] + c.code[i] * m.scs[i])), 12)
+          |         AS DECIMAL(38,18)))) AS DOUBLE), 9) AS d
+          |   FROM q CROSS JOIN c CROSS JOIN mm m),
+          | r AS (SELECT query_id, vec_id, d,
+          |   row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rk
+          |   FROM s)
+          |SELECT query_id, vec_id, d AS dist, CAST(rk AS BIGINT) AS rank
           |FROM r WHERE rk <= 5""".stripMargin,
 
       "q_ann_ivf" ->

@@ -43,6 +43,17 @@ object GraftFunctions {
   def decimal_sq_distance(a: Column, b: Column): Column =
     toCol(DecimalSqDistance(toExpr(a), toExpr(b)))
 
+  /** SQ8 encode: one byte per dimension, linear bins over per-dim
+    * [min, max] — the 4× ANN compression tier. */
+  def sq8_encode(v: Column, mins: Seq[Double], scales: Seq[Double]): Column =
+    toCol(Sq8Encode(toExpr(v), mins, scales))
+
+  /** Asymmetric SQ8 distance: full-precision query vs byte codes,
+    * 12-dp decimal-summed (engine-exact). */
+  def sq8_distance(q: Column, codes: Column, mins: Seq[Double],
+                   scales: Seq[Double]): Column =
+    toCol(Sq8Distance(toExpr(q), toExpr(codes), mins, scales))
+
   /** Total occurrences of all `patterns` (overlapping counted) in one
     * Aho–Corasick pass — the blocklist scan for bad-word filtering. */
   def multi_pattern_count(c: Column, patterns: Seq[String]): Column =

@@ -129,6 +129,58 @@ object Impl {
     acc.doubleValue()
   }
 
+  /**
+   * SQ8 scalar quantization: per-dimension linear int8 code
+   * round((x - min_d) / scale_d) clamped to [0, 255], packed as one byte
+   * per dimension — 4× smaller than float32, the standard first
+   * compression tier of production ANN (below it sits the 32× sign-bit
+   * signature, [[simHash64]]-style). `scale_d = (max_d - min_d)/255`; a
+   * degenerate dimension (scale 0) codes to 0. HALF_UP rounding through
+   * floor(v + 0.5) — identical to SQL `round(v)` for the non-negative v
+   * this produces.
+   */
+  def sq8Encode(v: ArrayData, mins: Array[Double],
+                scales: Array[Double]): Array[Byte] = {
+    val n = v.numElements()
+    require(n == mins.length, s"vector length mismatch: $n vs ${mins.length}")
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val c =
+        if (scales(i) == 0.0) 0
+        else {
+          val r = math.floor((v.getDouble(i) - mins(i)) / scales(i) + 0.5).toInt
+          if (r < 0) 0 else if (r > 255) 255 else r
+        }
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  /**
+   * Asymmetric (query-vs-code) SQ8 distance: dequantize each byte
+   * (min_d + code*scale_d) and accumulate the squared differences against
+   * the full-precision query through the same 12-dp decimal path as
+   * [[decimalSqDist]] — engine-exact, so a SQL oracle reproducing the
+   * arithmetic hash-matches bit-for-bit.
+   */
+  def sq8Dist(q: ArrayData, codes: Array[Byte], mins: Array[Double],
+              scales: Array[Double]): Double = {
+    val n = q.numElements()
+    require(n == codes.length, s"vector length mismatch: $n vs ${codes.length}")
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < n) {
+      val deq = mins(i) + (codes(i) & 0xFF) * scales(i)
+      val d = q.getDouble(i) - deq
+      acc = acc.add(java.math.BigDecimal.valueOf(d * d)
+        .setScale(12, java.math.RoundingMode.HALF_UP))
+      i += 1
+    }
+    acc.doubleValue()
+  }
+
   /** Cosine distance (1 - cosine similarity) between two float vectors. */
   def cosineDistanceFloat(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()

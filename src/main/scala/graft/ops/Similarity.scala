@@ -233,6 +233,59 @@ object Similarity {
    * per-query top-k ranks XOR popcounts. At 100 TB this is the first-stage
    * filter before exact cosine re-ranking of the survivors.
    */
+  /**
+   * Per-dimension (mins, scales) for SQ8 quantization over the corpus —
+   * one posexplode + min/max aggregate (partial map-side, O(dims) result
+   * collected once). `scale_d = (max_d - min_d)/255`.
+   */
+  def sq8Train(corpus: DataFrame, vecCol: String = "embedding")
+  : (Array[Double], Array[Double]) = {
+    val rows = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("__d", "__x")))
+      .groupBy("__d").agg(min("__x").as("mn"), max("__x").as("mx"))
+      .orderBy("__d").collect()
+    val mins = rows.map(_.getDouble(1))
+    val scales = rows.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0)
+    (mins, scales)
+  }
+
+  /**
+   * Scalar-quantized (SQ8) ANN top-k: corpus vectors collapse to one byte
+   * per dimension (4× smaller than float32 — the standard first
+   * compression tier of a production vector index; the 32× sign-bit path
+   * is [[hammingTopK]]), and each query scans the CODES asymmetrically —
+   * dequantize-per-byte against the full-precision query, so no recall is
+   * lost to quantizing the query side.
+   *
+   * Scale shape: identical to [[hammingTopK]] — queries broadcast, the
+   * corpus side moves only (id, 64-byte code) through the scan, and
+   * per-query top-k is a map-side WindowGroupLimit before the single
+   * exchange. The bin tables ride the codegen'd kernel expressions
+   * ([[graft.functions.GraftFunctions.sq8_encode]]/`sq8_distance`), and
+   * every arithmetic step is 12-dp-decimal-exact, so the SQL oracle
+   * reproduces distances bit-for-bit. In production the encode runs once
+   * at ingest and persists; here it rides the same job.
+   */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              vecCol: String = "embedding", idCol: String = "vec_id",
+              queryIdCol: String = "query_id"): DataFrame = {
+    import graft.functions.GraftFunctions.{sq8_encode, sq8_distance}
+    val (mins, scales) = sq8Train(corpus, vecCol)
+    val enc = corpus.select(col(idCol),
+      sq8_encode(col(vecCol).cast("array<double>"), mins, scales).as("__code"))
+    val q = queries.select(col(queryIdCol),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val scored = enc.join(broadcast(q))
+      .withColumn("__d",
+        round(sq8_distance(col("__qv"), col("__code"), mins, scales), 9))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__d").asc, col(idCol).asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("__d").as("dist"),
+        col("__rank").as("rank"))
+  }
+
   def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                   vecCol: String = "embedding", idCol: String = "vec_id",
                   queryIdCol: String = "query_id"): DataFrame = {

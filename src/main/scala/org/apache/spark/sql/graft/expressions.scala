@@ -247,6 +247,60 @@ case class DecimalSqDistance(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** SQ8 scalar-quantization encode: one byte per dimension via per-dim
+  * linear bins over [min, max] (see [[graft.functions.Impl.sq8Encode]]) —
+  * 4× smaller than float32. The bin tables ride the expression into the
+  * codegen references; output is a BinaryType blob, so quantized scans
+  * shuffle 1 byte/dim. */
+case class Sq8Encode(child: Expression, mins: Seq[Double],
+                     scales: Seq[Double])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(mins.length == scales.length, "mins/scales length mismatch")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq8_encode"
+  @transient private lazy val mArr = mins.toArray
+  @transient private lazy val sArr = scales.toArray
+  /** public for generated code */
+  def enc(v: ArrayData): Array[Byte] = Impl.sq8Encode(v, mArr, sArr)
+  override protected def nullSafeEval(v: Any): Any =
+    enc(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftSq8Enc", this, classOf[Sq8Encode].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.enc($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): Sq8Encode =
+    copy(child = c)
+}
+
+/** Asymmetric SQ8 distance (full-precision query vs byte codes),
+  * 12-dp-decimal-summed like [[DecimalSqDistance]] — engine-exact; see
+  * [[graft.functions.Impl.sq8Dist]]. */
+case class Sq8Distance(left: Expression, right: Expression,
+                       mins: Seq[Double], scales: Seq[Double])
+    extends BinaryExpression with ImplicitCastInputTypes {
+  require(mins.length == scales.length, "mins/scales length mismatch")
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq8_distance"
+  @transient private lazy val mArr = mins.toArray
+  @transient private lazy val sArr = scales.toArray
+  /** public for generated code */
+  def dist(q: ArrayData, codes: Array[Byte]): Double =
+    Impl.sq8Dist(q, codes, mArr, sArr)
+  override protected def nullSafeEval(q: Any, c: Any): Any =
+    dist(q.asInstanceOf[ArrayData], c.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftSq8Dist", this, classOf[Sq8Distance].getName)
+    defineCodeGen(ctx, ev, (q, c) => s"$ref.dist($q, $c)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /**
  * Membership probe against a pre-built broadcast Bloom filter (spark-sketch
  * serialized form, as produced by `DataFrameStatFunctions.bloomFilter`).

@@ -659,6 +659,46 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall=$recall")
   }
 
+  test("sq8TopK: near-exact euclidean ranking at 4x compression; code edges") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // exact euclidean top-10 (squared distance ranks like distance)
+    val qq = q.select(col("query_id"),
+      col("embedding").cast("array<double>").as("__q"))
+    val exact = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("__v"))
+      .join(qq)
+      .withColumn("__d", graft.functions.GraftFunctions.decimal_sq_distance(
+        col("__q"), col("__v")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("__d").asc, col("vec_id").asc)))
+      .filter(col("rk") <= 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val sq = Similarity.sq8TopK(emb, q, k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(sq.size === exact.size)
+    // int8 quantization error is tiny relative to inter-vector distances:
+    // the quantized ranking should agree almost everywhere (and each
+    // query's own vector must stay its nearest neighbor)
+    val recall = (sq & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")
+    val self = Similarity.sq8TopK(emb, q, k = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+    self.foreach { case (qid, vid) => assert(qid === vid) }
+    // kernel edges: clamping and the degenerate (scale=0) dimension
+    val mins = Array(0.0, 5.0)
+    val scales = Array(1.0 / 255.0, 0.0)
+    val out = Seq((1L, Array(1.5, 7.0)), (2L, Array(-9.0, 5.0)))
+      .toDF("id", "v")
+      .select(graft.functions.GraftFunctions.sq8_encode(
+        col("v"), mins.toSeq, scales.toSeq).as("c"))
+      .as[Array[Byte]].collect()
+    assert((out(0)(0) & 0xFF) === 255 && out(0)(1) === 0) // clamp hi, degenerate
+    assert(out(1)(0) === 0)                               // clamp lo
+  }
+
   test("exactSubstrDedup excises later copies and intra-doc repeats, keeps firsts") {
     import graft.ops.Corpus
     val corpus = Seq(

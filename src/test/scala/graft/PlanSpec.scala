@@ -362,6 +362,16 @@ class PlanSpec extends SparkSpec {
     assert(!km.contains("zip_with"), km.take(2000))
   }
 
+  test("q_ann_sq8: byte codes cross the broadcast join, map-side top-k") {
+    val p = plan("q_ann_sq8")
+    // the corpus side of the scan moves (id, 64-byte code), never float
+    // vectors: the encode kernel sits below the broadcast join, and the
+    // per-query top-k prunes map-side before the one exchange
+    assert(p.contains("sq8_encode"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q_zorder: the z-value is a zero-exchange codegen'd projection") {
     val p = plan("q_zorder")
     // after the one min/max agg (consumed at build time), stamping the
