@@ -1182,6 +1182,17 @@ object SparkEntry {
       Similarity.sq8TopK(emb, queries, k = 5)
     }),
 
+    "q_ann_sq8_rerank" -> ((s, dir) => {
+      // two-stage SQ8: byte-code prefilter (top-20) then exact euclidean
+      // rerank (top-5). BOTH stages are engine-exact arithmetic, so the
+      // oracle unrolls the whole pipeline — quantized candidate list
+      // included — and hash-matches the final ranking bit-for-bit.
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.sq8RerankTopK(emb, queries, k = 5, prefilter = 20)
+    }),
+
     "q_ann_ivf" -> ((s, dir) => {
       // recall@5 ≥ 0.6 per query vs the in-Spark brute force (itself
       // pinned exactly against DuckDB in q_ann_topk) — an honest property
@@ -2782,6 +2793,40 @@ object SparkEntry {
           | r AS (SELECT query_id, vec_id, d,
           |   row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rk
           |   FROM s)
+          |SELECT query_id, vec_id, d AS dist, CAST(rk AS BIGINT) AS rank
+          |FROM r WHERE rk <= 5""".stripMargin,
+
+      "q_ann_sq8_rerank" ->
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+          | st AS (SELECT i.i AS dim, min(v.x[i.i]) AS mn,
+          |     (max(v.x[i.i]) - min(v.x[i.i])) / 255.0 AS sc
+          |   FROM v, generate_series(1, 64) AS i(i) GROUP BY i.i),
+          | mm AS (SELECT list(mn ORDER BY dim) AS mins,
+          |     list(sc ORDER BY dim) AS scs FROM st),
+          | c AS (SELECT v.vec_id, list_transform(generate_series(1, 64),
+          |     i -> CASE WHEN m.scs[i] = 0 THEN 0
+          |       ELSE CAST(least(greatest(floor((v.x[i] - m.mins[i]) / m.scs[i]
+          |         + 0.5), 0), 255) AS INT) END) AS code
+          |   FROM v CROSS JOIN mm m),
+          | q AS (SELECT vec_id AS query_id, x AS qv FROM v WHERE vec_id < 3),
+          | s AS (SELECT q.query_id, c.vec_id,
+          |     round(CAST(list_sum(list_transform(generate_series(1, 64),
+          |       i -> CAST(round((q.qv[i] - (m.mins[i] + c.code[i] * m.scs[i]))
+          |          * (q.qv[i] - (m.mins[i] + c.code[i] * m.scs[i])), 12)
+          |         AS DECIMAL(38,18)))) AS DOUBLE), 9) AS d
+          |   FROM q CROSS JOIN c CROSS JOIN mm m),
+          | pre AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, d,
+          |     row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rk
+          |   FROM s) WHERE rk <= 20),
+          | ex AS (SELECT p.query_id, p.vec_id,
+          |     round(CAST(list_sum(list_transform(generate_series(1, 64),
+          |       i -> CAST(round((q.qv[i] - v.x[i]) * (q.qv[i] - v.x[i]), 12)
+          |         AS DECIMAL(38,18)))) AS DOUBLE), 9) AS d
+          |   FROM pre p JOIN q ON p.query_id = q.query_id
+          |   JOIN v ON p.vec_id = v.vec_id),
+          | r AS (SELECT query_id, vec_id, d,
+          |   row_number() OVER (PARTITION BY query_id ORDER BY d, vec_id) AS rk
+          |   FROM ex)
           |SELECT query_id, vec_id, d AS dist, CAST(rk AS BIGINT) AS rank
           |FROM r WHERE rk <= 5""".stripMargin,
 

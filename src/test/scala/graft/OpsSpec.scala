@@ -687,6 +687,11 @@ class OpsSpec extends SparkSpec {
     val self = Similarity.sq8TopK(emb, q, k = 1)
       .select("query_id", "vec_id").as[(Long, Long)].collect()
     self.foreach { case (qid, vid) => assert(qid === vid) }
+    // two-stage: the 4x prefilter + exact rerank recovers every neighbor
+    // the raw byte-code ranking flips — full agreement with exact top-10
+    val rr = Similarity.sq8RerankTopK(emb, q, k = 10, prefilter = 40)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(rr === exact, s"sq8+rerank diverged: ${(rr diff exact)}")
     // kernel edges: clamping and the degenerate (scale=0) dimension
     val mins = Array(0.0, 5.0)
     val scales = Array(1.0 / 255.0, 0.0)
