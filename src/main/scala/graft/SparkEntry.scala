@@ -1108,6 +1108,21 @@ object SparkEntry {
         .select(col("o_orderkey"), col("zval"))
     }),
 
+    "q_label_prop" -> ((s, dir) => {
+      // deterministic synchronous LPA communities over the same sparse
+      // part co-occurrence graph as q_triangles: 2 iterations, most-
+      // frequent-neighbor label with min tie-break — every update is
+      // exact counting + string-min, so the oracle unrolls the identical
+      // iterations in SQL and hash-matches the full label vector.
+      val li = T(s, dir, "lineitem").filter(col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("l1").join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+        .select(col("l1.l_partkey").as("src"), col("l2.l_partkey").as("dst"))
+      graft.ops.Graph.labelPropagation(e, "src", "dst", iterations = 2)
+    }),
+
     "q_subtract_seen_near" -> ((s, dir) => {
       // incremental NEAR-dup dedup: history = the full corpus; the new
       // batch mixes (a) tail-marked near-dups of long history docs (same
@@ -2606,6 +2621,27 @@ object SparkEntry {
           |    (((bxx >> i) & 1) << (2*i + 1)) + (((byy >> i) & 1) << (2*i))))
           |  AS BIGINT) AS zval
           |FROM b""".stripMargin,
+
+      "q_label_prop" ->
+        """WITH pe AS (SELECT DISTINCT CAST(l1.l_partkey AS VARCHAR) AS a,
+          |     CAST(l2.l_partkey AS VARCHAR) AS b
+          |   FROM lineitem l1 JOIN lineitem l2
+          |     ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+          |   WHERE l1.l_quantity > 30 AND l2.l_quantity > 30),
+          | und AS (SELECT a AS node, b AS nbr FROM pe
+          |   UNION SELECT b, a FROM pe),
+          | l0 AS (SELECT DISTINCT node, node AS label FROM und),
+          | c1 AS (SELECT u.node, l.label, count(*) AS n
+          |   FROM und u JOIN l0 l ON u.nbr = l.node GROUP BY u.node, l.label),
+          | l1 AS (SELECT node, label FROM (SELECT node, label,
+          |     row_number() OVER (PARTITION BY node
+          |       ORDER BY n DESC, label ASC) AS rk FROM c1) WHERE rk = 1),
+          | c2 AS (SELECT u.node, l.label, count(*) AS n
+          |   FROM und u JOIN l1 l ON u.nbr = l.node GROUP BY u.node, l.label),
+          | l2 AS (SELECT node, label FROM (SELECT node, label,
+          |     row_number() OVER (PARTITION BY node
+          |       ORDER BY n DESC, label ASC) AS rk FROM c2) WHERE rk = 1)
+          |SELECT node, label FROM l2""".stripMargin,
 
       "q_subtract_seen_near" ->
         s"""WITH newb AS (

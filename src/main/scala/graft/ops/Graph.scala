@@ -115,6 +115,64 @@ object Graph {
   }
 
   /**
+   * Synchronous label propagation (Raghavan et al. 2007) for community
+   * detection over the undirected distinct edge set: every node starts
+   * with its own id as label; each iteration every node adopts the most
+   * frequent label among its neighbors, ties broken by the SMALLEST
+   * label — making the whole run deterministic and engine-exact (the
+   * usual LPA nondeterminism comes from random tie-breaks and
+   * asynchronous sweeps; fixed `iterations` + min-tie-break + synchronous
+   * updates remove both). Communities complement [[graft.ops.Dedup]]'s
+   * connected components: CC merges through ANY chain of near-dup edges
+   * (one bridge fuses two clusters), LPA keeps densely-linked groups
+   * separate across weak bridges — the better grouping signal for domain
+   * clustering and link-farm detection in web curation.
+   *
+   * Returns (node: string, label: string).
+   *
+   * Scale shape: per iteration, the O(nodes) label table joins into the
+   * once-built, once-persisted neighbor list (pre-partitioned on the
+   * neighbor key the join uses — the same bucketed-join discipline as
+   * [[pageRank]]); the (node, label)
+   * frequency count partial-aggregates map-side, and the arg-max is a
+   * `min(struct(-count, label))` aggregate — no window sort. Lazy
+   * checkpoints keep the plan constant-size per iteration.
+   */
+  def labelPropagation(edgesRaw: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, "iterations must be at least 1")
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // undirected neighbor list, both directions, self-loops dropped
+    val und = edgesRaw
+      .select(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__t"))
+      .filter(col("__s").isNotNull && col("__t").isNotNull &&
+        col("__s") =!= col("__t"))
+      .select(explode(array(
+        struct(col("__s").as("node"), col("__t").as("nbr")),
+        struct(col("__t").as("node"), col("__s").as("nbr")))).as("__e"))
+      .select(col("__e.node").as("node"), col("__e.nbr").as("nbr"))
+      .distinct()
+      .repartition(col("nbr"))
+      .persist(MEMORY_AND_DISK)
+    var labels = und.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iterations) {
+      labels = und
+        .join(labels.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy("node", "label").agg(count(lit(1)).as("__n"))
+        .groupBy("node")
+        .agg(min(struct((lit(0L) - col("__n")).as("__neg"),
+          col("label").as("__l"))).as("__b"))
+        .select(col("node"), col("__b.__l").as("label"))
+        .localCheckpoint(eager = false)
+    }
+    und.unpersist()
+    labels
+  }
+
+  /**
    * Per-node triangle count + local clustering coefficient over the
    * undirected distinct edge set. Returns (node: string, degree: long,
    * triangles: long, lcc: double) for every non-isolated node, where

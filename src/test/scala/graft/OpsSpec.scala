@@ -1006,6 +1006,28 @@ class OpsSpec extends SparkSpec {
     assert(got.filter(_._2 > 0).keySet === brute.filter(_._2 > 0).keySet)
   }
 
+  test("labelPropagation: two cliques with a bridge stay separate; CC merges them") {
+    import graft.ops.Graph
+    // K4 on {a1..a4}, K4 on {b1..b4}, one bridge a4-b1. Deterministic
+    // min-tie-break LPA: within each clique every node sees the clique's
+    // labels, so after one sweep the whole clique converges to its
+    // minimum id; the bridge is one weak edge and cannot flip either side
+    val cliqueA = for { x <- Seq("a1", "a2", "a3", "a4")
+      y <- Seq("a1", "a2", "a3", "a4") if x < y } yield (x, y)
+    val cliqueB = for { x <- Seq("b1", "b2", "b3", "b4")
+      y <- Seq("b1", "b2", "b3", "b4") if x < y } yield (x, y)
+    val e = (cliqueA ++ cliqueB :+ ("a4", "b1")).toDF("src", "dst")
+    val lab = Graph.labelPropagation(e, "src", "dst", iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("a1", "a2", "a3", "a4").map(lab).toSet === Set("a1"))
+    assert(Seq("b1", "b2", "b3", "b4").map(lab).toSet === Set("b1"))
+    // duplicate/reversed edges must not change the result (distinct set)
+    val dup = Graph.labelPropagation(
+        e.unionAll(e.select(col("dst"), col("src"))), "src", "dst", 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dup === lab)
+  }
+
   test("dsirWeights ranks target-like docs above off-domain docs") {
     import graft.ops.Corpus
     val target = Seq(
