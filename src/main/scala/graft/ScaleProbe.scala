@@ -373,6 +373,41 @@ object ScaleProbe {
         f"-> time factor ${results.last._2 / results.head._2}%.2fx")
     }
 
+    // LPA communities at K disjoint copies: labels never cross copies, so
+    // the distinct-community count must scale exactly K× (correctness
+    // invariant) while per-iteration cost is the labels⋈neighbors join —
+    // time should track K ~linearly.
+    if (want("lpa")) {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .filter(col("l_quantity") > 30)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val base = li.as("l1").join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+        .select(col("l1.l_partkey").cast("string").as("src"),
+          col("l2.l_partkey").cast("string").as("dst")).cache()
+      val nEdge = base.count()
+      var baseComm = -1L
+      val results = ks.map { k =>
+        val edges = base.crossJoin(spark.range(k).select(col("id").as("__c")))
+          .select(concat(col("src"), lit("_"), col("__c")).as("src"),
+            concat(col("dst"), lit("_"), col("__c")).as("dst"))
+        val t0 = System.nanoTime()
+        val r = graft.ops.Graph.labelPropagation(edges, "src", "dst", 2)
+          .agg(countDistinct("label"), count(lit(1))).head()
+        val (nComm, nNodes) = (r.getLong(0), r.getLong(1))
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (baseComm < 0) baseComm = nComm / k
+        println(f"lpa K=$k%-3d edges~${nEdge * k}%-9d nodes=$nNodes%-8d " +
+          f"communities=$nComm%-7d ${sec}%.2f s")
+        require(nComm == baseComm * k,
+          s"community count not K-linear at K=$k: $nComm vs ${baseComm * k}")
+        (k, sec)
+      }
+      println(f"lpa scale ${results.last._1.toDouble / results.head._1}%.0fx " +
+        f"-> time factor ${results.last._2 / results.head._2}%.2fx")
+    }
+
     // Engine-exact k-means at K× jittered embeddings: assignment is a
     // broadcast-centroid scan (linear), recompute shuffles rows×dim
     // scalars with map-side combine — time should track K ~linearly and

@@ -152,8 +152,12 @@ object Graph {
         struct(col("__s").as("node"), col("__t").as("nbr")),
         struct(col("__t").as("node"), col("__s").as("nbr")))).as("__e"))
       .select(col("__e.node").as("node"), col("__e.nbr").as("nbr"))
-      .distinct()
+      // one exchange covers both: HashPartitioning(nbr) satisfies the
+      // distinct's ClusteredDistribution(node, nbr) by the subset rule
+      // (same discipline as pageRank's edge setup), and the persisted
+      // frame is already partitioned on the per-iteration join key
       .repartition(col("nbr"))
+      .distinct()
       .persist(MEMORY_AND_DISK)
     var labels = und.select(col("node")).distinct()
       .withColumn("label", col("node"))
