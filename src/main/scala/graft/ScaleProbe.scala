@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 8)
-    // SPARK_GRAFT_PROBE=minhash,linededup,decontaminate,dupfraction,lm,ann
+    // SPARK_GRAFT_PROBE=minhash,linededup,decontaminate,dupfraction,lm,
+    //   exactsubstr,dsir,semdedup,ann,graph,triangles,lpa,kmeans
     // (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)

@@ -1095,6 +1095,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    "q_compact" -> ((s, dir) => {
+      // maintenance-pass losslessness under the driver oracle: shatter
+      // orders into 40 small files, compact (shuffle-free coalesce sized
+      // from on-disk bytes), read back — the oracle is the original
+      // table, so a hash match proves the rewrite preserved every row
+      // and every value while the spec (IoSpec) separately pins the
+      // file-count and no-exchange plan properties.
+      val tmp = Files.createTempDirectory("graft_compact").toString
+      val orders = T(s, dir, "orders")
+      orders.repartition(40).write.mode("overwrite").parquet(s"$tmp/small")
+      graft.io.Layout.compactTo(s, s"$tmp/small", s"$tmp/packed")
+      s.read.parquet(s"$tmp/packed")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"))
+    }),
+
     "q_zorder" -> ((s, dir) => {
       // Z-order (Morton) layout key over (o_custkey, o_totalprice):
       // linear bins over the exact min/max, bit-plane interleave — a pure
@@ -2605,6 +2621,10 @@ object SparkEntry {
            |  WHERE h.doc_id % 3 = 0
            |  AND lower(regexp_replace(trim(h.text), '\s+', ' ', 'g')) =
            |      lower(regexp_replace(trim(d.text), '\s+', ' ', 'g')))""".stripMargin,
+
+      "q_compact" ->
+        """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+          |FROM orders""".stripMargin,
 
       "q_zorder" ->
         """WITH r AS (SELECT min(CAST(o_custkey AS DOUBLE)) AS xmin,

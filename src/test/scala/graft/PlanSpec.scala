@@ -372,6 +372,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  // (q_label_prop / q_pagerank have no plan pin: their returned frames sit
+  // behind lazy localCheckpoint boundaries, so iteration internals aren't
+  // in the final plan — ScaleProbe measures their scale shape instead.)
+
   test("q_zorder: the z-value is a zero-exchange codegen'd projection") {
     val p = plan("q_zorder")
     // after the one min/max agg (consumed at build time), stamping the
