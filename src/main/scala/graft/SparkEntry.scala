@@ -1095,6 +1095,22 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
     }),
 
+    "q_image_dhash" -> ((s, dir) => {
+      // REAL perceptual-hash round-trip: deterministic 9×8 pattern PNGs
+      // (javax.imageio-encoded), dHash64 decodes and hashes them through
+      // the full grayscale → box-average → gradient-sign path; the grid
+      // matches the downsample and PNG is lossless, so the oracle
+      // recomputes every bit from the (id, x, y) pattern arithmetic —
+      // no codec needed. Hash split hi/lo (rows 4-7 / 0-3) keeps both
+      // halves inside unsigned-32 range for cross-engine compare.
+      val media = Multimodal.syntheticPatternPngMedia(
+        T(s, dir, "documents").filter(col("doc_id") < 300), "doc_id")
+      Multimodal.imageDHash(media)
+        .select(col("id"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("dhash_lo"))
+    }),
+
     "q_compact" -> ((s, dir) => {
       // maintenance-pass losslessness under the driver oracle: shatter
       // orders into 40 small files, compact (shuffle-free coalesce sized
@@ -2621,6 +2637,23 @@ object SparkEntry {
            |  WHERE h.doc_id % 3 = 0
            |  AND lower(regexp_replace(trim(h.text), '\s+', ' ', 'g')) =
            |      lower(regexp_replace(trim(d.text), '\s+', ' ', 'g')))""".stripMargin,
+
+      "q_image_dhash" ->
+        """WITH ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 300),
+          | bits AS (SELECT id, p,
+          |    CASE WHEN (7*id + 3*(px+1)*(px+1) + 5*py + (px+1)*py) % 256 >
+          |              (7*id + 3*px*px + 5*py + px*py) % 256
+          |      THEN 1 ELSE 0 END AS bit
+          |   FROM (SELECT id, s.p, s.p % 8 AS px, s.p // 8 AS py
+          |     FROM ids, generate_series(0, 63) AS s(p)))
+          |SELECT id,
+          |  CAST(sum(CASE WHEN p >= 32
+          |    THEN (CAST(bit AS BIGINT) << (p - 32)) ELSE 0 END) AS BIGINT)
+          |    AS dhash_hi,
+          |  CAST(sum(CASE WHEN p < 32
+          |    THEN (CAST(bit AS BIGINT) << p) ELSE 0 END) AS BIGINT)
+          |    AS dhash_lo
+          |FROM bits GROUP BY id""".stripMargin,
 
       "q_compact" ->
         """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate

@@ -313,6 +313,128 @@ object Multimodal {
    * RGB = (id*37 % 256, id*59 % 256, id*83 % 256). Lets decode gates assert
    * real codec output against an arithmetic oracle. Partition-local 1:1.
    */
+  /**
+   * 64-bit difference hash (dHash) — the standard perceptual fingerprint
+   * for image near-dup detection: decode, grayscale
+   * (integer (299r+587g+114b)/1000 per pixel), box-average down to a 9×8
+   * grid with floor mapping/division, then bit (row*8+col) = 1 iff
+   * cell[row][col+1] > cell[row][col] (horizontal gradient signs).
+   * Robust to uniform brightness shifts and resizing; every step is
+   * exact integer arithmetic, so the hash is deterministic across JVMs
+   * (and, for synthetic fixed-grid fixtures, reproducible in SQL).
+   */
+  def dHash64(payload: Array[Byte], format: String): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"undecodable $format payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (gw, gh) = (9, 8)
+    val sum = Array.ofDim[Long](gh, gw)
+    val cnt = Array.ofDim[Long](gh, gw)
+    var y = 0
+    while (y < h) {
+      val cy = y * gh / h
+      var x = 0
+      while (x < w) {
+        val cx = x * gw / w
+        val rgb = img.getRGB(x, y)
+        val g = (299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+          114L * (rgb & 0xFF)) / 1000L
+        sum(cy)(cx) += g
+        cnt(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var r = 0
+    while (r < gh) {
+      var c = 0
+      while (c < gw - 1) {
+        val a = sum(r)(c) / math.max(cnt(r)(c), 1L)
+        val b = sum(r)(c + 1) / math.max(cnt(r)(c + 1), 1L)
+        if (b > a) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** (id, dhash) for every media row — partition-local, 1:1. */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("payload"), col("format"))
+      .as[MediaRow]
+      .mapPartitions(it => it.map(m => (m.id, dHash64(m.payload, m.format))))
+      .toDF("id", "dhash")
+  }
+
+  /**
+   * Perceptual near-dup image pairs: dHash both sides, pigeonhole the 64
+   * bits into four 16-bit bands (two hashes within hamming distance ≤ 3
+   * MUST agree on at least one whole band), bucket-join on (band, key),
+   * verify with the exact popcount. Returns (id_a, id_b, hamming) with
+   * id_a < id_b. Same banded-candidates-then-exact-verify shape as the
+   * text [[graft.ops.Dedup.simhashDedupEdges]] — candidates are
+   * O(bucket pairs), never corpus², and only (id, 8-byte hash) rows ever
+   * shuffle, never payloads.
+   */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4 bands of 16 bits guarantee recall only up to hamming 3")
+    val hashed = imageDHash(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = hashed.select(col("id"), col("dhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("__b"),
+          shiftrightunsigned(col("dhash"), 16 * b)
+            .bitwiseAND(lit(0xFFFFL)).as("__key"))): _*)).as("__band"))
+      .select(col("id"), col("dhash"),
+        col("__band.__b").as("__b"), col("__band.__key").as("__key"))
+    val l = banded.alias("a")
+    val r = banded.alias("b")
+    l.join(r, col("a.__b") === col("b.__b") &&
+        col("a.__key") === col("b.__key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.functions.GraftFunctions.bit_hamming_distance(
+          col("a.dhash"), col("b.dhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Deterministic 9×8 pattern PNGs (gray g(id,x,y) = (7·id + 3x² + 5y +
+   * xy) mod 256 on all three channels): the grid matches the dHash
+   * downsample exactly and PNG is lossless, so the decoded hash is pure
+   * integer arithmetic on (id, x, y) — reproducible by a SQL oracle with
+   * no image codec.
+   */
+  def syntheticPatternPngMedia(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val img = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            val g = ((7L * id + 3L * x * x + 5L * y + x.toLong * y) % 256L).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, bos.toByteArray, "png")
+      }
+    }.toDF()
+  }
+
   def syntheticPngMedia(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

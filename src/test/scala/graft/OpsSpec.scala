@@ -277,6 +277,60 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dHash: brightness-invariant, scale-robust; banded near-dups found") {
+    def png(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) {
+        val g = gray(x, y) & 0xFF
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // gradient signs survive a uniform brightness shift (no mod wrap)
+    val base = png(90, 80, (x, y) => 10 + (x * 17 + y * 7) % 180)
+    val bright = png(90, 80, (x, y) => 50 + (x * 17 + y * 7) % 180)
+    val hBase = Multimodal.dHash64(base, "png")
+    assert(hBase === Multimodal.dHash64(bright, "png"))
+    // and a SMOOTH field survives a 2x downscale (box averages converge;
+    // an aliasing sawtooth wouldn't — that's physics, not the hash)
+    def smooth(w: Int, h: Int) = png(w, h, (x, y) => {
+      val (u, v) = (x.toDouble / w, y.toDouble / h)
+      (40 + 100 * u * u + 60 * v + 50 * u * v).toInt
+    })
+    val sm = Multimodal.dHash64(smooth(90, 80), "png")
+    val dScale = java.lang.Long.bitCount(
+      sm ^ Multimodal.dHash64(smooth(45, 40), "png"))
+    assert(dScale <= 6, s"scale-robustness drift $dScale bits")
+    // a different pattern is far away
+    val other = png(90, 80, (x, y) => (x * x * 3 + y * 11) % 256)
+    assert(java.lang.Long.bitCount(
+      hBase ^ Multimodal.dHash64(other, "png")) > 10)
+    // near-dup pair sweep: 20 distinct pattern images + 1 slightly
+    // perturbed copy of image 0 — the banded join must surface exactly
+    // the planted pair (and any true low-hamming organic pair the
+    // brute-force check also finds)
+    val rows = (0 until 20).map { i =>
+      Multimodal.MediaRow(i.toLong,
+        png(90, 80, (x, y) => (x * (13 + i) + y * (5 + 3 * i)) % 256), "png")
+    } :+ Multimodal.MediaRow(100L,
+      png(90, 80, (x, y) =>
+        if (x == 3 && y == 4) 99 else (x * 13 + y * 5) % 256), "png")
+    val media = rows.toDF()
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val hashes = Multimodal.imageDHash(media)
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 3
+    } yield (a, b)).toSet
+    assert(pairs === brute)          // recall AND precision vs brute force
+    assert(pairs.contains((0L, 100L))) // the planted perceptual near-dup
+  }
+
   test("real WAV decode round-trips javax.sound encode via AudioSystem") {
     val docsDf = spark.read.parquet(s"$sf/documents.parquet").limit(20)
     val media = Multimodal.syntheticWavMedia(docsDf, "doc_id")
