@@ -35,12 +35,22 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; read ns-as-long and convert exactly (integer div) to micros. */
+  /** events.ts has shipped as TIMESTAMP(NANOS) (readable only ns-as-long,
+    * converted exactly to micros) and as native timestamp[us] (read as
+    * TIMESTAMP_NTZ). Normalize either encoding to session-UTC TimestampType
+    * so every events query sees one wall-clock-identical column type. */
+  private def normTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => df
+    }
+
   private def E(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    T(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normTs(T(s, dir, "events"))
   }
 
   private def C(s: SparkSession, dir: String, name: String): Chain =
@@ -190,8 +200,8 @@ object SparkEntry {
       // and the emitted matches equal the static interval join exactly,
       // which is what the oracle computes.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = T(s, dir, "events").filter(col("event_id") < 20000)
-        .withColumn("ts", date_trunc("second", timestamp_micros(expr("ts div 1000"))))
+      val ev = normTs(T(s, dir, "events").filter(col("event_id") < 20000))
+        .withColumn("ts", date_trunc("second", col("ts")))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       def stageDir(df: DataFrame): String = {
         val d = Files.createTempDirectory("graft_sj").toString
@@ -245,8 +255,8 @@ object SparkEntry {
       // gate-scale bound: covers all of sf0.01 (max id 9999) so the oracle
       // comparison is over the full table there; at larger bench SFs it
       // keeps the 4-micro-batch state workload constant-sized
-      val ev = T(s, dir, "events").filter(col("event_id") < 20000)
-        .withColumn("ts", date_trunc("second", timestamp_micros(expr("ts div 1000"))))
+      val ev = normTs(T(s, dir, "events").filter(col("event_id") < 20000))
+        .withColumn("ts", date_trunc("second", col("ts")))
         .select(col("event_id"), col("ts"), col("event_type"))
       val stage = Files.createTempDirectory("graft_late")
       def stageFile(df: DataFrame, name: String, mtimeMs: Long): Unit = {
@@ -946,9 +956,8 @@ object SparkEntry {
       val stage = Files.createTempDirectory("graft_stream")
       Files.createSymbolicLink(stage.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val stream = s.readStream.schema(schema)
-        .parquet(stage.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = normTs(s.readStream.schema(schema)
+        .parquet(stage.toString))
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
@@ -2249,40 +2258,40 @@ object SparkEntry {
 
       "q_profile" ->
         """SELECT 'o_orderkey' AS "column", 'bigint' AS dtype, count(*) AS n,
-          |  sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nulls,
+          |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
           |  round(CAST(min(o_orderkey) AS DOUBLE), 4) AS min_v,
           |  round(CAST(max(o_orderkey) AS DOUBLE), 4) AS max_v,
           |  round(avg(CAST(o_orderkey AS DOUBLE)), 4) AS mean_v
           |FROM orders
           |UNION ALL
           |SELECT 'o_custkey', 'bigint', count(*),
-          |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+          |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
           |  round(CAST(min(o_custkey) AS DOUBLE), 4),
           |  round(CAST(max(o_custkey) AS DOUBLE), 4),
           |  round(avg(CAST(o_custkey AS DOUBLE)), 4)
           |FROM orders
           |UNION ALL
           |SELECT 'o_orderstatus', 'string', count(*),
-          |  sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+          |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
           |  round(CAST(min(length(o_orderstatus)) AS DOUBLE), 4),
           |  round(CAST(max(length(o_orderstatus)) AS DOUBLE), 4),
           |  round(avg(CAST(length(o_orderstatus) AS DOUBLE)), 4)
           |FROM orders
           |UNION ALL
           |SELECT 'o_totalprice', 'double', count(*),
-          |  sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+          |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
           |  round(CAST(min(o_totalprice) AS DOUBLE), 4),
           |  round(CAST(max(o_totalprice) AS DOUBLE), 4),
           |  round(avg(CAST(o_totalprice AS DOUBLE)), 4)
           |FROM orders
           |UNION ALL
           |SELECT 'o_orderdate', 'timestamp_ntz', count(*),
-          |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+          |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
           |  NULL, NULL, NULL
           |FROM orders
           |UNION ALL
           |SELECT 'o_orderpriority', 'string', count(*),
-          |  sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+          |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
           |  round(CAST(min(length(o_orderpriority)) AS DOUBLE), 4),
           |  round(CAST(max(length(o_orderpriority)) AS DOUBLE), 4),
           |  round(avg(CAST(length(o_orderpriority) AS DOUBLE)), 4)

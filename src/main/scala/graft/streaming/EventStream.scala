@@ -18,12 +18,18 @@ import org.apache.spark.sql.types.StructType
  */
 object EventStream {
 
-  /** ns-as-long timestamps (parquet TIMESTAMP(NANOS) read via
-    * `nanosAsLong`) converted exactly to micros; no-op otherwise. */
+  /** Event timestamps normalized to session-UTC TimestampType whichever
+    * way the parquet shipped them: ns-as-long (TIMESTAMP(NANOS) read via
+    * `nanosAsLong`) converted exactly to micros, native timestamp[us]
+    * (TIMESTAMP_NTZ) cast wall-clock-identically; no-op otherwise. */
   private def normTs(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** Windowed aggregate over a parquet-file stream of events. */
   def windowedCounts(spark: SparkSession, dir: String, schema: StructType,

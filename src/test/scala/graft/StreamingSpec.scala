@@ -14,13 +14,23 @@ class StreamingSpec extends SparkSpec {
     d.toString
   }
 
+  /** events.ts normalized to TimestampType whether the fixture carries
+    * ns-as-long or native timestamp[us] (TIMESTAMP_NTZ). */
+  private def normTs(df: org.apache.spark.sql.DataFrame) =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   test("windowed streaming aggregation matches the batch equivalent") {
     val dir = stageDir(s"$sf/events.parquet")
     val schema = spark.read.parquet(dir).schema
     val ckpt = Files.createTempDirectory("ckpt").toString
 
-    val stream = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = normTs(spark.readStream.schema(schema).parquet(dir))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
@@ -30,8 +40,7 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination()
     val got = spark.table("ev_test")
 
-    val want = spark.read.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val want = normTs(spark.read.parquet(dir))
       .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     assert(got.count() === want.count())
@@ -84,8 +93,7 @@ class StreamingSpec extends SparkSpec {
     val dir = stageDir(s"$sf/events.parquet")
     val schema = spark.read.parquet(dir).schema
     val ckpt = Files.createTempDirectory("ckpt3").toString
-    val stream = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = normTs(spark.readStream.schema(schema).parquet(dir))
       .select(col("event_id"), col("ts"), col("user_id"))
       .as[EventStream.EventIn]
     val sessions = EventStream.statefulSessionize(stream, gapSec = 1800)
@@ -94,8 +102,7 @@ class StreamingSpec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
     val got = spark.table("ev_sessions")
-    val batch = spark.read.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = normTs(spark.read.parquet(dir))
     assert(got.count() === batch.count())
     // session ids are contiguous and start at 1 per user
     val perUser = got.groupBy("user_id")
