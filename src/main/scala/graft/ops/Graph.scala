@@ -66,10 +66,14 @@ object Graph {
     val deg = edges.groupBy("__src").agg(count(lit(1)).as("__deg"))
     val edgesDeg = edges.join(deg, "__src").persist(MEMORY_AND_DISK)
     // derive nodes from the persisted frame so the source scan +
-    // distinct pipeline runs once, not once per consumer
-    val nodes = edgesDeg.select(col("__src").as("node"))
-      .union(edgesDeg.select(col("__dst")))
-      .distinct()
+    // distinct pipeline runs once, not once per consumer. The dangling
+    // set (no out-edges) is STATIC, so stamp it here as a flag — a node
+    // is dangling iff it never appears as __src (min(false) wins) — and
+    // the per-iteration dangling-mass step becomes a filter+agg over the
+    // rank vector instead of an anti-join shuffle of ranks against deg
+    val nodes = edgesDeg.select(col("__src").as("node"), lit(false).as("__dang"))
+      .union(edgesDeg.select(col("__dst"), lit(true)))
+      .groupBy("node").agg(min(col("__dang")).as("__dang"))
       .persist(MEMORY_AND_DISK)
     val n = nodes.count()
     val dec = DecimalType(38, 18)
@@ -90,28 +94,28 @@ object Graph {
       // partition is nodes/P rows — executor-memory-safe at any graph
       // size that fits the cluster at all
       val contribs = edgesDeg
-        .join(ranks.withColumnRenamed("node", "__src").hint("shuffle_hash"),
-          "__src")
+        .join(ranks.select(col("node").as("__src"), col("rank"))
+          .hint("shuffle_hash"), "__src")
         .groupBy(col("__dst").as("node"))
         .agg(sum(round(col("rank") / col("__deg"), 12).cast(dec))
           .cast("double").as("__c"))
-      // mass parked on dangling nodes (no out-edges), as a broadcastable
-      // 1-row frame — no driver action
-      val dangling = ranks.join(deg,
-          ranks("node") === deg("__src"), "left_anti")
+      // mass parked on dangling nodes, as a broadcastable 1-row frame —
+      // the static __dang flag makes this a scan of the O(nodes) rank
+      // vector, no join and no driver action
+      val dangling = ranks.filter(col("__dang"))
         .agg(coalesce(sum(col("rank").cast(dec)).cast("double"), lit(0.0))
           .as("__dm"))
       ranks = nodes
         .join(contribs, Seq("node"), "left_outer")
         .crossJoin(broadcast(dangling))
-        .select(col("node"),
+        .select(col("node"), col("__dang"),
           round(lit((1.0 - damping) / n.toDouble) +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) +
               col("__dm") / lit(n.toDouble)), 12).as("rank"))
         .localCheckpoint(eager = false)
     }
     edgesDeg.unpersist(); nodes.unpersist()
-    ranks
+    ranks.select("node", "rank")
   }
 
   /**
@@ -164,7 +168,12 @@ object Graph {
       .localCheckpoint(eager = false)
     for (_ <- 1 to iterations) {
       labels = und
-        .join(labels.withColumnRenamed("node", "nbr"), "nbr")
+        // shuffle-hash, not sort-merge: und is persisted pre-partitioned
+        // on nbr, so hashing the O(nodes) label table per partition beats
+        // re-sorting the edge-sized frame every iteration (same
+        // discipline as pageRank's contribution join)
+        .join(labels.withColumnRenamed("node", "nbr").hint("shuffle_hash"),
+          "nbr")
         .groupBy("node", "label").agg(count(lit(1)).as("__n"))
         .groupBy("node")
         .agg(min(struct((lit(0L) - col("__n")).as("__neg"),

@@ -136,19 +136,29 @@ object Similarity {
     // — evaluates interpreted and measured ~5× slower
     def dist(x: Column, c: Column): Column =
       round(decimal_sq_distance(x, c), 9)
+    // lazy checkpoints: the plan stays constant-size per iteration but
+    // nothing blocks — the caller's single action drives assignment,
+    // recompute, and the final pass as one pipelined job instead of one
+    // blocking job per checkpoint (same discipline as Graph.pageRank)
     var cents = v.orderBy("__id").limit(k)
       .withColumn("cid",
         row_number().over(Window.orderBy(col("__id"))).cast("int") - 1)
       .select(col("cid"), col("__x").as("__c"))
-      .localCheckpoint()
-    def assignAll(): DataFrame =
-      v.crossJoin(broadcast(cents))
+      .localCheckpoint(eager = false)
+    // keepVec only where the recompute needs the coordinates — the final
+    // assignment shuffles (id, best) pairs, not the vectors
+    def assignAll(keepVec: Boolean): DataFrame = {
+      val scored = v.crossJoin(broadcast(cents))
         .withColumn("__d", dist(col("__x"), col("__c")))
         .groupBy("__id")
-        .agg(min(struct(col("__d"), col("cid"))).as("__b"),
+      if (keepVec)
+        scored.agg(min(struct(col("__d"), col("cid"))).as("__b"),
           first(col("__x")).as("__x"))
+      else
+        scored.agg(min(struct(col("__d"), col("cid"))).as("__b"))
+    }
     for (_ <- 1 to iterations) {
-      cents = assignAll()
+      cents = assignAll(keepVec = true)
         .select(col("__b.cid").as("cid"),
           posexplode(col("__x")).as(Seq("__dim", "__val")))
         .groupBy("cid", "__dim")
@@ -157,9 +167,9 @@ object Similarity {
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__m")))),
           x => x.getField("__m")).as("__c"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
-    val out = assignAll()
+    val out = assignAll(keepVec = false)
       .select(col("__id").as(idCol), col("__b.cid").as("cluster"),
         col("__b.__d").as("dist"))
     (out, cents.select(col("cid").as("cluster"), col("__c")))
