@@ -1365,6 +1365,16 @@ object SparkEntry {
       // deterministic tie-break on the token text
       Corpus.topTokens(T(s, dir, "documents"), "text", n = 50)),
 
+    "q_heavy_hitters" -> ((s, dir) =>
+      // per-source top-5 bigrams through the native Misra–Gries aggregate
+      // (O(capacity) mergeable state per group crosses the shuffle, not
+      // the gram stream). capacity 4096 comfortably exceeds the corpus's
+      // distinct-bigram count per source, so every count is exact and the
+      // oracle recomputes them with a plain SQL group-count — the gate
+      // pins the aggregate's update/merge/eval machinery end to end
+      Corpus.heavyHitterPhrases(T(s, dir, "documents"), "text", "source",
+        n = 2, capacity = 4096, topK = 5)),
+
     "q_decontaminate" -> ((s, dir) => {
       // GPT-3-style 13-gram decontamination: every 7th doc doubles as the
       // benchmark, so those docs are fully contaminated and the rest carry
@@ -1516,6 +1526,43 @@ object SparkEntry {
             col("l1.l_partkey") < col("l2.l_partkey"))
         .select(col("l1.l_partkey").as("src"), col("l2.l_partkey").as("dst"))
       graft.ops.Graph.triangleCount(e, "src", "dst")
+    }),
+
+    "q_url_dedup" -> ((s, dir) => {
+      // URL canonicalization + dedup: three raw spellings per resource
+      // class (shouty scheme/host + default port + tracking params +
+      // fragment; clean https; http with :80 and a click id) collapse to
+      // one canonical key, then a hash groupBy keeps the lowest doc_id.
+      // The oracle rebuilds the same variants and canonicalization in SQL
+      val d = col("doc_id")
+      val raw = when(d % 3 === 0,
+          concat(lit("HTTPS://WWW.Site"), (d % 20).cast("string"),
+            lit(".COM:443/page/"), (d % 7).cast("string"),
+            lit("/?utm_source=feed&b=2&a=1#sec")))
+        .when(d % 3 === 1,
+          concat(lit("https://www.site"), (d % 20).cast("string"),
+            lit(".com/page/"), (d % 7).cast("string"), lit("?a=1&b=2")))
+        .otherwise(
+          concat(lit("http://site"), (d % 20).cast("string"),
+            lit(".com:80/item/"), (d % 11).cast("string"), lit("?gclid=xyz")))
+      T(s, dir, "documents").select(d, raw.as("__raw"))
+        .select(d, graft.ops.TextAnalysis.canonicalUrl(col("__raw")).as("url"))
+        .groupBy("url")
+        .agg(min(d).as("keep_id"), count(lit(1)).as("dup_count"))
+    }),
+
+    "q_kcore" -> ((s, dir) => {
+      // 4-core after 4 peel rounds over the sparse part co-occurrence
+      // graph (quantity > 40 keeps it sparse enough that peeling bites:
+      // 1924 nodes -> 858 at sf0.01). Exact integer degrees; the oracle
+      // unrolls the same four rounds in SQL and hash-matches
+      val li = T(s, dir, "lineitem").filter(col("l_quantity") > 40)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("l1").join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+        .select(col("l1.l_partkey").as("src"), col("l2.l_partkey").as("dst"))
+      graft.ops.Graph.kCore(e, "src", "dst", k = 4, rounds = 4)
     }),
 
     "q_dsir" -> ((s, dir) => {
@@ -2850,6 +2897,21 @@ object SparkEntry {
            |  WHERE token <> '' GROUP BY token)
            |ORDER BY cnt DESC, token ASC LIMIT 50""".stripMargin,
 
+      "q_heavy_hitters" ->
+        raw"""WITH d AS (SELECT source,
+           |   list_filter(string_split_regex(trim(regexp_replace(lower(text),
+           |     '[^a-z0-9\s]', ' ', 'g')), '\s+'), t -> t <> '') AS toks
+           |  FROM documents),
+           | b AS (SELECT source, unnest(list_transform(
+           |     generate_series(1, greatest(len(toks) - 1, 0)),
+           |     i -> array_to_string(toks[i:i+1], ' '))) AS phrase FROM d),
+           | c AS (SELECT source, phrase, count(*) AS n FROM b GROUP BY 1, 2),
+           | rk AS (SELECT source, phrase, n, row_number() OVER (
+           |     PARTITION BY source ORDER BY n DESC, phrase ASC) AS rank
+           |   FROM c)
+           |SELECT source, CAST(rank AS BIGINT) AS rank, phrase, n
+           |FROM rk WHERE rank <= 5""".stripMargin,
+
       "q_embed_pairs" ->
         """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60)
           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -3209,6 +3271,78 @@ object SparkEntry {
       // unrolled power iteration; every arithmetic step mirrors
       // Graph.pageRank exactly (12-dp rounds, DECIMAL(38,18) sums), so the
       // rank vector is bit-equal, not approximately equal
+      "q_url_dedup" ->
+        raw"""WITH r AS (SELECT doc_id,
+           |   CASE WHEN doc_id % 3 = 0 THEN
+           |     'HTTPS://WWW.Site' || CAST(doc_id % 20 AS VARCHAR) ||
+           |     '.COM:443/page/' || CAST(doc_id % 7 AS VARCHAR) ||
+           |     '/?utm_source=feed&b=2&a=1#sec'
+           |   WHEN doc_id % 3 = 1 THEN
+           |     'https://www.site' || CAST(doc_id % 20 AS VARCHAR) ||
+           |     '.com/page/' || CAST(doc_id % 7 AS VARCHAR) || '?a=1&b=2'
+           |   ELSE
+           |     'http://site' || CAST(doc_id % 20 AS VARCHAR) ||
+           |     '.com:80/item/' || CAST(doc_id % 11 AS VARCHAR) || '?gclid=xyz'
+           |   END AS raw FROM documents),
+           | s1 AS (SELECT doc_id, regexp_replace(trim(raw), '#.*$$', '') AS nf
+           |   FROM r),
+           | s2 AS (SELECT doc_id,
+           |   lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           |     AS scheme,
+           |   regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+           |   FROM s1),
+           | s3 AS (SELECT doc_id, scheme,
+           |   lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+           |   regexp_replace(regexp_extract(rest, '^[^/?]*([^?]*)', 1),
+           |     '/+$$', '') AS path,
+           |   regexp_extract(rest, '\?(.*)$$', 1) AS query FROM s2),
+           | s4 AS (SELECT doc_id, scheme,
+           |   CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+           |     WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+           |     ELSE hostport END AS host,
+           |   path,
+           |   coalesce(array_to_string(list_sort(list_filter(
+           |     string_split(query, '&'),
+           |     p -> p <> '' AND NOT regexp_matches(p,
+           |       '^(utm_[^=]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)='))),
+           |     '&'), '') AS q FROM s3),
+           | canon AS (SELECT doc_id, scheme || '://' || host || path ||
+           |   CASE WHEN q = '' THEN '' ELSE '?' || q END AS url FROM s4)
+           |SELECT url, min(doc_id) AS keep_id, count(*) AS dup_count
+           |FROM canon GROUP BY url""".stripMargin,
+
+      "q_kcore" ->
+        """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+          |   WHERE l_quantity > 40),
+          | e0 AS (SELECT DISTINCT
+          |     CAST(least(a.l_partkey, b.l_partkey) AS VARCHAR) AS a,
+          |     CAST(greatest(a.l_partkey, b.l_partkey) AS VARCHAR) AS b
+          |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+          |     AND a.l_partkey < b.l_partkey),
+          | d1 AS (SELECT node, count(*) AS deg FROM (
+          |     SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+          | a1 AS (SELECT node FROM d1 WHERE deg >= 4),
+          | e1 AS (SELECT e0.a, e0.b FROM e0
+          |   JOIN a1 x ON e0.a = x.node JOIN a1 y ON e0.b = y.node),
+          | d2 AS (SELECT node, count(*) AS deg FROM (
+          |     SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+          | a2 AS (SELECT node FROM d2 WHERE deg >= 4),
+          | e2 AS (SELECT e1.a, e1.b FROM e1
+          |   JOIN a2 x ON e1.a = x.node JOIN a2 y ON e1.b = y.node),
+          | d3 AS (SELECT node, count(*) AS deg FROM (
+          |     SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+          | a3 AS (SELECT node FROM d3 WHERE deg >= 4),
+          | e3 AS (SELECT e2.a, e2.b FROM e2
+          |   JOIN a3 x ON e2.a = x.node JOIN a3 y ON e2.b = y.node),
+          | d4 AS (SELECT node, count(*) AS deg FROM (
+          |     SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) GROUP BY 1),
+          | a4 AS (SELECT node FROM d4 WHERE deg >= 4),
+          | e4 AS (SELECT e3.a, e3.b FROM e3
+          |   JOIN a4 x ON e3.a = x.node JOIN a4 y ON e3.b = y.node)
+          |SELECT node, count(*) AS degree FROM (
+          |  SELECT a AS node FROM e4 UNION ALL SELECT b FROM e4)
+          |GROUP BY node""".stripMargin,
+
       "q_pagerank" ->
         """WITH e AS (SELECT DISTINCT 's'||l_suppkey AS src, 'p'||l_partkey AS dst
           |   FROM lineitem),

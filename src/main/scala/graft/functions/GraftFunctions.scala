@@ -34,6 +34,13 @@ object GraftFunctions {
   def bloom_might_contain(c: Column, bloom: Array[Byte]): Column =
     toCol(BloomMightContain(toExpr(c), bloom))
 
+  /** Misra–Gries heavy hitters: top `topK` of an O(capacity) mergeable
+    * frequent-items summary (exact when the group's distinct count stays
+    * within capacity; otherwise undercounts by at most N/(capacity+1)).
+    * Returns array<struct<item, count>> sorted by (count desc, item). */
+  def heavy_hitters(c: Column, capacity: Int, topK: Int): Column =
+    toCol(MisraGriesTopK(toExpr(c), capacity, topK).toAggregateExpression())
+
   /** 1 - cos(a,b) over float vectors (reference: src/datachain/func/array.py:10). */
   def cosine_distance(a: Column, b: Column): Column =
     toCol(CosineDistance(toExpr(a), toExpr(b)))

@@ -109,6 +109,38 @@ object Corpus {
       (_, i) => array_join(slice(toksCol, i + 1, lit(n)), " "))
 
   /**
+   * Per-group heavy-hitter word n-grams via the native Misra–Gries
+   * aggregate ([[org.apache.spark.sql.graft.MisraGriesTopK]]) — the
+   * "characteristic phrases per domain" signal used to audit a corpus mix
+   * (boilerplate detection, template farms, source fingerprinting).
+   *
+   * Scale shape: n-grams derive map-side in the array domain; the MG
+   * summary partial-aggregates per partition, so only O(capacity)
+   * counters per group cross the shuffle no matter how many grams feed
+   * them — the frequent-items answer at 100 TB, where an exact
+   * count-every-gram groupBy would shuffle the full gram stream. Counts
+   * are exact (and the gate oracle-able) while a group's distinct gram
+   * count stays within `capacity`; beyond it they undercount by at most
+   * N/(capacity+1) with every true heavy hitter still surfaced.
+   *
+   * Returns (groupCol, rank, phrase, n) with rank 1..topK per group,
+   * ordered deterministically by (count desc, phrase asc).
+   */
+  def heavyHitterPhrases(df: DataFrame, textCol: String, groupCol: String,
+                         n: Int = 2, capacity: Int = 4096, topK: Int = 5)
+      : DataFrame = {
+    val toks = df.select(col(groupCol), lmTokens(textCol).as("__toks"))
+    val grams = toks.select(col(groupCol),
+      explode(wordNgrams(col("__toks"), n)).as("__g"))
+    grams.groupBy(groupCol)
+      .agg(graft.functions.GraftFunctions
+        .heavy_hitters(col("__g"), capacity, topK).as("__hh"))
+      .select(col(groupCol), posexplode(col("__hh")).as(Seq("__pos", "__e")))
+      .select(col(groupCol), (col("__pos") + 1).cast("long").as("rank"),
+        col("__e.item").as("phrase"), col("__e.count").as("n"))
+  }
+
+  /**
    * GPT-3-style n-gram decontamination: score every corpus document by how
    * many of its distinct word `n`-grams also occur in a benchmark/eval set
    * (the standard 13-gram overlap check run before pretraining). Returns

@@ -186,6 +186,57 @@ object Graph {
   }
 
   /**
+   * k-core peeling over the undirected distinct edge set: `rounds`
+   * synchronous iterations of "drop every node whose current degree is
+   * below `k`, then drop edges touching a dropped node". Returns the
+   * surviving subgraph as (node: string, degree: long) — degree measured
+   * IN the peeled subgraph. Web-curation use: the k-core of a link/domain
+   * graph isolates densely-interlinked regions (link farms, mirror
+   * clusters) that survive peeling, while organically-linked pages fall
+   * out — the complement of [[triangleCount]]'s local density signal.
+   *
+   * A fixed `rounds` (instead of iterate-to-fixpoint) keeps the run
+   * deterministic and cross-engine exact — each round is pure integer
+   * degree arithmetic, so an oracle can unroll the same rounds in SQL and
+   * hash-match; convergence is reached when a round removes nothing, and
+   * the peel sequence is monotone so extra rounds are always safe.
+   *
+   * Scale shape: the edge frame only ever SHRINKS; each round shuffles
+   * the current edge list against the O(nodes) alive set (shuffle-hash,
+   * never re-sorting edges) and the degree count partial-aggregates
+   * map-side. Lazy checkpoints bound the plan per round, so the whole
+   * peel runs as one job (same discipline as [[pageRank]]).
+   */
+  def kCore(edgesRaw: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int = 4): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    var edges = edgesRaw
+      .select(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__t"))
+      .filter(col("__s").isNotNull && col("__t").isNotNull &&
+        col("__s") =!= col("__t"))
+      .select(least(col("__s"), col("__t")).as("__a"),
+        greatest(col("__s"), col("__t")).as("__b"))
+      .repartition(col("__a"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    def degrees(e: DataFrame, out: String): DataFrame =
+      e.select(col("__a").as("node")).unionAll(e.select(col("__b")))
+        .groupBy("node").agg(count(lit(1)).as(out))
+    for (_ <- 1 to rounds) {
+      val alive = degrees(edges, "__deg").filter(col("__deg") >= k)
+        .select("node")
+      edges = edges
+        .join(alive.withColumnRenamed("node", "__a").hint("shuffle_hash"),
+          Seq("__a"), "left_semi")
+        .join(alive.withColumnRenamed("node", "__b").hint("shuffle_hash"),
+          Seq("__b"), "left_semi")
+        .localCheckpoint(eager = false)
+    }
+    degrees(edges, "degree")
+  }
+
+  /**
    * Per-node triangle count + local clustering coefficient over the
    * undirected distinct edge set. Returns (node: string, degree: long,
    * triangles: long, lcc: double) for every non-isolated node, where

@@ -160,6 +160,38 @@ object TextAnalysis {
 
   /** Strip HTML/XML tags and collapse the whitespace that's left — the
     * cheap boilerplate-removal pass before quality scoring. */
+  /** Tracking parameters stripped by [[canonicalUrl]] — the common
+    * analytics/click-id query keys that vary per visit without changing
+    * the resource (the reason raw-URL dedup undercounts duplicates). */
+  private val trackingParams =
+    "^(utm_[^=]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)="
+
+  /**
+   * Canonical URL for crawl-frontier and document dedup (the key step
+   * before URL-level dedup in CommonCrawl-style pipelines): lowercase
+   * scheme+host, default port stripped (:80 http / :443 https), fragment
+   * dropped, trailing path slashes trimmed, tracking params removed, and
+   * the surviving query params sorted — so every variant spelling of the
+   * same resource maps to one key. Pure codegen'd projection (regex +
+   * array HOFs), no shuffle; dedup on the result is a plain hash groupBy.
+   */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(trim(u), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val path = regexp_replace(regexp_extract(rest, "^[^/?]*([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(trackingParams))
+    val q = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
+
   def stripHtml(text: Column): Column =
     trim(regexp_replace(regexp_replace(text, "<[^>]*>", " "), "\\s+", " "))
 

@@ -428,6 +428,71 @@ class OpsSpec extends SparkSpec {
     assert(top.toSeq === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
+  test("canonicalUrl normalizes scheme, host, port, params, and fragment") {
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+      "https://www.example.com/a/b?a=1&b=2",
+      "http://example.com:80/",
+      "http://example.com",
+      "https://example.com:8443/x?fbclid=1&z=9"
+    ).toDF("u")
+    val got = urls.select(TextAnalysis.canonicalUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+    assert(got === Seq(
+      "https://www.example.com/a/b?a=1&b=2",
+      "https://www.example.com/a/b?a=1&b=2",
+      "http://example.com",
+      "http://example.com",
+      "https://example.com:8443/x?z=9")) // non-default port kept
+  }
+
+  test("kCore peels low-degree nodes and reports in-core degrees") {
+    import graft.ops.Graph
+    // K4 on {a,b,c,d} plus a pendant chain d-e-f: 3-core = the K4
+    val edges = Seq(
+      ("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"),
+      ("d","e"),("e","f")
+    ).toDF("src","dst")
+    val core = Graph.kCore(edges, "src", "dst", k = 3, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(core === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("heavy_hitters is exact within capacity and ranks deterministically") {
+    import graft.ops.Corpus
+    val docs = Seq(
+      ("s1", "x y x y x y z w"), // bigrams: x y(3) y x(2) y z(1) z w(1)
+      ("s1", "x y q r"),
+      ("s2", "a b a b c d")
+    ).toDF("source", "text")
+    val hh = Corpus.heavyHitterPhrases(docs, "text", "source",
+        n = 2, capacity = 64, topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(hh === Set(
+      ("s1", 1L, "x y", 4L), ("s1", 2L, "y x", 2L),
+      ("s2", 1L, "a b", 2L), ("s2", 2L, "b a", 1L)))
+  }
+
+  test("heavy_hitters beyond capacity: undercounts bounded, hitters survive") {
+    import graft.functions.GraftFunctions.heavy_hitters
+    // 3000 'hot' + 600 'warm' + 300 singleton keys, shuffled across
+    // partitions; capacity 16 << 903 distinct forces MG decrements.
+    // Bound: undercount <= N/(capacity+1); any item with true count
+    // above that threshold is guaranteed present.
+    val rows = (Seq.fill(3000)("hot") ++ Seq.fill(600)("warm") ++
+      (1 to 300).map(i => s"one_$i"))
+    val df = scala.util.Random.shuffle(rows).toDF("item").repartition(7)
+    val n = rows.size.toDouble
+    val out = df.agg(heavy_hitters(col("item"), 16, 16).as("hh"))
+      .selectExpr("inline(hh)")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = n / 17
+    assert(out.contains("hot") && out.contains("warm"))
+    assert(out("hot") <= 3000L && out("hot") >= (3000 - bound).toLong)
+    assert(out("warm") <= 600L && out("warm") >= (600 - bound).toLong)
+  }
+
   test("fluent chainops pipeline: clean -> quality -> dedup -> pack") {
     import graft.ops.chainops._
     val c = Chain(docs.unionByName(
