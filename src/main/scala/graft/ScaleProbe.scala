@@ -16,8 +16,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 8)
     // SPARK_GRAFT_PROBE=minhash,linededup,decontaminate,dupfraction,lm,
-    //   exactsubstr,dsir,semdedup,ann,graph,triangles,lpa,kmeans
-    // (default all)
+    //   exactsubstr,dsir,semdedup,ann,graph,triangles,lpa,kmeans,kcore,
+    //   heavyhitters (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
       .map(s => (x: String) => s(x)).getOrElse(_ => true)
@@ -441,6 +441,55 @@ object ScaleProbe {
         (k, sec)
       }
       println(f"kmeans scale ${results.last._1.toDouble / results.head._1}%.0fx " +
+        f"-> time factor ${results.last._2 / results.head._2}%.2fx")
+    }
+
+    if (want("kcore")) {
+      // disjoint copies: per-copy suffixed node ids replicate the graph K×
+      // (edges and nodes both scale K×; the core structure repeats per copy)
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .filter(col("l_quantity") > 40)
+        .select(col("l_orderkey"), col("l_partkey")).cache()
+      li.count()
+      val base = li.as("l1").join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+        .select(col("l1.l_partkey").cast("string").as("src"),
+          col("l2.l_partkey").cast("string").as("dst")).cache()
+      val nEdge = base.count()
+      val results = ks.map { k =>
+        val edges = base.crossJoin(spark.range(k).select(col("id").as("__c")))
+          .select(concat(col("src"), lit("_"), col("__c")).as("src"),
+            concat(col("dst"), lit("_"), col("__c")).as("dst"))
+        val t0 = System.nanoTime()
+        val core = graft.ops.Graph.kCore(edges, "src", "dst", k = 4, rounds = 4)
+        val n = core.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"kcore K=$k%-3d edges=${nEdge * k}%-9d core_nodes=$n%-8d ${sec}%.2f s")
+        (k, sec)
+      }
+      println(f"kcore scale ${results.last._1.toDouble / results.head._1}%.0fx " +
+        f"-> time factor ${results.last._2 / results.head._2}%.2fx")
+    }
+
+    if (want("heavyhitters")) {
+      // gram volume scales K× while the distinct-key space stays fixed —
+      // the regime where the O(capacity) summary shuffle is the whole win
+      val results = ks.map { k =>
+        val corpus = docs.crossJoin(
+            spark.range(k).select(col("id").as("__copy")))
+          .select(concat(lit("src"), pmod(col("doc_id"), lit(20))).as("source"),
+            col("text"))
+        val t0 = System.nanoTime()
+        val hh = graft.ops.Corpus.heavyHitterPhrases(
+          corpus, "text", "source", n = 2, capacity = 4096, topK = 5)
+        val n = hh.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"heavyhitters K=$k%-3d docs=${5000L * k}%-8d rows=$n%-6d ${sec}%.2f s")
+        require(n == 100, s"expected 20 groups x 5, got $n")
+        (k, sec)
+      }
+      println(f"heavyhitters scale ${results.last._1.toDouble / results.head._1}%.0fx " +
         f"-> time factor ${results.last._2 / results.head._2}%.2fx")
     }
     spark.stop()

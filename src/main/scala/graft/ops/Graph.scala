@@ -220,20 +220,27 @@ object Graph {
       .repartition(col("__a"))
       .distinct()
       .localCheckpoint(eager = false)
-    def degrees(e: DataFrame, out: String): DataFrame =
-      e.select(col("__a").as("node")).unionAll(e.select(col("__b")))
-        .groupBy("node").agg(count(lit(1)).as(out))
     for (_ <- 1 to rounds) {
-      val alive = degrees(edges, "__deg").filter(col("__deg") >= k)
-        .select("node")
-      edges = edges
-        .join(alive.withColumnRenamed("node", "__a").hint("shuffle_hash"),
-          Seq("__a"), "left_semi")
-        .join(alive.withColumnRenamed("node", "__b").hint("shuffle_hash"),
-          Seq("__b"), "left_semi")
-        .localCheckpoint(eager = false)
+      edges = peelOnce(edges, k).localCheckpoint(eager = false)
     }
-    degrees(edges, "degree")
+    kCoreDegrees(edges, "degree")
+  }
+
+  private[graft] def kCoreDegrees(e: DataFrame, out: String): DataFrame =
+    e.select(col("__a").as("node")).unionAll(e.select(col("__b")))
+      .groupBy("node").agg(count(lit(1)).as(out))
+
+  /** One k-core peel round — package-visible so PlanSpec can pin the
+    * join strategy (the checkpoint boundaries hide it from the full
+    * query's explain output). */
+  private[graft] def peelOnce(edges: DataFrame, k: Int): DataFrame = {
+    val alive = kCoreDegrees(edges, "__deg").filter(col("__deg") >= k)
+      .select("node")
+    edges
+      .join(alive.withColumnRenamed("node", "__a").hint("shuffle_hash"),
+        Seq("__a"), "left_semi")
+      .join(alive.withColumnRenamed("node", "__b").hint("shuffle_hash"),
+        Seq("__b"), "left_semi")
   }
 
   /**

@@ -396,4 +396,38 @@ class PlanSpec extends SparkSpec {
     // orientation, closing join), not re-derived from the source scan
     assert(p.contains("InMemoryTableScan"), p)
   }
+
+  test("q_heavy_hitters: MG summary partial-aggregates map-side") {
+    val p = plan("q_heavy_hitters")
+    // the O(capacity) summary must combine BEFORE the exchange — a plan
+    // without partial_heavy_hitters shuffles the raw gram stream, which
+    // is exactly what the aggregate exists to avoid at 100 TB
+    assert(p.contains("partial_heavy_hitters"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_url_dedup: canonicalization is a pure projection, one exchange") {
+    val p = plan("q_url_dedup")
+    // regex/array-HOF canonicalization must stay map-side; the only
+    // exchange is the final dedup groupBy on the canonical key
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_min"), p) // map-side combine of keep_id
+  }
+
+  test("kCore peel round: alive set hash-joins into edges, never sort-merge") {
+    import spark.implicits._
+    // the full q_kcore plan hides behind checkpoint boundaries; pin the
+    // single-round shape directly — the alive set must hash into the
+    // edge partitioning (semi join), not trigger an edge re-sort
+    import org.apache.spark.sql.functions.col
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+      .select(col("src").as("__a"), col("dst").as("__b"))
+    val p = graft.ops.Graph.peelOnce(e, 2).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
