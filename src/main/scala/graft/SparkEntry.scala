@@ -1528,6 +1528,27 @@ object SparkEntry {
       graft.ops.Graph.triangleCount(e, "src", "dst")
     }),
 
+    "q_covariance" -> ((s, dir) =>
+      // distributed Gramian: per-row pair products derive map-side and
+      // partial-aggregate, so only O(dim^2 x partitions) partials cross
+      // the exchange — the PCA/whitening input at any corpus size. The
+      // oracle recomputes every upper-triangle cell with the same
+      // 12-dp-decimal sums and hash-matches all 2080 of them
+      Similarity.covarianceMatrix(T(s, dir, "embeddings"), "embedding")),
+
+    "q_rrf" -> ((s, dir) => {
+      // reciprocal-rank fusion of two retrieval runs over documents: a
+      // length-prior run (n_chars) and a decorrelated pseudo-relevance
+      // run (affine doc_id hash mod 101) — rank-only fusion, so the
+      // oracle reproduces it with two row_number windows
+      val docs = T(s, dir, "documents")
+      val runA = docs.select(col("doc_id"),
+        col("n_chars").cast("double").as("score"))
+      val runB = docs.select(col("doc_id"),
+        ((col("doc_id") * 37 + 11) % 101).cast("double").as("score"))
+      Corpus.rrfFuse(Seq(runA, runB), "doc_id", "score", kRrf = 60)
+    }),
+
     "q_url_dedup" -> ((s, dir) => {
       // URL canonicalization + dedup: three raw spellings per resource
       // class (shouty scheme/host + default port + tracking params +
@@ -3271,6 +3292,34 @@ object SparkEntry {
       // unrolled power iteration; every arithmetic step mirrors
       // Graph.pageRank exactly (12-dp rounds, DECIMAL(38,18) sums), so the
       // rank vector is bit-equal, not approximately equal
+      "q_covariance" ->
+        """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+          | p AS (SELECT i, j, x[i+1] AS xi, x[j+1] AS xj FROM v,
+          |   (SELECT a.i, b.j FROM generate_series(0, 63) a(i)
+          |      JOIN generate_series(0, 63) b(j) ON b.j >= a.i) ij),
+          | g AS (SELECT i, j, count(*) AS n,
+          |   CAST(sum(CAST(round(xi * xj, 12) AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+          |   CAST(sum(CAST(round(xi, 12) AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+          |   CAST(sum(CAST(round(xj, 12) AS DECIMAL(38,18))) AS DOUBLE) AS sy
+          |  FROM p GROUP BY 1, 2)
+          |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+          |  round((sxy - sx * sy / n) / n, 9) AS cov FROM g""".stripMargin,
+
+      "q_rrf" ->
+        """WITH ra AS (SELECT doc_id, row_number() OVER (
+          |     ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id ASC) AS r
+          |   FROM documents),
+          | rb AS (SELECT doc_id, row_number() OVER (
+          |     ORDER BY CAST((doc_id * 37 + 11) % 101 AS DOUBLE) DESC,
+          |       doc_id ASC) AS r
+          |   FROM documents),
+          | u AS (SELECT * FROM ra UNION ALL SELECT * FROM rb)
+          |SELECT doc_id,
+          |  round(CAST(sum(CAST(round(1.0 / (60 + r), 12) AS DECIMAL(38,18)))
+          |    AS DOUBLE), 9) AS rrf_score,
+          |  count(*) AS n_runs
+          |FROM u GROUP BY doc_id""".stripMargin,
+
       "q_url_dedup" ->
         raw"""WITH r AS (SELECT doc_id,
            |   CASE WHEN doc_id % 3 = 0 THEN

@@ -141,6 +141,37 @@ object Corpus {
   }
 
   /**
+   * Reciprocal-rank fusion (Cormack et al. 2009) over N retrieval runs —
+   * the standard hybrid-search combiner (BM25 ⊕ dense-embedding ⊕ any
+   * other ranker) for query-targeted data selection: no score
+   * calibration needed, only ranks. Each run is (id, score); ranks are
+   * row_number over (score desc, id asc) within the run, and
+   * `rrf = Σ_runs 1/(kRrf + rank)` (12-dp decimal-summed, order-
+   * independent, rounded to 9 — engine-exact).
+   *
+   * Scale shape: runs are CANDIDATE LISTS (top-k retrieval output,
+   * thousands of rows), not corpora — the per-run ranking window and the
+   * id-keyed fusion groupBy both operate on bounded input; never feed an
+   * unranked 100 TB corpus here (rank it first with bm25/ANN top-k).
+   */
+  def rrfFuse(runs: Seq[DataFrame], idCol: String, scoreCol: String,
+              kRrf: Int = 60): DataFrame = {
+    require(runs.nonEmpty, "rrfFuse needs at least one run")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val tagged = runs.zipWithIndex.map { case (r, ix) =>
+      r.select(col(idCol), col(scoreCol).cast("double").as("__s"),
+        lit(ix).as("__run"))
+    }.reduce(_ unionAll _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__run").orderBy(col("__s").desc, col(idCol).asc)
+    tagged.withColumn("__r", row_number().over(w))
+      .groupBy(idCol)
+      .agg(round(sum(round(lit(1.0) / (lit(kRrf) + col("__r")), 12).cast(dec))
+          .cast("double"), 9).as("rrf_score"),
+        count(lit(1)).as("n_runs"))
+  }
+
+  /**
    * GPT-3-style n-gram decontamination: score every corpus document by how
    * many of its distinct word `n`-grams also occur in a benchmark/eval set
    * (the standard 13-gram overlap check run before pretraining). Returns

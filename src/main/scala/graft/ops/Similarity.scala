@@ -375,4 +375,74 @@ object Similarity {
       .select(col(queryIdCol), col(idCol), col("__d").as("dist"),
         col("__rank").as("rank"))
   }
+
+  /**
+   * Upper-triangle covariance matrix of an embedding column — the input
+   * to PCA/whitening/embedding-drift monitoring over a corpus. Returns
+   * (i, j, cov) for 0 <= i <= j < dim with
+   * `cov = (Σ xᵢxⱼ − Σxᵢ·Σxⱼ/n) / n` (population covariance).
+   *
+   * Scale shape: the Gramian accumulates DISTRIBUTED — per row, the
+   * dim·(dim+1)/2 products derive map-side in the array domain and
+   * partial-aggregate before the exchange, so the shuffle carries
+   * O(dim² × partitions) partial sums, never the corpus (the DataFrame
+   * restatement of RowMatrix.computeGramianMatrix's treeAggregate). The
+   * result is O(dim²) rows — collectable for a driver-side eigensolve at
+   * any corpus size.
+   *
+   * Determinism: products are IEEE doubles rounded to 12 dp and summed
+   * as DECIMAL(38,18) — order-independent, so the oracle reproduces every
+   * cell bit-for-bit; the final division rounds to 9 dp.
+   */
+  def covarianceMatrix(corpus: DataFrame, vecCol: String = "embedding")
+      : DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val x = col(vecCol).cast("array<double>")
+    // one row per (i, j>=i) pair per input row, derived map-side:
+    // outer posexplode picks i, inner transform pairs it with the tail
+    val pairs = corpus
+      .select(posexplode(x).as(Seq("__i", "__xi")), x.as("__x"))
+      .select(col("__i"), col("__xi"),
+        posexplode(slice(col("__x"), col("__i") + 1, lit(Int.MaxValue)))
+          .as(Seq("__dj", "__xj")))
+      .select(col("__i"), (col("__i") + col("__dj")).as("__j"),
+        col("__xi"), col("__xj"))
+    pairs
+      .groupBy(col("__i").as("i"), col("__j").as("j"))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(col("__xi") * col("__xj"), 12).cast(dec)).as("__sxy"),
+        sum(round(col("__xi"), 12).cast(dec)).as("__sx"),
+        sum(round(col("__xj"), 12).cast(dec)).as("__sy"))
+      .select(col("i"), col("j"),
+        round((col("__sxy").cast("double") -
+            col("__sx").cast("double") * col("__sy").cast("double") / col("__n")) /
+          col("__n"), 9).as("cov"))
+  }
+
+  /**
+   * Top principal component by power iteration over the O(dim²)
+   * covariance matrix from [[covarianceMatrix]]. The matrix (a few
+   * thousand cells regardless of corpus size) is collected and iterated
+   * driver-side — deliberately: after the distributed Gramian reduction
+   * the eigenproblem is constant-size, and a driver loop beats `rounds`
+   * Spark jobs. Returns the unit eigenvector as Seq[Double] (sign fixed:
+   * first non-zero component positive).
+   */
+  def pcaTopComponent(corpus: DataFrame, vecCol: String = "embedding",
+                      iterations: Int = 20): Seq[Double] = {
+    val cells = covarianceMatrix(corpus, vecCol)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val dim = cells.map(_._2).max + 1
+    val m = Array.ofDim[Double](dim, dim)
+    cells.foreach { case (i, j, c) => m(i)(j) = c; m(j)(i) = c }
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim))
+    for (_ <- 1 to iterations) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => m(i)(j) * v(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = if (norm == 0.0) w else w.map(_ / norm)
+    }
+    val flip = v.find(_ != 0.0).exists(_ < 0)
+    (if (flip) v.map(-_) else v).toSeq
+  }
 }

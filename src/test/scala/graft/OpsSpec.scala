@@ -428,6 +428,28 @@ class OpsSpec extends SparkSpec {
     assert(top.toSeq === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
+  test("pcaTopComponent recovers a planted principal direction") {
+    // points on the line t*(0.6, 0.8): covariance is rank-1 with
+    // eigenvector exactly the direction (sign-fixed positive)
+    val pts = Seq(-2.0, -1.0, 1.0, 2.0)
+      .map(t => Tuple1(Array(0.6f * t.toFloat, 0.8f * t.toFloat)))
+      .toDF("embedding")
+    val v = Similarity.pcaTopComponent(pts, "embedding", iterations = 30)
+    assert(v.length === 2)
+    assert(math.abs(v(0) - 0.6) < 1e-6 && math.abs(v(1) - 0.8) < 1e-6, v)
+  }
+
+  test("rrfFuse combines ranks reciprocally with deterministic ties") {
+    import graft.ops.Corpus
+    val runA = Seq((1L, 10.0), (2L, 5.0), (3L, 1.0)).toDF("id", "score")
+    val runB = Seq((3L, 9.0), (1L, 2.0)).toDF("id", "score")
+    val out = Corpus.rrfFuse(Seq(runA, runB), "id", "score", kRrf = 60)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    def s(rs: Int*) = BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out === Set((1L, s(1, 2), 2L), (2L, s(2), 1L), (3L, s(3, 1), 2L)))
+  }
+
   test("canonicalUrl normalizes scheme, host, port, params, and fragment") {
     val urls = Seq(
       "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",

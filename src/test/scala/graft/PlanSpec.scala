@@ -416,6 +416,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min"), p) // map-side combine of keep_id
   }
 
+  test("q_covariance: Gramian pairs partial-aggregate before one exchange") {
+    val p = plan("q_covariance")
+    // the dim^2 pair products must combine map-side — shuffling the raw
+    // exploded pair stream would move corpus x 2080 rows at scale
+    assert(p.contains("partial_sum"), p)
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("kCore peel round: alive set hash-joins into edges, never sort-merge") {
     import spark.implicits._
     // the full q_kcore plan hides behind checkpoint boundaries; pin the
