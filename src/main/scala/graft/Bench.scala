@@ -111,7 +111,8 @@ object Bench {
       "q_weighted_sample", "q_c4_rules", "q_kmeans", "q_bm25", "q_blocklist",
       "q_triangles", "q_subtract_seen_near", "q_zorder", "q_ann_sq8",
       "q_ann_sq8_rerank", "q_label_prop", "q_compact", "q_image_dhash",
-      "q_kcore", "q_heavy_hitters", "q_url_dedup", "q_covariance", "q_rrf")
+      "q_kcore", "q_heavy_hitters", "q_url_dedup", "q_covariance", "q_rrf",
+      "q_inverted_index")
     val shown =
       if (only.isDefined) results.keys.toVector.sorted // local subset run: show all
       else headline.filter(results.contains)

@@ -1528,6 +1528,11 @@ object SparkEntry {
       graft.ops.Graph.triangleCount(e, "src", "dst")
     }),
 
+    "q_inverted_index" -> ((s, dir) =>
+      // full inverted index over the corpus: df/tf per token plus the
+      // ascending posting list as CSV (the array-safe compare surface)
+      Corpus.invertedIndex(T(s, dir, "documents"), "doc_id", "text")),
+
     "q_covariance" -> ((s, dir) =>
       // distributed Gramian: per-row pair products derive map-side and
       // partial-aggregate, so only O(dim^2 x partitions) partials cross
@@ -3292,6 +3297,17 @@ object SparkEntry {
       // unrolled power iteration; every arithmetic step mirrors
       // Graph.pageRank exactly (12-dp rounds, DECIMAL(38,18) sums), so the
       // rank vector is bit-equal, not approximately equal
+      "q_inverted_index" ->
+        raw"""WITH t AS (SELECT doc_id,
+           |   unnest(list_filter(string_split_regex(trim(regexp_replace(
+           |     lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+           |     x -> x <> '')) AS token
+           |  FROM documents),
+           | d AS (SELECT token, doc_id, count(*) AS k FROM t GROUP BY 1, 2)
+           |SELECT token, count(*) AS df, CAST(sum(k) AS BIGINT) AS tf,
+           |  string_agg(doc_id, ',' ORDER BY doc_id) AS postings_csv
+           |FROM d GROUP BY token""".stripMargin,
+
       "q_covariance" ->
         """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
           | p AS (SELECT i, j, x[i+1] AS xi, x[j+1] AS xj FROM v,

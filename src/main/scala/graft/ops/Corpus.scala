@@ -141,6 +141,52 @@ object Corpus {
   }
 
   /**
+   * Inverted index (token → postings) over a corpus — the retrieval
+   * artifact behind [[bm25]] serving and phrase/contamination lookup.
+   * Returns (token, df, tf, postings_csv): document frequency, total
+   * term frequency, and the ascending doc-id posting list rendered as
+   * CSV (the deterministic string surface — raw array cells don't sort
+   * under the driver compare).
+   *
+   * Scale shape: tokens explode map-side and the (token, doc) counts
+   * partial-aggregate before either exchange; the second groupBy keys on
+   * token so each posting list builds on one reducer. `maxPostings`
+   * bounds the list per token (lowest ids kept via map-side
+   * WindowGroupLimit) — at web scale stopword postings are the skew
+   * hazard, and a capped index plus the df/tf totals is the standard
+   * serving shape.
+   */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int = 0): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      explode(lmTokens(textCol)).as("token"))
+    val perDoc = toks.groupBy("token", "__id").agg(count(lit(1)).as("__k"))
+    if (maxPostings <= 0)
+      perDoc.groupBy("token").agg(
+        count(lit(1)).as("df"),
+        sum("__k").as("tf"),
+        concat_ws(",",
+          transform(array_sort(collect_list(col("__id"))), _.cast("string")))
+          .as("postings_csv"))
+    else {
+      // df/tf stay FULL-corpus truths; only the rendered posting list is
+      // capped (lowest ids via per-token top-k). Both aggregations key on
+      // token, so the final join is co-partitioned — no extra exchange.
+      val stats = perDoc.groupBy("token")
+        .agg(count(lit(1)).as("df"), sum("__k").as("tf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("token").orderBy(col("__id").asc)
+      val posts = perDoc.withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= maxPostings)
+        .groupBy("token")
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(col("__id"))), _.cast("string")))
+          .as("postings_csv"))
+      stats.join(posts, Seq("token"))
+    }
+  }
+
+  /**
    * Reciprocal-rank fusion (Cormack et al. 2009) over N retrieval runs —
    * the standard hybrid-search combiner (BM25 ⊕ dense-embedding ⊕ any
    * other ranker) for query-targeted data selection: no score

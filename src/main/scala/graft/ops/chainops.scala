@@ -154,5 +154,40 @@ object chainops {
         .filter(col("dup_fraction") >= maxFrac).select(col(idCol))
       Chain(c.toDF.join(bad, Seq(idCol), "left_anti"))
     }
+
+    /** Stamp the canonical URL (see [[TextAnalysis.canonicalUrl]]). */
+    def withCanonicalUrl(urlCol: String,
+                         outCol: String = "canonical_url"): Chain =
+      c.mutate(outCol -> TextAnalysis.canonicalUrl(col(urlCol)))
+
+    /** Keep one row (lowest id) per canonical URL. */
+    def dedupByUrl(urlCol: String, idCol: String): Chain = {
+      val canon = TextAnalysis.canonicalUrl(col(urlCol))
+      val df = c.toDF.withColumn("__curl", canon)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__curl").orderBy(col(idCol).asc)
+      Chain(df.withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1).drop("__curl", "__r"))
+    }
+
+    /** Per-group heavy-hitter n-grams (Misra–Gries; see
+      * [[Corpus.heavyHitterPhrases]]). */
+    def heavyHitters(textCol: String, groupCol: String, n: Int = 2,
+                     capacity: Int = 4096, topK: Int = 5): Chain =
+      Chain(Corpus.heavyHitterPhrases(c.toDF, textCol, groupCol, n,
+        capacity, topK))
+
+    /** Inverted index over this chain's documents (see
+      * [[Corpus.invertedIndex]]). */
+    def invertedIndex(idCol: String, textCol: String,
+                      maxPostings: Int = 0): Chain =
+      Chain(Corpus.invertedIndex(c.toDF, idCol, textCol, maxPostings))
+
+    /** Fuse this ranking with others by reciprocal rank (see
+      * [[Corpus.rrfFuse]]). */
+    def rrfWith(others: Seq[Chain], idCol: String, scoreCol: String,
+                kRrf: Int = 60): Chain =
+      Chain(Corpus.rrfFuse(c.toDF +: others.map(_.toDF), idCol, scoreCol,
+        kRrf))
   }
 }

@@ -428,6 +428,22 @@ class OpsSpec extends SparkSpec {
     assert(top.toSeq === Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
+  test("invertedIndex caps postings but keeps full-corpus df/tf") {
+    import graft.ops.Corpus
+    val docs = Seq((1L, "a b a"), (2L, "a c"), (3L, "a"), (4L, "b"))
+      .toDF("doc_id", "text")
+    val full = Corpus.invertedIndex(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(full === Set(("a", 3L, 4L, "1,2,3"), ("b", 2L, 2L, "1,4"),
+      ("c", 1L, 1L, "2")))
+    val capped = Corpus.invertedIndex(docs, "doc_id", "text", maxPostings = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(capped === Set(("a", 3L, 4L, "1,2"), ("b", 2L, 2L, "1,4"),
+      ("c", 1L, 1L, "2")))
+  }
+
   test("pcaTopComponent recovers a planted principal direction") {
     // points on the line t*(0.6, 0.8): covariance is rank-1 with
     // eigenvector exactly the direction (sign-fixed positive)
