@@ -57,25 +57,40 @@ object Graph {
     // and the persisted frame is the in-memory equivalent of bucketing by
     // src, so each iteration's edges⋈ranks join moves only the O(nodes)
     // rank table
-    val edges = edgesRaw
-      .select(col(srcCol).cast("string").as("__src"),
-        col(dstCol).cast("string").as("__dst"))
-      .filter(col("__src").isNotNull && col("__dst").isNotNull)
+    // iterate on 8-byte xxhash64 node ids, not strings: every
+    // per-iteration shuffle/join/aggregate then moves and hashes fixed-
+    // width longs (string names are stored ONCE in the bucketed edge
+    // frame — the columnar cache prunes them from every iteration scan —
+    // and mapped back in one final join). A 64-bit id collision would
+    // corrupt ranks, so the same pass that counts nodes proves
+    // injectivity over this graph (min name == max name per id) —
+    // ~n²/2⁶⁵ odds; widen to a 128-bit fingerprint beyond ~10⁸ nodes
+    val edgesS = edgesRaw
+      .select(col(srcCol).cast("string").as("__srcS"),
+        col(dstCol).cast("string").as("__dstS"))
+      .filter(col("__srcS").isNotNull && col("__dstS").isNotNull)
+    val edges = edgesS
+      .select(xxhash64(col("__srcS")).as("__src"), col("__srcS"),
+        xxhash64(col("__dstS")).as("__dst"), col("__dstS"))
       .repartition(col("__src"))
       .distinct()
     val deg = edges.groupBy("__src").agg(count(lit(1)).as("__deg"))
     val edgesDeg = edges.join(deg, "__src").persist(MEMORY_AND_DISK)
-    // derive nodes from the persisted frame so the source scan +
-    // distinct pipeline runs once, not once per consumer. The dangling
-    // set (no out-edges) is STATIC, so stamp it here as a flag — a node
-    // is dangling iff it never appears as __src (min(false) wins) — and
-    // the per-iteration dangling-mass step becomes a filter+agg over the
-    // rank vector instead of an anti-join shuffle of ranks against deg
-    val nodes = edgesDeg.select(col("__src").as("node"), lit(false).as("__dang"))
-      .union(edgesDeg.select(col("__dst"), lit(true)))
-      .groupBy("node").agg(min(col("__dang")).as("__dang"))
+    // node dictionary + static dangling flag off the persisted frame (one
+    // derivation, not one per consumer): a node is dangling iff it never
+    // appears as __src (min(false) wins), so the per-iteration dangling-
+    // mass step is a filter+agg over the rank vector, no anti-join
+    val nodes = edgesDeg.select(col("__src").as("__nid"),
+        col("__srcS").as("__name"), lit(false).as("__dang"))
+      .union(edgesDeg.select(col("__dst"), col("__dstS"), lit(true)))
+      .groupBy("__nid").agg(min(col("__dang")).as("__dang"),
+        min(col("__name")).as("__name"), max(col("__name")).as("__mx"))
       .persist(MEMORY_AND_DISK)
-    val n = nodes.count()
+    val head = nodes.agg(count(lit(1)),
+      sum(when(col("__name") =!= col("__mx"), 1).otherwise(0))).head()
+    val n = head.getLong(0)
+    require(head.getLong(1) == 0L,
+      "xxhash64 node-id collision — switch to 128-bit fingerprints")
     val dec = DecimalType(38, 18)
 
     // lazy checkpoints: the Catalyst plan stays constant-size per
@@ -84,7 +99,7 @@ object Graph {
     // instead of one blocking job per iteration — at gate scale that
     // halves wall time (job-scheduling overhead dominates), at cluster
     // scale it lets the scheduler pipeline the independent aggregates
-    var ranks = nodes
+    var ranks = nodes.select(col("__nid"), col("__dang"))
       .withColumn("rank", round(lit(1.0) / lit(n.toDouble), 12))
       .localCheckpoint(eager = false)
     for (_ <- 1 to iterations) {
@@ -94,9 +109,9 @@ object Graph {
       // partition is nodes/P rows — executor-memory-safe at any graph
       // size that fits the cluster at all
       val contribs = edgesDeg
-        .join(ranks.select(col("node").as("__src"), col("rank"))
+        .join(ranks.select(col("__nid").as("__src"), col("rank"))
           .hint("shuffle_hash"), "__src")
-        .groupBy(col("__dst").as("node"))
+        .groupBy(col("__dst").as("__nid"))
         .agg(sum(round(col("rank") / col("__deg"), 12).cast(dec))
           .cast("double").as("__c"))
       // mass parked on dangling nodes, as a broadcastable 1-row frame —
@@ -105,17 +120,23 @@ object Graph {
       val dangling = ranks.filter(col("__dang"))
         .agg(coalesce(sum(col("rank").cast(dec)).cast("double"), lit(0.0))
           .as("__dm"))
-      ranks = nodes
-        .join(contribs, Seq("node"), "left_outer")
+      ranks = nodes.select(col("__nid"), col("__dang"))
+        .join(contribs, Seq("__nid"), "left_outer")
         .crossJoin(broadcast(dangling))
-        .select(col("node"), col("__dang"),
+        .select(col("__nid"), col("__dang"),
           round(lit((1.0 - damping) / n.toDouble) +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) +
               col("__dm") / lit(n.toDouble)), 12).as("rank"))
         .localCheckpoint(eager = false)
     }
+    // materialize the O(nodes) result EAGERLY while the edge/node caches
+    // are hot, then release them: a lazy return would recompute the whole
+    // setup at the caller's first action against unpersisted inputs
+    val out = ranks.join(nodes.select(col("__nid"), col("__name")), "__nid")
+      .select(col("__name").as("node"), col("rank"))
+      .localCheckpoint(eager = true)
     edgesDeg.unpersist(); nodes.unpersist()
-    ranks.select("node", "rank")
+    out
   }
 
   /**
@@ -181,8 +202,12 @@ object Graph {
         .select(col("node"), col("__b.__l").as("label"))
         .localCheckpoint(eager = false)
     }
+    // materialize the O(nodes) result while the neighbor-list cache is
+    // hot, then release it — a lazy return would recompute the whole
+    // setup at the caller's first action against the unpersisted frame
+    val out = labels.localCheckpoint(eager = true)
     und.unpersist()
-    labels
+    out
   }
 
   /**
