@@ -17,7 +17,7 @@ object ScaleProbe {
     val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 8)
     // SPARK_GRAFT_PROBE=minhash,linededup,decontaminate,dupfraction,lm,
     //   exactsubstr,dsir,semdedup,ann,graph,triangles,lpa,kmeans,kcore,
-    //   heavyhitters (default all)
+    //   heavyhitters,covariance (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
       .map(s => (x: String) => s(x)).getOrElse(_ => true)
@@ -469,6 +469,31 @@ object ScaleProbe {
         (k, sec)
       }
       println(f"kcore scale ${results.last._1.toDouble / results.head._1}%.0fx " +
+        f"-> time factor ${results.last._2 / results.head._2}%.2fx")
+    }
+
+    if (want("covariance")) {
+      // corpus grows K×, the shuffle stays O(dim^2 × partitions) — time
+      // should track the map-side pair derivation, i.e. ~linear, while
+      // the result stays exactly 2080 cells
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select("vec_id", "embedding").cache()
+      val nEmb = emb.count()
+      val results = ks.map { k =>
+        val corpus = emb.crossJoin(
+            spark.range(k).select(col("id").as("__copy")))
+          .select(transform(col("embedding"), (x, i) =>
+            x + (pmod(col("__copy") * 13 + i, lit(5)) - lit(2))
+              .cast("float") * lit(0.01f)).as("embedding"))
+        val t0 = System.nanoTime()
+        val cells = graft.ops.Similarity.covarianceMatrix(corpus, "embedding")
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"covariance K=$k%-3d vecs=${nEmb * k}%-8d cells=$cells%-6d ${sec}%.2f s")
+        require(cells == 2080, s"expected 2080 cells, got $cells")
+        (k, sec)
+      }
+      println(f"covariance scale ${results.last._1.toDouble / results.head._1}%.0fx " +
         f"-> time factor ${results.last._2 / results.head._2}%.2fx")
     }
 
