@@ -251,6 +251,48 @@ object Graph {
     kCoreDegrees(edges, "degree")
   }
 
+  /**
+   * [[kCore]] iterated to the true fixpoint: peel until a round removes
+   * no edge (checked via an `Observation` riding each round's
+   * materialization — one job per round, no extra count pass). This is
+   * the production entry point; the fixed-`rounds` [[kCore]] exists for
+   * cross-engine-exact oracling and bounded-cost sampling. `maxRounds`
+   * caps pathological chains (a k-core peel converges in O(longest
+   * degeneracy chain) rounds — single digits on web-ish graphs).
+   */
+  def kCoreConverged(edgesRaw: DataFrame, srcCol: String, dstCol: String,
+                     k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, "k and maxRounds must be positive")
+    var edges = edgesRaw
+      .select(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__t"))
+      .filter(col("__s").isNotNull && col("__t").isNotNull &&
+        col("__s") =!= col("__t"))
+      .select(least(col("__s"), col("__t")).as("__a"),
+        greatest(col("__s"), col("__t")).as("__b"))
+      .repartition(col("__a"))
+      .distinct()
+      .localCheckpoint()
+    var before = edges.count()
+    var rounds = 0
+    var converged = before == 0L
+    while (!converged && rounds < maxRounds) {
+      val obs = org.apache.spark.sql.Observation()
+      edges = peelOnce(edges, k)
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint() // eager: materializes the round AND fills obs
+      val after = Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      converged = after == before
+      before = after
+      rounds += 1
+    }
+    lastKCoreRounds = rounds
+    kCoreDegrees(edges, "degree")
+  }
+
+  /** Rounds the last [[kCoreConverged]] run took (probe telemetry). */
+  @volatile var lastKCoreRounds: Int = 0
+
   private[graft] def kCoreDegrees(e: DataFrame, out: String): DataFrame =
     e.select(col("__a").as("node")).unionAll(e.select(col("__b")))
       .groupBy("node").agg(count(lit(1)).as(out))

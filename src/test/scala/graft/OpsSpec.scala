@@ -496,6 +496,25 @@ class OpsSpec extends SparkSpec {
     assert(core === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
   }
 
+  test("kCoreConverged reaches the fixpoint the fixed-rounds peel approaches") {
+    import graft.ops.Graph
+    // K4 + a 3-chain hanging off it: the chain peels over MULTIPLE rounds
+    // (e peels only after f, d-side edge only after e), so convergence
+    // genuinely iterates; the 3-core fixpoint is exactly the K4
+    val edges = Seq(
+      ("a","b"),("a","c"),("a","d"),("b","c"),("b","d"),("c","d"),
+      ("d","e"),("e","f"),("f","g")
+    ).toDF("src","dst")
+    val core = Graph.kCoreConverged(edges, "src", "dst", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(core === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    assert(Graph.lastKCoreRounds >= 2) // chain forces multi-round peeling
+    // and the fixed-rounds variant at sufficient depth agrees
+    val fixed = Graph.kCore(edges, "src", "dst", k = 3, rounds = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(fixed === core)
+  }
+
   test("heavy_hitters is exact within capacity and ranks deterministically") {
     import graft.ops.Corpus
     val docs = Seq(
