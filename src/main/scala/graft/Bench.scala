@@ -58,8 +58,16 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // untimed isolation: queries that persist() intermediates (LSH
       // frontiers, CC edge lists) would otherwise leave cached blocks
-      // behind, and later queries would pay their eviction/GC bill
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      // behind, and later queries would pay their eviction/GC bill.
+      // clearCache only drops catalog-tracked persists — localCheckpoint
+      // blocks live at the RDD layer until the ContextCleaner's GC-driven
+      // sweep, so drop them explicitly for deterministic memory state
+      // between measurements
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      } catch { case _: Throwable => () }
       if (ok) Some(dt) else None
     }
     // This guest is a microVM; the host occasionally steals the CPU for
