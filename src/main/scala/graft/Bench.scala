@@ -10,6 +10,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // static conf, default 100 entries: a 150-query suite generates far
+      // more codegen'd classes than that, so every interleaved pass
+      // recompiled every stage from scratch (janino time, not execution,
+      // dominated the multi-stage iterative queries — q_pagerank measured
+      // 7.9s first-compile vs 2.9s warm). Size the cache for the suite.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
