@@ -24,6 +24,9 @@ object ScaleProbe {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // see Bench: the 100-entry default evicts across probe families and
+      // K steps, polluting timings with janino recompilation
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
