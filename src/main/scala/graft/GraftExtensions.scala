@@ -41,5 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es(1).eval().asInstanceOf[Number].intValue(),
         es(2).eval().asInstanceOf[Number].intValue())
     }
+    inject("heavy_hitters") { es =>
+      MisraGriesTopK(es(0),
+        es(1).eval().asInstanceOf[Number].intValue(),
+        es(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()
+    }
   }
 }

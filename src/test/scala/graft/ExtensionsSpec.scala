@@ -30,6 +30,13 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(r.getAs[Int]("bh") === 64)
       assert(r.getAs[Int]("ng") === 3)
       assert(r.getAs[Int]("mh") === 8)
+      // the MG aggregate is SQL-callable too (GROUP BY surface)
+      val hh = s.sql(
+        """SELECT heavy_hitters(t.w, 16, 2) AS hh FROM (
+          |  SELECT explode(split('a a a b b c', ' ')) AS w) t""".stripMargin)
+        .selectExpr("inline(hh)").collect()
+        .map(x => (x.getString(0), x.getLong(1))).toSeq
+      assert(hh === Seq(("a", 3L), ("b", 2L)))
     } finally {
       SparkSession.setActiveSession(TestSpark.spark)
       SparkSession.setDefaultSession(TestSpark.spark)
