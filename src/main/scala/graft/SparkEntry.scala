@@ -707,6 +707,31 @@ object SparkEntry {
         .select(col("event_id"), round(col("ref_value"), 6).as("ref_value"))
     }),
 
+    "q_asof_forward" -> ((s, dir) => {
+      // forward as-of: each event picks up the EARLIEST checkpoint at or
+      // after its timestamp (pandas direction='forward'); same
+      // single-shuffle union+window plan, reversed frame
+      val ev = E(s, dir)
+      val refs = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("ref_value"))
+      val l = ev.select("event_id", "user_id", "ts")
+      graft.ops.Joins.asofForward(l, refs, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), round(col("ref_value"), 6).as("ref_value"))
+    }),
+
+    "q_asof_nearest" -> ((s, dir) => {
+      // nearest as-of (ties to backward): one exchange, two directional
+      // windows over the same hash partitioning
+      val ev = E(s, dir)
+      val refs = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("ref_value"))
+      val l = ev.select("event_id", "user_id", "ts")
+      graft.ops.Joins.asofNearest(l, refs, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), round(col("ref_value"), 6).as("ref_value"))
+    }),
+
     "q_asof_tolerance" -> ((s, dir) => {
       // as-of with a staleness bound: matches further back than 1 hour are
       // dropped (kept as nulls) — the quote-staleness contract
@@ -2435,6 +2460,31 @@ object SparkEntry {
           | l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
           |SELECT l.event_id, round(r.ref_value, 6) AS ref_value
           |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+      "q_asof_forward" ->
+        """WITH r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+          |  max(value) AS ref_value FROM events
+          |  WHERE event_id % 10 = 0 GROUP BY 1, 2),
+          | l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+          |SELECT l.event_id, round(r.ref_value, 6) AS ref_value
+          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+
+      "q_asof_nearest" ->
+        """WITH r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+          |  max(value) AS ref_value FROM events
+          |  WHERE event_id % 10 = 0 GROUP BY 1, 2),
+          | l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          | b AS (SELECT l.event_id, l.ts AS lt, r.ts AS bt, r.ref_value AS bv
+          |   FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+          | f AS (SELECT l.event_id, r.ts AS ft, r.ref_value AS fv
+          |   FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts)
+          |SELECT b.event_id, round(CASE
+          |  WHEN bt IS NULL THEN fv
+          |  WHEN ft IS NULL THEN bv
+          |  WHEN epoch_us(lt) - epoch_us(bt) <= epoch_us(ft) - epoch_us(lt)
+          |    THEN bv
+          |  ELSE fv END, 6) AS ref_value
+          |FROM b JOIN f ON b.event_id = f.event_id""".stripMargin,
 
       "q_asof_tolerance" ->
         """WITH r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -35,34 +35,15 @@ object Joins {
   def asofBackward(left: DataFrame, right: DataFrame, on: Seq[String],
                    leftTime: String, rightTime: String,
                    tolerance: Option[Double] = None): DataFrame = {
-    require(on.nonEmpty, "asofBackward needs at least one key column")
-    val valueCols = right.columns.toSeq.filterNot(c => on.contains(c) || c == rightTime)
-    require(valueCols.nonEmpty, "right side has no value columns to attach")
-    val collide = valueCols.toSet.intersect(left.columns.toSet)
-    require(collide.isEmpty, s"right value columns collide with left: $collide")
-    val reserved = Set("__t", "__side", "__m")
-    val reservedHit = (left.columns ++ right.columns).filter(reserved.contains).toSet
-    require(reservedHit.isEmpty, s"input columns use reserved internal names: $reservedHit")
-
-    val l2 = left.withColumn("__t", col(leftTime).cast("double"))
-      .withColumn("__side", lit(1))
-    val r2 = right.withColumn("__t", col(rightTime).cast("double"))
-      .withColumn("__side", lit(0))
-      .drop(rightTime)
-    val merged = l2.unionByName(r2, allowMissingColumns = true)
-
+    val (merged, valueCols) = asofSetup(left, right, on, leftTime, rightTime)
     // Right rows sort before left rows at equal times (side 0 < 1), so an
     // exactly-coincident right row is visible to the left row.
     val w = Window.partitionBy(on.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // The whole right payload rides in one struct so genuinely-null value
-    // columns survive (last(ignoreNulls) over bare columns would skip them).
-    val payload = when(col("__side") === 0,
-      struct((valueCols.map(col) :+ col("__t").as("__rt")): _*))
-    val matched = merged.withColumn("__m", last(payload, ignoreNulls = true).over(w))
+    val matched = merged
+      .withColumn("__m", last(asofPayload(valueCols), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-
     val withinTol = tolerance match {
       case Some(tol) => col("__m").isNotNull && (col("__t") - col("__m.__rt") <= tol)
       case None      => col("__m").isNotNull
@@ -70,6 +51,98 @@ object Joins {
     val outVals = valueCols.map(v => when(withinTol, col(s"__m.$v")).as(v))
     matched.select(left.columns.map(col).toSeq ++ outVals: _*)
   }
+
+  /**
+   * Forward as-of join: the EARLIEST right row whose time >= the left
+   * row's time (per key) — pandas `merge_asof(direction='forward')`.
+   * Same single-shuffle union+window shape as [[asofBackward]], with the
+   * frame reversed.
+   */
+  def asofForward(left: DataFrame, right: DataFrame, on: Seq[String],
+                  leftTime: String, rightTime: String,
+                  tolerance: Option[Double] = None): DataFrame = {
+    val (merged, valueCols) = asofSetup(left, right, on, leftTime, rightTime)
+    // side DESC puts left rows before right at equal times, and the
+    // [current, following] frame then sees the coincident right row.
+    val w = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = merged
+      .withColumn("__m", first(asofPayload(valueCols), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val withinTol = tolerance match {
+      case Some(tol) => col("__m").isNotNull && (col("__m.__rt") - col("__t") <= tol)
+      case None      => col("__m").isNotNull
+    }
+    val outVals = valueCols.map(v => when(withinTol, col(s"__m.$v")).as(v))
+    matched.select(left.columns.map(col).toSeq ++ outVals: _*)
+  }
+
+  /**
+   * Nearest as-of join: whichever of the backward / forward candidates is
+   * closer in time, ties to backward — pandas
+   * `merge_asof(direction='nearest')`. One exchange; the two directional
+   * windows share the hash partitioning and differ only in sort order.
+   * `tolerance` bounds the distance in EITHER direction (a candidate past
+   * it is ignored, not merely nulled).
+   */
+  def asofNearest(left: DataFrame, right: DataFrame, on: Seq[String],
+                  leftTime: String, rightTime: String,
+                  tolerance: Option[Double] = None): DataFrame = {
+    val (merged, valueCols) = asofSetup(left, right, on, leftTime, rightTime)
+    val wb = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(on.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val payload = asofPayload(valueCols)
+    val matched = merged
+      .withColumn("__mb", last(payload, ignoreNulls = true).over(wb))
+      .withColumn("__mf", first(payload, ignoreNulls = true).over(wf))
+      .filter(col("__side") === 1)
+    val bdiff = col("__t") - col("__mb.__rt")
+    val fdiff = col("__mf.__rt") - col("__t")
+    val (bOk, fOk) = tolerance match {
+      case Some(tol) =>
+        (col("__mb").isNotNull && bdiff <= tol,
+          col("__mf").isNotNull && fdiff <= tol)
+      case None => (col("__mb").isNotNull, col("__mf").isNotNull)
+    }
+    val useB = bOk && (!fOk || bdiff <= fdiff)
+    val outVals = valueCols.map(v =>
+      when(useB, col(s"__mb.$v")).otherwise(when(fOk, col(s"__mf.$v"))).as(v))
+    matched.select(left.columns.map(col).toSeq ++ outVals: _*)
+  }
+
+  /** Shared union-frame setup for the as-of family: left/right stacked
+    * with a side marker and a double time key — ONE shuffle serves any
+    * directional window over it. */
+  private def asofSetup(left: DataFrame, right: DataFrame, on: Seq[String],
+                        leftTime: String, rightTime: String)
+      : (DataFrame, Seq[String]) = {
+    require(on.nonEmpty, "as-of join needs at least one key column")
+    val valueCols = right.columns.toSeq.filterNot(c => on.contains(c) || c == rightTime)
+    require(valueCols.nonEmpty, "right side has no value columns to attach")
+    val collide = valueCols.toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty, s"right value columns collide with left: $collide")
+    val reserved = Set("__t", "__side", "__m", "__mb", "__mf")
+    val reservedHit = (left.columns ++ right.columns).filter(reserved.contains).toSet
+    require(reservedHit.isEmpty, s"input columns use reserved internal names: $reservedHit")
+    val l2 = left.withColumn("__t", col(leftTime).cast("double"))
+      .withColumn("__side", lit(1))
+    val r2 = right.withColumn("__t", col(rightTime).cast("double"))
+      .withColumn("__side", lit(0))
+      .drop(rightTime)
+    (l2.unionByName(r2, allowMissingColumns = true), valueCols)
+  }
+
+  /** The whole right payload rides in one struct so genuinely-null value
+    * columns survive (last/first(ignoreNulls) over bare columns would
+    * skip them). */
+  private def asofPayload(valueCols: Seq[String]): Column =
+    when(col("__side") === 0,
+      struct((valueCols.map(col) :+ col("__t").as("__rt")): _*))
 
   /**
    * Inner range join: each point row joins interval rows containing it

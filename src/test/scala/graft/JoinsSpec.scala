@@ -31,6 +31,44 @@ class JoinsSpec extends SparkSpec {
     assert(miss === None)
   }
 
+  test("asofForward picks the earliest right row at or after the left time") {
+    val left = Seq((1L, "a", 10.0), (2L, "a", 15.0), (3L, "a", 25.0),
+      (4L, "b", 70.0)).toDF("id", "k", "t")
+    val right = Seq(("a", 10.0, 100.0), ("a", 20.0, 200.0), ("b", 60.0, 999.0))
+      .toDF("k", "rt", "v")
+    val out = Joins.asofForward(left, right, Seq("k"), "t", "rt")
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) === Some(100.0)) // coincident right row matches
+    assert(out(2L) === Some(200.0)) // earliest following, not latest
+    assert(out(3L) === None)        // nothing at or after t=25
+    assert(out(4L) === None)        // right row is before left time
+    val tol = Joins.asofForward(left, right, Seq("k"), "t", "rt",
+      tolerance = Some(3.0)).select("id", "v")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(tol(2L) === None) // 20-15=5 beyond tolerance 3
+  }
+
+  test("asofNearest picks the closer side, ties to backward") {
+    val left = Seq((1L, "a", 14.0), (2L, "a", 15.0), (3L, "a", 16.0),
+      (4L, "a", 1.0), (5L, "a", 99.0)).toDF("id", "k", "t")
+    val right = Seq(("a", 10.0, 100.0), ("a", 20.0, 200.0))
+      .toDF("k", "rt", "v")
+    val out = Joins.asofNearest(left, right, Seq("k"), "t", "rt")
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) === Some(100.0)) // 4 back vs 6 forward
+    assert(out(2L) === Some(100.0)) // tie (5 vs 5) -> backward
+    assert(out(3L) === Some(200.0)) // 6 back vs 4 forward
+    assert(out(4L) === Some(100.0)) // only a forward candidate
+    assert(out(5L) === Some(200.0)) // only a backward candidate
+    // tolerance bounds BOTH directions: at t=1 the forward candidate is
+    // 9 away — beyond 5 it is ignored entirely
+    val tol = Joins.asofNearest(left, right, Seq("k"), "t", "rt",
+      tolerance = Some(5.0)).select("id", "v")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(tol(4L) === None)
+    assert(tol(1L) === Some(100.0))
+  }
+
   test("asofBackward preserves genuinely-null right values for real matches") {
     val left = Seq((1L, "a", 30.0)).toDF("id", "k", "t")
     val right = Seq(("a", 10.0, Some(5.0)), ("a", 20.0, None))
