@@ -745,6 +745,46 @@ object SparkEntry {
         .select(col("event_id"), round(col("ref_value"), 6).as("ref_value"))
     }),
 
+    "q_asof_strict" -> ((s, dir) => {
+      // strict backward as-of (pandas allow_exact_matches=False): a ref
+      // row exactly at the event's timestamp is NOT eligible — for the
+      // ref events themselves this forces the PREVIOUS checkpoint, so
+      // strict and non-strict genuinely differ on this data
+      val ev = E(s, dir)
+      val refs = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("ref_value"))
+      val l = ev.select("event_id", "user_id", "ts")
+      graft.ops.Joins.asofBackward(l, refs, Seq("user_id"), "ts", "ts",
+          allowExactMatches = false)
+        .select(col("event_id"), round(col("ref_value"), 6).as("ref_value"))
+    }),
+
+    "q_asof_strict_fwd" -> ((s, dir) => {
+      // strict forward as-of: earliest ref STRICTLY after the event
+      val ev = E(s, dir)
+      val refs = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("ref_value"))
+      val l = ev.select("event_id", "user_id", "ts")
+      graft.ops.Joins.asofForward(l, refs, Seq("user_id"), "ts", "ts",
+          allowExactMatches = false)
+        .select(col("event_id"), round(col("ref_value"), 6).as("ref_value"))
+    }),
+
+    "q_asof_strict_near" -> ((s, dir) => {
+      // strict nearest: exact-time candidates excluded on BOTH sides, the
+      // closer strict neighbor wins, µs-exact ties to backward
+      val ev = E(s, dir)
+      val refs = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("ref_value"))
+      val l = ev.select("event_id", "user_id", "ts")
+      graft.ops.Joins.asofNearest(l, refs, Seq("user_id"), "ts", "ts",
+          allowExactMatches = false)
+        .select(col("event_id"), round(col("ref_value"), 6).as("ref_value"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // interval containment as a binned equi-join: customers matched to
       // non-overlapping balance tiers derived from nation
@@ -2496,6 +2536,39 @@ object SparkEntry {
           |      THEN round(r.ref_value, 6) END AS ref_value
           |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
+      "q_asof_strict" ->
+        """WITH r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+          |  max(value) AS ref_value FROM events
+          |  WHERE event_id % 10 = 0 GROUP BY 1, 2),
+          | l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+          |SELECT l.event_id, round(r.ref_value, 6) AS ref_value
+          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts > r.ts""".stripMargin,
+
+      "q_asof_strict_fwd" ->
+        """WITH r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+          |  max(value) AS ref_value FROM events
+          |  WHERE event_id % 10 = 0 GROUP BY 1, 2),
+          | l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+          |SELECT l.event_id, round(r.ref_value, 6) AS ref_value
+          |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts < r.ts""".stripMargin,
+
+      "q_asof_strict_near" ->
+        """WITH r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+          |  max(value) AS ref_value FROM events
+          |  WHERE event_id % 10 = 0 GROUP BY 1, 2),
+          | l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          | b AS (SELECT l.event_id, l.ts AS lt, r.ts AS bt, r.ref_value AS bv
+          |   FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts > r.ts),
+          | f AS (SELECT l.event_id, r.ts AS ft, r.ref_value AS fv
+          |   FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts < r.ts)
+          |SELECT b.event_id, round(CASE
+          |  WHEN bt IS NULL THEN fv
+          |  WHEN ft IS NULL THEN bv
+          |  WHEN epoch_us(lt) - epoch_us(bt) <= epoch_us(ft) - epoch_us(lt)
+          |    THEN bv
+          |  ELSE fv END, 6) AS ref_value
+          |FROM b JOIN f ON b.event_id = f.event_id""".stripMargin,
+
       "q_range_join" ->
         """WITH tiers AS (SELECT n_nationkey AS tier,
           |  n_nationkey * 440.0 - 1000.0 AS lo,
@@ -3419,7 +3492,7 @@ object SparkEntry {
            |   coalesce(array_to_string(list_sort(list_filter(
            |     string_split(query, '&'),
            |     p -> p <> '' AND NOT regexp_matches(p,
-           |       '^(utm_[^=]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)='))),
+           |       '^(utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid)='))),
            |     '&'), '') AS q FROM s3),
            | canon AS (SELECT doc_id, scheme || '://' || host || path ||
            |   CASE WHEN q = '' THEN '' ELSE '?' || q END AS url FROM s4)

@@ -63,8 +63,12 @@ object Writers {
               mode: SaveMode = SaveMode.ErrorIfExists): Unit =
     df.write.mode(mode).json(path)
 
-  /** Single JSON array document (driver-streamed; for small exports only —
-    * the reference's to_json writes one array file too). */
+  /** Single JSON array document. DRIVER-SIDE, EXPORT-SCALE ONLY: rows
+    * stream through `toLocalIterator` to one driver-written file — the
+    * single-array format is inherently serial, so throughput is one
+    * driver thread and wall-time is O(rows). Use [[toJsonl]] (parallel,
+    * one file per partition) for anything corpus-sized; this exists
+    * because the reference's to_json writes one array file too. */
   def toJsonArray(df: DataFrame, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)

@@ -395,12 +395,20 @@ object Dedup {
    * keeps it streaming). The intra-cluster pair join shuffles on cluster id
    * once; all-pairs-within-cluster is the published SemDeDup shape — k is
    * chosen so clusters run ~10^4-10^5 vectors, bounding each partition's
-   * pair work, and a skew-capped variant (cap per-cluster membership like
-   * [[minhashCandidates]]'s capBuckets) guards degenerate clusterings.
+   * pair work. `clusterCap` guards degenerate clusterings (one anchor
+   * absorbing the corpus — e.g. a collapsed k-means init): clusters larger
+   * than the cap are excluded from the pair join entirely (same
+   * [[capBuckets]] mechanism as [[minhashCandidates]]), so their members
+   * come back `kept = true` un-deduped instead of going quadratic. The cap
+   * trades recall for a hard bound on per-cluster pair work — at the
+   * default 100k the pair kernel is ≤5·10^9 comparisons per cluster, the
+   * published SemDeDup operating point. `clusterCap <= 0` disables the
+   * guard (exact small-data mode).
    */
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
                     anchors: DataFrame, anchorIdCol: String,
                     anchorVecCol: String, threshold: Double,
+                    clusterCap: Int = 100000,
                     cache: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val a = broadcast(anchors.select(col(anchorIdCol).as("__aid"),
@@ -418,8 +426,12 @@ object Dedup {
     val assigned = if (cache)
       assigned0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else assigned0
-    val l = assigned.alias("a")
-    val r = assigned.alias("b")
+    // Pair join runs on the capped frame only; the final output join below
+    // still uses the full assignment, so over-cap clusters surface with
+    // kept = true rather than vanishing.
+    val paired = capBuckets(assigned, Seq("cluster"), clusterCap)
+    val l = paired.alias("a")
+    val r = paired.alias("b")
     val dropped = l.join(r, col("a.cluster") === col("b.cluster") &&
         col("a.__id") < col("b.__id") &&
         lit(1.0) - cosine_distance(col("a.__v"), col("b.__v")) >= threshold)

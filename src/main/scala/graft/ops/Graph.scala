@@ -87,10 +87,21 @@ object Graph {
         min(col("__name")).as("__name"), max(col("__name")).as("__mx"))
       .persist(MEMORY_AND_DISK)
     val head = nodes.agg(count(lit(1)),
-      sum(when(col("__name") =!= col("__mx"), 1).otherwise(0))).head()
+      coalesce(sum(when(col("__name") =!= col("__mx"), 1).otherwise(0)),
+        lit(0L))).head()
     val n = head.getLong(0)
     require(head.getLong(1) == 0L,
       "xxhash64 node-id collision — switch to 128-bit fingerprints")
+    if (n == 0L) { // empty edge set: no nodes, no iteration, no 1/n
+      edgesDeg.unpersist(); nodes.unpersist()
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.DoubleType))))
+    }
     val dec = DecimalType(38, 18)
 
     // lazy checkpoints: the Catalyst plan stays constant-size per
@@ -242,7 +253,10 @@ object Graph {
         col("__s") =!= col("__t"))
       .select(least(col("__s"), col("__t")).as("__a"),
         greatest(col("__s"), col("__t")).as("__b"))
-      .repartition(col("__a"))
+      // no pre-repartition: distinct's own (__a, __b) exchange determines
+      // the partitioning that survives the checkpoint, and peelOnce
+      // re-exchanges per semi-join key anyway — an extra shuffle here
+      // would be pure waste
       .distinct()
       .localCheckpoint(eager = false)
     for (_ <- 1 to rounds) {
@@ -270,8 +284,7 @@ object Graph {
         col("__s") =!= col("__t"))
       .select(least(col("__s"), col("__t")).as("__a"),
         greatest(col("__s"), col("__t")).as("__b"))
-      .repartition(col("__a"))
-      .distinct()
+      .distinct() // its own exchange partitions the checkpointed frame
       .localCheckpoint()
     var before = edges.count()
     var rounds = 0

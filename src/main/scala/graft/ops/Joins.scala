@@ -31,21 +31,29 @@ object Joins {
    *
    * Right rows should be unique per (key, time) — pre-aggregate otherwise
    * (ties would be resolved arbitrarily, same as any engine).
+   *
+   * `allowExactMatches = false` (pandas parity flag) requires right-time
+   * STRICTLY before the left time: implemented by flipping the side sort
+   * so coincident right rows land after the left row, outside its frame —
+   * same single shuffle, no extra pass.
    */
   def asofBackward(left: DataFrame, right: DataFrame, on: Seq[String],
                    leftTime: String, rightTime: String,
-                   tolerance: Option[Double] = None): DataFrame = {
-    val (merged, valueCols) = asofSetup(left, right, on, leftTime, rightTime)
+                   tolerance: Option[Double] = None,
+                   allowExactMatches: Boolean = true): DataFrame = {
+    val (merged, valueCols, scale) = asofSetup(left, right, on, leftTime, rightTime)
     // Right rows sort before left rows at equal times (side 0 < 1), so an
-    // exactly-coincident right row is visible to the left row.
+    // exactly-coincident right row is visible to the left row; strict mode
+    // reverses the side order to hide it.
+    val sideOrd = if (allowExactMatches) col("__side").asc else col("__side").desc
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, sideOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = merged
       .withColumn("__m", last(asofPayload(valueCols), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     val withinTol = tolerance match {
-      case Some(tol) => col("__m").isNotNull && (col("__t") - col("__m.__rt") <= tol)
+      case Some(tol) => col("__m").isNotNull && (col("__t") - col("__m.__rt") <= tol * scale)
       case None      => col("__m").isNotNull
     }
     val outVals = valueCols.map(v => when(withinTol, col(s"__m.$v")).as(v))
@@ -60,18 +68,22 @@ object Joins {
    */
   def asofForward(left: DataFrame, right: DataFrame, on: Seq[String],
                   leftTime: String, rightTime: String,
-                  tolerance: Option[Double] = None): DataFrame = {
-    val (merged, valueCols) = asofSetup(left, right, on, leftTime, rightTime)
+                  tolerance: Option[Double] = None,
+                  allowExactMatches: Boolean = true): DataFrame = {
+    val (merged, valueCols, scale) = asofSetup(left, right, on, leftTime, rightTime)
     // side DESC puts left rows before right at equal times, and the
-    // [current, following] frame then sees the coincident right row.
+    // [current, following] frame then sees the coincident right row; strict
+    // mode reverses the side order so the coincident row falls before the
+    // left row, outside its frame.
+    val sideOrd = if (allowExactMatches) col("__side").desc else col("__side").asc
     val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").desc)
+      .orderBy(col("__t").asc, sideOrd)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val matched = merged
       .withColumn("__m", first(asofPayload(valueCols), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     val withinTol = tolerance match {
-      case Some(tol) => col("__m").isNotNull && (col("__m.__rt") - col("__t") <= tol)
+      case Some(tol) => col("__m").isNotNull && (col("__m.__rt") - col("__t") <= tol * scale)
       case None      => col("__m").isNotNull
     }
     val outVals = valueCols.map(v => when(withinTol, col(s"__m.$v")).as(v))
@@ -88,25 +100,31 @@ object Joins {
    */
   def asofNearest(left: DataFrame, right: DataFrame, on: Seq[String],
                   leftTime: String, rightTime: String,
-                  tolerance: Option[Double] = None): DataFrame = {
-    val (merged, valueCols) = asofSetup(left, right, on, leftTime, rightTime)
+                  tolerance: Option[Double] = None,
+                  allowExactMatches: Boolean = true): DataFrame = {
+    val (merged, valueCols, scale) = asofSetup(left, right, on, leftTime, rightTime)
+    val bSideOrd = if (allowExactMatches) col("__side").asc else col("__side").desc
+    val fSideOrd = if (allowExactMatches) col("__side").desc else col("__side").asc
     val wb = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, bSideOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = Window.partitionBy(on.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").desc)
+      .orderBy(col("__t").asc, fSideOrd)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val payload = asofPayload(valueCols)
     val matched = merged
       .withColumn("__mb", last(payload, ignoreNulls = true).over(wb))
       .withColumn("__mf", first(payload, ignoreNulls = true).over(wf))
       .filter(col("__side") === 1)
+    // __t is long micros for timestamp inputs, so these distances — and the
+    // bdiff <= fdiff tie comparison — are integer-exact (a double-seconds
+    // key could flip an exact-µs tie to forward).
     val bdiff = col("__t") - col("__mb.__rt")
     val fdiff = col("__mf.__rt") - col("__t")
     val (bOk, fOk) = tolerance match {
       case Some(tol) =>
-        (col("__mb").isNotNull && bdiff <= tol,
-          col("__mf").isNotNull && fdiff <= tol)
+        (col("__mb").isNotNull && bdiff <= tol * scale,
+          col("__mf").isNotNull && fdiff <= tol * scale)
       case None => (col("__mb").isNotNull, col("__mf").isNotNull)
     }
     val useB = bOk && (!fOk || bdiff <= fdiff)
@@ -116,11 +134,17 @@ object Joins {
   }
 
   /** Shared union-frame setup for the as-of family: left/right stacked
-    * with a side marker and a double time key — ONE shuffle serves any
-    * directional window over it. */
+    * with a side marker and a time key — ONE shuffle serves any
+    * directional window over it. When both time columns are timestamps the
+    * key is LONG MICROSECONDS (`unix_micros`) so sort order, tie detection,
+    * and the nearest-side distance comparison are exact at Spark's native
+    * timestamp resolution — a double-seconds key has ~0.24 µs granularity
+    * at epoch magnitudes, enough to flip an exact-µs tie. The returned
+    * scale converts a caller tolerance (epoch SECONDS for timestamps, raw
+    * units otherwise) into key units. */
   private def asofSetup(left: DataFrame, right: DataFrame, on: Seq[String],
                         leftTime: String, rightTime: String)
-      : (DataFrame, Seq[String]) = {
+      : (DataFrame, Seq[String], Double) = {
     require(on.nonEmpty, "as-of join needs at least one key column")
     val valueCols = right.columns.toSeq.filterNot(c => on.contains(c) || c == rightTime)
     require(valueCols.nonEmpty, "right side has no value columns to attach")
@@ -129,12 +153,18 @@ object Joins {
     val reserved = Set("__t", "__side", "__m", "__mb", "__mf")
     val reservedHit = (left.columns ++ right.columns).filter(reserved.contains).toSet
     require(reservedHit.isEmpty, s"input columns use reserved internal names: $reservedHit")
-    val l2 = left.withColumn("__t", col(leftTime).cast("double"))
+    import org.apache.spark.sql.types.TimestampType
+    val bothTs = left.schema(leftTime).dataType == TimestampType &&
+      right.schema(rightTime).dataType == TimestampType
+    val tkey = (c: String) =>
+      if (bothTs) unix_micros(col(c)) else col(c).cast("double")
+    val scale = if (bothTs) 1e6 else 1.0
+    val l2 = left.withColumn("__t", tkey(leftTime))
       .withColumn("__side", lit(1))
-    val r2 = right.withColumn("__t", col(rightTime).cast("double"))
+    val r2 = right.withColumn("__t", tkey(rightTime))
       .withColumn("__side", lit(0))
       .drop(rightTime)
-    (l2.unionByName(r2, allowMissingColumns = true), valueCols)
+    (l2.unionByName(r2, allowMissingColumns = true), valueCols, scale)
   }
 
   /** The whole right payload rides in one struct so genuinely-null value

@@ -393,14 +393,29 @@ object Similarity {
    * Determinism: products are IEEE doubles rounded to 12 dp and summed
    * as DECIMAL(38,18) — order-independent, so the oracle reproduces every
    * cell bit-for-bit; the final division rounds to 9 dp.
+   *
+   * Input hygiene: rows with a NULL vector or a vector of non-modal length
+   * are dropped UP FRONT (one cheap pre-pass for the modal length), so the
+   * per-cell `n` is the same well-defined row count for every (i, j) —
+   * without this, a null row silently vanishes from every pair while a
+   * short row vanishes asymmetrically (only from pairs past its length),
+   * skewing covariances relative to any fixed-n oracle.
    */
   def covarianceMatrix(corpus: DataFrame, vecCol: String = "embedding")
       : DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    // modal vector length: O(#distinct lengths) rows to the driver
+    val dimRow = corpus.filter(col(vecCol).isNotNull)
+      .groupBy(size(col(vecCol)).as("__d")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__d").asc).limit(1).collect()
+    require(dimRow.nonEmpty, s"covarianceMatrix: no non-null $vecCol rows")
+    val dim = dimRow.head.getInt(0)
+    val clean = corpus.filter(col(vecCol).isNotNull &&
+      size(col(vecCol)) === dim)
     val x = col(vecCol).cast("array<double>")
     // one row per (i, j>=i) pair per input row, derived map-side:
     // outer posexplode picks i, inner transform pairs it with the tail
-    val pairs = corpus
+    val pairs = clean
       .select(posexplode(x).as(Seq("__i", "__xi")), x.as("__x"))
       .select(col("__i"), col("__xi"),
         posexplode(slice(col("__x"), col("__i") + 1, lit(Int.MaxValue)))

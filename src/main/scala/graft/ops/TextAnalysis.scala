@@ -160,11 +160,15 @@ object TextAnalysis {
 
   /** Strip HTML/XML tags and collapse the whitespace that's left — the
     * cheap boilerplate-removal pass before quality scoring. */
-  /** Tracking parameters stripped by [[canonicalUrl]] — the common
-    * analytics/click-id query keys that vary per visit without changing
-    * the resource (the reason raw-URL dedup undercounts duplicates). */
-  private val trackingParams =
-    "^(utm_[^=]*|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)="
+  /** Tracking parameters stripped by [[canonicalUrl]] by default — the
+    * common analytics/click-id query keys that vary per visit without
+    * changing the resource (the reason raw-URL dedup undercounts
+    * duplicates). Deliberately does NOT include `ref`: on many sites
+    * (VCS refs, API refs) it selects a genuinely different resource, so
+    * stripping it would collapse distinct pages into one dedup key. Pass
+    * a custom list to [[canonicalUrl]] for site-specific policies. */
+  val defaultTrackingParams: Seq[String] =
+    Seq("utm_[^=]*", "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid")
 
   /**
    * Canonical URL for crawl-frontier and document dedup (the key step
@@ -175,7 +179,10 @@ object TextAnalysis {
    * same resource maps to one key. Pure codegen'd projection (regex +
    * array HOFs), no shuffle; dedup on the result is a plain hash groupBy.
    */
-  def canonicalUrl(u: Column): Column = {
+  def canonicalUrl(u: Column,
+                   trackingParamPatterns: Seq[String] = defaultTrackingParams)
+      : Column = {
+    val trackingParams = trackingParamPatterns.mkString("^(", "|", ")=")
     val noFrag = regexp_replace(trim(u), "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")

@@ -160,7 +160,12 @@ object chainops {
                          outCol: String = "canonical_url"): Chain =
       c.mutate(outCol -> TextAnalysis.canonicalUrl(col(urlCol)))
 
-    /** Keep one row (lowest id) per canonical URL. */
+    /** Keep one row (lowest id) per canonical URL. Note the collapse
+      * risk: any tracking parameter stripped by the canonicalizer that is
+      * actually meaningful on a given site merges distinct resources into
+      * one key and DROPS rows — audit
+      * [[TextAnalysis.defaultTrackingParams]] against your corpus (it
+      * deliberately excludes `ref` for this reason). */
     def dedupByUrl(urlCol: String, idCol: String): Chain = {
       val canon = TextAnalysis.canonicalUrl(col(urlCol))
       val df = c.toDF.withColumn("__curl", canon)

@@ -69,6 +69,56 @@ class JoinsSpec extends SparkSpec {
     assert(tol(1L) === Some(100.0))
   }
 
+  test("allowExactMatches=false makes all three directions strict") {
+    val left = Seq((1L, "a", 10.0), (2L, "a", 15.0)).toDF("id", "k", "t")
+    val right = Seq(("a", 10.0, 100.0), ("a", 20.0, 200.0), ("a", 5.0, 50.0))
+      .toDF("k", "rt", "v")
+    // backward: coincident t=10 row is hidden, falls back to t=5
+    val b = Joins.asofBackward(left, right, Seq("k"), "t", "rt",
+        allowExactMatches = false)
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(b(1L) === Some(50.0))
+    assert(b(2L) === Some(100.0)) // strictly-before rows unaffected
+    // forward: coincident t=10 row is hidden, jumps to t=20
+    val f = Joins.asofForward(left, right, Seq("k"), "t", "rt",
+        allowExactMatches = false)
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(f(1L) === Some(200.0))
+    assert(f(2L) === Some(200.0))
+    // nearest: the exact match at t=10 is excluded on BOTH sides, so the
+    // candidates are t=5 (5 back) and t=20 (10 forward) -> backward wins;
+    // ties (strictly before/after, equal distance) still go backward
+    val n = Joins.asofNearest(left, right, Seq("k"), "t", "rt",
+        allowExactMatches = false)
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(n(1L) === Some(50.0))
+    assert(n(2L) === Some(100.0)) // 5 back vs 5 forward -> backward
+  }
+
+  test("timestamp as-of compares in exact long microseconds") {
+    // microseconds apart at epoch magnitude — a double-seconds key
+    // cannot represent these distances exactly
+    val left = spark.sql(
+      """SELECT 1L AS id, 'a' AS k,
+        |  timestamp_micros(1700000000000010) AS t""".stripMargin)
+    val right = spark.sql(
+      """SELECT 'a' AS k, timestamp_micros(1700000000000000) AS rt,
+        |  100.0D AS v
+        |UNION ALL
+        |SELECT 'a', timestamp_micros(1700000000000020), 200.0D""".stripMargin)
+    // equidistant at exactly 10 µs either side: tie must go backward
+    val out = Joins.asofNearest(left, right, Seq("k"), "t", "rt")
+      .select("v").as[Option[Double]].head()
+    assert(out === Some(100.0))
+    // tolerance is still epoch SECONDS for timestamps: 10 µs = 1e-5 s
+    val tol = Joins.asofNearest(left, right, Seq("k"), "t", "rt",
+        tolerance = Some(1e-6)).select("v").as[Option[Double]].head()
+    assert(tol === None)
+    val tol2 = Joins.asofNearest(left, right, Seq("k"), "t", "rt",
+        tolerance = Some(1e-4)).select("v").as[Option[Double]].head()
+    assert(tol2 === Some(100.0))
+  }
+
   test("asofBackward preserves genuinely-null right values for real matches") {
     val left = Seq((1L, "a", 30.0)).toDF("id", "k", "t")
     val right = Seq(("a", 10.0, Some(5.0)), ("a", 20.0, None))

@@ -444,6 +444,24 @@ class OpsSpec extends SparkSpec {
       ("c", 1L, 1L, "2")))
   }
 
+  test("covarianceMatrix ignores null and wrong-length vectors") {
+    // clean 2-dim rows plus a null row and a 3-dim straggler: the per-cell
+    // n must be the clean count (3) for EVERY pair — without the up-front
+    // hygiene filter the null row vanishes from all pairs and the long row
+    // only from some, skewing n asymmetrically
+    val rows = Seq(Some(Array(1f, 2f)), Some(Array(3f, 4f)),
+      Some(Array(5f, 6f)), None, Some(Array(7f, 8f, 9f)))
+      .toDF("embedding")
+    val clean = Seq(Array(1f, 2f), Array(3f, 4f), Array(5f, 6f))
+      .map(Tuple1(_)).toDF("embedding")
+    val a = Similarity.covarianceMatrix(rows, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val b = Similarity.covarianceMatrix(clean, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(a === b)
+    assert(a.keySet === Set((0, 0), (0, 1), (1, 1))) // modal dim = 2 wins
+  }
+
   test("pcaTopComponent recovers a planted principal direction") {
     // points on the line t*(0.6, 0.8): covariance is rank-1 with
     // eigenvector exactly the direction (sign-fixed positive)
@@ -1139,6 +1157,12 @@ class OpsSpec extends SparkSpec {
     val dup = Graph.pageRank(e2.unionAll(e2), "src", "dst", iterations = 3)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(dup === r2)
+    // empty edge set (e.g. a filter matched nothing): empty result with
+    // the right schema, no NPE / divide-by-zero
+    val empty = Graph.pageRank(e2.filter(lit(false)), "src", "dst",
+      iterations = 1)
+    assert(empty.columns.toSeq === Seq("node", "rank"))
+    assert(empty.count() === 0L)
   }
 
   test("triangleCount: hand graph, K4, dirty edges, brute-force cross-check") {
@@ -1259,6 +1283,27 @@ class OpsSpec extends SparkSpec {
     assert(out(110L) === ((0L, false))) // same cluster, later id, cos 1.0
     assert(out(11L) === ((1L, true)))
     assert(out.values.count(!_._2) === 1) // nothing else dropped
+  }
+
+  test("semanticDedup clusterCap guards a degenerate one-anchor clustering") {
+    // One anchor absorbs all 12 vectors (the collapsed-k-means case): the
+    // intra-cluster pair join would be all-pairs over the whole corpus.
+    val vecs = (0L until 12L).map(i => (i, Array(1f, i.toFloat * 1e-4f, 0f)))
+      .toDF("id", "vec")
+    val anchors = Seq((0L, Array(1f, 0f, 0f))).toDF("id", "vec")
+    // Cap below the cluster size: pair join must be skipped for the
+    // over-cap cluster — every row comes back, all kept, none dropped.
+    val capped = Dedup.semanticDedup(vecs, "id", "vec", anchors, "id", "vec",
+        threshold = 0.9, clusterCap = 5, cache = false).collect()
+    assert(capped.length === 12)
+    assert(capped.forall(_.getAs[Boolean]("kept")), "over-cap cluster must be left un-deduped")
+    // Same input with the cap off: the near-identical vectors dedup down to
+    // the earliest id — proves the cap (not the data) produced the all-kept
+    // result above.
+    val uncapped = Dedup.semanticDedup(vecs, "id", "vec", anchors, "id", "vec",
+        threshold = 0.9, clusterCap = 0, cache = false).collect()
+    assert(uncapped.count(_.getAs[Boolean]("kept")) === 1)
+    assert(uncapped.filter(_.getAs[Boolean]("kept")).map(_.getAs[Long]("id")).toSeq === Seq(0L))
   }
 
   test("qualityLogistic: bounded scores, prose above punctuation noise") {
