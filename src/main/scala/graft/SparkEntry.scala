@@ -1656,6 +1656,22 @@ object SparkEntry {
       graft.ops.Graph.kCore(e, "src", "dst", k = 4, rounds = 4)
     }),
 
+    "q_kcore_converged" -> ((s, dir) => {
+      // the production peel-to-fixpoint entry point (Observation-counted
+      // rounds, no fixed budget) on a sparser co-occurrence graph
+      // (quantity > 46, k=3: fixpoint in ~4 rounds at both SFs, so the
+      // eager per-round checkpoints stay cheap). Peeling is monotone —
+      // once converged, extra rounds are no-ops — so the oracle's 8
+      // unrolled rounds hash-match the true fixpoint.
+      val li = T(s, dir, "lineitem").filter(col("l_quantity") > 46)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("l1").join(li.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+        .select(col("l1.l_partkey").as("src"), col("l2.l_partkey").as("dst"))
+      graft.ops.Graph.kCoreConverged(e, "src", "dst", k = 3)
+    }),
+
     "q_dsir" -> ((s, dir) => {
       // DSIR importance weights: curated target = src0/src1 docs, raw =
       // the other 18 sources; hashed unigram+bigram buckets (md5 mod 1024,
@@ -2141,6 +2157,37 @@ object SparkEntry {
        | s6 AS (SELECT o_orderkey, ${both(xsh)} FROM s5)
        |SELECT o_orderkey, ${sgn("a")} AS ih_key, ${sgn("b")} AS ih_cust
        |FROM s6""".stripMargin
+  }
+
+  /** Unrolled k-core peel oracle (the q_kcore shape, round count as a
+    * parameter): peeling is monotone, so unrolling MORE rounds than the
+    * true fixpoint needs is a no-op and the result hash-matches
+    * [[graft.ops.Graph.kCoreConverged]] exactly. */
+  private def kcoreUnrolledSql(qty: Int, k: Int, rounds: Int): String = {
+    // MATERIALIZED is load-bearing: each round references the previous
+    // edge CTE three times, so default CTE inlining re-expands the whole
+    // chain 3^rounds times (the 8-round unroll exhausted DuckDB's file
+    // handles re-opening lineitem.parquet thousands of times)
+    val head =
+      s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+         |   WHERE l_quantity > $qty),
+         | e0 AS MATERIALIZED (SELECT DISTINCT
+         |     CAST(least(a.l_partkey, b.l_partkey) AS VARCHAR) AS a,
+         |     CAST(greatest(a.l_partkey, b.l_partkey) AS VARCHAR) AS b
+         |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |     AND a.l_partkey < b.l_partkey)""".stripMargin
+    val body = (1 to rounds).map { i =>
+      val p = i - 1
+      s""", d$i AS (SELECT node, count(*) AS deg FROM (
+         |     SELECT a AS node FROM e$p UNION ALL SELECT b FROM e$p) GROUP BY 1),
+         | a$i AS (SELECT node FROM d$i WHERE deg >= $k),
+         | e$i AS MATERIALIZED (SELECT e$p.a, e$p.b FROM e$p
+         |   JOIN a$i x ON e$p.a = x.node JOIN a$i y ON e$p.b = y.node)""".stripMargin
+    }.mkString("")
+    s"""$head$body
+       |SELECT node, count(*) AS degree FROM (
+       |  SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY node""".stripMargin
   }
 
   def oracleSql: Map[String, String] = {
@@ -3498,6 +3545,8 @@ object SparkEntry {
            |   CASE WHEN q = '' THEN '' ELSE '?' || q END AS url FROM s4)
            |SELECT url, min(doc_id) AS keep_id, count(*) AS dup_count
            |FROM canon GROUP BY url""".stripMargin,
+
+      "q_kcore_converged" -> kcoreUnrolledSql(qty = 46, k = 3, rounds = 8),
 
       "q_kcore" ->
         """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
