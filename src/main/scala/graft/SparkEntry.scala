@@ -1574,6 +1574,22 @@ object SparkEntry {
       graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 3)
     }),
 
+    "q_ppr" -> ((s, dir) => {
+      // personalized PageRank seeded on three supplier nodes: the
+      // targeted-crawl scoring variant — rank flows from the seed set
+      // through their parts, and dangling mass returns TO the seeds (p
+      // replaces 1/n in teleport, init, and the dangling correction).
+      // Same decimal-exact loop as q_pagerank; the oracle unrolls the
+      // same three seeded iterations and hash-matches the full vector.
+      import s.implicits._
+      val li = T(s, dir, "lineitem")
+      val edges = li.select(concat(lit("s"), col("l_suppkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+      val seeds = Seq("s1", "s2", "s3").toDF("node")
+      graft.ops.Graph.personalizedPageRank(edges, "src", "dst",
+        seeds, "node", iterations = 3)
+    }),
+
     "q_triangles" -> ((s, dir) => {
       // per-node triangle count + local clustering coefficient over the
       // part co-occurrence graph (parts sharing an order, high-quantity
@@ -2188,6 +2204,40 @@ object SparkEntry {
        |SELECT node, count(*) AS degree FROM (
        |  SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
        |GROUP BY node""".stripMargin
+  }
+
+  /** Unrolled personalized-PageRank oracle (the q_pagerank shape with the
+    * teleport vector concentrated on `seedsList`): p(v) = 1/|S∩V| on
+    * seeds, 0 elsewhere, replacing 1/n in init, teleport, AND the
+    * dangling redistribution — mirrors
+    * [[graft.ops.Graph.personalizedPageRank]]'s decimal-exact arithmetic
+    * term for term, so the full vector hash-matches. */
+  private def pprUnrolledSql(seedsList: Seq[String], iters: Int): String = {
+    val inList = seedsList.map(s => s"'$s'").mkString(", ")
+    def p(alias: String) =
+      s"(CASE WHEN $alias.node IN (SELECT node FROM sd) " +
+        s"THEN 1.0/(SELECT sn FROM sn) ELSE 0.0 END)"
+    val head =
+      s"""WITH e AS (SELECT DISTINCT 's'||l_suppkey AS src, 'p'||l_partkey AS dst
+         |   FROM lineitem),
+         | nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         | dg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+         | sd AS (SELECT node FROM nd WHERE node IN ($inList)),
+         | sn AS (SELECT CAST(count(*) AS DOUBLE) AS sn FROM sd),
+         | r0 AS (SELECT nd.node, round(${p("nd")}, 12) AS rank FROM nd)""".stripMargin
+    val body = (1 to iters).map { i =>
+      val prev = i - 1
+      s""", c$i AS (SELECT e.dst AS node,
+         |     CAST(sum(CAST(round(r.rank/dg.d, 12) AS DECIMAL(38,18))) AS DOUBLE) AS c
+         |   FROM e JOIN r$prev r ON e.src = r.node JOIN dg ON e.src = dg.src
+         |   GROUP BY e.dst),
+         | d$i AS (SELECT coalesce(CAST(sum(CAST(r.rank AS DECIMAL(38,18))) AS DOUBLE), 0) AS dm
+         |   FROM r$prev r LEFT JOIN dg ON r.node = dg.src WHERE dg.src IS NULL),
+         | r$i AS (SELECT nd.node, round(${p("nd")}*(1-0.85)
+         |     + 0.85*(coalesce(c$i.c, 0) + (SELECT dm FROM d$i)*${p("nd")}), 12) AS rank
+         |   FROM nd LEFT JOIN c$i ON nd.node = c$i.node)""".stripMargin
+    }.mkString("")
+    s"$head$body\nSELECT node, rank FROM r$iters"
   }
 
   def oracleSql: Map[String, String] = {
@@ -3547,6 +3597,8 @@ object SparkEntry {
            |FROM canon GROUP BY url""".stripMargin,
 
       "q_kcore_converged" -> kcoreUnrolledSql(qty = 46, k = 3, rounds = 8),
+
+      "q_ppr" -> pprUnrolledSql(Seq("s1", "s2", "s3"), iters = 3),
 
       "q_kcore" ->
         """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem

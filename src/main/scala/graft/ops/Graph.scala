@@ -45,7 +45,37 @@ object Graph {
    * unroll the same iterations in SQL and hash-match exactly.
    */
   def pageRank(edgesRaw: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+               iterations: Int = 3, damping: Double = 0.85): DataFrame =
+    pageRankImpl(edgesRaw, srcCol, dstCol, iterations, damping, None, "")
+
+  /**
+   * Personalized (topic-sensitive) PageRank: the teleport vector is
+   * concentrated on `seeds` instead of uniform — rank flows out from the
+   * seed set, scoring every node by its link proximity to the seeds. The
+   * web-curation variant for targeted crawl scoring: seed with known-good
+   * domains, crawl in descending personalized rank (Haveliwala, WWW'02).
+   *
+   * Mechanics relative to [[pageRank]]: identical edge setup, degree
+   * join, decimal-exact contribution sums, and dangling handling — the
+   * only changes are the teleport term `p(v) = 1/|S∩V|` for seed nodes
+   * (0 otherwise; seeds absent from the graph are ignored) replacing
+   * `1/n`, the init vector starting AT the seeds, and dangling mass
+   * redistributing BY p (back to the seeds — the standard PPR
+   * correction, keeping the vector summing to 1). Seeds broadcast (one
+   * extra hash-join on the O(nodes) table before the loop); the
+   * per-iteration cost is exactly [[pageRank]]'s.
+   */
+  def personalizedPageRank(edgesRaw: DataFrame, srcCol: String,
+                           dstCol: String, seeds: DataFrame, seedCol: String,
+                           iterations: Int = 3, damping: Double = 0.85)
+      : DataFrame =
+    pageRankImpl(edgesRaw, srcCol, dstCol, iterations, damping, Some(seeds),
+      seedCol)
+
+  private def pageRankImpl(edgesRaw: DataFrame, srcCol: String,
+                           dstCol: String, iterations: Int, damping: Double,
+                           seedsOpt: Option[DataFrame], seedCol: String)
+      : DataFrame = {
     require(iterations >= 1, "iterations must be at least 1")
     val spark = edgesRaw.sparkSession
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -80,18 +110,33 @@ object Graph {
     // derivation, not one per consumer): a node is dangling iff it never
     // appears as __src (min(false) wins), so the per-iteration dangling-
     // mass step is a filter+agg over the rank vector, no anti-join
-    val nodes = edgesDeg.select(col("__src").as("__nid"),
+    val nodesBase = edgesDeg.select(col("__src").as("__nid"),
         col("__srcS").as("__name"), lit(false).as("__dang"))
       .union(edgesDeg.select(col("__dst"), col("__dstS"), lit(true)))
       .groupBy("__nid").agg(min(col("__dang")).as("__dang"),
         min(col("__name")).as("__name"), max(col("__name")).as("__mx"))
-      .persist(MEMORY_AND_DISK)
+    // personalized teleport: stamp seed membership onto the node table
+    // (broadcast — the seed set is tiny next to the graph); seeds not in
+    // the graph simply never match and are ignored
+    val nodes = (seedsOpt match {
+      case Some(seeds) =>
+        val sd = broadcast(seeds
+          .select(xxhash64(col(seedCol).cast("string")).as("__nid"))
+          .filter(col("__nid").isNotNull).distinct()
+          .withColumn("__sd", lit(true)))
+        nodesBase.join(sd, Seq("__nid"), "left_outer")
+          .withColumn("__seed", coalesce(col("__sd"), lit(false)))
+          .drop("__sd")
+      case None => nodesBase.withColumn("__seed", lit(false))
+    }).persist(MEMORY_AND_DISK)
     val head = nodes.agg(count(lit(1)),
       coalesce(sum(when(col("__name") =!= col("__mx"), 1).otherwise(0)),
-        lit(0L))).head()
+        lit(0L)),
+      coalesce(sum(when(col("__seed"), 1L).otherwise(0L)), lit(0L))).head()
     val n = head.getLong(0)
     require(head.getLong(1) == 0L,
       "xxhash64 node-id collision — switch to 128-bit fingerprints")
+    val seedN = head.getLong(2)
     if (n == 0L) { // empty edge set: no nodes, no iteration, no 1/n
       edgesDeg.unpersist(); nodes.unpersist()
       return spark.createDataFrame(
@@ -102,7 +147,17 @@ object Graph {
           org.apache.spark.sql.types.StructField("rank",
             org.apache.spark.sql.types.DoubleType))))
     }
+    seedsOpt.foreach { _ =>
+      require(seedN > 0L, "personalizedPageRank: no seed appears in the graph")
+    }
     val dec = DecimalType(38, 18)
+    // teleport term: uniform 1/n, or 1/|seeds-in-graph| on the seed set.
+    // The uniform path keeps pageRank's exact historical arithmetic
+    // ((1-d)/n as ONE double constant) so existing oracles hash-match.
+    val teleport: org.apache.spark.sql.Column = seedsOpt match {
+      case Some(_) => when(col("__seed"), lit(1.0 / seedN)).otherwise(lit(0.0))
+      case None    => lit(1.0 / n.toDouble)
+    }
 
     // lazy checkpoints: the Catalyst plan stays constant-size per
     // iteration (LogicalRDD boundary) but nothing materializes until the
@@ -110,8 +165,12 @@ object Graph {
     // instead of one blocking job per iteration — at gate scale that
     // halves wall time (job-scheduling overhead dominates), at cluster
     // scale it lets the scheduler pipeline the independent aggregates
-    var ranks = nodes.select(col("__nid"), col("__dang"))
-      .withColumn("rank", round(lit(1.0) / lit(n.toDouble), 12))
+    val init = seedsOpt match {
+      case Some(_) => round(teleport, 12)
+      case None    => round(lit(1.0) / lit(n.toDouble), 12)
+    }
+    var ranks = nodes.select(col("__nid"), col("__dang"), col("__seed"))
+      .withColumn("rank", init)
       .localCheckpoint(eager = false)
     for (_ <- 1 to iterations) {
       // shuffle-hash (not sort-merge): the persisted edge side is already
@@ -131,13 +190,24 @@ object Graph {
       val dangling = ranks.filter(col("__dang"))
         .agg(coalesce(sum(col("rank").cast(dec)).cast("double"), lit(0.0))
           .as("__dm"))
-      ranks = nodes.select(col("__nid"), col("__dang"))
-        .join(contribs, Seq("__nid"), "left_outer")
-        .crossJoin(broadcast(dangling))
-        .select(col("__nid"), col("__dang"),
+      // standard: (1-d)/n + d*(c + dm/n); personalized: the same update
+      // with p replacing 1/n in both the teleport and the dangling
+      // redistribution — mass returns to the seeds, vector still sums to 1
+      val newRank = seedsOpt match {
+        case None =>
           round(lit((1.0 - damping) / n.toDouble) +
             lit(damping) * (coalesce(col("__c"), lit(0.0)) +
-              col("__dm") / lit(n.toDouble)), 12).as("rank"))
+              col("__dm") / lit(n.toDouble)), 12)
+        case Some(_) =>
+          round(teleport * lit(1.0 - damping) +
+            lit(damping) * (coalesce(col("__c"), lit(0.0)) +
+              col("__dm") * teleport), 12)
+      }
+      ranks = nodes.select(col("__nid"), col("__dang"), col("__seed"))
+        .join(contribs, Seq("__nid"), "left_outer")
+        .crossJoin(broadcast(dangling))
+        .select(col("__nid"), col("__dang"), col("__seed"),
+          newRank.as("rank"))
         .localCheckpoint(eager = false)
     }
     // materialize the O(nodes) result EAGERLY while the edge/node caches

@@ -1165,6 +1165,38 @@ class OpsSpec extends SparkSpec {
     assert(empty.count() === 0L)
   }
 
+  test("personalizedPageRank: mass conservation, seed locality, absent seeds ignored") {
+    import graft.ops.Graph
+    // two disconnected 2-cycles: seeding {a} must put ALL mass on the
+    // a-b component and none on c-d (teleport AND dangling return to p)
+    val e = Seq(("a", "b"), ("b", "a"), ("c", "d"), ("d", "c"))
+      .toDF("src", "dst")
+    val seeds = Seq("a", "zzz-not-in-graph").toDF("node") // absent seed ignored
+    // 20 iterations ≈ stationary (a 2-cycle oscillates early):
+    // a = 0.15 + 0.85²·a → a ≈ 0.5405, b ≈ 0.4595
+    val r = Graph.personalizedPageRank(e, "src", "dst", seeds, "node",
+        iterations = 20)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+    assert(r("c") === 0.0 && r("d") === 0.0)
+    assert(r("a") > r("b") && r("b") > 0.0) // a holds the teleport share
+    // residual oscillation after k iters decays as 0.85^k ≈ 0.018 at k=20
+    assert(math.abs(r("a") - 0.5405) < 0.03, r)
+    // hand-check one iteration on a single dangling edge, seed {a}:
+    // r0 = (a=1, b=0); c1(b) = 1; dm = 0 (b held no mass)
+    // a = 1*0.15 + 0.85*0 = 0.15; b = 0 + 0.85*1 = 0.85
+    val one = Graph.personalizedPageRank(Seq(("a", "b")).toDF("src", "dst"),
+        "src", "dst", Seq("a").toDF("node"), "node", iterations = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(one("a") - 0.15) < 1e-9, one)
+    assert(math.abs(one("b") - 0.85) < 1e-9, one)
+    // all-absent seed set fails fast rather than dividing by zero
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(e, "src", "dst",
+        Seq("nope").toDF("node"), "node", iterations = 1)
+    }
+  }
+
   test("triangleCount: hand graph, K4, dirty edges, brute-force cross-check") {
     import graft.ops.Graph
     // two triangles joined by a bridge: 1-2-3 and 4-5-6, bridge 3-4.
