@@ -47,5 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es(2).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression()
     }
+    inject("kll_quantiles") { es =>
+      val probs = es(1).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray().toSeq
+      KllQuantiles(es(0), probs,
+        es(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()
+    }
   }
 }

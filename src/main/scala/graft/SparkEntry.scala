@@ -627,6 +627,27 @@ object SparkEntry {
           round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
           round(expr("median(l_extendedprice)"), 6).as("med_price"))),
 
+    "q_kll_quantiles" -> ((s, dir) => {
+      // mergeable KLL quantile sketch in its EXACT regime (per-group n
+      // stays <= k=16384 at gate scale, so no compaction fires and every
+      // entry is the exact discrete lower quantile — smallest value with
+      // cumulative count >= ceil(q*n), which the oracle reproduces with a
+      // row_number selection). Beyond the regime the same aggregate
+      // degrades to the documented ~1.5·log2(n/k)/k rank error (OpsSpec
+      // property test); the O(k·log n) mergeable summary partial-
+      // aggregates map-side where exact percentile sorts the column.
+      val li = T(s, dir, "lineitem").filter(col("l_orderkey") % 8 === 0)
+      li.groupBy(col("l_returnflag").as("flag"))
+        .agg(graft.functions.GraftFunctions.kll_quantiles(
+          col("l_quantity").cast("double"),
+          Seq(0.25, 0.5, 0.9, 0.99), 16384).as("__q"))
+        .select(col("flag"),
+          element_at(col("__q"), 1).as("p25"),
+          element_at(col("__q"), 2).as("p50"),
+          element_at(col("__q"), 3).as("p90"),
+          element_at(col("__q"), 4).as("p99"))
+    }),
+
     "q_profile" -> ((s, dir) =>
       // one-pass column profiler; the gate pins its exact metrics
       // (count/nulls/min/max/mean — value stats for numerics, length stats
@@ -2490,6 +2511,20 @@ object SparkEntry {
           | round(quantile_cont(l_quantity, 0.9), 6) AS p90,
           | round(quantile_cont(l_extendedprice, 0.5), 6) AS med_price
           |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+      "q_kll_quantiles" ->
+        """WITH src AS (SELECT l_returnflag AS flag,
+          |    CAST(l_quantity AS DOUBLE) AS v
+          |  FROM lineitem WHERE l_orderkey % 8 = 0),
+          | ranked AS (SELECT flag, v,
+          |    row_number() OVER (PARTITION BY flag ORDER BY v) AS rn,
+          |    count(*) OVER (PARTITION BY flag) AS n FROM src)
+          |SELECT flag,
+          | max(CASE WHEN rn = greatest(1, CAST(ceil(0.25*n) AS BIGINT)) THEN v END) AS p25,
+          | max(CASE WHEN rn = greatest(1, CAST(ceil(0.5*n) AS BIGINT)) THEN v END) AS p50,
+          | max(CASE WHEN rn = greatest(1, CAST(ceil(0.9*n) AS BIGINT)) THEN v END) AS p90,
+          | max(CASE WHEN rn = greatest(1, CAST(ceil(0.99*n) AS BIGINT)) THEN v END) AS p99
+          |FROM ranked GROUP BY flag""".stripMargin,
 
       "q_profile" ->
         """SELECT 'o_orderkey' AS "column", 'bigint' AS dtype, count(*) AS n,

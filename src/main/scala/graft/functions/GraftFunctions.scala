@@ -41,6 +41,15 @@ object GraftFunctions {
   def heavy_hitters(c: Column, capacity: Int, topK: Int): Column =
     toCol(MisraGriesTopK(toExpr(c), capacity, topK).toAggregateExpression())
 
+  /** KLL mergeable quantile sketch: one array<double> of discrete lower
+    * quantiles (smallest value with cumulative count >= ceil(q*n)) per
+    * group from O(k·log(n/k)) state — EXACT while the group's item count
+    * stays <= k (the oracle-able regime), rank error ~1.5·log2(n/k)/k
+    * beyond it. The scale path where exact `percentile` would sort the
+    * whole column per group. */
+  def kll_quantiles(c: Column, probs: Seq[Double], k: Int = 2048): Column =
+    toCol(KllQuantiles(toExpr(c), probs, k).toAggregateExpression())
+
   /** 1 - cos(a,b) over float vectors (reference: src/datachain/func/array.py:10). */
   def cosine_distance(a: Column, b: Column): Column =
     toCol(CosineDistance(toExpr(a), toExpr(b)))

@@ -70,4 +70,28 @@ object Profile {
     rows.toDF("column", "dtype", "n", "nulls", "approx_distinct",
       "min", "max", "mean", "p50", "p95")
   }
+
+  /**
+   * Per-column quantiles via the mergeable KLL sketch
+   * ([[org.apache.spark.sql.graft.KllQuantiles]]): ONE pass, O(k·log n)
+   * state per column, exact while a column's non-null count stays ≤ k —
+   * the 100 TB replacement for a per-column sort. Returns long-format
+   * (column, prob, value); value is null for an all-null column.
+   */
+  def quantiles(df: DataFrame, columns: Seq[String], probs: Seq[Double],
+                k: Int = 2048): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(columns.nonEmpty && probs.nonEmpty, "need columns and probs")
+    val aggs = columns.map(c => graft.functions.GraftFunctions
+      .kll_quantiles(col(c).cast("double"), probs, k).as(s"__q_$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    columns.zipWithIndex.flatMap { case (c, i) =>
+      Option(row.getSeq[Double](i)) match {
+        case Some(vals) => probs.zip(vals).map { case (p, v) =>
+          (c, p, Option(v)) }
+        case None => probs.map(p => (c, p, Option.empty[Double]))
+      }
+    }.toDF("column", "prob", "value")
+  }
 }

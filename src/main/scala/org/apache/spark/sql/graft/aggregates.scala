@@ -142,3 +142,187 @@ case class MisraGriesTopK(
   override protected def withNewChildInternal(c: Expression): MisraGriesTopK =
     copy(child = c)
 }
+
+/** Mutable state of [[KllQuantiles]]: a KLL/MRL-style multi-level sampler.
+  * `levels(i)` holds items of weight 2^i; `n` is the total (weighted) item
+  * count; `flip` alternates the deterministic compaction offset so
+  * successive compactions don't systematically favor one parity. */
+final class QuantileSketchBuffer {
+  val levels: mutable.ArrayBuffer[mutable.ArrayBuffer[Double]] =
+    mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Double])
+  var flip: Boolean = false
+  var n: Long = 0L
+}
+
+/**
+ * Mergeable quantile sketch as a native Catalyst aggregate — the 100 TB
+ * profiling primitive next to [[MisraGriesTopK]]: per-partition summaries
+ * of O(k·log(n/k)) doubles partial-aggregate map-side and merge
+ * associatively, where the exact `percentile` alternative is a full sort
+ * of the column per group.
+ *
+ * Structure (KLL, Karnin–Lang–Liberty FOCS'16, with the deterministic
+ * MRL-style compactor of Manku–Rajagopalan–Lindsay SIGMOD'98): each level
+ * holds items of weight 2^level in a buffer of capacity `k`; a full
+ * buffer sorts, promotes every other item to the next level (the kept
+ * parity alternates via a flip bit — deterministic, no RNG, so a given
+ * update/merge order reproduces exactly), and keeps an odd straggler in
+ * place. Rank error after any merge tree is bounded by
+ * ~1.5·H/k · n where H = #levels ≈ log2(n/k) — the property test pins an
+ * empirical bound well inside that.
+ *
+ * EXACT REGIME (what the correctness gate pins): while a group's total
+ * item count stays ≤ k, no compaction fires anywhere — level 0 is the
+ * full sorted multiset and every quantile is exact, independent of row
+ * and merge order. Query convention: quantile(q) = the smallest value
+ * whose cumulative (weighted) count ≥ ceil(q·n) (clamped to ≥1) — the
+ * discrete lower quantile, reproducible in ANSI SQL as the value at
+ * row_number ceil(q·n) of the sorted group.
+ *
+ * Output: array<double>, one entry per requested probability (null on an
+ * empty/all-null group).
+ */
+case class KllQuantiles(
+    child: Expression,
+    probs: Seq[Double],
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[QuantileSketchBuffer]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
+    with UnaryLike[Expression] {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+
+  require(k >= 8, "k must be at least 8")
+  require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+    "probabilities must be in [0, 1]")
+
+  override def prettyName: String = "kll_quantiles"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType)
+
+  override def createAggregationBuffer(): QuantileSketchBuffer =
+    new QuantileSketchBuffer
+
+  override def update(buf: QuantileSketchBuffer,
+                      input: InternalRow): QuantileSketchBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.levels(0) += v.asInstanceOf[Double]
+      buf.n += 1L
+      if (buf.levels(0).size >= k) compact(buf, 0)
+    }
+    buf
+  }
+
+  /** Sort level `level`, promote every other item (alternating parity) to
+    * level+1 at doubled weight, keep an odd straggler in place; cascade
+    * upward while buffers overflow. Total weight is preserved exactly:
+    * each promoted item represents itself and its dropped pair partner. */
+  private def compact(buf: QuantileSketchBuffer, level: Int): Unit = {
+    val cur = buf.levels(level)
+    val arr = cur.toArray
+    java.util.Arrays.sort(arr)
+    if (buf.levels.size <= level + 1)
+      buf.levels += mutable.ArrayBuffer.empty[Double]
+    val next = buf.levels(level + 1)
+    val off = if (buf.flip) 1 else 0
+    buf.flip = !buf.flip
+    val pairs = arr.length / 2
+    var i = 0
+    while (i < pairs) { next += arr(2 * i + off); i += 1 }
+    cur.clear()
+    if (arr.length % 2 == 1) cur += arr(arr.length - 1)
+    if (next.size >= k) compact(buf, level + 1)
+  }
+
+  override def merge(buf: QuantileSketchBuffer,
+                     other: QuantileSketchBuffer): QuantileSketchBuffer = {
+    var lvl = 0
+    while (lvl < other.levels.size) {
+      if (buf.levels.size <= lvl)
+        buf.levels += mutable.ArrayBuffer.empty[Double]
+      buf.levels(lvl) ++= other.levels(lvl)
+      lvl += 1
+    }
+    buf.n += other.n
+    var i = 0
+    while (i < buf.levels.size) {
+      if (buf.levels(i).size >= k) compact(buf, i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: QuantileSketchBuffer): Any = {
+    if (buf.n == 0L) return null
+    // gather (value, weight) across levels, sort by value, walk cum weight
+    var m = 0
+    buf.levels.foreach(l => m += l.size)
+    val vals = new Array[Double](m)
+    val wts = new Array[Long](m)
+    var idx = 0
+    var lvl = 0
+    while (lvl < buf.levels.size) {
+      val w = 1L << lvl
+      buf.levels(lvl).foreach { v => vals(idx) = v; wts(idx) = w; idx += 1 }
+      lvl += 1
+    }
+    val order = (0 until m).sortBy(vals(_)).toArray
+    val out = probs.map { q =>
+      val target = math.max(1L, math.ceil(q * buf.n).toLong)
+      var cum = 0L
+      var j = 0
+      var ans = vals(order(m - 1))
+      var found = false
+      while (j < m && !found) {
+        cum += wts(order(j))
+        if (cum >= target) { ans = vals(order(j)); found = true }
+        j += 1
+      }
+      ans: Any
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def serialize(buf: QuantileSketchBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeBoolean(buf.flip)
+    out.writeLong(buf.n)
+    out.writeInt(buf.levels.size)
+    buf.levels.foreach { l =>
+      out.writeInt(l.size)
+      l.foreach(out.writeDouble)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): QuantileSketchBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new QuantileSketchBuffer
+    buf.flip = in.readBoolean()
+    buf.n = in.readLong()
+    val nLevels = in.readInt()
+    buf.levels.clear()
+    var i = 0
+    while (i < nLevels) {
+      val sz = in.readInt()
+      val l = new mutable.ArrayBuffer[Double](math.max(sz, 4))
+      var j = 0
+      while (j < sz) { l += in.readDouble(); j += 1 }
+      buf.levels += l
+      i += 1
+    }
+    if (buf.levels.isEmpty) buf.levels += mutable.ArrayBuffer.empty[Double]
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllQuantiles =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllQuantiles =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): KllQuantiles =
+    copy(child = c)
+}

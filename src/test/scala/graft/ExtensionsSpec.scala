@@ -37,6 +37,12 @@ class ExtensionsSpec extends AnyFunSuite {
         .selectExpr("inline(hh)").collect()
         .map(x => (x.getString(0), x.getLong(1))).toSeq
       assert(hh === Seq(("a", 3L), ("b", 2L)))
+      // the KLL quantile aggregate is SQL-callable too
+      val kq = s.sql(
+        """SELECT kll_quantiles(CAST(v AS DOUBLE), array(0.5D, 1.0D), 64) AS q
+          |FROM (SELECT explode(sequence(1, 10)) AS v)""".stripMargin)
+        .head().getSeq[Double](0)
+      assert(kq === Seq(5.0, 10.0))
     } finally {
       SparkSession.setActiveSession(TestSpark.spark)
       SparkSession.setDefaultSession(TestSpark.spark)

@@ -568,6 +568,52 @@ class OpsSpec extends SparkSpec {
     assert(out("warm") <= 600L && out("warm") >= (600 - bound).toLong)
   }
 
+  test("kll_quantiles exact regime: discrete quantiles, partitioning-invariant") {
+    import graft.functions.GraftFunctions.kll_quantiles
+    // deterministic shuffle of 1..1000; n=1000 <= k=2048, so no
+    // compaction fires anywhere and the answer is the exact discrete
+    // lower quantile regardless of how merges interleave
+    val base = (1 to 1000).sortBy(i => (i * 2654435761L) % 1000003)
+      .map(_.toDouble)
+    for (parts <- Seq(1, 7, 32)) {
+      val out = base.toDF("v").repartition(parts)
+        .agg(kll_quantiles(col("v"), Seq(0.0, 0.25, 0.5, 0.9, 1.0), 2048))
+        .head().getSeq[Double](0)
+      assert(out === Seq(1.0, 250.0, 500.0, 900.0, 1000.0), s"parts=$parts")
+    }
+  }
+
+  test("kll_quantiles under compaction: rank error within the documented bound") {
+    import graft.functions.GraftFunctions.kll_quantiles
+    // n >> k forces multi-level compaction; the estimate's TRUE rank must
+    // stay within ~1.5·log2(n/k)/k of the requested rank (≈0.046 here —
+    // asserted at 0.05 with the deterministic alternating compactor)
+    val n = 60000
+    val kk = 256
+    val data = (0 until n).map(i => ((i * 2654435761L) % 999983).toDouble)
+    val sorted = data.sorted
+    val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val est = data.toDF("v").repartition(8)
+      .agg(kll_quantiles(col("v"), probs, kk))
+      .head().getSeq[Double](0)
+    probs.zip(est).foreach { case (q, v) =>
+      val rank = sorted.count(_ <= v)
+      val err = math.abs(rank - q * n) / n
+      assert(err < 0.05, s"q=$q est=$v rankErr=$err")
+    }
+  }
+
+  test("kll_quantiles: nulls skipped, all-null group yields null") {
+    import graft.functions.GraftFunctions.kll_quantiles
+    val df = Seq(Some(3.0), None, Some(1.0)).toDF("v")
+    val out = df.agg(kll_quantiles(col("v"), Seq(0.5, 1.0), 16))
+      .head().getSeq[Double](0)
+    assert(out === Seq(1.0, 3.0)) // n=2: ceil(0.5·2)=1 → smallest
+    val empty = df.filter(col("v").isNull)
+      .agg(kll_quantiles(col("v"), Seq(0.5), 16)).head()
+    assert(empty.isNullAt(0))
+  }
+
   test("fluent chainops pipeline: clean -> quality -> dedup -> pack") {
     import graft.ops.chainops._
     val c = Chain(docs.unionByName(

@@ -407,6 +407,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_kll_quantiles: sketch partial-aggregates map-side, no sort") {
+    val p = plan("q_kll_quantiles")
+    // the O(k·log n) summary must combine BEFORE the exchange — and the
+    // whole point vs exact percentile is that NO per-group sort appears
+    assert(p.contains("partial_kll_quantiles"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Sort ["), p)
+  }
+
   test("q_url_dedup: canonicalization is a pure projection, one exchange") {
     val p = plan("q_url_dedup")
     // regex/array-HOF canonicalization must stay map-side; the only
