@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 8)
-    // SPARK_GRAFT_PROBE=minhash,linededup,decontaminate,dupfraction,lm,
-    //   exactsubstr,dsir,semdedup,ann,graph,triangles,lpa,kmeans,kcore,
+    // SPARK_GRAFT_PROBE=minhash,ccstar,linededup,decontaminate,dupfraction,
+    //   lm,exactsubstr,dsir,semdedup,ann,graph,triangles,lpa,kmeans,kcore,
     //   heavyhitters,covariance (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
@@ -60,6 +60,33 @@ object ScaleProbe {
       val (k1, s1) = results.head
       val (kN, sN) = results.last
       println(f"scale factor ${kN.toDouble / k1}%.0fx -> time factor ${sN / s1}%.2fx")
+    }
+
+    // Star CC vs min-label on adversarial diameter: a planted chain of
+    // K*10000 links. Min-label needs O(diameter) rounds (capped here —
+    // it would NOT finish); large-star/small-star contracts any chain in
+    // O(log² n) rounds. The round counts are the evidence.
+    if (want("ccstar")) {
+      ks.foreach { k =>
+        val n = 10000L * k
+        val chain = spark.range(n)
+          .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        val t0 = System.nanoTime()
+        val clusters = graft.ops.Dedup.connectedComponentsStar(chain)
+          .select("cluster_id").distinct().count()
+        val starSec = (System.nanoTime() - t0) / 1e9
+        val starRounds = graft.ops.Dedup.lastStarRounds
+        val t1 = System.nanoTime()
+        val lpClusters = graft.ops.Dedup
+          .connectedComponents(chain, maxIter = starRounds,
+            localEdgeThreshold = 0L)
+          .select("cluster_id").distinct().count()
+        val lpSec = (System.nanoTime() - t1) / 1e9
+        println(f"ccstar K=$k%-3d links=$n%-9d star: $clusters cluster(s) " +
+          f"in $starRounds rounds ${starSec}%.2f s   " +
+          f"min-label after the same rounds: $lpClusters%-7d labels " +
+          f"(needs ~$n rounds) ${lpSec}%.2f s")
+      }
     }
 
     // Cross-document line dedup at the same amplifications: multi-line docs

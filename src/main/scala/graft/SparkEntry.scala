@@ -1933,6 +1933,21 @@ object SparkEntry {
       Dedup.connectedComponents(edges)
     }),
 
+    "q_cc_star" -> ((s, dir) => {
+      // large-star/small-star connected components (Kiveris et al.) on a
+      // planted chain forest (50-link paths over consecutive doc_ids) —
+      // the adversarial-diameter shape where min-label propagation needs
+      // O(diameter) rounds; the star rounds contract each chain to its
+      // min in a handful of rounds (lastStarRounds single-digit here).
+      val d = T(s, dir, "documents").filter(col("doc_id") < 1000)
+        .select(col("doc_id"))
+      val e = d.as("x").join(d.as("y"),
+          col("y.doc_id") === col("x.doc_id") + 1 &&
+            pmod(col("x.doc_id"), lit(50)) =!= 49)
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      Dedup.connectedComponentsStar(e)
+    }),
+
     "q_doc_chunks" -> ((s, dir) =>
       // 1:N chunking for LLM context windows: 500-char chunks, 100 overlap
       T(s, dir, "documents").filter(col("doc_id") < 200)
@@ -4071,6 +4086,13 @@ object SparkEntry {
         """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice, c.c_name
           |FROM orders o RIGHT JOIN customer c
           |ON o.o_custkey = c.c_custkey""".stripMargin,
+
+      "q_cc_star" ->
+        """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 1000),
+          | e AS (SELECT x.doc_id AS a, y.doc_id AS b FROM d x JOIN d y
+          |   ON y.doc_id = x.doc_id + 1 AND x.doc_id % 50 <> 49),
+          | nd AS (SELECT a AS id FROM e UNION SELECT b FROM e)
+          |SELECT id, id - id % 50 AS cluster_id FROM nd""".stripMargin,
 
       "q_dedup_clusters" ->
         s"""WITH RECURSIVE corpus AS (

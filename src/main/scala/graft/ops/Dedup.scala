@@ -455,8 +455,8 @@ object Dedup {
    * node id); `localCheckpoint` truncates the growing lineage so round N
    * doesn't replay rounds 1..N-1. Duplicate clusters are near-cliques
    * (diameter ~2-3), so this settles in a handful of rounds even at 100 TB;
-   * for adversarial long-chain graphs, switch to large-star/small-star
-   * (Kiveris et al.) — same join primitives, O(log n) rounds.
+   * for adversarial long-chain graphs, use [[connectedComponentsStar]]
+   * (large-star/small-star, O(log² n) rounds on any diameter).
    */
   /** Rounds the last [[connectedComponents]] call took (diagnostics). */
   @volatile var lastRounds: Int = 0
@@ -535,10 +535,105 @@ object Dedup {
     // (A path-halving variant — also adopting label-of-label each round —
     // was measured SLOWER here: dup graphs are near-cliques, so rounds are
     // already few and the extra self-join per round dominates. For long-
-    // chain graphs prefer large-star/small-star.)
+    // chain graphs prefer connectedComponentsStar.)
     lastRounds = iter
     sym.unpersist()
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Rounds the last [[connectedComponentsStar]] call took (diagnostics). */
+  @volatile var lastStarRounds: Int = 0
+
+  /**
+   * Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   * SoCC'14) — the adversarial-diameter fallback [[connectedComponents]]
+   * documents: min-label propagation needs O(diameter) rounds, so a
+   * planted 1000-link chain costs 1000 shuffled rounds; the star rounds
+   * CONTRACT the graph (every node ends pointing at its component min)
+   * in O(log² n) rounds worst-case, single digits in practice. Same
+   * output contract as [[connectedComponents]]: (id, cluster_id) with
+   * cluster_id = min id reachable, one row per node that appears in any
+   * edge.
+   *
+   * Round mechanics, expressed relationally (each phase is ONE groupBy
+   * shuffle + one join on the grouped key, carrying only (long, long)
+   * pairs — no text, no driver data):
+   *  - large-star(u): m = min(N(u) ∪ {u}); every neighbor v > u re-links
+   *    to (v, m). Local maxima emit nothing as u but survive as v.
+   *  - small-star on the resulting (hi, lo) pairs: per hi, every smaller
+   *    neighbor (and hi itself) re-links to the minimum.
+   * Both preserve connectivity exactly; the fixpoint is a star forest.
+   * Convergence is detected by an Observation riding each round's
+   * checkpoint (count + order-independent xxhash64 sum — no extra job);
+   * the loop stops when the pair set's signature repeats.
+   *
+   * Prefer [[connectedComponents]] for dup graphs (near-cliques converge
+   * in 2-3 label rounds and its small-graph union-find path is free);
+   * prefer this when components can be long paths/trees — lineage
+   * chains, co-citation trails, linked-page walks.
+   */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String = "id_a",
+                              dstCol: String = "id_b",
+                              maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val raw = edges.select(col(srcCol).cast("long").as("x"),
+        col(dstCol).cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    // node universe up front: self-loop-only nodes must still surface as
+    // their own singleton cluster after self-loops drop out of the pairs
+    val nodes = raw.select(explode(array(col("x"), col("y"))).as("id"))
+      .distinct().persist(MEMORY_AND_DISK)
+    // set signature = (size, XOR of row hashes): order-independent and
+    // overflow-free (a SUM of longs would throw under ANSI arithmetic)
+    val rowSig = coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))
+    def sigOf(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), rowSig).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var pairs = raw.filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("a"),
+        least(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    var prevSig = sigOf(pairs)
+    var iter = 0
+    var converged = prevSig._1 == 0L
+    while (!converged && iter < maxIter) {
+      // LARGE-STAR over the symmetrized adjacency
+      val adj = pairs.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(pairs.select(col("b"), col("a")))
+      val mins = adj.groupBy("u")
+        .agg(least(first(col("u")), min(col("v"))).as("m"))
+      val ls = adj.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("a"), col("m").as("b")) // a > u >= m = b
+        .distinct()
+      // SMALL-STAR on the (hi = a, lo = b) pairs
+      val mins2 = ls.groupBy("a").agg(min(col("b")).as("m"))
+      val ss = ls.join(mins2, "a")
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .unionAll(mins2.select(col("a"), col("m")))
+        .distinct()
+      val obs = org.apache.spark.sql.Observation()
+      pairs = ss.observe(obs, count(lit(1)).as("n"), rowSig.as("h"))
+        .localCheckpoint() // eager: materializes the round AND fills obs
+      val sig = (obs.get("n").asInstanceOf[Long],
+        obs.get("h").asInstanceOf[Long])
+      converged = sig == prevSig
+      prevSig = sig
+      iter += 1
+    }
+    lastStarRounds = iter
+    // star forest → assignments; roots and isolated nodes map to themselves
+    val out = nodes
+      .join(pairs.select(col("a").as("id"), col("b").as("cluster_id")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .localCheckpoint() // materialize while the node cache is hot
+    nodes.unpersist()
+    out
   }
 
   /**

@@ -568,6 +568,32 @@ class OpsSpec extends SparkSpec {
     assert(out("warm") <= 600L && out("warm") >= (600 - bound).toLong)
   }
 
+  test("connectedComponentsStar: chains, cliques, self-loops; few rounds on long chains") {
+    import graft.ops.Dedup
+    // planted 1000-link chain + a separate triangle + a self-loop-only
+    // node: star rounds must produce exactly min-label components
+    val chain = (0L until 1000L).map(i => (i, i + 1))
+    val extra = Seq((5000L, 5001L), (5001L, 5002L), (5000L, 5002L),
+      (7777L, 7777L))
+    val edges = (chain ++ extra).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponentsStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 1001 + 3 + 1)
+    assert((0L to 1000L).forall(out(_) == 0L), "chain collapses to min id")
+    assert(Seq(5000L, 5001L, 5002L).forall(out(_) == 5000L))
+    assert(out(7777L) === 7777L) // self-loop-only node is its own cluster
+    // the whole point vs min-label: rounds ≪ diameter (1000 here)
+    assert(Dedup.lastStarRounds <= 15, s"rounds=${Dedup.lastStarRounds}")
+    // cross-check against the min-label path on a shape IT can finish
+    // (short chains), including id-order robustness (reversed edges)
+    val short = (0L until 60L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(short)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val label = Dedup.connectedComponents(short)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(star === label)
+  }
+
   test("kll_quantiles exact regime: discrete quantiles, partitioning-invariant") {
     import graft.functions.GraftFunctions.kll_quantiles
     // deterministic shuffle of 1..1000; n=1000 <= k=2048, so no
