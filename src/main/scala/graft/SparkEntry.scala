@@ -191,6 +191,30 @@ object SparkEntry {
         .select("split", "n_nationkey", "n_name", "regionkey")
     }),
 
+    "q_stream_dedup" -> ((s, dir) => {
+      // streaming incremental dedup vs ingested history (the delta-crawl
+      // ingest filter): history = every 3rd event's composite content;
+      // bloom routes definite-new rows join-free MAP-SIDE, the stream-
+      // static left_anti confirms bloom hits per micro-batch — stateless,
+      // and the AvailableNow run reproduces batch subtractSeen exactly
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = T(s, dir, "events").schema
+      val stage = Files.createTempDirectory("graft_sdh")
+      Files.createSymbolicLink(stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val content = concat_ws("|", col("user_id"), col("event_type"),
+        col("props"))
+      val history = T(s, dir, "events").filter(col("event_id") % 3 === 0)
+      val stream = s.readStream.schema(schema).parquet(stage.toString)
+      val out = graft.streaming.EventStream
+        .subtractSeenStream(stream, history, content,
+          expectedItems = 200000L)
+        .select(col("event_id"))
+      val ckpt = Files.createTempDirectory("graft_sdh_ckpt").toString
+      val qn = "sdh_" + math.abs(scala.util.Random.nextInt())
+      graft.streaming.EventStream.runAvailableNow(out, qn, ckpt)
+    }),
+
     "q_stream_join" -> ((s, dir) => {
       // Stream-stream attribution join: a views stream joins a purchases
       // stream on user with the purchase inside [view, view + 6h] — the
@@ -2868,6 +2892,15 @@ object SparkEntry {
           | event_type, count(*) AS n,
           | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q_stream_dedup" ->
+        raw"""WITH e AS (SELECT event_id,
+           |   lower(regexp_replace(trim(CAST(user_id AS VARCHAR) || '|' ||
+           |     event_type || '|' || props), '\s+', ' ', 'g')) AS c
+           |  FROM events)
+           |SELECT event_id FROM e
+           |WHERE NOT EXISTS (SELECT 1 FROM e h
+           |  WHERE h.event_id % 3 = 0 AND h.c = e.c)""".stripMargin,
 
       "q_stream_join" ->
         """WITH ev AS (SELECT event_id, date_trunc('second', ts) AS ts,

@@ -111,6 +111,58 @@ object EventStream {
       .dropDuplicates("event_id")
 
   /**
+   * Streaming incremental dedup against an accumulated history corpus —
+   * [[graft.ops.Dedup.subtractSeen]]'s bloom-prefilter shape applied to
+   * an unbounded stream (the ingest filter a delta crawl actually runs):
+   * rows whose normalized `content` already appears in `history` are
+   * dropped; everything else passes through schema-unchanged.
+   *
+   * Scale shape: the bloom filter is built ONCE from the history keys
+   * when the stream is composed and rides the plan as a literal inside a
+   * codegen'd predicate, so the overwhelmingly-common definitely-new
+   * rows pass MAP-SIDE without touching any join; only bloom hits (true
+   * dups + the fpp share of false positives) anti-join the distinct
+   * history keys per micro-batch (stream-static left_anti — stateless,
+   * no watermark, nothing in the state store). The anti-join confirms
+   * every bloom hit, so the output is the EXACT unseen set regardless of
+   * fpp. The history keys persist across micro-batches (8 bytes per
+   * distinct document); at 100 TB the bloom is ~1.2 GB per 10⁹ keys at
+   * 1% fpp, broadcast once per executor, and the confirm join touches
+   * only the ~fpp·batch + true-dup rows.
+   *
+   * `content` is evaluated against BOTH frames (e.g.
+   * `concat_ws("|", col("user_id"), col("event_type"), col("props"))`),
+   * then normalized+hashed by [[graft.ops.Dedup.contentKey]] — dedup
+   * compares lowercased, whitespace-collapsed content, same as the batch
+   * op. Compose with [[dedupEvents]] when the stream must also dedup
+   * against ITSELF within the watermark horizon.
+   */
+  def subtractSeenStream(stream: DataFrame, history: DataFrame,
+                         content: org.apache.spark.sql.Column,
+                         expectedItems: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    val key = graft.ops.Dedup.contentKey(content)
+    val histKeys = history.select(key.as("__k")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // empty history: everything is new (Spark's bloom aggregate returns
+    // null for zero rows, which readFrom would NPE on)
+    if (histKeys.isEmpty) { histKeys.unpersist(); return stream }
+    val bloomBytes = {
+      val bf = histKeys.stat.bloomFilter("__k",
+        math.max(expectedItems, 1L), fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val keyed = stream.withColumn("__k", key)
+    val might = graft.functions.GraftFunctions
+      .bloom_might_contain(col("__k"), bloomBytes)
+    keyed.filter(!might)
+      .unionByName(keyed.filter(might).join(histKeys, Seq("__k"), "left_anti"))
+      .drop("__k")
+  }
+
+  /**
    * Stream-static enrichment: join the unbounded stream with a bounded
    * dimension on `keys` — no stream-side state, the streaming counterpart
    * of a dimension `merge`. `broadcastDim = true` (default) hints the

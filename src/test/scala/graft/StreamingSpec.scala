@@ -178,4 +178,35 @@ class StreamingSpec extends SparkSpec {
     val n = spark.table("ev_dedup").count()
     assert(n === spark.read.parquet(dir).select("event_id").distinct().count())
   }
+
+  test("streaming dedup vs history reproduces the batch subtractSeen exactly") {
+    val dir = stageDir(s"$sf/events.parquet")
+    val schema = spark.read.parquet(dir).schema
+    val batchEvents = spark.read.parquet(dir)
+    val content = concat_ws("|", col("user_id"), col("event_type"),
+      col("props"))
+    val history = batchEvents.filter(col("event_id") % 3 === 0)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = EventStream.subtractSeenStream(stream, history, content,
+        expectedItems = 20000L)
+      .select("event_id")
+    val ckpt = Files.createTempDirectory("ckpt3").toString
+    val got = EventStream.runAvailableNow(out, "ev_sdh", ckpt)
+      .collect().map(_.getLong(0)).toSet
+    // oracle: the batch op on identical inputs
+    val want = graft.ops.Dedup.subtractSeen(
+        batchEvents.withColumn("__c", content), history.withColumn("__c", content),
+        "__c", "event_id", expectedItems = 20000L)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    assert(got.nonEmpty && got.size < batchEvents.count())
+    // empty history: pure passthrough, no bloom, no join
+    val all = EventStream.subtractSeenStream(
+        spark.readStream.schema(schema).parquet(dir),
+        batchEvents.filter(lit(false)), content)
+      .select("event_id")
+    val ckpt2 = Files.createTempDirectory("ckpt4").toString
+    val n2 = EventStream.runAvailableNow(all, "ev_sdh_all", ckpt2).count()
+    assert(n2 === batchEvents.count())
+  }
 }
