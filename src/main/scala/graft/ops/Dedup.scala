@@ -456,7 +456,10 @@ object Dedup {
    * doesn't replay rounds 1..N-1. Duplicate clusters are near-cliques
    * (diameter ~2-3), so this settles in a handful of rounds even at 100 TB;
    * for adversarial long-chain graphs, use [[connectedComponentsStar]]
-   * (large-star/small-star, O(log² n) rounds on any diameter).
+   * (large-star/small-star, O(log² n) rounds on any diameter). If the
+   * label loop is still moving at `maxIter` — the signature of exactly
+   * such a graph — it hands off to the star contraction rather than
+   * return silently mis-clustered partial labels.
    */
   /** Rounds the last [[connectedComponents]] call took (diagnostics). */
   @volatile var lastRounds: Int = 0
@@ -537,6 +540,16 @@ object Dedup {
     // already few and the extra self-join per round dominates. For long-
     // chain graphs prefer connectedComponentsStar.)
     lastRounds = iter
+    if (changed > 0) {
+      // maxIter hit while labels were still moving — the graph's diameter
+      // exceeded the budget (a chain-shaped component, not a dup clique).
+      // Returning the partial labels would silently MIS-CLUSTER, so hand
+      // off to the diameter-independent star contraction. sym is already
+      // symmetrized+distinct+persisted; reuse it as the star input.
+      val out = connectedComponentsStar(sym, "src", "dst")
+      sym.unpersist()
+      return out
+    }
     sym.unpersist()
     labels.select(col("id"), col("label").as("cluster_id"))
   }

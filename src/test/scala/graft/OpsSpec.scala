@@ -594,6 +594,20 @@ class OpsSpec extends SparkSpec {
     assert(star === label)
   }
 
+  test("connectedComponents falls back to star rounds when maxIter is hit moving") {
+    import graft.ops.Dedup
+    // a 300-link chain with a 3-round label budget: min-label would stop
+    // mid-propagation with wrong labels; the fallback must deliver the
+    // exact clustering anyway (and record star rounds as evidence)
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(chain, maxIter = 3,
+        localEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 301)
+    assert(out.values.forall(_ == 0L), "every node reaches the chain min")
+    assert(Dedup.lastStarRounds > 0)
+  }
+
   test("kll_quantiles exact regime: discrete quantiles, partitioning-invariant") {
     import graft.functions.GraftFunctions.kll_quantiles
     // deterministic shuffle of 1..1000; n=1000 <= k=2048, so no
