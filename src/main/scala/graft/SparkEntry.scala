@@ -155,6 +155,27 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    "q_jmespath" -> ((s, dir) => {
+      // extended jmespath grammar end-to-end: array FILTER + explosion
+      // (`p.items[?tag == 'a'][*]`) compiled to pure Catalyst (filter HOF
+      // + explode) over a sample-inferred JSONL read; the oracle rebuilds
+      // the same item rows relationally with generate_series
+      val tmp = Files.createTempDirectory("graft_jmes").toString + "/docs"
+      T(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(to_json(struct(struct(
+          transform(sequence(lit(0), lit(2)), k => struct(
+            k.cast("long").as("k"),
+            when(pmod(col("doc_id") + k, lit(2)) === 0, lit("a"))
+              .otherwise(lit("b")).as("tag"),
+            (col("doc_id") * 3 + k).as("v"))).as("items")).as("p")))
+          .as("value"))
+        .write.mode("overwrite").text(tmp)
+      Chain.readJsonInferred(s, tmp,
+          jmespath = Some("p.items[?tag == 'a'][*]"), sampleSize = 100)
+        .toDF
+        .select(col("k"), col("tag"), col("v"))
+    }),
+
     "q_read_database" -> ((s, dir) => {
       // REAL JDBC round-trip against embedded Derby (ships in Spark's jar
       // dir): to_database writes nation through executor-side connections,
@@ -2373,6 +2394,12 @@ object SparkEntry {
       "q_json_infer" ->
         """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
           | CAST(n_chars AS BIGINT) AS n_chars FROM documents""".stripMargin,
+
+      "q_jmespath" ->
+        """SELECT s.k, CASE WHEN (doc_id + s.k) % 2 = 0 THEN 'a' ELSE 'b'
+          |  END AS tag, doc_id*3 + s.k AS v
+          |FROM documents, generate_series(0, 2) AS s(k)
+          |WHERE doc_id < 400 AND (doc_id + s.k) % 2 = 0""".stripMargin,
 
       "q_read_database" ->
         "SELECT n_nationkey, n_name, n_regionkey FROM nation",

@@ -503,14 +503,25 @@ object Chain {
   }
 
   /**
-   * Schemaless JSONL read with SAMPLE-based schema inference + jmespath-lite
-   * descent (reference `read_json`'s model inference and jmespath handling,
-   * src/datachain/lib/meta_formats.py): the schema is inferred from the
-   * first `sampleSize` lines only — at 100 TB the inference pass reads a
-   * few KB, not the corpus — then applied to the full scan. `jmespath`
-   * supports dotted struct descent and `[*]` array explosion
-   * (e.g. `"payload.items[*]"`): each step re-roots the rows at that
-   * subtree, like the reference's jmespath extraction.
+   * Schemaless JSONL read with SAMPLE-based schema inference + jmespath
+   * descent (reference `read_json`'s model inference and jmespath
+   * handling, src/datachain/lib/meta_formats.py): the schema is inferred
+   * from the first `sampleSize` lines only — at 100 TB the inference pass
+   * reads a few KB, not the corpus — then applied to the full scan.
+   *
+   * Supported jmespath subset (each step re-roots the rows at that
+   * subtree, all compiled to pure Catalyst column ops — descent over
+   * 100 TB is a codegen'd projection, the only shuffle-free plan there
+   * is):
+   *  - `a.b.c` — dotted struct descent
+   *  - `a[*]` — array explosion (one row per element)
+   *  - `a[2]`, `a[-1]` — array indexing (negative = from the end)
+   *  - `a[1:4]`, `a[2:]`, `a[:3]` — slices (non-negative bounds)
+   *  - `a[?field == 'x']`, `a[?n >= 3]` — array filter on an element
+   *    field vs a literal (`== != < <= > >=`; string / number / boolean)
+   *  - ops compose within a segment: `items[?tag=='a'][*]`, `xs[1:3][0]`
+   * A terminal scalar/array step keeps its field name as the single
+   * output column.
    */
   def readJsonInferred(spark: SparkSession, path: String,
                        jmespath: Option[String] = None,
@@ -520,16 +531,96 @@ object Chain {
     val inferred = spark.read.json(sample).schema
     var out = spark.read.schema(inferred).json(path)
     jmespath.map(_.trim).filter(_.nonEmpty).foreach { jp =>
-      jp.split('.').foreach { seg =>
-        out =
-          if (seg.endsWith("[*]")) {
-            val name = seg.dropRight(3)
-            out.select(explode(col(name)).as("__e")).select(col("__e.*"))
-          } else out.select(col(seg).as("__o")).select(col("__o.*"))
-      }
+      out = applyJmespath(out, jp)
     }
     new Chain(out,
       OpTree.empty.append("read_json", path, jmespath.getOrElse("")))
+  }
+
+  /** Split a jmespath on top-level dots (dots inside `[...]` stay put). */
+  private[graft] def jmesSegments(jp: String): Seq[String] = {
+    val segs = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    jp.foreach { c =>
+      if (c == '[') depth += 1
+      if (c == ']') depth -= 1
+      if (c == '.' && depth == 0) {
+        if (cur.nonEmpty) { segs += cur.toString; cur.clear() }
+      } else cur += c
+    }
+    if (cur.nonEmpty) segs += cur.toString
+    segs.toSeq
+  }
+
+  private val jmesFilterRe =
+    """^\?\s*([A-Za-z_][A-Za-z0-9_]*)\s*(==|!=|<=|>=|<|>)\s*(.+?)\s*$""".r
+  private val jmesSliceRe = """^(-?\d*):(-?\d*)$""".r
+
+  /** Apply one jmespath (see [[readJsonInferred]]) to a DataFrame,
+    * re-rooting at each step. Package-visible for spec coverage. */
+  private[graft] def applyJmespath(df: DataFrame, jp: String): DataFrame = {
+    var out = df
+    jmesSegments(jp).foreach { seg =>
+      val bracketAt = seg.indexOf('[')
+      val name = if (bracketAt < 0) seg else seg.take(bracketAt)
+      val ops: Seq[String] =
+        if (bracketAt < 0) Seq.empty
+        else seg.drop(bracketAt).stripPrefix("[").stripSuffix("]")
+          .split("\\]\\[", -1).toSeq
+      require(name.nonEmpty, s"jmespath segment needs a field name: '$seg'")
+      var c: Column = col(name)
+      var exploded = false
+      ops.foreach {
+        case "*" =>
+          // explosion is a row-level op: materialize the current expr
+          out = out.select(explode(c).as("__jm"))
+          c = col("__jm")
+          exploded = true
+        case jmesFilterRe(field, op, rawLit) =>
+          val l = jmesLiteral(rawLit)
+          c = filter(c, e => op match {
+            case "==" => e.getField(field) === l
+            case "!=" => e.getField(field) =!= l
+            case "<"  => e.getField(field) < l
+            case "<=" => e.getField(field) <= l
+            case ">"  => e.getField(field) > l
+            case ">=" => e.getField(field) >= l
+          })
+        case jmesSliceRe(a, b) =>
+          val start = if (a.isEmpty) 0 else a.toInt
+          require(start >= 0 && (b.isEmpty || b.toInt >= 0),
+            s"jmespath slice supports non-negative bounds: '[$a:$b]'")
+          val len =
+            if (b.isEmpty) lit(Int.MaxValue)
+            else greatest(lit(b.toInt - start), lit(0))
+          c = slice(c, lit(start + 1), len)
+        case idx if idx.matches("-?\\d+") =>
+          val i = idx.toInt
+          c = element_at(c, if (i >= 0) i + 1 else i) // -1 = last, as jmespath
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported jmespath bracket op: '[$other]' in '$seg'")
+      }
+      // re-root: structs expand to their fields; scalars/arrays keep the
+      // segment's field name as the single column
+      val rooted = out.select(c.as("__jm"))
+      out = rooted.schema.head.dataType match {
+        case _: org.apache.spark.sql.types.StructType =>
+          rooted.select(col("__jm.*"))
+        case _ => rooted.select(col("__jm").as(name))
+      }
+      val _ = exploded
+    }
+    out
+  }
+
+  private def jmesLiteral(raw: String): Column = raw match {
+    case s if s.startsWith("'") && s.endsWith("'") && s.length >= 2 =>
+      lit(s.substring(1, s.length - 1))
+    case "true"  => lit(true)
+    case "false" => lit(false)
+    case n => lit(BigDecimal(n).toDouble)
   }
 
   /** Reference `utils.normalize_col_names` (src/datachain/lib/utils.py:55):

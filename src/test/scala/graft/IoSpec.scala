@@ -311,4 +311,37 @@ class IoSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(exploded === Set((5L, "p"), (6L, "q")))
   }
+
+  test("jmespath grammar: index, slice, filter, composed ops") {
+    val dir = Files.createTempDirectory("jsonl2")
+    val lines = Seq(
+      """{"p":{"items":[{"id":1,"tag":"x","v":10},{"id":2,"tag":"y","v":20},{"id":3,"tag":"x","v":30}],"xs":[7,8,9,10]}}""",
+      """{"p":{"items":[{"id":4,"tag":"y","v":40}],"xs":[1,2]}}""")
+    Files.write(dir.resolve("part-0.jsonl"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    def run(jp: String) = Chain.readJsonInferred(spark, dir.toString,
+      jmespath = Some(jp)).toDF
+    // index into the array, then struct re-root
+    assert(run("p.items[0]").select("id").as[Long].collect().toSet
+      === Set(1L, 4L))
+    // negative index = from the end
+    assert(run("p.items[-1]").select("id").as[Long].collect().toSet
+      === Set(3L, 4L))
+    // filter on an element field, then explode — only tag=='x' rows
+    assert(run("p.items[?tag == 'x'][*]").select("id").as[Long]
+      .collect().toSet === Set(1L, 3L))
+    // numeric filter
+    assert(run("p.items[?v >= 30][*]").select("id").as[Long]
+      .collect().toSet === Set(3L, 4L))
+    // slice then explode (scalar array keeps its field name)
+    assert(run("p.xs[1:3][*]").select("xs").as[Long].collect().toSeq.sorted
+      === Seq(2L, 8L, 9L))
+    // open-ended slice
+    assert(run("p.xs[2:][*]").select("xs").as[Long].collect().toSeq.sorted
+      === Seq(9L, 10L))
+    // unsupported op fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      run("p.items[?nope~3]")
+    }
+  }
 }
