@@ -1680,6 +1680,16 @@ object SparkEntry {
       // ascending posting list as CSV (the array-safe compare surface)
       Corpus.invertedIndex(T(s, dir, "documents"), "doc_id", "text")),
 
+    "q_random_projection" -> ((s, dir) =>
+      // deterministic ±1 JL projection 64→16 dims: pure map-side fold,
+      // no shuffle; the sign matrix regenerates from int_hash_64(j·131071
+      // + i) so the oracle rebuilds all 1024 signs with the same HUGEINT
+      // hash emulation as q_int_hash and decimal-sums identically
+      Similarity.randomProjection(T(s, dir, "embeddings"), "embedding",
+          outDim = 16)
+        .select(col("vec_id"),
+          posexplode(col("projected")).as(Seq("j", "y")))),
+
     "q_covariance" -> ((s, dir) =>
       // distributed Gramian: per-row pair products derive map-side and
       // partial-aggregate, so only O(dim^2 x partitions) partials cross
@@ -2228,18 +2238,28 @@ object SparkEntry {
   /** DuckDB emulation of our IntHash64 Catalyst expression: unsigned-64
     * wraparound multiply rebuilt from 32-bit limbs in HUGEINT (DuckDB
     * integer ops trap on overflow, so c * x mod 2^64 needs the split). */
-  private def intHash64OracleStages: String = {
+  /** DuckDB emulation of [[graft.functions.Impl.intHash64]]'s unsigned
+    * 64-bit pipeline (xor-shift + wrapping multiplies) over HUGEINT —
+    * shared by the q_int_hash oracle and the random-projection sign
+    * matrix. */
+  private object IntHashSql {
     val m32 = "4294967296"; val m64 = "18446744073709551616"
     val c1 = "5544725790478674055"  // 0x4CF2D2BAAE6DA887
     val c2 = "18397679294719823053" // 0xFF51AFD7ED558CCD
     val c3 = "14181476777654086739" // 0xC4CEB9FE1A85EC53
-    def xsh(v: String) =
+    def xsh(v: String): String =
       s"CAST(xor(CAST($v AS UBIGINT), CAST($v AS UBIGINT) >> 33) AS HUGEINT)"
-    def mulm(a: String, c: String) =
+    def xorc1(v: String): String =
+      s"CAST(xor(CAST($v AS UBIGINT), CAST($c1 AS UBIGINT)) AS HUGEINT)"
+    def mulm(a: String, c: String): String =
       s"(((($a)%$m32)*(($c)%$m32) + (((($a)//$m32)*(($c)%$m32) + " +
         s"(($a)%$m32)*(($c)//$m32))%$m32)*$m32) % $m64)"
-    def sgn(v: String) =
+    def sgn(v: String): String =
       s"CAST(CASE WHEN $v >= 9223372036854775808 THEN $v - $m64 ELSE $v END AS BIGINT)"
+  }
+
+  private def intHash64OracleStages: String = {
+    import IntHashSql._
     def both(f: String => String) = s"${f("a")} AS a, ${f("b")} AS b"
     s"""WITH i AS (SELECT o_orderkey,
        |  CAST(o_orderkey AS HUGEINT) + CASE WHEN o_orderkey < 0 THEN $m64 ELSE 0 END AS a,
@@ -3637,6 +3657,35 @@ object SparkEntry {
            |SELECT token, count(*) AS df, CAST(sum(k) AS BIGINT) AS tf,
            |  string_agg(doc_id, ',' ORDER BY doc_id) AS postings_csv
            |FROM d GROUP BY token""".stripMargin,
+
+      "q_random_projection" -> {
+        import IntHashSql._
+        // The DECIMAL(38,12) term cast is load-bearing: DuckDB's
+        // round(double, 12) returns a DOUBLE whose binary value sits
+        // ~1e-16 off the clean 12-dp decimal; casting THAT at scale 18
+        // captures the representation noise and a later 9-dp decimal
+        // round can flip an exact .5 tie. At scale 12 the nearest-decimal
+        // cast absorbs the noise and recovers the clean term, matching
+        // Spark's shortest-repr double→decimal conversion exactly.
+        s"""WITH m0 AS (SELECT a.j, b.i,
+           |    CAST(a.j*131071 + b.i AS HUGEINT) AS h
+           |   FROM generate_series(0, 15) a(j), generate_series(0, 63) b(i)),
+           | m1 AS (SELECT j, i, ${xorc1("h")} AS h FROM m0),
+           | m2 AS (SELECT j, i, ${xsh("h")} AS h FROM m1),
+           | m3 AS (SELECT j, i, ${mulm("h", c2)} AS h FROM m2),
+           | m4 AS (SELECT j, i, ${xsh("h")} AS h FROM m3),
+           | m5 AS (SELECT j, i, ${mulm("h", c3)} AS h FROM m4),
+           | m AS (SELECT j, i, CASE WHEN ${xsh("h")} % 2 = 1
+           |     THEN 1.0 ELSE -1.0 END AS s FROM m5),
+           | v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+           |   FROM embeddings),
+           | t AS (SELECT vec_id, j,
+           |    sum(CAST(round(x[i+1] * s, 12) AS DECIMAL(38,12))) AS acc
+           |   FROM v, m GROUP BY 1, 2)
+           |SELECT vec_id, CAST(j AS INT) AS j,
+           |  CAST(round(acc, 9) AS DOUBLE) * 0.25 AS y
+           |FROM t""".stripMargin
+      },
 
       "q_covariance" ->
         """WITH v AS (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings),

@@ -435,6 +435,54 @@ object Similarity {
   }
 
   /**
+   * Deterministic ±1 random projection (the database-friendly
+   * Johnson–Lindenstrauss transform, Achlioptas JCSS'03):
+   * `y_j = (Σ_i x_i · s(j, i)) / √outDim` with the sign matrix
+   * `s(j, i) = ±1` drawn from bit 0 of `int_hash_64(j·131071 + i)` — no
+   * stored matrix, no RNG state, every engine regenerates the identical
+   * projection. The dimensionality-reduction front end for ANN /
+   * clustering at 100 TB: pairwise distances are preserved within
+   * (1 ± ε) for outDim = O(log n / ε²), and downstream LSH / k-means /
+   * brute-force kernels run on `outDim ≪ dim` coordinates.
+   *
+   * Scale shape: pure map-side projection — a per-row fold over the
+   * vector per output coordinate, NO shuffle anywhere. Engine-exact:
+   * signed terms round to 12 dp and fold through a DECIMAL(38,18)
+   * accumulator (order-independent), the coordinate rounds to 9 dp — so
+   * an oracle reproduces every value bit-for-bit.
+   */
+  def randomProjection(corpus: DataFrame, vecCol: String = "embedding",
+                       outDim: Int = 16,
+                       outCol: String = "projected"): DataFrame = {
+    require(outDim >= 1, "outDim must be positive")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val xs = col(vecCol).cast("array<double>")
+    // Rounding discipline (every step engine-exact): terms round at 12 dp
+    // (identity for float-origin coordinates — their shortest decimal
+    // repr is ≤9 significant digits, so no tie can sit at the cut), the
+    // sum folds through DECIMAL(38,18) (order-independent), the 9-dp
+    // round happens IN DECIMAL (HALF_UP on both engines), and only THEN
+    // does the 1/√outDim scale apply — one IEEE multiply of two
+    // bit-identical doubles, exact by definition. Scaling or dividing
+    // BEFORE a decimal-domain round puts exact .5 ties at the cut, which
+    // double-domain rounds resolve differently across engines (observed
+    // in 7 of 8,000 gate cells before this ordering).
+    val invScale = 1.0 / math.sqrt(outDim.toDouble)
+    val comps = (0 until outDim).map { j =>
+      val signed = zip_with(xs, sequence(lit(0), size(xs) - 1), (x, i) =>
+        round(when(graft.functions.GraftFunctions.int_hash_64(
+            lit(j.toLong * 131071L) + i.cast("long"))
+            .bitwiseAND(lit(1L)) === 1L, x).otherwise(-x), 12))
+      // decimal + decimal widens the result type, so re-cast the
+      // accumulator each step to keep the fold's type fixed at (38,18)
+      round(aggregate(signed, lit(BigDecimal(0)).cast(dec),
+        (acc, v) => (acc + v.cast(dec)).cast(dec)), 9).cast("double") *
+        invScale
+    }
+    corpus.withColumn(outCol, array(comps: _*))
+  }
+
+  /**
    * Top principal component by power iteration over the O(dim²)
    * covariance matrix from [[covarianceMatrix]]. The matrix (a few
    * thousand cells regardless of corpus size) is collected and iterated

@@ -462,6 +462,30 @@ class OpsSpec extends SparkSpec {
     assert(a.keySet === Set((0, 0), (0, 1), (1, 1))) // modal dim = 2 wins
   }
 
+  test("randomProjection: deterministic, sign-balanced, distance-preserving") {
+    import graft.ops.Similarity
+    // orthogonal scaled basis-ish vectors with known geometry
+    val vecs = (0 until 8).map { v =>
+      (v.toLong, Array.tabulate(64)(i => if (i == v * 8) 4.0f else 0.0f))
+    }.toDF("vec_id", "vec")
+    val out = Similarity.randomProjection(vecs, "vec", outDim = 16)
+      .select(col("vec_id"), col("projected"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // determinism: a second run (different partitioning) is identical
+    val out2 = Similarity.randomProjection(vecs.repartition(5), "vec", 16)
+      .select(col("vec_id"), col("projected"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out === out2)
+    // a one-hot input picks one signed matrix column: all entries ±4/√16
+    assert(out(0L).forall(y => math.abs(math.abs(y) - 1.0) < 1e-9))
+    // JL norm preservation in expectation: ||y||² within 3x of ||x||²=16
+    // for every vector (loose bound — this is a 16-dim projection)
+    out.values.foreach { y =>
+      val n2 = y.map(v => v * v).sum
+      assert(n2 > 16.0 / 3 && n2 < 16.0 * 3, s"norm²=$n2")
+    }
+  }
+
   test("pcaTopComponent recovers a planted principal direction") {
     // points on the line t*(0.6, 0.8): covariance is rank-1 with
     // eigenvector exactly the direction (sign-fixed positive)

@@ -407,6 +407,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("q_random_projection: pure map-side projection, zero exchange") {
+    val p = plan("q_random_projection")
+    // scan → project → generate; a shuffle anywhere means the projection
+    // stopped being the free pre-ANN compression pass it exists to be
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("q_kll_quantiles: sketch partial-aggregates map-side, no sort") {
     val p = plan("q_kll_quantiles")
     // the O(k·log n) summary must combine BEFORE the exchange — and the
