@@ -194,5 +194,34 @@ object chainops {
                 kRrf: Int = 60): Chain =
       Chain(Corpus.rrfFuse(c.toDF +: others.map(_.toDF), idCol, scoreCol,
         kRrf))
+
+    /** Cluster assignment over near-dup edges — size-adaptive min-label
+      * CC with the star-contraction fallback (see
+      * [[Dedup.connectedComponents]]). */
+    def dupClusters(srcCol: String = "id_a", dstCol: String = "id_b"): Chain =
+      Chain(Dedup.connectedComponents(c.toDF, srcCol, dstCol))
+
+    /** Connected components by large-star/small-star contraction — the
+      * O(log² n)-round path for long-chain graphs (see
+      * [[Dedup.connectedComponentsStar]]). */
+    def dupClustersStar(srcCol: String = "id_a",
+                        dstCol: String = "id_b"): Chain =
+      Chain(Dedup.connectedComponentsStar(c.toDF, srcCol, dstCol))
+
+    /** Deterministic ±1 JL projection of an embedding column (see
+      * [[Similarity.randomProjection]]). */
+    def randomProjection(vecCol: String = "embedding", outDim: Int = 16,
+                         outCol: String = "projected"): Chain =
+      Chain(Similarity.randomProjection(c.toDF, vecCol, outDim, outCol))
+
+    /** Per-group quantiles from the mergeable KLL sketch (see
+      * [[graft.functions.GraftFunctions.kll_quantiles]]): one row per
+      * group with an array of discrete lower quantiles. */
+    def quantilesByGroup(valueCol: String, groupCol: String,
+                         probs: Seq[Double], k: Int = 2048,
+                         outCol: String = "quantiles"): Chain =
+      Chain(c.toDF.groupBy(col(groupCol))
+        .agg(graft.functions.GraftFunctions
+          .kll_quantiles(col(valueCol).cast("double"), probs, k).as(outCol)))
   }
 }

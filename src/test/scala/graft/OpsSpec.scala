@@ -678,6 +678,26 @@ class OpsSpec extends SparkSpec {
     assert(empty.isNullAt(0))
   }
 
+  test("chainops sugar for r7 ops: clusters, star clusters, projection, quantiles") {
+    import graft.ops.chainops._
+    import graft.core.Chain
+    val edges = Chain(Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b"))
+    assert(edges.dupClusters().toDF.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(edges.dupClustersStar().toDF.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val vecs = Chain(Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("id", "vec"))
+    assert(vecs.randomProjection("vec", outDim = 4).toDF
+      .select("projected").head().getSeq[Double](0).length === 4)
+    val q = Chain((1 to 100).map(i => (i % 2, i.toDouble)).toDF("g", "v"))
+      .quantilesByGroup("v", "g", Seq(0.5), k = 256).toDF
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).head).toMap
+    assert(q(0) === 50.0 && q(1) === 49.0) // discrete lower quantiles
+  }
+
   test("fluent chainops pipeline: clean -> quality -> dedup -> pack") {
     import graft.ops.chainops._
     val c = Chain(docs.unionByName(
