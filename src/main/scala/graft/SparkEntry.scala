@@ -212,6 +212,40 @@ object SparkEntry {
         .select("split", "n_nationkey", "n_name", "regionkey")
     }),
 
+    "q_stream_quantiles" -> ((s, dir) => {
+      // the mergeable KLL sketch running INSIDE the streaming engine: its
+      // serialized buffer is the state-store payload of a windowed
+      // aggregation (the same mergeability that makes it map-side-
+      // combinable makes it streaming-state-safe). Exact regime at gate
+      // scale (per-window n <= k), so the per-window discrete quantiles
+      // reproduce row-for-row in SQL.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = T(s, dir, "events").schema
+      val stage = Files.createTempDirectory("graft_sq")
+      Files.createSymbolicLink(stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = normTs(s.readStream.schema(schema).parquet(stage.toString))
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(graft.functions.GraftFunctions.kll_quantiles(
+          col("value").cast("double"), Seq(0.5, 0.9), 16384).as("__q"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+          element_at(col("__q"), 1).as("p50"),
+          element_at(col("__q"), 2).as("p90"))
+      val ckpt = Files.createTempDirectory("graft_sq_ckpt").toString
+      val qn = "sq_" + math.abs(scala.util.Random.nextInt())
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream.outputMode("complete").format("memory")
+          .queryName(qn).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(qn)
+    }),
+
     "q_stream_dedup" -> ((s, dir) => {
       // streaming incremental dedup vs ingested history (the delta-crawl
       // ingest filter): history = every 3rd event's composite content;
@@ -2939,6 +2973,19 @@ object SparkEntry {
           | event_type, count(*) AS n,
           | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "q_stream_quantiles" ->
+        """WITH e AS (SELECT date_trunc('hour', ts) AS w,
+          |    CAST(value AS DOUBLE) AS v FROM events),
+          | r AS (SELECT w, v,
+          |    row_number() OVER (PARTITION BY w ORDER BY v) AS rn,
+          |    count(*) OVER (PARTITION BY w) AS n FROM e)
+          |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+          | max(CASE WHEN rn = greatest(1, CAST(ceil(0.5*n) AS BIGINT))
+          |   THEN v END) AS p50,
+          | max(CASE WHEN rn = greatest(1, CAST(ceil(0.9*n) AS BIGINT))
+          |   THEN v END) AS p90
+          |FROM r GROUP BY w""".stripMargin,
 
       "q_stream_dedup" ->
         raw"""WITH e AS (SELECT event_id,
