@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es(2).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression()
     }
+    inject("jl_project") { es =>
+      JlProject(es(0), es(1).eval().asInstanceOf[Number].intValue())
+    }
     inject("kll_quantiles") { es =>
       val probs = es(1).eval()
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

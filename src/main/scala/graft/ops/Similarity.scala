@@ -455,31 +455,21 @@ object Similarity {
                        outDim: Int = 16,
                        outCol: String = "projected"): DataFrame = {
     require(outDim >= 1, "outDim must be positive")
-    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
-    val xs = col(vecCol).cast("array<double>")
     // Rounding discipline (every step engine-exact): terms round at 12 dp
     // (identity for float-origin coordinates — their shortest decimal
     // repr is ≤9 significant digits, so no tie can sit at the cut), the
-    // sum folds through DECIMAL(38,18) (order-independent), the 9-dp
-    // round happens IN DECIMAL (HALF_UP on both engines), and only THEN
-    // does the 1/√outDim scale apply — one IEEE multiply of two
+    // sum is exact and order-independent (scaled longs), the 9-dp round
+    // happens in the decimal domain (HALF_UP on both engines), and only
+    // THEN does the 1/√outDim scale apply — one IEEE multiply of two
     // bit-identical doubles, exact by definition. Scaling or dividing
     // BEFORE a decimal-domain round puts exact .5 ties at the cut, which
     // double-domain rounds resolve differently across engines (observed
-    // in 7 of 8,000 gate cells before this ordering).
-    val invScale = 1.0 / math.sqrt(outDim.toDouble)
-    val comps = (0 until outDim).map { j =>
-      val signed = zip_with(xs, sequence(lit(0), size(xs) - 1), (x, i) =>
-        round(when(graft.functions.GraftFunctions.int_hash_64(
-            lit(j.toLong * 131071L) + i.cast("long"))
-            .bitwiseAND(lit(1L)) === 1L, x).otherwise(-x), 12))
-      // decimal + decimal widens the result type, so re-cast the
-      // accumulator each step to keep the fold's type fixed at (38,18)
-      round(aggregate(signed, lit(BigDecimal(0)).cast(dec),
-        (acc, v) => (acc + v.cast(dec)).cast(dec)), 9).cast("double") *
-        invScale
-    }
-    corpus.withColumn(outCol, array(comps: _*))
+    // in 7 of 8,000 gate cells before this ordering). The whole
+    // projection is ONE codegen'd kernel call per row
+    // ([[org.apache.spark.sql.graft.JlProject]]) — the interpreted
+    // zip_with/aggregate HOF formulation cost ~50× more.
+    corpus.withColumn(outCol, graft.functions.GraftFunctions
+      .jl_project(col(vecCol).cast("array<double>"), outDim))
   }
 
   /**

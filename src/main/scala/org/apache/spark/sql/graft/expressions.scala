@@ -232,6 +232,30 @@ case class MultiPatternCount(child: Expression, patterns: Seq[String])
 
 /** Engine-exact squared euclidean distance (12-dp decimal-summed; see
   * [[graft.functions.Impl.decimalSqDist]]) — the codegen'd k-means kernel. */
+/** Deterministic ±1 JL random projection as ONE codegen'd kernel call per
+  * row (see [[graft.functions.Impl.jlProject]]): the hash-regenerated
+  * sign matrix is cached per (outDim, dims) and the decimal-exact fold
+  * runs in scaled longs — the interpreted zip_with/aggregate HOF chain
+  * this replaces cost ~50× more per row and dominated the gate. */
+case class JlProject(child: Expression, outDim: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(outDim >= 1, "outDim must be positive")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "jl_project"
+  /** public for generated code */
+  def proj(v: ArrayData): ArrayData = Impl.jlProject(v, outDim)
+  override protected def nullSafeEval(v: Any): Any =
+    proj(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftJl", this, classOf[JlProject].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.proj($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): JlProject =
+    copy(child = c)
+}
+
 case class DecimalSqDistance(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
