@@ -50,6 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("jl_project") { es =>
       JlProject(es(0), es(1).eval().asInstanceOf[Number].intValue())
     }
+    inject("topk_rows") { es =>
+      TopKRows(es(0), es(1),
+        es(2).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()
+    }
     inject("kll_quantiles") { es =>
       val probs = es(1).eval()
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]

@@ -1540,6 +1540,63 @@ object SparkEntry {
       Corpus.heavyHitterPhrases(T(s, dir, "documents"), "text", "source",
         n = 2, capacity = 4096, topK = 5)),
 
+    "q_topk_group" -> ((s, dir) =>
+      // per-source top-7 documents by length through the native bounded-
+      // heap aggregate: O(k) pairs per group cross the shuffle instead of
+      // the window idiom's full per-group sort. doc_id rides as a zero-
+      // padded string so the aggregate's lexical tie-break equals numeric
+      // order, making the row_number oracle reproduce it bit-for-bit
+      Corpus.topKPerGroup(T(s, dir, "documents"), "source",
+        col("n_chars").cast("double"),
+        lpad(col("doc_id").cast("string"), 8, "0"), k = 7)
+        .select(col("source"), col("rank"),
+          col("item").cast("long").as("doc_id"), col("score"))),
+
+    "q_cms_counts" -> ((s, dir) => {
+      // Count–Min point queries: sketch the corpus's whitespace tokens
+      // once (the mergeable broadcastable artifact), then probe the top
+      // 100 tokens. width = ceil(e/2e-5) ≈ 136k >> the corpus's distinct
+      // count, so the min over 7 grid rows is collision-free and every
+      // estimate equals the exact count the oracle recomputes in SQL —
+      // the exact regime that pins the sketch's update/merge/probe path
+      val toks = T(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+      val cms = Corpus.frequencySketch(toks, "token")
+      val top = toks.groupBy("token").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("token").asc).limit(100)
+      Corpus.estimateFrequencies(top, "token", cms)
+        .select(col("token"), col("exact_n"),
+          (col("est_count") === col("exact_n")).as("est_ok"))
+    }),
+
+    "q_sketch_overlap" -> ((s, dir) => {
+      // sketch-cheap contamination estimate: 13-gram overlap between the
+      // corpus and the every-7th-doc benchmark via mergeable HLL sketches
+      // (~16 KB per side crosses the shuffle, never the gram streams).
+      // Oracled as a PROPERTY like q_approx_distinct: the exact distinct
+      // counts cross-check the engines; the estimates must land within
+      // the lgK=14 error envelope. benchmark ⊂ corpus, so exact union =
+      // exact_a and exact intersect = exact_b
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      val est = Corpus.ngramOverlap(docs, bench, "text", n = 13, lgK = 14)
+      val exactA = docs.select(explode(Corpus.ngramsCol(col("text"), 13)).as("g"))
+        .agg(countDistinct(col("g")).as("exact_a"))
+      val exactB = bench.select(explode(Corpus.ngramsCol(col("text"), 13)).as("g"))
+        .agg(countDistinct(col("g")).as("exact_b"))
+      est.crossJoin(exactA).crossJoin(exactB).select(
+        col("exact_a"), col("exact_b"),
+        (abs(col("est_a") - col("exact_a")).cast("double") /
+          col("exact_a") <= 0.02).as("a_ok"),
+        (abs(col("est_b") - col("exact_b")).cast("double") /
+          col("exact_b") <= 0.02).as("b_ok"),
+        (abs(col("est_union") - col("exact_a")).cast("double") /
+          col("exact_a") <= 0.02).as("union_ok"),
+        (abs(col("est_intersect") - col("exact_b")).cast("double") /
+          col("exact_a") <= 0.05).as("intersect_ok"))
+    }),
+
     "q_decontaminate" -> ((s, dir) => {
       // GPT-3-style 13-gram decontamination: every 7th doc doubles as the
       // benchmark, so those docs are fully contaminated and the rest carry
@@ -3334,6 +3391,37 @@ object SparkEntry {
            |   FROM c)
            |SELECT source, CAST(rank AS BIGINT) AS rank, phrase, n
            |FROM rk WHERE rank <= 5""".stripMargin,
+
+      "q_cms_counts" ->
+        raw"""WITH t AS (SELECT unnest(string_split_regex(lower(text),
+           |    '\s+')) AS token FROM documents),
+           | c AS (SELECT token, count(*) AS exact_n FROM t
+           |   WHERE token <> '' GROUP BY token)
+           |SELECT token, exact_n, TRUE AS est_ok FROM c
+           |ORDER BY exact_n DESC, token ASC LIMIT 100""".stripMargin,
+
+      "q_sketch_overlap" ->
+        raw"""WITH d AS (SELECT doc_id,
+           |   list_filter(string_split_regex(trim(regexp_replace(lower(text),
+           |     '[^a-z0-9\s]', ' ', 'g')), '\s+'), t -> t <> '') AS toks
+           |  FROM documents),
+           | g0 AS (SELECT doc_id, unnest(list_transform(
+           |     generate_series(1, greatest(len(toks) - 12, 0)),
+           |     i -> array_to_string(toks[i:i+12], ' '))) AS g FROM d),
+           | a AS (SELECT count(DISTINCT g) AS exact_a FROM g0),
+           | b AS (SELECT count(DISTINCT g) AS exact_b FROM g0
+           |   WHERE doc_id % 7 = 0)
+           |SELECT exact_a, exact_b, TRUE AS a_ok, TRUE AS b_ok,
+           |  TRUE AS union_ok, TRUE AS intersect_ok FROM a, b""".stripMargin,
+
+      "q_topk_group" ->
+        """WITH rk AS (SELECT source, doc_id,
+          |   CAST(n_chars AS DOUBLE) AS score,
+          |   row_number() OVER (PARTITION BY source
+          |     ORDER BY n_chars DESC, doc_id ASC) AS rank
+          | FROM documents)
+          |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, score
+          |FROM rk WHERE rank <= 7""".stripMargin,
 
       "q_embed_pairs" ->
         """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60)

@@ -48,6 +48,22 @@ object GraftFunctions {
   def jl_project(c: Column, outDim: Int): Column =
     toCol(JlProject(toExpr(c), outDim))
 
+  /** Point frequency query against a pre-built broadcast Count–Min
+    * sketch (spark-sketch serialized bytes) — never undercounts,
+    * overcounts by at most eps·N at the sketch's confidence. */
+  def cms_estimate_count(c: Column, cms: Array[Byte]): Column =
+    toCol(CmsEstimateCount(toExpr(c), cms))
+
+  /** Exact per-group top-k rows from an O(k) bounded-heap aggregate
+    * ([[org.apache.spark.sql.graft.TopKRows]]) — replaces the
+    * `row_number() OVER (...) <= k` window idiom without shuffling or
+    * sorting whole groups. Keeps the k largest (score, then smallest
+    * item) pairs; fully deterministic. With `score = xxhash64(item)` it
+    * is a deterministic uniform group sampler (bottom-k-by-hash).
+    * Returns array<struct<score, item>> sorted by (score desc, item). */
+  def topk_rows(score: Column, item: Column, k: Int): Column =
+    toCol(TopKRows(toExpr(score), toExpr(item), k).toAggregateExpression())
+
   /** KLL mergeable quantile sketch: one array<double> of discrete lower
     * quantiles (smallest value with cumulative count >= ceil(q*n)) per
     * group from O(k·log(n/k)) state — EXACT while the group's item count

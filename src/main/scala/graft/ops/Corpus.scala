@@ -141,6 +141,108 @@ object Corpus {
   }
 
   /**
+   * Exact per-group top-k rows via the native bounded-heap aggregate
+   * ([[org.apache.spark.sql.graft.TopKRows]]) — "best k documents per
+   * domain by quality score", the selection step of a curation mix.
+   *
+   * Scale shape: the heap partial-aggregates map-side, so only O(k)
+   * (score, item) pairs per group cross the exchange — where the usual
+   * `row_number() OVER (PARTITION BY g ORDER BY s DESC)` window shuffles
+   * AND sorts every row of every group (at 100 TB, a full-corpus sort
+   * per domain). Result is deterministic under any partitioning: ties
+   * break by (score desc, item asc). With `scoreCol` set to a hash of
+   * the item, the same aggregate is a deterministic uniform group
+   * sampler (bottom-k-by-hash) at the same O(k)-per-group shuffle cost.
+   *
+   * Returns (groupCol, rank, item, score) with rank 1..k per group.
+   */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: Column,
+                   itemCol: Column, k: Int): DataFrame =
+    df.groupBy(groupCol)
+      .agg(graft.functions.GraftFunctions
+        .topk_rows(scoreCol, itemCol, k).as("__tk"))
+      .select(col(groupCol), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col(groupCol), (col("__pos") + 1).cast("long").as("rank"),
+        col("__e.item").as("item"), col("__e.score").as("score"))
+
+  /**
+   * Count–Min frequency sketch of a corpus column (Spark's native
+   * `count_min_sketch` aggregate → spark-sketch serialized bytes): the
+   * arbitrary-point-query complement to [[heavyHitterPhrases]]'s
+   * Misra–Gries top-k. The grid partial-aggregates map-side (one
+   * depth×width array per partition crosses the exchange, never the item
+   * stream), merges associatively across batches/versions with matching
+   * (eps, confidence, seed), and the result broadcasts: probing a 100 TB
+   * corpus's term counts becomes one in-codegen lookup per row via
+   * [[estimateFrequencies]]. Estimates never undercount; overcount ≤
+   * eps·N with the configured confidence — EXACT while the column's
+   * distinct count stays well under width = ceil(e/eps) (the oracle-able
+   * regime the gate pins).
+   */
+  def frequencySketch(df: DataFrame, itemCol: String, eps: Double = 2e-5,
+                      confidence: Double = 0.999, seed: Int = 42): Array[Byte] =
+    df.agg(count_min_sketch(col(itemCol), lit(eps), lit(confidence),
+      lit(seed)).as("__cms")).head().getAs[Array[Byte]]("__cms")
+
+  /** Probe a [[frequencySketch]]: attaches `est_count` to every row of
+    * `probe` via one codegen'd lookup against the broadcast sketch. */
+  def estimateFrequencies(probe: DataFrame, itemCol: String,
+                          sketch: Array[Byte]): DataFrame =
+    probe.withColumn("est_count", graft.functions.GraftFunctions
+      .cms_estimate_count(col(itemCol), sketch))
+
+  /**
+   * Cross-corpus distinct-item overlap via mergeable HLL sketches
+   * (DataSketches through Spark's native `hll_sketch_agg`/`hll_union`):
+   * |A|, |B|, |A∪B| estimated from one O(2^lgK)-byte sketch per side,
+   * |A∩B| by inclusion–exclusion, plus the Jaccard estimate.
+   *
+   * Scale shape: each side is ONE pass with map-side partial sketch
+   * aggregation — only ~16 KB sketches cross the exchange, and the
+   * combine is a 1×1 join. The exact alternative (distinct + join or
+   * anti-join between two 100 TB gram streams) shuffles both corpora;
+   * this is the "how contaminated is the training set, roughly" answer
+   * before anyone pays for [[ngramDecontaminate]]'s exact pass.
+   * Estimates carry lgK-dependent error (0.41% rse at the default 14);
+   * the intersection inherits the sum of the three errors, so treat
+   * small overlaps (< a few % of the union) as noise-bounded.
+   */
+  def distinctOverlap(a: DataFrame, b: DataFrame, itemCol: String,
+                      lgK: Int = 14): DataFrame = {
+    val sa = a.select(col(itemCol).as("__i"))
+      .agg(hll_sketch_agg(col("__i"), lit(lgK)).as("__sk_a"))
+    val sb = b.select(col(itemCol).as("__i"))
+      .agg(hll_sketch_agg(col("__i"), lit(lgK)).as("__sk_b"))
+    sa.crossJoin(sb).select(
+        hll_sketch_estimate(col("__sk_a")).as("est_a"),
+        hll_sketch_estimate(col("__sk_b")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("__sk_a"), col("__sk_b")))
+          .as("est_union"))
+      .withColumn("est_intersect",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+      .withColumn("jaccard_est",
+        col("est_intersect").cast("double") / col("est_union"))
+  }
+
+  /** Public surface of the corpus tokenizer's word-n-gram derivation
+    * (lowercase, strip non-alphanumerics, whitespace-split, space-joined
+    * n-grams) — the shared vocabulary of the decontamination/overlap ops,
+    * exposed so callers can build exact cross-checks on the same grams. */
+  def ngramsCol(text: Column, n: Int): Column =
+    wordNgrams(filter(split(trim(regexp_replace(lower(text),
+      "[^a-z0-9\\s]", " ")), "\\s+"), t => t =!= lit("")), n)
+
+  /** Word-n-gram [[distinctOverlap]] between a corpus and a benchmark —
+    * the sketch-cheap contamination estimate (same tokenization as
+    * [[ngramDecontaminate]]; grams derive map-side in the array domain). */
+  def ngramOverlap(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+                   n: Int = 13, lgK: Int = 14): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(explode(wordNgrams(lmTokens(textCol), n)).as("__g"))
+    distinctOverlap(grams(corpus), grams(benchmark), "__g", lgK)
+  }
+
+  /**
    * Inverted index (token → postings) over a corpus — the retrieval
    * artifact behind [[bm25]] serving and phrase/contamination lookup.
    * Returns (token, df, tf, postings_csv): document frequency, total

@@ -72,6 +72,31 @@ object Profile {
   }
 
   /**
+   * Per-group mergeable cardinality sketches (Apache DataSketches HLL via
+   * Spark's native `hll_sketch_agg`): one O(2^lgK)-byte binary sketch per
+   * group, partial-aggregated map-side, plus its point estimate. Unlike
+   * `approx_count_distinct`'s scalar result, the SKETCH column is the
+   * durable artifact — persist it with the dataset version and later
+   * cardinalities over any group/version combination come from
+   * [[unionEstimate]] without rescanning the data (the incremental-ingest
+   * shape: sketch each delta batch, union across the history).
+   *
+   * Default lgK = 14 → 0.41% relative standard error, ~16 KB dense.
+   */
+  def distinctSketch(df: DataFrame, groupCols: Seq[String], itemCol: String,
+                     lgK: Int = 14): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(itemCol), lit(lgK)).as("sketch"))
+      .withColumn("estimate", hll_sketch_estimate(col("sketch")))
+
+  /** Merge previously-built HLL sketches (e.g. across versions or groups)
+    * into one combined estimate — no data rescan, associative, so any
+    * merge tree gives the same cardinality. */
+  def unionEstimate(sketches: DataFrame, sketchCol: String = "sketch"): DataFrame =
+    sketches.agg(hll_sketch_estimate(
+      hll_union_agg(col(sketchCol), lit(true))).as("estimate"))
+
+  /**
    * Per-column quantiles via the mergeable KLL sketch
    * ([[org.apache.spark.sql.graft.KllQuantiles]]): ONE pass, O(k·log n)
    * state per column, exact while a column's non-null count stays ≤ k —

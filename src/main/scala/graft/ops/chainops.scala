@@ -72,6 +72,12 @@ object chainops {
     def stratified(stratumCol: String, keyCol: String, perGroup: Int): Chain =
       Chain(Split.stratifiedSample(c.toDF, stratumCol, keyCol, perGroup))
 
+    /** Exact per-group top-k via the native bounded-heap aggregate —
+      * O(k) per group across the shuffle, no window sort (see
+      * [[Corpus.topKPerGroup]]). */
+    def topKBy(groupCol: String, score: Column, item: Column, k: Int): Chain =
+      Chain(Corpus.topKPerGroup(c.toDF, groupCol, score, item, k))
+
     /** Attach `avg_logp`/`ppl` from a bigram LM trained on `reference`
       * and drop rows above `maxPpl` (CCNet-style quality filtering; see
       * [[Corpus.lmPerplexity]]). Rows too short to score (fewer than two

@@ -326,3 +326,132 @@ case class KllQuantiles(
   override protected def withNewChildInternal(c: Expression): KllQuantiles =
     copy(child = c)
 }
+
+/**
+ * Exact per-group top-k selection as a native Catalyst aggregate — the
+ * scale-shaped replacement for the `row_number() OVER (PARTITION BY g
+ * ORDER BY s DESC) <= k` idiom: the window form shuffles and SORTS every
+ * row of every group, while this bounded heap partial-aggregates map-side
+ * and ships only O(k) (score, item) pairs per group across the exchange.
+ * With `score = xxhash64(item)` it doubles as a deterministic uniform
+ * group sampler (bottom-k-by-hash), again without the window sort.
+ *
+ * Semantics: keep the k rows with the largest (score, then smallest item)
+ * — the tie-break makes the result fully deterministic and independent of
+ * row order, partitioning, and merge shape, which is what lets a DuckDB
+ * window oracle reproduce it bit-for-bit. Rows with a null score or null
+ * item are ignored. Duplicate (score, item) pairs count as distinct rows.
+ *
+ * Output: array<struct<score double, item string>> sorted by
+ * (score desc, item asc).
+ */
+case class TopKRows(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, UTF8String)]]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  require(k > 0, "k must be positive")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, StringType)
+  override def prettyName: String = "topk_rows"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType), StructField("item", StringType))))
+
+  /** Max-heap whose head is the WORST kept row (lowest score; on a score
+    * tie, the lexically largest item), so a better candidate replaces the
+    * head in O(log k). */
+  private def worstFirst: Ordering[(Double, UTF8String)] =
+    new Ordering[(Double, UTF8String)] {
+      override def compare(a: (Double, UTF8String),
+                           b: (Double, UTF8String)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else a._2.compareTo(b._2)
+      }
+    }
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, UTF8String)] =
+    mutable.PriorityQueue.empty(worstFirst)
+
+  private def offer(buf: mutable.PriorityQueue[(Double, UTF8String)],
+                    score: Double, item: UTF8String, owned: Boolean): Unit = {
+    if (buf.size < k) {
+      buf.enqueue((score, if (owned) item else item.clone()))
+    } else {
+      // head is the worst kept row; candidate wins if strictly better
+      // under (score desc, item asc)
+      val (ws, wi) = buf.head
+      val better = score > ws || (score == ws && item.compareTo(wi) < 0)
+      if (better) {
+        buf.dequeue()
+        buf.enqueue((score, if (owned) item else item.clone()))
+      }
+    }
+  }
+
+  override def update(buf: mutable.PriorityQueue[(Double, UTF8String)],
+                      input: InternalRow): mutable.PriorityQueue[(Double, UTF8String)] = {
+    val s = left.eval(input)
+    val i = right.eval(input)
+    if (s != null && i != null) {
+      // clone only on insert: the UTF8String may point into a reused row
+      // buffer, and compare-and-reject needs no copy
+      offer(buf, s.asInstanceOf[Double], i.asInstanceOf[UTF8String], owned = false)
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.PriorityQueue[(Double, UTF8String)],
+                     other: mutable.PriorityQueue[(Double, UTF8String)])
+      : mutable.PriorityQueue[(Double, UTF8String)] = {
+    other.foreach { case (s, i) => offer(buf, s, i, owned = true) }
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Double, UTF8String)]): Any = {
+    val arr = buf.toArray.sortWith { case ((sa, ia), (sb, ib)) =>
+      if (sa != sb) sa > sb else ia.compareTo(ib) < 0
+    }
+    new GenericArrayData(arr.map { case (s, i) => InternalRow(s, i): Any })
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, UTF8String)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (s, i) =>
+      out.writeDouble(s)
+      val b = i.getBytes
+      out.writeInt(b.length); out.write(b)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, UTF8String)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val s = in.readDouble()
+      val len = in.readInt()
+      val b = new Array[Byte](len); in.readFully(b)
+      buf.enqueue((s, UTF8String.fromBytes(b)))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopKRows =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKRows =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKRows =
+    copy(left = newLeft, right = newRight)
+}

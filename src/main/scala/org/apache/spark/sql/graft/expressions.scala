@@ -334,6 +334,41 @@ case class Sq8Distance(left: Expression, right: Expression,
  * broadcastable bitset and only probable duplicates proceed to the exact
  * confirmation join.
  */
+/**
+ * Point frequency query against a pre-built broadcast Count–Min sketch
+ * (spark-sketch serialized form, as produced by the `count_min_sketch`
+ * aggregate). Same shape as [[BloomMightContain]]: the sketch bytes ride
+ * the expression into the codegen references, deserialize once per
+ * executor, and each probe is one virtual call inside whole-stage codegen.
+ * This is the arbitrary-point-query complement to the Misra–Gries top-k
+ * summary: a 100 TB term-count table collapses to a broadcastable
+ * depth×width grid, estimates never undercount, and overcount is bounded
+ * by eps·N with the configured confidence.
+ */
+case class CmsEstimateCount(child: Expression, cmsBytes: Array[Byte])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cms_estimate_count"
+  @transient private lazy val cms =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(cmsBytes))
+  /** public for generated code — probes with the UTF8 bytes, matching the
+    * aggregate's update path for string inputs */
+  def test(v: org.apache.spark.unsafe.types.UTF8String): Long =
+    cms.estimateCount(v.getBytes)
+  override protected def nullSafeEval(v: Any): Any =
+    test(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCms", this,
+      classOf[CmsEstimateCount].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.test($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): CmsEstimateCount =
+    copy(child = c)
+}
+
 case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
     extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(LongType)

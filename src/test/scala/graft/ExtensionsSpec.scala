@@ -37,6 +37,14 @@ class ExtensionsSpec extends AnyFunSuite {
         .selectExpr("inline(hh)").collect()
         .map(x => (x.getString(0), x.getLong(1))).toSeq
       assert(hh === Seq(("a", 3L), ("b", 2L)))
+      // the bounded-heap top-k aggregate is SQL-callable too
+      val tk = s.sql(
+        """SELECT topk_rows(CAST(n AS DOUBLE), w, 2) AS tk FROM (
+          |  SELECT 'a' AS w, 3 AS n UNION ALL SELECT 'b', 9
+          |  UNION ALL SELECT 'c', 9 UNION ALL SELECT 'd', 1) t""".stripMargin)
+        .selectExpr("inline(tk)").collect()
+        .map(x => (x.getDouble(0), x.getString(1))).toSeq
+      assert(tk === Seq((9.0, "b"), (9.0, "c")))
       // the KLL quantile aggregate is SQL-callable too
       val kq = s.sql(
         """SELECT kll_quantiles(CAST(v AS DOUBLE), array(0.5D, 1.0D), 64) AS q

@@ -632,6 +632,122 @@ class OpsSpec extends SparkSpec {
     assert(Dedup.lastStarRounds > 0)
   }
 
+  test("topk_rows: exact top-k under any partitioning, ties broken by item") {
+    import graft.functions.GraftFunctions.topk_rows
+    // 500 rows with heavily-duplicated scores (mod 17) so heap evictions
+    // and score-ties both fire; k=9 << group size forces replacement on
+    // both the update and merge paths. Expected = the plain sort answer.
+    val rows = (0 until 500).map { i =>
+      val id = f"id_${(i * 2654435761L) % 997}%04d_$i"
+      (id, ((i * 31) % 17).toDouble)
+    }
+    val expected = rows.sortBy { case (id, s) => (-s, id) }.take(9)
+      .map { case (id, s) => (s, id) }
+    for (parts <- Seq(1, 7, 32)) {
+      val out = rows.toDF("id", "s").repartition(parts)
+        .agg(topk_rows(col("s"), col("id"), 9).as("tk"))
+        .selectExpr("inline(tk)")
+        .collect().map(r => (r.getDouble(0), r.getString(1))).toSeq
+      assert(out === expected, s"parts=$parts")
+    }
+  }
+
+  test("topk_rows: nulls skipped; short group returns all rows ordered") {
+    import graft.functions.GraftFunctions.topk_rows
+    val df = Seq((Some("a"), Some(1.0)), (None, Some(9.0)),
+      (Some("b"), None), (Some("c"), Some(2.0))).toDF("id", "s")
+    val out = df.agg(topk_rows(col("s"), col("id"), 10).as("tk"))
+      .selectExpr("inline(tk)")
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSeq
+    assert(out === Seq((2.0, "c"), (1.0, "a")))
+  }
+
+  test("topKPerGroup doubles as a deterministic bottom-k-by-hash group sampler") {
+    import graft.ops.Corpus
+    // score = -xxhash64(id): the kept rows are the k smallest hashes per
+    // group — a uniform deterministic sample, reproduced exactly by the
+    // sort answer and stable across partitionings
+    val rows = (0 until 300).map(i => (s"g${i % 3}", s"item_$i"))
+    val df = rows.toDF("g", "id")
+    val out = Corpus.topKPerGroup(df.repartition(13), "g",
+        -xxhash64(col("id")).cast("double"), col("id"), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, members) =>
+      val spark2 = members.map(_._2).toDF("id")
+        .select(col("id"), xxhash64(col("id")).as("h"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      spark2.sortBy { case (id, h) => (h, id) }.take(5).zipWithIndex
+        .map { case ((id, _), i) => (g, (i + 1).toLong, id) }
+    }.toSet
+    assert(out === expected)
+  }
+
+  test("frequencySketch: exact in the wide regime, never undercounts when narrow") {
+    import graft.ops.Corpus
+    // 2,000 distinct tokens with known zipf-ish counts; default width
+    // ~136k >> 2,000 so every probe is exact
+    val rows = (1 to 2000).flatMap(i => Seq.fill(1 + i % 7)(s"tok_$i"))
+    val df = rows.toDF("t").repartition(9)
+    val cms = Corpus.frequencySketch(df, "t")
+    val probe = (1 to 2000).map(i => (s"tok_$i", (1 + i % 7).toLong))
+      .toDF("t", "want")
+    val out = Corpus.estimateFrequencies(probe, "t", cms)
+    assert(out.filter(col("est_count") =!= col("want")).count() === 0L)
+    // absent keys estimate small (bounded by eps·N), never negative
+    val miss = Corpus.estimateFrequencies(
+      Seq("absent_a", "absent_b").toDF("t"), "t", cms)
+      .collect().map(_.getLong(1))
+    assert(miss.forall(m => m >= 0L && m <= 2))
+    // narrow sketch (width 100 << 2000 distinct): estimates can only
+    // OVERcount — the CMS one-sided guarantee
+    val narrow = Corpus.frequencySketch(df, "t", eps = math.E / 100)
+    val over = Corpus.estimateFrequencies(probe, "t", narrow)
+    assert(over.filter(col("est_count") < col("want")).count() === 0L)
+  }
+
+  test("distinctSketch: mergeable — union of sketches equals sketch of union") {
+    import graft.ops.Profile
+    // two halves with a planted overlap; merging the per-half sketches
+    // must give the same estimate as sketching the concatenation, and
+    // both must land within the lgK=14 error envelope of the true 30k
+    val h1 = (0 until 20000).map(i => ("a", s"item_$i"))
+    val h2 = (10000 until 30000).map(i => ("b", s"item_$i"))
+    val parts = Profile.distinctSketch(
+      (h1 ++ h2).toDF("g", "id").repartition(11), Seq("g"), "id")
+    val merged = Profile.unionEstimate(parts)
+      .head().getLong(0)
+    val direct = Profile.distinctSketch(
+        (h1 ++ h2).map { case (_, id) => Tuple1(id) }.toDF("id")
+          .withColumn("g", lit("all")), Seq("g"), "id")
+      .head().getAs[Long]("estimate")
+    assert(merged === direct, "associative merge")
+    assert(math.abs(merged - 30000.0) / 30000.0 < 0.02, s"merged=$merged")
+    // per-half estimates are accurate too
+    val byG = parts.collect().map(r => r.getString(0) ->
+      r.getAs[Long]("estimate")).toMap
+    assert(math.abs(byG("a") - 20000.0) / 20000.0 < 0.02)
+    assert(math.abs(byG("b") - 20000.0) / 20000.0 < 0.02)
+  }
+
+  test("distinctOverlap: inclusion-exclusion lands inside the error envelope") {
+    import graft.ops.Corpus
+    // |A|=20k, |B|=20k, |A∩B|=10k, |A∪B|=30k
+    val a = (0 until 20000).map(i => Tuple1(s"item_$i")).toDF("id")
+    val b = (10000 until 30000).map(i => Tuple1(s"item_$i")).toDF("id")
+    val r = Corpus.distinctOverlap(a, b, "id").head()
+    assert(math.abs(r.getAs[Long]("est_a") - 20000.0) / 20000.0 < 0.02)
+    assert(math.abs(r.getAs[Long]("est_union") - 30000.0) / 30000.0 < 0.02)
+    assert(math.abs(r.getAs[Long]("est_intersect") - 10000.0) / 30000.0 < 0.05)
+    assert(math.abs(r.getAs[Double]("jaccard_est") - 1.0 / 3) < 0.05)
+    // disjoint corpora: the intersect estimate is noise around zero,
+    // clamped to the non-negative domain
+    val c = (50000 until 70000).map(i => Tuple1(s"item_$i")).toDF("id")
+    val d0 = Corpus.distinctOverlap(a, c, "id").head()
+    assert(d0.getAs[Long]("est_intersect") <
+      0.05 * d0.getAs[Long]("est_union"))
+  }
+
   test("kll_quantiles exact regime: discrete quantiles, partitioning-invariant") {
     import graft.functions.GraftFunctions.kll_quantiles
     // deterministic shuffle of 1..1000; n=1000 <= k=2048, so no

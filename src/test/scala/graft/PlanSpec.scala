@@ -414,6 +414,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q_topk_group: bounded heap partial-aggregates map-side, no window sort") {
+    val p = plan("q_topk_group")
+    // the O(k) heap must combine BEFORE the exchange, and NO per-group
+    // sort may appear — a window row_number plan (full sort of every
+    // group) is exactly what this aggregate replaces at 100 TB
+    assert(p.contains("partial_topk_rows"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_kll_quantiles: sketch partial-aggregates map-side, no sort") {
     val p = plan("q_kll_quantiles")
     // the O(k·log n) summary must combine BEFORE the exchange — and the
