@@ -1314,6 +1314,28 @@ object SparkEntry {
         .select(col("o_orderkey"), col("zval"))
     }),
 
+    "q_bucketed_join" -> ((s, dir) => {
+      // durable co-located join: both sides written hash-bucketed on the
+      // join key (8 buckets, sorted within buckets), so the join reads
+      // matching buckets file-to-file and Catalyst elides BOTH exchanges
+      // AND both sorts (PlanSpec pins the no-Exchange shape) — the
+      // disk-layout answer to a 100 TB fact⋈dim join that recurs on the
+      // same key. Result oracled against the plain SQL join.
+      val suf = math.abs(scala.util.Random.nextInt())
+      val root = Files.createTempDirectory("graft_buck").toString
+      graft.io.Layout.bucketize(T(s, dir, "orders"),
+        s"orders_bk_$suf", s"$root/orders", "o_custkey", 8)
+      graft.io.Layout.bucketize(T(s, dir, "customer"),
+        s"customer_bk_$suf", s"$root/customer", "c_custkey", 8)
+      graft.io.Layout.bucketedJoin(s, s"orders_bk_$suf", s"customer_bk_$suf",
+          "o_custkey", "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"),
+          countDistinct(col("c_custkey")).as("n_customers"))
+    }),
+
     "q_label_prop" -> ((s, dir) => {
       // deterministic synchronous LPA communities over the same sparse
       // part co-occurrence graph as q_triangles: 2 iterations, most-
@@ -3194,6 +3216,14 @@ object SparkEntry {
       "q_compact" ->
         """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
           |FROM orders""".stripMargin,
+
+      "q_bucketed_join" ->
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |   AS revenue,
+          | count(DISTINCT c_custkey) AS n_customers
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment""".stripMargin,
 
       "q_zorder" ->
         """WITH r AS (SELECT min(CAST(o_custkey AS DOUBLE)) AS xmin,

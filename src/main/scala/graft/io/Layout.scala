@@ -126,6 +126,46 @@ object Layout {
   }
 
   /**
+   * Bucketed table layout — the co-located-join half of 100 TB
+   * efficiency, complementing [[writeZOrdered]]'s scan pruning. Writing
+   * both sides of a hot equi-join hash-bucketed on the join key (same
+   * bucket count) makes every subsequent join on that key read matching
+   * buckets file-to-file: Catalyst's output-partitioning rules see
+   * `HashPartitioning(key, n)` already satisfied on BOTH sides and elide
+   * BOTH exchanges — at 100 TB, that deletes the dominant cost of every
+   * fact⋈fact join on the pipeline's recurring keys (the in-memory
+   * equivalent is what [[graft.ops.Graph]]'s persisted pre-partitioned
+   * edge frames do per-session; bucketing makes it durable on disk).
+   * Sorting within buckets (`sortCols`, default the bucket key) also
+   * lets the sort-merge join skip its per-task sort.
+   *
+   * Plain parquet + the session catalog's bucket spec — no table-format
+   * jar needed; `path` makes it an external table so the data outlives
+   * the session while the name stays session-scoped.
+   */
+  def bucketize(df: DataFrame, table: String, path: String, keyCol: String,
+                buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val sorts = if (sortCols.nonEmpty) sortCols else Seq(keyCol)
+    df.write.format("parquet").mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, keyCol)
+      .sortBy(sorts.head, sorts.tail: _*)
+      .saveAsTable(table)
+  }
+
+  /** Equi-join two [[bucketize]]d tables on `keyA == keyB` — with equal
+    * bucket counts on the join keys, the plan carries NO shuffle exchange
+    * on either side (PlanSpec-pinned). */
+  def bucketedJoin(spark: org.apache.spark.sql.SparkSession,
+                   tableA: String, tableB: String,
+                   keyA: String, keyB: String,
+                   how: String = "inner"): DataFrame =
+    spark.table(tableA).join(spark.table(tableB),
+      col(keyA) === col(keyB), how)
+
+  /**
    * Bin-pack a parquet dataset's small files into ~`targetBytes` files at
    * `outPath` — the routine maintenance pass every streamed/incremental
    * 100 TB table needs (thousands of kilobyte files from micro-batch

@@ -424,6 +424,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("bucketize: equal-bucket join elides both exchanges and both sorts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_buckspec").toString
+    val a = (0 until 5000).map(i => (i.toLong % 701, s"a_$i")).toDF("k", "va")
+    val b = (0 until 5000).map(i => (i.toLong % 701, s"b_$i")).toDF("k2", "vb")
+    graft.io.Layout.bucketize(a, "bkspec_a", s"$root/a", "k", 8)
+    graft.io.Layout.bucketize(b, "bkspec_b", s"$root/b", "k2", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = graft.io.Layout.bucketedJoin(spark, "bkspec_a", "bkspec_b",
+        "k", "k2")
+      val p = j.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      // both sides arrive HashPartitioning(key, 8) from the bucket spec
+      // and sorted within buckets: the sort-merge join must read the
+      // files co-located — no shuffle exchange, no per-task sort
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning"), p)
+      assert(!p.contains("Sort ["), p)
+      // and the layout is semantics-free: parity with the plain join
+      assert(j.count() ===
+        a.join(b, col("k") === col("k2")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkspec_a")
+      spark.sql("DROP TABLE IF EXISTS bkspec_b")
+    }
+  }
+
   test("q_kll_quantiles: sketch partial-aggregates map-side, no sort") {
     val p = plan("q_kll_quantiles")
     // the O(k·log n) summary must combine BEFORE the exchange — and the
