@@ -1966,6 +1966,23 @@ object SparkEntry {
           tieBreak = Some("event_id"))
         .select("event_id", "user_id", "session_id")),
 
+    "q_funnel" -> ((s, dir) =>
+      // ordered signup→view→purchase funnel, greedy-earliest chain per
+      // user: each step is one min-agg + one entity-keyed join (no event
+      // collection, no window sort — whale-user safe), all sharing one
+      // partitioning. Timestamps surface as epoch-µs longs so the
+      // DuckDB CTE chain reproduces them exactly
+      graft.ops.Sessions.funnel(E(s, dir), "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"))
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          col("step_reached"))),
+
+    "q_retention" -> ((s, dir) =>
+      // weekly retention cohorts: cohort by ISO week of first event,
+      // distinct (user, week) activity joined back on the entity key —
+      // join input bounded by users×weeks, never raw events
+      graft.ops.Sessions.retentionCohorts(E(s, dir), "user_id", "ts")),
+
     "q_pipeline_clean" -> ((s, dir) => {
       // end-to-end training-data cleaning: dedup (exact, keep min id) →
       // quality/token filters — the composite pipeline shape this engine
@@ -4175,6 +4192,34 @@ object SparkEntry {
           |   (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           |FROM x""".stripMargin,
+
+      "q_funnel" ->
+        """WITH s1 AS (SELECT user_id, epoch_us(min(ts)) AS t1
+          |   FROM events WHERE event_type = 'signup' GROUP BY 1),
+          | s2 AS (SELECT e.user_id, epoch_us(min(ts)) AS t2
+          |   FROM events e JOIN s1 ON e.user_id = s1.user_id
+          |   WHERE event_type = 'view' AND epoch_us(ts) > t1 GROUP BY 1),
+          | s3 AS (SELECT e.user_id, epoch_us(min(ts)) AS t3
+          |   FROM events e JOIN s2 ON e.user_id = s2.user_id
+          |   WHERE event_type = 'purchase' AND epoch_us(ts) > t2 GROUP BY 1)
+          |SELECT s1.user_id, t1, t2, t3,
+          | CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+          |        + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+          |   AS step_reached
+          |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+          | LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+
+      "q_retention" ->
+        """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+          |   FROM events GROUP BY 1),
+          | a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+          |   FROM events)
+          |SELECT CAST(CAST(cohort AS DATE) AS VARCHAR) AS cohort_week,
+          | CAST((epoch(wk) - epoch(cohort)) / 604800 AS BIGINT)
+          |   AS week_offset,
+          | count(DISTINCT a.user_id) AS active_users
+          |FROM a JOIN f ON a.user_id = f.user_id
+          |GROUP BY 1, 2""".stripMargin,
 
       "q_pipeline_clean" ->
         s"""WITH corpus AS (

@@ -19,6 +19,78 @@ object Sessions {
    * starting whenever the gap since the previous event exceeds `gapSec`.
    * `tieBreak` makes ordering total when timestamps collide.
    */
+  /**
+   * Ordered-funnel completion per entity: for `steps = Seq(s1, s2, …)`,
+   * computes the earliest strictly-increasing timestamp chain t1 < t2 < …
+   * (greedy-earliest per step, the standard funnel semantics: t_{i+1} is
+   * the first s_{i+1} event after t_i; optionally within `maxGapSec` of
+   * t_i). Returns one row per entity that completed at least step 1:
+   * (key, t_1 … t_S as epoch-microsecond longs, null where unreached,
+   * step_reached).
+   *
+   * Scale shape: NO per-entity event collection (whale-user safe) and NO
+   * window sort — each step is one min-aggregate plus one join; every
+   * aggregate and join keys on the entity, so after the first exchange
+   * all S-1 joins reuse the same hash partitioning. Greedy-earliest is
+   * what makes single-pass mins correct: t_i is a per-entity constant
+   * when step i+1 scans for its minimum.
+   */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+             steps: Seq[String], maxGapSec: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    val base = df.select(col(keyCol), col(tsCol).as("__ts"),
+      col(typeCol).as("__tp"))
+    // frames(i): entities reaching step i+1, with column t{i+1} (epoch µs)
+    val frames = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, i)) =>
+        val evs = base.filter(col("__tp") === step)
+        Some(prev match {
+          case None =>
+            evs.groupBy(keyCol).agg(unix_micros(min(col("__ts"))).as("t1"))
+          case Some(p) =>
+            val tPrev = col(s"t$i")
+            val within = maxGapSec
+              .map(g => unix_micros(col("__ts")) <= tPrev + g * 1000000L)
+              .getOrElse(lit(true))
+            evs.join(p.select(col(keyCol).as("__k"), tPrev),
+                col(keyCol) === col("__k"))
+              .filter(unix_micros(col("__ts")) > tPrev && within)
+              .groupBy(keyCol)
+              .agg(unix_micros(min(col("__ts"))).as(s"t${i + 1}"))
+        })
+    }.flatten
+    val out = frames.zipWithIndex.drop(1).foldLeft(frames.head) {
+      case (acc, (f, i)) =>
+        acc.join(f.select(col(keyCol).as(s"__k$i"), col(s"t${i + 1}")),
+          col(keyCol) === col(s"__k$i"), "left_outer").drop(s"__k$i")
+    }
+    out.withColumn("step_reached",
+      steps.indices.map(i => when(col(s"t${i + 1}").isNotNull, 1L)
+        .otherwise(0L)).reduce(_ + _))
+  }
+
+  /**
+   * Weekly retention cohorts: entities cohorted by the ISO week of their
+   * first event; one row per (cohort_week, week_offset) with the distinct
+   * entities active in that week — the curve every engagement dashboard
+   * draws. Activity is pre-`distinct`ed to (entity, week) before the
+   * cohort join, so the join input is bounded by entities×weeks, not raw
+   * events; both the distinct and the join key on the entity and share
+   * one partitioning.
+   */
+  def retentionCohorts(df: DataFrame, keyCol: String, tsCol: String)
+      : DataFrame = {
+    val firsts = df.groupBy(keyCol)
+      .agg(date_trunc("week", min(col(tsCol))).as("__cohort"))
+    val act = df.select(col(keyCol).as("__k"),
+      date_trunc("week", col(tsCol)).as("__week")).distinct()
+    act.join(firsts, col(keyCol) === col("__k"))
+      .groupBy(col("__cohort").cast("date").cast("string").as("cohort_week"),
+        ((unix_timestamp(col("__week")) - unix_timestamp(col("__cohort"))) /
+          604800L).cast("long").as("week_offset"))
+      .agg(countDistinct(col(keyCol)).as("active_users"))
+  }
+
   def sessionize(df: DataFrame, keyCol: String, tsCol: String,
                  gapSec: Long = 1800, tieBreak: Option[String] = None,
                  sessionCol: String = "session_id"): DataFrame = {

@@ -683,6 +683,54 @@ class OpsSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("funnel: greedy-earliest strict chain, partial depth, optional gap") {
+    import graft.ops.Sessions
+    def ts(sec: Long) = sec * 1000000L
+    val rows = Seq(
+      (1L, ts(10), "signup"), (1L, ts(20), "view"), (1L, ts(30), "purchase"),
+      // u2: pre-signup view ignored; purchase BEFORE its t2 ignored
+      (2L, ts(5), "view"), (2L, ts(10), "signup"), (2L, ts(9), "view"),
+      (2L, ts(15), "view"), (2L, ts(12), "purchase"),
+      // u3 never signs up — not in the funnel at all
+      (3L, ts(1), "purchase"),
+      // u4: view at the signup instant is NOT strictly after; purchase 29s
+      // after t2 completes without a gap but violates maxGapSec=20
+      (4L, ts(10), "signup"), (4L, ts(10), "view"), (4L, ts(11), "view"),
+      (4L, ts(40), "purchase"))
+    val df = rows.toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Sessions.funnel(df, "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getAs[Long]("step_reached"))).toMap
+    assert(out.keySet === Set(1L, 2L, 4L))
+    assert(out(1L) === ((Some(ts(10)), Some(ts(20)), Some(ts(30)), 3L)))
+    assert(out(2L) === ((Some(ts(10)), Some(ts(15)), None, 2L)))
+    assert(out(4L) === ((Some(ts(10)), Some(ts(11)), Some(ts(40)), 3L)))
+    val gapped = Sessions.funnel(df, "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"), maxGapSec = Some(20L))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("step_reached")).toMap
+    assert(gapped(4L) === 2L)
+    assert(gapped(1L) === 3L)
+  }
+
+  test("retentionCohorts: offsets from the first-event week, distinct actives") {
+    import graft.ops.Sessions
+    // 2024-01-01 is a Monday: u1 cohort week0 active weeks {0,2} (twice in
+    // week2 — counted once); u2 cohort week1 active {1}
+    def t(day: Int, h: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-${day}%02d ${h}%02d:00:00")
+    val df = Seq(
+      (1L, t(2)), (1L, t(15)), (1L, t(16)),
+      (2L, t(10)), (2L, t(11))).toDF("user_id", "ts")
+    val out = Sessions.retentionCohorts(df, "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
+
   test("frequencySketch: exact in the wide regime, never undercounts when narrow") {
     import graft.ops.Corpus
     // 2,000 distinct tokens with known zipf-ish counts; default width
