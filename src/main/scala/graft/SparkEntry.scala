@@ -1966,6 +1966,19 @@ object SparkEntry {
           tieBreak = Some("event_id"))
         .select("event_id", "user_id", "session_id")),
 
+    "q_salted_join" -> ((s, dir) =>
+      // skew-salted fact⋈dim join, row-level parity with the plain join:
+      // the salt spreads any hot part key across 8 reducers and the ×8
+      // dim replication rides a (key, salt) equi-join — the shape for
+      // when the dim outgrows broadcast and AQE skew-split can't fire
+      graft.ops.Joins.saltedJoin(
+          T(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_linenumber"), col("l_partkey"), col("l_quantity")),
+          T(s, dir, "part").select(col("p_partkey"), col("p_name")),
+          "l_partkey", "p_partkey", buckets = 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("p_name"), col("l_quantity"))),
+
     "q_funnel" -> ((s, dir) =>
       // ordered signup→view→purchase funnel, greedy-earliest chain per
       // user: each step is one min-agg + one entity-keyed join (no event
@@ -4192,6 +4205,10 @@ object SparkEntry {
           |   (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           |FROM x""".stripMargin,
+
+      "q_salted_join" ->
+        """SELECT l_orderkey, l_linenumber, l_partkey, p_name, l_quantity
+          |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
 
       "q_funnel" ->
         """WITH s1 AS (SELECT user_id, epoch_us(min(ts)) AS t1

@@ -175,6 +175,43 @@ object Joins {
       struct((valueCols.map(col) :+ col("__t").as("__rt")): _*))
 
   /**
+   * Salted equi-join for skewed keys: the `big` side gets a deterministic
+   * whole-row-hash salt in [0, buckets); the `small` side replicates
+   * ×buckets; the join keys on (key, salt), so a hot key's rows spread
+   * across `buckets` reducers instead of melting one task. This is the
+   * skew weapon for the regime the other two don't cover: the small side
+   * too large to broadcast, and a non-sort-merge join (or a downstream
+   * pipeline) where AQE's skew splitting can't fire. Cost model: big side
+   * moves once either way; the small side pays ×buckets replication —
+   * worth it when buckets × |small| ≪ the straggler time of the hot key.
+   *
+   * Only `inner` and `left_outer` (big side preserved) are sound: a
+   * right/full join would surface each unmatched replicated small row
+   * `buckets` times.
+   */
+  def saltedJoin(big: DataFrame, small: DataFrame,
+                 bigKey: String, smallKey: String, buckets: Int,
+                 how: String = "inner"): DataFrame = {
+    require(buckets > 1, "need at least 2 salt buckets")
+    require(Seq("inner", "left", "left_outer").contains(how),
+      s"saltedJoin supports inner/left_outer, not $how")
+    require((big.columns ++ small.columns).forall(c =>
+      c != "__salt" && c != "__rep"),
+      "input columns use reserved internal names __salt/__rep")
+    // salt from the whole row's hash: deterministic (re-runs and retries
+    // agree), and a hot KEY's rows still spread because the non-key
+    // columns vary row to row
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(buckets.toLong)))
+    val replicated = small.withColumn("__rep",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1L))))
+    salted.join(replicated,
+        salted(bigKey) === replicated(smallKey) &&
+          col("__salt") === col("__rep"), how)
+      .drop("__salt", "__rep")
+  }
+
+  /**
    * Inner range join: each point row joins interval rows containing it
    * (`lo <= point < hi`). Intervals explode to the fixed-width bins they
    * cover; the join runs as a hash equi-join on the bin plus the exact

@@ -683,6 +683,34 @@ class OpsSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("saltedJoin: parity with the plain join, hot key spread across buckets") {
+    import graft.ops.Joins
+    // one hot key (80% of the big side) + a long tail; small side has
+    // unmatched keys, big side has rows with no match (left_outer case)
+    val big = ((1 to 4000).map(i => (7L, s"hot_$i")) ++
+      (1 to 1000).map(i => ((i % 50 + 100).toLong, s"tail_$i")) ++
+      Seq((999L, "orphan"))).toDF("k", "payload")
+    val small = ((100 to 149).map(i => (i.toLong, s"dim_$i")) ++
+      Seq((7L, "dim_hot"), (888L, "dim_unmatched"))).toDF("k2", "name")
+    for (how <- Seq("inner", "left_outer")) {
+      val out = Joins.saltedJoin(big, small, "k", "k2", buckets = 8, how)
+        .select("k", "payload", "name")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.getString(2)))).toSeq.sorted
+      val plain = big.join(small, col("k") === col("k2"), how)
+        .select("k", "payload", "name")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.getString(2)))).toSeq.sorted
+      assert(out === plain, how)
+    }
+    // the hot key's rows really do spread over the salt space
+    val salts = big.filter(col("k") === 7L)
+      .withColumn("__s", pmod(xxhash64(struct(col("k"), col("payload"))),
+        lit(8L)))
+      .select("__s").distinct().count()
+    assert(salts === 8L)
+  }
+
   test("funnel: greedy-earliest strict chain, partial depth, optional gap") {
     import graft.ops.Sessions
     def ts(sec: Long) = sec * 1000000L
