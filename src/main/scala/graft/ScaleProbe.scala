@@ -17,7 +17,8 @@ object ScaleProbe {
     val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 8)
     // SPARK_GRAFT_PROBE=minhash,ccstar,linededup,decontaminate,dupfraction,
     //   lm,exactsubstr,dsir,semdedup,ann,graph,triangles,lpa,kmeans,kcore,
-    //   heavyhitters,covariance,kll (default all)
+    //   heavyhitters,covariance,kll,topk,sketchoverlap,saltjoin,bucketjoin
+    //   (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
       .map(s => (x: String) => s(x)).getOrElse(_ => true)
@@ -567,6 +568,154 @@ object ScaleProbe {
       }
       println(f"kll scale ${results.last._1.toDouble / results.head._1}%.0fx " +
         f"-> time factor ${results.last._2 / results.head._2}%.2fx")
+    }
+
+    // topk_rows vs the window idiom at K× row volume over a fixed group
+    // space. Honest framing: Spark's OWN rank-limit pushdown
+    // (WindowGroupLimit, SPARK-37099) already bounds the window route's
+    // shuffle map-side, so on a plain batch top-k the two are
+    // comparable — the probe reports the window route both WITH the
+    // optimization and with it disabled (what a naive engine, or any
+    // rank pattern the optimizer fails to match, pays: a full per-group
+    // sort-shuffle). The aggregate's unique ground is composition — it
+    // runs INSIDE a groupBy beside other aggregates in one pass, and in
+    // STREAMING aggregations where window functions are illegal
+    // (q_stream_topk pins that).
+    if (want("topk")) {
+      import org.apache.spark.sql.expressions.Window
+      val results = ks.map { k =>
+        val rows = spark.range(400000L * k).select(
+          pmod(col("id"), lit(500)).cast("string").as("g"),
+          pmod(xxhash64(col("id")), lit(10000000)).cast("double").as("s"),
+          concat(lit("i"), col("id")).as("item"))
+        val t0 = System.nanoTime()
+        val n = graft.ops.Corpus.topKPerGroup(rows, "g", col("s"),
+          col("item"), k = 10).count()
+        val heapSec = (System.nanoTime() - t0) / 1e9
+        val w = Window.partitionBy("g").orderBy(col("s").desc, col("item"))
+        val t1 = System.nanoTime()
+        val nW = rows.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10).count()
+        val winSec = (System.nanoTime() - t1) / 1e9
+        val thresholdKey = "spark.sql.optimizer.windowGroupLimitThreshold"
+        val prevT = spark.conf.get(thresholdKey)
+        spark.conf.set(thresholdKey, "-1")
+        val t2 = System.nanoTime()
+        val nN = rows.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10).count()
+        val naiveSec = (System.nanoTime() - t2) / 1e9
+        spark.conf.set(thresholdKey, prevT)
+        require(n == 5000 && nW == 5000 && nN == 5000,
+          s"expected 500x10, got $n/$nW/$nN")
+        println(f"topk K=$k%-3d rows=${400000L * k}%-9d heap ${heapSec}%.2f s" +
+          f"   window+grouplimit ${winSec}%.2f s" +
+          f"   window-naive ${naiveSec}%.2f s (${naiveSec / heapSec}%.1fx)")
+        (k, heapSec)
+      }
+      println(f"topk scale ${results.last._1.toDouble / results.head._1}%.0fx " +
+        f"-> time factor ${results.last._2 / results.head._2}%.2fx")
+    }
+
+    // HLL overlap: corpus scales K×, the cross-corpus artifact stays two
+    // ~16 KB sketches — vs the exact distinct-join overlap whose shuffle
+    // grows with the corpus
+    if (want("sketchoverlap")) {
+      val results = ks.map { k =>
+        val a = spark.range(500000L * k)
+          .select(concat(lit("t"), col("id")).as("g"))
+        val b = spark.range(250000L * k, 750000L * k)
+          .select(concat(lit("t"), col("id")).as("g"))
+        val t0 = System.nanoTime()
+        val r = graft.ops.Corpus.distinctOverlap(a, b, "g").head()
+        val skSec = (System.nanoTime() - t0) / 1e9
+        val est = r.getAs[Long]("est_intersect")
+        val t1 = System.nanoTime()
+        val exact = a.intersect(b).count()
+        val exSec = (System.nanoTime() - t1) / 1e9
+        val err = math.abs(est - exact).toDouble / exact
+        println(f"sketchoverlap K=$k%-3d |A|=${500000L * k}%-9d " +
+          f"sketch ${skSec}%.2f s (err ${err * 100}%.2f%%)   " +
+          f"exact intersect ${exSec}%.2f s (${exSec / skSec}%.1fx)")
+        require(err < 0.05, s"estimate off by ${err * 100}%")
+        (k, skSec)
+      }
+      println(f"sketchoverlap scale ${results.last._1.toDouble / results.head._1}%.0fx " +
+        f"-> time factor ${results.last._2 / results.head._2}%.2fx")
+    }
+
+    // salted join under planted skew: 90% of the big side carries ONE
+    // key, the dim is non-broadcastable by conf — the salt turns the
+    // single melted reducer into `buckets` balanced ones
+    if (want("saltjoin")) {
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val results = ks.map { k =>
+          val n = 1000000L * k
+          val big = spark.range(n).select(
+            when(pmod(col("id"), lit(10)) < 9, lit(7L))
+              .otherwise(pmod(col("id"), lit(100000))).as("k"),
+            col("id").as("payload"))
+          val small = spark.range(100000)
+            .select(col("id").as("k2"), concat(lit("d"), col("id")).as("name"))
+          val t0 = System.nanoTime()
+          val plain = big.join(small, col("k") === col("k2")).count()
+          val plainSec = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val salted = graft.ops.Joins.saltedJoin(
+            big, small, "k", "k2", buckets = 32).count()
+          val saltSec = (System.nanoTime() - t1) / 1e9
+          require(plain == salted, s"parity: $plain != $salted")
+          println(f"saltjoin K=$k%-3d rows=$n%-9d plain ${plainSec}%.2f s" +
+            f"   salted ${saltSec}%.2f s (${plainSec / saltSec}%.1fx)")
+          (k, saltSec)
+        }
+        println(f"saltjoin scale ${results.last._1.toDouble / results.head._1}%.0fx " +
+          f"-> time factor ${results.last._2 / results.head._2}%.2fx")
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+    }
+
+    // bucketed layout: pay the bucketed write once, then every join on
+    // the key runs exchange-free — probe reports write cost + per-join
+    // time vs the shuffling plain join
+    if (want("bucketjoin")) {
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val results = ks.map { k =>
+          val n = 1000000L * k
+          val a = spark.range(n).select(pmod(col("id"), lit(200000)).as("k"),
+            col("id").as("va"))
+          val b = spark.range(n).select(pmod(col("id") * 7, lit(200000)).as("k2"),
+            col("id").as("vb"))
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft_bkprobe_$k").toString
+          val t0 = System.nanoTime()
+          graft.io.Layout.bucketize(a, s"bkp_a_$k", s"$root/a", "k", 32)
+          graft.io.Layout.bucketize(b, s"bkp_b_$k", s"$root/b", "k2", 32)
+          val writeSec = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val nb = graft.io.Layout
+            .bucketedJoin(spark, s"bkp_a_$k", s"bkp_b_$k", "k", "k2").count()
+          val bkSec = (System.nanoTime() - t1) / 1e9
+          val t2 = System.nanoTime()
+          val np = a.join(b, col("k") === col("k2")).count()
+          val plSec = (System.nanoTime() - t2) / 1e9
+          require(nb == np, s"parity: $nb != $np")
+          println(f"bucketjoin K=$k%-3d rows=$n%-9d write ${writeSec}%.2f s" +
+            f"   bucketed join ${bkSec}%.2f s   plain join ${plSec}%.2f s" +
+            f" (${plSec / bkSec}%.1fx)")
+          (k, bkSec)
+        }
+        println(f"bucketjoin scale ${results.last._1.toDouble / results.head._1}%.0fx " +
+          f"-> time factor ${results.last._2 / results.head._2}%.2fx")
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     }
     spark.stop()
   }

@@ -246,6 +246,41 @@ object SparkEntry {
       s.table(qn)
     }),
 
+    "q_stream_topk" -> ((s, dir) => {
+      // per-type top-3 events by value as a STREAMING aggregation — the
+      // niche window functions cannot serve: row_number() is illegal in a
+      // streaming query, while the bounded-heap aggregate's serialized
+      // O(k) buffer rides the state store like any mergeable summary.
+      // event_id rides zero-padded so the heap's lexical tie-break equals
+      // numeric order; AvailableNow reproduces the batch answer exactly
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = T(s, dir, "events").schema
+      val stage = Files.createTempDirectory("graft_stk")
+      Files.createSymbolicLink(stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream.schema(schema).parquet(stage.toString)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.GraftFunctions.topk_rows(col("value"),
+          lpad(col("event_id").cast("string"), 10, "0"), 3).as("__tk"))
+      val ckpt = Files.createTempDirectory("graft_stk_ckpt").toString
+      val qn = "stk_" + math.abs(scala.util.Random.nextInt())
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream.outputMode("complete").format("memory")
+          .queryName(qn).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(qn)
+        .select(col("event_type"), posexplode(col("__tk")).as(Seq("__p", "__e")))
+        .select(col("event_type"), (col("__p") + 1).cast("long").as("rank"),
+          col("__e.item").cast("long").as("event_id"),
+          col("__e.score").as("value"))
+    }),
+
     "q_stream_dedup" -> ((s, dir) => {
       // streaming incremental dedup vs ingested history (the delta-crawl
       // ingest filter): history = every 3rd event's composite content;
@@ -1564,10 +1599,11 @@ object SparkEntry {
 
     "q_topk_group" -> ((s, dir) =>
       // per-source top-7 documents by length through the native bounded-
-      // heap aggregate: O(k) pairs per group cross the shuffle instead of
-      // the window idiom's full per-group sort. doc_id rides as a zero-
-      // padded string so the aggregate's lexical tie-break equals numeric
-      // order, making the row_number oracle reproduce it bit-for-bit
+      // heap aggregate: O(k) pairs per group cross the shuffle, and the
+      // aggregate form composes with other aggs / streaming (see
+      // q_stream_topk). doc_id rides as a zero-padded string so the
+      // aggregate's lexical tie-break equals numeric order, making the
+      // row_number oracle reproduce it bit-for-bit
       Corpus.topKPerGroup(T(s, dir, "documents"), "source",
         col("n_chars").cast("double"),
         lpad(col("doc_id").cast("string"), 8, "0"), k = 7)
@@ -3095,6 +3131,14 @@ object SparkEntry {
           | max(CASE WHEN rn = greatest(1, CAST(ceil(0.9*n) AS BIGINT))
           |   THEN v END) AS p90
           |FROM r GROUP BY w""".stripMargin,
+
+      "q_stream_topk" ->
+        """WITH r AS (SELECT event_type, event_id, value,
+          |   row_number() OVER (PARTITION BY event_type
+          |     ORDER BY value DESC, event_id ASC) AS rank
+          | FROM events WHERE value IS NOT NULL)
+          |SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id, value
+          |FROM r WHERE rank <= 3""".stripMargin,
 
       "q_stream_dedup" ->
         raw"""WITH e AS (SELECT event_id,

@@ -55,11 +55,12 @@ object GraftFunctions {
     toCol(CmsEstimateCount(toExpr(c), cms))
 
   /** Exact per-group top-k rows from an O(k) bounded-heap aggregate
-    * ([[org.apache.spark.sql.graft.TopKRows]]) — replaces the
-    * `row_number() OVER (...) <= k` window idiom without shuffling or
-    * sorting whole groups. Keeps the k largest (score, then smallest
-    * item) pairs; fully deterministic. With `score = xxhash64(item)` it
-    * is a deterministic uniform group sampler (bottom-k-by-hash).
+    * ([[org.apache.spark.sql.graft.TopKRows]]) — the AGGREGATE form of
+    * `row_number() <= k`: composes with other aggregates in one groupBy
+    * pass and is legal in streaming aggregations where window functions
+    * are not. Keeps the k largest (score, then smallest item) pairs;
+    * fully deterministic. With `score = xxhash64(item)` it is a
+    * deterministic uniform group sampler (bottom-k-by-hash).
     * Returns array<struct<score, item>> sorted by (score desc, item). */
   def topk_rows(score: Column, item: Column, k: Int): Column =
     toCol(TopKRows(toExpr(score), toExpr(item), k).toAggregateExpression())

@@ -146,13 +146,15 @@ object Corpus {
    * domain by quality score", the selection step of a curation mix.
    *
    * Scale shape: the heap partial-aggregates map-side, so only O(k)
-   * (score, item) pairs per group cross the exchange — where the usual
-   * `row_number() OVER (PARTITION BY g ORDER BY s DESC)` window shuffles
-   * AND sorts every row of every group (at 100 TB, a full-corpus sort
-   * per domain). Result is deterministic under any partitioning: ties
-   * break by (score desc, item asc). With `scoreCol` set to a hash of
-   * the item, the same aggregate is a deterministic uniform group
-   * sampler (bottom-k-by-hash) at the same O(k)-per-group shuffle cost.
+   * (score, item) pairs per group cross the exchange. (Spark's own
+   * rank-limit pushdown gives the window idiom a comparable bound on
+   * plain batch top-k — see the TopKRows scaladoc; this form's edge is
+   * composing with other aggregates in ONE groupBy pass, and running in
+   * streaming aggregations where window functions are illegal.) Result
+   * is deterministic under any partitioning: ties break by (score desc,
+   * item asc). With `scoreCol` set to a hash of the item, the same
+   * aggregate is a deterministic uniform group sampler
+   * (bottom-k-by-hash) at the same O(k)-per-group shuffle cost.
    *
    * Returns (groupCol, rank, item, score) with rank 1..k per group.
    */

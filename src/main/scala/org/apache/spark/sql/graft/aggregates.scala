@@ -328,13 +328,20 @@ case class KllQuantiles(
 }
 
 /**
- * Exact per-group top-k selection as a native Catalyst aggregate — the
- * scale-shaped replacement for the `row_number() OVER (PARTITION BY g
- * ORDER BY s DESC) <= k` idiom: the window form shuffles and SORTS every
- * row of every group, while this bounded heap partial-aggregates map-side
- * and ships only O(k) (score, item) pairs per group across the exchange.
- * With `score = xxhash64(item)` it doubles as a deterministic uniform
- * group sampler (bottom-k-by-hash), again without the window sort.
+ * Exact per-group top-k selection as a native Catalyst AGGREGATE: a
+ * bounded heap whose O(k) state partial-aggregates map-side and merges
+ * associatively. Honest positioning vs the `row_number() OVER (...) <= k`
+ * window idiom: modern Spark's rank-limit pushdown (WindowGroupLimit,
+ * SPARK-37099) already bounds that route's shuffle too, so on a plain
+ * batch top-k the two are comparable (the ScaleProbe `topk` case measures
+ * both, plus the pushdown-disabled cost any unmatched rank pattern pays).
+ * What the AGGREGATE form uniquely buys is composition: it runs inside a
+ * `groupBy().agg(...)` BESIDE other aggregates in the same single pass
+ * (the window route needs its own shuffle plus a join back), and it is
+ * legal in STREAMING aggregations — its serialized buffer rides the state
+ * store like any mergeable summary — where window functions are not
+ * (q_stream_topk pins that). With `score = xxhash64(item)` it doubles as
+ * a deterministic uniform group sampler (bottom-k-by-hash).
  *
  * Semantics: keep the k rows with the largest (score, then smallest item)
  * — the tie-break makes the result fully deterministic and independent of

@@ -417,8 +417,9 @@ class PlanSpec extends SparkSpec {
   test("q_topk_group: bounded heap partial-aggregates map-side, no window sort") {
     val p = plan("q_topk_group")
     // the O(k) heap must combine BEFORE the exchange, and NO per-group
-    // sort may appear — a window row_number plan (full sort of every
-    // group) is exactly what this aggregate replaces at 100 TB
+    // sort may appear — the aggregate must keep its map-side-combine
+    // shape (its edge over the window route is composing into a single
+    // agg pass; losing the partial step would forfeit exactly that)
     assert(p.contains("partial_topk_rows"), p)
     assert(p.contains("ObjectHashAggregate"), p)
     assert(!p.contains("Window"), p)
