@@ -1349,6 +1349,22 @@ object SparkEntry {
         .select(col("o_orderkey"), col("zval"))
     }),
 
+    "q_partitioned_read" -> ((s, dir) => {
+      // hive-style partitioned layout: events written partitioned by
+      // event_type (salted to at most 4 files per directory), read back
+      // with a partition predicate — the scan's PartitionFilters prune
+      // the other directories before listing a single file (PlanSpec
+      // pins that). Row-level parity with the plain filtered table.
+      val root = Files.createTempDirectory("graft_part").toString
+      graft.io.Layout.writePartitioned(
+        T(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("event_type")),
+        root, "event_type")
+      s.read.parquet(root)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+
     "q_bucketed_join" -> ((s, dir) => {
       // durable co-located join: both sides written hash-bucketed on the
       // join key (8 buckets, sorted within buckets), so the join reads
@@ -3290,6 +3306,10 @@ object SparkEntry {
       "q_compact" ->
         """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
           |FROM orders""".stripMargin,
+
+      "q_partitioned_read" ->
+        """SELECT event_id, user_id, event_type FROM events
+          |WHERE event_type IN ('view', 'purchase')""".stripMargin,
 
       "q_bucketed_join" ->
         """SELECT c_mktsegment, count(*) AS n_orders,

@@ -141,18 +141,37 @@ object Layout {
    *
    * Plain parquet + the session catalog's bucket spec — no table-format
    * jar needed; `path` makes it an external table so the data outlives
-   * the session while the name stays session-scoped.
+   * the session while the name stays session-scoped. Thin layout-side
+   * entry over [[graft.io.Writers.saveBucketed]] (drop-if-exists +
+   * external path).
    */
   def bucketize(df: DataFrame, table: String, path: String, keyCol: String,
-                buckets: Int, sortCols: Seq[String] = Nil): Unit = {
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val sorts = if (sortCols.nonEmpty) sortCols else Seq(keyCol)
-    df.write.format("parquet").mode("overwrite")
-      .option("path", path)
-      .bucketBy(buckets, keyCol)
-      .sortBy(sorts.head, sorts.tail: _*)
-      .saveAsTable(table)
+                buckets: Int): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    graft.io.Writers.saveBucketed(df, table, Seq(keyCol), buckets,
+      path = Some(path))
+  }
+
+  /**
+   * Hive-style partitioned write — the third leg of the layout trio
+   * beside [[writeZOrdered]] (footer-stat pruning) and [[bucketize]]
+   * (join co-location): directory partitioning on a low-cardinality
+   * column makes any predicate on it a PARTITION filter, so the scan
+   * never even lists the excluded directories — at 100 TB, the
+   * difference between reading one day and listing three years.
+   * `maxFilesPerPartition` caps the per-directory file explosion that
+   * naive partitioned writes produce (every task × every partition
+   * value): repartitioning on (partition value, deterministic row-hash
+   * salt) gives each directory at most that many writers — still
+   * parallel on a hot value, never a thousand shards of a cold one.
+   */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+                       maxFilesPerPartition: Int = 4): Unit = {
+    require(maxFilesPerPartition >= 1, "need at least one file per partition")
+    df.repartition(col(partitionCol),
+        pmod(xxhash64(struct(df.columns.map(col): _*)),
+          lit(maxFilesPerPartition.toLong)))
+      .write.partitionBy(partitionCol).mode("overwrite").parquet(path)
   }
 
   /** Equi-join two [[bucketize]]d tables on `keyA == keyB` — with equal

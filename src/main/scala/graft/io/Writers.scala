@@ -95,12 +95,16 @@ object Writers {
    * warehouse dir rather than a plain path.
    */
   def saveBucketed(df: DataFrame, table: String, keys: Seq[String],
-                   buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+                   buckets: Int, mode: SaveMode = SaveMode.Overwrite,
+                   path: Option[String] = None): Unit = {
     require(keys.nonEmpty && buckets > 0, "need keys and positive buckets")
-    df.write.mode(mode).format("parquet")
+    val w = df.write.mode(mode).format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-      .saveAsTable(table)
+    // an explicit path makes it an EXTERNAL table: the data outlives the
+    // session while the name stays session-scoped (Layout.bucketize uses
+    // this for temp-dir layouts)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
   /** JDBC sink (reference `to_database`). Exercised for real against

@@ -229,5 +229,28 @@ object chainops {
       Chain(c.toDF.groupBy(col(groupCol))
         .agg(graft.functions.GraftFunctions
           .kll_quantiles(col(valueCol).cast("double"), probs, k).as(outCol)))
+
+    /** HLL-sketch overlap with another corpus on `itemCol` (see
+      * [[Corpus.distinctOverlap]]): one row of |A|,|B|,|A∪B|,|A∩B|
+      * estimates + Jaccard. */
+    def overlapWith(other: Chain, itemCol: String, lgK: Int = 14): Chain =
+      Chain(Corpus.distinctOverlap(c.toDF, other.toDF, itemCol, lgK))
+
+    /** Skew-salted equi-join against a non-broadcastable dimension (see
+      * [[Joins.saltedJoin]]). */
+    def saltedJoin(dim: Chain, key: String, dimKey: String, buckets: Int,
+                   how: String = "inner"): Chain =
+      Chain(Joins.saltedJoin(c.toDF, dim.toDF, key, dimKey, buckets, how))
+
+    /** Ordered-funnel completion per entity (see [[Sessions.funnel]]). */
+    def funnel(keyCol: String, tsCol: String, typeCol: String,
+               steps: Seq[String], maxGapSec: Option[Long] = None): Chain =
+      Chain(Sessions.funnel(c.toDF, keyCol, tsCol, typeCol, steps,
+        maxGapSec))
+
+    /** Weekly retention cohort matrix (see
+      * [[Sessions.retentionCohorts]]). */
+    def retention(keyCol: String, tsCol: String): Chain =
+      Chain(Sessions.retentionCohorts(c.toDF, keyCol, tsCol))
   }
 }

@@ -171,6 +171,28 @@ class IoSpec extends SparkSpec {
     assert(back.columns.sorted === orders.columns.sorted)
   }
 
+  test("writePartitioned: per-directory file cap, lossless read-back") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "event_type")
+    val root = java.nio.file.Files.createTempDirectory("partw").toString
+    graft.io.Layout.writePartitioned(ev, root, "event_type",
+      maxFilesPerPartition = 3)
+    val dirs = new java.io.File(root).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("event_type="))
+    assert(dirs.length === 5, dirs.map(_.getName).mkString(","))
+    // the salt caps the per-directory writer fan-out: a naive
+    // partitionBy write from a 32-partition frame could leave up to 32
+    // files in EVERY directory
+    dirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n >= 1 && n <= 3, s"${d.getName}: $n files")
+    }
+    val back = spark.read.parquet(root)
+    assert(back.count() === ev.count())
+    assert(back.agg(sum("event_id")).head().getLong(0) ===
+      ev.agg(sum("event_id")).head().getLong(0))
+  }
+
   test("compaction bin-packs small files without a shuffle") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files.createTempDirectory("compact").toString

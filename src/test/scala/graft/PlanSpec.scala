@@ -425,6 +425,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_partitioned_read: partition predicate prunes directories at the scan") {
+    val p = plan("q_partitioned_read")
+    // the IN predicate must surface as a PARTITION filter (directory
+    // pruning before any file is listed), not a data filter evaluated
+    // row-by-row over every partition's files
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*event_type.*"), p)
+  }
+
   test("bucketize: equal-bucket join elides both exchanges and both sorts") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
