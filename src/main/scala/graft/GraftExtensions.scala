@@ -50,6 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("jl_project") { es =>
       JlProject(es(0), es(1).eval().asInstanceOf[Number].intValue())
     }
+    inject("image_header_dims")(es => ImageHeaderDims(es.head))
     inject("topk_rows") { es =>
       TopKRows(es(0), es(1),
         es(2).eval().asInstanceOf[Number].intValue())

@@ -1542,6 +1542,14 @@ object SparkEntry {
         TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))),
 
     // ------------------------------------------------------- multimodal
+    "q_image_header" -> ((s, dir) =>
+      // header-only dims over real encoded PNGs: the expression reads the
+      // IHDR chunk (~24 bytes), never a pixel — decode-free metadata
+      // backfill, oracled by the same id-formula arithmetic as
+      // q_multimodal's full decode
+      Multimodal.imageHeaderMeta(
+        Multimodal.syntheticPngMedia(T(s, dir, "documents"), "doc_id"))),
+
     "q_multimodal" -> ((s, dir) => {
       // REAL codec round-trip: ids → solid-color PNGs encoded with
       // javax.imageio → decodeImages reads true pixel dimensions and mean
@@ -3453,6 +3461,12 @@ object SparkEntry {
       // Arithmetic oracle for the REAL PNG codec round-trip: solid-color
       // images mean the decoded mean channel values and dimensions are pure
       // functions of the id.
+      "q_image_header" ->
+        """SELECT doc_id AS id, 'png' AS format,
+          | CAST(8 + doc_id % 16 AS INT) AS width,
+          | CAST(8 + doc_id % 8 AS INT) AS height
+          |FROM documents""".stripMargin,
+
       "q_multimodal" ->
         """SELECT doc_id AS id, 'png' AS format,
           | CAST(8 + doc_id % 16 AS INT) AS width,

@@ -48,6 +48,12 @@ object GraftFunctions {
   def jl_project(c: Column, outDim: Int): Column =
     toCol(JlProject(toExpr(c), outDim))
 
+  /** Header-only image dims from a binary payload (PNG/JPEG/GIF/BMP
+    * container headers, ~24 bytes touched, no pixel decode) — null for
+    * unrecognized blobs. struct<format, width, height>. */
+  def image_header_dims(c: Column): Column =
+    toCol(ImageHeaderDims(toExpr(c)))
+
   /** Point frequency query against a pre-built broadcast Count–Min
     * sketch (spark-sketch serialized bytes) — never undercounts,
     * overcounts by at most eps·N at the sketch's confidence. */

@@ -435,6 +435,23 @@ object Multimodal {
     }.toDF()
   }
 
+  /**
+   * Header-only metadata pass over a media frame (id, payload, …): one
+   * codegen'd expression parses just the container header
+   * ([[org.apache.spark.sql.graft.ImageHeaderDims]] — PNG IHDR / JPEG
+   * SOF scan / GIF screen / BMP info, ~24 bytes touched per blob) — the
+   * metadata-backfill shape at 100 TB, where [[decodeImages]]' full
+   * pixel decode would decompress every byte just to learn width×height.
+   * Unrecognized blobs surface with null dims; route them to the full
+   * decode.
+   */
+  def imageHeaderMeta(media: DataFrame): DataFrame =
+    media.select(col("id"),
+        graft.functions.GraftFunctions.image_header_dims(col("payload"))
+          .as("__h"))
+      .select(col("id"), col("__h.format").as("format"),
+        col("__h.width").as("width"), col("__h.height").as("height"))
+
   def syntheticPngMedia(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -683,6 +683,33 @@ class OpsSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("image_header_dims: header-only dims agree with the full decode; corrupt → null") {
+    import graft.functions.GraftFunctions.image_header_dims
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0x336699)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), fmt)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      ("png", encode(37, 21, "png")), ("jpeg", encode(640, 480, "jpg")),
+      ("gif", encode(13, 7, "gif")), ("bmp", encode(255, 300, "bmp")),
+      ("junk", Array[Byte](1, 2, 3, 4, 5)))
+    val out = rows.toDF("label", "payload")
+      .select(col("label"), image_header_dims(col("payload")).as("h"))
+      .collect().map { r =>
+        r.getString(0) -> Option(r.getStruct(1)).map(s =>
+          (s.getString(0), s.getInt(1), s.getInt(2)))
+      }.toMap
+    assert(out("png") === Some(("png", 37, 21)))
+    assert(out("jpeg") === Some(("jpeg", 640, 480)))
+    assert(out("gif") === Some(("gif", 13, 7)))
+    assert(out("bmp") === Some(("bmp", 255, 300)))
+    assert(out("junk") === None)
+  }
+
   test("saltedJoin: parity with the plain join, hot key spread across buckets") {
     import graft.ops.Joins
     // one hot key (80% of the big side) + a long tail; small side has
