@@ -281,6 +281,31 @@ object SparkEntry {
           col("__e.score").as("value"))
     }),
 
+    "q_stream_funnel" -> ((s, dir) => {
+      // the stateful streaming funnel: per-user chain state in the state
+      // store, one advancement row per step reached. A single
+      // AvailableNow batch applies events in (time, id) order, so the
+      // emitted advancements reconstruct the BATCH funnel's t1/t2/t3
+      // exactly — the oracle is q_funnel's CTE chain unpivoted
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = T(s, dir, "events").schema
+      val stage = Files.createTempDirectory("graft_sfn")
+      Files.createSymbolicLink(stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      import s.implicits._
+      val stream = normTs(s.readStream.schema(schema).parquet(stage.toString))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .as[graft.streaming.EventStream.FunnelEventIn]
+      val out = graft.streaming.EventStream.streamingFunnel(stream,
+        Seq("signup", "view", "purchase")).toDF
+      val ckpt = Files.createTempDirectory("graft_sfn_ckpt").toString
+      val qn = "sfn_" + math.abs(scala.util.Random.nextInt())
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try graft.streaming.EventStream.runAvailableNow(out, qn, ckpt)
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     "q_stream_dedup" -> ((s, dir) => {
       // streaming incremental dedup vs ingested history (the delta-crawl
       // ingest filter): history = every 3rd event's composite content;
@@ -3163,6 +3188,21 @@ object SparkEntry {
           | FROM events WHERE value IS NOT NULL)
           |SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id, value
           |FROM r WHERE rank <= 3""".stripMargin,
+
+      "q_stream_funnel" ->
+        """WITH s1 AS (SELECT user_id, epoch_us(min(ts)) AS t1
+          |   FROM events WHERE event_type = 'signup' GROUP BY 1),
+          | s2 AS (SELECT e.user_id, epoch_us(min(ts)) AS t2
+          |   FROM events e JOIN s1 ON e.user_id = s1.user_id
+          |   WHERE event_type = 'view' AND epoch_us(ts) > t1 GROUP BY 1),
+          | s3 AS (SELECT e.user_id, epoch_us(min(ts)) AS t3
+          |   FROM events e JOIN s2 ON e.user_id = s2.user_id
+          |   WHERE event_type = 'purchase' AND epoch_us(ts) > t2 GROUP BY 1)
+          |SELECT user_id, CAST(1 AS BIGINT) AS step, t1 AS t_micros FROM s1
+          |UNION ALL
+          |SELECT user_id, CAST(2 AS BIGINT), t2 FROM s2
+          |UNION ALL
+          |SELECT user_id, CAST(3 AS BIGINT), t3 FROM s3""".stripMargin,
 
       "q_stream_dedup" ->
         raw"""WITH e AS (SELECT event_id,

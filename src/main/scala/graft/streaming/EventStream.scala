@@ -98,6 +98,57 @@ object EventStream {
       }
   }
 
+  /** Per-user funnel progress for [[streamingFunnel]]: 0-based next
+    * expected step + the timestamp of the last advancement (µs). */
+  case class FunnelState(step: Int, lastTsMicros: Long)
+  case class FunnelEventIn(event_id: Long, ts: java.sql.Timestamp,
+                           user_id: Long, event_type: String)
+  case class FunnelAdvance(user_id: Long, step: Long, t_micros: Long)
+
+  /**
+   * Streaming ordered-funnel tracking with `flatMapGroupsWithState` —
+   * the incremental twin of [[graft.ops.Sessions.funnel]]: per-user
+   * greedy-earliest chain state (next expected step + last advancement
+   * time) lives in the state store; one `FunnelAdvance` row is emitted
+   * the moment a user advances a step. Within a micro-batch, events
+   * apply in (event time, id) order, so a single AvailableNow batch
+   * reproduces the batch funnel exactly (the gate pins that); across
+   * batches the chain is greedy over ARRIVAL order of batches — an event
+   * arriving after a later-timestamped event already advanced the chain
+   * cannot retroactively rewrite it (inherent to one-pass funnel state;
+   * recompute in batch when late data must win).
+   */
+  def streamingFunnel(events: org.apache.spark.sql.Dataset[FunnelEventIn],
+                      steps: Seq[String])
+      : org.apache.spark.sql.Dataset[FunnelAdvance] = {
+    require(steps.nonEmpty, "need at least one funnel step")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[FunnelEventIn],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+          it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            if (st.step < steps.length && e.event_type == steps(st.step)) {
+              val t = micros(e.ts)
+              // step 1 anchors anywhere; later steps must be STRICTLY
+              // after the previous advancement (same rule as the batch op)
+              if (st.step == 0 || t > st.lastTsMicros) {
+                st = FunnelState(st.step + 1, t)
+                out += FunnelAdvance(userId, st.step.toLong, t)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /**
    * Sessionization-style stateful aggregation over user activity:
    * per-user event counts with flatMapGroupsWithState shape is showcased in

@@ -88,6 +88,36 @@ class StreamingSpec extends SparkSpec {
     assert(got === Set((day + "10:00:00", 2L), (day + "10:10:00", 1L)))
   }
 
+  test("streamingFunnel: in-batch time order; later batches cannot rewrite the chain") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStream.FunnelEventIn]
+    def ev(id: Long, sec: Long, u: Long, t: String) =
+      EventStream.FunnelEventIn(id, new java.sql.Timestamp(sec * 1000L), u, t)
+    val ckpt = Files.createTempDirectory("ckpt_sfn").toString
+    val q = EventStream.streamingFunnel(ms.toDS(),
+        Seq("signup", "view", "purchase")).toDF
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sfn_test").option("checkpointLocation", ckpt).start()
+    try {
+      // batch 1 arrives out of order WITHIN the batch: sorted application
+      // anchors signup@10 then view@30 (the view@5 precedes the signup —
+      // ignored, same as the batch op)
+      ms.addData(ev(2, 30, 1, "view"), ev(1, 10, 1, "signup"),
+        ev(0, 5, 1, "view"))
+      q.processAllAvailable()
+      // batch 2: the LATE view@20 cannot retroactively replace t2=30
+      // (arrival-order semantics); purchase@40 advances off t2=30
+      ms.addData(ev(3, 20, 1, "view"), ev(4, 40, 1, "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("sfn_test")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === Set((1L, 1L, 10000000L), (1L, 2L, 30000000L),
+        (1L, 3L, 40000000L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization assigns gap-based session ids with custom state") {
     import spark.implicits._
     val dir = stageDir(s"$sf/events.parquet")
