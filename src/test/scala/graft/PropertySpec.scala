@@ -80,4 +80,40 @@ object KernelProps extends Properties("graft.kernels") {
     forAll(word, word) { (a, b) =>
       a == b || Impl.sipHash64Bytes(a.getBytes) != Impl.sipHash64Bytes(b.getBytes)
     }
+
+  property("topk_rows: any chunking/merge order + serde round-trip = sort-take") = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{DoubleType, StringType}
+    val row = Gen.zip(Gen.choose(0, 9).map(_.toDouble), // dense score ties
+      Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString))
+    forAll(Gen.listOf(row), Gen.choose(1, 7), Gen.choose(1, 5)) {
+      (rows, k, chunk) =>
+        val agg = org.apache.spark.sql.graft.TopKRows(
+          BoundReference(0, DoubleType, nullable = true),
+          BoundReference(1, StringType, nullable = true), k)
+        def bufOf(part: Seq[(Double, String)]) = {
+          val b = part.foldLeft(agg.createAggregationBuffer()) { (b, r) =>
+            agg.update(b, InternalRow(r._1, UTF8String.fromString(r._2)))
+          }
+          agg.deserialize(agg.serialize(b)) // shuffle-boundary round-trip
+        }
+        // merge MUTATES the accumulator (as Spark's agg machinery does —
+        // each buffer is consumed once), so rebuild buffers per merge order
+        def evalOf(parts: Seq[Seq[(Double, String)]]) = {
+          val merged = parts.map(bufOf)
+            .reduceLeftOption(agg.merge)
+            .getOrElse(agg.createAggregationBuffer())
+          agg.eval(merged).asInstanceOf[
+              org.apache.spark.sql.catalyst.util.GenericArrayData]
+            .array.toSeq.map { r =>
+              val ir = r.asInstanceOf[InternalRow]
+              (ir.getDouble(0), ir.getUTF8String(1).toString)
+            }
+        }
+        val chunks = rows.grouped(chunk).toList
+        val expected = rows.sortBy { case (s, i) => (-s, i) }.take(k)
+        evalOf(chunks) == expected && evalOf(chunks.reverse) == expected
+    }
+  }
 }
