@@ -156,10 +156,11 @@ object SparkEntry {
     }),
 
     "q_jmespath" -> ((s, dir) => {
-      // extended jmespath grammar end-to-end: array FILTER + explosion
-      // (`p.items[?tag == 'a'][*]`) compiled to pure Catalyst (filter HOF
-      // + explode) over a sample-inferred JSONL read; the oracle rebuilds
-      // the same item rows relationally with generate_series
+      // extended jmespath grammar end-to-end: array FILTER + explosion +
+      // MULTISELECT reshape (`p.items[?tag=='a'][*].{k:…, val:…}`)
+      // compiled to pure Catalyst (filter HOF + explode + projection)
+      // over a sample-inferred JSONL read; the oracle rebuilds the same
+      // item rows relationally with generate_series
       val tmp = Files.createTempDirectory("graft_jmes").toString + "/docs"
       T(s, dir, "documents").filter(col("doc_id") < 400)
         .select(to_json(struct(struct(
@@ -171,9 +172,9 @@ object SparkEntry {
           .as("value"))
         .write.mode("overwrite").text(tmp)
       Chain.readJsonInferred(s, tmp,
-          jmespath = Some("p.items[?tag == 'a'][*]"), sampleSize = 100)
+          jmespath = Some("p.items[?tag == 'a'][*].{k: k, tag: tag, val: v}"),
+          sampleSize = 100)
         .toDF
-        .select(col("k"), col("tag"), col("v"))
     }),
 
     "q_read_database" -> ((s, dir) => {
@@ -1687,11 +1688,18 @@ object SparkEntry {
       // exact_a and exact intersect = exact_b
       val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
       val bench = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
-      val est = Corpus.ngramOverlap(docs, bench, "text", n = 13, lgK = 14)
-      val exactA = docs.select(explode(Corpus.ngramsCol(col("text"), 13)).as("g"))
-        .agg(countDistinct(col("g")).as("exact_a"))
-      val exactB = bench.select(explode(Corpus.ngramsCol(col("text"), 13)).as("g"))
-        .agg(countDistinct(col("g")).as("exact_b"))
+      // derive each side's gram stream ONCE and persist: the sketch agg
+      // and the oracle's exact count both read it, and the interpreted
+      // HOF n-gram derivation (not the aggregation) dominates this gate's
+      // cost — without the cache the plan DAG recomputes it four times
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val gAll = docs.select(explode(Corpus.ngramsCol(col("text"), 13))
+        .as("__g")).persist(MEMORY_AND_DISK)
+      val gB = bench.select(explode(Corpus.ngramsCol(col("text"), 13))
+        .as("__g")).persist(MEMORY_AND_DISK)
+      val est = Corpus.distinctOverlap(gAll, gB, "__g", lgK = 14)
+      val exactA = gAll.agg(countDistinct(col("__g")).as("exact_a"))
+      val exactB = gB.agg(countDistinct(col("__g")).as("exact_b"))
       est.crossJoin(exactA).crossJoin(exactB).select(
         col("exact_a"), col("exact_b"),
         (abs(col("est_a") - col("exact_a")).cast("double") /
@@ -2645,7 +2653,7 @@ object SparkEntry {
 
       "q_jmespath" ->
         """SELECT s.k, CASE WHEN (doc_id + s.k) % 2 = 0 THEN 'a' ELSE 'b'
-          |  END AS tag, doc_id*3 + s.k AS v
+          |  END AS tag, doc_id*3 + s.k AS val
           |FROM documents, generate_series(0, 2) AS s(k)
           |WHERE doc_id < 400 AND (doc_id + s.k) % 2 = 0""".stripMargin,
 

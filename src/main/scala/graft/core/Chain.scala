@@ -519,7 +519,10 @@ object Chain {
    *  - `a[1:4]`, `a[2:]`, `a[:3]` — slices (non-negative bounds)
    *  - `a[?field == 'x']`, `a[?n >= 3]` — array filter on an element
    *    field vs a literal (`== != < <= > >=`; string / number / boolean)
-   *  - ops compose within a segment: `items[?tag=='a'][*]`, `xs[1:3][0]`
+   *  - `{alias: path, ...}` — multiselect hash reshaping the current
+   *    root into the named projection (dotted paths)
+   *  - ops compose within a segment: `items[?tag=='a'][*]`, `xs[1:3][0]`,
+   *    `items[*].{x: a.b, y: c}`
    * A terminal scalar/array step keeps its field name as the single
    * output column.
    */
@@ -543,8 +546,8 @@ object Chain {
     val cur = new StringBuilder
     var depth = 0
     jp.foreach { c =>
-      if (c == '[') depth += 1
-      if (c == ']') depth -= 1
+      if (c == '[' || c == '{') depth += 1
+      if (c == ']' || c == '}') depth -= 1
       if (c == '.' && depth == 0) {
         if (cur.nonEmpty) { segs += cur.toString; cur.clear() }
       } else cur += c
@@ -562,6 +565,22 @@ object Chain {
   private[graft] def applyJmespath(df: DataFrame, jp: String): DataFrame = {
     var out = df
     jmesSegments(jp).foreach { seg =>
+      if (seg.startsWith("{") && seg.endsWith("}")) {
+        // multiselect hash: `{alias: path, ...}` — reshape the current
+        // root into the named projection (paths are dotted field refs,
+        // resolved against the re-rooted columns)
+        val pairs = seg.substring(1, seg.length - 1).split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty).map { p =>
+            val i = p.indexOf(':')
+            require(i > 0, s"jmespath multiselect needs 'alias: path': '$p'")
+            val path = p.drop(i + 1).trim
+            require(!path.contains('[') && !path.contains('{'),
+              s"jmespath multiselect paths are dotted field refs: '$path'")
+            (p.take(i).trim, path)
+          }
+        require(pairs.nonEmpty, s"empty jmespath multiselect: '$seg'")
+        out = out.select(pairs.map { case (a, p) => col(p).as(a) }: _*)
+      } else {
       val bracketAt = seg.indexOf('[')
       val name = if (bracketAt < 0) seg else seg.take(bracketAt)
       val ops: Seq[String] =
@@ -611,6 +630,7 @@ object Chain {
         case _ => rooted.select(col("__jm").as(name))
       }
       val _ = exploded
+      }
     }
     out
   }

@@ -365,5 +365,16 @@ class IoSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       run("p.items[?nope~3]")
     }
+    // multiselect hash after an explode: reshape each element row
+    assert(run("p.items[*].{key: id, label: tag}").as[(Long, String)]
+      .collect().toSet ===
+      Set((1L, "x"), (2L, "y"), (3L, "x"), (4L, "y")))
+    // multiselect with a dotted path after an index step
+    assert(run("p.items[0].{key: id, label: tag}")
+      .as[(Long, String)].collect().toSet === Set((1L, "x"), (4L, "y")))
+    // bracket ops inside multiselect paths are rejected loudly
+    intercept[IllegalArgumentException] {
+      run("p.{t: items[0].tag}")
+    }
   }
 }
