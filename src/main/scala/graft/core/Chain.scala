@@ -444,6 +444,16 @@ final class Chain private (
 
   def toList(): Seq[Row] = df.collect().toSeq
 
+  /** Rows as column-name → value maps (reference `to_records`). */
+  def toRecords(): Seq[Map[String, Any]] = {
+    val cols = df.columns
+    df.collect().toSeq.map(_.getValuesMap[Any](cols))
+  }
+
+  /** One column's values (reference `to_values`). */
+  def toValues(colName: String): Seq[Any] =
+    df.select(colName).collect().toSeq.map(_.get(0))
+
   def show(n: Int = 20): Unit = df.show(n, truncate = false)
 
   /** Execute the chain for its side effects, discarding rows

@@ -16,6 +16,14 @@ class ChainSpec extends SparkSpec {
     Person("Charlie", 35, "NYC"), Person("David", 40, "SF"),
     Person("Eva", 28, "LA")))
 
+  test("toRecords / toValues consumption surface") {
+    import spark.implicits._
+    val c = Chain(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(c.toRecords() === Seq(Map("id" -> 1L, "v" -> "a"),
+      Map("id" -> 2L, "v" -> "b")))
+    assert(c.toValues("v") === Seq("a", "b"))
+  }
+
   test("select / select_except / mutate / rename") {
     assert(people.select("first_name", "age").toDF.columns.toSeq ===
       Seq("first_name", "age"))
