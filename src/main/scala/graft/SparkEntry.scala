@@ -2059,6 +2059,16 @@ object SparkEntry {
           tieBreak = Some("event_id"))
         .select("event_id", "user_id", "session_id")),
 
+    "q_weighted_sample_group" -> ((s, dir) =>
+      // per-source weighted draw (weight = n_chars) through the bounded
+      // heap: one pass samples every stratum at once, O(5) state per
+      // group across the shuffle; the md5-derived A-ES keys make the
+      // draw deterministic and SQL-replayable
+      graft.ops.Split.weightedSamplePerGroup(
+        T(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "doc_id", "n_chars", n = 5, seed = "wsg")),
+
     "q_salted_join" -> ((s, dir) =>
       // skew-salted fact⋈dim join, row-level parity with the plain join:
       // the salt spreads any hot part key across 8 reducers and the ×8
@@ -4331,6 +4341,18 @@ object SparkEntry {
           |   (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           |FROM x""".stripMargin,
+
+      "q_weighted_sample_group" ->
+        """WITH k AS (SELECT source, doc_id,
+          |   round(pow(CAST(CAST('0x' || substr(md5(doc_id || ':wsg'), 1, 13)
+          |       AS BIGINT) AS DOUBLE) / 4503599627370496.0,
+          |     1.0 / CAST(n_chars AS DOUBLE)), 12) AS wkey
+          |  FROM documents WHERE n_chars > 0),
+          | r AS (SELECT source, doc_id, wkey, row_number() OVER (
+          |     PARTITION BY source ORDER BY wkey DESC, doc_id ASC) AS rank
+          |   FROM k)
+          |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, wkey
+          |FROM r WHERE rank <= 5""".stripMargin,
 
       "q_salted_join" ->
         """SELECT l_orderkey, l_linenumber, l_partkey, p_name, l_quantity

@@ -210,6 +210,50 @@ final class Catalog(val root: String, spark: SparkSession) {
     }
   }
 
+  /** Lineage deps (`name@vX.Y.Z`) recorded at save time for one version. */
+  def depsOf(name: String, version: SemVer): Seq[(String, SemVer)] = {
+    val meta = readMeta(name, version)
+    "\"deps\": \\[(.*?)\\]".r.findFirstMatchIn(meta).toSeq.flatMap { m =>
+      "\"([^\"]+)@v(\\d+\\.\\d+\\.\\d+)\"".r.findAllMatchIn(m.group(1))
+        .map(d => (d.group(1), SemVer.parse(d.group(2)))).toSeq
+    }
+  }
+
+  /**
+   * Snapshot retention GC — the expire-snapshots/VACUUM maintenance pass
+   * every snapshot-versioned table needs (without it, a daily-saved
+   * dataset keeps every byte it ever wrote): keeps the newest `keepLast`
+   * versions of every dataset PLUS, transitively, any version a kept
+   * version's recorded lineage depends on — deleting a dep would break
+   * `readDataset` reproducibility for a survivor, so lineage always wins
+   * over the retention count. Returns the deleted (name, version) pairs.
+   * Cost model: metadata-only reads (one meta.json per PROTECTED
+   * version for the dep closure), then per-victim directory deletes — no
+   * data file is ever read.
+   */
+  def vacuum(keepLast: Int = 2): Seq[(String, SemVer)] = {
+    require(keepLast >= 1, "keepLast must be at least 1")
+    val all = datasets().map(n => n -> versions(n)).toMap
+    val seed = all.toSeq.flatMap { case (n, vs) =>
+      vs.takeRight(keepLast).map(n -> _)
+    }
+    val protect = scala.collection.mutable.Set.empty[(String, SemVer)]
+    val queue = scala.collection.mutable.Queue.empty[(String, SemVer)]
+    seed.foreach { s => protect += s; queue += s }
+    while (queue.nonEmpty) {
+      val (n, v) = queue.dequeue()
+      depsOf(n, v).foreach { d =>
+        val exists = all.get(d._1).exists(_.contains(d._2))
+        if (exists && !protect(d)) { protect += d; queue += d }
+      }
+    }
+    val victims = all.toSeq.sortBy(_._1).flatMap { case (n, vs) =>
+      vs.filterNot(v => protect((n, v))).map(n -> _)
+    }
+    victims.foreach { case (n, v) => deleteVersion(n, v) }
+    victims
+  }
+
   def deleteDataset(name: String): Unit = {
     val d = dsDir(name)
     if (Files.exists(d)) {

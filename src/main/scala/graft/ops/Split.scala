@@ -36,6 +36,35 @@ object Split {
     df.filter(pmod(col(keyCol), lit(total)) === index)
 
   /**
+   * PER-GROUP weighted sample without replacement: the same
+   * content-hash-deterministic A-ES keys as [[weightedSample]], selected
+   * through the bounded-heap aggregate
+   * ([[org.apache.spark.sql.graft.TopKRows]]) — O(n) state per group
+   * crosses the shuffle, no per-group sort, one pass for every stratum
+   * at once (the "n docs per domain, weighted by quality" curation
+   * draw). `idCol` must be a non-negative integer id (it rides
+   * zero-padded so the heap's lexical tie-break equals numeric order).
+   * Returns (groupCol, rank, idCol, wkey).
+   */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                             weightCol: String, n: Int,
+                             seed: String = ""): DataFrame = {
+    require(n > 0, "n must be positive")
+    val u = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + seed))), 1, 13), 16, 10).cast("double") /
+      lit(4503599627370496.0) // 2^52
+    val key = round(pow(u, lit(1.0) / col(weightCol).cast("double")), 12)
+    df.filter(col(weightCol) > 0)
+      .groupBy(col(groupCol))
+      .agg(graft.functions.GraftFunctions.topk_rows(key,
+        lpad(col(idCol).cast("string"), 20, "0"), n).as("__tk"))
+      .select(col(groupCol), posexplode(col("__tk")).as(Seq("__p", "__e")))
+      .select(col(groupCol), (col("__p") + 1).cast("long").as("rank"),
+        col("__e.item").cast("long").as(idCol),
+        col("__e.score").as("wkey"))
+  }
+
+  /**
    * Weighted sample without replacement of `n` rows (Efraimidis–Spirakis
    * A-ES, 2006): each row gets key u^(1/w) where u is a 52-bit uniform
    * derived from `md5(id:seed)`, and the n largest keys win — inclusion

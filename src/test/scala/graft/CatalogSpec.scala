@@ -28,6 +28,31 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.save(c, "nations", Some(v1)))
   }
 
+  test("vacuum keeps the retention window plus the transitive lineage closure") {
+    val root = Files.createTempDirectory("cat_vac").toString
+    val cat = new Catalog(root, spark)
+    val c = Chain(spark.read.parquet(s"$sf/region.parquet"))
+    val a1 = cat.save(c, "a")                                   // 1.0.0
+    val a2 = cat.save(c.limit(3), "a")                          // 1.1.0
+    val a3 = cat.save(c.limit(2), "a")                          // 1.2.0
+    // b's latest depends on the OLDEST a — retention alone would delete it
+    cat.save(c.limit(1), "b", deps = Seq(s"a@v$a1"))
+    val deleted = cat.vacuum(keepLast = 1)
+    // a@1.1.0 is the only victim: a@1.2.0 is newest, a@1.0.0 is b's dep
+    assert(deleted === Seq(("a", a2)))
+    assert(cat.versions("a") === Seq(a1, a3))
+    assert(cat.versions("b").size === 1)
+    // survivors still read (dep protection kept the data, not just meta)
+    assert(cat.readDataset("a", Some(a1)).count() === 5)
+    // a second vacuum is a no-op (idempotent on a clean catalog)
+    assert(cat.vacuum(keepLast = 1) === Seq.empty)
+    // dangling deps (to a never-existing version) don't block deletion
+    cat.save(c.limit(4), "a")                                   // 1.3.0
+    cat.save(c, "b", deps = Seq("ghost@v9.9.9"))
+    assert(cat.vacuum(keepLast = 1).toSet ===
+      Set(("a", a1), ("a", a3), ("b", SemVer(1, 0, 0))))
+  }
+
   test("checkpoint lookup by chain hash") {
     val root = Files.createTempDirectory("cat").toString
     val cat = new Catalog(root, spark)
