@@ -1489,6 +1489,32 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb, queries, k = 5)
     }),
 
+    "q_ann_pq" -> ((s, dir) => {
+      // product-quantized ANN (m=8 subspaces x 8 centroids, init-only
+      // codebook): 64-dim float vectors collapse to 8 small ints (32x)
+      // and queries score candidates via ADC table lookups. Encode
+      // argmin, table build, and ADC sums are all decimal-exact, so
+      // DuckDB reproduces every code, every distance, and the full
+      // top-k list bit-for-bit
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val codebook = Similarity.pqTrain(emb, m = 8, kc = 8)
+      Similarity.pqTopK(emb, queries, k = 5, codebook)
+    }),
+
+    "q_ann_pq_rerank" -> ((s, dir) => {
+      // two-stage PQ: ADC top-20 prefilter (codes only) → exact decimal
+      // rerank of just those candidates. BOTH stages are decimal-exact,
+      // so the oracle reproduces the prefilter set AND the reranked
+      // distances bit-for-bit
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val codebook = Similarity.pqTrain(emb, m = 8, kc = 8)
+      Similarity.pqRerankTopK(emb, queries, k = 5, codebook, prefilter = 20)
+    }),
+
     "q_ann_sq8" -> ((s, dir) => {
       // SQ8 scalar-quantized ANN: corpus collapses to 1 byte/dim (4×
       // compression), queries scan the codes asymmetrically. Oracled
@@ -3636,6 +3662,67 @@ object SparkEntry {
           |   row_number() OVER (PARTITION BY query_id
           |     ORDER BY sim0 DESC, vec_id ASC) AS rk FROM s)
           |SELECT query_id, vec_id, round(sim0, 6) AS sim, CAST(rk AS BIGINT) AS rank
+          |FROM r WHERE rk <= 5""".stripMargin,
+
+      "q_ann_pq" ->
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+          | cb AS (SELECT s.s AS s, CAST(r.rn - 1 AS INT) AS cid,
+          |     r.x[s.s*8+1 : s.s*8+8] AS c
+          |   FROM (SELECT x, row_number() OVER (ORDER BY vec_id) AS rn
+          |     FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)) r,
+          |    generate_series(0, 7) AS s(s)),
+          | d AS (SELECT v.vec_id, cb.s, cb.cid,
+          |     round(CAST(list_sum(list_transform(generate_series(1, 8),
+          |       i -> CAST(round((v.x[cb.s*8+i] - cb.c[i])
+          |         * (v.x[cb.s*8+i] - cb.c[i]), 12)
+          |         AS DECIMAL(38,18)))) AS DOUBLE), 9) AS d
+          |   FROM v, cb),
+          | codes AS (SELECT vec_id, s, cid FROM (SELECT vec_id, s, cid,
+          |     row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid)
+          |       AS rn FROM d) WHERE rn = 1),
+          | adc AS (SELECT q.vec_id AS query_id, c.vec_id,
+          |     round(CAST(sum(CAST(q.d AS DECIMAL(38,18))) AS DOUBLE), 9)
+          |       AS dist
+          |   FROM codes c JOIN d q ON q.s = c.s AND q.cid = c.cid
+          |   WHERE q.vec_id < 3 GROUP BY 1, 2),
+          | r AS (SELECT query_id, vec_id, dist, row_number() OVER (
+          |     PARTITION BY query_id ORDER BY dist, vec_id) AS rk FROM adc)
+          |SELECT query_id, vec_id, dist, CAST(rk AS BIGINT) AS rank
+          |FROM r WHERE rk <= 5""".stripMargin,
+
+      "q_ann_pq_rerank" ->
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+          | cb AS (SELECT s.s AS s, CAST(r.rn - 1 AS INT) AS cid,
+          |     r.x[s.s*8+1 : s.s*8+8] AS c
+          |   FROM (SELECT x, row_number() OVER (ORDER BY vec_id) AS rn
+          |     FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)) r,
+          |    generate_series(0, 7) AS s(s)),
+          | d AS (SELECT v.vec_id, cb.s, cb.cid,
+          |     round(CAST(list_sum(list_transform(generate_series(1, 8),
+          |       i -> CAST(round((v.x[cb.s*8+i] - cb.c[i])
+          |         * (v.x[cb.s*8+i] - cb.c[i]), 12)
+          |         AS DECIMAL(38,18)))) AS DOUBLE), 9) AS d
+          |   FROM v, cb),
+          | codes AS (SELECT vec_id, s, cid FROM (SELECT vec_id, s, cid,
+          |     row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid)
+          |       AS rn FROM d) WHERE rn = 1),
+          | adc AS (SELECT q.vec_id AS query_id, c.vec_id,
+          |     round(CAST(sum(CAST(q.d AS DECIMAL(38,18))) AS DOUBLE), 9)
+          |       AS dist
+          |   FROM codes c JOIN d q ON q.s = c.s AND q.cid = c.cid
+          |   WHERE q.vec_id < 3 GROUP BY 1, 2),
+          | pre AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+          |     row_number() OVER (PARTITION BY query_id
+          |       ORDER BY dist, vec_id) AS rk FROM adc) WHERE rk <= 20),
+          | ex AS (SELECT p.query_id, p.vec_id,
+          |     round(CAST(list_sum(list_transform(generate_series(1, 64),
+          |       i -> CAST(round((q.x[i] - c.x[i]) * (q.x[i] - c.x[i]), 12)
+          |         AS DECIMAL(38,18)))) AS DOUBLE), 9) AS d
+          |   FROM pre p JOIN v q ON q.vec_id = p.query_id
+          |    JOIN v c ON c.vec_id = p.vec_id),
+          | r AS (SELECT query_id, vec_id, d, row_number() OVER (
+          |     PARTITION BY query_id ORDER BY d, vec_id) AS rk FROM ex)
+          |SELECT query_id, vec_id, d AS dist, CAST(rk AS BIGINT) AS rank
           |FROM r WHERE rk <= 5""".stripMargin,
 
       "q_ann_sq8" ->

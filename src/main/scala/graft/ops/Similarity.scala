@@ -377,6 +377,39 @@ object Similarity {
   }
 
   /**
+   * Two-stage PQ ANN: [[pqTopK]]'s ADC pass prefilters to `prefilter`
+   * candidates per query (codes only — m ints per vector at the scan),
+   * then ONLY those candidates' float vectors are fetched for an exact
+   * decimal-distance rerank — the same prefilter→rerank discipline as
+   * [[sq8RerankTopK]], one compression tier further. ADC alone trades
+   * recall for 32× compression (raw recall@10 ≈ 0.4 on the test corpus
+   * at m=8/k_c=16); the rerank recovers it while still scanning only
+   * prefilter × queries vectors instead of the corpus.
+   */
+  def pqRerankTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                   codebook: Array[Array[Array[Double]]],
+                   prefilter: Int = 0,
+                   vecCol: String = "embedding", idCol: String = "vec_id",
+                   queryIdCol: String = "query_id"): DataFrame = {
+    import graft.functions.GraftFunctions.decimal_sq_distance
+    val pre = if (prefilter > 0) prefilter else 8 * k
+    val cand = pqTopK(corpus, queries, pre, codebook, vecCol, idCol, queryIdCol)
+      .select(col(queryIdCol), col(idCol))
+    val scored = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(queries.select(col(queryIdCol),
+        col(vecCol).cast("array<double>").as("__qv"))), Seq(queryIdCol))
+      .withColumn("__d", round(decimal_sq_distance(col("__qv"), col("__cv")), 9))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__d").asc, col(idCol).asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("__d").as("dist"),
+        col("__rank").as("rank"))
+  }
+
+  /**
    * Upper-triangle covariance matrix of an embedding column — the input
    * to PCA/whitening/embedding-drift monitoring over a corpus. Returns
    * (i, j, cov) for 0 <= i <= j < dim with
@@ -497,5 +530,113 @@ object Similarity {
     }
     val flip = v.find(_ != 0.0).exists(_ < 0)
     (if (flip) v.map(-_) else v).toSeq
+  }
+
+  /**
+   * Product quantization (Jegou et al., TPAMI 2011) — the ANN compression
+   * tier beyond SQ8's 4x: the vector splits into `m` subspaces, each
+   * encoded as the id of its nearest subspace centroid, so a d-dim float
+   * vector becomes m small ints (m bytes at k_c <= 256; 64-dim floats at
+   * m=8 compress 32x) and query-to-candidate distance becomes ADC table
+   * lookups — the query precomputes its distance to every subspace
+   * centroid once (an m x k_c table) and each candidate costs m adds over
+   * its codes. No float vector is touched at candidate-scan time.
+   *
+   * Determinism/exactness: centroid selection, encode argmin (ties to the
+   * lowest centroid id), and ADC sums all use the decimal-exact kernel
+   * arithmetic (12/9-dp rounds + decimal sums), so with the init-only
+   * codebook (`iterations = 0`: the first k_c vectors' subvectors by id —
+   * deterministic selection, no Lloyd update) the WHOLE pipeline is
+   * bit-reproducible in ANSI SQL: the q_ann_pq gate's regime. With
+   * `iterations > 0` each subspace trains through the decimal-exact
+   * [[kmeans]] loop (itself gated by q_kmeans); recall-vs-brute-force of
+   * the trained tier is OpsSpec-tested.
+   *
+   * Returns the codebook as (subspace)(centroidId)(subDim) doubles —
+   * k_c * d doubles total, a driver-side constant that broadcasts into
+   * the encode/ADC expressions as literals.
+   */
+  def pqTrain(corpus: DataFrame, m: Int, kc: Int, iterations: Int = 0,
+              vecCol: String = "embedding", idCol: String = "vec_id")
+      : Array[Array[Array[Double]]] = {
+    require(m > 0 && kc > 1, "need m >= 1 subspaces and k_c >= 2 centroids")
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).toArray.map { s =>
+      val slc = corpus.select(col(idCol).as("vec_id"),
+        slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)
+          .as("embedding"))
+      if (iterations == 0) {
+        slc.orderBy("vec_id").limit(kc).collect()
+          .map(_.getSeq[Double](1).toArray)
+      } else {
+        kmeans(slc, kc, iterations)._2.orderBy("cluster").collect()
+          .map(_.getSeq[Double](1).toArray)
+      }
+    }
+  }
+
+  /** Decimal-exact squared distance between a sliced subvector and a
+    * literal centroid — the shared arithmetic of encode and ADC tables. */
+  private def pqDist(x: Column, centroid: Array[Double]): Column =
+    round(decimal_sq_distance(x, typedlit(centroid.toSeq)), 9)
+
+  /** (idCol, codes array<int>) — one in-codegen argmin per subspace over
+    * the literal codebook; ties break to the lowest centroid id. */
+  def pqEncode(corpus: DataFrame, codebook: Array[Array[Array[Double]]],
+               vecCol: String = "embedding", idCol: String = "vec_id")
+      : DataFrame = {
+    val m = codebook.length
+    val sub = codebook(0)(0).length
+    val v = col(vecCol).cast("array<double>")
+    val codes = (0 until m).map { s =>
+      val xs = slice(v, s * sub + 1, sub)
+      val dists = array(codebook(s).map(c => pqDist(xs, c)): _*)
+      // array_position returns the FIRST index of the min: lowest-cid tie
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    corpus.select(col(idCol), array(codes: _*).as("codes"))
+  }
+
+  /**
+   * PQ/ADC top-k: encode the corpus once (m ints per vector ride the
+   * scan, never the floats), build each query's m x k_c distance table
+   * with the same decimal arithmetic, and score candidates as the
+   * decimal sum of m table entries. The scored frame shuffles one row
+   * per (query, candidate) of (ids, distance) — scale shape matches
+   * [[sq8TopK]]. ADC is approximate (distance to the QUANTIZED
+   * candidate); for exact final ordering compose with a rerank like
+   * [[sq8RerankTopK]] does.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             codebook: Array[Array[Array[Double]]],
+             vecCol: String = "embedding", idCol: String = "vec_id",
+             queryIdCol: String = "query_id"): DataFrame = {
+    val m = codebook.length
+    val kc = codebook(0).length
+    val sub = codebook(0)(0).length
+    val enc = pqEncode(corpus, codebook, vecCol, idCol)
+    // per-query ADC table, flattened (s * kc + cid) — computed with the
+    // identical pqDist arithmetic so oracle replay is bit-exact
+    val qv = col(vecCol).cast("array<double>")
+    val tableCol = array((0 until m).flatMap { s =>
+      val qs = slice(qv, s * sub + 1, sub)
+      codebook(s).map(c => pqDist(qs, c))
+    }: _*)
+    val q = queries.select(col(queryIdCol), tableCol.as("__tbl"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+    val adc = aggregate(sequence(lit(0), lit(m - 1)),
+      lit(0).cast(dec),
+      (acc, s) => (acc + element_at(col("__tbl"),
+        s * kc + element_at(col("codes"), s + 1) + 1).cast(dec)).cast(dec),
+      acc => round(acc.cast("double"), 9))
+    val scored = enc.join(broadcast(q)).withColumn("__d", adc)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__d").asc, col(idCol).asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("__d").as("dist"),
+        col("__rank").as("rank"))
   }
 }

@@ -1202,6 +1202,45 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall=$recall")
   }
 
+  test("pqTopK: trained codebook recalls euclidean neighbors at 32x compression") {
+    import graft.functions.GraftFunctions.decimal_sq_distance
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    // exact euclidean reference
+    val exact = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+      .join(broadcast(q.select(col("query_id"),
+        col("embedding").cast("array<double>").as("qv"))))
+      .withColumn("d", decimal_sq_distance(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("query_id").orderBy(col("d").asc, col("vec_id").asc)))
+      .filter(col("rn") <= 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val cb = Similarity.pqTrain(emb, m = 8, kc = 16, iterations = 2)
+    // codebook is the size it claims: 8 subspaces x 16 centroids x 8 dims
+    assert(cb.length === 8 && cb.forall(s => s.length === 16 &&
+      s.forall(_.length === 8)))
+    // raw ADC trades recall for 32x compression — modest by design
+    val pq = Similarity.pqTopK(emb, q, k = 10, cb)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(pq.size === exact.size)
+    val adcRecall = (pq & exact).size.toDouble / exact.size
+    assert(adcRecall >= 0.3, s"adcRecall=$adcRecall")
+    // the production shape: ADC prefilter + exact rerank recovers the
+    // neighbors while fetching only prefilter vectors per query. The
+    // synthetic near-random corpus is the adversarial case for a coarse
+    // quantizer (no cluster structure to exploit), hence the generous
+    // 30% prefilter here; clustered real embeddings need far less
+    val rr = Similarity.pqRerankTopK(emb, q, k = 10, cb, prefilter = 150)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (rr & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"rerank recall=$recall")
+    // codes stay in the codebook range
+    val codes = Similarity.pqEncode(emb, cb)
+      .select(explode(col("codes"))).as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c < 16))
+  }
+
   test("sq8TopK: near-exact euclidean ranking at 4x compression; code edges") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 3)
