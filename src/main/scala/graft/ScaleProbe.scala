@@ -680,6 +680,57 @@ object ScaleProbe {
       }
     }
 
+    // PQ/ADC candidate scan vs the brute-force float scan at K× corpus.
+    // HONEST result on this 64-dim in-memory toy: brute force WINS
+    // (~0.6×) — a 64-float codegen'd cosine kernel is simply cheap when
+    // the whole corpus sits in page cache. PQ's win domain is (a) memory:
+    // 32× smaller scan footprint is the difference between RAM-resident
+    // and spilling at billions of vectors, and (b) real embedding widths
+    // (768–1536 dims: brute cost grows 12–24×, ADC stays m adds). The
+    // probe pins the honest crossover data and that ADC stays ~linear.
+    if (want("pq")) {
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select("vec_id", "embedding").cache()
+      val nEmb = emb.count()
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cb = graft.ops.Similarity.pqTrain(emb, m = 8, kc = 16,
+        iterations = 1)
+      val results = ks.map { k =>
+        val corpus = emb.crossJoin(
+            spark.range(k).select(col("id").as("__copy")))
+          .select((col("vec_id") * k + col("__copy")).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x + (pmod(col("__copy") * 17 + i, lit(7)) - lit(3))
+                .cast("float") * lit(0.005f)).as("embedding"))
+        // pre-materialize BOTH scan inputs (stored-codes vs stored-floats
+        // — the fair comparison: each side reads its own persisted
+        // artifact), then time the candidate scans
+        val mat = corpus.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        mat.count()
+        val codes = graft.ops.Similarity.pqEncode(mat, cb)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        codes.count()
+        val t0 = System.nanoTime()
+        val nPq = graft.ops.Similarity.pqAdcTopK(codes, queries, k = 10, cb)
+          .count()
+        val pqSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nBf = graft.ops.Similarity.bruteForceTopK(mat, queries,
+          k = 10).count()
+        val bfSec = (System.nanoTime() - t1) / 1e9
+        require(nPq == 80 && nBf == 80, s"expected 8x10, got $nPq/$nBf")
+        codes.unpersist(blocking = false)
+        mat.unpersist(blocking = false)
+        println(f"pq K=$k%-3d vecs=${nEmb * k}%-9d adc ${pqSec}%.2f s" +
+          f"   brute ${bfSec}%.2f s (${bfSec / pqSec}%.1fx)")
+        (k, pqSec)
+      }
+      println(f"pq scale ${results.last._1.toDouble / results.head._1}%.0fx " +
+        f"-> time factor ${results.last._2 / results.head._2}%.2fx")
+    }
+
     // bucketed layout: pay the bucketed write once, then every join on
     // the key runs exchange-free — probe reports write cost + per-join
     // time vs the shuffling plain join

@@ -84,6 +84,11 @@ object GraftFunctions {
   def cosine_distance(a: Column, b: Column): Column =
     toCol(CosineDistance(toExpr(a), toExpr(b)))
 
+  /** PQ/ADC score: decimal-exact sum of the query-table entries selected
+    * by the candidate's codes (see [[graft.ops.Similarity.pqAdcTopK]]). */
+  def pq_adc(table: Column, codes: Column, kc: Int): Column =
+    toCol(PqAdc(toExpr(table), toExpr(codes), kc))
+
   /** Engine-exact squared euclidean distance over double vectors (12-dp
     * decimal-summed) — the codegen'd kernel behind `Similarity.kmeans`. */
   def decimal_sq_distance(a: Column, b: Column): Column =

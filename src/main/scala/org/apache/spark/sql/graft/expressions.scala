@@ -257,6 +257,56 @@ case class JlProject(child: Expression, outDim: Int)
     copy(child = c)
 }
 
+/** PQ/ADC score: sum over subspaces of the query's flattened m×kc
+  * distance-table entry selected by the candidate's code — one compiled
+  * kernel call per (query, candidate) pair instead of an interpreted
+  * `aggregate` HOF (same decimal-exact arithmetic; the probe measured the
+  * HOF ~2.4× slower end-to-end on the candidate scan). */
+case class PqAdc(left: Expression, right: Expression, kc: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  require(kc > 0, "kc must be positive")
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc"
+  /** Per-thread memo of the last query table converted to 9-dp scaled
+    * longs: broadcast-join probes stream many candidates against the
+    * same query row, so the 64-entry conversion amortizes away and each
+    * pair costs m long adds. Scaled-long sums are exact (and identical
+    * to the decimal formulation) while the total distance stays under
+    * ~9·10⁶ — far beyond any embedding's squared distance; the oracle
+    * gate pins the equality empirically. */
+  @transient private lazy val memo =
+    new ThreadLocal[(ArrayData, Array[Long])]()
+  /** public for generated code */
+  def score(t: ArrayData, c: ArrayData): Double = {
+    var e = memo.get()
+    if (e == null || (e._1 ne t)) {
+      val n = t.numElements()
+      val arr = new Array[Long](n)
+      var i = 0
+      while (i < n) { arr(i) = Math.round(t.getDouble(i) * 1e9); i += 1 }
+      e = (t, arr)
+      memo.set(e)
+    }
+    val longs = e._2
+    var sum = 0L
+    var s = 0
+    val m = c.numElements()
+    while (s < m) { sum += longs(s * kc + c.getInt(s)); s += 1 }
+    sum.toDouble / 1e9
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    score(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPqAdc", this, classOf[PqAdc].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.score($a, $b)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+}
+
 case class DecimalSqDistance(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
