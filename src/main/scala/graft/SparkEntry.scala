@@ -1562,6 +1562,39 @@ object SparkEntry {
           (coalesce(col("n_hits"), lit(0L)) >= 3).as("recall_ok"))
     }),
 
+    "q_ann_ivf_pq" -> ((s, dir) => {
+      // the composed billion-scale recipe (IVFPQ shape): coarse cells
+      // route each query to 8 of 16 inverted lists, ONLY those cells'
+      // 8-int PQ codes are ADC-scanned, and the 40-candidate shortlist
+      // reranks against exact decimal distances. Property oracle like
+      // q_ann_ivf: recall@5 >= 3/5 per query vs the exact euclidean
+      // top-5 computed with the same decimal kernel
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val (assigned, centroids) = Similarity.ivfBuild(emb, nlist = 16,
+        iterations = 1)
+      val cb = Similarity.pqTrain(emb, m = 8, kc = 16, iterations = 1)
+      val res = Similarity.ivfPqRerankTopK(assigned, centroids, queries,
+        k = 5, cb, nprobe = 8, prefilter = 40)
+      val exact = emb.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("__cv"))
+        .join(broadcast(queries.select(col("query_id"),
+          col("embedding").cast("array<double>").as("__qv"))))
+        .withColumn("__d", graft.functions.GraftFunctions
+          .decimal_sq_distance(col("__qv"), col("__cv")))
+        .withColumn("__rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("__d").asc, col("vec_id").asc)))
+        .filter(col("__rn") <= 5)
+      val hits = res.select(col("query_id"), col("vec_id"))
+        .intersect(exact.select(col("query_id"), col("vec_id")))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      queries.select(col("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("n_hits"), lit(0L)) >= 3).as("recall_ok"))
+    }),
+
     // ------------------------------------------------------ text analysis
     "q_lang_id" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -3785,6 +3818,10 @@ object SparkEntry {
           |FROM r WHERE rk <= 5""".stripMargin,
 
       "q_ann_ivf" ->
+        """SELECT vec_id AS query_id, TRUE AS recall_ok
+          |FROM embeddings WHERE vec_id < 3""".stripMargin,
+
+      "q_ann_ivf_pq" ->
         """SELECT vec_id AS query_id, TRUE AS recall_ok
           |FROM embeddings WHERE vec_id < 3""".stripMargin,
 

@@ -377,6 +377,70 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ with exact rerank — the composed billion-scale ANN recipe
+   * (the FAISS IVFPQ shape, re-expressed relationally): a coarse
+   * quantizer ([[ivfBuild]] cells) routes each query to its `nprobe`
+   * nearest cells; ONLY those cells' PQ codes are ADC-scanned (one
+   * equi-join on the cell id — pair the codes table with
+   * `Layout.writePartitioned(cell)` and the probe never even lists the
+   * other cells' files); the ADC shortlist (`prefilter` per query) then
+   * reranks against exact float distances. Scan cost per query:
+   * |corpus|·nprobe/nlist candidates × m long-adds, plus prefilter
+   * float kernels — vs the brute force's |corpus| × dim.
+   * Approximation comes from cell routing (recall property gated) and
+   * ADC (repaired by the rerank).
+   */
+  def ivfPqRerankTopK(corpusAssigned: DataFrame, centroids: DataFrame,
+                      queries: DataFrame, k: Int,
+                      codebook: Array[Array[Array[Double]]],
+                      nprobe: Int = 4, prefilter: Int = 0,
+                      vecCol: String = "embedding", idCol: String = "vec_id",
+                      queryIdCol: String = "query_id"): DataFrame = {
+    import graft.functions.GraftFunctions.{decimal_sq_distance, pq_adc}
+    val m = codebook.length
+    val kc = codebook(0).length
+    val sub = codebook(0)(0).length
+    val pre = if (prefilter > 0) prefilter else 8 * k
+    val codes = pqEncode(corpusAssigned, codebook, vecCol, idCol,
+      extraCols = Seq("centroid_id"))
+    // per-query probed cells + ADC table ride ONE broadcast frame
+    val qv = col(vecCol).cast("array<double>")
+    val tableCol = array((0 until m).flatMap { s =>
+      val qs = slice(qv, s * sub + 1, sub)
+      codebook(s).map(c => pqDist(qs, c))
+    }: _*)
+    val q = queries.select(col(queryIdCol), col(vecCol).as("__qv"),
+      tableCol.as("__tbl"))
+    val qc = q.join(broadcast(centroids))
+      .withColumn("__cd",
+        euclidean_distance(col("__qv"), col("__centroid").cast("array<float>")))
+    val wq = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__cd").asc, col("centroid_id").asc)
+    val probes = qc.withColumn("__r", row_number().over(wq))
+      .filter(col("__r") <= nprobe)
+      .select(col(queryIdCol), col("centroid_id"), col("__tbl"))
+    val adcScored = codes.join(broadcast(probes), "centroid_id")
+      .withColumn("__d", round(pq_adc(col("__tbl"), col("codes"), kc), 9))
+    val wa = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__d").asc, col(idCol).asc)
+    val cand = adcScored.withColumn("__rank", row_number().over(wa))
+      .filter(col("__rank") <= pre)
+      .select(col(queryIdCol), col(idCol))
+    val scored = corpusAssigned
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
+      .join(broadcast(cand), Seq(idCol))
+      .join(broadcast(queries.select(col(queryIdCol),
+        col(vecCol).cast("array<double>").as("__fqv"))), Seq(queryIdCol))
+      .withColumn("__d", round(decimal_sq_distance(col("__fqv"), col("__cv")), 9))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__d").asc, col(idCol).asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("__d").as("dist"),
+        col("__rank").as("rank"))
+  }
+
+  /**
    * Two-stage PQ ANN: [[pqTopK]]'s ADC pass prefilters to `prefilter`
    * candidates per query (codes only — m ints per vector at the scan),
    * then ONLY those candidates' float vectors are fetched for an exact
@@ -585,8 +649,8 @@ object Similarity {
   /** (idCol, codes array<int>) — one in-codegen argmin per subspace over
     * the literal codebook; ties break to the lowest centroid id. */
   def pqEncode(corpus: DataFrame, codebook: Array[Array[Array[Double]]],
-               vecCol: String = "embedding", idCol: String = "vec_id")
-      : DataFrame = {
+               vecCol: String = "embedding", idCol: String = "vec_id",
+               extraCols: Seq[String] = Nil): DataFrame = {
     val m = codebook.length
     val sub = codebook(0)(0).length
     val v = col(vecCol).cast("array<double>")
@@ -596,7 +660,8 @@ object Similarity {
       // array_position returns the FIRST index of the min: lowest-cid tie
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
-    corpus.select(col(idCol), array(codes: _*).as("codes"))
+    corpus.select(col(idCol) +: extraCols.map(col) :+
+      array(codes: _*).as("codes"): _*)
   }
 
   /**

@@ -1241,6 +1241,36 @@ class OpsSpec extends SparkSpec {
     assert(codes.forall(c => c >= 0 && c < 16))
   }
 
+  test("ivfPqRerankTopK: composed recipe recalls euclidean neighbors with real pruning") {
+    import graft.functions.GraftFunctions.decimal_sq_distance
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val (assigned, centroids) = Similarity.ivfBuild(emb, nlist = 16,
+      iterations = 1)
+    // the index spreads the corpus across many cells — pruning is real
+    // (nprobe=6 of 16 scans well under half the corpus)
+    val cells = assigned.groupBy("centroid_id").count().count()
+    assert(cells >= 8, s"degenerate clustering: $cells cells")
+    val cb = Similarity.pqTrain(emb, m = 8, kc = 16, iterations = 1)
+    val res = Similarity.ivfPqRerankTopK(assigned, centroids, q, k = 10,
+        cb, nprobe = 6, prefilter = 60)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("cv"))
+      .join(broadcast(q.select(col("query_id"),
+        col("embedding").cast("array<double>").as("qv"))))
+      .withColumn("d", decimal_sq_distance(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("query_id").orderBy(col("d").asc, col("vec_id").asc)))
+      .filter(col("rn") <= 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (res & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall")
+    // every query still returns a full k (shortlist never starves)
+    assert(res.size === exact.size)
+  }
+
   test("sq8TopK: near-exact euclidean ranking at 4x compression; code edges") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 3)
