@@ -247,6 +247,48 @@ object SparkEntry {
       s.table(qn)
     }),
 
+    "q_stream_distinct" -> ((s, dir) => {
+      // per-window distinct users through the THIRD sketch in the
+      // streaming engine (after KLL and the top-k heap): hll_sketch_agg's
+      // serialized sketch is the state-store payload of a windowed
+      // aggregation — the op exists because count(DISTINCT) is
+      // UNSUPPORTED in streaming; the sketch is how a stream counts
+      // users at all. Property-oracled like q_approx_distinct: the
+      // exact counts (recomputed in batch) cross-check the engines and
+      // the streamed estimate must land within the lgK=14 envelope
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = T(s, dir, "events").schema
+      val stage = Files.createTempDirectory("graft_sdc")
+      Files.createSymbolicLink(stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = normTs(s.readStream.schema(schema).parquet(stage.toString))
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(hll_sketch_estimate(
+          hll_sketch_agg(col("user_id"), lit(14))).as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd")
+          .as("day"), col("approx_users"), col("n_events"))
+      val ckpt = Files.createTempDirectory("graft_sdc_ckpt").toString
+      val qn = "sdc_" + math.abs(scala.util.Random.nextInt())
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream.outputMode("complete").format("memory")
+          .queryName(qn).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val exact = normTs(T(s, dir, "events"))
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
+          .as("day"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      s.table(qn).join(exact, Seq("day"))
+        .select(col("day"), col("exact_users"), col("n_events"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") /
+            col("exact_users") <= 0.02).as("est_ok"))
+    }),
+
     "q_stream_topk" -> ((s, dir) => {
       // per-type top-3 events by value as a STREAMING aggregation — the
       // niche window functions cannot serve: row_number() is illegal in a
@@ -3257,6 +3299,12 @@ object SparkEntry {
           | max(CASE WHEN rn = greatest(1, CAST(ceil(0.9*n) AS BIGINT))
           |   THEN v END) AS p90
           |FROM r GROUP BY w""".stripMargin,
+
+      "q_stream_distinct" ->
+        """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+          | count(DISTINCT user_id) AS exact_users,
+          | count(*) AS n_events, TRUE AS est_ok
+          |FROM events GROUP BY 1""".stripMargin,
 
       "q_stream_topk" ->
         """WITH r AS (SELECT event_type, event_id, value,

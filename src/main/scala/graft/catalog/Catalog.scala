@@ -440,6 +440,19 @@ final class Catalog(val root: String, spark: SparkSession) {
   /** Meta-chain over the catalog itself: one row per dataset version with
     * its recorded row count and creation time
     * (reference `datasets()`, src/datachain/lib/dc/datasets.py:523). */
+  /** Lineage edges across the catalog: one row per recorded dep —
+    * (dataset, version, dep_name, dep_version), the provenance graph
+    * that `readDataset` reproducibility rests on and [[vacuum]]
+    * protects. Metadata-only (one meta.json read per version). */
+  def lineageDF(): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    datasets().flatMap(n => versions(n).flatMap { v =>
+      depsOf(n, v).map { case (dn, dv) =>
+        (n, v.toString, dn, dv.toString)
+      }
+    }).toDF("dataset", "version", "dep_name", "dep_version")
+  }
+
   def datasetsDF(): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     def metaField(meta: String, key: String): Option[String] =

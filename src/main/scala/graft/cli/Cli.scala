@@ -57,7 +57,7 @@ object Cli {
   val usage: String =
     """usage: graft-cli <command> [args]
       |commands: ls du find cp datasets versions show rm-dataset mv-dataset
-      |          namespaces projects""".stripMargin
+      |          lineage vacuum namespaces projects""".stripMargin
 
   /** Run a command; returns (exit code, rendered output). Never calls
     * System.exit — `main` owns process concerns, tests call this. */
@@ -101,6 +101,13 @@ object Cli {
           s"deleted ${arg(p, 0, "name")}"
         case "mv-dataset" => cat.moveDataset(arg(p, 0, "from"), arg(p, 1, "to"))
           s"moved ${arg(p, 0, "from")} -> ${arg(p, 1, "to")}"
+        case "lineage" => render(cat.lineageDF()
+          .orderBy("dataset", "version", "dep_name"))
+        case "vacuum" =>
+          val keep = p.flags.getOrElse("keep", "2").toInt
+          val gone = cat.vacuum(keep)
+          if (gone.isEmpty) "nothing to vacuum"
+          else gone.map { case (n, v) => s"deleted $n@v$v" }.mkString("\n")
         case "namespaces" => cat.namespaces().mkString("\n")
         case "projects" =>
           cat.listProjects(p.positional.headOption)

@@ -70,6 +70,29 @@ class CliSpec extends SparkSpec {
     assert(cat.datasets().isEmpty)
   }
 
+  test("lineage / vacuum commands") {
+    val root = Files.createTempDirectory("clivac").toString
+    val cat = new Catalog(root, spark)
+    val c = Chain(spark.read.parquet(s"$sf/region.parquet"))
+    val v1 = cat.save(c, "base")
+    cat.save(c.limit(3), "base")
+    cat.save(c.limit(2), "derived", deps = Seq(s"base@v$v1"))
+    val cargs = Seq("--catalog", root)
+
+    val (l1, out1) = Cli.run(Seq("lineage") ++ cargs, spark)
+    assert(l1 === 0)
+    assert(out1.contains("derived\t1.0.0\tbase\t1.0.0"))
+
+    // keep=1 per dataset, but base@1.0.0 survives as derived's dep
+    val (v2, out2) = Cli.run(Seq("vacuum", "--keep", "1") ++ cargs, spark)
+    assert(v2 === 0)
+    assert(out2.trim === "nothing to vacuum" ||
+      !out2.contains("base@v1.0.0"))
+    assert(cat.versions("base").contains(v1))
+    val (v3, out3) = Cli.run(Seq("vacuum", "--keep", "1") ++ cargs, spark)
+    assert(v3 === 0 && out3.trim === "nothing to vacuum")
+  }
+
   test("namespaces / projects / error paths") {
     val root = Files.createTempDirectory("clicat").toString
     val cat = new Catalog(root, spark)
