@@ -17,8 +17,8 @@ object ScaleProbe {
     val ks = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(1, 4, 8)
     // SPARK_GRAFT_PROBE=minhash,ccstar,linededup,decontaminate,dupfraction,
     //   lm,exactsubstr,dsir,semdedup,ann,graph,triangles,lpa,kmeans,kcore,
-    //   heavyhitters,covariance,kll,topk,sketchoverlap,saltjoin,bucketjoin
-    //   (default all)
+    //   heavyhitters,covariance,kll,topk,sketchoverlap,saltjoin,bucketjoin,
+    //   pq (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
       .map(s => (x: String) => s(x)).getOrElse(_ => true)
