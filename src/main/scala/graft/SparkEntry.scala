@@ -247,6 +247,33 @@ object SparkEntry {
       s.table(qn)
     }),
 
+    "q_stream_sessionize" -> ((s, dir) => {
+      // the stateful streaming sessionizer (flatMapGroupsWithState,
+      // per-user gap state in the state store) — a single AvailableNow
+      // batch applies events in (time, id) order, so the session ids
+      // equal the batch window-function formulation and the gate shares
+      // q_sessionize's oracle shape
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = T(s, dir, "events").schema
+      val stage = Files.createTempDirectory("graft_ssz")
+      Files.createSymbolicLink(stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      import s.implicits._
+      val stream = normTs(s.readStream.schema(schema).parquet(stage.toString))
+        .filter(col("user_id") < 100)
+        .select(col("event_id"), col("ts"), col("user_id"))
+        .as[graft.streaming.EventStream.EventIn]
+      val out = graft.streaming.EventStream
+        .statefulSessionize(stream, gapSec = 1800).toDF
+      val ckpt = Files.createTempDirectory("graft_ssz_ckpt").toString
+      val qn = "ssz_" + math.abs(scala.util.Random.nextInt())
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try graft.streaming.EventStream.runAvailableNow(out, qn, ckpt)
+        .select(col("event_id"), col("user_id"), col("session_id"))
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     "q_stream_distinct" -> ((s, dir) => {
       // per-window distinct users through the THIRD sketch in the
       // streaming engine (after KLL and the top-k heap): hll_sketch_agg's
@@ -3299,6 +3326,20 @@ object SparkEntry {
           | max(CASE WHEN rn = greatest(1, CAST(ceil(0.9*n) AS BIGINT))
           |   THEN v END) AS p90
           |FROM r GROUP BY w""".stripMargin,
+
+      "q_stream_sessionize" ->
+        """WITH x AS (SELECT event_id, user_id, ts,
+          |  lag(ts) OVER (PARTITION BY user_id
+          |    ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_ts
+          | FROM events WHERE user_id < 100)
+          |SELECT event_id, user_id,
+          | CAST(sum(CASE WHEN prev_ts IS NULL THEN 1
+          |   WHEN epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1
+          |   ELSE 0 END) OVER
+          |  (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          |  AS session_id
+          |FROM x""".stripMargin,
 
       "q_stream_distinct" ->
         """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -72,20 +72,24 @@ object EventStream {
    * of inactivity. This is the arbitrary-state API the reference has no
    * counterpart for — state lives in the state store, checkpointed,
    * recovered on restart. (Within a micro-batch, events are sorted by
-   * event time before state is applied.)
+   * exact-microsecond event time before state is applied, and the gap
+   * compares in microseconds — the same long-µs discipline as the as-of
+   * family, so a sub-second over-the-gap tie can't flip per engine.)
    */
   def statefulSessionize(events: org.apache.spark.sql.Dataset[EventIn],
                          gapSec: Long = 1800)
       : org.apache.spark.sql.Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, it: Iterator[EventIn], state: GroupState[SessionState]) =>
           var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
-          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
-            val tsMicros = e.ts.getTime * 1000L
+          val out = it.toSeq.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+            val tsMicros = micros(e.ts)
             val gapExceeded = st.lastTsMicros != Long.MinValue &&
               (tsMicros - st.lastTsMicros) > gapSec * 1000000L
             val sid = if (st.lastTsMicros == Long.MinValue || gapExceeded)

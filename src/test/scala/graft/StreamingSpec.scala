@@ -147,11 +147,12 @@ class StreamingSpec extends SparkSpec {
     val u = perUser.head._1
     val expected = batch.filter(col("user_id") === u)
       .select(col("event_id"), col("ts")).as[(Long, java.sql.Timestamp)]
-      .collect().sortBy(e => (e._2.getTime, e._1))
+      .collect().sortBy(e => ((e._2.getTime / 1000L) * 1000000L +
+        e._2.getNanos / 1000L, e._1))
       .foldLeft((List.empty[(Long, Long)], 0L, Long.MinValue)) {
         case ((acc, sid, last), (eid, ts)) =>
-          val t = ts.getTime
-          val nsid = if (last == Long.MinValue || t - last > 1800 * 1000L)
+          val t = (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+          val nsid = if (last == Long.MinValue || t - last > 1800000000L)
             sid + 1 else sid
           ((eid, nsid) :: acc, nsid, t)
       }._1.toMap
