@@ -869,6 +869,25 @@ object SparkEntry {
           round(col("min"), 4).as("min_v"), round(col("max"), 4).as("max_v"),
           round(col("mean"), 4).as("mean_v"))),
 
+    "q_profile_drift" -> ((s, dir) => {
+      // snapshot-to-snapshot drift QA: the "after" version reprices
+      // o_totalprice +20% on the same rows — its mean moves 4× past the
+      // 5% tolerance (flag true) while o_custkey and the row count are
+      // untouched (flag false) — both flags far from the boundary, so
+      // engine fp noise can't flip them; exact counts cross-check
+      val before = T(s, dir, "orders")
+        .select(col("o_totalprice"), col("o_custkey"))
+      val after = T(s, dir, "orders")
+        .select((col("o_totalprice") * 1.2).as("o_totalprice"),
+          col("o_custkey"))
+      graft.ops.Profile.drift(before, after, relTol = 0.05)
+        .select(col("column"), col("n_before"), col("n_after"),
+          col("nulls_before"), col("nulls_after"),
+          round(col("mean_before"), 4).as("mean_b"),
+          round(col("mean_after"), 4).as("mean_a"),
+          col("drift_flag"))
+    }),
+
     "q_math_funcs" -> ((s, dir) =>
       T(s, dir, "orders").select(
         col("o_orderkey"),
@@ -3326,6 +3345,26 @@ object SparkEntry {
           | max(CASE WHEN rn = greatest(1, CAST(ceil(0.9*n) AS BIGINT))
           |   THEN v END) AS p90
           |FROM r GROUP BY w""".stripMargin,
+
+      "q_profile_drift" ->
+        """WITH b AS (SELECT count(*) AS n,
+          |   avg(CAST(o_totalprice AS DOUBLE)) AS m_tp,
+          |   avg(CAST(o_custkey AS DOUBLE)) AS m_ck FROM orders),
+          | a AS (SELECT count(*) AS n,
+          |   avg(CAST(o_totalprice * 1.2 AS DOUBLE)) AS m_tp,
+          |   avg(CAST(o_custkey AS DOUBLE)) AS m_ck FROM orders)
+          |SELECT 'o_totalprice' AS "column", b.n AS n_before, a.n AS n_after,
+          | CAST(0 AS BIGINT) AS nulls_before, CAST(0 AS BIGINT) AS nulls_after,
+          | round(b.m_tp, 4) AS mean_b, round(a.m_tp, 4) AS mean_a,
+          | (abs(a.m_tp - b.m_tp) / greatest(abs(b.m_tp), 1e-12) > 0.05
+          |  OR abs(CAST(a.n - b.n AS DOUBLE) / b.n) > 0.05) AS drift_flag
+          |FROM b, a
+          |UNION ALL
+          |SELECT 'o_custkey', b.n, a.n, 0, 0,
+          | round(b.m_ck, 4), round(a.m_ck, 4),
+          | (abs(a.m_ck - b.m_ck) / greatest(abs(b.m_ck), 1e-12) > 0.05
+          |  OR abs(CAST(a.n - b.n AS DOUBLE) / b.n) > 0.05)
+          |FROM b, a""".stripMargin,
 
       "q_stream_sessionize" ->
         """WITH x AS (SELECT event_id, user_id, ts,

@@ -72,6 +72,41 @@ object Profile {
   }
 
   /**
+   * Column-level drift between two dataset snapshots — the QA pass
+   * before a new version is promoted (and after [[graft.delta.Delta]]
+   * incremental saves): exact per-column stats from both sides
+   * ([[summarize]] without sketches) joined per column, with relative
+   * changes and a drift flag on row count, null rate, or mean moving
+   * more than `relTol`. Two single-pass aggregations, metadata-size
+   * result — runs at any corpus size.
+   */
+  def drift(before: DataFrame, after: DataFrame,
+            relTol: Double = 0.1): DataFrame = {
+    val b = summarize(before, sketches = false)
+      .select(col("column"), col("dtype"), col("n").as("n_before"),
+        col("nulls").as("nulls_before"), col("mean").as("mean_before"))
+    val a = summarize(after, sketches = false)
+      .select(col("column"), col("n").as("n_after"),
+        col("nulls").as("nulls_after"), col("mean").as("mean_after"))
+    b.join(a, Seq("column"))
+      .withColumn("row_change",
+        (col("n_after") - col("n_before")).cast("double") / col("n_before"))
+      .withColumn("null_rate_change",
+        col("nulls_after").cast("double") / greatest(col("n_after"), lit(1L))
+          - col("nulls_before").cast("double") /
+            greatest(col("n_before"), lit(1L)))
+      .withColumn("mean_rel_change",
+        when(col("mean_before").isNull || col("mean_after").isNull,
+          lit(null).cast("double"))
+          .otherwise(abs(col("mean_after") - col("mean_before")) /
+            greatest(abs(col("mean_before")), lit(1e-12))))
+      .withColumn("drift_flag",
+        coalesce(col("mean_rel_change") > relTol, lit(false)) ||
+          abs(col("row_change")) > relTol ||
+          abs(col("null_rate_change")) > relTol)
+  }
+
+  /**
    * Per-group mergeable cardinality sketches (Apache DataSketches HLL via
    * Spark's native `hll_sketch_agg`): one O(2^lgK)-byte binary sketch per
    * group, partial-aggregated map-side, plus its point estimate. Unlike

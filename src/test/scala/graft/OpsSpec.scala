@@ -809,6 +809,28 @@ class OpsSpec extends SparkSpec {
     assert(over.filter(col("est_count") < col("want")).count() === 0L)
   }
 
+  test("Profile.drift: flags mean/row/null movement, silent on identity") {
+    import graft.ops.Profile
+    val before = (1 to 100).map(i => (i.toDouble, i.toLong)).toDF("v", "k")
+    def flags(after: org.apache.spark.sql.DataFrame) =
+      Profile.drift(before, after, relTol = 0.1)
+        .select("column", "drift_flag")
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    // identical snapshot: nothing drifts
+    assert(flags(before) === Map("v" -> false, "k" -> false))
+    // one column's mean moves 50%: only it flags
+    val shifted = before.withColumn("v", col("v") * 1.5)
+    assert(flags(shifted) === Map("v" -> true, "k" -> false))
+    // 20% of rows dropped: EVERY column flags through row_change
+    val fewer = before.filter(col("k") <= 80)
+    assert(flags(fewer).values.forall(identity))
+    // nulls appearing in one column: null-rate flag
+    val nulled = before.withColumn("v",
+      when(col("k") % 5 === 0, lit(null)).otherwise(col("v")))
+    val f = flags(nulled)
+    assert(f("v") === true)
+  }
+
   test("distinctSketch: mergeable — union of sketches equals sketch of union") {
     import graft.ops.Profile
     // two halves with a planted overlap; merging the per-half sketches
