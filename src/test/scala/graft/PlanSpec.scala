@@ -425,6 +425,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_ann_pq: queries broadcast against the code scan, no SMJ/cartesian") {
+    val p = plan("q_ann_pq")
+    // the candidate scan must pair codes with the broadcast query table —
+    // a sort-merge or cartesian here means the corpus got shuffled for a
+    // 3-row query set
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_ann_ivf_pq: probed cells join broadcast, candidates only") {
+    val p = plan("q_ann_ivf_pq")
+    // the cell-routing equi-join must broadcast the (query, cell, table)
+    // probe frame; the corpus side never shuffles for it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_partitioned_read: partition predicate prunes directories at the scan") {
     val p = plan("q_partitioned_read")
     // the IN predicate must surface as a PARTITION filter (directory
