@@ -252,5 +252,37 @@ object chainops {
       * [[Sessions.retentionCohorts]]). */
     def retention(keyCol: String, tsCol: String): Chain =
       Chain(Sessions.retentionCohorts(c.toDF, keyCol, tsCol))
+
+    /** Nearest neighbors of `queries` against this chain's vector
+      * column, dispatching across the compression tiers:
+      * `"brute"` (exact cosine), `"hamming"` (32× sign bits + rerank),
+      * `"sq8"` (4× scalar quantization + rerank), `"pq"` (32× product
+      * quantization + ADC + rerank, codebook trained here). Each tier's
+      * scale shape and exactness contract is documented on its
+      * [[Similarity]] method. */
+    def nearestNeighbors(queries: Chain, k: Int, method: String = "brute",
+                         vecCol: String = "embedding",
+                         idCol: String = "vec_id",
+                         queryIdCol: String = "query_id"): Chain = {
+      val corpus = c.toDF
+      Chain(method match {
+        case "brute" =>
+          Similarity.bruteForceTopK(corpus, queries.toDF, k, vecCol, idCol,
+            queryIdCol)
+        case "hamming" =>
+          Similarity.hammingRerankTopK(corpus, queries.toDF, k,
+            vecCol = vecCol, idCol = idCol, queryIdCol = queryIdCol)
+        case "sq8" =>
+          Similarity.sq8RerankTopK(corpus, queries.toDF, k,
+            vecCol = vecCol, idCol = idCol, queryIdCol = queryIdCol)
+        case "pq" =>
+          val cb = Similarity.pqTrain(corpus, m = 8, kc = 16,
+            iterations = 1, vecCol = vecCol, idCol = idCol)
+          Similarity.pqRerankTopK(corpus, queries.toDF, k, cb,
+            vecCol = vecCol, idCol = idCol, queryIdCol = queryIdCol)
+        case other => throw new IllegalArgumentException(
+          s"unknown ANN method '$other' (brute/hamming/sq8/pq)")
+      })
+    }
   }
 }

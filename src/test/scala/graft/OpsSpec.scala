@@ -809,6 +809,23 @@ class OpsSpec extends SparkSpec {
     assert(over.filter(col("est_count") < col("want")).count() === 0L)
   }
 
+  test("chainops.nearestNeighbors dispatches every tier; unknown method rejects") {
+    import graft.ops.chainops._
+    import graft.core.Chain
+    val emb = Chain(spark.read.parquet(s"$sf/embeddings.parquet"))
+    val q = Chain(emb.toDF.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding")))
+    for (m <- Seq("brute", "hamming", "sq8", "pq")) {
+      val out = emb.nearestNeighbors(q, k = 3, method = m).toDF
+      assert(out.count() === 6L, m)
+      assert(out.columns.contains("query_id") &&
+        out.columns.contains("vec_id"), m)
+    }
+    intercept[IllegalArgumentException] {
+      emb.nearestNeighbors(q, k = 3, method = "faiss")
+    }
+  }
+
   test("Profile.drift: flags mean/row/null movement, silent on identity") {
     import graft.ops.Profile
     val before = (1 to 100).map(i => (i.toDouble, i.toLong)).toDF("v", "k")
