@@ -316,6 +316,40 @@ object SparkEntry {
             col("exact_users") <= 0.02).as("est_ok"))
     }),
 
+    "q_stream_heavy_hitters" -> ((s, dir) => {
+      // the FOURTH native sketch through the streaming state store:
+      // per-event-type Misra–Gries top-3 props values. Capacity 4096
+      // far exceeds the distinct props per type, so every count is
+      // exact and the batch group-count oracle reproduces the summary
+      // row-for-row — streaming frequent-items without ever holding a
+      // per-type count table in state
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = T(s, dir, "events").schema
+      val stage = Files.createTempDirectory("graft_shh")
+      Files.createSymbolicLink(stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream.schema(schema).parquet(stage.toString)
+        .filter(col("props").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.GraftFunctions
+          .heavy_hitters(col("props"), capacity = 4096, topK = 3).as("__hh"))
+      val ckpt = Files.createTempDirectory("graft_shh_ckpt").toString
+      val qn = "shh_" + math.abs(scala.util.Random.nextInt())
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = stream.writeStream.outputMode("complete").format("memory")
+          .queryName(qn).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(qn)
+        .select(col("event_type"), posexplode(col("__hh")).as(Seq("__p", "__e")))
+        .select(col("event_type"), (col("__p") + 1).cast("long").as("rank"),
+          col("__e.item").as("props"), col("__e.count").as("n"))
+    }),
+
     "q_stream_topk" -> ((s, dir) => {
       // per-type top-3 events by value as a STREAMING aggregation — the
       // niche window functions cannot serve: row_number() is illegal in a
@@ -3385,6 +3419,15 @@ object SparkEntry {
           | count(DISTINCT user_id) AS exact_users,
           | count(*) AS n_events, TRUE AS est_ok
           |FROM events GROUP BY 1""".stripMargin,
+
+      "q_stream_heavy_hitters" ->
+        """WITH c AS (SELECT event_type, props, count(*) AS n
+          |  FROM events WHERE props IS NOT NULL GROUP BY 1, 2),
+          | r AS (SELECT event_type, props, n, row_number() OVER (
+          |    PARTITION BY event_type ORDER BY n DESC, props ASC) AS rank
+          |  FROM c)
+          |SELECT event_type, CAST(rank AS BIGINT) AS rank, props, n
+          |FROM r WHERE rank <= 3""".stripMargin,
 
       "q_stream_topk" ->
         """WITH r AS (SELECT event_type, event_id, value,
