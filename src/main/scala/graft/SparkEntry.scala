@@ -2274,6 +2274,36 @@ object SparkEntry {
         .select(col("user_id"), col("t1"), col("t2"), col("t3"),
           col("step_reached"))),
 
+    "q_rolling_dau" -> ((s, dir) => {
+      // rolling-7-day distinct users from mergeable daily HLL sketches:
+      // each window is a sketch MERGE, never a 7-day rescan (exact
+      // rolling distinct can't reuse yesterday's work). Property-oracled
+      // like q_stream_distinct: exact counts cross-check the engines,
+      // estimates must land in the lgK=14 envelope
+      val ev = normTs(T(s, dir, "events"))
+      val roll = graft.ops.Sessions.rollingDistinct(ev, "user_id", "ts",
+        days = 7)
+      val d = ev.select(date_trunc("day", col("ts")).as("__day"),
+        col("user_id")).distinct()
+      val days = d.select(col("__day")).distinct()
+        .withColumn("__rn", row_number().over(Window.orderBy("__day")))
+      val exactRolling = days.as("d1")
+        .join(days.as("d2"),
+          col("d2.__rn").between(col("d1.__rn") - 6, col("d1.__rn")))
+        .join(d.as("dd"), col("dd.__day") === col("d2.__day"))
+        .groupBy(col("d1.__day").cast("date").cast("string").as("day"))
+        .agg(countDistinct(col("dd.user_id")).as("exact_rolling"))
+      val exactDaily = d
+        .groupBy(col("__day").cast("date").cast("string").as("day"))
+        .agg(countDistinct(col("user_id")).as("exact_active"))
+      roll.join(exactDaily, Seq("day")).join(exactRolling, Seq("day"))
+        .select(col("day"), col("exact_active"), col("exact_rolling"),
+          (abs(col("active") - col("exact_active")).cast("double") /
+            col("exact_active") <= 0.02).as("daily_ok"),
+          (abs(col("rolling_active") - col("exact_rolling")).cast("double") /
+            col("exact_rolling") <= 0.02).as("rolling_ok"))
+    }),
+
     "q_retention" -> ((s, dir) =>
       // weekly retention cohorts: cohort by ISO week of first event,
       // distinct (user, week) activity joined back on the entity key —
@@ -4668,6 +4698,20 @@ object SparkEntry {
           |   AS step_reached
           |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
           | LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+
+      "q_rolling_dau" ->
+        """WITH d AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+          |   FROM events),
+          | days AS (SELECT day, row_number() OVER (ORDER BY day) AS rn
+          |   FROM (SELECT DISTINCT day FROM d)),
+          | r AS (SELECT d1.day, count(DISTINCT dd.user_id) AS exact_rolling
+          |   FROM days d1 JOIN days d2 ON d2.rn BETWEEN d1.rn - 6 AND d1.rn
+          |   JOIN d dd ON dd.day = d2.day GROUP BY 1),
+          | a AS (SELECT day, count(DISTINCT user_id) AS exact_active
+          |   FROM d GROUP BY 1)
+          |SELECT strftime(a.day, '%Y-%m-%d') AS day, exact_active,
+          | exact_rolling, TRUE AS daily_ok, TRUE AS rolling_ok
+          |FROM a JOIN r ON a.day = r.day""".stripMargin,
 
       "q_retention" ->
         """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort

@@ -70,6 +70,38 @@ object Sessions {
   }
 
   /**
+   * Rolling N-day distinct entities from mergeable daily HLL sketches —
+   * the DAU/WAU/MAU primitive: one pass builds a ~16 KB sketch per day,
+   * and every rolling window is a SKETCH MERGE over the frame, not a
+   * rescan of N days of raw events (exact rolling distinct cannot reuse
+   * yesterday's work at all — distinct doesn't subtract). Daily sketches
+   * partial-aggregate map-side; the window then slides over one tiny row
+   * per day. Estimates carry the lgK error envelope (0.41% at the
+   * default 14; exact while a window's cardinality stays in the sketch's
+   * sparse regime — the gate's oracle-able regime).
+   *
+   * Returns (day, active, rolling_active): per-day distinct estimate and
+   * the trailing `days`-day distinct estimate. The frame is ROWS over
+   * the days PRESENT in the data (a day with zero events does not
+   * occupy a frame slot) — densify the day spine first if calendar
+   * frames matter. The slide itself is a single-partition window over
+   * one row per day — trivially small at any horizon.
+   */
+  def rollingDistinct(df: DataFrame, keyCol: String, tsCol: String,
+                      days: Int = 7, lgK: Int = 14): DataFrame = {
+    require(days >= 1, "need a positive window")
+    val daily = df.groupBy(date_trunc("day", col(tsCol)).as("__day"))
+      .agg(hll_sketch_agg(col(keyCol), lit(lgK)).as("__sk"))
+    val w = Window.orderBy(col("__day"))
+      .rowsBetween(-(days - 1), Window.currentRow)
+    daily.select(
+      col("__day").cast("date").cast("string").as("day"),
+      hll_sketch_estimate(col("__sk")).as("active"),
+      hll_sketch_estimate(hll_union_agg(col("__sk"), lit(true)).over(w))
+        .as("rolling_active"))
+  }
+
+  /**
    * Weekly retention cohorts: entities cohorted by the ISO week of their
    * first event; one row per (cohort_week, week_offset) with the distinct
    * entities active in that week — the curve every engagement dashboard

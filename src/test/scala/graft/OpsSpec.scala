@@ -770,6 +770,23 @@ class OpsSpec extends SparkSpec {
     assert(gapped(1L) === 3L)
   }
 
+  test("rollingDistinct: window merges daily sketches; exact in the sparse regime") {
+    import graft.ops.Sessions
+    def t(day: Int, u: Long) =
+      (java.sql.Timestamp.valueOf(f"2024-01-0$day%d 10:00:00"), u)
+    // day1 = 1..100, day2 = 51..150 (50 overlap), day3 = 301..400
+    val rows = (1L to 100L).map(t(1, _)) ++ (51L to 150L).map(t(2, _)) ++
+      (301L to 400L).map(t(3, _))
+    val out = Sessions.rollingDistinct(rows.toDF("ts", "user_id"),
+        "user_id", "ts", days = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sortBy(_._1)
+    assert(out === Seq(
+      ("2024-01-01", 100L, 100L),
+      ("2024-01-02", 100L, 150L),   // union of days 1-2 dedupes overlap
+      ("2024-01-03", 100L, 200L))) // disjoint days 2-3 sum
+  }
+
   test("retentionCohorts: offsets from the first-event week, distinct actives") {
     import graft.ops.Sessions
     // 2024-01-01 is a Monday: u1 cohort week0 active weeks {0,2} (twice in
