@@ -2240,6 +2240,13 @@ object SparkEntry {
           tieBreak = Some("event_id"))
         .select("event_id", "user_id", "session_id")),
 
+    "q_kfold" -> ((s, dir) =>
+      // deterministic 5-fold CV assignment: zero-shuffle projection,
+      // md5-content-hash folds reproduced bit-for-bit by the oracle
+      graft.ops.Split.kFold(
+        T(s, dir, "orders").select(col("o_orderkey")),
+        "o_orderkey", k = 5, seed = "cv")),
+
     "q_weighted_sample_group" -> ((s, dir) =>
       // per-source weighted draw (weight = n_chars) through the bounded
       // heap: one pass samples every stratum at once, O(5) state per
@@ -4666,6 +4673,12 @@ object SparkEntry {
           |   (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
           |FROM x""".stripMargin,
+
+      "q_kfold" ->
+        """SELECT o_orderkey,
+          | CAST(CAST('0x' || substr(md5(o_orderkey || ':cv'), 1, 13)
+          |   AS BIGINT) % 5 AS BIGINT) AS fold
+          |FROM orders""".stripMargin,
 
       "q_weighted_sample_group" ->
         """WITH k AS (SELECT source, doc_id,

@@ -36,6 +36,22 @@ object Split {
     df.filter(pmod(col(keyCol), lit(total)) === index)
 
   /**
+   * Deterministic k-fold assignment for cross-validation: every row gets
+   * a stable `fold` in [0, k) from the same md5-content-hash uniform as
+   * [[weightedSample]] — reproducible across runs, engines, and cluster
+   * sizes (no shuffle, no RNG state; the oracle replays the identical
+   * arithmetic), and any subset of the data keeps its folds. Train/test
+   * for fold i = `fold =!= i` / `fold === i`.
+   */
+  def kFold(df: DataFrame, idCol: String, k: Int,
+            seed: String = ""): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    val u = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":" + seed))), 1, 13), 16, 10).cast("long")
+    df.withColumn("fold", pmod(u, lit(k.toLong)))
+  }
+
+  /**
    * PER-GROUP weighted sample without replacement: the same
    * content-hash-deterministic A-ES keys as [[weightedSample]], selected
    * through the bounded-heap aggregate
