@@ -316,6 +316,30 @@ object SparkEntry {
             col("exact_users") <= 0.02).as("est_ok"))
     }),
 
+    "q_stream_enrich" -> ((s, dir) => {
+      // stream-static dimension enrichment: each micro-batch broadcast-
+      // joins the dim (re-broadcast per batch, so a slowly-changing dim
+      // stays current). Dim derives deterministically from user ids, so
+      // the AvailableNow run equals the plain batch join the oracle runs
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = T(s, dir, "events").schema
+      val stage = Files.createTempDirectory("graft_sen")
+      Files.createSymbolicLink(stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val dim = T(s, dir, "events").select(col("user_id")).distinct()
+        .withColumn("segment", pmod(col("user_id"), lit(4)))
+      val stream = s.readStream.schema(schema).parquet(stage.toString)
+        .select(col("event_id"), col("user_id"))
+      val out = graft.streaming.EventStream.enrich(stream, dim,
+        Seq("user_id"))
+      val ckpt = Files.createTempDirectory("graft_sen_ckpt").toString
+      val qn = "sen_" + math.abs(scala.util.Random.nextInt())
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try graft.streaming.EventStream.runAvailableNow(out, qn, ckpt)
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     "q_stream_heavy_hitters" -> ((s, dir) => {
       // the FOURTH native sketch through the streaming state store:
       // per-event-type Misra–Gries top-3 props values. Capacity 4096
@@ -3456,6 +3480,10 @@ object SparkEntry {
           | count(DISTINCT user_id) AS exact_users,
           | count(*) AS n_events, TRUE AS est_ok
           |FROM events GROUP BY 1""".stripMargin,
+
+      "q_stream_enrich" ->
+        """SELECT user_id, event_id, user_id % 4 AS segment
+          |FROM events""".stripMargin,
 
       "q_stream_heavy_hitters" ->
         """WITH c AS (SELECT event_type, props, count(*) AS n

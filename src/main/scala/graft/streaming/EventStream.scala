@@ -123,7 +123,8 @@ object EventStream {
    * recompute in batch when late data must win).
    */
   def streamingFunnel(events: org.apache.spark.sql.Dataset[FunnelEventIn],
-                      steps: Seq[String])
+                      steps: Seq[String],
+                      maxGapSec: Option[Long] = None)
       : org.apache.spark.sql.Dataset[FunnelAdvance] = {
     require(steps.nonEmpty, "need at least one funnel step")
     import events.sparkSession.implicits._
@@ -141,8 +142,11 @@ object EventStream {
             if (st.step < steps.length && e.event_type == steps(st.step)) {
               val t = micros(e.ts)
               // step 1 anchors anywhere; later steps must be STRICTLY
-              // after the previous advancement (same rule as the batch op)
-              if (st.step == 0 || t > st.lastTsMicros) {
+              // after the previous advancement and inside the optional
+              // per-transition gap (same rules as the batch op)
+              val within = maxGapSec.forall(g =>
+                st.step == 0 || t <= st.lastTsMicros + g * 1000000L)
+              if ((st.step == 0 || t > st.lastTsMicros) && within) {
                 st = FunnelState(st.step + 1, t)
                 out += FunnelAdvance(userId, st.step.toLong, t)
               }

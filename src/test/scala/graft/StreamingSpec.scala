@@ -116,6 +116,24 @@ class StreamingSpec extends SparkSpec {
       assert(got === Set((1L, 1L, 10000000L), (1L, 2L, 30000000L),
         (1L, 3L, 40000000L)))
     } finally q.stop()
+    // gap variant: purchase 10s after t2 violates maxGapSec=5 and the
+    // chain can never recover (every later event is further away) —
+    // same rule as the batch op
+    val ckpt2 = Files.createTempDirectory("ckpt_sfn2").toString
+    val ms2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[EventStream.FunnelEventIn]
+    val q2 = EventStream.streamingFunnel(ms2.toDS(),
+        Seq("signup", "view", "purchase"), maxGapSec = Some(5L)).toDF
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sfn_gap").option("checkpointLocation", ckpt2).start()
+    try {
+      ms2.addData(ev(1, 10, 1, "signup"), ev(2, 13, 1, "view"),
+        ev(3, 23, 1, "purchase"))
+      q2.processAllAvailable()
+      val gapGot = spark.table("sfn_gap")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(gapGot === Set((1L, 1L, 10000000L), (1L, 2L, 13000000L)))
+    } finally q2.stop()
   }
 
   test("stateful sessionization assigns gap-based session ids with custom state") {
