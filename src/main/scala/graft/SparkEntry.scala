@@ -1852,6 +1852,21 @@ object SparkEntry {
       Corpus.heavyHitterPhrases(T(s, dir, "documents"), "text", "source",
         n = 2, capacity = 4096, topK = 5)),
 
+    "q_kll_weighted" -> ((s, dir) =>
+      // weight-aware KLL: per-source doc-length quantiles where each doc
+      // counts by a deterministic integer mass (doc_id%7+1, exercising
+      // multi-bit binary-expansion inserts) — "percentile by token mass,
+      // not by row count". Exact regime (level sizes << k), so the
+      // weighted discrete quantile reproduces in SQL
+      T(s, dir, "documents")
+        .select(col("source"), col("n_chars").cast("double").as("__v"),
+          (pmod(col("doc_id"), lit(7)) + 1).cast("long").as("__w"))
+        .groupBy("source")
+        .agg(graft.functions.GraftFunctions.kll_quantiles_weighted(
+          col("__v"), col("__w"), Seq(0.5, 0.9), 2048).as("__q"))
+        .select(col("source"), element_at(col("__q"), 1).as("p50"),
+          element_at(col("__q"), 2).as("p90"))),
+
     "q_topk_group" -> ((s, dir) =>
       // per-source top-7 documents by length through the native bounded-
       // heap aggregate: O(k) pairs per group cross the shuffle, and the
@@ -3904,6 +3919,20 @@ object SparkEntry {
            |   WHERE doc_id % 7 = 0)
            |SELECT exact_a, exact_b, TRUE AS a_ok, TRUE AS b_ok,
            |  TRUE AS union_ok, TRUE AS intersect_ok FROM a, b""".stripMargin,
+
+      "q_kll_weighted" ->
+        """WITH d AS (SELECT source, CAST(n_chars AS DOUBLE) AS v,
+          |   doc_id % 7 + 1 AS w FROM documents),
+          | g AS (SELECT source, v, sum(w) AS wv FROM d GROUP BY 1, 2),
+          | c AS (SELECT source, v,
+          |   sum(wv) OVER (PARTITION BY source ORDER BY v) AS cum FROM g),
+          | t AS (SELECT source, sum(wv) AS tot FROM g GROUP BY 1)
+          |SELECT c.source,
+          | min(CASE WHEN cum >= greatest(1,
+          |   CAST(ceil(0.5 * tot) AS BIGINT)) THEN v END) AS p50,
+          | min(CASE WHEN cum >= greatest(1,
+          |   CAST(ceil(0.9 * tot) AS BIGINT)) THEN v END) AS p90
+          |FROM c JOIN t ON c.source = t.source GROUP BY 1""".stripMargin,
 
       "q_topk_group" ->
         """WITH rk AS (SELECT source, doc_id,

@@ -80,6 +80,15 @@ object GraftFunctions {
   def kll_quantiles(c: Column, probs: Seq[Double], k: Int = 2048): Column =
     toCol(KllQuantiles(toExpr(c), probs, k).toAggregateExpression())
 
+  /** Weight-aware KLL: integer row weights via binary-expansion level
+    * inserts (O(log w) per row, total weight exact) — "p99 by token
+    * mass, not by row count". Same convention, sharing, and exact
+    * regime as [[kll_quantiles]]. */
+  def kll_quantiles_weighted(c: Column, w: Column, probs: Seq[Double],
+                             k: Int = 2048): Column =
+    toCol(KllQuantilesWeighted(toExpr(c), toExpr(w), probs, k)
+      .toAggregateExpression())
+
   /** 1 - cos(a,b) over float vectors (reference: src/datachain/func/array.py:10). */
   def cosine_distance(a: Column, b: Column): Column =
     toCol(CosineDistance(toExpr(a), toExpr(b)))

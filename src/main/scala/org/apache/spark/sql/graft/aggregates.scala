@@ -154,6 +154,116 @@ final class QuantileSketchBuffer {
   var n: Long = 0L
 }
 
+/** Shared machinery of [[KllQuantiles]] and [[KllQuantilesWeighted]]:
+  * compaction, merge, quantile walk, and serde over
+  * [[QuantileSketchBuffer]] — one implementation so the weighted variant
+  * cannot drift from the gated unweighted one. */
+private[graft] object QuantileSketchOps {
+
+  /** Sort level `level`, promote every other item (alternating parity) to
+    * level+1 at doubled weight, keep an odd straggler in place; cascade
+    * upward while buffers overflow. Total weight is preserved exactly. */
+  def compact(buf: QuantileSketchBuffer, level: Int, k: Int): Unit = {
+    val cur = buf.levels(level)
+    val arr = cur.toArray
+    java.util.Arrays.sort(arr)
+    if (buf.levels.size <= level + 1)
+      buf.levels += mutable.ArrayBuffer.empty[Double]
+    val next = buf.levels(level + 1)
+    val off = if (buf.flip) 1 else 0
+    buf.flip = !buf.flip
+    val pairs = arr.length / 2
+    var i = 0
+    while (i < pairs) { next += arr(2 * i + off); i += 1 }
+    cur.clear()
+    if (arr.length % 2 == 1) cur += arr(arr.length - 1)
+    if (next.size >= k) compact(buf, level + 1, k)
+  }
+
+  def merge(buf: QuantileSketchBuffer, other: QuantileSketchBuffer,
+            k: Int): QuantileSketchBuffer = {
+    var lvl = 0
+    while (lvl < other.levels.size) {
+      if (buf.levels.size <= lvl)
+        buf.levels += mutable.ArrayBuffer.empty[Double]
+      buf.levels(lvl) ++= other.levels(lvl)
+      lvl += 1
+    }
+    buf.n += other.n
+    var i = 0
+    while (i < buf.levels.size) {
+      if (buf.levels(i).size >= k) compact(buf, i, k)
+      i += 1
+    }
+    buf
+  }
+
+  /** Discrete lower quantiles: smallest value whose cumulative weighted
+    * count >= ceil(q*n), clamped to >= 1. Null on an empty buffer. */
+  def eval(buf: QuantileSketchBuffer, probs: Seq[Double]): Any = {
+    if (buf.n == 0L) return null
+    var m = 0
+    buf.levels.foreach(l => m += l.size)
+    val vals = new Array[Double](m)
+    val wts = new Array[Long](m)
+    var idx = 0
+    var lvl = 0
+    while (lvl < buf.levels.size) {
+      val w = 1L << lvl
+      buf.levels(lvl).foreach { v => vals(idx) = v; wts(idx) = w; idx += 1 }
+      lvl += 1
+    }
+    val order = (0 until m).sortBy(vals(_)).toArray
+    val out = probs.map { q =>
+      val target = math.max(1L, math.ceil(q * buf.n).toLong)
+      var cum = 0L
+      var j = 0
+      var ans = vals(order(m - 1))
+      var found = false
+      while (j < m && !found) {
+        cum += wts(order(j))
+        if (cum >= target) { ans = vals(order(j)); found = true }
+        j += 1
+      }
+      ans: Any
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def serialize(buf: QuantileSketchBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeBoolean(buf.flip)
+    out.writeLong(buf.n)
+    out.writeInt(buf.levels.size)
+    buf.levels.foreach { l =>
+      out.writeInt(l.size)
+      l.foreach(out.writeDouble)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): QuantileSketchBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new QuantileSketchBuffer
+    buf.flip = in.readBoolean()
+    buf.n = in.readLong()
+    val nLevels = in.readInt()
+    buf.levels.clear()
+    var i = 0
+    while (i < nLevels) {
+      val sz = in.readInt()
+      val l = new mutable.ArrayBuffer[Double](math.max(sz, 4))
+      var j = 0
+      while (j < sz) { l += in.readDouble(); j += 1 }
+      buf.levels += l
+      i += 1
+    }
+    if (buf.levels.isEmpty) buf.levels += mutable.ArrayBuffer.empty[Double]
+    buf
+  }
+}
+
 /**
  * Mergeable quantile sketch as a native Catalyst aggregate — the 100 TB
  * profiling primitive next to [[MisraGriesTopK]]: per-partition summaries
@@ -216,108 +326,21 @@ case class KllQuantiles(
     buf
   }
 
-  /** Sort level `level`, promote every other item (alternating parity) to
-    * level+1 at doubled weight, keep an odd straggler in place; cascade
-    * upward while buffers overflow. Total weight is preserved exactly:
-    * each promoted item represents itself and its dropped pair partner. */
-  private def compact(buf: QuantileSketchBuffer, level: Int): Unit = {
-    val cur = buf.levels(level)
-    val arr = cur.toArray
-    java.util.Arrays.sort(arr)
-    if (buf.levels.size <= level + 1)
-      buf.levels += mutable.ArrayBuffer.empty[Double]
-    val next = buf.levels(level + 1)
-    val off = if (buf.flip) 1 else 0
-    buf.flip = !buf.flip
-    val pairs = arr.length / 2
-    var i = 0
-    while (i < pairs) { next += arr(2 * i + off); i += 1 }
-    cur.clear()
-    if (arr.length % 2 == 1) cur += arr(arr.length - 1)
-    if (next.size >= k) compact(buf, level + 1)
-  }
+  private def compact(buf: QuantileSketchBuffer, level: Int): Unit =
+    QuantileSketchOps.compact(buf, level, k)
 
   override def merge(buf: QuantileSketchBuffer,
-                     other: QuantileSketchBuffer): QuantileSketchBuffer = {
-    var lvl = 0
-    while (lvl < other.levels.size) {
-      if (buf.levels.size <= lvl)
-        buf.levels += mutable.ArrayBuffer.empty[Double]
-      buf.levels(lvl) ++= other.levels(lvl)
-      lvl += 1
-    }
-    buf.n += other.n
-    var i = 0
-    while (i < buf.levels.size) {
-      if (buf.levels(i).size >= k) compact(buf, i)
-      i += 1
-    }
-    buf
-  }
+                     other: QuantileSketchBuffer): QuantileSketchBuffer =
+    QuantileSketchOps.merge(buf, other, k)
 
-  override def eval(buf: QuantileSketchBuffer): Any = {
-    if (buf.n == 0L) return null
-    // gather (value, weight) across levels, sort by value, walk cum weight
-    var m = 0
-    buf.levels.foreach(l => m += l.size)
-    val vals = new Array[Double](m)
-    val wts = new Array[Long](m)
-    var idx = 0
-    var lvl = 0
-    while (lvl < buf.levels.size) {
-      val w = 1L << lvl
-      buf.levels(lvl).foreach { v => vals(idx) = v; wts(idx) = w; idx += 1 }
-      lvl += 1
-    }
-    val order = (0 until m).sortBy(vals(_)).toArray
-    val out = probs.map { q =>
-      val target = math.max(1L, math.ceil(q * buf.n).toLong)
-      var cum = 0L
-      var j = 0
-      var ans = vals(order(m - 1))
-      var found = false
-      while (j < m && !found) {
-        cum += wts(order(j))
-        if (cum >= target) { ans = vals(order(j)); found = true }
-        j += 1
-      }
-      ans: Any
-    }
-    new GenericArrayData(out.toArray)
-  }
+  override def eval(buf: QuantileSketchBuffer): Any =
+    QuantileSketchOps.eval(buf, probs)
 
-  override def serialize(buf: QuantileSketchBuffer): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeBoolean(buf.flip)
-    out.writeLong(buf.n)
-    out.writeInt(buf.levels.size)
-    buf.levels.foreach { l =>
-      out.writeInt(l.size)
-      l.foreach(out.writeDouble)
-    }
-    out.flush(); bos.toByteArray
-  }
+  override def serialize(buf: QuantileSketchBuffer): Array[Byte] =
+    QuantileSketchOps.serialize(buf)
 
-  override def deserialize(bytes: Array[Byte]): QuantileSketchBuffer = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val buf = new QuantileSketchBuffer
-    buf.flip = in.readBoolean()
-    buf.n = in.readLong()
-    val nLevels = in.readInt()
-    buf.levels.clear()
-    var i = 0
-    while (i < nLevels) {
-      val sz = in.readInt()
-      val l = new mutable.ArrayBuffer[Double](math.max(sz, 4))
-      var j = 0
-      while (j < sz) { l += in.readDouble(); j += 1 }
-      buf.levels += l
-      i += 1
-    }
-    if (buf.levels.isEmpty) buf.levels += mutable.ArrayBuffer.empty[Double]
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): QuantileSketchBuffer =
+    QuantileSketchOps.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(offset: Int): KllQuantiles =
     copy(mutableAggBufferOffset = offset)
@@ -460,5 +483,92 @@ case class TopKRows(
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): TopKRows =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Weight-aware [[KllQuantiles]]: each row carries an integer weight w,
+ * decomposed into its binary expansion — for every set bit b of w the
+ * value inserts once at level b (weight 2^b) — so total weight is
+ * preserved EXACTLY with O(log w) inserts per row, and compaction /
+ * merge / query are byte-identical to the unweighted sketch
+ * ([[QuantileSketchOps]] is shared). The weighted quantile convention
+ * matches the unweighted one: the smallest value whose cumulative
+ * WEIGHT reaches ceil(q·W). Token-weighted length/quality percentiles
+ * over a corpus are the motivating shape — "the p99 document by token
+ * mass", not by document count. EXACT while no level overflows k
+ * (inserts per level are bounded by the row count, so the oracle-able
+ * regime is the same as the unweighted gate's); rows with null/
+ * non-positive weight or null value are skipped.
+ */
+case class KllQuantilesWeighted(
+    left: Expression,
+    right: Expression,
+    probs: Seq[Double],
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[QuantileSketchBuffer]
+    with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
+
+  require(k >= 8, "k must be at least 8")
+  require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+    "probabilities must be in [0, 1]")
+
+  override def prettyName: String = "kll_quantiles_weighted"
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType)
+
+  override def createAggregationBuffer(): QuantileSketchBuffer =
+    new QuantileSketchBuffer
+
+  override def update(buf: QuantileSketchBuffer,
+                      input: InternalRow): QuantileSketchBuffer = {
+    val v = left.eval(input)
+    val wAny = right.eval(input)
+    if (v != null && wAny != null) {
+      val w = wAny.asInstanceOf[Long]
+      if (w > 0L) {
+        val x = v.asInstanceOf[Double]
+        var ww = w
+        var b = 0
+        while (ww != 0L) {
+          if ((ww & 1L) == 1L) {
+            while (buf.levels.size <= b)
+              buf.levels += mutable.ArrayBuffer.empty[Double]
+            buf.levels(b) += x
+            if (buf.levels(b).size >= k) QuantileSketchOps.compact(buf, b, k)
+          }
+          ww >>>= 1
+          b += 1
+        }
+        buf.n += w
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: QuantileSketchBuffer,
+                     other: QuantileSketchBuffer): QuantileSketchBuffer =
+    QuantileSketchOps.merge(buf, other, k)
+
+  override def eval(buf: QuantileSketchBuffer): Any =
+    QuantileSketchOps.eval(buf, probs)
+
+  override def serialize(buf: QuantileSketchBuffer): Array[Byte] =
+    QuantileSketchOps.serialize(buf)
+
+  override def deserialize(bytes: Array[Byte]): QuantileSketchBuffer =
+    QuantileSketchOps.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllQuantilesWeighted =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllQuantilesWeighted =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllQuantilesWeighted =
     copy(left = newLeft, right = newRight)
 }

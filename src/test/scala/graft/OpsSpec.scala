@@ -942,6 +942,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("kll_quantiles_weighted: equals the row-replicated unweighted sketch") {
+    import graft.functions.GraftFunctions.{kll_quantiles, kll_quantiles_weighted}
+    // weights 1..13 exercise multi-bit decomposition; the semantic
+    // ground truth is literal row replication through the UNWEIGHTED
+    // sketch (exact regime both sides, so both equal the true weighted
+    // discrete quantiles), across partitionings
+    val rows = (1 to 200).map(i =>
+      (((i * 2654435761L) % 997).toDouble, (i % 13 + 1).toLong))
+    val probs = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val replicated = rows.flatMap { case (v, w) =>
+      Seq.fill(w.toInt)(v) }
+    val expected = replicated.toDF("v")
+      .agg(kll_quantiles(col("v"), probs, 4096)).head().getSeq[Double](0)
+    for (parts <- Seq(1, 7, 32)) {
+      val got = rows.toDF("v", "w").repartition(parts)
+        .agg(kll_quantiles_weighted(col("v"), col("w"), probs, 4096))
+        .head().getSeq[Double](0)
+      assert(got === expected, s"parts=$parts")
+    }
+    // null / non-positive weights are skipped; all-skipped yields null
+    val mixed = Seq((1.0, Some(0L)), (2.0, None), (3.0, Some(2L)))
+      .toDF("v", "w")
+    assert(mixed.agg(kll_quantiles_weighted(col("v"), col("w"),
+      Seq(0.5), 64)).head().getSeq[Double](0) === Seq(3.0))
+    assert(mixed.filter(col("v") < 3)
+      .agg(kll_quantiles_weighted(col("v"), col("w"), Seq(0.5), 64))
+      .head().isNullAt(0))
+  }
+
   test("kll_quantiles: nulls skipped, all-null group yields null") {
     import graft.functions.GraftFunctions.kll_quantiles
     val df = Seq(Some(3.0), None, Some(1.0)).toDF("v")
