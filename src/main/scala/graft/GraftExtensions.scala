@@ -64,5 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         es(2).eval().asInstanceOf[Number].intValue())
         .toAggregateExpression()
     }
+    inject("kll_quantiles_weighted") { es =>
+      val probs = es(2).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray().toSeq
+      KllQuantilesWeighted(es(0), es(1), probs,
+        es(3).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()
+    }
   }
 }

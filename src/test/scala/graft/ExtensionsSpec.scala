@@ -51,6 +51,14 @@ class ExtensionsSpec extends AnyFunSuite {
           |FROM (SELECT explode(sequence(1, 10)) AS v)""".stripMargin)
         .head().getSeq[Double](0)
       assert(kq === Seq(5.0, 10.0))
+      // the weighted variant too: value 9 carries 10x the mass of 1..8
+      val kw = s.sql(
+        """SELECT kll_quantiles_weighted(CAST(v AS DOUBLE),
+          |  CAST(CASE WHEN v = 9 THEN 10 ELSE 1 END AS BIGINT),
+          |  array(0.5D), 64) AS q
+          |FROM (SELECT explode(sequence(1, 9)) AS v)""".stripMargin)
+        .head().getSeq[Double](0)
+      assert(kw === Seq(9.0)) // cum weight hits ceil(0.5*18)=9 at v=9
     } finally {
       SparkSession.setActiveSession(TestSpark.spark)
       SparkSession.setDefaultSession(TestSpark.spark)
