@@ -152,6 +152,23 @@ final class Catalog(val root: String, spark: SparkSession) {
    * `"^1.2"` (same major), tilde `"~1.2"` (same major.minor). Picks the
    * LATEST version satisfying the spec.
    */
+  /** Time travel by TIMESTAMP (the `TIMESTAMP AS OF` half beside
+    * version specifiers): the newest version whose recorded `createdAt`
+    * is at or before `asOf`. Metadata-only resolution (one meta read
+    * per version of this dataset); throws if the dataset has no version
+    * that old. */
+  def readDatasetAsOf(name: String, asOf: java.time.Instant): Chain = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"unknown dataset: $name")
+    val eligible = vs.filter { v =>
+      "\"createdAt\": \"([^\"]+)\"".r.findFirstMatchIn(readMeta(name, v))
+        .exists(m => !java.time.Instant.parse(m.group(1)).isAfter(asOf))
+    }
+    require(eligible.nonEmpty,
+      s"$name has no version created at or before $asOf")
+    readDataset(name, Some(eligible.last))
+  }
+
   def readDatasetSpec(name: String, spec: String): Chain = {
     val v = resolveSpec(name, spec).getOrElse(throw new NoSuchElementException(
       s"dataset $name has no version matching '$spec' " +
@@ -226,12 +243,13 @@ final class Catalog(val root: String, spark: SparkSession) {
    * versions of every dataset PLUS, transitively, any version a kept
    * version's recorded lineage depends on — deleting a dep would break
    * `readDataset` reproducibility for a survivor, so lineage always wins
-   * over the retention count. Returns the deleted (name, version) pairs.
+   * over the retention count. Returns the deleted (name, version) pairs
+   * (`dryRun = true` reports the victims without deleting — audit first).
    * Cost model: metadata-only reads (one meta.json per PROTECTED
    * version for the dep closure), then per-victim directory deletes — no
    * data file is ever read.
    */
-  def vacuum(keepLast: Int = 2): Seq[(String, SemVer)] = {
+  def vacuum(keepLast: Int = 2, dryRun: Boolean = false): Seq[(String, SemVer)] = {
     require(keepLast >= 1, "keepLast must be at least 1")
     val all = datasets().map(n => n -> versions(n)).toMap
     val seed = all.toSeq.flatMap { case (n, vs) =>
@@ -250,7 +268,9 @@ final class Catalog(val root: String, spark: SparkSession) {
     val victims = all.toSeq.sortBy(_._1).flatMap { case (n, vs) =>
       vs.filterNot(v => protect((n, v))).map(n -> _)
     }
-    victims.foreach { case (n, v) => deleteVersion(n, v) }
+    // dryRun reports what WOULD go — the audit step before a destructive
+    // pass over someone's catalog
+    if (!dryRun) victims.foreach { case (n, v) => deleteVersion(n, v) }
     victims
   }
 

@@ -105,9 +105,11 @@ object Cli {
           .orderBy("dataset", "version", "dep_name"))
         case "vacuum" =>
           val keep = p.flags.getOrElse("keep", "2").toInt
-          val gone = cat.vacuum(keep)
+          val dry = p.flags.get("dry-run").exists(_.equalsIgnoreCase("true"))
+          val gone = cat.vacuum(keep, dryRun = dry)
+          val verb = if (dry) "would delete" else "deleted"
           if (gone.isEmpty) "nothing to vacuum"
-          else gone.map { case (n, v) => s"deleted $n@v$v" }.mkString("\n")
+          else gone.map { case (n, v) => s"$verb $n@v$v" }.mkString("\n")
         case "namespaces" => cat.namespaces().mkString("\n")
         case "projects" =>
           cat.listProjects(p.positional.headOption)

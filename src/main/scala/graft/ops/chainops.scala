@@ -253,6 +253,19 @@ object chainops {
     def retention(keyCol: String, tsCol: String): Chain =
       Chain(Sessions.retentionCohorts(c.toDF, keyCol, tsCol))
 
+    /** Deterministic k-fold CV assignment (see [[Split.kFold]]). */
+    def kFold(idCol: String, k: Int, seed: String = ""): Chain =
+      Chain(Split.kFold(c.toDF, idCol, k, seed))
+
+    /** Rolling N-day distinct entities from daily HLL sketches (see
+      * [[Sessions.rollingDistinct]]). */
+    def rollingDistinct(keyCol: String, tsCol: String, days: Int = 7): Chain =
+      Chain(Sessions.rollingDistinct(c.toDF, keyCol, tsCol, days))
+
+    /** Column drift vs an earlier snapshot (see [[Profile.drift]]). */
+    def driftFrom(before: Chain, relTol: Double = 0.1): Chain =
+      Chain(Profile.drift(before.toDF, c.toDF, relTol))
+
     /** Nearest neighbors of `queries` against this chain's vector
       * column, dispatching across the compression tiers:
       * `"brute"` (exact cosine), `"hamming"` (32× sign bits + rerank),

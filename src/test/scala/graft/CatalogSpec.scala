@@ -46,11 +46,35 @@ class CatalogSpec extends SparkSpec {
     assert(cat.readDataset("a", Some(a1)).count() === 5)
     // a second vacuum is a no-op (idempotent on a clean catalog)
     assert(cat.vacuum(keepLast = 1) === Seq.empty)
-    // dangling deps (to a never-existing version) don't block deletion
+    // dangling deps (to a never-existing version) don't block deletion;
+    // a dry run reports the same victims without touching anything
     cat.save(c.limit(4), "a")                                   // 1.3.0
     cat.save(c, "b", deps = Seq("ghost@v9.9.9"))
-    assert(cat.vacuum(keepLast = 1).toSet ===
-      Set(("a", a1), ("a", a3), ("b", SemVer(1, 0, 0))))
+    val expect = Set(("a", a1), ("a", a3), ("b", SemVer(1, 0, 0)))
+    assert(cat.vacuum(keepLast = 1, dryRun = true).toSet === expect)
+    assert(cat.versions("a").size === 3 && cat.versions("b").size === 2)
+    assert(cat.vacuum(keepLast = 1).toSet === expect)
+  }
+
+  test("readDatasetAsOf resolves timestamp time travel over createdAt") {
+    val root = Files.createTempDirectory("cat_asof").toString
+    val cat = new Catalog(root, spark)
+    val c = Chain(spark.read.parquet(s"$sf/region.parquet"))
+    val t0 = java.time.Instant.now()
+    cat.save(c, "r")                 // v1.0.0 (5 rows)
+    Thread.sleep(1100)
+    val mid = java.time.Instant.now()
+    Thread.sleep(1100)
+    cat.save(c.limit(2), "r")        // v1.1.0 (2 rows)
+    // between the saves → v1.0.0; after both → the newest; before any → error
+    assert(cat.readDatasetAsOf("r", mid).count() === 5)
+    assert(cat.readDatasetAsOf("r", java.time.Instant.now()).count() === 2)
+    intercept[IllegalArgumentException] {
+      cat.readDatasetAsOf("r", t0.minusSeconds(60))
+    }
+    intercept[IllegalArgumentException] {
+      cat.readDatasetAsOf("nope", mid)
+    }
   }
 
   test("checkpoint lookup by chain hash") {
