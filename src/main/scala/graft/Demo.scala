@@ -77,6 +77,22 @@ object Demo {
       transform = _.selectExpr(col("doc_id"), col("tokens"), col("quality")))
     jm.persist()
 
+    // 6. curation + QA surface: per-source best docs (bounded-heap
+    // aggregate), sketch-cheap train/test 13-gram overlap estimate,
+    // snapshot drift check, deterministic CV folds, catalog GC audit
+    val best = graft.ops.Corpus.topKPerGroup(deduped.toDF, "source",
+      col("quality"), col("doc_id").cast("string"), k = 2).count()
+    val overlap = graft.ops.Corpus.ngramOverlap(
+      train.toDF.select(col("doc_id"), col("text")),
+      test.toDF.select(col("doc_id"), col("text")), "text").head()
+    val drifted = graft.ops.Profile.drift(
+        docs.toDF.select(col("n_chars"), col("doc_id")),
+        deduped.toDF.select(col("n_chars"), col("doc_id")))
+      .filter(col("drift_flag")).count()
+    val folds = graft.ops.Split.kFold(deduped.toDF, "doc_id", k = 5)
+      .groupBy("fold").count().count()
+    val wouldVacuum = cat.vacuum(keepLast = 1, dryRun = true).size
+
     println(s"""
        |graft demo @ $sfDir  (warehouse: $warehouse)
        |  cleaned:        ${cleaned.count()}
@@ -87,6 +103,11 @@ object Demo {
        |  delta run 2:    full=${r2.fullRecompute} changed=${r2.changedRows} (expect 0)
        |  datasets:       ${cat.datasets().mkString(", ")}
        |  metrics:        ${JobMetrics.read(cat, "demo-job").get}
+       |  best-per-src:   $best rows
+       |  13-gram overlap train∩test ≈ ${overlap.getAs[Long]("est_intersect")}
+       |  drifted cols:   $drifted (raw → cleaned+deduped)
+       |  cv folds:       $folds
+       |  vacuum (dry):   $wouldVacuum victim(s)
        |""".stripMargin)
     spark.stop()
   }
