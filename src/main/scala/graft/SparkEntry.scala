@@ -1721,8 +1721,12 @@ object SparkEntry {
       val (assigned, centroids) = Similarity.ivfBuild(emb, nlist = 16,
         iterations = 1)
       val cb = Similarity.pqTrain(emb, m = 8, kc = 16, iterations = 1)
+      // prefilter sized as a corpus FRACTION (8%, floor 40) — the r5
+      // q_ann_rerank lesson: a fixed shortlist silently loses recall as
+      // the corpus grows across SFs/regenerations
+      val pre = math.max(40L, emb.count() / 12L).toInt
       val res = Similarity.ivfPqRerankTopK(assigned, centroids, queries,
-        k = 5, cb, nprobe = 8, prefilter = 40)
+        k = 5, cb, nprobe = 8, prefilter = pre)
       val exact = emb.select(col("vec_id"),
           col("embedding").cast("array<double>").as("__cv"))
         .join(broadcast(queries.select(col("query_id"),
