@@ -927,6 +927,18 @@ object SparkEntry {
           round(col("min"), 4).as("min_v"), round(col("max"), 4).as("max_v"),
           round(col("mean"), 4).as("mean_v"))),
 
+    "q_outliers" -> ((s, dir) =>
+      // MAD-based robust outlier flags over order totals: median and MAD
+      // both from the KLL sketch in its exact regime (15,000 rows ≤
+      // k=16384), so every deviation and flag reproduces in SQL with the
+      // same discrete lower-quantile convention
+      graft.ops.Profile.madOutliers(
+          T(s, dir, "orders").select(col("o_orderkey"),
+            col("o_totalprice")), "o_totalprice", c = 3.0)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice_dev"), 6).as("dev"),
+          col("is_outlier"))),
+
     "q_profile_drift" -> ((s, dir) => {
       // snapshot-to-snapshot drift QA: the "after" version reprices
       // o_totalprice +20% on the same rows — its mean moves 4× past the
@@ -3459,6 +3471,20 @@ object SparkEntry {
           | max(CASE WHEN rn = greatest(1, CAST(ceil(0.9*n) AS BIGINT))
           |   THEN v END) AS p90
           |FROM r GROUP BY w""".stripMargin,
+
+      "q_outliers" ->
+        """WITH v AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS x
+          |   FROM orders),
+          | m AS (SELECT x AS med FROM (SELECT x,
+          |     row_number() OVER (ORDER BY x) AS rn, count(*) OVER () AS n
+          |   FROM v) WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))),
+          | d AS (SELECT v.o_orderkey, abs(v.x - m.med) AS dev FROM v, m),
+          | m2 AS (SELECT dev AS mad FROM (SELECT dev,
+          |     row_number() OVER (ORDER BY dev) AS rn, count(*) OVER () AS n
+          |   FROM d) WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT)))
+          |SELECT o_orderkey, round(dev, 6) AS dev,
+          | (dev > 3.0 * mad) AS is_outlier
+          |FROM d, m2""".stripMargin,
 
       "q_profile_drift" ->
         """WITH b AS (SELECT count(*) AS n,

@@ -72,6 +72,32 @@ object Profile {
   }
 
   /**
+   * Robust outlier flagging via median absolute deviation: flags rows
+   * with |x − median| > c·MAD — the heavy-tail-safe alternative to
+   * z-scores (mean/stddev are themselves dragged by the outliers they
+   * should catch). Both statistics come from the mergeable KLL sketch in
+   * one pass each (two passes total, two scalar driver reads) — EXACT
+   * while the row count stays ≤ k (the oracle-able regime; beyond it the
+   * rank error is the sketch's documented bound), using the discrete
+   * lower-quantile convention throughout. c = 3 ≈ the classic
+   * "3 scaled-MAD" rule without the normal-consistency constant — pick c
+   * for your tail, the flag compares raw MAD units.
+   *
+   * Returns df plus (`<col>_dev`, `is_outlier`).
+   */
+  def madOutliers(df: DataFrame, colName: String, c: Double = 3.0,
+                  k: Int = 16384): DataFrame = {
+    import graft.functions.GraftFunctions.kll_quantiles
+    val x = col(colName).cast("double")
+    val med = df.agg(kll_quantiles(x, Seq(0.5), k))
+      .head().getSeq[Double](0).head
+    val withDev = df.withColumn(s"${colName}_dev", abs(x - lit(med)))
+    val mad = withDev.agg(kll_quantiles(col(s"${colName}_dev"), Seq(0.5), k))
+      .head().getSeq[Double](0).head
+    withDev.withColumn("is_outlier", col(s"${colName}_dev") > lit(c * mad))
+  }
+
+  /**
    * Column-level drift between two dataset snapshots — the QA pass
    * before a new version is promoted (and after [[graft.delta.Delta]]
    * incremental saves): exact per-column stats from both sides

@@ -843,6 +843,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("madOutliers: flags the planted tail, robust to the outliers themselves") {
+    import graft.ops.Profile
+    // 100 values near 50 + two extreme points; mean/stddev would be
+    // dragged by the extremes, the median/MAD pair is not
+    val rows = ((1 to 100).map(i => (i.toLong, 50.0 + (i % 11) - 5)) ++
+      Seq((900L, 10000.0), (901L, -10000.0))).toDF("id", "v")
+    val out = Profile.madOutliers(rows, "v", c = 3.0)
+      .select("id", "is_outlier")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(900L) && out(901L))
+    assert((1 to 100).forall(i => !out(i.toLong)))
+  }
+
   test("Profile.drift: flags mean/row/null movement, silent on identity") {
     import graft.ops.Profile
     val before = (1 to 100).map(i => (i.toDouble, i.toLong)).toDF("v", "k")
