@@ -927,6 +927,15 @@ object SparkEntry {
           round(col("min"), 4).as("min_v"), round(col("max"), 4).as("max_v"),
           round(col("mean"), 4).as("mean_v"))),
 
+    "q_winsorize" -> ((s, dir) =>
+      // quantile clamping at [p05, p95]: KLL bounds in the exact regime
+      // (15,000 rows <= k), so every clamped value reproduces in SQL
+      graft.ops.Profile.winsorize(
+          T(s, dir, "orders").select(col("o_orderkey"),
+            col("o_totalprice")), "o_totalprice", loP = 0.05, hiP = 0.95)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice_w"), 6).as("clamped"))),
+
     "q_outliers" -> ((s, dir) =>
       // MAD-based robust outlier flags over order totals: median and MAD
       // both from the KLL sketch in its exact regime (15,000 rows ≤
@@ -3471,6 +3480,19 @@ object SparkEntry {
           | max(CASE WHEN rn = greatest(1, CAST(ceil(0.9*n) AS BIGINT))
           |   THEN v END) AS p90
           |FROM r GROUP BY w""".stripMargin,
+
+      "q_winsorize" ->
+        """WITH v AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS x
+          |   FROM orders),
+          | r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn,
+          |     count(*) OVER () AS n FROM v),
+          | lo AS (SELECT x AS b FROM r
+          |   WHERE rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))),
+          | hi AS (SELECT x AS b FROM r
+          |   WHERE rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT)))
+          |SELECT o_orderkey,
+          | round(least(greatest(x, lo.b), hi.b), 6) AS clamped
+          |FROM v, lo, hi""".stripMargin,
 
       "q_outliers" ->
         """WITH v AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS x

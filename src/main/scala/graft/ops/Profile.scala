@@ -72,6 +72,23 @@ object Profile {
   }
 
   /**
+   * Winsorize: clamp a numeric column to its [loP, hiP] quantile bounds
+   * (KLL one-pass bounds, exact while rows ≤ k) — the trim-don't-drop
+   * outlier treatment for heavy-tailed pipeline signals (losses stay
+   * bounded, row count unchanged). Returns df plus `<col>_w`.
+   */
+  def winsorize(df: DataFrame, colName: String, loP: Double = 0.01,
+                hiP: Double = 0.99, k: Int = 16384): DataFrame = {
+    import graft.functions.GraftFunctions.kll_quantiles
+    require(loP >= 0 && hiP <= 1 && loP < hiP, "need 0 <= loP < hiP <= 1")
+    val x = col(colName).cast("double")
+    val bounds = df.agg(kll_quantiles(x, Seq(loP, hiP), k))
+      .head().getSeq[Double](0)
+    df.withColumn(s"${colName}_w",
+      least(greatest(x, lit(bounds.head)), lit(bounds.last)))
+  }
+
+  /**
    * Robust outlier flagging via median absolute deviation: flags rows
    * with |x − median| > c·MAD — the heavy-tail-safe alternative to
    * z-scores (mean/stddev are themselves dragged by the outliers they

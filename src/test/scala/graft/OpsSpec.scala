@@ -854,6 +854,16 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(out(900L) && out(901L))
     assert((1 to 100).forall(i => !out(i.toLong)))
+    // winsorize trims the same tail instead of dropping it: row count
+    // unchanged, extremes clamped to the exact [p05, p95] bounds
+    val w = Profile.winsorize(rows, "v", loP = 0.05, hiP = 0.95)
+    assert(w.count() === rows.count())
+    val sorted = rows.select(col("v").cast("double")).as[Double]
+      .collect().sorted
+    val (lo, hi) = (sorted(math.ceil(0.05 * sorted.length).toInt - 1),
+      sorted(math.ceil(0.95 * sorted.length).toInt - 1))
+    val clamped = w.select("v_w").as[Double].collect()
+    assert(clamped.min === lo && clamped.max === hi)
   }
 
   test("Profile.drift: flags mean/row/null movement, silent on identity") {
