@@ -930,9 +930,12 @@ object SparkEntry {
     "q_winsorize" -> ((s, dir) =>
       // quantile clamping at [p05, p95]: KLL bounds in the exact regime
       // (15,000 rows <= k), so every clamped value reproduces in SQL
+      // k = 64k keeps the exact regime with 4x headroom over the
+      // current 15,000 rows (testdata regenerates between rounds)
       graft.ops.Profile.winsorize(
           T(s, dir, "orders").select(col("o_orderkey"),
-            col("o_totalprice")), "o_totalprice", loP = 0.05, hiP = 0.95)
+            col("o_totalprice")), "o_totalprice", loP = 0.05, hiP = 0.95,
+          k = 65536)
         .select(col("o_orderkey"),
           round(col("o_totalprice_w"), 6).as("clamped"))),
 
@@ -943,7 +946,7 @@ object SparkEntry {
       // same discrete lower-quantile convention
       graft.ops.Profile.madOutliers(
           T(s, dir, "orders").select(col("o_orderkey"),
-            col("o_totalprice")), "o_totalprice", c = 3.0)
+            col("o_totalprice")), "o_totalprice", c = 3.0, k = 65536)
         .select(col("o_orderkey"),
           round(col("o_totalprice_dev"), 6).as("dev"),
           col("is_outlier"))),
