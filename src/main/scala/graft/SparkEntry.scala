@@ -316,6 +316,29 @@ object SparkEntry {
             col("exact_users") <= 0.02).as("est_ok"))
     }),
 
+    "q_stream_wm_dedup" -> ((s, dir) => {
+      // declarative watermarked dedup: the staged dir carries every
+      // event TWICE (two links to the same parquet); dropDuplicates on
+      // event_id within the watermark horizon collapses them back to
+      // exactly the source table the oracle reads
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = T(s, dir, "events").schema
+      val stage = Files.createTempDirectory("graft_swd")
+      Files.createSymbolicLink(stage.resolve("a.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      Files.createSymbolicLink(stage.resolve("b.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val out = graft.streaming.EventStream
+        .dedupEvents(s, stage.toString, schema)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val ckpt = Files.createTempDirectory("graft_swd_ckpt").toString
+      val qn = "swd_" + math.abs(scala.util.Random.nextInt())
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try graft.streaming.EventStream.runAvailableNow(out, qn, ckpt)
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     "q_stream_enrich" -> ((s, dir) => {
       // stream-static dimension enrichment: each micro-batch broadcast-
       // joins the dim (re-broadcast per batch, so a slowly-changing dim
@@ -3550,6 +3573,9 @@ object SparkEntry {
           | count(DISTINCT user_id) AS exact_users,
           | count(*) AS n_events, TRUE AS est_ok
           |FROM events GROUP BY 1""".stripMargin,
+
+      "q_stream_wm_dedup" ->
+        "SELECT event_id, user_id, event_type FROM events",
 
       "q_stream_enrich" ->
         """SELECT user_id, event_id, user_id % 4 AS segment
