@@ -72,6 +72,38 @@ object Profile {
   }
 
   /**
+   * Structural schema diff between two snapshots — the companion to
+   * [[drift]]'s statistical one: one row per column that was added,
+   * removed, or changed type (dotted paths for nested fields). Pure
+   * metadata; the r5 testdata-drift incident (orders silently losing
+   * three columns between rounds) is exactly the event this reports.
+   */
+  def schemaDiff(before: DataFrame, after: DataFrame): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    def leaves(s: org.apache.spark.sql.types.StructType,
+               prefix: String): Seq[(String, String)] =
+      s.fields.toSeq.flatMap { f =>
+        val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case st: org.apache.spark.sql.types.StructType => leaves(st, p)
+          case dt => Seq(p -> dt.simpleString)
+        }
+      }
+    val b = leaves(before.schema, "").toMap
+    val a = leaves(after.schema, "").toMap
+    val rows =
+      (b.keySet -- a.keySet).toSeq.sorted.map(c =>
+        (c, "removed", b(c), null: String)) ++
+      (a.keySet -- b.keySet).toSeq.sorted.map(c =>
+        (c, "added", null: String, a(c))) ++
+      (b.keySet & a.keySet).toSeq.sorted.collect {
+        case c if b(c) != a(c) => (c, "retyped", b(c), a(c))
+      }
+    rows.toDF("column", "change", "type_before", "type_after")
+  }
+
+  /**
    * Winsorize: clamp a numeric column to its [loP, hiP] quantile bounds
    * (KLL one-pass bounds, exact while rows ≤ k) — the trim-don't-drop
    * outlier treatment for heavy-tailed pipeline signals (losses stay

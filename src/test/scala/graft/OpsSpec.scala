@@ -866,6 +866,20 @@ class OpsSpec extends SparkSpec {
     assert(clamped.min === lo && clamped.max === hi)
   }
 
+  test("Profile.schemaDiff reports added/removed/retyped incl. nested paths") {
+    import graft.ops.Profile
+    val before = Seq((1L, "a", 2.0)).toDF("id", "keep", "gone")
+      .withColumn("meta", struct(lit(1).as("x"), lit("s").as("y")))
+    val after = Seq((1, "a", true)).toDF("id", "keep", "fresh")
+      .withColumn("meta", struct(lit(1).as("x")))
+    val d = Profile.schemaDiff(before, after)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d === Set(("gone", "removed"), ("meta.y", "removed"),
+      ("fresh", "added"), ("id", "retyped")))
+    // identical schemas → empty diff
+    assert(Profile.schemaDiff(before, before).count() === 0L)
+  }
+
   test("Profile.drift: flags mean/row/null movement, silent on identity") {
     import graft.ops.Profile
     val before = (1 to 100).map(i => (i.toDouble, i.toLong)).toDF("v", "k")
