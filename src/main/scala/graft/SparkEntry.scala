@@ -4870,8 +4870,8 @@ object SparkEntry {
           | a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
           |   FROM events)
           |SELECT CAST(CAST(cohort AS DATE) AS VARCHAR) AS cohort_week,
-          | CAST((epoch(wk) - epoch(cohort)) / 604800 AS BIGINT)
-          |   AS week_offset,
+          | CAST(floor(date_diff('day', CAST(cohort AS DATE),
+          |   CAST(wk AS DATE)) / 7) AS BIGINT) AS week_offset,
           | count(DISTINCT a.user_id) AS active_users
           |FROM a JOIN f ON a.user_id = f.user_id
           |GROUP BY 1, 2""".stripMargin,

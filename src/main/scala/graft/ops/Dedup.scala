@@ -410,16 +410,23 @@ object Dedup {
                     anchorVecCol: String, threshold: Double,
                     clusterCap: Int = 100000,
                     cache: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val a = broadcast(anchors.select(col(anchorIdCol).as("__aid"),
       col(anchorVecCol).as("__av")))
     val sim = lit(1.0) - cosine_distance(col(vecCol), col("__av"))
+    // Arg-max by map-side min_by (the [[graft.ops.Similarity]] kmeans
+    // assignment pattern): the K-replicated scored rows partial-aggregate
+    // inside the scan task, so the exchange carries ONE row per document
+    // — not corpus×K rows each dragging a vector through a window sort.
+    // min over (−sim, aid) = highest similarity, ties to the lowest
+    // anchor id, matching the previous row_number ordering.
     val assigned0 = vecs.select(col(idCol).as("__id"), col(vecCol))
       .crossJoin(a)
-      .withColumn("__rk", row_number().over(Window.partitionBy(col("__id"))
-        .orderBy(sim.desc, col("__aid").asc)))
-      .filter(col("__rk") === 1)
-      .select(col("__id"), col(vecCol).as("__v"), col("__aid").as("cluster"))
+      .groupBy(col("__id"))
+      .agg(
+        min_by(col("__aid"), struct((lit(0.0) - sim).as("__ns"),
+          col("__aid"))).as("cluster"),
+        first(col(vecCol)).as("__v"))
+      .select(col("__id"), col("__v"), col("cluster"))
     // the assignment feeds both pair-join sides AND the final output —
     // persist so the k-way cross join runs once, not three times
     // (cache=false keeps the raw plan visible for the PlanSpec shape pins)

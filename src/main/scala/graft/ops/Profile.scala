@@ -27,7 +27,10 @@ object Profile {
       val c = col(f.name)
       val base = Seq(
         count(lit(1)).as(s"__n_${f.name}"),
-        sum(when(c.isNull, 1).otherwise(0)).cast("long").as(s"__nulls_${f.name}"),
+        // coalesce: sum over ZERO rows is null, and the typed collect
+        // below unboxes this as a primitive Long (empty-snapshot drift)
+        coalesce(sum(when(c.isNull, 1).otherwise(0)), lit(0)).cast("long")
+          .as(s"__nulls_${f.name}"),
         (if (sketches) approx_count_distinct(c) else nullL)
           .as(s"__dist_${f.name}"))
       val typed = f.dataType match {
@@ -114,10 +117,15 @@ object Profile {
     import graft.functions.GraftFunctions.kll_quantiles
     require(loP >= 0 && hiP <= 1 && loP < hiP, "need 0 <= loP < hiP <= 1")
     val x = col(colName).cast("double")
-    val bounds = df.agg(kll_quantiles(x, Seq(loP, hiP), k))
-      .head().getSeq[Double](0)
-    df.withColumn(s"${colName}_w",
-      least(greatest(x, lit(bounds.head)), lit(bounds.last)))
+    val row = df.agg(kll_quantiles(x, Seq(loP, hiP), k)).head()
+    // all-null/empty column → the sketch is null: nothing to clamp to,
+    // pass values through unchanged (schema contract still adds the col)
+    if (row.isNullAt(0)) df.withColumn(s"${colName}_w", x)
+    else {
+      val bounds = row.getSeq[Double](0)
+      df.withColumn(s"${colName}_w",
+        least(greatest(x, lit(bounds.head)), lit(bounds.last)))
+    }
   }
 
   /**
@@ -138,12 +146,18 @@ object Profile {
                   k: Int = 16384): DataFrame = {
     import graft.functions.GraftFunctions.kll_quantiles
     val x = col(colName).cast("double")
-    val med = df.agg(kll_quantiles(x, Seq(0.5), k))
-      .head().getSeq[Double](0).head
+    val medRow = df.agg(kll_quantiles(x, Seq(0.5), k)).head()
+    // all-null/empty column → no median exists: every row gets a null
+    // deviation and is_outlier=false (schema contract preserved)
+    if (medRow.isNullAt(0))
+      return df.withColumn(s"${colName}_dev", lit(null).cast("double"))
+        .withColumn("is_outlier", lit(false))
+    val med = medRow.getSeq[Double](0).head
     val withDev = df.withColumn(s"${colName}_dev", abs(x - lit(med)))
     val mad = withDev.agg(kll_quantiles(col(s"${colName}_dev"), Seq(0.5), k))
       .head().getSeq[Double](0).head
-    withDev.withColumn("is_outlier", col(s"${colName}_dev") > lit(c * mad))
+    withDev.withColumn("is_outlier",
+      coalesce(col(s"${colName}_dev") > lit(c * mad), lit(false)))
   }
 
   /**
@@ -165,7 +179,10 @@ object Profile {
         col("nulls").as("nulls_after"), col("mean").as("mean_after"))
     b.join(a, Seq("column"))
       .withColumn("row_change",
-        (col("n_after") - col("n_before")).cast("double") / col("n_before"))
+        // try_divide: n_before = 0 (empty snapshot) must yield null,
+        // not an ANSI DIVIDE_BY_ZERO at runtime
+        try_divide((col("n_after") - col("n_before")).cast("double"),
+          col("n_before")))
       .withColumn("null_rate_change",
         col("nulls_after").cast("double") / greatest(col("n_after"), lit(1L))
           - col("nulls_before").cast("double") /
@@ -176,9 +193,12 @@ object Profile {
           .otherwise(abs(col("mean_after") - col("mean_before")) /
             greatest(abs(col("mean_before")), lit(1e-12))))
       .withColumn("drift_flag",
-        coalesce(col("mean_rel_change") > relTol, lit(false)) ||
+        // coalesce the WHOLE disjunction: row_change is null when
+        // n_before = 0 (div by zero) and a null || false escapes a
+        // term-level coalesce as null, not false
+        coalesce(col("mean_rel_change") > relTol ||
           abs(col("row_change")) > relTol ||
-          abs(col("null_rate_change")) > relTol)
+          abs(col("null_rate_change")) > relTol, lit(false)))
   }
 
   /**

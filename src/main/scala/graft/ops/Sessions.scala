@@ -116,10 +116,13 @@ object Sessions {
       .agg(date_trunc("week", min(col(tsCol))).as("__cohort"))
     val act = df.select(col(keyCol).as("__k"),
       date_trunc("week", col(tsCol)).as("__week")).distinct()
+    // week_offset in the DATE domain: a seconds-diff / 604800 would be
+    // off by ±3600·n across a DST transition in non-UTC session zones
+    // (6.99 truncating to 6), and datediff-of-dates is immune to that
     act.join(firsts, col(keyCol) === col("__k"))
       .groupBy(col("__cohort").cast("date").cast("string").as("cohort_week"),
-        ((unix_timestamp(col("__week")) - unix_timestamp(col("__cohort"))) /
-          604800L).cast("long").as("week_offset"))
+        floor(datediff(col("__week").cast("date"),
+          col("__cohort").cast("date")) / 7).cast("long").as("week_offset"))
       .agg(countDistinct(col(keyCol)).as("active_users"))
   }
 

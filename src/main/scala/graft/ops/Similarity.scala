@@ -662,7 +662,7 @@ object Similarity {
           .groupBy("__s", "__id")
           .agg(min(struct(col("__d"), col("cid"))).as("__b"),
             first(col("__xs")).as("__xs"))
-        cents = assigned
+        val recomputed = assigned
           .select(col("__s"), col("__b.cid").as("cid"),
             posexplode(col("__xs")).as(Seq("__dim", "__val")))
           .groupBy("__s", "cid", "__dim")
@@ -671,13 +671,27 @@ object Similarity {
           .groupBy("__s", "cid")
           .agg(transform(array_sort(collect_list(struct(col("__dim"),
             col("__m")))), x => x.getField("__m")).as("__c"))
+        // A centroid that wins no points vanishes from the recompute's
+        // groupBy; left-joining onto the previous full (subspace, cid)
+        // grid keeps its old position, so every subspace always carries
+        // EXACTLY kc centroids — pqEncode/pqAdcTopK index the flattened
+        // table as s*kc+code and a jagged codebook would silently score
+        // against the wrong entries. The join is m×kc rows: free.
+        cents = cents.select(col("__s"), col("cid"), col("__c").as("__c0"))
+          .join(recomputed.withColumnRenamed("__c", "__c1"),
+            Seq("__s", "cid"), "left")
+          .select(col("__s"), col("cid"),
+            coalesce(col("__c1"), col("__c0")).as("__c"))
           .localCheckpoint(eager = false)
       }
       val rows = cents.collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      (0 until m).toArray.map { s =>
+      val book = (0 until m).toArray.map { s =>
         rows.filter(_._1 == s).sortBy(_._2).map(_._3)
       }
+      require(book.forall(_.length == book(0).length),
+        s"pqTrain produced a jagged codebook: ${book.map(_.length).toSeq}")
+      book
     }
   }
 

@@ -414,9 +414,11 @@ case class TopKRows(
       buf.enqueue((score, if (owned) item else item.clone()))
     } else {
       // head is the worst kept row; candidate wins if strictly better
-      // under (score desc, item asc)
+      // under (score desc, item asc) — Double.compare keeps ±0.0 ordered
+      // the same way worstFirst and the eval sort do
       val (ws, wi) = buf.head
-      val better = score > ws || (score == ws && item.compareTo(wi) < 0)
+      val sc = java.lang.Double.compare(score, ws)
+      val better = sc > 0 || (sc == 0 && item.compareTo(wi) < 0)
       if (better) {
         buf.dequeue()
         buf.enqueue((score, if (owned) item else item.clone()))
@@ -428,7 +430,11 @@ case class TopKRows(
                       input: InternalRow): mutable.PriorityQueue[(Double, UTF8String)] = {
     val s = left.eval(input)
     val i = right.eval(input)
-    if (s != null && i != null) {
+    // NaN scores are skipped like nulls: they have no place in a ranked
+    // top-k, and under `>`-based comparison a NaN that slipped into the
+    // heap while size < k would make the eval sort's comparator
+    // inconsistent (TimSort can throw)
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double])) {
       // clone only on insert: the UTF8String may point into a reused row
       // buffer, and compare-and-reject needs no copy
       offer(buf, s.asInstanceOf[Double], i.asInstanceOf[UTF8String], owned = false)
@@ -444,8 +450,12 @@ case class TopKRows(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, UTF8String)]): Any = {
+    // java.lang.Double.compare gives the total order worstFirst uses —
+    // sortWith on raw >/!= would be an inconsistent comparator if a NaN
+    // or mixed ±0.0 ever reached the buffer
     val arr = buf.toArray.sortWith { case ((sa, ia), (sb, ib)) =>
-      if (sa != sb) sa > sb else ia.compareTo(ib) < 0
+      val c = java.lang.Double.compare(sa, sb)
+      if (c != 0) c > 0 else ia.compareTo(ib) < 0
     }
     new GenericArrayData(arr.map { case (s, i) => InternalRow(s, i): Any })
   }

@@ -276,21 +276,32 @@ case class PqAdc(left: Expression, right: Expression, kc: Int)
     * pair costs m long adds. Scaled-long sums are exact (and identical
     * to the decimal formulation) while the total distance stays under
     * ~9·10⁶ — far beyond any embedding's squared distance; the oracle
-    * gate pins the equality empirically. */
+    * gate pins the equality empirically.
+    *
+    * The memo hit test is reference identity PLUS a content fingerprint
+    * (length and first/last raw bits): columnar/unsafe execution paths
+    * may reuse one ArrayData instance re-pointed at different bytes, and
+    * identity alone would then serve a stale table. Distinct ADC tables
+    * share first AND last entry bit patterns only if two query vectors
+    * tie in decimal distance to both codebook corners — and a false
+    * rebuild costs one 64-entry conversion, a false HIT is what the
+    * fingerprint rules out. */
   @transient private lazy val memo =
-    new ThreadLocal[(ArrayData, Array[Long])]()
+    new ThreadLocal[(ArrayData, Int, Long, Long, Array[Long])]()
   /** public for generated code */
   def score(t: ArrayData, c: ArrayData): Double = {
+    val n = t.numElements()
+    val fb = java.lang.Double.doubleToRawLongBits(t.getDouble(0))
+    val lb = java.lang.Double.doubleToRawLongBits(t.getDouble(n - 1))
     var e = memo.get()
-    if (e == null || (e._1 ne t)) {
-      val n = t.numElements()
+    if (e == null || (e._1 ne t) || e._2 != n || e._3 != fb || e._4 != lb) {
       val arr = new Array[Long](n)
       var i = 0
       while (i < n) { arr(i) = Math.round(t.getDouble(i) * 1e9); i += 1 }
-      e = (t, arr)
+      e = (t, n, fb, lb, arr)
       memo.set(e)
     }
-    val longs = e._2
+    val longs = e._5
     var sum = 0L
     var s = 0
     val m = c.numElements()

@@ -45,6 +45,16 @@ class ExtensionsSpec extends AnyFunSuite {
         .selectExpr("inline(tk)").collect()
         .map(x => (x.getDouble(0), x.getString(1))).toSeq
       assert(tk === Seq((9.0, "b"), (9.0, "c")))
+      // NaN scores are skipped like nulls — they must neither rank nor
+      // break the eval sort's comparator consistency
+      val tkNaN = s.sql(
+        """SELECT topk_rows(n, w, 3) AS tk FROM (
+          |  SELECT 'a' AS w, CAST('NaN' AS DOUBLE) AS n
+          |  UNION ALL SELECT 'b', 2.0D UNION ALL SELECT 'c', 1.0D
+          |  UNION ALL SELECT 'd', CAST('NaN' AS DOUBLE)) t""".stripMargin)
+        .selectExpr("inline(tk)").collect()
+        .map(x => (x.getDouble(0), x.getString(1))).toSeq
+      assert(tkNaN === Seq((2.0, "b"), (1.0, "c")))
       // the KLL quantile aggregate is SQL-callable too
       val kq = s.sql(
         """SELECT kll_quantiles(CAST(v AS DOUBLE), array(0.5D, 1.0D), 64) AS q

@@ -866,6 +866,49 @@ class OpsSpec extends SparkSpec {
     assert(clamped.min === lo && clamped.max === hi)
   }
 
+  test("winsorize/madOutliers survive an all-null column (no sketch to read)") {
+    import graft.ops.Profile
+    val rows = (1 to 10).map(i => (i.toLong, null: java.lang.Double))
+      .toDF("id", "v")
+    val w = Profile.winsorize(rows, "v")
+    assert(w.count() === 10 && w.columns.contains("v_w"))
+    assert(w.select("v_w").collect().forall(_.isNullAt(0)))
+    val m = Profile.madOutliers(rows, "v")
+    assert(m.count() === 10)
+    assert(m.select("is_outlier").as[Boolean].collect().forall(_ == false))
+    assert(m.select("v_dev").collect().forall(_.isNullAt(0)))
+  }
+
+  test("Profile.drift: empty before snapshot yields boolean flags, never null") {
+    import graft.ops.Profile
+    val after = (1 to 10).map(i => (i.toDouble, i.toLong)).toDF("v", "k")
+    val before = after.filter(lit(false))
+    // n_before = 0 → row_change divides by zero (null); the flag must
+    // still come back as a concrete boolean for every column
+    val flags = Profile.drift(before, after, relTol = 0.1)
+      .select("drift_flag").collect()
+    assert(flags.nonEmpty && flags.forall(r => !r.isNullAt(0)))
+  }
+
+  test("pqTrain pads empty clusters: collapsed init still yields kc per subspace") {
+    // ids 0 and 1 carry IDENTICAL vectors, so both init centroids (first
+    // kc=2 ids) coincide and every point ties to cid 0 — cid 1 wins no
+    // points in the Lloyd recompute and must keep its previous position
+    // instead of vanishing (a jagged codebook mis-indexes the flattened
+    // s*kc+code ADC table)
+    val vs = ((0L, Array(1f, 1f, 1f, 1f)) +: (1L to 5L).map(i =>
+      (i, if (i == 1) Array(1f, 1f, 1f, 1f)
+          else Array(i.toFloat, 1f, i.toFloat, 1f)))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(vs, m = 2, kc = 2, iterations = 2)
+    assert(cb.length === 2 && cb.forall(_.length === 2),
+      cb.map(_.length).toSeq.toString)
+    // and the trained book scores without mis-indexing end-to-end
+    val q = vs.filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = Similarity.pqTopK(vs, q, k = 3, cb).collect()
+    assert(top.length === 3)
+  }
+
   test("Profile.schemaDiff reports added/removed/retyped incl. nested paths") {
     import graft.ops.Profile
     val before = Seq((1L, "a", 2.0)).toDF("id", "keep", "gone")
@@ -1855,6 +1898,34 @@ class OpsSpec extends SparkSpec {
     assert(out(110L) === ((0L, false))) // same cluster, later id, cos 1.0
     assert(out(11L) === ((1L, true)))
     assert(out.values.count(!_._2) === 1) // nothing else dropped
+  }
+
+  test("semanticDedup min_by assignment matches driver-side brute-force argmax") {
+    // 60 deterministic pseudo-random vectors, 5 anchors: the map-side
+    // min_by arg-max (highest cosine, ties to lowest anchor id) must
+    // reproduce an independent exhaustive assignment exactly
+    def vec(seed: Long): Array[Float] = {
+      var x = seed * 6364136223846793005L + 1442695040888963407L
+      Array.fill(4) {
+        x = x * 6364136223846793005L + 1442695040888963407L
+        ((x >>> 40).toFloat / (1 << 24).toFloat) + 0.01f
+      }
+    }
+    val vs = (0L until 60L).map(i => (i, vec(i)))
+    val as = (0L until 5L).map(i => (i, vec(i + 1000)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val expected = vs.map { case (id, v) =>
+      id -> as.minBy { case (aid, av) => (-cos(v, av), aid) }._1
+    }.toMap
+    val out = Dedup.semanticDedup(vs.toDF("id", "vec"), "id", "vec",
+        as.toDF("id", "vec"), "id", "vec", threshold = 1.1, cache = false)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster"))
+      .toMap
+    assert(out === expected)
   }
 
   test("semanticDedup clusterCap guards a degenerate one-anchor clustering") {

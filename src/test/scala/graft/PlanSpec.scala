@@ -252,7 +252,8 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("[codegen id : 1]"), p) // whole projection in one span
   }
 
-  test("semanticDedup: anchors broadcast, top-1 assignment is WindowGroupLimit") {
+  test("semanticDedup: anchors broadcast, assignment is map-side min_by " +
+      "(no window sort of the K-replicated corpus)") {
     // probe the op directly with cache=false (the gate's persist() hides
     // the assignment plan inside an InMemoryRelation)
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -261,7 +262,11 @@ class PlanSpec extends SparkSpec {
       "vec_id", "embedding", threshold = 0.98, cache = false)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(4000))
-    assert(p.contains("WindowGroupLimit"), p)
+    // the anchor-replicated frame must NEVER cross an exchange: the
+    // arg-max partial-aggregates (partial_min_by) inside the scan task,
+    // so only one row per document reaches any shuffle
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_min_by"), p)
   }
 
   test("q_top_tokens: partial count before the exchange, top-n not full sort") {
