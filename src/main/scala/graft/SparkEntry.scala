@@ -2483,6 +2483,64 @@ object SparkEntry {
       cat.readDataset("ds").selectExcept("sys").toDF
     }),
 
+    "q_delta_storage" -> ((s, dir) => {
+      // The reference's flagship incremental flow (delta.py:239-391 driven
+      // by lib/listing.py): read_storage(delta=True) → transform → save.
+      // Composes readStorageCached (listing dataset) → Delta.deltaSave
+      // (listing diff on path+etag keys) over a file tree that MUTATES
+      // between runs. The run-stamp column proves incrementality through
+      // the oracle: unchanged files keep run=1 rows CARRIED from v1,
+      // changed/new files are recomputed with run=2 — a full recompute
+      // would stamp everything 2 and hash-mismatch. A third save over the
+      // unchanged tree must be a no-op (asserted, version unchanged).
+      val root = Files.createTempDirectory("graft_delta_storage").toString
+      val src = Files.createTempDirectory("graft_ds_src").toString
+      val cat = new Catalog(root, s)
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      def stageFile(id: Long, text: String): Unit =
+        Files.write(java.nio.file.Paths.get(src, s"doc$id.txt"),
+          text.getBytes("UTF-8"))
+      docs.filter(_._1 < 30).foreach { case (id, t) => stageFile(id, t) }
+      var run = 0
+      def listSrc(): Chain =
+        FileOps.readStorageCached(cat, s, src, update = true)
+          .mutate("path" -> col("file.path"), "etag" -> col("file.etag"))
+      def transform(c: Chain): Chain = {
+        val stamp = run
+        FileOps.withTextContent(c, "file")
+          .mutate("path" -> col("file.path"),
+            "n_chars" -> length(col("content")).cast("long"),
+            "run" -> lit(stamp))
+          .selectExpr(col("path"), col("n_chars"), col("run"))
+      }
+      run = 1
+      val r1 = Delta.deltaSave(cat, listSrc(), "docs", Seq("path"),
+        Seq("etag"), transform)
+      require(r1.fullRecompute, "first delta save must be a full compute")
+      // mutate the tree: every doc_id % 3 == 0 file grows one char, ten
+      // new files appear — mtime-size etags flip on the changed ones
+      docs.filter { case (id, _) => id < 30 && id % 3 == 0 }
+        .foreach { case (id, t) => stageFile(id, t + "!") }
+      docs.filter(_._1 >= 30).foreach { case (id, t) => stageFile(id, t) }
+      run = 2
+      val changedN = docs.count { case (id, _) =>
+        (id < 30 && id % 3 == 0) || id >= 30 }
+      val r2 = Delta.deltaSave(cat, listSrc(), "docs", Seq("path"),
+        Seq("etag"), transform)
+      require(!r2.fullRecompute && r2.changedRows == changedN,
+        s"expected incremental recompute of $changedN files, " +
+          s"got full=${r2.fullRecompute} changed=${r2.changedRows}")
+      // unchanged tree, fresh listing → no-op: version stands
+      run = 3
+      val r3 = Delta.deltaSave(cat, listSrc(), "docs", Seq("path"),
+        Seq("etag"), transform)
+      require(r3.changedRows == 0 && r3.version == r2.version,
+        s"third save must be a no-op, got $r3 vs ${r2.version}")
+      cat.readDataset("docs").selectExcept("sys").toDF
+    }),
+
     "q_bbox_iou" -> ((s, dir) => {
       // CV model math (reference BBox): boxes derived from part attributes,
       // IoU/area/containment as pure Catalyst arithmetic
@@ -5030,6 +5088,13 @@ object SparkEntry {
           | round((CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END) * 2, 6)
           |   AS value2
           |FROM events WHERE event_id < 20000""".stripMargin,
+
+      "q_delta_storage" ->
+        """SELECT 'doc' || doc_id || '.txt' AS path,
+          | CAST(length(text) + CASE WHEN doc_id < 30 AND doc_id % 3 = 0
+          |   THEN 1 ELSE 0 END AS BIGINT) AS n_chars,
+          | CASE WHEN doc_id >= 30 OR doc_id % 3 = 0 THEN 2 ELSE 1 END AS run
+          |FROM documents WHERE doc_id < 40""".stripMargin,
 
       "q_delta_retry" ->
         """SELECT event_id, event_type, round(value * 2, 6) AS value2,
