@@ -2483,6 +2483,27 @@ object SparkEntry {
       cat.readDataset("ds").selectExcept("sys").toDF
     }),
 
+    "q_stats_skipping" -> ((s, dir) => {
+      // Catalog file-stats data skipping (Delta-style min/max pruning on
+      // non-partition columns): a range-layout save records per-file
+      // footer stats; a selective read must PROVE it pruned files
+      // (asserted) and still return exactly the full-scan answer (oracle)
+      val root = Files.createTempDirectory("graft_stats_skip").toString
+      val cat = new Catalog(root, s)
+      val orders = T(s, dir, "orders").repartitionByRange(8, col("o_orderkey"))
+      cat.save(Chain(orders), "ord")
+      val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+      val pred = col("o_orderkey") <= maxKey / 8
+      val (kept, total) = cat.pruneCount("ord", pred)
+      require(kept >= 1 && kept < total,
+        s"stats skipping must prune files: kept $kept of $total")
+      cat.readDatasetWhere("ord", pred).selectExcept("sys").toDF
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+    }),
+
     "q_delta_storage" -> ((s, dir) => {
       // The reference's flagship incremental flow (delta.py:239-391 driven
       // by lib/listing.py): read_storage(delta=True) → transform → save.
@@ -5088,6 +5109,13 @@ object SparkEntry {
           | round((CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END) * 2, 6)
           |   AS value2
           |FROM events WHERE event_id < 20000""".stripMargin,
+
+      "q_stats_skipping" ->
+        """SELECT o_orderstatus, count(*) AS n,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |FROM orders
+          |WHERE o_orderkey <= (SELECT max(o_orderkey) // 8 FROM orders)
+          |GROUP BY 1""".stripMargin,
 
       "q_delta_storage" ->
         """SELECT 'doc' || doc_id || '.txt' AS path,

@@ -119,7 +119,87 @@ final class Catalog(val root: String, spark: SparkSession) {
     Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     appendCheckpointIndex(chain.hash, name, v)
+    // Footer-stats harvest for data skipping: per-file column min/max from
+    // parquet footers only (metadata reads fanned out on executors, never
+    // a rescan of the written data). Lands beside meta.json; readers
+    // without a predicate ignore it entirely.
+    try {
+      val stats = FileStats.harvest(spark, dir.resolve("data").toString)
+      if (stats.nonEmpty)
+        Files.write(dir.resolve("stats.json"),
+          FileStats.toJson(stats).getBytes("UTF-8"),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    } catch { case scala.util.control.NonFatal(_) =>
+      // stats are an optimization: a harvest failure must never fail the
+      // save (readers fall back to scanning every file)
+    }
     v
+  }
+
+  /** Per-file footer stats recorded at save time (empty when the version
+    * predates stats harvesting or harvest failed). */
+  def fileStats(name: String, version: SemVer): Seq[FileStats.FileStat] = {
+    val p = vDir(name, version).resolve("stats.json")
+    if (!Files.exists(p)) Seq.empty
+    else FileStats.fromJson(new String(Files.readAllBytes(p), "UTF-8"))
+  }
+
+  /**
+   * Data-skipping read: `readDatasetWhere(name, pred)` prunes whole files
+   * whose footer min/max prove the predicate can't match (Delta-style
+   * skipping on NON-partition columns — the biggest 100 TB read-path
+   * lever after partition pruning), then applies the predicate to the
+   * survivors. Conservative by construction: unsupported predicate
+   * shapes, missing stats, or stats-less versions degrade to reading
+   * every file, so the result ALWAYS equals `readDataset(...).filter`.
+   */
+  def readDatasetWhere(name: String, predicate: org.apache.spark.sql.Column,
+                       version: Option[SemVer] = None): Chain = {
+    val v = version.orElse(latestVersion(name))
+      .getOrElse(throw new NoSuchElementException(s"dataset $name not found"))
+    val dataDir = vDir(name, v).resolve("data").toString
+    val stats = fileStats(name, v)
+    val full = spark.read.parquet(dataDir).filter(predicate)
+    val df =
+      if (stats.isEmpty) full
+      else resolvedCondition(full) match {
+        case None => full
+        case Some(pe) =>
+          val kept = stats.filter(f => FileStats.mayMatch(pe, f))
+          if (kept.size == stats.size || kept.isEmpty)
+            // nothing pruned, or nothing survives (read the dir anyway
+            // for the schema; the filter returns zero rows)
+            full
+          else
+            spark.read.parquet(kept.map(f => s"$dataDir/${f.file}"): _*)
+              .filter(predicate)
+      }
+    Chain(df, OpTree.empty.append("read_dataset_where", name, v.toString))
+  }
+
+  /** The ANALYZED filter condition of `df` — Column lambdas arrive as
+    * lazy ColumnNode trees; running them through the analyzer against the
+    * real scan yields typed Catalyst predicates (AttributeReference,
+    * typed Literals, promote-casts) the stats evaluator understands. */
+  private def resolvedCondition(df: DataFrame)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    df.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+
+  /** (files kept, files total) the skipping evaluator would read for
+    * `predicate` — the observability hook the pruning tests pin. */
+  def pruneCount(name: String, predicate: org.apache.spark.sql.Column,
+                 version: Option[SemVer] = None): (Int, Int) = {
+    val v = version.orElse(latestVersion(name))
+      .getOrElse(throw new NoSuchElementException(s"dataset $name not found"))
+    val stats = fileStats(name, v)
+    val dataDir = vDir(name, v).resolve("data").toString
+    resolvedCondition(spark.read.parquet(dataDir).filter(predicate)) match {
+      case Some(pe) =>
+        (stats.count(f => FileStats.mayMatch(pe, f)), stats.size)
+      case None => (stats.size, stats.size)
+    }
   }
 
   // ---- checkpoint index: hash → (name, version) without scanning metas ----

@@ -1,0 +1,412 @@
+package graft.catalog
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+
+/**
+ * Per-file column min/max statistics for catalog data skipping — the
+ * Delta-style file-pruning layer on NON-partition columns (the reference
+ * leans on its warehouse's SQLite/ClickHouse indexes for selective reads;
+ * on a 100 TB parquet lake the equivalent lever is skipping whole files
+ * from footer metadata before the scan is even planned).
+ *
+ * Harvest reads ONLY parquet footers (a few KB per file, no data pages),
+ * fanned out over executors, and lands in `stats.json` beside `meta.json`
+ * in the immutable version dir. Pruning conservatively keeps any file the
+ * evaluator cannot prove irrelevant: unsupported predicate shapes, missing
+ * stats, or unsupported column types all degrade to "keep", so a pruned
+ * read NEVER loses rows — the predicate is still applied to what's read.
+ */
+object FileStats {
+
+  /** One column's footer stats aggregated across a file's row groups.
+    * `kind` is "l" (integral, long-exact), "d" (floating), or "s" (UTF-8
+    * string); min/max are held in the matching representation. */
+  final case class ColStats(kind: String, minL: Long, maxL: Long,
+                            minD: Double, maxD: Double,
+                            minS: String, maxS: String, nulls: Long)
+
+  final case class FileStat(file: String, rows: Long,
+                            cols: Map[String, ColStats])
+
+  /** Footer-only stats for one parquet file. Columns whose statistics are
+    * absent/empty, or whose physical type we don't evaluate, are simply
+    * not recorded (→ never pruned on). */
+  def readFooter(path: String, conf: Configuration): FileStat = {
+    val in = HadoopInputFile.fromPath(new HPath(path), conf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val footer = reader.getFooter
+      val blocks = footer.getBlocks
+      var rows = 0L
+      val acc = scala.collection.mutable.Map[String, ColStats]()
+      val bad = scala.collection.mutable.Set[String]()
+      val it = blocks.iterator()
+      while (it.hasNext) {
+        val b = it.next()
+        rows += b.getRowCount
+        val cit = b.getColumns.iterator()
+        while (cit.hasNext) {
+          val c = cit.next()
+          // top-level leaves only: nested paths don't map 1:1 to columns
+          if (c.getPath.size == 1) {
+            val name = c.getPath.toDotString
+            val st = c.getStatistics
+            val prim = c.getPrimitiveType
+            if (st == null || bad(name) || st.isEmpty ||
+                !st.hasNonNullValue) {
+              // a single stats-less row group poisons the whole file's
+              // entry for that column (can't bound what we didn't see) —
+              // unless the group is all-null, where nulls still count
+              if (st != null && st.isNumNullsSet && st.getNumNulls == b.getRowCount &&
+                  acc.contains(name)) {
+                val p = acc(name)
+                acc(name) = p.copy(nulls = p.nulls + st.getNumNulls)
+              } else { bad += name; acc.remove(name) }
+            } else {
+              val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
+              val next: Option[ColStats] = prim.getPrimitiveTypeName match {
+                case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64
+                    if plainIntegral(prim.getLogicalTypeAnnotation) =>
+                  val mn = st.genericGetMin.asInstanceOf[Number].longValue
+                  val mx = st.genericGetMax.asInstanceOf[Number].longValue
+                  Some(ColStats("l", mn, mx, 0, 0, null, null, nulls))
+                case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
+                  val mn = st.genericGetMin.asInstanceOf[Number].doubleValue
+                  val mx = st.genericGetMax.asInstanceOf[Number].doubleValue
+                  Some(ColStats("d", 0, 0, mn, mx, null, null, nulls))
+                case PrimitiveTypeName.BINARY
+                    if isUtf8(prim.getLogicalTypeAnnotation) =>
+                  val mn = st.minAsString
+                  val mx = st.maxAsString
+                  Some(ColStats("s", 0, 0, 0, 0, mn, mx, nulls))
+                case _ => None
+              }
+              next match {
+                case None => bad += name
+                case Some(s) => acc.get(name) match {
+                  case None if !bad(name) => acc(name) = s
+                  case Some(p) => acc(name) = merge(p, s)
+                  case _ =>
+                }
+              }
+            }
+          }
+        }
+      }
+      FileStat(path, rows, acc.toMap)
+    } finally reader.close()
+  }
+
+  private def isUtf8(l: LogicalTypeAnnotation): Boolean =
+    l != null && l.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+
+  /** INT32/INT64 whose stored value IS the logical value: no annotation,
+    * or a signed int annotation. Dates/timestamps/times (epoch encodings)
+    * and decimals (unscaled storage) would compare wrongly as raw longs. */
+  private def plainIntegral(l: LogicalTypeAnnotation): Boolean = l match {
+    case null => true
+    case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+    case _ => false
+  }
+
+  private def merge(a: ColStats, b: ColStats): ColStats = {
+    val nulls = if (a.nulls < 0 || b.nulls < 0) -1L else a.nulls + b.nulls
+    a.kind match {
+      case "l" => a.copy(minL = math.min(a.minL, b.minL),
+        maxL = math.max(a.maxL, b.maxL), nulls = nulls)
+      case "d" => a.copy(minD = math.min(a.minD, b.minD),
+        maxD = math.max(a.maxD, b.maxD), nulls = nulls)
+      case _ => a.copy(
+        minS = if (a.minS <= b.minS) a.minS else b.minS,
+        maxS = if (a.maxS >= b.maxS) a.maxS else b.maxS, nulls = nulls)
+    }
+  }
+
+  /** Harvest stats for every data file of a freshly written version —
+    * footer reads fan out over executors (one small metadata read per
+    * file; at 100 TB with ~100k files this is seconds, not a rescan). */
+  def harvest(spark: SparkSession, dataDir: String): Seq[FileStat] = {
+    val conf = new Configuration()
+    val d = new HPath(dataDir)
+    val fs = d.getFileSystem(conf)
+    val files = fs.listStatus(d).filter(f => f.isFile &&
+      f.getPath.getName.endsWith(".parquet")).map(_.getPath.toString).toSeq
+    if (files.isEmpty) Seq.empty
+    else if (files.size <= 4)
+      files.map(readFooter(_, new Configuration()))
+    else spark.sparkContext
+      .parallelize(files, math.min(files.size, 32))
+      .map(p => readFooter(p, new Configuration()))
+      .collect().toSeq
+  }
+
+  // ---- stats.json (de)serialization — same hand-rolled JSON style as
+  // meta.json; values carry a kind tag so longs stay long-exact ----
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  def toJson(stats: Seq[FileStat]): String = {
+    val files = stats.map { f =>
+      val cols = f.cols.toSeq.sortBy(_._1).map { case (n, c) =>
+        val mm = c.kind match {
+          case "l" => s""""min": ${c.minL}, "max": ${c.maxL}"""
+          case "d" => s""""min": ${c.minD}, "max": ${c.maxD}"""
+          case _ =>
+            s""""min": "${esc(c.minS)}", "max": "${esc(c.maxS)}""""
+        }
+        s"""      "${esc(n)}": {"kind": "${c.kind}", $mm, "nulls": ${c.nulls}}"""
+      }.mkString(",\n")
+      // file names only — the version dir is immutable and relocatable
+      val base = f.file.substring(f.file.lastIndexOf('/') + 1)
+      s"""    {"file": "${esc(base)}", "rows": ${f.rows}, "cols": {
+$cols
+    }}"""
+    }.mkString(",\n")
+    s"""{
+  "files": [
+$files
+  ]
+}"""
+  }
+
+  def fromJson(json: String): Seq[FileStat] = {
+    // minimal structural parse of our own writer's output
+    val fileRe =
+      ("\\{\"file\": \"((?:[^\"\\\\]|\\\\.)*)\", \"rows\": (\\d+), " +
+        "\"cols\": \\{([\\s\\S]*?)\\n    \\}\\}").r
+    val colRe =
+      ("\"((?:[^\"\\\\]|\\\\.)*)\": \\{\"kind\": \"(l|d|s)\", " +
+        "\"min\": (\"(?:[^\"\\\\]|\\\\.)*\"|[^,]+), " +
+        "\"max\": (\"(?:[^\"\\\\]|\\\\.)*\"|[^,]+), " +
+        "\"nulls\": (-?\\d+)\\}").r
+    def unesc(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '"' => sb += '"'; i += 2
+            case '\\' => sb += '\\'; i += 2
+            case 'n' => sb += '\n'; i += 2
+            case 'r' => sb += '\r'; i += 2
+            case 't' => sb += '\t'; i += 2
+            case 'u' =>
+              sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case o => sb += o; i += 2
+          }
+        } else { sb += c; i += 1 }
+      }
+      sb.toString
+    }
+    fileRe.findAllMatchIn(json).map { fm =>
+      val cols = colRe.findAllMatchIn(fm.group(3)).map { cm =>
+        val kind = cm.group(2)
+        val (mnS, mxS) = (cm.group(3).trim, cm.group(4).trim)
+        val cs = kind match {
+          case "l" => ColStats("l", mnS.toLong, mxS.toLong, 0, 0, null, null,
+            cm.group(5).toLong)
+          case "d" => ColStats("d", 0, 0, mnS.toDouble, mxS.toDouble,
+            null, null, cm.group(5).toLong)
+          case _ => ColStats("s", 0, 0, 0, 0,
+            unesc(mnS.stripPrefix("\"").stripSuffix("\"")),
+            unesc(mxS.stripPrefix("\"").stripSuffix("\"")),
+            cm.group(5).toLong)
+        }
+        unesc(cm.group(1)) -> cs
+      }.toMap
+      FileStat(unesc(fm.group(1)), fm.group(2).toLong, cols)
+    }.toSeq
+  }
+
+  // ---- pruning evaluator: may this file contain a matching row? ----
+
+  /**
+   * Conservative satisfiability of `pred` against one file's stats:
+   * returns false ONLY when the footer bounds prove no row can match.
+   * Handles =, <, <=, >, >=, IN, BETWEEN-as-AND, IS [NOT] NULL over
+   * literal comparisons on top-level columns, composed with AND/OR/NOT;
+   * everything else (expressions over columns, casts, UDFs, unknown
+   * columns) evaluates to "may match".
+   */
+  def mayMatch(pred: Expression, f: FileStat): Boolean = pred match {
+    case And(l, r) => mayMatch(l, f) && mayMatch(r, f)
+    case Or(l, r) => mayMatch(l, f) || mayMatch(r, f)
+    case Not(child) => mayMatchNeg(child, f)
+    case IsNull(a) => attr(a) match {
+      case Some(n) => f.cols.get(n).forall(c => c.nulls != 0)
+      case None => true
+    }
+    case IsNotNull(a) => attr(a) match {
+      case Some(n) => f.cols.get(n) match {
+        case Some(c) if c.nulls >= 0 => f.rows - c.nulls > 0
+        case _ => true
+      }
+      case None => true
+    }
+    case EqualTo(a, Literal(v, _)) => cmpMay(a, v, f, eq = true)
+    case EqualTo(Literal(v, _), a) => cmpMay(a, v, f, eq = true)
+    case LessThan(a, Literal(v, _)) => rangeMay(a, f, lt = Some(v))
+    case GreaterThan(Literal(v, _), a) => rangeMay(a, f, lt = Some(v))
+    case LessThanOrEqual(a, Literal(v, _)) => rangeMay(a, f, le = Some(v))
+    case GreaterThanOrEqual(Literal(v, _), a) => rangeMay(a, f, le = Some(v))
+    case GreaterThan(a, Literal(v, _)) => rangeMay(a, f, gt = Some(v))
+    case LessThan(Literal(v, _), a) => rangeMay(a, f, gt = Some(v))
+    case GreaterThanOrEqual(a, Literal(v, _)) => rangeMay(a, f, ge = Some(v))
+    case LessThanOrEqual(Literal(v, _), a) => rangeMay(a, f, ge = Some(v))
+    case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists(l => cmpMay(a, l.asInstanceOf[Literal].value, f, eq = true))
+    case _ => true
+  }
+
+  /** mayMatch(NOT child): true unless EVERY row provably matches child.
+    * Only the cases where min==max can prove "always matches"; anything
+    * else conservatively keeps the file. */
+  private def mayMatchNeg(child: Expression, f: FileStat): Boolean =
+    child match {
+      case And(l, r) => mayMatchNeg(l, f) || mayMatchNeg(r, f)
+      case Or(l, r) => mayMatchNeg(l, f) && mayMatchNeg(r, f)
+      case Not(c) => mayMatch(c, f)
+      case EqualTo(a, Literal(v, _)) => notAlwaysEq(a, v, f)
+      case EqualTo(Literal(v, _), a) => notAlwaysEq(a, v, f)
+      case IsNull(a) => attr(a) match {
+        // NOT isnull may match unless the whole file is null
+        case Some(n) => f.cols.get(n) match {
+          case Some(c) => c.nulls < f.rows
+          case None => true
+        }
+        case None => true
+      }
+      case IsNotNull(a) => attr(a) match {
+        case Some(n) => f.cols.get(n).forall(c => c.nulls != 0)
+        case None => true
+      }
+      case _ => true
+    }
+
+  private def notAlwaysEq(a: Expression, v: Any, f: FileStat): Boolean =
+    (attr(a), lit(v)) match {
+      case (Some(n), Some(x)) => f.cols.get(n) match {
+        case Some(c) =>
+          // NOT(a = v) matches some row iff a non-null value != v exists
+          // (null rows fail the NOT too, three-valued); stats being
+          // recorded implies at least one non-null value, so the file is
+          // prunable exactly when min == max == v
+          val allEq = (for { l <- lo(c); h <- hi(c) }
+            yield l == x && h == x).getOrElse(false)
+          !allEq
+        case None => true
+      }
+      case _ => true
+    }
+
+  private def attr(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case a: UnresolvedAttribute if a.nameParts.size == 1 => Some(a.name)
+    // the analyzer promotes comparisons by casting the COLUMN side
+    // (int col vs long literal → Cast(col, long)); a widening integral
+    // or float→double cast is value-identity, so the child's stats
+    // bound the cast output exactly. Anything lossy stays opaque.
+    case c: Cast if wideningCast(c) => attr(c.child)
+    case _ => None
+  }
+
+  private def wideningCast(c: Cast): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(d: DataType): Int = d match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 3
+      case LongType => 4
+      case _ => -1
+    }
+    (c.child.dataType, c.dataType) match {
+      case (f, t) if rank(f) > 0 && rank(t) >= rank(f) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** Comparable literal domain: BigDecimal for numerics, String for
+    * strings — mirrors the two stats families. (scala.Left/Right spelled
+    * out: catalyst.expressions._ shadows them with the string function.) */
+  private def lit(v: Any): Option[Either[BigDecimal, String]] = v match {
+    case null => None
+    case n: Byte => Some(scala.Left(BigDecimal(n.toInt)))
+    case n: Short => Some(scala.Left(BigDecimal(n.toInt)))
+    case n: Int => Some(scala.Left(BigDecimal(n)))
+    case n: Long => Some(scala.Left(BigDecimal(n)))
+    case n: Float if !n.isNaN => Some(scala.Left(BigDecimal(n.toDouble)))
+    case n: Double if !n.isNaN => Some(scala.Left(BigDecimal(n)))
+    case d: java.math.BigDecimal => Some(scala.Left(BigDecimal(d)))
+    case d: org.apache.spark.sql.types.Decimal => Some(scala.Left(d.toBigDecimal))
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(scala.Right(s.toString))
+    case s: String => Some(scala.Right(s))
+    case _ => None
+  }
+
+  private def lo(c: ColStats): Option[Either[BigDecimal, String]] = c.kind match {
+    case "l" => Some(scala.Left(BigDecimal(c.minL)))
+    case "d" => Some(scala.Left(BigDecimal(c.minD)))
+    case _ => Some(scala.Right(c.minS))
+  }
+  private def hi(c: ColStats): Option[Either[BigDecimal, String]] = c.kind match {
+    case "l" => Some(scala.Left(BigDecimal(c.maxL)))
+    case "d" => Some(scala.Left(BigDecimal(c.maxD)))
+    case _ => Some(scala.Right(c.maxS))
+  }
+
+  private def cmpLE(a: Either[BigDecimal, String],
+                    b: Either[BigDecimal, String]): Option[Boolean] = (a, b) match {
+    case (scala.Left(x), scala.Left(y)) => Some(x <= y)
+    case (scala.Right(x), scala.Right(y)) => Some(x <= y)
+    case _ => None // numeric literal vs string stats: type confusion → keep
+  }
+
+  private def cmpMay(a: Expression, v: Any, f: FileStat, eq: Boolean): Boolean =
+    (attr(a), lit(v)) match {
+      case (Some(n), Some(x)) => f.cols.get(n) match {
+        case Some(c) =>
+          (for { l <- lo(c); h <- hi(c); a1 <- cmpLE(l, x); a2 <- cmpLE(x, h) }
+            yield a1 && a2).getOrElse(true)
+        case None => true
+      }
+      case _ => true
+    }
+
+  private def rangeMay(a: Expression, f: FileStat,
+                       lt: Option[Any] = None, le: Option[Any] = None,
+                       gt: Option[Any] = None, ge: Option[Any] = None): Boolean =
+    attr(a) match {
+      case Some(n) => f.cols.get(n) match {
+        case Some(c) =>
+          def ok(bound: Option[Any], test: Either[BigDecimal, String] => Option[Boolean]) =
+            bound.flatMap(b => lit(b).flatMap(test)).getOrElse(true)
+          // col < x possible iff min < x; col > x possible iff max > x
+          ok(lt, x => for { l <- lo(c); r <- cmpLE(x, l) } yield !r) &&
+            ok(le, x => for { l <- lo(c); r <- cmpLE(l, x) } yield r) &&
+            ok(gt, x => for { h <- hi(c); r <- cmpLE(h, x) } yield !r) &&
+            ok(ge, x => for { h <- hi(c); r <- cmpLE(x, h) } yield r)
+        case None => true
+      }
+      case None => true
+    }
+}

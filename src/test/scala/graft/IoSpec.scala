@@ -377,4 +377,89 @@ class IoSpec extends SparkSpec {
       run("p.{t: items[0].tag}")
     }
   }
+
+  test("file-stats skipping: selective filters read fewer files, same rows") {
+    import graft.catalog.Catalog
+    val cat = new Catalog(Files.createTempDirectory("fstats").toString, spark)
+    // range layout on o_orderkey → files hold disjoint key ranges, the
+    // regime where min/max skipping prunes hardest
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .repartitionByRange(8, col("o_orderkey"))
+    cat.save(Chain(orders), "ord")
+    val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+    val pred = col("o_orderkey") <= maxKey / 10
+    val (kept, total) = cat.pruneCount("ord", pred)
+    assert(total === 8, s"expected 8 files, got $total")
+    assert(kept < total && kept >= 1, s"kept=$kept of $total")
+    // pruned read ≡ unpruned filter, row for row
+    val pruned = cat.readDatasetWhere("ord", pred)
+      .selectExcept("sys").toDF.collect().toSet
+    val full = cat.readDataset("ord").selectExcept("sys").toDF
+      .filter(pred).collect().toSet
+    assert(pruned === full && pruned.nonEmpty)
+    // range predicates, equality, IN, AND/OR compose
+    val (k2, _) = cat.pruneCount("ord",
+      col("o_orderkey") > maxKey - maxKey / 10 && col("o_orderkey").isNotNull)
+    assert(k2 < total, s"k2=$k2")
+    val (k3, _) = cat.pruneCount("ord", col("o_orderkey") === 1L)
+    assert(k3 === 1, s"equality should hit one range file, got $k3")
+    // out-of-domain equality prunes everything; the read still answers
+    val (k0, _) = cat.pruneCount("ord", col("o_orderkey") === -42L)
+    assert(k0 === 0)
+    assert(cat.readDatasetWhere("ord", col("o_orderkey") === -42L)
+      .toDF.count() === 0L)
+    // unsupported shape (arithmetic over the column) degrades to keep-all
+    val (kAll, _) = cat.pruneCount("ord", col("o_orderkey") * 2 < 10)
+    assert(kAll === total)
+  }
+
+  test("file-stats skipping prunes on string min/max too") {
+    import graft.catalog.Catalog
+    val cat = new Catalog(Files.createTempDirectory("fstats_s").toString, spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .repartitionByRange(4, col("lang"))
+    cat.save(Chain(docs), "docs")
+    val langs = docs.select("lang").distinct().as[String].collect().sorted
+    val first = langs.head
+    val (kept, total) = cat.pruneCount("docs", col("lang") === first)
+    assert(total === 4 && kept < total, s"kept=$kept of $total")
+    val pruned = cat.readDatasetWhere("docs", col("lang") === first)
+      .selectExcept("sys").toDF.collect().toSet
+    val full = cat.readDataset("docs").selectExcept("sys").toDF
+      .filter(col("lang") === first).collect().toSet
+    assert(pruned === full && pruned.nonEmpty)
+    // stats.json round-trips through its parser
+    val v = cat.latestVersion("docs").get
+    val stats = cat.fileStats("docs", v)
+    assert(stats.size === 4)
+    assert(stats.forall(_.cols.contains("lang")))
+    assert(stats.map(_.rows).sum === docs.count())
+  }
+
+  test("file-stats skipping: null-aware IS NULL pruning, conservative NOT") {
+    import graft.catalog.Catalog
+    val cat = new Catalog(Files.createTempDirectory("fstats_n").toString, spark)
+    // file 0: no nulls (v in 1..50); file 1: half null
+    val df = (1 to 100).map(i =>
+        (i.toLong, if (i > 50 && i % 2 == 0) None else Some(i.toLong)))
+      .toDF("id", "v").repartitionByRange(2, col("id"))
+    cat.save(Chain(df), "nulled")
+    val (keptNull, total) = cat.pruneCount("nulled", col("v").isNull)
+    assert(total === 2 && keptNull === 1, s"keptNull=$keptNull")
+    val got = cat.readDatasetWhere("nulled", col("v").isNull)
+      .toDF.count()
+    assert(got === 25L)
+    // NOT(=) prunes only a constant file; here values vary → keep both
+    val (keptNe, _) = cat.pruneCount("nulled", !(col("id") === 1L))
+    assert(keptNe === 2)
+    // but a file whose column is a single constant CAN be pruned by NOT(=)
+    val cat2 = new Catalog(Files.createTempDirectory("fstats_c").toString, spark)
+    val const = (1 to 40).map(i => (i.toLong, if (i <= 20) "a" else "b"))
+      .toDF("id", "tag").repartitionByRange(2, col("tag"))
+    cat2.save(Chain(const), "tags")
+    val (keptNotA, tot2) = cat2.pruneCount("tags", !(col("tag") === "a"))
+    assert(tot2 === 2 && keptNotA === 1, s"keptNotA=$keptNotA")
+    assert(cat2.readDatasetWhere("tags", !(col("tag") === "a"))
+      .toDF.count() === 20L)
+  }
 }
