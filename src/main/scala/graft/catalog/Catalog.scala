@@ -78,13 +78,21 @@ final class Catalog(val root: String, spark: SparkSession) {
       .map(_.getFileName.toString).toSeq.sorted
   }
 
-  def versions(name: String): Seq[SemVer] = {
+  /** All claimed version dirs, complete or not — the writer's view. */
+  private def rawVersions(name: String): Seq[SemVer] = {
     val d = dsDir(name)
     if (!Files.isDirectory(d)) Seq.empty
     else Files.list(d).iterator.asScala
       .map(_.getFileName.toString).filter(_.startsWith("v"))
       .map(s => SemVer.parse(s.drop(1))).toSeq.sorted
   }
+
+  /** Reader-visible versions: only COMPLETE ones (meta.json committed).
+    * A concurrently claimed-but-unfinished version dir stays invisible,
+    * so readers never resolve "latest" to a half-written snapshot. */
+  def versions(name: String): Seq[SemVer] =
+    rawVersions(name).filter(v =>
+      Files.exists(vDir(name, v).resolve("meta.json")))
 
   def latestVersion(name: String): Option[SemVer] = versions(name).lastOption
 
@@ -102,38 +110,69 @@ final class Catalog(val root: String, spark: SparkSession) {
   def save(chain: Chain, name: String, version: Option[SemVer] = None,
            deps: Seq[String] = Seq.empty): SemVer = {
     requireValidName(name)
-    val v = version.getOrElse(
-      latestVersion(name).map(_.bumpMinor).getOrElse(SemVer(1, 0, 0)))
-    val dir = vDir(name, v)
-    require(!Files.exists(dir), s"version $name@v$v already exists (immutable)")
-    // Row count rides along the write via Observation — no second scan of
-    // the written data (at 100 TB a read-back count doubles the save cost).
-    val obs = org.apache.spark.sql.Observation()
-    val stamped = Sys.stamp(chain.toDF).observe(obs, count(lit(1)).as("rows"))
-    stamped.write.mode("errorifexists").parquet(dir.resolve("data").toString)
-    val rows = obs.get("rows").asInstanceOf[Long]
-    val meta = metaJson(VersionMeta(
-      name, v.toString, chain.hash, SignalSchema.toJson(chain.schema),
-      deps, java.time.Instant.now.toString, rows))
-    Files.createDirectories(dir)
-    Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    appendCheckpointIndex(chain.hash, name, v)
-    // Footer-stats harvest for data skipping: per-file column min/max from
-    // parquet footers only (metadata reads fanned out on executors, never
-    // a rescan of the written data). Lands beside meta.json; readers
-    // without a predicate ignore it entirely.
+    // fail fast on an explicitly requested version that already exists —
+    // before paying for the write
+    version.foreach(v => require(!Files.exists(vDir(name, v)),
+      s"version $name@v$v already exists (immutable)"))
+    // Concurrent-writer protocol: the data lands in a private temp dir
+    // first, then the version is CLAIMED by an atomic createDirectory of
+    // the version dir (at most one winner per version on any POSIX/HDFS-
+    // semantics store) and the data renamed in. A racing auto-bump saver
+    // that loses the claim re-reads the latest version and retries with
+    // the next bump — both writers succeed with distinct versions and no
+    // torn directory, matching the reference metastore's transactional
+    // version bump.
+    val tmp = dsDir(name).resolve(s".tmp-${java.util.UUID.randomUUID}")
+    Files.createDirectories(tmp)
     try {
-      val stats = FileStats.harvest(spark, dir.resolve("data").toString)
+      // Row count rides along the write via Observation — no second scan
+      // of the written data (at 100 TB a read-back count doubles the save
+      // cost).
+      val obs = org.apache.spark.sql.Observation()
+      val stamped = Sys.stamp(chain.toDF).observe(obs, count(lit(1)).as("rows"))
+      stamped.write.mode("errorifexists").parquet(tmp.resolve("data").toString)
+      val rows = obs.get("rows").asInstanceOf[Long]
+      // Footer-stats harvest for data skipping: per-file column min/max
+      // from parquet footers only (metadata reads fanned out on
+      // executors, never a rescan). Computed on the temp dir so the claim
+      // section below stays metadata-fast.
+      val stats =
+        try FileStats.harvest(spark, tmp.resolve("data").toString)
+        catch { case scala.util.control.NonFatal(_) =>
+          // stats are an optimization: a harvest failure must never fail
+          // the save (readers fall back to scanning every file)
+          Seq.empty[FileStats.FileStat]
+        }
+      var v = version.getOrElse(
+        rawVersions(name).lastOption.map(_.bumpMinor).getOrElse(SemVer(1, 0, 0)))
+      var dir: Path = null
+      while (dir == null) {
+        val cand = vDir(name, v)
+        try { Files.createDirectory(cand); dir = cand }
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          require(version.isEmpty,
+            s"version $name@v$v already exists (immutable)")
+          // lost the race: re-read the raw listing (claimed dirs count
+          // even before their meta commits) and take the next bump
+          v = rawVersions(name).lastOption.map(_.bumpMinor).getOrElse(v.bumpMinor)
+        }
+      }
+      Files.move(tmp.resolve("data"), dir.resolve("data"))
+      val meta = metaJson(VersionMeta(
+        name, v.toString, chain.hash, SignalSchema.toJson(chain.schema),
+        deps, java.time.Instant.now.toString, rows))
+      Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       if (stats.nonEmpty)
         Files.write(dir.resolve("stats.json"),
           FileStats.toJson(stats).getBytes("UTF-8"),
           StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    } catch { case scala.util.control.NonFatal(_) =>
-      // stats are an optimization: a harvest failure must never fail the
-      // save (readers fall back to scanning every file)
+      appendCheckpointIndex(chain.hash, name, v)
+      v
+    } finally {
+      if (Files.exists(tmp))
+        Files.walk(tmp).iterator.asScala.toSeq.reverse.foreach(Files.delete)
     }
-    v
   }
 
   /** Per-file footer stats recorded at save time (empty when the version

@@ -28,6 +28,38 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.save(c, "nations", Some(v1)))
   }
 
+  test("racing saves of one dataset serialize on the version bump, no torn dirs") {
+    val root = Files.createTempDirectory("cat_race").toString
+    val cat = new Catalog(root, spark)
+    val c = Chain(spark.read.parquet(s"$sf/nation.parquet"))
+    cat.save(c, "r")
+    // 4 concurrent auto-bump savers: every one must land a DISTINCT
+    // version (the claim loop re-bumps losers), every version must be
+    // complete (meta committed, data readable), and no temp dir survives
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val expected = c.toDF.count()
+    val vs = Await.result(
+      Future.sequence((1 to 4).map(i => Future {
+        cat.save(c.mutate("writer" -> lit(i)), "r")
+      })), 120.seconds)
+    assert(vs.toSet.size === 4, s"collided versions: $vs")
+    assert(cat.versions("r").size === 5)
+    vs.foreach { v =>
+      assert(cat.readDataset("r", Some(v)).count() === expected)
+      assert(cat.rowsOf("r", v) === expected)
+    }
+    // no leftover temp dirs
+    import scala.jdk.CollectionConverters._
+    val leftovers = Files.list(java.nio.file.Paths.get(root, "datasets", "r"))
+      .iterator.asScala.map(_.getFileName.toString)
+      .filterNot(_.startsWith("v")).toSeq
+    assert(leftovers.isEmpty, leftovers.toString)
+    // explicit-version immutability still enforced under the new protocol
+    intercept[IllegalArgumentException](cat.save(c, "r", Some(vs.head)))
+  }
+
   test("vacuum keeps the retention window plus the transitive lineage closure") {
     val root = Files.createTempDirectory("cat_vac").toString
     val cat = new Catalog(root, spark)
