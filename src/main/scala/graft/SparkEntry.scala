@@ -177,6 +177,29 @@ object SparkEntry {
         .toDF
     }),
 
+    "q_jmespath_fns" -> ((s, dir) => {
+      // jmespath FUNCTIONS + PIPES (the full-grammar residual): the pipe
+      // re-roots left-to-right, sort_by compiles to array_sort with a
+      // field comparator, reverse(@)[0] picks the max-v item, and the
+      // multiselect reshapes it — all pure Catalyst, zero shuffles. The
+      // v values are scrambled mod 97 so the sort is non-trivial.
+      val tmp = Files.createTempDirectory("graft_jmes_fn").toString + "/docs"
+      T(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(to_json(struct(struct(
+          transform(sequence(lit(0), lit(2)), k => struct(
+            k.cast("long").as("k"),
+            when(pmod(col("doc_id") + k, lit(2)) === 0, lit("a"))
+              .otherwise(lit("b")).as("tag"),
+            pmod(col("doc_id") * 3 + k * 31, lit(97)).as("v"))).as("items"))
+          .as("p"))).as("value"))
+        .write.mode("overwrite").text(tmp)
+      Chain.readJsonInferred(s, tmp,
+          jmespath = Some(
+            "p.items | sort_by(@, &v) | reverse(@)[0].{k: k, tag: tag, v: v}"),
+          sampleSize = 100)
+        .toDF
+    }),
+
     "q_read_database" -> ((s, dir) => {
       // REAL JDBC round-trip against embedded Derby (ships in Spark's jar
       // dir): to_database writes nation through executor-side connections,
@@ -3053,6 +3076,17 @@ object SparkEntry {
           |  END AS tag, doc_id*3 + s.k AS val
           |FROM documents, generate_series(0, 2) AS s(k)
           |WHERE doc_id < 400 AND (doc_id + s.k) % 2 = 0""".stripMargin,
+
+      "q_jmespath_fns" ->
+        """WITH it AS (
+          |  SELECT doc_id, s.k,
+          |    CASE WHEN (doc_id + s.k) % 2 = 0 THEN 'a' ELSE 'b' END AS tag,
+          |    (doc_id*3 + s.k*31) % 97 AS v
+          |  FROM documents, generate_series(0, 2) AS s(k)
+          |  WHERE doc_id < 400),
+          | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          |   ORDER BY v DESC) AS rn FROM it)
+          |SELECT k, tag, v FROM r WHERE rn = 1""".stripMargin,
 
       "q_read_database" ->
         "SELECT n_nationkey, n_name, n_regionkey FROM nation",

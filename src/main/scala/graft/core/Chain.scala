@@ -556,8 +556,8 @@ object Chain {
     val cur = new StringBuilder
     var depth = 0
     jp.foreach { c =>
-      if (c == '[' || c == '{') depth += 1
-      if (c == ']' || c == '}') depth -= 1
+      if (c == '[' || c == '{' || c == '(') depth += 1
+      if (c == ']' || c == '}' || c == ')') depth -= 1
       if (c == '.' && depth == 0) {
         if (cur.nonEmpty) { segs += cur.toString; cur.clear() }
       } else cur += c
@@ -570,10 +570,43 @@ object Chain {
     """^\?\s*([A-Za-z_][A-Za-z0-9_]*)\s*(==|!=|<=|>=|<|>)\s*(.+?)\s*$""".r
   private val jmesSliceRe = """^(-?\d*):(-?\d*)$""".r
 
-  /** Apply one jmespath (see [[readJsonInferred]]) to a DataFrame,
-    * re-rooting at each step. Package-visible for spec coverage. */
-  private[graft] def applyJmespath(df: DataFrame, jp: String): DataFrame = {
-    var out = df
+  /** Split on top-level pipes (`|` outside brackets/braces/quotes). */
+  private[graft] def jmesPipes(jp: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    jp.foreach { c =>
+      if (c == '\'') inStr = !inStr
+      if (!inStr && (c == '[' || c == '{' || c == '(')) depth += 1
+      if (!inStr && (c == ']' || c == '}' || c == ')')) depth -= 1
+      if (c == '|' && depth == 0 && !inStr) { parts += cur.toString; cur.clear() }
+      else cur += c
+    }
+    parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Apply one jmespath (see [[readJsonInferred]]) to a DataFrame.
+    * Pipe expressions (`lhs | rhs`) apply left-to-right — each side is a
+    * full sub-expression over the previous result, the natural fit for
+    * the re-rooting model. Package-visible for spec coverage. */
+  private[graft] def applyJmespath(df: DataFrame, jp: String): DataFrame =
+    jmesPipes(jp).foldLeft(df)(applyJmespathExpr)
+
+  private val jmesFnRe = """^([a-z_]+)\((.*)\)((?:\[.*\])?)$""".r
+
+  /** The sole column of the current root — what `@` refers to in a
+    * function step. Struct-expanded roots need an explicit path. */
+  private def jmesCurrent(df: DataFrame): Column = {
+    require(df.columns.length == 1,
+      s"jmespath '@' needs a single-column root, have " +
+        df.columns.mkString("(", ",", ")"))
+    col(df.columns.head)
+  }
+
+  private def applyJmespathExpr(df0: DataFrame, jp: String): DataFrame = {
+    var out = df0
     jmesSegments(jp).foreach { seg =>
       if (seg.startsWith("{") && seg.endsWith("}")) {
         // multiselect hash: `{alias: path, ...}` — reshape the current
@@ -591,14 +624,24 @@ object Chain {
         require(pairs.nonEmpty, s"empty jmespath multiselect: '$seg'")
         out = out.select(pairs.map { case (a, p) => col(p).as(a) }: _*)
       } else {
-      val bracketAt = seg.indexOf('[')
-      val name = if (bracketAt < 0) seg else seg.take(bracketAt)
-      val ops: Seq[String] =
-        if (bracketAt < 0) Seq.empty
-        else seg.drop(bracketAt).stripPrefix("[").stripSuffix("]")
-          .split("\\]\\[", -1).toSeq
-      require(name.nonEmpty, s"jmespath segment needs a field name: '$seg'")
-      var c: Column = col(name)
+      val (name, c0, ops) = seg match {
+        case jmesFnRe(fn, argsRaw, trailing) if jmesFns(fn) =>
+          val t: Seq[String] =
+            if (trailing.isEmpty) Seq.empty
+            else trailing.stripPrefix("[").stripSuffix("]")
+              .split("\\]\\[", -1).toSeq
+          (fn, jmesFunction(out, fn, argsRaw), t)
+        case _ =>
+          val bracketAt = seg.indexOf('[')
+          val n = if (bracketAt < 0) seg else seg.take(bracketAt)
+          val t: Seq[String] =
+            if (bracketAt < 0) Seq.empty
+            else seg.drop(bracketAt).stripPrefix("[").stripSuffix("]")
+              .split("\\]\\[", -1).toSeq
+          require(n.nonEmpty, s"jmespath segment needs a field name: '$seg'")
+          (n, col(n), t)
+      }
+      var c: Column = c0
       var exploded = false
       ops.foreach {
         case "*" =>
@@ -643,6 +686,77 @@ object Chain {
       }
     }
     out
+  }
+
+  private val jmesFns: Set[String] =
+    Set("length", "join", "sort_by", "reverse", "min", "max")
+
+  /** Split function args on top-level commas (quotes/brackets respected). */
+  private def jmesArgs(raw: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inStr = false
+    raw.foreach { ch =>
+      if (ch == '\'') inStr = !inStr
+      if (!inStr && (ch == '[' || ch == '{' || ch == '(')) depth += 1
+      if (!inStr && (ch == ']' || ch == '}' || ch == ')')) depth -= 1
+      if (ch == ',' && depth == 0 && !inStr) { parts += cur.toString; cur.clear() }
+      else cur += ch
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /**
+   * JMESPath function step, compiled to the matching Catalyst HOF/builtin
+   * (all stay inside whole-stage codegen — a function step over 100 TB is
+   * still a pure projection). `@` is the current (single-column) root; a
+   * dotted path resolves against the root's columns; sort_by's key is the
+   * `&field` expression form.
+   */
+  private def jmesFunction(df: DataFrame, fn: String, argsRaw: String): Column = {
+    val args = jmesArgs(argsRaw)
+    def path(a: String): Column = {
+      require(!a.contains('[') && !a.contains('('),
+        s"jmespath function args are '@' or dotted paths: '$a'")
+      if (a == "@") jmesCurrent(df) else col(a)
+    }
+    def dtype(a: String): org.apache.spark.sql.types.DataType =
+      df.select(path(a)).schema.head.dataType
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+    fn match {
+      case "length" =>
+        require(args.length == 1, s"length(subject): got '$argsRaw'")
+        dtype(args.head) match {
+          case _: ArrayType => size(path(args.head)).cast("long")
+          case StringType => length(path(args.head)).cast("long")
+          case s: StructType => lit(s.fields.length.toLong)
+          case dt => throw new IllegalArgumentException(
+            s"jmespath length() needs array/string/object, got $dt")
+        }
+      case "join" =>
+        require(args.length == 2 && args.head.startsWith("'"),
+          s"join('glue', array): got '$argsRaw'")
+        array_join(path(args(1)), args.head.stripPrefix("'").stripSuffix("'"))
+      case "sort_by" =>
+        require(args.length == 2 && args(1).startsWith("&"),
+          s"sort_by(array, &key): got '$argsRaw'")
+        val key = args(1).stripPrefix("&").trim
+        array_sort(path(args.head), (a, b) =>
+          when(a.getField(key) < b.getField(key), -1)
+            .when(a.getField(key) > b.getField(key), 1)
+            .otherwise(0))
+      case "reverse" =>
+        require(args.length == 1, s"reverse(subject): got '$argsRaw'")
+        reverse(path(args.head))
+      case "min" =>
+        require(args.length == 1, s"min(array): got '$argsRaw'")
+        array_min(path(args.head))
+      case "max" =>
+        require(args.length == 1, s"max(array): got '$argsRaw'")
+        array_max(path(args.head))
+    }
   }
 
   private def jmesLiteral(raw: String): Column = raw match {

@@ -378,6 +378,44 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("jmespath functions and pipes compile to Catalyst HOFs") {
+    val dir = Files.createTempDirectory("jsonl3")
+    val lines = Seq(
+      """{"p":{"items":[{"id":1,"tag":"x","v":30},{"id":2,"tag":"y","v":10},{"id":3,"tag":"x","v":20}],"xs":[7,10,9,8],"names":["b","a","c"]}}""",
+      """{"p":{"items":[{"id":4,"tag":"y","v":40}],"xs":[2,1],"names":["z"]}}""")
+    Files.write(dir.resolve("part-0.jsonl"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    def run(jp: String) = Chain.readJsonInferred(spark, dir.toString,
+      jmespath = Some(jp)).toDF
+    // length() on arrays — the pipe re-roots, @ is the piped value
+    assert(run("p.items | length(@)").as[Long].collect().toSet
+      === Set(3L, 1L))
+    // length() on a string field
+    assert(run("p.names[0] | length(@)").as[Long].collect().toSet
+      === Set(1L))
+    // min/max over the piped array
+    assert(run("p.xs | max(@)").as[Long].collect().toSet === Set(10L, 2L))
+    assert(run("p.xs | min(@)").as[Long].collect().toSet === Set(7L, 1L))
+    // reverse + index: last element
+    assert(run("p.xs | reverse(@)[0]").as[Long].collect().toSet
+      === Set(8L, 1L))
+    // join over a string array
+    assert(run("p.names | join('-', @)").as[String].collect().toSet
+      === Set("b-a-c", "z"))
+    // sort_by with a field key, then take the max element + reshape
+    assert(run("p.items | sort_by(@, &v) | reverse(@)[0].{id: id, v: v}")
+      .as[(Long, Long)].collect().toSet === Set((1L, 30L), (4L, 40L)))
+    // sort_by then explode preserves sorted order within each doc
+    assert(run("p.items | sort_by(@, &v)[0].v").as[Long].collect().toSet
+      === Set(10L, 40L))
+    // functions need well-formed args
+    intercept[IllegalArgumentException](run("p.xs | join(@)"))
+    intercept[IllegalArgumentException](run("p.items | sort_by(@, v)"))
+    // unknown function name is still an unsupported segment
+    intercept[org.apache.spark.sql.AnalysisException](
+      run("p.xs | nope(@)").collect())
+  }
+
   test("file-stats skipping: selective filters read fewer files, same rows") {
     import graft.catalog.Catalog
     val cat = new Catalog(Files.createTempDirectory("fstats").toString, spark)
