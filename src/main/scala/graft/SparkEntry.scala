@@ -260,13 +260,8 @@ object SparkEntry {
       val qn = "sq_" + math.abs(scala.util.Random.nextInt())
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = stream.writeStream.outputMode("complete").format("memory")
-          .queryName(qn).option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      try graft.streaming.EventStream.runCompleteNow(stream, qn, ckpt)
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(qn)
     }),
 
@@ -322,13 +317,8 @@ object SparkEntry {
       val qn = "sdc_" + math.abs(scala.util.Random.nextInt())
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = stream.writeStream.outputMode("complete").format("memory")
-          .queryName(qn).option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      try graft.streaming.EventStream.runCompleteNow(stream, qn, ckpt)
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
       val exact = normTs(T(s, dir, "events"))
         .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
           .as("day"))
@@ -407,13 +397,8 @@ object SparkEntry {
       val qn = "shh_" + math.abs(scala.util.Random.nextInt())
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = stream.writeStream.outputMode("complete").format("memory")
-          .queryName(qn).option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      try graft.streaming.EventStream.runCompleteNow(stream, qn, ckpt)
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(qn)
         .select(col("event_type"), posexplode(col("__hh")).as(Seq("__p", "__e")))
         .select(col("event_type"), (col("__p") + 1).cast("long").as("rank"),
@@ -441,13 +426,8 @@ object SparkEntry {
       val qn = "stk_" + math.abs(scala.util.Random.nextInt())
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = stream.writeStream.outputMode("complete").format("memory")
-          .queryName(qn).option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      try graft.streaming.EventStream.runCompleteNow(stream, qn, ckpt)
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
       s.table(qn)
         .select(col("event_type"), posexplode(col("__tk")).as(Seq("__p", "__e")))
         .select(col("event_type"), (col("__p") + 1).cast("long").as("rank"),
@@ -546,7 +526,11 @@ object SparkEntry {
       // state volume, not core count)
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
-      try graft.streaming.EventStream.runAvailableNow(joined, qn, ckpt)
+      // inner interval-join matches emit eagerly in the data batch; the
+      // trailing no-data batch would only evict state (4 stores x 4
+      // partitions x 2 sides of commit work) — skip it
+      try graft.streaming.EventStream.runAvailableNow(joined, qn, ckpt,
+        noDataBatch = false)
       finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
@@ -572,23 +556,26 @@ object SparkEntry {
         .withColumn("ts", date_trunc("second", col("ts")))
         .select(col("event_id"), col("ts"), col("event_type"))
       val stage = Files.createTempDirectory("graft_late")
-      def stageFile(df: DataFrame, name: String, mtimeMs: Long): Unit = {
-        val tmp = Files.createTempDirectory("graft_late_w").toString
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = new java.io.File(tmp).listFiles()
+      // ONE partitioned write stages all three micro-batch files (the
+      // three separate coalesce(1) jobs this replaces were most of the
+      // gate's wall time); repartition(1) makes one writer task → exactly
+      // one part file per __b dir, promoted to a named file with a fixed
+      // mtime (only the relative order matters to the source)
+      val tmpStage = Files.createTempDirectory("graft_late_w").toString
+      ev.withColumn("__b", pmod(col("event_id"), lit(3)))
+        .repartition(1).write.partitionBy("__b").mode("overwrite")
+        .parquet(tmpStage)
+      def promote(b: Int, name: String, mtimeMs: Long): Unit = {
+        val part = new java.io.File(s"$tmpStage/__b=$b").listFiles()
           .filter(_.getName.endsWith(".parquet")).head
         val dst = stage.resolve(name)
         Files.copy(part.toPath, dst)
         Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
       }
-      // fixed epoch millis — only the relative order matters to the source
-      stageFile(ev.filter(pmod(col("event_id"), lit(3)) === 1), "01.parquet",
-        1700000000000L)
-      stageFile(ev.filter(pmod(col("event_id"), lit(3)) === 2), "02.parquet",
-        1700000100000L)
-      stageFile(ev.filter(pmod(col("event_id"), lit(3)) === 0), "03.parquet",
-        1700000200000L)
+      promote(1, "01.parquet", 1700000000000L)
+      promote(2, "02.parquet", 1700000100000L)
+      promote(0, "03.parquet", 1700000200000L)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stage.toString)
@@ -1413,12 +1400,8 @@ object SparkEntry {
       // real cluster this is sized to state volume, not core count.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = stream.writeStream.outputMode("complete").format("memory")
-          .queryName(qn).option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try graft.streaming.EventStream.runCompleteNow(stream, qn, ckpt)
+      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(qn)
     }),
 

@@ -48,17 +48,37 @@ object EventStream {
    * Returns the batch DataFrame of results.
    */
   def runAvailableNow(stream: DataFrame, queryName: String,
-                      checkpointDir: String): DataFrame = {
+                      checkpointDir: String,
+                      noDataBatch: Boolean = true): DataFrame =
+    runNow(stream, queryName, checkpointDir, "append", noDataBatch)
+
+  /** Complete-mode AvailableNow run. Complete mode re-emits the whole
+    * result each batch, so the trailing no-data micro-batch (which exists
+    * to flush append-mode windows past the watermark) adds a full state-
+    * store round for nothing — skip it. */
+  def runCompleteNow(stream: DataFrame, queryName: String,
+                     checkpointDir: String): DataFrame =
+    runNow(stream, queryName, checkpointDir, "complete", noDataBatch = false)
+
+  private def runNow(stream: DataFrame, queryName: String,
+                     checkpointDir: String, mode: String,
+                     noDataBatch: Boolean): DataFrame = {
     val spark = stream.sparkSession
-    val q = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.get(key)
+    // the cloned streaming session captures this at query start
+    spark.conf.set(key, noDataBatch.toString)
+    try {
+      val q = stream.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    } finally spark.conf.set(key, prev)
   }
 
   /** Per-user session state for [[statefulSessionize]]. */
