@@ -18,7 +18,7 @@ object ScaleProbe {
     // SPARK_GRAFT_PROBE=minhash,ccstar,linededup,decontaminate,dupfraction,
     //   lm,exactsubstr,dsir,semdedup,ann,graph,triangles,lpa,kmeans,kcore,
     //   heavyhitters,covariance,kll,topk,sketchoverlap,saltjoin,bucketjoin,
-    //   pq (default all)
+    //   pq,profile,rollingdistinct,funnel,statsskip (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
       .map(s => (x: String) => s(x)).getOrElse(_ => true)
@@ -767,6 +767,109 @@ object ScaleProbe {
           f"-> time factor ${results.last._2 / results.head._2}%.2fx")
       } finally
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+    // r7 tail ops: profile robustness (winsorize/MAD), rolling distinct,
+    // funnel — each is a fixed number of sketch/aggregation passes, so
+    // time must grow ~linearly with the event count, never faster.
+    def events(k: Int) = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+      val norm = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
+      norm.crossJoin(spark.range(k).select(col("id").as("__copy")))
+        .select((col("event_id") * k + col("__copy")).as("event_id"),
+          col("ts"),
+          (col("user_id") * k + col("__copy")).as("user_id"),
+          col("event_type"), col("value"))
+    }
+
+    if (want("profile")) {
+      val results = ks.map { k =>
+        val ev = events(k).cache(); val n = ev.count()
+        val t0 = System.nanoTime()
+        val w = graft.ops.Profile.winsorize(ev, "value")
+          .agg(sum(col("value_w"))).head()
+        val wSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val m = graft.ops.Profile.madOutliers(ev, "value")
+          .filter(col("is_outlier")).count()
+        val mSec = (System.nanoTime() - t1) / 1e9
+        ev.unpersist()
+        val _ = w
+        println(f"profile K=$k%-3d rows=$n%-9d winsorize ${wSec}%.2f s   " +
+          f"madOutliers ($m flagged) ${mSec}%.2f s")
+        (k, wSec + mSec)
+      }
+      println(f"profile scale ${results.last._1.toDouble / results.head._1}%.0fx " +
+        f"-> time factor ${results.last._2 / results.head._2}%.2fx")
+    }
+
+    if (want("rollingdistinct")) {
+      val results = ks.map { k =>
+        val ev = events(k).cache(); val n = ev.count()
+        val t0 = System.nanoTime()
+        val days = graft.ops.Sessions.rollingDistinct(ev, "user_id", "ts")
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        ev.unpersist()
+        println(f"rollingdistinct K=$k%-3d rows=$n%-9d $days day rows ${sec}%.2f s")
+        (k, sec)
+      }
+      println(f"rollingdistinct scale ${results.last._1.toDouble / results.head._1}%.0fx " +
+        f"-> time factor ${results.last._2 / results.head._2}%.2fx")
+    }
+
+    if (want("funnel")) {
+      val results = ks.map { k =>
+        val ev = events(k).cache(); val n = ev.count()
+        val t0 = System.nanoTime()
+        val f = graft.ops.Sessions.funnel(ev, "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+          .agg(sum(col("step_reached"))).head()
+        val sec = (System.nanoTime() - t0) / 1e9
+        ev.unpersist()
+        val _ = f
+        println(f"funnel K=$k%-3d rows=$n%-9d ${sec}%.2f s")
+        (k, sec)
+      }
+      println(f"funnel scale ${results.last._1.toDouble / results.head._1}%.0fx " +
+        f"-> time factor ${results.last._2 / results.head._2}%.2fx")
+    }
+
+    // File-stats skipping at scale: a K×-amplified range-layout save, then
+    // a selective read. The evidence is (a) files pruned ∝ selectivity
+    // regardless of K and (b) pruned-read time tracking the SURVIVING
+    // fraction, not the corpus size.
+    if (want("statsskip")) {
+      ks.foreach { k =>
+        val ev = events(k)
+        val n = ev.count()
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_ssk_$k").toString
+        val cat = new graft.catalog.Catalog(root, spark)
+        val t0 = System.nanoTime()
+        cat.save(graft.core.Chain(
+          ev.repartitionByRange(32, col("event_id"))), "ev")
+        val saveSec = (System.nanoTime() - t0) / 1e9
+        val maxId = n * 2 // ids were re-spread by k; bound via count*2
+        val pred = col("event_id") <= maxId / 16
+        val (kept, total) = cat.pruneCount("ev", pred)
+        val t1 = System.nanoTime()
+        val rows = cat.readDatasetWhere("ev", pred).toDF.count()
+        val prunedSec = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val rowsFull = cat.readDataset("ev").toDF.filter(pred).count()
+        val fullSec = (System.nanoTime() - t2) / 1e9
+        require(rows == rowsFull, s"parity: $rows != $rowsFull")
+        println(f"statsskip K=$k%-3d rows=$n%-9d save(+stats) ${saveSec}%.2f s" +
+          f"   kept $kept/$total files, pruned read ${prunedSec}%.2f s" +
+          f" vs full-scan filter ${fullSec}%.2f s (${fullSec / prunedSec}%.1fx)")
+      }
     }
     spark.stop()
   }
