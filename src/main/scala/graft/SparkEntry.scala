@@ -2366,6 +2366,27 @@ object SparkEntry {
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("p_name"), col("l_quantity"))),
 
+    "q_interval_join" -> ((s, dir) => {
+      // interval×interval overlap join, binned: both sides explode to
+      // fixed-width bins, hash-join on (key, bin), exact-overlap filter,
+      // and each pair emits ONLY from the bin of its overlap's left edge
+      // — exact dedup with zero distinct shuffles and never a cross join
+      def side(modulus: Int, mult: Int, len: Int) =
+        E(s, dir).filter(pmod(col("event_id"), lit(modulus)) === 0)
+          .select(col("event_id"),
+            pmod(col("user_id"), lit(50)).as("k"),
+            pmod(col("event_id") * mult, lit(10000)).cast("double").as("lo"))
+          .withColumn("hi", col("lo") + len)
+      val a = side(5, 37, 50)
+      val b = side(7, 53, 30).select(col("event_id").as("b_event_id"),
+        col("k").as("bk"), col("lo").as("blo"), col("hi").as("bhi"))
+      graft.ops.Joins.intervalOverlapJoin(a, "lo", "hi", b, "blo", "bhi",
+          binWidth = 64.0, keyCols = Seq("k" -> "bk"))
+        .select(col("event_id").as("a_id"), col("b_event_id").as("b_id"),
+          (least(col("hi"), col("bhi")) - greatest(col("lo"), col("blo")))
+            .cast("long").as("overlap"))
+    }),
+
     "q_funnel" -> ((s, dir) =>
       // ordered signup→view→purchase funnel, greedy-earliest chain per
       // user: each step is one min-agg + one entity-keyed join (no event
@@ -4929,6 +4950,20 @@ object SparkEntry {
       "q_salted_join" ->
         """SELECT l_orderkey, l_linenumber, l_partkey, p_name, l_quantity
           |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+      "q_interval_join" ->
+        """WITH a AS (SELECT event_id, user_id % 50 AS k,
+          |   CAST((event_id*37) % 10000 AS DOUBLE) AS lo,
+          |   CAST((event_id*37) % 10000 + 50 AS DOUBLE) AS hi
+          |  FROM events WHERE event_id % 5 = 0),
+          | b AS (SELECT event_id, user_id % 50 AS k,
+          |   CAST((event_id*53) % 10000 AS DOUBLE) AS lo,
+          |   CAST((event_id*53) % 10000 + 30 AS DOUBLE) AS hi
+          |  FROM events WHERE event_id % 7 = 0)
+          |SELECT a.event_id AS a_id, b.event_id AS b_id,
+          | CAST(least(a.hi, b.hi) - greatest(a.lo, b.lo) AS BIGINT)
+          |   AS overlap
+          |FROM a JOIN b ON a.k = b.k AND a.lo < b.hi AND b.lo < a.hi""".stripMargin,
 
       "q_funnel" ->
         """WITH s1 AS (SELECT user_id, epoch_us(min(ts)) AS t1

@@ -242,4 +242,50 @@ object Joins {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /**
+   * Interval×interval OVERLAP join: pairs where `[aLo,aHi)` and
+   * `[bLo,bHi)` intersect. Both sides explode to fixed-width bins and
+   * hash-join on the bin — never a cross join — with the exact overlap
+   * predicate on the survivors. A pair that overlaps across several bins
+   * would duplicate, so each pair is emitted ONLY from its canonical bin
+   * (the bin of the overlap's left edge, `max(aLo,bLo)`): exact dedup
+   * with no `distinct` shuffle at all.
+   *
+   * Scale shape: one exchange per side on the bin key; duplication factor
+   * = interval_len/binWidth + 1 per side. Pick `binWidth` near the
+   * typical interval length. An optional equi-key (`keyCols`) co-joins on
+   * (key, bin) — the usual "overlaps within the same user/session" form,
+   * which also bounds per-bin fanout to the key's own rows.
+   */
+  def intervalOverlapJoin(a: DataFrame, aLo: String, aHi: String,
+                          b: DataFrame, bLo: String, bHi: String,
+                          binWidth: Double, keyCols: Seq[(String, String)] = Nil,
+                          maxBinsPerInterval: Int = 100000): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require((a.columns ++ b.columns).forall(_ != "__bin"),
+      "input columns use reserved internal name __bin")
+    def bins(lo: String, hi: String): Column = {
+      val l = floor(col(lo) / binWidth).cast("long")
+      val h = floor(col(hi) / binWidth).cast("long")
+      when(h < l, raise_error(concat(
+          lit(s"intervalOverlapJoin: $lo > $hi on row with lo="),
+          col(lo).cast("string"))))
+        .when(h - l >= maxBinsPerInterval, raise_error(concat(
+          lit(s"intervalOverlapJoin: interval spans >= $maxBinsPerInterval " +
+            s"bins; raise binWidth (lo="), col(lo).cast("string"), lit(")"))))
+        .otherwise(sequence(l, h))
+    }
+    val ea = a.withColumn("__bin", explode(bins(aLo, aHi)))
+    val eb = b.withColumn("__bin", explode(bins(bLo, bHi)))
+    val keyPred = keyCols.map { case (ka, kb) => ea(ka) === eb(kb) }
+      .foldLeft(ea("__bin") === eb("__bin"))(_ && _)
+    ea.join(eb, keyPred)
+      // exact overlap of half-open intervals
+      .filter(ea(aLo) < eb(bHi) && eb(bLo) < ea(aHi))
+      // canonical-bin emission: exactly one surviving bin per pair
+      .filter(ea("__bin") ===
+        floor(greatest(ea(aLo), eb(bLo)) / binWidth).cast("long"))
+      .drop("__bin")
+  }
 }

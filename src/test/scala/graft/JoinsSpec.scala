@@ -140,4 +140,40 @@ class JoinsSpec extends SparkSpec {
     assert(binned === naive)
     assert(binned.nonEmpty)
   }
+
+  test("intervalOverlapJoin equals the naive overlap join, duplicate-free") {
+    // lengths straddle the bin width (some spans cover 3+ bins) so the
+    // canonical-bin dedup is actually exercised
+    val a = (1 to 150).map(i =>
+      (i.toLong, i * 13.7 % 400, i * 13.7 % 400 + (i % 5) * 37.0 + 1))
+      .toDF("a_id", "alo", "ahi")
+    val b = (1 to 120).map(i =>
+      (i.toLong, i * 29.1 % 400, i * 29.1 % 400 + (i % 7) * 23.0 + 1))
+      .toDF("b_id", "blo", "bhi")
+    val binned = Joins.intervalOverlapJoin(a, "alo", "ahi", b, "blo", "bhi",
+        binWidth = 40.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val naive = a.join(b, col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(binned.length === binned.toSet.size, "pairs must not duplicate")
+    assert(binned.toSet === naive.toSet)
+    assert(binned.nonEmpty)
+    // keyed variant: overlaps only within the same key
+    val ka = a.withColumn("k", col("a_id") % 3)
+    val kb = b.withColumn("k2", col("b_id") % 3)
+    val keyed = Joins.intervalOverlapJoin(ka, "alo", "ahi", kb, "blo", "bhi",
+        binWidth = 40.0, keyCols = Seq("k" -> "k2"))
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val keyedNaive = ka.join(kb, col("k") === col("k2") &&
+        col("alo") < col("bhi") && col("blo") < col("ahi"))
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(keyed.length === keyed.toSet.size)
+    assert(keyed.toSet === keyedNaive.toSet)
+    // corrupt interval fails fast rather than descending sequences
+    val bad = Seq((1L, 100.0, 5.0)).toDF("a_id", "alo", "ahi")
+    intercept[Exception] {
+      Joins.intervalOverlapJoin(bad, "alo", "ahi", b, "blo", "bhi", 40.0)
+        .count()
+    }
+  }
 }

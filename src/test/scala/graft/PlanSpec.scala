@@ -269,6 +269,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min_by"), p)
   }
 
+  test("q_interval_join: binned overlap join is an equi-join, never a cross join") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the join keys include the bin — a hash-partitionable equi-join
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q_top_tokens: partial count before the exchange, top-n not full sort") {
     val p = plan("q_top_tokens")
     assert(p.contains("partial_count"), p)
