@@ -484,6 +484,67 @@ object SparkEntry {
       graft.streaming.EventStream.runAvailableNow(out, qn, ckpt)
     }),
 
+    "q_stream_join_outer" -> ((s, dir) => {
+      // LEFT OUTER watermarked stream-stream join — the semantics the
+      // inner gate can't cover: unmatched views emit null-extended ONLY
+      // when the watermark proves no purchase can still arrive (state
+      // eviction in the trailing no-data batch, the exact machinery
+      // q_stream_join legitimately skips). A far-future watermark-kicker
+      // row on BOTH streams (user -1, matching nothing) drives the final
+      // watermark past every real view's join window, so the emitted set
+      // equals the static LEFT JOIN exactly — no eviction-boundary
+      // sensitivity for the oracle to chase. The kicker itself stays in
+      // state (its own window is open) and never emits.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = normTs(T(s, dir, "events").filter(col("event_id") < 20000))
+        .withColumn("ts", date_trunc("second", col("ts")))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val kickTs = ev.agg(max("ts")).head().getTimestamp(0).toInstant
+        .plus(java.time.Duration.ofDays(10))
+      def stageDir(df: DataFrame): String = {
+        val d = Files.createTempDirectory("graft_sjo").toString
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        d
+      }
+      def withKicker(df: DataFrame, idCol: String, tsCol: String): DataFrame =
+        df.unionByName(df.limit(1).select(
+          lit(-1L).as(idCol),
+          (if (idCol == "view_id") lit(-1L).as("user_id")
+           else lit(-1L).as("p_user")),
+          lit(java.sql.Timestamp.from(kickTs)).as(tsCol))
+          .select(df.columns.map(col): _*))
+      val vDir = stageDir(withKicker(
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            col("ts").as("vts")), "view_id", "vts"))
+      val pDir = stageDir(withKicker(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("pts")),
+        "purchase_id", "pts"))
+      def src(d: String) = {
+        val schema = s.read.parquet(d).schema
+        s.readStream.schema(schema).parquet(d)
+      }
+      val views = src(vDir).withWatermark("vts", "1 hour")
+      val purch = src(pDir).withWatermark("pts", "1 hour")
+      val joined = views.join(purch,
+          col("user_id") === col("p_user") &&
+          col("pts") >= col("vts") &&
+          col("pts") <= col("vts") + expr("INTERVAL 6 HOURS"),
+          "left_outer")
+        .select(col("user_id"), col("view_id"), col("purchase_id"))
+      val ckpt = Files.createTempDirectory("graft_sjo_ckpt").toString
+      val qn = "sjo_" + math.abs(scala.util.Random.nextInt())
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // noDataBatch stays ON: the trailing batch is what evicts left
+      // state and emits the null-extended unmatched views
+      try graft.streaming.EventStream.runAvailableNow(joined, qn, ckpt)
+        .filter(col("user_id") >= 0)
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     "q_stream_join" -> ((s, dir) => {
       // Stream-stream attribution join: a views stream joins a purchases
       // stream on user with the purchase inside [view, view + 6h] — the
@@ -3738,6 +3799,18 @@ object SparkEntry {
            |SELECT event_id FROM e
            |WHERE NOT EXISTS (SELECT 1 FROM e h
            |  WHERE h.event_id % 3 = 0 AND h.c = e.c)""".stripMargin,
+
+      "q_stream_join_outer" ->
+        """WITH ev AS (SELECT event_id, date_trunc('second', ts) AS ts,
+          |   user_id, event_type FROM events WHERE event_id < 20000),
+          | v AS (SELECT event_id AS view_id, user_id, ts AS vts
+          |   FROM ev WHERE event_type = 'view'),
+          | p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+          |   FROM ev WHERE event_type = 'purchase')
+          |SELECT v.user_id, v.view_id, p.purchase_id
+          |FROM v LEFT JOIN p ON v.user_id = p.user_id
+          | AND p.pts >= v.vts
+          | AND p.pts <= v.vts + INTERVAL 6 HOUR""".stripMargin,
 
       "q_stream_join" ->
         """WITH ev AS (SELECT event_id, date_trunc('second', ts) AS ts,
