@@ -1635,6 +1635,37 @@ object SparkEntry {
         .select(col("o_orderkey"), col("zval"))
     }),
 
+    "q_zorder_skip" -> ((s, dir) => {
+      // Z-order layout × catalog file-stats skipping, composed end-to-end:
+      // a Morton-cell-aligned save gives every file a narrow min/max
+      // envelope on BOTH dimensions, so a 2-D box predicate prunes files
+      // from footer stats alone (asserted), and the pruned read still
+      // returns the exact full-scan aggregate (oracle)
+      val root = Files.createTempDirectory("graft_zskip").toString
+      val cat = new Catalog(root, s)
+      val o = T(s, dir, "orders")
+      val bits = 8
+      val z = graft.io.Layout
+        .zorderFrameQuantile(o, "o_custkey", "o_totalprice", bits)
+        .withColumn("__zcell", shiftright(col("zval"), 2 * bits - 5))
+        .repartitionByRange(32, col("__zcell"))
+        .sortWithinPartitions("__zcell", "zval")
+        .drop("zval", "__zcell")
+      cat.save(Chain(z), "zord")
+      val ck = o.agg(max("o_custkey")).head().getLong(0)
+      val tp = o.agg(max("o_totalprice")).head().getDouble(0)
+      val pred = col("o_custkey") <= ck / 8 &&
+        col("o_totalprice") <= tp / 8
+      val (kept, total) = cat.pruneCount("zord", pred)
+      require(kept >= 1 && kept < total / 2,
+        s"z-order 2-D box must prune most files: kept $kept of $total")
+      cat.readDatasetWhere("zord", pred).selectExcept("sys").toDF
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"),
+          coalesce(min("o_orderkey"), lit(0L)).as("min_key"))
+    }),
+
     "q_partitioned_read" -> ((s, dir) => {
       // hive-style partitioned layout: events written partitioned by
       // event_type (salted to at most 4 files per directory), read back
@@ -5234,6 +5265,15 @@ object SparkEntry {
           | round((CASE WHEN event_id % 7 = 0 THEN value + 1 ELSE value END) * 2, 6)
           |   AS value2
           |FROM events WHERE event_id < 20000""".stripMargin,
+
+      "q_zorder_skip" ->
+        """SELECT count(*) AS n,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |   AS total,
+          | coalesce(min(o_orderkey), 0) AS min_key
+          |FROM orders
+          |WHERE o_custkey <= (SELECT max(o_custkey) // 8 FROM orders)
+          | AND o_totalprice <= (SELECT max(o_totalprice) / 8 FROM orders)""".stripMargin,
 
       "q_stats_skipping" ->
         """SELECT o_orderstatus, count(*) AS n,
