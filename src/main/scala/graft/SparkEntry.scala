@@ -1930,6 +1930,14 @@ object SparkEntry {
       Multimodal.imageHeaderMeta(
         Multimodal.syntheticPngMedia(T(s, dir, "documents"), "doc_id"))),
 
+    "q_video_header" -> ((s, dir) =>
+      // codec-free video metadata: spec-correct minimal MP4s built
+      // box-by-box, parsed back through the ISO-BMFF walk (ftyp brand,
+      // mvhd duration/timescale, tkhd 16.16 dims) — the honest no-ffmpeg
+      // subset of the reference's ffprobe fields, oracled arithmetically
+      Multimodal.videoHeaderMeta(
+        Multimodal.syntheticMp4Media(T(s, dir, "documents"), "doc_id"))),
+
     "q_multimodal" -> ((s, dir) => {
       // REAL codec round-trip: ids → solid-color PNGs encoded with
       // javax.imageio → decodeImages reads true pixel dimensions and mean
@@ -4135,6 +4143,13 @@ object SparkEntry {
         """SELECT doc_id AS id, 'png' AS format,
           | CAST(8 + doc_id % 16 AS INT) AS width,
           | CAST(8 + doc_id % 8 AS INT) AS height
+          |FROM documents""".stripMargin,
+
+      "q_video_header" ->
+        """SELECT doc_id AS id, 'isom' AS brand,
+          | (1000 + (doc_id % 97) * 500) / 1000.0 AS duration_sec,
+          | CAST(64 + doc_id % 32 AS INT) AS width,
+          | CAST(48 + doc_id % 16 AS INT) AS height
           |FROM documents""".stripMargin,
 
       "q_multimodal" ->

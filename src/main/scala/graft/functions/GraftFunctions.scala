@@ -54,6 +54,13 @@ object GraftFunctions {
   def image_header_dims(c: Column): Column =
     toCol(ImageHeaderDims(toExpr(c)))
 
+  /** MP4/ISO-BMFF container metadata from the box structure alone
+    * (brand, mvhd duration, first video track's tkhd dims) — no codec,
+    * no frame decode. struct<brand, duration_sec, width, height>;
+    * null for non-ISO-BMFF blobs. */
+  def mp4_header_meta(c: Column): Column =
+    toCol(Mp4HeaderMeta(toExpr(c)))
+
   /** Point frequency query against a pre-built broadcast Count–Min
     * sketch (spark-sketch serialized bytes) — never undercounts,
     * overcounts by at most eps·N at the sketch's confidence. */

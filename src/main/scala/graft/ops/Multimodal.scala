@@ -445,6 +445,73 @@ object Multimodal {
    * Unrecognized blobs surface with null dims; route them to the full
    * decode.
    */
+  /**
+   * Container-level video metadata with NO codec: brand, duration, and
+   * the first video track's pixel dims straight from the MP4 box
+   * structure (the reference shells out to ffprobe for the same fields,
+   * src/datachain/lib/file.py:901-1003; this environment has no ffmpeg,
+   * and the box walk is the honest codec-free subset). Pure codegen'd
+   * projection — the 100 TB metadata-backfill shape.
+   */
+  def videoHeaderMeta(media: DataFrame): DataFrame =
+    media.select(col("id"),
+        graft.functions.GraftFunctions.mp4_header_meta(col("payload"))
+          .as("__m"))
+      .select(col("id"), col("__m.brand").as("brand"),
+        col("__m.duration_sec").as("duration_sec"),
+        col("__m.width").as("width"), col("__m.height").as("height"))
+
+  /** Spec-correct minimal MP4s (ftyp + moov[mvhd + trak[tkhd]]), one per
+    * row with id-derived duration/dims — deterministic fixtures for
+    * [[videoHeaderMeta]], built box-by-box (no encoder exists here). */
+  def syntheticMp4Media(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val durMs = 1000L + (id % 97) * 500L
+        val w = (64 + id % 32).toInt
+        val h = (48 + id % 16).toInt
+        (id, buildMp4("isom", 1000, durMs, w, h), "mp4")
+      }
+    }.toDF("id", "payload", "format")
+  }
+
+  /** Minimal ISO-BMFF: ftyp(brand) + moov[mvhd v0(timescale,duration) +
+    * trak[tkhd v0(width,height)]]. Box sizes follow the v0 spec layouts
+    * (mvhd 108, tkhd 92). */
+  private[graft] def buildMp4(brand: String, timescale: Long, duration: Long,
+                              w: Int, h: Int): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(8L + body.length) ++ typ.getBytes("ISO-8859-1") ++ body
+    val ftyp = box("ftyp",
+      brand.getBytes("ISO-8859-1") ++ be32(0) ++ "mp41".getBytes("ISO-8859-1"))
+    // mvhd v0: ver/flags, creation, modification, timescale, duration,
+    // rate, volume+reserved, reserved(8), matrix(36), predefined(24),
+    // next_track_id — 100-byte body
+    val mvhd = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(timescale) ++ be32(duration) ++
+        be32(0x00010000L) ++ be32(0x01000000L) ++ Array.fill[Byte](8)(0) ++
+        (Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+          .flatMap(be32).toArray) ++ Array.fill[Byte](24)(0) ++ be32(2))
+    // tkhd v0: ver/flags(enabled), creation, modification, track_id,
+    // reserved, duration, reserved(8), layer/alt(4), volume+rsvd(4),
+    // matrix(36), width, height — 84-byte body
+    val tkhd = box("tkhd",
+      be32(7) ++ be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(duration) ++
+        Array.fill[Byte](8)(0) ++ be32(0) ++ be32(0) ++
+        (Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)
+          .flatMap(be32).toArray) ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    bo.write(ftyp); bo.write(moov)
+    bo.toByteArray
+  }
+
   def imageHeaderMeta(media: DataFrame): DataFrame =
     media.select(col("id"),
         graft.functions.GraftFunctions.image_header_dims(col("payload"))

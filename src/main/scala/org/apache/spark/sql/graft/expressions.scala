@@ -480,6 +480,119 @@ case class ImageHeaderDims(child: Expression)
 }
 
 /**
+ * MP4/ISO-BMFF container metadata from the box structure alone — the
+ * video counterpart of [[ImageHeaderDims]]: brand from `ftyp`, duration
+ * from `moov/mvhd` (duration/timescale, version 0 and 1 layouts), and
+ * the first video track's pixel dims from `moov/trak/tkhd` (16.16
+ * fixed-point; audio tracks carry 0×0 and are skipped). Walks top-level
+ * boxes (64-bit `largesize` supported) and recurses only into
+ * `moov`/`trak`, so a blob with a leading `moov` costs ~100 touched
+ * bytes and a trailing-moov file one linear box walk — no codec, no
+ * frame decode (JDK ships none; the reference shells out to ffprobe for
+ * the same fields, reference: src/datachain/lib/file.py:901-1003).
+ * Null for anything that isn't ISO-BMFF.
+ */
+case class Mp4HeaderMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("brand", StringType),
+    StructField("duration_sec", DoubleType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mp4_header_meta"
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "ISO-8859-1")
+
+  private final class Acc {
+    var brand: String = null
+    var durationSec: java.lang.Double = null
+    var width = 0
+    var height = 0
+  }
+
+  /** Walk boxes in [from, to); recurse into containers on the path to
+    * the fields we need. Malformed sizes end the walk (partial results
+    * still surface). */
+  private def walk(b: Array[Byte], from: Long, to: Long, depth: Int,
+                   acc: Acc): Unit = {
+    var i = from
+    while (i + 8 <= to) {
+      var size = be32(b, i.toInt)
+      val typ = fourcc(b, (i + 4).toInt)
+      var hdr = 8L
+      if (size == 1 && i + 16 <= to) { size = be64(b, (i + 8).toInt); hdr = 16L }
+      else if (size == 0) size = to - i // box extends to end
+      if (size < hdr || i + size > to) return
+      val body = i + hdr
+      typ match {
+        case "ftyp" if size >= hdr + 4 && acc.brand == null =>
+          acc.brand = fourcc(b, body.toInt)
+        case "moov" if depth == 0 =>
+          walk(b, body, i + size, 1, acc)
+        case "trak" if depth == 1 =>
+          walk(b, body, i + size, 2, acc)
+        case "mvhd" if depth == 1 && size >= hdr + 20 =>
+          val v = b(body.toInt) & 0xFF
+          if (v == 1 && size >= hdr + 32) {
+            val ts = be32(b, (body + 20).toInt)
+            val dur = be64(b, (body + 24).toInt)
+            if (ts > 0) acc.durationSec = dur.toDouble / ts
+          } else if (v == 0) {
+            val ts = be32(b, (body + 12).toInt)
+            val dur = be32(b, (body + 16).toInt)
+            if (ts > 0) acc.durationSec = dur.toDouble / ts
+          }
+        case "tkhd" if depth == 2 && acc.width == 0 =>
+          val v = b(body.toInt) & 0xFF
+          // width/height are the LAST 8 bytes of the box either version
+          if (size >= hdr + (if (v == 1) 96 else 84)) {
+            val wOff = i + size - 8
+            val w = (be32(b, wOff.toInt) >> 16).toInt
+            val h = (be32(b, (wOff + 4).toInt) >> 16).toInt
+            if (w > 0 && h > 0) { acc.width = w; acc.height = h }
+          }
+        case _ =>
+      }
+      i += size
+    }
+  }
+
+  /** public for generated code; null = not an ISO-BMFF container */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b.length < 12 || fourcc(b, 4) != "ftyp") return null
+    val acc = new Acc
+    walk(b, 0L, b.length.toLong, 0, acc)
+    InternalRow(
+      if (acc.brand == null) null else UTF8String.fromString(acc.brand),
+      acc.durationSec,
+      if (acc.width > 0) acc.width else null,
+      if (acc.height > 0) acc.height else null)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    parse(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftMp4Hdr", this,
+      classOf[Mp4HeaderMeta].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.parse($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): Mp4HeaderMeta =
+    copy(child = c)
+}
+
+/**
  * Point frequency query against a pre-built broadcast Count–Min sketch
  * (spark-sketch serialized form, as produced by the `count_min_sketch`
  * aggregate). Same shape as [[BloomMightContain]]: the sketch bytes ride

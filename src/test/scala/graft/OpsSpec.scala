@@ -909,6 +909,52 @@ class OpsSpec extends SparkSpec {
     assert(top.length === 3)
   }
 
+  test("videoHeaderMeta parses ISO-BMFF variants; non-MP4 yields null") {
+    import graft.ops.Multimodal
+    // 1. round-trip over the synthetic builder
+    val media = Multimodal.syntheticMp4Media(
+      (0L until 40L).toDF("doc_id"), "doc_id")
+    val out = Multimodal.videoHeaderMeta(media)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDouble(2), r.getInt(3), r.getInt(4)))).toMap
+    (0L until 40L).foreach { id =>
+      assert(out(id) === (("isom", (1000.0 + (id % 97) * 500.0) / 1000.0,
+        (64 + id % 32).toInt, (48 + id % 16).toInt)), s"id=$id")
+    }
+    // 2. structural variants, byte-edited from a known build
+    val base = Multimodal.buildMp4("mp42", 600, 1200, 320, 240)
+    val ftypLen = 20 // 8 + brand(4) + minor(4) + one compat brand(4)
+    val (ftyp, moov) = base.splitAt(ftypLen)
+    def be32(v: Long): Array[Byte] = Array(((v >> 24) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def parse1(bytes: Array[Byte]) = {
+      val df = spark.createDataFrame(Seq((1L, bytes, "mp4")))
+        .toDF("id", "payload", "format")
+      Multimodal.videoHeaderMeta(df).collect().head
+    }
+    // trailing moov behind a big mdat: the walk skips the payload box
+    val mdat = be32(8L + 100) ++ "mdat".getBytes("ISO-8859-1") ++
+      Array.fill[Byte](100)(0)
+    val r1 = parse1(ftyp ++ mdat ++ moov)
+    assert(r1.getString(1) === "mp42" && r1.getDouble(2) === 2.0 &&
+      r1.getInt(3) === 320 && r1.getInt(4) === 240)
+    // 64-bit largesize mdat before the moov
+    val big = be32(1L) ++ "mdat".getBytes("ISO-8859-1") ++
+      Array.fill[Byte](8)(0).patch(0, be32(0L) ++ be32(16L + 50), 8) ++
+      Array.fill[Byte](50)(0)
+    val r2 = parse1(ftyp ++ big ++ moov)
+    assert(r2.getString(1) === "mp42" && r2.getInt(3) === 320)
+    // non-ISO-BMFF payload → null struct (expression is null-tolerant)
+    val junk = spark.createDataFrame(Seq(
+        (9L, "not a video at all".getBytes("UTF-8"), "bin")))
+      .toDF("id", "payload", "format")
+    val rj = Multimodal.videoHeaderMeta(junk).collect().head
+    assert(rj.isNullAt(1) && rj.isNullAt(2) && rj.isNullAt(3) && rj.isNullAt(4))
+    // truncated/corrupt moov: walk ends early, brand still surfaces
+    val rc = parse1(ftyp ++ moov.take(20))
+    assert(rc.getString(1) === "mp42" && rc.isNullAt(2))
+  }
+
   test("Profile.schemaDiff reports added/removed/retyped incl. nested paths") {
     import graft.ops.Profile
     val before = Seq((1L, "a", 2.0)).toDF("id", "keep", "gone")
