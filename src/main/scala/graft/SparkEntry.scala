@@ -1938,6 +1938,14 @@ object SparkEntry {
       Multimodal.videoHeaderMeta(
         Multimodal.syntheticMp4Media(T(s, dir, "documents"), "doc_id"))),
 
+    "q_audio_frame_meta" -> ((s, dir) =>
+      // codec-free MP3 metadata: ID3v2 skip + frame-sync scan + spec
+      // bitrate/samplerate tables + CBR duration estimate, all parsed
+      // from 4 header bytes per blob; fixtures carry id-derived table
+      // indices so the oracle replays every field arithmetically
+      Multimodal.audioFrameMeta(
+        Multimodal.syntheticMp3Media(T(s, dir, "documents"), "doc_id"))),
+
     "q_multimodal" -> ((s, dir) => {
       // REAL codec round-trip: ids → solid-color PNGs encoded with
       // javax.imageio → decodeImages reads true pixel dimensions and mean
@@ -4151,6 +4159,22 @@ object SparkEntry {
           | CAST(64 + doc_id % 32 AS INT) AS width,
           | CAST(48 + doc_id % 16 AS INT) AS height
           |FROM documents""".stripMargin,
+
+      "q_audio_frame_meta" ->
+        """WITH m AS (SELECT doc_id AS id,
+          |  ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+          |    [CAST(doc_id % 14 AS INT) + 1] AS kbps,
+          |  200 + (doc_id % 50) * 10 AS total,
+          |  40 + doc_id % 10 AS off
+          | FROM documents)
+          |SELECT id, '1' AS version, CAST(3 AS INT) AS layer,
+          | CAST(kbps AS INT) AS bitrate_kbps,
+          | CAST(([44100,48000,32000])[CAST(id % 3 AS INT) + 1] AS INT)
+          |   AS sample_rate,
+          | (['stereo','joint','dual','mono'])[CAST(id % 4 AS INT) + 1]
+          |   AS channels,
+          | (total - off) * 8.0 / (kbps * 1000.0) AS est_duration_sec
+          |FROM m""".stripMargin,
 
       "q_multimodal" ->
         """SELECT doc_id AS id, 'png' AS format,

@@ -61,6 +61,13 @@ object GraftFunctions {
   def mp4_header_meta(c: Column): Column =
     toCol(Mp4HeaderMeta(toExpr(c)))
 
+  /** MP3 stream metadata from the first frame header (ID3v2 skipped,
+    * spec bitrate/samplerate tables, CBR duration estimate) — no audio
+    * decode. struct<version, layer, bitrate_kbps, sample_rate, channels,
+    * est_duration_sec>; null without a valid frame sync. */
+  def mp3_frame_meta(c: Column): Column =
+    toCol(Mp3FrameMeta(toExpr(c)))
+
   /** Point frequency query against a pre-built broadcast Count–Min
     * sketch (spark-sketch serialized bytes) — never undercounts,
     * overcounts by at most eps·N at the sketch's confidence. */

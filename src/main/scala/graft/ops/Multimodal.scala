@@ -512,6 +512,46 @@ object Multimodal {
     bo.toByteArray
   }
 
+  /** MP3 stream metadata without a decoder — first-frame header fields
+    * plus the CBR duration estimate; see
+    * [[org.apache.spark.sql.graft.Mp3FrameMeta]]. */
+  def audioFrameMeta(media: DataFrame): DataFrame =
+    media.select(col("id"),
+        graft.functions.GraftFunctions.mp3_frame_meta(col("payload"))
+          .as("__m"))
+      .select(col("id"), col("__m.version").as("version"),
+        col("__m.layer").as("layer"),
+        col("__m.bitrate_kbps").as("bitrate_kbps"),
+        col("__m.sample_rate").as("sample_rate"),
+        col("__m.channels").as("channels"),
+        col("__m.est_duration_sec").as("est_duration_sec"))
+
+  /** Deterministic MPEG1-Layer-III fixtures: a synchsafe ID3v2 tag, one
+    * valid frame header with id-derived bitrate/samplerate/channel-mode
+    * indices, and filler to an id-derived length. */
+  def syntheticMp3Media(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val tagSz = (30 + id % 10).toInt // < 128: synchsafe-trivial
+        val brIdx = (1 + id % 14).toInt
+        val srIdx = (id % 3).toInt
+        val mode = (id % 4).toInt
+        val total = (200 + (id % 50) * 10).toInt
+        val b = new Array[Byte](total)
+        b(0) = 'I'; b(1) = 'D'; b(2) = '3'; b(3) = 4; b(4) = 0; b(5) = 0
+        b(6) = 0; b(7) = 0; b(8) = 0; b(9) = tagSz.toByte
+        val f = 10 + tagSz
+        b(f) = 0xFF.toByte
+        b(f + 1) = 0xFB.toByte // MPEG1 (11), Layer III (01), no CRC (1)
+        b(f + 2) = ((brIdx << 4) | (srIdx << 2)).toByte
+        b(f + 3) = (mode << 6).toByte
+        (id, b, "mp3")
+      }
+    }.toDF("id", "payload", "format")
+  }
+
   def imageHeaderMeta(media: DataFrame): DataFrame =
     media.select(col("id"),
         graft.functions.GraftFunctions.image_header_dims(col("payload"))

@@ -593,6 +593,95 @@ case class Mp4HeaderMeta(child: Expression)
 }
 
 /**
+ * MP3 stream metadata from the first frame HEADER — 4 bytes of sync +
+ * table lookups, no audio decode (the JDK ships no MP3 codec; the
+ * reference gets these fields via soundfile/ffprobe). Skips a leading
+ * ID3v2 tag (synchsafe size), scans a bounded window for the frame sync,
+ * and reads version/layer/bitrate/samplerate/channel-mode from the spec
+ * tables (MPEG1/2/2.5 × Layer I/II/III). `est_duration_sec` is the CBR
+ * estimate bytes·8/bitrate — exact for constant-bitrate streams, the
+ * honest label for VBR. Null for anything without a valid frame sync.
+ */
+case class Mp3FrameMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("version", StringType),
+    StructField("layer", IntegerType),
+    StructField("bitrate_kbps", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", StringType),
+    StructField("est_duration_sec", DoubleType)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mp3_frame_meta"
+
+  // bitrate kbps by [table][index-1]; tables: V1L1 V1L2 V1L3 V2L1 V2L23
+  private val Bitrates: Array[Array[Int]] = Array(
+    Array(32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    Array(32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    Array(8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))
+  private val SampleRates: Map[Int, Array[Int]] = Map(
+    3 -> Array(44100, 48000, 32000),  // MPEG1
+    2 -> Array(22050, 24000, 16000),  // MPEG2
+    0 -> Array(11025, 12000, 8000))   // MPEG2.5
+  private val Channels = Array("stereo", "joint", "dual", "mono")
+
+  /** public for generated code */
+  def parse(b: Array[Byte]): InternalRow = {
+    var i = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val sz = ((b(6) & 0x7F) << 21) | ((b(7) & 0x7F) << 14) |
+        ((b(8) & 0x7F) << 7) | (b(9) & 0x7F)
+      i = 10 + sz
+    }
+    val end = math.min(b.length - 4, i + 2048)
+    while (i <= end && !((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xE0) == 0xE0))
+      i += 1
+    if (i > end || i + 3 >= b.length) return null
+    val h1 = b(i + 1) & 0xFF
+    val h2 = b(i + 2) & 0xFF
+    val h3 = b(i + 3) & 0xFF
+    val verBits = (h1 >> 3) & 3    // 0=2.5, 2=2, 3=1 (1 reserved)
+    val layerBits = (h1 >> 1) & 3  // 1=III, 2=II, 3=I (0 reserved)
+    if (verBits == 1 || layerBits == 0) return null
+    val brIdx = (h2 >> 4) & 0xF
+    val srIdx = (h2 >> 2) & 3
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return null
+    val layer = 4 - layerBits // 1, 2, 3
+    val table =
+      if (verBits == 3) layer - 1
+      else if (layer == 1) 3
+      else 4
+    val kbps = Bitrates(table)(brIdx - 1)
+    val sr = SampleRates(verBits)(srIdx)
+    val version = verBits match {
+      case 3 => "1"
+      case 2 => "2"
+      case _ => "2.5"
+    }
+    val durSec = (b.length - i).toDouble * 8.0 / (kbps * 1000.0)
+    InternalRow(UTF8String.fromString(version), layer, kbps, sr,
+      UTF8String.fromString(Channels((h3 >> 6) & 3)), durSec)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    parse(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftMp3Hdr", this,
+      classOf[Mp3FrameMeta].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.parse($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): Mp3FrameMeta =
+    copy(child = c)
+}
+
+/**
  * Point frequency query against a pre-built broadcast Count–Min sketch
  * (spark-sketch serialized form, as produced by the `count_min_sketch`
  * aggregate). Same shape as [[BloomMightContain]]: the sketch bytes ride

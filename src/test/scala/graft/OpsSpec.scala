@@ -955,6 +955,45 @@ class OpsSpec extends SparkSpec {
     assert(rc.getString(1) === "mp42" && rc.isNullAt(2))
   }
 
+  test("audioFrameMeta: MPEG2/2.5 tables, reserved indices, junk → null") {
+    import graft.ops.Multimodal
+    def mp3(h1: Int, h2: Int, h3: Int, pad: Int = 100): Array[Byte] = {
+      val b = new Array[Byte](4 + pad)
+      b(0) = 0xFF.toByte; b(1) = h1.toByte; b(2) = h2.toByte; b(3) = h3.toByte
+      b
+    }
+    def parse1(bytes: Array[Byte]) = {
+      val df = spark.createDataFrame(Seq((1L, bytes, "mp3")))
+        .toDF("id", "payload", "format")
+      Multimodal.audioFrameMeta(df).collect().head
+    }
+    // MPEG2 Layer III, bitrate idx 4 (V2L23 table → 32), sr idx 1 → 24000
+    val v2 = parse1(mp3(0xF3, (4 << 4) | (1 << 2), 0xC0))
+    assert(v2.getString(1) === "2" && v2.getInt(2) === 3 &&
+      v2.getInt(3) === 32 && v2.getInt(4) === 24000 &&
+      v2.getString(5) === "mono")
+    // MPEG2.5 Layer II, idx 2 → 16 kbps, sr idx 0 → 11025
+    val v25 = parse1(mp3(0xE5, 2 << 4, 0x40))
+    assert(v25.getString(1) === "2.5" && v25.getInt(2) === 2 &&
+      v25.getInt(3) === 16 && v25.getInt(4) === 11025 &&
+      v25.getString(5) === "joint")
+    // MPEG1 Layer I, idx 14 → 448 kbps
+    val l1 = parse1(mp3(0xFF, (14 << 4) | (2 << 2), 0x00))
+    assert(l1.getInt(2) === 1 && l1.getInt(3) === 448 &&
+      l1.getInt(4) === 32000 && l1.getString(5) === "stereo")
+    // reserved: free bitrate (0), bad bitrate (15), bad samplerate (3)
+    assert(parse1(mp3(0xFB, 0 << 4, 0)).isNullAt(1))
+    assert(parse1(mp3(0xFB, 15 << 4, 0)).isNullAt(1))
+    assert(parse1(mp3(0xFB, (4 << 4) | (3 << 2), 0)).isNullAt(1))
+    // junk without a frame sync
+    assert(parse1("definitely not audio".getBytes("UTF-8") ++
+      new Array[Byte](50)).isNullAt(1))
+    // CBR duration estimate: bytes*8/bitrate from the sync offset
+    val d = parse1(mp3(0xFB, (9 << 4) | (0 << 2), 0x00, pad = 1996))
+    assert(d.getInt(3) === 128)
+    assert(math.abs(d.getDouble(6) - 2000.0 * 8 / 128000.0) < 1e-12)
+  }
+
   test("Profile.schemaDiff reports added/removed/retyped incl. nested paths") {
     import graft.ops.Profile
     val before = Seq((1L, "a", 2.0)).toDF("id", "keep", "gone")
