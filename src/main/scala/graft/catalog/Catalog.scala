@@ -389,8 +389,30 @@ final class Catalog(val root: String, spark: SparkSession) {
     }
     // dryRun reports what WOULD go — the audit step before a destructive
     // pass over someone's catalog
-    if (!dryRun) victims.foreach { case (n, v) => deleteVersion(n, v) }
+    if (!dryRun) {
+      victims.foreach { case (n, v) => deleteVersion(n, v) }
+      sweepTempDirs()
+    }
     victims
+  }
+
+  /** Remove save-protocol temp dirs older than an hour — debris of
+    * writers that crashed between the parquet write and the version
+    * claim. The age guard keeps a concurrent in-flight save's temp dir
+    * safe; claimed-but-incomplete VERSION dirs (no meta.json) stay, they
+    * hold a version number a retry must not reuse. */
+  def sweepTempDirs(maxAge: java.time.Duration = java.time.Duration.ofHours(1))
+      : Seq[String] = {
+    val cutoff = System.currentTimeMillis() - maxAge.toMillis
+    datasets().flatMap { n =>
+      Files.list(dsDir(n)).iterator.asScala
+        .filter(p => p.getFileName.toString.startsWith(".tmp-") &&
+          Files.getLastModifiedTime(p).toMillis < cutoff)
+        .map { p =>
+          Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+          s"$n/${p.getFileName}"
+        }.toSeq
+    }
   }
 
   def deleteDataset(name: String): Unit = {

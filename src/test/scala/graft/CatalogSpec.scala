@@ -60,6 +60,31 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.save(c, "r", Some(vs.head)))
   }
 
+  test("vacuum sweeps crashed-save temp dirs, spares fresh in-flight ones") {
+    val root = Files.createTempDirectory("cat_sweep").toString
+    val cat = new Catalog(root, spark)
+    val c = Chain(spark.read.parquet(s"$sf/nation.parquet"))
+    cat.save(c, "s")
+    val ds = java.nio.file.Paths.get(root, "datasets", "s")
+    val stale = ds.resolve(".tmp-deadbeef")
+    Files.createDirectories(stale.resolve("data"))
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3 * 3600 * 1000L))
+    val fresh = ds.resolve(".tmp-cafebabe")
+    Files.createDirectories(fresh)
+    val swept = cat.sweepTempDirs()
+    assert(swept === Seq("s/.tmp-deadbeef"), swept.toString)
+    assert(!Files.exists(stale) && Files.exists(fresh))
+    // and vacuum runs the sweep as part of its destructive pass
+    Files.createDirectories(stale)
+    Files.setLastModifiedTime(stale,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3 * 3600 * 1000L))
+    cat.vacuum(keepLast = 1)
+    assert(!Files.exists(stale) && Files.exists(fresh))
+  }
+
   test("vacuum keeps the retention window plus the transitive lineage closure") {
     val root = Files.createTempDirectory("cat_vac").toString
     val cat = new Catalog(root, spark)
