@@ -1938,6 +1938,17 @@ object SparkEntry {
       Multimodal.videoHeaderMeta(
         Multimodal.syntheticMp4Media(T(s, dir, "documents"), "doc_id"))),
 
+    "q_webm_header" -> ((s, dir) => {
+      // BOTH video containers through the one dispatching op: MP4 box
+      // walk and Matroska EBML walk coalesce per row on the magic bytes;
+      // the mixed corpus proves the dispatch and both parsers at once
+      val docs = T(s, dir, "documents")
+      val mp4 = Multimodal.syntheticMp4Media(docs, "doc_id")
+      val webm = Multimodal.syntheticWebmMedia(
+        docs.select((col("doc_id") + 10000).as("doc_id")), "doc_id")
+      Multimodal.videoHeaderMeta(mp4.unionByName(webm))
+    }),
+
     "q_audio_frame_meta" -> ((s, dir) =>
       // codec-free MP3 metadata: ID3v2 skip + frame-sync scan + spec
       // bitrate/samplerate tables + CBR duration estimate, all parsed
@@ -4158,6 +4169,19 @@ object SparkEntry {
           | (1000 + (doc_id % 97) * 500) / 1000.0 AS duration_sec,
           | CAST(64 + doc_id % 32 AS INT) AS width,
           | CAST(48 + doc_id % 16 AS INT) AS height
+          |FROM documents""".stripMargin,
+
+      "q_webm_header" ->
+        """SELECT doc_id AS id, 'isom' AS brand,
+          | (1000 + (doc_id % 97) * 500) / 1000.0 AS duration_sec,
+          | CAST(64 + doc_id % 32 AS INT) AS width,
+          | CAST(48 + doc_id % 16 AS INT) AS height
+          |FROM documents
+          |UNION ALL
+          |SELECT doc_id + 10000 AS id, 'webm' AS brand,
+          | (2000 + ((doc_id + 10000) % 89) * 250) / 1000.0 AS duration_sec,
+          | CAST(128 + (doc_id + 10000) % 64 AS INT) AS width,
+          | CAST(72 + (doc_id + 10000) % 36 AS INT) AS height
           |FROM documents""".stripMargin,
 
       "q_audio_frame_meta" ->

@@ -68,6 +68,12 @@ object GraftFunctions {
   def mp3_frame_meta(c: Column): Column =
     toCol(Mp3FrameMeta(toExpr(c)))
 
+  /** Matroska/WebM metadata from the EBML element tree (DocType,
+    * Duration × TimestampScale, first video track's pixel dims) — same
+    * struct shape as [[mp4_header_meta]], null without the EBML magic. */
+  def ebml_header_meta(c: Column): Column =
+    toCol(EbmlHeaderMeta(toExpr(c)))
+
   /** Point frequency query against a pre-built broadcast Count–Min
     * sketch (spark-sketch serialized bytes) — never undercounts,
     * overcounts by at most eps·N at the sketch's confidence. */

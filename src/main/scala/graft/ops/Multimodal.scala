@@ -455,11 +455,56 @@ object Multimodal {
    */
   def videoHeaderMeta(media: DataFrame): DataFrame =
     media.select(col("id"),
-        graft.functions.GraftFunctions.mp4_header_meta(col("payload"))
+        // one struct per container family, same shape — coalesce
+        // dispatches on the magic bytes (ftyp vs EBML) per row
+        coalesce(
+          graft.functions.GraftFunctions.mp4_header_meta(col("payload")),
+          graft.functions.GraftFunctions.ebml_header_meta(col("payload")))
           .as("__m"))
       .select(col("id"), col("__m.brand").as("brand"),
         col("__m.duration_sec").as("duration_sec"),
         col("__m.width").as("width"), col("__m.height").as("height"))
+
+  /** Deterministic minimal WebM fixtures (EBML header with DocType,
+    * Segment[Info[TimestampScale, Duration] Tracks[TrackEntry[Video[
+    * PixelWidth PixelHeight]]]]) — id-derived fields, built element by
+    * element. */
+  def syntheticWebmMedia(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val durMs = (2000L + (id % 89) * 250L).toDouble
+        val w = (128 + id % 64).toInt
+        val h = (72 + id % 36).toInt
+        (id, buildWebm("webm", durMs, w, h), "webm")
+      }
+    }.toDF("id", "payload", "format")
+  }
+
+  private[graft] def buildWebm(docType: String, durationUnits: Double,
+                               w: Int, h: Int): Array[Byte] = {
+    def be(v: Long, n: Int): Array[Byte] =
+      (n - 1 to 0 by -1).map(k => ((v >> (8 * k)) & 0xFF).toByte).toArray
+    def el(id: Long, idLen: Int, body: Array[Byte]): Array[Byte] = {
+      require(body.length < 127, "1-byte size form only")
+      be(id, idLen) ++ Array((0x80 | body.length).toByte) ++ body
+    }
+    def uintEl(id: Long, idLen: Int, v: Long): Array[Byte] = {
+      var n = 1
+      while (n < 8 && (v >> (8 * n)) != 0) n += 1
+      el(id, idLen, be(v, n))
+    }
+    val ebml = el(0x1A45DFA3L, 4,
+      el(0x4282L, 2, docType.getBytes("ISO-8859-1")))
+    val info = el(0x1549A966L, 4,
+      uintEl(0x2AD7B1L, 3, 1000000L) ++
+        el(0x4489L, 2, be(java.lang.Double.doubleToLongBits(durationUnits), 8)))
+    val video = el(0xE0L, 1,
+      uintEl(0xB0L, 1, w.toLong) ++ uintEl(0xBAL, 1, h.toLong))
+    val tracks = el(0x1654AE6BL, 4, el(0xAEL, 1, video))
+    ebml ++ el(0x18538067L, 4, info ++ tracks)
+  }
 
   /** Spec-correct minimal MP4s (ftyp + moov[mvhd + trak[tkhd]]), one per
     * row with id-derived duration/dims — deterministic fixtures for

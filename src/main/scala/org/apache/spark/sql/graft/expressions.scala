@@ -682,6 +682,135 @@ case class Mp3FrameMeta(child: Expression)
 }
 
 /**
+ * Matroska/WebM metadata from the EBML element tree — the second video
+ * container beside [[Mp4HeaderMeta]], same no-codec posture: DocType
+ * from the EBML header, duration from Segment>Info (Duration float ×
+ * TimestampScale, default 10⁶ ns), and the first video track's
+ * PixelWidth/Height from Segment>Tracks>TrackEntry>Video. Handles
+ * variable-length IDs/sizes (1-8 bytes) and the streaming "unknown
+ * size" form (all size bits set → element runs to the end). Null for
+ * anything without the EBML magic.
+ */
+case class EbmlHeaderMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("brand", StringType),
+    StructField("duration_sec", DoubleType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ebml_header_meta"
+
+  // element IDs with their marker bits, as the spec writes them
+  private val EbmlHdr = 0x1A45DFA3L
+  private val DocType = 0x4282L
+  private val Segment = 0x18538067L
+  private val Info = 0x1549A966L
+  private val TsScale = 0x2AD7B1L
+  private val Duration = 0x4489L
+  private val Tracks = 0x1654AE6BL
+  private val TrackEntry = 0xAEL
+  private val Video = 0xE0L
+  private val PixelWidth = 0xB0L
+  private val PixelHeight = 0xBAL
+  private val Containers =
+    Set(EbmlHdr, Segment, Info, Tracks, TrackEntry, Video)
+
+  /** (value, bytesRead) of a varint at i; keepMarker for IDs. -1 length
+    * on malformed input. */
+  private def varint(b: Array[Byte], i: Long, keepMarker: Boolean): (Long, Int) = {
+    if (i >= b.length) return (0L, -1)
+    val first = b(i.toInt) & 0xFF
+    val n = Integer.numberOfLeadingZeros(first) - 23 // 1..8 for 1xxx..00000001
+    if (n < 1 || n > 8 || i + n > b.length) return (0L, -1)
+    var v = (if (keepMarker) first else first & (0xFF >> n)).toLong
+    var k = 1
+    while (k < n) { v = (v << 8) | (b((i + k).toInt) & 0xFF); k += 1 }
+    (v, n)
+  }
+
+  private final class Acc {
+    var docType: String = null
+    var tsScale = 1000000L // Matroska default: 1 ms
+    var durationUnits: java.lang.Double = null
+    var width = 0
+    var height = 0
+  }
+
+  private def readUint(b: Array[Byte], from: Long, len: Long): Long = {
+    var v = 0L
+    var k = 0L
+    while (k < len) { v = (v << 8) | (b((from + k).toInt) & 0xFF); k += 1 }
+    v
+  }
+
+  private def walk(b: Array[Byte], from: Long, to: Long, acc: Acc): Unit = {
+    var i = from
+    while (i < to) {
+      val (id, idLen) = varint(b, i, keepMarker = true)
+      if (idLen < 0) return
+      val (sz0, szLen) = varint(b, i + idLen, keepMarker = false)
+      if (szLen < 0) return
+      val body = i + idLen + szLen
+      // all-ones size = unknown: element extends to the end of scope
+      val unknown = sz0 == (1L << (7 * szLen)) - 1
+      val sz = if (unknown) to - body else sz0
+      if (sz < 0 || body + sz > to) return
+      id match {
+        case x if Containers(x) => walk(b, body, body + sz, acc)
+        case DocType if acc.docType == null =>
+          acc.docType = new String(b, body.toInt, sz.toInt, "ISO-8859-1")
+            .takeWhile(_ != '\u0000') // spec allows null padding
+        case TsScale => acc.tsScale = readUint(b, body, sz)
+        case Duration if sz == 4 =>
+          acc.durationUnits = java.lang.Float.intBitsToFloat(
+            readUint(b, body, 4).toInt).toDouble
+        case Duration if sz == 8 =>
+          acc.durationUnits =
+            java.lang.Double.longBitsToDouble(readUint(b, body, 8))
+        case PixelWidth if acc.width == 0 =>
+          acc.width = readUint(b, body, sz).toInt
+        case PixelHeight if acc.height == 0 =>
+          acc.height = readUint(b, body, sz).toInt
+        case _ =>
+      }
+      i = body + sz
+    }
+  }
+
+  /** public for generated code; null = no EBML magic */
+  def parse(b: Array[Byte]): InternalRow = {
+    if (b.length < 4 || (b(0) & 0xFF) != 0x1A || (b(1) & 0xFF) != 0x45 ||
+        (b(2) & 0xFF) != 0xDF || (b(3) & 0xFF) != 0xA3) return null
+    val acc = new Acc
+    walk(b, 0L, b.length.toLong, acc)
+    val dur: java.lang.Double =
+      if (acc.durationUnits == null) null
+      else acc.durationUnits * acc.tsScale / 1e9
+    InternalRow(
+      if (acc.docType == null) null else UTF8String.fromString(acc.docType),
+      dur,
+      if (acc.width > 0) acc.width else null,
+      if (acc.height > 0) acc.height else null)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    parse(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftEbmlHdr", this,
+      classOf[EbmlHeaderMeta].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.parse($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+  override protected def withNewChildInternal(c: Expression): EbmlHeaderMeta =
+    copy(child = c)
+}
+
+/**
  * Point frequency query against a pre-built broadcast Count–Min sketch
  * (spark-sketch serialized form, as produced by the `count_min_sketch`
  * aggregate). Same shape as [[BloomMightContain]]: the sketch bytes ride

@@ -955,6 +955,41 @@ class OpsSpec extends SparkSpec {
     assert(rc.getString(1) === "mp42" && rc.isNullAt(2))
   }
 
+  test("videoHeaderMeta: EBML/WebM walk, unknown-size segment, float32 duration") {
+    import graft.ops.Multimodal
+    def parse1(bytes: Array[Byte]) = {
+      val df = spark.createDataFrame(Seq((1L, bytes, "webm")))
+        .toDF("id", "payload", "format")
+      Multimodal.videoHeaderMeta(df).collect().head
+    }
+    // builder round-trip
+    val base = Multimodal.buildWebm("matroska", 4500.0, 640, 360)
+    val r = parse1(base)
+    assert(r.getString(1) === "matroska" && r.getDouble(2) === 4.5 &&
+      r.getInt(3) === 640 && r.getInt(4) === 360)
+    // unknown-size Segment (streaming form: all size bits set)
+    val segAt = base.indexOfSlice(Seq(0x18, 0x53, 0x80, 0x67).map(_.toByte))
+    val unk = base.clone()
+    unk(segAt + 4) = 0xFF.toByte // 1-byte size, all ones = unknown
+    val r2 = parse1(unk)
+    assert(r2.getString(1) === "matroska" && r2.getInt(3) === 640)
+    // 4-byte float Duration variant, hand-built element stream
+    def be(v: Long, n: Int): Array[Byte] =
+      (n - 1 to 0 by -1).map(k => ((v >> (8 * k)) & 0xFF).toByte).toArray
+    def el(id: Long, idLen: Int, body: Array[Byte]): Array[Byte] =
+      be(id, idLen) ++ Array((0x80 | body.length).toByte) ++ body
+    val f32 = el(0x1A45DFA3L, 4,
+        el(0x4282L, 2, "webm".getBytes("ISO-8859-1"))) ++
+      el(0x1549A966L, 4,
+        el(0x2AD7B1L, 3, be(1000000L, 3)) ++
+        el(0x4489L, 2, be(java.lang.Float.floatToIntBits(1250f) & 0xFFFFFFFFL, 4)))
+    val r3 = parse1(f32)
+    assert(r3.getString(1) === "webm" && r3.getDouble(2) === 1.25)
+    // junk → null struct
+    val junk = parse1("RIFFxxxxWEBPVP8 ".getBytes("ISO-8859-1"))
+    assert(junk.isNullAt(1) && junk.isNullAt(2))
+  }
+
   test("audioFrameMeta: MPEG2/2.5 tables, reserved indices, junk → null") {
     import graft.ops.Multimodal
     def mp3(h1: Int, h2: Int, h3: Int, pad: Int = 100): Array[Byte] = {
