@@ -126,7 +126,10 @@ object Bench {
       "q_triangles", "q_subtract_seen_near", "q_zorder", "q_ann_sq8",
       "q_ann_sq8_rerank", "q_label_prop", "q_compact", "q_image_dhash",
       "q_kcore", "q_heavy_hitters", "q_url_dedup", "q_covariance", "q_rrf",
-      "q_inverted_index", "q_asof_forward", "q_asof_nearest")
+      "q_inverted_index", "q_asof_forward", "q_asof_nearest",
+      "q_interval_join", "q_stats_skipping", "q_zorder_skip",
+      "q_delta_storage", "q_jmespath_fns", "q_video_header",
+      "q_audio_frame_meta", "q_stream_join_outer")
     val shown =
       if (only.isDefined) results.keys.toVector.sorted // local subset run: show all
       else headline.filter(results.contains)
