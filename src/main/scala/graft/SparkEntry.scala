@@ -1652,8 +1652,8 @@ object SparkEntry {
         .sortWithinPartitions("__zcell", "zval")
         .drop("zval", "__zcell")
       cat.save(Chain(z), "zord")
-      val ck = o.agg(max("o_custkey")).head().getLong(0)
-      val tp = o.agg(max("o_totalprice")).head().getDouble(0)
+      val mx = o.agg(max("o_custkey"), max("o_totalprice")).head()
+      val (ck, tp) = (mx.getLong(0), mx.getDouble(1))
       val pred = col("o_custkey") <= ck / 8 &&
         col("o_totalprice") <= tp / 8
       val (kept, total) = cat.pruneCount("zord", pred)

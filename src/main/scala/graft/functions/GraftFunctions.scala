@@ -74,6 +74,11 @@ object GraftFunctions {
   def ebml_header_meta(c: Column): Column =
     toCol(EbmlHeaderMeta(toExpr(c)))
 
+  /** #(sorted bounds) <= v by binary search — the Z-order quantile-
+    * bucket kernel (log2 comparisons, no per-row allocation). */
+  def bounds_rank(c: Column, bounds: Array[Double]): Column =
+    toCol(BoundsRank(toExpr(c), bounds))
+
   /** Point frequency query against a pre-built broadcast Count–Min
     * sketch (spark-sketch serialized bytes) — never undercounts,
     * overcounts by at most eps·N at the sketch's confidence. */

@@ -811,6 +811,44 @@ case class EbmlHeaderMeta(child: Expression)
 }
 
 /**
+ * Rank of a value within a sorted driver-side bounds array: the count of
+ * boundaries <= v, by binary search — the quantile-bucket kernel for
+ * Z-order layouts. The `filter`-HOF formulation it replaces compared the
+ * value against all 2^bits-1 boundaries AND allocated the filtered array
+ * per row; this is log2 comparisons and zero allocation, one static-ish
+ * call inside whole-stage codegen.
+ */
+case class BoundsRank(child: Expression, bounds: Array[Double])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(bounds != null && bounds.nonEmpty, "bounds must be non-empty")
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bounds_rank"
+
+  /** public for generated code: #bounds <= v (upper-bound search, so
+    * duplicate boundary values collapse into the highest bucket). */
+  def rank(v: Double): Long = {
+    var lo = 0
+    var hi = bounds.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (bounds(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    rank(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftBounds", this, classOf[BoundsRank].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.rank($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BoundsRank =
+    copy(child = c)
+}
+
+/**
  * Point frequency query against a pre-built broadcast Count–Min sketch
  * (spark-sketch serialized form, as produced by the `count_min_sketch`
  * aggregate). Same shape as [[BloomMightContain]]: the sketch bytes ride
