@@ -81,6 +81,15 @@ object KernelProps extends Properties("graft.kernels") {
       a == b || Impl.sipHash64Bytes(a.getBytes) != Impl.sipHash64Bytes(b.getBytes)
     }
 
+  property("boundsRank = linear count of boundaries <= v, any dup pattern") =
+    forAll(Gen.nonEmptyListOf(Gen.chooseNum(-100.0, 100.0)),
+           Gen.chooseNum(-150.0, 150.0)) { (bs, v) =>
+      val sorted = bs.sorted.toArray
+      val e = org.apache.spark.sql.graft.BoundsRank(
+        org.apache.spark.sql.catalyst.expressions.Literal(v), sorted)
+      e.rank(v) == sorted.count(_ <= v)
+    }
+
   property("topk_rows: any chunking/merge order + serde round-trip = sort-take") = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.BoundReference
