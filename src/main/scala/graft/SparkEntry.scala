@@ -265,6 +265,42 @@ object SparkEntry {
       s.table(qn)
     }),
 
+    "q_stream_session_window" -> ((s, dir) => {
+      // Spark's NATIVE session_window streaming aggregation (state-store
+      // session merging) beside the custom flatMapGroupsWithState
+      // sessionizer — a different mechanism with a different boundary
+      // rule (windows merge iff they OVERLAP: gap-equal diffs split,
+      // half-open [start, last+gap)). Append mode emits only closed
+      // sessions; the far-future watermark-kicker event (user -1)
+      // closes every real session so the emitted set equals the batch
+      // sessionization, which the oracle replays µs-exactly.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = E(s, dir).filter(col("user_id") < 200)
+        .select(col("ts"), col("user_id"))
+      val kickTs = ev.agg(max("ts")).head().getTimestamp(0).toInstant
+        .plus(java.time.Duration.ofDays(10))
+      val staged = ev.unionByName(ev.limit(1).select(
+        lit(java.sql.Timestamp.from(kickTs)).as("ts"),
+        lit(-1L).as("user_id")))
+      val dirS = Files.createTempDirectory("graft_ssw").toString
+      staged.coalesce(1).write.mode("overwrite").parquet(dirS)
+      val schema = s.read.parquet(dirS).schema
+      val stream = s.readStream.schema(schema).parquet(dirS)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start"),
+          col("n_events"))
+      val ckpt = Files.createTempDirectory("graft_ssw_ckpt").toString
+      val qn = "ssw_" + math.abs(scala.util.Random.nextInt())
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try graft.streaming.EventStream.runAvailableNow(stream, qn, ckpt)
+        .filter(col("user_id") >= 0)
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     "q_stream_sessionize" -> ((s, dir) => {
       // the stateful streaming sessionizer (flatMapGroupsWithState,
       // per-user gap state in the state store) — a single AvailableNow
@@ -3789,6 +3825,22 @@ object SparkEntry {
           | (abs(a.m_ck - b.m_ck) / greatest(abs(b.m_ck), 1e-12) > 0.05
           |  OR abs(CAST(a.n - b.n AS DOUBLE) / b.n) > 0.05)
           |FROM b, a""".stripMargin,
+
+      "q_stream_session_window" ->
+        """WITH x AS (SELECT user_id, ts,
+          |  lag(ts) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC)
+          |    AS prev_ts
+          | FROM events WHERE user_id < 200),
+          | s AS (SELECT user_id, ts,
+          |  sum(CASE WHEN prev_ts IS NULL THEN 1
+          |    WHEN epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1
+          |    ELSE 0 END) OVER
+          |   (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          | FROM x)
+          |SELECT user_id, epoch_us(min(ts)) AS session_start,
+          | count(*) AS n_events
+          |FROM s GROUP BY user_id, sid""".stripMargin,
 
       "q_stream_sessionize" ->
         """WITH x AS (SELECT event_id, user_id, ts,
