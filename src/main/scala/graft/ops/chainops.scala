@@ -266,6 +266,24 @@ object chainops {
     def driftFrom(before: Chain, relTol: Double = 0.1): Chain =
       Chain(Profile.drift(before.toDF, c.toDF, relTol))
 
+    /** Interval-overlap join against `other` (see
+      * [[Joins.intervalOverlapJoin]]): binned equi-join, exact overlap
+      * filter, canonical-bin dedup — never a cross join. */
+    def overlapJoin(other: Chain, lo: String, hi: String,
+                    otherLo: String, otherHi: String, binWidth: Double,
+                    keyCols: Seq[(String, String)] = Nil): Chain =
+      Chain(Joins.intervalOverlapJoin(c.toDF, lo, hi, other.toDF,
+        otherLo, otherHi, binWidth, keyCols))
+
+    /** Codec-free container metadata for (id, payload) media rows:
+      * MP4 box walk / Matroska EBML walk dispatched on magic bytes
+      * (see [[Multimodal.videoHeaderMeta]]). */
+    def videoMeta(): Chain = Chain(Multimodal.videoHeaderMeta(c.toDF))
+
+    /** MP3 first-frame metadata + CBR duration estimate
+      * (see [[Multimodal.audioFrameMeta]]). */
+    def audioMeta(): Chain = Chain(Multimodal.audioFrameMeta(c.toDF))
+
     /** Nearest neighbors of `queries` against this chain's vector
       * column, dispatching across the compression tiers:
       * `"brute"` (exact cosine), `"hamming"` (32× sign bits + rerank),

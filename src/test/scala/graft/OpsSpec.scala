@@ -1202,6 +1202,22 @@ class OpsSpec extends SparkSpec {
     assert(q(0) === 50.0 && q(1) === 49.0) // discrete lower quantiles
   }
 
+  test("chainops sugar for r8 ops: overlap join, video/audio meta") {
+    import graft.ops.chainops._
+    import graft.core.Chain
+    val a = Chain(Seq((1L, 0.0, 10.0), (2L, 50.0, 60.0)).toDF("a", "lo", "hi"))
+    val b = Chain(Seq((7L, 5.0, 6.0), (8L, 100.0, 101.0)).toDF("b", "l2", "h2"))
+    assert(a.overlapJoin(b, "lo", "hi", "l2", "h2", binWidth = 8.0)
+      .toDF.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq === Seq((1L, 7L)))
+    val vm = Chain(graft.ops.Multimodal.syntheticMp4Media(
+      Seq(3L).toDF("doc_id"), "doc_id")).videoMeta().toDF.head()
+    assert(vm.getString(1) === "isom" && vm.getInt(3) === 67)
+    val am = Chain(graft.ops.Multimodal.syntheticMp3Media(
+      Seq(3L).toDF("doc_id"), "doc_id")).audioMeta().toDF.head()
+    assert(am.getString(1) === "1" && am.getInt(2) === 3)
+  }
+
   test("fluent chainops pipeline: clean -> quality -> dedup -> pack") {
     import graft.ops.chainops._
     val c = Chain(docs.unionByName(
