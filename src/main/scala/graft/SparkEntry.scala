@@ -2686,6 +2686,28 @@ object SparkEntry {
             .as("total"))
     }),
 
+    "q_bloom_skipping" -> ((s, dir) => {
+      // per-file BLOOM index (the skipping layer beyond min/max): a hash
+      // layout makes every file's key range span the whole domain — range
+      // stats can never prune an equality there — but the opt-in bloom on
+      // the high-cardinality string key localizes a point lookup to the
+      // file(s) actually holding the value (asserted), and the pruned
+      // read still returns exactly the full-scan answer (oracle)
+      val root = Files.createTempDirectory("graft_bloom_skip").toString
+      val cat = new Catalog(root, s)
+      val ev = E(s, dir).select(col("event_id"), col("user_id"),
+          col("event_type"))
+        .withColumn("ekey", concat(lit("k"), col("event_id")))
+        .repartition(16)
+      cat.save(Chain(ev), "ev", bloomCols = Seq("ekey"))
+      val (kept, total) = cat.pruneCount("ev", col("ekey") === "k7")
+      require(kept >= 1 && kept < total / 2,
+        s"bloom must localize the lookup: kept $kept of $total")
+      cat.readDatasetWhere("ev", col("ekey") === "k7")
+        .selectExcept("sys").toDF
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    }),
+
     "q_delta_storage" -> ((s, dir) => {
       // The reference's flagship incremental flow (delta.py:239-391 driven
       // by lib/listing.py): read_storage(delta=True) → transform → save.
@@ -5396,6 +5418,10 @@ object SparkEntry {
           |FROM orders
           |WHERE o_orderkey <= (SELECT max(o_orderkey) // 8 FROM orders)
           |GROUP BY 1""".stripMargin,
+
+      "q_bloom_skipping" ->
+        """SELECT event_id, user_id, event_type FROM events
+          |WHERE 'k' || event_id = 'k7'""".stripMargin,
 
       "q_delta_storage" ->
         """SELECT 'doc' || doc_id || '.txt' AS path,

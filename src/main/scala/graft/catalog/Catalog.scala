@@ -108,7 +108,8 @@ final class Catalog(val root: String, spark: SparkSession) {
       s"invalid dataset name: '$name'")
 
   def save(chain: Chain, name: String, version: Option[SemVer] = None,
-           deps: Seq[String] = Seq.empty): SemVer = {
+           deps: Seq[String] = Seq.empty, bloomCols: Seq[String] = Nil,
+           bloomExpected: Long = 100000L): SemVer = {
     requireValidName(name)
     // fail fast on an explicitly requested version that already exists —
     // before paying for the write
@@ -143,6 +144,14 @@ final class Catalog(val root: String, spark: SparkSession) {
           // the save (readers fall back to scanning every file)
           Seq.empty[FileStats.FileStat]
         }
+      // Opt-in per-file bloom index: equality pruning on columns whose
+      // per-file min/max ranges overlap (min/max can't skip there). ONE
+      // extra pass over the written data, grouped by file — a cost the
+      // caller chose for its hottest point-lookup columns.
+      val blooms =
+        if (bloomCols.isEmpty) Map.empty[String, Map[String, Array[Byte]]]
+        else FileStats.buildBlooms(spark, tmp.resolve("data").toString,
+          bloomCols, bloomExpected)
       var v = version.getOrElse(
         rawVersions(name).lastOption.map(_.bumpMinor).getOrElse(SemVer(1, 0, 0)))
       var dir: Path = null
@@ -166,6 +175,10 @@ final class Catalog(val root: String, spark: SparkSession) {
       if (stats.nonEmpty)
         Files.write(dir.resolve("stats.json"),
           FileStats.toJson(stats).getBytes("UTF-8"),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      if (blooms.nonEmpty)
+        Files.write(dir.resolve("blooms.json"),
+          FileStats.bloomsToJson(blooms).getBytes("UTF-8"),
           StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       appendCheckpointIndex(chain.hash, name, v)
       v
@@ -198,13 +211,15 @@ final class Catalog(val root: String, spark: SparkSession) {
       .getOrElse(throw new NoSuchElementException(s"dataset $name not found"))
     val dataDir = vDir(name, v).resolve("data").toString
     val stats = fileStats(name, v)
+    val blooms = fileBlooms(name, v)
     val full = spark.read.parquet(dataDir).filter(predicate)
     val df =
       if (stats.isEmpty) full
       else resolvedCondition(full) match {
         case None => full
         case Some(pe) =>
-          val kept = stats.filter(f => FileStats.mayMatch(pe, f))
+          val kept = stats.filter(f =>
+            FileStats.mayMatch(pe, f, blooms.getOrElse(f.file, Map.empty)))
           if (kept.size == stats.size || kept.isEmpty)
             // nothing pruned, or nothing survives (read the dir anyway
             // for the schema; the filter returns zero rows)
@@ -214,6 +229,15 @@ final class Catalog(val root: String, spark: SparkSession) {
               .filter(predicate)
       }
     Chain(df, OpTree.empty.append("read_dataset_where", name, v.toString))
+  }
+
+  /** Per-file bloom index recorded at save time with `bloomCols` (empty
+    * when the version has none). file → column → serialized filter. */
+  def fileBlooms(name: String, version: SemVer)
+      : Map[String, Map[String, Array[Byte]]] = {
+    val p = vDir(name, version).resolve("blooms.json")
+    if (!Files.exists(p)) Map.empty
+    else FileStats.bloomsFromJson(new String(Files.readAllBytes(p), "UTF-8"))
   }
 
   /** The ANALYZED filter condition of `df` — Column lambdas arrive as
@@ -233,10 +257,13 @@ final class Catalog(val root: String, spark: SparkSession) {
     val v = version.orElse(latestVersion(name))
       .getOrElse(throw new NoSuchElementException(s"dataset $name not found"))
     val stats = fileStats(name, v)
+    val blooms = fileBlooms(name, v)
     val dataDir = vDir(name, v).resolve("data").toString
     resolvedCondition(spark.read.parquet(dataDir).filter(predicate)) match {
       case Some(pe) =>
-        (stats.count(f => FileStats.mayMatch(pe, f)), stats.size)
+        (stats.count(f =>
+          FileStats.mayMatch(pe, f, blooms.getOrElse(f.file, Map.empty))),
+          stats.size)
       case None => (stats.size, stats.size)
     }
   }

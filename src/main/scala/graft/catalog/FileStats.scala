@@ -237,6 +237,114 @@ $files
     }.toSeq
   }
 
+  // ---- per-file bloom index: equality pruning beyond min/max ----
+
+  /** One pass over a freshly written data dir, grouped by file: a bloom
+    * filter per (file, column) over CANONICALIZED xxhash64 keys
+    * (integrals hash as bigint, floats as double), so the pruning side
+    * can hash an analyzer-promoted literal identically. Supported column
+    * types: integral, float/double, string — blooms are an explicit
+    * caller request, so anything else fails fast. */
+  def buildBlooms(spark: SparkSession, dataDir: String, cols: Seq[String],
+                  expectedItems: Long)
+      : Map[String, Map[String, Array[Byte]]] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
+    import org.apache.spark.sql.types._
+    val df = spark.read.parquet(dataDir)
+    def canon(c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          col(c).cast("bigint")
+        case FloatType | DoubleType => col(c).cast("double")
+        case StringType => col(c)
+        case dt => throw new IllegalArgumentException(
+          s"bloomCols: unsupported type $dt for column '$c' " +
+            "(integral, float/double, string)")
+      }
+    val aggs = cols.map(c => graft.functions.GraftFunctions
+      .bloom_agg(xxhash64(canon(c)), expectedItems).as(s"__bloom_$c"))
+    df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        val f = r.getString(0)
+        val base = f.substring(f.lastIndexOf('/') + 1)
+        base -> cols.zipWithIndex.map { case (c, i) =>
+          c -> r.getAs[Array[Byte]](i + 1)
+        }.toMap
+      }.toMap
+  }
+
+  def bloomsToJson(blooms: Map[String, Map[String, Array[Byte]]]): String = {
+    val enc = java.util.Base64.getEncoder
+    val files = blooms.toSeq.sortBy(_._1).map { case (f, cols) =>
+      val cs = cols.toSeq.sortBy(_._1).map { case (c, b) =>
+        s"""      "${esc(c)}": "${enc.encodeToString(b)}""""
+      }.mkString(",\n")
+      s"""    {"file": "${esc(f)}", "cols": {
+$cs
+    }}"""
+    }.mkString(",\n")
+    s"""{
+  "files": [
+$files
+  ]
+}"""
+  }
+
+  def bloomsFromJson(json: String): Map[String, Map[String, Array[Byte]]] = {
+    val dec = java.util.Base64.getDecoder
+    val fileRe =
+      ("\\{\"file\": \"((?:[^\"\\\\]|\\\\.)*)\", \"cols\": \\{" +
+        "([\\s\\S]*?)\\n    \\}\\}").r
+    val colRe = "\"((?:[^\"\\\\]|\\\\.)*)\": \"([A-Za-z0-9+/=]*)\"".r
+    fileRe.findAllMatchIn(json).map { fm =>
+      val cols = colRe.findAllMatchIn(fm.group(2)).map { cm =>
+        cm.group(1) -> dec.decode(cm.group(2))
+      }.toMap
+      fm.group(1) -> cols
+    }.toMap
+  }
+
+  /** xxhash64 (seed 42, Spark semantics) of a literal value in the
+    * CANONICAL domain buildBlooms hashed the column in; None for types
+    * blooms don't cover (→ no bloom pruning). */
+  private def bloomHash(v: Any): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.types._
+    val litE = v match {
+      case null => return None
+      case n: Byte => Literal(n.toLong, LongType)
+      case n: Short => Literal(n.toLong, LongType)
+      case n: Int => Literal(n.toLong, LongType)
+      case n: Long => Literal(n, LongType)
+      case n: Float => Literal(n.toDouble, DoubleType)
+      case n: Double => Literal(n, DoubleType)
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        Literal(s, StringType)
+      case s: String =>
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          StringType)
+      case _ => return None
+    }
+    Some(new XxHash64(Seq(litE)).eval(null).asInstanceOf[Long])
+  }
+
+  private def bloomMay(a: Expression, v: Any,
+                       blooms: Map[String, Array[Byte]]): Boolean =
+    attr(a) match {
+      case Some(n) => blooms.get(n) match {
+        case Some(bytes) => bloomHash(v) match {
+          case Some(h) =>
+            org.apache.spark.util.sketch.BloomFilter
+              .readFrom(new java.io.ByteArrayInputStream(bytes))
+              .mightContainLong(h)
+          case None => true
+        }
+        case None => true
+      }
+      case None => true
+    }
+
   // ---- pruning evaluator: may this file contain a matching row? ----
 
   /**
@@ -245,11 +353,15 @@ $files
    * Handles =, <, <=, >, >=, IN, BETWEEN-as-AND, IS [NOT] NULL over
    * literal comparisons on top-level columns, composed with AND/OR/NOT;
    * everything else (expressions over columns, casts, UDFs, unknown
-   * columns) evaluates to "may match".
+   * columns) evaluates to "may match". When the version carries a bloom
+   * index for a column, equality/IN literals additionally check
+   * mightContain — the prune that works where per-file ranges overlap.
    */
-  def mayMatch(pred: Expression, f: FileStat): Boolean = pred match {
-    case And(l, r) => mayMatch(l, f) && mayMatch(r, f)
-    case Or(l, r) => mayMatch(l, f) || mayMatch(r, f)
+  def mayMatch(pred: Expression, f: FileStat,
+               blooms: Map[String, Array[Byte]] = Map.empty): Boolean =
+    pred match {
+    case And(l, r) => mayMatch(l, f, blooms) && mayMatch(r, f, blooms)
+    case Or(l, r) => mayMatch(l, f, blooms) || mayMatch(r, f, blooms)
     case Not(child) => mayMatchNeg(child, f)
     case IsNull(a) => attr(a) match {
       case Some(n) => f.cols.get(n).forall(c => c.nulls != 0)
@@ -262,8 +374,10 @@ $files
       }
       case None => true
     }
-    case EqualTo(a, Literal(v, _)) => cmpMay(a, v, f, eq = true)
-    case EqualTo(Literal(v, _), a) => cmpMay(a, v, f, eq = true)
+    case EqualTo(a, Literal(v, _)) =>
+      cmpMay(a, v, f, eq = true) && bloomMay(a, v, blooms)
+    case EqualTo(Literal(v, _), a) =>
+      cmpMay(a, v, f, eq = true) && bloomMay(a, v, blooms)
     case LessThan(a, Literal(v, _)) => rangeMay(a, f, lt = Some(v))
     case GreaterThan(Literal(v, _), a) => rangeMay(a, f, lt = Some(v))
     case LessThanOrEqual(a, Literal(v, _)) => rangeMay(a, f, le = Some(v))
@@ -273,7 +387,10 @@ $files
     case GreaterThanOrEqual(a, Literal(v, _)) => rangeMay(a, f, ge = Some(v))
     case LessThanOrEqual(Literal(v, _), a) => rangeMay(a, f, ge = Some(v))
     case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-      vs.exists(l => cmpMay(a, l.asInstanceOf[Literal].value, f, eq = true))
+      vs.exists { l =>
+        val v = l.asInstanceOf[Literal].value
+        cmpMay(a, v, f, eq = true) && bloomMay(a, v, blooms)
+      }
     case _ => true
   }
 

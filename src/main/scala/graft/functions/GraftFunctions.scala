@@ -79,6 +79,13 @@ object GraftFunctions {
   def bounds_rank(c: Column, bounds: Array[Double]): Column =
     toCol(BoundsRank(toExpr(c), bounds))
 
+  /** Mergeable per-group bloom filter over 64-bit keys (feed `xxhash64`
+    * values) → serialized `util.sketch.BloomFilter` bytes. The one-pass
+    * builder behind the catalog's per-FILE bloom index. */
+  def bloom_agg(c: Column, expectedItems: Long, fpp: Double = 0.03): Column =
+    toCol(BloomAgg(toExpr(c), expectedItems, fpp)
+      .toAggregateExpression())
+
   /** Point frequency query against a pre-built broadcast Count–Min
     * sketch (spark-sketch serialized bytes) — never undercounts,
     * overcounts by at most eps·N at the sketch's confidence. */

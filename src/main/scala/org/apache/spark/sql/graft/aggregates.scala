@@ -582,3 +582,70 @@ case class KllQuantilesWeighted(
       newLeft: Expression, newRight: Expression): KllQuantilesWeighted =
     copy(left = newLeft, right = newRight)
 }
+
+/**
+ * Bloom filter over 64-bit keys as a native mergeable aggregate — the
+ * per-GROUP bloom builder `DataFrame.stat.bloomFilter` (one whole-frame
+ * job) cannot be: grouping by `input_file_name()` yields one filter per
+ * data FILE in a single pass, which is the catalog's file-level bloom
+ * index for equality pruning (Delta-style) on columns whose per-file
+ * min/max ranges overlap. Wraps Spark's own
+ * `org.apache.spark.util.sketch.BloomFilter`, so `might_contain`
+ * semantics match `stat.bloomFilter` exactly; callers feed `xxhash64`
+ * keys (hash once, putLong — never the raw strings).
+ *
+ * Output: the filter's serialized bytes (binary).
+ */
+case class BloomAgg(
+    child: Expression,
+    expectedItems: Long,
+    fpp: Double,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[org.apache.spark.util.sketch.BloomFilter]
+    with UnaryLike[Expression] {
+
+  require(expectedItems > 0 && fpp > 0 && fpp < 1,
+    "need expectedItems > 0 and 0 < fpp < 1")
+
+  override def prettyName: String = "bloom_agg"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+
+  override def update(buf: org.apache.spark.util.sketch.BloomFilter,
+                      input: InternalRow): org.apache.spark.util.sketch.BloomFilter = {
+    val v = child.eval(input)
+    if (v != null) buf.putLong(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: org.apache.spark.util.sketch.BloomFilter,
+                     other: org.apache.spark.util.sketch.BloomFilter)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    buf.mergeInPlace(other)
+    buf
+  }
+
+  override def eval(buf: org.apache.spark.util.sketch.BloomFilter): Any =
+    serialize(buf)
+
+  override def serialize(buf: org.apache.spark.util.sketch.BloomFilter): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    buf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new ByteArrayInputStream(bytes))
+
+  override def withNewMutableAggBufferOffset(offset: Int): BloomAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BloomAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): BloomAgg =
+    copy(child = c)
+}

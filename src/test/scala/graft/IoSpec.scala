@@ -474,6 +474,46 @@ class IoSpec extends SparkSpec {
     assert(stats.map(_.rows).sum === docs.count())
   }
 
+  test("bloom index prunes equality lookups where min/max ranges overlap") {
+    import graft.catalog.Catalog
+    val cat = new Catalog(Files.createTempDirectory("fbloom").toString, spark)
+    // hash layout: every file's event_id range spans ~the whole domain,
+    // so min/max can NEVER prune an equality — the bloom regime
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "user_id", "event_type").repartition(8)
+    cat.save(Chain(ev), "ev", bloomCols = Seq("event_id", "event_type"))
+    val someId = ev.agg(min("event_id")).head().getLong(0) + 7
+    val (keptRange, total) = cat.pruneCount("ev", col("event_id") === someId)
+    assert(total === 8 && keptRange <= 3,
+      s"bloom should localize the key to ~1 file (+fp), kept $keptRange")
+    // parity with the full-scan filter
+    val pruned = cat.readDatasetWhere("ev", col("event_id") === someId)
+      .selectExcept("sys").toDF.collect().toSet
+    val full = cat.readDataset("ev").selectExcept("sys").toDF
+      .filter(col("event_id") === someId).collect().toSet
+    assert(pruned === full && pruned.nonEmpty)
+    // a value present in EVERY file must not be falsely pruned
+    val (keptAll, _) = cat.pruneCount("ev", col("event_type") === "view")
+    assert(keptAll === 8)
+    // an absent value inside the min/max range prunes everything
+    val (keptNone, _) = cat.pruneCount("ev",
+      col("event_type") === "no_such_type")
+    assert(keptNone === 0)
+    assert(cat.readDatasetWhere("ev", col("event_type") === "no_such_type")
+      .toDF.count() === 0L)
+    // IN lists check each literal; un-bloomed columns stay range-only
+    val (keptIn, _) = cat.pruneCount("ev",
+      col("event_id").isin(someId, someId + 1))
+    assert(keptIn <= 5, s"keptIn=$keptIn")
+    val (keptOther, _) = cat.pruneCount("ev", col("user_id") === 1L)
+    assert(keptOther === 8)
+    // unsupported bloom column types fail the save fast
+    intercept[IllegalArgumentException] {
+      val ts = spark.read.parquet(s"$sf/events.parquet").select("event_id", "ts")
+      cat.save(Chain(ts), "ev_bad", bloomCols = Seq("ts"))
+    }
+  }
+
   test("file-stats skipping: null-aware IS NULL pruning, conservative NOT") {
     import graft.catalog.Catalog
     val cat = new Catalog(Files.createTempDirectory("fstats_n").toString, spark)
