@@ -18,7 +18,7 @@ object ScaleProbe {
     // SPARK_GRAFT_PROBE=minhash,ccstar,linededup,decontaminate,dupfraction,
     //   lm,exactsubstr,dsir,semdedup,ann,graph,triangles,lpa,kmeans,kcore,
     //   heavyhitters,covariance,kll,topk,sketchoverlap,saltjoin,bucketjoin,
-    //   pq,profile,rollingdistinct,funnel,statsskip (default all)
+    //   pq,profile,rollingdistinct,funnel,statsskip,bloomskip (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
       .map(s => (x: String) => s(x)).getOrElse(_ => true)
@@ -869,6 +869,39 @@ object ScaleProbe {
         println(f"statsskip K=$k%-3d rows=$n%-9d save(+stats) ${saveSec}%.2f s" +
           f"   kept $kept/$total files, pruned read ${prunedSec}%.2f s" +
           f" vs full-scan filter ${fullSec}%.2f s (${fullSec / prunedSec}%.1fx)")
+      }
+    }
+
+    // Bloom-index probe: a HASH layout (every file spans the key domain,
+    // min/max can never prune equality) saved with a bloom on a unique
+    // string key. Evidence: (a) the save-time bloom pass cost vs the
+    // plain save, (b) a point lookup keeps ~1 file (+fp) INDEPENDENT of
+    // K — the property that makes point lookups O(1 file) at lake scale.
+    if (want("bloomskip")) {
+      ks.foreach { k =>
+        val ev = events(k)
+          .withColumn("ekey", concat(lit("k"), col("event_id")))
+          .repartition(32)
+        val n = ev.count()
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_blp_$k").toString
+        val cat = new graft.catalog.Catalog(root, spark)
+        val t0 = System.nanoTime()
+        cat.save(graft.core.Chain(ev), "plain")
+        val plainSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        cat.save(graft.core.Chain(ev), "bloomed", bloomCols = Seq("ekey"),
+          bloomExpected = math.max(n / 32, 1000L))
+        val bloomSec = (System.nanoTime() - t1) / 1e9
+        val (kept, total) = cat.pruneCount("bloomed", col("ekey") === "k7")
+        val t2 = System.nanoTime()
+        val rows = cat.readDatasetWhere("bloomed", col("ekey") === "k7")
+          .toDF.count()
+        val lookupSec = (System.nanoTime() - t2) / 1e9
+        require(rows == 1L, s"point lookup parity: $rows")
+        println(f"bloomskip K=$k%-3d rows=$n%-9d save ${plainSec}%.2f s" +
+          f" vs +bloom ${bloomSec}%.2f s (${bloomSec / plainSec}%.1fx)" +
+          f"   lookup kept $kept/$total files in ${lookupSec}%.2f s")
       }
     }
     spark.stop()
