@@ -2686,6 +2686,32 @@ object SparkEntry {
             .as("total"))
     }),
 
+    "q_optimize" -> ((s, dir) => {
+      // the catalog's OPTIMIZE maintenance pass: a shattered 40-file save
+      // rewrites as a Z-ordered compacted NEW version (lineage dep on the
+      // old one) whose footer envelopes prune 2-D box predicates; the
+      // oracle pins the rewrite lossless on user columns and the in-query
+      // asserts pin the layout properties
+      val root = Files.createTempDirectory("graft_optimize").toString
+      val cat = new Catalog(root, s)
+      val orders = T(s, dir, "orders").repartition(40)
+      cat.save(Chain(orders), "ord")
+      val (v2, before, after) = cat.optimize("ord", nFiles = 16,
+        zorderBy = Some(("o_custkey", "o_totalprice")))
+      require(before == 40 && after <= 16,
+        s"optimize must compact: $before -> $after files")
+      require(cat.depsOf("ord", v2)
+          .map { case (n, dv) => s"$n@v$dv" } == Seq("ord@v1.0.0"),
+        s"optimize must record lineage, got ${cat.depsOf("ord", v2)}")
+      val mx = orders.agg(max("o_custkey"), max("o_totalprice")).head()
+      val pred = col("o_custkey") <= mx.getLong(0) / 8 &&
+        col("o_totalprice") <= mx.getDouble(1) / 8
+      val (kept, total) = cat.pruneCount("ord", pred)
+      require(kept < total / 2,
+        s"optimized layout must prune the 2-D box: kept $kept of $total")
+      cat.readDataset("ord").selectExcept("sys").toDF
+    }),
+
     "q_bloom_skipping" -> ((s, dir) => {
       // per-file BLOOM index (the skipping layer beyond min/max): a hash
       // layout makes every file's key range span the whole domain — range
@@ -5418,6 +5444,9 @@ object SparkEntry {
           |FROM orders
           |WHERE o_orderkey <= (SELECT max(o_orderkey) // 8 FROM orders)
           |GROUP BY 1""".stripMargin,
+
+      "q_optimize" ->
+        "SELECT * FROM orders",
 
       "q_bloom_skipping" ->
         """SELECT event_id, user_id, event_type FROM events

@@ -188,6 +188,52 @@ final class Catalog(val root: String, spark: SparkSession) {
     }
   }
 
+  /**
+   * Maintenance pass (the Delta `OPTIMIZE [ZORDER BY]` story, composed
+   * from this catalog's own parts): rewrite the latest version of `name`
+   * as a NEW immutable version whose layout serves reads better —
+   * optionally Z-order-clustered on two columns (quantile-bucketed, so
+   * per-file footer envelopes are narrow on BOTH dimensions), re-bloomed
+   * on `bloomCols`, with fresh per-file stats harvested by the save
+   * itself. USER columns are identical row-for-row (sys re-stamps like
+   * any materialization — per-version reproducibility is sys's contract);
+   * the new version records a lineage dep on the one it rewrote, so
+   * vacuum's closure keeps the provenance.
+   * Returns (newVersion, filesBefore, filesAfter).
+   */
+  def optimize(name: String, nFiles: Int = 32,
+               zorderBy: Option[(String, String)] = None,
+               bloomCols: Seq[String] = Nil,
+               bloomExpected: Long = 100000L): (SemVer, Int, Int) = {
+    val v = latestVersion(name).getOrElse(
+      throw new NoSuchElementException(s"dataset $name not found"))
+    val dataDir = vDir(name, v).resolve("data")
+    val before = Files.list(dataDir).iterator.asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    val df0 = spark.read.parquet(dataDir.toString)
+    val laid = zorderBy match {
+      case Some((x, y)) =>
+        val bits = 8
+        val logF = math.max(1,
+          math.ceil(math.log(nFiles.toDouble) / math.log(2.0)).toInt)
+        graft.io.Layout.zorderFrameQuantile(df0, x, y, bits)
+          .withColumn("__zcell",
+            org.apache.spark.sql.functions.shiftright(
+              org.apache.spark.sql.functions.col("zval"), 2 * bits - logF))
+          .repartitionByRange(1 << logF,
+            org.apache.spark.sql.functions.col("__zcell"))
+          .sortWithinPartitions("__zcell", "zval")
+          .drop("zval", "__zcell")
+      case None => df0.coalesce(nFiles)
+    }
+    val nv = save(Chain(graft.core.Sys.drop(laid)), name,
+      deps = Seq(s"$name@v$v"), bloomCols = bloomCols,
+      bloomExpected = bloomExpected)
+    val after = Files.list(vDir(name, nv).resolve("data")).iterator.asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    (nv, before, after)
+  }
+
   /** Per-file footer stats recorded at save time (empty when the version
     * predates stats harvesting or harvest failed). */
   def fileStats(name: String, version: SemVer): Seq[FileStats.FileStat] = {

@@ -60,6 +60,28 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.save(c, "r", Some(vs.head)))
   }
 
+  test("optimize compacts to a new lineage-tracked version, user rows identical") {
+    val root = Files.createTempDirectory("cat_opt").toString
+    val cat = new Catalog(root, spark)
+    val c = Chain(spark.read.parquet(s"$sf/orders.parquet").repartition(24))
+    val v1 = cat.save(c, "o")
+    val beforeRows = cat.readDataset("o").selectExcept("sys")
+      .toDF.collect().toSet
+    val (v2, before, after) = cat.optimize("o", nFiles = 4)
+    assert(before === 24 && after <= 4, s"$before -> $after")
+    assert(v2 > v1)
+    assert(cat.depsOf("o", v2) === Seq(("o", v1)))
+    val afterRows = cat.readDataset("o").selectExcept("sys")
+      .toDF.collect().toSet
+    assert(afterRows === beforeRows)
+    // the optimized version re-harvested footer stats
+    assert(cat.fileStats("o", v2).nonEmpty)
+    // bloom re-indexing rides along when requested
+    val (v3, _, _) = cat.optimize("o", nFiles = 4,
+      bloomCols = Seq("o_orderkey"))
+    assert(cat.fileBlooms("o", v3).nonEmpty)
+  }
+
   test("vacuum sweeps crashed-save temp dirs, spares fresh in-flight ones") {
     val root = Files.createTempDirectory("cat_sweep").toString
     val cat = new Catalog(root, spark)
