@@ -128,7 +128,8 @@ object Bench {
       "q_kcore", "q_heavy_hitters", "q_url_dedup", "q_covariance", "q_rrf",
       "q_inverted_index", "q_asof_forward", "q_asof_nearest",
       "q_interval_join", "q_stats_skipping", "q_zorder_skip",
-      "q_bloom_skipping", "q_stream_session_window",
+      "q_bloom_skipping", "q_stream_session_window", "q_optimize",
+      "q_webm_header",
       "q_delta_storage", "q_jmespath_fns", "q_video_header",
       "q_audio_frame_meta", "q_stream_join_outer")
     val shown =
