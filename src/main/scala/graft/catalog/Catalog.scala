@@ -109,7 +109,8 @@ final class Catalog(val root: String, spark: SparkSession) {
 
   def save(chain: Chain, name: String, version: Option[SemVer] = None,
            deps: Seq[String] = Seq.empty, bloomCols: Seq[String] = Nil,
-           bloomExpected: Long = 100000L): SemVer = {
+           bloomExpected: Long = 100000L, harvestStats: Boolean = true)
+      : SemVer = {
     requireValidName(name)
     // fail fast on an explicitly requested version that already exists —
     // before paying for the write
@@ -137,8 +138,12 @@ final class Catalog(val root: String, spark: SparkSession) {
       // from parquet footers only (metadata reads fanned out on
       // executors, never a rescan). Computed on the temp dir so the claim
       // section below stays metadata-fast.
+      // harvestStats=false: internal bookkeeping datasets (delta source
+      // snapshots, listing caches) are read whole, never predicate-pruned
+      // — their saves skip the footer pass entirely
       val stats =
-        try FileStats.harvest(spark, tmp.resolve("data").toString)
+        if (!harvestStats) Seq.empty[FileStats.FileStat]
+        else try FileStats.harvest(spark, tmp.resolve("data").toString)
         catch { case scala.util.control.NonFatal(_) =>
           // stats are an optimization: a harvest failure must never fail
           // the save (readers fall back to scanning every file)

@@ -102,7 +102,8 @@ object Delta {
     // scheduler overlaps them on idle cores instead of serializing two
     // small jobs (the dominant per-call latency at bench scale).
     def saveBoth(out: Chain, deps: Seq[String]): (SemVer, SemVer) = {
-      val snapF = Future(catalog.save(snapshot(), snapName))
+      val snapF = Future(catalog.save(snapshot(), snapName,
+        harvestStats = false))
       val v =
         try catalog.save(out, name, deps = deps)
         catch { case e: Throwable =>

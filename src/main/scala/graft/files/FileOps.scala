@@ -312,7 +312,7 @@ object FileOps {
       if (fresh && !update) catalog.readDataset(name)
       else {
         val listed = readStorage(spark, uri)
-        catalog.save(listed, name)
+        catalog.save(listed, name, harvestStats = false)
         catalog.readDataset(name)
       }
     val base = Chain(graft.core.Sys.drop(listing.toDF), listing.ops)
