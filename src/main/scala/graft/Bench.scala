@@ -135,8 +135,16 @@ object Bench {
     val shown =
       if (only.isDefined) results.keys.toVector.sorted // local subset run: show all
       else headline.filter(results.contains)
-    val qs = shown.map(k => "\"" + k + "\":" + fmt(results(k)))
-      .mkString("{", ",", "}")
+    // Hard budget: the whole stdout line must fit the driver's 2000-char
+    // tail window or it never parses (r8 came back parsed:null after the
+    // headline grew past it). Wrapper + sf path ≈ 120 chars; cap the
+    // queries map at 1700 and drop trailing headline entries to fit.
+    def render(keys: Vector[String]): String =
+      keys.map(k => "\"" + k + "\":" + fmt(results(k))).mkString("{", ",", "}")
+    val budget = 1700
+    val fitted = Iterator.iterate(shown)(_.dropRight(1))
+      .find(ks => render(ks).length <= budget).getOrElse(Vector.empty)
+    val qs = render(fitted)
     val allQs = results.toVector.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -482,10 +482,21 @@ final class Catalog(val root: String, spark: SparkSession) {
   def sweepTempDirs(maxAge: java.time.Duration = java.time.Duration.ofHours(1))
       : Seq[String] = {
     val cutoff = System.currentTimeMillis() - maxAge.toMillis
+    // age by the NEWEST mtime under the tree, not the dir's own (set at
+    // creation and never refreshed while parquet parts stream into
+    // data/) — a save still writing after maxAge must not lose its dir
+    // to a concurrent vacuum
+    def newestMtime(p: java.nio.file.Path): Long = {
+      val walk = Files.walk(p)
+      try walk.iterator.asScala
+        .map(q => Files.getLastModifiedTime(q).toMillis)
+        .foldLeft(Long.MinValue)(math.max)
+      finally walk.close()
+    }
     datasets().flatMap { n =>
       Files.list(dsDir(n)).iterator.asScala
         .filter(p => p.getFileName.toString.startsWith(".tmp-") &&
-          Files.getLastModifiedTime(p).toMillis < cutoff)
+          newestMtime(p) < cutoff)
         .map { p =>
           Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
           s"$n/${p.getFileName}"

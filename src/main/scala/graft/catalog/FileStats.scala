@@ -81,7 +81,12 @@ object FileStats {
                 case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
                   val mn = st.genericGetMin.asInstanceOf[Number].doubleValue
                   val mx = st.genericGetMax.asInstanceOf[Number].doubleValue
-                  Some(ColStats("d", 0, 0, mn, mx, null, null, nulls))
+                  // ±Inf/NaN footer stats (parquet-mr propagates them) would
+                  // break both the JSON meta and BigDecimal pruning — treat
+                  // the column as stats-less instead (file is always kept)
+                  if (java.lang.Double.isFinite(mn) && java.lang.Double.isFinite(mx))
+                    Some(ColStats("d", 0, 0, mn, mx, null, null, nulls))
+                  else None
                 case PrimitiveTypeName.BINARY
                     if isUtf8(prim.getLogicalTypeAnnotation) =>
                   val mn = st.minAsString
@@ -471,8 +476,8 @@ $files
     case n: Short => Some(scala.Left(BigDecimal(n.toInt)))
     case n: Int => Some(scala.Left(BigDecimal(n)))
     case n: Long => Some(scala.Left(BigDecimal(n)))
-    case n: Float if !n.isNaN => Some(scala.Left(BigDecimal(n.toDouble)))
-    case n: Double if !n.isNaN => Some(scala.Left(BigDecimal(n)))
+    case n: Float if java.lang.Float.isFinite(n) => Some(scala.Left(BigDecimal(n.toDouble)))
+    case n: Double if java.lang.Double.isFinite(n) => Some(scala.Left(BigDecimal(n)))
     case d: java.math.BigDecimal => Some(scala.Left(BigDecimal(d)))
     case d: org.apache.spark.sql.types.Decimal => Some(scala.Left(d.toBigDecimal))
     case s: org.apache.spark.unsafe.types.UTF8String => Some(scala.Right(s.toString))
@@ -482,19 +487,28 @@ $files
 
   private def lo(c: ColStats): Option[Either[BigDecimal, String]] = c.kind match {
     case "l" => Some(scala.Left(BigDecimal(c.minL)))
-    case "d" => Some(scala.Left(BigDecimal(c.minD)))
+    // non-finite stats from older metas: unknown bound → never prune
+    case "d" if java.lang.Double.isFinite(c.minD) => Some(scala.Left(BigDecimal(c.minD)))
+    case "d" => None
     case _ => Some(scala.Right(c.minS))
   }
   private def hi(c: ColStats): Option[Either[BigDecimal, String]] = c.kind match {
     case "l" => Some(scala.Left(BigDecimal(c.maxL)))
-    case "d" => Some(scala.Left(BigDecimal(c.maxD)))
+    case "d" if java.lang.Double.isFinite(c.maxD) => Some(scala.Left(BigDecimal(c.maxD)))
+    case "d" => None
     case _ => Some(scala.Right(c.maxS))
   }
 
   private def cmpLE(a: Either[BigDecimal, String],
                     b: Either[BigDecimal, String]): Option[Boolean] = (a, b) match {
     case (scala.Left(x), scala.Left(y)) => Some(x <= y)
-    case (scala.Right(x), scala.Right(y)) => Some(x <= y)
+    case (scala.Right(x), scala.Right(y)) =>
+      // parquet footer min/max and Spark's string comparisons are both
+      // unsigned UTF-8 byte order; Java String.compareTo is UTF-16
+      // code-unit order and DISAGREES past the BMP (e.g. "￿" vs an
+      // emoji surrogate pair) — compare in the domain the stats live in
+      Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) <= 0)
     case _ => None // numeric literal vs string stats: type confusion → keep
   }
 

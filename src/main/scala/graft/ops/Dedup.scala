@@ -418,12 +418,16 @@ object Dedup {
     // inside the scan task, so the exchange carries ONE row per document
     // — not corpus×K rows each dragging a vector through a window sort.
     // min over (−sim, aid) = highest similarity, ties to the lowest
-    // anchor id, matching the previous row_number ordering.
+    // anchor id, matching the previous row_number ordering. A null sim
+    // (null/empty anchor vector) would sort FIRST in ascending struct
+    // order and claim every document — coalesce it to +∞ so such
+    // anchors lose to any real score (row_number(desc) put nulls last).
     val assigned0 = vecs.select(col(idCol).as("__id"), col(vecCol))
       .crossJoin(a)
       .groupBy(col("__id"))
       .agg(
-        min_by(col("__aid"), struct((lit(0.0) - sim).as("__ns"),
+        min_by(col("__aid"), struct(
+          coalesce(lit(0.0) - sim, lit(Double.MaxValue)).as("__ns"),
           col("__aid"))).as("cluster"),
         first(col(vecCol)).as("__v"))
       .select(col("__id"), col("__v"), col("cluster"))

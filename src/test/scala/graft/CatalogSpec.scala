@@ -88,23 +88,32 @@ class CatalogSpec extends SparkSpec {
     val c = Chain(spark.read.parquet(s"$sf/nation.parquet"))
     cat.save(c, "s")
     val ds = java.nio.file.Paths.get(root, "datasets", "s")
+    def ageTree(p: java.nio.file.Path): Unit = {
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3 * 3600 * 1000L)
+      val walk = Files.walk(p)
+      try walk.iterator().forEachRemaining(q => Files.setLastModifiedTime(q, old))
+      finally walk.close()
+    }
     val stale = ds.resolve(".tmp-deadbeef")
     Files.createDirectories(stale.resolve("data"))
-    Files.setLastModifiedTime(stale,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 3 * 3600 * 1000L))
+    ageTree(stale)
     val fresh = ds.resolve(".tmp-cafebabe")
     Files.createDirectories(fresh)
+    // a long-running save: dir CREATED hours ago but parquet parts still
+    // streaming in — the newest mtime under the tree is what must gate
+    val inflight = ds.resolve(".tmp-slowsave")
+    Files.createDirectories(inflight.resolve("data"))
+    ageTree(inflight)
+    Files.writeString(inflight.resolve("data").resolve("part-0.parquet"), "x")
     val swept = cat.sweepTempDirs()
     assert(swept === Seq("s/.tmp-deadbeef"), swept.toString)
-    assert(!Files.exists(stale) && Files.exists(fresh))
+    assert(!Files.exists(stale) && Files.exists(fresh) && Files.exists(inflight))
     // and vacuum runs the sweep as part of its destructive pass
     Files.createDirectories(stale)
-    Files.setLastModifiedTime(stale,
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis() - 3 * 3600 * 1000L))
+    ageTree(stale)
     cat.vacuum(keepLast = 1)
-    assert(!Files.exists(stale) && Files.exists(fresh))
+    assert(!Files.exists(stale) && Files.exists(fresh) && Files.exists(inflight))
   }
 
   test("vacuum keeps the retention window plus the transitive lineage closure") {

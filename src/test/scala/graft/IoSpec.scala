@@ -474,6 +474,51 @@ class IoSpec extends SparkSpec {
     assert(stats.map(_.rows).sum === docs.count())
   }
 
+  test("file-stats string pruning uses UTF-8 byte order, not UTF-16") {
+    // "￿" encodes EF BF BF; an emoji surrogate pair encodes
+    // F0 9F 98 80 — UTF-8 byte order says ￿ < emoji (Spark's filter
+    // semantics), Java String order says the opposite. A Java-order
+    // comparator would prune the ￿ file under `col <= emoji` and
+    // silently drop its rows.
+    import graft.catalog.Catalog
+    val cat = new Catalog(Files.createTempDirectory("fstats_u8").toString, spark)
+    val rows = Seq((1L, "￿"), (2L, "😀"), (3L, "apple"))
+      .toDF("id", "s")
+      .repartitionByRange(3, col("s")) // one string per file
+    cat.save(Chain(rows), "uni")
+    val pred = col("s") <= "😀"
+    val pruned = cat.readDatasetWhere("uni", pred)
+      .selectExcept("sys").toDF.collect().toSet
+    val full = cat.readDataset("uni").selectExcept("sys").toDF
+      .filter(pred).collect().toSet
+    assert(pruned === full, s"pruned=$pruned full=$full")
+    assert(pruned.size === 3) // all of apple, ￿, emoji match in UTF-8 order
+  }
+
+  test("file-stats tolerate non-finite double footer min/max") {
+    import graft.catalog.Catalog
+    val cat = new Catalog(Files.createTempDirectory("fstats_inf").toString, spark)
+    val rows = Seq((1L, 1.5), (2L, Double.PositiveInfinity),
+      (3L, Double.NegativeInfinity), (4L, 2.5)).toDF("id", "d")
+      .repartition(2)
+    cat.save(Chain(rows), "inf") // harvest must not record ±Inf bounds
+    val v = cat.latestVersion("inf").get
+    // stats.json stays parseable and any recorded d-bounds are finite
+    cat.fileStats("inf", v).foreach(_.cols.get("d").foreach { c =>
+      if (c.kind == "d")
+        assert(java.lang.Double.isFinite(c.minD) && java.lang.Double.isFinite(c.maxD))
+    })
+    // pruned reads over the column neither throw nor drop rows
+    val pred = col("d") <= 2.0
+    val pruned = cat.readDatasetWhere("inf", pred)
+      .selectExcept("sys").toDF.collect().toSet
+    val full = cat.readDataset("inf").selectExcept("sys").toDF
+      .filter(pred).collect().toSet
+    assert(pruned === full && pruned.nonEmpty)
+    val (kept, total) = cat.pruneCount("inf", pred)
+    assert(kept === total) // stats-less column degrades to keep-all
+  }
+
   test("bloom index prunes equality lookups where min/max ranges overlap") {
     import graft.catalog.Catalog
     val cat = new Catalog(Files.createTempDirectory("fbloom").toString, spark)

@@ -2064,6 +2064,22 @@ class OpsSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("semanticDedup never assigns documents to a null-vector anchor") {
+    // a null similarity would sort FIRST in the ascending min_by struct
+    // and claim every document — the coalesce-to-+∞ guard must make such
+    // anchors lose to any real score
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f))).toDF("id", "vec")
+    val anchors = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (99L, null.asInstanceOf[Array[Float]])).toDF("id", "vec")
+    val out = Dedup.semanticDedup(vecs, "id", "vec", anchors, "id", "vec",
+        threshold = 0.98, cache = false)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster"))
+      .toMap
+    assert(out === Map(0L -> 0L, 1L -> 1L), out.toString)
+  }
+
   test("semanticDedup clusterCap guards a degenerate one-anchor clustering") {
     // One anchor absorbs all 12 vectors (the collapsed-k-means case): the
     // intra-cluster pair join would be all-pairs over the whole corpus.
