@@ -95,12 +95,14 @@ object FileStats {
                 case _ => None
               }
               next match {
-                case None => bad += name
-                case Some(s) => acc.get(name) match {
-                  case None if !bad(name) => acc(name) = s
-                  case Some(p) => acc(name) = merge(p, s)
-                  case _ =>
-                }
+                // a poisoned group (e.g. non-finite double stats) evicts
+                // any bounds accumulated from EARLIER groups and blocks
+                // later ones — partial envelopes would exclude the rows
+                // the poisoned group holds and prune files that match
+                case None => bad += name; acc.remove(name)
+                case Some(s) if !bad(name) =>
+                  acc(name) = acc.get(name).map(merge(_, s)).getOrElse(s)
+                case _ =>
               }
             }
           }
@@ -129,9 +131,17 @@ object FileStats {
         maxL = math.max(a.maxL, b.maxL), nulls = nulls)
       case "d" => a.copy(minD = math.min(a.minD, b.minD),
         maxD = math.max(a.maxD, b.maxD), nulls = nulls)
-      case _ => a.copy(
-        minS = if (a.minS <= b.minS) a.minS else b.minS,
-        maxS = if (a.maxS >= b.maxS) a.maxS else b.maxS, nulls = nulls)
+      case _ =>
+        // combine in UTF8String BYTE order — the domain the footer stats
+        // and the pruning comparator (cmpLE) live in. Java String <= is
+        // UTF-16 code-unit order and disagrees past the BMP: picking an
+        // emoji (surrogate pair) over U+FFFF as the file min would let
+        // cmpLE prove `lo > literal` for a file that contains a match.
+        def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        a.copy(
+          minS = if (u(a.minS).compareTo(u(b.minS)) <= 0) a.minS else b.minS,
+          maxS = if (u(a.maxS).compareTo(u(b.maxS)) >= 0) a.maxS else b.maxS,
+          nulls = nulls)
     }
   }
 

@@ -495,6 +495,82 @@ class IoSpec extends SparkSpec {
     assert(pruned.size === 3) // all of apple, ￿, emoji match in UTF-8 order
   }
 
+  /** Writes `rows` through a catalog save with a tiny parquet block size
+    * so ONE data file carries multiple row groups, then hands back
+    * (catalog, #rowGroups of the single data file). Restores the conf. */
+  private def saveMultiRowGroup(catDirPrefix: String, name: String,
+                                rows: org.apache.spark.sql.DataFrame)
+      : (graft.catalog.Catalog, Int) = {
+    import graft.catalog.Catalog
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prior = Option(hc.get("parquet.block.size"))
+    hc.setInt("parquet.block.size", 1024) // flush a group every ~100 rows
+    val cat =
+      try {
+        val c = new Catalog(Files.createTempDirectory(catDirPrefix).toString, spark)
+        c.save(Chain(rows.coalesce(1)), name)
+        c
+      } finally prior match {
+        case Some(p) => hc.set("parquet.block.size", p)
+        case None => hc.unset("parquet.block.size")
+      }
+    val v = cat.latestVersion(name).get
+    val dataDir = new java.io.File(s"${cat.root}/datasets/$name/v$v/data")
+    val pq = dataDir.listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(pq.length === 1, s"expected one data file, got ${pq.toSeq}")
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(pq.head.toString),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val groups = try reader.getFooter.getBlocks.size finally reader.close()
+    (cat, groups)
+  }
+
+  test("file-stats merge combines row-group string min/max in UTF-8 order") {
+    // One FILE, several row groups: early groups hold only U+FFFF strings,
+    // the last only emoji (surrogate pairs). Merging group envelopes with
+    // Java's UTF-16 order would pick the emoji as the FILE min (D83D <
+    // FFFF in code units), and `s <= "￿…"` would then prove
+    // `min > literal` and prune the file — losing all 150 matching rows.
+    val pad = "x" * 50
+    val rows = spark.range(300).toDF("id")
+      .withColumn("s", when(col("id") < 150, lit("￿" + pad))
+        .otherwise(lit("😀" + pad)))
+      .sortWithinPartitions("id")
+    val (cat, groups) = saveMultiRowGroup("fstats_mrg", "uni2", rows)
+    assert(groups >= 2, s"need a multi-row-group file, got $groups group(s)")
+    val pred = col("s") <= "￿" + pad
+    val pruned = cat.readDatasetWhere("uni2", pred)
+      .selectExcept("sys").toDF.collect().toSet
+    val full = cat.readDataset("uni2").selectExcept("sys").toDF
+      .filter(pred).collect().toSet
+    assert(pruned === full, s"pruned lost ${full.size - pruned.size} rows")
+    assert(pruned.size === 150)
+  }
+
+  test("a non-finite row group evicts the column's stats in either order") {
+    // Finite-then-Inf: the Inf group arrives AFTER bounds were
+    // accumulated — the accumulated entry must be evicted, not kept as a
+    // partial envelope that excludes the Inf rows (and vice versa).
+    for ((name, infFirst) <- Seq(("inf_last", false), ("inf_first", true))) {
+      val rows = spark.range(300).toDF("id")
+        .withColumn("d", when(col("id") < 150,
+          lit(if (infFirst) Double.PositiveInfinity else 1.5))
+          .otherwise(lit(if (infFirst) 2.5 else Double.PositiveInfinity)))
+        .sortWithinPartitions("id")
+      val (cat, groups) = saveMultiRowGroup(s"fstats_$name", name, rows)
+      assert(groups >= 2, s"need a multi-row-group file, got $groups group(s)")
+      val v = cat.latestVersion(name).get
+      cat.fileStats(name, v).foreach { f =>
+        assert(!f.cols.contains("d"),
+          s"$name: poisoned column must carry NO envelope, got ${f.cols.get("d")}")
+      }
+      val pred = col("d") <= 2.0
+      val (kept, total) = cat.pruneCount(name, pred)
+      assert(kept === total)
+    }
+  }
+
   test("file-stats tolerate non-finite double footer min/max") {
     import graft.catalog.Catalog
     val cat = new Catalog(Files.createTempDirectory("fstats_inf").toString, spark)
