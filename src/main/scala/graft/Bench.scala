@@ -142,8 +142,21 @@ object Bench {
     def render(keys: Vector[String]): String =
       keys.map(k => "\"" + k + "\":" + fmt(results(k))).mkString("{", ",", "}")
     val budget = 1700
-    val fitted = Iterator.iterate(shown)(_.dropRight(1))
-      .find(ks => render(ks).length <= budget).getOrElse(Vector.empty)
+    // budget applies to the HEADLINE path only (the driver-parsed line);
+    // an `only` subset run is small and human-read — show all of it.
+    // Fit by cumulative entry lengths, one pass, not re-rendering per drop.
+    val fitted =
+      if (only.isDefined) shown
+      else {
+        val entryLens = shown.map(k => ("\"" + k + "\":" + fmt(results(k))).length)
+        var sum = 2 // braces
+        var n = 0
+        while (n < shown.size && {
+          val next = sum + entryLens(n) + (if (n > 0) 1 else 0) // comma
+          if (next <= budget) { sum = next; true } else false
+        }) n += 1
+        shown.take(n)
+      }
     val qs = render(fitted)
     val allQs = results.toVector.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

@@ -486,20 +486,32 @@ final class Catalog(val root: String, spark: SparkSession) {
     // creation and never refreshed while parquet parts stream into
     // data/) — a save still writing after maxAge must not lose its dir
     // to a concurrent vacuum
-    def newestMtime(p: java.nio.file.Path): Long = {
-      val walk = Files.walk(p)
-      try walk.iterator.asScala
-        .map(q => Files.getLastModifiedTime(q).toMillis)
-        .foldLeft(Long.MinValue)(math.max)
-      finally walk.close()
-    }
+    // a concurrent save can rename/delete a .tmp- dir mid-walk; treat a
+    // vanished or unreadable tree as fresh (skip it) rather than letting
+    // one racing dir abort the whole sweep
+    def newestMtime(p: java.nio.file.Path): Long =
+      try {
+        val walk = Files.walk(p)
+        try walk.iterator.asScala
+          .map(q => Files.getLastModifiedTime(q).toMillis)
+          .foldLeft(Long.MinValue)(math.max)
+        finally walk.close()
+      } catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException =>
+          Long.MaxValue
+      }
     datasets().flatMap { n =>
       Files.list(dsDir(n)).iterator.asScala
         .filter(p => p.getFileName.toString.startsWith(".tmp-") &&
           newestMtime(p) < cutoff)
-        .map { p =>
-          Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
-          s"$n/${p.getFileName}"
+        .flatMap { p =>
+          try {
+            Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+            Some(s"$n/${p.getFileName}")
+          } catch {
+            case _: java.io.IOException | _: java.io.UncheckedIOException =>
+              None // raced with its owner finishing the claim — leave it
+          }
         }.toSeq
     }
   }
