@@ -153,10 +153,25 @@ final class Catalog(val root: String, spark: SparkSession) {
       // per-file min/max ranges overlap (min/max can't skip there). ONE
       // extra pass over the written data, grouped by file — a cost the
       // caller chose for its hottest point-lookup columns.
-      val blooms =
-        if (bloomCols.isEmpty) Map.empty[String, Map[String, Array[Byte]]]
-        else FileStats.buildBlooms(spark, tmp.resolve("data").toString,
-          bloomCols, bloomExpected)
+      // Small versions inline the bitmaps into blooms.json (one tiny
+      // metadata read); past the threshold the index is written by the
+      // EXECUTORS as a parquet table under blooms/ — the driver never
+      // holds a bitmap (100k files × ~100 KB would be ~10 GB of heap).
+      val inlineMax = spark.conf.get("graft.bloom.inlineMaxFiles", "32").toInt
+      val blooms: Map[String, Map[String, Array[Byte]]] =
+        if (bloomCols.isEmpty) Map.empty
+        else {
+          val nFiles =
+            if (stats.nonEmpty) stats.size
+            else Files.list(tmp.resolve("data")).iterator.asScala
+              .count(_.getFileName.toString.endsWith(".parquet"))
+          if (nFiles > inlineMax) {
+            FileStats.writeBloomIndex(spark, tmp.resolve("data").toString,
+              bloomCols, bloomExpected, tmp.resolve("blooms").toString)
+            Map.empty
+          } else FileStats.buildBlooms(spark, tmp.resolve("data").toString,
+            bloomCols, bloomExpected)
+        }
       var v = version.getOrElse(
         rawVersions(name).lastOption.map(_.bumpMinor).getOrElse(SemVer(1, 0, 0)))
       var dir: Path = null
@@ -172,6 +187,8 @@ final class Catalog(val root: String, spark: SparkSession) {
         }
       }
       Files.move(tmp.resolve("data"), dir.resolve("data"))
+      if (Files.isDirectory(tmp.resolve("blooms")))
+        Files.move(tmp.resolve("blooms"), dir.resolve("blooms"))
       val meta = metaJson(VersionMeta(
         name, v.toString, chain.hash, SignalSchema.toJson(chain.schema),
         deps, java.time.Instant.now.toString, rows))
@@ -262,13 +279,15 @@ final class Catalog(val root: String, spark: SparkSession) {
       .getOrElse(throw new NoSuchElementException(s"dataset $name not found"))
     val dataDir = vDir(name, v).resolve("data").toString
     val stats = fileStats(name, v)
-    val blooms = fileBlooms(name, v)
     val full = spark.read.parquet(dataDir).filter(predicate)
     val df =
       if (stats.isEmpty) full
       else resolvedCondition(full) match {
         case None => full
         case Some(pe) =>
+          // only the predicate's columns cross from the bloom index
+          val blooms = fileBlooms(name, v,
+            Some(pe.references.map(_.name).toSeq))
           val kept = stats.filter(f =>
             FileStats.mayMatch(pe, f, blooms.getOrElse(f.file, Map.empty)))
           if (kept.size == stats.size || kept.isEmpty)
@@ -283,12 +302,20 @@ final class Catalog(val root: String, spark: SparkSession) {
   }
 
   /** Per-file bloom index recorded at save time with `bloomCols` (empty
-    * when the version has none). file → column → serialized filter. */
-  def fileBlooms(name: String, version: SemVer)
+    * when the version has none). file → column → serialized filter.
+    * `wanted` restricts a parquet-indexed version's load to just those
+    * columns (the predicate's references) — inline blooms.json versions
+    * are small by construction and load whole. */
+  def fileBlooms(name: String, version: SemVer,
+                 wanted: Option[Seq[String]] = None)
       : Map[String, Map[String, Array[Byte]]] = {
     val p = vDir(name, version).resolve("blooms.json")
-    if (!Files.exists(p)) Map.empty
-    else FileStats.bloomsFromJson(new String(Files.readAllBytes(p), "UTF-8"))
+    val d = vDir(name, version).resolve("blooms")
+    if (Files.exists(p))
+      FileStats.bloomsFromJson(new String(Files.readAllBytes(p), "UTF-8"))
+    else if (Files.isDirectory(d))
+      FileStats.readBloomIndex(spark, d.toString, wanted)
+    else Map.empty
   }
 
   /** The ANALYZED filter condition of `df` — Column lambdas arrive as
@@ -308,10 +335,11 @@ final class Catalog(val root: String, spark: SparkSession) {
     val v = version.orElse(latestVersion(name))
       .getOrElse(throw new NoSuchElementException(s"dataset $name not found"))
     val stats = fileStats(name, v)
-    val blooms = fileBlooms(name, v)
     val dataDir = vDir(name, v).resolve("data").toString
     resolvedCondition(spark.read.parquet(dataDir).filter(predicate)) match {
       case Some(pe) =>
+        val blooms = fileBlooms(name, v,
+          Some(pe.references.map(_.name).toSeq))
         (stats.count(f =>
           FileStats.mayMatch(pe, f, blooms.getOrElse(f.file, Map.empty))),
           stats.size)

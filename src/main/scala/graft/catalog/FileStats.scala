@@ -260,9 +260,11 @@ $files
     * can hash an analyzer-promoted literal identically. Supported column
     * types: integral, float/double, string — blooms are an explicit
     * caller request, so anything else fails fast. */
-  def buildBlooms(spark: SparkSession, dataDir: String, cols: Seq[String],
-                  expectedItems: Long)
-      : Map[String, Map[String, Array[Byte]]] = {
+  /** The shared one-pass grouped aggregation: one row per data FILE, one
+    * serialized bloom per requested column. */
+  private def bloomAggDf(spark: SparkSession, dataDir: String,
+                         cols: Seq[String], expectedItems: Long)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
     import org.apache.spark.sql.types._
     val df = spark.read.parquet(dataDir)
@@ -280,6 +282,12 @@ $files
       .bloom_agg(xxhash64(canon(c)), expectedItems).as(s"__bloom_$c"))
     df.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  def buildBlooms(spark: SparkSession, dataDir: String, cols: Seq[String],
+                  expectedItems: Long)
+      : Map[String, Map[String, Array[Byte]]] = {
+    bloomAggDf(spark, dataDir, cols, expectedItems)
       .collect().map { r =>
         val f = r.getString(0)
         val base = f.substring(f.lastIndexOf('/') + 1)
@@ -287,6 +295,45 @@ $files
           c -> r.getAs[Array[Byte]](i + 1)
         }.toMap
       }.toMap
+  }
+
+  /** Executor-written bloom index: the same grouped pass as
+    * `buildBlooms`, but the bitmaps land in a parquet index table
+    * `(file, col, bloom)` written BY the executors — the driver never
+    * materializes a single filter. At 100k files × ~100 KB bitmaps the
+    * collect() path costs ~10 GB of driver heap; this one is O(1) driver
+    * memory at any file count, and the read side prunes the index scan
+    * to just the predicate's columns (`col IN (...)` pushed to parquet). */
+  def writeBloomIndex(spark: SparkSession, dataDir: String, cols: Seq[String],
+                      expectedItems: Long, outDir: String): Unit = {
+    import org.apache.spark.sql.functions.{array, col, element_at, explode, split, struct, lit => flit}
+    val pairs = cols.map(c =>
+      struct(flit(c).as("col"), col(s"__bloom_$c").as("bloom")))
+    bloomAggDf(spark, dataDir, cols, expectedItems)
+      .select(element_at(split(col("__f"), "/"), -1).as("file"),
+        explode(array(pairs: _*)).as("e"))
+      .select(col("file"), col("e.col").as("col"), col("e.bloom").as("bloom"))
+      .write.mode("errorifexists").parquet(outDir)
+  }
+
+  /** Load the parquet bloom index, restricted to `wanted` columns (None =
+    * all). Only the predicate's columns cross to the driver — the index
+    * scan itself is pruned by parquet row-group stats on `col`. */
+  def readBloomIndex(spark: SparkSession, dir: String,
+                     wanted: Option[Seq[String]])
+      : Map[String, Map[String, Array[Byte]]] = {
+    import org.apache.spark.sql.functions.col
+    val base = spark.read.parquet(dir)
+    val sel = wanted match {
+      case Some(ws) if ws.nonEmpty => base.filter(col("col").isin(ws: _*))
+      case Some(_) => return Map.empty
+      case None => base
+    }
+    sel.collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rows) =>
+        f -> rows.map(r => r.getString(1) -> r.getAs[Array[Byte]](2)).toMap
+      }
   }
 
   def bloomsToJson(blooms: Map[String, Map[String, Array[Byte]]]): String = {

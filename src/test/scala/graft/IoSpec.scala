@@ -635,6 +635,44 @@ class IoSpec extends SparkSpec {
     }
   }
 
+  test("parquet bloom index (executor-written) matches the inline-json path") {
+    import graft.catalog.Catalog
+    val cat = new Catalog(Files.createTempDirectory("fbloom_pq").toString, spark)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "user_id", "event_type").repartition(8)
+    // force the scale path: every save routes blooms through the
+    // executor-written parquet index instead of a driver collect
+    spark.conf.set("graft.bloom.inlineMaxFiles", "0")
+    try cat.save(Chain(ev), "evp", bloomCols = Seq("event_id", "event_type"))
+    finally spark.conf.unset("graft.bloom.inlineMaxFiles")
+    val v = cat.latestVersion("evp").get
+    val vdir = java.nio.file.Paths.get(cat.root, "datasets", "evp", s"v$v")
+    assert(java.nio.file.Files.isDirectory(vdir.resolve("blooms")),
+      "scale path must write a blooms/ parquet index")
+    assert(!java.nio.file.Files.exists(vdir.resolve("blooms.json")),
+      "scale path must not also write inline blooms.json")
+    // identical pruning behavior to the inline path
+    val someId = ev.agg(min("event_id")).head().getLong(0) + 7
+    val (keptRange, total) = cat.pruneCount("evp", col("event_id") === someId)
+    assert(total === 8 && keptRange <= 3, s"kept $keptRange of $total")
+    val pruned = cat.readDatasetWhere("evp", col("event_id") === someId)
+      .selectExcept("sys").toDF.collect().toSet
+    val full = cat.readDataset("evp").selectExcept("sys").toDF
+      .filter(col("event_id") === someId).collect().toSet
+    assert(pruned === full && pruned.nonEmpty)
+    val (keptNone, _) = cat.pruneCount("evp",
+      col("event_type") === "no_such_type")
+    assert(keptNone === 0)
+    // the wanted-columns load restricts what crosses to the driver
+    val one = cat.fileBlooms("evp", v, Some(Seq("event_type")))
+    assert(one.nonEmpty && one.values.forall(_.keySet === Set("event_type")))
+    assert(cat.fileBlooms("evp", v, Some(Seq("user_id"))).isEmpty)
+    // full load (maintenance view) still returns both columns
+    val all = cat.fileBlooms("evp", v)
+    assert(all.size === 8 &&
+      all.values.forall(_.keySet === Set("event_id", "event_type")))
+  }
+
   test("file-stats skipping: null-aware IS NULL pruning, conservative NOT") {
     import graft.catalog.Catalog
     val cat = new Catalog(Files.createTempDirectory("fstats_n").toString, spark)
