@@ -178,11 +178,13 @@ object SparkEntry {
     }),
 
     "q_jmespath_fns" -> ((s, dir) => {
-      // jmespath FUNCTIONS + PIPES (the full-grammar residual): the pipe
-      // re-roots left-to-right, sort_by compiles to array_sort with a
-      // field comparator, reverse(@)[0] picks the max-v item, and the
-      // multiselect reshapes it — all pure Catalyst, zero shuffles. The
-      // v values are scrambled mod 97 so the sort is non-trivial.
+      // jmespath FUNCTIONS + PIPES (the full-grammar residual): sort_by/
+      // reverse/multiselect (the original pipe) PLUS the r10 residual set
+      // — contains / starts_with / to_number / map / not_null — each as a
+      // tagged single-column projection over the same inferred JSONL,
+      // unioned into one frame. Every branch is pure Catalyst (HOFs +
+      // try_cast), zero shuffles; the v values are scrambled mod 97 so
+      // the sort is non-trivial.
       val tmp = Files.createTempDirectory("graft_jmes_fn").toString + "/docs"
       T(s, dir, "documents").filter(col("doc_id") < 400)
         .select(to_json(struct(struct(
@@ -190,14 +192,30 @@ object SparkEntry {
             k.cast("long").as("k"),
             when(pmod(col("doc_id") + k, lit(2)) === 0, lit("a"))
               .otherwise(lit("b")).as("tag"),
-            pmod(col("doc_id") * 3 + k * 31, lit(97)).as("v"))).as("items"))
+            pmod(col("doc_id") * 3 + k * 31, lit(97)).as("v"))).as("items"),
+          concat(lit("id-"), col("doc_id")).as("sid"),
+          concat((col("doc_id") * 3).cast("string"), lit(".5")).as("num"),
+          array(lit("a"), lit("b"),
+            concat(lit("t"), pmod(col("doc_id"), lit(7)).cast("string")))
+            .as("tags"),
+          when(pmod(col("doc_id"), lit(2)) === 1,
+            concat(lit("alt-"), col("doc_id"))).as("alt"))
           .as("p"))).as("value"))
         .write.mode("overwrite").text(tmp)
-      Chain.readJsonInferred(s, tmp,
-          jmespath = Some(
-            "p.items | sort_by(@, &v) | reverse(@)[0].{k: k, tag: tag, v: v}"),
-          sampleSize = 100)
-        .toDF
+      def rd(jp: String, out: String) = {
+        val df = Chain.readJsonInferred(s, tmp, jmespath = Some(jp),
+          sampleSize = 100).toDF
+        df.select(lit(out).as("fn"),
+          col(df.columns.head).cast("string").as("out"))
+      }
+      Seq(
+        rd("p.items | sort_by(@, &v) | reverse(@)[0].v", "pipe_max"),
+        rd("p.contains(tags, 't3')", "contains"),
+        rd("p.starts_with(sid, 'id-1')", "starts_with"),
+        rd("p.to_number(num)", "to_number"),
+        rd("p.map(&v, items)[0]", "map_first"),
+        rd("p.not_null(alt, sid)", "not_null")
+      ).reduce(_.unionAll(_))
     }),
 
     "q_read_database" -> ((s, dir) => {
@@ -3285,15 +3303,22 @@ object SparkEntry {
           |WHERE doc_id < 400 AND (doc_id + s.k) % 2 = 0""".stripMargin,
 
       "q_jmespath_fns" ->
-        """WITH it AS (
-          |  SELECT doc_id, s.k,
-          |    CASE WHEN (doc_id + s.k) % 2 = 0 THEN 'a' ELSE 'b' END AS tag,
-          |    (doc_id*3 + s.k*31) % 97 AS v
-          |  FROM documents, generate_series(0, 2) AS s(k)
-          |  WHERE doc_id < 400),
+        """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+          | it AS (SELECT doc_id, (doc_id*3 + s.k*31) % 97 AS v
+          |   FROM d, generate_series(0, 2) AS s(k)),
           | r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
           |   ORDER BY v DESC) AS rn FROM it)
-          |SELECT k, tag, v FROM r WHERE rn = 1""".stripMargin,
+          |SELECT 'pipe_max' AS fn, CAST(v AS VARCHAR) AS out
+          |  FROM r WHERE rn = 1
+          |UNION ALL SELECT 'contains', CAST(doc_id % 7 = 3 AS VARCHAR) FROM d
+          |UNION ALL SELECT 'starts_with',
+          |  CAST(starts_with('id-' || CAST(doc_id AS VARCHAR), 'id-1') AS VARCHAR) FROM d
+          |UNION ALL SELECT 'to_number',
+          |  CAST(CAST(doc_id*3 + 0.5 AS DOUBLE) AS VARCHAR) FROM d
+          |UNION ALL SELECT 'map_first', CAST((doc_id*3) % 97 AS VARCHAR) FROM d
+          |UNION ALL SELECT 'not_null',
+          |  CASE WHEN doc_id % 2 = 1 THEN 'alt-' || CAST(doc_id AS VARCHAR)
+          |       ELSE 'id-' || CAST(doc_id AS VARCHAR) END FROM d""".stripMargin,
 
       "q_read_database" ->
         "SELECT n_nationkey, n_name, n_regionkey FROM nation",

@@ -689,7 +689,8 @@ object Chain {
   }
 
   private val jmesFns: Set[String] =
-    Set("length", "join", "sort_by", "reverse", "min", "max")
+    Set("length", "join", "sort_by", "reverse", "min", "max",
+      "contains", "starts_with", "to_number", "map", "not_null")
 
   /** Split function args on top-level commas (quotes/brackets respected). */
   private def jmesArgs(raw: String): Seq[String] = {
@@ -724,6 +725,7 @@ object Chain {
     }
     def dtype(a: String): org.apache.spark.sql.types.DataType =
       df.select(path(a)).schema.head.dataType
+    def va(a: String): Column = jmesValueArg(df, a)
     import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
     fn match {
       case "length" =>
@@ -756,7 +758,56 @@ object Chain {
       case "max" =>
         require(args.length == 1, s"max(array): got '$argsRaw'")
         array_max(path(args.head))
+      case "contains" =>
+        require(args.length == 2, s"contains(subject, search): got '$argsRaw'")
+        dtype(args.head) match {
+          case _: ArrayType => array_contains(path(args.head), va(args(1)))
+          case StringType => path(args.head).contains(va(args(1)))
+          case dt => throw new IllegalArgumentException(
+            s"jmespath contains() needs array/string subject, got $dt")
+        }
+      case "starts_with" =>
+        require(args.length == 2,
+          s"starts_with(subject, prefix): got '$argsRaw'")
+        path(args.head).startsWith(va(args(1)))
+      case "to_number" =>
+        // jmespath returns null for an unparsable string — try_cast, not
+        // an ANSI cast that would fail the whole scan on one bad row
+        require(args.length == 1, s"to_number(arg): got '$argsRaw'")
+        va(args.head).try_cast("double")
+      case "map" =>
+        // map(&expr, array): expr is a dotted field path applied to each
+        // element — a transform() HOF, still a pure codegen projection
+        require(args.length == 2 && args.head.startsWith("&"),
+          s"map(&expr, array): got '$argsRaw'")
+        val fields = args.head.stripPrefix("&").trim.split("\\.").toSeq
+        require(fields.forall(_.nonEmpty),
+          s"jmespath map() key must be a dotted field path: '${args.head}'")
+        transform(path(args(1)), e => fields.foldLeft(e)(_.getField(_)))
+      case "not_null" =>
+        require(args.nonEmpty, s"not_null(a, b, ...): got '$argsRaw'")
+        // jmespath is dynamically typed; mixed-type args coerce to their
+        // string rendering rather than tripping ANSI numeric casts
+        val cs = args.map(va)
+        val dts = cs.map(c => df.select(c).schema.head.dataType).distinct
+        if (dts.length <= 1) coalesce(cs: _*)
+        else coalesce(cs.map(_.cast("string")): _*)
     }
+  }
+
+  /** A function VALUE argument: quoted string / number / boolean literal,
+    * `@`, or a dotted path against the current root. */
+  private def jmesValueArg(df: DataFrame, a: String): Column = a match {
+    case s if s.startsWith("'") && s.endsWith("'") && s.length >= 2 =>
+      lit(s.substring(1, s.length - 1))
+    case "true" => lit(true)
+    case "false" => lit(false)
+    case "@" => jmesCurrent(df)
+    case n if n.matches("-?\\d+(\\.\\d+)?") => lit(BigDecimal(n).toDouble)
+    case p =>
+      require(!p.contains('[') && !p.contains('('),
+        s"jmespath function args are literals, '@' or dotted paths: '$p'")
+      col(p)
   }
 
   private def jmesLiteral(raw: String): Column = raw match {

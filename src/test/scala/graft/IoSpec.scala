@@ -408,9 +408,32 @@ class IoSpec extends SparkSpec {
     // sort_by then explode preserves sorted order within each doc
     assert(run("p.items | sort_by(@, &v)[0].v").as[Long].collect().toSet
       === Set(10L, 40L))
+    // contains() over arrays and strings (substring semantics)
+    assert(run("p.names | contains(@, 'a')").as[Boolean].collect().toSet
+      === Set(true, false))
+    assert(run("p.names[0] | contains(@, 'b')").as[Boolean].collect().toSet
+      === Set(true, false))
+    // starts_with() on a string field
+    assert(run("p.names[0] | starts_with(@, 'b')").as[Boolean].collect().toSet
+      === Set(true, false))
+    // to_number() parses strings, null for unparsable (names are letters)
+    assert(run("p.names[0] | to_number(@)").as[Option[Double]].collect().toSet
+      === Set(None))
+    // nested function calls are out of the supported subset — fail fast
+    intercept[IllegalArgumentException](run("p | to_number(join('', names))"))
+    // map(&field, array) projects each element, composes with index/agg
+    assert(run("p | map(&v, items)[0]").as[Long].collect().toSet
+      === Set(30L, 40L))
+    assert(run("p.map(&v, items) | max(@)").as[Long].collect().toSet
+      === Set(30L, 40L))
+    // not_null picks the first non-null argument
+    assert(run("p.items[0] | not_null(tag, id)").as[String].collect().toSet
+      === Set("x", "y"))
     // functions need well-formed args
     intercept[IllegalArgumentException](run("p.xs | join(@)"))
     intercept[IllegalArgumentException](run("p.items | sort_by(@, v)"))
+    intercept[IllegalArgumentException](run("p | map(v, items)"))
+    intercept[IllegalArgumentException](run("p | not_null()"))
     // unknown function name is still an unsupported segment
     intercept[org.apache.spark.sql.AnalysisException](
       run("p.xs | nope(@)").collect())
