@@ -258,11 +258,43 @@ final class Catalog(val root: String, spark: SparkSession) {
 
   /** Per-file footer stats recorded at save time (empty when the version
     * predates stats harvesting or harvest failed). */
-  def fileStats(name: String, version: SemVer): Seq[FileStats.FileStat] = {
-    val p = vDir(name, version).resolve("stats.json")
-    if (!Files.exists(p)) Seq.empty
-    else FileStats.fromJson(new String(Files.readAllBytes(p), "UTF-8"))
+  // Parsed stats.json cache: version dirs are immutable once committed,
+  // so an entry never goes stale — without it every readDatasetWhere /
+  // pruneCount re-parses the whole file, a real cost once a catalog
+  // holds thousands of versions. Bounded LRU; empty results are NOT
+  // cached (stats.json lands just after meta.json at save — a reader in
+  // that window must not pin "no stats" forever). Dataset delete/move
+  // invalidate by name so a re-created dataset reads fresh.
+  private val statsCacheMax = 256
+  private val statsCache =
+    new java.util.LinkedHashMap[String, Seq[FileStats.FileStat]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[FileStats.FileStat]]): Boolean =
+        size() > statsCacheMax
+    }
+  /** Observability hook for the parse-once tests. */
+  private[graft] var statsParses = 0L
+  private def invalidateStats(name: String): Unit = statsCache.synchronized {
+    statsCache.keySet.removeIf(_.startsWith(name + "@@"))
   }
+
+  def fileStats(name: String, version: SemVer): Seq[FileStats.FileStat] =
+    statsCache.synchronized {
+      val key = s"$name@@$version"
+      val hit = statsCache.get(key)
+      if (hit != null) hit
+      else {
+        val p = vDir(name, version).resolve("stats.json")
+        if (!Files.exists(p)) Seq.empty
+        else {
+          statsParses += 1
+          val parsed =
+            FileStats.fromJson(new String(Files.readAllBytes(p), "UTF-8"))
+          statsCache.put(key, parsed)
+          parsed
+        }
+      }
+    }
 
   /**
    * Data-skipping read: `readDatasetWhere(name, pred)` prunes whole files
@@ -446,6 +478,7 @@ final class Catalog(val root: String, spark: SparkSession) {
   /** Remove a single version (rollback of a failed multi-save protocol
     * step; versions are otherwise immutable). */
   def deleteVersion(name: String, version: SemVer): Unit = {
+    invalidateStats(name)
     val d = vDir(name, version)
     if (Files.exists(d)) {
       Files.walk(d).iterator.asScala.toSeq.reverse.foreach(Files.delete)
@@ -545,6 +578,7 @@ final class Catalog(val root: String, spark: SparkSession) {
   }
 
   def deleteDataset(name: String): Unit = {
+    invalidateStats(name)
     val d = dsDir(name)
     if (Files.exists(d)) {
       Files.walk(d).iterator.asScala.toSeq.reverse.foreach(Files.delete)
@@ -556,6 +590,7 @@ final class Catalog(val root: String, spark: SparkSession) {
     * name matches; the data files never move byte-wise beyond the dir
     * rename (an O(1) metadata operation on any real FS). */
   def moveDataset(from: String, to: String): Unit = {
+    invalidateStats(from)
     requireValidName(to)
     require(Files.isDirectory(dsDir(from)), s"dataset $from not found")
     require(!Files.exists(dsDir(to)), s"dataset $to already exists")

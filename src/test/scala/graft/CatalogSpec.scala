@@ -597,4 +597,31 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.deleteNamespace("local"))
     intercept[IllegalArgumentException](cat.deleteProject("local", "local"))
   }
+
+  test("stats.json parses once per version across pruned reads") {
+    import org.apache.spark.sql.functions.col
+    val cat = new Catalog(Files.createTempDirectory("cat_scache").toString, spark)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .repartitionByRange(4, col("o_orderkey"))
+    val v = cat.save(Chain(orders), "o")
+    val base = cat.statsParses
+    val pred = col("o_orderkey") <= 100L
+    cat.readDatasetWhere("o", pred).toDF.count()
+    assert(cat.statsParses === base + 1, "first pruned read parses stats.json")
+    cat.readDatasetWhere("o", pred).toDF.count()
+    cat.pruneCount("o", pred)
+    cat.pruneCount("o", col("o_totalprice") > 0.0)
+    assert(cat.statsParses === base + 1,
+      s"later reads must hit the cache, parsed ${cat.statsParses - base} times")
+    // a second version parses once more; the first stays cached
+    val v2 = cat.save(Chain(orders), "o")
+    cat.pruneCount("o", pred, Some(v2))
+    cat.pruneCount("o", pred, Some(v))
+    assert(cat.statsParses === base + 2)
+    // dataset-level invalidation drops the cached entries
+    cat.deleteDataset("o")
+    val v3 = cat.save(Chain(orders), "o")
+    cat.pruneCount("o", pred, Some(v3))
+    assert(cat.statsParses === base + 3)
+  }
 }
