@@ -233,6 +233,11 @@ final class Catalog(val root: String, spark: SparkSession) {
     val before = Files.list(dataDir).iterator.asScala
       .count(_.getFileName.toString.endsWith(".parquet"))
     val df0 = spark.read.parquet(dataDir.toString)
+    val mpbKey = "spark.sql.files.maxPartitionBytes"
+    val ocKey = "spark.sql.files.openCostInBytes"
+    val prevMpb = spark.conf.get(mpbKey)
+    val prevOc = spark.conf.get(ocKey)
+    var packed = false
     val laid = zorderBy match {
       case Some((x, y)) =>
         val bits = 8
@@ -246,11 +251,30 @@ final class Catalog(val root: String, spark: SparkSession) {
             org.apache.spark.sql.functions.col("__zcell"))
           .sortWithinPartitions("__zcell", "zval")
           .drop("zval", "__zcell")
-      case None => df0.coalesce(nFiles)
+      case None =>
+        // size-aware bin-packing (Layout.compactTo's approach): size the
+        // SCAN partitions to ~total/nFiles so coalesce merges even-byte
+        // chunks. Plain coalesce over the default 128 MB packing folds
+        // every small file into one read task and writes one giant
+        // output beside empties when inputs are skewed.
+        val total = Files.list(dataDir).iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size(_)).sum
+        val target = math.max(64L << 10,
+          math.ceil(total.toDouble / math.max(1, nFiles)).toLong)
+        packed = true
+        spark.conf.set(mpbKey, target.toString)
+        spark.conf.set(ocKey, math.min(4L << 20, target / 16).toString)
+        df0.coalesce(nFiles)
     }
-    val nv = save(Chain(graft.core.Sys.drop(laid)), name,
-      deps = Seq(s"$name@v$v"), bloomCols = bloomCols,
-      bloomExpected = bloomExpected)
+    val nv =
+      try save(Chain(graft.core.Sys.drop(laid)), name,
+        deps = Seq(s"$name@v$v"), bloomCols = bloomCols,
+        bloomExpected = bloomExpected)
+      finally if (packed) {
+        spark.conf.set(mpbKey, prevMpb)
+        spark.conf.set(ocKey, prevOc)
+      }
     val after = Files.list(vDir(name, nv).resolve("data")).iterator.asScala
       .count(_.getFileName.toString.endsWith(".parquet"))
     (nv, before, after)

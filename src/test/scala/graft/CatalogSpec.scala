@@ -82,6 +82,45 @@ class CatalogSpec extends SparkSpec {
     assert(cat.fileBlooms("o", v3).nonEmpty)
   }
 
+  test("optimize bin-packs skewed input files into even-sized outputs") {
+    import org.apache.spark.sql.functions.{col, concat_ws, explode, lit, md5, repeat, sequence}
+    val root = Files.createTempDirectory("cat_opt_skew").toString
+    val cat = new Catalog(root, spark)
+    // BYTE skew: every bucket b holds 400 rows, but the payload width
+    // grows with (b+1)² — file sizes run ~1x..250x. repartitionByRange
+    // row-balances (sampling is row-weighted), so byte skew is the
+    // regime a plain coalesce can't see: it folds everything into one
+    // giant output beside empties.
+    val skewed = spark.range(16).select(col("id").as("b"),
+        explode(sequence(lit(1L), lit(400L))).as("n"))
+      .select(col("n"), col("b"),
+        repeat(md5(concat_ws("-", col("b"), col("n"))),
+          ((col("b") + 1) * (col("b") + 1)).cast("int")).as("payload"))
+      .repartitionByRange(16, col("b"))
+    val v1 = cat.save(Chain(skewed), "sk")
+    def fileBytes(v: graft.catalog.SemVer): Seq[Long] = {
+      val d = java.nio.file.Paths.get(root, "datasets", "sk", s"v$v", "data")
+      import scala.jdk.CollectionConverters._
+      Files.list(d).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size(_)).toSeq
+    }
+    val bytes1 = fileBytes(v1)
+    assert(bytes1.size >= 8 && bytes1.max >= 4 * bytes1.min,
+      s"fixture should write byte-skewed files, got $bytes1")
+    val (v2, before, after) = cat.optimize("sk", nFiles = 4)
+    assert(before === bytes1.size && after === 4, s"$before -> $after")
+    val bytes2 = fileBytes(v2)
+    assert(bytes2.size === 4 &&
+      bytes2.max.toDouble / bytes2.sum <= 0.6,
+      s"size-aware packing should spread bytes, got $bytes2")
+    assert(cat.fileStats("sk", v2).map(_.rows).sum === 16 * 400L)
+    // user rows identical through the rewrite
+    assert(cat.readDataset("sk").selectExcept("sys").toDF.collect().toSet
+      === cat.readDataset("sk", Some(v1)).selectExcept("sys")
+        .toDF.collect().toSet)
+  }
+
   test("vacuum sweeps crashed-save temp dirs, spares fresh in-flight ones") {
     val root = Files.createTempDirectory("cat_sweep").toString
     val cat = new Catalog(root, spark)
