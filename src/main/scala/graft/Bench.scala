@@ -131,7 +131,7 @@ object Bench {
       "q_bloom_skipping", "q_stream_session_window", "q_optimize",
       "q_webm_header",
       "q_delta_storage", "q_jmespath_fns", "q_video_header",
-      "q_audio_frame_meta", "q_stream_join_outer")
+      "q_audio_frame_meta", "q_stream_join_outer", "q_pipeline_e2e")
     val shown =
       if (only.isDefined) results.keys.toVector.sorted // local subset run: show all
       else headline.filter(results.contains)

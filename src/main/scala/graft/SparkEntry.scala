@@ -2474,6 +2474,96 @@ object SparkEntry {
     }),
 
     // ------------------------------------------- composite / incremental
+    "q_pipeline_e2e" -> ((s, dir) => {
+      // THE composed flagship: raw storage → executor-parallel listing →
+      // schemaful JSONL ingest → heuristic lang-id → model-based quality
+      // classifier → exact dedup vs ingested history (bloom + anti-join)
+      // → MinHash-LSH near-dedup vs a near-duplicate history → GPT-3
+      // 13-gram decontamination → temperature-flattened domain mix →
+      // catalog save with a lineage dep, footer stats, and a bloom
+      // index. One chain through every LLM-pipeline family; the oracle
+      // recomputes each stage's surviving count (and the per-source mix)
+      // from first principles, so a hash match proves the operators
+      // compose — not just that each works alone.
+      val root = Files.createTempDirectory("graft_pipe")
+      val corpusDir = root.toString + "/corpus"
+      val docs = T(s, dir, "documents")
+      // every stage here is metadata-small next to the 32-thread session
+      // default — scope the shuffle width down for the eager section (the
+      // saves materialize the whole chain inside it), like the other
+      // fixed-overhead-bound gates
+      val prevSP = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+      docs.select(to_json(struct(col("doc_id"), col("text"), col("lang"),
+          col("source"))).as("value"))
+        .repartition(8).write.mode("overwrite").text(corpusDir)
+      val listed = FileOps.readStorage(s, corpusDir,
+        pattern = Some("part-*")).toDF
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val raw = s.read
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING")
+        .json(corpusDir + "/part-*")
+        .persist(MEMORY_AND_DISK)
+      val langed = raw.filter(TextAnalysis.langId(col("text")) === "en")
+      val quality = langed.filter(
+        TextAnalysis.qualityLogistic(col("text")) >= 0.5)
+      val hist = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+      // each survivor set feeds several consumers (the next stage + its
+      // own count branch) — persist so the stage-count union doesn't
+      // recompute the whole prefix per branch
+      val fresh = Dedup.subtractSeen(quality, hist, "text", "doc_id",
+          expectedItems = 1000L, fpp = 0.01)
+        .persist(MEMORY_AND_DISK)
+      val hist2 = docs.filter(col("doc_id") % 5 === 0 && col("n_chars") >= 200)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" tail marker token")).as("text"))
+      val near = Dedup.subtractSeenNear(fresh, hist2, "text", "doc_id",
+          threshold = 0.5, shingleCandidatesOnly = false)
+        .persist(MEMORY_AND_DISK)
+      val bench = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"))
+      val contaminated = Corpus.ngramDecontaminate(
+          near.select(col("doc_id"), col("text")), bench, "doc_id", "text",
+          n = 13)
+        .filter(col("contaminated")).select(col("doc_id"))
+      val clean = near.join(contaminated, Seq("doc_id"), "left_anti")
+        .persist(MEMORY_AND_DISK)
+      val mixed = Corpus.temperatureMix(
+          clean.select(col("doc_id"), col("source")), "doc_id", "source",
+          temperature = 0.5, seed = "pipe")
+        .persist(MEMORY_AND_DISK)
+      val cat = new Catalog(root.toString + "/cat", s)
+      val hv = cat.save(Chain(hist), "corpus.history")
+      val fv = cat.save(Chain(mixed), "corpus.clean",
+        deps = Seq(s"corpus.history@v$hv"), bloomCols = Seq("doc_id"))
+      require(cat.depsOf("corpus.clean", fv) == Seq(("corpus.history", hv)),
+        "pipeline lineage must record the history dependency")
+      require(cat.fileStats("corpus.clean", fv).nonEmpty,
+        "save must harvest footer stats")
+      require(cat.fileBlooms("corpus.clean", fv).nonEmpty,
+        "save must build the bloom index")
+      val saved = cat.readDataset("corpus.clean").selectExcept("sys").toDF
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).cast("long").as("n_rows"))
+          .select(lit(name).as("stage"), col("n_rows"))
+      Seq(stage("01_files_listed", listed),
+        stage("02_ingested", raw),
+        stage("03_lang_en", langed),
+        stage("04_quality", quality),
+        stage("05_after_exact_dedup", fresh),
+        stage("06_after_near_dedup", near),
+        stage("07_after_decontam", clean),
+        stage("09_saved", saved))
+        .reduce(_.unionAll(_))
+        .unionAll(mixed.groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_rows"))
+          .select(concat(lit("08_mix_"), col("source")).as("stage"),
+            col("n_rows")))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSP)
+    }),
+
     "q_merge_stem" -> ((s, dir) => {
       // expression join on a path function — the reference's documented
       // merge-on-file_stem example (datachain.py:1630-1634)
@@ -3231,6 +3321,27 @@ object SparkEntry {
       TextAnalysis.frStop ++ TextAnalysis.esStop)
     val norm = raw"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
     val tokCount = raw"len(string_split_regex(trim(text), '\s+'))"
+    val qualityProb =
+      raw"""round(1.0 / (1.0 + exp(-(
+           |  -1.0
+           |  + 2.0 * least($tokCount / 100.0, 1.0)
+           |  + 3.0 * least($all / 8.0, 1.0)
+           |  - 4.0 * (CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
+           |           / length(text) END)
+           |  - 2.0 * (CASE WHEN length(text) = 0 THEN 0.0
+           |      ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+           |           / length(text) END)
+           |  + 0.5 * (CASE WHEN (CASE WHEN $tokCount = 0 THEN 0.0
+           |      ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+           |           / $tokCount END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
+           |))), 6)""".stripMargin
+    val langEnPred =
+      s"""(greatest($en, $de, $fr, $es) > 0
+         | AND $en = greatest($en, $de, $fr, $es))""".stripMargin
+    val lmToks =
+      raw"""list_filter(string_split_regex(trim(regexp_replace(lower(text),
+           |     '[^a-z0-9\s]', ' ', 'g')), '\s+'), t -> t <> '')""".stripMargin
     val qualityExpr =
       s"""round((
          |   (CASE WHEN $tokCount BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
@@ -4215,6 +4326,62 @@ object SparkEntry {
            |SELECT doc_id FROM newb
            |WHERE doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
 
+      "q_pipeline_e2e" ->
+        s"""WITH base AS (SELECT doc_id, text, lang, source FROM documents),
+           | lang_en AS (SELECT * FROM base WHERE $langEnPred),
+           | qual AS (SELECT * FROM lang_en WHERE $qualityProb >= 0.5),
+           | histn AS (SELECT $norm AS nt FROM documents WHERE doc_id % 3 = 0),
+           | fresh AS (SELECT * FROM qual
+           |   WHERE $norm NOT IN (SELECT nt FROM histn)),
+           | hist2 AS (SELECT doc_id, text || ' tail marker token' AS text
+           |   FROM documents WHERE doc_id % 5 = 0 AND n_chars >= 200),
+           | gh AS (SELECT doc_id, list_distinct(list_transform(
+           |     range(1, CAST(greatest(length($norm) - 4, 0) AS BIGINT) + 1),
+           |     i -> substr($norm, CAST(i AS INT), 5))) AS grams FROM hist2),
+           | gn AS (SELECT doc_id, list_distinct(list_transform(
+           |     range(1, CAST(greatest(length($norm) - 4, 0) AS BIGINT) + 1),
+           |     i -> substr($norm, CAST(i AS INT), 5))) AS grams FROM fresh),
+           | dup AS (SELECT DISTINCT n.doc_id FROM gn n JOIN gh h ON
+           |   CASE WHEN len(list_distinct(n.grams || h.grams)) = 0 THEN 0.0
+           |     ELSE CAST(len(list_intersect(n.grams, h.grams)) AS DOUBLE) /
+           |          len(list_distinct(n.grams || h.grams)) END >= 0.5),
+           | near AS (SELECT * FROM fresh
+           |   WHERE doc_id NOT IN (SELECT doc_id FROM dup)),
+           | ntoks AS (SELECT doc_id, $lmToks AS toks FROM near),
+           | ng AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id,
+           |     unnest(list_transform(
+           |       generate_series(1, greatest(len(toks) - 12, 0)),
+           |       i -> array_to_string(toks[i:i+12], ' '))) AS g FROM ntoks)),
+           | btoks AS (SELECT doc_id, $lmToks AS toks FROM documents
+           |   WHERE doc_id % 7 = 0),
+           | bg AS (SELECT DISTINCT g FROM (SELECT unnest(list_transform(
+           |       generate_series(1, greatest(len(toks) - 12, 0)),
+           |       i -> array_to_string(toks[i:i+12], ' '))) AS g FROM btoks)),
+           | cont AS (SELECT DISTINCT doc_id FROM ng JOIN bg USING (g)),
+           | clean AS (SELECT * FROM near
+           |   WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+           | c AS (SELECT source, count(*) AS n FROM clean GROUP BY 1),
+           | m AS (SELECT min(n) AS nmin FROM c),
+           | r AS (SELECT source,
+           |   round(pow(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE), 0.5), 9)
+           |     AS keep FROM c CROSS JOIN m),
+           | t AS (SELECT source, CASE WHEN keep >= 1.0 THEN 'zzzzzzzz'
+           |   ELSE printf('%08x', CAST(floor(keep * 4294967296.0) AS BIGINT))
+           |   END AS thr FROM r),
+           | mixed AS (SELECT clean.doc_id, clean.source FROM clean
+           |   JOIN t USING (source)
+           |   WHERE substring(md5(doc_id || ':pipe'), 1, 8) < thr)
+           |SELECT '01_files_listed' AS stage, CAST(8 AS BIGINT) AS n_rows
+           |UNION ALL SELECT '02_ingested', count(*) FROM base
+           |UNION ALL SELECT '03_lang_en', count(*) FROM lang_en
+           |UNION ALL SELECT '04_quality', count(*) FROM qual
+           |UNION ALL SELECT '05_after_exact_dedup', count(*) FROM fresh
+           |UNION ALL SELECT '06_after_near_dedup', count(*) FROM near
+           |UNION ALL SELECT '07_after_decontam', count(*) FROM clean
+           |UNION ALL SELECT '09_saved', count(*) FROM mixed
+           |UNION ALL SELECT '08_mix_' || source, count(*) FROM mixed
+           |  GROUP BY source""".stripMargin,
+
       "q_semdedup" ->
         """WITH corpus AS (
           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -5173,21 +5340,8 @@ object SparkEntry {
            |FROM documents""".stripMargin,
 
       "q_quality_classifier" ->
-        raw"""SELECT doc_id, quality_prob, quality_prob >= 0.5 AS keep FROM (
-           |SELECT doc_id, round(1.0 / (1.0 + exp(-(
-           |  -1.0
-           |  + 2.0 * least($tokCount / 100.0, 1.0)
-           |  + 3.0 * least($all / 8.0, 1.0)
-           |  - 4.0 * (CASE WHEN length(text) = 0 THEN 0.0
-           |      ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)
-           |           / length(text) END)
-           |  - 2.0 * (CASE WHEN length(text) = 0 THEN 0.0
-           |      ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
-           |           / length(text) END)
-           |  + 0.5 * (CASE WHEN (CASE WHEN $tokCount = 0 THEN 0.0
-           |      ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-           |           / $tokCount END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END)
-           |))), 6) AS quality_prob FROM documents)""".stripMargin,
+        s"""SELECT doc_id, quality_prob, quality_prob >= 0.5 AS keep FROM (
+           |SELECT doc_id, $qualityProb AS quality_prob FROM documents)""".stripMargin,
 
       "q_fingerprint" ->
         s"SELECT doc_id, md5($norm) AS fp_md5 FROM documents",
