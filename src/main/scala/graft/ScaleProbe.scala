@@ -18,7 +18,8 @@ object ScaleProbe {
     // SPARK_GRAFT_PROBE=minhash,ccstar,linededup,decontaminate,dupfraction,
     //   lm,exactsubstr,dsir,semdedup,ann,graph,triangles,lpa,kmeans,kcore,
     //   heavyhitters,covariance,kll,topk,sketchoverlap,saltjoin,bucketjoin,
-    //   pq,profile,rollingdistinct,funnel,statsskip,bloomskip (default all)
+    //   pq,profile,rollingdistinct,funnel,statsskip,bloomskip,
+    //   intervaljoin,mediameta,optimize (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
       .map(s => (x: String) => s(x)).getOrElse(_ => true)
@@ -902,6 +903,90 @@ object ScaleProbe {
         println(f"bloomskip K=$k%-3d rows=$n%-9d save ${plainSec}%.2f s" +
           f" vs +bloom ${bloomSec}%.2f s (${bloomSec / plainSec}%.1fx)" +
           f"   lookup kept $kept/$total files in ${lookupSec}%.2f s")
+      }
+    }
+    // Interval-overlap probe: BOTH sides grow K×. Pair work in the binned
+    // equi-join tracks (key, bin) collisions — at fixed key cardinality
+    // and bin width the per-bin population grows K× per side, so emitted
+    // pairs (and time) grow ~K²/keys, NEVER |a|×|b| all-pairs. The
+    // evidence is pairs/sec staying flat-to-improving as K rises.
+    if (want("intervaljoin")) {
+      ks.foreach { k =>
+        val ev = events(k)
+        def side(modulus: Int, mult: Int, len: Int) = ev
+          .filter(pmod(col("event_id"), lit(modulus)) === 0)
+          .select(col("event_id"),
+            pmod(col("user_id"), lit(200)).as("k"),
+            pmod(col("event_id") * mult, lit(100000)).cast("double").as("lo"))
+          .withColumn("hi", col("lo") + len)
+        val a = side(5, 37, 50).cache()
+        val b = side(7, 53, 30).select(col("event_id").as("b_event_id"),
+          col("k").as("bk"), col("lo").as("blo"), col("hi").as("bhi"))
+          .cache()
+        val (na, nb) = (a.count(), b.count())
+        val t0 = System.nanoTime()
+        val pairs = graft.ops.Joins.intervalOverlapJoin(a, "lo", "hi",
+          b, "blo", "bhi", binWidth = 100.0,
+          keyCols = Seq(("k", "bk"))).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"intervaljoin K=$k%-3d a=$na%-8d b=$nb%-8d pairs=$pairs%-10d" +
+          f" ${sec}%.2f s  ${pairs / sec / 1e6}%.2f M pairs/s")
+        a.unpersist(); b.unpersist()
+      }
+    }
+
+    // Media-metadata probe: codec-free MP4 box walk + MP3 frame-header
+    // parse over a K×-amplified blob corpus. Both expressions touch a
+    // bounded header prefix per blob (~tens of bytes), so sec scales with
+    // BLOB COUNT, not payload bytes — rows/sec should hold flat.
+    if (want("mediameta")) {
+      ks.foreach { k =>
+        val ids = spark.range(5000L * k).select(col("id").as("doc_id"))
+        val t0 = System.nanoTime()
+        val vids = graft.ops.Multimodal.videoHeaderMeta(
+          graft.ops.Multimodal.syntheticMp4Media(ids, "doc_id"))
+          .agg(count(lit(1)), sum("duration_sec")).head()
+        val vSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val auds = graft.ops.Multimodal.audioFrameMeta(
+          graft.ops.Multimodal.syntheticMp3Media(ids, "doc_id"))
+          .agg(count(lit(1)), sum("bitrate_kbps")).head()
+        val aSec = (System.nanoTime() - t1) / 1e9
+        val n = 5000L * k
+        println(f"mediameta K=$k%-3d blobs=$n%-8d mp4 ${vSec}%.2f s" +
+          f" (${n / vSec / 1000}%.0f k/s)  mp3 ${aSec}%.2f s" +
+          f" (${n / aSec / 1000}%.0f k/s)  [${vids.getLong(0)}/${auds.getLong(0)} parsed]")
+      }
+    }
+
+    // OPTIMIZE probe: a K×-shattered version (file count AND bytes grow
+    // with K) compacted to a fixed target layout. Evidence: the rewrite
+    // cost scales with DATA, the bin-packed outputs stay even (max file
+    // ≤ ~2× mean), and the pass stays a single scan + write — no shuffle.
+    if (want("optimize")) {
+      ks.foreach { k =>
+        val ev = events(k).repartition(32 * k)
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_opt_$k").toString
+        val cat = new graft.catalog.Catalog(root, spark)
+        val t0 = System.nanoTime()
+        cat.save(graft.core.Chain(ev), "ev")
+        val saveSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val (v2, before, after) = cat.optimize("ev", nFiles = 16)
+        val optSec = (System.nanoTime() - t1) / 1e9
+        val sizes = {
+          import scala.jdk.CollectionConverters._
+          val d = java.nio.file.Paths.get(root, "datasets", "ev",
+            s"v$v2", "data")
+          java.nio.file.Files.list(d).iterator.asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(java.nio.file.Files.size(_)).toSeq
+        }
+        val spread = sizes.max.toDouble * sizes.size / sizes.sum
+        println(f"optimize K=$k%-3d files $before%-4d -> $after%-3d" +
+          f" save ${saveSec}%.2f s  optimize ${optSec}%.2f s" +
+          f"  max/mean ${spread}%.2f")
       }
     }
     spark.stop()
