@@ -142,21 +142,23 @@ object Bench {
     def render(keys: Vector[String]): String =
       keys.map(k => "\"" + k + "\":" + fmt(results(k))).mkString("{", ",", "}")
     val budget = 1700
-    // budget applies to the HEADLINE path only (the driver-parsed line);
-    // an `only` subset run is small and human-read — show all of it.
-    // Fit by cumulative entry lengths, one pass, not re-rendering per drop.
-    val fitted =
-      if (only.isDefined) shown
-      else {
-        val entryLens = shown.map(k => ("\"" + k + "\":" + fmt(results(k))).length)
-        var sum = 2 // braces
-        var n = 0
-        while (n < shown.size && {
-          val next = sum + entryLens(n) + (if (n > 0) 1 else 0) // comma
-          if (next <= budget) { sum = next; true } else false
-        }) n += 1
-        shown.take(n)
-      }
+    // The stdout line must ALWAYS fit the driver's 2000-char tail window
+    // — an oversized `only` subset would re-create the r8 parsed:null
+    // failure just as surely as the headline would. Subset runs differ
+    // only in WHICH queries are shown (all of them, alphabetical), not
+    // in whether the budget applies; the untruncated map always lands on
+    // stderr + bench_full_local.json. Fit by cumulative entry lengths,
+    // one pass, not re-rendering per drop.
+    val fitted = {
+      val entryLens = shown.map(k => ("\"" + k + "\":" + fmt(results(k))).length)
+      var sum = 2 // braces
+      var n = 0
+      while (n < shown.size && {
+        val next = sum + entryLens(n) + (if (n > 0) 1 else 0) // comma
+        if (next <= budget) { sum = next; true } else false
+      }) n += 1
+      shown.take(n)
+    }
     val qs = render(fitted)
     val allQs = results.toVector.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")

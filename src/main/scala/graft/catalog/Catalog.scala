@@ -71,21 +71,33 @@ final class Catalog(val root: String, spark: SparkSession) {
   private def dsDir(name: String): Path = Paths.get(root, "datasets", name)
   private def vDir(name: String, v: SemVer): Path = dsDir(name).resolve(s"v$v")
 
+  /** Eagerly listed directory entries with the stream CLOSED — an
+    * abandoned Files.list stream leaks a directory fd until GC. A dir
+    * that vanishes mid-list (racing delete) reads as empty, which every
+    * caller treats conservatively. */
+  private def listDir(d: Path): Seq[Path] =
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      try {
+        val s = Files.list(d)
+        try s.iterator.asScala.toSeq finally s.close()
+      } catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException =>
+          Seq.empty
+      }
+    }
+
   def datasets(): Seq[String] = {
     val d = Paths.get(root, "datasets")
-    if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator.asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq.sorted
+    listDir(d).filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).sorted
   }
 
   /** All claimed version dirs, complete or not — the writer's view. */
-  private def rawVersions(name: String): Seq[SemVer] = {
-    val d = dsDir(name)
-    if (!Files.isDirectory(d)) Seq.empty
-    else Files.list(d).iterator.asScala
+  private def rawVersions(name: String): Seq[SemVer] =
+    listDir(dsDir(name))
       .map(_.getFileName.toString).filter(_.startsWith("v"))
-      .map(s => SemVer.parse(s.drop(1))).toSeq.sorted
-  }
+      .map(s => SemVer.parse(s.drop(1))).sorted
 
   /** Reader-visible versions: only COMPLETE ones (meta.json committed).
     * A concurrently claimed-but-unfinished version dir stays invisible,
@@ -163,7 +175,7 @@ final class Catalog(val root: String, spark: SparkSession) {
         else {
           val nFiles =
             if (stats.nonEmpty) stats.size
-            else Files.list(tmp.resolve("data")).iterator.asScala
+            else listDir(tmp.resolve("data"))
               .count(_.getFileName.toString.endsWith(".parquet"))
           if (nFiles > inlineMax) {
             FileStats.writeBloomIndex(spark, tmp.resolve("data").toString,
@@ -230,7 +242,7 @@ final class Catalog(val root: String, spark: SparkSession) {
     val v = latestVersion(name).getOrElse(
       throw new NoSuchElementException(s"dataset $name not found"))
     val dataDir = vDir(name, v).resolve("data")
-    val before = Files.list(dataDir).iterator.asScala
+    val before = listDir(dataDir)
       .count(_.getFileName.toString.endsWith(".parquet"))
     val df0 = spark.read.parquet(dataDir.toString)
     val mpbKey = "spark.sql.files.maxPartitionBytes"
@@ -257,7 +269,7 @@ final class Catalog(val root: String, spark: SparkSession) {
         // chunks. Plain coalesce over the default 128 MB packing folds
         // every small file into one read task and writes one giant
         // output beside empties when inputs are skewed.
-        val total = Files.list(dataDir).iterator.asScala
+        val total = listDir(dataDir)
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map(Files.size(_)).sum
         val target = math.max(64L << 10,
@@ -275,7 +287,7 @@ final class Catalog(val root: String, spark: SparkSession) {
         spark.conf.set(mpbKey, prevMpb)
         spark.conf.set(ocKey, prevOc)
       }
-    val after = Files.list(vDir(name, nv).resolve("data")).iterator.asScala
+    val after = listDir(vDir(name, nv).resolve("data"))
       .count(_.getFileName.toString.endsWith(".parquet"))
     (nv, before, after)
   }
@@ -290,31 +302,46 @@ final class Catalog(val root: String, spark: SparkSession) {
   // that window must not pin "no stats" forever). Dataset delete/move
   // invalidate by name so a re-created dataset reads fresh.
   private val statsCacheMax = 256
+  // value = (freshness token = stats.json mtime+size, parsed stats).
+  // The token guards the cross-PROCESS hole instance-level invalidation
+  // can't see: a dataset deleted and re-created by another Catalog
+  // instance lands on the same name@version — serving the old envelopes
+  // would silently drop rows from pruned reads. One metadata stat per
+  // hit keeps the parse-once economics.
   private val statsCache =
-    new java.util.LinkedHashMap[String, Seq[FileStats.FileStat]](64, 0.75f, true) {
+    new java.util.LinkedHashMap[String, (String, Seq[FileStats.FileStat])](
+        64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Seq[FileStats.FileStat]]): Boolean =
+          e: java.util.Map.Entry[String, (String, Seq[FileStats.FileStat])])
+          : Boolean =
         size() > statsCacheMax
     }
   /** Observability hook for the parse-once tests. */
   private[graft] var statsParses = 0L
   private def invalidateStats(name: String): Unit = statsCache.synchronized {
     statsCache.keySet.removeIf(_.startsWith(name + "@@"))
+    bloomCache.synchronized {
+      bloomCache.keySet.removeIf(_.startsWith(name + "@@"))
+    }
   }
+  private def freshToken(p: Path): String =
+    try s"${Files.getLastModifiedTime(p).toMillis}:${Files.size(p)}"
+    catch { case _: java.io.IOException => "gone" }
 
   def fileStats(name: String, version: SemVer): Seq[FileStats.FileStat] =
     statsCache.synchronized {
       val key = s"$name@@$version"
-      val hit = statsCache.get(key)
-      if (hit != null) hit
+      val p = vDir(name, version).resolve("stats.json")
+      if (!Files.exists(p)) Seq.empty
       else {
-        val p = vDir(name, version).resolve("stats.json")
-        if (!Files.exists(p)) Seq.empty
+        val tok = freshToken(p)
+        val hit = statsCache.get(key)
+        if (hit != null && hit._1 == tok) hit._2
         else {
           statsParses += 1
           val parsed =
             FileStats.fromJson(new String(Files.readAllBytes(p), "UTF-8"))
-          statsCache.put(key, parsed)
+          statsCache.put(key, (tok, parsed))
           parsed
         }
       }
@@ -362,16 +389,46 @@ final class Catalog(val root: String, spark: SparkSession) {
     * `wanted` restricts a parquet-indexed version's load to just those
     * columns (the predicate's references) — inline blooms.json versions
     * are small by construction and load whole. */
+  // Bloom-index cache: without it every pruned read re-reads and decodes
+  // the whole inline blooms.json, or — worse, on the parquet-index path —
+  // launches a Spark job + driver collect per readDatasetWhere call.
+  // Keyed by (version, wanted columns) with the same cross-process
+  // freshness token as the stats cache; capacity stays small because the
+  // values hold real bitmap bytes.
+  private val bloomCacheMax = 32
+  private val bloomCache =
+    new java.util.LinkedHashMap[String, (String, Map[String, Map[String, Array[Byte]]])](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Map[String, Map[String, Array[Byte]]])])
+          : Boolean =
+        size() > bloomCacheMax
+    }
+  /** Observability hook mirroring [[statsParses]]. */
+  private[graft] var bloomLoads = 0L
+
   def fileBlooms(name: String, version: SemVer,
                  wanted: Option[Seq[String]] = None)
-      : Map[String, Map[String, Array[Byte]]] = {
+      : Map[String, Map[String, Array[Byte]]] = bloomCache.synchronized {
     val p = vDir(name, version).resolve("blooms.json")
     val d = vDir(name, version).resolve("blooms")
-    if (Files.exists(p))
-      FileStats.bloomsFromJson(new String(Files.readAllBytes(p), "UTF-8"))
-    else if (Files.isDirectory(d))
-      FileStats.readBloomIndex(spark, d.toString, wanted)
-    else Map.empty
+    val src =
+      if (Files.exists(p)) p
+      else if (Files.isDirectory(d)) d
+      else return Map.empty
+    val key = s"$name@@$version@@${wanted.map(_.sorted.mkString(",")).getOrElse("*")}"
+    val tok = freshToken(src)
+    val hit = bloomCache.get(key)
+    if (hit != null && hit._1 == tok) hit._2
+    else {
+      bloomLoads += 1
+      val loaded =
+        if (src eq p)
+          FileStats.bloomsFromJson(new String(Files.readAllBytes(p), "UTF-8"))
+        else FileStats.readBloomIndex(spark, d.toString, wanted)
+      bloomCache.put(key, (tok, loaded))
+      loaded
+    }
   }
 
   /** The ANALYZED filter condition of `df` — Column lambdas arrive as
@@ -586,7 +643,10 @@ final class Catalog(val root: String, spark: SparkSession) {
           Long.MaxValue
       }
     datasets().flatMap { n =>
-      Files.list(dsDir(n)).iterator.asScala
+      // a concurrent deleteDataset can remove dsDir(n) after datasets()
+      // enumerated it — listDir reads a vanished dataset as empty, so
+      // the sweep skips it instead of aborting
+      listDir(dsDir(n))
         .filter(p => p.getFileName.toString.startsWith(".tmp-") &&
           newestMtime(p) < cutoff)
         .flatMap { p =>
@@ -597,7 +657,7 @@ final class Catalog(val root: String, spark: SparkSession) {
             case _: java.io.IOException | _: java.io.UncheckedIOException =>
               None // raced with its owner finishing the claim — leave it
           }
-        }.toSeq
+        }
     }
   }
 
@@ -644,9 +704,7 @@ final class Catalog(val root: String, spark: SparkSession) {
 
   def namespaces(): Seq[String] = {
     val d = Paths.get(root, "namespaces")
-    val registered =
-      if (!Files.isDirectory(d)) Seq.empty
-      else Files.list(d).iterator.asScala.map(_.getFileName.toString).toSeq
+    val registered = listDir(d).map(_.getFileName.toString)
     val implied = datasets().filter(_.contains('.')).map(_.split('.').head)
     (registered ++ implied ++ Seq(Catalog.DefaultNamespace)).distinct.sorted
   }
@@ -727,13 +785,12 @@ final class Catalog(val root: String, spark: SparkSession) {
   def listProjects(ns: Option[String] = None): Seq[Project] = {
     val d = Paths.get(root, "projects")
     val registered: Seq[(String, String)] =
-      if (!Files.isDirectory(d)) Seq.empty
-      else Files.list(d).iterator.asScala.filter(Files.isDirectory(_)).flatMap { nsDir =>
-        Files.list(nsDir).iterator.asScala
+      listDir(d).filter(Files.isDirectory(_)).flatMap { nsDir =>
+        listDir(nsDir)
           .filter(_.getFileName.toString.endsWith(".json"))
           .map(f => (nsDir.getFileName.toString,
             f.getFileName.toString.stripSuffix(".json")))
-      }.toSeq
+      }
     val implied = datasets().map(_.split('.')).collect {
       case Array(n, p, _) => (n, p)
     }

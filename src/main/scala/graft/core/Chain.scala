@@ -795,15 +795,13 @@ object Chain {
     }
   }
 
-  /** A function VALUE argument: quoted string / number / boolean literal,
-    * `@`, or a dotted path against the current root. */
+  /** A function VALUE argument: a [[jmesLiteral]] shape (quoted string /
+    * number / boolean), `@`, or a dotted path against the current root. */
   private def jmesValueArg(df: DataFrame, a: String): Column = a match {
-    case s if s.startsWith("'") && s.endsWith("'") && s.length >= 2 =>
-      lit(s.substring(1, s.length - 1))
-    case "true" => lit(true)
-    case "false" => lit(false)
     case "@" => jmesCurrent(df)
-    case n if n.matches("-?\\d+(\\.\\d+)?") => lit(BigDecimal(n).toDouble)
+    case l if (l.startsWith("'") && l.endsWith("'") && l.length >= 2) ||
+        l == "true" || l == "false" || l.matches("-?\\d+(\\.\\d+)?") =>
+      jmesLiteral(l)
     case p =>
       require(!p.contains('[') && !p.contains('('),
         s"jmespath function args are literals, '@' or dotted paths: '$p'")

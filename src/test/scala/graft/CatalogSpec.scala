@@ -637,6 +637,34 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.deleteProject("local", "local"))
   }
 
+  test("stats cache revalidates when another instance rewrites the dataset") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("cat_xproc").toString
+    val a = new Catalog(root, spark)
+    val b = new Catalog(root, spark)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val v = a.save(Chain(orders.repartitionByRange(4, col("o_orderkey"))), "o")
+    a.pruneCount("o", col("o_orderkey") <= 100L) // a caches v's envelopes
+    // a DIFFERENT catalog instance (≈ another process) re-creates the
+    // dataset at the same version with keys far outside the old range —
+    // a's instance-level invalidation never fires, only the freshness
+    // token can save the read
+    b.deleteDataset("o")
+    val v2 = b.save(Chain(orders
+      .select((col("o_orderkey") + 1000000L).as("o_orderkey"),
+        col("o_totalprice"))
+      .repartitionByRange(4, col("o_orderkey"))), "o")
+    assert(v2 === v, "re-created dataset restarts at the same version")
+    val pred = col("o_orderkey") > 1000000L
+    val pruned = a.readDatasetWhere("o", pred)
+      .selectExcept("sys").toDF.count()
+    val full = a.readDataset("o").selectExcept("sys").toDF
+      .filter(pred).count()
+    assert(pruned === full && pruned > 0,
+      s"stale envelopes must not prune live rows: pruned=$pruned full=$full")
+  }
+
   test("stats.json parses once per version across pruned reads") {
     import org.apache.spark.sql.functions.col
     val cat = new Catalog(Files.createTempDirectory("cat_scache").toString, spark)

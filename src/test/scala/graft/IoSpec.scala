@@ -694,6 +694,12 @@ class IoSpec extends SparkSpec {
     val all = cat.fileBlooms("evp", v)
     assert(all.size === 8 &&
       all.values.forall(_.keySet === Set("event_id", "event_type")))
+    // repeated pruned reads hit the bloom cache — no Spark job per call
+    val loads0 = cat.bloomLoads
+    cat.pruneCount("evp", col("event_id") === someId)
+    cat.pruneCount("evp", col("event_id") === someId + 1)
+    assert(cat.bloomLoads === loads0,
+      s"repeat lookups must not reload the index (+${cat.bloomLoads - loads0})")
   }
 
   test("file-stats skipping: null-aware IS NULL pruning, conservative NOT") {
