@@ -903,6 +903,40 @@ object ScaleProbe {
         println(f"bloomskip K=$k%-3d rows=$n%-9d save ${plainSec}%.2f s" +
           f" vs +bloom ${bloomSec}%.2f s (${bloomSec / plainSec}%.1fx)" +
           f"   lookup kept $kept/$total files in ${lookupSec}%.2f s")
+        // the STREAMED index path (executor-written parquet, O(1) driver
+        // memory): same save + lookup, bitmaps never collect()ed — the
+        // driver-heap number to beat is files × bloom bytes (~10 GB at
+        // 100k files), which this path never allocates
+        spark.conf.set("graft.bloom.inlineMaxFiles", "0")
+        val t3 = System.nanoTime()
+        try cat.save(graft.core.Chain(ev), "bloomed_pq",
+            bloomCols = Seq("ekey"), bloomExpected = math.max(n / 32, 1000L))
+        finally spark.conf.unset("graft.bloom.inlineMaxFiles")
+        val pqSaveSec = (System.nanoTime() - t3) / 1e9
+        val v = cat.latestVersion("bloomed_pq").get
+        val idxDir = java.nio.file.Paths.get(root, "datasets", "bloomed_pq",
+          s"v$v", "blooms")
+        val idxBytes = {
+          import scala.jdk.CollectionConverters._
+          val w = java.nio.file.Files.walk(idxDir)
+          try w.iterator.asScala.filter(java.nio.file.Files.isRegularFile(_))
+            .map(java.nio.file.Files.size(_)).sum
+          finally w.close()
+        }
+        val t4 = System.nanoTime()
+        val rowsPq = cat.readDatasetWhere("bloomed_pq", col("ekey") === "k7")
+          .toDF.count()
+        val pqLookupSec = (System.nanoTime() - t4) / 1e9
+        val t5 = System.nanoTime()
+        val rowsPq2 = cat.readDatasetWhere("bloomed_pq", col("ekey") === "k9")
+          .toDF.count()
+        val pqCachedSec = (System.nanoTime() - t5) / 1e9
+        require(rowsPq == 1L && rowsPq2 == 1L,
+          s"pq point lookup parity: $rowsPq/$rowsPq2")
+        println(f"bloomskip K=$k%-3d streamed index: save ${pqSaveSec}%.2f s" +
+          f" (${pqSaveSec / plainSec}%.1fx plain), index ${idxBytes / 1024}%d KB" +
+          f" on disk (0 B on driver), lookup ${pqLookupSec}%.2f s cold" +
+          f" / ${pqCachedSec}%.2f s cached")
       }
     }
     // Interval-overlap probe: BOTH sides grow K×. Pair work in the binned
