@@ -2444,6 +2444,22 @@ object SparkEntry {
           .select(col("doc_id"), col("source")),
         "doc_id", "source", temperature = 0.5, seed = "temp1")),
 
+    "q_token_mix" -> ((s, dir) =>
+      // token-budget "data recipe" mix (the Llama/Dolma mixture shape):
+      // per-domain budgets filled in deterministic md5 order, boundary
+      // doc included (budgets met, never undershot), whole-domain keep
+      // when mass < budget, recipe-absent domains dropped. The oracle
+      // replays the naive per-domain running sum — a hash match proves
+      // the bucketed-histogram path (which never globally orders the
+      // corpus) selects the IDENTICAL document set.
+      Corpus.mixByTokenBudget(
+        T(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").as("tokens")),
+        "doc_id", "source", "tokens",
+        budgets = Map("src0" -> 1000000L, "src1" -> 5000L,
+          "src2" -> 2000L, "src3" -> 300L),
+        seed = "tmix")),
+
     "q_wds_export" -> ((s, dir) => {
       // WebDataset round-trip: export documents as tar shards (range-
       // partitioned, sorted, rolling at 64 KiB), read the shards back with
@@ -5294,6 +5310,18 @@ object SparkEntry {
            |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logp,
            |  round(exp(-round(avg(lp), 6)), 3) AS ppl
            |FROM j GROUP BY 1""".stripMargin,
+
+      "q_token_mix" ->
+        """WITH b(source, budget) AS (VALUES ('src0', 1000000),
+          |   ('src1', 5000), ('src2', 2000), ('src3', 300)),
+          | d AS (SELECT doc_id, source, n_chars AS tokens,
+          |   md5(doc_id || ':tmix') AS h FROM documents),
+          | j AS (SELECT d.*, b.budget FROM d JOIN b USING (source)),
+          | r AS (SELECT *, coalesce(sum(tokens) OVER (PARTITION BY source
+          |   ORDER BY h, doc_id
+          |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |   AS before FROM j)
+          |SELECT doc_id, source, tokens FROM r WHERE before < budget""".stripMargin,
 
       "q_wds_export" ->
         """SELECT 'docs/' || lpad(CAST(doc_id AS VARCHAR), 5, '0') AS sample_key,

@@ -578,6 +578,77 @@ object Corpus {
   }
 
   /**
+   * Token-budget domain mix — the "data recipe" sampler (the Llama/Dolma
+   * mixture shape): each domain in `budgets` contributes documents until
+   * its TOKEN budget is filled; domains absent from the recipe are
+   * dropped. The deterministic contract (what the oracle replicates):
+   * within a domain, order documents by `(md5(id:seed), id)`; a document
+   * is selected iff the token mass of documents ordered strictly before
+   * it is `< budget`. The first budget-crossing document is therefore
+   * included (budgets are met, never undershot), and a domain with less
+   * total mass than its budget is kept whole.
+   *
+   * Scale shape: NO corpus-wide ordering or per-domain global window.
+   * A `buckets`-way order-preserving histogram on the hash prefix
+   * aggregates token mass per (domain, bucket) — one groupBy whose
+   * output is metadata-sized; the cumulative scan runs over that tiny
+   * frame; whole buckets then pass/fail via a broadcast semi-join, and
+   * ONLY the single boundary bucket per domain pays a doc-level running
+   * sum (a window over ~corpus/buckets rows). `buckets` must be a power
+   * of two ≤ 65536 (the bucket is a bit-prefix of the hash, so bucket
+   * order == hash order).
+   */
+  def mixByTokenBudget(df: DataFrame, idCol: String, domainCol: String,
+                       tokensCol: String, budgets: Map[String, Long],
+                       seed: String = "", buckets: Int = 1 << 16): DataFrame = {
+    require(budgets.nonEmpty, "mixByTokenBudget: empty recipe")
+    require(buckets > 0 && buckets <= (1 << 16) &&
+      Integer.bitCount(buckets) == 1,
+      s"buckets must be a power of two in [1, 65536], got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shift = 16 - Integer.numberOfTrailingZeros(buckets)
+    val h = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+    val keyed = df
+      .withColumn("__h", h)
+      .withColumn("__b", shiftright(
+        conv(substring(col("__h"), 1, 4), 16, 10).cast("long"), shift))
+    val budgetDf = broadcast(
+      budgets.toSeq.toDF(domainCol, "__budget"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col("__b"))
+    val hist = keyed.groupBy(col(domainCol), col("__b"))
+      .agg(sum(col(tokensCol).cast("long")).as("__m"))
+      .withColumn("__before", coalesce(sum(col("__m")).over(
+        w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+      .join(budgetDf, Seq(domainCol))
+    // __before + __m < budget → every member's before-mass < budget;
+    // __before >= budget → none can be selected; the one bucket per
+    // domain straddling the budget gets the exact doc-level scan
+    val fullBuckets = hist
+      .filter(col("__before") + col("__m") < col("__budget"))
+      .select(col(domainCol), col("__b"))
+    val boundary = hist
+      .filter(col("__before") < col("__budget") &&
+        col("__before") + col("__m") >= col("__budget"))
+      .select(col(domainCol), col("__b"), col("__before"), col("__budget"))
+    val selFull = keyed
+      .join(broadcast(fullBuckets), Seq(domainCol, "__b"), "left_semi")
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+    val selBoundary = keyed
+      .join(broadcast(boundary), Seq(domainCol, "__b"))
+      .withColumn("__cb", coalesce(sum(col(tokensCol).cast("long")).over(
+        wb.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__before") + col("__cb") < col("__budget"))
+    selFull.select(df.columns.map(col): _*)
+      .unionByName(selBoundary.select(df.columns.map(col): _*))
+  }
+
+  /**
    * Bigram language-model perplexity — the CCNet-style quality signal a
    * pretraining pipeline uses to rank crawl documents against a clean
    * reference corpus. Trains interpolated bigram/unigram counts on `train`

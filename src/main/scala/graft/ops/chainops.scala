@@ -121,6 +121,14 @@ object chainops {
     def blocklist(textCol: String, patterns: Seq[String]): Chain =
       Chain(TextAnalysis.blocklistFilter(c.toDF, textCol, patterns))
 
+    /** Token-budget "data recipe" mix (see [[Corpus.mixByTokenBudget]]):
+      * fill each domain's token budget in deterministic md5 order. */
+    def mixByTokenBudget(idCol: String, domainCol: String, tokensCol: String,
+                         budgets: Map[String, Long], seed: String = "",
+                         buckets: Int = 1 << 16): Chain =
+      Chain(Corpus.mixByTokenBudget(c.toDF, idCol, domainCol, tokensCol,
+        budgets, seed, buckets))
+
     /** Deterministic weighted sample without replacement (see
       * [[Split.weightedSample]]). */
     def weightedSample(idCol: String, weightCol: String, n: Int,

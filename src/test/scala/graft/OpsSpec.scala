@@ -2017,6 +2017,54 @@ class OpsSpec extends SparkSpec {
     assert(big0 > 200 * 0.35 && big0 < 200 * 0.65, s"big0=$big0")
   }
 
+  test("mixByTokenBudget matches the naive running-sum rule at any bucketing") {
+    import graft.ops.Corpus
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 400).map { i =>
+      (i.toLong, if (i <= 250) "web" else if (i <= 350) "code" else "books",
+        (i % 17 + 1).toLong)
+    }.toDF("id", "dom", "toks")
+    val budgets = Map("web" -> 400L, "code" -> 100000L, "books" -> 37L)
+    // ground truth: the documented contract, computed the naive way
+    val h = md5(concat(col("id").cast("string"), lit(":s")))
+    val w = Window.partitionBy("dom").orderBy(col("__h"), col("id"))
+    val naive = df.withColumn("__h", h)
+      .join(budgets.toSeq.toDF("dom", "__bud"), Seq("dom"))
+      .withColumn("__before", coalesce(sum(col("toks")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__before") < col("__bud"))
+      .select("id").as[Long].collect().toSet
+    // tiny bucket counts force multi-doc buckets and real boundary scans;
+    // 65536 makes ~every bucket single-doc — same answer either way
+    for (buckets <- Seq(1, 4, 64, 1 << 16)) {
+      val got = Corpus.mixByTokenBudget(df, "id", "dom", "toks", budgets,
+        seed = "s", buckets = buckets).select("id").as[Long].collect()
+      assert(got.length === got.toSet.size, s"buckets=$buckets dup rows")
+      assert(got.toSet === naive, s"buckets=$buckets mismatch")
+    }
+    val sel = Corpus.mixByTokenBudget(df, "id", "dom", "toks", budgets,
+      seed = "s", buckets = 64)
+    val byDom = sel.groupBy("dom").agg(sum("toks").as("m"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // whole-domain keep when mass < budget
+    assert(byDom("code")._2 === 100)
+    // budgets are met, never undershot (boundary doc included), and not
+    // overshot by more than one doc's mass
+    assert(byDom("web")._1 >= 400L && byDom("web")._1 < 400L + 18L)
+    assert(byDom("books")._1 >= 37L && byDom("books")._1 < 37L + 18L)
+    // recipe-absent domains are dropped
+    assert(Corpus.mixByTokenBudget(df, "id", "dom", "toks",
+      Map("web" -> 10L), seed = "s").select("dom").distinct()
+      .as[String].collect().toSeq === Seq("web"))
+    // zero budget selects nothing from the domain
+    assert(Corpus.mixByTokenBudget(df, "id", "dom", "toks",
+      Map("web" -> 0L), seed = "s").count() === 0L)
+    intercept[IllegalArgumentException](
+      Corpus.mixByTokenBudget(df, "id", "dom", "toks", budgets, buckets = 48))
+    intercept[IllegalArgumentException](
+      Corpus.mixByTokenBudget(df, "id", "dom", "toks", Map.empty))
+  }
+
   test("semanticDedup drops the later copy inside a cluster, keeps the rest") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
