@@ -198,6 +198,8 @@ object SparkEntry {
           array(lit("a"), lit("b"),
             concat(lit("t"), pmod(col("doc_id"), lit(7)).cast("string")))
             .as("tags"),
+          array(array(col("doc_id")),
+            array(col("doc_id") + 1, col("doc_id") + 2)).as("nest"),
           when(pmod(col("doc_id"), lit(2)) === 1,
             concat(lit("alt-"), col("doc_id"))).as("alt"))
           .as("p"))).as("value"))
@@ -214,7 +216,11 @@ object SparkEntry {
         rd("p.starts_with(sid, 'id-1')", "starts_with"),
         rd("p.to_number(num)", "to_number"),
         rd("p.map(&v, items)[0]", "map_first"),
-        rd("p.not_null(alt, sid)", "not_null")
+        rd("p.not_null(alt, sid)", "not_null"),
+        rd("p.map(&v, items) | sum(@)", "sum"),
+        rd("p.items | min_by(@, &v).v", "min_by"),
+        rd("p.ends_with(sid, '3')", "ends_with"),
+        rd("p.nest[] | sum(@)", "flatten_sum")
       ).reduce(_.unionAll(_))
     }),
 
@@ -3445,7 +3451,15 @@ object SparkEntry {
           |UNION ALL SELECT 'map_first', CAST((doc_id*3) % 97 AS VARCHAR) FROM d
           |UNION ALL SELECT 'not_null',
           |  CASE WHEN doc_id % 2 = 1 THEN 'alt-' || CAST(doc_id AS VARCHAR)
-          |       ELSE 'id-' || CAST(doc_id AS VARCHAR) END FROM d""".stripMargin,
+          |       ELSE 'id-' || CAST(doc_id AS VARCHAR) END FROM d
+          |UNION ALL SELECT 'sum', CAST(CAST((doc_id*3) % 97 + (doc_id*3+31) % 97
+          |  + (doc_id*3+62) % 97 AS DOUBLE) AS VARCHAR) FROM d
+          |UNION ALL SELECT 'min_by', CAST(least((doc_id*3) % 97,
+          |  (doc_id*3+31) % 97, (doc_id*3+62) % 97) AS VARCHAR) FROM d
+          |UNION ALL SELECT 'ends_with',
+          |  CAST(ends_with('id-' || CAST(doc_id AS VARCHAR), '3') AS VARCHAR) FROM d
+          |UNION ALL SELECT 'flatten_sum',
+          |  CAST(CAST(doc_id*3 + 3 AS DOUBLE) AS VARCHAR) FROM d""".stripMargin,
 
       "q_read_database" ->
         "SELECT n_nationkey, n_name, n_regionkey FROM nation",

@@ -667,6 +667,9 @@ object Chain {
             if (b.isEmpty) lit(Int.MaxValue)
             else greatest(lit(b.toInt - start), lit(0))
           c = slice(c, lit(start + 1), len)
+        case "" =>
+          // `a[]` — flatten projection: merge one level of nesting
+          c = flatten(c)
         case idx if idx.matches("-?\\d+") =>
           val i = idx.toInt
           c = element_at(c, if (i >= 0) i + 1 else i) // -1 = last, as jmespath
@@ -690,7 +693,9 @@ object Chain {
 
   private val jmesFns: Set[String] =
     Set("length", "join", "sort_by", "reverse", "min", "max",
-      "contains", "starts_with", "to_number", "map", "not_null")
+      "contains", "starts_with", "to_number", "map", "not_null",
+      "ends_with", "to_string", "abs", "ceil", "floor", "sum", "avg",
+      "min_by", "max_by")
 
   /** Split function args on top-level commas (quotes/brackets respected). */
   private def jmesArgs(raw: String): Seq[String] = {
@@ -784,6 +789,40 @@ object Chain {
         require(fields.forall(_.nonEmpty),
           s"jmespath map() key must be a dotted field path: '${args.head}'")
         transform(path(args(1)), e => fields.foldLeft(e)(_.getField(_)))
+      case "ends_with" =>
+        require(args.length == 2, s"ends_with(subject, suffix): got '$argsRaw'")
+        path(args.head).endsWith(va(args(1)))
+      case "to_string" =>
+        require(args.length == 1, s"to_string(arg): got '$argsRaw'")
+        va(args.head).cast("string")
+      case "abs" | "ceil" | "floor" =>
+        require(args.length == 1, s"$fn(number): got '$argsRaw'")
+        fn match {
+          case "abs" => abs(va(args.head))
+          case "ceil" => ceil(va(args.head))
+          case _ => floor(va(args.head))
+        }
+      case "sum" =>
+        // jmespath sum([]) is 0; fold in the double domain like jmespath's
+        // number type
+        require(args.length == 1, s"sum(array): got '$argsRaw'")
+        aggregate(path(args.head), lit(0.0), (acc, x) => acc + x.cast("double"))
+      case "avg" =>
+        // avg of an empty array is null, per the spec
+        require(args.length == 1, s"avg(array): got '$argsRaw'")
+        val arr = path(args.head)
+        when(size(arr) > 0,
+          aggregate(arr, lit(0.0), (acc, x) => acc + x.cast("double"))
+            / size(arr))
+      case "min_by" | "max_by" =>
+        require(args.length == 2 && args(1).startsWith("&"),
+          s"$fn(array, &key): got '$argsRaw'")
+        val key = args(1).stripPrefix("&").trim
+        val sorted = array_sort(path(args.head), (a, b) =>
+          when(a.getField(key) < b.getField(key), -1)
+            .when(a.getField(key) > b.getField(key), 1)
+            .otherwise(0))
+        if (fn == "min_by") element_at(sorted, 1) else element_at(sorted, -1)
       case "not_null" =>
         require(args.nonEmpty, s"not_null(a, b, ...): got '$argsRaw'")
         // jmespath is dynamically typed; mixed-type args coerce to their

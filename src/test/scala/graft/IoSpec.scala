@@ -381,8 +381,8 @@ class IoSpec extends SparkSpec {
   test("jmespath functions and pipes compile to Catalyst HOFs") {
     val dir = Files.createTempDirectory("jsonl3")
     val lines = Seq(
-      """{"p":{"items":[{"id":1,"tag":"x","v":30},{"id":2,"tag":"y","v":10},{"id":3,"tag":"x","v":20}],"xs":[7,10,9,8],"names":["b","a","c"]}}""",
-      """{"p":{"items":[{"id":4,"tag":"y","v":40}],"xs":[2,1],"names":["z"]}}""")
+      """{"p":{"items":[{"id":1,"tag":"x","v":30},{"id":2,"tag":"y","v":10},{"id":3,"tag":"x","v":20}],"xs":[7,10,9,8],"names":["b","a","c"],"neg":-2.5,"nest":[[1,2],[3]]}}""",
+      """{"p":{"items":[{"id":4,"tag":"y","v":40}],"xs":[2,1],"names":["z"],"neg":-2.5,"nest":[[4]]}}""")
     Files.write(dir.resolve("part-0.jsonl"),
       String.join("\n", lines: _*).getBytes("UTF-8"))
     def run(jp: String) = Chain.readJsonInferred(spark, dir.toString,
@@ -429,6 +429,27 @@ class IoSpec extends SparkSpec {
     // not_null picks the first non-null argument
     assert(run("p.items[0] | not_null(tag, id)").as[String].collect().toSet
       === Set("x", "y"))
+    // ends_with / to_string on scalars
+    assert(run("p.names[0] | ends_with(@, 'b')").as[Boolean].collect().toSet
+      === Set(true, false))
+    assert(run("p.xs[0] | to_string(@)").as[String].collect().toSet
+      === Set("7", "2"))
+    // numeric fns in the jmespath number domain
+    assert(run("p.abs(neg)").as[Double].collect().toSet === Set(2.5))
+    assert(run("p.ceil(neg)").as[Long].collect().toSet === Set(-2L))
+    assert(run("p.floor(neg)").as[Long].collect().toSet === Set(-3L))
+    assert(run("p.xs | sum(@)").as[Double].collect().toSet === Set(34.0, 3.0))
+    assert(run("p.xs | avg(@)").as[Double].collect().toSet === Set(8.5, 1.5))
+    // min_by/max_by pick whole elements by key
+    assert(run("p.items | min_by(@, &v).v").as[Long].collect().toSet
+      === Set(10L, 40L))
+    assert(run("p.items | max_by(@, &v).id").as[Long].collect().toSet
+      === Set(1L, 4L))
+    // [] flatten projection merges one nesting level
+    assert(run("p.nest[] | length(@)").as[Long].collect().toSet
+      === Set(3L, 1L))
+    assert(run("p.nest[] | sum(@)").as[Double].collect().toSet
+      === Set(6.0, 4.0))
     // functions need well-formed args
     intercept[IllegalArgumentException](run("p.xs | join(@)"))
     intercept[IllegalArgumentException](run("p.items | sort_by(@, v)"))
