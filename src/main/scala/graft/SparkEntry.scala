@@ -2466,6 +2466,20 @@ object SparkEntry {
           "src2" -> 2000L, "src3" -> 300L),
         seed = "tmix")),
 
+    "q_token_mix_epochs" -> ((s, dir) =>
+      // the UPSAMPLING half of data recipes: src0's budget is many times
+      // its token mass, so the whole domain repeats floor(budget/mass)
+      // epochs and the remainder pass (same md5 selection rule) tops it
+      // up; src1 stays sub-mass (pure selection at epoch 0). The oracle
+      // replays the epoch expansion with generate_series plus the naive
+      // running-sum remainder.
+      Corpus.mixByTokenBudgetEpochs(
+        T(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars").as("tokens")),
+        "doc_id", "source", "tokens",
+        budgets = Map("src0" -> 200000L, "src1" -> 5000L),
+        seed = "emix")),
+
     "q_wds_export" -> ((s, dir) => {
       // WebDataset round-trip: export documents as tar shards (range-
       // partitioned, sorted, rolling at 64 KiB), read the shards back with
@@ -5336,6 +5350,28 @@ object SparkEntry {
           |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
           |   AS before FROM j)
           |SELECT doc_id, source, tokens FROM r WHERE before < budget""".stripMargin,
+
+      "q_token_mix_epochs" ->
+        """WITH b(source, budget) AS (VALUES ('src0', 200000), ('src1', 5000)),
+          | d AS (SELECT doc_id, source, n_chars AS tokens,
+          |   md5(doc_id || ':emix') AS h FROM documents),
+          | m AS (SELECT source, sum(tokens) AS mass FROM d
+          |   JOIN b USING (source) GROUP BY source),
+          | pl AS (SELECT b.source, b.budget, m.mass,
+          |   CASE WHEN m.mass > 0 THEN b.budget // m.mass ELSE 0 END AS e
+          |   FROM b JOIN m USING (source)),
+          | f AS (SELECT d.doc_id, d.source, d.tokens,
+          |   unnest(range(0, CAST(pl.e AS BIGINT))) AS epoch
+          |   FROM d JOIN pl USING (source)),
+          | r AS (SELECT d.*, pl.budget, pl.mass, pl.e,
+          |   coalesce(sum(tokens) OVER (PARTITION BY d.source
+          |     ORDER BY h, doc_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |     AS before FROM d JOIN pl USING (source))
+          |SELECT doc_id, source, tokens, epoch FROM f
+          |UNION ALL
+          |SELECT doc_id, source, tokens, e AS epoch FROM r
+          |WHERE before < budget - e * mass""".stripMargin,
 
       "q_wds_export" ->
         """SELECT 'docs/' || lpad(CAST(doc_id AS VARCHAR), 5, '0') AS sample_key,

@@ -649,6 +649,56 @@ object Corpus {
   }
 
   /**
+   * Token-budget mix WITH upsampling — the full "data recipe" semantics
+   * (real recipes repeat small curated domains several epochs while
+   * sampling the crawl down): when a domain's budget exceeds its total
+   * token mass, the WHOLE domain repeats `floor(budget / mass)` times
+   * and the remainder is filled by [[mixByTokenBudget]]'s selection rule
+   * over one more pass. Output adds a 0-based `epoch` column; every
+   * (row, epoch) pair is distinct. A domain whose recipe mass is zero
+   * (all-zero token counts) contributes a single epoch-0 pass selected
+   * by the remainder rule. Domain masses collect to the driver — one row
+   * per RECIPE domain, metadata-sized at any corpus scale.
+   */
+  def mixByTokenBudgetEpochs(df: DataFrame, idCol: String, domainCol: String,
+                             tokensCol: String, budgets: Map[String, Long],
+                             seed: String = "", buckets: Int = 1 << 16)
+      : DataFrame = {
+    require(budgets.nonEmpty, "mixByTokenBudgetEpochs: empty recipe")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val recipe = broadcast(budgets.keys.toSeq.toDF(domainCol))
+    val masses = df.join(recipe, Seq(domainCol), "left_semi")
+      .groupBy(col(domainCol))
+      .agg(sum(col(tokensCol).cast("long")).as("__m"))
+      .collect().map(r => r.getAs[String](0) -> r.getLong(1)).toMap
+    val plan = budgets.toSeq.map { case (d, b) =>
+      val m = masses.getOrElse(d, 0L)
+      val e = if (m > 0) b / m else 0L
+      (d, e, b - e * m)
+    }
+    val epochsDf = broadcast(plan.map { case (d, e, _) => (d, e) }
+      .toDF(domainCol, "__epochs"))
+    // whole-domain repeats: explode a per-domain epoch sequence (guarded —
+    // Spark's sequence(0, -1) DESCENDS instead of emptying)
+    val full = df.join(epochsDf, Seq(domainCol))
+      .withColumn("epoch", explode(when(col("__epochs") > 0,
+        sequence(lit(0L), col("__epochs") - 1))
+        .otherwise(array().cast("array<bigint>"))))
+      .drop("__epochs")
+    val remBudgets = plan.collect { case (d, _, r) if r > 0 => d -> r }.toMap
+    val outCols = (df.columns.map(col) :+ col("epoch")).toSeq
+    if (remBudgets.isEmpty) full.select(outCols: _*)
+    else {
+      val rem = mixByTokenBudget(df, idCol, domainCol, tokensCol,
+          remBudgets, seed, buckets)
+        .join(epochsDf, Seq(domainCol))
+        .withColumn("epoch", col("__epochs")).drop("__epochs")
+      full.select(outCols: _*).unionByName(rem.select(outCols: _*))
+    }
+  }
+
+  /**
    * Bigram language-model perplexity — the CCNet-style quality signal a
    * pretraining pipeline uses to rank crawl documents against a clean
    * reference corpus. Trains interpolated bigram/unigram counts on `train`

@@ -129,6 +129,15 @@ object chainops {
       Chain(Corpus.mixByTokenBudget(c.toDF, idCol, domainCol, tokensCol,
         budgets, seed, buckets))
 
+    /** Token-budget mix with whole-domain upsampling epochs (see
+      * [[Corpus.mixByTokenBudgetEpochs]]); adds an `epoch` column. */
+    def mixByTokenBudgetEpochs(idCol: String, domainCol: String,
+                               tokensCol: String, budgets: Map[String, Long],
+                               seed: String = "",
+                               buckets: Int = 1 << 16): Chain =
+      Chain(Corpus.mixByTokenBudgetEpochs(c.toDF, idCol, domainCol,
+        tokensCol, budgets, seed, buckets))
+
     /** Deterministic weighted sample without replacement (see
       * [[Split.weightedSample]]). */
     def weightedSample(idCol: String, weightCol: String, n: Int,

@@ -2065,6 +2065,43 @@ class OpsSpec extends SparkSpec {
       Corpus.mixByTokenBudget(df, "id", "dom", "toks", Map.empty))
   }
 
+  test("mixByTokenBudgetEpochs upsamples whole epochs + remainder selection") {
+    import graft.ops.Corpus
+    val df = (1 to 100).map { i =>
+      (i.toLong, if (i <= 60) "wiki" else if (i <= 90) "web" else "zero",
+        if (i > 90) 0L else (i % 7 + 1).toLong)
+    }.toDF("id", "dom", "toks")
+    val wikiMass = (1 to 60).map(i => (i % 7 + 1).toLong).sum
+    // wiki budget = 2 full epochs + a bit; web stays sub-mass
+    val budgets = Map("wiki" -> (2 * wikiMass + 10), "web" -> 20L,
+      "zero" -> 50L)
+    val out = Corpus.mixByTokenBudgetEpochs(df, "id", "dom", "toks", budgets,
+      seed = "e", buckets = 64).cache()
+    // (row, epoch) pairs are distinct
+    assert(out.count() === out.select("id", "epoch").distinct().count())
+    val wiki = out.filter(col("dom") === "wiki")
+    // two full epochs of every wiki doc...
+    assert(wiki.filter(col("epoch") < 2).count() === 120L)
+    // ...plus a remainder pass at epoch 2 that meets the leftover budget
+    val rem = wiki.filter(col("epoch") === 2)
+    val remMass = rem.agg(sum("toks")).head().getLong(0)
+    assert(rem.count() > 0 && remMass >= 10L && remMass < 10L + 8L)
+    // wiki total token mass meets the budget, within one doc's overshoot
+    assert(wiki.agg(sum("toks")).head().getLong(0) >= budgets("wiki"))
+    // sub-mass domain: pure epoch-0 selection, budget met
+    val web = out.filter(col("dom") === "web")
+    assert(web.select("epoch").distinct().as[Long].collect().toSeq === Seq(0L))
+    assert(web.agg(sum("toks")).head().getLong(0) >= 20L)
+    // zero-mass domain: one epoch-0 pass of every doc (all before-mass 0)
+    assert(out.filter(col("dom") === "zero").count() === 10L)
+    // the remainder pass agrees with mixByTokenBudget under the same seed
+    val naiveRem = Corpus.mixByTokenBudget(df.filter(col("dom") === "wiki"),
+      "id", "dom", "toks", Map("wiki" -> 10L), seed = "e", buckets = 64)
+      .select("id").as[Long].collect().toSet
+    assert(rem.select("id").as[Long].collect().toSet === naiveRem)
+    out.unpersist()
+  }
+
   test("semanticDedup drops the later copy inside a cluster, keeps the rest") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
