@@ -818,11 +818,15 @@ object Chain {
         require(args.length == 2 && args(1).startsWith("&"),
           s"$fn(array, &key): got '$argsRaw'")
         val key = args(1).stripPrefix("&").trim
-        val sorted = array_sort(path(args.head), (a, b) =>
+        val arr = path(args.head)
+        val sorted = array_sort(arr, (a, b) =>
           when(a.getField(key) < b.getField(key), -1)
             .when(a.getField(key) > b.getField(key), 1)
             .otherwise(0))
-        if (fn == "min_by") element_at(sorted, 1) else element_at(sorted, -1)
+        // null for an empty array (jmespath semantics) — a bare
+        // element_at would THROW under ANSI instead
+        when(size(arr) > 0,
+          if (fn == "min_by") element_at(sorted, 1) else element_at(sorted, -1))
       case "not_null" =>
         require(args.nonEmpty, s"not_null(a, b, ...): got '$argsRaw'")
         // jmespath is dynamically typed; mixed-type args coerce to their

@@ -445,6 +445,10 @@ class IoSpec extends SparkSpec {
       === Set(10L, 40L))
     assert(run("p.items | max_by(@, &v).id").as[Long].collect().toSet
       === Set(1L, 4L))
+    // min_by of an EMPTY array (filter matches nothing) is null, not an
+    // ANSI element_at crash
+    assert(run("p.items[?tag == 'zz'] | min_by(@, &v)").collect()
+      .forall(_.isNullAt(0)))
     // [] flatten projection merges one nesting level
     assert(run("p.nest[] | length(@)").as[Long].collect().toSet
       === Set(3L, 1L))
