@@ -19,7 +19,7 @@ object ScaleProbe {
     //   lm,exactsubstr,dsir,semdedup,ann,graph,triangles,lpa,kmeans,kcore,
     //   heavyhitters,covariance,kll,topk,sketchoverlap,saltjoin,bucketjoin,
     //   pq,profile,rollingdistinct,funnel,statsskip,bloomskip,
-    //   intervaljoin,mediameta,optimize (default all)
+    //   intervaljoin,mediameta,optimize,tokenmix (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
       .map(s => (x: String) => s(x)).getOrElse(_ => true)
@@ -1021,6 +1021,33 @@ object ScaleProbe {
         println(f"optimize K=$k%-3d files $before%-4d -> $after%-3d" +
           f" save ${saveSec}%.2f s  optimize ${optSec}%.2f s" +
           f"  max/mean ${spread}%.2f")
+      }
+    }
+    // Token-mix probe: the data-recipe sampler over a K×-amplified
+    // corpus with budgets scaled to stay ~20% selective. The evidence:
+    // cost grows with the CORPUS (one groupBy histogram + broadcast
+    // semi-join), while the doc-level window work stays bounded by the
+    // boundary buckets (one per domain) — never a per-domain global sort.
+    if (want("tokenmix")) {
+      val d0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars").as("toks"))
+      ks.foreach { k =>
+        val corpus = d0.crossJoin(
+            spark.range(k).select(col("id").as("__c")))
+          .select((col("doc_id") * k + col("__c")).as("doc_id"),
+            col("source"), col("toks")).cache()
+        val n = corpus.count()
+        val mass = corpus.groupBy("source").agg(sum("toks").as("m"))
+          .agg(min("m")).head().getLong(0)
+        val budgets = (0 until 20).map(i => s"src$i" -> mass / 5).toMap
+        val t0 = System.nanoTime()
+        val sel = graft.ops.Corpus.mixByTokenBudget(corpus, "doc_id",
+          "source", "toks", budgets, seed = "p")
+        val selN = sel.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"tokenmix K=$k%-3d rows=$n%-9d selected=$selN%-8d" +
+          f" ${sec}%.2f s  ${n / sec / 1e6}%.2f M rows/s")
+        corpus.unpersist()
       }
     }
     spark.stop()
