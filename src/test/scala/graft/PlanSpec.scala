@@ -246,6 +246,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.linesIterator.exists(l => l.contains("Exchange") && l.contains("doc_id")), p)
   }
 
+  test("q_token_mix: bucket classification broadcasts; the only window " +
+      "runs AFTER the boundary-bucket join, never over the corpus") {
+    val p = plan("q_token_mix")
+    // whole buckets pass/fail via broadcast joins (semi for full buckets,
+    // inner for the boundary) — the corpus never sort-merge-joins
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    assert(!p.contains("SortMergeJoin"), p)
+    // exactly one doc-level Window (the boundary-bucket running sum); the
+    // histogram's cumulative scan is a second, metadata-sized one — so at
+    // most two Window nodes, and none sorts corpus text columns
+    val windows = p.linesIterator.count(_.trim.startsWith("Window ("))
+    assert(windows <= 2, s"windows=$windows\n$p")
+  }
+
   test("q_quality_classifier: single zero-exchange codegen'd projection") {
     val p = plan("q_quality_classifier")
     assert(!p.contains("Exchange"), p)
