@@ -2450,6 +2450,26 @@ object SparkEntry {
           .select(col("doc_id"), col("source")),
         "doc_id", "source", temperature = 0.5, seed = "temp1")),
 
+    "q_partitioned_dataset" -> ((s, dir) => {
+      // hive-partitioned VERSIONS through the catalog: the save lays the
+      // version out as lang=… directories, and a mixed predicate then
+      // composes BOTH pruning levers — Spark's directory pruning on the
+      // partition key, footer-stats file skipping on doc_id — under the
+      // same immutable-version semantics (stats/bloom keys are
+      // version-dir-relative so they survive the subdirs). Oracle is the
+      // plain relational filter.
+      val root = Files.createTempDirectory("graft_part").toString
+      val cat = new Catalog(root, s)
+      val docs = T(s, dir, "documents").repartitionByRange(4, col("doc_id"))
+      cat.save(Chain(docs), "docs.part", partitionBy = Seq("lang"))
+      val maxId = docs.agg(max("doc_id")).head().getLong(0)
+      cat.readDatasetWhere("docs.part",
+          col("lang").isin("en", "de") && col("doc_id") <= maxId / 2 &&
+            col("n_chars") >= 50)
+        .selectExcept("sys").toDF
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
+
     "q_token_mix" -> ((s, dir) =>
       // token-budget "data recipe" mix (the Llama/Dolma mixture shape):
       // per-domain budgets filled in deterministic md5 order, boundary
@@ -5338,6 +5358,12 @@ object SparkEntry {
            |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logp,
            |  round(exp(-round(avg(lp), 6)), 3) AS ppl
            |FROM j GROUP BY 1""".stripMargin,
+
+      "q_partitioned_dataset" ->
+        """SELECT doc_id, lang, source, n_chars FROM documents
+          |WHERE lang IN ('en', 'de')
+          |  AND doc_id <= (SELECT max(doc_id) FROM documents) // 2
+          |  AND n_chars >= 50""".stripMargin,
 
       "q_token_mix" ->
         """WITH b(source, budget) AS (VALUES ('src0', 1000000),

@@ -87,6 +87,22 @@ final class Catalog(val root: String, spark: SparkSession) {
       }
     }
 
+  /** Recursive parquet-file census of a data dir (partitioned versions
+    * nest files under key=value subdirs). */
+  private def walkParquet(d: Path): Seq[Path] =
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      try {
+        val w = Files.walk(d)
+        try w.iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        finally w.close()
+      } catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException =>
+          Seq.empty
+      }
+    }
+
   def datasets(): Seq[String] = {
     val d = Paths.get(root, "datasets")
     listDir(d).filter(Files.isDirectory(_))
@@ -119,9 +135,16 @@ final class Catalog(val root: String, spark: SparkSession) {
       name != "." && name != ".." && !name.startsWith("."),
       s"invalid dataset name: '$name'")
 
+  /** `partitionBy`: write the version hive-partitioned on these columns —
+    * reads via [[readDataset]]/[[readDatasetWhere]] recover the partition
+    * columns and Spark prunes partition DIRECTORIES on matching
+    * predicates before the file-level stats/bloom skip even runs (the
+    * two levers compose: directory pruning on the layout keys, footer
+    * skipping on everything else). */
   def save(chain: Chain, name: String, version: Option[SemVer] = None,
            deps: Seq[String] = Seq.empty, bloomCols: Seq[String] = Nil,
-           bloomExpected: Long = 100000L, harvestStats: Boolean = true)
+           bloomExpected: Long = 100000L, harvestStats: Boolean = true,
+           partitionBy: Seq[String] = Nil)
       : SemVer = {
     requireValidName(name)
     // fail fast on an explicitly requested version that already exists —
@@ -144,7 +167,9 @@ final class Catalog(val root: String, spark: SparkSession) {
       // cost).
       val obs = org.apache.spark.sql.Observation()
       val stamped = Sys.stamp(chain.toDF).observe(obs, count(lit(1)).as("rows"))
-      stamped.write.mode("errorifexists").parquet(tmp.resolve("data").toString)
+      val writer = stamped.write.mode("errorifexists")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+       else writer).parquet(tmp.resolve("data").toString)
       val rows = obs.get("rows").asInstanceOf[Long]
       // Footer-stats harvest for data skipping: per-file column min/max
       // from parquet footers only (metadata reads fanned out on
@@ -175,8 +200,7 @@ final class Catalog(val root: String, spark: SparkSession) {
         else {
           val nFiles =
             if (stats.nonEmpty) stats.size
-            else listDir(tmp.resolve("data"))
-              .count(_.getFileName.toString.endsWith(".parquet"))
+            else walkParquet(tmp.resolve("data")).size
           if (nFiles > inlineMax) {
             FileStats.writeBloomIndex(spark, tmp.resolve("data").toString,
               bloomCols, bloomExpected, tmp.resolve("blooms").toString)
@@ -242,8 +266,10 @@ final class Catalog(val root: String, spark: SparkSession) {
     val v = latestVersion(name).getOrElse(
       throw new NoSuchElementException(s"dataset $name not found"))
     val dataDir = vDir(name, v).resolve("data")
-    val before = listDir(dataDir)
-      .count(_.getFileName.toString.endsWith(".parquet"))
+    val before = walkParquet(dataDir).size
+    // NOTE: the rewrite reads partition columns back as plain data
+    // columns — an optimized version of a partitioned dataset lands
+    // UN-partitioned (re-save with partitionBy to restore the layout)
     val df0 = spark.read.parquet(dataDir.toString)
     val mpbKey = "spark.sql.files.maxPartitionBytes"
     val ocKey = "spark.sql.files.openCostInBytes"
@@ -269,9 +295,7 @@ final class Catalog(val root: String, spark: SparkSession) {
         // chunks. Plain coalesce over the default 128 MB packing folds
         // every small file into one read task and writes one giant
         // output beside empties when inputs are skewed.
-        val total = listDir(dataDir)
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(Files.size(_)).sum
+        val total = walkParquet(dataDir).map(Files.size(_)).sum
         val target = math.max(64L << 10,
           math.ceil(total.toDouble / math.max(1, nFiles)).toLong)
         packed = true
@@ -287,8 +311,7 @@ final class Catalog(val root: String, spark: SparkSession) {
         spark.conf.set(mpbKey, prevMpb)
         spark.conf.set(ocKey, prevOc)
       }
-    val after = listDir(vDir(name, nv).resolve("data"))
-      .count(_.getFileName.toString.endsWith(".parquet"))
+    val after = walkParquet(vDir(name, nv).resolve("data")).size
     (nv, before, after)
   }
 
@@ -378,7 +401,10 @@ final class Catalog(val root: String, spark: SparkSession) {
             // for the schema; the filter returns zero rows)
             full
           else
-            spark.read.parquet(kept.map(f => s"$dataDir/${f.file}"): _*)
+            // basePath keeps hive partition columns alive when the kept
+            // files sit under key=value subdirs (harmless otherwise)
+            spark.read.option("basePath", dataDir)
+              .parquet(kept.map(f => s"$dataDir/${f.file}"): _*)
               .filter(predicate)
       }
     Chain(df, OpTree.empty.append("read_dataset_where", name, v.toString))

@@ -148,19 +148,38 @@ object FileStats {
   /** Harvest stats for every data file of a freshly written version —
     * footer reads fan out over executors (one small metadata read per
     * file; at 100 TB with ~100k files this is seconds, not a rescan). */
+  /** `file` relative to `baseDir`, comparing URI PATH components so the
+    * scheme-qualified names executors report (file://…, hdfs://…) strip
+    * against a plain base path. Falls back to the basename if the file
+    * is somehow outside the base. */
+  private[catalog] def relativize(baseDir: String, file: String): String = {
+    val base = new HPath(baseDir).toUri.getPath.stripSuffix("/")
+    val f = new HPath(file).toUri.getPath
+    if (f.startsWith(base + "/")) f.substring(base.length + 1)
+    else f.substring(f.lastIndexOf('/') + 1)
+  }
+
   def harvest(spark: SparkSession, dataDir: String): Seq[FileStat] = {
     val conf = new Configuration()
     val d = new HPath(dataDir)
     val fs = d.getFileSystem(conf)
-    val files = fs.listStatus(d).filter(f => f.isFile &&
-      f.getPath.getName.endsWith(".parquet")).map(_.getPath.toString).toSeq
-    if (files.isEmpty) Seq.empty
-    else if (files.size <= 4)
-      files.map(readFooter(_, new Configuration()))
-    else spark.sparkContext
-      .parallelize(files, math.min(files.size, 32))
-      .map(p => readFooter(p, new Configuration()))
-      .collect().toSeq
+    // recursive: partitioned versions nest files under key=value dirs
+    val it = fs.listFiles(d, true)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        files += f.getPath.toString
+    }
+    val stats =
+      if (files.isEmpty) Seq.empty[FileStat]
+      else if (files.size <= 4)
+        files.toSeq.map(readFooter(_, new Configuration()))
+      else spark.sparkContext
+        .parallelize(files.toSeq, math.min(files.size, 32))
+        .map(p => readFooter(p, new Configuration()))
+        .collect().toSeq
+    stats.map(s => s.copy(file = relativize(dataDir, s.file)))
   }
 
   // ---- stats.json (de)serialization — same hand-rolled JSON style as
@@ -188,9 +207,9 @@ object FileStats {
         }
         s"""      "${esc(n)}": {"kind": "${c.kind}", $mm, "nulls": ${c.nulls}}"""
       }.mkString(",\n")
-      // file names only — the version dir is immutable and relocatable
-      val base = f.file.substring(f.file.lastIndexOf('/') + 1)
-      s"""    {"file": "${esc(base)}", "rows": ${f.rows}, "cols": {
+      // version-dir-RELATIVE names (plain files OR key=value/part-…) —
+      // the version dir is immutable and relocatable
+      s"""    {"file": "${esc(f.file)}", "rows": ${f.rows}, "cols": {
 $cols
     }}"""
     }.mkString(",\n")
@@ -289,10 +308,8 @@ $files
       : Map[String, Map[String, Array[Byte]]] = {
     bloomAggDf(spark, dataDir, cols, expectedItems)
       .collect().map { r =>
-        val f = r.getString(0)
-        val base = f.substring(f.lastIndexOf('/') + 1)
-        base -> cols.zipWithIndex.map { case (c, i) =>
-          c -> r.getAs[Array[Byte]](i + 1)
+        relativize(dataDir, r.getString(0)) -> cols.zipWithIndex.map {
+          case (c, i) => c -> r.getAs[Array[Byte]](i + 1)
         }.toMap
       }.toMap
   }
@@ -306,11 +323,15 @@ $files
     * to just the predicate's columns (`col IN (...)` pushed to parquet). */
   def writeBloomIndex(spark: SparkSession, dataDir: String, cols: Seq[String],
                       expectedItems: Long, outDir: String): Unit = {
-    import org.apache.spark.sql.functions.{array, col, element_at, explode, split, struct, lit => flit}
+    import org.apache.spark.sql.functions.{array, col, explode, struct, udf, lit => flit}
     val pairs = cols.map(c =>
       struct(flit(c).as("col"), col(s"__bloom_$c").as("bloom")))
+    // a Scala UDF is fine here: it runs once per FILE row (metadata
+    // scale), never in the data path — and the version-dir-relative key
+    // must survive partition subdirectories AND scheme-qualified names
+    val rel = udf((f: String) => relativize(dataDir, f))
     bloomAggDf(spark, dataDir, cols, expectedItems)
-      .select(element_at(split(col("__f"), "/"), -1).as("file"),
+      .select(rel(col("__f")).as("file"),
         explode(array(pairs: _*)).as("e"))
       .select(col("file"), col("e.col").as("col"), col("e.bloom").as("bloom"))
       .write.mode("errorifexists").parquet(outDir)

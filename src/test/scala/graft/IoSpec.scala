@@ -727,6 +727,58 @@ class IoSpec extends SparkSpec {
       s"repeat lookups must not reload the index (+${cat.bloomLoads - loads0})")
   }
 
+  test("partitioned dataset versions: dir layout + stats/bloom skip compose") {
+    import graft.catalog.Catalog
+    val cat = new Catalog(Files.createTempDirectory("cat_part").toString, spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .repartitionByRange(4, col("doc_id"))
+    val v = cat.save(Chain(docs), "docs", partitionBy = Seq("lang"),
+      bloomCols = Seq("doc_id"))
+    // hive layout on disk; stats/bloom keys carry the partition subdir
+    val dataDir = java.nio.file.Paths.get(cat.root, "datasets", "docs",
+      s"v$v", "data")
+    import scala.jdk.CollectionConverters._
+    val subdirs = Files.list(dataDir).iterator.asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq
+    assert(subdirs.nonEmpty && subdirs.forall(_.startsWith("lang=")), subdirs)
+    val stats = cat.fileStats("docs", v)
+    assert(stats.nonEmpty && stats.forall(_.file.startsWith("lang=")),
+      stats.map(_.file).take(3))
+    assert(stats.map(_.rows).sum === docs.count())
+    val blooms = cat.fileBlooms("docs", v)
+    assert(blooms.nonEmpty && blooms.keys.forall(_.startsWith("lang=")))
+    // read-back parity: partition column recovered, full row set intact
+    val back = cat.readDataset("docs").selectExcept("sys").toDF
+    assert(back.columns.toSet === docs.columns.toSet)
+    assert(back.select(docs.columns.map(col): _*).collect().toSet
+      === docs.collect().toSet)
+    // pruned read on a NON-partition column: files skipped, partition
+    // column still present and correct in the result
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val pred = col("doc_id") <= maxId / 10
+    val (kept, total) = cat.pruneCount("docs", pred)
+    assert(kept < total, s"kept=$kept total=$total")
+    val pruned = cat.readDatasetWhere("docs", pred)
+      .selectExcept("sys").toDF
+    assert(pruned.columns.contains("lang"))
+    assert(pruned.select(docs.columns.map(col): _*).collect().toSet
+      === docs.filter(pred).collect().toSet)
+    // bloom equality skip works through partition subdirs too
+    val someId = maxId / 2
+    val prunedEq = cat.readDatasetWhere("docs", col("doc_id") === someId)
+      .selectExcept("sys").toDF
+    assert(prunedEq.select(docs.columns.map(col): _*).collect().toSet
+      === docs.filter(col("doc_id") === someId).collect().toSet)
+    // a partition-column predicate stays conservative at the stats layer
+    // (footers can't see it) — Spark's own directory pruning applies at
+    // scan time and parity holds
+    val first = docs.select("lang").as[String].head()
+    val byLang = cat.readDatasetWhere("docs", col("lang") === first)
+      .selectExcept("sys").toDF
+    assert(byLang.select(docs.columns.map(col): _*).collect().toSet
+      === docs.filter(col("lang") === first).collect().toSet)
+  }
+
   test("file-stats skipping: null-aware IS NULL pruning, conservative NOT") {
     import graft.catalog.Catalog
     val cat = new Catalog(Files.createTempDirectory("fstats_n").toString, spark)
