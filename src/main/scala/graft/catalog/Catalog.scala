@@ -262,14 +262,16 @@ final class Catalog(val root: String, spark: SparkSession) {
   def optimize(name: String, nFiles: Int = 32,
                zorderBy: Option[(String, String)] = None,
                bloomCols: Seq[String] = Nil,
-               bloomExpected: Long = 100000L): (SemVer, Int, Int) = {
+               bloomExpected: Long = 100000L,
+               partitionBy: Seq[String] = Nil): (SemVer, Int, Int) = {
     val v = latestVersion(name).getOrElse(
       throw new NoSuchElementException(s"dataset $name not found"))
     val dataDir = vDir(name, v).resolve("data")
     val before = walkParquet(dataDir).size
     // NOTE: the rewrite reads partition columns back as plain data
-    // columns — an optimized version of a partitioned dataset lands
-    // UN-partitioned (re-save with partitionBy to restore the layout)
+    // columns — pass `partitionBy` to re-lay the optimized version out
+    // partitioned, otherwise it lands un-partitioned (and file counts
+    // then follow partitions × coalesce, not nFiles alone)
     val df0 = spark.read.parquet(dataDir.toString)
     val mpbKey = "spark.sql.files.maxPartitionBytes"
     val ocKey = "spark.sql.files.openCostInBytes"
@@ -306,7 +308,7 @@ final class Catalog(val root: String, spark: SparkSession) {
     val nv =
       try save(Chain(graft.core.Sys.drop(laid)), name,
         deps = Seq(s"$name@v$v"), bloomCols = bloomCols,
-        bloomExpected = bloomExpected)
+        bloomExpected = bloomExpected, partitionBy = partitionBy)
       finally if (packed) {
         spark.conf.set(mpbKey, prevMpb)
         spark.conf.set(ocKey, prevOc)

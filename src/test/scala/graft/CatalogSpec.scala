@@ -80,6 +80,17 @@ class CatalogSpec extends SparkSpec {
     val (v3, _, _) = cat.optimize("o", nFiles = 4,
       bloomCols = Seq("o_orderkey"))
     assert(cat.fileBlooms("o", v3).nonEmpty)
+    // a partitionBy passthrough re-lays the optimized version out
+    // hive-partitioned, rows identical
+    val (v4, _, _) = cat.optimize("o", nFiles = 2,
+      partitionBy = Seq("o_orderstatus"))
+    val d4 = java.nio.file.Paths.get(root, "datasets", "o", s"v$v4", "data")
+    import scala.jdk.CollectionConverters._
+    assert(Files.list(d4).iterator.asScala.filter(Files.isDirectory(_))
+      .forall(_.getFileName.toString.startsWith("o_orderstatus=")))
+    assert(cat.readDataset("o", Some(v4)).selectExcept("sys").toDF
+      .select(beforeRows.head.schema.fieldNames.map(col): _*)
+      .collect().toSet === beforeRows)
   }
 
   test("optimize bin-packs skewed input files into even-sized outputs") {

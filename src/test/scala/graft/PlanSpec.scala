@@ -260,6 +260,21 @@ class PlanSpec extends SparkSpec {
     assert(windows <= 2, s"windows=$windows\n$p")
   }
 
+  test("partitioned dataset version: partition predicate lands in " +
+      "PartitionFilters (directory pruning before any file I/O)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val cat = new graft.catalog.Catalog(
+      Files.createTempDirectory("plan_part").toString, spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    cat.save(graft.core.Chain(docs), "d", partitionBy = Seq("lang"))
+    val df = cat.readDatasetWhere("d", col("lang") === "en").toDF
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") &&
+      p.linesIterator.exists(l => l.contains("PartitionFilters") &&
+        l.contains("lang")), p.take(3000))
+  }
+
   test("q_quality_classifier: single zero-exchange codegen'd projection") {
     val p = plan("q_quality_classifier")
     assert(!p.contains("Exchange"), p)
