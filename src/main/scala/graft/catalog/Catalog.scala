@@ -3,7 +3,7 @@ package graft.catalog
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.functions.{col, count, lit}
 import graft.core.{Chain, OpTree, Sys}
 import graft.schema.SignalSchema
 
@@ -86,6 +86,16 @@ final class Catalog(val root: String, spark: SparkSession) {
           Seq.empty
       }
     }
+
+  /** The hive partition columns of a version's data dir, read off the
+    * key=value directory chain of its first data file (empty for plain
+    * layouts). */
+  private def detectPartitionCols(dataDir: Path): Seq[String] =
+    walkParquet(dataDir).headOption.map { f =>
+      dataDir.relativize(f).iterator.asScala.toSeq.init
+        .map(_.toString).takeWhile(_.contains('='))
+        .map(_.takeWhile(_ != '='))
+    }.getOrElse(Seq.empty)
 
   /** Recursive parquet-file census of a data dir (partitioned versions
     * nest files under key=value subdirs). */
@@ -268,11 +278,15 @@ final class Catalog(val root: String, spark: SparkSession) {
       throw new NoSuchElementException(s"dataset $name not found"))
     val dataDir = vDir(name, v).resolve("data")
     val before = walkParquet(dataDir).size
-    // NOTE: the rewrite reads partition columns back as plain data
-    // columns — pass `partitionBy` to re-lay the optimized version out
-    // partitioned, otherwise it lands un-partitioned (and file counts
-    // then follow partitions × coalesce, not nFiles alone)
-    val df0 = spark.read.parquet(dataDir.toString)
+    // partitioned versions: the rewrite reads partition columns back as
+    // plain data columns (at their RECORDED types); unless the caller
+    // overrides, the detected layout is re-applied so OPTIMIZE preserves
+    // partitioning by default (file counts then follow partitions ×
+    // coalesce, not nFiles alone)
+    val layout =
+      if (partitionBy.nonEmpty) partitionBy
+      else detectPartitionCols(dataDir)
+    val df0 = readVersionData(name, v)
     val mpbKey = "spark.sql.files.maxPartitionBytes"
     val ocKey = "spark.sql.files.openCostInBytes"
     val prevMpb = spark.conf.get(mpbKey)
@@ -308,7 +322,7 @@ final class Catalog(val root: String, spark: SparkSession) {
     val nv =
       try save(Chain(graft.core.Sys.drop(laid)), name,
         deps = Seq(s"$name@v$v"), bloomCols = bloomCols,
-        bloomExpected = bloomExpected, partitionBy = partitionBy)
+        bloomExpected = bloomExpected, partitionBy = layout)
       finally if (packed) {
         spark.conf.set(mpbKey, prevMpb)
         spark.conf.set(ocKey, prevOc)
@@ -387,7 +401,7 @@ final class Catalog(val root: String, spark: SparkSession) {
       .getOrElse(throw new NoSuchElementException(s"dataset $name not found"))
     val dataDir = vDir(name, v).resolve("data").toString
     val stats = fileStats(name, v)
-    val full = spark.read.parquet(dataDir).filter(predicate)
+    val full = readVersionData(name, v).filter(predicate)
     val df =
       if (stats.isEmpty) full
       else resolvedCondition(full) match {
@@ -405,8 +419,8 @@ final class Catalog(val root: String, spark: SparkSession) {
           else
             // basePath keeps hive partition columns alive when the kept
             // files sit under key=value subdirs (harmless otherwise)
-            spark.read.option("basePath", dataDir)
-              .parquet(kept.map(f => s"$dataDir/${f.file}"): _*)
+            restoreTypes(readNoInfer(dataDir,
+                kept.map(f => s"$dataDir/${f.file}")), name, v)
               .filter(predicate)
       }
     Chain(df, OpTree.empty.append("read_dataset_where", name, v.toString))
@@ -476,8 +490,7 @@ final class Catalog(val root: String, spark: SparkSession) {
     val v = version.orElse(latestVersion(name))
       .getOrElse(throw new NoSuchElementException(s"dataset $name not found"))
     val stats = fileStats(name, v)
-    val dataDir = vDir(name, v).resolve("data").toString
-    resolvedCondition(spark.read.parquet(dataDir).filter(predicate)) match {
+    resolvedCondition(readVersionData(name, v).filter(predicate)) match {
       case Some(pe) =>
         val blooms = fileBlooms(name, v,
           Some(pe.references.map(_.name).toSeq))
@@ -507,9 +520,91 @@ final class Catalog(val root: String, spark: SparkSession) {
   def readDataset(name: String, version: Option[SemVer] = None): Chain = {
     val v = version.orElse(latestVersion(name))
       .getOrElse(throw new NoSuchElementException(s"dataset $name not found"))
-    val df = spark.read.parquet(vDir(name, v).resolve("data").toString)
-    Chain(df, OpTree.empty.append("read_dataset", name, v.toString))
+    Chain(readVersionData(name, v),
+      OpTree.empty.append("read_dataset", name, v.toString))
   }
+
+  /** Version data with partition-type inference OFF and the RECORDED
+    * schema's types restored: a hive-partitioned version's key column
+    * round-trips with its saved type and exact directory values ("00"
+    * stays the string "00" — inference would silently turn it into the
+    * int 0 and lose the leading zero). Plain versions pass through
+    * untouched (no partition columns, types already match). */
+  private def readVersionData(name: String, v: SemVer): DataFrame =
+    restoreTypes(readNoInfer(vDir(name, v).resolve("data").toString, Nil),
+      name, v)
+
+  private def readNoInfer(path: String, files: Seq[String]): DataFrame = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    // file-source relations resolve (incl. partition discovery) eagerly
+    // inside read.parquet, so the scoped conf covers the inference
+    try {
+      if (files.isEmpty) spark.read.parquet(path)
+      else spark.read.option("basePath", path).parquet(files: _*)
+    } finally spark.conf.set(key, prev)
+  }
+
+  private def metaUnesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb += '"'; i += 2
+          case '\\' => sb += '\\'; i += 2
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'u' =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case o => sb += o; i += 2
+        }
+      } else { sb += ch; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The user schema recorded at save time (None when meta is missing or
+    * predates schema recording). */
+  def recordedSchema(name: String, version: SemVer)
+      : Option[org.apache.spark.sql.types.StructType] =
+    try {
+      val meta = readMeta(name, version)
+      "\"schema\": \"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(meta)
+        .map(m => graft.schema.SignalSchema.fromJson(metaUnesc(m.group(1))))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def restoreTypes(df: DataFrame, name: String, v: SemVer)
+      : DataFrame =
+    recordedSchema(name, v) match {
+      case Some(rec) =>
+        // nullability is NOT a difference: parquet reads back nullable
+        // while recorded schemas may carry NOT NULL marks — compare and
+        // cast in the all-nullable form
+        import org.apache.spark.sql.types._
+        def denull(dt: DataType): DataType = dt match {
+          case s: StructType => StructType(s.fields.map(f =>
+            StructField(f.name, denull(f.dataType), nullable = true)))
+          case a: ArrayType => ArrayType(denull(a.elementType), true)
+          case m: MapType => MapType(denull(m.keyType), denull(m.valueType), true)
+          case o => o
+        }
+        val types = rec.fields.map(f => f.name -> denull(f.dataType)).toMap
+        if (df.schema.fields.forall(f =>
+            types.get(f.name).forall(_ == denull(f.dataType)))) df
+        else df.select(df.columns.map { c =>
+          types.get(c) match {
+            case Some(dt) if denull(df.schema(c).dataType) != dt =>
+              col(c).cast(dt).as(c)
+            case _ => col(c)
+          }
+        }: _*)
+      case None => df
+    }
 
   /**
    * Load by version specifier (reference version specifiers,

@@ -145,20 +145,33 @@ object FileStats {
     }
   }
 
+  /** `file` relative to `baseDir`, comparing URI PATH components so the
+    * scheme-qualified names executors report (file://…, hdfs://…) strip
+    * against a plain base path. A RELATIVE base (catalog on a relative
+    * warehouse root) is absolutized first — otherwise every file would
+    * fall through to the basename fallback and a partitioned layout
+    * would record dangling keys (subdir lost → pruned reads 404 instead
+    * of degrading). Last resorts: the suffix after the catalog's own
+    * `/data/` anchor, then the basename. */
+  private[graft] def relativize(baseDir: String, file: String): String = {
+    val baseUri = new HPath(baseDir).toUri
+    val basePath =
+      if (baseUri.getScheme == null && !baseUri.getPath.startsWith("/"))
+        java.nio.file.Paths.get(baseDir).toAbsolutePath.normalize.toString
+      else baseUri.getPath
+    val base = basePath.stripSuffix("/")
+    val f = new HPath(file).toUri.getPath
+    if (f.startsWith(base + "/")) f.substring(base.length + 1)
+    else {
+      val anchor = f.lastIndexOf("/data/")
+      if (anchor >= 0) f.substring(anchor + "/data/".length)
+      else f.substring(f.lastIndexOf('/') + 1)
+    }
+  }
+
   /** Harvest stats for every data file of a freshly written version —
     * footer reads fan out over executors (one small metadata read per
     * file; at 100 TB with ~100k files this is seconds, not a rescan). */
-  /** `file` relative to `baseDir`, comparing URI PATH components so the
-    * scheme-qualified names executors report (file://…, hdfs://…) strip
-    * against a plain base path. Falls back to the basename if the file
-    * is somehow outside the base. */
-  private[catalog] def relativize(baseDir: String, file: String): String = {
-    val base = new HPath(baseDir).toUri.getPath.stripSuffix("/")
-    val f = new HPath(file).toUri.getPath
-    if (f.startsWith(base + "/")) f.substring(base.length + 1)
-    else f.substring(f.lastIndexOf('/') + 1)
-  }
-
   def harvest(spark: SparkSession, dataDir: String): Seq[FileStat] = {
     val conf = new Configuration()
     val d = new HPath(dataDir)

@@ -668,8 +668,14 @@ object Chain {
             else greatest(lit(b.toInt - start), lit(0))
           c = slice(c, lit(start + 1), len)
         case "" =>
-          // `a[]` — flatten projection: merge one level of nesting
-          c = flatten(c)
+          // `a[]` — flatten projection: merge one level of nesting; per
+          // the jmespath spec a flat array passes through unchanged
+          // (flatten() on array<scalar> would be an analysis error)
+          import org.apache.spark.sql.types.ArrayType
+          out.select(c).schema.head.dataType match {
+            case ArrayType(_: ArrayType, _) => c = flatten(c)
+            case _ => // already flat
+          }
         case idx if idx.matches("-?\\d+") =>
           val i = idx.toInt
           c = element_at(c, if (i >= 0) i + 1 else i) // -1 = last, as jmespath
@@ -819,8 +825,15 @@ object Chain {
           s"$fn(array, &key): got '$argsRaw'")
         val key = args(1).stripPrefix("&").trim
         val arr = path(args.head)
+        // null-keyed elements sort AWAY from the chosen end, so they can
+        // never beat a real key (a bare <-comparator would leave them
+        // wherever TimSort found them — an arbitrary wrong answer)
+        val nullsLose = if (fn == "min_by") 1 else -1
         val sorted = array_sort(arr, (a, b) =>
-          when(a.getField(key) < b.getField(key), -1)
+          when(a.getField(key).isNull && b.getField(key).isNull, 0)
+            .when(a.getField(key).isNull, nullsLose)
+            .when(b.getField(key).isNull, -nullsLose)
+            .when(a.getField(key) < b.getField(key), -1)
             .when(a.getField(key) > b.getField(key), 1)
             .otherwise(0))
         // null for an empty array (jmespath semantics) — a bare

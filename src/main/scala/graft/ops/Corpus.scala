@@ -617,12 +617,16 @@ object Corpus {
       budgets.toSeq.toDF(domainCol, "__budget"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol)).orderBy(col("__b"))
+    // persisted: the classification feeds TWO broadcast branches, and
+    // without the cache each would recompute the full-corpus groupBy —
+    // the histogram itself is ≤ buckets × recipe-domains rows
     val hist = keyed.groupBy(col(domainCol), col("__b"))
       .agg(sum(col(tokensCol).cast("long")).as("__m"))
       .withColumn("__before", coalesce(sum(col("__m")).over(
         w.rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
       .join(budgetDf, Seq(domainCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // __before + __m < budget → every member's before-mass < budget;
     // __before >= budget → none can be selected; the one bucket per
     // domain straddling the budget gets the exact doc-level scan
@@ -665,12 +669,16 @@ object Corpus {
                              seed: String = "", buckets: Int = 1 << 16)
       : DataFrame = {
     require(budgets.nonEmpty, "mixByTokenBudgetEpochs: empty recipe")
+    require(!df.columns.contains("epoch"),
+      "mixByTokenBudgetEpochs: input already has an 'epoch' column " +
+        "(the output adds one) — rename it first")
     val spark = df.sparkSession
     import spark.implicits._
     val recipe = broadcast(budgets.keys.toSeq.toDF(domainCol))
     val masses = df.join(recipe, Seq(domainCol), "left_semi")
       .groupBy(col(domainCol))
-      .agg(sum(col(tokensCol).cast("long")).as("__m"))
+      // all-NULL token columns sum to NULL — treat as zero mass
+      .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L)).as("__m"))
       .collect().map(r => r.getAs[String](0) -> r.getLong(1)).toMap
     val plan = budgets.toSeq.map { case (d, b) =>
       val m = masses.getOrElse(d, 0L)

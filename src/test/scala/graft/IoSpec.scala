@@ -449,6 +449,10 @@ class IoSpec extends SparkSpec {
     // ANSI element_at crash
     assert(run("p.items[?tag == 'zz'] | min_by(@, &v)").collect()
       .forall(_.isNullAt(0)))
+    // [] on an ALREADY-FLAT array passes through unchanged (jmespath
+    // spec: non-list elements are kept as-is)
+    assert(run("p.names[] | length(@)").as[Long].collect().toSet
+      === Set(3L, 1L))
     // [] flatten projection merges one nesting level
     assert(run("p.nest[] | length(@)").as[Long].collect().toSet
       === Set(3L, 1L))
@@ -777,6 +781,59 @@ class IoSpec extends SparkSpec {
       .selectExcept("sys").toDF
     assert(byLang.select(docs.columns.map(col): _*).collect().toSet
       === docs.filter(col("lang") === first).collect().toSet)
+  }
+
+  test("relativize keeps partition subdirs across scheme/relative bases") {
+    import graft.catalog.FileStats.relativize
+    // scheme-qualified executor path vs plain base
+    assert(relativize("/wh/d/v1/data",
+      "file:/wh/d/v1/data/lang=en/part-0.parquet") === "lang=en/part-0.parquet")
+    assert(relativize("/wh/d/v1/data",
+      "/wh/d/v1/data/part-0.parquet") === "part-0.parquet")
+    // RELATIVE warehouse root: base absolutizes before the strip, so the
+    // partition subdir survives instead of collapsing to a basename
+    val cwd = java.nio.file.Paths.get("").toAbsolutePath
+    assert(relativize("relwh/d/v1/data",
+      s"file:$cwd/relwh/d/v1/data/lang=en/part-0.parquet")
+      === "lang=en/part-0.parquet")
+    // unmatchable base falls back to the /data/ anchor, keeping subdirs
+    assert(relativize("/somewhere/else",
+      "file:/wh/d/v1/data/lang=en/part-0.parquet") === "lang=en/part-0.parquet")
+  }
+
+  test("partition columns round-trip their saved types and raw values") {
+    import graft.catalog.Catalog
+    val cat = new Catalog(Files.createTempDirectory("cat_ptype").toString, spark)
+    // numeric-LOOKING string keys ("00".."03") and a real long key —
+    // inference would turn "00" into the int 0 and lose the leading zero
+    val df = spark.range(40).select(col("id"),
+      format_string("%02d", pmod(col("id"), lit(4))).as("shard"),
+      pmod(col("id"), lit(3)).as("bucket"))
+    val v = cat.save(Chain(df), "typed", partitionBy = Seq("shard", "bucket"))
+    val back = cat.readDataset("typed").selectExcept("sys").toDF
+    assert(back.schema("shard").dataType.typeName === "string")
+    assert(back.schema("bucket").dataType.typeName === "long")
+    assert(back.select("id", "shard", "bucket").collect().toSet
+      === df.collect().toSet)
+    // the pruned-read path restores types the same way
+    val pruned = cat.readDatasetWhere("typed", col("id") <= 10L)
+      .selectExcept("sys").toDF
+    assert(pruned.schema("shard").dataType.typeName === "string")
+    assert(pruned.select("id", "shard", "bucket").collect().toSet
+      === df.filter(col("id") <= 10L).collect().toSet)
+    // OPTIMIZE preserves the detected layout by default and the values
+    // survive byte-for-byte (no inferred-int corruption lands on disk)
+    val (v2, _, _) = cat.optimize("typed", nFiles = 2)
+    assert(v2 > v)
+    val d2 = java.nio.file.Paths.get(cat.root, "datasets", "typed",
+      s"v$v2", "data")
+    import scala.jdk.CollectionConverters._
+    assert(Files.list(d2).iterator.asScala.filter(Files.isDirectory(_))
+      .forall(_.getFileName.toString.startsWith("shard=")))
+    val opt = cat.readDataset("typed").selectExcept("sys").toDF
+    assert(opt.schema("shard").dataType.typeName === "string")
+    assert(opt.select("id", "shard", "bucket").collect().toSet
+      === df.collect().toSet)
   }
 
   test("file-stats skipping: null-aware IS NULL pruning, conservative NOT") {
