@@ -3249,6 +3249,43 @@ object SparkEntry {
       FileOps.readStorage(s, dest, pattern = Some("*.txt"))
         .selectExpr(col("file.path").as("path"), col("file.size").as("size"))
         .toDF
+    }),
+
+    "q_read_zip" -> ((s, dir) => {
+      // zip-archive source: stage one real zip with MIXED methods (even
+      // doc_ids stored, odd deflated), list it from the central directory
+      // (ZipArchive.listZip — no archive scan), then pull every member's
+      // payload through the lazy location pointer (readMember: local-header
+      // walk + range read + inflate). The oracle recomputes each member's
+      // (path, byte size, text) from the documents table, so a hash match
+      // proves listing AND decompression are byte-exact for both methods.
+      val tmp = Files.createTempDirectory("graft_zip_src").toString
+      val zipPath = java.nio.file.Paths.get(tmp, "docs.zip")
+      val zos = new java.util.zip.ZipOutputStream(
+        java.nio.file.Files.newOutputStream(zipPath))
+      // fixture staging only (40 small members) — the operator under test
+      // is the distributed list→fetch→inflate cycle below
+      T(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text")).collect().foreach { r =>
+          val bytes = r.getString(1).getBytes("UTF-8")
+          val e = new java.util.zip.ZipEntry(s"doc${r.getLong(0)}.txt")
+          if (r.getLong(0) % 2 == 0) {
+            e.setMethod(java.util.zip.ZipEntry.STORED)
+            e.setSize(bytes.length.toLong)
+            e.setCompressedSize(bytes.length.toLong)
+            val crc = new java.util.zip.CRC32()
+            crc.update(bytes)
+            e.setCrc(crc.getValue)
+          }
+          zos.putNextEntry(e)
+          zos.write(bytes)
+          zos.closeEntry()
+        }
+      zos.close()
+      FileOps.withTextContent(FileOps.readZip(s, zipPath.toString))
+        .toDF
+        .select(col("file.path").as("path"), col("file.size").as("size"),
+          col("content"))
     })
   )
 
@@ -3780,6 +3817,11 @@ object SparkEntry {
       "q_to_storage" ->
         """SELECT 'doc' || doc_id || '.txt' AS path,
           | CAST(strlen(text) AS BIGINT) AS size
+          |FROM documents WHERE doc_id < 40""".stripMargin,
+
+      "q_read_zip" ->
+        """SELECT 'docs.zip/doc' || doc_id || '.txt' AS path,
+          | CAST(strlen(text) AS BIGINT) AS size, text AS content
           |FROM documents WHERE doc_id < 40""".stripMargin,
 
       "q_asof_join" ->

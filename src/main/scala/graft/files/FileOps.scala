@@ -41,9 +41,12 @@ final case class FileRef(
     * the parent object instead of a whole-object fetch. */
   def readBytes(conf: Configuration = new Configuration()): Array[Byte] =
     FileCache.getOrFetch(this) {
-      if (location != null && location.nonEmpty && location.contains("\"parent\""))
-        WebDataset.readVirtual(location, conf)
-      else readWhole(conf)
+      if (location != null && location.nonEmpty && location.contains("\"parent\"")) {
+        // zip members carry a "method" field (stored/deflate) and need the
+        // local-header walk + inflate; tar virtual files are a plain range
+        if (location.contains("\"method\"")) ZipArchive.readMember(location, conf)
+        else WebDataset.readVirtual(location, conf)
+      } else readWhole(conf)
     }
 
   private def readWhole(conf: Configuration): Array[Byte] = {
@@ -256,6 +259,16 @@ object FileOps {
       col("is_latest"), col("last_modified"), col("location")).as("file"))
     Chain(df, OpTree.empty.append("read_storage", uriStr, pattern.getOrElse("")))
   }
+
+  /**
+   * read_storage over zip archives: one `file` row per archive member,
+   * listed from each zip's central directory alone (bounded tail read per
+   * archive — see [[ZipArchive]]). Member payloads stay lazy; downstream
+   * blob ops ([[withTextContent]], multimodal decode) work unchanged.
+   */
+  def readZip(spark: SparkSession, glob: String): Chain =
+    Chain(ZipArchive.listZip(spark, glob),
+      OpTree.empty.append("read_zip", glob))
 
   /**
    * Attach the referenced blob's text content as a `content` column —

@@ -862,4 +862,52 @@ class IoSpec extends SparkSpec {
     assert(cat2.readDatasetWhere("tags", !(col("tag") === "a"))
       .toDF.count() === 20L)
   }
+
+  test("zip source: central-directory listing + lazy stored/deflate reads") {
+    import graft.files.{FileOps, ZipArchive}
+    val dir = Files.createTempDirectory("zipsrc")
+    val texts = (0 until 6).map(i => i -> ("payload-" * (i + 1) + i)).toMap
+    def writeZip(name: String, ids: Seq[Int], comment: Option[String]): Unit = {
+      val zos = new java.util.zip.ZipOutputStream(
+        Files.newOutputStream(dir.resolve(name)))
+      ids.foreach { i =>
+        val bytes = texts(i).getBytes("UTF-8")
+        val e = new java.util.zip.ZipEntry(s"m$i.txt")
+        if (i % 2 == 0) { // stored
+          e.setMethod(java.util.zip.ZipEntry.STORED)
+          e.setSize(bytes.length.toLong)
+          e.setCompressedSize(bytes.length.toLong)
+          val crc = new java.util.zip.CRC32(); crc.update(bytes)
+          e.setCrc(crc.getValue)
+        }
+        zos.putNextEntry(e); zos.write(bytes); zos.closeEntry()
+      }
+      // a directory entry must be skipped by the listing
+      zos.putNextEntry(new java.util.zip.ZipEntry("sub/")); zos.closeEntry()
+      comment.foreach(zos.setComment) // EOCD scan must step over comments
+      zos.close()
+    }
+    writeZip("a.zip", Seq(0, 1, 2), None)
+    writeZip("b.zip", Seq(3, 4, 5), Some("trailing archive comment"))
+
+    val listed = FileOps.readZip(spark, dir.toString + "/*.zip")
+    val rows = FileOps.withTextContent(listed).toDF
+      .select(col("file.path"), col("file.size"), col("content"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq ===
+      (0 to 2).map(i => s"a.zip/m$i.txt") ++ (3 to 5).map(i => s"b.zip/m$i.txt"))
+    rows.foreach { case (path, size, content) =>
+      val i = path.replaceAll(".*/m(\\d+)\\.txt", "$1").toInt
+      assert(content === texts(i), path)
+      assert(size === texts(i).getBytes("UTF-8").length.toLong, path)
+    }
+    // deflated members really are smaller on disk than their payload
+    val meta = ZipArchive.centralDirectory(
+      new org.apache.hadoop.fs.Path(dir.resolve("b.zip").toUri)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration()),
+      new org.apache.hadoop.fs.Path(dir.resolve("b.zip").toUri))
+    val m5 = meta.find(_.name == "m5.txt").get
+    assert(m5.method === 8 && m5.compSize < m5.uncompSize)
+  }
 }
