@@ -3286,8 +3286,81 @@ object SparkEntry {
         .toDF
         .select(col("file.path").as("path"), col("file.size").as("size"),
           col("content"))
+    }),
+
+    "q_warc" -> ((s, dir) => {
+      // WARC source (Common Crawl's interchange format): stage one real
+      // .warc.gz (one gzip member per record — the CC convention), with a
+      // warcinfo record, one request + one response per document, then read
+      // back ONLY the responses with HTTP framing split off. The oracle
+      // recomputes (uri, status, content-type, date, body text) from the
+      // documents table, so a hash match proves record framing,
+      // multi-member gunzip, header parse, HTTP split, AND payload bytes.
+      val tmp = Files.createTempDirectory("graft_warc").toString
+      val out = java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(tmp, "crawl-00000.warc.gz"))
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("text")).collect()
+      val httpHead =
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+      val recs = Iterator(
+        (Map("WARC-Type" -> "warcinfo",
+             "WARC-Record-ID" -> "<urn:uuid:info>",
+             "WARC-Date" -> "2026-01-02T03:04:05Z",
+             "Content-Type" -> "application/warc-fields"),
+          "software: graft\r\n".getBytes("UTF-8"))) ++
+        docs.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val body = r.getString(1).getBytes("UTF-8")
+          Iterator(
+            (Map("WARC-Type" -> "request",
+                 "WARC-Record-ID" -> s"<urn:uuid:req-$id>",
+                 "WARC-Date" -> "2026-01-02T03:04:05Z",
+                 "WARC-Target-URI" -> s"http://example.com/doc$id",
+                 "Content-Type" -> "application/http; msgtype=request"),
+              s"GET /doc$id HTTP/1.1\r\nHost: example.com\r\n\r\n"
+                .getBytes("ISO-8859-1")),
+            (Map("WARC-Type" -> "response",
+                 "WARC-Record-ID" -> s"<urn:uuid:resp-$id>",
+                 "WARC-Date" -> "2026-01-02T03:04:05Z",
+                 "WARC-Target-URI" -> s"http://example.com/doc$id",
+                 "Content-Type" -> "application/http; msgtype=response"),
+              httpHead.getBytes("ISO-8859-1") ++ body))
+        }
+      graft.files.Warc.writeRecords(out, recs)
+      graft.files.Warc.readRecords(s, tmp + "/*.warc.gz",
+          types = Seq("response"))
+        .select(col("target_uri").as("uri"), col("http_status"),
+          col("http_content_type").as("http_ct"), col("warc_date"),
+          col("payload").cast("string").as("content"))
+    }),
+
+    "q_html_text" -> ((s, dir) => {
+      // the WET step: rule-based HTML -> text extraction. Each document is
+      // wrapped in a real page (title, style+script blocks that MUST be
+      // dropped wholesale, a comment, entity-escaped body text, &nbsp;/
+      // &quot; entities); the oracle rebuilds the expected plain text from
+      // the raw column, so a hash match proves block removal, tag
+      // stripping, entity decode, and whitespace collapse are all exact.
+      val esc = foldEscape(col("text"))
+      T(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          concat(
+            lit("<html><head><title>T</title><style type=\"text/css\">" +
+              "p { color: red; }</style><script>if (1 < 2) { x(); }" +
+              "</script></head><body><h1>Doc "),
+            col("doc_id"),
+            lit("</h1><!-- hidden --><p>"), esc,
+            lit("&nbsp;&quot;end&quot;</p></body></html>")).as("html"))
+        .select(col("doc_id"),
+          TextAnalysis.htmlToText(col("html")).as("content"))
     })
   )
+
+  /** HTML-escape the characters [[TextAnalysis.htmlToText]] decodes (& first). */
+  private def foldEscape(c: Column): Column =
+    Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;")
+      .foldLeft(c) { case (acc, (ch, e)) => replace(acc, lit(ch), lit(e)) }
 
   // ======================================================================
   // DuckDB oracles — identical semantics, identical output column names.
@@ -3823,6 +3896,21 @@ object SparkEntry {
         """SELECT 'docs.zip/doc' || doc_id || '.txt' AS path,
           | CAST(strlen(text) AS BIGINT) AS size, text AS content
           |FROM documents WHERE doc_id < 40""".stripMargin,
+
+      "q_warc" ->
+        """SELECT 'http://example.com/doc' || doc_id AS uri,
+          | CAST(200 AS INTEGER) AS http_status,
+          | 'text/html; charset=utf-8' AS http_ct,
+          | TIMESTAMP '2026-01-02 03:04:05' AS warc_date,
+          | text AS content
+          |FROM documents WHERE doc_id < 60""".stripMargin,
+
+      "q_html_text" ->
+        """SELECT doc_id,
+          | trim(regexp_replace(
+          |   'T Doc ' || doc_id || ' ' || text || ' "end"',
+          |   '\s+', ' ', 'g')) AS content
+          |FROM documents WHERE doc_id < 400""".stripMargin,
 
       "q_asof_join" ->
         // CAST(ts AS TIMESTAMP) truncates any ns-precision parquet timestamp

@@ -12,6 +12,27 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
+  /**
+   * HTML → plain text extraction — the WET step of a Common Crawl-style
+   * pipeline (crawl WARC body → text for langId/quality/dedup). Rule-based
+   * and fully deterministic: drop script/style/comment blocks, strip tags,
+   * decode the common entities, collapse whitespace. Every step is an
+   * RE2-safe regex or literal replace, so DuckDB reproduces the output
+   * bit-for-bit and the whole extractor stays inside whole-stage codegen —
+   * no parser object, no UDF, linear passes over the string.
+   */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    // decode entities; &amp; LAST so double-escaped text survives one level
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Whitespace-token count. */
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))

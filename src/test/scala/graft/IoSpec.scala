@@ -910,4 +910,48 @@ class IoSpec extends SparkSpec {
     val m5 = meta.find(_.name == "m5.txt").get
     assert(m5.method === 8 && m5.compSize < m5.uncompSize)
   }
+
+  test("warc source: streaming records, multi-member gzip, http split") {
+    import graft.files.Warc
+    val dir = Files.createTempDirectory("warcsrc")
+    def rec(t: String, uri: String, body: Array[Byte],
+            ct: String = "application/http; msgtype=response") =
+      (Map("WARC-Type" -> t, "WARC-Record-ID" -> s"<urn:uuid:$t-$uri>",
+        "WARC-Date" -> "2026-03-04T05:06:07Z", "WARC-Target-URI" -> uri,
+        "Content-Type" -> ct), body)
+    val http = "HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\n"
+    // .warc.gz: one gzip member per record (CC convention)
+    val gz = Files.newOutputStream(dir.resolve("a.warc.gz"))
+    Warc.writeRecords(gz, Iterator(
+      rec("response", "http://x/1", (http + "hello").getBytes("UTF-8")),
+      rec("request", "http://x/1", "GET /1 HTTP/1.1\r\n\r\n".getBytes("UTF-8"),
+        ct = "application/http; msgtype=request"),
+      // headerless-HTTP payload: split must pass it through whole
+      rec("resource", "http://x/2", "raw bytes no framing".getBytes("UTF-8"),
+        ct = "text/plain")))
+    // plain .warc, single stream, to cover the uncompressed path
+    val plain = Files.newOutputStream(dir.resolve("b.warc"))
+    Warc.writeRecords(plain, Iterator(
+      rec("response", "http://y/3", (http + "world").getBytes("UTF-8"))),
+      gzipPerRecord = false)
+
+    val all = Warc.readRecords(spark, dir.toString + "/*.warc*")
+      .orderBy("target_uri", "warc_type").collect()
+    assert(all.length === 4)
+    val resp = Warc.readRecords(spark, dir.toString + "/*.warc*",
+        types = Seq("response"))
+      .select(col("target_uri"), col("http_status"),
+        col("http_content_type"), col("payload").cast("string"))
+      .orderBy("target_uri").collect()
+    assert(resp.map(r => (r.getString(0), r.getInt(1), r.getString(2),
+      r.getString(3))).toSeq === Seq(
+      ("http://x/1", 404, "text/plain", "hello"),
+      ("http://y/3", 404, "text/plain", "world")))
+    val res = Warc.readRecords(spark, dir.toString + "/a.warc.gz",
+        types = Seq("resource")).collect()
+    assert(new String(res.head.getAs[Array[Byte]]("payload"), "UTF-8")
+      === "raw bytes no framing")
+    assert(res.head.getAs[java.sql.Timestamp]("warc_date").toInstant
+      === java.time.Instant.parse("2026-03-04T05:06:07Z"))
+  }
 }

@@ -139,6 +139,22 @@ class OpsSpec extends SparkSpec {
     assert(fps(0) === fps(1))
   }
 
+  test("htmlToText drops script/style/comment blocks and decodes entities") {
+    val cases = Seq(
+      ("<html><head><style media=\"x\">b{..}</style><script type=\"t\">" +
+        "if (a < b) { run(); }</script></head><body><h1>Hi</h1>\n" +
+        "<p>one&nbsp;two &amp; three</p><!-- drop\nme --></body></html>",
+        "Hi one two & three"),
+      // entity decode order: &amp; last, so double-escaped survives one level
+      ("&amp;lt;tag&amp;gt; &lt;b&gt;", "&lt;tag&gt; <b>"),
+      // multi-line script body, attributes with >-free values
+      ("a<script>\nvar s = \"</scr\" + \"ipt>\";\n</script>b", "a b"),
+      ("no markup at   all", "no markup at all"))
+    val r = cases.map(_._1).toDF("h")
+      .select(TextAnalysis.htmlToText(col("h"))).as[String].collect()
+    assert(r.toSeq === cases.map(_._2))
+  }
+
   test("train/test split is deterministic, complete, and disjoint") {
     val c = Chain(spark.read.parquet(s"$sf/orders.parquet"))
     val Seq(train, test) = Split.trainTestSplit(c, Seq(0.8, 0.2))
