@@ -3354,6 +3354,80 @@ object SparkEntry {
             lit("&nbsp;&quot;end&quot;</p></body></html>")).as("html"))
         .select(col("doc_id"),
           TextAnalysis.htmlToText(col("html")).as("content"))
+    }),
+
+    "q_url_parse" -> ((s, dir) => {
+      // URL component parsing + registered domain over six templates that
+      // cover userinfo, explicit ports, IPv4 hosts, multi-part public
+      // suffixes (co.uk, github.io), fragment-only tails. The oracle
+      // CONSTRUCTS every expected field analytically from doc_id — a hash
+      // match proves the parser, not a second parser.
+      import graft.ops.Urls
+      val m = col("doc_id") % 6
+      val url =
+        when(m === 0, concat(lit("https://WWW.Example.co.uk/articles/"),
+          col("doc_id"), lit("?b=2&a=1#frag")))
+        .when(m === 1, concat(lit("http://user@sub.blog.example.com:8080/post/"),
+          col("doc_id")))
+        .when(m === 2, concat(lit("https://10.0.0."), col("doc_id") % 200,
+          lit("/health")))
+        .when(m === 3, concat(lit("ftp://files.example.org/data/"),
+          col("doc_id"), lit(".bin")))
+        .when(m === 4, concat(lit("https://shop-"), col("doc_id") % 50,
+          lit(".github.io/item?q=x")))
+        .otherwise(lit("https://example.com#top"))
+      T(s, dir, "documents").filter(col("doc_id") < 600)
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("p", Urls.urlParts(col("url")))
+        .select(col("doc_id"), col("url"),
+          col("p.scheme").as("scheme"), col("p.host").as("host"),
+          col("p.port").as("port"), col("p.path").as("path"),
+          col("p.query").as("qs"), col("p.fragment").as("frag"),
+          Urls.registeredDomain(col("p.host")).as("reg_domain"))
+    }),
+
+    "q_url_normalize" -> ((s, dir) => {
+      // URL canonicalization for dedup keys: case folding, default-port
+      // drop, root path, tracking-param strip, param sort, fragment drop.
+      // Oracle constructs the expected canonical string per template.
+      import graft.ops.Urls
+      val m = col("doc_id") % 6
+      val url =
+        when(m === 0, lit("HTTPS://Example.COM:443/a/b?utm_source=x&b=2&a=1#sec"))
+        .when(m === 1, lit("http://Example.org:80/"))
+        .when(m === 2, concat(lit("https://Shop.Example.co.uk/p?gclid=1&id="),
+          col("doc_id")))
+        .when(m === 3, lit("http://a.b.example.net:8080?x=1"))
+        .when(m === 4, concat(lit("https://example.com/search?q="),
+          col("doc_id"), lit("&utm_medium=email&ref=home")))
+        .otherwise(lit("https://example.com/path#frag"))
+      T(s, dir, "documents").filter(col("doc_id") < 600)
+        .select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), col("url"),
+          Urls.urlNormalize(col("url")).as("norm"))
+    }),
+
+    "q_link_graph" -> ((s, dir) => {
+      // Outlink graph from HTML: extract hrefs (mixed-case <a>/<A>, an
+      // <img src> decoy that must NOT match), parse hosts, roll up to
+      // registered domain (hN.co.uk — multi-part suffix path), count
+      // in-links per domain. Oracle recomputes the degree table from
+      // doc_id arithmetic. Scale shape: extraction/parsing are map-side
+      // codegen; the only shuffle is the final tiny domain count.
+      import graft.ops.Urls
+      val r1 = col("doc_id") % 7
+      val r2 = (col("doc_id") + 3) % 7
+      val html = concat(
+        lit("<p><a href=\"https://h"), r1, lit(".co.uk/d/"), col("doc_id"),
+        lit("\">x</a> mid <img src=\"https://ignore.me/i.png\"> "),
+        lit("<A href=\"https://h"), r2, lit(".co.uk/e/"), col("doc_id"),
+        lit("\">y</A></p>"))
+      T(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(Urls.extractLinks(html).as("links"))
+        .select(explode(col("links")).as("link"))
+        .select(Urls.registeredDomain(
+          Urls.urlParts(col("link")).getField("host")).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n"))
     })
   )
 
@@ -3911,6 +3985,71 @@ object SparkEntry {
           |   'T Doc ' || doc_id || ' ' || text || ' "end"',
           |   '\s+', ' ', 'g')) AS content
           |FROM documents WHERE doc_id < 400""".stripMargin,
+
+      "q_url_parse" ->
+        """SELECT doc_id,
+          | CASE doc_id%6
+          |  WHEN 0 THEN 'https://WWW.Example.co.uk/articles/'||doc_id||'?b=2&a=1#frag'
+          |  WHEN 1 THEN 'http://user@sub.blog.example.com:8080/post/'||doc_id
+          |  WHEN 2 THEN 'https://10.0.0.'||(doc_id%200)||'/health'
+          |  WHEN 3 THEN 'ftp://files.example.org/data/'||doc_id||'.bin'
+          |  WHEN 4 THEN 'https://shop-'||(doc_id%50)||'.github.io/item?q=x'
+          |  ELSE 'https://example.com#top' END AS url,
+          | CASE doc_id%6 WHEN 3 THEN 'ftp' WHEN 1 THEN 'http'
+          |  ELSE 'https' END AS scheme,
+          | CASE doc_id%6
+          |  WHEN 0 THEN 'WWW.Example.co.uk'
+          |  WHEN 1 THEN 'sub.blog.example.com'
+          |  WHEN 2 THEN '10.0.0.'||(doc_id%200)
+          |  WHEN 3 THEN 'files.example.org'
+          |  WHEN 4 THEN 'shop-'||(doc_id%50)||'.github.io'
+          |  ELSE 'example.com' END AS host,
+          | CAST(CASE doc_id%6 WHEN 1 THEN 8080 ELSE NULL END AS INTEGER) AS port,
+          | CASE doc_id%6
+          |  WHEN 0 THEN '/articles/'||doc_id
+          |  WHEN 1 THEN '/post/'||doc_id
+          |  WHEN 2 THEN '/health'
+          |  WHEN 3 THEN '/data/'||doc_id||'.bin'
+          |  WHEN 4 THEN '/item' ELSE '' END AS path,
+          | CASE doc_id%6 WHEN 0 THEN 'b=2&a=1' WHEN 4 THEN 'q=x'
+          |  ELSE '' END AS qs,
+          | CASE doc_id%6 WHEN 0 THEN 'frag' WHEN 5 THEN 'top'
+          |  ELSE '' END AS frag,
+          | CASE doc_id%6
+          |  WHEN 0 THEN 'example.co.uk'
+          |  WHEN 1 THEN 'example.com'
+          |  WHEN 2 THEN '10.0.0.'||(doc_id%200)
+          |  WHEN 3 THEN 'example.org'
+          |  WHEN 4 THEN 'shop-'||(doc_id%50)||'.github.io'
+          |  ELSE 'example.com' END AS reg_domain
+          |FROM documents WHERE doc_id < 600""".stripMargin,
+
+      "q_url_normalize" ->
+        """SELECT doc_id,
+          | CASE doc_id%6
+          |  WHEN 0 THEN 'HTTPS://Example.COM:443/a/b?utm_source=x&b=2&a=1#sec'
+          |  WHEN 1 THEN 'http://Example.org:80/'
+          |  WHEN 2 THEN 'https://Shop.Example.co.uk/p?gclid=1&id='||doc_id
+          |  WHEN 3 THEN 'http://a.b.example.net:8080?x=1'
+          |  WHEN 4 THEN 'https://example.com/search?q='||doc_id||'&utm_medium=email&ref=home'
+          |  ELSE 'https://example.com/path#frag' END AS url,
+          | CASE doc_id%6
+          |  WHEN 0 THEN 'https://example.com/a/b?a=1&b=2'
+          |  WHEN 1 THEN 'http://example.org/'
+          |  WHEN 2 THEN 'https://shop.example.co.uk/p?id='||doc_id
+          |  WHEN 3 THEN 'http://a.b.example.net:8080/?x=1'
+          |  WHEN 4 THEN 'https://example.com/search?q='||doc_id
+          |  ELSE 'https://example.com/path' END AS norm
+          |FROM documents WHERE doc_id < 600""".stripMargin,
+
+      "q_link_graph" ->
+        """SELECT domain, CAST(count(*) AS BIGINT) AS n FROM (
+          |  SELECT 'h'||(doc_id%7)||'.co.uk' AS domain
+          |  FROM documents WHERE doc_id < 400
+          |  UNION ALL
+          |  SELECT 'h'||((doc_id+3)%7)||'.co.uk'
+          |  FROM documents WHERE doc_id < 400)
+          |GROUP BY domain""".stripMargin,
 
       "q_asof_join" ->
         // CAST(ts AS TIMESTAMP) truncates any ns-precision parquet timestamp

@@ -155,6 +155,39 @@ class OpsSpec extends SparkSpec {
     assert(r.toSeq === cases.map(_._2))
   }
 
+  test("url toolkit: registered domain edges, normalize idempotence, links") {
+    import graft.ops.Urls
+    // registered-domain edge matrix: case folding, multi-part suffixes,
+    // IPv4 pass-through, single labels, a host that IS a public suffix
+    val rd = Seq("WWW.Example.CO.UK", "a.b.example.com", "10.1.2.3",
+        "localhost", "github.io", "x.github.io", "deep.x.github.io")
+      .toDF("h").select(Urls.registeredDomain(col("h"))).as[String].collect()
+    assert(rd.toSeq === Seq("example.co.uk", "example.com", "10.1.2.3",
+      "localhost", "github.io", "x.github.io", "x.github.io"))
+
+    // normalize is idempotent: a canonical URL re-canonicalizes to itself
+    val urls = Seq(
+      "HTTPS://A.B:443/x?utm_source=s&z=1&a=2#f",
+      "http://h.example.org:8080?p=1",
+      "https://plain.example.com/path")
+    val once = urls.toDF("u")
+      .select(Urls.urlNormalize(col("u")).as("n1"))
+      .withColumn("n2", Urls.urlNormalize(col("n1")))
+      .collect()
+    once.foreach(r => assert(r.getString(0) === r.getString(1)))
+    assert(once.map(_.getString(0)).toSeq === Seq(
+      "https://a.b/x?a=2&z=1", "http://h.example.org:8080/?p=1",
+      "https://plain.example.com/path"))
+
+    // link extraction: document order, case-insensitive tag, decoys
+    // (img src, area, single-quoted href) are not extracted
+    val links = Seq(
+      "<a href=\"u1\">x</a><img src=\"nope\"><area href=\"nope2\">" +
+        "<A class=\"c\" href=\"u2\">y</A><a href='sq'>z</a>")
+      .toDF("h").select(Urls.extractLinks(col("h"))).as[Seq[String]].collect()
+    assert(links.head === Seq("u1", "u2"))
+  }
+
   test("train/test split is deterministic, complete, and disjoint") {
     val c = Chain(spark.read.parquet(s"$sf/orders.parquet"))
     val Seq(train, test) = Split.trainTestSplit(c, Seq(0.8, 0.2))
