@@ -3428,6 +3428,22 @@ object SparkEntry {
         .select(Urls.registeredDomain(
           Urls.urlParts(col("link")).getField("host")).as("domain"))
         .groupBy("domain").agg(count(lit(1)).as("n"))
+    }),
+
+    "q_read_orc" -> ((s, dir) => {
+      // ORC as a first-class lake format: export a typed slice (longs,
+      // ints, doubles, strings, date) through Writers.toOrc, read it back
+      // via Chain.readOrc. DuckDB has no ORC reader, so the oracle reads
+      // the SAME slice from the parquet source — a hash match proves the
+      // ORC write+read round-trip is byte-faithful per type.
+      val tmp = Files.createTempDirectory("graft_orc").toString + "/li"
+      val src = T(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 40 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"),
+          col("l_shipdate").cast("date").as("ship_date"))
+      graft.io.Writers.toOrc(src, tmp)
+      Chain.readOrc(s, tmp).toDF
     })
   )
 
@@ -4041,6 +4057,11 @@ object SparkEntry {
           |  WHEN 4 THEN 'https://example.com/search?q='||doc_id
           |  ELSE 'https://example.com/path' END AS norm
           |FROM documents WHERE doc_id < 600""".stripMargin,
+
+      "q_read_orc" ->
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+          | l_returnflag, CAST(l_shipdate AS DATE) AS ship_date
+          |FROM lineitem WHERE l_orderkey % 40 = 0""".stripMargin,
 
       "q_link_graph" ->
         """SELECT domain, CAST(count(*) AS BIGINT) AS n FROM (

@@ -494,6 +494,13 @@ object Chain {
   def readParquet(spark: SparkSession, path: String): Chain =
     new Chain(spark.read.parquet(path), OpTree.empty.append("read_parquet", path))
 
+  /** ORC read — the columnar sibling of [[readParquet]] (Spark-native
+    * source; same predicate-pushdown/column-pruning/vectorized-read path,
+    * so every downstream operator and the catalog save flow work
+    * unchanged on ORC-resident data lakes). */
+  def readOrc(spark: SparkSession, path: String): Chain =
+    new Chain(spark.read.orc(path), OpTree.empty.append("read_orc", path))
+
   /** read_csv (reference: src/datachain/lib/dc/csv.py:15). */
   def readCsv(spark: SparkSession, path: String,
               header: Boolean = true, delimiter: String = ",",

@@ -39,6 +39,16 @@ object Writers {
     }
   }
 
+  /** ORC export — same layout options as [[toParquet]] (Spark-native
+    * writer: dictionary + RLE encodings, per-stripe stats for pushdown). */
+  def toOrc(df: DataFrame, path: String,
+            partitionBy: Seq[String] = Seq.empty,
+            mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
+    val w = df.write.mode(mode)
+    val pw = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+    pw.orc(path)
+  }
+
   def toCsv(df: DataFrame, path: String, header: Boolean = true,
             delimiter: String = ",",
             mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
