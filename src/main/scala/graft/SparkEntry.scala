@@ -3444,6 +3444,71 @@ object SparkEntry {
           col("l_shipdate").cast("date").as("ship_date"))
       graft.io.Writers.toOrc(src, tmp)
       Chain.readOrc(s, tmp).toDF
+    }),
+
+    "q_crawl_e2e" -> ((s, dir) => {
+      // The crawl front door composed end-to-end: stage a real .warc.gz
+      // (warcinfo + request noise + HTML responses with messy URLs), then
+      // ONE declarative chain does WARC read → HTTP split → WET text
+      // extraction → URL canonicalization → eTLD+1 rollup → token count →
+      // quality floor. The oracle reconstructs every output column
+      // analytically from the documents table, so a hash match proves the
+      // whole pipeline — framing, gunzip, HTML block removal, entity
+      // decode, tracking-param strip, suffix-set rollup, tokenization —
+      // composes exactly.
+      import graft.ops.Urls
+      val tmp = Files.createTempDirectory("graft_crawl").toString
+      val out = java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(tmp, "crawl-00000.warc.gz"))
+      val docs = T(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text")).collect()
+      def esc(t: String) =
+        t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      val httpHead =
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+      val recs = Iterator(
+        (Map("WARC-Type" -> "warcinfo",
+             "WARC-Record-ID" -> "<urn:uuid:info>",
+             "WARC-Date" -> "2026-01-02T03:04:05Z",
+             "Content-Type" -> "application/warc-fields"),
+          "software: graft\r\n".getBytes("UTF-8"))) ++
+        docs.iterator.flatMap { r =>
+          val id = r.getLong(0)
+          val uri =
+            s"HTTPS://WWW.H${id % 5}-site.CO.UK/art/$id?utm_source=feed&id=$id"
+          val html = "<html><head><title>T</title><style>s{color:red}" +
+            "</style><script>if(1<2){x()}</script></head><body><h1>Doc " +
+            id + "</h1><!-- c --><p>" + esc(r.getString(1)) +
+            "&nbsp;&quot;end&quot;</p></body></html>"
+          Iterator(
+            (Map("WARC-Type" -> "request",
+                 "WARC-Record-ID" -> s"<urn:uuid:rq$id>",
+                 "WARC-Date" -> "2026-01-02T03:04:05Z",
+                 "WARC-Target-URI" -> uri,
+                 "Content-Type" -> "application/http; msgtype=request"),
+              s"GET /art/$id HTTP/1.1\r\n\r\n".getBytes("ISO-8859-1")),
+            (Map("WARC-Type" -> "response",
+                 "WARC-Record-ID" -> s"<urn:uuid:rs$id>",
+                 "WARC-Date" -> "2026-01-02T03:04:05Z",
+                 "WARC-Target-URI" -> uri,
+                 "Content-Type" -> "application/http; msgtype=response"),
+              httpHead.getBytes("ISO-8859-1") ++ html.getBytes("UTF-8")))
+        }
+      graft.files.Warc.writeRecords(out, recs)
+      graft.files.Warc.readRecords(s, tmp + "/*.warc.gz",
+          types = Seq("response"))
+        .select(col("target_uri"), col("payload").cast("string").as("html"))
+        .withColumn("url", Urls.urlNormalize(col("target_uri")))
+        .withColumn("p", Urls.urlParts(col("url")))
+        .select(
+          regexp_extract(col("p.path"), "/art/([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          col("url"),
+          Urls.registeredDomain(col("p.host")).as("domain"),
+          TextAnalysis.htmlToText(col("html")).as("content"))
+        .withColumn("tokens", TextAnalysis.tokenCount(col("content")).cast("long"))
+        .filter(col("tokens") >= 10)
+        .select("doc_id", "url", "domain", "tokens", "content")
     })
   )
 
@@ -4062,6 +4127,19 @@ object SparkEntry {
         """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
           | l_returnflag, CAST(l_shipdate AS DATE) AS ship_date
           |FROM lineitem WHERE l_orderkey % 40 = 0""".stripMargin,
+
+      "q_crawl_e2e" ->
+        """WITH c AS (SELECT doc_id,
+          |  trim(regexp_replace('T Doc '||doc_id||' '||text||' "end"',
+          |    '\s+', ' ', 'g')) AS content
+          |  FROM documents WHERE doc_id < 300)
+          |SELECT doc_id,
+          | 'https://www.h'||(doc_id%5)||'-site.co.uk/art/'||doc_id
+          |   ||'?id='||doc_id AS url,
+          | 'h'||(doc_id%5)||'-site.co.uk' AS domain,
+          | CAST(len(string_split_regex(content, '\s+')) AS BIGINT) AS tokens,
+          | content
+          |FROM c WHERE len(string_split_regex(content, '\s+')) >= 10""".stripMargin,
 
       "q_link_graph" ->
         """SELECT domain, CAST(count(*) AS BIGINT) AS n FROM (
