@@ -1050,6 +1050,59 @@ object ScaleProbe {
         corpus.unpersist()
       }
     }
+
+    // Crawl-ingest probe: K .warc.gz files (each the full sf0.1 corpus as
+    // HTML responses) through WARC read → WET extraction → URL
+    // canonicalization → domain rollup. A .warc.gz is NOT splittable, so
+    // the file is the parallelism unit — the honest prediction is FLAT
+    // wall time while K ≤ cores (K independent tasks) and linear past
+    // that, with per-file MB/s the invariant. That is exactly Common
+    // Crawl's own consumption model (~1 GB files × ~100k = the corpus).
+    if (want("crawl")) {
+      import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+      val tmp = JFiles.createTempDirectory("probe_crawl")
+      val base = tmp.resolve("base.warc.gz")
+      val rows = docs.collect()
+      val httpHead =
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+      graft.files.Warc.writeRecords(JFiles.newOutputStream(base),
+        rows.iterator.map { r =>
+          val id = r.getLong(0)
+          val html = "<html><head><script>x()</script></head><body><p>" +
+            r.getString(1).replace("&", "&amp;").replace("<", "&lt;") +
+            "</p></body></html>"
+          (Map("WARC-Type" -> "response",
+               "WARC-Record-ID" -> s"<urn:uuid:$id>",
+               "WARC-Date" -> "2026-01-02T03:04:05Z",
+               "WARC-Target-URI" ->
+                 s"HTTPS://WWW.H${id % 50}-site.CO.UK/a/$id?utm_source=x&i=$id",
+               "Content-Type" -> "application/http; msgtype=response"),
+            httpHead.getBytes("ISO-8859-1") ++ html.getBytes("UTF-8"))
+        })
+      val mb = JFiles.size(base) / 1e6
+      ks.foreach { k =>
+        val dir = tmp.resolve(s"k$k"); JFiles.createDirectories(dir)
+        (0 until k).foreach(i => JFiles.copy(base,
+          dir.resolve(f"crawl-$i%05d.warc.gz"),
+          StandardCopyOption.REPLACE_EXISTING))
+        val t0 = System.nanoTime()
+        val out = graft.files.Warc
+          .readRecords(spark, dir.toString + "/*.warc.gz",
+            types = Seq("response"))
+          .select(col("target_uri"), col("payload").cast("string").as("h"))
+          .select(graft.ops.Urls.registeredDomain(graft.ops.Urls
+              .urlParts(graft.ops.Urls.urlNormalize(col("target_uri")))
+              .getField("host")).as("domain"),
+            graft.ops.TextAnalysis.tokenCount(
+              graft.ops.TextAnalysis.htmlToText(col("h"))).as("toks"))
+          .groupBy("domain").agg(count(lit(1)).as("n"), sum("toks").as("t"))
+        val nDomains = out.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"crawl K=$k%-3d files=$k (${mb}%.1f MB each) " +
+          f"domains=$nDomains%-4d ${sec}%.2f s  " +
+          f"${k * mb / sec}%.1f MB/s aggregate (gz)")
+      }
+    }
     spark.stop()
   }
 }
