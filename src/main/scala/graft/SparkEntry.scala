@@ -3509,6 +3509,30 @@ object SparkEntry {
         .withColumn("tokens", TextAnalysis.tokenCount(col("content")).cast("long"))
         .filter(col("tokens") >= 10)
         .select("doc_id", "url", "domain", "tokens", "content")
+    }),
+
+    "q_dataset_attrs" -> ((s, dir) => {
+      // Dataset annotations (reference save(description=, attrs=) +
+      // datasets(attrs=...) + update_dataset): three saves — one fully
+      // annotated, one attrs-only, one bare then PATCHED in place via
+      // updateDataset (no version bump) — listed back under the three
+      // reference filter shapes: bare attr, name=* wildcard, multi-filter
+      // conjunction. Oracle is the analytic truth table.
+      val root = Files.createTempDirectory("graft_attrs").toString
+      val cat = new Catalog(root, s)
+      cat.save(Chain(T(s, dir, "nation")), "ds.a",
+        description = "nations slice", attrs = Seq("nlp", "loc=US"))
+      cat.save(Chain(T(s, dir, "region")), "ds.b", attrs = Seq("nlp", "loc=EU"))
+      cat.save(Chain(T(s, dir, "region")), "ds.c")
+      cat.updateDataset("ds.c", description = Some("patched later"),
+        attrs = Some(Seq("vision", "loc=US")))
+      def shaped(flt: String, attrs: Seq[String]) =
+        cat.datasetsDF(attrs).select(lit(flt).as("flt"), col("name"),
+          col("version"), col("rows"), col("description"),
+          array_join(col("attrs"), ",").as("attrs_s"))
+      shaped("nlp", Seq("nlp"))
+        .union(shaped("loc=*", Seq("loc=*")))
+        .union(shaped("both", Seq("loc=US", "vision")))
     })
   )
 
@@ -4127,6 +4151,16 @@ object SparkEntry {
         """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
           | l_returnflag, CAST(l_shipdate AS DATE) AS ship_date
           |FROM lineitem WHERE l_orderkey % 40 = 0""".stripMargin,
+
+      "q_dataset_attrs" ->
+        """SELECT * FROM (VALUES
+          | ('nlp',  'ds.a', '1.0.0', CAST(25 AS BIGINT), 'nations slice', 'nlp,loc=US'),
+          | ('nlp',  'ds.b', '1.0.0', CAST(5 AS BIGINT),  '',              'nlp,loc=EU'),
+          | ('loc=*','ds.a', '1.0.0', CAST(25 AS BIGINT), 'nations slice', 'nlp,loc=US'),
+          | ('loc=*','ds.b', '1.0.0', CAST(5 AS BIGINT),  '',              'nlp,loc=EU'),
+          | ('loc=*','ds.c', '1.0.0', CAST(5 AS BIGINT),  'patched later', 'vision,loc=US'),
+          | ('both', 'ds.c', '1.0.0', CAST(5 AS BIGINT),  'patched later', 'vision,loc=US')
+          |) AS t(flt, name, version, rows, description, attrs_s)""".stripMargin,
 
       "q_crawl_e2e" ->
         """WITH c AS (SELECT doc_id,

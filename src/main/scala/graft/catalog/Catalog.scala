@@ -52,7 +52,8 @@ object SemVer {
 
 final case class VersionMeta(
     name: String, version: String, chainHash: String,
-    schemaJson: String, deps: Seq[String], createdAt: String, rows: Long)
+    schemaJson: String, deps: Seq[String], createdAt: String, rows: Long,
+    description: String = "", attrs: Seq[String] = Nil)
 
 /** A registered project inside a namespace (reference Project,
   * src/datachain/project.py:13-46). */
@@ -154,9 +155,12 @@ final class Catalog(val root: String, spark: SparkSession) {
   def save(chain: Chain, name: String, version: Option[SemVer] = None,
            deps: Seq[String] = Seq.empty, bloomCols: Seq[String] = Nil,
            bloomExpected: Long = 100000L, harvestStats: Boolean = true,
-           partitionBy: Seq[String] = Nil)
+           partitionBy: Seq[String] = Nil, description: String = "",
+           attrs: Seq[String] = Nil)
       : SemVer = {
     requireValidName(name)
+    attrs.foreach(a => require(!a.contains(']') && !a.contains('['),
+      s"attr may not contain brackets: '$a'"))
     // fail fast on an explicitly requested version that already exists —
     // before paying for the write
     version.foreach(v => require(!Files.exists(vDir(name, v)),
@@ -237,7 +241,7 @@ final class Catalog(val root: String, spark: SparkSession) {
         Files.move(tmp.resolve("blooms"), dir.resolve("blooms"))
       val meta = metaJson(VersionMeta(
         name, v.toString, chain.hash, SignalSchema.toJson(chain.schema),
-        deps, java.time.Instant.now.toString, rows))
+        deps, java.time.Instant.now.toString, rows, description, attrs))
       Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       if (stats.nonEmpty)
@@ -982,16 +986,77 @@ final class Catalog(val root: String, spark: SparkSession) {
     }).toDF("dataset", "version", "dep_name", "dep_version")
   }
 
-  def datasetsDF(): org.apache.spark.sql.DataFrame = {
+  /** Undo [[esc]]'s JSON string escaping. */
+  private def unesc(s: String): String =
+    "\\\\(.)".r.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+      m.group(1) match { case "n" => "\n"; case c => c }))
+
+  /** (description, attrs) recorded at save time for one version. */
+  def annotationsOf(name: String, version: SemVer): (String, Seq[String]) = {
+    val meta = readMeta(name, version)
+    val str = "((?:[^\"\\\\]|\\\\.)*)"
+    val d = ("\"description\": \"" + str + "\"").r
+      .findFirstMatchIn(meta).map(m => unesc(m.group(1))).getOrElse("")
+    val a = "\"attrs\": \\[(.*?)\\]".r.findFirstMatchIn(meta).toSeq.flatMap {
+      m => ("\"" + str + "\"").r.findAllMatchIn(m.group(1))
+        .map(x => unesc(x.group(1))).toSeq
+    }
+    (d, a)
+  }
+
+  /**
+   * Patch the recorded description/attrs of an existing version without a
+   * new materialization (reference `update_dataset`,
+   * src/datachain/lib/dc/datasets.py:423 — annotations are registry
+   * metadata, not data, so editing them must not cost a version bump).
+   * `None` leaves a field unchanged.
+   */
+  def updateDataset(name: String, version: Option[SemVer] = None,
+                    description: Option[String] = None,
+                    attrs: Option[Seq[String]] = None): Unit = {
+    val v = version.orElse(latestVersion(name)).getOrElse(
+      throw new NoSuchElementException(s"dataset $name not found"))
+    val (d0, a0) = annotationsOf(name, v)
+    val meta0 = readMeta(name, v)
+    // versions written before annotations existed: seed the fields first
+    val meta =
+      if (meta0.contains("\"description\":")) meta0
+      else meta0.replaceFirst("\"schema\":",
+        java.util.regex.Matcher.quoteReplacement(
+          "\"description\": \"\",\n  \"attrs\": [],\n  \"schema\":"))
+    // square brackets inside attr values would defeat the bracket-bounded
+    // patch below — cheap to forbid, annotations are tags not payloads
+    attrs.foreach(_.foreach(a => require(!a.contains(']') && !a.contains('['),
+      s"attr may not contain brackets: '$a'")))
+    val patched = meta
+      .replaceFirst("\"description\": \"(?:[^\"\\\\]|\\\\.)*\"",
+        java.util.regex.Matcher.quoteReplacement(
+          "\"description\": \"" + esc(description.getOrElse(d0)) + "\""))
+      .replaceFirst("\"attrs\": \\[.*?\\]",
+        java.util.regex.Matcher.quoteReplacement(
+          "\"attrs\": " + attrs.getOrElse(a0)
+            .map(a => "\"" + esc(a) + "\"").mkString("[", ",", "]")))
+    Files.write(vDir(name, v).resolve("meta.json"),
+      patched.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** `attrFilters`: reference `datasets(attrs=...)` — every filter must
+    * match ([[attrMatches]] semantics: bare, name=value, name=*). */
+  def datasetsDF(attrFilters: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     def metaField(meta: String, key: String): Option[String] =
       ("\"" + key + "\": \"?([^\",]+)\"?").r.findFirstMatchIn(meta).map(_.group(1))
     datasets().flatMap(n => versions(n).map { v =>
       val meta = readMeta(n, v)
+      val (descr, attrs) = annotationsOf(n, v)
       (n, v.toString,
         metaField(meta, "rows").map(_.toLong).getOrElse(-1L),
-        metaField(meta, "createdAt").getOrElse(""))
-    }).toDF("name", "version", "rows", "created_at")
+        metaField(meta, "createdAt").getOrElse(""),
+        descr, attrs)
+    }).filter { case (_, _, _, _, _, attrs) =>
+      attrFilters.forall(attrMatches(attrs, _))
+    }.toDF("name", "version", "rows", "created_at", "description", "attrs")
   }
 
   /**
@@ -1044,6 +1109,7 @@ final class Catalog(val root: String, spark: SparkSession) {
 
   private def metaJson(m: VersionMeta): String = {
     val deps = m.deps.map(d => "\"" + esc(d) + "\"").mkString("[", ",", "]")
+    val attrs = m.attrs.map(a => "\"" + esc(a) + "\"").mkString("[", ",", "]")
     s"""{
   "name": "${esc(m.name)}",
   "version": "${m.version}",
@@ -1051,7 +1117,24 @@ final class Catalog(val root: String, spark: SparkSession) {
   "createdAt": "${m.createdAt}",
   "rows": ${m.rows},
   "deps": $deps,
+  "description": "${esc(m.description)}",
+  "attrs": $attrs,
   "schema": "${esc(m.schemaJson)}"
 }"""
   }
+
+  /**
+   * Reference attr-match semantics
+   * (src/datachain/lib/dataset_info.py:44-58 `has_attr`): a bare `"NLP"`
+   * matches only the bare attr; `"loc=US"` matches that exact pair;
+   * `"loc=*"` matches any attr named `loc` that HAS a value.
+   */
+  def attrMatches(attrs: Seq[String], query: String): Boolean =
+    query.split("=", 2) match {
+      case Array(_) => attrs.contains(query)
+      case Array(n, "*") => attrs.exists(a =>
+        a.split("=", 2) match { case Array(an, _) => an == n; case _ => false })
+      case Array(n, v) => attrs.contains(s"$n=$v")
+      case _ => false
+    }
 }

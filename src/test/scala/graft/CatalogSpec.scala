@@ -702,4 +702,36 @@ class CatalogSpec extends SparkSpec {
     cat.pruneCount("o", pred, Some(v3))
     assert(cat.statsParses === base + 3)
   }
+
+  test("dataset annotations: save, filter semantics, legacy-meta patch") {
+    val root = Files.createTempDirectory("cat_attrs").toString
+    val cat = new graft.catalog.Catalog(root, spark)
+    val r = Chain(spark.read.parquet(s"$sf/region.parquet"))
+    cat.save(r, "a", description = "first", attrs = Seq("nlp", "loc=US"))
+    cat.save(r, "b", attrs = Seq("loc"))
+
+    // reference has_attr semantics: bare vs name=value vs name=*
+    assert(cat.attrMatches(Seq("nlp", "loc=US"), "nlp"))
+    assert(!cat.attrMatches(Seq("nlp", "loc=US"), "loc"))   // bare ≠ valued
+    assert(cat.attrMatches(Seq("nlp", "loc=US"), "loc=US"))
+    assert(cat.attrMatches(Seq("nlp", "loc=US"), "loc=*"))
+    assert(!cat.attrMatches(Seq("loc"), "loc=*"))           // * needs a value
+    assert(cat.datasetsDF(Seq("loc=*")).select("name")
+      .as[String].collect().toSeq === Seq("a"))
+
+    // a meta.json written before annotations existed: strip the fields,
+    // then updateDataset must seed them and patch in place (no bump)
+    val v = cat.latestVersion("b").get
+    val mp = java.nio.file.Paths.get(root, "datasets", "b", s"v$v", "meta.json")
+    val legacy = new String(java.nio.file.Files.readAllBytes(mp), "UTF-8")
+      .replaceAll("(?m)^  \"description\".*\n  \"attrs\".*\n", "")
+    java.nio.file.Files.write(mp, legacy.getBytes("UTF-8"))
+    assert(cat.annotationsOf("b", v) === (("", Seq.empty)))
+    cat.updateDataset("b", description = Some("patched \"q\""),
+      attrs = Some(Seq("vision")))
+    assert(cat.annotationsOf("b", v) === (("patched \"q\"", Seq("vision"))))
+    assert(cat.latestVersion("b").get === v)
+    // data still readable after the in-place patch
+    assert(cat.readDataset("b").toDF.count() === 5L)
+  }
 }

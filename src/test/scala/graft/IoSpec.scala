@@ -82,7 +82,9 @@ class IoSpec extends SparkSpec {
     val cat = new graft.catalog.Catalog(root, spark)
     cat.save(Chain(spark.read.parquet(s"$sf/region.parquet")), "r")
     cat.save(Chain(spark.read.parquet(s"$sf/region.parquet")), "r")
-    val meta = cat.datasetsDF().as[(String, String, Long, String)]
+    val meta = cat.datasetsDF()
+      .select("name", "version", "rows", "created_at")
+      .as[(String, String, Long, String)]
       .collect().toSet
     assert(meta.map(m => (m._1, m._2)) === Set(("r", "1.0.0"), ("r", "1.1.0")))
     assert(meta.forall(_._3 === 5L))      // region row count from meta
