@@ -3533,6 +3533,30 @@ object SparkEntry {
       shaped("nlp", Seq("nlp"))
         .union(shaped("loc=*", Seq("loc=*")))
         .union(shaped("both", Seq("loc=US", "vision")))
+    }),
+
+    "q_fuzzy_join" -> ((s, dir) => {
+      // Record linkage across two tables: left = curated slice, right =
+      // "scraped" mix of tail-marked near-dups (Jaccard deep above 0.5),
+      // exact copies (1.0), and fresh junk. fuzzyJoin must return exactly
+      // the true (left,right,similarity) pairs — the oracle recomputes ALL
+      // cross-pair Jaccards exactly, so a hash match proves banded-LSH
+      // recall AND verification precision AND the similarity values.
+      val docs = T(s, dir, "documents")
+      val left = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id").as("lid"), col("text"))
+      val right = docs
+        .filter(pmod(col("doc_id"), lit(6)) === 0 && col("n_chars") >= 200)
+        .select((col("doc_id") + 500000).as("rid"),
+          concat(col("text"), lit(" tail marker token")).as("rtext"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(6)) === 3)
+          .select((col("doc_id") + 600000).as("rid"), col("text").as("rtext")))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(6)) === 1)
+          .select((col("doc_id") + 700000).as("rid"),
+            concat(lit("entirely fresh content row number "),
+              col("doc_id")).as("rtext")))
+      Dedup.fuzzyJoin(left, "text", "lid", right, "rtext", "rid",
+        threshold = 0.5)
     })
   )
 
@@ -4161,6 +4185,33 @@ object SparkEntry {
           | ('loc=*','ds.c', '1.0.0', CAST(5 AS BIGINT),  'patched later', 'vision,loc=US'),
           | ('both', 'ds.c', '1.0.0', CAST(5 AS BIGINT),  'patched later', 'vision,loc=US')
           |) AS t(flt, name, version, rows, description, attrs_s)""".stripMargin,
+
+      "q_fuzzy_join" ->
+        s"""WITH lft AS (
+           |  SELECT doc_id AS lid, text FROM documents WHERE doc_id % 3 = 0
+           |), rgt AS (
+           |  SELECT doc_id + 500000 AS rid, text || ' tail marker token' AS text
+           |    FROM documents WHERE doc_id % 6 = 0 AND n_chars >= 200
+           |  UNION ALL
+           |  SELECT doc_id + 600000, text FROM documents WHERE doc_id % 6 = 3
+           |  UNION ALL
+           |  SELECT doc_id + 700000, 'entirely fresh content row number ' || doc_id
+           |    FROM documents WHERE doc_id % 6 = 1
+           |), gl AS (
+           |  SELECT lid, list_distinct(list_transform(
+           |    range(1, CAST(greatest(length($norm) - 4, 0) AS BIGINT) + 1),
+           |    i -> substr($norm, CAST(i AS INT), 5))) AS grams FROM lft
+           |), gr AS (
+           |  SELECT rid, list_distinct(list_transform(
+           |    range(1, CAST(greatest(length($norm) - 4, 0) AS BIGINT) + 1),
+           |    i -> substr($norm, CAST(i AS INT), 5))) AS grams FROM rgt)
+           |SELECT l.lid AS left_id, r.rid AS right_id,
+           |  round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) /
+           |        len(list_distinct(l.grams || r.grams)), 6) AS similarity
+           |FROM gl l JOIN gr r ON
+           |  CASE WHEN len(list_distinct(l.grams || r.grams)) = 0 THEN 0.0
+           |    ELSE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) /
+           |         len(list_distinct(l.grams || r.grams)) END >= 0.5""".stripMargin,
 
       "q_crawl_e2e" ->
         """WITH c AS (SELECT doc_id,

@@ -374,6 +374,54 @@ object Dedup {
   }
 
   /**
+   * Fuzzy (similarity) join — the record-linkage primitive: match rows of
+   * two DIFFERENT tables whose text columns are near-duplicates (n-gram
+   * Jaccard ≥ `threshold`), returning `(left_id, right_id, similarity)`
+   * pairs. The cross-source cousin of [[minhashDedupEdges]] (self-join)
+   * and [[subtractSeenNear]] (which keeps only the anti-join): use it to
+   * link a scraped metadata catalog to a curated one, align near-identical
+   * docs across two crawls, or build cross-source dedup edges.
+   *
+   * Scale shape: identical to the incremental near-dedup — banded MinHash
+   * signatures on BOTH sides, candidates from the band-bucket equi-join
+   * (hashes cross the exchange, never text; `maxBucketSize` caps
+   * degenerate buckets on each side), then exact n-gram Jaccard verifies
+   * only candidate pairs, shingling semi-join-scoped to candidate members.
+   * Never a cross join at any size; cost scales with true-match density,
+   * not |left|×|right|.
+   */
+  def fuzzyJoin(left: DataFrame, leftText: String, leftId: String,
+                right: DataFrame, rightText: String, rightId: String,
+                threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
+                ngram: Int = 5, maxBucketSize: Int = 10000): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val lb = capBuckets(bandedMinhash(left, leftText, leftId, k, bands),
+      Seq("__band", "__bh"), maxBucketSize)
+    val rb = capBuckets(bandedMinhash(right, rightText, rightId, k, bands),
+      Seq("__band", "__bh"), maxBucketSize)
+    // the pair set feeds both member semi-joins and the verification join
+    val cands = lb.alias("l").join(rb.alias("r"),
+        col("l.__band") === col("r.__band") && col("l.__bh") === col("r.__bh"))
+      .select(col("l.__id").as("__lid"), col("r.__id").as("__rid"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    def gramsOf(df: DataFrame, textCol: String, idCol: String,
+                member: Column, out: String) =
+      df.join(cands.select(member.as("__gid")).distinct(),
+          col(idCol) === col("__gid"), "left_semi")
+        .select(col(idCol).as("__gid"),
+          TextAnalysis.charNgrams(col(textCol), ngram).as(out))
+    cands
+      .join(gramsOf(left, leftText, leftId, col("__lid"), "__ga")
+        .withColumnRenamed("__gid", "__lid"), "__lid")
+      .join(gramsOf(right, rightText, rightId, col("__rid"), "__gb")
+        .withColumnRenamed("__gid", "__rid"), "__rid")
+      .select(col("__lid").as("left_id"), col("__rid").as("right_id"),
+        round(ngramJaccardArrays(col("__ga"), col("__gb")), 6).as("similarity"))
+      .filter(col("similarity") >= threshold)
+  }
+
+  /**
    * SemDeDup-style semantic deduplication (Abbas et al. 2023): assign every
    * embedding to its nearest anchor by cosine (ties: lower anchor id), then
    * within each cluster drop any vector whose cosine similarity to an

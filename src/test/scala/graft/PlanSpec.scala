@@ -25,6 +25,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q_fuzzy_join: candidate equi-join on band hashes, never a cross join") {
+    val p = plan("q_fuzzy_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate join keys are the band-bucket hashes, not text
+    assert(p.contains("__band") && p.contains("__bh"), p)
+  }
+
   test("q_merge_inner: dimension join broadcasts") {
     val p = plan("q_merge_inner")
     assert(p.contains("BroadcastHashJoin"), p)
