@@ -2876,6 +2876,104 @@ object SparkEntry {
       cat.readDataset("ord").selectExcept("sys").toDF
     }),
 
+    "q_delete_where" -> ((s, dir) => {
+      // copy-on-write DELETE: a range-laid orders version drops its low
+      // key band as a NEW immutable version — the stats index proves the
+      // high-range files can't hold a match, so they cross as hard links
+      // (asserted: most files reused, zero bytes copied) and only the
+      // overlapping files are rewritten; the read-back equals the SQL
+      // NOT-filter (oracle), including NULL-predicate rows staying
+      val root = Files.createTempDirectory("graft_delete").toString
+      val cat = new Catalog(root, s)
+      val o = T(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      cat.save(Chain(o), "ord")
+      val mx = o.agg(max("o_orderkey")).head().getLong(0)
+      val r = cat.deleteWhere("ord", col("o_orderkey") <= mx / 16)
+      require(r.filesReused > 0 && r.filesRewritten < 8,
+        s"delete must reuse untouched files: $r")
+      require(r.rowsAfter < r.rowsBefore, s"delete must drop rows: $r")
+      cat.readDataset("ord").selectExcept("sys").toDF
+    }),
+
+    "q_update_where" -> ((s, dir) => {
+      // copy-on-write UPDATE: only files that may contain a predicate
+      // match are rewritten (simultaneous assignment over the OLD row,
+      // values cast back to the column's type so rewritten files stay
+      // schema-identical to the hard-linked ones); oracle is the CASE
+      // projection over the raw table
+      val root = Files.createTempDirectory("graft_update").toString
+      val cat = new Catalog(root, s)
+      val o = T(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      cat.save(Chain(o), "ord")
+      val mx = o.agg(max("o_orderkey")).head().getLong(0)
+      val r = cat.updateWhere("ord", col("o_orderkey") <= mx / 16,
+        Map("o_totalprice" -> (col("o_totalprice") * 2),
+          "o_orderpriority" -> upper(col("o_orderpriority"))))
+      require(r.filesReused > 0 && r.rowsAfter == r.rowsBefore,
+        s"update must reuse untouched files and keep row count: $r")
+      cat.readDataset("ord").selectExcept("sys").toDF
+    }),
+
+    "q_merge_into" -> ((s, dir) => {
+      // copy-on-write MERGE INTO (upsert): matched target rows take the
+      // source's values keeping their sys identity, unmatched source
+      // rows insert with fresh ids past the version's footer-max; the
+      // source's low-end keys can't touch high-range files (asserted
+      // reuse). Oracle: anti-join + union over the same deterministic
+      // source construction
+      val root = Files.createTempDirectory("graft_merge").toString
+      val cat = new Catalog(root, s)
+      val o = T(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      cat.save(Chain(o), "ord")
+      val mx = o.agg(max("o_orderkey")).head().getLong(0)
+      val updates = o.filter(col("o_orderkey") <= mx / 16)
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+      val inserts = o.filter(col("o_orderkey") <= mx / 32)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(mx + 1000000L))
+      val r = cat.mergeInto("ord", updates.union(inserts), Seq("o_orderkey"))
+      require(r.filesReused > 0,
+        s"merge on low-end keys must reuse high-range files: $r")
+      require(r.rowsInserted > 0 && r.rowsMatched > 0, s"merge shape: $r")
+      require(r.rowsAfter == r.rowsBefore + r.rowsInserted, s"merge rows: $r")
+      cat.readDataset("ord").selectExcept("sys").toDF
+    }),
+
+    "q_change_feed" -> ((s, dir) => {
+      // Delta-style CHANGE DATA FEED auditing a copy-on-write mutation
+      // trail: delete → update → merge-insert land as three new immutable
+      // versions, and readChanges(v1 → v4) reconstructs the net row-level
+      // history with Delta's exact _change_type vocabulary (insert /
+      // delete / update_preimage / update_postimage) from ONE full-outer
+      // join — the oracle rebuilds all four legs analytically
+      val root = Files.createTempDirectory("graft_cdf").toString
+      val cat = new Catalog(root, s)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+        cat.save(Chain(docs), "docs")
+        val v1 = cat.latestVersion("docs").get
+        cat.deleteWhere("docs", col("doc_id") % 7 === 0)
+        cat.updateWhere("docs", col("doc_id") % 5 === 0,
+          Map("text" -> concat(col("text"), lit("!"))))
+        val inserts = docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            concat(lit("new"), col("doc_id")).as("text"))
+        val r = cat.mergeInto("docs", inserts, Seq("doc_id"))
+        require(r.rowsMatched == 0 && r.rowsInserted > 0,
+          s"fresh keys must all insert: $r")
+        val v4 = cat.latestVersion("docs").get
+        Delta.readChanges(cat, "docs", v1, v4, on = Seq("doc_id")).toDF
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     "q_bloom_skipping" -> ((s, dir) => {
       // per-file BLOOM index (the skipping layer beyond min/max): a hash
       // layout makes every file's key range span the whole domain — range
@@ -6183,6 +6281,50 @@ object SparkEntry {
 
       "q_optimize" ->
         "SELECT * FROM orders",
+
+      "q_delete_where" ->
+        """SELECT * FROM orders
+          |WHERE NOT (o_orderkey <= (SELECT max(o_orderkey) // 16 FROM orders))""".stripMargin,
+
+      "q_update_where" ->
+        """SELECT o_orderkey, o_custkey, o_orderstatus,
+          | CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 16 FROM orders)
+          |   THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+          | o_orderdate,
+          | CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 16 FROM orders)
+          |   THEN upper(o_orderpriority) ELSE o_orderpriority END AS o_orderpriority
+          |FROM orders""".stripMargin,
+
+      "q_change_feed" ->
+        """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 60)
+          |SELECT doc_id, text, 'delete' AS _change_type FROM base
+          |WHERE doc_id % 7 = 0
+          |UNION ALL
+          |SELECT doc_id, text, 'update_preimage' FROM base
+          |WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0
+          |UNION ALL
+          |SELECT doc_id, text || '!', 'update_postimage' FROM base
+          |WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0
+          |UNION ALL
+          |SELECT doc_id + 1000000, 'new' || doc_id, 'insert' FROM base
+          |WHERE doc_id % 11 = 0""".stripMargin,
+
+      "q_merge_into" ->
+        """WITH mxv AS (SELECT max(o_orderkey) AS mx FROM orders),
+          |s AS (
+          |  SELECT o_orderkey, o_custkey, o_orderstatus,
+          |    o_totalprice * 3 AS o_totalprice, o_orderdate, o_orderpriority
+          |  FROM orders WHERE o_orderkey <= (SELECT mx // 16 FROM mxv)
+          |  UNION ALL
+          |  SELECT o_orderkey + (SELECT mx FROM mxv) + 1000000 AS o_orderkey,
+          |    o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+          |    o_orderpriority
+          |  FROM orders WHERE o_orderkey <= (SELECT mx // 32 FROM mxv)
+          |)
+          |SELECT * FROM orders
+          |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+          |UNION ALL
+          |SELECT * FROM s""".stripMargin,
 
       "q_bloom_skipping" ->
         """SELECT event_id, user_id, event_type FROM events

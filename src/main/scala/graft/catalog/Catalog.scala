@@ -3,7 +3,7 @@ package graft.catalog
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{coalesce, col, count, count_distinct, lit, max, not, struct, sum, when}
 import graft.core.{Chain, OpTree, Sys}
 import graft.schema.SignalSchema
 
@@ -54,6 +54,16 @@ final case class VersionMeta(
     name: String, version: String, chainHash: String,
     schemaJson: String, deps: Seq[String], createdAt: String, rows: Long,
     description: String = "", attrs: Seq[String] = Nil)
+
+/** Outcome of a copy-on-write row mutation ([[Catalog.deleteWhere]] /
+  * [[Catalog.updateWhere]] / [[Catalog.mergeInto]]): the new immutable
+  * version plus the file-reuse evidence — `filesReused` files crossed to
+  * the new version as hard links (metadata only, zero bytes copied) and
+  * only `filesRewritten` files were written. */
+final case class MutationResult(
+    version: SemVer, filesRewritten: Int, filesReused: Int,
+    rowsBefore: Long, rowsAfter: Long,
+    rowsMatched: Long = 0L, rowsInserted: Long = 0L)
 
 /** A registered project inside a namespace (reference Project,
   * src/datachain/project.py:13-46). */
@@ -333,6 +343,491 @@ final class Catalog(val root: String, spark: SparkSession) {
       }
     val after = walkParquet(vDir(name, nv).resolve("data")).size
     (nv, before, after)
+  }
+
+  // ---- row-level mutations: copy-on-write DELETE / UPDATE / MERGE ----
+  // The Delta/Iceberg row-mutation story on this catalog's immutable
+  // snapshots (reference datasets are append/version-only; row mutation
+  // is the lake-parity surface a training-data curator actually needs —
+  // GDPR deletes, label fixes, upserts from a curation UI). Mechanism:
+  // the stats/bloom index picks the files that MAY contain affected rows;
+  // only those are rewritten, every other file crosses to the new version
+  // as a HARD LINK — a metadata-only reuse (the inode lives until its
+  // last name goes, so either version can be vacuumed independently). On
+  // filesystems without hard links (object stores) the link degrades to a
+  // copy; the cluster seam there is a manifest-based format (Delta's log
+  // / Iceberg's manifests), the same swap point `save` documents.
+
+  /** Relative files of `name@v` that MAY contain a row matching `pred`
+    * (footer-stats + bloom pruning; conservative: stats-less versions,
+    * files missing from stats, and unsupported predicate shapes all count
+    * as touched), beside the full relative file census. */
+  private def touchedFiles(name: String, v: SemVer,
+                           pred: org.apache.spark.sql.Column)
+      : (Seq[String], Seq[String]) = {
+    val dataDir = vDir(name, v).resolve("data")
+    val all = walkParquet(dataDir).map(f => dataDir.relativize(f).toString)
+    val stats = fileStats(name, v)
+    val byFile = stats.map(s => s.file -> s).toMap
+    val cond = resolvedCondition(readVersionData(name, v).filter(pred))
+    val touched = cond match {
+      case Some(pe) if stats.nonEmpty =>
+        val blooms = fileBlooms(name, v, Some(pe.references.map(_.name).toSeq))
+        all.filter { rel =>
+          byFile.get(rel) match {
+            case Some(fs) =>
+              FileStats.mayMatch(pe, fs, blooms.getOrElse(rel, Map.empty))
+            case None => true
+          }
+        }
+      case _ => all
+    }
+    (touched, all)
+  }
+
+  /** Read exactly `files` (relative) of `name@v` with the version's
+    * recorded types restored; empty `files` reads nothing (a zero-row
+    * frame with the version's schema). */
+  private def readVersionFiles(name: String, v: SemVer,
+                               files: Seq[String]): DataFrame = {
+    val dataDir = vDir(name, v).resolve("data").toString
+    if (files.isEmpty) readVersionData(name, v).limit(0)
+    else restoreTypes(
+      readNoInfer(dataDir, files.map(r => s"$dataDir/$r")), name, v)
+  }
+
+  /**
+   * Copy-on-write rewrite engine shared by the three mutations: replace
+   * `touched` files of `name@v` with the rows of `rewritten` (None = no
+   * replacement rows at all), hard-link everything else, commit as a new
+   * immutable version with a lineage dep on the one it mutated.
+   *
+   * Metadata economics at 100 TB: per-file stats are REUSED for linked
+   * files and harvested only over the rewritten output, so the stats cost
+   * is O(touched files), not O(all files); an inline bloom index is
+   * carried per linked file and built only for new files. (A
+   * parquet-table bloom index — the >32-file form — is rebuilt whole:
+   * one extra grouped pass over the new version, the documented cost of
+   * mutating a bloom-indexed giant.) Row counts come from footer stats,
+   * never a rescan.
+   */
+  private def cowRewrite(name: String, v: SemVer, touched: Seq[String],
+                         all: Seq[String], rewritten: Option[DataFrame],
+                         op: String, bloomExpected: Long): MutationResult = {
+    val dataDir = vDir(name, v).resolve("data")
+    val touchedSet = touched.toSet
+    val untouched = all.filterNot(touchedSet)
+    val oldStats = fileStats(name, v)
+    val kept = oldStats.filter(s => untouched.contains(s.file))
+    // untouched ⊆ stats-covered by construction (a file missing from
+    // stats is always touched); a violation would silently lose rows
+    // from pruned reads of the new version, so fail loudly instead
+    require(kept.size == untouched.size,
+      s"$op: ${untouched.size - kept.size} untouched files lack stats")
+    val untouchedSet = untouched.toSet
+    val layout = detectPartitionCols(dataDir)
+    val tmp = dsDir(name).resolve(s".tmp-${java.util.UUID.randomUUID}")
+    Files.createDirectories(tmp.resolve("data"))
+    try {
+      untouched.foreach { rel =>
+        val src = dataDir.resolve(rel)
+        val dst = tmp.resolve("data").resolve(rel)
+        Files.createDirectories(dst.getParent)
+        try Files.createLink(dst, src)
+        catch {
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            Files.copy(src, dst)
+        }
+      }
+      // old bloom shape, read up front: inline filters are carried per
+      // linked file and built ONLY over the rewrite output
+      val inlineP = vDir(name, v).resolve("blooms.json")
+      val parqB = vDir(name, v).resolve("blooms")
+      val oldInline: Map[String, Map[String, Array[Byte]]] =
+        if (!Files.exists(inlineP)) Map.empty
+        else FileStats.bloomsFromJson(
+          new String(Files.readAllBytes(inlineP), "UTF-8"))
+      val inlineCols =
+        oldInline.valuesIterator.flatMap(_.keys).toSeq.distinct.sorted
+      val rewriteDir = tmp.resolve("rewrite")
+      var rewriteStats: Seq[FileStats.FileStat] = Seq.empty
+      var rewrittenRows = 0L
+      var rewFiles: Seq[Path] = Seq.empty
+      var builtBlooms: Map[String, Map[String, Array[Byte]]] = Map.empty
+      rewritten.foreach { df =>
+        val w = df.write.mode("errorifexists")
+        (if (layout.nonEmpty) w.partitionBy(layout: _*) else w)
+          .parquet(rewriteDir.toString)
+        rewFiles = walkParquet(rewriteDir)
+        rewriteStats =
+          try FileStats.harvest(spark, rewriteDir.toString)
+          catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        rewrittenRows =
+          if (rewriteStats.nonEmpty) rewriteStats.map(_.rows).sum
+          else if (rewFiles.isEmpty) 0L
+          else spark.read.parquet(rewriteDir.toString).count()
+        if (inlineCols.nonEmpty && rewFiles.nonEmpty)
+          builtBlooms = FileStats.buildBlooms(spark, rewriteDir.toString,
+            inlineCols, bloomExpected)
+        // merge the rewrite's part files into the linked tree, partition
+        // subdirs preserved (part names carry job UUIDs — no collisions)
+        rewFiles.foreach { f =>
+          val dst = tmp.resolve("data").resolve(rewriteDir.relativize(f))
+          Files.createDirectories(dst.getParent)
+          Files.move(f, dst)
+        }
+      }
+      // stats.json must cover EVERY file or not exist at all — a partial
+      // stats file would make pruned reads skip the uncovered files
+      val statsComplete =
+        (rewriteStats.size == rewFiles.size) &&
+          (untouched.isEmpty || oldStats.nonEmpty)
+      val newStats = if (statsComplete) kept ++ rewriteStats else Seq.empty
+      val inlineBlooms: Map[String, Map[String, Array[Byte]]] =
+        oldInline.filter { case (f, _) => untouchedSet.contains(f) } ++
+          builtBlooms
+      val rebuildParquetIndex = Files.isDirectory(parqB)
+      if (rebuildParquetIndex) {
+        val cols = spark.read.parquet(parqB.toString)
+          .select("col").distinct().collect().map(_.getString(0)).toSeq.sorted
+        if (cols.nonEmpty)
+          FileStats.writeBloomIndex(spark, tmp.resolve("data").toString,
+            cols, bloomExpected, tmp.resolve("blooms").toString)
+      }
+      val schemaJson = recordedSchema(name, v).map(SignalSchema.toJson)
+        .getOrElse(SignalSchema.toJson(
+          Sys.drop(readVersionData(name, v)).schema))
+      val rowsBefore = rowsOf(name, v)
+      val rowsAfter = kept.map(_.rows).sum + rewrittenRows
+      var nv = rawVersions(name).lastOption.map(_.bumpMinor)
+        .getOrElse(SemVer(1, 0, 0))
+      var dir: Path = null
+      while (dir == null) {
+        val cand = vDir(name, nv)
+        try { Files.createDirectory(cand); dir = cand }
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          nv = rawVersions(name).lastOption.map(_.bumpMinor)
+            .getOrElse(nv.bumpMinor)
+        }
+      }
+      Files.move(tmp.resolve("data"), dir.resolve("data"))
+      if (Files.isDirectory(tmp.resolve("blooms")))
+        Files.move(tmp.resolve("blooms"), dir.resolve("blooms"))
+      // chainHash is a fresh UUID-tagged marker: a mutation is not a
+      // chain checkpoint, so it must never satisfy findCheckpoint
+      val meta = metaJson(VersionMeta(
+        name, nv.toString, s"cow-$op-${java.util.UUID.randomUUID}",
+        schemaJson, Seq(s"$name@v$v"), java.time.Instant.now.toString,
+        rowsAfter))
+      Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      if (newStats.nonEmpty)
+        Files.write(dir.resolve("stats.json"),
+          FileStats.toJson(newStats).getBytes("UTF-8"),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      if (inlineBlooms.nonEmpty)
+        Files.write(dir.resolve("blooms.json"),
+          FileStats.bloomsToJson(inlineBlooms).getBytes("UTF-8"),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      MutationResult(nv, rewFiles.size, untouched.size,
+        rowsBefore, rowsAfter)
+    } finally {
+      if (Files.exists(tmp))
+        Files.walk(tmp).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
+  /**
+   * DELETE WHERE on a saved dataset, committed as a NEW copy-on-write
+   * version: rows where `predicate` is TRUE are removed (FALSE and NULL
+   * rows stay — SQL DELETE semantics). Only files the stats/bloom index
+   * says may contain a matching row are rewritten; the rest hard-link
+   * (see [[cowRewrite]]). Surviving rows keep their `sys` identity.
+   */
+  def deleteWhere(name: String, predicate: org.apache.spark.sql.Column,
+                  version: Option[SemVer] = None,
+                  bloomExpected: Long = 100000L): MutationResult = {
+    val v = version.orElse(latestVersion(name)).getOrElse(
+      throw new NoSuchElementException(s"dataset $name not found"))
+    val (touched, all) = touchedFiles(name, v, predicate)
+    val rewrittenDf =
+      if (touched.isEmpty) None
+      else Some(readVersionFiles(name, v, touched)
+        .filter(not(coalesce(predicate, lit(false)))))
+    cowRewrite(name, v, touched, all, rewrittenDf, "delete", bloomExpected)
+  }
+
+  /**
+   * UPDATE ... SET ... WHERE on a saved dataset, committed as a NEW
+   * copy-on-write version: for rows where `predicate` is TRUE each
+   * `set` column takes its expression's value (evaluated over the OLD
+   * row — simultaneous assignment, SQL UPDATE semantics); other rows
+   * and all other columns pass through unchanged, and every updated
+   * row keeps its `sys` identity. Values are cast back to the column's
+   * existing type so rewritten files stay schema-identical to linked
+   * ones. Only may-match files are rewritten.
+   */
+  def updateWhere(name: String, predicate: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column],
+                  version: Option[SemVer] = None,
+                  bloomExpected: Long = 100000L): MutationResult = {
+    val v = version.orElse(latestVersion(name)).getOrElse(
+      throw new NoSuchElementException(s"dataset $name not found"))
+    require(set.nonEmpty, "updateWhere: empty SET")
+    require(!set.contains(Sys.ColName), "updateWhere: sys is not assignable")
+    val (touched, all) = touchedFiles(name, v, predicate)
+    val rewrittenDf =
+      if (touched.isEmpty) None
+      else {
+        val df = readVersionFiles(name, v, touched)
+        val bad = set.keySet -- df.columns.toSet
+        require(bad.isEmpty, s"updateWhere: unknown columns $bad")
+        val hit = coalesce(predicate, lit(false))
+        Some(df.select(df.columns.map { c =>
+          set.get(c) match {
+            case Some(e) =>
+              when(hit, e).otherwise(col(c))
+                .cast(df.schema(c).dataType).as(c)
+            case None => col(c)
+          }
+        }: _*))
+      }
+    cowRewrite(name, v, touched, all, rewrittenDf, "update", bloomExpected)
+  }
+
+  /**
+   * MERGE INTO (upsert) a saved dataset from `source`, committed as a
+   * NEW copy-on-write version: target rows whose `on` key matches a
+   * source row take the source's values for every non-key column
+   * (keeping their `sys` identity — a stable row id across mutations);
+   * source rows matching no target row are inserted (stamped with sys
+   * ids past the version's footer-max id, so identities never collide).
+   * Delta's MERGE cardinality rule is enforced: source keys must be
+   * unique and non-null.
+   *
+   * File pruning: when the source's distinct key count fits
+   * `keyCollectMax` the touched-file predicate is per-column IN lists
+   * (range + bloom prunable); larger sources probe the per-file footer
+   * ENVELOPES against the source keys directly (binned broadcast join,
+   * see [[touchedByEnvelope]]) — both are supersets of true key
+   * membership, so an untouched file provably contains no matching key
+   * and the global anti-join for inserts only needs the touched files'
+   * keys.
+   */
+  def mergeInto(name: String, source: DataFrame, on: Seq[String],
+                version: Option[SemVer] = None,
+                insertNotMatched: Boolean = true,
+                keyCollectMax: Int = 10000,
+                bloomExpected: Long = 100000L): MutationResult = {
+    val v = version.orElse(latestVersion(name)).getOrElse(
+      throw new NoSuchElementException(s"dataset $name not found"))
+    require(on.nonEmpty, "mergeInto: empty key")
+    val src0 = Sys.drop(source)
+    val target = readVersionData(name, v)
+    val userCols = target.columns.filterNot(_ == Sys.ColName)
+    require(src0.columns.sorted.sameElements(userCols.sorted),
+      s"mergeInto: source columns ${src0.columns.sorted.mkString(",")} " +
+        s"must equal target user columns ${userCols.sorted.mkString(",")}")
+    // one aggregation job: cardinality rule + null keys + per-key bounds
+    val aggs =
+      Seq(count(lit(1)).as("__n"),
+        count_distinct(struct(on.map(col): _*)).as("__nd")) ++
+      on.map(k =>
+        sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"__nulls_$k"))
+    val h = src0.agg(aggs.head, aggs.tail: _*).head()
+    val srcRows = h.getAs[Long]("__n")
+    on.foreach(k => require(h.getAs[Long](s"__nulls_$k") == 0L,
+      s"mergeInto: source has NULL keys in '$k'"))
+    require(h.getAs[Long]("__nd") == srcRows,
+      s"mergeInto: source keys are not unique " +
+        s"(${srcRows} rows, ${h.getAs[Long]("__nd")} distinct keys)")
+    if (srcRows == 0L)
+      return MutationResult(v, 0, 0, rowsOf(name, v), rowsOf(name, v))
+    val (touched, all) =
+      if (h.getAs[Long]("__nd") <= keyCollectMax) {
+        // small source: per-column IN lists ride the full stats + BLOOM
+        // evaluator (a point-lookup merge on a bloom-indexed version
+        // localizes to the exact files holding the keys)
+        val tuples = src0.select(on.map(col): _*).distinct().collect()
+        touchedFiles(name, v, on.zipWithIndex.map { case (k, i) =>
+          col(k).isin(tuples.map(_.get(i)).distinct.toSeq: _*)
+        }.reduce(_ && _))
+      } else touchedByEnvelope(name, v, src0, on)
+    val touchedDf = readVersionFiles(name, v, touched)
+    val s = src0.select(src0.columns.map(c => col(c).as(s"__s_$c")): _*)
+    val joinCond = on.map(k => col(k) === col(s"__s_$k")).reduce(_ && _)
+    // matched target rows take source values, keep their sys identity
+    val joined = touchedDf.join(s, joinCond, "left")
+    val matched = col(s"__s_${on.head}").isNotNull // source keys non-null
+    val survivors = joined.select(
+      (target.columns.map { c =>
+        if (c == Sys.ColName || on.contains(c)) col(c)
+        else when(matched, col(s"__s_$c")).otherwise(col(c))
+          .cast(target.schema(c).dataType).as(c)
+      } :+ when(matched, 1L).otherwise(0L).as("__m")) :+
+        lit(0L).as("__i"): _*)
+    val out =
+      if (!insertNotMatched) survivors
+      else {
+        // an unmatched source key cannot live in an untouched file (the
+        // prune predicate is a superset of key membership), so the anti
+        // join only needs the touched files' keys
+        val anti = s.join(touchedDf.select(on.map(col): _*),
+          joinCond, "left_anti")
+        val base = FileStats.leafMaxLong(spark,
+          all.map(r => s"${vDir(name, v).resolve("data")}/$r"), "sys.id")
+          .getOrElse {
+            val r = target.agg(max(col("sys.id"))).head()
+            if (r.isNullAt(0)) -1L else r.getLong(0)
+          }
+        val ins0 = Sys.stampFrom(
+          anti.select(userCols.map(c =>
+            col(s"__s_$c").cast(target.schema(c).dataType).as(c)): _*),
+          base)
+        val ins = ins0.select(
+          (target.columns.map(col) :+ lit(1L).as("__m")) :+
+            lit(1L).as("__i"): _*)
+        survivors.union(ins)
+      }
+    val obs = org.apache.spark.sql.Observation()
+    val rewrittenDf = out
+      .observe(obs, sum(col("__m")).as("matchedPlusIns"),
+        sum(col("__i")).as("inserted"))
+      .drop("__m", "__i")
+    val res = cowRewrite(name, v, touched, all, Some(rewrittenDf),
+      "merge", bloomExpected)
+    val insN = Option(obs.get("inserted")).map(_.asInstanceOf[Long])
+      .getOrElse(0L)
+    val mPlusI = Option(obs.get("matchedPlusIns")).map(_.asInstanceOf[Long])
+      .getOrElse(0L)
+    res.copy(rowsMatched = mPlusI - insN, rowsInserted = insN)
+  }
+
+  /**
+   * Exact touched-file selection for a LARGE merge source (too many
+   * distinct keys to collect): probe each file's footer ENVELOPE against
+   * the source's keys. A file is touched iff, for EVERY key column, some
+   * source key falls inside its [min,max] — files whose envelope no key
+   * enters are provably match-free and hard-linkable. This is what makes
+   * the common upsert shape "update some old keys + insert brand-new
+   * high keys" cheap: a single [min,max] box over the source would span
+   * the whole domain and touch every file; the envelope probe leaves the
+   * uncovered middle alone.
+   *
+   * Scale shape: one broadcast BINNED equi-join per key column — numeric
+   * envelopes expand into at most `binCap` bin rows (bin width = the
+   * median envelope width, so a sorted/z-ordered layout's files land in
+   * ~1 bin each) and source keys join on their bin, map-side-aggregated
+   * down to at most one row per file. Envelopes wider than `binCap` bins
+   * are touched unconditionally (a file spanning the domain is almost
+   * surely hit — pruning it was never on the table). Never a cross
+   * product, never a key collect. String keys use a bounded
+   * nested-loop probe (≤1024 string-stat files; beyond that they stay
+   * conservatively touched — string-keyed point merges should ride the
+   * collectable path and its blooms).
+   */
+  private def touchedByEnvelope(name: String, v: SemVer, src: DataFrame,
+                                on: Seq[String]): (Seq[String], Seq[String]) = {
+    val dataDir = vDir(name, v).resolve("data")
+    val all = walkParquet(dataDir).map(f => dataDir.relativize(f).toString)
+    val stats = fileStats(name, v)
+    if (stats.isEmpty) return (all, all)
+    val byFile = stats.map(s => s.file -> s).toMap
+    var candidates: Set[String] = byFile.keySet
+    for (k <- on if candidates.nonEmpty) {
+      val parts = candidates.toSeq.sorted.map(f => f -> byFile(f).cols.get(k))
+      val (have0, missing) = parts.partition(_._2.isDefined)
+      val have = have0.map { case (f, c) => (f, c.get) }
+      val hit: Set[String] =
+        if (have.isEmpty) Set.empty
+        else have.head._2.kind match {
+          case "l" => probeEnvelopesLong(src, k, have)
+          case "d" => probeEnvelopesDouble(src, k, have)
+          case _ => probeEnvelopesString(src, k, have)
+        }
+      candidates = hit ++ missing.map(_._1)
+    }
+    val touched = candidates ++ all.filterNot(byFile.contains)
+    (all.filter(touched), all)
+  }
+
+  private val envBinCap = 16L
+
+  private def collectHitFiles(joined: DataFrame): Set[String] =
+    joined.groupBy("__f").count().collect().map(_.getString(0)).toSet
+
+  private def probeEnvelopesLong(src: DataFrame, k: String,
+                                 envs: Seq[(String, FileStats.ColStats)])
+      : Set[String] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, expr}
+    val g0 = envs.map(_._2.minL).min
+    val g1 = envs.map(_._2.maxL).max
+    if (g1 - g0 < 0) return envs.map(_._1).toSet // span overflow: keep all
+    val widths = envs.map { case (_, c) => c.maxL - c.minL + 1 }.sorted
+    val w = math.max(1L, widths(widths.size / 2)) // median envelope width
+    val (narrow, wide) = envs.partition { case (_, c) =>
+      (c.maxL - g0) / w - (c.minL - g0) / w < envBinCap
+    }
+    if (narrow.isEmpty) return wide.map(_._1).toSet
+    val env = narrow.flatMap { case (f, c) =>
+      val bLo = (c.minL - g0) / w
+      val bHi = (c.maxL - g0) / w
+      (bLo to bHi).map(b => (f, b, c.minL, c.maxL))
+    }.toDF("__f", "__b", "__lo", "__hi")
+    // the between filter also keeps the bin subtraction overflow-free
+    val keys = src.select(col(k).cast("long").as("__k")).na.drop()
+      .filter(col("__k").between(lit(g0), lit(g1)))
+      .withColumn("__b", expr(s"(__k - ${g0}L) div ${w}L"))
+    val hit = collectHitFiles(keys.join(broadcast(env),
+      keys("__b") === env("__b") &&
+        col("__k") >= col("__lo") && col("__k") <= col("__hi")))
+    hit ++ wide.map(_._1)
+  }
+
+  private def probeEnvelopesDouble(src: DataFrame, k: String,
+                                   envs: Seq[(String, FileStats.ColStats)])
+      : Set[String] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, floor => ffloor}
+    val g0 = envs.map(_._2.minD).min
+    val g1 = envs.map(_._2.maxD).max
+    val widths = envs.map { case (_, c) => c.maxD - c.minD }.sorted
+    val span = g1 - g0
+    val w0 = widths(widths.size / 2)
+    val w = if (w0 > 0) w0 else if (span > 0) span / 4096.0 else 1.0
+    def bin(x: Double): Long = math.floor((x - g0) / w).toLong
+    // ±1 bin guard: double rounding at a boundary must only ADD touches
+    val (narrow, wide) = envs.partition { case (_, c) =>
+      bin(c.maxD) - bin(c.minD) + 2 < envBinCap
+    }
+    if (narrow.isEmpty) return wide.map(_._1).toSet
+    val env = narrow.flatMap { case (f, c) =>
+      (bin(c.minD) - 1 to bin(c.maxD) + 1).map(b => (f, b, c.minD, c.maxD))
+    }.toDF("__f", "__b", "__lo", "__hi")
+    val keys = src.select(col(k).cast("double").as("__k")).na.drop()
+      .filter(col("__k").between(lit(g0), lit(g1))) // drops NaN too
+      .withColumn("__b", ffloor((col("__k") - lit(g0)) / lit(w)).cast("long"))
+    val hit = collectHitFiles(keys.join(broadcast(env),
+      keys("__b") === env("__b") &&
+        col("__k") >= col("__lo") && col("__k") <= col("__hi")))
+    hit ++ wide.map(_._1)
+  }
+
+  private def probeEnvelopesString(src: DataFrame, k: String,
+                                   envs: Seq[(String, FileStats.ColStats)])
+      : Set[String] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    if (envs.size > 1024) return envs.map(_._1).toSet
+    // Spark's string ordering IS UTF-8 byte order — the same domain the
+    // footer envelopes live in, so the comparison is consistent
+    val env = envs.map { case (f, c) => (f, c.minS, c.maxS) }
+      .toDF("__f", "__lo", "__hi")
+    collectHitFiles(src.select(col(k).cast("string").as("__k")).na.drop()
+      .join(broadcast(env),
+        col("__k") >= col("__lo") && col("__k") <= col("__hi")))
   }
 
   /** Per-file footer stats recorded at save time (empty when the version

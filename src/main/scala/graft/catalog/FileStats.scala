@@ -195,6 +195,61 @@ object FileStats {
     stats.map(s => s.copy(file = relativize(dataDir, s.file)))
   }
 
+  /**
+   * Footer-only max of one integral LEAF column (dotted path, e.g. the
+   * nested `sys.id`) across `files` — the metadata pass copy-on-write
+   * merges use to pick an insert-id base past every carried row. Returns
+   * None when any file lacks usable stats for the leaf (caller falls
+   * back to a column scan); Some(-1) for an empty file list so ids start
+   * at 0. Fanned over executors like [[harvest]] past a handful of files.
+   */
+  def leafMaxLong(spark: SparkSession, files: Seq[String], leaf: String)
+      : Option[Long] = {
+    def one(p: String): Option[Long] = {
+      val in = HadoopInputFile.fromPath(new HPath(p), new Configuration())
+      val reader = ParquetFileReader.open(in)
+      try {
+        var mx = Long.MinValue
+        var any = false
+        var ok = true
+        val it = reader.getFooter.getBlocks.iterator()
+        while (it.hasNext && ok) {
+          val b = it.next()
+          var found = false
+          val cit = b.getColumns.iterator()
+          while (cit.hasNext && ok) {
+            val c = cit.next()
+            if (c.getPath.toDotString == leaf) {
+              found = true
+              val st = c.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) ok = false
+              else c.getPrimitiveType.getPrimitiveTypeName match {
+                case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+                  mx = math.max(mx,
+                    st.genericGetMax.asInstanceOf[Number].longValue)
+                  any = true
+                case _ => ok = false
+              }
+            }
+          }
+          // a row group without the leaf at all: only all-null groups do
+          // this for a present column — can't bound, fall back
+          if (!found) ok = false
+        }
+        if (ok && any) Some(mx) else None
+      } finally reader.close()
+    }
+    if (files.isEmpty) Some(-1L)
+    else {
+      val per =
+        if (files.size <= 4) files.map(one)
+        else spark.sparkContext
+          .parallelize(files, math.min(files.size, 32))
+          .map(one).collect().toSeq
+      if (per.forall(_.isDefined)) Some(per.flatten.max) else None
+    }
+  }
+
   // ---- stats.json (de)serialization — same hand-rolled JSON style as
   // meta.json; values carry a kind tag so longs stay long-exact ----
 

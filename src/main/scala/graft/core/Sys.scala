@@ -35,4 +35,15 @@ object Sys {
 
   def drop(df: DataFrame): DataFrame =
     if (df.columns.contains(ColName)) df.drop(ColName) else df
+
+  /** Stamp sys for rows APPENDED to an existing version (copy-on-write
+    * merge inserts): ids start past `base` — the max id already present
+    * in the carried files — so carried rows keep their identity and new
+    * rows never collide with it. Same rand derivation as [[stamp]]. */
+  def stampFrom(df: DataFrame, base: Long, seed: Long = 0L): DataFrame = {
+    val b = if (df.columns.contains(ColName)) df.drop(ColName) else df
+    val id = monotonically_increasing_id() + lit(base + 1L)
+    val rnd = xxhash64(id, lit(seed)).bitwiseAND(lit(Long.MaxValue))
+    b.withColumn(ColName, struct(id.as("id"), rnd.as("rand")))
+  }
 }

@@ -75,6 +75,54 @@ object Delta {
   }
 
   /**
+   * Delta-style CHANGE DATA FEED between two saved versions: one row per
+   * change labeled `_change_type` ∈ `insert` / `delete` /
+   * `update_preimage` / `update_postimage` (the exact Delta CDF vocabulary,
+   * so downstream consumers written against `table_changes()` port
+   * unchanged). Inserts and update_postimage rows carry `to`'s values;
+   * deletes and update_preimage rows carry `from`'s. Unchanged rows never
+   * surface.
+   *
+   * One full-outer join on the keys at any scale — the M rows fan out into
+   * their pre/post pair via a 2-element array explode, never a second
+   * join. Composes with [[diffVersions]] (same key/compare semantics) and
+   * with the copy-on-write mutations ([[graft.catalog.Catalog.deleteWhere]]
+   * etc.), whose versions this feed audits.
+   */
+  def readChanges(catalog: Catalog, name: String,
+                  from: SemVer, to: SemVer,
+                  on: Seq[String], compare: Seq[String] = Seq.empty,
+                  typeCol: String = "_change_type"): Chain = {
+    val newer = graft.core.Sys.drop(
+      catalog.readDataset(name, Some(to)).toDF).alias("l")
+    val older = graft.core.Sys.drop(
+      catalog.readDataset(name, Some(from)).toDF).alias("r")
+    val cols = graft.core.Sys.drop(
+      catalog.readDataset(name, Some(to)).toDF).columns.toSeq
+    val cmp = if (compare.nonEmpty) compare else cols.filterNot(on.contains)
+    val cond = on.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    val joined = newer.join(older, cond, "full_outer")
+      .withColumn("__l", on.map(k => col(s"l.$k").isNotNull).reduce(_ || _))
+      .withColumn("__r", on.map(k => col(s"r.$k").isNotNull).reduce(_ || _))
+    val modifiedCond =
+      if (cmp.isEmpty) lit(false)
+      else cmp.map(c => !(col(s"l.$c") <=> col(s"r.$c"))).reduce(_ || _)
+    val kinds = when(col("__l") && !col("__r"), array(lit("insert")))
+      .when(!col("__l") && col("__r"), array(lit("delete")))
+      .when(modifiedCond,
+        array(lit("update_preimage"), lit("update_postimage")))
+      .otherwise(array().cast("array<string>")) // S rows explode to nothing
+    val exploded = joined.withColumn(typeCol, explode(kinds))
+    val fromSide = col(typeCol) === "delete" ||
+      col(typeCol) === "update_preimage"
+    val out = exploded.select(cols.map(c =>
+      when(fromSide, col(s"r.$c")).otherwise(col(s"l.$c")).as(c)) :+
+      col(typeCol): _*)
+    Chain(out, graft.core.OpTree.empty
+      .append("read_changes", name, from.toString, to.toString))
+  }
+
+  /**
    * Incremental save of `transform(source)` under `name`.
    *
    * `sourceSnapshotName` is the catalog dataset where each run persists its

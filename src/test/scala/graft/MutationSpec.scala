@@ -1,0 +1,262 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.catalog.{Catalog, SemVer}
+import graft.core.Chain
+
+/** Copy-on-write row mutations: DELETE / UPDATE / MERGE INTO as new
+  * immutable versions that rewrite only stats-touched files and
+  * hard-link the rest. */
+class MutationSpec extends SparkSpec {
+
+  private def inode(p: java.nio.file.Path): Any =
+    Files.getAttribute(p, "unix:ino")
+
+  private def dataFiles(root: String, name: String, v: SemVer) = {
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(root, "datasets", name, s"v$v", "data")
+    val w = Files.walk(d)
+    try w.iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toList
+    finally w.close()
+  }
+
+  /** orders saved as 8 range-partitioned files → narrow o_orderkey
+    * envelopes per file, so a key-range mutation touches few files. */
+  private def saveOrders(cat: Catalog, name: String,
+                         bloomCols: Seq[String] = Nil): Unit = {
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    cat.save(Chain(o), name, bloomCols = bloomCols)
+  }
+
+  test("deleteWhere rewrites only touched files, links the rest, equals filter") {
+    val root = Files.createTempDirectory("mut_del").toString
+    val cat = new Catalog(root, spark)
+    saveOrders(cat, "ord")
+    val v1 = cat.latestVersion("ord").get
+    val before = cat.readDataset("ord").toDF
+    val mx = before.agg(max("o_orderkey")).head().getLong(0)
+    val pred = col("o_orderkey") <= mx / 16 // first file(s) only
+    val r = cat.deleteWhere("ord", pred)
+    assert(r.filesReused > 0 && r.filesRewritten >= 1 &&
+      r.filesRewritten + r.filesReused >= 8,
+      s"expected mostly reuse, got $r")
+    // result == old.filter(NOT(pred IS TRUE))
+    val expect = before.filter(not(coalesce(pred, lit(false))))
+    val got = cat.readDataset("ord").toDF
+    assert(got.count() === r.rowsAfter)
+    assert(expect.exceptAll(got.select(expect.columns.map(col): _*)).isEmpty &&
+      got.select(expect.columns.map(col): _*).exceptAll(expect).isEmpty)
+    // surviving rows keep their sys identity
+    val oldIds = expect.select("sys.id").collect().map(_.getLong(0)).toSet
+    val newIds = got.select("sys.id").collect().map(_.getLong(0)).toSet
+    assert(newIds === oldIds)
+    // linked files share the inode with the old version (zero bytes copied)
+    val v2 = cat.latestVersion("ord").get
+    val oldByName = dataFiles(root, "ord", v1)
+      .map(p => p.getFileName.toString -> p).toMap
+    val shared = dataFiles(root, "ord", v2).filter(p =>
+      oldByName.get(p.getFileName.toString)
+        .exists(o => inode(o) == inode(p)))
+    assert(shared.size === r.filesReused)
+    // lineage dep on the mutated version
+    assert(cat.depsOf("ord", v2) === Seq(("ord", v1)))
+  }
+
+  test("deleteWhere keeps NULL-predicate rows (SQL DELETE semantics)") {
+    val root = Files.createTempDirectory("mut_null").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+      .toDF("k", "x")
+    cat.save(Chain(df), "t")
+    val r = cat.deleteWhere("t", col("x") > 15L)
+    // x=30 deleted; x=10 (false) and x=null (null) stay
+    val got = cat.readDataset("t").toDF.select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L))
+    assert(r.rowsBefore === 3 && r.rowsAfter === 2)
+  }
+
+  test("deleteWhere: new version's stats cover every file; pruned reads stay exact") {
+    val root = Files.createTempDirectory("mut_stats").toString
+    val cat = new Catalog(root, spark)
+    saveOrders(cat, "ord", bloomCols = Seq("o_orderkey"))
+    val mx = cat.readDataset("ord").toDF.agg(max("o_orderkey"))
+      .head().getLong(0)
+    cat.deleteWhere("ord", col("o_orderkey") <= mx / 16)
+    val v2 = cat.latestVersion("ord").get
+    val files = dataFiles(root, "ord", v2)
+    assert(cat.fileStats("ord", v2).size === files.size)
+    // the carried + rebuilt index still prunes, and pruned == full filter
+    val pred = col("o_orderkey") > mx / 2
+    val (kept, total) = cat.pruneCount("ord", pred)
+    assert(kept < total, s"stats must still prune: $kept/$total")
+    val full = cat.readDataset("ord").toDF.filter(pred)
+    val pruned = cat.readDatasetWhere("ord", pred).toDF
+    assert(pruned.count() === full.count())
+    // blooms carried for linked files + built for new ones
+    assert(cat.fileBlooms("ord", v2).size === files.size)
+  }
+
+  test("updateWhere: simultaneous assignment over OLD values, sys kept") {
+    val root = Files.createTempDirectory("mut_upd").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    val df = Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))
+      .toDF("k", "a", "b")
+    cat.save(Chain(df), "t")
+    val sysBefore = cat.readDataset("t").toDF
+      .select(col("k"), col("sys.id")).as[(Long, Long)].collect().toMap
+    // swap a and b where k <= 2: both RHS see the old row
+    val r = cat.updateWhere("t", col("k") <= 2L,
+      Map("a" -> col("b"), "b" -> col("a")))
+    val got = cat.readDataset("t").toDF
+      .select("k", "a", "b").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 100L, 10L), (2L, 200L, 20L), (3L, 30L, 300L)))
+    assert(r.rowsBefore === 3 && r.rowsAfter === 3)
+    val sysAfter = cat.readDataset("t").toDF
+      .select(col("k"), col("sys.id")).as[(Long, Long)].collect().toMap
+    assert(sysAfter === sysBefore, "updated rows must keep sys identity")
+    intercept[IllegalArgumentException](
+      cat.updateWhere("t", lit(true), Map.empty))
+    intercept[IllegalArgumentException](
+      cat.updateWhere("t", lit(true), Map("nope" -> lit(1))))
+  }
+
+  test("mergeInto: upsert updates matched (sys kept), inserts unmatched (fresh ids)") {
+    val root = Files.createTempDirectory("mut_merge").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "s", "x")
+    cat.save(Chain(df), "t")
+    val oldIds = cat.readDataset("t").toDF
+      .select(col("k"), col("sys.id")).as[(Long, Long)].collect().toMap
+    val src = Seq((2L, "B", 20.0), (4L, "d", 4.0)).toDF("k", "s", "x")
+    val r = cat.mergeInto("t", src, Seq("k"))
+    assert(r.rowsMatched === 1 && r.rowsInserted === 1)
+    assert(r.rowsBefore === 3 && r.rowsAfter === 4)
+    val got = cat.readDataset("t").toDF
+      .select("k", "s", "x").as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "a", 1.0), (2L, "B", 20.0),
+      (3L, "c", 3.0), (4L, "d", 4.0)))
+    val ids = cat.readDataset("t").toDF
+      .select(col("k"), col("sys.id")).as[(Long, Long)].collect().toMap
+    // matched + unmatched target rows keep their ids
+    assert(ids(1L) === oldIds(1L) && ids(2L) === oldIds(2L) &&
+      ids(3L) === oldIds(3L))
+    // the insert's id is fresh: past every carried id
+    assert(ids(4L) > oldIds.values.max)
+    assert(ids.values.toSeq.distinct.size === 4, "ids must stay unique")
+  }
+
+  test("mergeInto enforces Delta's cardinality rule and schema equality") {
+    val root = Files.createTempDirectory("mut_card").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    cat.save(Chain(Seq((1L, "a")).toDF("k", "s")), "t")
+    intercept[IllegalArgumentException](cat.mergeInto("t",
+      Seq((1L, "x"), (1L, "y")).toDF("k", "s"), Seq("k")))
+    intercept[IllegalArgumentException](cat.mergeInto("t",
+      Seq((Option.empty[Long], "x")).toDF("k", "s"), Seq("k")))
+    intercept[IllegalArgumentException](cat.mergeInto("t",
+      Seq((1L, 2L)).toDF("k", "other"), Seq("k")))
+  }
+
+  test("mergeInto on a range layout rewrites only key-overlapping files") {
+    val root = Files.createTempDirectory("mut_prune").toString
+    val cat = new Catalog(root, spark)
+    saveOrders(cat, "ord")
+    val before = cat.readDataset("ord").toDF
+    val mx = before.agg(max("o_orderkey")).head().getLong(0)
+    // source: a handful of keys from the low end + one brand-new key
+    val keys = before.filter(col("o_orderkey") <= mx / 16)
+      .select("o_orderkey").limit(5)
+      .collect().map(_.getLong(0))
+    val src = before.filter(col("o_orderkey").isin(keys.toSeq: _*))
+      .drop("sys")
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+      .union(before.drop("sys").limit(1)
+        .withColumn("o_orderkey", lit(mx + 1000000L)))
+    val r = cat.mergeInto("ord", src, Seq("o_orderkey"))
+    assert(r.filesReused > 0,
+      s"low-end keys must not touch high-range files: $r")
+    assert(r.rowsMatched === keys.length && r.rowsInserted === 1)
+    assert(r.rowsAfter === r.rowsBefore + 1)
+  }
+
+  test("mergeInto large source: envelope probe skips the uncovered middle") {
+    val root = Files.createTempDirectory("mut_rset").toString
+    val cat = new Catalog(root, spark)
+    saveOrders(cat, "ord")
+    val before = cat.readDataset("ord").toDF
+    val mx = before.agg(max("o_orderkey")).head().getLong(0)
+    // low-band updates + far-high inserts, forced down the large path
+    // (keyCollectMax=0): a [min,max] box over the source would touch
+    // every file; the envelope probe touches only the low-band files
+    val updates = before.drop("sys").filter(col("o_orderkey") <= mx / 16)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserts = before.drop("sys").limit(3)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(mx + 1000000L))
+    val r = cat.mergeInto("ord", updates.union(inserts), Seq("o_orderkey"),
+      keyCollectMax = 0)
+    assert(r.filesReused > 0,
+      s"range-set must leave middle files hard-linked: $r")
+    assert(r.rowsInserted === 3)
+    assert(r.rowsAfter === r.rowsBefore + 3)
+    // and the result is still exact
+    val got = cat.readDataset("ord").toDF.drop("sys")
+    val expect = before.drop("sys")
+      .filter(col("o_orderkey") > mx / 16)
+      .union(updates).union(inserts)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
+  test("readChanges: Delta CDF vocabulary over a mutation trail") {
+    val root = Files.createTempDirectory("mut_cdf").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "s")
+    cat.save(Chain(df), "t")
+    val v1 = cat.latestVersion("t").get
+    cat.deleteWhere("t", col("k") === 2L)
+    cat.updateWhere("t", col("k") === 3L, Map("s" -> lit("C")))
+    cat.mergeInto("t", Seq((5L, "e")).toDF("k", "s"), Seq("k"))
+    val v4 = cat.latestVersion("t").get
+    val got = graft.delta.Delta.readChanges(cat, "t", v1, v4, Seq("k"))
+      .toDF.select("k", "s", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(got === Set(
+      (2L, "b", "delete"),
+      (3L, "c", "update_preimage"),
+      (3L, "C", "update_postimage"),
+      (5L, "e", "insert")))
+    // unchanged k=1/k=4 never surface; adjacent versions diff too
+    val step = graft.delta.Delta.readChanges(cat, "t", v1,
+      cat.versions("t")(1), Seq("k")).toDF
+      .select("_change_type").as[String].collect().toSeq
+    assert(step === Seq("delete"))
+  }
+
+  test("mutations on a hive-partitioned version keep the layout") {
+    val root = Files.createTempDirectory("mut_part").toString
+    val cat = new Catalog(root, spark)
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+    cat.save(Chain(n), "nat", partitionBy = Seq("n_regionkey"))
+    val r = cat.deleteWhere("nat", col("n_nationkey") % 2 === 0)
+    val v2 = cat.latestVersion("nat").get
+    // rewritten files landed back under key=value dirs
+    assert(dataFiles(root, "nat", v2).forall(p =>
+      p.getParent.getFileName.toString.startsWith("n_regionkey=")))
+    val got = cat.readDataset("nat").toDF
+    assert(got.schema("n_regionkey").dataType ===
+      n.schema("n_regionkey").dataType)
+    assert(got.count() === r.rowsAfter)
+    assert(got.filter(col("n_nationkey") % 2 === 0).count() === 0)
+  }
+}
