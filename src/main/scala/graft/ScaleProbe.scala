@@ -19,7 +19,7 @@ object ScaleProbe {
     //   lm,exactsubstr,dsir,semdedup,ann,graph,triangles,lpa,kmeans,kcore,
     //   heavyhitters,covariance,kll,topk,sketchoverlap,saltjoin,bucketjoin,
     //   pq,profile,rollingdistinct,funnel,statsskip,bloomskip,
-    //   intervaljoin,mediameta,optimize,tokenmix (default all)
+    //   intervaljoin,mediameta,optimize,tokenmix,crawl,mutate (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
       .map(s => (x: String) => s(x)).getOrElse(_ => true)
@@ -1101,6 +1101,71 @@ object ScaleProbe {
         println(f"crawl K=$k%-3d files=$k (${mb}%.1f MB each) " +
           f"domains=$nDomains%-4d ${sec}%.2f s  " +
           f"${k * mb / sec}%.1f MB/s aggregate (gz)")
+      }
+    }
+    // Fuzzy-join probe: BOTH tables grow K×, and because every copy keeps
+    // the base text, the TRUE match set grows ~K² by construction (every
+    // L copy of a doc matches every R copy) — a deliberately adversarial
+    // density. The claim under test: pair work scales with MATCHES (the
+    // band buckets emit candidates ≈ true matches), never with |L|×|R|
+    // (1.6e9 pairs at K=8, vs ~350k candidates actually verified).
+    if (want("fuzzyjoin")) {
+      ks.foreach { k =>
+        val lhs = docs.crossJoin(
+            spark.range(k).select(col("id").as("__c")))
+          .select((col("doc_id") * k + col("__c")).as("doc_id"),
+            concat(col("text"), lit(" L"), col("__c")).as("text"))
+        val rhs = docs.crossJoin(
+            spark.range(k).select(col("id").as("__c")))
+          .select((col("doc_id") * k + col("__c")).as("doc_id"),
+            concat(col("text"), lit(" R"), col("__c")).as("text"))
+        val t0 = System.nanoTime()
+        val n = graft.ops.Dedup.fuzzyJoin(lhs, "text", "doc_id",
+          rhs, "text", "doc_id", threshold = 0.5).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"fuzzyjoin K=$k%-3d rows=${5000L * k}x2 matches=$n%-8d ${sec}%.2f s")
+      }
+    }
+
+    // Copy-on-write mutation probe: the version grows K× (rows AND file
+    // count — keys shifted per copy so the layout stays range-sorted)
+    // while the mutation keeps touching the SAME low key band. The honest
+    // prediction: deleteWhere wall time is ~FLAT in K (rewrite cost is
+    // O(touched files); the linked remainder costs one hard link per
+    // file, metadata only) while filesReused grows linearly — the
+    // evidence that mutating a 100 TB dataset costs what the mutation
+    // touches, not what the dataset weighs. mergeInto's envelope probe is
+    // timed beside it with a fixed source for the same reason.
+    if (want("mutate")) {
+      import java.nio.file.{Files => JFiles}
+      val orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      val span = orders.agg(max("o_orderkey")).head().getLong(0) + 1L
+      ks.foreach { k =>
+        val root = JFiles.createTempDirectory(s"probe_mut_$k").toString
+        val cat = new graft.catalog.Catalog(root, spark)
+        val amplified = orders
+          .crossJoin(spark.range(k).select(col("id").as("__c")))
+          .select((col("o_orderkey") + col("__c") * span).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"))
+          .repartitionByRange(8 * k, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey")
+        val tS = System.nanoTime()
+        cat.save(graft.core.Chain(amplified), "ord")
+        val saveSec = (System.nanoTime() - tS) / 1e9
+        val t0 = System.nanoTime()
+        val d = cat.deleteWhere("ord", col("o_orderkey") <= span / 16)
+        val delSec = (System.nanoTime() - t0) / 1e9
+        val src = orders.limit(10000)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+          .dropDuplicates("o_orderkey")
+        val t1 = System.nanoTime()
+        val m = cat.mergeInto("ord", src, Seq("o_orderkey"),
+          keyCollectMax = 0) // force the envelope-probe path
+        val mrgSec = (System.nanoTime() - t1) / 1e9
+        println(f"mutate K=$k%-3d files=${8 * k}%-4d save=${saveSec}%.2f s  " +
+          f"delete=${delSec}%.2f s (rw=${d.filesRewritten} ln=${d.filesReused})  " +
+          f"merge=${mrgSec}%.2f s (rw=${m.filesRewritten} ln=${m.filesReused})")
       }
     }
     spark.stop()
