@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.Chain
-import graft.catalog.Catalog
+import graft.catalog.{Catalog, Expect, ExpectFailed}
 import graft.delta.Delta
 import graft.files.FileOps
 import graft.functions.GraftFunctions._
@@ -2941,6 +2941,78 @@ object SparkEntry {
         s"merge on low-end keys must reuse high-range files: $r")
       require(r.rowsInserted > 0 && r.rowsMatched > 0, s"merge shape: $r")
       require(r.rowsAfter == r.rowsBefore + r.rowsInserted, s"merge rows: $r")
+      cat.readDataset("ord").selectExcept("sys").toDF
+    }),
+
+    "q_stream_upsert" -> ((s, dir) => {
+      // streaming CDC apply (Delta APPLY CHANGES INTO): a staged change
+      // feed — updates, deletes, and brand-new keys, globally unique so
+      // the final state is micro-batch-boundary independent — merges into
+      // a range-laid orders version per batch (foreachBatch → mergeInto,
+      // maxFilesPerTrigger=1 forces a multi-batch run); the maintained
+      // table is the oracle
+      val root = Files.createTempDirectory("graft_scdc").toString
+      val cat = new Catalog(root, s)
+      val o = T(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      cat.save(Chain(o), "ord")
+      val base = T(s, dir, "orders")
+      val mx = base.agg(max("o_orderkey")).head().getLong(0)
+      val updates = base.filter(col("o_orderkey") % 9 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("__del", lit(false))
+      val deletes = base.filter(col("o_orderkey") % 9 === 1)
+        .withColumn("__del", lit(true))
+      val inserts = base.filter(col("o_orderkey") % 9 === 2)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(mx + 1000000L))
+        .withColumn("__del", lit(false))
+      val stage = Files.createTempDirectory("graft_scdc_feed")
+      updates.union(deletes).union(inserts)
+        .coalesce(2).write.mode("overwrite").parquet(stage.toString)
+      val stream = s.readStream
+        .schema(s.read.parquet(stage.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.toString)
+      val ckpt = Files.createTempDirectory("graft_scdc_ckpt").toString
+      graft.streaming.EventStream.applyChanges(stream, cat, "ord",
+        Seq("o_orderkey"), ckpt, deleteCol = Some("__del"))
+        .awaitTermination()
+      require(cat.versions("ord").size > 2,
+        s"multi-batch CDC must land multiple versions: ${cat.versions("ord")}")
+      cat.readDataset("ord").selectExcept("sys").toDF
+    }),
+
+    "q_expectations" -> ((s, dir) => {
+      // data-quality expectations at save (Delta CHECK constraints /
+      // Deequ gates): a failing fail-mode constraint aborts BEFORE the
+      // version is claimed (asserted: no visible version, zero cost via
+      // the write's own Observation); then one save runs a drop + a
+      // quarantine + a passing fail-mode gate together — kept rows are
+      // the oracle, the quarantine version holds exactly the rejects,
+      // and the outcome attrs audit every expectation on the meta
+      val root = Files.createTempDirectory("graft_expect").toString
+      val cat = new Catalog(root, s)
+      val o = T(s, dir, "orders")
+      val aborted =
+        try { cat.save(Chain(o), "ord", expect = Seq(
+          Expect("impossible", col("o_totalprice") < 0.0))); false }
+        catch { case _: ExpectFailed => true }
+      require(aborted && cat.versions("ord").isEmpty,
+        "fail-mode violation must abort before the claim")
+      cat.save(Chain(o), "ord", expect = Seq(
+        Expect("cust_mod", col("o_custkey") % 7 =!= 3, mode = "drop"),
+        Expect("key_mod", col("o_orderkey") % 10 =!= 0, mode = "quarantine"),
+        Expect("key_positive", col("o_orderkey") > 0L)))
+      val qRows = cat.readDataset("ord__quarantine").toDF.count()
+      val expectQ = o.filter(col("o_orderkey") % 10 === 0).count()
+      require(qRows == expectQ,
+        s"quarantine must hold exactly the rejects: $qRows vs $expectQ")
+      val meta = cat.readMeta("ord", cat.latestVersion("ord").get)
+      require(meta.contains("expect:key_positive=pass") &&
+        meta.contains("expect:cust_mod=dropped:") &&
+        meta.contains("expect:quarantine=ord__quarantine@v"),
+        s"outcome attrs must audit the expectations: $meta")
       cat.readDataset("ord").selectExcept("sys").toDF
     }),
 
@@ -6294,6 +6366,22 @@ object SparkEntry {
           | CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 16 FROM orders)
           |   THEN upper(o_orderpriority) ELSE o_orderpriority END AS o_orderpriority
           |FROM orders""".stripMargin,
+
+      "q_stream_upsert" ->
+        """WITH mxv AS (SELECT max(o_orderkey) AS mx FROM orders)
+          |SELECT o_orderkey, o_custkey, o_orderstatus,
+          |  o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+          |FROM orders WHERE o_orderkey % 9 = 0
+          |UNION ALL
+          |SELECT * FROM orders WHERE o_orderkey % 9 NOT IN (0, 1)
+          |UNION ALL
+          |SELECT o_orderkey + (SELECT mx FROM mxv) + 1000000, o_custkey,
+          |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+          |FROM orders WHERE o_orderkey % 9 = 2""".stripMargin,
+
+      "q_expectations" ->
+        """SELECT * FROM orders
+          |WHERE o_custkey % 7 <> 3 AND o_orderkey % 10 <> 0""".stripMargin,
 
       "q_change_feed" ->
         """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 60)

@@ -55,6 +55,37 @@ final case class VersionMeta(
     schemaJson: String, deps: Seq[String], createdAt: String, rows: Long,
     description: String = "", attrs: Seq[String] = Nil)
 
+/**
+ * A data-quality expectation enforced at save time — the Delta CHECK
+ * constraint / Deequ-style gate a training-data pipeline puts in front of
+ * every materialization. A row PASSES only when `predicate` is TRUE
+ * (NULL counts as a violation — stricter than SQL CHECK's null-passes,
+ * because a quality gate must prove the row good, not fail to prove it
+ * bad). Modes:
+ *  - `"fail"`: any violating row ABORTS the save before the version is
+ *    claimed — the tmp-then-claim protocol makes the constraint
+ *    transactional (nothing ever becomes visible), and violations are
+ *    counted by the write's own Observation: zero extra scans.
+ *  - `"drop"`: violating rows are filtered out of the saved version
+ *    (plan-level filter in the same write pass); the dropped count is
+ *    recorded as an `expect:` attr on the version.
+ *  - `"quarantine"`: like drop, plus the violating rows are saved as a
+ *    version of `<name>__quarantine` with an attr pointer from the main
+ *    version — one extra pass over the source, the price of keeping the
+ *    rejects auditable.
+ */
+final case class Expect(name: String,
+                        predicate: org.apache.spark.sql.Column,
+                        mode: String = "fail")
+
+/** Thrown by [[Catalog.save]] when a fail-mode [[Expect]] has violating
+  * rows; the version was NOT committed. */
+final case class ExpectFailed(dataset: String, expectation: String,
+                              violations: Long)
+    extends RuntimeException(
+      s"expectation '$expectation' failed on save of '$dataset': " +
+        s"$violations violating rows; version not committed")
+
 /** Outcome of a copy-on-write row mutation ([[Catalog.deleteWhere]] /
   * [[Catalog.updateWhere]] / [[Catalog.mergeInto]]): the new immutable
   * version plus the file-reuse evidence — `filesReused` files crossed to
@@ -166,11 +197,15 @@ final class Catalog(val root: String, spark: SparkSession) {
            deps: Seq[String] = Seq.empty, bloomCols: Seq[String] = Nil,
            bloomExpected: Long = 100000L, harvestStats: Boolean = true,
            partitionBy: Seq[String] = Nil, description: String = "",
-           attrs: Seq[String] = Nil)
+           attrs: Seq[String] = Nil, expect: Seq[Expect] = Nil)
       : SemVer = {
     requireValidName(name)
     attrs.foreach(a => require(!a.contains(']') && !a.contains('['),
       s"attr may not contain brackets: '$a'"))
+    expect.foreach(e => require(Set("fail", "drop", "quarantine")(e.mode),
+      s"unknown expectation mode '${e.mode}' (fail|drop|quarantine)"))
+    require(expect.map(_.name).distinct.size == expect.size,
+      "expectation names must be unique")
     // fail fast on an explicitly requested version that already exists —
     // before paying for the write
     version.foreach(v => require(!Files.exists(vDir(name, v)),
@@ -188,13 +223,58 @@ final class Catalog(val root: String, spark: SparkSession) {
     try {
       // Row count rides along the write via Observation — no second scan
       // of the written data (at 100 TB a read-back count doubles the save
-      // cost).
+      // cost). Expectation violation counts stack on the same pass:
+      // drop/quarantine counts observe BELOW the filter, fail counts on
+      // the kept rows.
+      val base = chain.toDF
+      val dropModes = expect.filter(e =>
+        e.mode == "drop" || e.mode == "quarantine")
+      val failModes = expect.filter(_.mode == "fail")
+      val preObs = org.apache.spark.sql.Observation()
+      val preMetrics = dropModes.map(e =>
+        count(when(!coalesce(e.predicate, lit(false)), 1))
+          .as(s"viol_${e.name}"))
+      val observed0 =
+        if (preMetrics.nonEmpty)
+          base.observe(preObs, preMetrics.head, preMetrics.tail: _*)
+        else base
+      val keptDf = dropModes.map(e => coalesce(e.predicate, lit(false)))
+        .reduceOption(_ && _).map(observed0.filter).getOrElse(observed0)
       val obs = org.apache.spark.sql.Observation()
-      val stamped = Sys.stamp(chain.toDF).observe(obs, count(lit(1)).as("rows"))
+      val failMetrics = failModes.map(e =>
+        count(when(!coalesce(e.predicate, lit(false)), 1))
+          .as(s"viol_${e.name}"))
+      val stamped = Sys.stamp(keptDf)
+        .observe(obs, count(lit(1)).as("rows"), failMetrics: _*)
       val writer = stamped.write.mode("errorifexists")
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
        else writer).parquet(tmp.resolve("data").toString)
       val rows = obs.get("rows").asInstanceOf[Long]
+      // fail-mode expectations: abort BEFORE the claim — the version is
+      // never visible (tmp dir removed by the finally), the transactional
+      // CHECK-constraint property
+      failModes.foreach { e =>
+        val viol = obs.get(s"viol_${e.name}").asInstanceOf[Long]
+        if (viol > 0) throw ExpectFailed(name, e.name, viol)
+      }
+      val dropViol: Map[String, Long] = dropModes.map(e =>
+        e.name -> preObs.get(s"viol_${e.name}").asInstanceOf[Long]).toMap
+      // quarantine: rejects land as their own auditable dataset version
+      // (one extra pass over the source — skipped entirely when clean)
+      val quarModes = expect.filter(_.mode == "quarantine")
+      val quarAttrs: Seq[String] =
+        if (quarModes.forall(e => dropViol(e.name) == 0L)) Seq.empty
+        else {
+          val qc = quarModes.map(e => !coalesce(e.predicate, lit(false)))
+            .reduce(_ || _)
+          val qv = save(Chain(Sys.drop(base.filter(qc))),
+            s"${name}__quarantine", harvestStats = false)
+          Seq(s"expect:quarantine=${name}__quarantine@v$qv")
+        }
+      val expectAttrs: Seq[String] =
+        failModes.map(e => s"expect:${e.name}=pass") ++
+        dropModes.map(e => s"expect:${e.name}=dropped:${dropViol(e.name)}") ++
+        quarAttrs
       // Footer-stats harvest for data skipping: per-file column min/max
       // from parquet footers only (metadata reads fanned out on
       // executors, never a rescan). Computed on the temp dir so the claim
@@ -251,7 +331,8 @@ final class Catalog(val root: String, spark: SparkSession) {
         Files.move(tmp.resolve("blooms"), dir.resolve("blooms"))
       val meta = metaJson(VersionMeta(
         name, v.toString, chain.hash, SignalSchema.toJson(chain.schema),
-        deps, java.time.Instant.now.toString, rows, description, attrs))
+        deps, java.time.Instant.now.toString, rows, description,
+        attrs ++ expectAttrs))
       Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       if (stats.nonEmpty)
@@ -603,8 +684,10 @@ final class Catalog(val root: String, spark: SparkSession) {
    * (keeping their `sys` identity — a stable row id across mutations);
    * source rows matching no target row are inserted (stamped with sys
    * ids past the version's footer-max id, so identities never collide).
-   * Delta's MERGE cardinality rule is enforced: source keys must be
-   * unique and non-null.
+   * `matchedAction = "delete"` removes matched rows instead — the
+   * delete-by-key-list (GDPR) shape, still rewriting only
+   * key-overlapping files. Delta's MERGE cardinality rule is enforced:
+   * source keys must be unique and non-null.
    *
    * File pruning: when the source's distinct key count fits
    * `keyCollectMax` the touched-file predicate is per-column IN lists
@@ -618,11 +701,14 @@ final class Catalog(val root: String, spark: SparkSession) {
   def mergeInto(name: String, source: DataFrame, on: Seq[String],
                 version: Option[SemVer] = None,
                 insertNotMatched: Boolean = true,
+                matchedAction: String = "update",
                 keyCollectMax: Int = 10000,
                 bloomExpected: Long = 100000L): MutationResult = {
     val v = version.orElse(latestVersion(name)).getOrElse(
       throw new NoSuchElementException(s"dataset $name not found"))
     require(on.nonEmpty, "mergeInto: empty key")
+    require(Set("update", "delete")(matchedAction),
+      s"mergeInto: matchedAction must be update|delete, got '$matchedAction'")
     val src0 = Sys.drop(source)
     val target = readVersionData(name, v)
     val userCols = target.columns.filterNot(_ == Sys.ColName)
@@ -660,13 +746,23 @@ final class Catalog(val root: String, spark: SparkSession) {
     // matched target rows take source values, keep their sys identity
     val joined = touchedDf.join(s, joinCond, "left")
     val matched = col(s"__s_${on.head}").isNotNull // source keys non-null
-    val survivors = joined.select(
-      (target.columns.map { c =>
-        if (c == Sys.ColName || on.contains(c)) col(c)
-        else when(matched, col(s"__s_$c")).otherwise(col(c))
-          .cast(target.schema(c).dataType).as(c)
-      } :+ when(matched, 1L).otherwise(0L).as("__m")) :+
-        lit(0L).as("__i"): _*)
+    // matchedAction="delete" turns the merge into a delete-by-key-list
+    // (the GDPR/right-to-be-forgotten shape): matched target rows are
+    // removed instead of updated, still touching only key-overlapping
+    // files. Its matched count is derived arithmetically after the write
+    // (removed rows can't carry a marker through it).
+    val survivors =
+      if (matchedAction == "delete")
+        joined.filter(!matched).select(
+          (target.columns.map(col) :+ lit(0L).as("__m")) :+
+            lit(0L).as("__i"): _*)
+      else joined.select(
+        (target.columns.map { c =>
+          if (c == Sys.ColName || on.contains(c)) col(c)
+          else when(matched, col(s"__s_$c")).otherwise(col(c))
+            .cast(target.schema(c).dataType).as(c)
+        } :+ when(matched, 1L).otherwise(0L).as("__m")) :+
+          lit(0L).as("__i"): _*)
     val out =
       if (!insertNotMatched) survivors
       else {
@@ -701,7 +797,10 @@ final class Catalog(val root: String, spark: SparkSession) {
       .getOrElse(0L)
     val mPlusI = Option(obs.get("matchedPlusIns")).map(_.asInstanceOf[Long])
       .getOrElse(0L)
-    res.copy(rowsMatched = mPlusI - insN, rowsInserted = insN)
+    val matchedN =
+      if (matchedAction == "delete") res.rowsBefore + insN - res.rowsAfter
+      else mPlusI - insN
+    res.copy(rowsMatched = matchedN, rowsInserted = insN)
   }
 
   /**

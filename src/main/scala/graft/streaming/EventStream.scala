@@ -276,4 +276,63 @@ object EventStream {
         ()
       }
       .start()
+
+  /**
+   * Streaming CDC apply — Delta's `APPLY CHANGES INTO` shape on this
+   * catalog: every micro-batch of change rows MERGEs into `name` as a
+   * new copy-on-write version (foreachBatch → `Catalog.mergeInto`), so a
+   * CDC feed continuously maintains a queryable, time-travelable table
+   * while each merge still rewrites only key-overlapping files.
+   *
+   *  - `seqCol`: last-write-wins WITHIN a micro-batch — only the highest
+   *    sequence per key is applied (cross-batch, later batches win by
+   *    version order). Without it, the merge's cardinality rule rejects
+   *    duplicate keys in a batch, loudly.
+   *  - `deleteCol`: rows with this boolean column TRUE delete their key
+   *    (matchedAction="delete", inserts off — deleting an absent key is
+   *    a no-op); the rest upsert. Both marker columns are stripped
+   *    before the merge so the source matches the target schema.
+   *
+   * Batches that carry only one kind of change produce one version; a
+   * mixed batch produces two (deletes, then upserts — disjoint keys
+   * after the LWW dedup, so the order is immaterial). Empty frames
+   * short-circuit inside mergeInto without bumping a version.
+   */
+  def applyChanges(stream: DataFrame, catalog: graft.catalog.Catalog,
+                   name: String, on: Seq[String], checkpointDir: String,
+                   seqCol: Option[String] = None,
+                   deleteCol: Option[String] = None,
+                   trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        if (!batch0.isEmpty) {
+          val batch = seqCol match {
+            case Some(sc) =>
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(on.map(col): _*).orderBy(col(sc).desc)
+              batch0.withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") === 1).drop("__rn")
+            case None => batch0
+          }
+          val markers = seqCol.toSeq ++ deleteCol.toSeq
+          deleteCol match {
+            case Some(dc) =>
+              val dels = batch.filter(coalesce(col(dc), lit(false)))
+                .drop(markers: _*)
+              val ups = batch.filter(!coalesce(col(dc), lit(false)))
+                .drop(markers: _*)
+              catalog.mergeInto(name, dels, on,
+                matchedAction = "delete", insertNotMatched = false)
+              catalog.mergeInto(name, ups, on)
+            case None =>
+              catalog.mergeInto(name, batch.drop(markers: _*), on)
+          }
+        }
+        ()
+      }
+      .start()
 }

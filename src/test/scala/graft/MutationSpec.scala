@@ -216,6 +216,66 @@ class MutationSpec extends SparkSpec {
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
   }
 
+  test("mergeInto matchedAction=delete: delete-by-key-list with file reuse") {
+    val root = Files.createTempDirectory("mut_delkeys").toString
+    val cat = new Catalog(root, spark)
+    saveOrders(cat, "ord")
+    val before = cat.readDataset("ord").toDF
+    val mx = before.agg(max("o_orderkey")).head().getLong(0)
+    val keys = before.filter(col("o_orderkey") <= mx / 16)
+      .select("o_orderkey").limit(7).collect().map(_.getLong(0))
+    val src = before.drop("sys")
+      .filter(col("o_orderkey").isin(keys.toSeq: _*))
+    val r = cat.mergeInto("ord", src, Seq("o_orderkey"),
+      matchedAction = "delete", insertNotMatched = false)
+    assert(r.rowsMatched === keys.length && r.rowsInserted === 0)
+    assert(r.rowsAfter === r.rowsBefore - keys.length)
+    assert(r.filesReused > 0, s"low-band keys must reuse high files: $r")
+    val got = cat.readDataset("ord").toDF
+    assert(got.filter(col("o_orderkey").isin(keys.toSeq: _*)).count() === 0)
+    assert(got.count() === r.rowsAfter)
+  }
+
+  test("expectations: fail aborts unclaimed, drop filters, quarantine audits") {
+    val root = Files.createTempDirectory("mut_expect").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    import graft.catalog.{Expect, ExpectFailed}
+    val df = Seq((1L, Some(10.0)), (2L, None), (3L, Some(-3.0)),
+      (4L, Some(40.0))).toDF("k", "x")
+    // fail mode: NULL counts as a violation; nothing is committed
+    val ex = intercept[ExpectFailed](cat.save(Chain(df), "t",
+      expect = Seq(Expect("x_present", col("x").isNotNull))))
+    assert(ex.violations === 1)
+    // nothing committed: no reader-visible version (the empty dataset
+    // parent dir is the tmp protocol's footprint, same as any failed save)
+    assert(cat.versions("t").isEmpty)
+    // drop + quarantine in one save, fail-mode checked on KEPT rows
+    cat.save(Chain(df), "t", expect = Seq(
+      Expect("x_nonneg", col("x") >= 0.0, mode = "drop"),      // kills 3 and NULL 2
+      Expect("k_small", col("k") <= 3L, mode = "quarantine"),  // kills 4
+      Expect("k_positive", col("k") > 0L)))                    // passes on kept
+    val kept = cat.readDataset("t").toDF.select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L))
+    // quarantine holds EVERY row violating its expectation (pre-drop)
+    val q = cat.readDataset("t__quarantine").toDF.select("k")
+      .collect().map(_.getLong(0)).toSet
+    assert(q === Set(4L))
+    // outcome attrs on the version: counts + quarantine pointer
+    val meta = cat.readMeta("t", cat.latestVersion("t").get)
+    assert(meta.contains("expect:x_nonneg=dropped:2"), meta)
+    assert(meta.contains("expect:k_small=dropped:1"), meta)
+    assert(meta.contains("expect:k_positive=pass"), meta)
+    assert(meta.contains("expect:quarantine=t__quarantine@v1.0.0"), meta)
+    // clean data: no quarantine version is written
+    val root2 = Files.createTempDirectory("mut_expect2").toString
+    val cat2 = new Catalog(root2, spark)
+    cat2.save(Chain(df.na.drop()), "c", expect = Seq(
+      Expect("x_present", col("x").isNotNull, mode = "quarantine")))
+    assert(cat2.datasets() === Seq("c"))
+  }
+
   test("readChanges: Delta CDF vocabulary over a mutation trail") {
     val root = Files.createTempDirectory("mut_cdf").toString
     val cat = new Catalog(root, spark)

@@ -215,6 +215,46 @@ class StreamingSpec extends SparkSpec {
     assert(cat.readMeta("ev_versions", vs.head).contains("stream@batch"))
   }
 
+  test("applyChanges: CDC feed maintains a table; seqCol is LWW in-batch") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cat_cdc").toString
+    val cat = new graft.catalog.Catalog(root, spark)
+    cat.save(graft.core.Chain(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")), "t")
+    // one batch with duplicate keys (seq decides), a delete, and an insert
+    val feed = Seq(
+      (1L, "a1", 1L, false), (1L, "a2", 2L, false), // LWW: a2 wins
+      (2L, "x", 1L, true),                          // delete k=2
+      (4L, "d", 1L, false))                         // insert
+      .toDF("k", "s", "seq", "del")
+    val stage = Files.createTempDirectory("cdc_feed")
+    feed.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(stage.toString).schema)
+      .parquet(stage.toString)
+    val ckpt = Files.createTempDirectory("cdc_ckpt").toString
+    EventStream.applyChanges(stream, cat, "t", Seq("k"), ckpt,
+      seqCol = Some("seq"), deleteCol = Some("del")).awaitTermination()
+    val got = cat.readDataset("t").toDF.select("k", "s")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a2", 3L -> "c", 4L -> "d"))
+    // without seqCol, duplicate keys in a batch fail LOUDLY (cardinality)
+    val stage2 = Files.createTempDirectory("cdc_feed2")
+    feed.drop("seq").coalesce(1).write.mode("overwrite")
+      .parquet(stage2.toString)
+    val ckpt2 = Files.createTempDirectory("cdc_ckpt2").toString
+    val stream2 = spark.readStream
+      .schema(spark.read.parquet(stage2.toString).schema)
+      .parquet(stage2.toString)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      EventStream.applyChanges(stream2, cat, "t", Seq("k"), ckpt2,
+        deleteCol = Some("del")).awaitTermination())
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(chain.exists(_.contains("not unique")), chain.mkString(" | "))
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val dir = stageDir(s"$sf/events.parquet")
     val schema = spark.read.parquet(dir).schema
