@@ -2983,6 +2983,22 @@ object SparkEntry {
       cat.readDataset("ord").selectExcept("sys").toDF
     }),
 
+    "q_catalog_sql" -> ((s, dir) => {
+      // ANSI SQL over the catalog with time travel: datasets register
+      // lazily as views (`nat` = latest, `nat_v1_0_0` = pinned), so one
+      // anti-join recovers exactly the rows a copy-on-write DELETE
+      // removed — the SQL face of immutable versioning
+      val root = Files.createTempDirectory("graft_sql").toString
+      val cat = new Catalog(root, s)
+      cat.save(Chain(T(s, dir, "nation")), "nat")
+      cat.deleteWhere("nat", col("n_regionkey") === 0L)
+      cat.sql(
+        """SELECT b.n_nationkey, b.n_name
+          |FROM nat_v1_0_0 b LEFT ANTI JOIN nat a
+          |  ON a.n_nationkey = b.n_nationkey
+          |ORDER BY b.n_nationkey""".stripMargin)
+    }),
+
     "q_expectations" -> ((s, dir) => {
       // data-quality expectations at save (Delta CHECK constraints /
       // Deequ gates): a failing fail-mode constraint aborts BEFORE the
@@ -6378,6 +6394,10 @@ object SparkEntry {
           |SELECT o_orderkey + (SELECT mx FROM mxv) + 1000000, o_custkey,
           |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
           |FROM orders WHERE o_orderkey % 9 = 2""".stripMargin,
+
+      "q_catalog_sql" ->
+        """SELECT n_nationkey, n_name FROM nation
+          |WHERE n_regionkey = 0 ORDER BY n_nationkey""".stripMargin,
 
       "q_expectations" ->
         """SELECT * FROM orders

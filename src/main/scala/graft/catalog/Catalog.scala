@@ -929,6 +929,42 @@ final class Catalog(val root: String, spark: SparkSession) {
         col("__k") >= col("__lo") && col("__k") <= col("__hi")))
   }
 
+  // ---- SQL surface: datasets as queryable views -----------------------
+
+  /** SQL view name for a dataset (latest) or a pinned version:
+    * `docs` / `docs_v1_2_0`. Dataset names are already view-safe by
+    * [[requireValidName]] except dashes/dots, which map to underscores. */
+  private def viewName(name: String, v: Option[SemVer]): String = {
+    val base = name.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+    v.map(x => s"${base}_v${x.toString.replace('.', '_')}").getOrElse(base)
+  }
+
+  /**
+   * Run ANSI SQL over the catalog: every dataset is addressable as a
+   * temp view by name (latest version) and as `name_vX_Y_Z` (time
+   * travel), so `sql("SELECT * FROM docs JOIN docs_v1_0_0 USING (id)")`
+   * compares a dataset with its own history. Registration is LAZY and
+   * metadata-cheap: the query text is scanned against the catalog
+   * listing and only the referenced datasets/versions become views —
+   * a catalog with thousands of versions never pays O(versions) schema
+   * reads for one query. Views are plain parquet scans: full predicate
+   * pushdown, column pruning, and Catalyst optimization apply.
+   */
+  def sql(query: String): DataFrame = {
+    val mentioned = "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(query).toSet
+    datasets().foreach { n =>
+      val base = viewName(n, None)
+      if (mentioned(base))
+        readDataset(n).toDF.createOrReplaceTempView(base)
+      versions(n).foreach { v =>
+        val pinned = viewName(n, Some(v))
+        if (mentioned(pinned))
+          readDataset(n, Some(v)).toDF.createOrReplaceTempView(pinned)
+      }
+    }
+    spark.sql(query)
+  }
+
   /** Per-file footer stats recorded at save time (empty when the version
     * predates stats harvesting or harvest failed). */
   // Parsed stats.json cache: version dirs are immutable once committed,

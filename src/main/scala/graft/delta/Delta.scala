@@ -123,6 +123,29 @@ object Delta {
   }
 
   /**
+   * Multi-hop change data feed: [[readChanges]] over every ADJACENT
+   * version pair in `(from, to]`, each row stamped with the
+   * `_commit_version` that produced it — Delta's `table_changes(tbl,
+   * fromV, toV)` per-commit granularity, where the two-version
+   * [[readChanges]] is the net view. One full-outer join per hop
+   * (#versions bounded, each join is the usual one-exchange diff).
+   */
+  def readChangesRange(catalog: Catalog, name: String,
+                       from: SemVer, to: SemVer,
+                       on: Seq[String], compare: Seq[String] = Seq.empty,
+                       typeCol: String = "_change_type"): Chain = {
+    val vs = catalog.versions(name).filter(v => v >= from && v <= to)
+    require(vs.headOption.contains(from) && vs.lastOption.contains(to) &&
+      vs.size >= 2, s"bad version range $from..$to (have: $vs)")
+    val hops = vs.sliding(2).map { case Seq(a, b) =>
+      readChanges(catalog, name, a, b, on, compare, typeCol).toDF
+        .withColumn("_commit_version", lit(b.toString))
+    }.toSeq
+    Chain(hops.reduce(_ union _), graft.core.OpTree.empty
+      .append("read_changes_range", name, from.toString, to.toString))
+  }
+
+  /**
    * Incremental save of `transform(source)` under `name`.
    *
    * `sourceSnapshotName` is the catalog dataset where each run persists its

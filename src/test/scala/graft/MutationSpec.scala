@@ -303,6 +303,43 @@ class MutationSpec extends SparkSpec {
     assert(step === Seq("delete"))
   }
 
+  test("readChangesRange: per-commit granularity with _commit_version") {
+    val root = Files.createTempDirectory("mut_cdfr").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    cat.save(Chain(Seq((1L, "a"), (2L, "b")).toDF("k", "s")), "t") // v1.0.0
+    cat.updateWhere("t", col("k") === 1L, Map("s" -> lit("A")))    // v1.1.0
+    cat.deleteWhere("t", col("k") === 1L)                          // v1.2.0
+    val got = graft.delta.Delta.readChangesRange(cat, "t",
+      SemVer(1, 0, 0), SemVer(1, 2, 0), Seq("k"))
+      .toDF.select("k", "s", "_change_type", "_commit_version")
+      .as[(Long, String, String, String)].collect().toSet
+    // per-commit: the update IS visible (the net two-version feed would
+    // collapse k=1 to a plain delete)
+    assert(got === Set(
+      (1L, "a", "update_preimage", "1.1.0"),
+      (1L, "A", "update_postimage", "1.1.0"),
+      (1L, "A", "delete", "1.2.0")))
+    intercept[IllegalArgumentException](graft.delta.Delta.readChangesRange(
+      cat, "t", SemVer(1, 0, 0), SemVer(9, 0, 0), Seq("k")))
+  }
+
+  test("catalog sql: names + time-travel views, lazily registered") {
+    val root = Files.createTempDirectory("mut_sql").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    cat.save(Chain(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")), "t")
+    cat.save(Chain(Seq((9L, "z")).toDF("k", "s")), "unrelated")
+    cat.deleteWhere("t", col("k") === 2L)
+    // SQL time travel recovers what the mutation deleted
+    val gone = cat.sql(
+      """SELECT b.k FROM t_v1_0_0 b LEFT ANTI JOIN t a ON a.k = b.k""")
+      .as[Long].collect().toSeq
+    assert(gone === Seq(2L))
+    // lazy: the unreferenced dataset never became a view
+    assert(!spark.catalog.tableExists("unrelated"))
+  }
+
   test("mutations on a hive-partitioned version keep the layout") {
     val root = Files.createTempDirectory("mut_part").toString
     val cat = new Catalog(root, spark)
