@@ -2983,6 +2983,26 @@ object SparkEntry {
       cat.readDataset("ord").selectExcept("sys").toDF
     }),
 
+    "q_optimize_where" -> ((s, dir) => {
+      // partial OPTIMIZE (Delta's OPTIMIZE ... WHERE): only the hot low
+      // quarter of a 32-file range layout compacts; the cold 3/4 cross
+      // as hard links (asserted) — the small-file sweep that never
+      // rewrites the cold bulk. Layout-only: oracle pins row identity
+      val root = Files.createTempDirectory("graft_ow").toString
+      val cat = new Catalog(root, s)
+      val o = T(s, dir, "orders")
+        .repartitionByRange(32, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      cat.save(Chain(o), "ord")
+      val mx = o.agg(max("o_orderkey")).head().getLong(0)
+      val r = cat.optimizeWhere("ord", col("o_orderkey") <= mx / 4,
+        nFiles = 2)
+      require(r.rowsBefore == r.rowsAfter, s"layout-only: $r")
+      require(r.filesReused > 16 && r.filesRewritten < 8,
+        s"cold files must link, hot band must compact: $r")
+      cat.readDataset("ord").selectExcept("sys").toDF
+    }),
+
     "q_catalog_sql" -> ((s, dir) => {
       // ANSI SQL over the catalog with time travel: datasets register
       // lazily as views (`nat` = latest, `nat_v1_0_0` = pinned), so one
@@ -6394,6 +6414,9 @@ object SparkEntry {
           |SELECT o_orderkey + (SELECT mx FROM mxv) + 1000000, o_custkey,
           |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
           |FROM orders WHERE o_orderkey % 9 = 2""".stripMargin,
+
+      "q_optimize_where" ->
+        "SELECT * FROM orders",
 
       "q_catalog_sql" ->
         """SELECT n_nationkey, n_name FROM nation

@@ -620,6 +620,48 @@ final class Catalog(val root: String, spark: SparkSession) {
   }
 
   /**
+   * Partial OPTIMIZE (Delta's `OPTIMIZE ... WHERE`): compact ONLY the
+   * files that may contain predicate-matching rows into ~`nFiles`
+   * size-even outputs (scan partitions sized to total/nFiles, the same
+   * packing as [[optimize]]), hard-linking every other file — the
+   * hot-partition small-file sweep that never rewrites the cold 99% of
+   * a 100 TB dataset. Layout-only: touched files are carried WHOLE (no
+   * filtering), so the new version is row-identical to the old one.
+   */
+  def optimizeWhere(name: String, predicate: org.apache.spark.sql.Column,
+                    nFiles: Int = 8,
+                    bloomExpected: Long = 100000L): MutationResult = {
+    val v = latestVersion(name).getOrElse(
+      throw new NoSuchElementException(s"dataset $name not found"))
+    val (touched, all) = touchedFiles(name, v, predicate)
+    val mpbKey = "spark.sql.files.maxPartitionBytes"
+    val ocKey = "spark.sql.files.openCostInBytes"
+    val prevM = spark.conf.get(mpbKey)
+    val prevO = spark.conf.get(ocKey)
+    var packed = false
+    val rewritten =
+      if (touched.isEmpty) None
+      else {
+        val dataDir = vDir(name, v).resolve("data")
+        val total = touched.map(r => Files.size(dataDir.resolve(r))).sum
+        val target = math.max(64L << 10,
+          math.ceil(total.toDouble / math.max(1, nFiles)).toLong)
+        // the scan packs at WRITE time (inside cowRewrite) — confs stay
+        // scoped around the whole rewrite, as in optimize()
+        packed = true
+        spark.conf.set(mpbKey, target.toString)
+        spark.conf.set(ocKey, math.min(4L << 20, target / 16).toString)
+        Some(readVersionFiles(name, v, touched).coalesce(nFiles))
+      }
+    try cowRewrite(name, v, touched, all, rewritten, "optimize_where",
+      bloomExpected)
+    finally if (packed) {
+      spark.conf.set(mpbKey, prevM)
+      spark.conf.set(ocKey, prevO)
+    }
+  }
+
+  /**
    * DELETE WHERE on a saved dataset, committed as a NEW copy-on-write
    * version: rows where `predicate` is TRUE are removed (FALSE and NULL
    * rows stay — SQL DELETE semantics). Only files the stats/bloom index

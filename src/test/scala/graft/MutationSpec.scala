@@ -340,6 +340,31 @@ class MutationSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("unrelated"))
   }
 
+  test("optimizeWhere compacts only matching files, row-identical") {
+    val root = Files.createTempDirectory("mut_ow").toString
+    val cat = new Catalog(root, spark)
+    // 32 range files: the low quarter is the small-file-riddled hot band
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .repartitionByRange(32, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    cat.save(Chain(o), "ord")
+    val v1 = cat.latestVersion("ord").get
+    val before = cat.readDataset("ord").toDF
+    val mx = before.agg(max("o_orderkey")).head().getLong(0)
+    val r = cat.optimizeWhere("ord", col("o_orderkey") <= mx / 4, nFiles = 2)
+    assert(r.rowsBefore === r.rowsAfter, "OPTIMIZE is layout-only")
+    assert(r.filesReused > 16, s"cold files must link, not rewrite: $r")
+    assert(r.filesRewritten < 8, s"hot band must compact: $r")
+    val v2 = cat.latestVersion("ord").get
+    assert(dataFiles(root, "ord", v2).size <
+      dataFiles(root, "ord", v1).size, "file count must drop")
+    // identical rows, sys included (layout-only rewrite carries sys)
+    val after = cat.readDataset("ord").toDF
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+    // stats stay complete: pruning on the new version still exact
+    assert(cat.fileStats("ord", v2).size === dataFiles(root, "ord", v2).size)
+  }
+
   test("mutations on a hive-partitioned version keep the layout") {
     val root = Files.createTempDirectory("mut_part").toString
     val cat = new Catalog(root, spark)
