@@ -560,6 +560,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("readChanges: ONE full-outer join + explode, never a second join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = java.nio.file.Files.createTempDirectory("plan_cdf").toString
+    val cat = new graft.catalog.Catalog(root, spark)
+    cat.save(graft.core.Chain(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s")), "t")
+    cat.updateWhere("t", col("k") === 1L, Map("s" -> lit("A")))
+    val vs = cat.versions("t")
+    val p = graft.delta.Delta.readChanges(cat, "t", vs.head, vs.last,
+      Seq("k")).toDF.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the pre/post pair comes from an array explode on the ONE join's
+    // output — a second join per change type would double the exchange
+    // cost at any scale
+    assert("""\(\d+\) \w*Join""".r.findAllIn(p).size === 1, p)
+    assert(p.contains("FullOuter"), p)
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("catalog sql views keep predicate pushdown and column pruning") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("plan_sql").toString
+    val cat = new graft.catalog.Catalog(root, spark)
+    cat.save(graft.core.Chain(spark.read.parquet(s"$sf/orders.parquet")),
+      "ord_pin")
+    val p = cat.sql(
+      "SELECT o_orderkey FROM ord_pin WHERE o_orderkey = 42")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // a view is a plain parquet scan: the filter reaches the footer and
+    // only the one projected column is read
+    assert(p.contains("PushedFilters:") && p.contains("EqualTo(o_orderkey"), p)
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint>"), p)
+  }
+
   test("kCore peel round: alive set hash-joins into edges, never sort-merge") {
     import spark.implicits._
     // the full q_kcore plan hides behind checkpoint boundaries; pin the
