@@ -2983,6 +2983,32 @@ object SparkEntry {
       cat.readDataset("ord").selectExcept("sys").toDF
     }),
 
+    "q_zorder_nd" -> ((s, dir) => {
+      // N-column Z-ORDER (Delta's ZORDER BY (c1..cN)): a 3-dim quantile
+      // z-curve clusters the rewrite so a single-dimension slab predicate
+      // prunes files on EVERY dimension from footer stats alone —
+      // asserted per dim; the oracle pins the rewrite lossless
+      val root = Files.createTempDirectory("graft_znd").toString
+      val cat = new Catalog(root, s)
+      val o = T(s, dir, "orders").repartition(40)
+      cat.save(Chain(o), "ord")
+      val (v2, _, after) = cat.optimize("ord", nFiles = 16,
+        zorderByCols = Seq("o_custkey", "o_totalprice", "o_orderkey"))
+      require(after <= 16, s"must compact to <=16 files, got $after")
+      val mx = o.agg(max("o_custkey"), max("o_totalprice"),
+        max("o_orderkey")).head()
+      val preds = Seq(
+        col("o_custkey") <= mx.getLong(0) / 8,
+        col("o_totalprice") <= mx.getDouble(1) / 8,
+        col("o_orderkey") <= mx.getLong(2) / 8)
+      preds.foreach { p =>
+        val (kept, total) = cat.pruneCount("ord", p, Some(v2))
+        require(kept < total,
+          s"3-dim z-layout must prune every dimension: $kept/$total for $p")
+      }
+      cat.readDataset("ord").selectExcept("sys").toDF
+    }),
+
     "q_optimize_where" -> ((s, dir) => {
       // partial OPTIMIZE (Delta's OPTIMIZE ... WHERE): only the hot low
       // quarter of a 32-file range layout compacts; the cold 3/4 cross
@@ -6416,6 +6442,9 @@ object SparkEntry {
           |FROM orders WHERE o_orderkey % 9 = 2""".stripMargin,
 
       "q_optimize_where" ->
+        "SELECT * FROM orders",
+
+      "q_zorder_nd" ->
         "SELECT * FROM orders",
 
       "q_catalog_sql" ->

@@ -368,7 +368,8 @@ final class Catalog(val root: String, spark: SparkSession) {
                zorderBy: Option[(String, String)] = None,
                bloomCols: Seq[String] = Nil,
                bloomExpected: Long = 100000L,
-               partitionBy: Seq[String] = Nil): (SemVer, Int, Int) = {
+               partitionBy: Seq[String] = Nil,
+               zorderByCols: Seq[String] = Nil): (SemVer, Int, Int) = {
     val v = latestVersion(name).getOrElse(
       throw new NoSuchElementException(s"dataset $name not found"))
     val dataDir = vDir(name, v).resolve("data")
@@ -387,20 +388,23 @@ final class Catalog(val root: String, spark: SparkSession) {
     val prevMpb = spark.conf.get(mpbKey)
     val prevOc = spark.conf.get(ocKey)
     var packed = false
-    val laid = zorderBy match {
-      case Some((x, y)) =>
-        val bits = 8
+    // 2-col tuple or the N-col list — same quantile z-curve either way
+    val zcols = zorderBy.map(t => Seq(t._1, t._2)).getOrElse(zorderByCols)
+    val laid =
+      if (zcols.nonEmpty) {
+        val bits = math.min(8, 63 / zcols.size)
         val logF = math.max(1,
           math.ceil(math.log(nFiles.toDouble) / math.log(2.0)).toInt)
-        graft.io.Layout.zorderFrameQuantile(df0, x, y, bits)
+        graft.io.Layout.zorderFrameQuantileN(df0, zcols, bits)
           .withColumn("__zcell",
             org.apache.spark.sql.functions.shiftright(
-              org.apache.spark.sql.functions.col("zval"), 2 * bits - logF))
+              org.apache.spark.sql.functions.col("zval"),
+              zcols.size * bits - logF))
           .repartitionByRange(1 << logF,
             org.apache.spark.sql.functions.col("__zcell"))
           .sortWithinPartitions("__zcell", "zval")
           .drop("zval", "__zcell")
-      case None =>
+      } else {
         // size-aware bin-packing (Layout.compactTo's approach): size the
         // SCAN partitions to ~total/nFiles so coalesce merges even-byte
         // chunks. Plain coalesce over the default 128 MB packing folds

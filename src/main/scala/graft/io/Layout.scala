@@ -50,10 +50,23 @@ object Layout {
     * lands at position 2i+1, bit i of `by` at 2i. Unrolled shift/mask/or
     * terms — stays inside whole-stage codegen. */
   def interleave(bx: Column, by: Column, bits: Int = Bits): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(bx, i).bitwiseAND(lit(1L)), 2 * i + 1)
-        .bitwiseOR(shiftleft(shiftright(by, i).bitwiseAND(lit(1L)), 2 * i))
+    interleaveN(Seq(bx, by), bits)
+
+  /** Morton interleave of N bucket ids (each < 2^bits): bit i of bucket
+    * j lands at position i*N + (N-1-j), so dimension 0 owns the most
+    * significant bit of every group — for N=2 this is exactly the
+    * classic (bx, by) layout above. Total width bits*N must fit a long.
+    * Same unrolled shift/mask/or codegen shape. */
+  def interleaveN(bs: Seq[Column], bits: Int = Bits): Column = {
+    require(bs.size >= 2 && bits * bs.size <= 63,
+      s"interleaveN: ${bs.size} dims x $bits bits must fit 63 bits")
+    val n = bs.size
+    bs.zipWithIndex.map { case (b, j) =>
+      (0 until bits).map(i =>
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * n + (n - 1 - j)))
+        .reduce(_.bitwiseOR(_))
     }.reduce(_.bitwiseOR(_))
+  }
 
   /** The z-value column for two dimensions over their exact global ranges
     * (caller supplies the min/max — one agg job; see [[zorderFrame]]). */
@@ -81,12 +94,20 @@ object Layout {
     * non-cheap alias stays a separate projection, so each bucket
     * evaluates once per row. */
   private def bindAndInterleave(df: DataFrame, bx: Column, by: Column,
-                                bits: Int): DataFrame = {
-    require(!df.columns.exists(Set("__zbx", "__zby")),
-      "input columns use reserved internal names __zbx/__zby")
-    df.withColumn("__zbx", bx).withColumn("__zby", by)
-      .withColumn("zval", interleave(col("__zbx"), col("__zby"), bits))
-      .drop("__zbx", "__zby")
+                                bits: Int): DataFrame =
+    bindAndInterleaveN(df, Seq(bx, by), bits)
+
+  private def bindAndInterleaveN(df: DataFrame, bs: Seq[Column],
+                                 bits: Int): DataFrame = {
+    val names = bs.indices.map(i => s"__zb$i")
+    require(!df.columns.exists(names.toSet),
+      "input columns use reserved internal names __zb<i>")
+    val bound = names.zip(bs).foldLeft(df) { case (d, (n, b)) =>
+      d.withColumn(n, b)
+    }
+    bound.withColumn("zval",
+        interleaveN(names.map(col), bits))
+      .drop(names: _*)
   }
 
   /** `df` plus a `zval` column over QUANTILE buckets of (`xCol`, `yCol`):
@@ -100,21 +121,31 @@ object Layout {
     * variant's bit-exact cross-engine reproducibility (approx quantiles
     * are sketch-dependent), which only the oracle gate needs. */
   def zorderFrameQuantile(df: DataFrame, xCol: String, yCol: String,
-                          bits: Int = 8): DataFrame = {
-    val nb = 1 << bits
+                          bits: Int = 8): DataFrame =
+    zorderFrameQuantileN(df, Seq(xCol, yCol), bits)
+
+  /** N-dimensional [[zorderFrameQuantile]] — Delta's `ZORDER BY (c1, …,
+    * cN)`. Still ONE multi-column quantile job; per-dimension resolution
+    * is capped so the interleave fits a long (N=2 → 8 bits, N=3 → 8,
+    * N=4 → 8, N=7 → 9 total... bits param is clamped to 63/N). */
+  def zorderFrameQuantileN(df: DataFrame, cols: Seq[String],
+                           bits: Int = 8): DataFrame = {
+    require(cols.size >= 2, "zorder needs at least 2 columns")
+    val b = math.min(bits, 63 / cols.size)
+    val nb = 1 << b
     val probs = (1 until nb).map(_.toDouble / nb).toArray
-    // ONE multi-column quantile job for both dimensions
-    val bounds = df.stat.approxQuantile(Array(xCol, yCol), probs, 1.0 / (4 * nb))
+    // ONE multi-column quantile job for all dimensions
+    val bounds = df.stat.approxQuantile(cols.toArray, probs, 1.0 / (4 * nb))
     def bucket(c: String, bs: Array[Double]): Column =
       // bucket = #boundaries <= v: log2(2^bits) comparisons via the
       // binary-search kernel (the filter-HOF formulation compared all
       // 2^bits-1 boundaries and allocated the filtered array per row),
-      // evaluated ONCE per row via bindAndInterleave's let-binding;
+      // evaluated ONCE per row via bindAndInterleaveN's let-binding;
       // nulls keep the bucket-0 convention of the linear variant
       coalesce(graft.functions.GraftFunctions
         .bounds_rank(col(c).cast("double"), bs), lit(0L))
-    bindAndInterleave(df, bucket(xCol, bounds(0)), bucket(yCol, bounds(1)),
-      bits)
+    bindAndInterleaveN(df,
+      cols.zipWithIndex.map { case (c, i) => bucket(c, bounds(i)) }, b)
   }
 
   /** Write `df` as ~`nFiles` parquet files clustered by the z-curve over
