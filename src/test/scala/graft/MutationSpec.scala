@@ -365,6 +365,30 @@ class MutationSpec extends SparkSpec {
     assert(cat.fileStats("ord", v2).size === dataFiles(root, "ord", v2).size)
   }
 
+  test("racing mutations claim distinct versions, both readable") {
+    val root = Files.createTempDirectory("mut_race").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    val df = (1L to 100L).map(k => (k, s"s$k")).toDF("k", "s")
+    cat.save(Chain(df), "t")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // both mutate v1 concurrently; the claim loop serializes the bumps —
+    // two distinct versions, each exactly its own change against v1
+    val (a, b) = Await.result(
+      Future(cat.deleteWhere("t", col("k") <= 10L))
+        .zip(Future(cat.updateWhere("t", col("k") > 90L,
+          Map("s" -> lit("hot"))))), 120.seconds)
+    assert(a.version !== b.version)
+    assert(cat.readDataset("t", Some(a.version)).toDF.count() === 90)
+    assert(cat.readDataset("t", Some(b.version)).toDF
+      .filter(col("s") === "hot").count() === 10)
+    // both record lineage on the version they mutated
+    assert(cat.depsOf("t", a.version) === Seq(("t", SemVer(1, 0, 0))))
+    assert(cat.depsOf("t", b.version) === Seq(("t", SemVer(1, 0, 0))))
+  }
+
   test("mutations on a hive-partitioned version keep the layout") {
     val root = Files.createTempDirectory("mut_part").toString
     val cat = new Catalog(root, spark)
