@@ -2983,6 +2983,30 @@ object SparkEntry {
       cat.readDataset("ord").selectExcept("sys").toDF
     }),
 
+    "q_merge_evolve" -> ((s, dir) => {
+      // schema evolution on MERGE (Delta withSchemaEvolution): the source
+      // carries a NEW column — matched rows take its value, every
+      // pre-evolution row reads null. The version records the extended
+      // schema + evolved flag, reads supply it explicitly, and the cold
+      // files still cross as hard links (asserted)
+      val root = Files.createTempDirectory("graft_evolve").toString
+      val cat = new Catalog(root, s)
+      val o = T(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      cat.save(Chain(o), "ord")
+      val mx = o.agg(max("o_orderkey")).head().getLong(0)
+      val src = T(s, dir, "orders")
+        .filter(col("o_orderkey") <= mx / 16)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("audit_flag", col("o_orderkey") % 20 === 0)
+      val r = cat.mergeInto("ord", src, Seq("o_orderkey"),
+        evolveSchema = true)
+      require(r.filesReused > 0 && r.rowsInserted == 0,
+        s"low-band evolution must reuse cold files: $r")
+      cat.readDataset("ord").selectExcept("sys").toDF
+    }),
+
     "q_zorder_nd" -> ((s, dir) => {
       // N-column Z-ORDER (Delta's ZORDER BY (c1..cN)): a 3-dim quantile
       // z-curve clusters the rewrite so a single-dimension slab predicate
@@ -6446,6 +6470,15 @@ object SparkEntry {
 
       "q_zorder_nd" ->
         "SELECT * FROM orders",
+
+      "q_merge_evolve" ->
+        """SELECT o_orderkey, o_custkey, o_orderstatus,
+          | CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 16 FROM orders)
+          |   THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+          | o_orderdate, o_orderpriority,
+          | CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 16 FROM orders)
+          |   THEN o_orderkey % 20 = 0 ELSE NULL END AS audit_flag
+          |FROM orders""".stripMargin,
 
       "q_catalog_sql" ->
         """SELECT n_nationkey, n_name FROM nation

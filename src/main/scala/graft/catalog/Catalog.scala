@@ -477,8 +477,12 @@ final class Catalog(val root: String, spark: SparkSession) {
                                files: Seq[String]): DataFrame = {
     val dataDir = vDir(name, v).resolve("data").toString
     if (files.isEmpty) readVersionData(name, v).limit(0)
-    else restoreTypes(
-      readNoInfer(dataDir, files.map(r => s"$dataDir/$r")), name, v)
+    else explicitSchemaOf(name, v) match {
+      case Some(full) =>
+        readWithSchema(dataDir, files.map(r => s"$dataDir/$r"), full)
+      case None => restoreTypes(
+        readNoInfer(dataDir, files.map(r => s"$dataDir/$r")), name, v)
+    }
   }
 
   /**
@@ -498,7 +502,12 @@ final class Catalog(val root: String, spark: SparkSession) {
    */
   private def cowRewrite(name: String, v: SemVer, touched: Seq[String],
                          all: Seq[String], rewritten: Option[DataFrame],
-                         op: String, bloomExpected: Long): MutationResult = {
+                         op: String, bloomExpected: Long,
+                         schemaJsonOverride: Option[String] = None,
+                         evolves: Boolean = false): MutationResult = {
+    // once a version chain carries files that predate a column, every
+    // descendant keeps the explicit-schema read flag
+    val evolvedFlag = evolves || isEvolved(name, v)
     val dataDir = vDir(name, v).resolve("data")
     val touchedSet = touched.toSet
     val untouched = all.filterNot(touchedSet)
@@ -580,7 +589,8 @@ final class Catalog(val root: String, spark: SparkSession) {
           FileStats.writeBloomIndex(spark, tmp.resolve("data").toString,
             cols, bloomExpected, tmp.resolve("blooms").toString)
       }
-      val schemaJson = recordedSchema(name, v).map(SignalSchema.toJson)
+      val schemaJson = schemaJsonOverride
+        .orElse(recordedSchema(name, v).map(SignalSchema.toJson))
         .getOrElse(SignalSchema.toJson(
           Sys.drop(readVersionData(name, v)).schema))
       val rowsBefore = rowsOf(name, v)
@@ -604,7 +614,8 @@ final class Catalog(val root: String, spark: SparkSession) {
       val meta = metaJson(VersionMeta(
         name, nv.toString, s"cow-$op-${java.util.UUID.randomUUID}",
         schemaJson, Seq(s"$name@v$v"), java.time.Instant.now.toString,
-        rowsAfter))
+        rowsAfter,
+        attrs = if (evolvedFlag) Seq("schema:evolved") else Nil))
       Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       if (newStats.nonEmpty)
@@ -748,6 +759,7 @@ final class Catalog(val root: String, spark: SparkSession) {
                 version: Option[SemVer] = None,
                 insertNotMatched: Boolean = true,
                 matchedAction: String = "update",
+                evolveSchema: Boolean = false,
                 keyCollectMax: Int = 10000,
                 bloomExpected: Long = 100000L): MutationResult = {
     val v = version.orElse(latestVersion(name)).getOrElse(
@@ -758,9 +770,28 @@ final class Catalog(val root: String, spark: SparkSession) {
     val src0 = Sys.drop(source)
     val target = readVersionData(name, v)
     val userCols = target.columns.filterNot(_ == Sys.ColName)
-    require(src0.columns.sorted.sameElements(userCols.sorted),
-      s"mergeInto: source columns ${src0.columns.sorted.mkString(",")} " +
-        s"must equal target user columns ${userCols.sorted.mkString(",")}")
+    // schema evolution (Delta withSchemaEvolution): extra source columns
+    // EXTEND the table — matched rows take the source value, carried and
+    // pre-existing rows read back null. The version records the extended
+    // schema plus the `schema:evolved` flag, so reads supply it
+    // explicitly and old files fill the new columns by name.
+    val newCols: Seq[String] =
+      if (!evolveSchema) {
+        require(src0.columns.sorted.sameElements(userCols.sorted),
+          s"mergeInto: source columns ${src0.columns.sorted.mkString(",")} " +
+            s"must equal target user columns ${userCols.sorted.mkString(",")}" +
+            " (pass evolveSchema=true to extend)")
+        Seq.empty
+      } else {
+        require(userCols.forall(src0.columns.contains),
+          s"mergeInto(evolveSchema): source must carry every target " +
+            s"column; missing ${userCols.filterNot(src0.columns.contains).mkString(",")}")
+        src0.columns.filterNot(userCols.contains).toSeq
+      }
+    def outType(c: String): org.apache.spark.sql.types.DataType =
+      if (newCols.contains(c)) src0.schema(c).dataType
+      else target.schema(c).dataType
+    val outUser = userCols.toSeq ++ newCols
     // one aggregation job: cardinality rule + null keys + per-key bounds
     val aggs =
       Seq(count(lit(1)).as("__n"),
@@ -800,15 +831,22 @@ final class Catalog(val root: String, spark: SparkSession) {
     val survivors =
       if (matchedAction == "delete")
         joined.filter(!matched).select(
-          (target.columns.map(col) :+ lit(0L).as("__m")) :+
-            lit(0L).as("__i"): _*)
+          (outUser.map { c =>
+            if (newCols.contains(c)) lit(null).cast(outType(c)).as(c)
+            else col(c)
+          } ++ Seq(col(Sys.ColName), lit(0L).as("__m"),
+            lit(0L).as("__i"))): _*)
       else joined.select(
-        (target.columns.map { c =>
-          if (c == Sys.ColName || on.contains(c)) col(c)
+        (outUser.map { c =>
+          if (newCols.contains(c))
+            when(matched, col(s"__s_$c"))
+              .otherwise(lit(null).cast(outType(c))).as(c)
+          else if (on.contains(c)) col(c)
           else when(matched, col(s"__s_$c")).otherwise(col(c))
-            .cast(target.schema(c).dataType).as(c)
-        } :+ when(matched, 1L).otherwise(0L).as("__m")) :+
-          lit(0L).as("__i"): _*)
+            .cast(outType(c)).as(c)
+        } ++ Seq(col(Sys.ColName),
+          when(matched, 1L).otherwise(0L).as("__m"),
+          lit(0L).as("__i"))): _*)
     val out =
       if (!insertNotMatched) survivors
       else {
@@ -824,12 +862,12 @@ final class Catalog(val root: String, spark: SparkSession) {
             if (r.isNullAt(0)) -1L else r.getLong(0)
           }
         val ins0 = Sys.stampFrom(
-          anti.select(userCols.map(c =>
-            col(s"__s_$c").cast(target.schema(c).dataType).as(c)): _*),
+          anti.select(outUser.map(c =>
+            col(s"__s_$c").cast(outType(c)).as(c)): _*),
           base)
         val ins = ins0.select(
-          (target.columns.map(col) :+ lit(1L).as("__m")) :+
-            lit(1L).as("__i"): _*)
+          (outUser.map(col) ++ Seq(col(Sys.ColName),
+            lit(1L).as("__m"), lit(1L).as("__i"))): _*)
         survivors.union(ins)
       }
     val obs = org.apache.spark.sql.Observation()
@@ -837,8 +875,16 @@ final class Catalog(val root: String, spark: SparkSession) {
       .observe(obs, sum(col("__m")).as("matchedPlusIns"),
         sum(col("__i")).as("inserted"))
       .drop("__m", "__i")
+    val schemaOverride =
+      if (newCols.isEmpty) None
+      else Some(SignalSchema.toJson(org.apache.spark.sql.types.StructType(
+        // extended schema: existing user fields verbatim, new ones from
+        // the source, forced nullable (pre-evolution rows read null)
+        userCols.map(c => target.schema(c)) ++
+          newCols.map(c => src0.schema(c).copy(nullable = true)))))
     val res = cowRewrite(name, v, touched, all, Some(rewrittenDf),
-      "merge", bloomExpected)
+      "merge", bloomExpected, schemaJsonOverride = schemaOverride,
+      evolves = newCols.nonEmpty)
     val insN = Option(obs.get("inserted")).map(_.asInstanceOf[Long])
       .getOrElse(0L)
     val mPlusI = Option(obs.get("matchedPlusIns")).map(_.asInstanceOf[Long])
@@ -1211,8 +1257,42 @@ final class Catalog(val root: String, spark: SparkSession) {
     * int 0 and lose the leading zero). Plain versions pass through
     * untouched (no partition columns, types already match). */
   private def readVersionData(name: String, v: SemVer): DataFrame =
-    restoreTypes(readNoInfer(vDir(name, v).resolve("data").toString, Nil),
-      name, v)
+    explicitSchemaOf(name, v) match {
+      case Some(full) =>
+        readWithSchema(vDir(name, v).resolve("data").toString, Nil, full)
+      case None =>
+        restoreTypes(readNoInfer(vDir(name, v).resolve("data").toString,
+          Nil), name, v)
+    }
+
+  /** TRUE when `name@v` committed a SCHEMA EXTENSION (some data files
+    * predate a column — merge schema evolution, or any mutation chained
+    * on top of one): reads must then supply the recorded schema
+    * explicitly, so old files resolve columns by name and fill the new
+    * ones with null instead of inferring a random file's footer. */
+  private[graft] def isEvolved(name: String, v: SemVer): Boolean =
+    try readMeta(name, v).contains("\"schema:evolved\"")
+    catch { case scala.util.control.NonFatal(_) => false }
+
+  /** The full on-read schema (recorded user schema + the sys struct) for
+    * versions that need an explicit-schema read; None otherwise. */
+  private def explicitSchemaOf(name: String, v: SemVer)
+      : Option[org.apache.spark.sql.types.StructType] =
+    if (!isEvolved(name, v)) None
+    else recordedSchema(name, v).map { rec =>
+      import org.apache.spark.sql.types._
+      StructType(rec.fields :+ StructField(Sys.ColName,
+        StructType(Seq(StructField("id", LongType),
+          StructField("rand", LongType)))))
+    }
+
+  private def readWithSchema(path: String, files: Seq[String],
+                             schema: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
+    val r = spark.read.schema(schema)
+    if (files.isEmpty) r.parquet(path)
+    else r.option("basePath", path).parquet(files: _*)
+  }
 
   private def readNoInfer(path: String, files: Seq[String]): DataFrame = {
     val key = "spark.sql.sources.partitionColumnTypeInference.enabled"

@@ -365,6 +365,44 @@ class MutationSpec extends SparkSpec {
     assert(cat.fileStats("ord", v2).size === dataFiles(root, "ord", v2).size)
   }
 
+  test("mergeInto evolveSchema: new column lands, old rows read null") {
+    val root = Files.createTempDirectory("mut_evolve").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    val df = (1L to 40L).map(k => (k, s"s$k")).toDF("k", "s")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    cat.save(Chain(df), "t")
+    // low-band updates + one insert, all carrying a NEW column
+    val src = Seq((1L, "S1", 0.5), (2L, "S2", 0.7), (99L, "new", 0.9))
+      .toDF("k", "s", "score")
+    val r = cat.mergeInto("t", src, Seq("k"), evolveSchema = true)
+    assert(r.rowsMatched === 2 && r.rowsInserted === 1)
+    assert(r.filesReused > 0, s"evolution must still reuse cold files: $r")
+    val got = cat.readDataset("t").toDF
+    assert(got.columns.toSeq === Seq("k", "s", "score", "sys"))
+    val m = got.select(col("k"), col("score")).as[(Long, Option[Double])]
+      .collect().toMap
+    assert(m(1L) === Some(0.5) && m(2L) === Some(0.7) &&
+      m(99L) === Some(0.9))
+    assert(m(3L).isEmpty && m(40L).isEmpty,
+      "pre-evolution rows must read null in the new column")
+    // a CHAINED plain mutation keeps the column and the evolved read
+    cat.deleteWhere("t", col("k") === 40L)
+    val got2 = cat.readDataset("t").toDF
+    assert(got2.columns.toSeq === Seq("k", "s", "score", "sys"))
+    assert(got2.count() === 40)
+    // pruned reads on the new column stay exact (old files are
+    // conservatively kept — they lack stats for it)
+    val full = got2.filter(col("score") > 0.6).select("k")
+      .as[Long].collect().toSet
+    val pruned = cat.readDatasetWhere("t", col("score") > 0.6)
+      .toDF.select("k").as[Long].collect().toSet
+    assert(pruned === full && full === Set(2L, 99L))
+    // a non-evolving merge on the evolved table now requires the column
+    intercept[IllegalArgumentException](cat.mergeInto("t",
+      Seq((5L, "x")).toDF("k", "s"), Seq("k")))
+  }
+
   test("racing mutations claim distinct versions, both readable") {
     val root = Files.createTempDirectory("mut_race").toString
     val cat = new Catalog(root, spark)
