@@ -2983,6 +2983,32 @@ object SparkEntry {
       cat.readDataset("ord").selectExcept("sys").toDF
     }),
 
+    "q_restore" -> ((s, dir) => {
+      // RESTORE VERSION AS OF: an accidental DELETE rolls back as a new
+      // zero-copy link-version (history intact, bad version still
+      // time-travelable, one hard link per file); a shallow CLONE forks
+      // the dataset the same way and mutates independently (asserted).
+      // Oracle: the restored latest equals the original table
+      val root = Files.createTempDirectory("graft_restore").toString
+      val cat = new Catalog(root, s)
+      val o = T(s, dir, "orders")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      cat.save(Chain(o), "ord")
+      val v1 = cat.latestVersion("ord").get
+      val mx = o.agg(max("o_orderkey")).head().getLong(0)
+      cat.deleteWhere("ord", col("o_orderkey") <= mx / 4) // the accident
+      cat.restore("ord", v1)
+      val cv = cat.cloneDataset("ord", "ord_fork")
+      cat.deleteWhere("ord_fork", col("o_orderkey") > mx / 2)
+      require(cat.readDataset("ord_fork").toDF.count() <
+        cat.readDataset("ord").toDF.count(),
+        "clone must mutate independently of its source")
+      require(cat.depsOf("ord_fork", cv).nonEmpty,
+        "clone must record the cross-dataset lineage dep")
+      cat.readDataset("ord").selectExcept("sys").toDF
+    }),
+
     "q_merge_evolve" -> ((s, dir) => {
       // schema evolution on MERGE (Delta withSchemaEvolution): the source
       // carries a NEW column — matched rows take its value, every
@@ -6469,6 +6495,9 @@ object SparkEntry {
         "SELECT * FROM orders",
 
       "q_zorder_nd" ->
+        "SELECT * FROM orders",
+
+      "q_restore" ->
         "SELECT * FROM orders",
 
       "q_merge_evolve" ->

@@ -635,6 +635,97 @@ final class Catalog(val root: String, spark: SparkSession) {
   }
 
   /**
+   * Zero-copy commit of `srcName@srcV`'s files as a NEW version of
+   * `dstName`: every data file hard-links (no byte copied), the stats
+   * and bloom indexes carry verbatim (their keys are version-dir-
+   * relative, so they stay valid), and the meta records the
+   * cross-version lineage dep — which also makes the source version
+   * vacuum-protected for as long as the link-version lives. The engine
+   * behind [[restore]] and [[cloneDataset]].
+   */
+  private def linkVersion(srcName: String, srcV: SemVer,
+                          dstName: String): SemVer = {
+    requireValidName(dstName)
+    val srcDir = vDir(srcName, srcV)
+    require(Files.exists(srcDir.resolve("meta.json")),
+      s"unknown version $srcName@v$srcV")
+    val tmp = dsDir(dstName).resolve(s".tmp-${java.util.UUID.randomUUID}")
+    Files.createDirectories(tmp.resolve("data"))
+    try {
+      def linkTree(from: Path, to: Path): Unit =
+        walkParquet(from).foreach { f =>
+          val dst = to.resolve(from.relativize(f))
+          Files.createDirectories(dst.getParent)
+          try Files.createLink(dst, f)
+          catch {
+            case _: UnsupportedOperationException |
+                 _: java.nio.file.FileSystemException => Files.copy(f, dst)
+          }
+        }
+      linkTree(srcDir.resolve("data"), tmp.resolve("data"))
+      if (Files.isDirectory(srcDir.resolve("blooms"))) {
+        Files.createDirectories(tmp.resolve("blooms"))
+        linkTree(srcDir.resolve("blooms"), tmp.resolve("blooms"))
+      }
+      var nv = rawVersions(dstName).lastOption.map(_.bumpMinor)
+        .getOrElse(SemVer(1, 0, 0))
+      var dir: Path = null
+      while (dir == null) {
+        val cand = vDir(dstName, nv)
+        try { Files.createDirectory(cand); dir = cand }
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          nv = rawVersions(dstName).lastOption.map(_.bumpMinor)
+            .getOrElse(nv.bumpMinor)
+        }
+      }
+      Files.move(tmp.resolve("data"), dir.resolve("data"))
+      if (Files.isDirectory(tmp.resolve("blooms")))
+        Files.move(tmp.resolve("blooms"), dir.resolve("blooms"))
+      Seq("stats.json", "blooms.json").foreach { f =>
+        if (Files.exists(srcDir.resolve(f)))
+          Files.copy(srcDir.resolve(f), dir.resolve(f))
+      }
+      val schemaJson = recordedSchema(srcName, srcV).map(SignalSchema.toJson)
+        .getOrElse(SignalSchema.toJson(
+          Sys.drop(readVersionData(srcName, srcV)).schema))
+      val meta = metaJson(VersionMeta(
+        dstName, nv.toString, s"cow-link-${java.util.UUID.randomUUID}",
+        schemaJson, Seq(s"$srcName@v$srcV"),
+        java.time.Instant.now.toString, rowsOf(srcName, srcV),
+        attrs = if (isEvolved(srcName, srcV)) Seq("schema:evolved")
+          else Nil))
+      Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      nv
+    } finally {
+      if (Files.exists(tmp))
+        Files.walk(tmp).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
+  /** RESTORE (Delta `RESTORE TABLE ... VERSION AS OF`): roll `name` back
+    * to version `to` by committing a zero-copy link-version of it as the
+    * new LATEST — history stays intact (the bad versions remain
+    * time-travelable until vacuumed), and the restore costs one hard
+    * link per file. */
+  def restore(name: String, to: SemVer): SemVer = {
+    require(versions(name).contains(to),
+      s"restore: no committed version $name@v$to")
+    linkVersion(name, to, name)
+  }
+
+  /** Shallow CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`): a new
+    * dataset whose v1 zero-copy-links `src`'s files. Clone and source
+    * then evolve independently — mutations of either are copy-on-write —
+    * while the recorded dep keeps the source version vacuum-safe. */
+  def cloneDataset(src: String, dst: String,
+                   version: Option[SemVer] = None): SemVer = {
+    val v = version.orElse(latestVersion(src)).getOrElse(
+      throw new NoSuchElementException(s"dataset $src not found"))
+    linkVersion(src, v, dst)
+  }
+
+  /**
    * Partial OPTIMIZE (Delta's `OPTIMIZE ... WHERE`): compact ONLY the
    * files that may contain predicate-matching rows into ~`nFiles`
    * size-even outputs (scan partitions sized to total/nFiles, the same

@@ -403,6 +403,39 @@ class MutationSpec extends SparkSpec {
       Seq((5L, "x")).toDF("k", "s"), Seq("k")))
   }
 
+  test("restore rolls back zero-copy; clone forks zero-copy") {
+    val root = Files.createTempDirectory("mut_restore").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    val df = (1L to 50L).map(k => (k, s"s$k")).toDF("k", "s")
+    cat.save(Chain(df), "t")
+    val v1 = cat.latestVersion("t").get
+    cat.deleteWhere("t", col("k") <= 25L) // the "bad" mutation
+    assert(cat.readDataset("t").toDF.count() === 25)
+    // RESTORE: new latest identical to v1, files shared by inode
+    val v3 = cat.restore("t", v1)
+    assert(cat.latestVersion("t").get === v3)
+    assert(cat.readDataset("t").toDF.count() === 50)
+    val f1 = dataFiles(root, "t", v1).map(p =>
+      p.getFileName.toString -> inode(p)).toMap
+    assert(dataFiles(root, "t", v3).forall(p =>
+      f1.get(p.getFileName.toString).contains(inode(p))),
+      "restore must link, not copy")
+    // history intact; dep protects v1 from vacuum
+    assert(cat.depsOf("t", v3) === Seq(("t", v1)))
+    // CLONE: independent fork, source untouched by clone's mutations
+    val cv = cat.cloneDataset("t", "t2")
+    assert(cv === SemVer(1, 0, 0))
+    cat.deleteWhere("t2", col("k") > 10L)
+    assert(cat.readDataset("t2").toDF.count() === 10)
+    assert(cat.readDataset("t").toDF.count() === 50)
+    assert(cat.depsOf("t2", cv) === Seq(("t", v3)))
+    // stats carried verbatim: pruned reads work on the restored version
+    val full = cat.readDataset("t").toDF.filter(col("k") <= 5L).count()
+    assert(cat.readDatasetWhere("t", col("k") <= 5L).toDF.count() === full)
+    intercept[IllegalArgumentException](cat.restore("t", SemVer(9, 9, 9)))
+  }
+
   test("racing mutations claim distinct versions, both readable") {
     val root = Files.createTempDirectory("mut_race").toString
     val cat = new Catalog(root, spark)
