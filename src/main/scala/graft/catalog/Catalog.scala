@@ -197,7 +197,8 @@ final class Catalog(val root: String, spark: SparkSession) {
            deps: Seq[String] = Seq.empty, bloomCols: Seq[String] = Nil,
            bloomExpected: Long = 100000L, harvestStats: Boolean = true,
            partitionBy: Seq[String] = Nil, description: String = "",
-           attrs: Seq[String] = Nil, expect: Seq[Expect] = Nil)
+           attrs: Seq[String] = Nil, expect: Seq[Expect] = Nil,
+           unique: Seq[String] = Nil)
       : SemVer = {
     requireValidName(name)
     attrs.foreach(a => require(!a.contains(']') && !a.contains('['),
@@ -256,6 +257,18 @@ final class Catalog(val root: String, spark: SparkSession) {
       failModes.foreach { e =>
         val viol = obs.get(s"viol_${e.name}").asInstanceOf[Long]
         if (viol > 0) throw ExpectFailed(name, e.name, viol)
+      }
+      if (unique.nonEmpty) {
+        // PRIMARY KEY constraint, checked after the write and BEFORE the
+        // claim (transactional). CollectMetrics forbids DISTINCT
+        // aggregates, so this is one honest key-column-pruned scan of
+        // the just-written files — O(rows of the key columns), never a
+        // rescan of the payload.
+        val nd = spark.read.parquet(tmp.resolve("data").toString)
+          .agg(count_distinct(struct(unique.map(col): _*))).head().getLong(0)
+        if (nd != rows)
+          throw ExpectFailed(name, s"unique(${unique.mkString(",")})",
+            rows - nd)
       }
       val dropViol: Map[String, Long] = dropModes.map(e =>
         e.name -> preObs.get(s"viol_${e.name}").asInstanceOf[Long]).toMap

@@ -21,6 +21,9 @@ import graft.files.FileOps
  *   graft-cli show <name> [--version V] [-n N]   head of a saved dataset
  *   graft-cli rm-dataset <name>             delete a dataset (all versions)
  *   graft-cli mv-dataset <from> <to>        rename a dataset
+ *   graft-cli restore <name> <version>      roll back (zero-copy link)
+ *   graft-cli clone <src> <dest> [--version V]   shallow clone
+ *   graft-cli optimize <name> [--files N] [--zorder-by c1,c2,...]
  *   graft-cli namespaces                    list namespaces
  *   graft-cli projects [namespace]          list projects
  *
@@ -57,7 +60,8 @@ object Cli {
   val usage: String =
     """usage: graft-cli <command> [args]
       |commands: ls du find cp datasets versions show rm-dataset mv-dataset
-      |          lineage vacuum namespaces projects""".stripMargin
+      |          lineage vacuum restore clone optimize namespaces
+      |          projects""".stripMargin
 
   /** Run a command; returns (exit code, rendered output). Never calls
     * System.exit — `main` owns process concerns, tests call this. */
@@ -110,6 +114,26 @@ object Cli {
           val verb = if (dry) "would delete" else "deleted"
           if (gone.isEmpty) "nothing to vacuum"
           else gone.map { case (n, v) => s"$verb $n@v$v" }.mkString("\n")
+        case "restore" =>
+          val name = arg(p, 0, "name")
+          val to = SemVer.parse(arg(p, 1, "version"))
+          val nv = cat.restore(name, to)
+          s"restored $name to v$to as v$nv"
+        case "clone" =>
+          val src = arg(p, 0, "src")
+          val dst = arg(p, 1, "dest")
+          val nv = cat.cloneDataset(src, dst,
+            p.flags.get("version").map(SemVer.parse))
+          s"cloned $src -> $dst@v$nv"
+        case "optimize" =>
+          val name = arg(p, 0, "name")
+          val n = p.flags.getOrElse("files", "32").toInt
+          val z = p.flags.get("zorder-by")
+            .map(_.split(',').map(_.trim).toSeq).getOrElse(Nil)
+          val (nv, before, after) = cat.optimize(name, nFiles = n,
+            zorderByCols = z)
+          s"optimized $name: $before -> $after files as v$nv" +
+            (if (z.nonEmpty) s" (zorder ${z.mkString(",")})" else "")
         case "namespaces" => cat.namespaces().mkString("\n")
         case "projects" =>
           cat.listProjects(p.positional.headOption)

@@ -93,6 +93,32 @@ class CliSpec extends SparkSpec {
     assert(v3 === 0 && out3.trim === "nothing to vacuum")
   }
 
+  test("restore / clone / optimize commands") {
+    val root = Files.createTempDirectory("clirestore").toString
+    val cat = new Catalog(root, spark)
+    val c = Chain(spark.read.parquet(s"$sf/nation.parquet"))
+    val v1 = cat.save(c, "nat")
+    cat.deleteWhere("nat",
+      org.apache.spark.sql.functions.col("n_regionkey") === 0)
+    val cargs = Seq("--catalog", root)
+
+    val (r1, out1) = Cli.run(Seq("restore", "nat", "1.0.0") ++ cargs, spark)
+    assert(r1 === 0 && out1.contains("restored nat to v1.0.0"), out1)
+    assert(cat.readDataset("nat").toDF.count() === c.toDF.count())
+
+    val (r2, out2) = Cli.run(Seq("clone", "nat", "nat2") ++ cargs, spark)
+    assert(r2 === 0 && out2.contains("cloned nat -> nat2@v1.0.0"), out2)
+    assert(cat.readDataset("nat2").toDF.count() === c.toDF.count())
+
+    val (r3, out3) = Cli.run(Seq("optimize", "nat", "--files", "2",
+      "--zorder-by", "n_nationkey,n_regionkey") ++ cargs, spark)
+    assert(r3 === 0 && out3.contains("optimized nat"), out3)
+    assert(out3.contains("zorder n_nationkey,n_regionkey"), out3)
+    // bad version errors cleanly
+    val (r4, out4) = Cli.run(Seq("restore", "nat", "9.9.9") ++ cargs, spark)
+    assert(r4 === 2 && out4.contains("error"), out4)
+  }
+
   test("namespaces / projects / error paths") {
     val root = Files.createTempDirectory("clicat").toString
     val cat = new Catalog(root, spark)

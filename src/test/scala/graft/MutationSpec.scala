@@ -268,6 +268,14 @@ class MutationSpec extends SparkSpec {
     assert(meta.contains("expect:k_small=dropped:1"), meta)
     assert(meta.contains("expect:k_positive=pass"), meta)
     assert(meta.contains("expect:quarantine=t__quarantine@v1.0.0"), meta)
+    // PRIMARY KEY constraint: same observation pass, transactional
+    val dup = Seq((1L, Some(1.0)), (1L, Some(2.0)), (2L, Some(3.0)))
+      .toDF("k", "x")
+    val exu = intercept[ExpectFailed](cat.save(Chain(dup), "pk",
+      unique = Seq("k")))
+    assert(exu.violations === 1 && cat.versions("pk").isEmpty)
+    cat.save(Chain(dup.dropDuplicates("k")), "pk", unique = Seq("k"))
+    assert(cat.readDataset("pk").toDF.count() === 2)
     // clean data: no quarantine version is written
     val root2 = Files.createTempDirectory("mut_expect2").toString
     val cat2 = new Catalog(root2, spark)
