@@ -468,6 +468,53 @@ class MutationSpec extends SparkSpec {
     assert(cat.depsOf("t", b.version) === Seq(("t", SemVer(1, 0, 0))))
   }
 
+  test("mutating a parquet-bloom-indexed version rebuilds the index whole") {
+    val root = Files.createTempDirectory("mut_pbloom").toString
+    val cat = new Catalog(root, spark)
+    // >32 files forces the executor-written parquet bloom index
+    spark.conf.set("graft.bloom.inlineMaxFiles", "8")
+    try {
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .withColumn("okey", concat(lit("k"), col("o_orderkey")))
+      cat.save(Chain(o), "ord", bloomCols = Seq("okey"))
+      val v1 = cat.latestVersion("ord").get
+      assert(Files.isDirectory(Paths.get(root, "datasets", "ord",
+        s"v$v1", "blooms")), "fixture must take the parquet-index path")
+      val mx = o.agg(max("o_orderkey")).head().getLong(0)
+      cat.deleteWhere("ord", col("o_orderkey") <= mx / 16)
+      val v2 = cat.latestVersion("ord").get
+      // the rebuilt index covers every surviving file and still prunes
+      assert(Files.isDirectory(Paths.get(root, "datasets", "ord",
+        s"v$v2", "blooms")), "mutation must rebuild the parquet index")
+      val probe = "k" + (mx / 2)
+      val (kept, total) = cat.pruneCount("ord", col("okey") === probe)
+      assert(kept < total, s"rebuilt bloom must prune: $kept/$total")
+      val full = cat.readDataset("ord").toDF.filter(col("okey") === probe)
+      assert(cat.readDatasetWhere("ord", col("okey") === probe)
+        .toDF.count() === full.count())
+    } finally spark.conf.set("graft.bloom.inlineMaxFiles", "32")
+  }
+
+  test("restore of a hive-partitioned version keeps the layout") {
+    val root = Files.createTempDirectory("mut_restpart").toString
+    val cat = new Catalog(root, spark)
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+    cat.save(Chain(n), "nat", partitionBy = Seq("n_regionkey"))
+    val v1 = cat.latestVersion("nat").get
+    cat.deleteWhere("nat", col("n_regionkey") === 0)
+    cat.restore("nat", v1)
+    val v3 = cat.latestVersion("nat").get
+    assert(dataFiles(root, "nat", v3).forall(p =>
+      p.getParent.getFileName.toString.startsWith("n_regionkey=")),
+      "restore must preserve key=value dirs")
+    val got = cat.readDataset("nat").toDF
+    assert(got.count() === n.count())
+    assert(got.schema("n_regionkey").dataType ===
+      n.schema("n_regionkey").dataType)
+  }
+
   test("mutations on a hive-partitioned version keep the layout") {
     val root = Files.createTempDirectory("mut_part").toString
     val cat = new Catalog(root, spark)
