@@ -19,7 +19,8 @@ object ScaleProbe {
     //   lm,exactsubstr,dsir,semdedup,ann,graph,triangles,lpa,kmeans,kcore,
     //   heavyhitters,covariance,kll,topk,sketchoverlap,saltjoin,bucketjoin,
     //   pq,profile,rollingdistinct,funnel,statsskip,bloomskip,
-    //   intervaljoin,mediameta,optimize,tokenmix,crawl,mutate (default all)
+    //   intervaljoin,mediameta,optimize,tokenmix,crawl,fuzzyjoin,mutate
+    //   (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
       .map(s => (x: String) => s(x)).getOrElse(_ => true)

@@ -161,6 +161,37 @@ final class Catalog(val root: String, spark: SparkSession) {
       .map(_.getFileName.toString).sorted
   }
 
+  /** Atomically claim a version dir of `name` — the next bump, or the
+    * explicit one (which fails on collision instead of re-bumping). At
+    * most one winner per version on any POSIX/HDFS-semantics store; an
+    * auto-bump loser re-reads the raw listing (claimed dirs count even
+    * before their meta commits) and retries with the next bump. The ONE
+    * commit-protocol implementation: save, cowRewrite, and linkVersion
+    * all claim through here. */
+  private def claimVersion(name: String, explicit: Option[SemVer])
+      : (SemVer, Path) = {
+    var v = explicit.getOrElse(rawVersions(name).lastOption
+      .map(_.bumpMinor).getOrElse(SemVer(1, 0, 0)))
+    var dir: Path = null
+    while (dir == null) {
+      val cand = vDir(name, v)
+      try { Files.createDirectory(cand); dir = cand }
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        require(explicit.isEmpty,
+          s"version $name@v$v already exists (immutable)")
+        v = rawVersions(name).lastOption.map(_.bumpMinor)
+          .getOrElse(v.bumpMinor)
+      }
+    }
+    (v, dir)
+  }
+
+  /** Recursive delete of a tmp tree (no-op when absent) — the shared
+    * abort-path cleanup of every version writer. */
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+
   /** All claimed version dirs, complete or not — the writer's view. */
   private def rawVersions(name: String): Seq[SemVer] =
     listDir(dsDir(name))
@@ -184,6 +215,9 @@ final class Catalog(val root: String, spark: SparkSession) {
   /** Dataset names are dot-path identifiers — never filesystem paths. */
   private def requireValidName(name: String): Unit =
     require(name.nonEmpty && !name.contains('/') && !name.contains('\\') &&
+      // brackets would corrupt the attrs metadata parse (dataset names
+      // are embedded in expect:quarantine=... attrs)
+      !name.contains('[') && !name.contains(']') &&
       name != "." && name != ".." && !name.startsWith("."),
       s"invalid dataset name: '$name'")
 
@@ -207,6 +241,10 @@ final class Catalog(val root: String, spark: SparkSession) {
       s"unknown expectation mode '${e.mode}' (fail|drop|quarantine)"))
     require(expect.map(_.name).distinct.size == expect.size,
       "expectation names must be unique")
+    // expectation names land in the bracket-delimited attrs metadata —
+    // the same injection surface the user-attr validation guards
+    expect.foreach(e => require(e.name.matches("[A-Za-z0-9_.:-]+"),
+      s"expectation name must be [A-Za-z0-9_.:-]+, got '${e.name}'"))
     // fail fast on an explicitly requested version that already exists —
     // before paying for the write
     version.foreach(v => require(!Files.exists(vDir(name, v)),
@@ -263,8 +301,10 @@ final class Catalog(val root: String, spark: SparkSession) {
         // claim (transactional). CollectMetrics forbids DISTINCT
         // aggregates, so this is one honest key-column-pruned scan of
         // the just-written files — O(rows of the key columns), never a
-        // rescan of the payload.
-        val nd = spark.read.parquet(tmp.resolve("data").toString)
+        // rescan of the payload. readNoInfer: a partitioned save's
+        // string key values "01" and "1" must NOT collapse to one int
+        // under partition-type inference (a spurious PK abort).
+        val nd = readNoInfer(tmp.resolve("data").toString, Nil)
           .agg(count_distinct(struct(unique.map(col): _*))).head().getLong(0)
         if (nd != rows)
           throw ExpectFailed(name, s"unique(${unique.mkString(",")})",
@@ -325,20 +365,7 @@ final class Catalog(val root: String, spark: SparkSession) {
           } else FileStats.buildBlooms(spark, tmp.resolve("data").toString,
             bloomCols, bloomExpected)
         }
-      var v = version.getOrElse(
-        rawVersions(name).lastOption.map(_.bumpMinor).getOrElse(SemVer(1, 0, 0)))
-      var dir: Path = null
-      while (dir == null) {
-        val cand = vDir(name, v)
-        try { Files.createDirectory(cand); dir = cand }
-        catch { case _: java.nio.file.FileAlreadyExistsException =>
-          require(version.isEmpty,
-            s"version $name@v$v already exists (immutable)")
-          // lost the race: re-read the raw listing (claimed dirs count
-          // even before their meta commits) and take the next bump
-          v = rawVersions(name).lastOption.map(_.bumpMinor).getOrElse(v.bumpMinor)
-        }
-      }
+      val (v, dir) = claimVersion(name, version)
       Files.move(tmp.resolve("data"), dir.resolve("data"))
       if (Files.isDirectory(tmp.resolve("blooms")))
         Files.move(tmp.resolve("blooms"), dir.resolve("blooms"))
@@ -359,8 +386,7 @@ final class Catalog(val root: String, spark: SparkSession) {
       appendCheckpointIndex(chain.hash, name, v)
       v
     } finally {
-      if (Files.exists(tmp))
-        Files.walk(tmp).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      deleteTree(tmp)
     }
   }
 
@@ -608,17 +634,7 @@ final class Catalog(val root: String, spark: SparkSession) {
           Sys.drop(readVersionData(name, v)).schema))
       val rowsBefore = rowsOf(name, v)
       val rowsAfter = kept.map(_.rows).sum + rewrittenRows
-      var nv = rawVersions(name).lastOption.map(_.bumpMinor)
-        .getOrElse(SemVer(1, 0, 0))
-      var dir: Path = null
-      while (dir == null) {
-        val cand = vDir(name, nv)
-        try { Files.createDirectory(cand); dir = cand }
-        catch { case _: java.nio.file.FileAlreadyExistsException =>
-          nv = rawVersions(name).lastOption.map(_.bumpMinor)
-            .getOrElse(nv.bumpMinor)
-        }
-      }
+      val (nv, dir) = claimVersion(name, None)
       Files.move(tmp.resolve("data"), dir.resolve("data"))
       if (Files.isDirectory(tmp.resolve("blooms")))
         Files.move(tmp.resolve("blooms"), dir.resolve("blooms"))
@@ -642,8 +658,7 @@ final class Catalog(val root: String, spark: SparkSession) {
       MutationResult(nv, rewFiles.size, untouched.size,
         rowsBefore, rowsAfter)
     } finally {
-      if (Files.exists(tmp))
-        Files.walk(tmp).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      deleteTree(tmp)
     }
   }
 
@@ -680,17 +695,7 @@ final class Catalog(val root: String, spark: SparkSession) {
         Files.createDirectories(tmp.resolve("blooms"))
         linkTree(srcDir.resolve("blooms"), tmp.resolve("blooms"))
       }
-      var nv = rawVersions(dstName).lastOption.map(_.bumpMinor)
-        .getOrElse(SemVer(1, 0, 0))
-      var dir: Path = null
-      while (dir == null) {
-        val cand = vDir(dstName, nv)
-        try { Files.createDirectory(cand); dir = cand }
-        catch { case _: java.nio.file.FileAlreadyExistsException =>
-          nv = rawVersions(dstName).lastOption.map(_.bumpMinor)
-            .getOrElse(nv.bumpMinor)
-        }
-      }
+      val (nv, dir) = claimVersion(dstName, None)
       Files.move(tmp.resolve("data"), dir.resolve("data"))
       if (Files.isDirectory(tmp.resolve("blooms")))
         Files.move(tmp.resolve("blooms"), dir.resolve("blooms"))
@@ -711,8 +716,7 @@ final class Catalog(val root: String, spark: SparkSession) {
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       nv
     } finally {
-      if (Files.exists(tmp))
-        Files.walk(tmp).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      deleteTree(tmp)
     }
   }
 
@@ -1148,15 +1152,31 @@ final class Catalog(val root: String, spark: SparkSession) {
    */
   def sql(query: String): DataFrame = {
     val mentioned = "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(query).toSet
+    // view name → the dataset (and optional pinned version) it serves;
+    // two sources mapping to one sanitized name (e.g. "a.b" vs "a_b",
+    // or a dataset literally named "t_v1_0_0" vs t@1.0.0's pinned view)
+    // must fail LOUDLY when the query mentions it — silently serving
+    // whichever registered last would answer from the wrong table
+    val views = scala.collection.mutable.Map
+      .empty[String, List[(String, Option[SemVer])]]
     datasets().foreach { n =>
       val base = viewName(n, None)
       if (mentioned(base))
-        readDataset(n).toDF.createOrReplaceTempView(base)
+        views(base) = (n, None) :: views.getOrElse(base, Nil)
       versions(n).foreach { v =>
         val pinned = viewName(n, Some(v))
         if (mentioned(pinned))
-          readDataset(n, Some(v)).toDF.createOrReplaceTempView(pinned)
+          views(pinned) = (n, Some(v)) :: views.getOrElse(pinned, Nil)
       }
+    }
+    views.foreach { case (vn, sources) =>
+      require(sources.size == 1,
+        s"ambiguous view name '$vn': " + sources.map {
+          case (n, None) => s"dataset '$n'"
+          case (n, Some(v)) => s"dataset '$n' version $v"
+        }.mkString(" vs "))
+      val (n, ver) = sources.head
+      readDataset(n, ver).toDF.createOrReplaceTempView(vn)
     }
     spark.sql(query)
   }

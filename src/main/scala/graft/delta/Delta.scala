@@ -93,20 +93,34 @@ object Delta {
                   from: SemVer, to: SemVer,
                   on: Seq[String], compare: Seq[String] = Seq.empty,
                   typeCol: String = "_change_type"): Chain = {
-    val newer = graft.core.Sys.drop(
-      catalog.readDataset(name, Some(to)).toDF).alias("l")
-    val older = graft.core.Sys.drop(
-      catalog.readDataset(name, Some(from)).toDF).alias("r")
-    val cols = graft.core.Sys.drop(
-      catalog.readDataset(name, Some(to)).toDF).columns.toSeq
-    val cmp = if (compare.nonEmpty) compare else cols.filterNot(on.contains)
+    val newerDf = graft.core.Sys.drop(
+      catalog.readDataset(name, Some(to)).toDF)
+    val olderDf = graft.core.Sys.drop(
+      catalog.readDataset(name, Some(from)).toDF)
+    val cols = newerDf.columns.toSeq
+    val oldCols = olderDf.columns.toSet
+    require(on.forall(k => cols.contains(k) && oldCols(k)),
+      s"readChanges: keys ${on.mkString(",")} must exist in both versions")
+    // a column the OLDER version predates (mergeInto schema evolution)
+    // reads as null on the old side — the feed then reports the rows
+    // that gained a value as updates, which is exactly what happened
+    def rSide(c: String): org.apache.spark.sql.Column =
+      if (oldCols(c)) col(s"r.$c")
+      else lit(null).cast(newerDf.schema(c).dataType)
+    // literal presence markers, NOT key-isNotNull: the <=> join matches
+    // NULL keys to each other, and a null-keyed insert must still read
+    // as an insert rather than a phantom update
+    val newer = newerDf.withColumn("__lm", lit(true)).alias("l")
+    val older = olderDf.withColumn("__rm", lit(true)).alias("r")
+    val cmp = (if (compare.nonEmpty) compare
+               else cols.filterNot(on.contains)).filter(cols.contains)
     val cond = on.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
     val joined = newer.join(older, cond, "full_outer")
-      .withColumn("__l", on.map(k => col(s"l.$k").isNotNull).reduce(_ || _))
-      .withColumn("__r", on.map(k => col(s"r.$k").isNotNull).reduce(_ || _))
+      .withColumn("__l", col("l.__lm").isNotNull)
+      .withColumn("__r", col("r.__rm").isNotNull)
     val modifiedCond =
       if (cmp.isEmpty) lit(false)
-      else cmp.map(c => !(col(s"l.$c") <=> col(s"r.$c"))).reduce(_ || _)
+      else cmp.map(c => !(col(s"l.$c") <=> rSide(c))).reduce(_ || _)
     val kinds = when(col("__l") && !col("__r"), array(lit("insert")))
       .when(!col("__l") && col("__r"), array(lit("delete")))
       .when(modifiedCond,
@@ -116,7 +130,7 @@ object Delta {
     val fromSide = col(typeCol) === "delete" ||
       col(typeCol) === "update_preimage"
     val out = exploded.select(cols.map(c =>
-      when(fromSide, col(s"r.$c")).otherwise(col(s"l.$c")).as(c)) :+
+      when(fromSide, rSide(c)).otherwise(col(s"l.$c")).as(c)) :+
       col(typeCol): _*)
     Chain(out, graft.core.OpTree.empty
       .append("read_changes", name, from.toString, to.toString))
@@ -141,8 +155,12 @@ object Delta {
       readChanges(catalog, name, a, b, on, compare, typeCol).toDF
         .withColumn("_commit_version", lit(b.toString))
     }.toSeq
-    Chain(hops.reduce(_ union _), graft.core.OpTree.empty
-      .append("read_changes_range", name, from.toString, to.toString))
+    // by-name union with null-fill: hops that straddle a schema
+    // evolution have different arities (pre-evolution hops lack the new
+    // column) — a positional union would mis-zip or fail
+    Chain(hops.reduce(_.unionByName(_, allowMissingColumns = true)),
+      graft.core.OpTree.empty
+        .append("read_changes_range", name, from.toString, to.toString))
   }
 
   /**

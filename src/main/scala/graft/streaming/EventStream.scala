@@ -286,8 +286,9 @@ object EventStream {
    *
    *  - `seqCol`: last-write-wins WITHIN a micro-batch — only the highest
    *    sequence per key is applied (cross-batch, later batches win by
-   *    version order). Without it, the merge's cardinality rule rejects
-   *    duplicate keys in a batch, loudly.
+   *    version order). Without it, a batch-wide pre-flight rejects
+   *    duplicate keys loudly BEFORE any version commits — including a
+   *    delete+upsert pair of one key, which has no order authority.
    *  - `deleteCol`: rows with this boolean column TRUE delete their key
    *    (matchedAction="delete", inserts off — deleting an absent key is
    *    a no-op); the rest upsert. Both marker columns are stripped
@@ -318,6 +319,28 @@ object EventStream {
                 .filter(col("__rn") === 1).drop("__rn")
             case None => batch0
           }
+          // Pre-flight the WHOLE batch before ANY merge commits: the
+          // deletes and upserts land as separate versions, so a
+          // cardinality/null-key failure discovered only by the second
+          // merge would leave a half-applied batch permanently visible
+          // (and checkpoint replay would hit it forever). One agg pass:
+          // without a seqCol, a key appearing twice — even once as a
+          // delete and once as an upsert — has no order authority and
+          // must fail loudly here; with a seqCol the LWW dedup above
+          // already made keys unique and this validates null keys only.
+          // After this gate, the only mid-batch failure left is an infra
+          // error, and replaying the batch converges (re-deleting absent
+          // keys is a no-op).
+          val pre = batch.agg(
+            count(lit(1)).as("n"),
+            count_distinct(struct(on.map(col): _*)).as("nd"),
+            sum(when(on.map(col(_).isNull).reduce(_ || _), 1L)
+              .otherwise(0L)).as("nulls")).head()
+          require(pre.getAs[Long]("nulls") == 0L,
+            "applyChanges: batch has NULL keys")
+          require(pre.getAs[Long]("nd") == pre.getAs[Long]("n"),
+            "applyChanges: batch keys are not unique and no seqCol " +
+              "orders them (a delete+upsert pair of one key is ambiguous)")
           val markers = seqCol.toSeq ++ deleteCol.toSeq
           deleteCol match {
             case Some(dc) =>

@@ -444,6 +444,55 @@ class MutationSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.restore("t", SemVer(9, 9, 9)))
   }
 
+  test("review fixes: PK under partition inference, CDF across evolution, sql collisions") {
+    import spark.implicits._
+    import graft.catalog.Expect
+    // (a) unique check must not collapse string partition values "01"/"1"
+    val root = Files.createTempDirectory("mut_fix_pk").toString
+    val cat = new Catalog(root, spark)
+    val part = Seq(("01", 1L), ("1", 2L)).toDF("code", "id")
+    cat.save(Chain(part), "p", partitionBy = Seq("code"),
+      unique = Seq("code"))
+    assert(cat.readDataset("p").toDF.count() === 2)
+    // (b) readChanges/readChangesRange across a schema-evolution commit
+    cat.save(Chain(Seq((1L, "a"), (2L, "b")).toDF("k", "s")), "t")
+    val v1 = cat.latestVersion("t").get
+    cat.mergeInto("t", Seq((1L, "a", 0.5)).toDF("k", "s", "score"),
+      Seq("k"), evolveSchema = true)
+    val v2 = cat.latestVersion("t").get
+    cat.deleteWhere("t", col("k") === 2L)
+    val v3 = cat.latestVersion("t").get
+    val feed = graft.delta.Delta.readChanges(cat, "t", v1, v2, Seq("k"))
+      .toDF.select("k", "_change_type", "score")
+      .as[(Long, String, Option[Double])].collect().toSet
+    // k=1 gained a score → update pair (old side null); k=2 unchanged
+    assert(feed === Set((1L, "update_preimage", None),
+      (1L, "update_postimage", Some(0.5))))
+    val range = graft.delta.Delta.readChangesRange(cat, "t", v1, v3,
+      Seq("k")).toDF.select("_change_type", "_commit_version")
+      .as[(String, String)].collect().toSet
+    assert(range === Set(("update_preimage", v2.toString),
+      ("update_postimage", v2.toString), ("delete", v3.toString)))
+    // (c) null-keyed insert reads as insert, not a phantom update
+    cat.save(Chain(Seq(Some(1L)).toDF("k")), "n")
+    val nv1 = cat.latestVersion("n").get
+    cat.save(Chain(Seq(Some(1L), Option.empty[Long]).toDF("k")), "n")
+    val nv2 = cat.latestVersion("n").get
+    val nf = graft.delta.Delta.readChanges(cat, "n", nv1, nv2, Seq("k"))
+      .toDF.select("_change_type").as[String].collect().toSeq
+    assert(nf === Seq("insert"))
+    // (d) ambiguous sql view names fail loudly
+    cat.save(Chain(Seq(1L).toDF("x")), "a.b")
+    cat.save(Chain(Seq(2L).toDF("x")), "a_b")
+    val ex = intercept[IllegalArgumentException](
+      cat.sql("SELECT * FROM a_b"))
+    assert(ex.getMessage.contains("ambiguous view name"), ex.getMessage)
+    // (e) bracketed expectation names and dataset names are rejected
+    intercept[IllegalArgumentException](cat.save(Chain(part), "q",
+      expect = Seq(Expect("x]y", col("id") > 0))))
+    intercept[IllegalArgumentException](cat.save(Chain(part), "d[0]"))
+  }
+
   test("racing mutations claim distinct versions, both readable") {
     val root = Files.createTempDirectory("mut_race").toString
     val cat = new Catalog(root, spark)

@@ -238,7 +238,10 @@ class StreamingSpec extends SparkSpec {
     val got = cat.readDataset("t").toDF.select("k", "s")
       .as[(Long, String)].collect().toMap
     assert(got === Map(1L -> "a2", 3L -> "c", 4L -> "d"))
-    // without seqCol, duplicate keys in a batch fail LOUDLY (cardinality)
+    // without seqCol, duplicate keys in a batch fail LOUDLY — before any
+    // version commits (the feed has a dup upsert AND a delete, so a
+    // post-split check would only fire after the deletes merge landed)
+    val vsAfterFirst = cat.versions("t").size
     val stage2 = Files.createTempDirectory("cdc_feed2")
     feed.drop("seq").coalesce(1).write.mode("overwrite")
       .parquet(stage2.toString)
@@ -253,6 +256,10 @@ class StreamingSpec extends SparkSpec {
       .takeWhile(_ != null).take(10)
       .map(t => Option(t.getMessage).getOrElse("")).toSeq
     assert(chain.exists(_.contains("not unique")), chain.mkString(" | "))
+    // the pre-flight must fire BEFORE any merge commits — a half-applied
+    // batch (deletes landed, upserts rejected) would be permanent
+    assert(cat.versions("t").size === vsAfterFirst,
+      "rejected batch must not commit any version")
   }
 
   test("streaming dedup drops duplicate event ids") {
