@@ -2243,6 +2243,17 @@ object SparkEntry {
       assignments
     }),
 
+    "q_cluster_balance" -> ((s, dir) => {
+      // cluster-balanced sampling (topic-diversity curation): the
+      // engine-exact k-means topics are capped at 40 docs each in
+      // deterministic md5 order, so a dominant topic can't flood the
+      // curated set; the oracle wraps the unrolled-Lloyd SQL in the same
+      // per-cluster cap. The row_number cap is map-side bounded
+      // (WindowGroupLimit), never a full corpus ordering
+      Similarity.clusterBalance(T(s, dir, "embeddings"), k = 8,
+        iterations = 2, perCluster = 40)
+    }),
+
     "q_c4_rules" -> ((s, dir) => {
       // C4 cleaning (Raffel et al. 2020): the corpus is single-line, so
       // synthesize a 3-line page per document (equal token thirds, each
@@ -3879,6 +3890,49 @@ object SparkEntry {
     def sgn(v: String): String =
       s"CAST(CASE WHEN $v >= 9223372036854775808 THEN $v - $m64 ELSE $v END AS BIGINT)"
   }
+
+  /** The q_kmeans oracle (two Lloyd iterations unrolled in SQL) — shared
+    * with q_cluster_balance, which wraps it in a per-cluster cap. */
+  private val kmeansOracleSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+      | c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x
+      |   FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
+      | d1 AS (SELECT v.vec_id, c.cid,
+      |     round(CAST(list_sum(list_transform(generate_series(1, 64),
+      |       i -> CAST(round((v.x[i] - c.x[i]) * (v.x[i] - c.x[i]), 12)
+      |         AS DECIMAL(38,18)))) AS DOUBLE), 9) AS d
+      |   FROM v, c0 c),
+      | a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+      |     row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |   FROM d1) WHERE rn = 1),
+      | u1 AS (SELECT a.cid, i.i AS dim,
+      |     round(CAST(sum(CAST(round(v.x[i.i], 12) AS DECIMAL(38,18)))
+      |       AS DOUBLE) / count(*), 12) AS m
+      |   FROM a1 a JOIN v USING (vec_id), generate_series(1, 64) AS i(i)
+      |   GROUP BY a.cid, i.i),
+      | c1 AS (SELECT cid, list(m ORDER BY dim) AS x FROM u1 GROUP BY cid),
+      | d2 AS (SELECT v.vec_id, c.cid,
+      |     round(CAST(list_sum(list_transform(generate_series(1, 64),
+      |       i -> CAST(round((v.x[i] - c.x[i]) * (v.x[i] - c.x[i]), 12)
+      |         AS DECIMAL(38,18)))) AS DOUBLE), 9) AS d
+      |   FROM v, c1 c),
+      | a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+      |     row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |   FROM d2) WHERE rn = 1),
+      | u2 AS (SELECT a.cid, i.i AS dim,
+      |     round(CAST(sum(CAST(round(v.x[i.i], 12) AS DECIMAL(38,18)))
+      |       AS DOUBLE) / count(*), 12) AS m
+      |   FROM a2 a JOIN v USING (vec_id), generate_series(1, 64) AS i(i)
+      |   GROUP BY a.cid, i.i),
+      | c2 AS (SELECT cid, list(m ORDER BY dim) AS x FROM u2 GROUP BY cid),
+      | d3 AS (SELECT v.vec_id, c.cid,
+      |     round(CAST(list_sum(list_transform(generate_series(1, 64),
+      |       i -> CAST(round((v.x[i] - c.x[i]) * (v.x[i] - c.x[i]), 12)
+      |         AS DECIMAL(38,18)))) AS DOUBLE), 9) AS d
+      |   FROM v, c2 c)
+      |SELECT vec_id, cid AS cluster, d AS dist FROM (SELECT vec_id, cid, d,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |  FROM d3) WHERE rn = 1""".stripMargin
 
   private def intHash64OracleStages: String = {
     import IntHashSql._
@@ -5690,46 +5744,15 @@ object SparkEntry {
       // unrolled Lloyd iterations mirroring Similarity.kmeans arithmetic
       // exactly (12-dp rounds, DECIMAL(38,18) sums, 9-dp distances, cid
       // tiebreak) — assignments and distances are bit-equal
-      "q_kmeans" ->
-        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
-          | c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, x
-          |   FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)),
-          | d1 AS (SELECT v.vec_id, c.cid,
-          |     round(CAST(list_sum(list_transform(generate_series(1, 64),
-          |       i -> CAST(round((v.x[i] - c.x[i]) * (v.x[i] - c.x[i]), 12)
-          |         AS DECIMAL(38,18)))) AS DOUBLE), 9) AS d
-          |   FROM v, c0 c),
-          | a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
-          |     row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-          |   FROM d1) WHERE rn = 1),
-          | u1 AS (SELECT a.cid, i.i AS dim,
-          |     round(CAST(sum(CAST(round(v.x[i.i], 12) AS DECIMAL(38,18)))
-          |       AS DOUBLE) / count(*), 12) AS m
-          |   FROM a1 a JOIN v USING (vec_id), generate_series(1, 64) AS i(i)
-          |   GROUP BY a.cid, i.i),
-          | c1 AS (SELECT cid, list(m ORDER BY dim) AS x FROM u1 GROUP BY cid),
-          | d2 AS (SELECT v.vec_id, c.cid,
-          |     round(CAST(list_sum(list_transform(generate_series(1, 64),
-          |       i -> CAST(round((v.x[i] - c.x[i]) * (v.x[i] - c.x[i]), 12)
-          |         AS DECIMAL(38,18)))) AS DOUBLE), 9) AS d
-          |   FROM v, c1 c),
-          | a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
-          |     row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-          |   FROM d2) WHERE rn = 1),
-          | u2 AS (SELECT a.cid, i.i AS dim,
-          |     round(CAST(sum(CAST(round(v.x[i.i], 12) AS DECIMAL(38,18)))
-          |       AS DOUBLE) / count(*), 12) AS m
-          |   FROM a2 a JOIN v USING (vec_id), generate_series(1, 64) AS i(i)
-          |   GROUP BY a.cid, i.i),
-          | c2 AS (SELECT cid, list(m ORDER BY dim) AS x FROM u2 GROUP BY cid),
-          | d3 AS (SELECT v.vec_id, c.cid,
-          |     round(CAST(list_sum(list_transform(generate_series(1, 64),
-          |       i -> CAST(round((v.x[i] - c.x[i]) * (v.x[i] - c.x[i]), 12)
-          |         AS DECIMAL(38,18)))) AS DOUBLE), 9) AS d
-          |   FROM v, c2 c)
-          |SELECT vec_id, cid AS cluster, d AS dist FROM (SELECT vec_id, cid, d,
-          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-          |  FROM d3) WHERE rn = 1""".stripMargin,
+      "q_kmeans" -> kmeansOracleSql,
+
+      "q_cluster_balance" ->
+        s"""SELECT vec_id, cluster, dist FROM (
+          |  SELECT vec_id, cluster, dist,
+          |    row_number() OVER (PARTITION BY cluster
+          |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn2
+          |  FROM ($kmeansOracleSql)
+          |) WHERE rn2 <= 40""".stripMargin,
 
       "q_c4_rules" ->
         raw"""WITH d AS (SELECT doc_id,

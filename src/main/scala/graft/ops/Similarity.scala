@@ -175,6 +175,26 @@ object Similarity {
     (out, cents.select(col("cid").as("cluster"), col("__c")))
   }
 
+  /**
+   * Cluster-balanced sampling — the topic-diversity curation step:
+   * engine-exact k-means assignments ([[kmeans]]) capped at `perCluster`
+   * rows per cluster in deterministic md5 order, so one dominant topic
+   * can't flood the curated set while small topics keep everything they
+   * have. The cap is `row_number ≤ k` over the cluster partition —
+   * map-side bounded by Spark's WindowGroupLimit pushdown, so the
+   * exchange carries at most `k` rows per cluster per map task, never
+   * the full corpus ordering.
+   */
+  def clusterBalance(corpus: DataFrame, k: Int, iterations: Int,
+                     perCluster: Int, vecCol: String = "embedding",
+                     idCol: String = "vec_id"): DataFrame = {
+    val (assignments, _) = kmeans(corpus, k, iterations, vecCol, idCol)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    assignments.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perCluster).drop("__rn")
+  }
+
   private def assign(corpus: DataFrame, centroids: DataFrame,
                      vecCol: String, idCol: String): DataFrame = {
     // nearest centroid via min_by aggregation: partial-aggregates map-side,

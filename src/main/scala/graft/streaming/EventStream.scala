@@ -303,6 +303,7 @@ object EventStream {
                    name: String, on: Seq[String], checkpointDir: String,
                    seqCol: Option[String] = None,
                    deleteCol: Option[String] = None,
+                   evolveSchema: Boolean = false,
                    trigger: Trigger = Trigger.AvailableNow())
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
@@ -349,10 +350,13 @@ object EventStream {
               val ups = batch.filter(!coalesce(col(dc), lit(false)))
                 .drop(markers: _*)
               catalog.mergeInto(name, dels, on,
-                matchedAction = "delete", insertNotMatched = false)
-              catalog.mergeInto(name, ups, on)
+                matchedAction = "delete", insertNotMatched = false,
+                evolveSchema = evolveSchema)
+              catalog.mergeInto(name, ups, on,
+                evolveSchema = evolveSchema)
             case None =>
-              catalog.mergeInto(name, batch.drop(markers: _*), on)
+              catalog.mergeInto(name, batch.drop(markers: _*), on,
+                evolveSchema = evolveSchema)
           }
         }
         ()
