@@ -2243,6 +2243,29 @@ object SparkEntry {
       assignments
     }),
 
+    "q_bbox_convert" -> ((s, dir) => {
+      // bbox format conversion matrix (reference convert_bbox,
+      // model/utils.py:23-191): deterministic COCO boxes from doc_id →
+      // VOC canonical → back to COCO + YOLO + Albumentations + a
+      // point-inside predicate, all pure codegen projections. Image size
+      // 641×479: coprime to 10^4, so no 4-decimal rounding ties and the
+      // banker's-vs-half-up difference between engines cannot surface
+      import graft.model.CvColumns._
+      val b = T(s, dir, "documents").select(col("doc_id"),
+        array((col("doc_id") % 100).cast("double"),
+          ((col("doc_id") * 3) % 80).cast("double"),
+          (col("doc_id") % 7 + 10).cast("double"),
+          (col("doc_id") % 11 + 5).cast("double")).as("coco"))
+      val voc = bboxFromCoco(col("coco"))
+      b.select(col("doc_id"),
+        voc.cast("array<long>").as("voc"),
+        bboxToCoco(voc).cast("array<long>").as("coco2"),
+        bboxToYolo(voc, lit(641), lit(479)).as("yolo"),
+        bboxToAlbumentations(voc, lit(641), lit(479)).as("alb"),
+        bboxPointInside((col("doc_id") % 130).cast("double"),
+          (col("doc_id") % 90).cast("double"), voc).as("pin"))
+    }),
+
     "q_cluster_balance" -> ((s, dir) => {
       // cluster-balanced sampling (topic-diversity curation): the
       // engine-exact k-means topics are capped at 40 docs each in
@@ -5745,6 +5768,22 @@ object SparkEntry {
       // exactly (12-dp rounds, DECIMAL(38,18) sums, 9-dp distances, cid
       // tiebreak) — assignments and distances are bit-equal
       "q_kmeans" -> kmeansOracleSql,
+
+      "q_bbox_convert" ->
+        """WITH b AS (SELECT doc_id,
+          |    doc_id % 100 AS x, (doc_id * 3) % 80 AS y,
+          |    doc_id % 7 + 10 AS w, doc_id % 11 + 5 AS h,
+          |    doc_id % 130 AS px, doc_id % 90 AS py
+          |  FROM documents)
+          |SELECT doc_id,
+          |  [x, y, x + w, y + h] AS voc,
+          |  [x, y, w, h] AS coco2,
+          |  [round((2*x + w) / 2.0 / 641, 4), round((2*y + h) / 2.0 / 479, 4),
+          |   round(w / 641.0, 4), round(h / 479.0, 4)] AS yolo,
+          |  [round(x / 641.0, 4), round(y / 479.0, 4),
+          |   round((x + w) / 641.0, 4), round((y + h) / 479.0, 4)] AS alb,
+          |  x <= px AND px <= x + w AND y <= py AND py <= y + h AS pin
+          |FROM b""".stripMargin,
 
       "q_cluster_balance" ->
         s"""SELECT vec_id, cluster, dist FROM (

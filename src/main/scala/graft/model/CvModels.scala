@@ -68,6 +68,71 @@ object CvColumns {
       array(element_at(coords, 2), element_at(coords, 4),
         element_at(coords, 6), element_at(coords, 8)))
 
+  // ---- bbox format converters (reference convert_bbox,
+  // src/datachain/model/utils.py:23-191): canonical storage is VOC
+  // pixels [x1,y1,x2,y2]; every conversion mirrors the reference's
+  // arithmetic exactly, incl. its two-stage rounding (banker's round to
+  // 4 decimals, then banker's round to int for pixel outputs — Spark's
+  // `bround` IS Python's round). All pure codegen projections. ----
+
+  private def r4(c: Column): Column = bround(c.cast("double"), 4)
+  private def px(c: Column): Column = bround(r4(c)).cast("int")
+
+  /** COCO [x,y,w,h] pixels → VOC [x1,y1,x2,y2] int pixels
+    * (reference BBox.from_coco). */
+  def bboxFromCoco(c: Column): Column = array(
+    px(element_at(c, 1)), px(element_at(c, 2)),
+    px(element_at(c, 1) + element_at(c, 3)),
+    px(element_at(c, 2) + element_at(c, 4)))
+
+  /** VOC → COCO [x,y,w,h] int pixels (reference BBox.to_coco). */
+  def bboxToCoco(c: Column): Column = array(
+    px(element_at(c, 1)), px(element_at(c, 2)),
+    px(element_at(c, 3) - element_at(c, 1)),
+    px(element_at(c, 4) - element_at(c, 2)))
+
+  /** YOLO normalized [xc,yc,w,h] × image [W,H] → VOC int pixels
+    * (reference BBox.from_yolo). */
+  def bboxFromYolo(c: Column, w: Column, h: Column): Column = array(
+    px((element_at(c, 1) - element_at(c, 3) / 2) * w),
+    px((element_at(c, 2) - element_at(c, 4) / 2) * h),
+    px((element_at(c, 1) + element_at(c, 3) / 2) * w),
+    px((element_at(c, 2) + element_at(c, 4) / 2) * h))
+
+  /** VOC pixels → YOLO normalized [xc,yc,w,h] at 4 decimals
+    * (reference BBox.to_yolo). */
+  def bboxToYolo(c: Column, w: Column, h: Column): Column = array(
+    r4((element_at(c, 1) + element_at(c, 3)) / 2 / w),
+    r4((element_at(c, 2) + element_at(c, 4)) / 2 / h),
+    r4((element_at(c, 3) - element_at(c, 1)) / w),
+    r4((element_at(c, 4) - element_at(c, 2)) / h))
+
+  /** Albumentations normalized [x1,y1,x2,y2] × image [W,H] → VOC int
+    * pixels (reference BBox.from_albumentations). */
+  def bboxFromAlbumentations(c: Column, w: Column, h: Column): Column =
+    array(
+      px(element_at(c, 1) * w), px(element_at(c, 2) * h),
+      px(element_at(c, 3) * w), px(element_at(c, 4) * h))
+
+  /** VOC pixels → Albumentations normalized at 4 decimals
+    * (reference BBox.to_albumentations). */
+  def bboxToAlbumentations(c: Column, w: Column, h: Column): Column =
+    array(
+      r4(element_at(c, 1) / w), r4(element_at(c, 2) / h),
+      r4(element_at(c, 3) / w), r4(element_at(c, 4) / h))
+
+  /** Point-in-box, edges inclusive (reference BBox.point_inside). */
+  def bboxPointInside(x: Column, y: Column, box: Column): Column =
+    element_at(box, 1) <= x && x <= element_at(box, 3) &&
+      element_at(box, 2) <= y && y <= element_at(box, 4)
+
+  /** Pose-in-box: every keypoint with x>0 OR y>0 lies inside (reference
+    * BBox.pose_inside — origin keypoints mean "not detected"). */
+  def bboxPoseInside(px: Column, py: Column, box: Column): Column =
+    forall(zip_with(px, py, (a, b) => struct(a.as("x"), b.as("y"))),
+      p => !(p.getField("x") > 0 || p.getField("y") > 0) ||
+        bboxPointInside(p.getField("x"), p.getField("y"), box))
+
   /** Polygon (Segment) area via the shoelace formula over parallel x/y
     * vertex arrays; 0 for degenerate (<3 vertex) polygons. */
   def segmentArea(x: Column, y: Column): Column = {

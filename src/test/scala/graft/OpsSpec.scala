@@ -201,6 +201,31 @@ class OpsSpec extends SparkSpec {
     assert(again === t1)
   }
 
+  test("bbox converters mirror the reference incl. banker's rounding") {
+    import graft.model.CvColumns._
+    // Python round() is HALF-EVEN: from_coco([1.5,2.5,3,4]) → x1=2 (1.5
+    // rounds up to even 2), y1=2 (2.5 rounds DOWN to even 2), x2=4
+    // (4.5→4), y2=6 (6.5→6) — reference BBox.from_coco semantics
+    val df = Seq(Tuple1(Seq(1.5, 2.5, 3.0, 4.0))).toDF("c")
+    assert(df.select(bboxFromCoco(col("c"))).head().getSeq[Int](0)
+      === Seq(2, 2, 4, 6))
+    // from_yolo / from_albumentations against hand-computed reference
+    val y = Seq(Tuple1(Seq(0.5, 0.5, 0.25, 0.5))).toDF("c")
+    assert(y.select(bboxFromYolo(col("c"), lit(640), lit(480)))
+      .head().getSeq[Int](0) === Seq(240, 120, 400, 360))
+    val a = Seq(Tuple1(Seq(0.1, 0.2, 0.3, 0.4))).toDF("c")
+    assert(a.select(bboxFromAlbumentations(col("c"), lit(640), lit(480)))
+      .head().getSeq[Int](0) === Seq(64, 96, 192, 192))
+    // pose_inside: origin keypoints are "not detected" and skipped
+    val p = Seq(
+      (Seq(0.0, 250.0), Seq(0.0, 130.0)),
+      (Seq(0.0, 500.0), Seq(0.0, 130.0))).toDF("px", "py")
+      .withColumn("box", typedLit(Seq(240, 120, 400, 360)))
+    val ins = p.select(bboxPoseInside(col("px"), col("py"), col("box")))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(ins === Seq(true, false))
+  }
+
   test("cv model columns: area, iou, containment, pose visibility") {
     import graft.model._
     import graft.model.CvColumns._
