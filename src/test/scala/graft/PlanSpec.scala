@@ -596,6 +596,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint>"), p)
   }
 
+  test("q_cluster_balance: per-cluster cap is map-side bounded (WindowGroupLimit)") {
+    val p = plan("q_cluster_balance")
+    // the cap must ride WindowGroupLimit so each map task emits at most
+    // `perCluster` rows per cluster — not a full corpus ordering
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q_bbox_convert: pure projection, zero exchanges") {
+    val p = plan("q_bbox_convert")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("codegen id"), p)
+  }
+
   test("kCore peel round: alive set hash-joins into edges, never sort-merge") {
     import spark.implicits._
     // the full q_kcore plan hides behind checkpoint boundaries; pin the
