@@ -1867,9 +1867,10 @@ final class Catalog(val root: String, spark: SparkSession) {
   }
 
   /** Undo [[esc]]'s JSON string escaping. */
-  private def unesc(s: String): String =
-    "\\\\(.)".r.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
-      m.group(1) match { case "n" => "\n"; case c => c }))
+  // metaUnesc is the one decoder for strings esc() wrote — a regex-based
+  // variant here silently turned 	 into the literal "u0009" and
+  // updateDataset then persisted the corruption back into meta.json
+  private def unesc(s: String): String = metaUnesc(s)
 
   /** (description, attrs) recorded at save time for one version. */
   def annotationsOf(name: String, version: SemVer): (String, Seq[String]) = {

@@ -354,7 +354,16 @@ $files
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
     import org.apache.spark.sql.types._
-    val df = spark.read.parquet(dataDir)
+    // partition-type inference OFF: a string partition key "00" must
+    // hash as the string "00", not the inferred int 0 — the probe side
+    // hashes in the RECORDED type domain, and a mismatch makes every
+    // bloom lookup miss (pruned reads silently lose rows)
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.get(inferKey)
+    spark.conf.set(inferKey, "false")
+    val df =
+      try spark.read.parquet(dataDir)
+      finally spark.conf.set(inferKey, prevInfer)
     def canon(c: String): org.apache.spark.sql.Column =
       df.schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType =>

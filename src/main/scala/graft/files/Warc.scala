@@ -79,7 +79,12 @@ object Warc {
       }
       .toDF()
       .withColumn("warc_date",
-        to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ssX"))
+        // patternless parse: WARC 1.1 allows fractional seconds
+        // (2026-01-02T03:04:05.123Z) which a seconds-only pattern
+        // silently nulled; Spark's ISO parser takes any fraction width,
+        // and try_ keeps genuinely bad dates null instead of failing
+        // the whole scan under ANSI
+        try_to_timestamp(col("warc_date")))
   }
 
   /** Streaming record iterator over one (decompressed) WARC stream. */
@@ -108,6 +113,9 @@ object Warc {
             line = readLine(in)
           }
           val len = headers.getOrElse("content-length", "0").toLong
+          require(len >= 0 && len <= Int.MaxValue,
+            s"$uri: record content-length $len out of range " +
+              "(2 GiB is the in-memory record limit)")
           val payload = new Array[Byte](len.toInt)
           in.readFully(payload)
           val ctype = headers.getOrElse("content-type", "")
@@ -128,6 +136,13 @@ object Warc {
             payload = body)
         } catch {
           case _: EOFException => done = true; in.close()
+          // malformed record (bad version line, garbage content-length):
+          // close the stream BEFORE propagating — the task fails either
+          // way, but must not leak one fd per attempt per bad file
+          case scala.util.control.NonFatal(e) =>
+            done = true
+            try in.close() catch { case s: Throwable => e.addSuppressed(s) }
+            throw e
         }
       }
 

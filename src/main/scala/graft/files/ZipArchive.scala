@@ -147,6 +147,12 @@ object ZipArchive {
       .group(1)
     val (off, csize, method, usize) =
       (field("offset"), field("size"), field("method").toInt, field("usize"))
+    // non-zip64 size fields hold up to 4 GiB-1 — beyond a JVM array's
+    // reach; fail fast with a clear error instead of a negative-size
+    // allocation or a wrong-range read
+    require(csize <= Int.MaxValue && usize <= Int.MaxValue,
+      s"$parent@$off: member too large ($csize/$usize bytes; " +
+        "2 GiB is the in-memory member limit)")
     val p = new HPath(parent)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
@@ -170,8 +176,14 @@ object ZipArchive {
           inf.setInput(comp)
           val out = new Array[Byte](usize.toInt)
           var done = 0
-          while (done < out.length && !inf.finished())
-            done += inf.inflate(out, done, out.length - done)
+          var stalled = false
+          while (done < out.length && !inf.finished() && !stalled) {
+            val n = inf.inflate(out, done, out.length - done)
+            // a truncated/corrupt deflate stream returns 0 and asks for
+            // more input that does not exist — fail, don't hang the task
+            stalled = n == 0 && inf.needsInput()
+            done += n
+          }
           require(done == out.length, s"$parent@$off: short inflate")
           out
         } finally inf.end()

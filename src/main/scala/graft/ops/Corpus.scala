@@ -519,6 +519,10 @@ object Corpus {
     // persist the (id, bucket) rows so tokenize+gram+hash runs once, not
     // twice. The persisted frame is 16 bytes/gram (what the count stage
     // shuffles anyway, ~a tenth of the corpus bytes) and spills to disk.
+    // Lifetime: the cache is referenced by the RETURNED plan, so it is
+    // released by Spark's ContextCleaner once the result frame is
+    // dropped; sessions looping many instances can clearCache() between
+    // runs (Bench does).
     val rawBuckets = bucketRows(raw, Seq(col(idCol)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cr = rawBuckets.groupBy("__b").agg(count(lit(1)).as("__cr"))
@@ -619,7 +623,8 @@ object Corpus {
       .partitionBy(col(domainCol)).orderBy(col("__b"))
     // persisted: the classification feeds TWO broadcast branches, and
     // without the cache each would recompute the full-corpus groupBy —
-    // the histogram itself is ≤ buckets × recipe-domains rows
+    // the histogram itself is ≤ buckets × recipe-domains rows. Released
+    // by the ContextCleaner when the returned plan is dropped.
     val hist = keyed.groupBy(col(domainCol), col("__b"))
       .agg(sum(col(tokensCol).cast("long")).as("__m"))
       .withColumn("__before", coalesce(sum(col("__m")).over(

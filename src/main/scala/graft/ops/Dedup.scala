@@ -400,6 +400,8 @@ object Dedup {
     val rb = capBuckets(bandedMinhash(right, rightText, rightId, k, bands),
       Seq("__band", "__bh"), maxBucketSize)
     // the pair set feeds both member semi-joins and the verification join
+    // cached: the pair set feeds three consumers below; released by the
+    // ContextCleaner once the returned frame is dropped
     val cands = lb.alias("l").join(rb.alias("r"),
         col("l.__band") === col("r.__band") && col("l.__bh") === col("r.__bh"))
       .select(col("l.__id").as("__lid"), col("r.__id").as("__rid"))
@@ -417,8 +419,13 @@ object Dedup {
       .join(gramsOf(right, rightText, rightId, col("__rid"), "__gb")
         .withColumnRenamed("__gid", "__rid"), "__rid")
       .select(col("__lid").as("left_id"), col("__rid").as("right_id"),
-        round(ngramJaccardArrays(col("__ga"), col("__gb")), 6).as("similarity"))
-      .filter(col("similarity") >= threshold)
+        ngramJaccardArrays(col("__ga"), col("__gb")).as("__raw"))
+      // threshold on the EXACT Jaccard (a 0.4999996 must not round up
+      // past 0.5 — the documented contract and the oracle's join);
+      // round only the reported value, as minhashDedupEdges does
+      .filter(col("__raw") >= threshold)
+      .select(col("left_id"), col("right_id"),
+        round(col("__raw"), 6).as("similarity"))
   }
 
   /**

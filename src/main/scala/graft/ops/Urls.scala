@@ -51,12 +51,18 @@ object Urls {
     // RFC 3986 appendix B, authority captured whole
     val scheme = regexp_extract(url, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
     val auth = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
-    val host = regexp_extract(auth, "^(?:[^@]*@)?([^:]*)", 1)
+    // IPv6 literals keep their brackets intact ([2001:db8::1]) — the
+    // plain first-colon split would return host "["
+    val host = regexp_extract(auth,
+      "^(?:[^@]*@)?(\\[[^\\]]*\\]|[^:]*)", 1)
     val portS = regexp_extract(auth, ":([0-9]+)$", 1)
     val port = when(length(portS) > 0, portS.cast("int"))
     val path = regexp_extract(url,
       "^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?(?://[^/?#]*)?([^?#]*)", 1)
-    val query = regexp_extract(url, "\\?([^#]*)", 1)
+    // the query lives BEFORE the fragment: a '?' inside "#/route?tab=2"
+    // (SPA routing) is fragment content, not a query
+    val query = regexp_extract(
+      regexp_extract(url, "^([^#]*)", 1), "\\?(.*)$", 1)
     val fragment = regexp_extract(url, "#(.*)$", 1)
     struct(scheme.as("scheme"), host.as("host"), port.as("port"),
       path.as("path"), query.as("query"), fragment.as("fragment"))

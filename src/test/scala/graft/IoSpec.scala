@@ -931,10 +931,16 @@ class IoSpec extends SparkSpec {
       // headerless-HTTP payload: split must pass it through whole
       rec("resource", "http://x/2", "raw bytes no framing".getBytes("UTF-8"),
         ct = "text/plain")))
-    // plain .warc, single stream, to cover the uncompressed path
+    // plain .warc, single stream, to cover the uncompressed path — with
+    // a FRACTIONAL-second date (WARC 1.1), which must parse, not null
     val plain = Files.newOutputStream(dir.resolve("b.warc"))
     Warc.writeRecords(plain, Iterator(
-      rec("response", "http://y/3", (http + "world").getBytes("UTF-8"))),
+      (Map("WARC-Type" -> "response",
+        "WARC-Record-ID" -> "<urn:uuid:frac>",
+        "WARC-Date" -> "2026-03-04T05:06:07.123Z",
+        "WARC-Target-URI" -> "http://y/3",
+        "Content-Type" -> "application/http; msgtype=response"),
+        (http + "world").getBytes("UTF-8"))),
       gzipPerRecord = false)
 
     val all = Warc.readRecords(spark, dir.toString + "/*.warc*")
@@ -955,5 +961,11 @@ class IoSpec extends SparkSpec {
       === "raw bytes no framing")
     assert(res.head.getAs[java.sql.Timestamp]("warc_date").toInstant
       === java.time.Instant.parse("2026-03-04T05:06:07Z"))
+    // the fractional-second record parses instead of nulling
+    val frac = Warc.readRecords(spark, dir.toString + "/b.warc")
+      .select("warc_date").head()
+    assert(!frac.isNullAt(0), "fractional WARC-Date must parse")
+    assert(frac.getTimestamp(0).toInstant
+      === java.time.Instant.parse("2026-03-04T05:06:07.123Z"))
   }
 }

@@ -493,6 +493,28 @@ class MutationSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.save(Chain(part), "d[0]"))
   }
 
+  test("review fixes: control-char descriptions round-trip; partitioned blooms hash strings") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("mut_fix2").toString
+    val cat = new Catalog(root, spark)
+    // \t escapes as 	 in meta.json — annotationsOf must decode it,
+    // and a later annotation patch must not persist corruption
+    cat.save(Chain(Seq(1L).toDF("x")), "d", description = "a\tb\nc")
+    val v = cat.latestVersion("d").get
+    assert(cat.annotationsOf("d", v)._1 === "a\tb\nc")
+    cat.updateDataset("d", Some(v), attrs = Some(Seq("tag")))
+    assert(cat.annotationsOf("d", v) === ("a\tb\nc", Seq("tag")))
+    // bloom over a string PARTITION key with numeric-looking values:
+    // build must hash the string "00", not an inferred int 0 — a
+    // mismatch silently prunes every file
+    val part = Seq(("00", 1L), ("00", 2L), ("7", 3L)).toDF("shard", "id")
+    cat.save(Chain(part), "p", partitionBy = Seq("shard"),
+      bloomCols = Seq("shard"))
+    val got = cat.readDatasetWhere("p", col("shard") === "00")
+      .toDF.select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L))
+  }
+
   test("racing mutations claim distinct versions, both readable") {
     val root = Files.createTempDirectory("mut_race").toString
     val cat = new Catalog(root, spark)

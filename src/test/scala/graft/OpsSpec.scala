@@ -165,6 +165,16 @@ class OpsSpec extends SparkSpec {
     assert(rd.toSeq === Seq("example.co.uk", "example.com", "10.1.2.3",
       "localhost", "github.io", "x.github.io", "x.github.io"))
 
+    // review fixes: a '?' inside the fragment is NOT a query (SPA
+    // routing URLs), and IPv6 literals keep their brackets
+    val spa = Seq("https://ex.com/path#/route?tab=2").toDF("u")
+      .select(Urls.urlNormalize(col("u"))).as[String].head()
+    assert(spa === "https://ex.com/path", spa)
+    val v6 = Seq("http://[2001:db8::1]:8080/x").toDF("u")
+      .select(Urls.urlParts(col("u"))).head().getStruct(0)
+    assert(v6.getAs[String]("host") === "[2001:db8::1]", v6.toString)
+    assert(v6.getAs[Int]("port") === 8080)
+
     // normalize is idempotent: a canonical URL re-canonicalizes to itself
     val urls = Seq(
       "HTTPS://A.B:443/x?utm_source=s&z=1&a=2#f",
