@@ -515,6 +515,37 @@ class MutationSpec extends SparkSpec {
     assert(got === Set(1L, 2L))
   }
 
+  test("envelope probe boundary drill: negative keys, exact bounds, far inserts") {
+    val root = Files.createTempDirectory("mut_env").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    // negative..positive key domain in 8 range files
+    val df = (-100L to 100L).map(k => (k, s"s$k")).toDF("k", "s")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+    cat.save(Chain(df), "t")
+    val v1 = cat.latestVersion("t").get
+    // source keys sit EXACTLY on every file's envelope min and max (the
+    // off-by-one-bin failure mode), plus inserts far outside both ends
+    val bounds = cat.fileStats("t", v1)
+      .flatMap(f => f.cols.get("k").toSeq.flatMap(c => Seq(c.minL, c.maxL)))
+      .distinct.sorted
+    assert(bounds.size >= 8, s"fixture needs real envelopes: $bounds")
+    val updates = bounds.map(k => (k, s"hit$k"))
+    val inserts = Seq((Long.MaxValue - 5, "hi"), (Long.MinValue + 5, "lo"))
+    val src = (updates ++ inserts).toDF("k", "s")
+    val r = cat.mergeInto("t", src, Seq("k"), keyCollectMax = 0)
+    assert(r.rowsMatched === bounds.size,
+      s"every boundary key must match: $r vs ${bounds.size}")
+    assert(r.rowsInserted === 2)
+    // exact result: boundary rows updated, others untouched, extremes in
+    val got = cat.readDataset("t").toDF.select("k", "s")
+      .as[(Long, String)].collect().toMap
+    bounds.foreach(k => assert(got(k) === s"hit$k", s"boundary $k"))
+    assert(got(Long.MaxValue - 5) === "hi" && got(Long.MinValue + 5) === "lo")
+    assert(got(0L) === (if (bounds.contains(0L)) "hit0" else "s0"))
+    assert(got.size === 201 + 2)
+  }
+
   test("racing mutations claim distinct versions, both readable") {
     val root = Files.createTempDirectory("mut_race").toString
     val cat = new Catalog(root, spark)
