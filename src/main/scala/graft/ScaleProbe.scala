@@ -1164,9 +1164,15 @@ object ScaleProbe {
         val m = cat.mergeInto("ord", src, Seq("o_orderkey"),
           keyCollectMax = 0) // force the envelope-probe path
         val mrgSec = (System.nanoTime() - t1) / 1e9
+        // restore = the zero-copy claim under K× file growth: pure
+        // metadata (one link per file), expected ~flat wall time
+        val t2 = System.nanoTime()
+        cat.restore("ord", graft.catalog.SemVer(1, 0, 0))
+        val resSec = (System.nanoTime() - t2) / 1e9
         println(f"mutate K=$k%-3d files=${8 * k}%-4d save=${saveSec}%.2f s  " +
           f"delete=${delSec}%.2f s (rw=${d.filesRewritten} ln=${d.filesReused})  " +
-          f"merge=${mrgSec}%.2f s (rw=${m.filesRewritten} ln=${m.filesReused})")
+          f"merge=${mrgSec}%.2f s (rw=${m.filesRewritten} ln=${m.filesReused})  " +
+          f"restore=${resSec}%.3f s")
       }
     }
     spark.stop()
