@@ -3129,6 +3129,38 @@ object SparkEntry {
           |ORDER BY b.n_nationkey""".stripMargin)
     }),
 
+    "q_cdf_sync" -> ((s, dir) => {
+      // incremental CDF EXPORT: three syncs tail a mutation trail — the
+      // first snapshots current rows as inserts (startingVersion
+      // semantics), later ones append exactly the changes since the
+      // version the LINEAGE dep of the last export records (sync state
+      // lives in deps, vacuum-safe); a no-op sync writes nothing. The
+      // consumer-side changesFeed replays the full history (oracle)
+      val root = Files.createTempDirectory("graft_cdfsync").toString
+      val cat = new Catalog(root, s)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+        cat.save(Chain(docs), "docs")                            // 1.0.0
+        val n1 = Delta.syncChanges(cat, "docs", Seq("doc_id"))
+        require(n1 == 60, s"first sync snapshots all rows: $n1")
+        require(Delta.syncChanges(cat, "docs", Seq("doc_id")) == 0,
+          "in-sync export must be a no-op")
+        cat.deleteWhere("docs", col("doc_id") % 7 === 0)         // 1.1.0
+        cat.updateWhere("docs", col("doc_id") % 5 === 0,
+          Map("text" -> concat(col("text"), lit("!"))))          // 1.2.0
+        Delta.syncChanges(cat, "docs", Seq("doc_id"))
+        val inserts = docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            concat(lit("new"), col("doc_id")).as("text"))
+        cat.mergeInto("docs", inserts, Seq("doc_id"))            // 1.3.0
+        Delta.syncChanges(cat, "docs", Seq("doc_id"))
+        Delta.changesFeed(cat, "docs").toDF
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     "q_expectations" -> ((s, dir) => {
       // data-quality expectations at save (Delta CHECK constraints /
       // Deequ gates): a failing fail-mode constraint aborts BEFORE the
@@ -6574,6 +6606,23 @@ object SparkEntry {
       "q_catalog_sql" ->
         """SELECT n_nationkey, n_name FROM nation
           |WHERE n_regionkey = 0 ORDER BY n_nationkey""".stripMargin,
+
+      "q_cdf_sync" ->
+        """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 60)
+          |SELECT doc_id, text, 'insert' AS _change_type,
+          |  '1.0.0' AS _commit_version FROM base
+          |UNION ALL
+          |SELECT doc_id, text, 'delete', '1.1.0' FROM base
+          |WHERE doc_id % 7 = 0
+          |UNION ALL
+          |SELECT doc_id, text, 'update_preimage', '1.2.0' FROM base
+          |WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0
+          |UNION ALL
+          |SELECT doc_id, text || '!', 'update_postimage', '1.2.0' FROM base
+          |WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0
+          |UNION ALL
+          |SELECT doc_id + 1000000, 'new' || doc_id, 'insert', '1.3.0'
+          |FROM base WHERE doc_id % 11 = 0""".stripMargin,
 
       "q_expectations" ->
         """SELECT * FROM orders

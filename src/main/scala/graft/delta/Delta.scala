@@ -164,6 +164,61 @@ object Delta {
   }
 
   /**
+   * Incremental CDF EXPORT — the feed a downstream consumer actually
+   * tails: every call appends the change rows of all versions committed
+   * since the last sync to the catalog dataset `<name>__changes`
+   * (columns = the table's + `_change_type` + `_commit_version`). Sync
+   * state lives in LINEAGE, not a side file: each export version records
+   * a dep on the source version it reached, so the next call resumes
+   * from `depsOf(latest export)` — and vacuum keeps the synced-from
+   * version alive while the export referencing it lives. The first sync
+   * snapshots the current rows as `insert` changes (Delta's
+   * startingVersion semantics). Returns the number of change rows
+   * appended (0 = already in sync, no version written).
+   */
+  def syncChanges(catalog: Catalog, name: String, on: Seq[String],
+                  compare: Seq[String] = Seq.empty): Long = {
+    val changesName = s"${name}__changes"
+    val latest = catalog.latestVersion(name).getOrElse(
+      throw new NoSuchElementException(s"dataset $name not found"))
+    val lastSynced = catalog.latestVersion(changesName).flatMap(v =>
+      catalog.depsOf(changesName, v)
+        .collectFirst { case (`name`, dv) => dv })
+    val out: Option[Chain] = lastSynced match {
+      case Some(lv) if lv == latest => None
+      case Some(lv) =>
+        Some(readChangesRange(catalog, name, lv, latest, on, compare))
+      case None =>
+        // first sync: the current state IS the change set
+        Some(Chain(graft.core.Sys.drop(
+            catalog.readDataset(name, Some(latest)).toDF)
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(latest.toString))))
+    }
+    out match {
+      case None => 0L
+      case Some(chain) =>
+        val v = catalog.save(chain, changesName,
+          deps = Seq(s"$name@v$latest"), harvestStats = false)
+        catalog.rowsOf(changesName, v)
+    }
+  }
+
+  /** The full exported change history of `name`: every version of
+    * `<name>__changes` unioned in commit order — what a consumer that
+    * missed several syncs replays. Versions between two syncs that were
+    * vacuumed before their sync collapse into net changes (documented
+    * CDF-over-gaps semantics). */
+  def changesFeed(catalog: Catalog, name: String): Chain = {
+    val changesName = s"${name}__changes"
+    val vs = catalog.versions(changesName)
+    require(vs.nonEmpty, s"no changes exported yet for $name")
+    Chain(vs.map(v => graft.core.Sys.drop(
+        catalog.readDataset(changesName, Some(v)).toDF))
+      .reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
+  /**
    * Incremental save of `transform(source)` under `name`.
    *
    * `sourceSnapshotName` is the catalog dataset where each run persists its
