@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 
 import graft.core.Chain
 import graft.catalog.{Catalog, Expect, ExpectFailed}
-import graft.delta.Delta
+import graft.delta.{Delta, MatView, MvAgg}
 import graft.files.FileOps
 import graft.functions.GraftFunctions._
 import graft.ops.{Corpus, Dedup, Multimodal, Similarity, Split, TextAnalysis}
@@ -3158,6 +3158,74 @@ object SparkEntry {
         cat.mergeInto("docs", inserts, Seq("doc_id"))            // 1.3.0
         Delta.syncChanges(cat, "docs", Seq("doc_id"))
         Delta.changesFeed(cat, "docs").toDF
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
+    "q_matview_inc" -> ((s, dir) => {
+      // incrementally-maintained materialized view, ADDITIVE path: a
+      // delete + update + insert trail refreshes via pure signed-delta
+      // arithmetic over the change feed — the source is never rescanned
+      // (refresh cost ∝ changes, not table; the 100 TB MV story). Group
+      // birth (new langs) and group death (lang dropped) both land
+      // through envelope-pruned merges; a no-op refresh writes nothing.
+      // Oracle: DuckDB recomputes the final groupBy from the
+      // analytically-reconstructed table
+      val root = Files.createTempDirectory("graft_mv").toString
+      val cat = new Catalog(root, s)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val d = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        cat.save(Chain(d), "d")
+        MatView.create(cat, "d_by_lang", "d", Seq("doc_id"), Seq("lang"),
+          Seq(MvAgg("n_docs", "count", "*"), MvAgg("chars", "sum", "n_chars"),
+            MvAgg("avg_chars", "avg", "n_chars")))
+        cat.deleteWhere("d", col("doc_id") % 7 === 0)
+        cat.updateWhere("d", col("doc_id") % 5 === 0,
+          Map("n_chars" -> (col("n_chars") + lit(1000L))))
+        val ins = d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("x_"), col("lang")).as("lang"), col("n_chars"))
+        cat.mergeInto("d", ins, Seq("doc_id"))
+        cat.deleteWhere("d", col("lang") === "en")
+        val r = MatView.refresh(cat, "d_by_lang")
+        require(r.mode == "additive" && r.upserted > 0 && r.deleted >= 1L,
+          s"four mutations, one additive refresh, 'en' group dies: $r")
+        require(MatView.refresh(cat, "d_by_lang").mode == "noop",
+          "in-sync refresh must be a no-op")
+        MatView.read(cat, "d_by_lang").toDF
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
+    "q_matview_minmax" -> ((s, dir) => {
+      // materialized view, RECOMPUTE path: deleting rows can strip a
+      // group's current min/max, which no bounded per-group state can
+      // repair — the refresh re-aggregates exactly the dirty groups from
+      // the source, pruned to the files whose stats overlap the dirty
+      // keys. Inserted negative extremes must surface as new minima
+      val root = Files.createTempDirectory("graft_mvmm").toString
+      val cat = new Catalog(root, s)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val d = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        cat.save(Chain(d), "d")
+        MatView.create(cat, "mm", "d", Seq("doc_id"), Seq("lang"),
+          Seq(MvAgg("lo", "min", "n_chars"), MvAgg("hi", "max", "n_chars"),
+            MvAgg("n", "count", "*")))
+        cat.deleteWhere("d", col("n_chars") % 2 === 0)
+        val ins = d.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            (-col("doc_id")).cast("long").as("n_chars"))
+        cat.mergeInto("d", ins, Seq("doc_id"))
+        val r = MatView.refresh(cat, "mm")
+        require(r.mode == "recompute",
+          s"min/max must take the recompute path: $r")
+        require(MatView.refresh(cat, "mm").mode == "noop",
+          "in-sync refresh must be a no-op")
+        MatView.read(cat, "mm").toDF
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
@@ -6623,6 +6691,34 @@ object SparkEntry {
           |UNION ALL
           |SELECT doc_id + 1000000, 'new' || doc_id, 'insert', '1.3.0'
           |FROM base WHERE doc_id % 11 = 0""".stripMargin,
+
+      "q_matview_inc" ->
+        """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+          |t1 AS (SELECT * FROM base WHERE doc_id % 7 <> 0),
+          |t2 AS (SELECT doc_id, lang,
+          |         CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000
+          |              ELSE n_chars END AS n_chars
+          |       FROM t1),
+          |t3 AS (SELECT * FROM t2 UNION ALL
+          |       SELECT doc_id + 1000000, 'x_' || lang, n_chars
+          |       FROM base WHERE doc_id % 11 = 0),
+          |t4 AS (SELECT * FROM t3 WHERE lang <> 'en')
+          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_chars) AS BIGINT) AS chars,
+          |  CAST(CAST(sum(CAST(n_chars AS DECIMAL(28,10))) AS DOUBLE)
+          |       / count(n_chars) AS DOUBLE) AS avg_chars
+          |FROM t4 GROUP BY lang""".stripMargin,
+
+      "q_matview_minmax" ->
+        """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+          |t1 AS (SELECT * FROM base WHERE n_chars % 2 <> 0),
+          |t2 AS (SELECT * FROM t1 UNION ALL
+          |       SELECT doc_id + 1000000, lang, -doc_id
+          |       FROM base WHERE doc_id % 13 = 0)
+          |SELECT lang, CAST(min(n_chars) AS BIGINT) AS lo,
+          |  CAST(max(n_chars) AS BIGINT) AS hi,
+          |  CAST(count(*) AS BIGINT) AS n
+          |FROM t2 GROUP BY lang""".stripMargin,
 
       "q_expectations" ->
         """SELECT * FROM orders

@@ -1,0 +1,182 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.core.Chain
+import graft.delta.{MatView, MvAgg}
+
+/** Incremental materialized views: additive and recompute maintenance,
+  * group birth/death, null-sum semantics, no-op refresh, vacuumed-cursor
+  * rebuild. Every refresh result is checked against a from-scratch
+  * groupBy over the source's current rows. */
+class MatViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs() = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  /** The view read must equal a fresh groupBy over the CURRENT source. */
+  private def assertMatches(cat: Catalog, mv: String, src: String): Unit = {
+    val cur = graft.core.Sys.drop(cat.readDataset(src).toDF)
+    val expect = cur.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("chars"),
+      avg(col("n_chars")).as("avg_chars"))
+    val got = MatView.read(cat, mv).toDF
+      .select(col("lang"), col("n_docs"), col("chars"),
+        col("avg_chars"))
+    val diff = got.except(
+        expect.select(col("lang"), col("n_docs").cast("long"),
+          col("chars").cast("long"), col("avg_chars")))
+      .union(expect.select(col("lang"), col("n_docs").cast("long"),
+          col("chars").cast("long"), col("avg_chars")).except(got))
+    assert(diff.isEmpty, s"view drifted from source groupBy")
+  }
+
+  test("additive view: create, mutate, refresh equals recompute") {
+    val root = Files.createTempDirectory("mv_add").toString
+    val cat = new Catalog(root, spark)
+    cat.save(Chain(docs()), "d")
+    MatView.create(cat, "d_by_lang", "d", Seq("doc_id"), Seq("lang"),
+      Seq(MvAgg("n_docs", "count", "*"), MvAgg("chars", "sum", "n_chars"),
+        MvAgg("avg_chars", "avg", "n_chars")))
+    assertMatches(cat, "d_by_lang", "d")
+
+    // in-sync refresh is a no-op and writes nothing
+    val vs0 = cat.versions("d_by_lang")
+    val r0 = MatView.refresh(cat, "d_by_lang")
+    assert(r0.mode === "noop" && cat.versions("d_by_lang") === vs0)
+
+    // delete + update + insert (incl. brand-new groups), one refresh
+    cat.deleteWhere("d", col("doc_id") % 7 === 0)
+    cat.updateWhere("d", col("doc_id") % 5 === 0,
+      Map("n_chars" -> (col("n_chars") + lit(1000L))))
+    val ins = docs().filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(lit("x_"), col("lang")).as("lang"), col("source"),
+        col("n_chars"))
+    cat.mergeInto("d", ins, Seq("doc_id"))
+    val r1 = MatView.refresh(cat, "d_by_lang")
+    assert(r1.mode === "additive")
+    assert(r1.dirtyGroups > 0 && r1.upserted > 0)
+    assertMatches(cat, "d_by_lang", "d")
+
+    // kill one whole group: its view row must disappear
+    cat.deleteWhere("d", col("lang") === "en")
+    val r2 = MatView.refresh(cat, "d_by_lang")
+    assert(r2.deleted >= 1L)
+    assert(MatView.read(cat, "d_by_lang").toDF
+      .filter(col("lang") === "en").isEmpty)
+    assertMatches(cat, "d_by_lang", "d")
+    assert(MatView.refresh(cat, "d_by_lang").mode === "noop")
+  }
+
+  test("sum over an all-null group reads NULL, not 0") {
+    val root = Files.createTempDirectory("mv_null").toString
+    val cat = new Catalog(root, spark)
+    val src = Seq((1L, "a", Some(10L)), (2L, "a", Some(20L)),
+      (3L, "b", None), (4L, "b", None))
+      .toDF("id", "g", "x")
+    cat.save(Chain(src), "t")
+    MatView.create(cat, "t_mv", "t", Seq("id"), Seq("g"),
+      Seq(MvAgg("sx", "sum", "x"), MvAgg("ax", "avg", "x"),
+        MvAgg("nx", "count", "x")))
+    val m0 = MatView.read(cat, "t_mv").toDF.collect()
+      .map(r => r.getString(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    assert(m0("a") === ((30L, 15.0, 2L)))
+    assert(m0("b") === ((null, null, 0L)))
+    // deleting one null row keeps the group all-null; inserting a value
+    // flips sum/avg non-null — both through the additive path
+    cat.deleteWhere("t", col("id") === 3L)
+    cat.mergeInto("t", Seq((5L, "b", Some(7L))).toDF("id", "g", "x"),
+      Seq("id"))
+    val r = MatView.refresh(cat, "t_mv")
+    assert(r.mode === "additive")
+    val m1 = MatView.read(cat, "t_mv").toDF.collect()
+      .map(r => r.getString(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    assert(m1("b") === ((7L, 7.0, 1L)))
+  }
+
+  test("double sums accumulate exactly (decimal state)") {
+    val root = Files.createTempDirectory("mv_dec").toString
+    val cat = new Catalog(root, spark)
+    val src = (1 to 100).map(i => (i.toLong, "g", i * 0.1))
+      .toDF("id", "g", "x")
+    cat.save(Chain(src), "t")
+    MatView.create(cat, "t_mv", "t", Seq("id"), Seq("g"),
+      Seq(MvAgg("sx", "sum", "x")))
+    // delete 99 rows one version at a time worth of float subtraction
+    cat.deleteWhere("t", col("id") > 1L)
+    MatView.refresh(cat, "t_mv")
+    val got = MatView.read(cat, "t_mv").toDF.head().getDouble(1)
+    // float-additive state would carry (sum - parts) rounding noise;
+    // decimal state lands exactly on the remaining row's value
+    assert(got === 0.1)
+  }
+
+  test("min/max view recomputes dirty groups from the source") {
+    val root = Files.createTempDirectory("mv_mm").toString
+    val cat = new Catalog(root, spark)
+    cat.save(Chain(docs()), "d")
+    MatView.create(cat, "mm", "d", Seq("doc_id"), Seq("lang"),
+      Seq(MvAgg("lo", "min", "n_chars"), MvAgg("hi", "max", "n_chars"),
+        MvAgg("n", "count", "*")))
+    def expectNow() = graft.core.Sys.drop(cat.readDataset("d").toDF)
+      .groupBy("lang").agg(min("n_chars").as("lo"), max("n_chars").as("hi"),
+        count(lit(1)).as("n"))
+    // strip each group's current minimum: only a recompute can repair lo
+    val cuts = expectNow().select(col("lang").as("l"), col("lo"))
+    val pred = col("n_chars") <= lit(
+      cuts.agg(max(col("lo"))).head().getLong(0))
+    cat.deleteWhere("d", pred)
+    val r = MatView.refresh(cat, "mm")
+    assert(r.mode === "recompute")
+    val diff = MatView.read(cat, "mm").toDF.except(expectNow())
+      .union(expectNow().except(MatView.read(cat, "mm").toDF))
+    assert(diff.isEmpty)
+    assert(MatView.refresh(cat, "mm").mode === "noop")
+  }
+
+  test("vacuumed cursor falls back to a full rebuild") {
+    val root = Files.createTempDirectory("mv_rb").toString
+    val cat = new Catalog(root, spark)
+    // save-created source versions carry no version-chain deps (unlike
+    // copy-on-write mutations, whose parent links vacuum-protect the
+    // whole chain) — so the sync cursor CAN be vacuumed away here
+    cat.save(Chain(docs().filter(col("doc_id") < 40)), "d")
+    MatView.create(cat, "mv", "d", Seq("doc_id"), Seq("lang"),
+      Seq(MvAgg("n", "count", "*")))
+    cat.save(Chain(docs().filter(col("doc_id") < 30)), "d")  // 1.1.0
+    MatView.refresh(cat, "mv")                               // cursor -> 1.1.0
+    cat.save(Chain(docs().filter(col("doc_id") < 20)), "d")  // 1.2.0
+    cat.vacuum(keepLast = 1)                                 // 1.1.0 gone
+    val r = MatView.refresh(cat, "mv")
+    assert(r.mode === "rebuild")
+    val expect = graft.core.Sys.drop(cat.readDataset("d").toDF)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val got = MatView.read(cat, "mv").toDF
+    assert(got.except(expect).union(expect.except(got)).isEmpty)
+  }
+
+  test("definition survives refreshes; non-view dataset rejected") {
+    val root = Files.createTempDirectory("mv_def").toString
+    val cat = new Catalog(root, spark)
+    cat.save(Chain(docs()), "d")
+    intercept[IllegalArgumentException](MatView.read(cat, "d"))
+    MatView.create(cat, "mv", "d", Seq("doc_id"), Seq("lang"),
+      Seq(MvAgg("n", "count", "*")))
+    cat.deleteWhere("d", col("doc_id") % 2 === 0)
+    MatView.refresh(cat, "mv")
+    val (src, rk, gb, aggs, _) = MatView.definitionOf(cat, "mv")
+    assert(src === "d" && rk === Seq("doc_id") && gb === Seq("lang"))
+    assert(aggs === Seq(MvAgg("n", "count", "*")))
+    // duplicate create and reserved names rejected
+    intercept[IllegalArgumentException](
+      MatView.create(cat, "mv", "d", Seq("doc_id"), Seq("lang"),
+        Seq(MvAgg("n", "count", "*"))))
+    intercept[IllegalArgumentException](
+      MatView.create(cat, "mv2", "d", Seq("doc_id"), Seq("lang"),
+        Seq(MvAgg("__x", "count", "*"))))
+  }
+}
