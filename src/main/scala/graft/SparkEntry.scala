@@ -1950,6 +1950,39 @@ object SparkEntry {
           (coalesce(col("n_hits"), lit(0L)) >= 3).as("recall_ok"))
     }),
 
+    "q_ann_index" -> ((s, dir) => {
+      // PERSISTED IVF index: build once into the catalog (corpus range-
+      // laid by centroid_id + centroids dataset + lineage dep), query
+      // many times. Asserted: the layout actually skips files (a
+      // half-domain centroid predicate must prune via footer stats), and
+      // search recall matches the q_ann_ivf property (searchIndex reads a
+      // pruned SUPERSET of the probed lists, so results equal ivfTopK's)
+      val root = Files.createTempDirectory("graft_annidx").toString
+      val cat = new Catalog(root, s)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val emb = T(s, dir, "embeddings")
+        Similarity.saveIndex(cat, "idx", emb, nlist = 16, iterations = 1,
+          nFiles = 16)
+        val (kept, total) = cat.pruneCount("idx", col("centroid_id") < 8L)
+        require(kept < total,
+          s"range layout must let stats prune unprobed lists: $kept/$total")
+        val queries = emb.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        val res = Similarity.searchIndex(cat, "idx", queries, k = 5,
+          nprobe = 8)
+        val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+        val hits = res.select(col("query_id"), col("vec_id"))
+          .intersect(bf.select(col("query_id"), col("vec_id")))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        queries.select(col("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            (coalesce(col("n_hits"), lit(0L)) >= 3).as("recall_ok"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     // ------------------------------------------------------ text analysis
     "q_lang_id" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -5720,6 +5753,10 @@ object SparkEntry {
           |FROM embeddings WHERE vec_id < 3""".stripMargin,
 
       "q_ann_ivf_pq" ->
+        """SELECT vec_id AS query_id, TRUE AS recall_ok
+          |FROM embeddings WHERE vec_id < 3""".stripMargin,
+
+      "q_ann_index" ->
         """SELECT vec_id AS query_id, TRUE AS recall_ok
           |FROM embeddings WHERE vec_id < 3""".stripMargin,
 

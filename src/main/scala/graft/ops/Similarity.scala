@@ -219,23 +219,96 @@ object Similarity {
               queries: DataFrame, k: Int, nprobe: Int = 4,
               vecCol: String = "embedding", idCol: String = "vec_id",
               queryIdCol: String = "query_id"): DataFrame = {
+    val probes = routeProbes(centroids, queries, nprobe, vecCol, queryIdCol)
+    val scoredIvf = corpusAssigned.join(broadcast(probes), "centroid_id")
+      .withColumn("__sim", cosineSim(col("__qv"), col(vecCol)))
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__sim").desc, col(idCol).asc)
+    scoredIvf.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col(queryIdCol), col(idCol), round(col("__sim"), 6).as("sim"),
+        col("__rank").as("rank"))
+  }
+
+  /** Per-query nprobe nearest centroids: (queryIdCol, __qv, centroid_id).
+    * Queries × centroids both broadcast-small; WindowGroupLimit bounds
+    * the rank shuffle to nprobe rows per query. */
+  private def routeProbes(centroids: DataFrame, queries: DataFrame,
+                          nprobe: Int, vecCol: String,
+                          queryIdCol: String): DataFrame = {
     val q = queries.select(col(queryIdCol), col(vecCol).as("__qv"))
     val qc = q.join(broadcast(centroids))
       .withColumn("__d",
         euclidean_distance(col("__qv"), col("__centroid").cast("array<float>")))
     val wq = Window.partitionBy(col(queryIdCol)).orderBy(col("__d").asc,
       col("centroid_id").asc)
-    val probes = qc.withColumn("__r", row_number().over(wq))
+    qc.withColumn("__r", row_number().over(wq))
       .filter(col("__r") <= nprobe)
       .select(col(queryIdCol), col("__qv"), col("centroid_id"))
-    val scored = corpusAssigned.join(broadcast(probes), "centroid_id")
-      .withColumn("__sim", cosineSim(col("__qv"), col(vecCol)))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("__sim").desc, col(idCol).asc)
-    scored.withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .select(col(queryIdCol), col(idCol), round(col("__sim"), 6).as("sim"),
-        col("__rank").as("rank"))
+  }
+
+  /**
+   * Build an IVF index over `corpus` ONCE and persist it in the catalog —
+   * the "one build, many query batches" shape every production vector
+   * store uses (FAISS index files, Milvus segments). Two datasets land:
+   * `idxName` = the corpus with its `centroid_id` assignment, RANGE-LAID
+   * so each parquet file covers a narrow centroid band (footer min/max
+   * stats then prune un-probed lists at read time), and
+   * `idxName__centroids` = the nlist routing vectors. The index version
+   * records a lineage dep on the centroids version, so vacuum can never
+   * orphan an index from its routing table.
+   *
+   * At 100 TB: the build is [[ivfBuild]]'s Lloyd pass (centroids
+   * broadcast, shuffle carries rows×dim map-side-combined scalars);
+   * queries then touch ~nprobe/nlist of the files — see [[searchIndex]].
+   */
+  def saveIndex(catalog: graft.catalog.Catalog, idxName: String,
+                corpus: DataFrame, nlist: Int, iterations: Int = 2,
+                nFiles: Int = 16, vecCol: String = "embedding",
+                idCol: String = "vec_id"): graft.catalog.SemVer = {
+    require(catalog.versions(idxName).isEmpty &&
+      catalog.versions(s"${idxName}__centroids").isEmpty,
+      s"ann index '$idxName' already exists")
+    val (assigned, centroids) = ivfBuild(corpus, nlist, iterations,
+      vecCol, idCol)
+    val cv = catalog.save(graft.core.Chain(centroids),
+      s"${idxName}__centroids", harvestStats = false)
+    val laid = assigned
+      .repartitionByRange(nFiles, col("centroid_id"), col(idCol))
+      .sortWithinPartitions("centroid_id")
+    catalog.save(graft.core.Chain(laid), idxName,
+      deps = Seq(s"${idxName}__centroids@v$cv"),
+      attrs = Seq(s"annidx:nlist=$nlist", s"annidx:vec=$vecCol",
+        s"annidx:id=$idCol"))
+  }
+
+  /**
+   * Probe a persisted IVF index: route each query to its `nprobe`
+   * nearest centroids, then read ONLY the index files whose
+   * `centroid_id` envelope intersects a probed list (the union of probed
+   * cells is ≤ nlist ids — always collectable) and rank top-k inside
+   * them. The scan cost is ~nprobe/nlist of the index, independent of
+   * how many query batches run — the build amortizes away.
+   */
+  def searchIndex(catalog: graft.catalog.Catalog, idxName: String,
+                  queries: DataFrame, k: Int, nprobe: Int = 4,
+                  queryIdCol: String = "query_id"): DataFrame = {
+    val attrs = catalog.annotationsOf(idxName,
+      catalog.latestVersion(idxName).getOrElse(
+        throw new NoSuchElementException(s"ann index '$idxName' not found")))._2
+    def attr(p: String): String = attrs.find(_.startsWith(p))
+      .map(_.drop(p.length)).getOrElse(throw new IllegalArgumentException(
+        s"'$idxName' is not an ann index (missing $p attr)"))
+    val vecCol = attr("annidx:vec=")
+    val idCol = attr("annidx:id=")
+    val centroids = graft.core.Sys.drop(
+      catalog.readDataset(s"${idxName}__centroids").toDF)
+    val cells = routeProbes(centroids, queries, nprobe, vecCol, queryIdCol)
+      .select("centroid_id").distinct().collect().map(_.getLong(0)).toSeq
+    val pruned = graft.core.Sys.drop(
+      catalog.readDatasetWhere(idxName,
+        col("centroid_id").isin(cells: _*)).toDF)
+    ivfTopK(pruned, centroids, queries, k, nprobe, vecCol, idCol, queryIdCol)
   }
 
   /**

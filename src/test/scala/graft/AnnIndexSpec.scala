@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.ops.Similarity
+
+/** Persisted IVF index: a catalog round-trip must not change search
+  * results, the range layout must let footer stats prune unprobed
+  * lists, and the centroids dataset must be vacuum-protected. */
+class AnnIndexSpec extends SparkSpec {
+
+  private def emb() = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("searchIndex equals in-memory ivfTopK on the same build") {
+    val root = Files.createTempDirectory("annidx").toString
+    val cat = new Catalog(root, spark)
+    val e = emb()
+    Similarity.saveIndex(cat, "ix", e, nlist = 8, iterations = 1,
+      nFiles = 8)
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val viaIndex = Similarity.searchIndex(cat, "ix", queries, k = 3,
+      nprobe = 4)
+    // same deterministic build, in memory: results must match EXACTLY
+    // (the pruned read is a superset of the probed lists)
+    val (assigned, centroids) = Similarity.ivfBuild(e, nlist = 8,
+      iterations = 1)
+    val direct = Similarity.ivfTopK(assigned, centroids, queries, k = 3,
+      nprobe = 4)
+    assert(viaIndex.except(direct).union(direct.except(viaIndex)).isEmpty)
+  }
+
+  test("range layout prunes unprobed centroid bands") {
+    val root = Files.createTempDirectory("annidx_p").toString
+    val cat = new Catalog(root, spark)
+    Similarity.saveIndex(cat, "ix", emb(), nlist = 16, iterations = 1,
+      nFiles = 16)
+    val (kept, total) = cat.pruneCount("ix", col("centroid_id") === 0L)
+    assert(total >= 8, s"fixture must produce a multi-file layout: $total")
+    assert(kept <= total / 2, s"single-list probe must skip most files: " +
+      s"$kept/$total")
+    // centroids survive vacuum while the index lives (lineage dep)
+    cat.vacuum(keepLast = 1)
+    assert(cat.versions("ix__centroids").nonEmpty)
+    // duplicate build rejected
+    intercept[IllegalArgumentException](
+      Similarity.saveIndex(cat, "ix", emb(), nlist = 4))
+  }
+}
