@@ -3194,6 +3194,38 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    "q_cdf_stream" -> ((s, dir) => {
+      // the CONSUMER side of CDC as a structured stream: the same
+      // mutation trail as q_cdf_sync, exported by three syncs, then
+      // tailed by Delta.changesStream — each export version surfaces as
+      // a file-source micro-batch, and the AvailableNow replay must
+      // equal the batch changesFeed (same DuckDB oracle)
+      val root = Files.createTempDirectory("graft_cdfst").toString
+      val cat = new Catalog(root, s)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val docs = T(s, dir, "documents")
+          .select(col("doc_id"), col("text")).filter(col("doc_id") < 60)
+        cat.save(Chain(docs), "docs")
+        Delta.syncChanges(cat, "docs", Seq("doc_id"))
+        cat.deleteWhere("docs", col("doc_id") % 7 === 0)
+        cat.updateWhere("docs", col("doc_id") % 5 === 0,
+          Map("text" -> concat(col("text"), lit("!"))))
+        Delta.syncChanges(cat, "docs", Seq("doc_id"))
+        val inserts = docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            concat(lit("new"), col("doc_id")).as("text"))
+        cat.mergeInto("docs", inserts, Seq("doc_id"))
+        Delta.syncChanges(cat, "docs", Seq("doc_id"))
+        val stream = Delta.changesStream(cat, "docs")
+        val ckpt = Files.createTempDirectory("graft_cdfst_ckpt").toString
+        val qn = "cdfst_" + math.abs(scala.util.Random.nextInt())
+        graft.streaming.EventStream.runAvailableNow(stream, qn, ckpt,
+          noDataBatch = false)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     "q_matview_inc" -> ((s, dir) => {
       // incrementally-maintained materialized view, ADDITIVE path: a
       // delete + update + insert trail refreshes via pure signed-delta
@@ -6713,6 +6745,23 @@ object SparkEntry {
           |WHERE n_regionkey = 0 ORDER BY n_nationkey""".stripMargin,
 
       "q_cdf_sync" ->
+        """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 60)
+          |SELECT doc_id, text, 'insert' AS _change_type,
+          |  '1.0.0' AS _commit_version FROM base
+          |UNION ALL
+          |SELECT doc_id, text, 'delete', '1.1.0' FROM base
+          |WHERE doc_id % 7 = 0
+          |UNION ALL
+          |SELECT doc_id, text, 'update_preimage', '1.2.0' FROM base
+          |WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0
+          |UNION ALL
+          |SELECT doc_id, text || '!', 'update_postimage', '1.2.0' FROM base
+          |WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0
+          |UNION ALL
+          |SELECT doc_id + 1000000, 'new' || doc_id, 'insert', '1.3.0'
+          |FROM base WHERE doc_id % 11 = 0""".stripMargin,
+
+      "q_cdf_stream" ->
         """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 60)
           |SELECT doc_id, text, 'insert' AS _change_type,
           |  '1.0.0' AS _commit_version FROM base

@@ -219,6 +219,30 @@ object Delta {
   }
 
   /**
+   * STREAMING tail of the exported change feed: a Structured Streaming
+   * source over `<name>__changes`, where every [[syncChanges]] call's
+   * export version surfaces as a new micro-batch — the consumer side of
+   * CDC (Delta's `readStream.option("readChangeFeed")`). The file source
+   * discovers each new version's parquet under the export's version-dir
+   * glob as it lands; schema is the latest export version's (earlier
+   * files that predate an evolved column read null, matching
+   * [[changesFeed]]'s by-name union). Run it once with AvailableNow to
+   * replay history, or leave it running to follow future syncs.
+   */
+  def changesStream(catalog: Catalog, name: String)
+      : org.apache.spark.sql.DataFrame = {
+    val changesName = s"${name}__changes"
+    val vs = catalog.versions(changesName)
+    require(vs.nonEmpty,
+      s"no changes exported yet for $name — run syncChanges first")
+    val latest = catalog.readDataset(changesName, Some(vs.last)).toDF
+    val stream = latest.sparkSession.readStream
+      .schema(latest.schema) // incl. the sys stamp; dropped below
+      .parquet(s"${catalog.root}/datasets/$changesName/v*/data")
+    graft.core.Sys.drop(stream)
+  }
+
+  /**
    * Incremental save of `transform(source)` under `name`.
    *
    * `sourceSnapshotName` is the catalog dataset where each run persists its

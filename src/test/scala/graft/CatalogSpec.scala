@@ -734,4 +734,30 @@ class CatalogSpec extends SparkSpec {
     // data still readable after the in-place patch
     assert(cat.readDataset("b").toDF.count() === 5L)
   }
+
+  test("changesStream follows syncs committed WHILE the stream runs") {
+    val root = Files.createTempDirectory("cat_cdfst").toString
+    val cat = new Catalog(root, spark)
+    val n = Chain(spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"), col("n_name")))
+    cat.save(n, "nat")
+    Delta.syncChanges(cat, "nat", Seq("n_nationkey"))
+    val ckpt = Files.createTempDirectory("cat_cdfst_ckpt").toString
+    val q = Delta.changesStream(cat, "nat")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdfst_live").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val snap = spark.table("cdfst_live").count()
+      assert(snap === 25L, s"first sync snapshots all rows: $snap")
+      // a sync committed AFTER the stream started must arrive as a new
+      // micro-batch without a restart
+      cat.deleteWhere("nat", col("n_nationkey") < 5L)
+      Delta.syncChanges(cat, "nat", Seq("n_nationkey"))
+      q.processAllAvailable()
+      val dels = spark.table("cdfst_live")
+        .filter(col("_change_type") === "delete").count()
+      assert(dels === 5L, s"live-followed deletes: $dels")
+    } finally q.stop()
+  }
 }
