@@ -512,6 +512,26 @@ final class Catalog(val root: String, spark: SparkSession) {
   /** Read exactly `files` (relative) of `name@v` with the version's
     * recorded types restored; empty `files` reads nothing (a zero-row
     * frame with the version's schema). */
+  /** Version-relative parquet names of `name@v` with on-disk sizes —
+    * the carried-file detector for file-level version diffs: cow
+    * mutations hard-link untouched files under the SAME relative name
+    * (and fresh saves never reuse a name), so same-name same-size files
+    * across two versions are byte-identical. */
+  private[graft] def versionDataFiles(name: String, v: SemVer)
+      : Map[String, Long] = {
+    val dataDir = vDir(name, v).resolve("data")
+    walkParquet(dataDir).map { p =>
+      dataDir.relativize(p).toString -> Files.size(p)
+    }.toMap
+  }
+
+  /** Read only the named version-relative files of `name@v`
+    * (explicit-schema rules applied; empty = empty frame with the
+    * version's schema). */
+  private[graft] def readVersionSlice(name: String, v: SemVer,
+                                      files: Seq[String]): DataFrame =
+    readVersionFiles(name, v, files)
+
   private def readVersionFiles(name: String, v: SemVer,
                                files: Seq[String]): DataFrame = {
     val dataDir = vDir(name, v).resolve("data").toString

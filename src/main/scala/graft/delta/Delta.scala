@@ -83,20 +83,38 @@ object Delta {
    * deletes and update_preimage rows carry `from`'s. Unchanged rows never
    * surface.
    *
-   * One full-outer join on the keys at any scale — the M rows fan out into
-   * their pre/post pair via a 2-element array explode, never a second
-   * join. Composes with [[diffVersions]] (same key/compare semantics) and
-   * with the copy-on-write mutations ([[graft.catalog.Catalog.deleteWhere]]
-   * etc.), whose versions this feed audits.
+   * One full-outer join over only the DIFFERING FILES at any scale: a
+   * copy-on-write mutation hard-links untouched files into the new
+   * version under the same version-relative name, so a file present in
+   * both versions with the same size is byte-identical and provably
+   * contributes no changes — the join reads just each side's unshared
+   * files, making the feed O(churned files), never O(table) (a
+   * one-file delete on a 100 TB table diffs one file pair). Versions
+   * written by whole saves share no file names and degrade to the full
+   * diff naturally; rows that merely MOVED files (OPTIMIZE / Z-ORDER
+   * repacks) meet themselves on both sides and emit nothing. The M rows
+   * fan out into their pre/post pair via a 2-element array explode,
+   * never a second join. `on` must identify rows uniquely (the Delta CDF
+   * contract). Composes with [[diffVersions]] (same key/compare
+   * semantics) and with the copy-on-write mutations
+   * ([[graft.catalog.Catalog.deleteWhere]] etc.), whose versions this
+   * feed audits.
    */
   def readChanges(catalog: Catalog, name: String,
                   from: SemVer, to: SemVer,
                   on: Seq[String], compare: Seq[String] = Seq.empty,
                   typeCol: String = "_change_type"): Chain = {
+    val have = catalog.versions(name)
+    require(have.contains(from) && have.contains(to),
+      s"readChanges: unknown version $from or $to of '$name' (have $have)")
+    val fNew = catalog.versionDataFiles(name, to)
+    val fOld = catalog.versionDataFiles(name, from)
+    val shared = fNew.keySet.intersect(fOld.keySet)
+      .filter(k => fNew(k) == fOld(k))
     val newerDf = graft.core.Sys.drop(
-      catalog.readDataset(name, Some(to)).toDF)
+      catalog.readVersionSlice(name, to, (fNew.keySet -- shared).toSeq.sorted))
     val olderDf = graft.core.Sys.drop(
-      catalog.readDataset(name, Some(from)).toDF)
+      catalog.readVersionSlice(name, from, (fOld.keySet -- shared).toSeq.sorted))
     val cols = newerDf.columns.toSeq
     val oldCols = olderDf.columns.toSet
     require(on.forall(k => cols.contains(k) && oldCols(k)),

@@ -735,6 +735,34 @@ class CatalogSpec extends SparkSpec {
     assert(cat.readDataset("b").toDF.count() === 5L)
   }
 
+  test("readChanges diffs only the churned files of a cow version pair") {
+    val root = Files.createTempDirectory("cat_cdfslice").toString
+    val cat = new Catalog(root, spark)
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    cat.save(Chain(o), "o")
+    val key = o.agg(min("o_orderkey")).head().getLong(0)
+    val mr = cat.deleteWhere("o", col("o_orderkey") === key)
+    assert(mr.filesReused >= 6, s"sorted layout must localize: $mr")
+    val feed = Delta.readChanges(cat, "o", SemVer(1, 0, 0), mr.version,
+      Seq("o_orderkey")).toDF
+    // the feed's scans must touch only the churned file pair, not 16
+    val nIn = feed.inputFiles.length
+    assert(nIn <= 4, s"file-level diff must skip carried files: read $nIn")
+    val rows = feed.collect()
+    assert(rows.length === 1 &&
+      rows(0).getAs[String]("_change_type") === "delete" &&
+      rows(0).getAs[Long]("o_orderkey") === key)
+    // an OPTIMIZE repack moves rows between files without changing them:
+    // every file differs, but the feed must still be empty
+    cat.optimize("o", nFiles = 2)
+    val v3 = cat.latestVersion("o").get
+    assert(Delta.readChanges(cat, "o", mr.version, v3,
+      Seq("o_orderkey")).toDF.isEmpty)
+  }
+
   test("changesStream follows syncs committed WHILE the stream runs") {
     val root = Files.createTempDirectory("cat_cdfst").toString
     val cat = new Catalog(root, spark)
