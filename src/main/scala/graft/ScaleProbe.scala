@@ -19,8 +19,8 @@ object ScaleProbe {
     //   lm,exactsubstr,dsir,semdedup,ann,graph,triangles,lpa,kmeans,kcore,
     //   heavyhitters,covariance,kll,topk,sketchoverlap,saltjoin,bucketjoin,
     //   pq,profile,rollingdistinct,funnel,statsskip,bloomskip,
-    //   intervaljoin,mediameta,optimize,tokenmix,crawl,fuzzyjoin,mutate
-    //   (default all)
+    //   intervaljoin,mediameta,optimize,tokenmix,crawl,fuzzyjoin,mutate,
+    //   matview (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
       .map(s => (x: String) => s(x)).getOrElse(_ => true)
@@ -1173,6 +1173,43 @@ object ScaleProbe {
           f"delete=${delSec}%.2f s (rw=${d.filesRewritten} ln=${d.filesReused})  " +
           f"merge=${mrgSec}%.2f s (rw=${m.filesRewritten} ln=${m.filesReused})  " +
           f"restore=${resSec}%.3f s")
+      }
+    }
+
+    // MatView refresh: FIXED change volume against a K×-growing base.
+    // The claim under test is O(changes): the file-level CDF diff reads
+    // only churned files and the additive path never rescans the source,
+    // so refresh wall time should stay ~flat while the base (rows and
+    // files) grows 8× — the 100 TB daily-refresh story.
+    if (want("matview")) {
+      import java.nio.file.{Files => JFiles}
+      val orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      val span = orders.agg(max("o_orderkey")).head().getLong(0) + 1L
+      ks.foreach { k =>
+        val root = JFiles.createTempDirectory(s"probe_mv_$k").toString
+        val cat = new graft.catalog.Catalog(root, spark)
+        val amplified = orders
+          .crossJoin(spark.range(k).select(col("id").as("__c")))
+          .select((col("o_orderkey") + col("__c") * span).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"))
+          .repartitionByRange(8 * k, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey")
+        cat.save(graft.core.Chain(amplified), "ord")
+        val tC = System.nanoTime()
+        graft.delta.MatView.create(cat, "mv", "ord", Seq("o_orderkey"),
+          Seq("o_custkey"), Seq(
+            graft.delta.MvAgg("n", "count", "*"),
+            graft.delta.MvAgg("rev", "sum", "o_totalprice")))
+        val createSec = (System.nanoTime() - tC) / 1e9
+        // fixed churn regardless of K: one low-key band (≲1 file wide)
+        cat.deleteWhere("ord", col("o_orderkey") <= span / 64)
+        val t0 = System.nanoTime()
+        val r = graft.delta.MatView.refresh(cat, "mv")
+        val refSec = (System.nanoTime() - t0) / 1e9
+        println(f"matview K=$k%-3d rows=${150000L * k}%-9d " +
+          f"create=${createSec}%.2f s  refresh=${refSec}%.2f s " +
+          f"(${r.mode}, dirty=${r.dirtyGroups} up=${r.upserted} " +
+          f"del=${r.deleted})")
       }
     }
     spark.stop()
