@@ -509,9 +509,6 @@ final class Catalog(val root: String, spark: SparkSession) {
     (touched, all)
   }
 
-  /** Read exactly `files` (relative) of `name@v` with the version's
-    * recorded types restored; empty `files` reads nothing (a zero-row
-    * frame with the version's schema). */
   /** Version-relative parquet names of `name@v` with on-disk sizes —
     * the carried-file detector for file-level version diffs: cow
     * mutations hard-link untouched files under the SAME relative name
@@ -532,6 +529,9 @@ final class Catalog(val root: String, spark: SparkSession) {
                                       files: Seq[String]): DataFrame =
     readVersionFiles(name, v, files)
 
+  /** Read exactly `files` (relative) of `name@v` with the version's
+    * recorded types restored; empty `files` reads nothing (a zero-row
+    * frame with the version's schema). */
   private def readVersionFiles(name: String, v: SemVer,
                                files: Seq[String]): DataFrame = {
     val dataDir = vDir(name, v).resolve("data").toString
@@ -1938,6 +1938,27 @@ final class Catalog(val root: String, spark: SparkSession) {
           "\"attrs\": " + attrs.getOrElse(a0)
             .map(a => "\"" + esc(a) + "\"").mkString("[", ",", "]")))
     Files.write(vDir(name, v).resolve("meta.json"),
+      patched.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  /** Append a lineage dep to an existing version's meta without a new
+    * materialization — the vacuum-protection half of a metadata cursor
+    * ([[graft.delta.MatView.refresh]] records its synced-from source
+    * version this way, since its merge commits carry only the
+    * version-chain dep). Idempotent; `dep` is `name@vX.Y.Z`. */
+  private[graft] def addDep(name: String, version: SemVer,
+                            dep: String): Unit = {
+    require(!dep.contains(']') && !dep.contains('['),
+      s"dep may not contain brackets: '$dep'")
+    val cur = depsOf(name, version).map { case (n, v) => s"$n@v$v" }
+    if (cur.contains(dep)) return
+    val meta = readMeta(name, version)
+    val patched = meta.replaceFirst("\"deps\": \\[.*?\\]",
+      java.util.regex.Matcher.quoteReplacement(
+        "\"deps\": " + (cur :+ dep).map(d => "\"" + esc(d) + "\"")
+          .mkString("[", ",", "]")))
+    Files.write(vDir(name, version).resolve("meta.json"),
       patched.getBytes("UTF-8"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }

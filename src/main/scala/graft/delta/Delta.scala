@@ -218,7 +218,44 @@ object Delta {
       case Some(chain) =>
         val v = catalog.save(chain, changesName,
           deps = Seq(s"$name@v$latest"), harvestStats = false)
+        linkStreamExports(catalog, changesName)
         catalog.rowsOf(changesName, v)
+    }
+  }
+
+  /** Hard-link every COMMITTED export version's data files into the
+    * export's `_stream` dir (idempotent; called by [[syncChanges]] after
+    * each commit and by [[changesStream]] at start to heal links a
+    * crashed sync missed). The indirection exists because a raw
+    * version-dir glob would also match a crashed save's
+    * claimed-but-uncommitted data dir — linking only versions whose
+    * meta.json committed keeps the stream equal to the batch
+    * [[changesFeed]]. Links pin exported bytes past vacuum until the
+    * export dataset itself is deleted (deliberate: a stream consumer
+    * can always replay). */
+  private def linkStreamExports(catalog: Catalog,
+                                changesName: String): Unit = {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val dir = JP.get(catalog.root, "datasets", changesName, "_stream")
+    JF.createDirectories(dir)
+    catalog.versions(changesName).foreach { v =>
+      catalog.versionDataFiles(changesName, v).keysIterator.foreach { rel =>
+        val src = JP.get(catalog.root, "datasets", changesName,
+          s"v$v", "data", rel)
+        val dst = dir.resolve(s"v${v}__${rel.replace('/', '_')}")
+        if (!JF.exists(dst)) {
+          try JF.createLink(dst, src)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException => ()
+            case _: UnsupportedOperationException |
+                 _: java.nio.file.FileSystemException =>
+              try JF.copy(src, dst)
+              catch {
+                case _: java.nio.file.FileAlreadyExistsException => ()
+              }
+          }
+        }
+      }
     }
   }
 
@@ -241,11 +278,14 @@ object Delta {
    * source over `<name>__changes`, where every [[syncChanges]] call's
    * export version surfaces as a new micro-batch — the consumer side of
    * CDC (Delta's `readStream.option("readChangeFeed")`). The file source
-   * discovers each new version's parquet under the export's version-dir
-   * glob as it lands; schema is the latest export version's (earlier
-   * files that predate an evolved column read null, matching
-   * [[changesFeed]]'s by-name union). Run it once with AvailableNow to
-   * replay history, or leave it running to follow future syncs.
+   * watches the export's `_stream` link dir, which [[syncChanges]]
+   * populates only AFTER a version's meta.json commits — a raw
+   * version-dir glob could replay a crashed save's claimed-but-
+   * uncommitted data, which `versions()`/[[changesFeed]] would never
+   * show. Schema is the latest export version's (earlier files that
+   * predate an evolved column read null, matching [[changesFeed]]'s
+   * by-name union). Run it once with AvailableNow to replay history, or
+   * leave it running to follow future syncs.
    */
   def changesStream(catalog: Catalog, name: String)
       : org.apache.spark.sql.DataFrame = {
@@ -253,10 +293,11 @@ object Delta {
     val vs = catalog.versions(changesName)
     require(vs.nonEmpty,
       s"no changes exported yet for $name — run syncChanges first")
+    linkStreamExports(catalog, changesName) // heal links a crash missed
     val latest = catalog.readDataset(changesName, Some(vs.last)).toDF
     val stream = latest.sparkSession.readStream
       .schema(latest.schema) // incl. the sys stamp; dropped below
-      .parquet(s"${catalog.root}/datasets/$changesName/v*/data")
+      .parquet(s"${catalog.root}/datasets/$changesName/_stream")
     graft.core.Sys.drop(stream)
   }
 

@@ -77,10 +77,18 @@ object MatView {
     case _ => false
   }
 
-  /** Exact accumulation type for fractional sums: wide enough for a
-    * 100 TB partial, exact under any add/subtract order. */
+  /** Exact accumulation types for fractional sums. The state is
+    * (37,10), NOT (38,10): Spark sizes `(p1,s)+(p2,s)` at
+    * `max(p1,p2)+1` and past 38 it SHRINKS THE SCALE to fit
+    * (allowPrecisionLoss) — a (38,10) state would round every additive
+    * refresh at 9 dp. At (37,10) the add lands exactly on (38,10) and
+    * casts back losslessly; overflow needs a partial beyond 1e27. The
+    * delta product likewise multiplies by sign cast to (1,0) — a
+    * (28,10) sign would size the product at (38,6), silently rounding
+    * each changed row at the 6th decimal. */
   private val DecIn = DecimalType(28, 10)
-  private val DecState = DecimalType(38, 10)
+  private val DecState = DecimalType(37, 10)
+  private val DecSign = DecimalType(1, 0)
 
   /** sum-state kind per agg, fixed at create and recorded in the attrs:
     * long (integral input), dec (fractional input, decimal state, double
@@ -156,8 +164,8 @@ object MatView {
       coalesce(sum(when(col(in).isNotNull, sign).otherwise(0L)), lit(0L))
     def sLong(in: String) =
       coalesce(sum(sign * col(in).cast(LongType)), lit(0L))
-    def sDec(in: String) =
-      coalesce(sum((sign.cast(DecIn) * col(in).cast(DecIn)).cast(DecIn)),
+    def sDec(in: String) = // (1,0)×(28,10) → (30,10): exact, see DecSign
+      coalesce(sum((sign.cast(DecSign) * col(in).cast(DecIn)).cast(DecIn)),
         lit(0).cast(DecIn)).cast(DecState)
     aggs.zip(kinds).flatMap {
       case (MvAgg(out, "count", "*"), _) =>
@@ -278,6 +286,22 @@ object MatView {
     val (source, rowKey, groupBy, aggs, kinds) = definitionOf(catalog, name)
     val srcLatest = catalog.latestVersion(source).getOrElse(
       throw new NoSuchElementException(s"dataset $source not found"))
+    // crash recovery FIRST: a refresh is [mark pending → merge commits →
+    // cursor patch → clear pending]. A dangling mark on an OLDER version
+    // means merges committed but the cursor never landed — the deltas
+    // may be half-applied, so only a full rebuild is exact. A mark on
+    // the LATEST version means the crash hit before any merge: clear
+    // and proceed normally.
+    val preLatest = catalog.latestVersion(name).get
+    pendingOf(catalog, name) match {
+      case Some(p) if p != preLatest =>
+        val r = rebuild(catalog, name, source, rowKey, groupBy, aggs,
+          kinds, cursorOf(catalog, name), srcLatest, mode = "recover")
+        clearPending(catalog, name, p)
+        return r
+      case Some(p) => clearPending(catalog, name, p)
+      case None => ()
+    }
     val cursor = cursorOf(catalog, name)
     if (cursor == srcLatest)
       return MvRefresh("noop", cursor.toString, cursor.toString, 0, 0, 0, Nil)
@@ -286,18 +310,23 @@ object MatView {
         cursor, srcLatest)
 
     // the change feed, compared only on the columns the view reads —
-    // updates to irrelevant columns never become dirty groups
+    // updates to irrelevant columns never become dirty groups. When
+    // every view input sits inside the row key, compare a key column to
+    // itself: matched rows can never differ on it, so updates vanish
+    // from the feed entirely (an empty compare would mean "compare
+    // everything" downstream — the opposite).
     val relevant = (groupBy ++ aggs.map(_.in).filter(_ != "*"))
       .distinct.filterNot(rowKey.contains)
+    val cmpCols = if (relevant.nonEmpty) relevant else Seq(rowKey.head)
     val changes = Delta.readChangesRange(catalog, source, cursor, srcLatest,
-        rowKey, compare = relevant).toDF
+        rowKey, compare = cmpCols).toDF
       .select((rowKey ++ relevant).map(col) :+ col("_change_type"): _*)
       .persist()
     try {
       val dirty = changes.select(groupBy.map(col): _*).distinct()
       val dirtyRows = dirty.limit(keyCollectMax + 1).collect()
       if (dirtyRows.isEmpty) { // versions advanced, view-relevant data didn't
-        patchCursor(catalog, name, srcLatest)
+        patchCursor(catalog, name, source, srcLatest)
         return MvRefresh("additive", cursor.toString, srcLatest.toString,
           0, 0, 0, Nil)
       }
@@ -364,6 +393,7 @@ object MatView {
             else lit(null).cast(f.dataType).as(f.name)): _*)
         var versions = Vector.empty[SemVer]
         val before = catalog.latestVersion(name)
+        setPending(catalog, name, preLatest, srcLatest)
         val r1 = catalog.mergeInto(name, ups, groupBy,
           keyCollectMax = keyCollectMax)
         if (!before.contains(r1.version)) versions :+= r1.version
@@ -373,7 +403,9 @@ object MatView {
           keyCollectMax = keyCollectMax)
         if (!versions.lastOption.contains(r2.version) &&
           !before.contains(r2.version)) versions :+= r2.version
-        patchCursor(catalog, name, srcLatest)
+        patchCursor(catalog, name, source, srcLatest)
+        if (!catalog.latestVersion(name).contains(preLatest))
+          clearPending(catalog, name, preLatest)
         MvRefresh(if (needsRecompute) "recompute" else "additive",
           cursor.toString, srcLatest.toString,
           collected.map(_.length.toLong).getOrElse(dirty.count()),
@@ -389,17 +421,23 @@ object MatView {
   private def rebuild(catalog: Catalog, name: String, source: String,
                       rowKey: Seq[String], groupBy: Seq[String],
                       aggs: Seq[MvAgg], kinds: Seq[String],
-                      cursor: SemVer, srcLatest: SemVer): MvRefresh = {
+                      cursor: SemVer, srcLatest: SemVer,
+                      mode: String = "rebuild"): MvRefresh = {
     val src = Sys.drop(catalog.readDataset(source, Some(srcLatest)).toDF)
     val sa = stateAggs(aggs, kinds)
     val state = src.groupBy(groupBy.map(col): _*).agg(sa.head, sa.tail: _*)
+    // the rebuild version re-records the FULL definition (the create
+    // version carrying it may be vacuumed later) and dep-links the
+    // prior view version so the retained history stays protected
+    val prev = catalog.latestVersion(name)
     val v = catalog.save(Chain(state), name,
-      deps = Seq(s"$source@v$srcLatest"),
-      attrs = Seq(s"mv:synced=$srcLatest"),
+      deps = Seq(s"$source@v$srcLatest") ++ prev.map(p => s"$name@v$p"),
+      attrs = defAttrs(source, rowKey, groupBy, aggs, kinds) :+
+        s"mv:synced=$srcLatest",
       expect = groupBy.map(k =>
         graft.catalog.Expect(s"mv-nonnull-key-$k", col(k).isNotNull)))
     val n = catalog.rowsOf(name, v)
-    MvRefresh("rebuild", cursor.toString, srcLatest.toString, n, n, 0, Seq(v))
+    MvRefresh(mode, cursor.toString, srcLatest.toString, n, n, 0, Seq(v))
   }
 
   /** Read `name` restricted to the dirty groups: IN-list pruned
@@ -435,11 +473,36 @@ object MatView {
         s"mat view '$name': no mv:synced cursor on any version — was the " +
           "view mutated outside refresh()?"))
 
-  private def patchCursor(catalog: Catalog, name: String,
+  /** Land the cursor on the view's latest version: the `mv:synced` attr
+    * (where [[cursorOf]] reads it) plus a lineage dep on the synced
+    * source version, so routine vacuums can't delete the version the
+    * next refresh diffs from (the syncChanges rule). */
+  private def patchCursor(catalog: Catalog, name: String, source: String,
                           to: SemVer): Unit = {
     val v = catalog.latestVersion(name).get
     val (_, attrs) = catalog.annotationsOf(name, v)
     catalog.updateDataset(name, Some(v), attrs = Some(
-      attrs.filterNot(_.startsWith("mv:synced=")) :+ s"mv:synced=$to"))
+      attrs.filterNot(a => a.startsWith("mv:synced=") ||
+        a.startsWith("mv:pending=")) :+ s"mv:synced=$to"))
+    catalog.addDep(name, v, s"$source@v$to")
+  }
+
+  /** Newest version carrying a dangling `mv:pending` refresh mark. */
+  private def pendingOf(catalog: Catalog, name: String): Option[SemVer] =
+    catalog.versions(name).reverseIterator.find(v =>
+      catalog.annotationsOf(name, v)._2.exists(_.startsWith("mv:pending=")))
+
+  private def setPending(catalog: Catalog, name: String, v: SemVer,
+                         to: SemVer): Unit = {
+    val (_, attrs) = catalog.annotationsOf(name, v)
+    catalog.updateDataset(name, Some(v), attrs = Some(
+      attrs.filterNot(_.startsWith("mv:pending=")) :+ s"mv:pending=$to"))
+  }
+
+  private def clearPending(catalog: Catalog, name: String,
+                           v: SemVer): Unit = {
+    val (_, attrs) = catalog.annotationsOf(name, v)
+    catalog.updateDataset(name, Some(v), attrs = Some(
+      attrs.filterNot(_.startsWith("mv:pending="))))
   }
 }

@@ -219,12 +219,21 @@ object Similarity {
               queries: DataFrame, k: Int, nprobe: Int = 4,
               vecCol: String = "embedding", idCol: String = "vec_id",
               queryIdCol: String = "query_id"): DataFrame = {
-    val probes = routeProbes(centroids, queries, nprobe, vecCol, queryIdCol)
-    val scoredIvf = corpusAssigned.join(broadcast(probes), "centroid_id")
+    rankProbes(corpusAssigned,
+      routeProbes(centroids, queries, nprobe, vecCol, queryIdCol),
+      k, vecCol, idCol, queryIdCol)
+  }
+
+  /** Rank top-k inside pre-routed probe lists: one broadcast join of the
+    * (queryId, __qv, centroid_id) probes against the assigned corpus. */
+  private def rankProbes(corpusAssigned: DataFrame, probes: DataFrame,
+                         k: Int, vecCol: String, idCol: String,
+                         queryIdCol: String): DataFrame = {
+    val scored = corpusAssigned.join(broadcast(probes), "centroid_id")
       .withColumn("__sim", cosineSim(col("__qv"), col(vecCol)))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("__sim").desc, col(idCol).asc)
-    scoredIvf.withColumn("__rank", row_number().over(w))
+    scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .select(col(queryIdCol), col(idCol), round(col("__sim"), 6).as("sim"),
         col("__rank").as("rank"))
@@ -266,9 +275,12 @@ object Similarity {
                 corpus: DataFrame, nlist: Int, iterations: Int = 2,
                 nFiles: Int = 16, vecCol: String = "embedding",
                 idCol: String = "vec_id"): graft.catalog.SemVer = {
-    require(catalog.versions(idxName).isEmpty &&
-      catalog.versions(s"${idxName}__centroids").isEmpty,
+    require(catalog.versions(idxName).isEmpty,
       s"ann index '$idxName' already exists")
+    // a build that died between its two saves leaves orphaned centroids
+    // with no index — clear them so the retry can proceed
+    if (catalog.versions(s"${idxName}__centroids").nonEmpty)
+      catalog.deleteDataset(s"${idxName}__centroids")
     val (assigned, centroids) = ivfBuild(corpus, nlist, iterations,
       vecCol, idCol)
     val cv = catalog.save(graft.core.Chain(centroids),
@@ -303,12 +315,19 @@ object Similarity {
     val idCol = attr("annidx:id=")
     val centroids = graft.core.Sys.drop(
       catalog.readDataset(s"${idxName}__centroids").toDF)
-    val cells = routeProbes(centroids, queries, nprobe, vecCol, queryIdCol)
-      .select("centroid_id").distinct().collect().map(_.getLong(0)).toSeq
+    // route ONCE: the collected probes drive both the file-pruned read
+    // and the ranking join, so the queries plan evaluates a single time
+    // (a second routing could disagree under a non-deterministic
+    // upstream and break the pruned-superset invariant)
+    val routed = routeProbes(centroids, queries, nprobe, vecCol, queryIdCol)
+    val probeRows = routed.collect() // ≤ queries × nprobe rows
+    val cells = probeRows.map(_.getAs[Long]("centroid_id")).distinct.toSeq
+    val probes = routed.sparkSession.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), routed.schema)
     val pruned = graft.core.Sys.drop(
       catalog.readDatasetWhere(idxName,
         col("centroid_id").isin(cells: _*)).toDF)
-    ivfTopK(pruned, centroids, queries, k, nprobe, vecCol, idCol, queryIdCol)
+    rankProbes(pruned, probes, k, vecCol, idCol, queryIdCol)
   }
 
   /**

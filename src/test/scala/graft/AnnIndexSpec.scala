@@ -47,4 +47,20 @@ class AnnIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.saveIndex(cat, "ix", emb(), nlist = 4))
   }
+
+  test("a build that died between its two saves can retry") {
+    val root = Files.createTempDirectory("annidx_o").toString
+    val cat = new Catalog(root, spark)
+    // simulate the crash debris: centroids landed, the index save didn't
+    cat.save(graft.core.Chain(
+      emb().limit(4).select(col("vec_id").as("centroid_id"),
+        col("embedding").cast("array<double>").as("__centroid"))),
+      "ix__centroids")
+    Similarity.saveIndex(cat, "ix", emb(), nlist = 8, iterations = 1,
+      nFiles = 4)
+    val queries = emb().filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    assert(Similarity.searchIndex(cat, "ix", queries, k = 3, nprobe = 4)
+      .count() === 6L)
+  }
 }

@@ -115,6 +115,103 @@ class MatViewSpec extends SparkSpec {
     assert(got === 0.1)
   }
 
+  test("additive deltas keep all 10 decimal digits (no (38,6) product)") {
+    // values with digits past 1e-6: a sign cast to Decimal(28,10) sizes
+    // the signed product at (38,6) and a (38,10) state rounds every add
+    // at 9 dp — either would drift this sum off the exact recompute
+    val root = Files.createTempDirectory("mv_dec2").toString
+    val cat = new Catalog(root, spark)
+    val src = (1 to 50).map(i => (i.toLong, "g", 0.3333333333 * i))
+      .toDF("id", "g", "x")
+    cat.save(Chain(src), "t")
+    MatView.create(cat, "t_mv", "t", Seq("id"), Seq("g"),
+      Seq(MvAgg("sx", "sum", "x"), MvAgg("ax", "avg", "x")))
+    cat.deleteWhere("t", col("id") % 2 === 0L)
+    cat.mergeInto("t",
+      Seq((60L, "g", 0.1234567891)).toDF("id", "g", "x"), Seq("id"))
+    val r = MatView.refresh(cat, "t_mv")
+    assert(r.mode === "additive")
+    // exact expectation: decimal(28,10) per-value quantization summed —
+    // identical to what create() would compute from scratch
+    val expect = graft.core.Sys.drop(cat.readDataset("t").toDF)
+      .agg(sum(col("x").cast("decimal(28,10)")).cast("decimal(37,10)")
+          .cast("double").as("sx"),
+        (sum(col("x").cast("decimal(28,10)")).cast("decimal(37,10)")
+          .cast("double") / count(col("x"))).as("ax")).head()
+    val got = MatView.read(cat, "t_mv").toDF.head()
+    assert(got.getDouble(1) === expect.getDouble(0),
+      s"sum drifted: ${got.getDouble(1)} vs ${expect.getDouble(0)}")
+    assert(got.getDouble(2) === expect.getDouble(1),
+      s"avg drifted: ${got.getDouble(2)} vs ${expect.getDouble(1)}")
+  }
+
+  test("crash recovery: a dangling pending mark forces an exact rebuild") {
+    val root = Files.createTempDirectory("mv_crash").toString
+    val cat = new Catalog(root, spark)
+    cat.save(Chain(docs().filter(col("doc_id") < 50)), "d")
+    MatView.create(cat, "mv", "d", Seq("doc_id"), Seq("lang"),
+      Seq(MvAgg("n", "count", "*")))
+    cat.deleteWhere("d", col("doc_id") % 2 === 0)
+    MatView.refresh(cat, "mv")
+    val vs = cat.versions("mv")
+    // simulate a refresh that died AFTER its merges but BEFORE the
+    // cursor landed: pending mark on a non-latest version
+    val (_, a0) = cat.annotationsOf("mv", vs.head)
+    cat.updateDataset("mv", Some(vs.head),
+      attrs = Some(a0 :+ "mv:pending=9.9.9"))
+    cat.deleteWhere("d", col("doc_id") % 3 === 0)
+    val r = MatView.refresh(cat, "mv")
+    assert(r.mode === "recover", s"half-applied state must rebuild: $r")
+    val expect = graft.core.Sys.drop(cat.readDataset("d").toDF)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val got = MatView.read(cat, "mv").toDF
+    assert(got.except(expect).union(expect.except(got)).isEmpty)
+    // the mark is consumed: the next refresh is a clean no-op
+    assert(MatView.refresh(cat, "mv").mode === "noop")
+    // a mark on the LATEST version (crash before any merge) just clears
+    val latest = cat.latestVersion("mv").get
+    val (_, a1) = cat.annotationsOf("mv", latest)
+    cat.updateDataset("mv", Some(latest),
+      attrs = Some(a1 :+ "mv:pending=9.9.9"))
+    assert(MatView.refresh(cat, "mv").mode === "noop")
+    assert(!cat.annotationsOf("mv", latest)._2
+      .exists(_.startsWith("mv:pending=")))
+  }
+
+  test("refresh cursor is a lineage dep: vacuum keeps the synced version") {
+    val root = Files.createTempDirectory("mv_dep").toString
+    val cat = new Catalog(root, spark)
+    // save-created source versions (no cow chain protecting them)
+    cat.save(Chain(docs().filter(col("doc_id") < 40)), "d")
+    MatView.create(cat, "mv", "d", Seq("doc_id"), Seq("lang"),
+      Seq(MvAgg("n", "count", "*")))
+    cat.save(Chain(docs().filter(col("doc_id") < 30)), "d") // 1.1.0
+    MatView.refresh(cat, "mv")                              // cursor 1.1.0
+    cat.save(Chain(docs().filter(col("doc_id") < 20)), "d") // 1.2.0
+    cat.vacuum(keepLast = 1)
+    // 1.1.0 must SURVIVE (the cursor dep), so the next refresh stays
+    // incremental instead of degrading to a rebuild
+    assert(cat.versions("d").contains(graft.catalog.SemVer(1, 1, 0)))
+    assert(MatView.refresh(cat, "mv").mode === "additive")
+  }
+
+  test("updates to columns the view never reads are not dirty") {
+    val root = Files.createTempDirectory("mv_irrel").toString
+    val cat = new Catalog(root, spark)
+    cat.save(Chain(docs()), "d")
+    // every view input (doc_id) sits inside the row key: the feed must
+    // not fall back to compare-everything
+    MatView.create(cat, "mv", "d", Seq("doc_id"), Seq("doc_id"),
+      Seq(MvAgg("n", "count", "*")))
+    cat.updateWhere("d", col("doc_id") % 2 === 0,
+      Map("n_chars" -> (col("n_chars") + lit(1L))))
+    val vs = cat.versions("mv")
+    val r = MatView.refresh(cat, "mv")
+    assert(r.dirtyGroups === 0L && cat.versions("mv") === vs,
+      s"irrelevant update must not dirty groups: $r")
+    assert(MatView.refresh(cat, "mv").mode === "noop")
+  }
+
   test("min/max view recomputes dirty groups from the source") {
     val root = Files.createTempDirectory("mv_mm").toString
     val cat = new Catalog(root, spark)
@@ -138,19 +235,22 @@ class MatViewSpec extends SparkSpec {
     assert(MatView.refresh(cat, "mm").mode === "noop")
   }
 
-  test("vacuumed cursor falls back to a full rebuild") {
+  test("a lost cursor falls back to a full rebuild") {
     val root = Files.createTempDirectory("mv_rb").toString
     val cat = new Catalog(root, spark)
-    // save-created source versions carry no version-chain deps (unlike
-    // copy-on-write mutations, whose parent links vacuum-protect the
-    // whole chain) — so the sync cursor CAN be vacuumed away here
     cat.save(Chain(docs().filter(col("doc_id") < 40)), "d")
     MatView.create(cat, "mv", "d", Seq("doc_id"), Seq("lang"),
       Seq(MvAgg("n", "count", "*")))
     cat.save(Chain(docs().filter(col("doc_id") < 30)), "d")  // 1.1.0
     MatView.refresh(cat, "mv")                               // cursor -> 1.1.0
     cat.save(Chain(docs().filter(col("doc_id") < 20)), "d")  // 1.2.0
-    cat.vacuum(keepLast = 1)                                 // 1.1.0 gone
+    // routine vacuums can't lose the cursor anymore (it's a lineage
+    // dep) — simulate out-of-band retention deleting the synced-from
+    // version by pointing the cursor at a version that never existed
+    val latest = cat.latestVersion("mv").get
+    val (_, a) = cat.annotationsOf("mv", latest)
+    cat.updateDataset("mv", Some(latest), attrs = Some(
+      a.filterNot(_.startsWith("mv:synced=")) :+ "mv:synced=0.9.9"))
     val r = MatView.refresh(cat, "mv")
     assert(r.mode === "rebuild")
     val expect = graft.core.Sys.drop(cat.readDataset("d").toDF)
