@@ -3927,6 +3927,20 @@ object SparkEntry {
       Chain.readOrc(s, tmp).toDF
     }),
 
+    "q_read_avro" -> ((s, dir) => {
+      // Avro as the row-oriented ingest sibling: the full orders table
+      // (longs, strings, double, timestamp) exported as one container
+      // per partition — executor-written via the Avro core runtime, no
+      // spark-avro artifact — read back through the header-derived
+      // schema. DuckDB has no Avro reader, so the oracle reads the same
+      // rows from parquet: a hash match proves the write+read round-trip
+      // is value-faithful per type, logical timestamps included
+      val tmp = Files.createTempDirectory("graft_avro").toString + "/o"
+      val src = T(s, dir, "orders").repartition(4)
+      graft.io.Writers.toAvro(src, tmp)
+      Chain.readAvro(s, tmp).toDF
+    }),
+
     "q_crawl_e2e" -> ((s, dir) => {
       // The crawl front door composed end-to-end: stage a real .warc.gz
       // (warcinfo + request noise + HTML responses with messy URLs), then
@@ -4699,6 +4713,9 @@ object SparkEntry {
         """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
           | l_returnflag, CAST(l_shipdate AS DATE) AS ship_date
           |FROM lineitem WHERE l_orderkey % 40 = 0""".stripMargin,
+
+      "q_read_avro" ->
+        "SELECT * FROM orders",
 
       "q_dataset_attrs" ->
         """SELECT * FROM (VALUES

@@ -501,6 +501,13 @@ object Chain {
   def readOrc(spark: SparkSession, path: String): Chain =
     new Chain(spark.read.orc(path), OpTree.empty.append("read_orc", path))
 
+  /** Avro container read — the row-oriented ingest format of
+    * Kafka/stream archives (see [[graft.files.AvroIO]]: per-file
+    * fan-out, schema from one header, streaming decode). */
+  def readAvro(spark: SparkSession, path: String): Chain =
+    new Chain(graft.files.AvroIO.readAvro(spark, path),
+      OpTree.empty.append("read_avro", path))
+
   /** read_csv (reference: src/datachain/lib/dc/csv.py:15). */
   def readCsv(spark: SparkSession, path: String,
               header: Boolean = true, delimiter: String = ",",

@@ -49,6 +49,12 @@ object Writers {
     pw.orc(path)
   }
 
+  /** Avro container export — one `.avro` file per partition, written
+    * executor-parallel ([[graft.files.AvroIO.toAvro]]); nullable columns
+    * become `[null, T]` unions, dates/timestamps their logical types. */
+  def toAvro(df: DataFrame, path: String): Unit =
+    graft.files.AvroIO.toAvro(df, path)
+
   def toCsv(df: DataFrame, path: String, header: Boolean = true,
             delimiter: String = ",",
             mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
