@@ -24,6 +24,8 @@ import graft.files.FileOps
  *   graft-cli restore <name> <version>      roll back (zero-copy link)
  *   graft-cli clone <src> <dest> [--version V]   shallow clone
  *   graft-cli optimize <name> [--files N] [--zorder-by c1,c2,...]
+ *   graft-cli sync-changes <name> <k1,k2>   export CDF rows since last sync
+ *   graft-cli mv-refresh <name>             refresh a materialized view
  *   graft-cli namespaces                    list namespaces
  *   graft-cli projects [namespace]          list projects
  *
@@ -60,8 +62,8 @@ object Cli {
   val usage: String =
     """usage: graft-cli <command> [args]
       |commands: ls du find cp datasets versions show rm-dataset mv-dataset
-      |          lineage vacuum restore clone optimize namespaces
-      |          projects""".stripMargin
+      |          lineage vacuum restore clone optimize sync-changes
+      |          mv-refresh namespaces projects""".stripMargin
 
   /** Run a command; returns (exit code, rendered output). Never calls
     * System.exit — `main` owns process concerns, tests call this. */
@@ -134,6 +136,17 @@ object Cli {
             zorderByCols = z)
           s"optimized $name: $before -> $after files as v$nv" +
             (if (z.nonEmpty) s" (zorder ${z.mkString(",")})" else "")
+        case "sync-changes" =>
+          val name = arg(p, 0, "name")
+          val on = arg(p, 1, "keys").split(',').map(_.trim).toSeq
+          val n = graft.delta.Delta.syncChanges(cat, name, on)
+          if (n == 0L) s"$name already in sync"
+          else s"exported $n change rows to ${name}__changes"
+        case "mv-refresh" =>
+          val r = graft.delta.MatView.refresh(cat, arg(p, 0, "name"))
+          s"refresh ${arg(p, 0, "name")}: ${r.mode} " +
+            s"${r.from}->${r.to} dirty=${r.dirtyGroups} " +
+            s"upserted=${r.upserted} deleted=${r.deleted}"
         case "namespaces" => cat.namespaces().mkString("\n")
         case "projects" =>
           cat.listProjects(p.positional.headOption)

@@ -119,6 +119,32 @@ class CliSpec extends SparkSpec {
     assert(r4 === 2 && out4.contains("error"), out4)
   }
 
+  test("sync-changes / mv-refresh commands") {
+    val root = Files.createTempDirectory("clicdc").toString
+    val cat = new Catalog(root, spark)
+    val n = Chain(spark.read.parquet(s"$sf/nation.parquet")
+      .select(org.apache.spark.sql.functions.col("n_nationkey"),
+        org.apache.spark.sql.functions.col("n_regionkey")))
+    cat.save(n, "nat")
+    graft.delta.MatView.create(cat, "by_region", "nat",
+      Seq("n_nationkey"), Seq("n_regionkey"),
+      Seq(graft.delta.MvAgg("n", "count", "*")))
+    val cargs = Seq("--catalog", root)
+    val (s1, o1) = Cli.run(Seq("sync-changes", "nat", "n_nationkey") ++
+      cargs, spark)
+    assert(s1 === 0 && o1.contains("exported 25 change rows"), o1)
+    val (s2, o2) = Cli.run(Seq("sync-changes", "nat", "n_nationkey") ++
+      cargs, spark)
+    assert(s2 === 0 && o2.contains("already in sync"), o2)
+    cat.deleteWhere("nat",
+      org.apache.spark.sql.functions.col("n_regionkey") === 0)
+    val (m1, mo1) = Cli.run(Seq("mv-refresh", "by_region") ++ cargs, spark)
+    assert(m1 === 0 && mo1.contains("additive") &&
+      mo1.contains("deleted=1"), mo1)
+    val (m2, mo2) = Cli.run(Seq("mv-refresh", "by_region") ++ cargs, spark)
+    assert(m2 === 0 && mo2.contains("noop"), mo2)
+  }
+
   test("namespaces / projects / error paths") {
     val root = Files.createTempDirectory("clicat").toString
     val cat = new Catalog(root, spark)
