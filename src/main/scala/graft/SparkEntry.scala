@@ -3011,6 +3011,43 @@ object SparkEntry {
       cat.readDataset("ord").selectExcept("sys").toDF
     }),
 
+    "q_stream_append" -> ((s, dir) => {
+      // exactly-once streaming ingest into the catalog: two staged
+      // parquet files arrive as two micro-batches (maxFilesPerTrigger=1),
+      // each landing as an O(batch) hard-link APPEND version whose batch
+      // id commits atomically inside the meta.json; a FRESH-checkpoint
+      // rerun re-offers all the data and must append nothing (the
+      // marker scan covers the replayed ids) — exactly-once through
+      // both checkpoint replay AND checkpoint loss
+      val root = Files.createTempDirectory("graft_sapp").toString
+      val cat = new Catalog(root, s)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val ev = T(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"))
+          .filter(col("event_id") % 5 === 0)
+        val stage = Files.createTempDirectory("graft_sapp_in")
+          .toString + "/ev"
+        ev.repartition(2).write.parquet(stage)
+        val schema = s.read.parquet(stage).schema
+        def run(ck: String): Unit = {
+          val st = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(stage)
+          val q = EventStream.appendToDataset(st, cat, "ev", ck)
+          q.awaitTermination()
+        }
+        run(Files.createTempDirectory("graft_sapp_ck1").toString)
+        require(cat.versions("ev").size >= 2,
+          s"two micro-batches must land as versions: ${cat.versions("ev")}")
+        val n1 = cat.rowsOf("ev", cat.latestVersion("ev").get)
+        run(Files.createTempDirectory("graft_sapp_ck2").toString)
+        val n2 = cat.rowsOf("ev", cat.latestVersion("ev").get)
+        require(n1 == n2, s"lost-checkpoint rerun must be a no-op: $n1/$n2")
+        cat.readDataset("ev").selectExcept("sys").toDF
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     "q_stream_upsert" -> ((s, dir) => {
       // streaming CDC apply (Delta APPLY CHANGES INTO): a staged change
       // feed — updates, deletes, and brand-new keys, globally unique so
@@ -6726,6 +6763,10 @@ object SparkEntry {
           | CASE WHEN o_orderkey <= (SELECT max(o_orderkey) // 16 FROM orders)
           |   THEN upper(o_orderpriority) ELSE o_orderpriority END AS o_orderpriority
           |FROM orders""".stripMargin,
+
+      "q_stream_append" ->
+        """SELECT event_id, user_id, event_type FROM events
+          |WHERE event_id % 5 = 0""".stripMargin,
 
       "q_stream_upsert" ->
         """WITH mxv AS (SELECT max(o_orderkey) AS mx FROM orders)

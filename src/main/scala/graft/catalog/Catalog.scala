@@ -563,7 +563,8 @@ final class Catalog(val root: String, spark: SparkSession) {
                          all: Seq[String], rewritten: Option[DataFrame],
                          op: String, bloomExpected: Long,
                          schemaJsonOverride: Option[String] = None,
-                         evolves: Boolean = false): MutationResult = {
+                         evolves: Boolean = false,
+                         extraAttrs: Seq[String] = Nil): MutationResult = {
     // once a version chain carries files that predate a column, every
     // descendant keeps the explicit-schema read flag
     val evolvedFlag = evolves || isEvolved(name, v)
@@ -574,8 +575,10 @@ final class Catalog(val root: String, spark: SparkSession) {
     val kept = oldStats.filter(s => untouched.contains(s.file))
     // untouched ⊆ stats-covered by construction (a file missing from
     // stats is always touched); a violation would silently lose rows
-    // from pruned reads of the new version, so fail loudly instead
-    require(kept.size == untouched.size,
+    // from pruned reads of the new version, so fail loudly instead.
+    // A wholly stats-less version (harvestStats=false save) is fine —
+    // the new version then writes no stats.json either (all-or-nothing)
+    require(kept.size == untouched.size || oldStats.isEmpty,
       s"$op: ${untouched.size - kept.size} untouched files lack stats")
     val untouchedSet = untouched.toSet
     val layout = detectPartitionCols(dataDir)
@@ -653,7 +656,12 @@ final class Catalog(val root: String, spark: SparkSession) {
         .getOrElse(SignalSchema.toJson(
           Sys.drop(readVersionData(name, v)).schema))
       val rowsBefore = rowsOf(name, v)
-      val rowsAfter = kept.map(_.rows).sum + rewrittenRows
+      // with a stats-less base, untouched files can only be the WHOLE
+      // version (the append shape; mutations touch everything when no
+      // stats exist), so their row count is the meta's rowsBefore
+      val rowsAfter =
+        if (oldStats.isEmpty && untouched.nonEmpty) rowsBefore + rewrittenRows
+        else kept.map(_.rows).sum + rewrittenRows
       val (nv, dir) = claimVersion(name, None)
       Files.move(tmp.resolve("data"), dir.resolve("data"))
       if (Files.isDirectory(tmp.resolve("blooms")))
@@ -664,7 +672,8 @@ final class Catalog(val root: String, spark: SparkSession) {
         name, nv.toString, s"cow-$op-${java.util.UUID.randomUUID}",
         schemaJson, Seq(s"$name@v$v"), java.time.Instant.now.toString,
         rowsAfter,
-        attrs = if (evolvedFlag) Seq("schema:evolved") else Nil))
+        attrs = (if (evolvedFlag) Seq("schema:evolved") else Nil) ++
+          extraAttrs))
       Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       if (newStats.nonEmpty)
@@ -1021,6 +1030,43 @@ final class Catalog(val root: String, spark: SparkSession) {
       if (matchedAction == "delete") res.rowsBefore + insN - res.rowsAfter
       else mPlusI - insN
     res.copy(rowsMatched = matchedN, rowsInserted = insN)
+  }
+
+  /**
+   * APPEND rows as a new immutable version — Delta's `mode("append")`:
+   * every existing file hard-links across (zero bytes copied, stats and
+   * blooms carried), only the new rows write. The cheapest possible
+   * write on a growing table: cost is O(batch), never O(table), and the
+   * file-level CDF diff then reports exactly the appended files as
+   * inserts. `extraAttrs` lands IN the same meta.json commit — the
+   * atomicity hook the exactly-once streaming sink uses for its batch
+   * marker ([[graft.streaming.EventStream]] `appendToDataset`).
+   */
+  def append(name: String, rows: DataFrame,
+             version: Option[SemVer] = None,
+             bloomExpected: Long = 100000L,
+             extraAttrs: Seq[String] = Nil): MutationResult = {
+    val v = version.orElse(latestVersion(name)).getOrElse(
+      throw new NoSuchElementException(s"dataset $name not found"))
+    val src = Sys.drop(rows)
+    val target = readVersionData(name, v)
+    val userCols = target.columns.filterNot(_ == Sys.ColName)
+    require(src.columns.sorted.sameElements(userCols.sorted),
+      s"append: source columns ${src.columns.sorted.mkString(",")} must " +
+        s"equal target user columns ${userCols.sorted.mkString(",")}")
+    val all = versionDataFiles(name, v).keys.toSeq.sorted
+    val base = FileStats.leafMaxLong(spark,
+      all.map(r => s"${vDir(name, v).resolve("data")}/$r"), "sys.id")
+      .getOrElse {
+        val r = target.agg(max(col("sys.id"))).head()
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      }
+    val stamped = Sys.stampFrom(
+      src.select(userCols.map(c =>
+        col(c).cast(target.schema(c).dataType).as(c)): _*), base)
+      .select((userCols.map(col) :+ col(Sys.ColName)): _*)
+    cowRewrite(name, v, Seq.empty, all, Some(stamped), "append",
+      bloomExpected, extraAttrs = extraAttrs)
   }
 
   /**

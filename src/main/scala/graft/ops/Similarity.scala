@@ -295,6 +295,48 @@ object Similarity {
   }
 
   /**
+   * Grow a persisted index with NEW vectors, no retrain: assign the
+   * batch against the frozen centroids (one broadcast join) and APPEND
+   * it as a new index version — O(batch) at any index size (all prior
+   * files hard-link). Appended files may span wider centroid bands than
+   * the original range layout until the next
+   * `catalog.optimize(idxName, zorderByCols = Seq("centroid_id"))` —
+   * the documented maintenance pass; searches stay CORRECT throughout
+   * (stats pruning is conservative, it just reads the new small files
+   * more often). Caller contract: ids not already present (append never
+   * dedups); re-embedding existing ids is a mergeInto, not an add.
+   */
+  /** The (vecCol, idCol) an index was built with — recorded on the build
+    * version's attrs (appends via [[addToIndex]] don't re-record it). */
+  private def indexDef(catalog: graft.catalog.Catalog,
+                       idxName: String): (String, String) = {
+    val vs = catalog.versions(idxName)
+    if (vs.isEmpty)
+      throw new NoSuchElementException(s"ann index '$idxName' not found")
+    val attrs = vs.iterator
+      .map(v => catalog.annotationsOf(idxName, v)._2)
+      .find(_.exists(_.startsWith("annidx:vec=")))
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$idxName' is not an ann index (no annidx attrs on any version)"))
+    def attr(p: String): String = attrs.find(_.startsWith(p))
+      .map(_.drop(p.length)).getOrElse(throw new IllegalArgumentException(
+        s"'$idxName' is not an ann index (missing $p attr)"))
+    (attr("annidx:vec="), attr("annidx:id="))
+  }
+
+  def addToIndex(catalog: graft.catalog.Catalog, idxName: String,
+                 newVectors: DataFrame, nFiles: Int = 1)
+      : graft.catalog.MutationResult = {
+    val (vecCol, idCol) = indexDef(catalog, idxName)
+    val centroids = graft.core.Sys.drop(
+      catalog.readDataset(s"${idxName}__centroids").toDF)
+    val assigned = assign(newVectors, centroids, vecCol, idCol)
+      .repartitionByRange(nFiles, col("centroid_id"), col(idCol))
+      .sortWithinPartitions("centroid_id")
+    catalog.append(idxName, assigned)
+  }
+
+  /**
    * Probe a persisted IVF index: route each query to its `nprobe`
    * nearest centroids, then read ONLY the index files whose
    * `centroid_id` envelope intersects a probed list (the union of probed
@@ -305,14 +347,7 @@ object Similarity {
   def searchIndex(catalog: graft.catalog.Catalog, idxName: String,
                   queries: DataFrame, k: Int, nprobe: Int = 4,
                   queryIdCol: String = "query_id"): DataFrame = {
-    val attrs = catalog.annotationsOf(idxName,
-      catalog.latestVersion(idxName).getOrElse(
-        throw new NoSuchElementException(s"ann index '$idxName' not found")))._2
-    def attr(p: String): String = attrs.find(_.startsWith(p))
-      .map(_.drop(p.length)).getOrElse(throw new IllegalArgumentException(
-        s"'$idxName' is not an ann index (missing $p attr)"))
-    val vecCol = attr("annidx:vec=")
-    val idCol = attr("annidx:id=")
+    val (vecCol, idCol) = indexDef(catalog, idxName)
     val centroids = graft.core.Sys.drop(
       catalog.readDataset(s"${idxName}__centroids").toDF)
     // route ONCE: the collected probes drive both the file-pruned read

@@ -278,6 +278,50 @@ object EventStream {
       .start()
 
   /**
+   * EXACTLY-ONCE streaming append into the catalog — the plain-ingest
+   * sibling of [[applyChanges]] (Delta's `writeStream.toTable` in append
+   * mode): every micro-batch lands as a new version via
+   * [[graft.catalog.Catalog.append]], which hard-links all prior files
+   * and writes only the batch (O(batch) per trigger at any table size).
+   * Exactly-once holds through BOTH failure modes: checkpoint replay of
+   * a committed batch is skipped because the batch id rides the SAME
+   * meta.json commit as the data (the `extraAttrs` hook — no window
+   * where data exists without its marker), and a LOST checkpoint
+   * re-offers old data under ids the marker scan already covers. Use one
+   * `sinkId` per writing stream if several streams feed one dataset.
+   * The file-level CDF diff then reports each batch's files as inserts,
+   * so a downstream [[graft.delta.MatView]] refreshes incrementally off
+   * a live ingest stream.
+   */
+  def appendToDataset(stream: DataFrame, catalog: graft.catalog.Catalog,
+                      name: String, checkpointDir: String,
+                      sinkId: String = "sink",
+                      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val prefix = s"stream:batch=$sinkId:"
+    def lastApplied(): Option[Long] =
+      catalog.versions(name).reverseIterator.flatMap(v =>
+        catalog.annotationsOf(name, v)._2.collectFirst {
+          case a if a.startsWith(prefix) => a.drop(prefix.length).toLong
+        }).nextOption()
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        if (!batch.isEmpty && lastApplied().forall(_ < id)) {
+          if (catalog.versions(name).isEmpty)
+            catalog.save(graft.core.Chain(batch), name,
+              attrs = Seq(s"$prefix$id"))
+          else
+            catalog.append(name, batch, extraAttrs = Seq(s"$prefix$id"))
+        }
+        ()
+      }
+      .start()
+  }
+
+  /**
    * Streaming CDC apply — Delta's `APPLY CHANGES INTO` shape on this
    * catalog: every micro-batch of change rows MERGEs into `name` as a
    * new copy-on-write version (foreachBatch → `Catalog.mergeInto`), so a

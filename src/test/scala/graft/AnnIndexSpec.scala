@@ -48,6 +48,29 @@ class AnnIndexSpec extends SparkSpec {
       Similarity.saveIndex(cat, "ix", emb(), nlist = 4))
   }
 
+  test("addToIndex grows the index O(batch); added vectors are findable") {
+    val root = Files.createTempDirectory("annidx_g").toString
+    val cat = new Catalog(root, spark)
+    val e = emb()
+    val cut = e.agg(org.apache.spark.sql.functions.expr(
+      "percentile(vec_id, 0.8)")).head().getDouble(0).toLong
+    Similarity.saveIndex(cat, "ix", e.filter(col("vec_id") < cut),
+      nlist = 8, iterations = 1, nFiles = 8)
+    val added = e.filter(col("vec_id") >= cut)
+    val r = Similarity.addToIndex(cat, "ix", added)
+    assert(r.filesReused >= 8 && r.filesRewritten >= 1,
+      s"append must link the whole old index: $r")
+    assert(r.rowsAfter === e.count())
+    // an added vector's nearest neighbor is itself (cosine sim 1.0)
+    val probe = added.limit(1)
+    val qid = probe.head().getLong(0)
+    val res = Similarity.searchIndex(cat, "ix",
+      probe.select(col("vec_id").as("query_id"), col("embedding")),
+      k = 1, nprobe = 2).head()
+    assert(res.getAs[Long]("vec_id") === qid)
+    assert(res.getAs[Double]("sim") === 1.0)
+  }
+
   test("a build that died between its two saves can retry") {
     val root = Files.createTempDirectory("annidx_o").toString
     val cat = new Catalog(root, spark)

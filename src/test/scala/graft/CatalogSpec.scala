@@ -763,6 +763,38 @@ class CatalogSpec extends SparkSpec {
       Seq("o_orderkey")).toDF.isEmpty)
   }
 
+  test("append links every prior file and the CDF reports only inserts") {
+    val root = Files.createTempDirectory("cat_app").toString
+    val cat = new Catalog(root, spark)
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    cat.save(Chain(n.filter(col("n_nationkey") < 20)), "nat")
+    val batch = n.filter(col("n_nationkey") >= 20)
+    val r = cat.append("nat", batch)
+    assert(r.filesRewritten >= 1 && r.filesReused >= 1, s"$r")
+    assert(r.rowsAfter === 25L && r.rowsBefore === 20L)
+    assert(cat.readDataset("nat").count() === 25L)
+    // sys ids keep ascending across the append (chunk/shuffle contract)
+    val ids = cat.readDataset("nat").toDF.select("sys.id")
+      .collect().map(_.getLong(0))
+    assert(ids.distinct.length === 25)
+    // the file-level diff sees exactly the appended rows as inserts
+    val feed = Delta.readChanges(cat, "nat", SemVer(1, 0, 0), r.version,
+      Seq("n_nationkey")).toDF
+    assert(feed.filter(col("_change_type") === "insert").count() === 5L)
+    assert(feed.count() === 5L)
+    // schema mismatch fails loudly
+    intercept[IllegalArgumentException](
+      cat.append("nat", n.select(col("n_nationkey"))))
+    // append onto a stats-less version: no partial stats.json may form
+    cat.save(Chain(n), "bare", harvestStats = false)
+    val r2 = cat.append("bare", batch.limit(2))
+    assert(r2.rowsAfter === 27L)
+    assert(cat.fileStats("bare", r2.version).isEmpty,
+      "all-or-nothing: a stats-less base must stay stats-less")
+    assert(cat.readDataset("bare").count() === 27L)
+  }
+
   test("changesStream follows syncs committed WHILE the stream runs") {
     val root = Files.createTempDirectory("cat_cdfst").toString
     val cat = new Catalog(root, spark)

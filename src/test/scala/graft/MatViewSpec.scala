@@ -259,6 +259,34 @@ class MatViewSpec extends SparkSpec {
     assert(got.except(expect).union(expect.except(got)).isEmpty)
   }
 
+  test("a live ingest stream feeds an incremental view refresh") {
+    val root = Files.createTempDirectory("mv_stream").toString
+    val cat = new Catalog(root, spark)
+    val cols = Seq("doc_id", "lang", "n_chars")
+    cat.save(Chain(docs().filter(col("doc_id") < 60)
+      .select(cols.map(col): _*)), "d")
+    MatView.create(cat, "mv", "d", Seq("doc_id"), Seq("lang"),
+      Seq(MvAgg("n", "count", "*"), MvAgg("chars", "sum", "n_chars")))
+    // new rows arrive over a stream and land as an exactly-once append
+    val stage = Files.createTempDirectory("mv_stream_in").toString + "/b"
+    docs().filter(col("doc_id") >= 60 && col("doc_id") < 90)
+      .select(cols.map(col): _*).coalesce(1).write.parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val q = graft.streaming.EventStream.appendToDataset(
+      spark.readStream.schema(schema).parquet(stage), cat, "d",
+      Files.createTempDirectory("mv_stream_ck").toString)
+    q.awaitTermination()
+    // the file-level CDF sees exactly the appended files; the additive
+    // refresh folds them in without rescanning the base
+    val r = MatView.refresh(cat, "mv")
+    assert(r.mode === "additive" && r.upserted > 0)
+    val expect = graft.core.Sys.drop(cat.readDataset("d").toDF)
+      .groupBy("lang").agg(count(lit(1)).as("n"),
+        sum("n_chars").as("chars"))
+    val got = MatView.read(cat, "mv").toDF
+    assert(got.except(expect).union(expect.except(got)).isEmpty)
+  }
+
   test("definition survives refreshes; non-view dataset rejected") {
     val root = Files.createTempDirectory("mv_def").toString
     val cat = new Catalog(root, spark)
