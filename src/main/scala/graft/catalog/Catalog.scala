@@ -992,12 +992,7 @@ final class Catalog(val root: String, spark: SparkSession) {
         // join only needs the touched files' keys
         val anti = s.join(touchedDf.select(on.map(col): _*),
           joinCond, "left_anti")
-        val base = FileStats.leafMaxLong(spark,
-          all.map(r => s"${vDir(name, v).resolve("data")}/$r"), "sys.id")
-          .getOrElse {
-            val r = target.agg(max(col("sys.id"))).head()
-            if (r.isNullAt(0)) -1L else r.getLong(0)
-          }
+        val base = maxSysId(name, v, all, target)
         val ins0 = Sys.stampFrom(
           anti.select(outUser.map(c =>
             col(s"__s_$c").cast(outType(c)).as(c)): _*),
@@ -1032,6 +1027,17 @@ final class Catalog(val root: String, spark: SparkSession) {
     res.copy(rowsMatched = matchedN, rowsInserted = insN)
   }
 
+  /** Highest stamped sys.id in `name@v` — footer stats when present,
+    * one agg over the version otherwise. New rows stamp above it. */
+  private def maxSysId(name: String, v: SemVer, all: Seq[String],
+                       target: DataFrame): Long =
+    FileStats.leafMaxLong(spark,
+      all.map(r => s"${vDir(name, v).resolve("data")}/$r"), "sys.id")
+      .getOrElse {
+        val r = target.agg(max(col("sys.id"))).head()
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      }
+
   /**
    * APPEND rows as a new immutable version — Delta's `mode("append")`:
    * every existing file hard-links across (zero bytes copied, stats and
@@ -1041,6 +1047,13 @@ final class Catalog(val root: String, spark: SparkSession) {
    * inserts. `extraAttrs` lands IN the same meta.json commit — the
    * atomicity hook the exactly-once streaming sink uses for its batch
    * marker ([[graft.streaming.EventStream]] `appendToDataset`).
+   *
+   * Concurrency: like every mutation here, an append is snapshot-based
+   * on the parent it read — two writers appending concurrently both
+   * commit, but the later version is based on the earlier writer's
+   * PARENT, not its result (the recorded parent dep makes the fork
+   * auditable in lineage). Run one writer per dataset; serialize
+   * multi-writer ingest through one stream.
    */
   def append(name: String, rows: DataFrame,
              version: Option[SemVer] = None,
@@ -1055,12 +1068,7 @@ final class Catalog(val root: String, spark: SparkSession) {
       s"append: source columns ${src.columns.sorted.mkString(",")} must " +
         s"equal target user columns ${userCols.sorted.mkString(",")}")
     val all = versionDataFiles(name, v).keys.toSeq.sorted
-    val base = FileStats.leafMaxLong(spark,
-      all.map(r => s"${vDir(name, v).resolve("data")}/$r"), "sys.id")
-      .getOrElse {
-        val r = target.agg(max(col("sys.id"))).head()
-        if (r.isNullAt(0)) -1L else r.getLong(0)
-      }
+    val base = maxSysId(name, v, all, target)
     val stamped = Sys.stampFrom(
       src.select(userCols.map(c =>
         col(c).cast(target.schema(c).dataType).as(c)): _*), base)

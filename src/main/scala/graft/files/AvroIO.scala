@@ -123,7 +123,8 @@ object AvroIO {
     val files = expanded.flatMap { st =>
       if (st.isFile) Seq(st.getPath)
       else fs0.listStatus(st.getPath).filter(_.isFile).map(_.getPath).toSeq
-    }.filter(_.getName.endsWith(".avro")).map(_.toUri.toString).sorted.toSeq
+    }.filter(p => p.getName.endsWith(".avro") && !p.getName.startsWith(".") &&
+      !p.getName.startsWith("_")).map(_.toUri.toString).sorted.toSeq
     require(files.nonEmpty, s"readAvro: no .avro files match $glob")
     val sparkSchema = {
       val p = new HPath(files.head)
@@ -141,7 +142,19 @@ object AvroIO {
         val in = p.getFileSystem(conf.value).open(p)
         val reader = new DataFileStream[GenericRecord](in,
           new GenericDatumReader[GenericRecord]())
-        val st = sparkType(reader.getSchema).asInstanceOf[StructType]
+        // close on task end even when the iterator is abandoned early
+        // (limit/take) — exhaustion-only close leaks one handle per file
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try reader.close() catch { case _: java.io.IOException => () }))
+        // convert with the DRIVER's schema: the record converter fetches
+        // fields BY NAME, so files that reorder fields still land right;
+        // a file with different field NAMES is corruption — fail loudly
+        // (GenericRecord.get(unknown) would silently null it)
+        val names = reader.getSchema.getFields.asScala.map(_.name()).toSet
+        require(names == sparkSchema.fieldNames.toSet,
+          s"readAvro: $uri fields $names differ from ${files.head}'s " +
+            s"${sparkSchema.fieldNames.toSet}")
         new Iterator[Row] {
           def hasNext: Boolean = {
             val h = reader.hasNext
@@ -149,13 +162,10 @@ object AvroIO {
             h
           }
           def next(): Row =
-            fromAvro(reader.next(), st).asInstanceOf[Row]
+            fromAvro(reader.next(), sparkSchema).asInstanceOf[Row]
         }
       }
-    val df = spark.createDataFrame(rdd, sparkSchema)
-    // files may disagree with the header file only by field ORDER —
-    // byName below would be wrong for renamed fields, so require names
-    df.select(sparkSchema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    spark.createDataFrame(rdd, sparkSchema)
   }
 
   // ---------------------------------------------------------- spark→avro
@@ -261,8 +271,17 @@ object AvroIO {
       if (rows.isEmpty) Iterator.empty
       else {
         val schema = new Schema.Parser().parse(schemaJson)
-        val p = new HPath(s"${dir.toUri}/part-${"%05d".format(i)}.avro")
-        val out = p.getFileSystem(conf.value).create(p, false)
+        // task-retry/speculation safety: write a per-ATTEMPT dot-temp
+        // (readers skip dot/underscore names), then rename into place;
+        // a prior successful attempt's final file wins and the loser's
+        // temp is dropped — no committer needed for this layout
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val part = "part-%05d.avro".format(i)
+        val tmp = new HPath(s"${dir.toUri}/.tmp-$part-a$attempt")
+        val fin = new HPath(s"${dir.toUri}/$part")
+        val fs = tmp.getFileSystem(conf.value)
+        val out = fs.create(tmp, false)
         val w = new DataFileWriter(
           new GenericDatumWriter[GenericRecord](schema))
         w.create(schema, out)
@@ -272,6 +291,10 @@ object AvroIO {
             .asInstanceOf[GenericRecord])
           n += 1
         } finally w.close()
+        if (fs.exists(fin) || !fs.rename(tmp, fin)) {
+          fs.delete(tmp, false)
+          n = 0L
+        }
         Iterator.single(n)
       }
     }.sum()

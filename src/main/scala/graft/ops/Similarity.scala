@@ -294,18 +294,6 @@ object Similarity {
         s"annidx:id=$idCol"))
   }
 
-  /**
-   * Grow a persisted index with NEW vectors, no retrain: assign the
-   * batch against the frozen centroids (one broadcast join) and APPEND
-   * it as a new index version — O(batch) at any index size (all prior
-   * files hard-link). Appended files may span wider centroid bands than
-   * the original range layout until the next
-   * `catalog.optimize(idxName, zorderByCols = Seq("centroid_id"))` —
-   * the documented maintenance pass; searches stay CORRECT throughout
-   * (stats pruning is conservative, it just reads the new small files
-   * more often). Caller contract: ids not already present (append never
-   * dedups); re-embedding existing ids is a mergeInto, not an add.
-   */
   /** The (vecCol, idCol) an index was built with — recorded on the build
     * version's attrs (appends via [[addToIndex]] don't re-record it). */
   private def indexDef(catalog: graft.catalog.Catalog,
@@ -324,6 +312,18 @@ object Similarity {
     (attr("annidx:vec="), attr("annidx:id="))
   }
 
+  /**
+   * Grow a persisted index with NEW vectors, no retrain: assign the
+   * batch against the frozen centroids (one broadcast join) and APPEND
+   * it as a new index version — O(batch) at any index size (all prior
+   * files hard-link). Appended files may span wider centroid bands than
+   * the original range layout until the next
+   * `catalog.optimize(idxName, zorderByCols = Seq("centroid_id"))` —
+   * the documented maintenance pass; searches stay CORRECT throughout
+   * (stats pruning is conservative, it just reads the new small files
+   * more often). Caller contract: ids not already present (append never
+   * dedups); re-embedding existing ids is a mergeInto, not an add.
+   */
   def addToIndex(catalog: graft.catalog.Catalog, idxName: String,
                  newVectors: DataFrame, nFiles: Int = 1)
       : graft.catalog.MutationResult = {

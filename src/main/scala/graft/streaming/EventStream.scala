@@ -283,15 +283,21 @@ object EventStream {
    * mode): every micro-batch lands as a new version via
    * [[graft.catalog.Catalog.append]], which hard-links all prior files
    * and writes only the batch (O(batch) per trigger at any table size).
-   * Exactly-once holds through BOTH failure modes: checkpoint replay of
-   * a committed batch is skipped because the batch id rides the SAME
-   * meta.json commit as the data (the `extraAttrs` hook — no window
-   * where data exists without its marker), and a LOST checkpoint
-   * re-offers old data under ids the marker scan already covers. Use one
-   * `sinkId` per writing stream if several streams feed one dataset.
-   * The file-level CDF diff then reports each batch's files as inserts,
-   * so a downstream [[graft.delta.MatView]] refreshes incrementally off
-   * a live ingest stream.
+   * Exactly-once holds under checkpoint REPLAY — the normal failure
+   * mode: a replayed batch id is skipped because the id rides the SAME
+   * meta.json commit as its data (the `extraAttrs` hook — no window
+   * where data exists without its marker). This is Delta's
+   * txnAppId/txnVersion idempotent-writer contract, including its known
+   * boundary: after a LOST checkpoint, batch ids restart at 0, so a
+   * restart that bundles already-committed files with NEW ones into one
+   * low-id batch would skip the new rows too. If a checkpoint is truly
+   * unrecoverable, restart under a FRESH `sinkId` (at-least-once for the
+   * overlap; dedup downstream) — never reuse a sinkId across checkpoint
+   * generations. One writer per dataset (see [[graft.catalog.Catalog]]
+   * `append` concurrency note); `sinkId` distinguishes logical
+   * pipelines, not concurrent writers. The file-level CDF diff reports
+   * each batch's files as inserts, so a downstream
+   * [[graft.delta.MatView]] refreshes incrementally off live ingest.
    */
   def appendToDataset(stream: DataFrame, catalog: graft.catalog.Catalog,
                       name: String, checkpointDir: String,
