@@ -1164,6 +1164,14 @@ object ScaleProbe {
         val m = cat.mergeInto("ord", src, Seq("o_orderkey"),
           keyCollectMax = 0) // force the envelope-probe path
         val mrgSec = (System.nanoTime() - t1) / 1e9
+        // append = fixed 10k batch against the K×-grown table: all old
+        // files hard-link, only the batch writes — expected ~flat
+        val batch = orders.limit(10000)
+          .select((col("o_orderkey") + 900000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"))
+        val tA = System.nanoTime()
+        val a = cat.append("ord", batch)
+        val appSec = (System.nanoTime() - tA) / 1e9
         // restore = the zero-copy claim under K× file growth: pure
         // metadata (one link per file), expected ~flat wall time
         val t2 = System.nanoTime()
@@ -1172,6 +1180,7 @@ object ScaleProbe {
         println(f"mutate K=$k%-3d files=${8 * k}%-4d save=${saveSec}%.2f s  " +
           f"delete=${delSec}%.2f s (rw=${d.filesRewritten} ln=${d.filesReused})  " +
           f"merge=${mrgSec}%.2f s (rw=${m.filesRewritten} ln=${m.filesReused})  " +
+          f"append=${appSec}%.2f s (ln=${a.filesReused})  " +
           f"restore=${resSec}%.3f s")
       }
     }

@@ -786,6 +786,17 @@ final class Catalog(val root: String, spark: SparkSession) {
     val v = latestVersion(name).getOrElse(
       throw new NoSuchElementException(s"dataset $name not found"))
     val (touched, all) = touchedFiles(name, v, predicate)
+    compactFiles(name, v, touched, all, nFiles, "optimize_where",
+      bloomExpected)
+  }
+
+  /** Compact exactly `touched` (whole files, no filtering — the new
+    * version is row-identical) into ~`nFiles` size-even outputs,
+    * hard-linking the rest. Shared engine of [[optimizeWhere]] and
+    * [[autoCompact]]. */
+  private def compactFiles(name: String, v: SemVer, touched: Seq[String],
+                           all: Seq[String], nFiles: Int, op: String,
+                           bloomExpected: Long): MutationResult = {
     val mpbKey = "spark.sql.files.maxPartitionBytes"
     val ocKey = "spark.sql.files.openCostInBytes"
     val prevM = spark.conf.get(mpbKey)
@@ -805,12 +816,34 @@ final class Catalog(val root: String, spark: SparkSession) {
         spark.conf.set(ocKey, math.min(4L << 20, target / 16).toString)
         Some(readVersionFiles(name, v, touched).coalesce(nFiles))
       }
-    try cowRewrite(name, v, touched, all, rewritten, "optimize_where",
-      bloomExpected)
+    try cowRewrite(name, v, touched, all, rewritten, op, bloomExpected)
     finally if (packed) {
       spark.conf.set(mpbKey, prevM)
       spark.conf.set(ocKey, prevO)
     }
+  }
+
+  /**
+   * Auto-compaction for append-heavy tables (Delta's autoCompact): when
+   * the latest version holds more than `maxSmallFiles` files under
+   * `smallBytes`, compact EXACTLY those small files into ~`nFiles`
+   * size-even outputs, hard-linking every full-size file — layout-only
+   * and row-identical. This is what keeps a streaming-append table's
+   * file count bounded without ever rewriting the compacted bulk: the
+   * small batch files fold together, the big results of previous
+   * compactions carry as links. Returns None under threshold (nothing
+   * written).
+   */
+  def autoCompact(name: String, maxSmallFiles: Int = 16,
+                  smallBytes: Long = 32L << 20, nFiles: Int = 1,
+                  bloomExpected: Long = 100000L): Option[MutationResult] = {
+    val v = latestVersion(name).getOrElse(
+      throw new NoSuchElementException(s"dataset $name not found"))
+    val sizes = versionDataFiles(name, v)
+    val small = sizes.filter(_._2 < smallBytes).keys.toSeq.sorted
+    if (small.size <= maxSmallFiles) None
+    else Some(compactFiles(name, v, small, sizes.keys.toSeq.sorted,
+      nFiles, "auto_compact", bloomExpected))
   }
 
   /**

@@ -795,6 +795,35 @@ class CatalogSpec extends SparkSpec {
     assert(cat.readDataset("bare").count() === 27L)
   }
 
+  test("autoCompact folds small append files, links the big bulk") {
+    val root = Files.createTempDirectory("cat_ac").toString
+    val cat = new Catalog(root, spark)
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    cat.save(Chain(o.filter(col("o_orderkey") % 2 === 0).coalesce(1)), "t")
+    // five small appends — the streaming-ingest debris shape
+    val rest = o.filter(col("o_orderkey") % 2 =!= 0)
+    (0 until 5).foreach(i =>
+      cat.append("t", rest.filter(col("o_orderkey") % 10 === (2 * i + 1))
+        .coalesce(1)))
+    val total = o.count()
+    val filesBefore = cat.versionDataFiles("t",
+      cat.latestVersion("t").get).size
+    assert(filesBefore >= 6)
+    // under threshold: no version written
+    assert(cat.autoCompact("t", maxSmallFiles = 10).isEmpty)
+    // over threshold: ONLY the small files compact; the bulk links.
+    // smallBytes sits between the batch-file and bulk-file sizes
+    val sizes = cat.versionDataFiles("t", cat.latestVersion("t").get)
+    val cut = sizes.values.max // bulk file is the largest
+    val r = cat.autoCompact("t", maxSmallFiles = 2,
+      smallBytes = cut).get
+    assert(r.filesReused === 1, s"the bulk file must link: $r")
+    assert(r.rowsBefore === total && r.rowsAfter === total)
+    assert(cat.versionDataFiles("t", r.version).size < filesBefore)
+    assert(cat.readDataset("t").count() === total)
+  }
+
   test("changesStream follows syncs committed WHILE the stream runs") {
     val root = Files.createTempDirectory("cat_cdfst").toString
     val cat = new Catalog(root, spark)
