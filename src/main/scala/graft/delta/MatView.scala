@@ -44,10 +44,14 @@ final case class MvRefresh(mode: String, from: String, to: String,
  *    accumulate in DECIMAL(28,10) state so the result is exact and
  *    order-independent (a float-additive view would drift from a full
  *    recompute); they read back as double.
- *  - recompute (any min/max present): a deleted row can strip a group's
- *    current min/max, which no bounded per-group state can repair, so
- *    the dirty groups re-aggregate from the source's latest version —
- *    pruned to the files whose stats overlap the dirty keys.
+ *  - recompute (min/max present AND the batch REMOVES rows): a deleted
+ *    or updated-away row can strip a group's current min/max, which no
+ *    bounded per-group state can repair, so the dirty groups
+ *    re-aggregate from the source's latest version — pruned to the
+ *    files whose stats overlap the dirty keys. An insert-only batch
+ *    (the streaming-append shape) keeps min/max ADDITIVE via
+ *    least/greatest — zero source scans even for extreme-tracking
+ *    views on an append-only table.
  *
  * At 100 TB: the change feed is O(mutated rows), per-group deltas are
  * one map-side-combined aggregation over it, the view join is
@@ -179,6 +183,12 @@ object MatView {
         sLong(in).as(s"__d___s_$out"), nn(in).as(s"__d___c_$out"))
       case (MvAgg(out, "avg", in), _) => Seq(
         sDec(in).as(s"__d___s_$out"), nn(in).as(s"__d___c_$out"))
+      // reached only for INSERT-ONLY batches (refresh routes any removal
+      // to the recompute path); the sign guard keeps it provably safe
+      case (MvAgg(out, "min", in), _) => Seq(
+        min(when(sign === 1L, col(in))).as(s"__d_$out"))
+      case (MvAgg(out, "max", in), _) => Seq(
+        max(when(sign === 1L, col(in))).as(s"__d_$out"))
       case (MvAgg(_, fn, _), _) =>
         throw new IllegalStateException(s"additive path got $fn")
     } :+ coalesce(sum(sign), lit(0L)).as("__d___mv_n")
@@ -347,7 +357,16 @@ object MatView {
         "coalesced derived column instead")
       val sign = when(col("_change_type").isin("insert", "update_postimage"),
         1L).otherwise(-1L)
-      val needsRecompute = aggs.exists(a => a.fn == "min" || a.fn == "max")
+      // min/max only force a source recompute when a change REMOVES a
+      // row (delete / update pre-image) — a removal can strip a group's
+      // current extreme, which no bounded state repairs. An INSERT-ONLY
+      // batch (the streaming-append shape) extends extremes with
+      // least/greatest and stays on the zero-source-scan additive path.
+      val hasMinMax = aggs.exists(a => a.fn == "min" || a.fn == "max")
+      val destructive = hasMinMax && changes
+        .filter(col("_change_type").isin("delete", "update_preimage"))
+        .limit(1).collect().nonEmpty
+      val needsRecompute = hasMinMax && destructive
 
       val combined: DataFrame = if (needsRecompute) {
         // dirty groups re-aggregate from the source (min/max repair);
@@ -364,18 +383,33 @@ object MatView {
             deltaAggs(aggs, kinds, sign).tail: _*)
         val old = readPruned(catalog, name, groupBy, dirty, collected)
         val joined = deltas.join(old, groupBy, "left")
-        def add(c: String, zero: Column): Column =
-          (coalesce(col(c), zero) + col(s"__d_$c")).as(c)
-        val stCols = stateCols(aggs).map { c =>
+        def add(c: String): Column = {
           val dt = old.schema.find(_.name == c).map(_.dataType)
             .getOrElse(LongType)
           dt match {
-            case LongType => add(c, lit(0L))
-            case d: DecimalType => add(c, lit(0).cast(d)).cast(d).as(c)
+            case LongType => (coalesce(col(c), lit(0L)) +
+              col(s"__d_$c")).as(c)
+            case d: DecimalType => (coalesce(col(c), lit(0).cast(d)) +
+              col(s"__d_$c")).cast(d).as(c)
             case other => throw new IllegalStateException(
               s"additive state col $c: unexpected type $other")
           }
         }
+        val stCols = aggs.zip(kinds).flatMap {
+          case (MvAgg(out, "count", _), _) => Seq(add(out))
+          case (MvAgg(out, "sum", _), _) => Seq(add(out), add(s"__nn_$out"))
+          case (MvAgg(out, "avg", _), _) =>
+            Seq(add(s"__s_$out"), add(s"__c_$out"))
+          // least/greatest skip nulls: a new group takes the delta, an
+          // all-null delta keeps the old extreme — exactly min/max over
+          // the union when nothing was removed
+          case (MvAgg(out, "min", _), _) =>
+            Seq(least(col(out), col(s"__d_$out")).as(out))
+          case (MvAgg(out, "max", _), _) =>
+            Seq(greatest(col(out), col(s"__d_$out")).as(out))
+          case (MvAgg(_, fn, _), _) =>
+            throw new IllegalStateException(s"additive combine got $fn")
+        } :+ add("__mv_n")
         joined.select(groupBy.map(col) ++ stCols: _*)
       }
 

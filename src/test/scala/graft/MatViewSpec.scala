@@ -265,8 +265,11 @@ class MatViewSpec extends SparkSpec {
     val cols = Seq("doc_id", "lang", "n_chars")
     cat.save(Chain(docs().filter(col("doc_id") < 60)
       .select(cols.map(col): _*)), "d")
+    // the min agg stays ADDITIVE here: an append-only stream never
+    // removes rows, so least() against the batch extreme is exact
     MatView.create(cat, "mv", "d", Seq("doc_id"), Seq("lang"),
-      Seq(MvAgg("n", "count", "*"), MvAgg("chars", "sum", "n_chars")))
+      Seq(MvAgg("n", "count", "*"), MvAgg("chars", "sum", "n_chars"),
+        MvAgg("lo", "min", "n_chars")))
     // new rows arrive over a stream and land as an exactly-once append
     val stage = Files.createTempDirectory("mv_stream_in").toString + "/b"
     docs().filter(col("doc_id") >= 60 && col("doc_id") < 90)
@@ -280,11 +283,18 @@ class MatViewSpec extends SparkSpec {
     // refresh folds them in without rescanning the base
     val r = MatView.refresh(cat, "mv")
     assert(r.mode === "additive" && r.upserted > 0)
-    val expect = graft.core.Sys.drop(cat.readDataset("d").toDF)
-      .groupBy("lang").agg(count(lit(1)).as("n"),
-        sum("n_chars").as("chars"))
-    val got = MatView.read(cat, "mv").toDF
-    assert(got.except(expect).union(expect.except(got)).isEmpty)
+    def check(): Unit = {
+      val expect = graft.core.Sys.drop(cat.readDataset("d").toDF)
+        .groupBy("lang").agg(count(lit(1)).as("n"),
+          sum("n_chars").as("chars"), min("n_chars").as("lo"))
+      val got = MatView.read(cat, "mv").toDF
+      assert(got.except(expect).union(expect.except(got)).isEmpty)
+    }
+    check()
+    // a destructive change flips the same view to the recompute path
+    cat.deleteWhere("d", col("n_chars") % 3 === 0)
+    assert(MatView.refresh(cat, "mv").mode === "recompute")
+    check()
   }
 
   test("definition survives refreshes; non-view dataset rejected") {
