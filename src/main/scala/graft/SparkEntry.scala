@@ -3048,6 +3048,29 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    "q_table_stream" -> ((s, dir) => {
+      // stream FROM a catalog table (Delta readStream.table): a save
+      // plus two O(batch) appends surface as micro-batches of exactly
+      // the table's rows — the committed-only _stream link protocol, so
+      // a torn save can never leak into the feed
+      val root = Files.createTempDirectory("graft_tst").toString
+      val cat = new Catalog(root, s)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val c = T(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        cat.save(Chain(c.filter(col("c_custkey") % 3 === 0)), "cust")
+        cat.append("cust", c.filter(col("c_custkey") % 3 === 1))
+        cat.append("cust", c.filter(col("c_custkey") % 3 === 2))
+        val st = Delta.datasetStream(cat, "cust")
+        val ckpt = Files.createTempDirectory("graft_tst_ckpt").toString
+        val qn = "tst_" + math.abs(scala.util.Random.nextInt())
+        graft.streaming.EventStream.runAvailableNow(st, qn, ckpt,
+          noDataBatch = false)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     "q_stream_upsert" -> ((s, dir) => {
       // streaming CDC apply (Delta APPLY CHANGES INTO): a staged change
       // feed — updates, deletes, and brand-new keys, globally unique so
@@ -6767,6 +6790,9 @@ object SparkEntry {
       "q_stream_append" ->
         """SELECT event_id, user_id, event_type FROM events
           |WHERE event_id % 5 = 0""".stripMargin,
+
+      "q_table_stream" ->
+        "SELECT c_custkey, c_nationkey, c_acctbal FROM customer",
 
       "q_stream_upsert" ->
         """WITH mxv AS (SELECT max(o_orderkey) AS mx FROM orders)

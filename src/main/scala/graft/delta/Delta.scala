@@ -302,6 +302,84 @@ object Delta {
   }
 
   /**
+   * Stream a catalog TABLE as a Structured Streaming source (Delta's
+   * `spark.readStream.table(...)`): every committed version's NEW data
+   * files surface as micro-batches — on an append-only table (saves +
+   * [[graft.catalog.Catalog.append]] / the exactly-once sink) that is
+   * exactly the table's rows, once each. A version that REWRITES or
+   * REMOVES files (deleteWhere/update/merge/OPTIMIZE) breaks the
+   * append-only contract and fails loudly unless `allowChanges = true`,
+   * which takes Delta's `ignoreChanges` semantics verbatim: rewritten
+   * files re-emit whole (their surviving rows appear again), deletions
+   * never surface — downstream must tolerate duplicates. Same
+   * committed-only `_stream` link protocol as [[changesStream]];
+   * [[graft.streaming.EventStream]] `appendToDataset` heals the links
+   * after each batch so a table-to-table streaming pipeline follows
+   * live.
+   */
+  def datasetStream(catalog: Catalog, name: String,
+                    allowChanges: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
+    val vs = catalog.versions(name)
+    require(vs.nonEmpty, s"dataset $name not found")
+    linkDatasetStream(catalog, name, allowChanges)
+    val latest = catalog.readDataset(name, Some(vs.last)).toDF
+    val stream = latest.sparkSession.readStream
+      .schema(latest.schema) // incl. the sys stamp; dropped below
+      .parquet(s"${catalog.root}/datasets/$name/_stream")
+    graft.core.Sys.drop(stream)
+  }
+
+  /** Link every committed version's new-vs-parent data files into the
+    * dataset's `_stream` dir (idempotent). Writers that want live
+    * followers call [[healDatasetStream]] after each commit. */
+  private def linkDatasetStream(catalog: Catalog, name: String,
+                                allowChanges: Boolean): Unit = {
+    import java.nio.file.{Files => JF, Paths => JP}
+    val dir = JP.get(catalog.root, "datasets", name, "_stream")
+    JF.createDirectories(dir)
+    var prev = Map.empty[String, Long]
+    catalog.versions(name).foreach { v =>
+      val cur = catalog.versionDataFiles(name, v)
+      val removed = prev.keySet.filterNot(k => cur.get(k).contains(prev(k)))
+      require(removed.isEmpty || allowChanges,
+        s"datasetStream: $name@v$v rewrote or removed files — not an " +
+          "append-only table; pass allowChanges=true for ignoreChanges " +
+          "semantics (rewritten files re-emit, deletes never surface)")
+      cur.keysIterator
+        .filterNot(k => prev.get(k).contains(cur(k)))
+        .foreach { rel =>
+          val src = JP.get(catalog.root, "datasets", name,
+            s"v$v", "data", rel)
+          val dst = dir.resolve(s"v${v}__${rel.replace('/', '_')}")
+          if (!JF.exists(dst)) {
+            try JF.createLink(dst, src)
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException => ()
+              case _: UnsupportedOperationException |
+                   _: java.nio.file.FileSystemException =>
+                try JF.copy(src, dst)
+                catch {
+                  case _: java.nio.file.FileAlreadyExistsException => ()
+                }
+            }
+          }
+        }
+      prev = cur
+    }
+  }
+
+  /** Re-link a table's `_stream` dir if one exists (a follower started
+    * [[datasetStream]] at some point) — called by writers after a
+    * commit so live followers see the new version. No-op otherwise. */
+  def healDatasetStream(catalog: Catalog, name: String): Unit = {
+    val dir = java.nio.file.Paths.get(catalog.root, "datasets", name,
+      "_stream")
+    if (java.nio.file.Files.isDirectory(dir))
+      linkDatasetStream(catalog, name, allowChanges = true)
+  }
+
+  /**
    * Incremental save of `transform(source)` under `name`.
    *
    * `sourceSnapshotName` is the catalog dataset where each run persists its

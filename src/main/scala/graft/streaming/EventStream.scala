@@ -321,6 +321,8 @@ object EventStream {
               attrs = Seq(s"$prefix$id"))
           else
             catalog.append(name, batch, extraAttrs = Seq(s"$prefix$id"))
+          // live table-followers (datasetStream) see the batch too
+          graft.delta.Delta.healDatasetStream(catalog, name)
         }
         ()
       }

@@ -824,6 +824,48 @@ class CatalogSpec extends SparkSpec {
     assert(cat.readDataset("t").count() === total)
   }
 
+  test("datasetStream follows live appends; mutations need allowChanges") {
+    val root = Files.createTempDirectory("cat_tst").toString
+    val cat = new Catalog(root, spark)
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    cat.save(Chain(n.filter(col("n_nationkey") < 10)), "nat")
+    val ckpt = Files.createTempDirectory("cat_tst_ckpt").toString
+    val q = Delta.datasetStream(cat, "nat")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tst_live").option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("tst_live").count() === 10L)
+      // an append committed by the exactly-once sink WHILE the stream
+      // runs must arrive (the sink heals the _stream links post-commit)
+      val stage = Files.createTempDirectory("cat_tst_in").toString + "/b"
+      n.filter(col("n_nationkey") >= 10).coalesce(1).write.parquet(stage)
+      val schema = spark.read.parquet(stage).schema
+      val sink = graft.streaming.EventStream.appendToDataset(
+        spark.readStream.schema(schema).parquet(stage), cat, "nat",
+        Files.createTempDirectory("cat_tst_ck2").toString)
+      sink.awaitTermination()
+      q.processAllAvailable()
+      assert(spark.table("tst_live").count() === 25L)
+    } finally q.stop()
+    // a mutation breaks the append-only contract loudly...
+    cat.deleteWhere("nat", col("n_nationkey") === 0L)
+    intercept[IllegalArgumentException](Delta.datasetStream(cat, "nat"))
+    // ...and allowChanges takes ignoreChanges semantics verbatim: a
+    // replay from the start of history emits every file version ever
+    // committed — the deleted key still appears (it lives in a
+    // pre-delete file) and the rewritten file's SURVIVORS appear twice
+    val ckpt3 = Files.createTempDirectory("cat_tst_ck3").toString
+    val replay = graft.streaming.EventStream.runAvailableNow(
+      Delta.datasetStream(cat, "nat", allowChanges = true),
+      "tst_replay", ckpt3, noDataBatch = false)
+    assert(replay.select("n_nationkey").distinct().count() === 25L)
+    val survivorCopies = replay.filter(col("n_nationkey") === 1L).count()
+    assert(survivorCopies >= 2L,
+      s"rewritten file must re-emit its survivors: $survivorCopies")
+  }
+
   test("changesStream follows syncs committed WHILE the stream runs") {
     val root = Files.createTempDirectory("cat_cdfst").toString
     val cat = new Catalog(root, spark)
