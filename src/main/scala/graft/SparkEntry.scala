@@ -3354,6 +3354,41 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    "q_matview_distinct" -> ((s, dir) => {
+      // DISTINCT-COUNT materialized view: HLL sketch state per group,
+      // insert-only refresh UNIONS sketches (additive path — zero source
+      // scans), removals would recompute. Property-oracled like
+      // q_approx_distinct: the estimate is engine-specific, but at this
+      // cardinality the sketch is exact, so est == exact distinct is
+      // checkable cross-engine
+      val root = Files.createTempDirectory("graft_mvd").toString
+      val cat = new Catalog(root, s)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val d = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"))
+        cat.save(Chain(d), "d")
+        MatView.create(cat, "mvd", "d", Seq("doc_id"), Seq("lang"),
+          Seq(MvAgg("n_docs", "count", "*"),
+            MvAgg("n_sources", "approx_distinct", "source")))
+        val ins = d.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+            concat(lit("mirror-"), col("source")).as("source"))
+        cat.mergeInto("d", ins, Seq("doc_id"))
+        val r = MatView.refresh(cat, "mvd")
+        require(r.mode == "additive",
+          s"insert-only batch must union sketches additively: $r")
+        val exact = graft.core.Sys.drop(cat.readDataset("d").toDF)
+          .groupBy("lang")
+          .agg(count_distinct(col("source")).as("__exact"))
+        MatView.read(cat, "mvd").toDF
+          .join(exact, Seq("lang"))
+          .select(col("lang"), col("n_docs"),
+            (col("n_sources") === col("__exact")).as("distinct_ok"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     "q_expectations" -> ((s, dir) => {
       // data-quality expectations at save (Delta CHECK constraints /
       // Deequ gates): a failing fail-mode constraint aborts BEFORE the
@@ -6889,6 +6924,15 @@ object SparkEntry {
           |  CAST(max(n_chars) AS BIGINT) AS hi,
           |  CAST(count(*) AS BIGINT) AS n
           |FROM t2 GROUP BY lang""".stripMargin,
+
+      "q_matview_distinct" ->
+        """WITH base AS (SELECT doc_id, lang, source FROM documents),
+          |t AS (SELECT * FROM base UNION ALL
+          |      SELECT doc_id + 1000000, lang, 'mirror-' || source
+          |      FROM base WHERE doc_id % 9 = 0)
+          |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          |  TRUE AS distinct_ok
+          |FROM t GROUP BY lang""".stripMargin,
 
       "q_expectations" ->
         """SELECT * FROM orders

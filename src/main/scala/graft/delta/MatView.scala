@@ -8,8 +8,12 @@ import graft.catalog.{Catalog, SemVer}
 import graft.core.{Chain, Sys}
 
 /** One aggregate of a materialized view: `fn` over source column `in`
-  * exposed as result column `out`. `fn` ∈ count|sum|avg|min|max; count
-  * takes `in = "*"` for count(*). */
+  * exposed as result column `out`. `fn` ∈
+  * count|sum|avg|min|max|approx_distinct; count takes `in = "*"` for
+  * count(*). approx_distinct maintains an HLL sketch per group (reads
+  * back as the estimate; insert-only refreshes UNION sketches, removals
+  * recompute the dirty groups — sketches are mergeable, not
+  * subtractive). */
 final case class MvAgg(out: String, fn: String, in: String)
 
 /** What one [[MatView.refresh]] call did. `mode` ∈ noop (source
@@ -67,7 +71,12 @@ final case class MvRefresh(mode: String, from: String, to: String,
  * the aggregate itself incrementally.
  */
 object MatView {
-  private val Fns = Set("count", "sum", "avg", "min", "max")
+  private val Fns = Set("count", "sum", "avg", "min", "max",
+    "approx_distinct")
+
+  /** lgConfigK of the HLL sketches backing approx_distinct state —
+    * ~2.5 KB per group, <2% relative error, exact at low cardinality. */
+  private val HllLgK = 12
 
   // attr-encoding separators; kept out of identifiers by [[validate]]
   private val Seps = Seq(":", ";", ",", "=")
@@ -131,6 +140,7 @@ object MatView {
       case MvAgg(_, "count", _) => "native"
       case MvAgg(_, "min", in) => { src(in); "native" }
       case MvAgg(_, "max", in) => { src(in); "native" }
+      case MvAgg(_, "approx_distinct", in) => { src(in); "native" }
       case MvAgg(_, _, in) => sumKind(src(in).dataType) // sum | avg
     }
 
@@ -141,6 +151,8 @@ object MatView {
       case (MvAgg(out, "count", in), _) => Seq(count(col(in)).as(out))
       case (MvAgg(out, "min", in), _) => Seq(min(col(in)).as(out))
       case (MvAgg(out, "max", in), _) => Seq(max(col(in)).as(out))
+      case (MvAgg(out, "approx_distinct", in), _) =>
+        Seq(hll_sketch_agg(col(in), lit(HllLgK)).as(out))
       case (MvAgg(out, "sum", in), "long") => Seq(
         coalesce(sum(col(in).cast(LongType)), lit(0L)).as(out),
         count(col(in)).as(s"__nn_$out"))
@@ -189,6 +201,9 @@ object MatView {
         min(when(sign === 1L, col(in))).as(s"__d_$out"))
       case (MvAgg(out, "max", in), _) => Seq(
         max(when(sign === 1L, col(in))).as(s"__d_$out"))
+      case (MvAgg(out, "approx_distinct", in), _) => Seq(
+        hll_sketch_agg(when(sign === 1L, col(in)), lit(HllLgK))
+          .as(s"__d_$out"))
       case (MvAgg(_, fn, _), _) =>
         throw new IllegalStateException(s"additive path got $fn")
     } :+ coalesce(sum(sign), lit(0L)).as("__d___mv_n")
@@ -281,6 +296,8 @@ object MatView {
         when(col(s"__c_$out") > 0L,
           col(s"__s_$out").cast(DoubleType) / col(s"__c_$out"))
           .otherwise(lit(null).cast(DoubleType)).as(out)
+      case (MvAgg(out, "approx_distinct", _), _) =>
+        coalesce(hll_sketch_estimate(col(out)), lit(0L)).as(out)
       case (MvAgg(out, _, _), _) => col(out)
     }
     Chain(st.select(outCols: _*),
@@ -362,7 +379,8 @@ object MatView {
       // current extreme, which no bounded state repairs. An INSERT-ONLY
       // batch (the streaming-append shape) extends extremes with
       // least/greatest and stays on the zero-source-scan additive path.
-      val hasMinMax = aggs.exists(a => a.fn == "min" || a.fn == "max")
+      val hasMinMax = aggs.exists(a =>
+        a.fn == "min" || a.fn == "max" || a.fn == "approx_distinct")
       val destructive = hasMinMax && changes
         .filter(col("_change_type").isin("delete", "update_preimage"))
         .limit(1).collect().nonEmpty
@@ -407,6 +425,12 @@ object MatView {
             Seq(least(col(out), col(s"__d_$out")).as(out))
           case (MvAgg(out, "max", _), _) =>
             Seq(greatest(col(out), col(s"__d_$out")).as(out))
+          // sketches UNION for insert-only batches (HLL is mergeable,
+          // never subtractive — removals route to recompute above)
+          case (MvAgg(out, "approx_distinct", _), _) =>
+            Seq(when(col(out).isNull, col(s"__d_$out"))
+              .when(col(s"__d_$out").isNull, col(out))
+              .otherwise(hll_union(col(out), col(s"__d_$out"))).as(out))
           case (MvAgg(_, fn, _), _) =>
             throw new IllegalStateException(s"additive combine got $fn")
         } :+ add("__mv_n")

@@ -297,6 +297,34 @@ class MatViewSpec extends SparkSpec {
     check()
   }
 
+  test("approx_distinct views: sketch union on inserts, recompute on deletes") {
+    val root = Files.createTempDirectory("mv_hll").toString
+    val cat = new Catalog(root, spark)
+    cat.save(Chain(docs().select(col("doc_id"), col("lang"),
+      col("source"))), "d")
+    MatView.create(cat, "mv", "d", Seq("doc_id"), Seq("lang"),
+      Seq(MvAgg("nd", "approx_distinct", "source")))
+    def exact() = graft.core.Sys.drop(cat.readDataset("d").toDF)
+      .groupBy("lang").agg(count_distinct(col("source")).as("nd"))
+    def check(): Unit = {
+      val got = MatView.read(cat, "mv").toDF
+      val e = exact()
+      assert(got.except(e).union(e.except(got)).isEmpty)
+    }
+    check()
+    // inserts (incl. brand-new sources) union sketches — additive
+    val ins = docs().filter(col("doc_id") % 6 === 0)
+      .select((col("doc_id") + 500000L).as("doc_id"), col("lang"),
+        concat(lit("new-"), col("source")).as("source"))
+    cat.mergeInto("d", ins, Seq("doc_id"))
+    assert(MatView.refresh(cat, "mv").mode === "additive")
+    check()
+    // a delete can remove a source's last row — sketches can't subtract
+    cat.deleteWhere("d", col("source").startsWith("new-"))
+    assert(MatView.refresh(cat, "mv").mode === "recompute")
+    check()
+  }
+
   test("definition survives refreshes; non-view dataset rejected") {
     val root = Files.createTempDirectory("mv_def").toString
     val cat = new Catalog(root, spark)
