@@ -623,4 +623,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+  test("searchIndex: probes broadcast, scan limited to probed-band files") {
+    // the persisted-index probe must stay a broadcast join over a
+    // file-pruned scan — a refactor that loses either turns every query
+    // batch into a full index scan at 100 TB
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("plan_ai").toString
+    val cat = new graft.catalog.Catalog(root, spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    graft.ops.Similarity.saveIndex(cat, "ix", e, nlist = 8,
+      iterations = 1, nFiles = 8)
+    val total = cat.versionDataFiles("ix",
+      cat.latestVersion("ix").get).size
+    val q = e.filter(col("vec_id") < 1)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val res = graft.ops.Similarity.searchIndex(cat, "ix", q, k = 3,
+      nprobe = 2)
+    val p = res.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // 2 probed lists of 8, range-laid over 8 files: the scan's input
+    // must be a strict subset of the index files
+    assert(res.inputFiles.length < total,
+      s"pruned scan reads ${res.inputFiles.length} of $total files")
+  }
 }
