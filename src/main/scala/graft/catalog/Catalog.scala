@@ -2029,6 +2029,15 @@ final class Catalog(val root: String, spark: SparkSession) {
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
+  /** The copy-on-write op that produced a version ("delete", "update",
+    * "merge", "append", "optimize_where", "auto_compact", ...) — None
+    * for plain saves. Stream protocols use it to tell LAYOUT-ONLY
+    * versions (row-identical repacks, Delta's dataChange=false) from
+    * real mutations. */
+  private[graft] def cowOpOf(name: String, version: SemVer): Option[String] =
+    "\"chainHash\": \"cow-([a-z_]+)-".r
+      .findFirstMatchIn(readMeta(name, version)).map(_.group(1))
+
   /** Append a lineage dep to an existing version's meta without a new
     * materialization — the vacuum-protection half of a metadata cursor
     * ([[graft.delta.MatView.refresh]] records its synced-from source

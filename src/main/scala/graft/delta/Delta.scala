@@ -240,21 +240,31 @@ object Delta {
     JF.createDirectories(dir)
     catalog.versions(changesName).foreach { v =>
       catalog.versionDataFiles(changesName, v).keysIterator.foreach { rel =>
-        val src = JP.get(catalog.root, "datasets", changesName,
-          s"v$v", "data", rel)
-        val dst = dir.resolve(s"v${v}__${rel.replace('/', '_')}")
-        if (!JF.exists(dst)) {
-          try JF.createLink(dst, src)
+        linkIntoStream(dir,
+          JP.get(catalog.root, "datasets", changesName, s"v$v", "data", rel),
+          s"v${v}__${rel.replace('/', '_')}")
+      }
+    }
+  }
+
+  /** Idempotent link-or-copy of one committed data file into a
+    * `_stream` dir — the shared primitive of [[linkStreamExports]] and
+    * [[linkDatasetStream]] (one naming scheme, one fallback chain). */
+  private def linkIntoStream(dir: java.nio.file.Path,
+                             src: java.nio.file.Path,
+                             linkName: String): Unit = {
+    import java.nio.file.{Files => JF}
+    val dst = dir.resolve(linkName)
+    if (!JF.exists(dst)) {
+      try JF.createLink(dst, src)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          try JF.copy(src, dst)
           catch {
             case _: java.nio.file.FileAlreadyExistsException => ()
-            case _: UnsupportedOperationException |
-                 _: java.nio.file.FileSystemException =>
-              try JF.copy(src, dst)
-              catch {
-                case _: java.nio.file.FileAlreadyExistsException => ()
-              }
           }
-        }
       }
     }
   }
@@ -322,62 +332,103 @@ object Delta {
       : org.apache.spark.sql.DataFrame = {
     val vs = catalog.versions(name)
     require(vs.nonEmpty, s"dataset $name not found")
-    linkDatasetStream(catalog, name, allowChanges)
+    val policy = if (allowChanges) "ignorechanges" else "strict"
+    linkDatasetStream(catalog, name, policy, failOnChange = !allowChanges)
     val latest = catalog.readDataset(name, Some(vs.last)).toDF
     val stream = latest.sparkSession.readStream
       .schema(latest.schema) // incl. the sys stamp; dropped below
-      .parquet(s"${catalog.root}/datasets/$name/_stream")
+      .parquet(s"${catalog.root}/datasets/$name/_stream/$policy")
     graft.core.Sys.drop(stream)
   }
 
+  /** Layout-only cow ops (row-identical repacks — Delta's
+    * dataChange=false): the table stream SKIPS their versions entirely,
+    * so periodic [[graft.catalog.Catalog.autoCompact]] /
+    * `optimizeWhere` maintenance never re-emits or stalls a follower.
+    * (Full `optimize`/Z-ORDER commits as a fresh save and is NOT
+    * detectable — run the partial forms on streamed tables.) */
+  private val LayoutOnlyOps = Set("optimize_where", "auto_compact")
+
   /** Link every committed version's new-vs-parent data files into the
-    * dataset's `_stream` dir (idempotent). Writers that want live
-    * followers call [[healDatasetStream]] after each commit. */
+    * dataset's per-policy `_stream/<policy>` link farm (strict and
+    * ignoreChanges followers get independent farms — hard links cost
+    * nothing, and the contracts can't contaminate each other), starting
+    * from the farm's `_linked` high-water mark, so a heal after batch N
+    * walks only the versions since the last heal, not the history. On a
+    * REAL destructive version (not layout-only): `failOnChange` throws
+    * (strict stream creation); a strict heal STOPS linking at the
+    * boundary instead — the follower stalls safely rather than
+    * receiving duplicate rows, and the next strict `datasetStream` call
+    * reports the contract break loudly. */
   private def linkDatasetStream(catalog: Catalog, name: String,
-                                allowChanges: Boolean): Unit = {
+                                policy: String,
+                                failOnChange: Boolean): Unit = {
     import java.nio.file.{Files => JF, Paths => JP}
-    val dir = JP.get(catalog.root, "datasets", name, "_stream")
+    val dir = JP.get(catalog.root, "datasets", name, "_stream", policy)
     JF.createDirectories(dir)
-    var prev = Map.empty[String, Long]
-    catalog.versions(name).foreach { v =>
+    val strict = policy == "strict"
+    val markP = dir.resolve("_linked")
+    val vs = catalog.versions(name)
+    val mark =
+      if (!JF.exists(markP)) None
+      else scala.util.Try(SemVer.parse(
+        new String(JF.readAllBytes(markP), "UTF-8").trim)).toOption
+    val startIdx = mark.map(vs.indexOf).filter(_ >= 0).getOrElse(-1)
+    var prev =
+      if (startIdx >= 0) catalog.versionDataFiles(name, vs(startIdx))
+      else Map.empty[String, Long]
+    var linkedTo = if (startIdx >= 0) Some(vs(startIdx)) else None
+    vs.drop(startIdx + 1).foreach { v =>
       val cur = catalog.versionDataFiles(name, v)
-      val removed = prev.keySet.filterNot(k => cur.get(k).contains(prev(k)))
-      require(removed.isEmpty || allowChanges,
-        s"datasetStream: $name@v$v rewrote or removed files — not an " +
-          "append-only table; pass allowChanges=true for ignoreChanges " +
-          "semantics (rewritten files re-emit, deletes never surface)")
-      cur.keysIterator
-        .filterNot(k => prev.get(k).contains(cur(k)))
-        .foreach { rel =>
-          val src = JP.get(catalog.root, "datasets", name,
-            s"v$v", "data", rel)
-          val dst = dir.resolve(s"v${v}__${rel.replace('/', '_')}")
-          if (!JF.exists(dst)) {
-            try JF.createLink(dst, src)
-            catch {
-              case _: java.nio.file.FileAlreadyExistsException => ()
-              case _: UnsupportedOperationException |
-                   _: java.nio.file.FileSystemException =>
-                try JF.copy(src, dst)
-                catch {
-                  case _: java.nio.file.FileAlreadyExistsException => ()
-                }
-            }
-          }
+      require(cur.keysIterator.forall(!_.contains('/')),
+        s"datasetStream: $name@v$v is hive-partitioned — partition " +
+          "values live in directory names the flat stream can't carry; " +
+          "stream the unpartitioned base or the change-feed export")
+      if (catalog.cowOpOf(name, v).exists(LayoutOnlyOps)) {
+        prev = cur // dataChange=false: row-identical, emit nothing
+        linkedTo = Some(v)
+      } else {
+        val removed =
+          prev.keySet.exists(k => !cur.get(k).contains(prev(k)))
+        if (removed && strict) {
+          require(!failOnChange,
+            s"datasetStream: $name@v$v rewrote or removed files — not " +
+              "an append-only table; pass allowChanges=true for " +
+              "ignoreChanges semantics (rewritten files re-emit, " +
+              "deletes never surface)")
+          // heal under strict: stall BEFORE the mutation — never
+          // duplicates; the mark stays put so the break re-surfaces
+          writeMark(markP, linkedTo)
+          return
         }
-      prev = cur
+        cur.keysIterator
+          .filterNot(k => prev.get(k).contains(cur(k)))
+          .foreach(rel => linkIntoStream(dir,
+            JP.get(catalog.root, "datasets", name, s"v$v", "data", rel),
+            s"v${v}__${rel.replace('/', '_')}"))
+        prev = cur
+        linkedTo = Some(v)
+      }
     }
+    writeMark(markP, linkedTo)
   }
+
+  private def writeMark(markP: java.nio.file.Path,
+                        to: Option[SemVer]): Unit =
+    to.foreach(v => java.nio.file.Files.write(markP,
+      v.toString.getBytes("UTF-8")))
 
   /** Re-link a table's `_stream` dir if one exists (a follower started
     * [[datasetStream]] at some point) — called by writers after a
-    * commit so live followers see the new version. No-op otherwise. */
-  def healDatasetStream(catalog: Catalog, name: String): Unit = {
-    val dir = java.nio.file.Paths.get(catalog.root, "datasets", name,
-      "_stream")
-    if (java.nio.file.Files.isDirectory(dir))
-      linkDatasetStream(catalog, name, allowChanges = true)
-  }
+    * commit so live followers see the new version; honors the dir's
+    * recorded policy. No-op when nobody follows. */
+  def healDatasetStream(catalog: Catalog, name: String): Unit =
+    Seq("strict", "ignorechanges").foreach { p =>
+      val dir = java.nio.file.Paths.get(catalog.root, "datasets", name,
+        "_stream", p)
+      if (java.nio.file.Files.isDirectory(dir))
+        linkDatasetStream(catalog, name, p, failOnChange = false)
+    }
 
   /**
    * Incremental save of `transform(source)` under `name`.

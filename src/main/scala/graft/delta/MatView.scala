@@ -379,12 +379,14 @@ object MatView {
       // current extreme, which no bounded state repairs. An INSERT-ONLY
       // batch (the streaming-append shape) extends extremes with
       // least/greatest and stays on the zero-source-scan additive path.
-      val hasMinMax = aggs.exists(a =>
+      // min/max and HLL sketches are mergeable but not SUBTRACTIVE —
+      // only they care whether the batch removes rows (the probe job is
+      // skipped entirely for count/sum/avg-only views)
+      val nonSubtractive = aggs.exists(a =>
         a.fn == "min" || a.fn == "max" || a.fn == "approx_distinct")
-      val destructive = hasMinMax && changes
+      val needsRecompute = nonSubtractive && changes
         .filter(col("_change_type").isin("delete", "update_preimage"))
         .limit(1).collect().nonEmpty
-      val needsRecompute = hasMinMax && destructive
 
       val combined: DataFrame = if (needsRecompute) {
         // dirty groups re-aggregate from the source (min/max repair);

@@ -848,8 +848,17 @@ class CatalogSpec extends SparkSpec {
       sink.awaitTermination()
       q.processAllAvailable()
       assert(spark.table("tst_live").count() === 25L)
+      // LAYOUT-ONLY maintenance (dataChange=false): autoCompact between
+      // appends must neither duplicate nor stall the strict follower
+      assert(cat.autoCompact("nat", maxSmallFiles = 0,
+        smallBytes = Long.MaxValue).nonEmpty)
+      cat.append("nat", n.limit(0)) // no-op-ish append keeps versions moving
+      Delta.healDatasetStream(cat, "nat")
+      q.processAllAvailable()
+      assert(spark.table("tst_live").count() === 25L,
+        "a row-identical repack must emit nothing")
     } finally q.stop()
-    // a mutation breaks the append-only contract loudly...
+    // a REAL mutation breaks the append-only contract loudly...
     cat.deleteWhere("nat", col("n_nationkey") === 0L)
     intercept[IllegalArgumentException](Delta.datasetStream(cat, "nat"))
     // ...and allowChanges takes ignoreChanges semantics verbatim: a
