@@ -24,6 +24,8 @@ import graft.files.FileOps
  *   graft-cli restore <name> <version>      roll back (zero-copy link)
  *   graft-cli clone <src> <dest> [--version V]   shallow clone
  *   graft-cli optimize <name> [--files N] [--zorder-by c1,c2,...]
+ *   graft-cli append <name> <parquet-path>  zero-rewrite append version
+ *   graft-cli auto-compact <name> [--max-small N] [--small-mb MB]
  *   graft-cli sync-changes <name> <k1,k2>   export CDF rows since last sync
  *   graft-cli mv-refresh <name>             refresh a materialized view
  *   graft-cli namespaces                    list namespaces
@@ -62,8 +64,8 @@ object Cli {
   val usage: String =
     """usage: graft-cli <command> [args]
       |commands: ls du find cp datasets versions show rm-dataset mv-dataset
-      |          lineage vacuum restore clone optimize sync-changes
-      |          mv-refresh namespaces projects""".stripMargin
+      |          lineage vacuum restore clone optimize append auto-compact
+      |          sync-changes mv-refresh namespaces projects""".stripMargin
 
   /** Run a command; returns (exit code, rendered output). Never calls
     * System.exit — `main` owns process concerns, tests call this. */
@@ -136,6 +138,21 @@ object Cli {
             zorderByCols = z)
           s"optimized $name: $before -> $after files as v$nv" +
             (if (z.nonEmpty) s" (zorder ${z.mkString(",")})" else "")
+        case "append" =>
+          val name = arg(p, 0, "name")
+          val src = arg(p, 1, "parquet-path")
+          val r = cat.append(name, spark.read.parquet(src))
+          s"appended ${r.rowsAfter - r.rowsBefore} rows to $name as " +
+            s"v${r.version} (${r.filesReused} files linked)"
+        case "auto-compact" =>
+          val name = arg(p, 0, "name")
+          val maxSmall = p.flags.getOrElse("max-small", "16").toInt
+          val smallMb = p.flags.getOrElse("small-mb", "32").toLong
+          cat.autoCompact(name, maxSmall, smallMb << 20) match {
+            case None => s"$name under threshold, nothing compacted"
+            case Some(r) => s"compacted ${r.filesRewritten} small files " +
+              s"of $name (${r.filesReused} linked) as v${r.version}"
+          }
         case "sync-changes" =>
           val name = arg(p, 0, "name")
           val on = arg(p, 1, "keys").split(',').map(_.trim).toSeq

@@ -145,6 +145,28 @@ class CliSpec extends SparkSpec {
     assert(m2 === 0 && mo2.contains("noop"), mo2)
   }
 
+  test("append / auto-compact commands") {
+    val root = Files.createTempDirectory("cliapp").toString
+    val cat = new Catalog(root, spark)
+    import org.apache.spark.sql.functions.col
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    cat.save(Chain(n.filter(col("n_nationkey") < 20)), "nat")
+    val staged = Files.createTempDirectory("cliapp_in").toString + "/b"
+    n.filter(col("n_nationkey") >= 20).coalesce(1).write.parquet(staged)
+    val cargs = Seq("--catalog", root)
+    val (a1, ao1) = Cli.run(Seq("append", "nat", staged) ++ cargs, spark)
+    assert(a1 === 0 && ao1.contains("appended 5 rows"), ao1)
+    assert(cat.readDataset("nat").count() === 25L)
+    val (c1, co1) = Cli.run(Seq("auto-compact", "nat",
+      "--max-small", "10") ++ cargs, spark)
+    assert(c1 === 0 && co1.contains("under threshold"), co1)
+    val (c2, co2) = Cli.run(Seq("auto-compact", "nat", "--max-small", "0",
+      "--small-mb", "1024") ++ cargs, spark)
+    assert(c2 === 0 && co2.contains("compacted"), co2)
+    assert(cat.readDataset("nat").count() === 25L)
+  }
+
   test("namespaces / projects / error paths") {
     val root = Files.createTempDirectory("clicat").toString
     val cat = new Catalog(root, spark)
