@@ -2290,11 +2290,23 @@ object SparkEntry {
           (col("doc_id") % 7 + 10).cast("double"),
           (col("doc_id") % 11 + 5).cast("double")).as("coco"))
       val voc = bboxFromCoco(col("coco"))
+      val vocL = voc.cast("array<long>")
+      val cocoL = bboxToCoco(voc).cast("array<long>")
+      val yolo = bboxToYolo(voc, lit(641), lit(479))
+      val alb = bboxToAlbumentations(voc, lit(641), lit(479))
+      // the driver's pandas comparator cannot sort raw array cells
+      // (the q_group_collect precedent), so the four bbox arrays are
+      // unpacked into 16 scalar columns — the conversion math is
+      // identical, only the gate packaging changes
       b.select(col("doc_id"),
-        voc.cast("array<long>").as("voc"),
-        bboxToCoco(voc).cast("array<long>").as("coco2"),
-        bboxToYolo(voc, lit(641), lit(479)).as("yolo"),
-        bboxToAlbumentations(voc, lit(641), lit(479)).as("alb"),
+        vocL.getItem(0).as("voc0"), vocL.getItem(1).as("voc1"),
+        vocL.getItem(2).as("voc2"), vocL.getItem(3).as("voc3"),
+        cocoL.getItem(0).as("coco0"), cocoL.getItem(1).as("coco1"),
+        cocoL.getItem(2).as("coco2"), cocoL.getItem(3).as("coco3"),
+        yolo.getItem(0).as("yolo0"), yolo.getItem(1).as("yolo1"),
+        yolo.getItem(2).as("yolo2"), yolo.getItem(3).as("yolo3"),
+        alb.getItem(0).as("alb0"), alb.getItem(1).as("alb1"),
+        alb.getItem(2).as("alb2"), alb.getItem(3).as("alb3"),
         bboxPointInside((col("doc_id") % 130).cast("double"),
           (col("doc_id") % 90).cast("double"), voc).as("pin"))
     }),
@@ -2565,7 +2577,14 @@ object SparkEntry {
           col("n_chars").as("tokens")),
         "doc_id", "source", "tokens",
         budgets = Map("src0" -> 200000L, "src1" -> 5000L),
-        seed = "emix")),
+        seed = "emix")
+        // pin every numeric output to long: the oracle's HUGEINT-tainted
+        // epoch column otherwise lands in pandas as float64 while Spark
+        // writes int64 — the driver's comparator hashes dtypes, not
+        // rendered strings, so equal values still hash-mismatch
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          col("tokens").cast("long").as("tokens"),
+          col("epoch").cast("long").as("epoch"))),
 
     "q_wds_export" -> ((s, dir) => {
       // WebDataset round-trip: export documents as tar shards (range-
@@ -6057,12 +6076,14 @@ object SparkEntry {
           |    doc_id % 130 AS px, doc_id % 90 AS py
           |  FROM documents)
           |SELECT doc_id,
-          |  [x, y, x + w, y + h] AS voc,
-          |  [x, y, w, h] AS coco2,
-          |  [round((2*x + w) / 2.0 / 641, 4), round((2*y + h) / 2.0 / 479, 4),
-          |   round(w / 641.0, 4), round(h / 479.0, 4)] AS yolo,
-          |  [round(x / 641.0, 4), round(y / 479.0, 4),
-          |   round((x + w) / 641.0, 4), round((y + h) / 479.0, 4)] AS alb,
+          |  x AS voc0, y AS voc1, x + w AS voc2, y + h AS voc3,
+          |  x AS coco0, y AS coco1, w AS coco2, h AS coco3,
+          |  round((2*x + w) / 2.0 / 641, 4) AS yolo0,
+          |  round((2*y + h) / 2.0 / 479, 4) AS yolo1,
+          |  round(w / 641.0, 4) AS yolo2, round(h / 479.0, 4) AS yolo3,
+          |  round(x / 641.0, 4) AS alb0, round(y / 479.0, 4) AS alb1,
+          |  round((x + w) / 641.0, 4) AS alb2,
+          |  round((y + h) / 479.0, 4) AS alb3,
           |  x <= px AND px <= x + w AND y <= py AND py <= y + h AS pin
           |FROM b""".stripMargin,
 
@@ -6472,10 +6493,13 @@ object SparkEntry {
           |     ORDER BY h, doc_id
           |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
           |     AS before FROM d JOIN pl USING (source))
-          |SELECT doc_id, source, tokens, epoch FROM f
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+          |  CAST(tokens AS BIGINT) AS tokens, CAST(epoch AS BIGINT) AS epoch
+          |FROM f
           |UNION ALL
-          |SELECT doc_id, source, tokens, e AS epoch FROM r
-          |WHERE before < budget - e * mass""".stripMargin,
+          |SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+          |  CAST(tokens AS BIGINT) AS tokens, CAST(e AS BIGINT) AS epoch
+          |FROM r WHERE before < budget - e * mass""".stripMargin,
 
       "q_wds_export" ->
         """SELECT 'docs/' || lpad(CAST(doc_id AS VARCHAR), 5, '0') AS sample_key,
