@@ -301,10 +301,13 @@ final class Catalog(val root: String, spark: SparkSession) {
         // claim (transactional). CollectMetrics forbids DISTINCT
         // aggregates, so this is one honest key-column-pruned scan of
         // the just-written files — O(rows of the key columns), never a
-        // rescan of the payload. readNoInfer: a partitioned save's
-        // string key values "01" and "1" must NOT collapse to one int
-        // under partition-type inference (a spurious PK abort).
-        val nd = readNoInfer(tmp.resolve("data").toString, Nil)
+        // rescan of the payload. Explicit schema = the frame just
+        // written: a partitioned save's string key values "01" and "1"
+        // must NOT collapse to one int under partition-type inference (a
+        // spurious PK abort), and reading with the writer's own schema
+        // sidesteps inference without touching session conf.
+        val nd = spark.read.schema(stamped.schema)
+          .parquet(tmp.resolve("data").toString)
           .agg(count_distinct(struct(unique.map(col): _*))).head().getLong(0)
         if (nd != rows)
           throw ExpectFailed(name, s"unique(${unique.mkString(",")})",
@@ -335,13 +338,31 @@ final class Catalog(val root: String, spark: SparkSession) {
       // harvestStats=false: internal bookkeeping datasets (delta source
       // snapshots, listing caches) are read whole, never predicate-pruned
       // — their saves skip the footer pass entirely
+      // Tier split (the blooms/ precedent): up to graft.stats
+      // .inlineMaxFiles the harvest collects to the driver and lands in
+      // stats.json (one tiny metadata read per pruned read); past it the
+      // index is written by the EXECUTORS as a parquet table under
+      // stats/ — the driver never materializes a FileStat (at millions
+      // of files the inline form is a driver-memory/parse bottleneck).
+      val statsInlineMax =
+        spark.conf.get("graft.stats.inlineMaxFiles", "512").toInt
+      val nDataFiles = walkParquet(tmp.resolve("data")).size
+      val statsTiered = harvestStats && nDataFiles > statsInlineMax
       val stats =
-        if (!harvestStats) Seq.empty[FileStats.FileStat]
+        if (!harvestStats || statsTiered) Seq.empty[FileStats.FileStat]
         else try FileStats.harvest(spark, tmp.resolve("data").toString)
         catch { case scala.util.control.NonFatal(_) =>
           // stats are an optimization: a harvest failure must never fail
           // the save (readers fall back to scanning every file)
           Seq.empty[FileStats.FileStat]
+        }
+      if (statsTiered)
+        try FileStats.writeStatsIndex(spark, tmp.resolve("data").toString,
+          tmp.resolve("stats").toString)
+        catch { case scala.util.control.NonFatal(_) =>
+          // all-or-nothing: a partial index would make pruned reads skip
+          // the uncovered files — drop it and fall back to no stats
+          deleteTree(tmp.resolve("stats"))
         }
       // Opt-in per-file bloom index: equality pruning on columns whose
       // per-file min/max ranges overlap (min/max can't skip there). ONE
@@ -355,20 +376,21 @@ final class Catalog(val root: String, spark: SparkSession) {
       val blooms: Map[String, Map[String, Array[Byte]]] =
         if (bloomCols.isEmpty) Map.empty
         else {
-          val nFiles =
-            if (stats.nonEmpty) stats.size
-            else walkParquet(tmp.resolve("data")).size
+          val nFiles = nDataFiles
           if (nFiles > inlineMax) {
             FileStats.writeBloomIndex(spark, tmp.resolve("data").toString,
-              bloomCols, bloomExpected, tmp.resolve("blooms").toString)
+              bloomCols, bloomExpected, tmp.resolve("blooms").toString,
+              schema = Some(stamped.schema))
             Map.empty
           } else FileStats.buildBlooms(spark, tmp.resolve("data").toString,
-            bloomCols, bloomExpected)
+            bloomCols, bloomExpected, schema = Some(stamped.schema))
         }
       val (v, dir) = claimVersion(name, version)
       Files.move(tmp.resolve("data"), dir.resolve("data"))
       if (Files.isDirectory(tmp.resolve("blooms")))
         Files.move(tmp.resolve("blooms"), dir.resolve("blooms"))
+      if (Files.isDirectory(tmp.resolve("stats")))
+        Files.move(tmp.resolve("stats"), dir.resolve("stats"))
       val meta = metaJson(VersionMeta(
         name, v.toString, chain.hash, SignalSchema.toJson(chain.schema),
         deps, java.time.Instant.now.toString, rows, description,
@@ -424,17 +446,18 @@ final class Catalog(val root: String, spark: SparkSession) {
     val df0 = readVersionData(name, v)
     val mpbKey = "spark.sql.files.maxPartitionBytes"
     val ocKey = "spark.sql.files.openCostInBytes"
-    val prevMpb = spark.conf.get(mpbKey)
-    val prevOc = spark.conf.get(ocKey)
-    var packed = false
     // 2-col tuple or the N-col list — same quantile z-curve either way
     val zcols = zorderBy.map(t => Seq(t._1, t._2)).getOrElse(zorderByCols)
-    val laid =
+    def commit(laid: DataFrame): SemVer =
+      save(Chain(graft.core.Sys.drop(laid)), name,
+        deps = Seq(s"$name@v$v"), bloomCols = bloomCols,
+        bloomExpected = bloomExpected, partitionBy = layout)
+    val nv =
       if (zcols.nonEmpty) {
         val bits = math.min(8, 63 / zcols.size)
         val logF = math.max(1,
           math.ceil(math.log(nFiles.toDouble) / math.log(2.0)).toInt)
-        graft.io.Layout.zorderFrameQuantileN(df0, zcols, bits)
+        commit(graft.io.Layout.zorderFrameQuantileN(df0, zcols, bits)
           .withColumn("__zcell",
             org.apache.spark.sql.functions.shiftright(
               org.apache.spark.sql.functions.col("zval"),
@@ -442,28 +465,29 @@ final class Catalog(val root: String, spark: SparkSession) {
           .repartitionByRange(1 << logF,
             org.apache.spark.sql.functions.col("__zcell"))
           .sortWithinPartitions("__zcell", "zval")
-          .drop("zval", "__zcell")
+          .drop("zval", "__zcell"))
       } else {
         // size-aware bin-packing (Layout.compactTo's approach): size the
         // SCAN partitions to ~total/nFiles so coalesce merges even-byte
         // chunks. Plain coalesce over the default 128 MB packing folds
         // every small file into one read task and writes one giant
-        // output beside empties when inputs are skewed.
+        // output beside empties when inputs are skewed. The session-conf
+        // flip (prev-capture included) lives under confFlipLock so two
+        // concurrent rewrites can't cross-restore each other's targets.
         val total = walkParquet(dataDir).map(Files.size(_)).sum
         val target = math.max(64L << 10,
           math.ceil(total.toDouble / math.max(1, nFiles)).toLong)
-        packed = true
-        spark.conf.set(mpbKey, target.toString)
-        spark.conf.set(ocKey, math.min(4L << 20, target / 16).toString)
-        df0.coalesce(nFiles)
-    }
-    val nv =
-      try save(Chain(graft.core.Sys.drop(laid)), name,
-        deps = Seq(s"$name@v$v"), bloomCols = bloomCols,
-        bloomExpected = bloomExpected, partitionBy = layout)
-      finally if (packed) {
-        spark.conf.set(mpbKey, prevMpb)
-        spark.conf.set(ocKey, prevOc)
+        confFlipLock.synchronized {
+          val prevMpb = spark.conf.get(mpbKey)
+          val prevOc = spark.conf.get(ocKey)
+          spark.conf.set(mpbKey, target.toString)
+          spark.conf.set(ocKey, math.min(4L << 20, target / 16).toString)
+          try commit(df0.coalesce(nFiles))
+          finally {
+            spark.conf.set(mpbKey, prevMpb)
+            spark.conf.set(ocKey, prevOc)
+          }
+        }
       }
     val after = walkParquet(vDir(name, nv).resolve("data")).size
     (nv, before, after)
@@ -491,17 +515,21 @@ final class Catalog(val root: String, spark: SparkSession) {
       : (Seq[String], Seq[String]) = {
     val dataDir = vDir(name, v).resolve("data")
     val all = walkParquet(dataDir).map(f => dataDir.relativize(f).toString)
-    val stats = fileStats(name, v)
-    val byFile = stats.map(s => s.file -> s).toMap
     val cond = resolvedCondition(readVersionData(name, v).filter(pred))
     val touched = cond match {
-      case Some(pe) if stats.nonEmpty =>
-        val blooms = fileBlooms(name, v, Some(pe.references.map(_.name).toSeq))
-        all.filter { rel =>
-          byFile.get(rel) match {
-            case Some(fs) =>
-              FileStats.mayMatch(pe, fs, blooms.getOrElse(rel, Map.empty))
-            case None => true
+      case Some(pe) =>
+        val refs = pe.references.map(_.name).toSeq
+        val stats = fileStatsFor(name, v, Some(refs))
+        if (stats.isEmpty) all
+        else {
+          val byFile = stats.map(s => s.file -> s).toMap
+          val blooms = fileBlooms(name, v, Some(refs))
+          all.filter { rel =>
+            byFile.get(rel) match {
+              case Some(fs) =>
+                FileStats.mayMatch(pe, fs, blooms.getOrElse(rel, Map.empty))
+              case None => true
+            }
           }
         }
       case _ => all
@@ -536,7 +564,7 @@ final class Catalog(val root: String, spark: SparkSession) {
                                files: Seq[String]): DataFrame = {
     val dataDir = vDir(name, v).resolve("data").toString
     if (files.isEmpty) readVersionData(name, v).limit(0)
-    else explicitSchemaOf(name, v) match {
+    else fullReadSchema(name, v) match {
       case Some(full) =>
         readWithSchema(dataDir, files.map(r => s"$dataDir/$r"), full)
       case None => restoreTypes(
@@ -571,7 +599,12 @@ final class Catalog(val root: String, spark: SparkSession) {
     val dataDir = vDir(name, v).resolve("data")
     val touchedSet = touched.toSet
     val untouched = all.filterNot(touchedSet)
-    val oldStats = fileStats(name, v)
+    // parquet stats tier: the old index never collects to the driver —
+    // completeness checks and row arithmetic run as index queries, and
+    // the NEW version's index is rebuilt whole by the executors (the
+    // same rebuild-the-giant cost the parquet bloom index documents)
+    val oldTierParquet = statsTierIsParquet(name, v)
+    val oldStats = if (oldTierParquet) Seq.empty else fileStats(name, v)
     val kept = oldStats.filter(s => untouched.contains(s.file))
     // untouched ⊆ stats-covered by construction (a file missing from
     // stats is always touched); a violation would silently lose rows
@@ -580,6 +613,10 @@ final class Catalog(val root: String, spark: SparkSession) {
     // the new version then writes no stats.json either (all-or-nothing)
     require(kept.size == untouched.size || oldStats.isEmpty,
       s"$op: ${untouched.size - kept.size} untouched files lack stats")
+    if (oldTierParquet)
+      require(FileStats.statsIndexCensusCount(spark,
+          vDir(name, v).resolve("stats").toString) == all.size,
+        s"$op: the parquet stats index does not cover every data file")
     val untouchedSet = untouched.toSet
     val layout = detectPartitionCols(dataDir)
     val tmp = dsDir(name).resolve(s".tmp-${java.util.UUID.randomUUID}")
@@ -625,7 +662,7 @@ final class Catalog(val root: String, spark: SparkSession) {
           else spark.read.parquet(rewriteDir.toString).count()
         if (inlineCols.nonEmpty && rewFiles.nonEmpty)
           builtBlooms = FileStats.buildBlooms(spark, rewriteDir.toString,
-            inlineCols, bloomExpected)
+            inlineCols, bloomExpected, schema = Some(df.schema))
         // merge the rewrite's part files into the linked tree, partition
         // subdirs preserved (part names carry job UUIDs — no collisions)
         rewFiles.foreach { f =>
@@ -636,10 +673,18 @@ final class Catalog(val root: String, spark: SparkSession) {
       }
       // stats.json must cover EVERY file or not exist at all — a partial
       // stats file would make pruned reads skip the uncovered files
-      val statsComplete =
+      val statsComplete = !oldTierParquet &&
         (rewriteStats.size == rewFiles.size) &&
           (untouched.isEmpty || oldStats.nonEmpty)
       val newStats = if (statsComplete) kept ++ rewriteStats else Seq.empty
+      // parquet-tier base → parquet-tier result: one executor footer
+      // pass over the final tree (linked + rewritten files)
+      if (oldTierParquet)
+        try FileStats.writeStatsIndex(spark, tmp.resolve("data").toString,
+          tmp.resolve("stats").toString)
+        catch { case scala.util.control.NonFatal(_) =>
+          deleteTree(tmp.resolve("stats"))
+        }
       val inlineBlooms: Map[String, Map[String, Array[Byte]]] =
         oldInline.filter { case (f, _) => untouchedSet.contains(f) } ++
           builtBlooms
@@ -660,12 +705,19 @@ final class Catalog(val root: String, spark: SparkSession) {
       // version (the append shape; mutations touch everything when no
       // stats exist), so their row count is the meta's rowsBefore
       val rowsAfter =
-        if (oldStats.isEmpty && untouched.nonEmpty) rowsBefore + rewrittenRows
+        if (oldTierParquet)
+          // census aggregation on the index — never a driver collect
+          FileStats.statsIndexRowsExcluding(spark,
+            vDir(name, v).resolve("stats").toString, touched) + rewrittenRows
+        else if (oldStats.isEmpty && untouched.nonEmpty)
+          rowsBefore + rewrittenRows
         else kept.map(_.rows).sum + rewrittenRows
       val (nv, dir) = claimVersion(name, None)
       Files.move(tmp.resolve("data"), dir.resolve("data"))
       if (Files.isDirectory(tmp.resolve("blooms")))
         Files.move(tmp.resolve("blooms"), dir.resolve("blooms"))
+      if (Files.isDirectory(tmp.resolve("stats")))
+        Files.move(tmp.resolve("stats"), dir.resolve("stats"))
       // chainHash is a fresh UUID-tagged marker: a mutation is not a
       // chain checkpoint, so it must never satisfy findCheckpoint
       val meta = metaJson(VersionMeta(
@@ -720,14 +772,18 @@ final class Catalog(val root: String, spark: SparkSession) {
           }
         }
       linkTree(srcDir.resolve("data"), tmp.resolve("data"))
-      if (Files.isDirectory(srcDir.resolve("blooms"))) {
-        Files.createDirectories(tmp.resolve("blooms"))
-        linkTree(srcDir.resolve("blooms"), tmp.resolve("blooms"))
+      Seq("blooms", "stats").foreach { d =>
+        if (Files.isDirectory(srcDir.resolve(d))) {
+          Files.createDirectories(tmp.resolve(d))
+          linkTree(srcDir.resolve(d), tmp.resolve(d))
+        }
       }
       val (nv, dir) = claimVersion(dstName, None)
       Files.move(tmp.resolve("data"), dir.resolve("data"))
-      if (Files.isDirectory(tmp.resolve("blooms")))
-        Files.move(tmp.resolve("blooms"), dir.resolve("blooms"))
+      Seq("blooms", "stats").foreach { d =>
+        if (Files.isDirectory(tmp.resolve(d)))
+          Files.move(tmp.resolve(d), dir.resolve(d))
+      }
       Seq("stats.json", "blooms.json").foreach { f =>
         if (Files.exists(srcDir.resolve(f)))
           Files.copy(srcDir.resolve(f), dir.resolve(f))
@@ -799,27 +855,30 @@ final class Catalog(val root: String, spark: SparkSession) {
                            bloomExpected: Long): MutationResult = {
     val mpbKey = "spark.sql.files.maxPartitionBytes"
     val ocKey = "spark.sql.files.openCostInBytes"
-    val prevM = spark.conf.get(mpbKey)
-    val prevO = spark.conf.get(ocKey)
-    var packed = false
-    val rewritten =
-      if (touched.isEmpty) None
-      else {
-        val dataDir = vDir(name, v).resolve("data")
-        val total = touched.map(r => Files.size(dataDir.resolve(r))).sum
-        val target = math.max(64L << 10,
-          math.ceil(total.toDouble / math.max(1, nFiles)).toLong)
-        // the scan packs at WRITE time (inside cowRewrite) — confs stay
-        // scoped around the whole rewrite, as in optimize()
-        packed = true
+    if (touched.isEmpty)
+      cowRewrite(name, v, touched, all, None, op, bloomExpected)
+    else {
+      val dataDir = vDir(name, v).resolve("data")
+      val total = touched.map(r => Files.size(dataDir.resolve(r))).sum
+      val target = math.max(64L << 10,
+        math.ceil(total.toDouble / math.max(1, nFiles)).toLong)
+      // the scan packs at WRITE time (inside cowRewrite) — confs stay
+      // scoped around the whole rewrite, as in optimize(); the flip
+      // (prev-capture included) holds confFlipLock so concurrent
+      // rewrites can't cross-restore each other's packing targets
+      confFlipLock.synchronized {
+        val prevM = spark.conf.get(mpbKey)
+        val prevO = spark.conf.get(ocKey)
         spark.conf.set(mpbKey, target.toString)
         spark.conf.set(ocKey, math.min(4L << 20, target / 16).toString)
-        Some(readVersionFiles(name, v, touched).coalesce(nFiles))
+        try cowRewrite(name, v, touched, all,
+          Some(readVersionFiles(name, v, touched).coalesce(nFiles)),
+          op, bloomExpected)
+        finally {
+          spark.conf.set(mpbKey, prevM)
+          spark.conf.set(ocKey, prevO)
+        }
       }
-    try cowRewrite(name, v, touched, all, rewritten, op, bloomExpected)
-    finally if (packed) {
-      spark.conf.set(mpbKey, prevM)
-      spark.conf.set(ocKey, prevO)
     }
   }
 
@@ -1137,7 +1196,7 @@ final class Catalog(val root: String, spark: SparkSession) {
                                 on: Seq[String]): (Seq[String], Seq[String]) = {
     val dataDir = vDir(name, v).resolve("data")
     val all = walkParquet(dataDir).map(f => dataDir.relativize(f).toString)
-    val stats = fileStats(name, v)
+    val stats = fileStatsFor(name, v, Some(on))
     if (stats.isEmpty) return (all, all)
     val byFile = stats.map(s => s.file -> s).toMap
     var candidates: Set[String] = byFile.keySet
@@ -1343,6 +1402,48 @@ final class Catalog(val root: String, spark: SparkSession) {
       }
     }
 
+  /** TRUE when `name@v` carries the parquet-table stats tier (the
+    * many-file form) rather than inline stats.json. */
+  private[graft] def statsTierIsParquet(name: String, version: SemVer)
+      : Boolean =
+    !Files.exists(vDir(name, version).resolve("stats.json")) &&
+      Files.isDirectory(vDir(name, version).resolve("stats"))
+
+  /** Column-restricted stats: the inline tier parses whole (small by
+    * construction, cached) and the restriction is a no-op; the parquet
+    * tier loads census rows plus only `wanted` columns — the driver
+    * holds O(files × wanted) small entries, never the full index.
+    * `wanted = Some(Nil)` loads census only; `None` loads everything
+    * (observability hooks — avoid on the parquet tier's hot path). */
+  private[graft] def fileStatsFor(name: String, version: SemVer,
+                                  wanted: Option[Seq[String]])
+      : Seq[FileStats.FileStat] = {
+    val jsonP = vDir(name, version).resolve("stats.json")
+    if (Files.exists(jsonP)) fileStats(name, version)
+    else {
+      val pdir = vDir(name, version).resolve("stats")
+      if (!Files.isDirectory(pdir)) Seq.empty
+      else {
+        val key = s"$name@@$version@@" +
+          wanted.map(_.sorted.mkString(",")).getOrElse("*")
+        val tok = freshToken(pdir)
+        val hit = statsCache.synchronized(Option(statsCache.get(key)))
+        hit match {
+          case Some((t, cached)) if t == tok => cached
+          case _ =>
+            // the index read is a Spark job — never under the cache lock
+            val parsed = FileStats.readStatsIndex(spark, pdir.toString,
+              wanted.map(_.sorted))
+            statsCache.synchronized {
+              statsParses += 1
+              statsCache.put(key, (tok, parsed))
+            }
+            parsed
+        }
+      }
+    }
+  }
+
   /**
    * Data-skipping read: `readDatasetWhere(name, pred)` prunes whole files
    * whose footer min/max prove the predicate can't match (Delta-style
@@ -1357,14 +1458,28 @@ final class Catalog(val root: String, spark: SparkSession) {
     val v = version.orElse(latestVersion(name))
       .getOrElse(throw new NoSuchElementException(s"dataset $name not found"))
     val dataDir = vDir(name, v).resolve("data").toString
-    val stats = fileStats(name, v)
     val full = readVersionData(name, v).filter(predicate)
     val df =
-      if (stats.isEmpty) full
-      else resolvedCondition(full) match {
+      resolvedCondition(full) match {
         case None => full
         case Some(pe) =>
-          // only the predicate's columns cross from the bloom index
+          // only the predicate's columns cross from the stats/bloom
+          // indexes — on the parquet stats tier this is what keeps the
+          // driver load O(files × predicate cols), not the whole index
+          val refs = pe.references.map(_.name).toSeq
+          val stats = fileStatsFor(name, v, Some(refs))
+          if (stats.isEmpty) full
+          else pruneWith(full, stats, pe, name, v, dataDir, predicate)
+      }
+    Chain(df, OpTree.empty.append("read_dataset_where", name, v.toString))
+  }
+
+  private def pruneWith(full: DataFrame, stats: Seq[FileStats.FileStat],
+                        pe: org.apache.spark.sql.catalyst.expressions.Expression,
+                        name: String, v: SemVer,
+                        dataDir: String,
+                        predicate: org.apache.spark.sql.Column)
+      : DataFrame = {
           val blooms = fileBlooms(name, v,
             Some(pe.references.map(_.name).toSeq))
           val kept = stats.filter(f =>
@@ -1373,14 +1488,17 @@ final class Catalog(val root: String, spark: SparkSession) {
             // nothing pruned, or nothing survives (read the dir anyway
             // for the schema; the filter returns zero rows)
             full
-          else
+          else {
             // basePath keeps hive partition columns alive when the kept
             // files sit under key=value subdirs (harmless otherwise)
-            restoreTypes(readNoInfer(dataDir,
-                kept.map(f => s"$dataDir/${f.file}")), name, v)
-              .filter(predicate)
-      }
-    Chain(df, OpTree.empty.append("read_dataset_where", name, v.toString))
+            val sel = kept.map(f => s"$dataDir/${f.file}")
+            fullReadSchema(name, v) match {
+              case Some(fs) => readWithSchema(dataDir, sel, fs)
+                .filter(predicate)
+              case None => restoreTypes(readNoInfer(dataDir, sel), name, v)
+                .filter(predicate)
+            }
+          }
   }
 
   /** Per-file bloom index recorded at save time with `bloomCols` (empty
@@ -1446,15 +1564,18 @@ final class Catalog(val root: String, spark: SparkSession) {
                  version: Option[SemVer] = None): (Int, Int) = {
     val v = version.orElse(latestVersion(name))
       .getOrElse(throw new NoSuchElementException(s"dataset $name not found"))
-    val stats = fileStats(name, v)
     resolvedCondition(readVersionData(name, v).filter(predicate)) match {
       case Some(pe) =>
-        val blooms = fileBlooms(name, v,
-          Some(pe.references.map(_.name).toSeq))
+        val refs = pe.references.map(_.name).toSeq
+        val stats = fileStatsFor(name, v, Some(refs))
+        val blooms = fileBlooms(name, v, Some(refs))
         (stats.count(f =>
           FileStats.mayMatch(pe, f, blooms.getOrElse(f.file, Map.empty))),
           stats.size)
-      case None => (stats.size, stats.size)
+      case None =>
+        // census-only load: sizes without pulling column stats
+        val stats = fileStatsFor(name, v, Some(Nil))
+        (stats.size, stats.size)
     }
   }
 
@@ -1488,7 +1609,7 @@ final class Catalog(val root: String, spark: SparkSession) {
     * int 0 and lose the leading zero). Plain versions pass through
     * untouched (no partition columns, types already match). */
   private def readVersionData(name: String, v: SemVer): DataFrame =
-    explicitSchemaOf(name, v) match {
+    fullReadSchema(name, v) match {
       case Some(full) =>
         readWithSchema(vDir(name, v).resolve("data").toString, Nil, full)
       case None =>
@@ -1505,17 +1626,26 @@ final class Catalog(val root: String, spark: SparkSession) {
     try readMeta(name, v).contains("\"schema:evolved\"")
     catch { case scala.util.control.NonFatal(_) => false }
 
-  /** The full on-read schema (recorded user schema + the sys struct) for
-    * versions that need an explicit-schema read; None otherwise. */
-  private def explicitSchemaOf(name: String, v: SemVer)
+  /** The full on-read schema: recorded user schema + the sys struct.
+    * Every version read prefers this explicit form — it resolves parquet
+    * columns by name, parses hive partition values at their RECORDED
+    * types (no inference, no session-conf flip, no restore cast), and is
+    * immune to concurrent-session conf races. None only for legacy metas
+    * without a recorded schema (the readNoInfer fallback). */
+  private def fullReadSchema(name: String, v: SemVer)
       : Option[org.apache.spark.sql.types.StructType] =
-    if (!isEvolved(name, v)) None
-    else recordedSchema(name, v).map { rec =>
+    recordedSchema(name, v).map { rec =>
       import org.apache.spark.sql.types._
       StructType(rec.fields :+ StructField(Sys.ColName,
         StructType(Seq(StructField("id", LongType),
           StructField("rand", LongType)))))
     }
+
+  /** [[fullReadSchema]] gated on the schema-evolution marker — kept for
+    * call sites that must know evolution specifically. */
+  private def explicitSchemaOf(name: String, v: SemVer)
+      : Option[org.apache.spark.sql.types.StructType] =
+    if (!isEvolved(name, v)) None else fullReadSchema(name, v)
 
   private def readWithSchema(path: String, files: Seq[String],
                              schema: org.apache.spark.sql.types.StructType)
@@ -1525,17 +1655,29 @@ final class Catalog(val root: String, spark: SparkSession) {
     else r.option("basePath", path).parquet(files: _*)
   }
 
-  private def readNoInfer(path: String, files: Seq[String]): DataFrame = {
-    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    // file-source relations resolve (incl. partition discovery) eagerly
-    // inside read.parquet, so the scoped conf covers the inference
-    try {
-      if (files.isEmpty) spark.read.parquet(path)
-      else spark.read.option("basePath", path).parquet(files: _*)
-    } finally spark.conf.set(key, prev)
-  }
+  /** The JVM-wide [[ConfFlip]] guard: every session-global conf flip
+    * (partition-inference off in [[readNoInfer]] and the bloom builder's
+    * fallback, the packing targets in optimize/compactFiles) serializes
+    * here — two concurrent flips would cross-restore (B captures A's
+    * flipped value as its "previous" and the session ends permanently
+    * mis-configured). Reentrant per thread. The main read path no longer
+    * flips at all — [[fullReadSchema]] reads resolve with an explicit
+    * schema — so contention is limited to legacy-meta fallbacks and
+    * maintenance rewrites. */
+  private def confFlipLock = ConfFlip.lock
+
+  private def readNoInfer(path: String, files: Seq[String]): DataFrame =
+    confFlipLock.synchronized {
+      val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, "false")
+      // file-source relations resolve (incl. partition discovery) eagerly
+      // inside read.parquet, so the scoped conf covers the inference
+      try {
+        if (files.isEmpty) spark.read.parquet(path)
+        else spark.read.option("basePath", path).parquet(files: _*)
+      } finally spark.conf.set(key, prev)
+    }
 
   private def metaUnesc(s: String): String = {
     val sb = new StringBuilder
@@ -2024,9 +2166,23 @@ final class Catalog(val root: String, spark: SparkSession) {
         java.util.regex.Matcher.quoteReplacement(
           "\"attrs\": " + attrs.getOrElse(a0)
             .map(a => "\"" + esc(a) + "\"").mkString("[", ",", "]")))
-    Files.write(vDir(name, v).resolve("meta.json"),
-      patched.getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    atomicPatchMeta(name, v, patched)
+  }
+
+  /** Replace a committed version's meta.json atomically: write a sibling
+    * temp file and ATOMIC_MOVE it into place. A plain CREATE+TRUNCATE
+    * leaves a window where a crash or a concurrent reader (versions(),
+    * annotationsOf from a live streaming sink) sees empty/partial JSON —
+    * the same tmp-then-claim discipline every data writer here uses. */
+  private def atomicPatchMeta(name: String, v: SemVer,
+                              content: String): Unit = {
+    val dir = vDir(name, v)
+    val tmp = dir.resolve(s"meta.json.tmp-${java.util.UUID.randomUUID}")
+    Files.write(tmp, content.getBytes("UTF-8"),
+      StandardOpenOption.CREATE_NEW)
+    Files.move(tmp, dir.resolve("meta.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** The copy-on-write op that produced a version ("delete", "update",
@@ -2054,9 +2210,7 @@ final class Catalog(val root: String, spark: SparkSession) {
       java.util.regex.Matcher.quoteReplacement(
         "\"deps\": " + (cur :+ dep).map(d => "\"" + esc(d) + "\"")
           .mkString("[", ",", "]")))
-    Files.write(vDir(name, version).resolve("meta.json"),
-      patched.getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    atomicPatchMeta(name, version, patched)
   }
 
   /** `attrFilters`: reference `datasets(attrs=...)` — every filter must
@@ -2145,13 +2299,14 @@ final class Catalog(val root: String, spark: SparkSession) {
    * Reference attr-match semantics
    * (src/datachain/lib/dataset_info.py:44-58 `has_attr`): a bare `"NLP"`
    * matches only the bare attr; `"loc=US"` matches that exact pair;
-   * `"loc=*"` matches any attr named `loc` that HAS a value.
+   * `"loc=*"` matches any attr named `loc` — valued OR bare (the
+   * reference's wildcard test is `a.split("=")[0] == name`, which a bare
+   * `loc` attr satisfies).
    */
   def attrMatches(attrs: Seq[String], query: String): Boolean =
     query.split("=", 2) match {
       case Array(_) => attrs.contains(query)
-      case Array(n, "*") => attrs.exists(a =>
-        a.split("=", 2) match { case Array(an, _) => an == n; case _ => false })
+      case Array(n, "*") => attrs.exists(a => a.split("=", 2)(0) == n)
       case Array(n, v) => attrs.contains(s"$n=$v")
       case _ => false
     }

@@ -24,6 +24,14 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
  * stats, or unsupported column types all degrade to "keep", so a pruned
  * read NEVER loses rows — the predicate is still applied to what's read.
  */
+/** JVM-wide guard for the few remaining session-global conf flips
+  * (partition-inference off, packing targets): concurrent flips would
+  * cross-restore — B captures A's flipped value as its "previous" and the
+  * session ends permanently mis-configured. Reentrant per thread. */
+private[graft] object ConfFlip {
+  val lock = new Object
+}
+
 object FileStats {
 
   /** One column's footer stats aggregated across a file's row groups.
@@ -169,14 +177,13 @@ object FileStats {
     }
   }
 
-  /** Harvest stats for every data file of a freshly written version —
-    * footer reads fan out over executors (one small metadata read per
-    * file; at 100 TB with ~100k files this is seconds, not a rescan). */
-  def harvest(spark: SparkSession, dataDir: String): Seq[FileStat] = {
+  /** Recursive parquet listing (partitioned versions nest files under
+    * key=value dirs) — paths only, the one thing the driver holds in
+    * every tier. */
+  private def listParquet(dataDir: String): Seq[String] = {
     val conf = new Configuration()
     val d = new HPath(dataDir)
     val fs = d.getFileSystem(conf)
-    // recursive: partitioned versions nest files under key=value dirs
     val it = fs.listFiles(d, true)
     val files = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
@@ -184,6 +191,14 @@ object FileStats {
       if (f.isFile && f.getPath.getName.endsWith(".parquet"))
         files += f.getPath.toString
     }
+    files.toSeq
+  }
+
+  /** Harvest stats for every data file of a freshly written version —
+    * footer reads fan out over executors (one small metadata read per
+    * file; at 100 TB with ~100k files this is seconds, not a rescan). */
+  def harvest(spark: SparkSession, dataDir: String): Seq[FileStat] = {
+    val files = listParquet(dataDir)
     val stats =
       if (files.isEmpty) Seq.empty[FileStat]
       else if (files.size <= 4)
@@ -193,6 +208,124 @@ object FileStats {
         .map(p => readFooter(p, new Configuration()))
         .collect().toSeq
     stats.map(s => s.copy(file = relativize(dataDir, s.file)))
+  }
+
+  // ---- executor-written stats index: the many-file tier ----
+  // stats.json collects one FileStat per file to the driver and parses
+  // driver-side per version — fine at ~100k files, a driver-memory/parse
+  // bottleneck at millions. Past `graft.stats.inlineMaxFiles` the same
+  // footer harvest lands as a parquet table under `stats/` written BY
+  // the executors (the blooms/ precedent): the driver never materializes
+  // a FileStat at build time, and the read side loads only the
+  // predicate's columns plus the per-file census rows.
+
+  /** One flat row of the stats index. `col == null` marks the file's
+    * CENSUS row — it carries the row count and is the completeness
+    * witness (the index must cover EVERY data file or not exist at
+    * all, the same all-or-nothing invariant as stats.json). */
+  final case class StatRow(file: String, rows: Long, col: Option[String],
+                           kind: Option[String],
+                           minL: Option[Long], maxL: Option[Long],
+                           minD: Option[Double], maxD: Option[Double],
+                           minS: Option[String], maxS: Option[String],
+                           nulls: Option[Long])
+
+  private def toRows(s: FileStat): Seq[StatRow] =
+    StatRow(s.file, s.rows, None, None, None, None, None, None, None,
+      None, None) +:
+      s.cols.toSeq.sortBy(_._1).map { case (n, c) =>
+        StatRow(s.file, s.rows, Some(n), Some(c.kind),
+          if (c.kind == "l") Some(c.minL) else None,
+          if (c.kind == "l") Some(c.maxL) else None,
+          if (c.kind == "d") Some(c.minD) else None,
+          if (c.kind == "d") Some(c.maxD) else None,
+          if (c.kind == "s") Option(c.minS) else None,
+          if (c.kind == "s") Option(c.maxS) else None,
+          Some(c.nulls))
+      }
+
+  private def fromRows(rows: Seq[org.apache.spark.sql.Row]): Seq[FileStat] = {
+    val byFile = rows.groupBy(_.getAs[String]("file"))
+    byFile.toSeq.map { case (file, rs) =>
+      val census = rs.find(_.isNullAt(rs.head.fieldIndex("col")))
+      val nRows = census.map(_.getAs[Long]("rows"))
+        .getOrElse(rs.head.getAs[Long]("rows"))
+      val cols = rs.filterNot(_.isNullAt(rs.head.fieldIndex("col")))
+        .map { r =>
+          val kind = r.getAs[String]("kind")
+          val cs = kind match {
+            case "l" => ColStats("l", r.getAs[Long]("minL"),
+              r.getAs[Long]("maxL"), 0, 0, null, null, r.getAs[Long]("nulls"))
+            case "d" => ColStats("d", 0, 0, r.getAs[Double]("minD"),
+              r.getAs[Double]("maxD"), null, null, r.getAs[Long]("nulls"))
+            case _ => ColStats("s", 0, 0, 0, 0, r.getAs[String]("minS"),
+              r.getAs[String]("maxS"), r.getAs[Long]("nulls"))
+          }
+          r.getAs[String]("col") -> cs
+        }.toMap
+      FileStat(file, nRows, cols)
+    }
+  }
+
+  /** Build the parquet stats index for a data dir: footer harvest on
+    * executors, rows written straight to `outDir` — O(1) driver memory
+    * at any file count. Clustered by column name so a wanted-columns
+    * read prunes row groups on `col`. */
+  def writeStatsIndex(spark: SparkSession, dataDir: String,
+                      outDir: String): Unit = {
+    val files = listParquet(dataDir)
+    if (files.isEmpty) return
+    import spark.implicits._
+    val base = dataDir
+    spark.createDataset(spark.sparkContext
+        .parallelize(files, math.min(files.size, 64))
+        .flatMap { p =>
+          val s = readFooter(p, new Configuration())
+          toRows(s.copy(file = relativize(base, s.file)))
+        })
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("col"),
+        org.apache.spark.sql.functions.col("file"))
+      .write.mode("errorifexists").parquet(outDir)
+  }
+
+  /** Load the stats index restricted to `wanted` columns (None = all;
+    * Some(Nil) = census only). Census rows always load — they carry the
+    * file set and row counts, so a stats-covered file with none of the
+    * wanted columns still appears (conservatively kept by pruning). */
+  def readStatsIndex(spark: SparkSession, dir: String,
+                     wanted: Option[Seq[String]]): Seq[FileStat] = {
+    import org.apache.spark.sql.functions.col
+    val base = spark.read.parquet(dir)
+    val sel = wanted match {
+      case Some(w) if w.isEmpty => base.where(col("col").isNull)
+      case Some(w) =>
+        base.where(col("col").isNull || col("col").isin(w.map(x => x: Any): _*))
+      case None => base
+    }
+    fromRows(sel.collect().toSeq)
+  }
+
+  /** Census row count — the completeness check of the parquet tier. */
+  def statsIndexCensusCount(spark: SparkSession, dir: String): Long = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(dir).where(col("col").isNull).count()
+  }
+
+  /** Total data rows across census rows, excluding `excluded` files —
+    * the cow rowsAfter arithmetic without collecting the census (the
+    * excluded side broadcasts; it is the touched list, small by
+    * pruning's construction). */
+  def statsIndexRowsExcluding(spark: SparkSession, dir: String,
+                              excluded: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col, sum}
+    import spark.implicits._
+    val census = spark.read.parquet(dir).where(col("col").isNull)
+    val rem =
+      if (excluded.isEmpty) census
+      else census.join(broadcast(excluded.toDF("file")), Seq("file"),
+        "left_anti")
+    val r = rem.agg(sum(col("rows"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
   /**
@@ -350,20 +483,28 @@ $files
   /** The shared one-pass grouped aggregation: one row per data FILE, one
     * serialized bloom per requested column. */
   private def bloomAggDf(spark: SparkSession, dataDir: String,
-                         cols: Seq[String], expectedItems: Long)
+                         cols: Seq[String], expectedItems: Long,
+                         schema: Option[org.apache.spark.sql.types.StructType])
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
     import org.apache.spark.sql.types._
     // partition-type inference OFF: a string partition key "00" must
     // hash as the string "00", not the inferred int 0 — the probe side
     // hashes in the RECORDED type domain, and a mismatch makes every
-    // bloom lookup miss (pruned reads silently lose rows)
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prevInfer = spark.conf.get(inferKey)
-    spark.conf.set(inferKey, "false")
-    val df =
-      try spark.read.parquet(dataDir)
-      finally spark.conf.set(inferKey, prevInfer)
+    // bloom lookup miss (pruned reads silently lose rows). Writers that
+    // know the written frame's schema pass it (explicit-schema read, no
+    // session-conf involvement); the fallback flips inference off under
+    // the shared ConfFlip lock.
+    val df = schema match {
+      case Some(s) => spark.read.schema(s).parquet(dataDir)
+      case None => ConfFlip.lock.synchronized {
+        val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        val prevInfer = spark.conf.get(inferKey)
+        spark.conf.set(inferKey, "false")
+        try spark.read.parquet(dataDir)
+        finally spark.conf.set(inferKey, prevInfer)
+      }
+    }
     def canon(c: String): org.apache.spark.sql.Column =
       df.schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType =>
@@ -381,9 +522,10 @@ $files
   }
 
   def buildBlooms(spark: SparkSession, dataDir: String, cols: Seq[String],
-                  expectedItems: Long)
+                  expectedItems: Long,
+                  schema: Option[org.apache.spark.sql.types.StructType] = None)
       : Map[String, Map[String, Array[Byte]]] = {
-    bloomAggDf(spark, dataDir, cols, expectedItems)
+    bloomAggDf(spark, dataDir, cols, expectedItems, schema)
       .collect().map { r =>
         relativize(dataDir, r.getString(0)) -> cols.zipWithIndex.map {
           case (c, i) => c -> r.getAs[Array[Byte]](i + 1)
@@ -399,7 +541,9 @@ $files
     * memory at any file count, and the read side prunes the index scan
     * to just the predicate's columns (`col IN (...)` pushed to parquet). */
   def writeBloomIndex(spark: SparkSession, dataDir: String, cols: Seq[String],
-                      expectedItems: Long, outDir: String): Unit = {
+                      expectedItems: Long, outDir: String,
+                      schema: Option[org.apache.spark.sql.types.StructType] =
+                        None): Unit = {
     import org.apache.spark.sql.functions.{array, col, explode, struct, udf, lit => flit}
     val pairs = cols.map(c =>
       struct(flit(c).as("col"), col(s"__bloom_$c").as("bloom")))
@@ -407,7 +551,7 @@ $files
     // scale), never in the data path — and the version-dir-relative key
     // must survive partition subdirectories AND scheme-qualified names
     val rel = udf((f: String) => relativize(dataDir, f))
-    bloomAggDf(spark, dataDir, cols, expectedItems)
+    bloomAggDf(spark, dataDir, cols, expectedItems, schema)
       .select(rel(col("__f")).as("file"),
         explode(array(pairs: _*)).as("e"))
       .select(col("file"), col("e.col").as("col"), col("e.bloom").as("bloom"))

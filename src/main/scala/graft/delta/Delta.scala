@@ -373,11 +373,52 @@ object Delta {
       if (!JF.exists(markP)) None
       else scala.util.Try(SemVer.parse(
         new String(JF.readAllBytes(markP), "UTF-8").trim)).toOption
-    val startIdx = mark.map(vs.indexOf).filter(_ >= 0).getOrElse(-1)
-    var prev =
-      if (startIdx >= 0) catalog.versionDataFiles(name, vs(startIdx))
-      else Map.empty[String, Long]
-    var linkedTo = if (startIdx >= 0) Some(vs(startIdx)) else None
+    // Resume point + baseline file set. When the marked version has been
+    // VACUUMED (writer heals lagged behind the latest version, then
+    // vacuum removed the mark's version), restarting from an empty prev
+    // would re-link every carried file under a new version's prefix
+    // beside its existing v<old>__rel link — a strict follower would
+    // then re-read rows it already consumed. Instead: everything <= mark
+    // was already linked, so resume AFTER the mark with prev seeded from
+    // the farm's own links (each link is a hard link, so its size IS the
+    // source file's identity; the newest version's link per rel wins).
+    def farmLinks(): Map[String, Long] = {
+      val entries = {
+        val s = JF.list(dir)
+        try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+          .asScala.toSeq
+        finally s.close()
+      }
+      entries.filter(p => JF.isRegularFile(p))
+        .flatMap { p =>
+          val n = p.getFileName.toString
+          val cut = n.indexOf("__")
+          if (!n.startsWith("v") || cut < 0) None
+          else scala.util.Try(SemVer.parse(n.substring(1, cut))).toOption
+            .map(ver => (n.substring(cut + 2), ver, JF.size(p)))
+        }
+        .groupBy(_._1)
+        .map { case (rel, hits) => rel -> hits.maxBy(_._2)._3 }
+    }
+    val markIdx = mark.map(vs.indexOf).filter(_ >= 0)
+    val (startIdx, prevInit) = markIdx match {
+      case Some(i) => (i, catalog.versionDataFiles(name, vs(i)))
+      case None if mark.isDefined =>
+        // vacuumed mark: skip every surviving version below it (already
+        // linked), walk only the versions past the mark
+        (vs.lastIndexWhere(_ < mark.get), farmLinks())
+      case None if JF.exists(markP) =>
+        // unreadable mark but the farm was active: conservative — walk
+        // everything, the farm seed dedups what's already linked
+        (-1, farmLinks())
+      case None => (-1, Map.empty[String, Long])
+    }
+    var prev = prevInit
+    // vacuumed-mark resume keeps linkedTo None until a post-mark version
+    // actually links: regressing the mark to the pre-mark survivor would
+    // lose the "everything <= mark is linked" fact and a later heal
+    // would re-link the vacuumed version's carried files
+    var linkedTo = markIdx.map(vs(_))
     vs.drop(startIdx + 1).foreach { v =>
       val cur = catalog.versionDataFiles(name, v)
       require(cur.keysIterator.forall(!_.contains('/')),

@@ -715,9 +715,12 @@ class CatalogSpec extends SparkSpec {
     assert(!cat.attrMatches(Seq("nlp", "loc=US"), "loc"))   // bare ≠ valued
     assert(cat.attrMatches(Seq("nlp", "loc=US"), "loc=US"))
     assert(cat.attrMatches(Seq("nlp", "loc=US"), "loc=*"))
-    assert(!cat.attrMatches(Seq("loc"), "loc=*"))           // * needs a value
+    // reference has_attr: the wildcard test is a.split("=")[0] == name,
+    // which a BARE `loc` attr satisfies too (dataset_info.py:50-53)
+    assert(cat.attrMatches(Seq("loc"), "loc=*"))
+    assert(!cat.attrMatches(Seq("location=US"), "loc=*"))
     assert(cat.datasetsDF(Seq("loc=*")).select("name")
-      .as[String].collect().toSeq === Seq("a"))
+      .as[String].collect().toSeq.sorted === Seq("a", "b"))
 
     // a meta.json written before annotations existed: strip the fields,
     // then updateDataset must seed them and patch in place (no bump)
@@ -873,6 +876,54 @@ class CatalogSpec extends SparkSpec {
     val survivorCopies = replay.filter(col("n_nationkey") === 1L).count()
     assert(survivorCopies >= 2L,
       s"rewritten file must re-emit its survivors: $survivorCopies")
+  }
+
+  test("datasetStream heal: vacuumed _linked mark never re-links carried files") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("cat_vacmark").toString
+    val cat = new Catalog(root, spark)
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    cat.save(Chain(n.filter(col("n_nationkey") < 10)), "nv")
+    Delta.datasetStream(cat, "nv") // brings up the strict farm, mark=v1
+    cat.append("nv", n.filter(col("n_nationkey") >= 10 &&
+      col("n_nationkey") < 15)) // v2
+    val v2 = cat.latestVersion("nv").get
+    Delta.healDatasetStream(cat, "nv") // follower catches up: mark=v2
+    cat.append("nv", n.filter(col("n_nationkey") >= 15 &&
+      col("n_nationkey") < 20)) // v3 — heal LAGS here (no sink running)
+    val farm = java.nio.file.Paths.get(root, "datasets", "nv",
+      "_stream", "strict")
+    def links(): Seq[String] = {
+      val s = java.nio.file.Files.list(farm)
+      try s.iterator.asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v")).toSeq
+      finally s.close()
+    }
+    def rels(): Seq[String] = links().map(_.split("__", 2)(1))
+    val before = links().toSet
+    assert(rels().distinct.size === rels().size, "clean farm precondition")
+    // the vacuum interplay: the marked version v2 vanishes while the
+    // heal still lags behind v3
+    cat.deleteVersion("nv", v2)
+    Delta.healDatasetStream(cat, "nv")
+    // v3 appended one file; the carried v1/v2 files must NOT re-link
+    // under the v3 prefix beside their existing links
+    val added = links().toSet -- before
+    assert(added.size === 1, s"only v3's own file links, got $added")
+    assert(rels().distinct.size === rels().size,
+      "carried files must not re-link under a second version prefix")
+    // the farm keeps following: a fresh append links exactly its own files
+    cat.append("nv", n.filter(col("n_nationkey") >= 20))
+    Delta.healDatasetStream(cat, "nv")
+    assert(rels().distinct.size === rels().size)
+    // end-to-end: a strict replay sees every row exactly once
+    val ck = Files.createTempDirectory("cat_vacmark_ck").toString
+    val replay = graft.streaming.EventStream.runAvailableNow(
+      Delta.datasetStream(cat, "nv"), "vacmark_replay", ck,
+      noDataBatch = false)
+    assert(replay.count() === 25L)
+    assert(replay.select("n_nationkey").distinct().count() === 25L)
   }
 
   test("changesStream follows syncs committed WHILE the stream runs") {

@@ -505,6 +505,83 @@ class IoSpec extends SparkSpec {
     assert(kAll === total)
   }
 
+  test("stats tiers: parquet index past inlineMaxFiles ≡ inline stats.json") {
+    import graft.catalog.Catalog
+    val confKey = "graft.stats.inlineMaxFiles"
+    val prev = spark.conf.getOption(confKey)
+    try {
+      val rootP = Files.createTempDirectory("fstats_tier").toString
+      val cat = new Catalog(rootP, spark)
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+        .repartitionByRange(8, col("o_orderkey"))
+      spark.conf.set(confKey, "4") // 8 files > 4 → executor-written tier
+      cat.save(Chain(orders), "big")
+      val vb = cat.latestVersion("big").get
+      val vdir = java.nio.file.Paths.get(rootP, "datasets", "big", s"v$vb")
+      assert(!Files.exists(vdir.resolve("stats.json")))
+      assert(Files.isDirectory(vdir.resolve("stats")),
+        "past the threshold the index must be the stats/ parquet table")
+      spark.conf.set(confKey, "512") // inline control twin
+      cat.save(Chain(orders), "small")
+      val vsm = cat.latestVersion("small").get
+      assert(Files.exists(java.nio.file.Paths.get(rootP, "datasets",
+        "small", s"v$vsm", "stats.json")))
+      val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+      // parity matrix: every predicate shape prunes identically and the
+      // pruned read stays row-identical to the unpruned filter
+      val preds = Seq(
+        col("o_orderkey") <= maxKey / 10,
+        col("o_orderkey") === 1L,
+        col("o_orderkey") === -42L,            // out-of-domain: prune all
+        col("o_orderkey").isin(1L, maxKey),
+        col("o_orderkey") * 2 < 10)            // unsupported: keep all
+      preds.foreach { p =>
+        assert(cat.pruneCount("big", p) === cat.pruneCount("small", p),
+          s"tier prune disagreement on $p")
+        val tiered = cat.readDatasetWhere("big", p)
+          .selectExcept("sys").toDF.collect().toSet
+        val inline = cat.readDatasetWhere("small", p)
+          .selectExcept("sys").toDF.collect().toSet
+        assert(tiered === inline, s"tier read disagreement on $p")
+      }
+      // restricted load: only the wanted column (plus census) crosses
+      val restricted = cat.fileStatsFor("big", vb, Some(Seq("o_orderkey")))
+      assert(restricted.size === 8)
+      assert(restricted.forall(_.cols.keySet.subsetOf(Set("o_orderkey"))))
+      val census = cat.fileStatsFor("big", vb, Some(Nil))
+      assert(census.size === 8 && census.forall(_.cols.isEmpty))
+      assert(census.map(_.rows).sum === orders.count())
+      // a cow mutation on the parquet tier keeps the tier, the row
+      // arithmetic, and pruned-read correctness
+      val before = cat.readDataset("big").toDF.count()
+      val res = cat.deleteWhere("big", col("o_orderkey") === 1L)
+      val vdir2 = java.nio.file.Paths.get(rootP, "datasets", "big",
+        s"v${res.version}")
+      assert(!Files.exists(vdir2.resolve("stats.json")))
+      assert(Files.isDirectory(vdir2.resolve("stats")))
+      assert(res.rowsAfter === before - 1)
+      assert(cat.readDataset("big").toDF.count() === before - 1)
+      val p2 = col("o_orderkey") <= maxKey / 10
+      val prunedAfter = cat.readDatasetWhere("big", p2)
+        .selectExcept("sys").toDF.collect().toSet
+      val fullAfter = cat.readDataset("big").selectExcept("sys").toDF
+        .filter(p2).collect().toSet
+      assert(prunedAfter === fullAfter && prunedAfter.nonEmpty)
+      val (keptAfter, totalAfter) = cat.pruneCount("big", p2)
+      assert(keptAfter < totalAfter,
+        s"rebuilt index must still prune: $keptAfter/$totalAfter")
+      // zero-copy clone carries the index
+      cat.cloneDataset("big", "big2")
+      val vc = cat.latestVersion("big2").get
+      assert(Files.isDirectory(java.nio.file.Paths.get(rootP, "datasets",
+        "big2", s"v$vc", "stats")))
+      assert(cat.pruneCount("big2", p2)._1 === keptAfter)
+    } finally prev match {
+      case Some(x) => spark.conf.set(confKey, x)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   test("file-stats skipping prunes on string min/max too") {
     import graft.catalog.Catalog
     val cat = new Catalog(Files.createTempDirectory("fstats_s").toString, spark)
