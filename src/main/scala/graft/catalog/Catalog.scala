@@ -346,11 +346,14 @@ final class Catalog(val root: String, spark: SparkSession) {
       // of files the inline form is a driver-memory/parse bottleneck).
       val statsInlineMax =
         spark.conf.get("graft.stats.inlineMaxFiles", "512").toInt
-      val nDataFiles = walkParquet(tmp.resolve("data")).size
+      // one listing feeds the tier split AND the footer harvest below
+      val dataFileList = walkParquet(tmp.resolve("data")).map(_.toString)
+      val nDataFiles = dataFileList.size
       val statsTiered = harvestStats && nDataFiles > statsInlineMax
       val stats =
         if (!harvestStats || statsTiered) Seq.empty[FileStats.FileStat]
-        else try FileStats.harvest(spark, tmp.resolve("data").toString)
+        else try FileStats.harvest(spark, tmp.resolve("data").toString,
+          Some(dataFileList))
         catch { case scala.util.control.NonFatal(_) =>
           // stats are an optimization: a harvest failure must never fail
           // the save (readers fall back to scanning every file)
@@ -358,7 +361,7 @@ final class Catalog(val root: String, spark: SparkSession) {
         }
       if (statsTiered)
         try FileStats.writeStatsIndex(spark, tmp.resolve("data").toString,
-          tmp.resolve("stats").toString)
+          tmp.resolve("stats").toString, Some(dataFileList))
         catch { case scala.util.control.NonFatal(_) =>
           // all-or-nothing: a partial index would make pruned reads skip
           // the uncovered files — drop it and fall back to no stats
@@ -517,9 +520,21 @@ final class Catalog(val root: String, spark: SparkSession) {
     val all = walkParquet(dataDir).map(f => dataDir.relativize(f).toString)
     val cond = resolvedCondition(readVersionData(name, v).filter(pred))
     val touched = cond match {
+      case Some(pe) if statsTierIsParquet(name, v) && distributedPruneOn =>
+        keptFilesParquetTier(name, v, pe) match {
+          // only safe to narrow when the census covers every file —
+          // otherwise uncovered files must count as touched, and their
+          // identity is unknowable from the kept list alone
+          case Some((kept, total)) if total == all.size.toLong =>
+            val keptSet = kept.toSet
+            all.filter(keptSet)
+          case _ => all
+        }
       case Some(pe) =>
         val refs = pe.references.map(_.name).toSeq
-        val stats = fileStatsFor(name, v, Some(refs))
+        val stats = try fileStatsFor(name, v, Some(refs))
+          catch { case scala.util.control.NonFatal(_) =>
+            Seq.empty[FileStats.FileStat] }
         if (stats.isEmpty) all
         else {
           val byFile = stats.map(s => s.file -> s).toMap
@@ -613,10 +628,24 @@ final class Catalog(val root: String, spark: SparkSession) {
     // the new version then writes no stats.json either (all-or-nothing)
     require(kept.size == untouched.size || oldStats.isEmpty,
       s"$op: ${untouched.size - kept.size} untouched files lack stats")
-    if (oldTierParquet)
-      require(FileStats.statsIndexCensusCount(spark,
-          vDir(name, v).resolve("stats").toString) == all.size,
-        s"$op: the parquet stats index does not cover every data file")
+    if (oldTierParquet) {
+      // an UNREADABLE index degrades like a stats-less version: the
+      // touched-file probe already fell back to touch-everything, so the
+      // mutation is still correct — only an index that READS but does
+      // not cover every file (a write-side invariant violation) aborts
+      val census =
+        try Some(FileStats.statsIndexCensusCount(spark,
+          vDir(name, v).resolve("stats").toString))
+        catch { case scala.util.control.NonFatal(_) => None }
+      census match {
+        case Some(c) =>
+          require(c == all.size,
+            s"$op: the parquet stats index does not cover every data file")
+        case None =>
+          require(untouched.isEmpty,
+            s"$op: unreadable parquet stats index with untouched files")
+      }
+    }
     val untouchedSet = untouched.toSet
     val layout = detectPartitionCols(dataDir)
     val tmp = dsDir(name).resolve(s".tmp-${java.util.UUID.randomUUID}")
@@ -706,9 +735,13 @@ final class Catalog(val root: String, spark: SparkSession) {
       // stats exist), so their row count is the meta's rowsBefore
       val rowsAfter =
         if (oldTierParquet)
-          // census aggregation on the index — never a driver collect
-          FileStats.statsIndexRowsExcluding(spark,
-            vDir(name, v).resolve("stats").toString, touched) + rewrittenRows
+          // census aggregation on the index — never a driver collect.
+          // touched == everything (unresolvable predicate, or a degraded
+          // unreadable index) needs no query — and skips broadcasting an
+          // every-file list that at millions of files could exceed limits
+          (if (untouched.isEmpty) 0L
+           else FileStats.statsIndexRowsExcluding(spark,
+             vDir(name, v).resolve("stats").toString, touched)) + rewrittenRows
         else if (oldStats.isEmpty && untouched.nonEmpty)
           rowsBefore + rewrittenRows
         else kept.map(_.rows).sum + rewrittenRows
@@ -1196,7 +1229,9 @@ final class Catalog(val root: String, spark: SparkSession) {
                                 on: Seq[String]): (Seq[String], Seq[String]) = {
     val dataDir = vDir(name, v).resolve("data")
     val all = walkParquet(dataDir).map(f => dataDir.relativize(f).toString)
-    val stats = fileStatsFor(name, v, Some(on))
+    val stats = try fileStatsFor(name, v, Some(on))
+      catch { case scala.util.control.NonFatal(_) =>
+        Seq.empty[FileStats.FileStat] }
     if (stats.isEmpty) return (all, all)
     val byFile = stats.map(s => s.file -> s).toMap
     var candidates: Set[String] = byFile.keySet
@@ -1462,12 +1497,23 @@ final class Catalog(val root: String, spark: SparkSession) {
     val df =
       resolvedCondition(full) match {
         case None => full
+        case Some(pe) if statsTierIsParquet(name, v) && distributedPruneOn =>
+          // parquet tier: the prune itself runs on the executors; only
+          // kept file names reach the driver
+          keptFilesParquetTier(name, v, pe) match {
+            case Some((kept, total)) =>
+              if (kept.size.toLong == total || kept.isEmpty) full
+              else readSelected(name, v, dataDir, kept, predicate)
+            case None => full
+          }
         case Some(pe) =>
           // only the predicate's columns cross from the stats/bloom
-          // indexes — on the parquet stats tier this is what keeps the
-          // driver load O(files × predicate cols), not the whole index
-          val refs = pe.references.map(_.name).toSeq
-          val stats = fileStatsFor(name, v, Some(refs))
+          // indexes — on the inline tier (and the parity off-switch)
+          // this keeps the driver load O(files × predicate cols)
+          val stats = try fileStatsFor(name, v,
+              Some(pe.references.map(_.name).toSeq))
+            catch { case scala.util.control.NonFatal(_) =>
+              Seq.empty[FileStats.FileStat] }
           if (stats.isEmpty) full
           else pruneWith(full, stats, pe, name, v, dataDir, predicate)
       }
@@ -1488,17 +1534,87 @@ final class Catalog(val root: String, spark: SparkSession) {
             // nothing pruned, or nothing survives (read the dir anyway
             // for the schema; the filter returns zero rows)
             full
-          else {
-            // basePath keeps hive partition columns alive when the kept
-            // files sit under key=value subdirs (harmless otherwise)
-            val sel = kept.map(f => s"$dataDir/${f.file}")
-            fullReadSchema(name, v) match {
-              case Some(fs) => readWithSchema(dataDir, sel, fs)
-                .filter(predicate)
-              case None => restoreTypes(readNoInfer(dataDir, sel), name, v)
-                .filter(predicate)
-            }
-          }
+          else readSelected(name, v, dataDir, kept.map(_.file), predicate)
+  }
+
+  /** Read exactly `files` (version-relative) of `name@v` with the
+    * recorded types restored, then apply `predicate` — the shared tail
+    * of the driver and distributed pruning paths. basePath keeps hive
+    * partition columns alive when the kept files sit under key=value
+    * subdirs (harmless otherwise). */
+  private def readSelected(name: String, v: SemVer, dataDir: String,
+                           files: Seq[String],
+                           predicate: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val sel = files.map(f => s"$dataDir/$f")
+    fullReadSchema(name, v) match {
+      case Some(fs) => readWithSchema(dataDir, sel, fs).filter(predicate)
+      case None => restoreTypes(readNoInfer(dataDir, sel), name, v)
+        .filter(predicate)
+    }
+  }
+
+  // Distributed-prune result cache: (version, predicate, columns) →
+  // (kept files, census total). Same freshness-token discipline as
+  // statsCache; values are O(kept) path strings. The key uses the
+  // COMPILED predicate's rendering — stable across analyses, where the
+  // Catalyst tree's toString carries fresh expr-ids per query.
+  private val keptCacheMax = 64
+  private val keptCache =
+    new java.util.LinkedHashMap[String, (String, (Seq[String], Long))](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, (Seq[String], Long))])
+          : Boolean = size() > keptCacheMax
+    }
+
+  /** TRUE unless `graft.stats.distributedPrune` (default on) disables the
+    * executor-side pruning path — the off switch exists for the parity
+    * tests and as an operational escape hatch. */
+  private def distributedPruneOn: Boolean =
+    spark.conf.get("graft.stats.distributedPrune", "true").toBoolean
+
+  /**
+   * Parquet-tier pruning without materializing the index on the driver:
+   * compiles `pe` to the serializable [[FileStats.PPred]], evaluates the
+   * envelope/bloom test as a cogroup over the stats/ (+ blooms/) index
+   * tables on the EXECUTORS, and collects only the kept file names —
+   * O(kept) driver memory where the collect path is O(files × columns).
+   * Returns (kept files, census total); None degrades to a full scan
+   * (corrupt/unreadable index — stats are an optimization, never a
+   * correctness dependency).
+   */
+  private def keptFilesParquetTier(name: String, v: SemVer,
+      pe: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[(Seq[String], Long)] = {
+    val pdir = vDir(name, v).resolve("stats")
+    try {
+      val refs = pe.references.map(_.name).toSeq.distinct.sorted
+      val cp = FileStats.compile(pe)
+      val key = s"$name@@$v@@kept@@${refs.mkString(",")}@@$cp"
+      val tok = freshToken(pdir)
+      val hit = keptCache.synchronized(Option(keptCache.get(key)))
+      hit match {
+        case Some((t, res)) if t == tok => Some(res)
+        case _ =>
+          // bloom tier: inline blooms.json broadcasts as a map (small by
+          // its own tier's construction), a blooms/ table joins by file
+          val bj = vDir(name, v).resolve("blooms.json")
+          val bd = vDir(name, v).resolve("blooms")
+          val inline =
+            if (Files.exists(bj)) fileBlooms(name, v, Some(refs))
+            else Map.empty[String, Map[String, Array[Byte]]]
+          val bloomDir =
+            if (!Files.exists(bj) && Files.isDirectory(bd)) Some(bd.toString)
+            else None
+          val total = FileStats.statsIndexCensusCount(spark, pdir.toString)
+          val kept = FileStats.prunedFilesDistributed(spark, pdir.toString,
+            bloomDir, inline, cp, refs)
+          val res = (kept, total)
+          keptCache.synchronized(keptCache.put(key, (tok, res)))
+          Some(res)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Per-file bloom index recorded at save time with `bloomCols` (empty
@@ -1565,16 +1681,25 @@ final class Catalog(val root: String, spark: SparkSession) {
     val v = version.orElse(latestVersion(name))
       .getOrElse(throw new NoSuchElementException(s"dataset $name not found"))
     resolvedCondition(readVersionData(name, v).filter(predicate)) match {
+      case Some(pe) if statsTierIsParquet(name, v) && distributedPruneOn =>
+        keptFilesParquetTier(name, v, pe) match {
+          case Some((kept, total)) => (kept.size, total.toInt)
+          case None => (0, 0) // unreadable index ≡ stats-less version
+        }
       case Some(pe) =>
         val refs = pe.references.map(_.name).toSeq
-        val stats = fileStatsFor(name, v, Some(refs))
+        val stats = try fileStatsFor(name, v, Some(refs))
+          catch { case scala.util.control.NonFatal(_) =>
+            Seq.empty[FileStats.FileStat] }
         val blooms = fileBlooms(name, v, Some(refs))
         (stats.count(f =>
           FileStats.mayMatch(pe, f, blooms.getOrElse(f.file, Map.empty))),
           stats.size)
       case None =>
         // census-only load: sizes without pulling column stats
-        val stats = fileStatsFor(name, v, Some(Nil))
+        val stats = try fileStatsFor(name, v, Some(Nil))
+          catch { case scala.util.control.NonFatal(_) =>
+            Seq.empty[FileStats.FileStat] }
         (stats.size, stats.size)
     }
   }

@@ -197,8 +197,9 @@ object FileStats {
   /** Harvest stats for every data file of a freshly written version —
     * footer reads fan out over executors (one small metadata read per
     * file; at 100 TB with ~100k files this is seconds, not a rescan). */
-  def harvest(spark: SparkSession, dataDir: String): Seq[FileStat] = {
-    val files = listParquet(dataDir)
+  def harvest(spark: SparkSession, dataDir: String,
+              listed: Option[Seq[String]] = None): Seq[FileStat] = {
+    val files = listed.getOrElse(listParquet(dataDir))
     val stats =
       if (files.isEmpty) Seq.empty[FileStat]
       else if (files.size <= 4)
@@ -245,26 +246,18 @@ object FileStats {
       }
 
   private def fromRows(rows: Seq[org.apache.spark.sql.Row]): Seq[FileStat] = {
-    val byFile = rows.groupBy(_.getAs[String]("file"))
-    byFile.toSeq.map { case (file, rs) =>
-      val census = rs.find(_.isNullAt(rs.head.fieldIndex("col")))
-      val nRows = census.map(_.getAs[Long]("rows"))
-        .getOrElse(rs.head.getAs[Long]("rows"))
-      val cols = rs.filterNot(_.isNullAt(rs.head.fieldIndex("col")))
-        .map { r =>
-          val kind = r.getAs[String]("kind")
-          val cs = kind match {
-            case "l" => ColStats("l", r.getAs[Long]("minL"),
-              r.getAs[Long]("maxL"), 0, 0, null, null, r.getAs[Long]("nulls"))
-            case "d" => ColStats("d", 0, 0, r.getAs[Double]("minD"),
-              r.getAs[Double]("maxD"), null, null, r.getAs[Long]("nulls"))
-            case _ => ColStats("s", 0, 0, 0, 0, r.getAs[String]("minS"),
-              r.getAs[String]("maxS"), r.getAs[Long]("nulls"))
-          }
-          r.getAs[String]("col") -> cs
-        }.toMap
-      FileStat(file, nRows, cols)
+    def opt[T](r: org.apache.spark.sql.Row, n: String): Option[T] = {
+      val i = r.fieldIndex(n)
+      if (r.isNullAt(i)) None else Some(r.getAs[T](i))
     }
+    rows.map(r => StatRow(r.getAs[String]("file"), r.getAs[Long]("rows"),
+        opt[String](r, "col"), opt[String](r, "kind"),
+        opt[Long](r, "minL"), opt[Long](r, "maxL"),
+        opt[Double](r, "minD"), opt[Double](r, "maxD"),
+        opt[String](r, "minS"), opt[String](r, "maxS"),
+        opt[Long](r, "nulls")))
+      .groupBy(_.file).toSeq
+      .map { case (file, rs) => statFromRows(file, rs) }
   }
 
   /** Build the parquet stats index for a data dir: footer harvest on
@@ -272,20 +265,45 @@ object FileStats {
     * at any file count. Clustered by column name so a wanted-columns
     * read prunes row groups on `col`. */
   def writeStatsIndex(spark: SparkSession, dataDir: String,
-                      outDir: String): Unit = {
-    val files = listParquet(dataDir)
+                      outDir: String,
+                      listed: Option[Seq[String]] = None): Unit = {
+    val files = listed.getOrElse(listParquet(dataDir))
     if (files.isEmpty) return
     import spark.implicits._
     val base = dataDir
+    // index-write parallelism scales with the file count (a fixed 4
+    // would serialize a many-million-file index into 4 tasks); range
+    // clustering on (col, file) keeps a wanted-columns read prunable
+    // by parquet row-group stats on `col`
+    val parts = math.max(4, math.min(2048, files.size / 25000)).toInt
     spark.createDataset(spark.sparkContext
         .parallelize(files, math.min(files.size, 64))
         .flatMap { p =>
           val s = readFooter(p, new Configuration())
           toRows(s.copy(file = relativize(base, s.file)))
         })
-      .repartitionByRange(4, org.apache.spark.sql.functions.col("col"),
+      .repartitionByRange(parts, org.apache.spark.sql.functions.col("col"),
         org.apache.spark.sql.functions.col("file"))
       .write.mode("errorifexists").parquet(outDir)
+  }
+
+  /** Rebuild one file's FileStat from its index rows — the shared
+    * builder of the driver collect path and the distributed cogroup. */
+  private def statFromRows(file: String, rs: Seq[StatRow]): FileStat = {
+    val census = rs.find(_.col.isEmpty)
+    val nRows = census.map(_.rows).getOrElse(rs.head.rows)
+    val cols = rs.iterator.filter(_.col.isDefined).map { r =>
+      val cs = r.kind.get match {
+        case "l" => ColStats("l", r.minL.get, r.maxL.get, 0, 0, null, null,
+          r.nulls.get)
+        case "d" => ColStats("d", 0, 0, r.minD.get, r.maxD.get, null, null,
+          r.nulls.get)
+        case _ => ColStats("s", 0, 0, 0, 0, r.minS.orNull, r.maxS.orNull,
+          r.nulls.get)
+      }
+      r.col.get -> cs
+    }.toMap
+    FileStat(file, nRows, cols)
   }
 
   /** Load the stats index restricted to `wanted` columns (None = all;
@@ -303,6 +321,55 @@ object FileStats {
       case None => base
     }
     fromRows(sel.collect().toSeq)
+  }
+
+  /**
+   * Distributed file pruning over the parquet stats index — the read-side
+   * twin of [[writeStatsIndex]]. The driver compiles the predicate once
+   * ([[compile]]) into a small serializable tree with bloom hashes
+   * precomputed, the executors rebuild each file's envelope from its
+   * index rows (cogrouped with its bloom bitmaps when the version carries
+   * a bloom index) and evaluate [[evalMay]], and ONLY the kept file names
+   * cross to the driver — O(kept) driver memory at any file count, where
+   * the collect path is O(files × predicate columns). Inline blooms
+   * (blooms.json beside a parquet stats tier) broadcast as a map.
+   */
+  def prunedFilesDistributed(spark: SparkSession, statsDir: String,
+                             bloomDir: Option[String],
+                             inlineBlooms: Map[String, Map[String, Array[Byte]]],
+                             pred: PPred, wanted: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val statRows = {
+      val base = spark.read.parquet(statsDir)
+      (if (wanted.isEmpty) base.where(col("col").isNull)
+       else base.where(col("col").isNull ||
+         col("col").isin(wanted.map(x => x: Any): _*))).as[StatRow]
+    }
+    val bloomRows: org.apache.spark.sql.Dataset[(String, String, Array[Byte])] =
+      bloomDir match {
+        case Some(d) if wanted.nonEmpty =>
+          spark.read.parquet(d)
+            .where(col("col").isin(wanted.map(x => x: Any): _*))
+            .select(col("file"), col("col"), col("bloom"))
+            .as[(String, String, Array[Byte])]
+        case _ => spark.emptyDataset[(String, String, Array[Byte])]
+      }
+    val bc = spark.sparkContext.broadcast(inlineBlooms)
+    statRows.groupByKey(_.file)
+      .cogroup(bloomRows.groupByKey(_._1)) { (file, ss, bs) =>
+        val rs = ss.toSeq
+        // a bloom-only group (file absent from the census) adds nothing:
+        // the census is the file set, all-or-nothing by construction
+        if (rs.isEmpty) Iterator.empty
+        else {
+          val blooms = bs.map(t => t._2 -> t._3).toMap ++
+            bc.value.getOrElse(file, Map.empty[String, Array[Byte]])
+          if (evalMay(pred, statFromRows(file, rs), blooms))
+            Iterator.single(file)
+          else Iterator.empty
+        }
+      }.collect().toSeq.sorted
   }
 
   /** Census row count — the completeness check of the parquet tier. */
@@ -839,4 +906,135 @@ $files
       }
       case None => true
     }
+
+  // ---- compiled predicate: the executor-shippable form of mayMatch ----
+  // Catalyst Expressions never leave the driver: `compile` lowers the
+  // supported shapes into this closed serializable tree (literals in the
+  // BigDecimal/String comparison domain, bloom hashes PREcomputed — the
+  // xxhash64 of a literal is a constant), and `evalMay`/`evalNeg` mirror
+  // mayMatch/mayMatchNeg arm for arm. PropertySpec pins the equivalence
+  // `evalMay(compile(p), f, b) == mayMatch(p, f, b)` across a generated
+  // predicate × stats matrix.
+
+  sealed trait PPred extends Serializable
+  final case class PAnd(l: PPred, r: PPred) extends PPred
+  final case class POr(l: PPred, r: PPred) extends PPred
+  final case class PNot(c: PPred) extends PPred
+  final case class PIsNull(col: String) extends PPred
+  final case class PIsNotNull(col: String) extends PPred
+  /** op ∈ eq | lt | le | gt | ge; `v` None = uncomparable literal type
+    * (→ range check passes), `bloomHash` only set for eq. */
+  final case class PCmp(col: String, op: String,
+                        v: Option[Either[BigDecimal, String]],
+                        bloomHash: Option[Long]) extends PPred
+  final case class PIn(col: String,
+                       vs: Seq[(Option[Either[BigDecimal, String]],
+                         Option[Long])]) extends PPred
+  /** Unsupported shape — may always match (never prunes). */
+  case object PAny extends PPred
+
+  def compile(pred: Expression): PPred = {
+    def cmp(op: String, a: Expression, v: Any): PPred = attr(a) match {
+      case Some(n) =>
+        PCmp(n, op, lit(v), if (op == "eq") bloomHash(v) else None)
+      case None => PAny
+    }
+    pred match {
+      case And(l, r) => PAnd(compile(l), compile(r))
+      case Or(l, r) => POr(compile(l), compile(r))
+      case Not(child) => PNot(compile(child))
+      case IsNull(a) => attr(a).map(PIsNull).getOrElse(PAny)
+      case IsNotNull(a) => attr(a).map(PIsNotNull).getOrElse(PAny)
+      case EqualTo(a, Literal(v, _)) => cmp("eq", a, v)
+      case EqualTo(Literal(v, _), a) => cmp("eq", a, v)
+      case LessThan(a, Literal(v, _)) => cmp("lt", a, v)
+      case GreaterThan(Literal(v, _), a) => cmp("lt", a, v)
+      case LessThanOrEqual(a, Literal(v, _)) => cmp("le", a, v)
+      case GreaterThanOrEqual(Literal(v, _), a) => cmp("le", a, v)
+      case GreaterThan(a, Literal(v, _)) => cmp("gt", a, v)
+      case LessThan(Literal(v, _), a) => cmp("gt", a, v)
+      case GreaterThanOrEqual(a, Literal(v, _)) => cmp("ge", a, v)
+      case LessThanOrEqual(Literal(v, _), a) => cmp("ge", a, v)
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        attr(a) match {
+          case Some(n) => PIn(n, vs.map { l =>
+            val v = l.asInstanceOf[Literal].value
+            (lit(v), bloomHash(v))
+          })
+          case None => PAny
+        }
+      case _ => PAny
+    }
+  }
+
+  def evalMay(p: PPred, f: FileStat,
+              blooms: Map[String, Array[Byte]]): Boolean = {
+    def cmpOk(n: String, v: Option[Either[BigDecimal, String]]): Boolean =
+      v match {
+        case None => true
+        case Some(x) => f.cols.get(n) match {
+          case Some(c) =>
+            (for { l <- lo(c); h <- hi(c); a1 <- cmpLE(l, x); a2 <- cmpLE(x, h) }
+              yield a1 && a2).getOrElse(true)
+          case None => true
+        }
+      }
+    def bloomOk(n: String, h: Option[Long]): Boolean = h match {
+      case Some(hash) => blooms.get(n) match {
+        case Some(bytes) =>
+          org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes))
+            .mightContainLong(hash)
+        case None => true
+      }
+      case None => true
+    }
+    p match {
+      case PAnd(l, r) => evalMay(l, f, blooms) && evalMay(r, f, blooms)
+      case POr(l, r) => evalMay(l, f, blooms) || evalMay(r, f, blooms)
+      case PNot(c) => evalNeg(c, f)
+      case PIsNull(n) => f.cols.get(n).forall(c => c.nulls != 0)
+      case PIsNotNull(n) => f.cols.get(n) match {
+        case Some(c) if c.nulls >= 0 => f.rows - c.nulls > 0
+        case _ => true
+      }
+      case PCmp(n, "eq", v, h) => cmpOk(n, v) && bloomOk(n, h)
+      case PCmp(n, op, vOpt, _) => vOpt match {
+        case None => true
+        case Some(x) => f.cols.get(n) match {
+          case Some(c) => (op match {
+            case "lt" => for { l <- lo(c); r <- cmpLE(x, l) } yield !r
+            case "le" => for { l <- lo(c); r <- cmpLE(l, x) } yield r
+            case "gt" => for { h <- hi(c); r <- cmpLE(h, x) } yield !r
+            case _ => for { h <- hi(c); r <- cmpLE(x, h) } yield r
+          }).getOrElse(true)
+          case None => true
+        }
+      }
+      case PIn(n, vs) => vs.exists { case (v, h) =>
+        cmpOk(n, v) && bloomOk(n, h) }
+      case PAny => true
+    }
+  }
+
+  /** evalMay(PNot(c)): true unless every row provably matches `c` —
+    * mirrors [[mayMatchNeg]] (blooms never participate in negation). */
+  private def evalNeg(p: PPred, f: FileStat): Boolean = p match {
+    case PAnd(l, r) => evalNeg(l, f) || evalNeg(r, f)
+    case POr(l, r) => evalNeg(l, f) && evalNeg(r, f)
+    case PNot(c) => evalMay(c, f, Map.empty)
+    case PCmp(n, "eq", Some(x), _) => f.cols.get(n) match {
+      case Some(c) =>
+        val allEq = (for { l <- lo(c); h <- hi(c) }
+          yield l == x && h == x).getOrElse(false)
+        !allEq
+      case None => true
+    }
+    case PIsNull(n) => f.cols.get(n) match {
+      case Some(c) => c.nulls < f.rows
+      case None => true
+    }
+    case PIsNotNull(n) => f.cols.get(n).forall(c => c.nulls != 0)
+    case _ => true
+  }
 }

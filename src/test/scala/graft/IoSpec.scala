@@ -1045,4 +1045,94 @@ class IoSpec extends SparkSpec {
     assert(frac.getTimestamp(0).toInstant
       === java.time.Instant.parse("2026-03-04T05:06:07.123Z"))
   }
+
+  test("distributed parquet-tier pruning ≡ driver pruning (and survives a corrupt index)") {
+    import graft.catalog.Catalog
+    val sKey = "graft.stats.inlineMaxFiles"
+    val bKey = "graft.bloom.inlineMaxFiles"
+    val dKey = "graft.stats.distributedPrune"
+    val prevS = spark.conf.getOption(sKey)
+    val prevB = spark.conf.getOption(bKey)
+    try {
+      val rootP = Files.createTempDirectory("fstats_dist").toString
+      val cat = new Catalog(rootP, spark)
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+        .repartitionByRange(8, col("o_orderkey"))
+      spark.conf.set(sKey, "4") // 8 files > 4 → parquet stats tier
+      // twin fixtures: inline blooms.json (broadcast arm) and blooms/
+      // parquet index (cogroup-join arm) beside the same stats tier
+      spark.conf.set(bKey, "32")
+      cat.save(Chain(orders), "bi", bloomCols = Seq("o_orderkey"))
+      spark.conf.set(bKey, "0")
+      cat.save(Chain(orders), "bp", bloomCols = Seq("o_orderkey"))
+      val vbi = cat.latestVersion("bi").get
+      val vdir = java.nio.file.Paths.get(rootP, "datasets", "bi", s"v$vbi")
+      assert(Files.isDirectory(vdir.resolve("stats")) &&
+        Files.exists(vdir.resolve("blooms.json")))
+      val vbp = cat.latestVersion("bp").get
+      assert(Files.isDirectory(java.nio.file.Paths.get(rootP, "datasets",
+        "bp", s"v$vbp", "blooms")))
+      val maxKey = orders.agg(max("o_orderkey")).head().getLong(0)
+      val preds = Seq(
+        col("o_orderkey") <= maxKey / 10,
+        col("o_orderkey") === 1L,
+        col("o_orderkey") === -42L,
+        col("o_orderkey").isin(1L, maxKey),
+        !(col("o_orderkey") === 1L),
+        col("o_orderkey") * 2 < 10,
+        col("o_orderkey") > maxKey / 2 && col("o_custkey") >= 0L)
+      for (ds <- Seq("bi", "bp"); p <- preds) {
+        spark.conf.set(dKey, "false")
+        val driver = cat.pruneCount(ds, p)
+        val driverRows = cat.readDatasetWhere(ds, p)
+          .selectExcept("sys").toDF.collect().toSet
+        spark.conf.set(dKey, "true")
+        val parses0 = cat.statsParses
+        val dist = cat.pruneCount(ds, p)
+        val distRows = cat.readDatasetWhere(ds, p)
+          .selectExcept("sys").toDF.collect().toSet
+        assert(dist === driver, s"$ds prune disagreement on $p")
+        assert(distRows === driverRows, s"$ds read disagreement on $p")
+        // the distributed path must never materialize the stats index
+        // on the driver
+        assert(cat.statsParses === parses0,
+          s"$ds distributed prune collected the index on the driver ($p)")
+      }
+      spark.conf.set(dKey, "true")
+      // a cow mutation through the distributed touched-file probe
+      val before = cat.readDataset("bi").toDF.count()
+      val res = cat.deleteWhere("bi", col("o_orderkey") === 1L)
+      assert(res.rowsAfter === before - 1)
+      assert(res.filesRewritten < 8,
+        "envelope pruning must hard-link most files through the delete")
+      // corrupt index: every reader degrades to a full scan, mutations
+      // still run (touch-everything), nothing throws
+      val v2 = cat.latestVersion("bi").get
+      val sdir = java.nio.file.Paths.get(rootP, "datasets", "bi",
+        s"v$v2", "stats")
+      import scala.jdk.CollectionConverters._
+      Files.list(sdir).iterator().asScala.toList
+        .filter(_.toString.endsWith(".parquet"))
+        .foreach(f => Files.write(f, "not parquet".getBytes))
+      val p2 = col("o_orderkey") <= maxKey / 10
+      assert(cat.pruneCount("bi", p2) === ((0, 0)))
+      val degraded = cat.readDatasetWhere("bi", p2)
+        .selectExcept("sys").toDF.collect().toSet
+      val fullRows = cat.readDataset("bi").selectExcept("sys").toDF
+        .filter(p2).collect().toSet
+      assert(degraded === fullRows && degraded.nonEmpty)
+      val before2 = cat.readDataset("bi").toDF.count()
+      val res2 = cat.deleteWhere("bi", col("o_orderkey") === 2L)
+      assert(res2.rowsAfter === before2 - 1)
+      assert(cat.readDataset("bi").toDF.count() === before2 - 1)
+      // the rebuilt version's index is fresh — pruning works again
+      assert(cat.pruneCount("bi", p2)._1 > 0)
+    } finally {
+      spark.conf.unset(dKey)
+      prevS match { case Some(x) => spark.conf.set(sKey, x)
+                    case None => spark.conf.unset(sKey) }
+      prevB match { case Some(x) => spark.conf.set(bKey, x)
+                    case None => spark.conf.unset(bKey) }
+    }
+  }
 }

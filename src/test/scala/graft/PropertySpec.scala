@@ -126,3 +126,132 @@ object KernelProps extends Properties("graft.kernels") {
     }
   }
 }
+
+/** Compiled-predicate parity: the executor-shippable [[graft.catalog
+  * .FileStats.PPred]] tree must evaluate EXACTLY like the driver's
+  * `mayMatch` for every predicate shape the pruner understands (and every
+  * shape it doesn't — both must conservatively keep), including after a
+  * Java serialization round-trip (the form in which it ships to tasks). */
+object StatsPruneProps extends Properties("graft.statsprune") {
+
+  import graft.catalog.FileStats
+  import graft.catalog.FileStats.{ColStats, FileStat}
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.types._
+
+  private val aRef = AttributeReference("a", LongType)()
+  private val bRef = AttributeReference("b", DoubleType)()
+  private val sRef = AttributeReference("s", StringType)()
+
+  private val longLit: Gen[Literal] =
+    Gen.choose(-6L, 14L).map(Literal(_, LongType))
+  private val dblLit: Gen[Literal] =
+    Gen.choose(-6.0, 14.0).map(Literal(_, DoubleType))
+  private val strLit: Gen[Literal] = Gen.oneOf("a", "mm", "zz", "😀", "￿")
+    .map(s => Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      StringType))
+  private val nullLit: Gen[Literal] = Gen.const(Literal(null, LongType))
+  // Decimal: comparable by lit() but NOT bloom-hashable — exercises the
+  // cmp-only arm
+  private val decLit: Gen[Literal] = Gen.choose(-6L, 14L)
+    .map(v => Literal(Decimal(v), DecimalType(10, 0)))
+
+  private def litFor(a: AttributeReference): Gen[Literal] =
+    if (a eq aRef) Gen.frequency(6 -> longLit, 1 -> nullLit, 1 -> decLit)
+    else if (a eq bRef) dblLit
+    else strLit
+
+  private val attrG: Gen[AttributeReference] = Gen.oneOf(aRef, bRef, sRef)
+
+  private val leaf: Gen[Expression] = attrG.flatMap { a =>
+    litFor(a).flatMap { l =>
+      Gen.oneOf(
+        EqualTo(a, l), EqualTo(l, a),
+        LessThan(a, l), LessThan(l, a),
+        LessThanOrEqual(a, l), LessThanOrEqual(l, a),
+        GreaterThan(a, l), GreaterThan(l, a),
+        GreaterThanOrEqual(a, l), GreaterThanOrEqual(l, a),
+        IsNull(a), IsNotNull(a),
+        // the analyzer's widening promote-cast
+        EqualTo(Cast(a, a.dataType), l),
+        // unsupported shapes — both evaluators must keep the file
+        EqualTo(Add(a, Literal(1L, LongType)), l),
+        GreaterThan(a, a))
+    }
+  }
+  private val inLeaf: Gen[Expression] = attrG.flatMap { a =>
+    Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, litFor(a)))
+      .map(ls => In(a, ls))
+  }
+
+  private def predG(depth: Int): Gen[Expression] =
+    if (depth <= 0) Gen.frequency(5 -> leaf, 1 -> inLeaf)
+    else Gen.frequency(
+      3 -> leaf, 1 -> inLeaf,
+      2 -> (for { l <- predG(depth - 1); r <- predG(depth - 1) }
+        yield And(l, r)),
+      2 -> (for { l <- predG(depth - 1); r <- predG(depth - 1) }
+        yield Or(l, r)),
+      2 -> predG(depth - 1).map(Not))
+
+  private def colG(kind: String): Gen[Option[ColStats]] =
+    Gen.frequency(1 -> Gen.const(None), 4 -> (kind match {
+      case "l" => for {
+        mn <- Gen.choose(-10L, 10L); w <- Gen.choose(0L, 8L)
+        nulls <- Gen.oneOf(Gen.const(-1L), Gen.choose(0L, 50L))
+      } yield Some(ColStats("l", mn, mn + w, 0, 0, null, null, nulls))
+      case "d" => for {
+        mn <- Gen.choose(-10.0, 10.0); w <- Gen.choose(0.0, 8.0)
+        nulls <- Gen.oneOf(Gen.const(-1L), Gen.choose(0L, 50L))
+      } yield Some(ColStats("d", 0, 0, mn, mn + w, null, null, nulls))
+      case _ => for {
+        xs <- Gen.listOfN(2, Gen.oneOf("a", "mm", "zz", "😀", "￿"))
+        nulls <- Gen.oneOf(Gen.const(-1L), Gen.choose(0L, 50L))
+      } yield {
+        def u(x: String) =
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        val srt = xs.sortBy(u)
+        Some(ColStats("s", 0, 0, 0, 0, srt.head, srt.last, nulls))
+      }
+    }))
+
+  private val statG: Gen[FileStat] = for {
+    rows <- Gen.choose(1L, 60L)
+    ca <- colG("l"); cb <- colG("d"); cs <- colG("s")
+  } yield FileStat("f",
+    rows,
+    Seq("a" -> ca, "b" -> cb, "s" -> cs)
+      .collect { case (n, Some(c)) => n -> c }.toMap)
+
+  /** Real serialized bloom over a subset of the long domain for "a" —
+    * exercises the precomputed-hash arm end to end. */
+  private val bloomG: Gen[Map[String, Array[Byte]]] =
+    Gen.frequency(1 -> Gen.const(Map.empty[String, Array[Byte]]),
+      2 -> Gen.someOf(-6L to 14L).map { vs =>
+        val bf = org.apache.spark.util.sketch.BloomFilter.create(64)
+        vs.foreach { v =>
+          bf.putLong(new XxHash64(Seq(Literal(v, LongType)))
+            .eval(null).asInstanceOf[Long])
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        Map("a" -> bos.toByteArray)
+      })
+
+  private def roundTrip(p: FileStats.PPred): FileStats.PPred = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(p); oos.close()
+    new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[FileStats.PPred]
+  }
+
+  property("evalMay ∘ compile ≡ mayMatch (incl. serialized)") =
+    forAll(predG(3), statG, bloomG) { (p, f, blooms) =>
+      val expected = FileStats.mayMatch(p, f, blooms)
+      val cp = FileStats.compile(p)
+      FileStats.evalMay(cp, f, blooms) == expected &&
+        FileStats.evalMay(roundTrip(cp), f, blooms) == expected
+    }
+}
