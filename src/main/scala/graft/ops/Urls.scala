@@ -16,29 +16,11 @@ import org.apache.spark.sql.functions._
  * Scale shape: every function here is a pure Column projection over
  * Spark built-ins (regexp, split/slice, HOF filter/sort) — whole-stage
  * codegen, zero shuffles, no UDFs, no driver state. The public-suffix
- * table is a small curated Seq compiled into an `isin` literal list
- * (swap point for a full PSL snapshot; the logic is suffix-set-agnostic).
+ * table is the full vendored Mozilla PSL snapshot evaluated by
+ * [[Psl]] through a codegen'd Catalyst expression (wildcard `*.ck`,
+ * exception `!www.ck`, and PRIVATE-section rules all honored).
  */
 object Urls {
-
-  /**
-   * Multi-part public suffixes recognized by [[registeredDomain]] beyond
-   * the default single-label rule. A deliberately small, deterministic
-   * subset of the Mozilla Public Suffix List (publicsuffix.org — public
-   * data): the common ccTLD second-levels plus the big PaaS domains.
-   * Documented swap seam: load the full PSL here and nothing else changes.
-   */
-  val TwoPartSuffixes: Seq[String] = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.nz", "net.nz", "org.nz",
-    "com.br", "net.br", "org.br",
-    "com.cn", "net.cn", "org.cn", "gov.cn",
-    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
-    "co.in", "co.kr", "co.za", "co.id", "co.th",
-    "github.io", "gitlab.io", "blogspot.com", "appspot.com",
-    "herokuapp.com", "cloudfront.net", "amazonaws.com")
 
   /**
    * Parse a URL into its RFC 3986 components:
@@ -69,24 +51,21 @@ object Urls {
   }
 
   /**
-   * Registered domain (eTLD+1) of a host: the label-pair above the public
-   * suffix, or the label-triple when the last two labels are a known
-   * multi-part suffix ([[TwoPartSuffixes]]). IPv4 literals and single
-   * labels pass through unchanged; a host that IS a public suffix returns
-   * itself (no registrable part — documented choice). Lower-cases first,
-   * so `WWW.Example.CO.UK` → `example.co.uk`. `slice` keeps every branch
-   * ANSI-safe at any label count.
+   * Registered domain (eTLD+1) of a host under the FULL vendored Mozilla
+   * Public Suffix List — the label above the public suffix, with
+   * wildcard (`*.ck`, `*.nagoya.jp`), exception (`!www.ck`), and
+   * PRIVATE-section (`github.io`, `blogspot.com`) rules all evaluated
+   * per the published algorithm ([[Psl]]). IPv4/IPv6 literals and single
+   * labels pass through unchanged; a host that IS a public suffix
+   * returns itself (no registrable part — documented choice).
+   * Lower-cases first, so `WWW.Example.CO.UK` → `example.co.uk`.
+   * A codegen'd expression (static table lookup, no UDF) — stays inside
+   * whole-stage codegen like every other function here.
    */
-  def registeredDomain(host: Column): Column = {
-    val h = lower(host)
-    val labels = split(h, "\\.")
-    val n = size(labels)
-    val last2 = array_join(slice(labels, -2, 2), ".")
-    val last3 = array_join(slice(labels, -3, 3), ".")
-    when(h.rlike("^[0-9]+(\\.[0-9]+){3}$") || n <= 1, h)
-      .when(n >= 3 && last2.isin(TwoPartSuffixes: _*), last3)
-      .otherwise(last2)
-  }
+  def registeredDomain(host: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      org.apache.spark.sql.graft.RegisteredDomainExpr(
+        org.apache.spark.sql.graft.bridge.expression(host)))
 
   /** Query-string parameters dropped by [[urlNormalize]]: click/campaign
     * trackers that fragment dedup keys without changing content. */

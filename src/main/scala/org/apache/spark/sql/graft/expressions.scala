@@ -46,6 +46,25 @@ case class SipHash64(child: Expression)
   override protected def withNewChildInternal(c: Expression): SipHash64 = copy(c)
 }
 
+/** Registered domain (eTLD+1) of a host against the vendored Mozilla
+  * Public Suffix List — full wildcard/exception/private-section
+  * semantics ([[graft.ops.Psl]]); the per-JVM rule tables load lazily on
+  * first executor call, the lookup itself is a static call inside
+  * whole-stage codegen. */
+case class RegisteredDomainExpr(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "registered_domain"
+  override protected def nullSafeEval(v: Any): Any =
+    graft.ops.Psl.registeredDomainU(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.Psl.registeredDomainU($c)")
+  override protected def withNewChildInternal(c: Expression): RegisteredDomainExpr =
+    copy(c)
+}
+
 /** popcount(a ^ b) — hamming distance between two 64-bit values. */
 case class BitHammingDistance(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

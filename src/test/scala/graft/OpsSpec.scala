@@ -165,6 +165,31 @@ class OpsSpec extends SparkSpec {
     assert(rd.toSeq === Seq("example.co.uk", "example.com", "10.1.2.3",
       "localhost", "github.io", "x.github.io", "x.github.io"))
 
+    // full-PSL semantics the curated set could not express:
+    // wildcard rules (*.ck, *.nagoya.jp), the exception rule !www.ck,
+    // PRIVATE-section suffixes (blogspot.com), and the default rule
+    // for an unlisted TLD
+    val psl = Seq(
+      "x.anything.ck",        // *.ck → suffix anything.ck
+      "anything.ck",          // IS a public suffix → itself
+      "www.ck",               // !www.ck exception → registrable
+      "a.www.ck",             // exception prevails over the wildcard
+      "bar.foo.nagoya.jp",    // *.nagoya.jp (private section)
+      "shop.example.nom.br",  // wildcard ccTLD rule *.nom.br
+      "myblog.blogspot.com",  // private suffix → registrable at 3 labels
+      "b.myblog.blogspot.com",
+      "a.b.unlistedtld")      // default rule * → last label is the suffix
+      .toDF("h").select(Urls.registeredDomain(col("h"))).as[String].collect()
+    assert(psl.toSeq === Seq(
+      "x.anything.ck", "anything.ck", "www.ck", "www.ck",
+      "bar.foo.nagoya.jp", "shop.example.nom.br",
+      "myblog.blogspot.com", "myblog.blogspot.com", "b.unlistedtld"))
+    // kernel-level spot checks (same engine the expression codegens into)
+    assert(graft.ops.Psl.isPublicSuffix("co.uk") &&
+      graft.ops.Psl.isPublicSuffix("anything.ck") &&
+      !graft.ops.Psl.isPublicSuffix("www.ck") &&
+      !graft.ops.Psl.isPublicSuffix("example.co.uk"))
+
     // review fixes: a '?' inside the fragment is NOT a query (SPA
     // routing URLs), and IPv6 literals keep their brackets
     val spa = Seq("https://ex.com/path#/route?tab=2").toDF("u")
