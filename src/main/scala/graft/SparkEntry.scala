@@ -2962,6 +2962,106 @@ object SparkEntry {
       cat.readDataset("ord").selectExcept("sys").toDF
     }),
 
+    "q_auto_compact" -> ((s, dir) => {
+      // auto-compaction folds the small-file debris of N drip appends
+      // back into a bounded file count as a NEW layout-only version:
+      // the bulk base file crosses as a hard link (filesReused), only
+      // the debris rewrites, row identity is untouched (oracle = the
+      // whole orders table the base+appends reassemble)
+      val root = Files.createTempDirectory("graft_autocompact").toString
+      val cat = new Catalog(root, s)
+      val o = T(s, dir, "orders")
+      cat.save(Chain(o.filter(col("o_orderkey") % 5 =!= 0).coalesce(1)),
+        "ord")
+      // six appends of disjoint slivers of the %5==0 band → six small
+      // files beside one bulk file
+      (0 until 6).foreach { i =>
+        cat.append("ord", o.filter(col("o_orderkey") % 5 === 0 &&
+          col("o_orderkey") % 6 === i))
+      }
+      val v = cat.latestVersion("ord").get
+      val sizes = cat.versionDataFiles("ord", v)
+      require(sizes.size == 7, s"expected 1 bulk + 6 debris, got $sizes")
+      // threshold between debris and bulk, derived from the real sizes
+      // so the gate is compression-proof
+      val bulkBytes = sizes.values.max
+      val r = cat.autoCompact("ord", maxSmallFiles = 3,
+        smallBytes = bulkBytes, nFiles = 2)
+      require(r.isDefined, "6 small files over a 3-file budget must compact")
+      val res = r.get
+      require(res.filesReused == 1,
+        s"the bulk file must hard-link through untouched: $res")
+      require(res.filesRewritten <= 2 && res.rowsAfter == res.rowsBefore,
+        s"layout-only fold into <=2 files: $res")
+      val after = cat.versionDataFiles("ord", res.version)
+      require(after.size <= 3, s"post-compact layout: ${after.size} files")
+      // below threshold now → the verb is idempotent (None, no version)
+      require(cat.autoCompact("ord", maxSmallFiles = 3,
+        smallBytes = bulkBytes, nFiles = 2).isEmpty,
+        "a compacted layout must not re-trigger")
+      cat.readDataset("ord").selectExcept("sys").toDF
+    }),
+
+    "q_vacuum" -> ((s, dir) => {
+      // retention vacuum with the dependency-closure guard: keepLast=1
+      // would delete both old base versions, but a derived dataset pins
+      // the OLDEST through its recorded dep — only the unreferenced
+      // middle version is deleted (asserted exactly, dry-run first),
+      // and every survivor still reads from disk afterwards
+      val root = Files.createTempDirectory("graft_vacuum").toString
+      val cat = new Catalog(root, s)
+      val o = T(s, dir, "orders")
+      val v1 = cat.save(Chain(o), "base")
+      val r2 = cat.deleteWhere("base", col("o_orderkey") % 7 === 0)
+      val r3 = cat.deleteWhere("base", col("o_orderkey") % 11 === 0)
+      cat.save(cat.readDataset("base", Some(v1)).selectExcept("sys")
+          .filter(col("o_orderkey") % 13 === 0),
+        "derived", deps = Seq(s"base@v$v1"))
+      val expect = Seq(("base", r2.version))
+      require(cat.vacuum(keepLast = 1, dryRun = true) == expect,
+        "dry run must report exactly the unreferenced middle version")
+      require(cat.versions("base").size == 3, "dry run must not delete")
+      require(cat.vacuum(keepLast = 1) == expect,
+        "vacuum must delete exactly the unreferenced middle version")
+      require(cat.versions("base") == Seq(v1, r3.version),
+        s"retention + dep closure survivors: ${cat.versions("base")}")
+      require(cat.readDataset("base", Some(v1)).toDF.count() > 0 &&
+        cat.readDataset("derived").toDF.count() > 0,
+        "dep-protected version and its derived view must still read")
+      require(cat.vacuum(keepLast = 1).isEmpty, "second vacuum is a no-op")
+      cat.readDataset("base").selectExcept("sys").toDF
+    }),
+
+    "q_move_dataset" -> ((s, dir) => {
+      // dataset rename/move across namespaces: every version moves, the
+      // per-version meta is patched to the new name, the old name is
+      // gone, the implied namespace registers, and a dependent's dep
+      // still resolves via the version data (oracle = read-back row
+      // identity of the moved latest)
+      val root = Files.createTempDirectory("graft_move").toString
+      val cat = new Catalog(root, s)
+      val n = T(s, dir, "nation")
+      cat.save(Chain(n.filter(col("n_nationkey") < 10)), "src_ds")
+      cat.save(Chain(n), "src_ds")
+      cat.moveDataset("src_ds", "archive.moved_ds")
+      require(!cat.datasets().contains("src_ds") &&
+        cat.datasets().contains("archive.moved_ds"),
+        s"move must transfer the name: ${cat.datasets()}")
+      require(cat.versions("archive.moved_ds").size == 2,
+        "every version must move")
+      require(cat.namespaces().contains("archive"),
+        "the dot-path prefix must surface as a namespace")
+      require(cat.readDataset("archive.moved_ds",
+          cat.versions("archive.moved_ds").headOption).toDF.count() == 10,
+        "old versions must read under the new name")
+      // the datasets meta-chain reflects the patched name
+      val names = cat.datasetsDF().select("name")
+        .collect().map(_.getString(0)).toSet
+      require(names.contains("archive.moved_ds") && !names.contains("src_ds"),
+        s"meta-chain must carry the new name: $names")
+      cat.readDataset("archive.moved_ds").selectExcept("sys").toDF
+    }),
+
     "q_delete_where" -> ((s, dir) => {
       // copy-on-write DELETE: a range-laid orders version drops its low
       // key band as a NEW immutable version — the stats index proves the
@@ -6832,6 +6932,16 @@ object SparkEntry {
 
       "q_optimize" ->
         "SELECT * FROM orders",
+
+      "q_auto_compact" ->
+        "SELECT * FROM orders",
+
+      "q_vacuum" ->
+        """SELECT * FROM orders
+          |WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0""".stripMargin,
+
+      "q_move_dataset" ->
+        "SELECT * FROM nation",
 
       "q_delete_where" ->
         """SELECT * FROM orders

@@ -1981,7 +1981,15 @@ final class Catalog(val root: String, spark: SparkSession) {
     while (queue.nonEmpty) {
       val (n, v) = queue.dequeue()
       depsOf(n, v).foreach { d =>
-        val exists = all.get(d._1).exists(_.contains(d._2))
+        // SAME-dataset deps (a cow mutation's / optimize's / restore's
+        // parent-version link) are PROVENANCE, not liveness: children
+        // hard-link every carried file, so deleting an ancestor's
+        // version dir never breaks them, and following these links
+        // would make every mutation trail immortal (unbounded storage
+        // on a daily-mutated 100 TB table). Retention (keepLast)
+        // governs a dataset's own history; the closure protects only
+        // CROSS-dataset lineage (derived pins its source).
+        val exists = d._1 != n && all.get(d._1).exists(_.contains(d._2))
         if (exists && !protect(d)) { protect += d; queue += d }
       }
     }

@@ -353,7 +353,8 @@ object MatView {
       val dirty = changes.select(groupBy.map(col): _*).distinct()
       val dirtyRows = dirty.limit(keyCollectMax + 1).collect()
       if (dirtyRows.isEmpty) { // versions advanced, view-relevant data didn't
-        patchCursor(catalog, name, source, srcLatest)
+        patchCursor(catalog, name, source, srcLatest,
+          defAttrs(source, rowKey, groupBy, aggs, kinds))
         return MvRefresh("additive", cursor.toString, srcLatest.toString,
           0, 0, 0, Nil)
       }
@@ -463,7 +464,8 @@ object MatView {
           keyCollectMax = keyCollectMax)
         if (!versions.lastOption.contains(r2.version) &&
           !before.contains(r2.version)) versions :+= r2.version
-        patchCursor(catalog, name, source, srcLatest)
+        patchCursor(catalog, name, source, srcLatest,
+          defAttrs(source, rowKey, groupBy, aggs, kinds))
         if (!catalog.latestVersion(name).contains(preLatest))
           clearPending(catalog, name, preLatest)
         MvRefresh(if (needsRecompute) "recompute" else "additive",
@@ -536,14 +538,21 @@ object MatView {
   /** Land the cursor on the view's latest version: the `mv:synced` attr
     * (where [[cursorOf]] reads it) plus a lineage dep on the synced
     * source version, so routine vacuums can't delete the version the
-    * next refresh diffs from (the syncChanges rule). */
+    * next refresh diffs from (the syncChanges rule). The definition
+    * attrs ride along too when absent — merge-committed refresh versions
+    * are cow saves that carry none, and vacuum reclaims same-dataset
+    * history, so the definition must live on EVERY synced version, not
+    * just the create-time one. */
   private def patchCursor(catalog: Catalog, name: String, source: String,
-                          to: SemVer): Unit = {
+                          to: SemVer, defA: Seq[String]): Unit = {
     val v = catalog.latestVersion(name).get
     val (_, attrs) = catalog.annotationsOf(name, v)
+    val base = attrs.filterNot(a => a.startsWith("mv:synced=") ||
+      a.startsWith("mv:pending="))
+    val withDef =
+      if (base.exists(_.startsWith("mv:src="))) base else base ++ defA
     catalog.updateDataset(name, Some(v), attrs = Some(
-      attrs.filterNot(a => a.startsWith("mv:synced=") ||
-        a.startsWith("mv:pending=")) :+ s"mv:synced=$to"))
+      withDef :+ s"mv:synced=$to"))
     catalog.addDep(name, v, s"$source@v$to")
   }
 

@@ -194,6 +194,30 @@ class CatalogSpec extends SparkSpec {
     assert(cat.vacuum(keepLast = 1).toSet === expect)
   }
 
+  test("vacuum reclaims cow-trail middles: same-dataset deps are provenance") {
+    val root = Files.createTempDirectory("cat_vac_cow").toString
+    val cat = new Catalog(root, spark)
+    import org.apache.spark.sql.functions.col
+    val n = spark.read.parquet(s"$sf/orders.parquet")
+    val v1 = cat.save(Chain(n), "t")
+    val r2 = cat.deleteWhere("t", col("o_orderkey") % 7 === 0)
+    val r3 = cat.deleteWhere("t", col("o_orderkey") % 11 === 0)
+    // cross-dataset lineage still pins: derived depends on the OLDEST
+    cat.save(cat.readDataset("t", Some(v1)).limit(5), "derived",
+      deps = Seq(s"t@v$v1"))
+    // the cow middle is the only victim — its child's parent link is
+    // provenance (hard-linked carries), NOT liveness, so the trail is
+    // reclaimable; v1 survives through the derived dataset's dep
+    val expectRows = cat.readDataset("t").toDF.count()
+    assert(cat.vacuum(keepLast = 1, dryRun = true) === Seq(("t", r2.version)))
+    assert(cat.vacuum(keepLast = 1) === Seq(("t", r2.version)))
+    assert(cat.versions("t") === Seq(v1, r3.version))
+    // the survivor reads whole: carried files were hard links, deleting
+    // the ancestor's dir entries never touched their inodes
+    assert(cat.readDataset("t").toDF.count() === expectRows)
+    assert(cat.readDataset("t", Some(v1)).toDF.count() === n.count())
+  }
+
   test("readDatasetAsOf resolves timestamp time travel over createdAt") {
     val root = Files.createTempDirectory("cat_asof").toString
     val cat = new Catalog(root, spark)
