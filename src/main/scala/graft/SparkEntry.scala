@@ -3442,6 +3442,51 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    "q_matview_partitioned" -> ((s, dir) => {
+      // MatView over a hive-PARTITIONED source — the untested
+      // composition: the recompute path's dirty-group source read runs
+      // partition-DIRECTORY pruning and the IN-pruned dirty keys
+      // together (a one-lang deletion re-aggregates one lang's
+      // partition, not the table), then an insert-only append stays on
+      // the zero-source-scan additive path even with min present.
+      // Oracle recomputes the final groupBy from the reconstructed table
+      val root = Files.createTempDirectory("graft_mvpart").toString
+      val cat = new Catalog(root, s)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val d = T(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        cat.save(Chain(d), "dp", partitionBy = Seq("lang"))
+        val v0 = cat.latestVersion("dp").get
+        require(cat.versionDataFiles("dp", v0).keys
+            .forall(_.startsWith("lang=")),
+          "source must be laid out under lang= partition dirs")
+        MatView.create(cat, "mvp", "dp", Seq("doc_id"), Seq("lang"),
+          Seq(MvAgg("lo", "min", "n_chars"), MvAgg("n", "count", "*"),
+            MvAgg("chars", "sum", "n_chars")))
+        // strip one lang's minima → exactly one dirty group; min +
+        // removals force the recompute path, whose source read composes
+        // partition pruning with the dirty-key IN prune
+        cat.deleteWhere("dp", col("lang") === "en" &&
+          col("n_chars") % 3 === 0)
+        val r = MatView.refresh(cat, "mvp")
+        require(r.mode == "recompute" && r.dirtyGroups == 1,
+          s"one dirty lang through the recompute path: $r")
+        // insert-only batch: min stays ADDITIVE (least/greatest), the
+        // partitioned source is never rescanned
+        cat.append("dp", d.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+            (col("n_chars") + 7L).as("n_chars")))
+        val r2 = MatView.refresh(cat, "mvp")
+        require(r2.mode == "additive",
+          s"insert-only must stay additive: $r2")
+        require(MatView.refresh(cat, "mvp").mode == "noop",
+          "in-sync refresh must be a no-op")
+        MatView.read(cat, "mvp").toDF
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }),
+
     "q_matview_minmax" -> ((s, dir) => {
       // materialized view, RECOMPUTE path: deleting rows can strip a
       // group's current min/max, which no bounded per-group state can
@@ -7047,6 +7092,18 @@ object SparkEntry {
           |  CAST(CAST(sum(CAST(n_chars AS DECIMAL(28,10))) AS DOUBLE)
           |       / count(n_chars) AS DOUBLE) AS avg_chars
           |FROM t4 GROUP BY lang""".stripMargin,
+
+      "q_matview_partitioned" ->
+        """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+          |t1 AS (SELECT * FROM base
+          |       WHERE NOT (lang = 'en' AND n_chars % 3 = 0)),
+          |t2 AS (SELECT * FROM t1 UNION ALL
+          |       SELECT doc_id + 2000000, lang, n_chars + 7
+          |       FROM base WHERE doc_id % 17 = 0)
+          |SELECT lang, CAST(min(n_chars) AS BIGINT) AS lo,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(n_chars) AS BIGINT) AS chars
+          |FROM t2 GROUP BY lang""".stripMargin,
 
       "q_matview_minmax" ->
         """WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
