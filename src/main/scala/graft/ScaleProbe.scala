@@ -19,7 +19,8 @@ object ScaleProbe {
     //   lm,exactsubstr,dsir,semdedup,ann,graph,triangles,lpa,kmeans,kcore,
     //   heavyhitters,covariance,kll,topk,sketchoverlap,saltjoin,bucketjoin,
     //   pq,profile,rollingdistinct,funnel,statsskip,bloomskip,
-    //   intervaljoin,mediameta,optimize,tokenmix,crawl,fuzzyjoin,mutate,
+    //   intervaljoin,mediameta,optimize,tokenmix,crawl,fuzzyjoin,mutate,statstier,
+    //   mergelarge,cdfchurn,annindexq,
     //   matview (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
@@ -1182,6 +1183,198 @@ object ScaleProbe {
           f"merge=${mrgSec}%.2f s (rw=${m.filesRewritten} ln=${m.filesReused})  " +
           f"append=${appSec}%.2f s (ln=${a.filesReused})  " +
           f"restore=${resSec}%.3f s")
+      }
+    }
+
+    // Parquet stats tier, read side: a K×-growing MANY-FILE version
+    // (1280..10240 files, well past graft.stats.inlineMaxFiles=512) is
+    // pruned two ways — the distributed path (predicate compiled to
+    // PPred, envelope test cogrouped over the stats/ index on the
+    // executors, only kept file NAMES collected) vs the driver collect
+    // path (every stat row materialized, mayMatch looped). Evidence:
+    // identical prune decisions, and the driver-resident bytes of what
+    // each path collects (SizeEstimator) — the distributed path's
+    // footprint is O(kept names) and stays ~flat in file count.
+    if (want("statstier")) {
+      import java.nio.file.{Files => JFiles}
+      ks.foreach { k =>
+        val files = 1280 * k
+        val rows = 1000L * files
+        val df = spark.range(rows)
+          .select(col("id").as("k1"), (col("id") % 97).as("k2"))
+          .repartitionByRange(files, col("k1"))
+        val root = JFiles.createTempDirectory(s"probe_stt_$k").toString
+        val cat = new graft.catalog.Catalog(root, spark)
+        val tS = System.nanoTime()
+        cat.save(graft.core.Chain(df), "big")
+        val saveSec = (System.nanoTime() - tS) / 1e9
+        val v = cat.latestVersion("big").get
+        val pred = col("k1") <= rows / 64
+        // distributed (default on)
+        spark.conf.set("graft.stats.distributedPrune", "true")
+        val t0 = System.nanoTime()
+        val (kept, total) = cat.pruneCount("big", pred)
+        val distSec = (System.nanoTime() - t0) / 1e9
+        // driver collect path (parity + footprint comparison)
+        spark.conf.set("graft.stats.distributedPrune", "false")
+        val t1 = System.nanoTime()
+        val (keptD, totalD) = cat.pruneCount("big", pred)
+        val drvSec = (System.nanoTime() - t1) / 1e9
+        require((kept, total) == (keptD, totalD),
+          s"tier parity: ($kept,$total) != ($keptD,$totalD)")
+        // what each path leaves resident on the driver
+        val drvStats = cat.fileStatsFor("big", v, Some(Seq("k1")))
+        val drvBytes = org.apache.spark.util.SizeEstimator.estimate(drvStats)
+        val keptNames = drvStats.filter(s =>
+          graft.catalog.FileStats.evalMay(graft.catalog.FileStats.compile(
+            org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+              org.apache.spark.sql.catalyst.expressions.AttributeReference(
+                "k1", org.apache.spark.sql.types.LongType)(),
+              org.apache.spark.sql.catalyst.expressions.Literal(rows / 64))),
+            s, Map.empty)).map(_.file)
+        val keptBytes = org.apache.spark.util.SizeEstimator.estimate(keptNames)
+        spark.conf.unset("graft.stats.distributedPrune")
+        val t2 = System.nanoTime()
+        val pruned = cat.readDatasetWhere("big", pred).toDF.count()
+        val readSec = (System.nanoTime() - t2) / 1e9
+        require(pruned == rows / 64 + 1, s"pruned read rows: $pruned")
+        println(f"statstier K=$k%-3d files=$files%-6d save(+index)=${saveSec}%.1f s  " +
+          f"prune dist=${distSec}%.2f s vs driver=${drvSec}%.2f s " +
+          f"(kept $kept/$total)  driver-resident: collect=${drvBytes / 1024}%d KiB " +
+          f"vs kept-names=${keptBytes / 1024}%d KiB  pruned read ${readSec}%.2f s")
+      }
+    }
+
+    // mergeInto with a LARGE source (no key collect — keyCollectMax=0
+    // forces the envelope-binned probe): the classic upsert shape,
+    // ~60k source rows updating a narrow low band + inserting brand-new
+    // high keys, against a K×-growing range-laid table. The claim: files
+    // rewritten track the BAND + the inserts, not the table, so merge
+    // wall time stays ~flat while the table grows 8×.
+    if (want("mergelarge")) {
+      import java.nio.file.{Files => JFiles}
+      val orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      val span = orders.agg(max("o_orderkey")).head().getLong(0) + 1L
+      ks.foreach { k =>
+        val root = JFiles.createTempDirectory(s"probe_mrgl_$k").toString
+        val cat = new graft.catalog.Catalog(root, spark)
+        val amplified = orders
+          .crossJoin(spark.range(k).select(col("id").as("__c")))
+          .select((col("o_orderkey") + col("__c") * span).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"))
+          .repartitionByRange(8 * k, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey")
+        cat.save(graft.core.Chain(amplified), "ord")
+        val updates = orders.filter(col("o_orderkey") <= span / 16)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+        val inserts = orders.filter(col("o_orderkey") % 3 === 0)
+          .select((col("o_orderkey") + span * k + 1000000L).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"))
+        val src = updates.unionByName(inserts)
+        val nSrc = src.count()
+        val t0 = System.nanoTime()
+        val m = cat.mergeInto("ord", src, Seq("o_orderkey"),
+          keyCollectMax = 0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(m.rowsMatched > 0 && m.rowsInserted > 0, s"upsert shape: $m")
+        println(f"mergelarge K=$k%-3d tableRows=${150000L * k}%-9d " +
+          f"files=${8 * k}%-4d srcRows=$nSrc%-7d merge=${sec}%.2f s " +
+          f"(rw=${m.filesRewritten} ln=${m.filesReused} " +
+          f"matched=${m.rowsMatched} ins=${m.rowsInserted})")
+      }
+    }
+
+    // Change data feed on a HIGH-CHURN trail: four band-targeted
+    // mutations (fixed churn volume) against a K×-growing base, then
+    // both CDF reads — the two-version NET diff and the per-commit
+    // range feed. The claim: the diff reads only each hop's UNSHARED
+    // file pairs (hard-linked carries skip), so feed cost tracks the
+    // churn, not the table — ~flat across 8× base growth.
+    if (want("cdfchurn")) {
+      import java.nio.file.{Files => JFiles}
+      val orders = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      val span = orders.agg(max("o_orderkey")).head().getLong(0) + 1L
+      ks.foreach { k =>
+        val root = JFiles.createTempDirectory(s"probe_cdf_$k").toString
+        val cat = new graft.catalog.Catalog(root, spark)
+        val amplified = orders
+          .crossJoin(spark.range(k).select(col("id").as("__c")))
+          .select((col("o_orderkey") + col("__c") * span).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice"))
+          .repartitionByRange(8 * k, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey")
+        val v1 = cat.save(graft.core.Chain(amplified), "ord")
+        // fixed-size churn: each hop touches one narrow low band
+        (0 until 4).foreach { i =>
+          val lo = i.toLong * span / 64
+          val hi = lo + span / 128
+          if (i % 2 == 0)
+            cat.deleteWhere("ord",
+              col("o_orderkey") > lo && col("o_orderkey") <= hi)
+          else
+            cat.updateWhere("ord",
+              col("o_orderkey") > lo && col("o_orderkey") <= hi,
+              Map("o_totalprice" -> (col("o_totalprice") + lit(1.0))))
+        }
+        val vN = cat.latestVersion("ord").get
+        val t0 = System.nanoTime()
+        val net = graft.delta.Delta.readChanges(cat, "ord", v1, vN,
+          Seq("o_orderkey")).toDF.count()
+        val netSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val perCommit = graft.delta.Delta.readChangesRange(cat, "ord",
+          v1, vN, Seq("o_orderkey")).toDF.count()
+        val rangeSec = (System.nanoTime() - t1) / 1e9
+        println(f"cdfchurn K=$k%-3d tableRows=${150000L * k}%-9d " +
+          f"files=${8 * k}%-4d net-diff $net%-7d rows ${netSec}%.2f s   " +
+          f"per-commit feed $perCommit%-7d rows ${rangeSec}%.2f s")
+      }
+    }
+
+    // Persisted-IVF batch query throughput: one index build over a
+    // K×-growing corpus, then 64-query batches through searchIndex
+    // (routing collect ≤ 64×nprobe rows; the index read prunes to the
+    // probed centroid bands via footer stats). Evidence: batch latency
+    // vs the brute-force scan, and a second warm batch (the amortized
+    // steady state a query service runs at).
+    if (want("annindexq")) {
+      import java.nio.file.{Files => JFiles}
+      import graft.ops.Similarity
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .select("vec_id", "embedding").cache()
+      val nEmb = emb.count()
+      val queries = emb.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("query_id"), col("embedding")).cache()
+      queries.count()
+      ks.foreach { k =>
+        val corpus = emb.crossJoin(
+            spark.range(k).select(col("id").as("__copy")))
+          .select((col("vec_id") * k + col("__copy")).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x + (pmod(col("__copy") * 31 + i, lit(7)) - lit(3))
+                .cast("float") * lit(0.01f)).as("embedding"))
+        val root = JFiles.createTempDirectory(s"probe_aiq_$k").toString
+        val cat = new graft.catalog.Catalog(root, spark)
+        val tB = System.nanoTime()
+        Similarity.saveIndex(cat, "idx", corpus, nlist = 32, nFiles = 32)
+        val buildSec = (System.nanoTime() - tB) / 1e9
+        val t0 = System.nanoTime()
+        val n1 = Similarity.searchIndex(cat, "idx", queries, k = 5,
+          nprobe = 4).count()
+        val coldSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        Similarity.searchIndex(cat, "idx", queries, k = 5, nprobe = 4)
+          .count()
+        val warmSec = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        Similarity.bruteForceTopK(corpus, queries, 5).count()
+        val bruteSec = (System.nanoTime() - t2) / 1e9
+        require(n1 == 64 * 5, s"64 queries x top-5: $n1")
+        println(f"annindexq K=$k%-3d vecs=${nEmb * k}%-8d " +
+          f"build=${buildSec}%.1f s  batch64 cold=${coldSec}%.2f s " +
+          f"warm=${warmSec}%.2f s  brute=${bruteSec}%.2f s " +
+          f"(${bruteSec / warmSec}%.1fx)")
       }
     }
 
