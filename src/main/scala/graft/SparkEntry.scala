@@ -200,6 +200,10 @@ object SparkEntry {
             .as("tags"),
           array(array(col("doc_id")),
             array(col("doc_id") + 1, col("doc_id") + 2)).as("nest"),
+          transform(sequence(lit(0), lit(2)), k => struct(
+            struct(pmod(col("doc_id") * 7 + k * 13, lit(89)).as("s"))
+              .as("m"),
+            k.cast("long").as("k"))).as("nitems"),
           when(pmod(col("doc_id"), lit(2)) === 1,
             concat(lit("alt-"), col("doc_id"))).as("alt"))
           .as("p"))).as("value"))
@@ -220,7 +224,12 @@ object SparkEntry {
         rd("p.map(&v, items) | sum(@)", "sum"),
         rd("p.items | min_by(@, &v).v", "min_by"),
         rd("p.ends_with(sid, '3')", "ends_with"),
-        rd("p.nest[] | sum(@)", "flatten_sum")
+        rd("p.nest[] | sum(@)", "flatten_sum"),
+        // the r11-residual grammar: multiselect LIST, dotted &expression
+        // keys, and standalone bracket ops on a piped root
+        rd("p.[sid, num] | join('-', @)", "mslist"),
+        rd("p.nitems | max_by(@, &m.s).k", "maxby_nested"),
+        rd("p.items | sort_by(@, &v) | [0].v", "pipe_idx")
       ).reduce(_.unionAll(_))
     }),
 
@@ -4603,7 +4612,16 @@ object SparkEntry {
           |UNION ALL SELECT 'ends_with',
           |  CAST(ends_with('id-' || CAST(doc_id AS VARCHAR), '3') AS VARCHAR) FROM d
           |UNION ALL SELECT 'flatten_sum',
-          |  CAST(CAST(doc_id*3 + 3 AS DOUBLE) AS VARCHAR) FROM d""".stripMargin,
+          |  CAST(CAST(doc_id*3 + 3 AS DOUBLE) AS VARCHAR) FROM d
+          |UNION ALL SELECT 'mslist',
+          |  'id-' || CAST(doc_id AS VARCHAR) || '-'
+          |    || CAST(doc_id*3 AS VARCHAR) || '.5' FROM d
+          |UNION ALL SELECT 'maxby_nested', CAST(k AS VARCHAR) FROM (
+          |  SELECT doc_id, s.k, row_number() OVER (PARTITION BY doc_id
+          |    ORDER BY (doc_id*7 + s.k*13) % 89 DESC) AS rn
+          |  FROM d, generate_series(0, 2) AS s(k)) WHERE rn = 1
+          |UNION ALL SELECT 'pipe_idx', CAST(least((doc_id*3) % 97,
+          |  (doc_id*3+31) % 97, (doc_id*3+62) % 97) AS VARCHAR) FROM d""".stripMargin,
 
       "q_read_database" ->
         "SELECT n_nationkey, n_name, n_regionkey FROM nation",

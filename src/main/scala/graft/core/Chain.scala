@@ -545,6 +545,11 @@ object Chain {
    *    field vs a literal (`== != < <= > >=`; string / number / boolean)
    *  - `{alias: path, ...}` — multiselect hash reshaping the current
    *    root into the named projection (dotted paths)
+   *  - `[e1, e2, ...]` — multiselect list packing the selections into
+   *    one array column (named `values`; mixed types coerce to string)
+   *  - standalone bracket ops on the piped root: `xs | [0]`, `xs | [1:]`
+   *  - `&expression` refs (sort_by/min_by/max_by keys, map's expr) are
+   *    dotted field paths: `sort_by(@, &m.score)`
    *  - ops compose within a segment: `items[?tag=='a'][*]`, `xs[1:3][0]`,
    *    `items[*].{x: a.b, y: c}`
    * A terminal scalar/array step keeps its field name as the single
@@ -619,10 +624,41 @@ object Chain {
     col(df.columns.head)
   }
 
+  /** The `][`-split bracket ops of a standalone `[...]` segment, or None
+    * when the content is a multiselect LIST (`[a, b]`) rather than
+    * index/slice/filter/flatten/star ops. */
+  private def jmesBracketOps(seg: String): Option[Seq[String]] = {
+    val inner = seg.substring(1, seg.length - 1)
+    val parts =
+      if (inner.isEmpty) Seq("")
+      else inner.split("\\]\\[", -1).toSeq
+    val opLike = parts.forall(p => p == "*" || p == "" ||
+      p.matches("-?\\d+") || p.matches("(-?\\d*):(-?\\d*)") ||
+      p.startsWith("?"))
+    if (opLike) Some(parts) else None
+  }
+
   private def applyJmespathExpr(df0: DataFrame, jp: String): DataFrame = {
     var out = df0
     jmesSegments(jp).foreach { seg =>
-      if (seg.startsWith("{") && seg.endsWith("}")) {
+      if (seg.startsWith("[") && seg.endsWith("]") &&
+          jmesBracketOps(seg).isEmpty) {
+        // multiselect LIST `[e1, e2, ...]`: each element evaluates
+        // against the current root and the results pack into ONE array
+        // column (spec-named — jmespath lists are anonymous, the column
+        // must be called something; "values" mirrors the hash's field
+        // naming). jmespath is dynamically typed where array() needs one
+        // element type, so mixed-type selections coerce to their string
+        // rendering (the not_null() precedent).
+        val parts = jmesArgs(seg.substring(1, seg.length - 1))
+        require(parts.nonEmpty, s"empty jmespath multiselect list: '$seg'")
+        val cs = parts.map(p => jmesValueArg(out, p))
+        val dts = cs.map(c => out.select(c).schema.head.dataType).distinct
+        val arr =
+          if (dts.length <= 1) array(cs: _*)
+          else array(cs.map(_.cast("string")): _*)
+        out = out.select(arr.as("values"))
+      } else if (seg.startsWith("{") && seg.endsWith("}")) {
         // multiselect hash: `{alias: path, ...}` — reshape the current
         // root into the named projection (paths are dotted field refs,
         // resolved against the re-rooted columns)
@@ -652,8 +688,11 @@ object Chain {
             if (bracketAt < 0) Seq.empty
             else seg.drop(bracketAt).stripPrefix("[").stripSuffix("]")
               .split("\\]\\[", -1).toSeq
-          require(n.nonEmpty, s"jmespath segment needs a field name: '$seg'")
-          (n, col(n), t)
+          if (n.nonEmpty) (n, col(n), t)
+          else
+            // standalone bracket ops (`[0]`, `[1:3]`, `[?…]` — the
+            // post-pipe shapes) apply to the current single-column root
+            (out.columns.head, jmesCurrent(out), t)
       }
       var c: Column = c0
       var exploded = false
@@ -769,10 +808,10 @@ object Chain {
       case "sort_by" =>
         require(args.length == 2 && args(1).startsWith("&"),
           s"sort_by(array, &key): got '$argsRaw'")
-        val key = args(1).stripPrefix("&").trim
+        val key = jmesKeyRef(args(1))
         array_sort(path(args.head), (a, b) =>
-          when(a.getField(key) < b.getField(key), -1)
-            .when(a.getField(key) > b.getField(key), 1)
+          when(key(a) < key(b), -1)
+            .when(key(a) > key(b), 1)
             .otherwise(0))
       case "reverse" =>
         require(args.length == 1, s"reverse(subject): got '$argsRaw'")
@@ -805,10 +844,7 @@ object Chain {
         // element — a transform() HOF, still a pure codegen projection
         require(args.length == 2 && args.head.startsWith("&"),
           s"map(&expr, array): got '$argsRaw'")
-        val fields = args.head.stripPrefix("&").trim.split("\\.").toSeq
-        require(fields.forall(_.nonEmpty),
-          s"jmespath map() key must be a dotted field path: '${args.head}'")
-        transform(path(args(1)), e => fields.foldLeft(e)(_.getField(_)))
+        transform(path(args(1)), jmesKeyRef(args.head))
       case "ends_with" =>
         require(args.length == 2, s"ends_with(subject, suffix): got '$argsRaw'")
         path(args.head).endsWith(va(args(1)))
@@ -837,18 +873,18 @@ object Chain {
       case "min_by" | "max_by" =>
         require(args.length == 2 && args(1).startsWith("&"),
           s"$fn(array, &key): got '$argsRaw'")
-        val key = args(1).stripPrefix("&").trim
+        val key = jmesKeyRef(args(1))
         val arr = path(args.head)
         // null-keyed elements sort AWAY from the chosen end, so they can
         // never beat a real key (a bare <-comparator would leave them
         // wherever TimSort found them — an arbitrary wrong answer)
         val nullsLose = if (fn == "min_by") 1 else -1
         val sorted = array_sort(arr, (a, b) =>
-          when(a.getField(key).isNull && b.getField(key).isNull, 0)
-            .when(a.getField(key).isNull, nullsLose)
-            .when(b.getField(key).isNull, -nullsLose)
-            .when(a.getField(key) < b.getField(key), -1)
-            .when(a.getField(key) > b.getField(key), 1)
+          when(key(a).isNull && key(b).isNull, 0)
+            .when(key(a).isNull, nullsLose)
+            .when(key(b).isNull, -nullsLose)
+            .when(key(a) < key(b), -1)
+            .when(key(a) > key(b), 1)
             .otherwise(0))
         // null for an empty array (jmespath semantics) — a bare
         // element_at would THROW under ANSI instead
@@ -863,6 +899,17 @@ object Chain {
         if (dts.length <= 1) coalesce(cs: _*)
         else coalesce(cs.map(_.cast("string")): _*)
     }
+  }
+
+  /** An `&expression` reference (sort_by/min_by/max_by keys): a DOTTED
+    * field path applied to an array element — `&v`, `&m.score` both
+    * resolve by getField descent. */
+  private def jmesKeyRef(arg: String): Column => Column = {
+    val fields = arg.stripPrefix("&").trim.split("\\.").toSeq
+    require(fields.nonEmpty && fields.forall(f =>
+        f.nonEmpty && !f.contains('[') && !f.contains('(')),
+      s"jmespath &expression must be a dotted field path: '$arg'")
+    e => fields.foldLeft(e)(_.getField(_))
   }
 
   /** A function VALUE argument: a [[jmesLiteral]] shape (quoted string /

@@ -383,8 +383,8 @@ class IoSpec extends SparkSpec {
   test("jmespath functions and pipes compile to Catalyst HOFs") {
     val dir = Files.createTempDirectory("jsonl3")
     val lines = Seq(
-      """{"p":{"items":[{"id":1,"tag":"x","v":30},{"id":2,"tag":"y","v":10},{"id":3,"tag":"x","v":20}],"xs":[7,10,9,8],"names":["b","a","c"],"neg":-2.5,"nest":[[1,2],[3]]}}""",
-      """{"p":{"items":[{"id":4,"tag":"y","v":40}],"xs":[2,1],"names":["z"],"neg":-2.5,"nest":[[4]]}}""")
+      """{"p":{"items":[{"id":1,"tag":"x","v":30,"m":{"s":5}},{"id":2,"tag":"y","v":10,"m":{"s":9}},{"id":3,"tag":"x","v":20,"m":{"s":1}}],"xs":[7,10,9,8],"names":["b","a","c"],"neg":-2.5,"nest":[[1,2],[3]]}}""",
+      """{"p":{"items":[{"id":4,"tag":"y","v":40,"m":{"s":4}}],"xs":[2,1],"names":["z"],"neg":-2.5,"nest":[[4]]}}""")
     Files.write(dir.resolve("part-0.jsonl"),
       String.join("\n", lines: _*).getBytes("UTF-8"))
     def run(jp: String) = Chain.readJsonInferred(spark, dir.toString,
@@ -460,6 +460,23 @@ class IoSpec extends SparkSpec {
       === Set(3L, 1L))
     assert(run("p.nest[] | sum(@)").as[Double].collect().toSet
       === Set(6.0, 4.0))
+    // multiselect LIST: selections pack into one array column "values";
+    // same-type stays typed, mixed types coerce to string
+    assert(run("p.[neg, neg]").schema.head.name === "values")
+    assert(run("p.xs | [0:2] | length(@)").as[Long].collect().toSet
+      === Set(2L))
+    assert(run("p.[names, xs] | length(@)").as[Long].collect().toSet
+      === Set(2L)) // two selections → a 2-element (string-coerced) list
+    // standalone bracket ops on the piped root
+    assert(run("p.xs | [0]").as[Long].collect().toSet === Set(7L, 2L))
+    assert(run("p.items | sort_by(@, &v) | [0].v").as[Long].collect().toSet
+      === Set(10L, 40L))
+    assert(run("p.items | [?tag == 'x'] | length(@)")
+      .as[Long].collect().toSet === Set(2L, 0L))
+    // dotted &expression key: pick by a NESTED field
+    assert(run("p.items | max_by(@, &m.s).id").as[Long].collect().toSet
+      === Set(2L, 4L))
+    intercept[IllegalArgumentException](run("p.items | sort_by(@, &)"))
     // functions need well-formed args
     intercept[IllegalArgumentException](run("p.xs | join(@)"))
     intercept[IllegalArgumentException](run("p.items | sort_by(@, v)"))
