@@ -447,8 +447,6 @@ final class Catalog(val root: String, spark: SparkSession) {
       if (partitionBy.nonEmpty) partitionBy
       else detectPartitionCols(dataDir)
     val df0 = readVersionData(name, v)
-    val mpbKey = "spark.sql.files.maxPartitionBytes"
-    val ocKey = "spark.sql.files.openCostInBytes"
     // 2-col tuple or the N-col list — same quantile z-curve either way
     val zcols = zorderBy.map(t => Seq(t._1, t._2)).getOrElse(zorderByCols)
     def commit(laid: DataFrame): SemVer =
@@ -474,23 +472,16 @@ final class Catalog(val root: String, spark: SparkSession) {
         // SCAN partitions to ~total/nFiles so coalesce merges even-byte
         // chunks. Plain coalesce over the default 128 MB packing folds
         // every small file into one read task and writes one giant
-        // output beside empties when inputs are skewed. The session-conf
-        // flip (prev-capture included) lives under confFlipLock so two
-        // concurrent rewrites can't cross-restore each other's targets.
+        // output beside empties when inputs are skewed. The packing
+        // targets live on a CLONED session (shared SparkContext, own
+        // SQLConf) whose catalog twin re-derives the scan — no JVM-wide
+        // lock held across the rewrite job, and concurrent reads on the
+        // base session never see the flip.
         val total = walkParquet(dataDir).map(Files.size(_)).sum
         val target = math.max(64L << 10,
           math.ceil(total.toDouble / math.max(1, nFiles)).toLong)
-        confFlipLock.synchronized {
-          val prevMpb = spark.conf.get(mpbKey)
-          val prevOc = spark.conf.get(ocKey)
-          spark.conf.set(mpbKey, target.toString)
-          spark.conf.set(ocKey, math.min(4L << 20, target / 16).toString)
-          try commit(df0.coalesce(nFiles))
-          finally {
-            spark.conf.set(mpbKey, prevMpb)
-            spark.conf.set(ocKey, prevOc)
-          }
-        }
+        commit(packedSession(target).readVersionData(name, v)
+          .coalesce(nFiles))
       }
     val after = walkParquet(vDir(name, nv).resolve("data")).size
     (nv, before, after)
@@ -886,8 +877,6 @@ final class Catalog(val root: String, spark: SparkSession) {
   private def compactFiles(name: String, v: SemVer, touched: Seq[String],
                            all: Seq[String], nFiles: Int, op: String,
                            bloomExpected: Long): MutationResult = {
-    val mpbKey = "spark.sql.files.maxPartitionBytes"
-    val ocKey = "spark.sql.files.openCostInBytes"
     if (touched.isEmpty)
       cowRewrite(name, v, touched, all, None, op, bloomExpected)
     else {
@@ -895,24 +884,27 @@ final class Catalog(val root: String, spark: SparkSession) {
       val total = touched.map(r => Files.size(dataDir.resolve(r))).sum
       val target = math.max(64L << 10,
         math.ceil(total.toDouble / math.max(1, nFiles)).toLong)
-      // the scan packs at WRITE time (inside cowRewrite) — confs stay
-      // scoped around the whole rewrite, as in optimize(); the flip
-      // (prev-capture included) holds confFlipLock so concurrent
-      // rewrites can't cross-restore each other's packing targets
-      confFlipLock.synchronized {
-        val prevM = spark.conf.get(mpbKey)
-        val prevO = spark.conf.get(ocKey)
-        spark.conf.set(mpbKey, target.toString)
-        spark.conf.set(ocKey, math.min(4L << 20, target / 16).toString)
-        try cowRewrite(name, v, touched, all,
-          Some(readVersionFiles(name, v, touched).coalesce(nFiles)),
-          op, bloomExpected)
-        finally {
-          spark.conf.set(mpbKey, prevM)
-          spark.conf.set(ocKey, prevO)
-        }
-      }
+      // the scan packs at WRITE time (inside cowRewrite); the packing
+      // targets live on a cloned session's SQLConf (see optimize) —
+      // cowRewrite itself still runs on THIS catalog, only the touched
+      // scan is re-derived on the packed twin
+      cowRewrite(name, v, touched, all,
+        Some(packedSession(target).readVersionFiles(name, v, touched)
+          .coalesce(nFiles)),
+        op, bloomExpected)
     }
+  }
+
+  /** A catalog twin on a CLONED Spark session (shared context, own
+    * SQLConf) carrying the compaction packing targets — the flip is
+    * session-scoped, so no lock is held across the rewrite job and the
+    * base session's concurrent readers never observe it. */
+  private def packedSession(targetBytes: Long): Catalog = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
+    s2.conf.set("spark.sql.files.openCostInBytes",
+      math.min(4L << 20, targetBytes / 16).toString)
+    new Catalog(root, s2)
   }
 
   /**

@@ -369,7 +369,7 @@ object Delta {
     val strict = policy == "strict"
     val markP = dir.resolve("_linked")
     val vs = catalog.versions(name)
-    val mark =
+    val markParsed =
       if (!JF.exists(markP)) None
       else scala.util.Try(SemVer.parse(
         new String(JF.readAllBytes(markP), "UTF-8").trim)).toOption
@@ -382,7 +382,7 @@ object Delta {
     // was already linked, so resume AFTER the mark with prev seeded from
     // the farm's own links (each link is a hard link, so its size IS the
     // source file's identity; the newest version's link per rel wins).
-    def farmLinks(): Map[String, Long] = {
+    def parsedFarm(): Seq[(String, SemVer, Long)] = {
       val entries = {
         val s = JF.list(dir)
         try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
@@ -397,8 +397,30 @@ object Delta {
           else scala.util.Try(SemVer.parse(n.substring(1, cut))).toOption
             .map(ver => (n.substring(cut + 2), ver, JF.size(p)))
         }
+    }
+    def farmLinks(): Map[String, Long] =
+      parsedFarm()
         .groupBy(_._1)
         .map { case (rel, hits) => rel -> hits.maxBy(_._2)._3 }
+    // A CORRUPT mark (exists but unparsable) self-heals from the farm:
+    // links are version-prefixed and the walk is in-order, so the
+    // newest linked version IS the durable mark ("everything <= it was
+    // already linked"). Rewriting it immediately turns the corruption
+    // into the ordinary mark/vacuumed-mark resume below — without this,
+    // the newest-size farm seed makes OLD versions look like removals
+    // and a strict heal stalls permanently on a one-off mark scribble.
+    val mark = markParsed.orElse {
+      if (!JF.exists(markP)) None
+      else {
+        val fromFarm = parsedFarm().map(_._2).sorted.lastOption
+        fromFarm.foreach { v =>
+          System.err.println(s"[graft] datasetStream: corrupt _linked " +
+            s"mark for '$name'/$policy — self-healed to v$v from the " +
+            "link farm")
+          JF.write(markP, v.toString.getBytes("UTF-8"))
+        }
+        fromFarm
+      }
     }
     val markIdx = mark.map(vs.indexOf).filter(_ >= 0)
     val (startIdx, prevInit) = markIdx match {

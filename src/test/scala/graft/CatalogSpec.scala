@@ -950,6 +950,51 @@ class CatalogSpec extends SparkSpec {
     assert(replay.select("n_nationkey").distinct().count() === 25L)
   }
 
+  test("datasetStream heal: corrupt _linked mark self-heals from the farm") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("cat_badmark").toString
+    val cat = new Catalog(root, spark)
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    cat.save(Chain(n.filter(col("n_nationkey") < 10)), "nb")
+    Delta.datasetStream(cat, "nb") // strict farm up, mark=v1
+    cat.append("nb", n.filter(col("n_nationkey") >= 10 &&
+      col("n_nationkey") < 15)) // v2
+    Delta.healDatasetStream(cat, "nb") // mark=v2
+    val farm = java.nio.file.Paths.get(root, "datasets", "nb",
+      "_stream", "strict")
+    def links(): Seq[String] = {
+      val s = java.nio.file.Files.list(farm)
+      try s.iterator.asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v")).toSeq
+      finally s.close()
+    }
+    def rels(): Seq[String] = links().map(_.split("__", 2)(1))
+    val before = links().toSet
+    // scribble the mark: a strict heal must neither stall nor duplicate
+    val markP = farm.resolve("_linked")
+    java.nio.file.Files.write(markP, "not a version".getBytes("UTF-8"))
+    cat.append("nb", n.filter(col("n_nationkey") >= 15 &&
+      col("n_nationkey") < 20)) // v3
+    Delta.healDatasetStream(cat, "nb") // the heal hits the corrupt mark
+    val added = links().toSet -- before
+    assert(added.size === 1, s"only v3's own file links, got $added")
+    assert(rels().distinct.size === rels().size,
+      "self-healed resume must not re-link carried files")
+    // the mark file itself was repaired to a parsable version
+    val healed = new String(
+      java.nio.file.Files.readAllBytes(markP), "UTF-8").trim
+    assert(graft.catalog.SemVer.parse(healed) ===
+      cat.latestVersion("nb").get)
+    // exactly-once replay across the corruption
+    val ck = Files.createTempDirectory("cat_badmark_ck").toString
+    val replay = graft.streaming.EventStream.runAvailableNow(
+      Delta.datasetStream(cat, "nb"), "badmark_replay", ck,
+      noDataBatch = false)
+    assert(replay.count() === 20L)
+    assert(replay.select("n_nationkey").distinct().count() === 20L)
+  }
+
   test("changesStream follows syncs committed WHILE the stream runs") {
     val root = Files.createTempDirectory("cat_cdfst").toString
     val cat = new Catalog(root, spark)
