@@ -408,13 +408,80 @@ object FileOps {
     preds.foldLeft(listing)((d, p) => d.filter(p))
   }
 
-  /** Glob match supporting `*`, `?`, `**` and brace sets `{a,b}`. */
+  /** Glob match supporting `*`, `?`, `**` and full brace expansion
+    * ([[expandBraces]]): comma sets, numeric/letter ranges, nesting. */
   def globMatch(glob: String, path: String): Boolean = {
     val regex = globToRegex(glob)
     path.matches(regex)
   }
 
+  /**
+   * Brace expansion, reference-parity (storage_pattern.py
+   * `expand_brace_pattern`, src/datachain/lib/dc/storage_pattern.py:93):
+   * the first top-level BALANCED `{...}` expands to its comma options
+   * (whitespace-trimmed) or to a range — numeric `{1..10}` (descending
+   * and zero-padded `{01..10}` forms included) or single-letter
+   * `{a..z}` — then each result recurses, so multiple/nested groups
+   * multiply out (`{a,b}/{c,d}` → 4 patterns). Unbalanced braces and
+   * unrecognized range specs stay literal, as in the reference.
+   */
+  def expandBraces(pattern: String): Seq[String] = {
+    val start = pattern.indexOf('{')
+    if (start < 0 || pattern.indexOf('}') < 0) return Seq(pattern)
+    var depth = 0
+    var end = -1
+    var i = start
+    while (i < pattern.length && end < 0) {
+      pattern.charAt(i) match {
+        case '{' => depth += 1
+        case '}' => depth -= 1; if (depth == 0) end = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (end <= start) return Seq(pattern)
+    val prefix = pattern.substring(0, start)
+    val suffix = pattern.substring(end + 1)
+    val content = pattern.substring(start + 1, end)
+    val options =
+      if (content.contains("..")) expandRange(content)
+      else content.split(",", -1).toSeq.map(_.trim)
+    options.flatMap(o => expandBraces(prefix + o + suffix))
+  }
+
+  /** `a..b` range forms of [[expandBraces]]; anything else is literal. */
+  private def expandRange(spec: String): Seq[String] = {
+    val parts = spec.split("\\.\\.", -1)
+    if (parts.length != 2) return Seq(spec)
+    val (a, b) = (parts(0), parts(1))
+    if (a.nonEmpty && b.nonEmpty &&
+        a.forall(_.isDigit) && b.forall(_.isDigit)) {
+      // zero-padded when either endpoint writes a leading zero — the
+      // width is the wider endpoint's ("{01..10}" → 01,02,…,10)
+      val pad =
+        if (a.head == '0' || b.head == '0') math.max(a.length, b.length)
+        else 0
+      val (s, e) = (a.toLong, b.toLong)
+      val nums = if (s <= e) s to e else s to e by -1
+      nums.map(n =>
+        if (pad > 0) ("%0" + pad + "d").format(n) else n.toString)
+    } else if (a.length == 1 && b.length == 1 &&
+        a.head.isLetter && b.head.isLetter) {
+      val (s, e) = (a.head.toInt, b.head.toInt)
+      val cs = if (s <= e) s to e else s to e by -1
+      cs.map(_.toChar.toString)
+    } else Seq(spec)
+  }
+
   def globToRegex(glob: String): String = {
+    val expanded = expandBraces(glob)
+    if (expanded.lengthCompare(1) == 0) globToRegexOne(expanded.head)
+    else expanded.map(globToRegexOne).mkString("(?:", "|", ")")
+  }
+
+  /** One brace-free pattern → regex; leftover (unbalanced) braces are
+    * literal characters. */
+  private def globToRegexOne(glob: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < glob.length) {
@@ -424,16 +491,7 @@ object FileOps {
             sb.append(".*"); i += 1
           } else sb.append("[^/]*")
         case '?' => sb.append("[^/]")
-        case '{' =>
-          val close = glob.indexOf('}', i)
-          if (close < 0) sb.append("\\{")
-          else {
-            val opts = glob.substring(i + 1, close).split(',')
-            sb.append(opts.map(java.util.regex.Pattern.quote)
-              .mkString("(", "|", ")"))
-            i = close
-          }
-        case c if "\\.[]()^$+|".indexOf(c) >= 0 => sb.append("\\").append(c)
+        case c if "\\.[]()^$+|{}".indexOf(c) >= 0 => sb.append("\\").append(c)
         case c => sb.append(c)
       }
       i += 1

@@ -100,11 +100,16 @@ object ZipArchive {
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val g = new HPath(glob)
-    val fs0 = g.getFileSystem(conf.value)
-    val zips = Option(fs0.globStatus(g)).getOrElse(Array.empty)
+    // full brace expansion up front (ranges, nesting — FileOps parity);
+    // Hadoop's globStatus only knows flat comma sets
+    val zips = graft.files.FileOps.expandBraces(glob)
+      .flatMap { pat =>
+        val g = new HPath(pat)
+        val fs0 = g.getFileSystem(conf.value)
+        Option(fs0.globStatus(g)).getOrElse(Array.empty).toSeq
+      }
       .filter(_.isFile).map(st => (st.getPath.toUri.toString,
-        st.getModificationTime)).toSeq.sorted
+        st.getModificationTime)).distinct.sorted
     spark.createDataset(zips)
       .repartition(math.max(1, math.min(zips.size,
         spark.sparkContext.defaultParallelism)))

@@ -414,6 +414,65 @@ class CatalogSpec extends SparkSpec {
     assert(FileOps.globMatch("a?c/*", "abc/z"))
   }
 
+  test("brace expansion: ranges, padding, nesting (storage_pattern parity)") {
+    import FileOps.expandBraces
+    assert(expandBraces("*.{mp3, wav}") === Seq("*.mp3", "*.wav")) // trim
+    assert(expandBraces("file{1..3}") === Seq("file1", "file2", "file3"))
+    assert(expandBraces("file{01..03}") === Seq("file01", "file02", "file03"))
+    assert(expandBraces("file{3..1}") === Seq("file3", "file2", "file1"))
+    assert(expandBraces("f{08..10}") === Seq("f08", "f09", "f10"))
+    assert(expandBraces("x{a..c}") === Seq("xa", "xb", "xc"))
+    assert(expandBraces("x{c..a}") === Seq("xc", "xb", "xa"))
+    assert(expandBraces("{a,b}/{c,d}")
+      === Seq("a/c", "a/d", "b/c", "b/d"))
+    // unrecognized range specs keep their content (braces consumed —
+    // reference parity: _expand_range returns the spec verbatim);
+    // unbalanced braces stay fully literal
+    assert(expandBraces("x{aa..b}") === Seq("xaa..b"))
+    assert(expandBraces("x{1..2..3}") === Seq("x1..2..3"))
+    assert(expandBraces("unclosed{a,b") === Seq("unclosed{a,b"))
+    // expansion drives matching end to end
+    assert(FileOps.globMatch("shard-{01..12}.tar", "shard-07.tar"))
+    assert(!FileOps.globMatch("shard-{01..12}.tar", "shard-13.tar"))
+    assert(FileOps.globMatch("d/{a..c}/*.{png,jpg}", "d/b/x.jpg"))
+    assert(!FileOps.globMatch("d/{a..c}/*.{png,jpg}", "d/e/x.jpg"))
+  }
+
+  test("brace patterns select across mixed zip and plain storage") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("mixed_store")
+    // plain files part01..part03 + two zips shard1.zip / shard2.zip
+    (1 to 3).foreach(i => Files.write(root.resolve(f"part$i%02d.txt"),
+      s"plain$i".getBytes("UTF-8")))
+    (1 to 2).foreach { z =>
+      val zp = root.resolve(s"shard$z.zip")
+      val out = new java.util.zip.ZipOutputStream(
+        java.nio.file.Files.newOutputStream(zp))
+      (1 to 2).foreach { m =>
+        out.putNextEntry(new java.util.zip.ZipEntry(s"m$m.txt"))
+        out.write(s"zip$z-$m".getBytes("UTF-8"))
+        out.closeEntry()
+      }
+      out.close()
+    }
+    // plain side: a padded numeric range through read_storage's pattern
+    val plain = FileOps.readStorage(spark, root.toString,
+      Some("part{01..02}.txt")).toDF
+      .select("file.path").as[String].collect().sorted
+    assert(plain.toSeq === Seq("part01.txt", "part02.txt"))
+    // zip side: a brace RANGE over archive names through the central-dir
+    // lister (Hadoop globStatus alone can't expand ranges)
+    val members = FileOps.readZip(spark,
+      s"$root/shard{1..2}.zip").toDF
+      .select("file.path").as[String].collect().sorted
+    assert(members.toSeq === Seq("shard1.zip/m1.txt", "shard1.zip/m2.txt",
+      "shard2.zip/m1.txt", "shard2.zip/m2.txt"))
+    // and a comma set restricted to one archive
+    val one = FileOps.readZip(spark, s"$root/{shard1,nope}.zip").toDF
+      .select("file.path").as[String].collect().sorted
+    assert(one.toSeq === Seq("shard1.zip/m1.txt", "shard1.zip/m2.txt"))
+  }
+
   test("webdataset key split: hidden files, multi-dot names, no extension") {
     import graft.files.WebDataset.splitKey
     assert(splitKey("a/0001.jpg") === ("a/0001", "jpg"))
