@@ -1272,11 +1272,19 @@ final class Catalog(val root: String, spark: SparkSession) {
     val keys = src.select(col(k).cast("long").as("__k")).na.drop()
       .filter(col("__k").between(lit(g0), lit(g1)))
       .withColumn("__b", expr(s"(__k - ${g0}L) div ${w}L"))
-    val hit = collectHitFiles(keys.join(broadcast(env),
+    // past ~64k files the bin table (files × ≤binCap rows) can exceed
+    // broadcast limits — fall back to a plain equi-join on the bin and
+    // let AQE pick the strategy
+    val envJ = if (narrow.size <= envBroadcastMax) broadcast(env) else env
+    val hit = collectHitFiles(keys.join(envJ,
       keys("__b") === env("__b") &&
         col("__k") >= col("__lo") && col("__k") <= col("__hi")))
     hit ++ wide.map(_._1)
   }
+
+  /** Envelope-bin tables stop broadcasting past this many files — the
+    * join still runs (shuffled on the bin), only the strategy changes. */
+  private val envBroadcastMax = 65536
 
   private def probeEnvelopesDouble(src: DataFrame, k: String,
                                    envs: Seq[(String, FileStats.ColStats)])
@@ -1301,7 +1309,8 @@ final class Catalog(val root: String, spark: SparkSession) {
     val keys = src.select(col(k).cast("double").as("__k")).na.drop()
       .filter(col("__k").between(lit(g0), lit(g1))) // drops NaN too
       .withColumn("__b", ffloor((col("__k") - lit(g0)) / lit(w)).cast("long"))
-    val hit = collectHitFiles(keys.join(broadcast(env),
+    val envJ = if (narrow.size <= envBroadcastMax) broadcast(env) else env
+    val hit = collectHitFiles(keys.join(envJ,
       keys("__b") === env("__b") &&
         col("__k") >= col("__lo") && col("__k") <= col("__hi")))
     hit ++ wide.map(_._1)

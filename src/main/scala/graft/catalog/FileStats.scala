@@ -389,8 +389,14 @@ object FileStats {
     val census = spark.read.parquet(dir).where(col("col").isNull)
     val rem =
       if (excluded.isEmpty) census
-      else census.join(broadcast(excluded.toDF("file")), Seq("file"),
-        "left_anti")
+      else {
+        // a very large touched list stops broadcasting (the "small by
+        // pruning's construction" assumption has a ceiling) — the anti
+        // join still runs, shuffled
+        val ex = excluded.toDF("file")
+        census.join(if (excluded.size <= 65536) broadcast(ex) else ex,
+          Seq("file"), "left_anti")
+      }
     val r = rem.agg(sum(col("rows"))).head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
