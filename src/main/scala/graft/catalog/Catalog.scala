@@ -1777,8 +1777,16 @@ final class Catalog(val root: String, spark: SparkSession) {
                              schema: org.apache.spark.sql.types.StructType)
       : DataFrame = {
     val r = spark.read.schema(schema)
-    if (files.isEmpty) r.parquet(path)
-    else r.option("basePath", path).parquet(files: _*)
+    val df =
+      if (files.isEmpty) r.parquet(path)
+      else r.option("basePath", path).parquet(files: _*)
+    // hive-partitioned relations move partition columns to the end of
+    // the relation output regardless of the user schema's order — project
+    // back to the RECORDED order so partitioned and flat versions read
+    // identically (a pure reorder; column pruning still reaches the scan)
+    if (df.columns.sameElements(schema.fieldNames)) df
+    else df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+      .toIndexedSeq: _*)
   }
 
   /** The JVM-wide [[ConfFlip]] guard: every session-global conf flip

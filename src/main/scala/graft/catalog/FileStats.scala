@@ -768,8 +768,24 @@ $files
         val v = l.asInstanceOf[Literal].value
         cmpMay(a, v, f, eq = true) && bloomMay(a, v, blooms)
       }
+    case EqualNullSafe(a, Literal(v, _)) => eqNsMay(a, v, f, blooms)
+    case EqualNullSafe(Literal(v, _), a) => eqNsMay(a, v, f, blooms)
+    case PrefixOf(a, p) => attr(a) match {
+      case Some(n) => f.cols.get(n).forall(prefixMayC(_, utf8(p)))
+      case None => true
+    }
     case _ => true
   }
+
+  /** `a <=> v`: a null literal behaves as isnull; a non-null literal
+    * prunes exactly like equality (null rows simply don't match). */
+  private def eqNsMay(a: Expression, v: Any, f: FileStat,
+                      blooms: Map[String, Array[Byte]]): Boolean =
+    if (v == null) attr(a) match {
+      case Some(n) => f.cols.get(n).forall(c => c.nulls != 0)
+      case None => true
+    }
+    else cmpMay(a, v, f, eq = true) && bloomMay(a, v, blooms)
 
   /** mayMatch(NOT child): true unless EVERY row provably matches child.
     * Only the cases where min==max can prove "always matches"; anything
@@ -793,7 +809,33 @@ $files
         case Some(n) => f.cols.get(n).forall(c => c.nulls != 0)
         case None => true
       }
+      case EqualNullSafe(a, Literal(v, _)) => notAlwaysEqNs(a, v, f)
+      case EqualNullSafe(Literal(v, _), a) => notAlwaysEqNs(a, v, f)
+      case PrefixOf(a, p) => attr(a) match {
+        case Some(n) => f.cols.get(n).forall(prefixNegC(_, utf8(p)))
+        case None => true
+      }
       case _ => true
+    }
+
+  /** NOT(a <=> v): unlike NOT(a = v), NULL rows DO satisfy the negation
+    * when v is non-null (<=> never returns null) — prunable only when
+    * min == max == v AND the file provably holds zero nulls; for a null
+    * literal, only when every row is null. */
+  private def notAlwaysEqNs(a: Expression, v: Any, f: FileStat): Boolean =
+    attr(a) match {
+      case Some(n) => f.cols.get(n) match {
+        case Some(c) =>
+          if (v == null) !(c.nulls >= 0 && c.nulls == f.rows)
+          else {
+            val allEq = c.nulls == 0 && lit(v).exists(x =>
+              (for { l <- lo(c); h <- hi(c) } yield l == x && h == x)
+                .getOrElse(false))
+            !allEq
+          }
+        case None => true
+      }
+      case None => true
     }
 
   private def notAlwaysEq(a: Expression, v: Any, f: FileStat): Boolean =
@@ -884,6 +926,72 @@ $files
     case _ => None // numeric literal vs string stats: type confusion → keep
   }
 
+  // ---- prefix pruning (col.startsWith(p) / LIKE 'p%') ----
+  // The path/URL-prefix filter is the single most common selective shape
+  // on this engine's file-centric columns; a sorted byte range [min,max]
+  // contains a p-prefixed string iff max >= p AND min's first |p| bytes
+  // compare <= p. All comparisons run in unsigned UTF-8 byte order (the
+  // domain parquet footer stats and Spark string ordering share).
+
+  private def utf8(s: String): Array[Byte] =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s).getBytes
+
+  private def cmpBytes(a: Array[Byte], aLen: Int, b: Array[Byte]): Int = {
+    val n = math.min(aLen, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    aLen - b.length
+  }
+
+  private def startsWithBytes(s: Array[Byte], p: Array[Byte]): Boolean =
+    s.length >= p.length && {
+      var i = 0
+      while (i < p.length && s(i) == p(i)) i += 1
+      i == p.length
+    }
+
+  /** May a file with stats `c` hold a string starting with `p`? Missing
+    * stats or a non-string column (type confusion) keep the file. */
+  private def prefixMayC(c: ColStats, pb: Array[Byte]): Boolean =
+    if (c.kind != "s" || c.minS == null || c.maxS == null) true
+    else {
+      val mx = utf8(c.maxS)
+      val mn = utf8(c.minS)
+      cmpBytes(mx, mx.length, pb) >= 0 &&
+        cmpBytes(mn, math.min(mn.length, pb.length), pb) <= 0
+    }
+
+  /** NOT(startsWith): prunable only when every value in [min,max]
+    * provably has the prefix — true iff BOTH bounds start with it (byte
+    * order sandwiches everything between). Null rows fail the NOT too
+    * (three-valued), so nulls never block the prune. */
+  private def prefixNegC(c: ColStats, pb: Array[Byte]): Boolean =
+    if (c.kind != "s" || c.minS == null || c.maxS == null) true
+    else !(startsWithBytes(utf8(c.minS), pb) &&
+      startsWithBytes(utf8(c.maxS), pb))
+
+  /** Recognizes the two prefix-filter spellings: `startswith(col, 'p')`
+    * and `col LIKE 'p%'` (single trailing %, no other wildcards, no
+    * escape char in the body — anything else stays unsupported/keep). */
+  private object PrefixOf {
+    def unapply(e: Expression): Option[(Expression, String)] = e match {
+      case StartsWith(a, Literal(p: org.apache.spark.unsafe.types.UTF8String, _)) =>
+        Some((a, p.toString))
+      case Like(a, Literal(p: org.apache.spark.unsafe.types.UTF8String, _), esc) =>
+        val s = p.toString
+        if (s.nonEmpty && s.last == '%' && {
+          val body = s.dropRight(1)
+          !body.exists(ch => ch == '%' || ch == '_' || ch == esc)
+        }) Some((a, s.dropRight(1)))
+        else None
+      case _ => None
+    }
+  }
+
   private def cmpMay(a: Expression, v: Any, f: FileStat, eq: Boolean): Boolean =
     (attr(a), lit(v)) match {
       case (Some(n), Some(x)) => f.cols.get(n) match {
@@ -936,6 +1044,12 @@ $files
   final case class PIn(col: String,
                        vs: Seq[(Option[Either[BigDecimal, String]],
                          Option[Long])]) extends PPred
+  /** startsWith / LIKE 'p%' — the prefix in UTF-8 bytes. */
+  final case class PPrefix(col: String, p: Array[Byte]) extends PPred
+  /** `col <=> v`; `nullLit` marks `<=> NULL` (≡ isnull). */
+  final case class PEqNs(col: String, v: Option[Either[BigDecimal, String]],
+                         bloomHash: Option[Long],
+                         nullLit: Boolean) extends PPred
   /** Unsupported shape — may always match (never prunes). */
   case object PAny extends PPred
 
@@ -969,8 +1083,19 @@ $files
           })
           case None => PAny
         }
+      case EqualNullSafe(a, Literal(v, _)) => eqNs(a, v)
+      case EqualNullSafe(Literal(v, _), a) => eqNs(a, v)
+      case PrefixOf(a, p) =>
+        attr(a).map(n => PPrefix(n, utf8(p))).getOrElse(PAny)
       case _ => PAny
     }
+  }
+
+  private def eqNs(a: Expression, v: Any): PPred = attr(a) match {
+    case Some(n) =>
+      if (v == null) PEqNs(n, None, None, nullLit = true)
+      else PEqNs(n, lit(v), bloomHash(v), nullLit = false)
+    case None => PAny
   }
 
   def evalMay(p: PPred, f: FileStat,
@@ -1019,6 +1144,10 @@ $files
       }
       case PIn(n, vs) => vs.exists { case (v, h) =>
         cmpOk(n, v) && bloomOk(n, h) }
+      case PPrefix(n, pb) => f.cols.get(n).forall(prefixMayC(_, pb))
+      case PEqNs(n, v, h, isNullLit) =>
+        if (isNullLit) f.cols.get(n).forall(c => c.nulls != 0)
+        else cmpOk(n, v) && bloomOk(n, h)
       case PAny => true
     }
   }
@@ -1041,6 +1170,18 @@ $files
       case None => true
     }
     case PIsNotNull(n) => f.cols.get(n).forall(c => c.nulls != 0)
+    case PPrefix(n, pb) => f.cols.get(n).forall(prefixNegC(_, pb))
+    case PEqNs(n, vOpt, _, isNullLit) => f.cols.get(n) match {
+      case Some(c) =>
+        if (isNullLit) !(c.nulls >= 0 && c.nulls == f.rows)
+        else {
+          val allEq = c.nulls == 0 && vOpt.exists(x =>
+            (for { l <- lo(c); h <- hi(c) } yield l == x && h == x)
+              .getOrElse(false))
+          !allEq
+        }
+      case None => true
+    }
     case _ => true
   }
 }

@@ -1079,4 +1079,23 @@ class CatalogSpec extends SparkSpec {
       assert(dels === 5L, s"live-followed deletes: $dels")
     } finally q.stop()
   }
+
+  test("partitioned reads return recorded-schema column order and dtypes") {
+    // Partitioned NON-evolved versions resolve through fullReadSchema
+    // (explicit schema, no inference flip): the partition column comes
+    // back in its ORIGINAL position and dtype, not appended last as an
+    // inference-off string. Pins the read-back layout contract.
+    val root = Files.createTempDirectory("cat_part_order").toString
+    val cat = new Catalog(root, spark)
+    val nation = spark.read.parquet(s"$sf/nation.parquet")
+    val v = cat.save(Chain(nation), "natp", partitionBy = Seq("n_regionkey"))
+    val back = cat.readDataset("natp", Some(v)).toDF
+    // column order: the pre-save user columns in order, sys last
+    assert(back.columns.toSeq === nation.columns.toSeq :+ "sys")
+    // partition column keeps its recorded dtype (long, not string)
+    assert(back.schema("n_regionkey").dataType ===
+      nation.schema("n_regionkey").dataType)
+    // rows identical under the restored layout
+    assert(back.drop("sys").collect().toSet === nation.collect().toSet)
+  }
 }

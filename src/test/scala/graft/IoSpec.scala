@@ -522,6 +522,47 @@ class IoSpec extends SparkSpec {
     assert(kAll === total)
   }
 
+  test("file-stats skipping: string prefix predicates prune on min/max") {
+    import graft.catalog.Catalog
+    val cat = new Catalog(Files.createTempDirectory("fstats_pfx").toString,
+      spark)
+    // 4 files with EXACTLY disjoint path ranges: hive-partitioned on the
+    // dir letter, one file per dir=a…d holding 50 paths (sampling-free —
+    // repartitionByRange could split a dir across files)
+    val paths = spark.range(200).selectExpr(
+      "chr(97 + id div 50) as dir",
+      "concat('s3://b/', chr(97 + id div 50), '/', lpad(id % 50, 3, '0'))" +
+        " as path", "id as n").coalesce(1)
+    cat.save(Chain(paths), "pfx", partitionBy = Seq("dir"))
+    val total4 = 4
+    // startsWith on one directory hits exactly its file
+    val (k1, t1) = cat.pruneCount("pfx", col("path").startsWith("s3://b/b/"))
+    assert(t1 === total4 && k1 === 1, s"k1=$k1 t1=$t1")
+    // LIKE 'p%' spells the same prune
+    val (k2, _) = cat.pruneCount("pfx", col("path").like("s3://b/c/%"))
+    assert(k2 === 1, s"k2=$k2")
+    // a prefix past every max prunes everything; the read still answers
+    val (k0, _) = cat.pruneCount("pfx", col("path").startsWith("s3://z/"))
+    assert(k0 === 0)
+    assert(cat.readDatasetWhere("pfx", col("path").startsWith("s3://z/"))
+      .toDF.count() === 0L)
+    // the shared bucket prefix keeps all files (and loses no rows)
+    val (kA, _) = cat.pruneCount("pfx", col("path").startsWith("s3://b/"))
+    assert(kA === total4)
+    // NOT(startsWith): files whose whole range shares the prefix drop
+    val (kN, _) = cat.pruneCount("pfx", !col("path").startsWith("s3://b/b/"))
+    assert(kN === 3, s"kN=$kN")
+    // inner wildcards stay unsupported → keep-all, rows still exact
+    val (kW, _) = cat.pruneCount("pfx", col("path").like("s3://b/_/00%"))
+    assert(kW === total4)
+    val pred = col("path").startsWith("s3://b/b/")
+    val pruned = cat.readDatasetWhere("pfx", pred)
+      .selectExcept("sys").toDF.collect().toSet
+    val full = cat.readDataset("pfx").selectExcept("sys").toDF
+      .filter(pred).collect().toSet
+    assert(pruned === full && pruned.size === 50)
+  }
+
   test("stats tiers: parquet index past inlineMaxFiles ≡ inline stats.json") {
     import graft.catalog.Catalog
     val confKey = "graft.stats.inlineMaxFiles"

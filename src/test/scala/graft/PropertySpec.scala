@@ -163,6 +163,15 @@ object StatsPruneProps extends Properties("graft.statsprune") {
 
   private val attrG: Gen[AttributeReference] = Gen.oneOf(aRef, bRef, sRef)
 
+  // LIKE patterns spanning the supported prefix shape ('p%'), the
+  // unsupported residuals (inner wildcards, escapes, bare '%'), and a
+  // beyond-BMP prefix; StartsWith additionally lands on NON-string
+  // attrs (type confusion — both evaluators must keep).
+  private val likeLit: Gen[Literal] =
+    Gen.oneOf("a%", "m%", "mm", "z_", "😀%", "%", "%%", "\\a%", "a\\%")
+      .map(s => Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        StringType))
+
   private val leaf: Gen[Expression] = attrG.flatMap { a =>
     litFor(a).flatMap { l =>
       Gen.oneOf(
@@ -172,6 +181,8 @@ object StatsPruneProps extends Properties("graft.statsprune") {
         GreaterThan(a, l), GreaterThan(l, a),
         GreaterThanOrEqual(a, l), GreaterThanOrEqual(l, a),
         IsNull(a), IsNotNull(a),
+        EqualNullSafe(a, l), EqualNullSafe(l, a),
+        StartsWith(a, l),
         // the analyzer's widening promote-cast
         EqualTo(Cast(a, a.dataType), l),
         // unsupported shapes — both evaluators must keep the file
@@ -179,15 +190,19 @@ object StatsPruneProps extends Properties("graft.statsprune") {
         GreaterThan(a, a))
     }
   }
+  private val likeLeaf: Gen[Expression] = for {
+    a <- attrG; p <- likeLit
+    e <- Gen.oneOf(StartsWith(a, p), Like(a, p, '\\'))
+  } yield e
   private val inLeaf: Gen[Expression] = attrG.flatMap { a =>
     Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, litFor(a)))
       .map(ls => In(a, ls))
   }
 
   private def predG(depth: Int): Gen[Expression] =
-    if (depth <= 0) Gen.frequency(5 -> leaf, 1 -> inLeaf)
+    if (depth <= 0) Gen.frequency(5 -> leaf, 1 -> inLeaf, 1 -> likeLeaf)
     else Gen.frequency(
-      3 -> leaf, 1 -> inLeaf,
+      3 -> leaf, 1 -> inLeaf, 1 -> likeLeaf,
       2 -> (for { l <- predG(depth - 1); r <- predG(depth - 1) }
         yield And(l, r)),
       2 -> (for { l <- predG(depth - 1); r <- predG(depth - 1) }
