@@ -1608,10 +1608,10 @@ final class Catalog(val root: String, spark: SparkSession) {
           val bloomDir =
             if (!Files.exists(bj) && Files.isDirectory(bd)) Some(bd.toString)
             else None
-          val total = FileStats.statsIndexCensusCount(spark, pdir.toString)
-          val kept = FileStats.prunedFilesDistributed(spark, pdir.toString,
+          // kept names AND the census total come back from ONE pass
+          // over the index (the second scan per pruned read is gone)
+          val res = FileStats.prunedFilesDistributed(spark, pdir.toString,
             bloomDir, inline, cp, refs)
-          val res = (kept, total)
           keptCache.synchronized(keptCache.put(key, (tok, res)))
           Some(res)
       }

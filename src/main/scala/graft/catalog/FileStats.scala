@@ -333,11 +333,15 @@ object FileStats {
    * cross to the driver — O(kept) driver memory at any file count, where
    * the collect path is O(files × predicate columns). Inline blooms
    * (blooms.json beside a parquet stats tier) broadcast as a map.
+   * Returns (kept files, census total) from ONE pass over the index —
+   * the census count rides the same aggregation instead of a second
+   * index scan per pruned read.
    */
   def prunedFilesDistributed(spark: SparkSession, statsDir: String,
                              bloomDir: Option[String],
                              inlineBlooms: Map[String, Map[String, Array[Byte]]],
-                             pred: PPred, wanted: Seq[String]): Seq[String] = {
+                             pred: PPred, wanted: Seq[String])
+      : (Seq[String], Long) = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val statRows = {
@@ -356,7 +360,7 @@ object FileStats {
         case _ => spark.emptyDataset[(String, String, Array[Byte])]
       }
     val bc = spark.sparkContext.broadcast(inlineBlooms)
-    statRows.groupByKey(_.file)
+    val flags = statRows.groupByKey(_.file)
       .cogroup(bloomRows.groupByKey(_._1)) { (file, ss, bs) =>
         val rs = ss.toSeq
         // a bloom-only group (file absent from the census) adds nothing:
@@ -365,11 +369,18 @@ object FileStats {
         else {
           val blooms = bs.map(t => t._2 -> t._3).toMap ++
             bc.value.getOrElse(file, Map.empty[String, Array[Byte]])
-          if (evalMay(pred, statFromRows(file, rs), blooms))
-            Iterator.single(file)
-          else Iterator.empty
+          Iterator.single(
+            (file, evalMay(pred, statFromRows(file, rs), blooms)))
         }
-      }.collect().toSeq.sorted
+      }
+    // one aggregation row: (census total, kept names) — collect_list
+    // skips the when()'s nulls, so only kept names materialize
+    val F = org.apache.spark.sql.functions
+    val r = flags.toDF("file", "keep")
+      .agg(F.count(F.lit(1)).as("total"),
+        F.collect_list(F.when(F.col("keep"), F.col("file"))).as("kept"))
+      .head()
+    (r.getSeq[String](1).sorted, r.getLong(0))
   }
 
   /** Census row count — the completeness check of the parquet tier. */
@@ -1044,8 +1055,20 @@ $files
   final case class PIn(col: String,
                        vs: Seq[(Option[Either[BigDecimal, String]],
                          Option[Long])]) extends PPred
-  /** startsWith / LIKE 'p%' — the prefix in UTF-8 bytes. */
-  final case class PPrefix(col: String, p: Array[Byte]) extends PPred
+  /** startsWith / LIKE 'p%' — the prefix in UTF-8 bytes. Array fields
+    * default to reference equals/toString, which would destabilize the
+    * kept-files cache key (every compile would render a fresh `[B@…`);
+    * value-based overrides keep `$cp` renderings stable. */
+  final case class PPrefix(col: String, p: Array[Byte]) extends PPred {
+    override def equals(o: Any): Boolean = o match {
+      case PPrefix(c2, p2) => col == c2 && java.util.Arrays.equals(p, p2)
+      case _ => false
+    }
+    override def hashCode: Int =
+      31 * col.hashCode + java.util.Arrays.hashCode(p)
+    override def toString: String =
+      s"PPrefix($col,${p.map(b => f"$b%02x").mkString})"
+  }
   /** `col <=> v`; `nullLit` marks `<=> NULL` (≡ isnull). */
   final case class PEqNs(col: String, v: Option[Either[BigDecimal, String]],
                          bloomHash: Option[Long],

@@ -454,14 +454,17 @@ object FileOps {
     val parts = spec.split("\\.\\.", -1)
     if (parts.length != 2) return Seq(spec)
     val (a, b) = (parts(0), parts(1))
-    if (a.nonEmpty && b.nonEmpty &&
+    if (a.nonEmpty && b.nonEmpty && a.length <= 18 && b.length <= 18 &&
         a.forall(_.isDigit) && b.forall(_.isDigit)) {
       // zero-padded when either endpoint writes a leading zero — the
-      // width is the wider endpoint's ("{01..10}" → 01,02,…,10)
+      // width is the wider endpoint's ("{01..10}" → 01,02,…,10).
+      // Endpoints past Long (>18 digits) and absurd widths (>1M
+      // patterns would OOM the driver before any listing) stay literal.
       val pad =
         if (a.head == '0' || b.head == '0') math.max(a.length, b.length)
         else 0
       val (s, e) = (a.toLong, b.toLong)
+      if (math.abs(e - s) > 1000000L) return Seq(spec)
       val nums = if (s <= e) s to e else s to e by -1
       nums.map(n =>
         if (pad > 0) ("%0" + pad + "d").format(n) else n.toString)

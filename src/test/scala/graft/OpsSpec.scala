@@ -190,6 +190,25 @@ class OpsSpec extends SparkSpec {
       !graft.ops.Psl.isPublicSuffix("www.ck") &&
       !graft.ops.Psl.isPublicSuffix("example.co.uk"))
 
+    // vectors from the published checkPublicSuffix test file
+    // (publicsuffix.org/list — wildcard+exception mid-hierarchy, deep
+    // state suffixes, a private uk.com): null-expected hosts map to
+    // themselves under this API's pass-through choice
+    val vec = Seq(
+      "b.ide.kyoto.jp" -> "b.ide.kyoto.jp",   // ide.kyoto.jp is a suffix
+      "a.b.ide.kyoto.jp" -> "b.ide.kyoto.jp",
+      "c.kobe.jp" -> "c.kobe.jp",             // *.kobe.jp → IS a suffix
+      "b.c.kobe.jp" -> "b.c.kobe.jp",
+      "a.b.c.kobe.jp" -> "b.c.kobe.jp",
+      "city.kobe.jp" -> "city.kobe.jp",       // !city.kobe.jp exception
+      "www.city.kobe.jp" -> "city.kobe.jp",
+      "test.k12.ak.us" -> "test.k12.ak.us",
+      "www.test.k12.ak.us" -> "test.k12.ak.us",
+      "example.uk.com" -> "example.uk.com",   // private-section uk.com
+      "b.example.uk.com" -> "example.uk.com")
+    vec.foreach { case (h, want) =>
+      assert(graft.ops.Psl.registeredDomain(h) === want, h) }
+
     // review fixes: a '?' inside the fragment is NOT a query (SPA
     // routing URLs), and IPv6 literals keep their brackets
     val spa = Seq("https://ex.com/path#/route?tab=2").toDF("u")
