@@ -895,12 +895,16 @@ final class Catalog(val root: String, spark: SparkSession) {
     }
   }
 
-  /** A catalog twin on a CLONED Spark session (shared context, own
-    * SQLConf) carrying the compaction packing targets — the flip is
-    * session-scoped, so no lock is held across the rewrite job and the
-    * base session's concurrent readers never observe it. */
+  /** A catalog twin on a CLONED Spark session (shared context, COPIED
+    * runtime SQLConf) carrying the compaction packing targets — the flip
+    * is session-scoped, so no lock is held across the rewrite job and
+    * the base session's concurrent readers never observe it. A true
+    * clone (not `newSession()`, which resets to builder-time defaults):
+    * runtime confs the user set — rebase modes, session timezone, case
+    * sensitivity — must hold on the rewrite's read or the compacted
+    * bytes could differ from what the base session reads. */
   private def packedSession(targetBytes: Long): Catalog = {
-    val s2 = spark.newSession()
+    val s2 = org.apache.spark.sql.graft.bridge.cloneSession(spark)
     s2.conf.set("spark.sql.files.maxPartitionBytes", targetBytes.toString)
     s2.conf.set("spark.sql.files.openCostInBytes",
       math.min(4L << 20, targetBytes / 16).toString)
@@ -1283,8 +1287,9 @@ final class Catalog(val root: String, spark: SparkSession) {
   }
 
   /** Envelope-bin tables stop broadcasting past this many files — the
-    * join still runs (shuffled on the bin), only the strategy changes. */
-  private val envBroadcastMax = 65536
+    * join still runs (shuffled on the bin), only the strategy changes.
+    * One shared constant with the touched-file join arm. */
+  private val envBroadcastMax = FileStats.metaBroadcastMax
 
   private def probeEnvelopesDouble(src: DataFrame, k: String,
                                    envs: Seq[(String, FileStats.ColStats)])
@@ -1413,6 +1418,12 @@ final class Catalog(val root: String, spark: SparkSession) {
     statsCache.keySet.removeIf(_.startsWith(name + "@@"))
     bloomCache.synchronized {
       bloomCache.keySet.removeIf(_.startsWith(name + "@@"))
+    }
+    // the kept-files cache rides the same freshness token, whose
+    // mtime-millis resolution has collision holes across a
+    // delete+re-create at the same name@version — purge it with the rest
+    keptCache.synchronized {
+      keptCache.keySet.removeIf(_.startsWith(name + "@@"))
     }
   }
   private def freshToken(p: Path): String =
@@ -1784,8 +1795,11 @@ final class Catalog(val root: String, spark: SparkSession) {
     // the relation output regardless of the user schema's order — project
     // back to the RECORDED order so partitioned and flat versions read
     // identically (a pure reorder; column pruning still reaches the scan)
+    // backtick-quote the names: a dot inside a TOP-LEVEL column name
+    // (JSON-ingested keys) must not parse as nested-field access
     if (df.columns.sameElements(schema.fieldNames)) df
-    else df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+    else df.select(schema.fieldNames.map(n =>
+        org.apache.spark.sql.functions.col(s"`${n.replace("`", "``")}`"))
       .toIndexedSeq: _*)
   }
 

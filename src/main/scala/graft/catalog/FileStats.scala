@@ -44,6 +44,12 @@ object FileStats {
   final case class FileStat(file: String, rows: Long,
                             cols: Map[String, ColStats])
 
+  /** Shared ceiling for broadcasting per-FILE metadata lists (touched
+    * files, envelope bins): past ~64k entries the list can approach
+    * broadcast limits, so joins fall back to a shuffled exchange. One
+    * constant for every metadata-join arm — retune it in one place. */
+  val metaBroadcastMax = 65536
+
   /** Footer-only stats for one parquet file. Columns whose statistics are
     * absent/empty, or whose physical type we don't evaluate, are simply
     * not recorded (→ never pruned on). */
@@ -405,7 +411,8 @@ object FileStats {
         // pruning's construction" assumption has a ceiling) — the anti
         // join still runs, shuffled
         val ex = excluded.toDF("file")
-        census.join(if (excluded.size <= 65536) broadcast(ex) else ex,
+        census.join(
+          if (excluded.size <= metaBroadcastMax) broadcast(ex) else ex,
           Seq("file"), "left_anti")
       }
     val r = rem.agg(sum(col("rows"))).head()

@@ -443,10 +443,31 @@ object FileOps {
     val prefix = pattern.substring(0, start)
     val suffix = pattern.substring(end + 1)
     val content = pattern.substring(start + 1, end)
+    // comma split is DEPTH-AWARE: '{a,{b,c}}' groups as ["a","{b,c}"]
+    // (the inner set expands in the recursion), and only a comma-free
+    // body can be a range — bash semantics for '{1,3..5}' (the "3..5"
+    // option stays literal)
+    val parts = topLevelSplit(content)
     val options =
-      if (content.contains("..")) expandRange(content)
-      else content.split(",", -1).toSeq.map(_.trim)
+      if (parts.lengthCompare(1) == 0 && content.contains(".."))
+        expandRange(content)
+      else parts.map(_.trim)
     options.flatMap(o => expandBraces(prefix + o + suffix))
+  }
+
+  /** Split on commas at brace depth 0 only. */
+  private def topLevelSplit(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case c =>
+        if (c == '{') depth += 1 else if (c == '}') depth -= 1
+        sb.append(c)
+    }
+    out += sb.toString
+    out.toSeq
   }
 
   /** `a..b` range forms of [[expandBraces]]; anything else is literal. */

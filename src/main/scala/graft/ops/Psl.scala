@@ -79,7 +79,10 @@ object Psl {
     val h = host.toLowerCase(java.util.Locale.ROOT)
     if (h.isEmpty || h.indexOf('.') < 0 || h.charAt(0) == '[' ||
         Ipv4.matches(h)) return h
-    val labels = h.split('.')
+    // -1 limit keeps trailing empty labels (plain split drops them, so
+    // the FQDN form "example.com." would silently normalize instead of
+    // passing through like every other malformed shape)
+    val labels = h.split("\\.", -1)
     // a trailing/leading dot yields an empty label — not a real host
     // shape; pass through rather than mis-bucket
     if (labels.exists(_.isEmpty)) return h
@@ -98,7 +101,7 @@ object Psl {
   def isPublicSuffix(host: String): Boolean = {
     val h = host.toLowerCase(java.util.Locale.ROOT)
     if (h.isEmpty || Ipv4.matches(h) || h.charAt(0) == '[') return false
-    val labels = h.split('.')
+    val labels = h.split("\\.", -1)
     if (labels.isEmpty || labels.exists(_.isEmpty)) return false
     suffixLabels(labels) == labels.length
   }

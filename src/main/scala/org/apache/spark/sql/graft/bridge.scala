@@ -13,4 +13,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** True session clone (shared context, COPIED SessionState incl. the
+    * runtime SQLConf) — unlike `newSession()`, runtime `conf.set`s the
+    * user made (rebase modes, session timezone, case sensitivity…) carry
+    * over, so a job on the clone reads data under the same semantics as
+    * the parent. `cloneSession` is `private[sql]`; this package is. */
+  def cloneSession(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }

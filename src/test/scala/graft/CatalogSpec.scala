@@ -28,6 +28,44 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.save(c, "nations", Some(v1)))
   }
 
+  test("dotted top-level column names survive a partitioned save/read") {
+    // hive-partitioned reads reorder to the recorded schema via a
+    // projection; a dot inside a TOP-LEVEL name (JSON-ingested keys)
+    // must resolve as the column, not as nested-field access
+    val root = Files.createTempDirectory("cat_dotted").toString
+    val cat = new Catalog(root, spark)
+    val df = spark.range(20).toDF("id")
+      .withColumn("a.b", col("id") * 2)
+      .withColumn("part", col("id") % 2)
+    cat.save(Chain(df), "dotted", partitionBy = Seq("part"))
+    val back = cat.readDataset("dotted").selectExcept("sys").toDF
+    assert(back.columns.toSeq === Seq("id", "a.b", "part"))
+    assert(back.agg(sum(col("`a.b`"))).head().getLong(0) === (0 until 20)
+      .map(_ * 2L).sum)
+    // the pruned-read path reorders through the same projection
+    val pruned = cat.readDatasetWhere("dotted", col("id") >= 10)
+      .selectExcept("sys").toDF
+    assert(pruned.columns.toSeq === Seq("id", "a.b", "part"))
+    assert(pruned.count() === 10)
+  }
+
+  test("compaction's packed twin session carries runtime confs (true clone)") {
+    val s2 = org.apache.spark.sql.graft.bridge.cloneSession(spark)
+    try {
+      spark.conf.set("graft.test.cloneprobe", "carried")
+      val s3 = org.apache.spark.sql.graft.bridge.cloneSession(spark)
+      // a runtime conf set AFTER session build must carry to the clone —
+      // newSession() would reset it (rebase modes, timezone, etc.)
+      assert(s3.conf.get("graft.test.cloneprobe") === "carried")
+      // and the clone's own flips stay session-scoped
+      s3.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      assert(spark.conf.get("spark.sql.files.maxPartitionBytes") !== "65536")
+    } finally {
+      spark.conf.unset("graft.test.cloneprobe")
+      assert(s2 ne spark)
+    }
+  }
+
   test("racing saves of one dataset serialize on the version bump, no torn dirs") {
     val root = Files.createTempDirectory("cat_race").toString
     val cat = new Catalog(root, spark)
@@ -431,6 +469,15 @@ class CatalogSpec extends SparkSpec {
     assert(expandBraces("x{aa..b}") === Seq("xaa..b"))
     assert(expandBraces("x{1..2..3}") === Seq("x1..2..3"))
     assert(expandBraces("unclosed{a,b") === Seq("unclosed{a,b"))
+    // depth-aware comma split: nested comma groups expand in the
+    // recursion; a range option beside a comma stays literal (bash
+    // semantics); absurd ranges stay literal instead of OOMing
+    assert(expandBraces("{a,{b,c}}") === Seq("a", "b", "c"))
+    assert(expandBraces("p{x,{1..3}}q") === Seq("pxq", "p1q", "p2q", "p3q"))
+    assert(expandBraces("x{1,3..5}") === Seq("x1", "x3..5"))
+    assert(expandBraces("x{1..99999999999999999999}")
+      === Seq("x1..99999999999999999999"))
+    assert(expandBraces("x{0..2000000000}") === Seq("x0..2000000000"))
     // expansion drives matching end to end
     assert(FileOps.globMatch("shard-{01..12}.tar", "shard-07.tar"))
     assert(!FileOps.globMatch("shard-{01..12}.tar", "shard-13.tar"))

@@ -205,7 +205,11 @@ class OpsSpec extends SparkSpec {
       "test.k12.ak.us" -> "test.k12.ak.us",
       "www.test.k12.ak.us" -> "test.k12.ak.us",
       "example.uk.com" -> "example.uk.com",   // private-section uk.com
-      "b.example.uk.com" -> "example.uk.com")
+      "b.example.uk.com" -> "example.uk.com",
+      // malformed shapes pass through VERBATIM (trailing-dot FQDN form
+      // included — plain split would silently drop the empty label)
+      "example.com." -> "example.com.",
+      ".example.com" -> ".example.com")
     vec.foreach { case (h, want) =>
       assert(graft.ops.Psl.registeredDomain(h) === want, h) }
 
