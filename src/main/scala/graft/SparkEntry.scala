@@ -2979,6 +2979,9 @@ object SparkEntry {
       // whole orders table the base+appends reassemble)
       val root = Files.createTempDirectory("graft_autocompact").toString
       val cat = new Catalog(root, s)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val o = T(s, dir, "orders")
       cat.save(Chain(o.filter(col("o_orderkey") % 5 =!= 0).coalesce(1)),
         "ord")
@@ -3009,6 +3012,7 @@ object SparkEntry {
         smallBytes = bulkBytes, nFiles = 2).isEmpty,
         "a compacted layout must not re-trigger")
       cat.readDataset("ord").selectExcept("sys").toDF
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
     "q_vacuum" -> ((s, dir) => {
@@ -3019,6 +3023,9 @@ object SparkEntry {
       // and every survivor still reads from disk afterwards
       val root = Files.createTempDirectory("graft_vacuum").toString
       val cat = new Catalog(root, s)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val o = T(s, dir, "orders")
       val v1 = cat.save(Chain(o), "base")
       val r2 = cat.deleteWhere("base", col("o_orderkey") % 7 === 0)
@@ -3039,6 +3046,7 @@ object SparkEntry {
         "dep-protected version and its derived view must still read")
       require(cat.vacuum(keepLast = 1).isEmpty, "second vacuum is a no-op")
       cat.readDataset("base").selectExcept("sys").toDF
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
     "q_move_dataset" -> ((s, dir) => {
@@ -3049,6 +3057,9 @@ object SparkEntry {
       // identity of the moved latest)
       val root = Files.createTempDirectory("graft_move").toString
       val cat = new Catalog(root, s)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
       val n = T(s, dir, "nation")
       cat.save(Chain(n.filter(col("n_nationkey") < 10)), "src_ds")
       cat.save(Chain(n), "src_ds")
@@ -3069,6 +3080,7 @@ object SparkEntry {
       require(names.contains("archive.moved_ds") && !names.contains("src_ds"),
         s"meta-chain must carry the new name: $names")
       cat.readDataset("archive.moved_ds").selectExcept("sys").toDF
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
     "q_delete_where" -> ((s, dir) => {
