@@ -3083,6 +3083,34 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    "q_cme_guard" -> ((s, dir) => {
+      // optimistic concurrency end-to-end: a maintenance writer that
+      // read v1 must NOT be able to commit once a delete landed v2 —
+      // its guarded commit aborts with ConcurrentMutationException,
+      // leaves no version debris, releases the commit lock, and the
+      // table reads as exactly the delete's survivors (the oracle)
+      val root = Files.createTempDirectory("graft_cme").toString
+      val cat = new Catalog(root, s)
+      val o = T(s, dir, "orders")
+      val v1 = cat.save(Chain(o), "ord")
+      cat.deleteWhere("ord", col("o_orderkey") % 7 === 0)
+      val aborted =
+        try { cat.save(Chain(o), "ord", guardLatest = Some(v1)); false }
+        catch {
+          case _: graft.catalog.ConcurrentMutationException => true
+        }
+      require(aborted, "a stale-base commit must abort, not overwrite")
+      require(cat.versions("ord").size == 2,
+        s"the aborted commit must leave no version: ${cat.versions("ord")}")
+      // the lock is free again: a correctly-guarded follow-up commits
+      val v2 = cat.latestVersion("ord").get
+      cat.deleteWhere("ord", lit(false))
+      require(cat.versions("ord").size == 3, "post-abort mutation lands")
+      require(cat.rowsOf("ord", cat.latestVersion("ord").get) ==
+        cat.rowsOf("ord", v2), "the no-op delete keeps every survivor")
+      cat.readDataset("ord").selectExcept("sys").toDF
+    }),
+
     "q_delete_where" -> ((s, dir) => {
       // copy-on-write DELETE: a range-laid orders version drops its low
       // key band as a NEW immutable version — the stats index proves the
@@ -7017,6 +7045,9 @@ object SparkEntry {
 
       "q_move_dataset" ->
         "SELECT * FROM nation",
+
+      "q_cme_guard" ->
+        "SELECT * FROM orders WHERE o_orderkey % 7 <> 0",
 
       "q_delete_where" ->
         """SELECT * FROM orders

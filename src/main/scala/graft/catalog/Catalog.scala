@@ -96,6 +96,14 @@ final case class MutationResult(
     rowsBefore: Long, rowsAfter: Long,
     rowsMatched: Long = 0L, rowsInserted: Long = 0L)
 
+/** Optimistic-concurrency abort (Delta's ConcurrentWriteException): a
+  * read-modify-write mutation found a DIFFERENT latest version at commit
+  * time than the one it started from — committing anyway would silently
+  * drop the other writer's changes from the new latest. Retryable: the
+  * caller re-reads the table and re-applies its mutation. */
+final class ConcurrentMutationException(msg: String)
+    extends RuntimeException(msg)
+
 /** A registered project inside a namespace (reference Project,
   * src/datachain/project.py:13-46). */
 final case class Project(namespace: String, name: String,
@@ -168,6 +176,58 @@ final class Catalog(val root: String, spark: SparkSession) {
     * before their meta commits) and retries with the next bump. The ONE
     * commit-protocol implementation: save, cowRewrite, and linkVersion
     * all claim through here. */
+  /**
+   * Serializes the metadata COMMIT step (claim → move → meta write) of
+   * every version writer of `name`, cross-process via an atomic lock
+   * file. The lock is held only across metadata ops (milliseconds —
+   * never across a Spark job), so contention is negligible; a holder
+   * that crashed mid-commit is broken after 60 s (its claimed version
+   * dir stays dead, the number is never reused). Combined with a
+   * latest-version check inside the lock this gives the lake layer
+   * OPTIMISTIC CONCURRENCY: two read-modify-write mutations racing from
+   * the same base can't both commit — the loser aborts with
+   * [[ConcurrentMutationException]] instead of silently dropping the
+   * winner's rows from the new latest (the classic lost update).
+   */
+  private def withCommitLock[T](name: String)(body: => T): T = {
+    val lockP = dsDir(name).resolve(".commit.lock")
+    Files.createDirectories(lockP.getParent)
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    var held = false
+    while (!held) {
+      try { Files.createFile(lockP); held = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          val stale =
+            try Files.getLastModifiedTime(lockP).toMillis <
+              System.currentTimeMillis() - 60000
+            catch { case _: java.io.IOException => false } // vanished: retry
+          if (stale)
+            try Files.deleteIfExists(lockP)
+            catch { case _: java.io.IOException => () }
+          else if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"commit-lock timeout for dataset '$name'")
+          else Thread.sleep(10)
+      }
+    }
+    try body
+    finally { try Files.deleteIfExists(lockP)
+      catch { case _: java.io.IOException => () } }
+  }
+
+  /** Inside the commit lock: the latest committed version must still be
+    * the one this writer's read-modify-write started from. */
+  private def guardLatestIs(name: String, expected: Option[SemVer]): Unit =
+    expected.foreach { e =>
+      val cur = versions(name).lastOption
+      if (!cur.contains(e))
+        throw new ConcurrentMutationException(
+          s"dataset '$name': expected latest v$e at commit but found " +
+            s"${cur.map("v" + _).getOrElse("none")} — a concurrent " +
+            "mutation committed first; re-read the table and retry")
+    }
+
   private def claimVersion(name: String, explicit: Option[SemVer])
       : (SemVer, Path) = {
     var v = explicit.getOrElse(rawVersions(name).lastOption
@@ -232,7 +292,8 @@ final class Catalog(val root: String, spark: SparkSession) {
            bloomExpected: Long = 100000L, harvestStats: Boolean = true,
            partitionBy: Seq[String] = Nil, description: String = "",
            attrs: Seq[String] = Nil, expect: Seq[Expect] = Nil,
-           unique: Seq[String] = Nil)
+           unique: Seq[String] = Nil,
+           guardLatest: Option[SemVer] = None)
       : SemVer = {
     requireValidName(name)
     attrs.foreach(a => require(!a.contains(']') && !a.contains('['),
@@ -388,28 +449,34 @@ final class Catalog(val root: String, spark: SparkSession) {
           } else FileStats.buildBlooms(spark, tmp.resolve("data").toString,
             bloomCols, bloomExpected, schema = Some(stamped.schema))
         }
-      val (v, dir) = claimVersion(name, version)
-      Files.move(tmp.resolve("data"), dir.resolve("data"))
-      if (Files.isDirectory(tmp.resolve("blooms")))
-        Files.move(tmp.resolve("blooms"), dir.resolve("blooms"))
-      if (Files.isDirectory(tmp.resolve("stats")))
-        Files.move(tmp.resolve("stats"), dir.resolve("stats"))
-      val meta = metaJson(VersionMeta(
-        name, v.toString, chain.hash, SignalSchema.toJson(chain.schema),
-        deps, java.time.Instant.now.toString, rows, description,
-        attrs ++ expectAttrs))
-      Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      if (stats.nonEmpty)
-        Files.write(dir.resolve("stats.json"),
-          FileStats.toJson(stats).getBytes("UTF-8"),
+      withCommitLock(name) {
+        // plain saves are overwrite-semantics (no guard by default:
+        // racing savers both land, distinct versions); maintenance
+        // passes that commit THROUGH save (optimize) guard their base
+        guardLatestIs(name, guardLatest)
+        val (v, dir) = claimVersion(name, version)
+        Files.move(tmp.resolve("data"), dir.resolve("data"))
+        if (Files.isDirectory(tmp.resolve("blooms")))
+          Files.move(tmp.resolve("blooms"), dir.resolve("blooms"))
+        if (Files.isDirectory(tmp.resolve("stats")))
+          Files.move(tmp.resolve("stats"), dir.resolve("stats"))
+        val meta = metaJson(VersionMeta(
+          name, v.toString, chain.hash, SignalSchema.toJson(chain.schema),
+          deps, java.time.Instant.now.toString, rows, description,
+          attrs ++ expectAttrs))
+        Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
           StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      if (blooms.nonEmpty)
-        Files.write(dir.resolve("blooms.json"),
-          FileStats.bloomsToJson(blooms).getBytes("UTF-8"),
-          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      appendCheckpointIndex(chain.hash, name, v)
-      v
+        if (stats.nonEmpty)
+          Files.write(dir.resolve("stats.json"),
+            FileStats.toJson(stats).getBytes("UTF-8"),
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        if (blooms.nonEmpty)
+          Files.write(dir.resolve("blooms.json"),
+            FileStats.bloomsToJson(blooms).getBytes("UTF-8"),
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        appendCheckpointIndex(chain.hash, name, v)
+        v
+      }
     } finally {
       deleteTree(tmp)
     }
@@ -452,7 +519,8 @@ final class Catalog(val root: String, spark: SparkSession) {
     def commit(laid: DataFrame): SemVer =
       save(Chain(graft.core.Sys.drop(laid)), name,
         deps = Seq(s"$name@v$v"), bloomCols = bloomCols,
-        bloomExpected = bloomExpected, partitionBy = layout)
+        bloomExpected = bloomExpected, partitionBy = layout,
+        guardLatest = Some(v))
     val nv =
       if (zcols.nonEmpty) {
         val bits = math.min(8, 63 / zcols.size)
@@ -598,7 +666,9 @@ final class Catalog(val root: String, spark: SparkSession) {
                          op: String, bloomExpected: Long,
                          schemaJsonOverride: Option[String] = None,
                          evolves: Boolean = false,
-                         extraAttrs: Seq[String] = Nil): MutationResult = {
+                         extraAttrs: Seq[String] = Nil,
+                         guardLatest: Option[SemVer] = None)
+      : MutationResult = {
     // once a version chain carries files that predate a column, every
     // descendant keeps the explicit-schema read flag
     val evolvedFlag = evolves || isEvolved(name, v)
@@ -736,32 +806,38 @@ final class Catalog(val root: String, spark: SparkSession) {
         else if (oldStats.isEmpty && untouched.nonEmpty)
           rowsBefore + rewrittenRows
         else kept.map(_.rows).sum + rewrittenRows
-      val (nv, dir) = claimVersion(name, None)
-      Files.move(tmp.resolve("data"), dir.resolve("data"))
-      if (Files.isDirectory(tmp.resolve("blooms")))
-        Files.move(tmp.resolve("blooms"), dir.resolve("blooms"))
-      if (Files.isDirectory(tmp.resolve("stats")))
-        Files.move(tmp.resolve("stats"), dir.resolve("stats"))
-      // chainHash is a fresh UUID-tagged marker: a mutation is not a
-      // chain checkpoint, so it must never satisfy findCheckpoint
-      val meta = metaJson(VersionMeta(
-        name, nv.toString, s"cow-$op-${java.util.UUID.randomUUID}",
-        schemaJson, Seq(s"$name@v$v"), java.time.Instant.now.toString,
-        rowsAfter,
-        attrs = (if (evolvedFlag) Seq("schema:evolved") else Nil) ++
-          extraAttrs))
-      Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      if (newStats.nonEmpty)
-        Files.write(dir.resolve("stats.json"),
-          FileStats.toJson(newStats).getBytes("UTF-8"),
+      withCommitLock(name) {
+        // optimistic concurrency: the loser of a mutation race aborts
+        // HERE (its rewrite work is discarded with the tmp dir) instead
+        // of committing a version that silently lacks the winner's edit
+        guardLatestIs(name, guardLatest)
+        val (nv, dir) = claimVersion(name, None)
+        Files.move(tmp.resolve("data"), dir.resolve("data"))
+        if (Files.isDirectory(tmp.resolve("blooms")))
+          Files.move(tmp.resolve("blooms"), dir.resolve("blooms"))
+        if (Files.isDirectory(tmp.resolve("stats")))
+          Files.move(tmp.resolve("stats"), dir.resolve("stats"))
+        // chainHash is a fresh UUID-tagged marker: a mutation is not a
+        // chain checkpoint, so it must never satisfy findCheckpoint
+        val meta = metaJson(VersionMeta(
+          name, nv.toString, s"cow-$op-${java.util.UUID.randomUUID}",
+          schemaJson, Seq(s"$name@v$v"), java.time.Instant.now.toString,
+          rowsAfter,
+          attrs = (if (evolvedFlag) Seq("schema:evolved") else Nil) ++
+            extraAttrs))
+        Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
           StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      if (inlineBlooms.nonEmpty)
-        Files.write(dir.resolve("blooms.json"),
-          FileStats.bloomsToJson(inlineBlooms).getBytes("UTF-8"),
-          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      MutationResult(nv, rewFiles.size, untouched.size,
-        rowsBefore, rowsAfter)
+        if (newStats.nonEmpty)
+          Files.write(dir.resolve("stats.json"),
+            FileStats.toJson(newStats).getBytes("UTF-8"),
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        if (inlineBlooms.nonEmpty)
+          Files.write(dir.resolve("blooms.json"),
+            FileStats.bloomsToJson(inlineBlooms).getBytes("UTF-8"),
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        MutationResult(nv, rewFiles.size, untouched.size,
+          rowsBefore, rowsAfter)
+      }
     } finally {
       deleteTree(tmp)
     }
@@ -777,7 +853,8 @@ final class Catalog(val root: String, spark: SparkSession) {
    * behind [[restore]] and [[cloneDataset]].
    */
   private def linkVersion(srcName: String, srcV: SemVer,
-                          dstName: String): SemVer = {
+                          dstName: String,
+                          guardLatest: Option[SemVer] = None): SemVer = {
     requireValidName(dstName)
     val srcDir = vDir(srcName, srcV)
     require(Files.exists(srcDir.resolve("meta.json")),
@@ -802,28 +879,32 @@ final class Catalog(val root: String, spark: SparkSession) {
           linkTree(srcDir.resolve(d), tmp.resolve(d))
         }
       }
-      val (nv, dir) = claimVersion(dstName, None)
-      Files.move(tmp.resolve("data"), dir.resolve("data"))
-      Seq("blooms", "stats").foreach { d =>
-        if (Files.isDirectory(tmp.resolve(d)))
-          Files.move(tmp.resolve(d), dir.resolve(d))
-      }
-      Seq("stats.json", "blooms.json").foreach { f =>
-        if (Files.exists(srcDir.resolve(f)))
-          Files.copy(srcDir.resolve(f), dir.resolve(f))
-      }
+      // schema derivation can launch a read — resolve it BEFORE the lock
       val schemaJson = recordedSchema(srcName, srcV).map(SignalSchema.toJson)
         .getOrElse(SignalSchema.toJson(
           Sys.drop(readVersionData(srcName, srcV)).schema))
-      val meta = metaJson(VersionMeta(
-        dstName, nv.toString, s"cow-link-${java.util.UUID.randomUUID}",
-        schemaJson, Seq(s"$srcName@v$srcV"),
-        java.time.Instant.now.toString, rowsOf(srcName, srcV),
-        attrs = if (isEvolved(srcName, srcV)) Seq("schema:evolved")
-          else Nil))
-      Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-      nv
+      withCommitLock(dstName) {
+        guardLatestIs(dstName, guardLatest)
+        val (nv, dir) = claimVersion(dstName, None)
+        Files.move(tmp.resolve("data"), dir.resolve("data"))
+        Seq("blooms", "stats").foreach { d =>
+          if (Files.isDirectory(tmp.resolve(d)))
+            Files.move(tmp.resolve(d), dir.resolve(d))
+        }
+        Seq("stats.json", "blooms.json").foreach { f =>
+          if (Files.exists(srcDir.resolve(f)))
+            Files.copy(srcDir.resolve(f), dir.resolve(f))
+        }
+        val meta = metaJson(VersionMeta(
+          dstName, nv.toString, s"cow-link-${java.util.UUID.randomUUID}",
+          schemaJson, Seq(s"$srcName@v$srcV"),
+          java.time.Instant.now.toString, rowsOf(srcName, srcV),
+          attrs = if (isEvolved(srcName, srcV)) Seq("schema:evolved")
+            else Nil))
+        Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        nv
+      }
     } finally {
       deleteTree(tmp)
     }
@@ -837,7 +918,9 @@ final class Catalog(val root: String, spark: SparkSession) {
   def restore(name: String, to: SemVer): SemVer = {
     require(versions(name).contains(to),
       s"restore: no committed version $name@v$to")
-    linkVersion(name, to, name)
+    // a restore is a read-modify-write of LATEST too: racing mutations
+    // must not silently disappear under a concurrently committed restore
+    linkVersion(name, to, name, guardLatest = versions(name).lastOption)
   }
 
   /** Shallow CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`): a new
@@ -878,7 +961,8 @@ final class Catalog(val root: String, spark: SparkSession) {
                            all: Seq[String], nFiles: Int, op: String,
                            bloomExpected: Long): MutationResult = {
     if (touched.isEmpty)
-      cowRewrite(name, v, touched, all, None, op, bloomExpected)
+      cowRewrite(name, v, touched, all, None, op, bloomExpected,
+        guardLatest = Some(v))
     else {
       val dataDir = vDir(name, v).resolve("data")
       val total = touched.map(r => Files.size(dataDir.resolve(r))).sum
@@ -891,7 +975,7 @@ final class Catalog(val root: String, spark: SparkSession) {
       cowRewrite(name, v, touched, all,
         Some(packedSession(target).readVersionFiles(name, v, touched)
           .coalesce(nFiles)),
-        op, bloomExpected)
+        op, bloomExpected, guardLatest = Some(v))
     }
   }
 
@@ -951,7 +1035,8 @@ final class Catalog(val root: String, spark: SparkSession) {
       if (touched.isEmpty) None
       else Some(readVersionFiles(name, v, touched)
         .filter(not(coalesce(predicate, lit(false)))))
-    cowRewrite(name, v, touched, all, rewrittenDf, "delete", bloomExpected)
+    cowRewrite(name, v, touched, all, rewrittenDf, "delete", bloomExpected,
+      guardLatest = if (version.isEmpty) Some(v) else None)
   }
 
   /**
@@ -989,7 +1074,8 @@ final class Catalog(val root: String, spark: SparkSession) {
           }
         }: _*))
       }
-    cowRewrite(name, v, touched, all, rewrittenDf, "update", bloomExpected)
+    cowRewrite(name, v, touched, all, rewrittenDf, "update", bloomExpected,
+      guardLatest = if (version.isEmpty) Some(v) else None)
   }
 
   /**
@@ -1137,7 +1223,8 @@ final class Catalog(val root: String, spark: SparkSession) {
           newCols.map(c => src0.schema(c).copy(nullable = true)))))
     val res = cowRewrite(name, v, touched, all, Some(rewrittenDf),
       "merge", bloomExpected, schemaJsonOverride = schemaOverride,
-      evolves = newCols.nonEmpty)
+      evolves = newCols.nonEmpty,
+      guardLatest = if (version.isEmpty) Some(v) else None)
     val insN = Option(obs.get("inserted")).map(_.asInstanceOf[Long])
       .getOrElse(0L)
     val mPlusI = Option(obs.get("matchedPlusIns")).map(_.asInstanceOf[Long])
@@ -1195,7 +1282,8 @@ final class Catalog(val root: String, spark: SparkSession) {
         col(c).cast(target.schema(c).dataType).as(c)): _*), base)
       .select((userCols.map(col) :+ col(Sys.ColName)): _*)
     cowRewrite(name, v, Seq.empty, all, Some(stamped), "append",
-      bloomExpected, extraAttrs = extraAttrs)
+      bloomExpected, extraAttrs = extraAttrs,
+      guardLatest = if (version.isEmpty) Some(v) else None)
   }
 
   /**

@@ -546,7 +546,14 @@ class MutationSpec extends SparkSpec {
     assert(got.size === 201 + 2)
   }
 
-  test("racing mutations claim distinct versions, both readable") {
+  test("racing same-base mutations can't lose an update (optimistic concurrency)") {
+    // the lake-layer write-write story: two read-modify-write mutations
+    // racing from the same base must NOT both commit as siblings (the
+    // second latest would silently lack the first's change — a lost
+    // update). Legal outcomes: they serialize (the later one resolved
+    // the earlier's commit as its base → latest carries BOTH changes),
+    // or the loser aborts with ConcurrentMutationException and latest
+    // carries exactly the winner's change.
     val root = Files.createTempDirectory("mut_race").toString
     val cat = new Catalog(root, spark)
     import spark.implicits._
@@ -555,19 +562,54 @@ class MutationSpec extends SparkSpec {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    // both mutate v1 concurrently; the claim loop serializes the bumps —
-    // two distinct versions, each exactly its own change against v1
-    val (a, b) = Await.result(
-      Future(cat.deleteWhere("t", col("k") <= 10L))
-        .zip(Future(cat.updateWhere("t", col("k") > 90L,
-          Map("s" -> lit("hot"))))), 120.seconds)
-    assert(a.version !== b.version)
-    assert(cat.readDataset("t", Some(a.version)).toDF.count() === 90)
-    assert(cat.readDataset("t", Some(b.version)).toDF
-      .filter(col("s") === "hot").count() === 10)
-    // both record lineage on the version they mutated
-    assert(cat.depsOf("t", a.version) === Seq(("t", SemVer(1, 0, 0))))
-    assert(cat.depsOf("t", b.version) === Seq(("t", SemVer(1, 0, 0))))
+    val (ta, tb) = Await.result(
+      Future(scala.util.Try(cat.deleteWhere("t", col("k") <= 10L)))
+        .zip(Future(scala.util.Try(cat.updateWhere("t", col("k") > 90L,
+          Map("s" -> lit("hot")))))), 120.seconds)
+    Seq(ta, tb).foreach {
+      case scala.util.Failure(e) =>
+        assert(e.isInstanceOf[graft.catalog.ConcurrentMutationException],
+          s"only CME aborts are legal: $e")
+      case _ =>
+    }
+    val latest = cat.readDataset("t").toDF.cache()
+    try {
+      (ta.isSuccess, tb.isSuccess) match {
+        case (true, true) => // serialized: latest includes BOTH changes
+          assert(latest.count() === 90)
+          assert(latest.filter(col("s") === "hot").count() === 10)
+        case (true, false) => // delete won
+          assert(latest.count() === 90)
+          assert(latest.filter(col("s") === "hot").count() === 0)
+        case (false, true) => // update won
+          assert(latest.count() === 100)
+          assert(latest.filter(col("s") === "hot").count() === 10)
+        case (false, false) => fail("both mutations aborted")
+      }
+    } finally latest.unpersist()
+    // the commit lock is released either way: a follow-up mutation works
+    val r = cat.deleteWhere("t", col("k") === 50L)
+    assert(cat.readDataset("t").toDF.count() === r.rowsAfter)
+  }
+
+  test("guardLatest: stale-base commits abort, explicit-version forks don't") {
+    val root = Files.createTempDirectory("mut_guard").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    val df = (1L to 40L).map(k => (k, k * 2)).toDF("k", "v")
+    val v1 = cat.save(Chain(df), "g")
+    val v2 = cat.deleteWhere("g", col("k") <= 5L).version
+    // a maintenance pass that watched v1 must abort once v2 committed
+    intercept[graft.catalog.ConcurrentMutationException] {
+      cat.save(Chain(df), "g", guardLatest = Some(v1))
+    }
+    // ...and the abort released the commit lock + left no claimed debris
+    assert(cat.versions("g") === Seq(v1, v2))
+    assert(cat.save(Chain(df), "g", guardLatest = Some(v2)) > v2)
+    // explicitly pinning an OLD version is the documented FORK escape
+    // hatch — no guard, commits a sibling from v1
+    val fork = cat.deleteWhere("g", col("k") > 35L, version = Some(v1))
+    assert(cat.readDataset("g", Some(fork.version)).toDF.count() === 35)
   }
 
   test("mutating a parquet-bloom-indexed version rebuilds the index whole") {
