@@ -11,7 +11,7 @@ import graft.catalog.{Catalog, Expect, ExpectFailed}
 import graft.delta.{Delta, MatView, MvAgg}
 import graft.files.FileOps
 import graft.functions.GraftFunctions._
-import graft.ops.{Corpus, Dedup, Multimodal, Similarity, Split, TextAnalysis}
+import graft.ops.{Cdc, Corpus, Dedup, Multimodal, Similarity, Split, TextAnalysis}
 import graft.streaming.EventStream
 
 // ---- typed-UDF row models (top-level for Encoder derivation) ----
@@ -2243,6 +2243,23 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
     }),
 
+    "q_cdc_chunks" -> ((s, dir) => {
+      // content-defined chunking (Rabin window polynomial, rolling O(1)
+      // kernel): boundaries depend only on LOCAL content, so a copy
+      // whose TAIL is edited shares every prefix chunk with its
+      // original — fixed-size blocks would misalign after the first
+      // byte shift. Per-doc shared-chunk counts expose passage reuse;
+      // the fingerprint is plain int64 arithmetic, recomputed exactly
+      // by the DuckDB oracle (powers of 31 spelled out)
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(expr("substr(text, 1, length(text) - 5)"),
+            lit(" tail edited now")).as("text"))
+      Cdc.cdcShareStats(docs.unionByName(copies), "doc_id", "text",
+        k = 8, divisor = 32)
+    }),
+
     "q_exact_substr" -> ((s, dir) => {
       // Lee-et-al ExactSubstr dedup: every 7th doc is replanted re-id'd
       // with a 4-token suffix appended — too short to form its own
@@ -3095,7 +3112,10 @@ object SparkEntry {
       val v1 = cat.save(Chain(o), "ord")
       cat.deleteWhere("ord", col("o_orderkey") % 7 === 0)
       val aborted =
-        try { cat.save(Chain(o), "ord", guardLatest = Some(v1)); false }
+        // the stale writer's content never lands — a tiny frame keeps
+        // the gate's cost on the PROTOCOL, not a redundant table write
+        try { cat.save(Chain(o.limit(50)), "ord", guardLatest = Some(v1))
+          false }
         catch {
           case _: graft.catalog.ConcurrentMutationException => true
         }
@@ -6181,6 +6201,40 @@ object SparkEntry {
            |  round(sum(CASE WHEN dup.g IS NOT NULL THEN 1 ELSE 0 END)
            |    / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
            |FROM g LEFT JOIN dup USING (g) GROUP BY g.doc_id""".stripMargin,
+
+      "q_cdc_chunks" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 200000, substr(text, 1, length(text) - 5) || ' tail edited now'
+          |  FROM documents WHERE doc_id % 9 = 0),
+          | cand AS (SELECT doc_id, text,
+          |   unnest(generate_series(8, length(text))) AS i FROM corpus),
+          | cut AS (SELECT doc_id, text, i FROM cand WHERE
+          |   (CAST(ord(substr(text, i-7, 1)) AS BIGINT) * 27512614111
+          |  + CAST(ord(substr(text, i-6, 1)) AS BIGINT) * 887503681
+          |  + CAST(ord(substr(text, i-5, 1)) AS BIGINT) * 28629151
+          |  + CAST(ord(substr(text, i-4, 1)) AS BIGINT) * 923521
+          |  + CAST(ord(substr(text, i-3, 1)) AS BIGINT) * 29791
+          |  + CAST(ord(substr(text, i-2, 1)) AS BIGINT) * 961
+          |  + CAST(ord(substr(text, i-1, 1)) AS BIGINT) * 31
+          |  + CAST(ord(substr(text, i, 1)) AS BIGINT)) % 32 = 0),
+          | seg AS (
+          |   SELECT doc_id,
+          |     substr(text, lag(i,1,0) OVER (PARTITION BY doc_id ORDER BY i) + 1,
+          |            i - lag(i,1,0) OVER (PARTITION BY doc_id ORDER BY i)) AS chunk
+          |   FROM cut
+          |   UNION ALL
+          |   SELECT c.doc_id, substr(c.text, coalesce(m.mx, 0) + 1) AS chunk
+          |   FROM corpus c LEFT JOIN (SELECT doc_id, max(i) AS mx FROM cut GROUP BY 1) m
+          |     ON c.doc_id = m.doc_id
+          |   WHERE length(c.text) > coalesce(m.mx, 0)),
+          | sh AS (SELECT chunk FROM seg GROUP BY chunk
+          |   HAVING count(DISTINCT doc_id) > 1)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+          |  CAST(coalesce(sum(CASE WHEN chunk IN (SELECT chunk FROM sh)
+          |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_shared
+          |FROM seg GROUP BY doc_id""".stripMargin,
 
       "q_exact_substr" ->
         raw"""WITH corpus AS (

@@ -65,6 +65,32 @@ case class RegisteredDomainExpr(child: Expression)
     copy(c)
 }
 
+/** Content-defined chunk spans of a string ([[graft.ops.Cdc]] — Rabin
+  * window polynomial, rolling O(1) per char): returns
+  * `array<struct<start:int, chunk:string>>` with 1-based starts. The
+  * split parameters are plan-time constants (ride the expression, not
+  * child columns), so the whole call codegens to one static kernel
+  * invocation. */
+case class CdcChunksExpr(child: Expression, k: Int, divisor: Long,
+                         minLen: Int, maxLen: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("chunk", StringType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cdc_chunks"
+  override protected def nullSafeEval(v: Any): Any =
+    graft.ops.Cdc.chunkArray(v.asInstanceOf[UTF8String], k, divisor,
+      minLen, maxLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.Cdc.chunkArray($c, $k, ${divisor}L, $minLen, $maxLen)")
+  override protected def withNewChildInternal(c: Expression): CdcChunksExpr =
+    copy(child = c)
+}
+
 /** popcount(a ^ b) — hamming distance between two 64-bit values. */
 case class BitHammingDistance(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

@@ -2342,4 +2342,38 @@ class OpsSpec extends SparkSpec {
     assert(r.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
     assert(r.map(_._2).toSeq === Seq(0L, 1L, 2L, 4L))
   }
+
+  test("cdc: partition property, divisor rule, clamps, edit alignment") {
+    import graft.ops.Cdc
+    val t = "the quick brown fox jumps over the lazy dog again and again ok"
+    // chunks partition the text exactly, starts are consistent
+    val spans = Cdc.chunkSpans(t, 8, 4, 1, Int.MaxValue)
+    assert(spans.map(_._2).mkString === t)
+    assert(spans.map(_._1) ===
+      spans.map(_._2.length).scanLeft(0)(_ + _).dropRight(1))
+    // every non-final cut satisfies the ORACLE's direct window
+    // polynomial (pins rolling == direct; 31^7 < 2^53, pow is exact)
+    def direct(i: Int): Long =
+      (0 until 8).map(j => t.charAt(i - j).toLong *
+        math.pow(31.0, j.toDouble).toLong).sum
+    spans.dropRight(1).foreach { case (st, ch) =>
+      assert(direct(st + ch.length - 1) % 4 === 0, s"cut at $st+${ch.length}") }
+    // maxLen forces cuts, minLen suppresses them — both still partition
+    val mx = Cdc.chunkSpans(t, 8, 4, 1, 10)
+    assert(mx.map(_._2).mkString === t && mx.forall(_._2.length <= 10))
+    val mn = Cdc.chunkSpans(t, 8, 2, 12, Int.MaxValue)
+    assert(mn.map(_._2).mkString === t &&
+      mn.dropRight(1).forall(_._2.length >= 12))
+    // the CDC property: a front insertion leaves the suffix chunks
+    // byte-identical (fixed-size blocks would shift every boundary)
+    val edited = "XYZW " + t
+    val ca = Cdc.chunkSpans(t, 8, 4, 1, Int.MaxValue).map(_._2)
+    val cb = Cdc.chunkSpans(edited, 8, 4, 1, Int.MaxValue).map(_._2)
+    val shared = ca.toSet.intersect(cb.toSet)
+    assert(shared.size >= ca.size - 2, s"suffix chunks must survive: $shared")
+    // degenerate shapes
+    assert(Cdc.chunkSpans("", 8, 4, 1, Int.MaxValue).isEmpty)
+    assert(Cdc.chunkSpans("short", 8, 4, 1, Int.MaxValue) ===
+      Seq((0, "short")))
+  }
 }
