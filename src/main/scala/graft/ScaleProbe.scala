@@ -21,7 +21,7 @@ object ScaleProbe {
     //   pq,profile,rollingdistinct,funnel,statsskip,bloomskip,
     //   intervaljoin,mediameta,optimize,tokenmix,crawl,fuzzyjoin,mutate,statstier,
     //   mergelarge,cdfchurn,annindexq,
-    //   matview (default all)
+    //   matview,cdc (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
       .map(s => (x: String) => s(x)).getOrElse(_ => true)
@@ -1412,6 +1412,30 @@ object ScaleProbe {
           f"create=${createSec}%.2f s  refresh=${refSec}%.2f s " +
           f"(${r.mode}, dirty=${r.dirtyGroups} up=${r.upserted} " +
           f"del=${r.deleted})")
+      }
+    }
+
+    // Content-defined chunking at K×: the split is a pure projection
+    // (no shuffle) and the share stats are ONE exchange on the chunk
+    // key — time should track corpus size linearly, never candidates²
+    if (want("cdc")) {
+      ks.foreach { k =>
+        val corpus = docs.crossJoin(
+            spark.range(k).select(col("id").as("__copy")))
+          .select((col("doc_id") * k + col("__copy")).as("doc_id"),
+            // half the copies keep the original text (planted passage
+            // reuse), half get a distinct tail (unique chunks)
+            when(col("__copy") % 2 === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" tail v"), col("__copy")))
+              .as("text"))
+        val t0 = System.nanoTime()
+        val stats = graft.ops.Cdc.cdcShareStats(corpus, "doc_id", "text",
+          k = 8, divisor = 64)
+        val agg = stats.agg(sum("n_chunks"), sum("n_shared")).head()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"cdc K=$k%-3d docs=${5000L * k}%-8d " +
+          f"chunks=${agg.getLong(0)}%-9d shared=${agg.getLong(1)}%-9d " +
+          f"${sec}%.2f s")
       }
     }
     spark.stop()

@@ -114,6 +114,23 @@ object Catalog {
   val DefaultNamespace = "local"
   val DefaultProject = "local"
   val ListingProject = "listing"
+
+  /** Retry loop for optimistic-concurrency aborts: re-runs `body` (which
+    * must RE-RESOLVE the table — every mutation verb re-reads latest at
+    * entry, so `retryOnConflict(3)(cat.deleteWhere(...))` just works)
+    * until it commits or `attempts` conflicts pass through. */
+  def retryOnConflict[T](attempts: Int = 3)(body: => T): T = {
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentMutationException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }
 
 final class Catalog(val root: String, spark: SparkSession) {

@@ -612,6 +612,46 @@ class MutationSpec extends SparkSpec {
     assert(cat.readDataset("g", Some(fork.version)).toDF.count() === 35)
   }
 
+  test("commit lock: stale holders break, live holders serialize, retry helper") {
+    val root = Files.createTempDirectory("mut_lock").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    val df = (1L to 20L).map(k => (k, k)).toDF("k", "v")
+    cat.save(Chain(df), "l")
+    // a crashed writer's lock file (old mtime) must NOT wedge the table
+    val lockP = java.nio.file.Paths.get(root, "datasets", "l", ".commit.lock")
+    Files.createFile(lockP)
+    Files.setLastModifiedTime(lockP,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120000))
+    val r = cat.deleteWhere("l", col("k") === 1L) // stale-breaks, commits
+    assert(r.rowsAfter === 19)
+    assert(!Files.exists(lockP), "the lock must be released after commit")
+    // a LIVE holder blocks the commit until released — then it proceeds
+    Files.createFile(lockP)
+    val t0 = System.nanoTime()
+    val fut = scala.concurrent.Future {
+      cat.deleteWhere("l", col("k") === 2L)
+    }(scala.concurrent.ExecutionContext.global)
+    Thread.sleep(700)
+    Files.deleteIfExists(lockP)
+    val r2 = scala.concurrent.Await.result(fut,
+      scala.concurrent.duration.Duration(60, "s"))
+    assert(r2.rowsAfter === 18)
+    assert((System.nanoTime() - t0) / 1e6 >= 650,
+      "the commit must have waited for the live lock")
+    // the retry helper re-runs a conflicted mutation to success
+    val v = cat.latestVersion("l").get
+    var first = true
+    val r3 = graft.catalog.Catalog.retryOnConflict(3) {
+      if (first) { first = false
+        throw new graft.catalog.ConcurrentMutationException("synthetic")
+      }
+      cat.deleteWhere("l", col("k") === 3L)
+    }
+    assert(r3.rowsAfter === 17 && cat.latestVersion("l").get > v)
+  }
+
   test("mutating a parquet-bloom-indexed version rebuilds the index whole") {
     val root = Files.createTempDirectory("mut_pbloom").toString
     val cat = new Catalog(root, spark)
