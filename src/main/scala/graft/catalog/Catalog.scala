@@ -2196,13 +2196,25 @@ final class Catalog(val root: String, spark: SparkSession) {
     require(Files.isDirectory(dsDir(from)), s"dataset $from not found")
     require(!Files.exists(dsDir(to)), s"dataset $to already exists")
     Files.createDirectories(dsDir(to).getParent)
-    Files.move(dsDir(from), dsDir(to))
-    versions(to).foreach { v =>
-      val patched = readMeta(to, v).replaceFirst(
-        "\"name\": \"" + java.util.regex.Pattern.quote(esc(from)) + "\"",
-        java.util.regex.Matcher.quoteReplacement("\"name\": \"" + esc(to) + "\""))
-      Files.write(vDir(to, v).resolve("meta.json"), patched.getBytes("UTF-8"),
-        StandardOpenOption.TRUNCATE_EXISTING)
+    // under the source's commit lock: an in-flight writer either commits
+    // before the move (its version travels) or reaches its own commit
+    // section after it — where the guard check sees an empty version
+    // list at the OLD name and aborts with ConcurrentMutationException
+    // instead of a torn half-write into a vanished directory
+    withCommitLock(from) {
+      Files.move(dsDir(from), dsDir(to))
+      // the held lock file traveled with the directory — the finally
+      // below deletes the OLD path (now absent); drop the carried copy
+      // so the new name doesn't start life with a stale lock
+      Files.deleteIfExists(dsDir(to).resolve(".commit.lock"))
+      versions(to).foreach { v =>
+        val patched = readMeta(to, v).replaceFirst(
+          "\"name\": \"" + java.util.regex.Pattern.quote(esc(from)) + "\"",
+          java.util.regex.Matcher.quoteReplacement(
+            "\"name\": \"" + esc(to) + "\""))
+        Files.write(vDir(to, v).resolve("meta.json"),
+          patched.getBytes("UTF-8"), StandardOpenOption.TRUNCATE_EXISTING)
+      }
     }
   }
 

@@ -316,11 +316,17 @@ object EventStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty && lastApplied().forall(_ < id)) {
-          if (catalog.versions(name).isEmpty)
-            catalog.save(graft.core.Chain(batch), name,
-              attrs = Seq(s"$prefix$id"))
-          else
-            catalog.append(name, batch, extraAttrs = Seq(s"$prefix$id"))
+          // a user mutation racing this batch aborts the append with a
+          // ConcurrentMutationException — retry re-resolves the new
+          // latest and re-applies (the batch-id attr keeps it
+          // exactly-once either way)
+          graft.catalog.Catalog.retryOnConflict(3) {
+            if (catalog.versions(name).isEmpty)
+              catalog.save(graft.core.Chain(batch), name,
+                attrs = Seq(s"$prefix$id"))
+            else
+              catalog.append(name, batch, extraAttrs = Seq(s"$prefix$id"))
+          }
           // live table-followers (datasetStream) see the batch too
           graft.delta.Delta.healDatasetStream(catalog, name)
         }
@@ -395,20 +401,30 @@ object EventStream {
             "applyChanges: batch keys are not unique and no seqCol " +
               "orders them (a delete+upsert pair of one key is ambiguous)")
           val markers = seqCol.toSeq ++ deleteCol.toSeq
+          // each merge retries through a concurrent-mutation abort
+          // individually (mergeInto re-resolves latest per call, and
+          // replaying a committed half converges: re-deleting absent
+          // keys is a no-op, re-upserting is idempotent by key)
           deleteCol match {
             case Some(dc) =>
               val dels = batch.filter(coalesce(col(dc), lit(false)))
                 .drop(markers: _*)
               val ups = batch.filter(!coalesce(col(dc), lit(false)))
                 .drop(markers: _*)
-              catalog.mergeInto(name, dels, on,
-                matchedAction = "delete", insertNotMatched = false,
-                evolveSchema = evolveSchema)
-              catalog.mergeInto(name, ups, on,
-                evolveSchema = evolveSchema)
+              graft.catalog.Catalog.retryOnConflict(3) {
+                catalog.mergeInto(name, dels, on,
+                  matchedAction = "delete", insertNotMatched = false,
+                  evolveSchema = evolveSchema)
+              }
+              graft.catalog.Catalog.retryOnConflict(3) {
+                catalog.mergeInto(name, ups, on,
+                  evolveSchema = evolveSchema)
+              }
             case None =>
-              catalog.mergeInto(name, batch.drop(markers: _*), on,
-                evolveSchema = evolveSchema)
+              graft.catalog.Catalog.retryOnConflict(3) {
+                catalog.mergeInto(name, batch.drop(markers: _*), on,
+                  evolveSchema = evolveSchema)
+              }
           }
         }
         ()
