@@ -115,6 +115,11 @@ object Catalog {
   val DefaultProject = "local"
   val ListingProject = "listing"
 
+  /** `guardLatest` sentinel: the commit requires the dataset to have NO
+    * committed version yet (v0.0.0 is never claimable — real versions
+    * start at 1.0.0). The create half of a create-or-append decision. */
+  val ExpectNoVersions: SemVer = SemVer(0, 0, 0)
+
   /** Retry loop for optimistic-concurrency aborts: re-runs `body` (which
     * must RE-RESOLVE the table — every mutation verb re-reads latest at
     * entry, so `retryOnConflict(3)(cat.deleteWhere(...))` just works)
@@ -210,39 +215,80 @@ final class Catalog(val root: String, spark: SparkSession) {
     val lockP = dsDir(name).resolve(".commit.lock")
     Files.createDirectories(lockP.getParent)
     val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    // OWNED lock: the holder's token rides in the file, so release only
+    // removes a lock we still hold (a breaker that stole it can't have
+    // ITS fresh lock deleted by our finally), and stale breaking is an
+    // ATOMIC_MOVE to a unique grave — of N waiters that judge the same
+    // lock stale, exactly one wins the rename; the losers just re-loop.
+    // A plain delete-then-retry would let waiter B delete the lock
+    // waiter A just re-created, putting two writers in the critical
+    // section — the exact lost update this lock exists to prevent.
+    val token = java.util.UUID.randomUUID.toString
     var held = false
     while (!held) {
-      try { Files.createFile(lockP); held = true }
-      catch {
+      try {
+        Files.createFile(lockP)
+        Files.write(lockP, token.getBytes("UTF-8"))
+        held = true
+      } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           val stale =
             try Files.getLastModifiedTime(lockP).toMillis <
               System.currentTimeMillis() - 60000
             catch { case _: java.io.IOException => false } // vanished: retry
-          if (stale)
-            try Files.deleteIfExists(lockP)
-            catch { case _: java.io.IOException => () }
+          if (stale) {
+            val grave = lockP.resolveSibling(
+              s".commit.lock.stale-${java.util.UUID.randomUUID}")
+            try {
+              Files.move(lockP, grave,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              Files.deleteIfExists(grave)
+            } catch { case _: java.io.IOException => () } // lost the steal
+          }
           else if (System.nanoTime() > deadline)
             throw new IllegalStateException(
               s"commit-lock timeout for dataset '$name'")
           else Thread.sleep(10)
+        case _: java.nio.file.NoSuchFileException =>
+          // the dataset dir vanished mid-wait (a concurrent moveDataset
+          // or delete won its lock and took the directory) — surface as
+          // the retryable conflict it is, not a raw filesystem error
+          throw new ConcurrentMutationException(
+            s"dataset '$name' was moved or deleted while waiting to " +
+              "commit; re-resolve the table and retry")
       }
     }
     try body
-    finally { try Files.deleteIfExists(lockP)
-      catch { case _: java.io.IOException => () } }
+    finally {
+      try {
+        val mine =
+          try new String(Files.readAllBytes(lockP), "UTF-8") == token
+          catch { case _: java.io.IOException => false }
+        if (mine) Files.deleteIfExists(lockP)
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Inside the commit lock: the latest committed version must still be
-    * the one this writer's read-modify-write started from. */
+    * the one this writer's read-modify-write started from.
+    * [[Catalog.ExpectNoVersions]] (v0.0.0 — never claimable, real
+    * versions start at 1.0.0) expects the dataset to have NO committed
+    * version yet: the create-or-append decision of streaming sinks is a
+    * read-modify-write too, and an unguarded first save would overwrite
+    * a concurrently landed table. */
   private def guardLatestIs(name: String, expected: Option[SemVer]): Unit =
     expected.foreach { e =>
       val cur = versions(name).lastOption
-      if (!cur.contains(e))
+      val ok =
+        if (e == Catalog.ExpectNoVersions) cur.isEmpty else cur.contains(e)
+      if (!ok)
         throw new ConcurrentMutationException(
-          s"dataset '$name': expected latest v$e at commit but found " +
+          s"dataset '$name': expected " +
+            (if (e == Catalog.ExpectNoVersions) "no committed version"
+             else s"latest v$e") +
+            s" at commit but found " +
             s"${cur.map("v" + _).getOrElse("none")} — a concurrent " +
-            "mutation committed first; re-read the table and retry")
+            "writer committed first; re-read the table and retry")
     }
 
   private def claimVersion(name: String, explicit: Option[SemVer])
@@ -2194,6 +2240,25 @@ final class Catalog(val root: String, spark: SparkSession) {
     invalidateStats(from)
     requireValidName(to)
     require(Files.isDirectory(dsDir(from)), s"dataset $from not found")
+    // an aborted writer can leave an empty footprint dir (known debris
+    // class — the save protocol tolerates it too): reclaim it when its
+    // only content is a NOT-freshly-held lock, so a ghost dir doesn't
+    // block the name forever
+    if (Files.isDirectory(dsDir(to)) && versions(to).isEmpty) {
+      val entries = listDir(dsDir(to))
+      val onlyLock = entries.forall(
+        _.getFileName.toString == ".commit.lock")
+      val lockFree = entries.isEmpty || (
+        try Files.getLastModifiedTime(dsDir(to).resolve(".commit.lock"))
+          .toMillis < System.currentTimeMillis() - 60000
+        catch { case _: java.io.IOException => true })
+      if (onlyLock && lockFree) {
+        try {
+          Files.deleteIfExists(dsDir(to).resolve(".commit.lock"))
+          Files.deleteIfExists(dsDir(to))
+        } catch { case _: java.io.IOException => () }
+      }
+    }
     require(!Files.exists(dsDir(to)), s"dataset $to already exists")
     Files.createDirectories(dsDir(to).getParent)
     // under the source's commit lock: an in-flight writer either commits
@@ -2203,10 +2268,6 @@ final class Catalog(val root: String, spark: SparkSession) {
     // instead of a torn half-write into a vanished directory
     withCommitLock(from) {
       Files.move(dsDir(from), dsDir(to))
-      // the held lock file traveled with the directory — the finally
-      // below deletes the OLD path (now absent); drop the carried copy
-      // so the new name doesn't start life with a stale lock
-      Files.deleteIfExists(dsDir(to).resolve(".commit.lock"))
       versions(to).foreach { v =>
         val patched = readMeta(to, v).replaceFirst(
           "\"name\": \"" + java.util.regex.Pattern.quote(esc(from)) + "\"",
@@ -2215,6 +2276,11 @@ final class Catalog(val root: String, spark: SparkSession) {
         Files.write(vDir(to, v).resolve("meta.json"),
           patched.getBytes("UTF-8"), StandardOpenOption.TRUNCATE_EXISTING)
       }
+      // the held lock file traveled with the directory, serializing
+      // writers that discover the NEW name until the meta patch above
+      // is complete — drop the carried copy LAST (the finally deletes
+      // only the old path, which no longer exists)
+      Files.deleteIfExists(dsDir(to).resolve(".commit.lock"))
     }
   }
 

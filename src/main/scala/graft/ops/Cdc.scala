@@ -31,9 +31,10 @@ import org.apache.spark.sql.catalyst.InternalRow
  * defaults; the gate pins the pure rule with min=1/max=unbounded so
  * the SQL oracle needs no sequential state).
  *
- * Scale shape: the split is one codegen'd projection (no shuffle); the
- * share stats are one exchange on the chunk key. At corpus scale group
- * on `xxhash64(chunk)` first and keep texts out of the shuffle — the
+ * Scale shape: the split is one codegen'd projection (no shuffle),
+ * computed ONCE; the share stats shrink to one row per (chunk, doc)
+ * before any further exchange. At corpus scale group on
+ * `xxhash64(chunk)` first and keep texts out of the shuffle — the
  * gate-scale helper groups on exact text so its semantics match the
  * oracle verbatim.
  */
@@ -41,18 +42,24 @@ object Cdc {
 
   val W = 31L
 
-  /** Chunk spans of `s`: (0-based start, chunk text). Pure function of
-    * the text — the kernel [[org.apache.spark.sql.graft.CdcChunksExpr]]
-    * codegens into. */
+  /** Chunk spans of `s`: (0-based CODEPOINT start, chunk text). The
+    * kernel works in the codepoint domain — the one SQL `substr`/`ord`/
+    * `length` share — so an astral character (emoji, rare CJK) is one
+    * window element on both sides, never a surrogate pair split across
+    * chunks. Max codepoint (0x10FFFF) × Σ W^j at k=8 ≈ 3e16 < 2^63:
+    * the polynomial stays exact int64 arithmetic everywhere. Pure
+    * function of the text — the kernel
+    * [[org.apache.spark.sql.graft.CdcChunksExpr]] codegens into. */
   def chunkSpans(s: String, k: Int, divisor: Long, minLen: Int,
                  maxLen: Int): Seq[(Int, String)] = {
     require(k >= 2 && k <= 16, s"cdc window k must be in [2,16], got $k")
     require(divisor > 0, "cdc divisor must be positive")
     require(minLen >= 1 && maxLen >= minLen, "cdc needs 1 <= minLen <= maxLen")
-    val n = s.length
+    val cps = s.codePoints().toArray
+    val n = cps.length
     if (n == 0) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
-    // W^(k-1), the outgoing character's weight in the rolling update
+    // W^(k-1), the outgoing element's weight in the rolling update
     var wk = 1L
     var j = 0
     while (j < k - 1) { wk *= W; j += 1 }
@@ -60,18 +67,18 @@ object Cdc {
     var prev = 0
     var i = 0
     while (i < n) {
-      val c = s.charAt(i).toLong
+      val c = cps(i).toLong
       poly = if (i < k) poly * W + c
-             else (poly - s.charAt(i - k).toLong * wk) * W + c
+             else (poly - cps(i - k).toLong * wk) * W + c
       val len = i - prev + 1
       val candidate = i >= k - 1 && poly % divisor == 0
       if ((candidate && len >= minLen) || len >= maxLen) {
-        out += ((prev, s.substring(prev, i + 1)))
+        out += ((prev, new String(cps, prev, i + 1 - prev)))
         prev = i + 1
       }
       i += 1
     }
-    if (prev < n) out += ((prev, s.substring(prev)))
+    if (prev < n) out += ((prev, new String(cps, prev, n - prev)))
     out.toSeq
   }
 
@@ -107,18 +114,21 @@ object Cdc {
   /** Per-document chunk reuse: `(id, n_chunks, n_shared)` where
     * `n_shared` counts this document's chunks whose text also appears
     * in at least one OTHER document — the passage-duplication signal
-    * corpus curation thresholds on. One projection + one exchange on
-    * the chunk key. */
+    * corpus curation thresholds on. The chunking projection runs ONCE
+    * (a self-join against the chunk frame's own aggregate would
+    * recompute the kernel per branch): pre-aggregate to one row per
+    * (chunk, doc), where a plain count window over the chunk key IS
+    * the distinct-doc count, then roll up per doc. */
   def cdcShareStats(df: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, divisor: Long = 64): DataFrame = {
-    val chunks = cdcChunks(df, idCol, textCol, k, divisor)
-    val shared = chunks.groupBy("chunk")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") > 1)
-      .select(col("chunk"), lit(1).as("__sh"))
-    chunks.join(shared, Seq("chunk"), "left_outer")
+    val perDoc = cdcChunks(df, idCol, textCol, k, divisor)
+      .groupBy(col("chunk"), col(idCol))
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("chunk")
+    perDoc.withColumn("__docs", count(lit(1)).over(w))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_chunks"),
-        coalesce(sum(col("__sh")), lit(0L)).as("n_shared"))
+      .agg(sum(col("__n")).as("n_chunks"),
+        sum(when(col("__docs") > 1, col("__n")).otherwise(0L))
+          .as("n_shared"))
   }
 }

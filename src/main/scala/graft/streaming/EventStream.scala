@@ -316,14 +316,18 @@ object EventStream {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         if (!batch.isEmpty && lastApplied().forall(_ < id)) {
-          // a user mutation racing this batch aborts the append with a
-          // ConcurrentMutationException — retry re-resolves the new
-          // latest and re-applies (the batch-id attr keeps it
-          // exactly-once either way)
+          // a user write racing this batch aborts with a
+          // ConcurrentMutationException — retry re-resolves and
+          // re-applies (the batch-id attr keeps it exactly-once either
+          // way). The CREATE half guards too (ExpectNoVersions): an
+          // unguarded first save racing a user's save of the same name
+          // would silently overwrite their table as the new latest
           graft.catalog.Catalog.retryOnConflict(3) {
             if (catalog.versions(name).isEmpty)
               catalog.save(graft.core.Chain(batch), name,
-                attrs = Seq(s"$prefix$id"))
+                attrs = Seq(s"$prefix$id"),
+                guardLatest =
+                  Some(graft.catalog.Catalog.ExpectNoVersions))
             else
               catalog.append(name, batch, extraAttrs = Seq(s"$prefix$id"))
           }

@@ -2375,5 +2375,15 @@ class OpsSpec extends SparkSpec {
     assert(Cdc.chunkSpans("", 8, 4, 1, Int.MaxValue).isEmpty)
     assert(Cdc.chunkSpans("short", 8, 4, 1, Int.MaxValue) ===
       Seq((0, "short")))
+    // codepoint domain (SQL substr/ord/length parity): an astral char
+    // is ONE window element, never a surrogate pair split across
+    // chunks; starts are codepoint offsets
+    val emoji = ("abc😀def " * 6) + "x tail here ok"
+    val ce = Cdc.chunkSpans(emoji, 8, 4, 1, Int.MaxValue)
+    assert(ce.map(_._2).mkString === emoji)
+    assert(ce.forall(c => !Character.isLowSurrogate(c._2.head) &&
+      !Character.isHighSurrogate(c._2.last)), ce.toString)
+    assert(ce.map(_._1) === ce.map(c =>
+      c._2.codePointCount(0, c._2.length)).scanLeft(0)(_ + _).dropRight(1))
   }
 }
