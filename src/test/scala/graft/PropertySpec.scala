@@ -269,4 +269,49 @@ object StatsPruneProps extends Properties("graft.statsprune") {
       FileStats.evalMay(cp, f, blooms) == expected &&
         FileStats.evalMay(roundTrip(cp), f, blooms) == expected
     }
+
+  // ---- CDC kernel vs a naive sequential reference ----
+  // Random unicode (incl. astral chars) × random clamps: chunkSpans
+  // must equal a direct, obviously-correct simulation of the spec —
+  // window polynomial over CODEPOINTS, cut when divisible and the
+  // chunk is >= minLen, forced cut at maxLen, trailing remainder kept.
+  private val uniChar: Gen[String] = Gen.frequency(
+    8 -> Gen.alphaNumChar.map(_.toString),
+    1 -> Gen.oneOf(" ", "\t", "é", "漢", "\u00ff"),
+    1 -> Gen.oneOf("\uD83D\uDE00", "\uD83E\uDD16")) // astral pairs
+  private val uniText: Gen[String] =
+    Gen.listOf(uniChar).map(_.mkString)
+
+  private def naiveCdc(s: String, k: Int, d: Long, mn: Int, mx: Int)
+      : Seq[(Int, String)] = {
+    val cps = s.codePoints().toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    var prev = 0
+    var i = 0
+    while (i < cps.length) {
+      val len = i - prev + 1
+      val cand = i >= k - 1 && {
+        var acc = 0L
+        var w = 1L
+        var j = 0
+        while (j < k) { acc += cps(i - j).toLong * w; w *= graft.ops.Cdc.W; j += 1 }
+        acc % d == 0
+      }
+      if ((cand && len >= mn) || len >= mx) {
+        out += ((prev, new String(cps, prev, i + 1 - prev))); prev = i + 1
+      }
+      i += 1
+    }
+    if (prev < cps.length)
+      out += ((prev, new String(cps, prev, cps.length - prev)))
+    out.toSeq
+  }
+
+  property("cdc chunkSpans == naive reference, partitions the text") =
+    forAll(uniText, Gen.choose(2, 12), Gen.choose(1L, 17L),
+      Gen.choose(1, 6), Gen.choose(6, 40)) { (t, k, d, mn, mx) =>
+      val got = graft.ops.Cdc.chunkSpans(t, k, d, mn, mx)
+      got == naiveCdc(t, k, d, mn, mx) &&
+        got.map(_._2).mkString == t
+    }
 }
