@@ -191,6 +191,36 @@ final class Catalog(val root: String, spark: SparkSession) {
       .map(_.getFileName.toString).sorted
   }
 
+  /** Datasets currently carrying a commit-lock file → lock age millis
+    * (operator observability; a healthy lock lives milliseconds). */
+  def commitLocks(): Seq[(String, Long)] =
+    datasets().flatMap { n =>
+      val p = dsDir(n).resolve(".commit.lock")
+      if (!Files.exists(p)) None
+      else
+        try Some(n -> (System.currentTimeMillis() -
+          Files.getLastModifiedTime(p).toMillis))
+        catch { case _: java.io.IOException => None }
+    }
+
+  /** Operator verb: remove a dataset's commit-lock file (a crashed
+    * holder's debris). Refuses a FRESH lock — that's a live commit —
+    * unless `force`; mirrors the 60 s stale rule writers apply
+    * themselves, so this verb is for impatient humans and monitoring,
+    * not correctness. Returns TRUE when a lock was removed. */
+  def breakCommitLock(name: String, force: Boolean = false): Boolean = {
+    val p = dsDir(name).resolve(".commit.lock")
+    if (!Files.exists(p)) return false
+    val age =
+      try System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
+      catch { case _: java.io.IOException => return false }
+    require(force || age > 60000,
+      s"lock on '$name' is ${age}ms old — likely a LIVE commit " +
+        "(healthy locks clear in milliseconds); pass force to override")
+    try Files.deleteIfExists(p)
+    catch { case _: java.io.IOException => false }
+  }
+
   /** Atomically claim a version dir of `name` — the next bump, or the
     * explicit one (which fails on collision instead of re-bumping). At
     * most one winner per version on any POSIX/HDFS-semantics store; an

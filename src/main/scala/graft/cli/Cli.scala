@@ -65,7 +65,8 @@ object Cli {
     """usage: graft-cli <command> [args]
       |commands: ls du find cp datasets versions show rm-dataset mv-dataset
       |          lineage vacuum restore clone optimize append auto-compact
-      |          sync-changes mv-refresh namespaces projects""".stripMargin
+      |          sync-changes mv-refresh locks break-lock namespaces
+      |          projects""".stripMargin
 
   /** Run a command; returns (exit code, rendered output). Never calls
     * System.exit — `main` owns process concerns, tests call this. */
@@ -164,6 +165,15 @@ object Cli {
           s"refresh ${arg(p, 0, "name")}: ${r.mode} " +
             s"${r.from}->${r.to} dirty=${r.dirtyGroups} " +
             s"upserted=${r.upserted} deleted=${r.deleted}"
+        case "locks" =>
+          val ls = cat.commitLocks()
+          if (ls.isEmpty) "no commit locks held"
+          else ls.map { case (n, age) => f"$n%-40s ${age}ms" }.mkString("\n")
+        case "break-lock" =>
+          val name = arg(p, 0, "name")
+          val force = p.flags.get("force").exists(_.equalsIgnoreCase("true"))
+          if (cat.breakCommitLock(name, force)) s"broke lock on $name"
+          else s"no lock on $name"
         case "namespaces" => cat.namespaces().mkString("\n")
         case "projects" =>
           cat.listProjects(p.positional.headOption)

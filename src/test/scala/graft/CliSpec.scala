@@ -186,4 +186,30 @@ class CliSpec extends SparkSpec {
     val (c5, out5) = Cli.run(Seq("versions") ++ cargs, spark)
     assert(c5 === 2 && out5.contains("needs <name>"))
   }
+
+  test("locks / break-lock commands") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("clilock").toString
+    val cat = new Catalog(root, spark)
+    cat.save(graft.core.Chain(Seq((1, "a")).toDF("k", "s")), "t")
+    val cargs = Seq("--catalog", root)
+
+    val (c0, out0) = Cli.run(Seq("locks") ++ cargs, spark)
+    assert(c0 === 0 && out0 === "no commit locks held")
+    // plant a crashed holder's lock
+    val lockP = java.nio.file.Paths.get(root, "datasets", "t", ".commit.lock")
+    Files.createFile(lockP)
+    val (c1, out1) = Cli.run(Seq("locks") ++ cargs, spark)
+    assert(c1 === 0 && out1.contains("t") && out1.contains("ms"))
+    // fresh lock: refused without force (require → usage-class exit 2)
+    val (c2, out2) = Cli.run(Seq("break-lock", "t") ++ cargs, spark)
+    assert(c2 === 2 && out2.contains("LIVE commit"))
+    val (c3, out3) =
+      Cli.run(Seq("break-lock", "t", "--force", "true") ++ cargs, spark)
+    assert(c3 === 0 && out3 === "broke lock on t")
+    assert(!Files.exists(lockP))
+    // table still writable afterwards
+    assert(cat.deleteWhere("t", org.apache.spark.sql.functions
+      .col("k") === 0).rowsAfter === 1)
+  }
 }

@@ -612,6 +612,32 @@ class MutationSpec extends SparkSpec {
     assert(cat.readDataset("g", Some(fork.version)).toDF.count() === 35)
   }
 
+  test("6 concurrent appends with retryOnConflict all land, none lost") {
+    // the whole-protocol invariant: guarded appends + the retry helper
+    // give serializable ingest — every writer eventually commits on top
+    // of SOME latest, so the final table holds every row exactly once
+    val root = Files.createTempDirectory("mut_stress").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    cat.save(Chain((1L to 100L).map(k => (k, s"base$k")).toDF("k", "s")), "t")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rs = Await.result(Future.sequence((1 to 6).map { i =>
+      Future(graft.catalog.Catalog.retryOnConflict(16) {
+        cat.append("t",
+          (1L to 10L).map(k => (1000L * i + k, s"w$i-$k")).toDF("k", "s"))
+      })
+    }), 300.seconds)
+    assert(rs.map(_.version).distinct.size === 6)
+    val fin = cat.readDataset("t").toDF
+    assert(fin.count() === 160)
+    assert(fin.select("k").distinct().count() === 160, "no duplicated rows")
+    assert(cat.versions("t").size === 7, "six appends = six new versions")
+    // sys row ids stay collision-free across the racing stamps
+    assert(fin.select("sys.id").distinct().count() === 160)
+  }
+
   test("commit lock: stale holders break, live holders serialize, retry helper") {
     val root = Files.createTempDirectory("mut_lock").toString
     val cat = new Catalog(root, spark)
