@@ -213,12 +213,29 @@ final class Catalog(val root: String, spark: SparkSession) {
     if (!Files.exists(p)) return false
     val age =
       try System.currentTimeMillis() - Files.getLastModifiedTime(p).toMillis
-      catch { case _: java.io.IOException => return false }
+      catch {
+        case _: java.nio.file.NoSuchFileException => return false // raced away
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"cannot stat lock on '$name': ${e.getMessage}", e)
+      }
     require(force || age > 60000,
       s"lock on '$name' is ${age}ms old — likely a LIVE commit " +
         "(healthy locks clear in milliseconds); pass force to override")
-    try Files.deleteIfExists(p)
-    catch { case _: java.io.IOException => false }
+    // steal via the same ATOMIC_MOVE-to-grave pattern writers use: a
+    // plain delete could race a writer that just stale-broke this lock
+    // and re-created its own — deleting THAT admits two writers to the
+    // critical section (the exact lost update the lock prevents)
+    val grave = p.resolveSibling(
+      s".commit.lock.stale-${java.util.UUID.randomUUID}")
+    try {
+      Files.move(p, grave, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Files.deleteIfExists(grave)
+      true
+    } catch {
+      case _: java.nio.file.NoSuchFileException => false // someone else won
+      case e: java.io.IOException => throw new IllegalStateException(
+        s"failed to break lock on '$name': ${e.getMessage}", e)
+    }
   }
 
   /** Atomically claim a version dir of `name` — the next bump, or the

@@ -28,6 +28,11 @@ import graft.files.FileOps
  *   graft-cli auto-compact <name> [--max-small N] [--small-mb MB]
  *   graft-cli sync-changes <name> <k1,k2>   export CDF rows since last sync
  *   graft-cli mv-refresh <name>             refresh a materialized view
+ *   graft-cli locks                         datasets holding a commit lock
+ *   graft-cli break-lock <name> [--force true]   remove a crashed
+ *                                           holder's lock (fresh locks are
+ *                                           live commits — refused unless
+ *                                           forced)
  *   graft-cli namespaces                    list namespaces
  *   graft-cli projects [namespace]          list projects
  *
@@ -186,6 +191,9 @@ object Cli {
     } catch {
       case e: IllegalArgumentException => (2, s"error: ${e.getMessage}")
       case e: NoSuchElementException => (1, s"error: ${e.getMessage}")
+      // operational failures (e.g. break-lock hitting an unwritable
+      // dir) report loudly instead of crashing the CLI process
+      case e: IllegalStateException => (1, s"error: ${e.getMessage}")
     }
 
   private def arg(p: Parsed, i: Int, name: String): String = {
