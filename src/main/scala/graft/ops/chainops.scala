@@ -55,6 +55,19 @@ object chainops {
         .drop("id", "cluster_id"))
     }
 
+    /** 1:N content-defined chunking ([[Cdc.cdcChunks]] — Rabin rolling
+      * window; boundaries survive edits where fixed-size blocks shift). */
+    def cdcChunks(textCol: String, idCol: String, k: Int = 8,
+                  divisor: Long = 64, minLen: Int = 1,
+                  maxLen: Int = Int.MaxValue): Chain =
+      Chain(Cdc.cdcChunks(c.toDF, idCol, textCol, k, divisor, minLen,
+        maxLen))
+
+    /** Per-doc passage-reuse stats ([[Cdc.cdcShareStats]]). */
+    def cdcShareStats(textCol: String, idCol: String, k: Int = 8,
+                      divisor: Long = 64): Chain =
+      Chain(Cdc.cdcShareStats(c.toDF, idCol, textCol, k, divisor))
+
     /** 1:N character chunking (see [[TextAnalysis.chunkText]]). */
     def chunkDocs(textCol: String, size: Int, overlap: Int = 0): Chain =
       Chain(c.toDF

@@ -958,6 +958,28 @@ class OpsSpec extends SparkSpec {
     assert(over.filter(col("est_count") < col("want")).count() === 0L)
   }
 
+  test("chainops.cdcChunks / cdcShareStats mirror the Cdc ops") {
+    import graft.ops.chainops._
+    import graft.core.Chain
+    val docs = Chain(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+      (3L, "completely different content with no reuse at all here"))
+      .toDF("doc_id", "text"))
+    val chunks = docs.cdcChunks("text", "doc_id", k = 8, divisor = 4).toDF
+    assert(chunks.columns.toSeq === Seq("doc_id", "start", "chunk"))
+    // partition property per doc through the fluent path
+    val re = chunks.groupBy("doc_id")
+      .agg(concat_ws("", sort_array(collect_list(
+        struct(col("start"), col("chunk")))).getField("chunk")).as("t"))
+    assert(re.filter(col("doc_id") === 1L).head().getString(1)
+      .startsWith("the quick brown"))
+    val stats = docs.cdcShareStats("text", "doc_id", k = 8, divisor = 4)
+      .toDF.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // docs 1 and 2 share their prefix chunks; doc 3 shares nothing
+    assert(stats(1L) > 0 && stats(2L) > 0 && stats(3L) === 0L)
+  }
+
   test("chainops.nearestNeighbors dispatches every tier; unknown method rejects") {
     import graft.ops.chainops._
     import graft.core.Chain
