@@ -3100,6 +3100,32 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    "q_read_asof" -> ((s, dir) => {
+      // TIMESTAMP AS OF time travel: an instant captured BETWEEN two
+      // commits resolves to the earlier version — the pre-delete table
+      // is the read-back (oracle: the whole nation table), even though
+      // latest has rows removed. Both half-open edges pinned: asOf
+      // before v1 throws, asOf now resolves latest
+      val root = Files.createTempDirectory("graft_asof").toString
+      val cat = new Catalog(root, s)
+      val n = T(s, dir, "nation")
+      val before = java.time.Instant.now.minusSeconds(60)
+      cat.save(Chain(n), "nat")
+      val mid = java.time.Instant.now
+      // createdAt carries millisecond+ precision; ensure strict order
+      Thread.sleep(5)
+      cat.deleteWhere("nat", col("n_nationkey") % 2 === 0)
+      val asOf = cat.readDatasetAsOf("nat", mid)
+      require(asOf.toDF.count() == 25, "asOf must see the pre-delete table")
+      require(cat.readDatasetAsOf("nat", java.time.Instant.now)
+        .toDF.count() < 25, "a now-instant resolves the post-delete latest")
+      val thrown =
+        try { cat.readDatasetAsOf("nat", before); false }
+        catch { case _: IllegalArgumentException => true }
+      require(thrown, "an instant before v1 must throw")
+      asOf.selectExcept("sys").toDF
+    }),
+
     "q_cme_guard" -> ((s, dir) => {
       // optimistic concurrency end-to-end: a maintenance writer that
       // read v1 must NOT be able to commit once a delete landed v2 —
@@ -7102,6 +7128,9 @@ object SparkEntry {
 
       "q_cme_guard" ->
         "SELECT * FROM orders WHERE o_orderkey % 7 <> 0",
+
+      "q_read_asof" ->
+        "SELECT * FROM nation",
 
       "q_delete_where" ->
         """SELECT * FROM orders
