@@ -3100,6 +3100,30 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    "q_checkpoint_reuse" -> ((s, dir) => {
+      // checkpoint skip on re-run (reference datachain.py:696-723): the
+      // SAME chain (by content hash) saved twice materializes once —
+      // the rerun returns the existing version untouched; a CHANGED
+      // chain gets a fresh version. Read-back of the reused version is
+      // the oracle (the filtered region table)
+      val root = Files.createTempDirectory("graft_ckpt").toString
+      val cat = new Catalog(root, s)
+      def chainA = Chain(T(s, dir, "region"))
+        .filter(col("r_regionkey") < 4).select("r_regionkey", "r_name")
+      val (v1, reused1) = cat.saveOrReuse(chainA, "ck")
+      require(!reused1, "first save must materialize")
+      val (v2, reused2) = cat.saveOrReuse(chainA, "ck")
+      require(reused2 && v2 == v1,
+        s"identical chain must reuse v$v1, got v$v2 reused=$reused2")
+      require(cat.versions("ck") == Seq(v1), "no second version written")
+      // a different chain (different predicate) must NOT reuse
+      val (v3, reused3) = cat.saveOrReuse(
+        Chain(T(s, dir, "region")).filter(col("r_regionkey") < 3)
+          .select("r_regionkey", "r_name"), "ck")
+      require(!reused3 && v3 != v1, "changed chain must re-materialize")
+      cat.readDataset("ck", Some(v1)).selectExcept("sys").toDF
+    }),
+
     "q_read_asof" -> ((s, dir) => {
       // TIMESTAMP AS OF time travel: an instant captured BETWEEN two
       // commits resolves to the earlier version — the pre-delete table
@@ -7131,6 +7155,9 @@ object SparkEntry {
 
       "q_read_asof" ->
         "SELECT * FROM nation",
+
+      "q_checkpoint_reuse" ->
+        "SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 4",
 
       "q_delete_where" ->
         """SELECT * FROM orders
