@@ -3100,6 +3100,25 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }),
 
+    "q_write_roundtrip" -> ((s, dir) => {
+      // write-side fidelity through BOTH flat exports: documents (free
+      // text with commas/quotes — the CSV quoting honest path) →
+      // to_csv → read back with explicit schema → to_jsonl → read back.
+      // Two lossless hops later the frame must equal the source (oracle
+      // = the documents projection)
+      import org.apache.spark.sql.types._
+      val tmp = Files.createTempDirectory("graft_wrt")
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      graft.io.Writers.toCsv(d, s"$tmp/csv")
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("text", StringType)))
+      val fromCsv = s.read.schema(schema).option("header", "true")
+        .csv(s"$tmp/csv")
+      graft.io.Writers.toJsonl(fromCsv, s"$tmp/jsonl")
+      s.read.schema(schema).json(s"$tmp/jsonl")
+    }),
+
     "q_checkpoint_reuse" -> ((s, dir) => {
       // checkpoint skip on re-run (reference datachain.py:696-723): the
       // SAME chain (by content hash) saved twice materializes once —
@@ -7158,6 +7177,9 @@ object SparkEntry {
 
       "q_checkpoint_reuse" ->
         "SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 4",
+
+      "q_write_roundtrip" ->
+        "SELECT doc_id, lang, text FROM documents",
 
       "q_delete_where" ->
         """SELECT * FROM orders
