@@ -648,4 +648,16 @@ class PlanSpec extends SparkSpec {
     assert(res.inputFiles.length < total,
       s"pruned scan reads ${res.inputFiles.length} of $total files")
   }
+
+  test("q_cdc_chunks: the chunking generator runs ONCE in the plan") {
+    // the share stats must not re-chunk the corpus per consumer — the
+    // (chunk,doc) pre-agg + count window derive both totals from one
+    // Generate(explode) of the cdc_chunks projection
+    val p = plan("q_cdc_chunks")
+    val generates = "Generate".r.findAllIn(p).length
+    assert(generates <= 2, // header row + one operator section
+      s"expected one explode of cdc_chunks, plan:\n$p")
+    assert(p.contains("cdc_chunks") || p.toLowerCase.contains("cdcchunks"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
