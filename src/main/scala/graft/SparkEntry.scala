@@ -3101,22 +3101,21 @@ object SparkEntry {
     }),
 
     "q_write_roundtrip" -> ((s, dir) => {
-      // write-side fidelity through BOTH flat exports: documents (free
-      // text with commas/quotes — the CSV quoting honest path) →
-      // to_csv → read back with explicit schema → to_jsonl → read back.
-      // Two lossless hops later the frame must equal the source (oracle
-      // = the documents projection)
-      import org.apache.spark.sql.types._
+      // write-side fidelity through BOTH flat exports, with the HARD
+      // content injected (the fixture text is clean): a comma, a double
+      // quote, and an embedded newline appended to every row force the
+      // CSV writer's quoting/escaping and the multiLine read path, and
+      // the JSONL hop re-escapes the same bytes. Two hops later the
+      // frame must equal the source (oracle injects identically)
       val tmp = Files.createTempDirectory("graft_wrt")
       val d = T(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("text"))
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"), lit(", \"q\"\nend")).as("text"))
       graft.io.Writers.toCsv(d, s"$tmp/csv")
-      val schema = StructType(Seq(StructField("doc_id", LongType),
-        StructField("lang", StringType), StructField("text", StringType)))
-      val fromCsv = s.read.schema(schema).option("header", "true")
-        .csv(s"$tmp/csv")
+      val fromCsv = Chain.readCsv(s, s"$tmp/csv",
+        schema = Some(d.schema), multiLine = true).toDF
       graft.io.Writers.toJsonl(fromCsv, s"$tmp/jsonl")
-      s.read.schema(schema).json(s"$tmp/jsonl")
+      Chain.readJson(s, s"$tmp/jsonl", schema = Some(d.schema)).toDF
     }),
 
     "q_checkpoint_reuse" -> ((s, dir) => {
@@ -3152,10 +3151,15 @@ object SparkEntry {
       val root = Files.createTempDirectory("graft_asof").toString
       val cat = new Catalog(root, s)
       val n = T(s, dir, "nation")
-      val before = java.time.Instant.now.minusSeconds(60)
+      val before = java.time.Instant.now.minusSeconds(3600)
       cat.save(Chain(n), "nat")
-      val mid = java.time.Instant.now
-      // createdAt carries millisecond+ precision; ensure strict order
+      // derive mid from v1's RECORDED createdAt, not a second wall-clock
+      // read — an NTP backward step between two Instant.now calls would
+      // otherwise make mid predate v1 and fail the gate spuriously
+      val v1created = java.time.Instant.parse(
+        cat.datasetsDF().select("created_at").head().getString(0))
+      val mid = v1created.plusMillis(2)
+      // ... and v2's stamp must land strictly after mid
       Thread.sleep(5)
       cat.deleteWhere("nat", col("n_nationkey") % 2 === 0)
       val asOf = cat.readDatasetAsOf("nat", mid)
@@ -7179,7 +7183,9 @@ object SparkEntry {
         "SELECT r_regionkey, r_name FROM region WHERE r_regionkey < 4",
 
       "q_write_roundtrip" ->
-        "SELECT doc_id, lang, text FROM documents",
+        """SELECT doc_id, lang,
+          |  text || ', "q"' || chr(10) || 'end' AS text
+          |FROM documents""".stripMargin,
 
       "q_delete_where" ->
         """SELECT * FROM orders

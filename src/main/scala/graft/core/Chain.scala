@@ -511,8 +511,12 @@ object Chain {
   /** read_csv (reference: src/datachain/lib/dc/csv.py:15). */
   def readCsv(spark: SparkSession, path: String,
               header: Boolean = true, delimiter: String = ",",
-              schema: Option[org.apache.spark.sql.types.StructType] = None): Chain = {
-    val r = spark.read.option("header", header.toString).option("sep", delimiter)
+              schema: Option[org.apache.spark.sql.types.StructType] = None,
+              multiLine: Boolean = false): Chain = {
+    // multiLine: quoted fields may span lines (embedded newlines) — off
+    // by default because it disables the line-splittable parallel parse
+    val r = spark.read.option("header", header.toString)
+      .option("sep", delimiter).option("multiLine", multiLine.toString)
     val df = schema.map(s => r.schema(s)).getOrElse(r.option("inferSchema", "true"))
       .csv(path)
     new Chain(df, OpTree.empty.append("read_csv", path))

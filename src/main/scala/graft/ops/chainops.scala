@@ -23,6 +23,16 @@ object chainops {
 
   implicit class TrainingDataChain(private val c: Chain) extends AnyVal {
 
+    /** Derived frame + LINEAGE: appends a descriptive op (name + every
+      * parameter that changes semantics; second-input chains contribute
+      * their own hash) to the SOURCE chain's OpTree. A bare `Chain(df)`
+      * would reset lineage to the output column names alone — two
+      * different upstreams or parameterizations would then hash equal
+      * and `saveOrReuse` could serve a stale checkpoint. */
+    private def derive(df: org.apache.spark.sql.DataFrame, op: String,
+                       args: Any*): Chain =
+      Chain(df, c.ops.append(op, args.map(String.valueOf).toSeq: _*))
+
     /** HTML-strip + URL-strip + PII-scrub `textCol` in place. */
     def cleanText(textCol: String): Chain =
       c.mutate(textCol -> TextAnalysis.scrubPii(
@@ -37,12 +47,14 @@ object chainops {
 
     /** Keep one row per exact (normalized) content hash. */
     def dedupExact(textCol: String, idCol: String): Chain =
-      Chain(Dedup.exact(c.toDF, textCol, idCol))
+      derive(Dedup.exact(c.toDF, textCol, idCol),
+        "dedup_exact", textCol, idCol)
 
     /** Near-dup edge list via MinHash-LSH + exact-Jaccard verification. */
     def nearDupEdges(textCol: String, idCol: String,
                      threshold: Double = 0.8): Chain =
-      Chain(Dedup.minhashDedupEdges(c.toDF, textCol, idCol, threshold))
+      derive(Dedup.minhashDedupEdges(c.toDF, textCol, idCol, threshold),
+        "near_dup_edges", textCol, idCol, threshold)
 
     /** Drop near-duplicates: keeps the minimum-id member of every
       * duplicate cluster (MinHash-LSH edges → connected components). */
@@ -50,9 +62,9 @@ object chainops {
                   threshold: Double = 0.8): Chain = {
       val clusters = Dedup.connectedComponents(
         Dedup.minhashDedupEdges(c.toDF, textCol, idCol, threshold))
-      Chain(c.toDF.join(clusters, c.toDF(idCol) === clusters("id"), "left_outer")
+      derive(c.toDF.join(clusters, c.toDF(idCol) === clusters("id"), "left_outer")
         .filter(col("cluster_id").isNull || col(idCol) === col("cluster_id"))
-        .drop("id", "cluster_id"))
+        .drop("id", "cluster_id"), "dedup_near", textCol, idCol, threshold)
     }
 
     /** 1:N content-defined chunking ([[Cdc.cdcChunks]] — Rabin rolling
@@ -60,36 +72,40 @@ object chainops {
     def cdcChunks(textCol: String, idCol: String, k: Int = 8,
                   divisor: Long = 64, minLen: Int = 1,
                   maxLen: Int = Int.MaxValue): Chain =
-      Chain(Cdc.cdcChunks(c.toDF, idCol, textCol, k, divisor, minLen,
-        maxLen))
+      derive(Cdc.cdcChunks(c.toDF, idCol, textCol, k, divisor, minLen,
+        maxLen), "cdc_chunks", textCol, idCol, k, divisor, minLen, maxLen)
 
     /** Per-doc passage-reuse stats ([[Cdc.cdcShareStats]]). */
     def cdcShareStats(textCol: String, idCol: String, k: Int = 8,
                       divisor: Long = 64): Chain =
-      Chain(Cdc.cdcShareStats(c.toDF, idCol, textCol, k, divisor))
+      derive(Cdc.cdcShareStats(c.toDF, idCol, textCol, k, divisor),
+        "cdc_share_stats", textCol, idCol, k, divisor)
 
     /** 1:N character chunking (see [[TextAnalysis.chunkText]]). */
     def chunkDocs(textCol: String, size: Int, overlap: Int = 0): Chain =
-      Chain(c.toDF
+      derive(c.toDF
         .withColumn("__c", explode(TextAnalysis.chunkText(col(textCol), size, overlap)))
         .withColumn("chunk_idx", col("__c.chunk_idx"))
         .withColumn(textCol, col("__c.chunk"))
-        .drop("__c"))
+        .drop("__c"), "chunk_docs", textCol, size, overlap)
 
     /** Token-budget sequence packing (see [[Pack.byTokenBudget]]). */
     def packByTokens(tokenCol: String, orderCol: String, budget: Int,
                      shards: Int = 32): Chain =
-      Chain(Pack.byTokenBudget(c.toDF, tokenCol, orderCol, budget, shards))
+      derive(Pack.byTokenBudget(c.toDF, tokenCol, orderCol, budget, shards),
+        "pack_by_tokens", tokenCol, orderCol, budget, shards)
 
     /** Deterministic per-stratum cap (see [[Split.stratifiedSample]]). */
     def stratified(stratumCol: String, keyCol: String, perGroup: Int): Chain =
-      Chain(Split.stratifiedSample(c.toDF, stratumCol, keyCol, perGroup))
+      derive(Split.stratifiedSample(c.toDF, stratumCol, keyCol, perGroup),
+        "stratified", stratumCol, keyCol, perGroup)
 
     /** Exact per-group top-k via the native bounded-heap aggregate —
       * O(k) per group across the shuffle, no window sort (see
       * [[Corpus.topKPerGroup]]). */
     def topKBy(groupCol: String, score: Column, item: Column, k: Int): Chain =
-      Chain(Corpus.topKPerGroup(c.toDF, groupCol, score, item, k))
+      derive(Corpus.topKPerGroup(c.toDF, groupCol, score, item, k),
+        "topk_by", groupCol, score, item, k)
 
     /** Attach `avg_logp`/`ppl` from a bigram LM trained on `reference`
       * and drop rows above `maxPpl` (CCNet-style quality filtering; see
@@ -100,9 +116,10 @@ object chainops {
     def filterByPerplexity(reference: Chain, textCol: String, idCol: String,
                            maxPpl: Double): Chain = {
       val scores = Corpus.lmPerplexity(reference.toDF, c.toDF, idCol, textCol)
-      Chain(c.toDF.join(scores.select(col(idCol), col("avg_logp"), col("ppl")),
+      derive(c.toDF.join(scores.select(col(idCol), col("avg_logp"), col("ppl")),
           Seq(idCol), "left_outer")
-        .filter(col("ppl").isNull || col("ppl") <= maxPpl))
+        .filter(col("ppl").isNull || col("ppl") <= maxPpl),
+        "filter_by_perplexity", reference.hash, textCol, idCol, maxPpl)
     }
 
     /** Drop rows sharing any word `n`-gram with `benchmark` (GPT-3-style
@@ -113,34 +130,39 @@ object chainops {
       val bad = Corpus.ngramDecontaminate(c.toDF, benchmark.toDF,
           idCol, textCol, n)
         .filter(col("contaminated")).select(col(idCol))
-      Chain(c.toDF.join(bad, Seq(idCol), "left_anti"))
+      derive(c.toDF.join(bad, Seq(idCol), "left_anti"),
+        "decontaminate", benchmark.hash, textCol, idCol, n)
     }
 
     /** Drop rows failing the Gopher quality rules (Rae et al. 2021; see
       * [[TextAnalysis.gopherSignals]]). */
     def gopherFilter(textCol: String): Chain =
-      Chain(TextAnalysis.gopherSignals(c.toDF, textCol)
+      derive(TextAnalysis.gopherSignals(c.toDF, textCol)
         .filter(col("gopher_pass"))
         .drop("n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
-          "ellipsis_frac", "alpha_frac", "stop_hits", "gopher_pass"))
+          "ellipsis_frac", "alpha_frac", "stop_hits", "gopher_pass"),
+        "gopher_filter", textCol)
 
     /** C4 line+page cleaning (Raffel et al. 2020; see
       * [[TextAnalysis.c4Clean]]): surviving docs with rebuilt text. */
     def c4Clean(idCol: String, textCol: String): Chain =
-      Chain(TextAnalysis.c4Clean(c.toDF, idCol, textCol))
+      derive(TextAnalysis.c4Clean(c.toDF, idCol, textCol),
+        "c4_clean", idCol, textCol)
 
     /** Drop rows containing any blocklist pattern (one Aho–Corasick scan;
       * see [[TextAnalysis.blocklistFilter]]). */
     def blocklist(textCol: String, patterns: Seq[String]): Chain =
-      Chain(TextAnalysis.blocklistFilter(c.toDF, textCol, patterns))
+      derive(TextAnalysis.blocklistFilter(c.toDF, textCol, patterns),
+        "blocklist", textCol, patterns.mkString("|"))
 
     /** Token-budget "data recipe" mix (see [[Corpus.mixByTokenBudget]]):
       * fill each domain's token budget in deterministic md5 order. */
     def mixByTokenBudget(idCol: String, domainCol: String, tokensCol: String,
                          budgets: Map[String, Long], seed: String = "",
                          buckets: Int = 1 << 16): Chain =
-      Chain(Corpus.mixByTokenBudget(c.toDF, idCol, domainCol, tokensCol,
-        budgets, seed, buckets))
+      derive(Corpus.mixByTokenBudget(c.toDF, idCol, domainCol, tokensCol,
+        budgets, seed, buckets), "mix_by_token_budget", idCol, domainCol,
+        tokensCol, budgets.toSeq.sorted.mkString(","), seed, buckets)
 
     /** Token-budget mix with whole-domain upsampling epochs (see
       * [[Corpus.mixByTokenBudgetEpochs]]); adds an `epoch` column. */
@@ -148,36 +170,42 @@ object chainops {
                                tokensCol: String, budgets: Map[String, Long],
                                seed: String = "",
                                buckets: Int = 1 << 16): Chain =
-      Chain(Corpus.mixByTokenBudgetEpochs(c.toDF, idCol, domainCol,
-        tokensCol, budgets, seed, buckets))
+      derive(Corpus.mixByTokenBudgetEpochs(c.toDF, idCol, domainCol,
+        tokensCol, budgets, seed, buckets), "mix_by_token_budget_epochs",
+        idCol, domainCol, tokensCol,
+        budgets.toSeq.sorted.mkString(","), seed, buckets)
 
     /** Deterministic weighted sample without replacement (see
       * [[Split.weightedSample]]). */
     def weightedSample(idCol: String, weightCol: String, n: Int,
                        seed: String = ""): Chain =
-      Chain(Split.weightedSample(c.toDF, idCol, weightCol, n, seed))
+      derive(Split.weightedSample(c.toDF, idCol, weightCol, n, seed),
+        "weighted_sample", idCol, weightCol, n, seed)
 
     /** Attach a BM25 relevance score against `queryTerms` and keep only
       * matching rows (see [[Corpus.bm25]]) — retrieval-targeted selection. */
     def bm25Select(idCol: String, textCol: String,
                    queryTerms: Seq[String]): Chain =
-      Chain(c.toDF.join(
-        Corpus.bm25(c.toDF, idCol, textCol, queryTerms), Seq(idCol), "inner"))
+      derive(c.toDF.join(
+        Corpus.bm25(c.toDF, idCol, textCol, queryTerms), Seq(idCol), "inner"),
+        "bm25_select", idCol, textCol, queryTerms.mkString("|"))
 
     /** Drop rows whose normalized content already appears in `history`
       * (bloom-prefiltered incremental dedup; see [[Dedup.subtractSeen]]). */
     def subtractSeen(history: Chain, textCol: String, idCol: String,
                      expectedItems: Long = 1000000L): Chain =
-      Chain(Dedup.subtractSeen(c.toDF, history.toDF, textCol, idCol,
-        expectedItems))
+      derive(Dedup.subtractSeen(c.toDF, history.toDF, textCol, idCol,
+        expectedItems),
+        "subtract_seen", history.hash, textCol, idCol, expectedItems)
 
     /** Drop rows near-duplicating any `history` row (banded MinHash
       * new×history join + exact-Jaccard confirm; see
       * [[Dedup.subtractSeenNear]]). */
     def subtractSeenNear(history: Chain, textCol: String, idCol: String,
                          threshold: Double = 0.5): Chain =
-      Chain(Dedup.subtractSeenNear(c.toDF, history.toDF, textCol, idCol,
-        threshold))
+      derive(Dedup.subtractSeenNear(c.toDF, history.toDF, textCol, idCol,
+        threshold),
+        "subtract_seen_near", history.hash, textCol, idCol, threshold)
 
     /** Drop rows whose duplicated-gram fraction is at or above `maxFrac`
       * (see [[Corpus.duplicatedGramFraction]]). Rows too short to have an
@@ -188,7 +216,8 @@ object chainops {
       val bad = Corpus.duplicatedGramFraction(c.toDF, idCol, textCol, n,
           minDocs)
         .filter(col("dup_fraction") >= maxFrac).select(col(idCol))
-      Chain(c.toDF.join(bad, Seq(idCol), "left_anti"))
+      derive(c.toDF.join(bad, Seq(idCol), "left_anti"),
+        "filter_by_dup_fraction", textCol, idCol, maxFrac, n, minDocs)
     }
 
     /** Stamp the canonical URL (see [[TextAnalysis.canonicalUrl]]). */
@@ -207,48 +236,55 @@ object chainops {
       val df = c.toDF.withColumn("__curl", canon)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("__curl").orderBy(col(idCol).asc)
-      Chain(df.withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1).drop("__curl", "__r"))
+      derive(df.withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1).drop("__curl", "__r"),
+        "dedup_by_url", urlCol, idCol)
     }
 
     /** Per-group heavy-hitter n-grams (Misra–Gries; see
       * [[Corpus.heavyHitterPhrases]]). */
     def heavyHitters(textCol: String, groupCol: String, n: Int = 2,
                      capacity: Int = 4096, topK: Int = 5): Chain =
-      Chain(Corpus.heavyHitterPhrases(c.toDF, textCol, groupCol, n,
-        capacity, topK))
+      derive(Corpus.heavyHitterPhrases(c.toDF, textCol, groupCol, n,
+        capacity, topK),
+        "heavy_hitters", textCol, groupCol, n, capacity, topK)
 
     /** Inverted index over this chain's documents (see
       * [[Corpus.invertedIndex]]). */
     def invertedIndex(idCol: String, textCol: String,
                       maxPostings: Int = 0): Chain =
-      Chain(Corpus.invertedIndex(c.toDF, idCol, textCol, maxPostings))
+      derive(Corpus.invertedIndex(c.toDF, idCol, textCol, maxPostings),
+        "inverted_index", idCol, textCol, maxPostings)
 
     /** Fuse this ranking with others by reciprocal rank (see
       * [[Corpus.rrfFuse]]). */
     def rrfWith(others: Seq[Chain], idCol: String, scoreCol: String,
                 kRrf: Int = 60): Chain =
-      Chain(Corpus.rrfFuse(c.toDF +: others.map(_.toDF), idCol, scoreCol,
-        kRrf))
+      derive(Corpus.rrfFuse(c.toDF +: others.map(_.toDF), idCol, scoreCol,
+        kRrf), "rrf_with",
+        (others.map(_.hash) :+ idCol :+ scoreCol :+ kRrf.toString): _*)
 
     /** Cluster assignment over near-dup edges — size-adaptive min-label
       * CC with the star-contraction fallback (see
       * [[Dedup.connectedComponents]]). */
     def dupClusters(srcCol: String = "id_a", dstCol: String = "id_b"): Chain =
-      Chain(Dedup.connectedComponents(c.toDF, srcCol, dstCol))
+      derive(Dedup.connectedComponents(c.toDF, srcCol, dstCol),
+        "dup_clusters", srcCol, dstCol)
 
     /** Connected components by large-star/small-star contraction — the
       * O(log² n)-round path for long-chain graphs (see
       * [[Dedup.connectedComponentsStar]]). */
     def dupClustersStar(srcCol: String = "id_a",
                         dstCol: String = "id_b"): Chain =
-      Chain(Dedup.connectedComponentsStar(c.toDF, srcCol, dstCol))
+      derive(Dedup.connectedComponentsStar(c.toDF, srcCol, dstCol),
+        "dup_clusters_star", srcCol, dstCol)
 
     /** Deterministic ±1 JL projection of an embedding column (see
       * [[Similarity.randomProjection]]). */
     def randomProjection(vecCol: String = "embedding", outDim: Int = 16,
                          outCol: String = "projected"): Chain =
-      Chain(Similarity.randomProjection(c.toDF, vecCol, outDim, outCol))
+      derive(Similarity.randomProjection(c.toDF, vecCol, outDim, outCol),
+        "random_projection", vecCol, outDim, outCol)
 
     /** Per-group quantiles from the mergeable KLL sketch (see
       * [[graft.functions.GraftFunctions.kll_quantiles]]): one row per
@@ -256,45 +292,54 @@ object chainops {
     def quantilesByGroup(valueCol: String, groupCol: String,
                          probs: Seq[Double], k: Int = 2048,
                          outCol: String = "quantiles"): Chain =
-      Chain(c.toDF.groupBy(col(groupCol))
+      derive(c.toDF.groupBy(col(groupCol))
         .agg(graft.functions.GraftFunctions
-          .kll_quantiles(col(valueCol).cast("double"), probs, k).as(outCol)))
+          .kll_quantiles(col(valueCol).cast("double"), probs, k).as(outCol)),
+        "quantiles_by_group", valueCol, groupCol,
+        probs.mkString(","), k, outCol)
 
     /** HLL-sketch overlap with another corpus on `itemCol` (see
       * [[Corpus.distinctOverlap]]): one row of |A|,|B|,|A∪B|,|A∩B|
       * estimates + Jaccard. */
     def overlapWith(other: Chain, itemCol: String, lgK: Int = 14): Chain =
-      Chain(Corpus.distinctOverlap(c.toDF, other.toDF, itemCol, lgK))
+      derive(Corpus.distinctOverlap(c.toDF, other.toDF, itemCol, lgK),
+        "overlap_with", other.hash, itemCol, lgK)
 
     /** Skew-salted equi-join against a non-broadcastable dimension (see
       * [[Joins.saltedJoin]]). */
     def saltedJoin(dim: Chain, key: String, dimKey: String, buckets: Int,
                    how: String = "inner"): Chain =
-      Chain(Joins.saltedJoin(c.toDF, dim.toDF, key, dimKey, buckets, how))
+      derive(Joins.saltedJoin(c.toDF, dim.toDF, key, dimKey, buckets, how),
+        "salted_join", dim.hash, key, dimKey, buckets, how)
 
     /** Ordered-funnel completion per entity (see [[Sessions.funnel]]). */
     def funnel(keyCol: String, tsCol: String, typeCol: String,
                steps: Seq[String], maxGapSec: Option[Long] = None): Chain =
-      Chain(Sessions.funnel(c.toDF, keyCol, tsCol, typeCol, steps,
-        maxGapSec))
+      derive(Sessions.funnel(c.toDF, keyCol, tsCol, typeCol, steps,
+        maxGapSec),
+        "funnel", keyCol, tsCol, typeCol, steps.mkString("|"), maxGapSec)
 
     /** Weekly retention cohort matrix (see
       * [[Sessions.retentionCohorts]]). */
     def retention(keyCol: String, tsCol: String): Chain =
-      Chain(Sessions.retentionCohorts(c.toDF, keyCol, tsCol))
+      derive(Sessions.retentionCohorts(c.toDF, keyCol, tsCol),
+        "retention", keyCol, tsCol)
 
     /** Deterministic k-fold CV assignment (see [[Split.kFold]]). */
     def kFold(idCol: String, k: Int, seed: String = ""): Chain =
-      Chain(Split.kFold(c.toDF, idCol, k, seed))
+      derive(Split.kFold(c.toDF, idCol, k, seed),
+        "k_fold", idCol, k, seed)
 
     /** Rolling N-day distinct entities from daily HLL sketches (see
       * [[Sessions.rollingDistinct]]). */
     def rollingDistinct(keyCol: String, tsCol: String, days: Int = 7): Chain =
-      Chain(Sessions.rollingDistinct(c.toDF, keyCol, tsCol, days))
+      derive(Sessions.rollingDistinct(c.toDF, keyCol, tsCol, days),
+        "rolling_distinct", keyCol, tsCol, days)
 
     /** Column drift vs an earlier snapshot (see [[Profile.drift]]). */
     def driftFrom(before: Chain, relTol: Double = 0.1): Chain =
-      Chain(Profile.drift(before.toDF, c.toDF, relTol))
+      derive(Profile.drift(before.toDF, c.toDF, relTol),
+        "drift_from", before.hash, relTol)
 
     /** Interval-overlap join against `other` (see
       * [[Joins.intervalOverlapJoin]]): binned equi-join, exact overlap
@@ -302,17 +347,21 @@ object chainops {
     def overlapJoin(other: Chain, lo: String, hi: String,
                     otherLo: String, otherHi: String, binWidth: Double,
                     keyCols: Seq[(String, String)] = Nil): Chain =
-      Chain(Joins.intervalOverlapJoin(c.toDF, lo, hi, other.toDF,
-        otherLo, otherHi, binWidth, keyCols))
+      derive(Joins.intervalOverlapJoin(c.toDF, lo, hi, other.toDF,
+        otherLo, otherHi, binWidth, keyCols),
+        "overlap_join", other.hash, lo, hi, otherLo, otherHi, binWidth,
+        keyCols.mkString("|"))
 
     /** Codec-free container metadata for (id, payload) media rows:
       * MP4 box walk / Matroska EBML walk dispatched on magic bytes
       * (see [[Multimodal.videoHeaderMeta]]). */
-    def videoMeta(): Chain = Chain(Multimodal.videoHeaderMeta(c.toDF))
+    def videoMeta(): Chain =
+      derive(Multimodal.videoHeaderMeta(c.toDF), "video_meta")
 
     /** MP3 first-frame metadata + CBR duration estimate
       * (see [[Multimodal.audioFrameMeta]]). */
-    def audioMeta(): Chain = Chain(Multimodal.audioFrameMeta(c.toDF))
+    def audioMeta(): Chain =
+      derive(Multimodal.audioFrameMeta(c.toDF), "audio_meta")
 
     /** Nearest neighbors of `queries` against this chain's vector
       * column, dispatching across the compression tiers:
@@ -326,7 +375,7 @@ object chainops {
                          idCol: String = "vec_id",
                          queryIdCol: String = "query_id"): Chain = {
       val corpus = c.toDF
-      Chain(method match {
+      derive(method match {
         case "brute" =>
           Similarity.bruteForceTopK(corpus, queries.toDF, k, vecCol, idCol,
             queryIdCol)
@@ -343,7 +392,8 @@ object chainops {
             vecCol = vecCol, idCol = idCol, queryIdCol = queryIdCol)
         case other => throw new IllegalArgumentException(
           s"unknown ANN method '$other' (brute/hamming/sq8/pq)")
-      })
+      }, "nearest_neighbors", queries.hash, k, method, vecCol, idCol,
+        queryIdCol)
     }
   }
 }

@@ -958,6 +958,27 @@ class OpsSpec extends SparkSpec {
     assert(over.filter(col("est_count") < col("want")).count() === 0L)
   }
 
+  test("chainops sugar threads LINEAGE: params and upstream change the hash") {
+    // a bare Chain(df) would reset the OpTree to output column names —
+    // different parameterizations or upstreams would then hash equal and
+    // saveOrReuse could serve a stale checkpoint
+    import graft.ops.chainops._
+    import graft.core.Chain
+    val a = Chain(Seq((1L, "some text here")).toDF("doc_id", "text"))
+    val h64 = a.cdcChunks("text", "doc_id", divisor = 64).hash
+    assert(h64 !== a.cdcChunks("text", "doc_id", divisor = 128).hash,
+      "chunking params must reach the hash")
+    assert(h64 !== a.filter(col("doc_id") > 0)
+      .cdcChunks("text", "doc_id", divisor = 64).hash,
+      "the upstream chain must reach the hash")
+    // two-input sugar: the second chain contributes its own hash
+    val hist1 = Chain(Seq((9L, "h")).toDF("doc_id", "text"))
+    val hist2 = hist1.filter(col("doc_id") > 0)
+    assert(a.subtractSeen(hist1, "text", "doc_id").hash !==
+      a.subtractSeen(hist2, "text", "doc_id").hash,
+      "the history chain must reach the hash")
+  }
+
   test("chainops.cdcChunks / cdcShareStats mirror the Cdc ops") {
     import graft.ops.chainops._
     import graft.core.Chain

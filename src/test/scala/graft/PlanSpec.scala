@@ -655,8 +655,11 @@ class PlanSpec extends SparkSpec {
     // Generate(explode) of the cdc_chunks projection
     val p = plan("q_cdc_chunks")
     val generates = "Generate".r.findAllIn(p).length
-    assert(generates <= 2, // header row + one operator section
-      s"expected one explode of cdc_chunks, plan:\n$p")
+    // exactly one Generate operator = tree row + its detail section; 0
+    // would mean the explode vanished (wrong 1-row-per-doc output), >2
+    // would mean a consumer re-chunks
+    assert(generates == 2,
+      s"expected exactly one explode of cdc_chunks, plan:\n$p")
     assert(p.contains("cdc_chunks") || p.toLowerCase.contains("cdcchunks"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
