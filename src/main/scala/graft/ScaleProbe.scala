@@ -715,6 +715,14 @@ object ScaleProbe {
         val codes = graft.ops.Similarity.pqEncode(mat, cb)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         codes.count()
+        // training wall time at this corpus size: the init is a
+        // TakeOrdered + broadcast rank join and every Lloyd stage is
+        // partial-aggregated, so the curve must stay sub-linear in the
+        // corpus (the retired dense_rank init sorted the whole N×m
+        // frame in ONE partition — linear-plus at best)
+        val tTr = System.nanoTime()
+        graft.ops.Similarity.pqTrain(mat, m = 8, kc = 16, iterations = 1)
+        val trainSec = (System.nanoTime() - tTr) / 1e9
         val t0 = System.nanoTime()
         val nPq = graft.ops.Similarity.pqAdcTopK(codes, queries, k = 10, cb)
           .count()
@@ -727,11 +735,13 @@ object ScaleProbe {
         codes.unpersist(blocking = false)
         mat.unpersist(blocking = false)
         println(f"pq K=$k%-3d vecs=${nEmb * k}%-9d adc ${pqSec}%.2f s" +
-          f"   brute ${bfSec}%.2f s (${bfSec / pqSec}%.1fx)")
-        (k, pqSec)
+          f"   brute ${bfSec}%.2f s (${bfSec / pqSec}%.1fx)" +
+          f"   train ${trainSec}%.2f s")
+        (k, pqSec, trainSec)
       }
       println(f"pq scale ${results.last._1.toDouble / results.head._1}%.0fx " +
-        f"-> time factor ${results.last._2 / results.head._2}%.2fx")
+        f"-> time factor ${results.last._2 / results.head._2}%.2fx" +
+        f"   train factor ${results.last._3 / results.head._3}%.2fx")
     }
 
     // bucketed layout: pay the bucketed write once, then every join on

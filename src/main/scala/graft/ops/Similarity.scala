@@ -783,6 +783,25 @@ object Similarity {
           .map(_.getSeq[Double](1).toArray)
       }
     } else {
+      val rows = pqTrainCents(corpus, m, kc, iterations, vecCol, idCol)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      val book = (0 until m).toArray.map { s =>
+        rows.filter(_._1 == s).sortBy(_._2).map(_._3)
+      }
+      require(book.forall(_.length == book(0).length),
+        s"pqTrain produced a jagged codebook: ${book.map(_.length).toSeq}")
+      book
+    }
+  }
+
+  /** The trained-path centroid frame `(__s, cid, __c)` of [[pqTrain]],
+    * exposed pre-collect so PlanSpec can pin its physical shape (no
+    * unpartitioned Window, no full-frame sort — the init must never
+    * move the training corpus into one partition). */
+  private[graft] def pqTrainCents(corpus: DataFrame, m: Int, kc: Int,
+                                  iterations: Int, vecCol: String,
+                                  idCol: String): DataFrame = {
       // ALL m subspaces train through ONE grouped Lloyd pipeline (the
       // per-subspace loop ran m independent job chains — measured 3×
       // slower at gate scale): rows explode once to (subspace, id,
@@ -791,15 +810,8 @@ object Similarity {
       // decimal-exact distances and means), so the centroids are
       // identical to m separate runs
       val dec = org.apache.spark.sql.types.DecimalType(38, 18)
-      val parts = corpus.select(col(idCol).as("__id"),
-          col(vecCol).cast("array<double>").as("__x"))
-        .select(col("__id"), posexplode(array((0 until m).map(s =>
-          slice(col("__x"), s * sub + 1, sub)): _*)).as(Seq("__s", "__xs")))
-      var cents = parts
-        .withColumn("cid", (dense_rank().over(Window.orderBy(col("__id")))
-          .cast("int") - 1))
-        .filter(col("cid") < kc)
-        .select(col("__s"), col("cid"), col("__xs").as("__c"))
+      val parts = pqParts(corpus, m, vecCol, idCol)
+      var cents = pqInitCents(parts, corpus, kc, idCol)
         .localCheckpoint(eager = false)
       for (_ <- 1 to iterations) {
         val assigned = parts
@@ -831,15 +843,48 @@ object Similarity {
             coalesce(col("__c1"), col("__c0")).as("__c"))
           .localCheckpoint(eager = false)
       }
-      val rows = cents.collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      val book = (0 until m).toArray.map { s =>
-        rows.filter(_._1 == s).sortBy(_._2).map(_._3)
-      }
-      require(book.forall(_.length == book(0).length),
-        s"pqTrain produced a jagged codebook: ${book.map(_.length).toSeq}")
-      book
-    }
+      cents
+  }
+
+  /** [[pqTrain]]'s initial centroid frame `(__s, cid, __c)`: the kc
+    * lowest DISTINCT ids' subvectors, cid = the id's rank. Selection is
+    * orderBy/limit (TakeOrderedAndProject: per-partition top-kc, then a
+    * kc-row merge — the same init [[kmeans]] uses) and the rank is
+    * assigned on the DRIVER over those ≤ kc rows (the same
+    * bounded-collect class as the final centroid collect); an earlier
+    * formulation dense_rank'ed an unpartitioned window over the FULL
+    * N×m exploded frame — one partition sorting the whole training
+    * corpus just to find kc ids. The broadcast join back onto `parts`
+    * reproduces that path's rows exactly (duplicate ids among the
+    * lowest kc share a cid, as dense_rank gave them) — OpsSpec pins the
+    * equivalence, PlanSpec pins the no-Window/no-full-sort shape. */
+  /** The exploded `(__id, __s, __xs)` training frame the grouped Lloyd
+    * pipeline runs over: one row per (vector, subspace). */
+  private[graft] def pqParts(corpus: DataFrame, m: Int, vecCol: String,
+                             idCol: String): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val sub = dim / m
+    corpus.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__x"))
+      .select(col("__id"), posexplode(array((0 until m).map(s =>
+        slice(col("__x"), s * sub + 1, sub)): _*)).as(Seq("__s", "__xs")))
+  }
+
+  private[graft] def pqInitCents(parts: DataFrame, corpus: DataFrame,
+                                 kc: Int, idCol: String): DataFrame = {
+    val spark = corpus.sparkSession
+    val idField = corpus.select(col(idCol).as("__id")).schema.fields(0)
+    val lowRows = corpus.select(col(idCol).as("__id")).distinct()
+      .orderBy("__id").limit(kc).collect()
+    val lowIds = spark.createDataFrame(
+      java.util.Arrays.asList(lowRows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i): org.apache.spark.sql.Row
+      }: _*),
+      org.apache.spark.sql.types.StructType(Seq(idField,
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+    parts.join(broadcast(lowIds), Seq("__id"))
+      .select(col("__s"), col("cid"), col("__xs").as("__c"))
   }
 
   /** Decimal-exact squared distance between a sliced subvector and a

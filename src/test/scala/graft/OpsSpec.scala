@@ -1065,6 +1065,33 @@ class OpsSpec extends SparkSpec {
     assert(flags.nonEmpty && flags.forall(r => !r.isNullAt(0)))
   }
 
+  test("pqTrain init: TakeOrdered+broadcast-rank ≡ the dense_rank window path") {
+    import org.apache.spark.sql.expressions.Window
+    // duplicate id among the lowest kc + unsorted input: the retired
+    // dense_rank-over-unpartitioned-window init gave duplicate ids a
+    // SHARED cid — the TakeOrdered + driver-rank + broadcast-join init
+    // must reproduce its (subspace, cid, subvector) rows exactly
+    val vs = Seq(
+      (5L, Array(5f, 0f, 5f, 0f)),
+      (3L, Array(3f, 1f, 3f, 1f)),
+      (3L, Array(3f, 2f, 3f, 2f)),
+      (9L, Array(9f, 0f, 9f, 0f)),
+      (1L, Array(1f, 1f, 1f, 1f))).toDF("vec_id", "embedding")
+    val parts = Similarity.pqParts(vs, m = 2, vecCol = "embedding",
+      idCol = "vec_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).mkString(",")))
+      .sorted.toSeq
+    val got = rows(Similarity.pqInitCents(parts, vs, kc = 3,
+      idCol = "vec_id"))
+    val want = rows(parts
+      .withColumn("cid", (dense_rank().over(Window.orderBy(col("__id")))
+        .cast("int") - 1))
+      .filter(col("cid") < 3)
+      .select(col("__s"), col("cid"), col("__xs")))
+    assert(got.size === 8 && got === want, s"got $got want $want")
+  }
+
   test("pqTrain pads empty clusters: collapsed init still yields kc per subspace") {
     // ids 0 and 1 carry IDENTICAL vectors, so both init centroids (first
     // kc=2 ids) coincide and every point ties to cid 0 — cid 1 wins no

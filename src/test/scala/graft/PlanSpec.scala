@@ -663,4 +663,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cdc_chunks") || p.toLowerCase.contains("cdcchunks"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("pqTrain init: no unpartitioned Window, broadcast rank join only") {
+    import graft.ops.Similarity
+    // the trained-path init must never move the training corpus into
+    // one partition: the kc lowest ids are TakeOrdered'd eagerly and
+    // the rank joins back as a broadcast — the exploded N×m frame sees
+    // no Window, no global Sort, no shuffle exchange at all
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val parts = Similarity.pqParts(emb, 8, "embedding", "vec_id")
+    val init = Similarity.pqInitCents(parts, emb, 16, "vec_id")
+    val p = init.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
