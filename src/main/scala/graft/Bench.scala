@@ -83,12 +83,30 @@ object Bench {
     // WHOLE list in round-robin passes and take each query's min across
     // passes — one stall then poisons at most one pass's worth of entries,
     // and every query keeps (passes-1) clean measurements.
+    // load forensics: host CPU steal has repeatedly masqueraded as
+    // regression (see BASELINE.md r11/r12 A/Bs) — stamp every bench
+    // JSON with the /proc/stat steal delta across the timed window and
+    // the 1-min load, so each BENCH_rN.json is self-certifying
+    def stealJiffies(): Long =
+      try {
+        val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        l.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(-1L)
+      } catch { case _: Throwable => -1L }
+    def loadavg1(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(" ")(0)
+      catch { case _: Throwable => "-1" }
+    val steal0 = stealJiffies()
     val best = collection.mutable.Map.empty[String, Double]
     for (_ <- 1 to passes; (name, fn) <- qlist) {
       timeOnce(fn).foreach { dt =>
         best(name) = best.get(name).fold(dt)(math.min(_, dt))
       }
     }
+    val stealD =
+      if (steal0 < 0) -1L else math.max(-1L, stealJiffies() - steal0)
+    val forensics = s""""steal_jiffies":$stealD,"load1":${loadavg1()},""" +
+      s""""ts":${System.currentTimeMillis() / 1000}"""
     // a query that failed EVERY pass reports -1 — visibly wrong in the
     // JSON rather than silently fast or silently absent
     val results = qlist.map { case (name, _) =>
@@ -141,7 +159,7 @@ object Bench {
     // queries map at 1700 and drop trailing headline entries to fit.
     def render(keys: Vector[String]): String =
       keys.map(k => "\"" + k + "\":" + fmt(results(k))).mkString("{", ",", "}")
-    val budget = 1700
+    val budget = 1640 // leaves room for the forensics fields
     // The stdout line must ALWAYS fit the driver's 2000-char tail window
     // — an oversized `only` subset would re-create the r8 parsed:null
     // failure just as surely as the headline would. Subset runs differ
@@ -165,7 +183,7 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalS = fmt(total)
     val full =
-      s"""{"metric":"total","value":$totalS,"unit":"sec","nq":${results.size},"queries":$allQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalS,"unit":"sec","nq":${results.size},$forensics,"queries":$allQs,"sf":"$sfDir"}"""
     // full line first on stderr, flushed, THEN the compact line on stdout —
     // so even a merged-stream capture ends with the compact parseable line
     System.err.println(full)
@@ -173,7 +191,7 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full_local.json"), full + "\n")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$totalS,"unit":"sec","nq":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalS,"unit":"sec","nq":${results.size},$forensics,"queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
   }

@@ -21,7 +21,7 @@ object ScaleProbe {
     //   pq,profile,rollingdistinct,funnel,statsskip,bloomskip,
     //   intervaljoin,mediameta,optimize,tokenmix,crawl,fuzzyjoin,mutate,statstier,
     //   mergelarge,cdfchurn,annindexq,
-    //   matview,cdc (default all)
+    //   matview,cdc,linkfarm,idxcarry (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
       .map(s => (x: String) => s(x)).getOrElse(_ => true)
@@ -1196,6 +1196,107 @@ object ScaleProbe {
       }
     }
 
+    // The cow link farm at MANY files: restore is one hard link per
+    // file and nothing else, so it isolates the farm. Same version
+    // linked twice — once with the farm forced driver-side, once forced
+    // through the Spark-job fan-out — wall times compared and the
+    // fanned-out version's inodes asserted shared. The claim: the
+    // distributed farm stays comparable at probe scale (local[32]
+    // executors ARE the driver's cores) and removes the single-thread
+    // ceiling that a real cluster's millions-of-files version would hit.
+    if (want("linkfarm")) {
+      import java.nio.file.{Files => JFiles}
+      ks.foreach { k =>
+        val files = 1280 * k
+        val df = spark.range(100L * files).select(col("id").as("k1"))
+          .repartitionByRange(files, col("k1"))
+        val root = JFiles.createTempDirectory(s"probe_lnk_$k").toString
+        val cat = new graft.catalog.Catalog(root, spark)
+        cat.save(graft.core.Chain(df), "big")
+        val v1 = graft.catalog.SemVer(1, 0, 0)
+        val prev = sys.props.get("graft.link.fanoutThreshold")
+        try {
+          sys.props("graft.link.fanoutThreshold") = Int.MaxValue.toString
+          val t0 = System.nanoTime()
+          cat.restore("big", v1)
+          val drvSec = (System.nanoTime() - t0) / 1e9
+          sys.props("graft.link.fanoutThreshold") = "1"
+          val t1 = System.nanoTime()
+          val vFan = cat.restore("big", v1)
+          val fanSec = (System.nanoTime() - t1) / 1e9
+          import scala.jdk.CollectionConverters._
+          val base = java.nio.file.Paths.get(root, "datasets", "big")
+          def ino(p: java.nio.file.Path) = JFiles.getAttribute(p, "unix:ino")
+          val olds = {
+            val w = JFiles.walk(base.resolve("v1.0.0").resolve("data"))
+            try w.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+              .map(p => p.getFileName.toString -> ino(p)).toMap
+            finally w.close()
+          }
+          val w2 = JFiles.walk(base.resolve(s"v$vFan").resolve("data"))
+          val shared = try w2.iterator().asScala
+            .filter(_.toString.endsWith(".parquet"))
+            .count(p => olds.get(p.getFileName.toString)
+              .contains(ino(p)))
+          finally w2.close()
+          require(shared == files, s"fan-out farm linked $shared/$files")
+          println(f"linkfarm K=$k%-3d files=$files%-6d " +
+            f"driver=${drvSec}%.2f s  fanout=${fanSec}%.2f s  " +
+            f"shared inodes $shared/$files")
+        } finally {
+          prev match {
+            case Some(v) => sys.props("graft.link.fanoutThreshold") = v
+            case None => sys.props.remove("graft.link.fanoutThreshold")
+          }
+        }
+      }
+    }
+
+    // Index carry on mutation: a K×-growing version carrying BOTH
+    // parquet-tier indexes (stats/ + blooms/) takes a narrow-band
+    // delete. The carried re-index is O(touched) — its wall time must
+    // sit well under the retired whole-tree rebuild (timed beside it on
+    // the same new version) and grow far slower than the file count.
+    if (want("idxcarry")) {
+      import java.nio.file.{Files => JFiles}
+      val prevB = spark.conf.getOption("graft.bloom.inlineMaxFiles")
+      try {
+        spark.conf.set("graft.bloom.inlineMaxFiles", "0")
+        ks.foreach { k =>
+          val files = 640 * k
+          val rows = 200L * files
+          val df = spark.range(rows).select(col("id").as("k1"),
+              concat(lit("u"), col("id")).as("k2"))
+            .repartitionByRange(files, col("k1"))
+          val root = JFiles.createTempDirectory(s"probe_idx_$k").toString
+          val cat = new graft.catalog.Catalog(root, spark)
+          cat.save(graft.core.Chain(df), "big", bloomCols = Seq("k2"))
+          val t0 = System.nanoTime()
+          val d = cat.deleteWhere("big", col("k1") <= rows / 64)
+          val mutSec = (System.nanoTime() - t0) / 1e9
+          val v2 = cat.latestVersion("big").get
+          val dataDir = java.nio.file.Paths.get(root, "datasets", "big",
+            s"v$v2", "data").toString
+          val cmp = JFiles.createTempDirectory(s"probe_idx_cmp_$k")
+          val t1 = System.nanoTime()
+          graft.catalog.FileStats.writeStatsIndex(spark, dataDir,
+            cmp.resolve("stats").toString)
+          graft.catalog.FileStats.writeBloomIndex(spark, dataDir,
+            Seq("k2"), 100000L, cmp.resolve("blooms").toString)
+          val rebuildSec = (System.nanoTime() - t1) / 1e9
+          println(f"idxcarry K=$k%-3d files=$files%-6d " +
+            f"mutate(carried)=${mutSec}%.2f s " +
+            f"(rw=${d.filesRewritten} ln=${d.filesReused})  " +
+            f"whole-rebuild=${rebuildSec}%.2f s")
+        }
+      } finally {
+        prevB match {
+          case Some(v) => spark.conf.set("graft.bloom.inlineMaxFiles", v)
+          case None => spark.conf.set("graft.bloom.inlineMaxFiles", "32")
+        }
+      }
+    }
+
     // Parquet stats tier, read side: a K×-growing MANY-FILE version
     // (1280..10240 files, well past graft.stats.inlineMaxFiles=512) is
     // pruned two ways — the distributed path (predicate compiled to
@@ -1292,6 +1393,38 @@ object ScaleProbe {
           f"files=${8 * k}%-4d srcRows=$nSrc%-7d merge=${sec}%.2f s " +
           f"(rw=${m.filesRewritten} ln=${m.filesReused} " +
           f"matched=${m.rowsMatched} ins=${m.rowsInserted})")
+        // STRING-keyed twin through the binned envelope arm (cap=0
+        // forces it even at probe file counts): same upsert shape, same
+        // flat files-rewritten claim — the probe that used to document
+        // the >1024-file touch-everything loss
+        def skey(c: org.apache.spark.sql.Column) =
+          concat(lit("s3://bucket/key/"), format_string("%012d", c))
+        val amplifiedS = amplified
+          .select(skey(col("o_orderkey")).as("okey"), col("o_custkey"),
+            col("o_totalprice"))
+          .repartitionByRange(8 * k, col("okey"))
+          .sortWithinPartitions("okey")
+        cat.save(graft.core.Chain(amplifiedS), "ordstr")
+        val srcS = src.select(skey(col("o_orderkey")).as("okey"),
+          col("o_custkey"), col("o_totalprice"))
+        val prevCap = sys.props.get("graft.env.stringNestedLoopMax")
+        sys.props("graft.env.stringNestedLoopMax") = "0"
+        val (mS, secS) =
+          try {
+            val t1 = System.nanoTime()
+            val r = cat.mergeInto("ordstr", srcS, Seq("okey"),
+              keyCollectMax = 0)
+            (r, (System.nanoTime() - t1) / 1e9)
+          } finally prevCap match {
+            case Some(v) => sys.props("graft.env.stringNestedLoopMax") = v
+            case None => sys.props.remove("graft.env.stringNestedLoopMax")
+          }
+        require(mS.rowsMatched == m.rowsMatched &&
+          mS.rowsInserted == m.rowsInserted,
+          s"string twin diverged: $mS vs $m")
+        println(f"mergelarge K=$k%-3d STRING keys (binned arm)          " +
+          f"srcRows=$nSrc%-7d merge=${secS}%.2f s " +
+          f"(rw=${mS.filesRewritten} ln=${mS.filesReused})")
       }
     }
 

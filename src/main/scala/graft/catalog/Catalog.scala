@@ -120,6 +120,49 @@ object Catalog {
     * start at 1.0.0). The create half of a create-or-append decision. */
   val ExpectNoVersions: SemVer = SemVer(0, 0, 0)
 
+  /** A commit lock whose mtime is older than this is presumed a crashed
+    * holder's debris and may be stolen. LIVE holders heartbeat the
+    * mtime at a quarter of this period while the commit body runs, so
+    * only a truly dead (or wholly frozen) holder ages past it.
+    * Tunable for tests via `-Dgraft.lock.staleMs=`. */
+  private[catalog] def lockStaleMs: Long =
+    sys.props.get("graft.lock.staleMs").map(_.toLong).getOrElse(60000L)
+
+  /** String envelopes use the broadcast nested-loop probe up to this
+    * many string-stat files; beyond, the binned equi-join arm runs
+    * (tunable for tests via `-Dgraft.env.stringNestedLoopMax=`). */
+  private[catalog] def stringNestedLoopMax: Int =
+    sys.props.get("graft.env.stringNestedLoopMax").map(_.toInt)
+      .getOrElse(1024)
+
+  /** Above this many links, the cow link farm fans out as a Spark job
+    * over the pair list instead of a driver loop (tunable for tests via
+    * `-Dgraft.link.fanoutThreshold=`). Each link is a µs-class metadata
+    * op, but at millions of files per version a single driver thread
+    * serializes the whole commit — the same bottleneck class the stats
+    * read tier and listing already fan out. */
+  private[catalog] def linkFanoutThreshold: Int =
+    sys.props.get("graft.link.fanoutThreshold").map(_.toInt).getOrElse(10000)
+
+  /** Hard-link `dst` to `src`, copying where the filesystem refuses
+    * links — the ONE link-or-copy primitive of every cow path. Static
+    * (no session state) so the fan-out job can ship it to executors. */
+  private[catalog] def linkOne(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.createDirectories(d.getParent)
+    try java.nio.file.Files.createLink(d, s)
+    catch {
+      // an existing dst inside a writer's PRIVATE tmp tree can only be
+      // this writer's own earlier attempt (task retry) — idempotent
+      case _: java.nio.file.FileAlreadyExistsException => ()
+      case _: UnsupportedOperationException |
+           _: java.nio.file.FileSystemException =>
+        try java.nio.file.Files.copy(s, d)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
+  }
+
   /** Retry loop for optimistic-concurrency aborts: re-runs `body` (which
     * must RE-RESOLVE the table — every mutation verb re-reads latest at
     * entry, so `retryOnConflict(3)(cat.deleteWhere(...))` just works)
@@ -168,6 +211,25 @@ final class Catalog(val root: String, spark: SparkSession) {
         .map(_.toString).takeWhile(_.contains('='))
         .map(_.takeWhile(_ != '='))
     }.getOrElse(Seq.empty)
+
+  /** Hard-link (copy-fallback) every (src → dst) pair. Below
+    * [[Catalog.linkFanoutThreshold]] pairs it's a driver loop (µs-class
+    * metadata ops, not worth a job); above, the links run as ONE Spark
+    * job over the pair list — a restore/clone/mutation of a
+    * millions-of-files version schedules its link farm across
+    * executors instead of serializing on the driver thread. Distinct
+    * destination names by construction, so tasks never collide; a
+    * failed task's retry re-links into the same private tmp tree, which
+    * [[Catalog.linkOne]] treats as idempotent. */
+  private def linkAll(pairs: Seq[(Path, Path)]): Unit =
+    if (pairs.size < Catalog.linkFanoutThreshold)
+      pairs.foreach { case (s, d) => Catalog.linkOne(s.toString, d.toString) }
+    else {
+      val strs = pairs.map { case (s, d) => (s.toString, d.toString) }
+      val slices = math.max(4, math.min(256, strs.size / 4096 + 1))
+      spark.sparkContext.parallelize(strs, slices)
+        .foreach { case (s, d) => Catalog.linkOne(s, d) }
+    }
 
   /** Recursive parquet-file census of a data dir (partitioned versions
     * nest files under key=value subdirs). */
@@ -218,7 +280,7 @@ final class Catalog(val root: String, spark: SparkSession) {
         case e: java.io.IOException => throw new IllegalStateException(
           s"cannot stat lock on '$name': ${e.getMessage}", e)
       }
-    require(force || age > 60000,
+    require(force || age > Catalog.lockStaleMs,
       s"lock on '$name' is ${age}ms old — likely a LIVE commit " +
         "(healthy locks clear in milliseconds); pass force to override")
     // steal via the same ATOMIC_MOVE-to-grave pattern writers use: a
@@ -281,7 +343,7 @@ final class Catalog(val root: String, spark: SparkSession) {
         case _: java.nio.file.FileAlreadyExistsException =>
           val stale =
             try Files.getLastModifiedTime(lockP).toMillis <
-              System.currentTimeMillis() - 60000
+              System.currentTimeMillis() - Catalog.lockStaleMs
             catch { case _: java.io.IOException => false } // vanished: retry
           if (stale) {
             val grave = lockP.resolveSibling(
@@ -305,8 +367,32 @@ final class Catalog(val root: String, spark: SparkSession) {
               "commit; re-resolve the table and retry")
       }
     }
+    // lease heartbeat: a legitimately slow commit body (cold NFS,
+    // object-store metadata latency) must not age past the stale
+    // threshold mid-critical-section and get stolen — refresh the lock
+    // mtime at a quarter of the stale period while the body runs. A
+    // crashed holder stops beating and ages out exactly as before. (A
+    // holder frozen WHOLE — a GC pause longer than the stale period —
+    // can still be stolen; the owner-token release below then leaves
+    // the thief's fresh lock alone, and the stolen holder's commit may
+    // interleave — the documented residual lease gap.)
+    val beat = new Thread(() => {
+      val period = math.max(Catalog.lockStaleMs / 4, 5L)
+      try {
+        while (!Thread.interrupted()) {
+          Thread.sleep(period)
+          try Files.setLastModifiedTime(lockP,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis()))
+          catch { case _: java.io.IOException => () }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lock-heartbeat-$name")
+    beat.setDaemon(true)
+    beat.start()
     try body
     finally {
+      beat.interrupt()
       try {
         val mine =
           try new String(Files.readAllBytes(lockP), "UTF-8") == token
@@ -315,6 +401,12 @@ final class Catalog(val root: String, spark: SparkSession) {
       } catch { case _: java.io.IOException => () }
     }
   }
+
+  /** Test seam: run `body` under `name`'s commit lock (the production
+    * [[withCommitLock]], heartbeat included) — lets specs pin the
+    * slow-holder lease behavior without a public slow verb. */
+  private[graft] def withCommitLockForTest[T](name: String)(body: => T): T =
+    withCommitLock(name)(body)
 
   /** Inside the commit lock: the latest committed version must still be
     * the one this writer's read-modify-write started from.
@@ -340,6 +432,11 @@ final class Catalog(val root: String, spark: SparkSession) {
 
   private def claimVersion(name: String, explicit: Option[SemVer])
       : (SemVer, Path) = {
+    // real versions start at 1.0.0: v0.0.0 is the ExpectNoVersions
+    // guard sentinel and must stay unclaimable, or guardLatest=0.0.0
+    // would be ambiguous between "expect none" and a real version
+    require(explicit.forall(_ >= SemVer(1, 0, 0)),
+      s"explicit versions start at 1.0.0 (got v${explicit.get})")
     var v = explicit.getOrElse(rawVersions(name).lastOption
       .map(_.bumpMinor).getOrElse(SemVer(1, 0, 0)))
     var dir: Path = null
@@ -764,12 +861,13 @@ final class Catalog(val root: String, spark: SparkSession) {
    *
    * Metadata economics at 100 TB: per-file stats are REUSED for linked
    * files and harvested only over the rewritten output, so the stats cost
-   * is O(touched files), not O(all files); an inline bloom index is
-   * carried per linked file and built only for new files. (A
-   * parquet-table bloom index — the >32-file form — is rebuilt whole:
-   * one extra grouped pass over the new version, the documented cost of
-   * mutating a bloom-indexed giant.) Row counts come from footer stats,
-   * never a rescan.
+   * is O(touched files), not O(all files) — in BOTH tiers: inline
+   * stats.json/blooms.json carry per linked file, and the parquet-table
+   * indexes (stats/ + blooms/, the many-file form) carry untouched
+   * files' rows through an anti-join on the touched list, re-indexing
+   * only the rewrite output (the idxcarry probe shows flat mutation wall
+   * against a linearly growing whole-rebuild). Row counts come from
+   * footer stats, never a rescan.
    */
   private def cowRewrite(name: String, v: SemVer, touched: Seq[String],
                          all: Seq[String], rewritten: Option[DataFrame],
@@ -822,17 +920,8 @@ final class Catalog(val root: String, spark: SparkSession) {
     val tmp = dsDir(name).resolve(s".tmp-${java.util.UUID.randomUUID}")
     Files.createDirectories(tmp.resolve("data"))
     try {
-      untouched.foreach { rel =>
-        val src = dataDir.resolve(rel)
-        val dst = tmp.resolve("data").resolve(rel)
-        Files.createDirectories(dst.getParent)
-        try Files.createLink(dst, src)
-        catch {
-          case _: UnsupportedOperationException |
-               _: java.nio.file.FileSystemException =>
-            Files.copy(src, dst)
-        }
-      }
+      linkAll(untouched.map(rel =>
+        (dataDir.resolve(rel), tmp.resolve("data").resolve(rel))))
       // old bloom shape, read up front: inline filters are carried per
       // linked file and built ONLY over the rewrite output
       val inlineP = vDir(name, v).resolve("blooms.json")
@@ -843,11 +932,26 @@ final class Catalog(val root: String, spark: SparkSession) {
           new String(Files.readAllBytes(inlineP), "UTF-8"))
       val inlineCols =
         oldInline.valuesIterator.flatMap(_.keys).toSeq.distinct.sorted
+      // parquet-tier bloom columns, read up front (metadata-sized
+      // distinct): the rewrite's partial index builds pre-move
+      val parqCols: Seq[String] =
+        if (!Files.isDirectory(parqB)) Seq.empty
+        else try spark.read.parquet(parqB.toString).select("col").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        catch { case scala.util.control.NonFatal(_) => Seq.empty }
       val rewriteDir = tmp.resolve("rewrite")
       var rewriteStats: Seq[FileStats.FileStat] = Seq.empty
       var rewrittenRows = 0L
       var rewFiles: Seq[Path] = Seq.empty
       var builtBlooms: Map[String, Map[String, Array[Byte]]] = Map.empty
+      // partial index tables over ONLY the rewrite output, built while
+      // the files still sit under rewriteDir (their dir-relative names
+      // equal the final version-relative names): the untouched files'
+      // rows carry from the old version's index tables verbatim, so a
+      // point mutation on a bloom/stats-indexed giant re-indexes
+      // O(touched) files, never the whole tree
+      var statsNewOk = false
+      var bloomsNewOk = false
       rewritten.foreach { df =>
         val w = df.write.mode("errorifexists")
         (if (layout.nonEmpty) w.partitionBy(layout: _*) else w)
@@ -863,6 +967,25 @@ final class Catalog(val root: String, spark: SparkSession) {
         if (inlineCols.nonEmpty && rewFiles.nonEmpty)
           builtBlooms = FileStats.buildBlooms(spark, rewriteDir.toString,
             inlineCols, bloomExpected, schema = Some(df.schema))
+        if (oldTierParquet && rewFiles.nonEmpty)
+          statsNewOk =
+            try {
+              FileStats.writeStatsIndex(spark, rewriteDir.toString,
+                tmp.resolve("stats.new").toString)
+              true
+            } catch { case scala.util.control.NonFatal(_) =>
+              deleteTree(tmp.resolve("stats.new")); false
+            }
+        if (parqCols.nonEmpty && rewFiles.nonEmpty)
+          bloomsNewOk =
+            try {
+              FileStats.writeBloomIndex(spark, rewriteDir.toString,
+                parqCols, bloomExpected, tmp.resolve("blooms.new").toString,
+                schema = Some(df.schema))
+              true
+            } catch { case scala.util.control.NonFatal(_) =>
+              deleteTree(tmp.resolve("blooms.new")); false
+            }
         // merge the rewrite's part files into the linked tree, partition
         // subdirs preserved (part names carry job UUIDs — no collisions)
         rewFiles.foreach { f =>
@@ -877,25 +1000,75 @@ final class Catalog(val root: String, spark: SparkSession) {
         (rewriteStats.size == rewFiles.size) &&
           (untouched.isEmpty || oldStats.nonEmpty)
       val newStats = if (statsComplete) kept ++ rewriteStats else Seq.empty
-      // parquet-tier base → parquet-tier result: one executor footer
-      // pass over the final tree (linked + rewritten files)
-      if (oldTierParquet)
-        try FileStats.writeStatsIndex(spark, tmp.resolve("data").toString,
-          tmp.resolve("stats").toString)
-        catch { case scala.util.control.NonFatal(_) =>
-          deleteTree(tmp.resolve("stats"))
-        }
+      // parquet-tier base → parquet-tier result: untouched files' index
+      // rows CARRY verbatim (the link farm doesn't change their footers
+      // or version-relative names; the census check above proved the old
+      // index covers them all) and union with the rewrite's partial
+      // index — an O(touched) re-index. Any carry failure degrades to
+      // the old whole-tree footer pass, and THAT failure degrades to an
+      // index-less version (readable, just unpruned).
+      lazy val touchedDf = spark.createDataset(touched)(
+        org.apache.spark.sql.Encoders.STRING).toDF("file")
+      if (oldTierParquet) {
+        val carriedOk =
+          try {
+            require(statsNewOk || rewFiles.isEmpty,
+              "rewrite partial stats index missing")
+            val keptIdx = spark.read
+              .parquet(vDir(name, v).resolve("stats").toString)
+              .join(touchedDf, Seq("file"), "left_anti")
+            val full =
+              if (statsNewOk) keptIdx.unionByName(
+                spark.read.parquet(tmp.resolve("stats.new").toString))
+              else keptIdx
+            // same (col, file) range clustering as writeStatsIndex, so
+            // a wanted-columns read of the carried index prunes row
+            // groups on `col` exactly like a rebuilt one
+            val parts = math.max(4, math.min(2048,
+              (untouched.size + rewFiles.size) / 25000))
+            full.repartitionByRange(parts, col("col"), col("file"))
+              .write.mode("errorifexists")
+              .parquet(tmp.resolve("stats").toString)
+            true
+          } catch { case scala.util.control.NonFatal(_) =>
+            deleteTree(tmp.resolve("stats")); false
+          }
+        if (!carriedOk)
+          try FileStats.writeStatsIndex(spark, tmp.resolve("data").toString,
+            tmp.resolve("stats").toString)
+          catch { case scala.util.control.NonFatal(_) =>
+            deleteTree(tmp.resolve("stats"))
+          }
+      }
       val inlineBlooms: Map[String, Map[String, Array[Byte]]] =
         oldInline.filter { case (f, _) => untouchedSet.contains(f) } ++
           builtBlooms
-      val rebuildParquetIndex = Files.isDirectory(parqB)
-      if (rebuildParquetIndex) {
-        val cols = spark.read.parquet(parqB.toString)
-          .select("col").distinct().collect().map(_.getString(0)).toSeq.sorted
-        if (cols.nonEmpty)
+      if (parqCols.nonEmpty) {
+        // the parquet bloom index carries the same way (bloom pruning
+        // is conservative for any file missing from the index, so even
+        // a partial carry only costs pruning, never rows)
+        val carriedOk =
+          try {
+            require(bloomsNewOk || rewFiles.isEmpty,
+              "rewrite partial bloom index missing")
+            val keptIdx = spark.read.parquet(parqB.toString)
+              .join(touchedDf, Seq("file"), "left_anti")
+            val full =
+              if (bloomsNewOk) keptIdx.unionByName(
+                spark.read.parquet(tmp.resolve("blooms.new").toString))
+              else keptIdx
+            full.write.mode("errorifexists")
+              .parquet(tmp.resolve("blooms").toString)
+            true
+          } catch { case scala.util.control.NonFatal(_) =>
+            deleteTree(tmp.resolve("blooms")); false
+          }
+        if (!carriedOk)
           FileStats.writeBloomIndex(spark, tmp.resolve("data").toString,
-            cols, bloomExpected, tmp.resolve("blooms").toString)
+            parqCols, bloomExpected, tmp.resolve("blooms").toString)
       }
+      deleteTree(tmp.resolve("stats.new"))
+      deleteTree(tmp.resolve("blooms.new"))
       val schemaJson = schemaJsonOverride
         .orElse(recordedSchema(name, v).map(SignalSchema.toJson))
         .getOrElse(SignalSchema.toJson(
@@ -973,15 +1146,8 @@ final class Catalog(val root: String, spark: SparkSession) {
     Files.createDirectories(tmp.resolve("data"))
     try {
       def linkTree(from: Path, to: Path): Unit =
-        walkParquet(from).foreach { f =>
-          val dst = to.resolve(from.relativize(f))
-          Files.createDirectories(dst.getParent)
-          try Files.createLink(dst, f)
-          catch {
-            case _: UnsupportedOperationException |
-                 _: java.nio.file.FileSystemException => Files.copy(f, dst)
-          }
-        }
+        linkAll(walkParquet(from).map(f =>
+          (f, to.resolve(from.relativize(f)))))
       linkTree(srcDir.resolve("data"), tmp.resolve("data"))
       Seq("blooms", "stats").foreach { d =>
         if (Files.isDirectory(srcDir.resolve(d))) {
@@ -1415,9 +1581,9 @@ final class Catalog(val root: String, spark: SparkSession) {
    * are touched unconditionally (a file spanning the domain is almost
    * surely hit — pruning it was never on the table). Never a cross
    * product, never a key collect. String keys use a bounded
-   * nested-loop probe (≤1024 string-stat files; beyond that they stay
-   * conservatively touched — string-keyed point merges should ride the
-   * collectable path and its blooms).
+   * nested-loop probe up to 1024 string-stat files; beyond that they
+   * bin through an order-preserving 7-byte UTF-8 prefix long
+   * ([[probeEnvelopesStringBinned]]) and run the same binned equi-join.
    */
   private def touchedByEnvelope(name: String, v: SemVer, src: DataFrame,
                                 on: Seq[String]): (Seq[String], Seq[String]) = {
@@ -1524,14 +1690,73 @@ final class Catalog(val root: String, spark: SparkSession) {
       : Set[String] = {
     import spark.implicits._
     import org.apache.spark.sql.functions.broadcast
-    if (envs.size > 1024) return envs.map(_._1).toSet
     // Spark's string ordering IS UTF-8 byte order — the same domain the
     // footer envelopes live in, so the comparison is consistent
+    if (envs.size > Catalog.stringNestedLoopMax)
+      return probeEnvelopesStringBinned(src, k, envs)
     val env = envs.map { case (f, c) => (f, c.minS, c.maxS) }
       .toDF("__f", "__lo", "__hi")
     collectHitFiles(src.select(col(k).cast("string").as("__k")).na.drop()
       .join(broadcast(env),
         col("__k") >= col("__lo") && col("__k") <= col("__hi")))
+  }
+
+  /**
+   * Past the nested-loop cap, string envelopes bin EQUI-DEPTH in their
+   * own domain: the sorted envelope LOWER bounds become quantile
+   * boundaries and every bound ranks against them by binary search
+   * ([[org.apache.spark.sql.graft.StringBoundsRank]], UTF-8 byte
+   * order). The driver bins the envelopes and the scan bins the source
+   * keys through the SAME rank object, so bin assignment can never
+   * diverge; the exact string range test rides as the join residual. A
+   * sorted layout's files span ~1 bin each regardless of key SHAPE (no
+   * numeric-projection rollover pathology); envelopes spanning ≥
+   * [[envBinCap]] bins are touched unconditionally, like the numeric
+   * arms. Files with null bounds (all-null column) can't match a
+   * non-null key and stay untouched, matching the nested-loop arm.
+   */
+  private def probeEnvelopesStringBinned(src: DataFrame, k: String,
+      envs: Seq[(String, FileStats.ColStats)]): Set[String] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val (bounded, nullB) =
+      envs.partition { case (_, c) => c.minS != null && c.maxS != null }
+    val _ = nullB // untouched by construction
+    if (bounded.isEmpty) return Set.empty
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    def minU(a: String, b: String) = if (u(a).compareTo(u(b)) <= 0) a else b
+    def maxU(a: String, b: String) = if (u(a).compareTo(u(b)) >= 0) a else b
+    val g0 = bounded.map(_._2.minS).reduce(minU)
+    val g1 = bounded.map(_._2.maxS).reduce(maxU)
+    val losSorted = bounded.map(_._2.minS)
+      .sortWith((a, b) => u(a).compareTo(u(b)) < 0)
+    val nb = math.min(4096, losSorted.size)
+    val bounds = (1 until nb)
+      .map(i => losSorted((i.toLong * losSorted.size / nb).toInt))
+      .distinct.toArray
+    val ranker = org.apache.spark.sql.graft.StringBoundsRank(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(""),
+        org.apache.spark.sql.types.StringType),
+      if (bounds.nonEmpty) bounds else Array(g0))
+    def rk(s: String): Long = ranker.rank(u(s))
+    val (narrow, wide) = bounded.partition { case (_, c) =>
+      rk(c.maxS) - rk(c.minS) < envBinCap
+    }
+    if (narrow.isEmpty) return wide.map(_._1).toSet
+    val env = narrow.flatMap { case (f, c) =>
+      (rk(c.minS) to rk(c.maxS)).map(b => (f, b, c.minS, c.maxS))
+    }.toDF("__f", "__b", "__lo", "__hi")
+    val keys = src.select(col(k).cast("string").as("__k")).na.drop()
+      .filter(col("__k").between(lit(g0), lit(g1)))
+      .withColumn("__b", org.apache.spark.sql.graft.bridge.column(
+        ranker.withNewChildren(Seq(
+          org.apache.spark.sql.graft.bridge.expression(col("__k"))))))
+    val envJ = if (narrow.size <= envBroadcastMax) broadcast(env) else env
+    val hit = collectHitFiles(keys.join(envJ,
+      keys("__b") === env("__b") &&
+        col("__k") >= col("__lo") && col("__k") <= col("__hi")))
+    hit ++ wide.map(_._1)
   }
 
   // ---- SQL surface: datasets as queryable views -----------------------
@@ -2295,15 +2520,19 @@ final class Catalog(val root: String, spark: SparkSession) {
       val entries = listDir(dsDir(to))
       val onlyLock = entries.forall(
         _.getFileName.toString == ".commit.lock")
-      val lockFree = entries.isEmpty || (
-        try Files.getLastModifiedTime(dsDir(to).resolve(".commit.lock"))
-          .toMillis < System.currentTimeMillis() - 60000
-        catch { case _: java.io.IOException => true })
-      if (onlyLock && lockFree) {
+      if (onlyLock) {
         try {
-          Files.deleteIfExists(dsDir(to).resolve(".commit.lock"))
+          // steal a STALE-only lock via breakCommitLock's ATOMIC_MOVE
+          // grave — a plain staleness-checked delete could race a
+          // writer just creating dataset `to` and remove its FRESH
+          // lock, admitting its commit section unserialized; a fresh
+          // lock throws here (require) and the reclaim backs off
+          if (entries.nonEmpty) breakCommitLock(to)
           Files.deleteIfExists(dsDir(to))
-        } catch { case _: java.io.IOException => () }
+        } catch {
+          case _: java.io.IOException => ()
+          case _: IllegalArgumentException => () // fresh lock: live writer
+        }
       }
     }
     require(!Files.exists(dsDir(to)), s"dataset $to already exists")

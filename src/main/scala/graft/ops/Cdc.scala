@@ -46,9 +46,15 @@ object Cdc {
     * kernel works in the codepoint domain — the one SQL `substr`/`ord`/
     * `length` share — so an astral character (emoji, rare CJK) is one
     * window element on both sides, never a surrogate pair split across
-    * chunks. Max codepoint (0x10FFFF) × Σ W^j at k=8 ≈ 3e16 < 2^63:
-    * the polynomial stays exact int64 arithmetic everywhere. Pure
-    * function of the text — the kernel
+    * chunks. INT64-EXACTNESS BOUND: max codepoint (0x10FFFF) × Σ W^j
+    * stays below 2^63 only for k <= 9 (k <= 11 for BMP-only text) — in
+    * that regime the polynomial is exact int64 arithmetic and any SQL
+    * engine recomputes it verbatim (the driver gate's regime, k=8).
+    * Larger k (up to the accepted 16) evaluates with two's-complement
+    * WRAPAROUND: still deterministic and self-consistent (the
+    * scalacheck pin's naive reference wraps identically), but NOT
+    * SQL-oracle-replayable — a DuckDB BIGINT would overflow instead of
+    * wrapping. Pure function of the text — the kernel
     * [[org.apache.spark.sql.graft.CdcChunksExpr]] codegens into. */
   def chunkSpans(s: String, k: Int, divisor: Long, minLen: Int,
                  maxLen: Int): Seq[(Int, String)] = {

@@ -18,9 +18,12 @@ import org.apache.spark.unsafe.types.UTF8String
  * Loaded once per JVM into hash sets; lookups run inside whole-stage
  * codegen via [[org.apache.spark.sql.graft.RegisteredDomainExpr]] as a
  * static call — no UDF, no broadcast, no driver state. Unicode rules are
- * kept in their listed (unicode) form, so punycode `xn--` spellings of
- * IDN suffixes fall back to the default rule — documented limit; feed
- * unicode hosts (the form [[Urls.urlParts]] yields from unicode URLs).
+ * kept in their listed (unicode) form; punycode `xn--` spellings of IDN
+ * labels fold to unicode (JDK `IDN.toUnicode`, per-label) for MATCHING
+ * only, so a crawl carrying `www.example.xn--c1avg.xn--90a3ac` rolls up
+ * under the same eTLD+1 depth as its unicode spelling — the returned
+ * domain keeps the caller's (punycode) spelling. Hosts with no `xn--`
+ * label skip the fold entirely (zero cost on the common path).
  */
 object Psl {
 
@@ -71,6 +74,19 @@ object Psl {
 
   private val Ipv4 = "^[0-9]+(\\.[0-9]+){3}$".r
 
+  /** PSL rules live in unicode form: fold punycode labels to unicode
+    * for MATCHING (label count is preserved, so rule depths index the
+    * ORIGINAL labels). IDN.toUnicode is total per spec — an invalid
+    * `xn--` label stays as-is (and then matches no unicode rule, the
+    * pre-fold behavior). */
+  private def matchLabels(labels: Array[String]): Array[String] =
+    if (!labels.exists(_.startsWith("xn--"))) labels
+    else labels.map { l =>
+      if (!l.startsWith("xn--")) l
+      else try java.net.IDN.toUnicode(l)
+      catch { case _: RuntimeException => l }
+    }
+
   /** Registered domain (eTLD+1), lower-cased. IPv4 literals, bracketed
     * IPv6 literals, single labels, and hosts that ARE a public suffix
     * pass through unchanged (no registrable part — same documented
@@ -86,7 +102,7 @@ object Psl {
     // a trailing/leading dot yields an empty label — not a real host
     // shape; pass through rather than mis-bucket
     if (labels.exists(_.isEmpty)) return h
-    val sl = suffixLabels(labels)
+    val sl = suffixLabels(matchLabels(labels))
     if (labels.length <= sl) h
     else labels.slice(labels.length - sl - 1, labels.length).mkString(".")
   }
@@ -103,6 +119,6 @@ object Psl {
     if (h.isEmpty || Ipv4.matches(h) || h.charAt(0) == '[') return false
     val labels = h.split("\\.", -1)
     if (labels.isEmpty || labels.exists(_.isEmpty)) return false
-    suffixLabels(labels) == labels.length
+    suffixLabels(matchLabels(labels)) == labels.length
   }
 }

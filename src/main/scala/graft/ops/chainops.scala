@@ -21,6 +21,28 @@ import graft.core.Chain
  */
 object chainops {
 
+  /** Lineage-hash arg encoding: collections render with a LENGTH
+    * prefix and escaped separators, so `Seq("a|b")` and `Seq("a","b")`
+    * can never hash equal (a plain mkString made two semantically
+    * different chains collide, and saveOrReuse could then serve a stale
+    * checkpoint). Maps encode as their sorted entry list. */
+  private def encodeArg(a: Any): String = a match {
+    case s: scala.collection.Seq[_] =>
+      s.map(e => esc(String.valueOf(e)))
+        .mkString(s"seq${s.size}[", "|", "]")
+    case m: scala.collection.Map[_, _] =>
+      // "=" escaped in the KEY so entry boundaries are unambiguous too
+      encodeArg(m.toSeq.map { case (k, v) =>
+        val ek = String.valueOf(k).replace("\\", "\\\\")
+          .replace("=", "\\=")
+        s"$ek=$v"
+      }.sorted)
+    case x => String.valueOf(x)
+  }
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("|", "\\|")
+      .replace("[", "\\[").replace("]", "\\]")
+
   implicit class TrainingDataChain(private val c: Chain) extends AnyVal {
 
     /** Derived frame + LINEAGE: appends a descriptive op (name + every
@@ -31,7 +53,7 @@ object chainops {
       * and `saveOrReuse` could serve a stale checkpoint. */
     private def derive(df: org.apache.spark.sql.DataFrame, op: String,
                        args: Any*): Chain =
-      Chain(df, c.ops.append(op, args.map(String.valueOf).toSeq: _*))
+      Chain(df, c.ops.append(op, args.map(encodeArg).toSeq: _*))
 
     /** HTML-strip + URL-strip + PII-scrub `textCol` in place. */
     def cleanText(textCol: String): Chain =
@@ -153,7 +175,7 @@ object chainops {
       * see [[TextAnalysis.blocklistFilter]]). */
     def blocklist(textCol: String, patterns: Seq[String]): Chain =
       derive(TextAnalysis.blocklistFilter(c.toDF, textCol, patterns),
-        "blocklist", textCol, patterns.mkString("|"))
+        "blocklist", textCol, patterns)
 
     /** Token-budget "data recipe" mix (see [[Corpus.mixByTokenBudget]]):
       * fill each domain's token budget in deterministic md5 order. */
@@ -162,7 +184,7 @@ object chainops {
                          buckets: Int = 1 << 16): Chain =
       derive(Corpus.mixByTokenBudget(c.toDF, idCol, domainCol, tokensCol,
         budgets, seed, buckets), "mix_by_token_budget", idCol, domainCol,
-        tokensCol, budgets.toSeq.sorted.mkString(","), seed, buckets)
+        tokensCol, budgets, seed, buckets)
 
     /** Token-budget mix with whole-domain upsampling epochs (see
       * [[Corpus.mixByTokenBudgetEpochs]]); adds an `epoch` column. */
@@ -173,7 +195,7 @@ object chainops {
       derive(Corpus.mixByTokenBudgetEpochs(c.toDF, idCol, domainCol,
         tokensCol, budgets, seed, buckets), "mix_by_token_budget_epochs",
         idCol, domainCol, tokensCol,
-        budgets.toSeq.sorted.mkString(","), seed, buckets)
+        budgets, seed, buckets)
 
     /** Deterministic weighted sample without replacement (see
       * [[Split.weightedSample]]). */
@@ -188,7 +210,7 @@ object chainops {
                    queryTerms: Seq[String]): Chain =
       derive(c.toDF.join(
         Corpus.bm25(c.toDF, idCol, textCol, queryTerms), Seq(idCol), "inner"),
-        "bm25_select", idCol, textCol, queryTerms.mkString("|"))
+        "bm25_select", idCol, textCol, queryTerms)
 
     /** Drop rows whose normalized content already appears in `history`
       * (bloom-prefiltered incremental dedup; see [[Dedup.subtractSeen]]). */
@@ -296,7 +318,7 @@ object chainops {
         .agg(graft.functions.GraftFunctions
           .kll_quantiles(col(valueCol).cast("double"), probs, k).as(outCol)),
         "quantiles_by_group", valueCol, groupCol,
-        probs.mkString(","), k, outCol)
+        probs, k, outCol)
 
     /** HLL-sketch overlap with another corpus on `itemCol` (see
       * [[Corpus.distinctOverlap]]): one row of |A|,|B|,|A∪B|,|A∩B|
@@ -317,7 +339,7 @@ object chainops {
                steps: Seq[String], maxGapSec: Option[Long] = None): Chain =
       derive(Sessions.funnel(c.toDF, keyCol, tsCol, typeCol, steps,
         maxGapSec),
-        "funnel", keyCol, tsCol, typeCol, steps.mkString("|"), maxGapSec)
+        "funnel", keyCol, tsCol, typeCol, steps, maxGapSec)
 
     /** Weekly retention cohort matrix (see
       * [[Sessions.retentionCohorts]]). */
@@ -350,7 +372,7 @@ object chainops {
       derive(Joins.intervalOverlapJoin(c.toDF, lo, hi, other.toDF,
         otherLo, otherHi, binWidth, keyCols),
         "overlap_join", other.hash, lo, hi, otherLo, otherHi, binWidth,
-        keyCols.mkString("|"))
+        keyCols)
 
     /** Codec-free container metadata for (id, payload) media rows:
       * MP4 box walk / Matroska EBML walk dispatched on magic bytes

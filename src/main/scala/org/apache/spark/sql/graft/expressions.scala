@@ -856,6 +856,50 @@ case class EbmlHeaderMeta(child: Expression)
 }
 
 /**
+ * Rank of a STRING against a sorted boundary array in UTF-8 byte order
+ * (count of bounds <= value, upper-bound binary search) — the string
+ * twin of [[BoundsRank]], built for the binned string-envelope probe:
+ * the driver bins file envelopes and the scan bins source keys through
+ * the SAME object's `rank`, so bin assignment can never diverge between
+ * the two sides (a divergent bin would silently skip a matching file in
+ * a merge — a lost update). Boundaries ride Java serialization as plain
+ * strings and lazily re-derive their UTF8String forms per executor.
+ */
+case class StringBoundsRank(child: Expression, bounds: Array[String])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  require(bounds != null && bounds.nonEmpty, "bounds must be non-empty")
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "string_bounds_rank"
+
+  @transient private lazy val ub: Array[UTF8String] =
+    bounds.map(UTF8String.fromString)
+
+  /** public for generated code: #bounds <= v in UTF-8 byte order. */
+  def rank(v: UTF8String): Long = {
+    var lo = 0
+    var hi = ub.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ub(mid).compareTo(v) <= 0) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    rank(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftSBounds", this,
+      classOf[StringBoundsRank].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.rank($c)")
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : StringBoundsRank = copy(child = c)
+}
+
+/**
  * Rank of a value within a sorted driver-side bounds array: the count of
  * boundaries <= v, by binary search — the quantile-bucket kernel for
  * Z-order layouts. The `filter`-HOF formulation it replaces compared the

@@ -66,6 +66,49 @@ class MutationSpec extends SparkSpec {
     assert(cat.depsOf("ord", v2) === Seq(("ord", v1)))
   }
 
+  test("link farm above the fan-out threshold: Spark-job links, same inodes") {
+    val prev = sys.props.get("graft.link.fanoutThreshold")
+    sys.props("graft.link.fanoutThreshold") = "4"
+    try {
+      val root = Files.createTempDirectory("mut_fan").toString
+      val cat = new Catalog(root, spark)
+      saveOrders(cat, "ord")
+      val v1 = cat.latestVersion("ord").get
+      val before = cat.readDataset("ord").toDF
+      val mx = before.agg(max("o_orderkey")).head().getLong(0)
+      val pred = col("o_orderkey") <= mx / 16
+      val r = cat.deleteWhere("ord", pred)
+      // ≥5 untouched links > threshold 4 → the cow rewrite took the
+      // distributed farm; result and inode sharing must be unchanged
+      assert(r.filesReused > 4, s"fixture must exceed the threshold: $r")
+      val v2 = cat.latestVersion("ord").get
+      val oldByName = dataFiles(root, "ord", v1)
+        .map(p => p.getFileName.toString -> p).toMap
+      val linked = dataFiles(root, "ord", v2).filter(p =>
+        oldByName.get(p.getFileName.toString)
+          .exists(o => inode(o) == inode(p)))
+      assert(linked.size === r.filesReused)
+      val expect = before.filter(not(coalesce(pred, lit(false))))
+      val got = cat.readDataset("ord").toDF
+      assert(got.count() === r.rowsAfter)
+      assert(expect.exceptAll(got.select(expect.columns.map(col): _*))
+        .isEmpty)
+      // and linkVersion (restore/clone) fans out through the same farm
+      val cv = cat.cloneDataset("ord", "ord2")
+      val srcByName = dataFiles(root, "ord", v2)
+        .map(p => p.getFileName.toString -> p).toMap
+      val cloneFiles = dataFiles(root, "ord2", cv)
+      assert(cloneFiles.nonEmpty && cloneFiles.forall(p =>
+        srcByName.get(p.getFileName.toString)
+          .exists(o => inode(o) == inode(p))))
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.link.fanoutThreshold") = v
+        case None => sys.props.remove("graft.link.fanoutThreshold")
+      }
+    }
+  }
+
   test("deleteWhere keeps NULL-predicate rows (SQL DELETE semantics)") {
     val root = Files.createTempDirectory("mut_null").toString
     val cat = new Catalog(root, spark)
@@ -214,6 +257,67 @@ class MutationSpec extends SparkSpec {
       .filter(col("o_orderkey") > mx / 16)
       .union(updates).union(inserts)
     assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+  }
+
+  test("binned string envelopes: codegen rank ≡ driver rank; string merge stays file-local") {
+    // 1. rank parity through the CODEGEN path — a divergent bin would
+    // MISS a matching file (lost update): evaluate the same
+    // StringBoundsRank object driver-side and as a column over
+    // multi-byte, astral, short, and empty keys
+    import spark.implicits._
+    val samples = Seq("", "a", "abc", "s3://b/k/000001", "é", "😀x",
+      "中文键", "zz￿", "pre", "prefix-with-more", "pre😀")
+    def u(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val bounds = Seq("a", "pre", "s3://b/k/0", "中")
+      .sortWith((a, b) => u(a).compareTo(u(b)) < 0).toArray
+    val ranker = org.apache.spark.sql.graft.StringBoundsRank(
+      org.apache.spark.sql.catalyst.expressions.Literal(u(""),
+        org.apache.spark.sql.types.StringType), bounds)
+    val got = samples.toDF("s")
+      .withColumn("r", org.apache.spark.sql.graft.bridge.column(
+        ranker.withNewChildren(Seq(
+          org.apache.spark.sql.graft.bridge.expression(col("s"))))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach { s =>
+      assert(got(s) === ranker.rank(u(s)), s"rank split on '$s'") }
+    // 2. end-to-end: a string-keyed upsert FORCED down the binned arm
+    // (cap=0) with a long shared prefix (the lcp pathology) must keep
+    // the uncovered middle hard-linked and stay row-exact
+    val prev = sys.props.get("graft.env.stringNestedLoopMax")
+    sys.props("graft.env.stringNestedLoopMax") = "0"
+    try {
+      val root = Files.createTempDirectory("mut_sbin").toString
+      val cat = new Catalog(root, spark)
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .select(concat(lit("s3://bucket/key/"),
+          format_string("%09d", col("o_orderkey"))).as("okey"),
+          col("o_totalprice"))
+        .repartitionByRange(8, col("okey"))
+        .sortWithinPartitions("okey")
+      cat.save(Chain(o), "ords")
+      val before = cat.readDataset("ords").toDF
+      val mx = spark.read.parquet(s"$sf/orders.parquet")
+        .agg(max("o_orderkey")).head().getLong(0)
+      val low = f"s3://bucket/key/${mx / 16}%09d"
+      val updates = before.drop("sys").filter(col("okey") <= low)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = before.drop("sys").limit(3)
+        .withColumn("okey", concat(lit("s3://bucket/key/z"), col("okey")))
+      val r = cat.mergeInto("ords", updates.union(inserts), Seq("okey"),
+        keyCollectMax = 0)
+      assert(r.filesReused > 0,
+        s"binned string probe must leave middle files hard-linked: $r")
+      assert(r.rowsInserted === 3)
+      val got = cat.readDataset("ords").toDF.drop("sys")
+      val expect = before.drop("sys").filter(col("okey") > low)
+        .union(updates).union(inserts)
+      assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.env.stringNestedLoopMax") = v
+        case None => sys.props.remove("graft.env.stringNestedLoopMax")
+      }
+    }
   }
 
   test("mergeInto matchedAction=delete: delete-by-key-list with file reuse") {
@@ -678,7 +782,71 @@ class MutationSpec extends SparkSpec {
     assert(r3.rowsAfter === 17 && cat.latestVersion("l").get > v)
   }
 
-  test("mutating a parquet-bloom-indexed version rebuilds the index whole") {
+  test("slow lock holder heartbeats past the stale period; waiter serializes behind it") {
+    val prev = sys.props.get("graft.lock.staleMs")
+    sys.props("graft.lock.staleMs") = "250"
+    try {
+      val root = Files.createTempDirectory("mut_lease").toString
+      val cat = new Catalog(root, spark)
+      import spark.implicits._
+      cat.save(Chain((1L to 20L).map(k => (k, k)).toDF("k", "v")), "l")
+      // the holder's body outlives the stale period 4x — without the
+      // heartbeat the waiter would judge the lock stale, steal it, and
+      // run its commit section concurrently (the exact two-writer race
+      // the lock exists to prevent)
+      @volatile var holderDone = 0L
+      val holder = scala.concurrent.Future {
+        cat.withCommitLockForTest("l") {
+          Thread.sleep(1000)
+          holderDone = System.nanoTime()
+          "held"
+        }
+      }(scala.concurrent.ExecutionContext.global)
+      Thread.sleep(100) // let the holder acquire
+      val waiter = scala.concurrent.Future {
+        val r = cat.deleteWhere("l", col("k") === 1L)
+        (System.nanoTime(), r)
+      }(scala.concurrent.ExecutionContext.global)
+      assert(scala.concurrent.Await.result(holder,
+        scala.concurrent.duration.Duration(30, "s")) === "held")
+      val (waiterCommitted, r) = scala.concurrent.Await.result(waiter,
+        scala.concurrent.duration.Duration(30, "s"))
+      assert(r.rowsAfter === 19)
+      assert(holderDone != 0L && waiterCommitted > holderDone,
+        "the waiter must have committed only AFTER the slow holder " +
+          "released — a stale-steal mid-body would have interleaved")
+      // sanity: a genuinely dead holder's lock still ages out fast
+      val lockP = Paths.get(root, "datasets", "l", ".commit.lock")
+      Files.createFile(lockP)
+      Files.setLastModifiedTime(lockP,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 1000))
+      val r2 = cat.deleteWhere("l", col("k") === 2L)
+      assert(r2.rowsAfter === 18)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.lock.staleMs") = v
+        case None => sys.props.remove("graft.lock.staleMs")
+      }
+    }
+  }
+
+  test("claimVersion rejects sub-1.0.0 explicit versions (guard sentinel stays unclaimable)") {
+    val root = Files.createTempDirectory("mut_v0").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      cat.save(Chain(df), "z", version = Some(SemVer(0, 0, 0)))
+    }
+    intercept[IllegalArgumentException] {
+      cat.save(Chain(df), "z", version = Some(SemVer(0, 9, 1)))
+    }
+    cat.save(Chain(df), "z", version = Some(SemVer(1, 0, 0)))
+    assert(cat.latestVersion("z").contains(SemVer(1, 0, 0)))
+  }
+
+  test("mutating a parquet-bloom-indexed version carries the index: parity with rebuild") {
     val root = Files.createTempDirectory("mut_pbloom").toString
     val cat = new Catalog(root, spark)
     // >32 files forces the executor-written parquet bloom index
@@ -704,7 +872,82 @@ class MutationSpec extends SparkSpec {
       val full = cat.readDataset("ord").toDF.filter(col("okey") === probe)
       assert(cat.readDatasetWhere("ord", col("okey") === probe)
         .toDF.count() === full.count())
+      // PARITY PIN: the carried index (untouched rows verbatim + the
+      // rewrite's partial build) must equal a from-scratch rebuild of
+      // the new version, row for row — blooms are order-insensitive
+      // bitsets, so byte equality holds whichever path built them
+      def idxRows(dir: String) = spark.read.parquet(dir).collect()
+        .map(r => (r.getString(r.fieldIndex("file")),
+          r.getString(r.fieldIndex("col")),
+          java.util.Base64.getEncoder.encodeToString(
+            r.getAs[Array[Byte]]("bloom")))).toSet
+      val carried = idxRows(
+        Paths.get(root, "datasets", "ord", s"v$v2", "blooms").toString)
+      val rebuiltDir = Files.createTempDirectory("pbloom_rebuild")
+      graft.catalog.FileStats.writeBloomIndex(spark,
+        Paths.get(root, "datasets", "ord", s"v$v2", "data").toString,
+        Seq("okey"), 100000L, rebuiltDir.resolve("idx").toString)
+      val rebuilt = idxRows(rebuiltDir.resolve("idx").toString)
+      assert(carried === rebuilt,
+        s"carried index diverges from rebuild: ${carried.size} vs " +
+          s"${rebuilt.size} rows, " +
+          s"onlyCarried=${(carried -- rebuilt).take(2)}, " +
+          s"onlyRebuilt=${(rebuilt -- carried).take(2)}")
+      // and the carried rows really ARE the old version's rows for
+      // untouched files (verbatim carry, not a coincidental rebuild)
+      val v1Rows = idxRows(
+        Paths.get(root, "datasets", "ord", s"v$v1", "blooms").toString)
+      val untouchedNames = dataFiles(root, "ord", v2)
+        .map(_.getFileName.toString)
+        .filter(n => dataFiles(root, "ord", v1)
+          .exists(_.getFileName.toString == n)).toSet
+      assert(carried.filter(r => untouchedNames(
+          Paths.get(r._1).getFileName.toString))
+        .subsetOf(v1Rows), "untouched files' bloom rows must carry verbatim")
     } finally spark.conf.set("graft.bloom.inlineMaxFiles", "32")
+  }
+
+  test("mutating a parquet-stats-tier version carries the stats index: parity with rebuild") {
+    val sKey = "graft.stats.inlineMaxFiles"
+    val prev = spark.conf.getOption(sKey)
+    try {
+      spark.conf.set(sKey, "4") // 16 files > 4 → parquet stats tier
+      val root = Files.createTempDirectory("mut_pstats").toString
+      val cat = new Catalog(root, spark)
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      cat.save(Chain(o), "ord16")
+      val mx = o.agg(max("o_orderkey")).head().getLong(0)
+      val r = cat.deleteWhere("ord16", col("o_orderkey") <= mx / 16)
+      assert(r.filesReused > 0, s"fixture must carry files: $r")
+      val v2 = cat.latestVersion("ord16").get
+      def idxRows(dir: String) = spark.read.parquet(dir).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+      val carried = idxRows(
+        Paths.get(root, "datasets", "ord16", s"v$v2", "stats").toString)
+      val rebuiltDir = Files.createTempDirectory("pstats_rebuild")
+      graft.catalog.FileStats.writeStatsIndex(spark,
+        Paths.get(root, "datasets", "ord16", s"v$v2", "data").toString,
+        rebuiltDir.resolve("idx").toString)
+      val rebuilt = idxRows(rebuiltDir.resolve("idx").toString)
+      assert(carried === rebuilt,
+        s"carried stats index diverges: ${carried.size} vs " +
+          s"${rebuilt.size} rows, " +
+          s"onlyCarried=${(carried -- rebuilt).take(2)}, " +
+          s"onlyRebuilt=${(rebuilt -- carried).take(2)}")
+      // pruned reads through the carried index stay exact
+      val pred = col("o_orderkey") > mx / 2
+      val full = cat.readDataset("ord16").toDF.filter(pred).count()
+      assert(cat.readDatasetWhere("ord16", pred).toDF.count() === full)
+      val (kept, total) = cat.pruneCount("ord16", pred)
+      assert(kept < total, s"carried stats must prune: $kept/$total")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(sKey, v)
+        case None => spark.conf.set(sKey, "512")
+      }
+    }
   }
 
   test("restore of a hive-partitioned version keeps the layout") {

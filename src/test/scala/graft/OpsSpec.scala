@@ -213,6 +213,29 @@ class OpsSpec extends SparkSpec {
     vec.foreach { case (h, want) =>
       assert(graft.ops.Psl.registeredDomain(h) === want, h) }
 
+    // punycode fold: xn-- spellings of unicode PSL rules match at the
+    // same depth as their unicode form, the answer keeps the caller's
+    // (punycode) spelling, and the fold composes with the codegen'd
+    // column path. орг.срб = xn--c1avg.xn--90a3ac (multi-label rule);
+    // 公司.cn = xn--55qx5d.cn; рф = xn--p1ai. An invalid xn-- label
+    // falls back to the default rule like any unlisted TLD.
+    val puny = Seq(
+      "www.example.xn--c1avg.xn--90a3ac" -> "example.xn--c1avg.xn--90a3ac",
+      "example.xn--c1avg.xn--90a3ac" -> "example.xn--c1avg.xn--90a3ac",
+      "deep.foo.bar.xn--55qx5d.cn" -> "bar.xn--55qx5d.cn",
+      "www.example.xn--p1ai" -> "example.xn--p1ai",
+      // unicode spelling of the same host — same depth
+      "www.example.орг.срб" -> "example.орг.срб",
+      "a.b.xn--thisisnotvalidpuny.zz" -> "xn--thisisnotvalidpuny.zz")
+    puny.foreach { case (h, want) =>
+      assert(graft.ops.Psl.registeredDomain(h) === want, h) }
+    assert(graft.ops.Psl.isPublicSuffix("xn--c1avg.xn--90a3ac") &&
+      graft.ops.Psl.isPublicSuffix("xn--55qx5d.cn") &&
+      !graft.ops.Psl.isPublicSuffix("example.xn--c1avg.xn--90a3ac"))
+    val punyCol = puny.map(_._1)
+      .toDF("h").select(Urls.registeredDomain(col("h"))).as[String].collect()
+    assert(punyCol.toSeq === puny.map(_._2))
+
     // review fixes: a '?' inside the fragment is NOT a query (SPA
     // routing URLs), and IPv6 literals keep their brackets
     val spa = Seq("https://ex.com/path#/route?tab=2").toDF("u")
@@ -968,6 +991,17 @@ class OpsSpec extends SparkSpec {
     val h64 = a.cdcChunks("text", "doc_id", divisor = 64).hash
     assert(h64 !== a.cdcChunks("text", "doc_id", divisor = 128).hash,
       "chunking params must reach the hash")
+    // multi-valued params are length-prefixed + escaped: a separator
+    // INSIDE an element can't collide with the element boundary (a
+    // plain mkString("|") made these two hash equal → stale checkpoint)
+    assert(a.blocklist("text", Seq("a|b")).hash !==
+      a.blocklist("text", Seq("a", "b")).hash,
+      "Seq(\"a|b\") and Seq(\"a\",\"b\") must hash differently")
+    assert(a.mixByTokenBudget("doc_id", "text", "doc_id",
+        Map("x=1,y" -> 2L)).hash !==
+      a.mixByTokenBudget("doc_id", "text", "doc_id",
+        Map("x" -> 1L, "y" -> 2L)).hash,
+      "map entry boundaries must be unambiguous")
     assert(h64 !== a.filter(col("doc_id") > 0)
       .cdcChunks("text", "doc_id", divisor = 64).hash,
       "the upstream chain must reach the hash")

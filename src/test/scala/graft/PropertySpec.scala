@@ -125,6 +125,30 @@ object KernelProps extends Properties("graft.kernels") {
         evalOf(chunks) == expected && evalOf(chunks.reverse) == expected
     }
   }
+
+  // mixed ASCII / multi-byte / astral material, including strings
+  // shorter than lcp+7 and equal prefixes
+  private val binChunk: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(4)), Gen.const(""), Gen.const("é"),
+    Gen.const("😀"), Gen.const("中文"), Gen.const("ÿ"),
+    Gen.const("zz"))
+  private val binStr: Gen[String] =
+    Gen.listOfN(3, binChunk).map(_.mkString)
+
+  property("StringBoundsRank monotone + exact boundary semantics (UTF-8 order)") =
+    forAll(Gen.nonEmptyListOf(binStr), binStr, binStr) { (bs, x, y) =>
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.StringType
+      def u(s: String) = UTF8String.fromString(s)
+      val sorted = bs.distinct.sortWith((a, b) => u(a).compareTo(u(b)) < 0)
+      val r = org.apache.spark.sql.graft.StringBoundsRank(
+        Literal(u(""), StringType), sorted.toArray)
+      val (rx, ry) = (r.rank(u(x)), r.rank(u(y)))
+      val cmp = u(x).compareTo(u(y))
+      // rank = |{b : b <= v}| exactly, and monotone in byte order
+      rx == sorted.count(b => u(b).compareTo(u(x)) <= 0) &&
+        (if (cmp <= 0) rx <= ry else rx >= ry)
+    }
 }
 
 /** Compiled-predicate parity: the executor-shippable [[graft.catalog
