@@ -2260,6 +2260,45 @@ object SparkEntry {
         k = 8, divisor = 32)
     }),
 
+    "q_subtract_seen_chunks" -> ((s, dir) => {
+      // chunk-level incremental dedup (the CDC follow-on to
+      // q_subtract_seen): the daily batch carries (a) tail-edited
+      // re-crawls of history docs — their prefix chunks match verbatim,
+      // shared fraction > 1/2, DROPPED — and (b) vowel-rewritten docs
+      // whose chunks match nothing — KEPT. An exact content key sees
+      // every batch row as new; the chunk key is what catches (a).
+      val hist = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val edited = hist.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(expr("substr(text, 1, length(text) - 5)"),
+            lit(" tail edited now")).as("text"))
+      val fresh = hist.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          translate(col("text"), "aeiou", "01234").as("text"))
+      val out = Dedup.subtractSeenChunks(edited.unionByName(fresh), hist,
+        "text", "doc_id", k = 8, divisor = 32, maxSharedFrac = 0.5)
+      out
+    }),
+
+    "q_to_parquet" -> ((s, dir) => {
+      // to_parquet + signal-schema sidecar round-trip: a hive-
+      // partitioned export re-infers the partition column (long → int)
+      // on a plain read and moves it last; the sidecar restores the
+      // RECORDED schema, so the round-trip equals the source in rows,
+      // order, and types (the oracle is the source table itself)
+      val tmp = Files.createTempDirectory("graft_topq")
+      val d = T(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      graft.io.Writers.toParquet(d, s"$tmp/out",
+        partitionBy = Seq("n_regionkey"))
+      val back = graft.io.Writers.readParquetExport(s, s"$tmp/out")
+      require(back.schema.map(f => (f.name, f.dataType)) ==
+        d.schema.map(f => (f.name, f.dataType)),
+        s"sidecar must restore the recorded schema: ${back.schema} " +
+          s"vs ${d.schema}")
+      back
+    }),
+
     "q_exact_substr" -> ((s, dir) => {
       // Lee-et-al ExactSubstr dedup: every 7th doc is replanted re-id'd
       // with a 4-token suffix appended — too short to form its own
@@ -6308,6 +6347,49 @@ object SparkEntry {
           |  CAST(coalesce(sum(CASE WHEN chunk IN (SELECT chunk FROM sh)
           |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_shared
           |FROM seg GROUP BY doc_id""".stripMargin,
+
+      "q_subtract_seen_chunks" ->
+        """WITH newdocs AS (
+          |  SELECT doc_id + 300000 AS doc_id,
+          |         substr(text, 1, length(text) - 5) || ' tail edited now' AS text
+          |  FROM documents WHERE doc_id % 9 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 400000, translate(text, 'aeiou', '01234')
+          |  FROM documents WHERE doc_id % 9 = 4),
+          | corpus AS (
+          |  SELECT doc_id, text FROM newdocs
+          |  UNION ALL SELECT doc_id, text FROM documents),
+          | cand AS (SELECT doc_id, text,
+          |   unnest(generate_series(8, length(text))) AS i FROM corpus),
+          | cut AS (SELECT doc_id, text, i FROM cand WHERE
+          |   (CAST(ord(substr(text, i-7, 1)) AS BIGINT) * 27512614111
+          |  + CAST(ord(substr(text, i-6, 1)) AS BIGINT) * 887503681
+          |  + CAST(ord(substr(text, i-5, 1)) AS BIGINT) * 28629151
+          |  + CAST(ord(substr(text, i-4, 1)) AS BIGINT) * 923521
+          |  + CAST(ord(substr(text, i-3, 1)) AS BIGINT) * 29791
+          |  + CAST(ord(substr(text, i-2, 1)) AS BIGINT) * 961
+          |  + CAST(ord(substr(text, i-1, 1)) AS BIGINT) * 31
+          |  + CAST(ord(substr(text, i, 1)) AS BIGINT)) % 32 = 0),
+          | seg AS (
+          |   SELECT doc_id,
+          |     substr(text, lag(i,1,0) OVER (PARTITION BY doc_id ORDER BY i) + 1,
+          |            i - lag(i,1,0) OVER (PARTITION BY doc_id ORDER BY i)) AS chunk
+          |   FROM cut
+          |   UNION ALL
+          |   SELECT c.doc_id, substr(c.text, coalesce(m.mx, 0) + 1) AS chunk
+          |   FROM corpus c LEFT JOIN (SELECT doc_id, max(i) AS mx FROM cut GROUP BY 1) m
+          |     ON c.doc_id = m.doc_id
+          |   WHERE length(c.text) > coalesce(m.mx, 0)),
+          | histch AS (SELECT DISTINCT chunk FROM seg WHERE doc_id < 300000),
+          | st AS (SELECT doc_id, count(*) AS total,
+          |   sum(CASE WHEN chunk IN (SELECT chunk FROM histch)
+          |       THEN 1 ELSE 0 END) AS shared
+          |   FROM seg WHERE doc_id >= 300000 GROUP BY 1)
+          |SELECT n.doc_id, n.text FROM newdocs n JOIN st USING (doc_id)
+          |WHERE st.shared <= st.total * 0.5""".stripMargin,
+
+      "q_to_parquet" ->
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
       "q_exact_substr" ->
         raw"""WITH corpus AS (

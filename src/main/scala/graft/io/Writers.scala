@@ -39,6 +39,53 @@ object Writers {
     }
   }
 
+  /** Read a [[toParquet]] export with its recorded signal schema
+    * RESTORED: a plain parquet read re-infers hive partition columns
+    * (a long key partitioned on disk reads back int) and appends them
+    * after the data columns; the sidecar's schema JSON reapplies the
+    * recorded order and types. Falls back to the plain read when the
+    * export carries no sidecar (foreign parquet). */
+  def readParquetExport(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame = {
+    val plain = spark.read.parquet(path)
+    readSchemaSidecar(plain, path).flatMap(parseSidecar) match {
+      case None => plain
+      case Some(schemaJson) =>
+        val st = SignalSchema.fromJson(schemaJson)
+        import org.apache.spark.sql.functions.col
+        plain.select(st.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+    }
+  }
+
+  /** Extract the schema JSON out of the sidecar wrapper `{"<key>":
+    * "<escaped>"}` — the inverse of [[toParquet]]'s [[escape]]. */
+  private def parseSidecar(s: String): Option[String] = {
+    val i = s.indexOf(':')
+    if (i < 0) return None
+    val v = s.substring(i + 1).trim.stripSuffix("}").trim
+    if (!(v.startsWith("\"") && v.endsWith("\"")) || v.length < 2)
+      return None
+    val body = v.substring(1, v.length - 1)
+    val sb = new StringBuilder
+    var j = 0
+    while (j < body.length) {
+      val c = body.charAt(j)
+      if (c == '\\' && j + 1 < body.length) {
+        body.charAt(j + 1) match {
+          case '"' => sb += '"'; j += 2
+          case '\\' => sb += '\\'; j += 2
+          case 'n' => sb += '\n'; j += 2
+          case 'u' if j + 6 <= body.length =>
+            sb += Integer.parseInt(body.substring(j + 2, j + 6), 16).toChar
+            j += 6
+          case other => sb += other; j += 2
+        }
+      } else { sb += c; j += 1 }
+    }
+    Some(sb.toString)
+  }
+
   /** ORC export — same layout options as [[toParquet]] (Spark-native
     * writer: dictionary + RLE encodings, per-stripe stats for pushdown). */
   def toOrc(df: DataFrame, path: String,

@@ -312,6 +312,58 @@ object Dedup {
   }
 
   /**
+   * CHUNK-level incremental dedup — [[subtractSeen]]'s content-defined
+   * companion: drop rows of `newDf` whose CDC chunks ([[Cdc]], same
+   * kernel and parameters both sides) overlap the accumulated `history`
+   * beyond `maxSharedFrac` (the fraction of the new doc's chunk
+   * occurrences whose exact text appears anywhere in history). Where
+   * [[subtractSeen]] only catches byte-identical normalized content,
+   * the chunk key catches a re-crawled page whose tail or any bounded
+   * region was edited: boundaries are content-local, so every untouched
+   * chunk still matches verbatim.
+   *
+   * Scale shape: history chunks collapse to ONE bloom over
+   * xxhash64(chunk) (broadcastable bytes, like [[subtractSeen]]'s); new
+   * chunks test it map-side and only might-hit chunks verify by exact
+   * text against the distinct history chunk table — candidates ≈ true
+   * matches, never an all-pairs. Zero-chunk rows (empty text) are kept:
+   * a dedup filter should not eat rows it could not measure.
+   */
+  def subtractSeenChunks(newDf: DataFrame, history: DataFrame,
+                         textCol: String, idCol: String, k: Int = 8,
+                         divisor: Long = 64, maxSharedFrac: Double = 0.5,
+                         expectedItems: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    val newChunks = Cdc.cdcChunks(
+      newDf.select(col(idCol), col(textCol)), idCol, textCol, k, divisor)
+    val histChunks = Cdc.cdcChunks(
+        history.select(col(idCol), col(textCol)), idCol, textCol, k,
+        divisor)
+      .select(col("chunk")).distinct()
+    if (histChunks.isEmpty) return newDf
+    val bloomBytes = {
+      val bf = histChunks.select(xxhash64(col("chunk")).as("__h"))
+        .stat.bloomFilter("__h", math.max(expectedItems, 1L), fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val might = graft.functions.GraftFunctions.bloom_might_contain(
+      xxhash64(col("chunk")), bloomBytes)
+    val shared = newChunks.filter(might)
+      .join(histChunks, Seq("chunk"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("__shared"))
+    val totals = newChunks.groupBy(idCol).agg(count(lit(1)).as("__total"))
+    val keepIds = totals.join(shared, Seq(idCol), "left")
+      .filter(coalesce(col("__shared"), lit(0L)) <=
+        col("__total") * lit(maxSharedFrac))
+      .select(col(idCol))
+    // zero-chunk rows never reach `totals` — keep them via the anti arm
+    newDf.join(totals.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(newDf.join(keepIds, Seq(idCol), "left_semi"))
+  }
+
+  /**
    * Incremental NEAR-dup filter — the continuous-crawl companion to
    * [[subtractSeen]]: drop rows of `newDf` whose text is a near-duplicate
    * (exact char-n-gram Jaccard ≥ `threshold`; exact copies score 1.0 and

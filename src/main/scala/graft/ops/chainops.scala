@@ -220,6 +220,18 @@ object chainops {
         expectedItems),
         "subtract_seen", history.hash, textCol, idCol, expectedItems)
 
+    /** Drop rows whose CDC chunks overlap `history` beyond
+      * `maxSharedFrac` (chunk-level incremental dedup — catches
+      * tail-edited re-crawls exact content keys miss; see
+      * [[Dedup.subtractSeenChunks]]). */
+    def subtractSeenChunks(history: Chain, textCol: String, idCol: String,
+                           k: Int = 8, divisor: Long = 64,
+                           maxSharedFrac: Double = 0.5): Chain =
+      derive(Dedup.subtractSeenChunks(c.toDF, history.toDF, textCol, idCol,
+        k, divisor, maxSharedFrac),
+        "subtract_seen_chunks", history.hash, textCol, idCol, k, divisor,
+        maxSharedFrac)
+
     /** Drop rows near-duplicating any `history` row (banded MinHash
       * new×history join + exact-Jaccard confirm; see
       * [[Dedup.subtractSeenNear]]). */

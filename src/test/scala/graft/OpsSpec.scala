@@ -1908,6 +1908,50 @@ class OpsSpec extends SparkSpec {
     assert(none.count() === 4)
   }
 
+  test("subtractSeenChunks drops tail-edited re-crawls, keeps fresh and unmeasurable rows") {
+    val body = ("rivers braid across the delta carrying silt from the " +
+      "high plateau down to the patient sea where terns wheel over the " +
+      "shallows and fishermen mend their long nets at first light")
+    val history = Seq((1L, body), (2L, "short note about tea rituals"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, body.dropRight(8) + " edited!"), // tail edit → prefix chunks match → dropped
+      (11L, "a wholly different report on turbine maintenance schedules " +
+        "with no overlapping phrasing at all in any clause"), // fresh → kept
+      (12L, "")).toDF("doc_id", "text")      // zero chunks → kept
+    val out = Dedup.subtractSeenChunks(batch, history, "text", "doc_id",
+      k = 8, divisor = 16, maxSharedFrac = 0.5)
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(11L, 12L))
+    assert(out.columns.toSeq === Seq("doc_id", "text"))
+    // empty history: everything is new
+    assert(Dedup.subtractSeenChunks(batch, history.limit(0), "text",
+      "doc_id").count() === 3)
+    // threshold edge: frac 1.0 only drops FULLY-shared docs — the
+    // tail-edited copy carries at least one unshared chunk and survives
+    val lax = Dedup.subtractSeenChunks(batch, history, "text", "doc_id",
+      k = 8, divisor = 16, maxSharedFrac = 1.0)
+    assert(lax.count() === 3)
+  }
+
+  test("toParquet sidecar round-trip: readParquetExport restores the recorded schema") {
+    import graft.io.Writers
+    val tmp = java.nio.file.Files.createTempDirectory("topq_spec")
+    val d = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c\"\nqu", 10L))
+      .toDF("k", "s", "part")
+    Writers.toParquet(d, s"$tmp/out", partitionBy = Seq("part"))
+    val back = Writers.readParquetExport(spark, s"$tmp/out")
+    // a PLAIN read re-infers the partition col (long→int) and moves it
+    // last; the sidecar restores the recorded order and types
+    val plain = spark.read.parquet(s"$tmp/out")
+    assert(plain.schema.fieldNames.last === "part")
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      d.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().map(_.toSeq).toSet === d.collect().map(_.toSeq).toSet)
+    // foreign parquet (no sidecar): plain read, no throw
+    d.write.parquet(s"$tmp/foreign")
+    assert(Writers.readParquetExport(spark, s"$tmp/foreign").count() === 3)
+  }
+
   test("subtractSeenNear drops exact and near copies of history, keeps fresh") {
     val body = ("rivers braid across the delta carrying silt from the " +
       "high plateau down to the patient sea where terns wheel over the " +
