@@ -154,12 +154,26 @@ object Catalog {
     try java.nio.file.Files.createLink(d, s)
     catch {
       // an existing dst inside a writer's PRIVATE tmp tree can only be
-      // this writer's own earlier attempt (task retry) — idempotent
+      // this writer's own earlier attempt (task retry) — idempotent:
+      // a hard link is atomic, so an existing dst is always complete
       case _: java.nio.file.FileAlreadyExistsException => ()
       case _: UnsupportedOperationException |
            _: java.nio.file.FileSystemException =>
-        try java.nio.file.Files.copy(s, d)
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        // copy is NOT atomic — a task killed mid-copy leaves a
+        // truncated dst that a retry must not treat as done. Copy to a
+        // private temp sibling and ATOMIC_MOVE into place (the rename
+        // REPLACES a prior truncated attempt with the complete bytes).
+        val tmp = d.resolveSibling(d.getFileName.toString +
+          ".cptmp-" + java.util.UUID.randomUUID)
+        try {
+          java.nio.file.Files.copy(s, tmp)
+          java.nio.file.Files.move(tmp, d,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } finally {
+          try java.nio.file.Files.deleteIfExists(tmp)
+          catch { case _: java.io.IOException => () }
+        }
     }
   }
 
@@ -379,12 +393,19 @@ final class Catalog(val root: String, spark: SparkSession) {
     val beat = new Thread(() => {
       val period = math.max(Catalog.lockStaleMs / 4, 5L)
       try {
-        while (!Thread.interrupted()) {
+        var mine = true
+        while (mine && !Thread.interrupted()) {
           Thread.sleep(period)
-          try Files.setLastModifiedTime(lockP,
-            java.nio.file.attribute.FileTime.fromMillis(
-              System.currentTimeMillis()))
-          catch { case _: java.io.IOException => () }
+          // refresh ONLY while the token is still ours: after a steal
+          // (the frozen-holder gap) the lock belongs to someone else —
+          // blindly touching it would keep a since-CRASHED thief's lock
+          // perpetually fresh and wedge every later writer
+          try {
+            mine = new String(Files.readAllBytes(lockP), "UTF-8") == token
+            if (mine) Files.setLastModifiedTime(lockP,
+              java.nio.file.attribute.FileTime.fromMillis(
+                System.currentTimeMillis()))
+          } catch { case _: java.io.IOException => () } // transient: retry
         }
       } catch { case _: InterruptedException => () }
     }, s"graft-lock-heartbeat-$name")
@@ -885,8 +906,8 @@ final class Catalog(val root: String, spark: SparkSession) {
     val untouched = all.filterNot(touchedSet)
     // parquet stats tier: the old index never collects to the driver —
     // completeness checks and row arithmetic run as index queries, and
-    // the NEW version's index is rebuilt whole by the executors (the
-    // same rebuild-the-giant cost the parquet bloom index documents)
+    // the NEW version's index CARRIES untouched files' rows (anti-join
+    // on the touched list) plus a partial harvest of the rewrite output
     val oldTierParquet = statsTierIsParquet(name, v)
     val oldStats = if (oldTierParquet) Seq.empty else fileStats(name, v)
     val kept = oldStats.filter(s => untouched.contains(s.file))
@@ -1582,8 +1603,9 @@ final class Catalog(val root: String, spark: SparkSession) {
    * surely hit — pruning it was never on the table). Never a cross
    * product, never a key collect. String keys use a bounded
    * nested-loop probe up to 1024 string-stat files; beyond that they
-   * bin through an order-preserving 7-byte UTF-8 prefix long
-   * ([[probeEnvelopesStringBinned]]) and run the same binned equi-join.
+   * bin EQUI-DEPTH over the envelope bounds via a shared binary-search
+   * rank ([[probeEnvelopesStringBinned]]) and run the same binned
+   * equi-join.
    */
   private def touchedByEnvelope(name: String, v: SemVer, src: DataFrame,
                                 on: Seq[String]): (Seq[String], Seq[String]) = {
@@ -2532,6 +2554,7 @@ final class Catalog(val root: String, spark: SparkSession) {
         } catch {
           case _: java.io.IOException => ()
           case _: IllegalArgumentException => () // fresh lock: live writer
+          case _: IllegalStateException => () // stat error: back off too
         }
       }
     }

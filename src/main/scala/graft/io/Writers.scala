@@ -51,10 +51,11 @@ object Writers {
     readSchemaSidecar(plain, path).flatMap(parseSidecar) match {
       case None => plain
       case Some(schemaJson) =>
-        val st = SignalSchema.fromJson(schemaJson)
-        import org.apache.spark.sql.functions.col
-        plain.select(st.fields.toSeq.map(f =>
-          col(f.name).cast(f.dataType).as(f.name)): _*)
+        // pass the recorded schema TO the reader: partition-column
+        // type inference is bypassed entirely, so a STRING partition
+        // value that renders numeric ("007") reads back verbatim — a
+        // cast-after-infer would have collapsed it to "7"
+        spark.read.schema(SignalSchema.fromJson(schemaJson)).parquet(path)
     }
   }
 

@@ -322,45 +322,35 @@ object Dedup {
    * region was edited: boundaries are content-local, so every untouched
    * chunk still matches verbatim.
    *
-   * Scale shape: history chunks collapse to ONE bloom over
-   * xxhash64(chunk) (broadcastable bytes, like [[subtractSeen]]'s); new
-   * chunks test it map-side and only might-hit chunks verify by exact
-   * text against the distinct history chunk table — candidates ≈ true
-   * matches, never an all-pairs. Zero-chunk rows (empty text) are kept:
-   * a dedup filter should not eat rows it could not measure.
+   * Scale shape: each side runs the chunking kernel exactly ONCE (the
+   * same one-Generate discipline the q_cdc_chunks plan pins): history
+   * chunks dedupe to a distinct chunk table, the batch's chunk frame
+   * LEFT-joins it carrying a hit marker, and one grouped pass computes
+   * total and shared counts together — a plain equi-join on the chunk
+   * key, never an all-pairs. Zero-chunk rows (empty text) are kept: a
+   * dedup filter should not eat rows it could not measure.
    */
   def subtractSeenChunks(newDf: DataFrame, history: DataFrame,
                          textCol: String, idCol: String, k: Int = 8,
-                         divisor: Long = 64, maxSharedFrac: Double = 0.5,
-                         expectedItems: Long = 1000000L,
-                         fpp: Double = 0.01): DataFrame = {
+                         divisor: Long = 64,
+                         maxSharedFrac: Double = 0.5): DataFrame = {
     val newChunks = Cdc.cdcChunks(
       newDf.select(col(idCol), col(textCol)), idCol, textCol, k, divisor)
     val histChunks = Cdc.cdcChunks(
         history.select(col(idCol), col(textCol)), idCol, textCol, k,
         divisor)
       .select(col("chunk")).distinct()
-    if (histChunks.isEmpty) return newDf
-    val bloomBytes = {
-      val bf = histChunks.select(xxhash64(col("chunk")).as("__h"))
-        .stat.bloomFilter("__h", math.max(expectedItems, 1L), fpp)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
-    val might = graft.functions.GraftFunctions.bloom_might_contain(
-      xxhash64(col("chunk")), bloomBytes)
-    val shared = newChunks.filter(might)
-      .join(histChunks, Seq("chunk"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("__shared"))
-    val totals = newChunks.groupBy(idCol).agg(count(lit(1)).as("__total"))
-    val keepIds = totals.join(shared, Seq(idCol), "left")
-      .filter(coalesce(col("__shared"), lit(0L)) <=
-        col("__total") * lit(maxSharedFrac))
-      .select(col(idCol))
-    // zero-chunk rows never reach `totals` — keep them via the anti arm
-    newDf.join(totals.select(col(idCol)), Seq(idCol), "left_anti")
-      .unionByName(newDf.join(keepIds, Seq(idCol), "left_semi"))
+      .withColumn("__hit", lit(1))
+    val stats = newChunks
+      .join(histChunks, Seq("chunk"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__total"), count(col("__hit")).as("__shared"))
+    // zero-chunk rows never reach the grouped stats — the left join's
+    // null __total keeps them without a second pass over the chunk frame
+    newDf.join(stats, Seq(idCol), "left")
+      .filter(col("__total").isNull ||
+        col("__shared") <= col("__total") * lit(maxSharedFrac))
+      .select(newDf.columns.map(col): _*)
   }
 
   /**

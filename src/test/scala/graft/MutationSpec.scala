@@ -802,7 +802,14 @@ class MutationSpec extends SparkSpec {
           "held"
         }
       }(scala.concurrent.ExecutionContext.global)
-      Thread.sleep(100) // let the holder acquire
+      // wait for the HOLDER to actually acquire before racing the
+      // waiter — a bare sleep lets a starved scheduler run the waiter
+      // first and fail the ordering assertion spuriously
+      val lockFile = Paths.get(root, "datasets", "l", ".commit.lock")
+      val acquireDeadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!Files.exists(lockFile) && System.nanoTime() < acquireDeadline)
+        Thread.sleep(5)
+      assert(Files.exists(lockFile), "holder failed to acquire in 10s")
       val waiter = scala.concurrent.Future {
         val r = cat.deleteWhere("l", col("k") === 1L)
         (System.nanoTime(), r)

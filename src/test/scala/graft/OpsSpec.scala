@@ -1936,7 +1936,10 @@ class OpsSpec extends SparkSpec {
   test("toParquet sidecar round-trip: readParquetExport restores the recorded schema") {
     import graft.io.Writers
     val tmp = java.nio.file.Files.createTempDirectory("topq_spec")
-    val d = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c\"\nqu", 10L))
+    // STRING partition values that render numeric ("007") are the trap:
+    // inference would read them back as int 7 — the sidecar schema must
+    // reach the READER (not a cast-after-infer) to round-trip verbatim
+    val d = Seq((1L, "a", "007"), (2L, "b", "1e3"), (3L, "c\"\nqu", "007"))
       .toDF("k", "s", "part")
     Writers.toParquet(d, s"$tmp/out", partitionBy = Seq("part"))
     val back = Writers.readParquetExport(spark, s"$tmp/out")
