@@ -21,7 +21,7 @@ object ScaleProbe {
     //   pq,profile,rollingdistinct,funnel,statsskip,bloomskip,
     //   intervaljoin,mediameta,optimize,tokenmix,crawl,fuzzyjoin,mutate,statstier,
     //   mergelarge,cdfchurn,annindexq,
-    //   matview,cdc,linkfarm,idxcarry (default all)
+    //   matview,cdc,linkfarm,idxcarry,chunkdedup (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
       .map(s => (x: String) => s(x)).getOrElse(_ => true)
@@ -1249,6 +1249,40 @@ object ScaleProbe {
             case None => sys.props.remove("graft.link.fanoutThreshold")
           }
         }
+      }
+    }
+
+    // Chunk-level incremental dedup at K×-growing HISTORY (the
+    // steady-state shape: a fixed daily batch against an accumulated
+    // corpus). Cost drivers: one chunking pass per side + an equi-join
+    // on the chunk key + one grouped stats pass — expected to grow
+    // (sub-)linearly in history, never quadratically, with the batch's
+    // kept/dropped split invariant to K (copies of ROUND-0 docs stay
+    // caught no matter how much unrelated history accumulates).
+    if (want("chunkdedup")) {
+      val base = docs // (doc_id, text) cached above
+      val nBase = base.count()
+      ks.foreach { k =>
+        val history = base.crossJoin(
+            spark.range(k).select(col("id").as("__c")))
+          .select((col("doc_id") * k + col("__c")).as("doc_id"),
+            when(col("__c") === 0, col("text"))
+              .otherwise(concat(lit("v"), col("__c"), lit(" "),
+                col("text"))).as("text"))
+        val batch = base.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            concat(expr("substr(text, 1, length(text) - 5)"),
+              lit(" tail edited now")).as("text"))
+          .unionByName(base.filter(col("doc_id") % 9 === 4)
+            .select((col("doc_id") + 20000000L).as("doc_id"),
+              translate(col("text"), "aeiou", "01234").as("text")))
+        val t0 = System.nanoTime()
+        val kept = graft.ops.Dedup.subtractSeenChunks(batch, history,
+          "text", "doc_id", k = 8, divisor = 32).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val nBatch = batch.count()
+        println(f"chunkdedup K=$k%-3d histDocs=${nBase * k}%-8d " +
+          f"batch=$nBatch%-6d kept=$kept%-6d wall=${sec}%.2f s")
       }
     }
 

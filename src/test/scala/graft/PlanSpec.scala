@@ -664,6 +664,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_subtract_seen_chunks: one chunking Generate per side, no cross join") {
+    // the chunking kernel is the dominant cost — each side must explode
+    // exactly once (2 Generate operators = 4 plan-text mentions: tree
+    // row + detail section each), with the hit marks riding ONE left
+    // join and ONE grouped pass, never a re-chunk per consumer
+    val p = plan("q_subtract_seen_chunks")
+    val generates = "Generate".r.findAllIn(p).length
+    assert(generates == 4,
+      s"expected exactly one cdc explode per side, plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("pqTrain init: no unpartitioned Window, broadcast rank join only") {
     import graft.ops.Similarity
     // the trained-path init must never move the training corpus into
