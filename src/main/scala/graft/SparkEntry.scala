@@ -140,6 +140,20 @@ object SparkEntry {
         .toDF
     }),
 
+    "q_read_records" -> ((s, dir) => {
+      // read_records (untyped Row + explicit schema — the schema-dynamic
+      // twin of read_values' case-class path), incl. a NULL cell and a
+      // unicode string: the oracle rebuilds the same literal rows
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType),
+        StructField("score", DoubleType)))
+      Chain.readRecords(s, Seq(
+        org.apache.spark.sql.Row(1L, "ascii", 1.5),
+        org.apache.spark.sql.Row(2L, "héllo", null),
+        org.apache.spark.sql.Row(3L, null, -2.25)), schema).toDF
+    }),
+
     "q_json_infer" -> ((s, dir) => {
       // schemaless JSONL: documents round-trip through nested JSON text,
       // read back with SAMPLE-inferred schema + jmespath descent into the
@@ -2278,6 +2292,48 @@ object SparkEntry {
       val out = Dedup.subtractSeenChunks(edited.unionByName(fresh), hist,
         "text", "doc_id", k = 8, divisor = 32, maxSharedFrac = 0.5)
       out
+    }),
+
+    "q_stream_chunk_dedup" -> ((s, dir) => {
+      // STREAMING chunk-level dedup — the ingest-time form of
+      // q_subtract_seen_chunks: each micro-batch of the crawl stream
+      // filters against the static accumulated corpus via foreachBatch →
+      // subtractSeenChunks (per-doc decisions depend only on the doc's
+      // own chunks vs history, so any micro-batch split reproduces the
+      // batch answer exactly — the same oracle SQL applies verbatim).
+      // maxFilesPerTrigger=1 forces a genuinely multi-batch run.
+      val hist = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val edited = hist.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(expr("substr(text, 1, length(text) - 5)"),
+            lit(" tail edited now")).as("text"))
+      val fresh = hist.filter(pmod(col("doc_id"), lit(9)) === 4)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          translate(col("text"), "aeiou", "01234").as("text"))
+      val stage = Files.createTempDirectory("graft_scd_feed")
+      edited.unionByName(fresh)
+        .coalesce(2).write.mode("overwrite").parquet(stage.toString)
+      val outDir = Files.createTempDirectory("graft_scd_out").toString
+      val stream = s.readStream
+        .schema(s.read.parquet(stage.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.toString)
+      val ckpt = Files.createTempDirectory("graft_scd_ckpt").toString
+      var batches = 0
+      val q = stream.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          batches += 1
+          Dedup.subtractSeenChunks(b.toDF, hist, "text", "doc_id",
+            k = 8, divisor = 32, maxSharedFrac = 0.5)
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(batches >= 2, s"multi-batch run expected, got $batches")
+      s.read.parquet(outDir)
     }),
 
     "q_to_parquet" -> ((s, dir) => {
@@ -4750,6 +4806,13 @@ object SparkEntry {
           | (CAST(2 AS BIGINT), 'beta', -1.25),
           | (CAST(3 AS BIGINT), 'gamma', 0.0)) AS t(id, name, score)""".stripMargin,
 
+      "q_read_records" ->
+        """SELECT * FROM (VALUES
+          | (CAST(1 AS BIGINT), 'ascii', 1.5),
+          | (CAST(2 AS BIGINT), 'héllo', CAST(NULL AS DOUBLE)),
+          | (CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), -2.25))
+          | AS t(id, name, score)""".stripMargin,
+
       "q_json_infer" ->
         """SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
           | CAST(n_chars AS BIGINT) AS n_chars FROM documents""".stripMargin,
@@ -6390,6 +6453,48 @@ object SparkEntry {
 
       "q_to_parquet" ->
         "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+
+      // same computation as q_subtract_seen_chunks — per-doc decisions
+      // are independent, so the micro-batched run answers identically
+      "q_stream_chunk_dedup" ->
+        """WITH newdocs AS (
+          |  SELECT doc_id + 300000 AS doc_id,
+          |         substr(text, 1, length(text) - 5) || ' tail edited now' AS text
+          |  FROM documents WHERE doc_id % 9 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 400000, translate(text, 'aeiou', '01234')
+          |  FROM documents WHERE doc_id % 9 = 4),
+          | corpus AS (
+          |  SELECT doc_id, text FROM newdocs
+          |  UNION ALL SELECT doc_id, text FROM documents),
+          | cand AS (SELECT doc_id, text,
+          |   unnest(generate_series(8, length(text))) AS i FROM corpus),
+          | cut AS (SELECT doc_id, text, i FROM cand WHERE
+          |   (CAST(ord(substr(text, i-7, 1)) AS BIGINT) * 27512614111
+          |  + CAST(ord(substr(text, i-6, 1)) AS BIGINT) * 887503681
+          |  + CAST(ord(substr(text, i-5, 1)) AS BIGINT) * 28629151
+          |  + CAST(ord(substr(text, i-4, 1)) AS BIGINT) * 923521
+          |  + CAST(ord(substr(text, i-3, 1)) AS BIGINT) * 29791
+          |  + CAST(ord(substr(text, i-2, 1)) AS BIGINT) * 961
+          |  + CAST(ord(substr(text, i-1, 1)) AS BIGINT) * 31
+          |  + CAST(ord(substr(text, i, 1)) AS BIGINT)) % 32 = 0),
+          | seg AS (
+          |   SELECT doc_id,
+          |     substr(text, lag(i,1,0) OVER (PARTITION BY doc_id ORDER BY i) + 1,
+          |            i - lag(i,1,0) OVER (PARTITION BY doc_id ORDER BY i)) AS chunk
+          |   FROM cut
+          |   UNION ALL
+          |   SELECT c.doc_id, substr(c.text, coalesce(m.mx, 0) + 1) AS chunk
+          |   FROM corpus c LEFT JOIN (SELECT doc_id, max(i) AS mx FROM cut GROUP BY 1) m
+          |     ON c.doc_id = m.doc_id
+          |   WHERE length(c.text) > coalesce(m.mx, 0)),
+          | histch AS (SELECT DISTINCT chunk FROM seg WHERE doc_id < 300000),
+          | st AS (SELECT doc_id, count(*) AS total,
+          |   sum(CASE WHEN chunk IN (SELECT chunk FROM histch)
+          |       THEN 1 ELSE 0 END) AS shared
+          |   FROM seg WHERE doc_id >= 300000 GROUP BY 1)
+          |SELECT n.doc_id, n.text FROM newdocs n JOIN st USING (doc_id)
+          |WHERE st.shared <= st.total * 0.5""".stripMargin,
 
       "q_exact_substr" ->
         raw"""WITH corpus AS (
