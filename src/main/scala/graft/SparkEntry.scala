@@ -63,6 +63,69 @@ object SparkEntry {
   private def davg(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("double") / count(lit(1))
 
+  /** The chunk-dedup fixture batch shared by q_subtract_seen_chunks and
+    * q_stream_chunk_dedup: tail-edited re-crawls of history docs
+    * (+300000 — prefix chunks match, DROPPED) and vowel-rewritten
+    * fresh docs (+400000 — no chunk matches, KEPT). ONE construction so
+    * the two gates can't drift. */
+  private def chunkDedupBatch(s: SparkSession, dir: String): DataFrame = {
+    val hist = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    val edited = hist.filter(pmod(col("doc_id"), lit(9)) === 0)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat(expr("substr(text, 1, length(text) - 5)"),
+          lit(" tail edited now")).as("text"))
+    val fresh = hist.filter(pmod(col("doc_id"), lit(9)) === 4)
+      .select((col("doc_id") + 400000).as("doc_id"),
+        translate(col("text"), "aeiou", "01234").as("text"))
+    edited.unionByName(fresh)
+  }
+
+  /** The shared DuckDB oracle of both chunk-dedup gates (per-doc
+    * decisions are micro-batch-split-invariant, so the streaming gate
+    * answers identically). The final LEFT JOIN keeps zero-chunk
+    * (empty-text) batch docs, matching subtractSeenChunks' documented
+    * keep-unmeasurable rule — an inner join would silently drop them
+    * if the fixture ever grew an empty text. */
+  private val chunkDedupOracleSql: String =
+    """WITH newdocs AS (
+      |  SELECT doc_id + 300000 AS doc_id,
+      |         substr(text, 1, length(text) - 5) || ' tail edited now' AS text
+      |  FROM documents WHERE doc_id % 9 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 400000, translate(text, 'aeiou', '01234')
+      |  FROM documents WHERE doc_id % 9 = 4),
+      | corpus AS (
+      |  SELECT doc_id, text FROM newdocs
+      |  UNION ALL SELECT doc_id, text FROM documents),
+      | cand AS (SELECT doc_id, text,
+      |   unnest(generate_series(8, length(text))) AS i FROM corpus),
+      | cut AS (SELECT doc_id, text, i FROM cand WHERE
+      |   (CAST(ord(substr(text, i-7, 1)) AS BIGINT) * 27512614111
+      |  + CAST(ord(substr(text, i-6, 1)) AS BIGINT) * 887503681
+      |  + CAST(ord(substr(text, i-5, 1)) AS BIGINT) * 28629151
+      |  + CAST(ord(substr(text, i-4, 1)) AS BIGINT) * 923521
+      |  + CAST(ord(substr(text, i-3, 1)) AS BIGINT) * 29791
+      |  + CAST(ord(substr(text, i-2, 1)) AS BIGINT) * 961
+      |  + CAST(ord(substr(text, i-1, 1)) AS BIGINT) * 31
+      |  + CAST(ord(substr(text, i, 1)) AS BIGINT)) % 32 = 0),
+      | seg AS (
+      |   SELECT doc_id,
+      |     substr(text, lag(i,1,0) OVER (PARTITION BY doc_id ORDER BY i) + 1,
+      |            i - lag(i,1,0) OVER (PARTITION BY doc_id ORDER BY i)) AS chunk
+      |   FROM cut
+      |   UNION ALL
+      |   SELECT c.doc_id, substr(c.text, coalesce(m.mx, 0) + 1) AS chunk
+      |   FROM corpus c LEFT JOIN (SELECT doc_id, max(i) AS mx FROM cut GROUP BY 1) m
+      |     ON c.doc_id = m.doc_id
+      |   WHERE length(c.text) > coalesce(m.mx, 0)),
+      | histch AS (SELECT DISTINCT chunk FROM seg WHERE doc_id < 300000),
+      | st AS (SELECT doc_id, count(*) AS total,
+      |   sum(CASE WHEN chunk IN (SELECT chunk FROM histch)
+      |       THEN 1 ELSE 0 END) AS shared
+      |   FROM seg WHERE doc_id >= 300000 GROUP BY 1)
+      |SELECT n.doc_id, n.text FROM newdocs n LEFT JOIN st USING (doc_id)
+      |WHERE st.total IS NULL OR st.shared <= st.total * 0.5""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -2282,16 +2345,8 @@ object SparkEntry {
       // whose chunks match nothing — KEPT. An exact content key sees
       // every batch row as new; the chunk key is what catches (a).
       val hist = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      val edited = hist.filter(pmod(col("doc_id"), lit(9)) === 0)
-        .select((col("doc_id") + 300000).as("doc_id"),
-          concat(expr("substr(text, 1, length(text) - 5)"),
-            lit(" tail edited now")).as("text"))
-      val fresh = hist.filter(pmod(col("doc_id"), lit(9)) === 4)
-        .select((col("doc_id") + 400000).as("doc_id"),
-          translate(col("text"), "aeiou", "01234").as("text"))
-      val out = Dedup.subtractSeenChunks(edited.unionByName(fresh), hist,
+      Dedup.subtractSeenChunks(chunkDedupBatch(s, dir), hist,
         "text", "doc_id", k = 8, divisor = 32, maxSharedFrac = 0.5)
-      out
     }),
 
     "q_stream_chunk_dedup" -> ((s, dir) => {
@@ -2303,15 +2358,8 @@ object SparkEntry {
       // batch answer exactly — the same oracle SQL applies verbatim).
       // maxFilesPerTrigger=1 forces a genuinely multi-batch run.
       val hist = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      val edited = hist.filter(pmod(col("doc_id"), lit(9)) === 0)
-        .select((col("doc_id") + 300000).as("doc_id"),
-          concat(expr("substr(text, 1, length(text) - 5)"),
-            lit(" tail edited now")).as("text"))
-      val fresh = hist.filter(pmod(col("doc_id"), lit(9)) === 4)
-        .select((col("doc_id") + 400000).as("doc_id"),
-          translate(col("text"), "aeiou", "01234").as("text"))
       val stage = Files.createTempDirectory("graft_scd_feed")
-      edited.unionByName(fresh)
+      chunkDedupBatch(s, dir)
         .coalesce(2).write.mode("overwrite").parquet(stage.toString)
       val outDir = Files.createTempDirectory("graft_scd_out").toString
       val stream = s.readStream
@@ -2319,12 +2367,17 @@ object SparkEntry {
         .option("maxFilesPerTrigger", 1)
         .parquet(stage.toString)
       val ckpt = Files.createTempDirectory("graft_scd_ckpt").toString
+      // the history chunk table is computed + persisted ONCE — inside
+      // foreachBatch it would re-chunk the whole corpus per trigger
+      val histChunks = Dedup.chunkTable(hist, "text", "doc_id",
+          k = 8, divisor = 32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var batches = 0
       val q = stream.writeStream
         .foreachBatch { (b: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], _: Long) =>
           batches += 1
-          Dedup.subtractSeenChunks(b.toDF, hist, "text", "doc_id",
+          Dedup.subtractSeenChunksPre(b.toDF, histChunks, "text", "doc_id",
             k = 8, divisor = 32, maxSharedFrac = 0.5)
             .write.mode("append").parquet(outDir)
         }
@@ -2332,6 +2385,7 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      histChunks.unpersist(blocking = false)
       require(batches >= 2, s"multi-batch run expected, got $batches")
       s.read.parquet(outDir)
     }),
@@ -6411,90 +6465,14 @@ object SparkEntry {
           |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_shared
           |FROM seg GROUP BY doc_id""".stripMargin,
 
-      "q_subtract_seen_chunks" ->
-        """WITH newdocs AS (
-          |  SELECT doc_id + 300000 AS doc_id,
-          |         substr(text, 1, length(text) - 5) || ' tail edited now' AS text
-          |  FROM documents WHERE doc_id % 9 = 0
-          |  UNION ALL
-          |  SELECT doc_id + 400000, translate(text, 'aeiou', '01234')
-          |  FROM documents WHERE doc_id % 9 = 4),
-          | corpus AS (
-          |  SELECT doc_id, text FROM newdocs
-          |  UNION ALL SELECT doc_id, text FROM documents),
-          | cand AS (SELECT doc_id, text,
-          |   unnest(generate_series(8, length(text))) AS i FROM corpus),
-          | cut AS (SELECT doc_id, text, i FROM cand WHERE
-          |   (CAST(ord(substr(text, i-7, 1)) AS BIGINT) * 27512614111
-          |  + CAST(ord(substr(text, i-6, 1)) AS BIGINT) * 887503681
-          |  + CAST(ord(substr(text, i-5, 1)) AS BIGINT) * 28629151
-          |  + CAST(ord(substr(text, i-4, 1)) AS BIGINT) * 923521
-          |  + CAST(ord(substr(text, i-3, 1)) AS BIGINT) * 29791
-          |  + CAST(ord(substr(text, i-2, 1)) AS BIGINT) * 961
-          |  + CAST(ord(substr(text, i-1, 1)) AS BIGINT) * 31
-          |  + CAST(ord(substr(text, i, 1)) AS BIGINT)) % 32 = 0),
-          | seg AS (
-          |   SELECT doc_id,
-          |     substr(text, lag(i,1,0) OVER (PARTITION BY doc_id ORDER BY i) + 1,
-          |            i - lag(i,1,0) OVER (PARTITION BY doc_id ORDER BY i)) AS chunk
-          |   FROM cut
-          |   UNION ALL
-          |   SELECT c.doc_id, substr(c.text, coalesce(m.mx, 0) + 1) AS chunk
-          |   FROM corpus c LEFT JOIN (SELECT doc_id, max(i) AS mx FROM cut GROUP BY 1) m
-          |     ON c.doc_id = m.doc_id
-          |   WHERE length(c.text) > coalesce(m.mx, 0)),
-          | histch AS (SELECT DISTINCT chunk FROM seg WHERE doc_id < 300000),
-          | st AS (SELECT doc_id, count(*) AS total,
-          |   sum(CASE WHEN chunk IN (SELECT chunk FROM histch)
-          |       THEN 1 ELSE 0 END) AS shared
-          |   FROM seg WHERE doc_id >= 300000 GROUP BY 1)
-          |SELECT n.doc_id, n.text FROM newdocs n JOIN st USING (doc_id)
-          |WHERE st.shared <= st.total * 0.5""".stripMargin,
+      "q_subtract_seen_chunks" -> chunkDedupOracleSql,
 
       "q_to_parquet" ->
         "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
       // same computation as q_subtract_seen_chunks — per-doc decisions
       // are independent, so the micro-batched run answers identically
-      "q_stream_chunk_dedup" ->
-        """WITH newdocs AS (
-          |  SELECT doc_id + 300000 AS doc_id,
-          |         substr(text, 1, length(text) - 5) || ' tail edited now' AS text
-          |  FROM documents WHERE doc_id % 9 = 0
-          |  UNION ALL
-          |  SELECT doc_id + 400000, translate(text, 'aeiou', '01234')
-          |  FROM documents WHERE doc_id % 9 = 4),
-          | corpus AS (
-          |  SELECT doc_id, text FROM newdocs
-          |  UNION ALL SELECT doc_id, text FROM documents),
-          | cand AS (SELECT doc_id, text,
-          |   unnest(generate_series(8, length(text))) AS i FROM corpus),
-          | cut AS (SELECT doc_id, text, i FROM cand WHERE
-          |   (CAST(ord(substr(text, i-7, 1)) AS BIGINT) * 27512614111
-          |  + CAST(ord(substr(text, i-6, 1)) AS BIGINT) * 887503681
-          |  + CAST(ord(substr(text, i-5, 1)) AS BIGINT) * 28629151
-          |  + CAST(ord(substr(text, i-4, 1)) AS BIGINT) * 923521
-          |  + CAST(ord(substr(text, i-3, 1)) AS BIGINT) * 29791
-          |  + CAST(ord(substr(text, i-2, 1)) AS BIGINT) * 961
-          |  + CAST(ord(substr(text, i-1, 1)) AS BIGINT) * 31
-          |  + CAST(ord(substr(text, i, 1)) AS BIGINT)) % 32 = 0),
-          | seg AS (
-          |   SELECT doc_id,
-          |     substr(text, lag(i,1,0) OVER (PARTITION BY doc_id ORDER BY i) + 1,
-          |            i - lag(i,1,0) OVER (PARTITION BY doc_id ORDER BY i)) AS chunk
-          |   FROM cut
-          |   UNION ALL
-          |   SELECT c.doc_id, substr(c.text, coalesce(m.mx, 0) + 1) AS chunk
-          |   FROM corpus c LEFT JOIN (SELECT doc_id, max(i) AS mx FROM cut GROUP BY 1) m
-          |     ON c.doc_id = m.doc_id
-          |   WHERE length(c.text) > coalesce(m.mx, 0)),
-          | histch AS (SELECT DISTINCT chunk FROM seg WHERE doc_id < 300000),
-          | st AS (SELECT doc_id, count(*) AS total,
-          |   sum(CASE WHEN chunk IN (SELECT chunk FROM histch)
-          |       THEN 1 ELSE 0 END) AS shared
-          |   FROM seg WHERE doc_id >= 300000 GROUP BY 1)
-          |SELECT n.doc_id, n.text FROM newdocs n JOIN st USING (doc_id)
-          |WHERE st.shared <= st.total * 0.5""".stripMargin,
+      "q_stream_chunk_dedup" -> chunkDedupOracleSql,
 
       "q_exact_substr" ->
         raw"""WITH corpus AS (

@@ -161,15 +161,24 @@ object Catalog {
            _: java.nio.file.FileSystemException =>
         // copy is NOT atomic — a task killed mid-copy leaves a
         // truncated dst that a retry must not treat as done. Copy to a
-        // private temp sibling and ATOMIC_MOVE into place (the rename
-        // REPLACES a prior truncated attempt with the complete bytes).
-        val tmp = d.resolveSibling(d.getFileName.toString +
+        // HIDDEN temp sibling (dot-prefixed: a hard-killed task's
+        // orphan must be invisible to parquet directory listings when
+        // the tree commits) and ATOMIC_MOVE into place. POSIX rename
+        // replaces a prior truncated attempt silently; a filesystem
+        // that throws FileAlreadyExistsException instead gets the dst
+        // cleared and one more atomic rename.
+        val tmp = d.resolveSibling("." + d.getFileName.toString +
           ".cptmp-" + java.util.UUID.randomUUID)
         try {
           java.nio.file.Files.copy(s, tmp)
-          java.nio.file.Files.move(tmp, d,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          try java.nio.file.Files.move(tmp, d,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              java.nio.file.Files.deleteIfExists(d)
+              java.nio.file.Files.move(tmp, d,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
         } finally {
           try java.nio.file.Files.deleteIfExists(tmp)
           catch { case _: java.io.IOException => () }
@@ -396,10 +405,13 @@ final class Catalog(val root: String, spark: SparkSession) {
         var mine = true
         while (mine && !Thread.interrupted()) {
           Thread.sleep(period)
-          // refresh ONLY while the token is still ours: after a steal
+          // refresh only while the token is still ours: after a steal
           // (the frozen-holder gap) the lock belongs to someone else —
           // blindly touching it would keep a since-CRASHED thief's lock
-          // perpetually fresh and wedge every later writer
+          // perpetually fresh and wedge every later writer. (The
+          // read-then-touch pair is not atomic: one touch can land just
+          // after a steal — bounded at ONE extra stale period, since
+          // the next beat reads the foreign token and stops.)
           try {
             mine = new String(Files.readAllBytes(lockP), "UTF-8") == token
             if (mine) Files.setLastModifiedTime(lockP,
@@ -414,11 +426,34 @@ final class Catalog(val root: String, spark: SparkSession) {
     try body
     finally {
       beat.interrupt()
+      // ATOMIC disposal: a read-then-delete pair would let a holder
+      // waking from a long freeze delete a THIEF's fresh lock (steal
+      // lands between the read and the delete). Move the lock into an
+      // owned grave first — of N racers exactly one wins the rename —
+      // THEN check whose token it carries: ours is deleted, a foreign
+      // one is put straight back. (If the put-back target got occupied
+      // in the interim the foreign grave is dropped — the residual
+      // multi-steal window of advisory file locking, now needing THREE
+      // interleaved racers inside one rename instead of two.)
       try {
-        val mine =
-          try new String(Files.readAllBytes(lockP), "UTF-8") == token
-          catch { case _: java.io.IOException => false }
-        if (mine) Files.deleteIfExists(lockP)
+        val grave = lockP.resolveSibling(s".commit.lock.rel-$token")
+        try {
+          Files.move(lockP, grave,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          val mine =
+            try new String(Files.readAllBytes(grave), "UTF-8") == token
+            catch { case _: java.io.IOException => false }
+          if (mine) Files.deleteIfExists(grave)
+          else {
+            try Files.move(grave, lockP,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: java.io.IOException =>
+              Files.deleteIfExists(grave)
+            }
+          }
+        } catch {
+          case _: java.nio.file.NoSuchFileException => () // already stolen
+        }
       } catch { case _: java.io.IOException => () }
     }
   }

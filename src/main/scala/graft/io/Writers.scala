@@ -29,15 +29,8 @@ object Writers {
   }
 
   /** Restore the signal schema recorded by [[toParquet]] (if present). */
-  def readSchemaSidecar(df: DataFrame, path: String): Option[String] = {
-    val p = new org.apache.hadoop.fs.Path(path, "_graft_schema.json")
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
-    }
-  }
+  def readSchemaSidecar(df: DataFrame, path: String): Option[String] =
+    sidecarText(df.sparkSession, path)
 
   /** Read a [[toParquet]] export with its recorded signal schema
     * RESTORED: a plain parquet read re-infers hive partition columns
@@ -46,16 +39,28 @@ object Writers {
     * recorded order and types. Falls back to the plain read when the
     * export carries no sidecar (foreign parquet). */
   def readParquetExport(spark: org.apache.spark.sql.SparkSession,
-                        path: String): DataFrame = {
-    val plain = spark.read.parquet(path)
-    readSchemaSidecar(plain, path).flatMap(parseSidecar) match {
-      case None => plain
+                        path: String): DataFrame =
+    // the sidecar check needs only a FileSystem — either branch then
+    // pays exactly ONE parquet read (a plain read first would run
+    // listing + schema inference just to throw them away)
+    sidecarText(spark, path).flatMap(parseSidecar) match {
+      case None => spark.read.parquet(path)
       case Some(schemaJson) =>
         // pass the recorded schema TO the reader: partition-column
         // type inference is bypassed entirely, so a STRING partition
         // value that renders numeric ("007") reads back verbatim — a
         // cast-after-infer would have collapsed it to "7"
         spark.read.schema(SignalSchema.fromJson(schemaJson)).parquet(path)
+    }
+
+  private def sidecarText(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_schema.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
     }
   }
 

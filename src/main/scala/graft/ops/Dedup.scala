@@ -333,16 +333,33 @@ object Dedup {
   def subtractSeenChunks(newDf: DataFrame, history: DataFrame,
                          textCol: String, idCol: String, k: Int = 8,
                          divisor: Long = 64,
-                         maxSharedFrac: Double = 0.5): DataFrame = {
+                         maxSharedFrac: Double = 0.5): DataFrame =
+    subtractSeenChunksPre(newDf,
+      chunkTable(history, textCol, idCol, k, divisor),
+      textCol, idCol, k, divisor, maxSharedFrac)
+
+  /** The distinct history chunk table [[subtractSeenChunks]] probes.
+    * Precompute (and persist) it ONCE for streaming `foreachBatch` use
+    * — rebuilding it inside the batch function would re-chunk the whole
+    * accumulated corpus on every trigger. */
+  def chunkTable(history: DataFrame, textCol: String, idCol: String,
+                 k: Int = 8, divisor: Long = 64): DataFrame =
+    Cdc.cdcChunks(history.select(col(idCol), col(textCol)), idCol,
+        textCol, k, divisor)
+      .select(col("chunk")).distinct()
+
+  /** [[subtractSeenChunks]] against a PRECOMPUTED history chunk table
+    * (as built by [[chunkTable]] — same k/divisor, or the chunk keys
+    * won't align). */
+  def subtractSeenChunksPre(newDf: DataFrame, histChunks: DataFrame,
+                            textCol: String, idCol: String, k: Int,
+                            divisor: Long,
+                            maxSharedFrac: Double): DataFrame = {
     val newChunks = Cdc.cdcChunks(
       newDf.select(col(idCol), col(textCol)), idCol, textCol, k, divisor)
-    val histChunks = Cdc.cdcChunks(
-        history.select(col(idCol), col(textCol)), idCol, textCol, k,
-        divisor)
-      .select(col("chunk")).distinct()
-      .withColumn("__hit", lit(1))
+    val marked = histChunks.select(col("chunk")).withColumn("__hit", lit(1))
     val stats = newChunks
-      .join(histChunks, Seq("chunk"), "left")
+      .join(marked, Seq("chunk"), "left")
       .groupBy(idCol)
       .agg(count(lit(1)).as("__total"), count(col("__hit")).as("__shared"))
     // zero-chunk rows never reach the grouped stats — the left join's

@@ -838,6 +838,32 @@ class MutationSpec extends SparkSpec {
     }
   }
 
+  test("lock release leaves a foreign (stolen-and-recreated) lock in place") {
+    val root = Files.createTempDirectory("mut_rel").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    cat.save(Chain(Seq((1L, 1L)).toDF("k", "v")), "l")
+    val lockP = Paths.get(root, "datasets", "l", ".commit.lock")
+    cat.withCommitLockForTest("l") {
+      // simulate the frozen-holder steal: the lock now carries a
+      // THIEF's token — the release's atomic disposal must detect the
+      // foreign owner and put the lock straight back, never delete it
+      Files.write(lockP, "thief-token".getBytes("UTF-8"))
+      "held"
+    }
+    assert(Files.exists(lockP), "foreign lock must survive our release")
+    assert(new String(Files.readAllBytes(lockP), "UTF-8") === "thief-token")
+    val lockish = {
+      import scala.jdk.CollectionConverters._
+      val st = Files.list(lockP.getParent)
+      try st.iterator().asScala
+        .count(_.getFileName.toString.startsWith(".commit.lock"))
+      finally st.close()
+    }
+    assert(lockish === 1, "no grave debris on the restore path")
+    Files.deleteIfExists(lockP)
+  }
+
   test("claimVersion rejects sub-1.0.0 explicit versions (guard sentinel stays unclaimable)") {
     val root = Files.createTempDirectory("mut_v0").toString
     val cat = new Catalog(root, spark)
