@@ -11,7 +11,7 @@ import graft.catalog.{Catalog, Expect, ExpectFailed}
 import graft.delta.{Delta, MatView, MvAgg}
 import graft.files.FileOps
 import graft.functions.GraftFunctions._
-import graft.ops.{Cdc, Corpus, Dedup, Multimodal, Similarity, Split, TextAnalysis}
+import graft.ops.{Cdc, Corpus, Dedup, Multimodal, Similarity, Split, TextAnalysis, Winnow}
 import graft.streaming.EventStream
 
 // ---- typed-UDF row models (top-level for Encoder derivation) ----
@@ -86,6 +86,38 @@ object SparkEntry {
     * (empty-text) batch docs, matching subtractSeenChunks' documented
     * keep-unmeasurable rule — an inner join would silently drop them
     * if the fixture ever grew an empty text. */
+  /** Shared winnow-oracle CTE chain (k=9, w=12, W=31 powers spelled
+    * out): `corpus(doc_id, text)` → gram hashes `g` → per-doc gram
+    * count `n` → window starts `w0` (a doc with fewer than w grams is
+    * ONE window over all of them, greatest(...,1)) → window rows `win`
+    * → per-window min `m` → rightmost-min selection `sel(doc_id, pos,
+    * fp)`. Exact int64 throughout (k=9 bound holds even astral), so
+    * both winnow gates replay the kernel verbatim. */
+  private val winnowSelCtes: String =
+    """ g AS (SELECT doc_id, i,
+      |   (CAST(ord(substr(text, i,   1)) AS BIGINT) * 852891037441
+      |  + CAST(ord(substr(text, i+1, 1)) AS BIGINT) * 27512614111
+      |  + CAST(ord(substr(text, i+2, 1)) AS BIGINT) * 887503681
+      |  + CAST(ord(substr(text, i+3, 1)) AS BIGINT) * 28629151
+      |  + CAST(ord(substr(text, i+4, 1)) AS BIGINT) * 923521
+      |  + CAST(ord(substr(text, i+5, 1)) AS BIGINT) * 29791
+      |  + CAST(ord(substr(text, i+6, 1)) AS BIGINT) * 961
+      |  + CAST(ord(substr(text, i+7, 1)) AS BIGINT) * 31
+      |  + CAST(ord(substr(text, i+8, 1)) AS BIGINT)) AS h
+      |  FROM corpus,
+      |    LATERAL unnest(generate_series(1, length(text) - 8)) AS t(i)
+      |  WHERE length(text) >= 9),
+      | n AS (SELECT doc_id, max(i) AS gmax FROM g GROUP BY 1),
+      | w0 AS (SELECT doc_id, t.ws FROM n,
+      |   LATERAL unnest(generate_series(1, greatest(gmax - 11, 1))) AS t(ws)),
+      | win AS (SELECT w0.doc_id, w0.ws, g.i, g.h FROM w0 JOIN g
+      |   ON g.doc_id = w0.doc_id AND g.i BETWEEN w0.ws AND w0.ws + 11),
+      | m AS (SELECT doc_id, ws, min(h) AS fp FROM win GROUP BY 1, 2),
+      | sel AS (SELECT win.doc_id, max(win.i) AS pos, m.fp
+      |   FROM win JOIN m ON win.doc_id = m.doc_id AND win.ws = m.ws
+      |     AND win.h = m.fp
+      |   GROUP BY win.doc_id, win.ws, m.fp)""".stripMargin
+
   private val chunkDedupOracleSql: String =
     """WITH newdocs AS (
       |  SELECT doc_id + 300000 AS doc_id,
@@ -2099,6 +2131,40 @@ object SparkEntry {
       T(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))),
+
+    "q_winnow" -> ((s, dir) =>
+      // winnowed fingerprints (Schleimer et al. 2003, the MOSS
+      // selection): every window of w=12 consecutive 9-gram hashes
+      // keeps its minimum (rightmost on ties) — ~2/(w+1) of the grams,
+      // position-carrying, with the guarantee that any shared run of
+      // >= w+k-1 = 20 chars is caught. The gram hash is the CDC
+      // polynomial family (exact int64 for k <= 9 even astral), so the
+      // oracle re-derives every fingerprint bit-for-bit
+      Winnow.fingerprints(
+        T(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 9, w = 12)),
+
+    "q_winnow_dedup" -> ((s, dir) => {
+      // near-dup pairs by winnow-fingerprint Jaccard: tail-edited
+      // copies share their whole prefix's fingerprints; the bucketed
+      // self-join on fingerprint VALUE emits candidates ~ true
+      // matches, never an all-pairs product (PlanSpec pins no
+      // CartesianProduct). maxDocsPerFp=200 is the production hot-key
+      // guard — this synthetic corpus draws from a tiny vocabulary
+      // (~1.5k distinct fps across 5k docs, hottest in 76% of them),
+      // so uncapped the candidate expansion is 61M pairs vs 5.4M
+      // capped at sf0.1; the cap is plain df-filter SQL, so the
+      // oracle replays it exactly. The 0.65 compare is deterministic
+      // cross-engine: n_shared/n_union are exact int64 and the ratio
+      // is ONE ieee754 division on both sides
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(expr("substr(text, 1, length(text) - 5)"),
+            lit(" tail edited now")).as("text"))
+      Winnow.nearDup(docs.unionByName(copies), "doc_id", "text",
+        k = 9, w = 12, minJaccard = 0.65, maxDocsPerFp = 200)
+    }),
 
     // ------------------------------------------------------- multimodal
     "q_image_header" -> ((s, dir) =>
@@ -7046,6 +7112,34 @@ object SparkEntry {
 
       "q_fingerprint" ->
         s"SELECT doc_id, md5($norm) AS fp_md5 FROM documents",
+
+      "q_winnow" ->
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+           |$winnowSelCtes
+           |SELECT DISTINCT doc_id, pos, fp FROM sel""".stripMargin,
+
+      "q_winnow_dedup" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 300000,
+           |    substr(text, 1, length(text) - 5) || ' tail edited now'
+           |  FROM documents WHERE doc_id % 9 = 0),
+           |$winnowSelCtes,
+           | fps0 AS (SELECT DISTINCT doc_id, fp FROM m),
+           | df AS (SELECT fp, count(*) AS c FROM fps0 GROUP BY 1),
+           | fps AS (SELECT fps0.* FROM fps0 JOIN df USING (fp)
+           |   WHERE df.c <= 200),
+           | sz AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
+           | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    count(*) AS n_shared,
+           |    any_value(sa.n) + any_value(sb.n) - count(*) AS n_union
+           |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  JOIN sz sa ON sa.doc_id = a.doc_id
+           |  JOIN sz sb ON sb.doc_id = b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT id_a, id_b, n_shared, n_union FROM pairs
+           |WHERE CAST(n_shared AS DOUBLE) / n_union >= 0.65""".stripMargin,
 
       "q_merge_stem" ->
         """WITH l AS (SELECT doc_id, 'docs/doc_' || doc_id || '.txt' AS path, n_chars

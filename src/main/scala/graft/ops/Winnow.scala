@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+
+/**
+ * Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+ * SIGMOD 2003 — the MOSS algorithm): slide a window of `w` consecutive
+ * character `k`-gram hashes over the text and keep each window's
+ * MINIMUM hash (rightmost occurrence on ties). The selected
+ * fingerprints are a position-robust subset of the k-grams with two
+ * guarantees the paper proves: any shared substring of length
+ * `w + k - 1` or more is caught by at least one shared fingerprint,
+ * and no substring shorter than `k` is ever matched. Density is
+ * 2/(w+1) of the grams — a tunable sketch that, unlike MinHash,
+ * carries POSITIONS, so matches localize to the reused passage.
+ *
+ * Complements the existing dedup family: MinHash/SimHash answer
+ * "are these documents similar overall", CDC chunks answer "which
+ * exact passages are reused verbatim at chunk granularity", winnowing
+ * answers "do these documents share any run of ≥ w+k-1 characters"
+ * at ~1/(w+1) the index size of full k-gram shingling — the
+ * plagiarism/license-leak/boilerplate detector for a training corpus.
+ *
+ * The gram hash is the same plain window polynomial the CDC kernel
+ * uses (`Σ code(i+j)·W^(k-1-j)`, `W = 31`, codepoint domain) —
+ * deliberately NOT a private hash: for `k <= 9` (`k <= 11` BMP-only)
+ * the value is exact int64 arithmetic any SQL engine recomputes
+ * verbatim, which is what lets the driver's DuckDB oracle re-derive
+ * every fingerprint bit-for-bit. Larger `k` (to the accepted 16)
+ * wraps two's-complement: still deterministic and self-consistent,
+ * but not SQL-replayable (mirrors [[Cdc.chunkSpans]]'s documented
+ * bound). Selection is O(n) via a monotonic deque, not O(n·w).
+ */
+object Winnow {
+
+  /** Gram hashes of `s` in the codepoint domain: element `i` is the
+    * polynomial over codepoints `[i, i+k)`. Empty when the text has
+    * fewer than `k` codepoints. Rolling O(1) update per position. */
+  def gramHashes(s: String, k: Int): Array[Long] = {
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n < k) return Array.emptyLongArray
+    // W^(k-1), the outgoing element's weight in the rolling update
+    var wk = 1L
+    var j = 0
+    while (j < k - 1) { wk *= Cdc.W; j += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    j = 0
+    while (j < k) { h = h * Cdc.W + cps(j); j += 1 }
+    out(0) = h
+    var i = 1
+    while (i <= n - k) {
+      h = (h - cps(i - 1) * wk) * Cdc.W + cps(i + k - 1)
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Winnowed fingerprints of `s`: `(pos, fp)` with `pos` the 1-BASED
+    * codepoint start of the selected k-gram (the SQL `substr`
+    * convention the oracle shares) in increasing order, one entry per
+    * distinct selected position. Every window of `w` consecutive grams
+    * contributes its minimum hash, rightmost occurrence on ties (the
+    * paper's robust-winnowing rule); a text with fewer than `w` grams
+    * is one window over all its grams, so any text of at least `k`
+    * codepoints yields at least one fingerprint. */
+  def fingerprintSpans(s: String, k: Int, w: Int): Seq[(Int, Long)] = {
+    require(k >= 2 && k <= 16, s"winnow gram k must be in [2,16], got $k")
+    require(w >= 1, s"winnow window w must be >= 1, got $w")
+    val h = gramHashes(s, k)
+    val g = h.length
+    if (g == 0) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    // monotonic deque of gram indices; popping `>=` on insert keeps the
+    // RIGHTMOST occurrence of the window minimum at the front
+    val deque = new java.util.ArrayDeque[Int]()
+    var last = -1
+    var i = 0
+    while (i < g) {
+      while (!deque.isEmpty && h(deque.peekLast) >= h(i)) deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst <= i - w) deque.pollFirst()
+      // first full window ends at w-1; a short text (g < w) is the
+      // single window ending at its last gram
+      if (i >= w - 1 || i == g - 1) {
+        val sel = deque.peekFirst
+        if (sel != last) { out += ((sel + 1, h(sel))); last = sel }
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** The codegen entry point: [[fingerprintSpans]] packed as
+    * `array<struct<pos:int, fp:long>>`. */
+  def fingerprintArray(text: UTF8String, k: Int, w: Int): ArrayData =
+    new GenericArrayData(fingerprintSpans(text.toString, k, w)
+      .map { case (p, f) => InternalRow(p, f) }.toArray[Any])
+
+  /** `array<struct<pos,fp>>` column of winnowed fingerprints. */
+  def fingerprintsCol(text: Column, k: Int = 5, w: Int = 8): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      org.apache.spark.sql.graft.WinnowFingerprintsExpr(
+        org.apache.spark.sql.graft.bridge.expression(text), k, w))
+
+  /** Exploded fingerprint table `(id, pos, fp)` — one row per selected
+    * gram. One codegen'd projection, no shuffle. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 5, w: Int = 8): DataFrame =
+    df.select(col(idCol),
+        explode(fingerprintsCol(col(textCol), k, w)).as("f"))
+      .select(col(idCol), col("f.pos").as("pos"), col("f.fp").as("fp"))
+
+  /** Near-duplicate pairs by fingerprint-set Jaccard:
+    * `(id_a, id_b, n_shared, n_union)` for every pair whose DISTINCT
+    * fingerprint-value sets overlap at `jaccard >= minJaccard`
+    * (`id_a < id_b`). Candidates come from POSTINGS LISTS — the kept
+    * (id, fp) pairs grouped per fingerprint VALUE into a sorted id
+    * array, with every in-list pair emitted by an in-array HOF — never
+    * an all-pairs product, so cost tracks true overlap like the
+    * MinHash band join. `maxDocsPerFp > 0` drops fingerprints
+    * appearing in more than that many documents BEFORE the lists are
+    * collected (a count-only pre-pass + broadcast anti-join, so no
+    * aggregation buffer ever holds a hot posting): boilerplate grams
+    * shared corpus-wide carry no near-dup signal and would form
+    * quadratic hot buckets at crawl scale — the cap both bounds the
+    * pair expansion AND bounds every collected list at `maxDocsPerFp`
+    * entries. 0 keeps every gram (exact, small/trusted corpora only:
+    * an uncapped hot fingerprint's posting must fit one aggregation
+    * buffer). Feed the pairs to [[Dedup.connectedComponents]] for
+    * cluster-level dedup. */
+  def nearDup(df: DataFrame, idCol: String, textCol: String,
+              k: Int = 5, w: Int = 8, minJaccard: Double = 0.5,
+              maxDocsPerFp: Int = 0): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0,1], got $minJaccard")
+    // per-doc DISTINCT fp values locally inside the projection
+    // (array_distinct before the explode) — the dedup that a
+    // groupBy-distinct would otherwise pay a full shuffle for is free.
+    // Cached: this one frame feeds the hot-fp count and the postings
+    // aggregation; without the cache each consumer re-fingerprints the
+    // full corpus. Cached rows are (id, fp) pairs — orders of
+    // magnitude smaller than the text; LRU-evictable (the
+    // minhashCandidates idiom, Dedup.scala:71-77).
+    val fps = df.select(col(idCol).as("id"),
+        explode(array_distinct(transform(
+          fingerprintsCol(col(textCol), k, w), f => f("fp")))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept =
+      if (maxDocsPerFp <= 0) fps
+      else {
+        // one map-side-combined COUNT groupBy plus an anti-join, so no
+        // collect_list buffer ever sees an uncapped posting. The hot
+        // list is usually tiny (≤ total-grams/cap rows); AQE picks the
+        // broadcast anti-join then, and degrades to a shuffle anti-join
+        // when a crawl-scale corpus pushes it past the threshold — no
+        // hint, so neither regime is mis-planned
+        val hot = fps.groupBy(col("fp"))
+          .agg(count(lit(1)).as("__docs"))
+          .filter(col("__docs") > maxDocsPerFp).select(col("fp"))
+        fps.join(hot, Seq("fp"), "left_anti")
+      }
+    // one sorted postings list per fingerprint; reused by the pair
+    // generator AND the per-doc size table below
+    val postings = kept.groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-doc kept-set size (one row per doc). Derived from `kept`,
+    // not `postings`: the union size must count a doc's UNSHARED kept
+    // fps too. Joined back onto pairs without a hint — AQE broadcasts
+    // it at ordinary scale, shuffle-joins at billions of docs.
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // every in-list pair (x, y) with x < y by sort order: for element
+    // i, pair it with each later element — O(|ids|²) per list, bounded
+    // by the cap, allocated in-array with codegen HOFs (no shuffle)
+    val pairs = postings.select(
+        explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2),
+              size(col("ids")) - i - lit(1)),
+            y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("n_union", col("na") + col("nb") - col("n_shared"))
+      .filter(col("n_shared").cast("double") / col("n_union")
+        >= lit(minJaccard))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_union"))
+  }
+}

@@ -103,6 +103,22 @@ object chainops {
       derive(Cdc.cdcShareStats(c.toDF, idCol, textCol, k, divisor),
         "cdc_share_stats", textCol, idCol, k, divisor)
 
+    /** Winnowed fingerprint table ([[Winnow.fingerprints]] — MOSS
+      * window-min selection over k-gram hashes, position-carrying). */
+    def winnowFingerprints(textCol: String, idCol: String, k: Int = 5,
+                           w: Int = 8): Chain =
+      derive(Winnow.fingerprints(c.toDF, idCol, textCol, k, w),
+        "winnow_fingerprints", textCol, idCol, k, w)
+
+    /** Near-dup pairs by winnow-fingerprint Jaccard
+      * ([[Winnow.nearDup]]). */
+    def winnowDedup(textCol: String, idCol: String, k: Int = 5,
+                    w: Int = 8, minJaccard: Double = 0.5,
+                    maxDocsPerFp: Int = 0): Chain =
+      derive(Winnow.nearDup(c.toDF, idCol, textCol, k, w, minJaccard,
+          maxDocsPerFp),
+        "winnow_dedup", textCol, idCol, k, w, minJaccard, maxDocsPerFp)
+
     /** 1:N character chunking (see [[TextAnalysis.chunkText]]). */
     def chunkDocs(textCol: String, size: Int, overlap: Int = 0): Chain =
       derive(c.toDF

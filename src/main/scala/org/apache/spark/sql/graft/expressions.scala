@@ -91,6 +91,28 @@ case class CdcChunksExpr(child: Expression, k: Int, divisor: Long,
     copy(child = c)
 }
 
+/** Winnowed fingerprints (Schleimer et al. 2003) of a string:
+  * `array<struct<pos:int, fp:long>>`, pos 1-based codepoint gram
+  * start. Kernel in [[graft.ops.Winnow]]; same exact-int64 polynomial
+  * family as [[CdcChunksExpr]]. */
+case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("fp", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fingerprints"
+  override protected def nullSafeEval(v: Any): Any =
+    graft.ops.Winnow.fingerprintArray(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.ops.Winnow.fingerprintArray($c, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprintsExpr =
+    copy(child = c)
+}
+
 /** popcount(a ^ b) — hamming distance between two 64-bit values. */
 case class BitHammingDistance(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

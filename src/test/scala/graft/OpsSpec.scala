@@ -2537,4 +2537,62 @@ class OpsSpec extends SparkSpec {
     assert(ce.map(_._1) === ce.map(c =>
       c._2.codePointCount(0, c._2.length)).scanLeft(0)(_ + _).dropRight(1))
   }
+
+  test("winnow: selection rule, guarantees, DataFrame ops, near-dup") {
+    import graft.ops.Winnow
+    // hand-checkable selection: grams of "abab..." alternate two hash
+    // values; every window's min is the 'a...'-rooted gram, rightmost
+    // occurrence — positions step by 2 (the tie/dedup rule visible)
+    val ab = "ababababab" // 10 cps, k=2 -> 9 grams
+    val hs = Winnow.gramHashes(ab, 2)
+    assert(hs.length === 9)
+    assert(hs.distinct.length === 2)
+    val fps3 = Winnow.fingerprintSpans(ab, 2, 3)
+    // h("ab") = 97*31+98 < h("ba"); rightmost 'ab' gram per window
+    assert(fps3.forall(_._2 === hs(0)), fps3.toString)
+    assert(fps3.map(_._1) === Seq(3, 5, 7, 9), fps3.toString)
+    // degenerate shapes: sub-k text -> none; exactly k -> the one gram;
+    // fewer grams than w -> single window over all
+    assert(Winnow.fingerprintSpans("x", 2, 4).isEmpty)
+    assert(Winnow.fingerprintSpans("xy", 2, 4) ===
+      Seq((1, 120L * 31 + 121)))
+    assert(Winnow.fingerprintSpans("abcd", 2, 99).size === 1)
+    // fp value == gram hash at pos (1-based), astral-safe
+    val emoji = "no😀de😀up winnow text 😀 here we go"
+    val he = Winnow.gramHashes(emoji, 3)
+    Winnow.fingerprintSpans(emoji, 3, 4).foreach { case (p, f) =>
+      assert(he(p - 1) === f) }
+
+    // DataFrame explode matches the kernel row-for-row
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog ok then"),
+      (2L, "the quick brown fox jumps over the lazy dog ok soon"),
+      (3L, "entirely different content with no overlap whatsoever"),
+      (4L, "xy")).toDF("doc_id", "text")
+    val got = Winnow.fingerprints(docs, "doc_id", "text", k = 5, w = 4)
+      .as[(Long, Int, Long)].collect().toSet
+    val want = docs.as[(Long, String)].collect().flatMap { case (id, t) =>
+      Winnow.fingerprintSpans(t, 5, 4).map { case (p, f) => (id, p, f) }
+    }.toSet
+    assert(got === want && got.nonEmpty)
+
+    // near-dup: the tail-edited pair is found with exact set algebra;
+    // the unrelated doc pairs with nobody at the threshold
+    val pairs = Winnow.nearDup(docs, "doc_id", "text",
+        k = 5, w = 4, minJaccard = 0.5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val setOf = (t: String) =>
+      Winnow.fingerprintSpans(t, 5, 4).map(_._2).toSet
+    val s1 = setOf("the quick brown fox jumps over the lazy dog ok then")
+    val s2 = setOf("the quick brown fox jumps over the lazy dog ok soon")
+    val sh = s1.intersect(s2).size.toLong
+    val un = s1.union(s2).size.toLong
+    assert(sh.toDouble / un >= 0.5, s"fixture must be a near-dup: $sh/$un")
+    assert(pairs === Set((1L, 2L, sh, un)), pairs.toString)
+    // maxDocsPerFp drops corpus-wide grams before pairing: with every
+    // fp capped away, no pairs survive
+    assert(Winnow.nearDup(docs, "doc_id", "text", k = 5, w = 4,
+      minJaccard = 0.01, maxDocsPerFp = 1).count() === 0)
+  }
 }

@@ -33,6 +33,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__band") && p.contains("__bh"), p)
   }
 
+  test("q_winnow_dedup: fp-bucketed candidate join, never a cross join") {
+    val p = plan("q_winnow_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // one codegen'd winnow projection per side of the self-join —
+    // candidates pair on the fingerprint VALUE, texts never shuffle
+    assert(p.contains("winnow_fingerprints"), p)
+  }
+
+  test("q_winnow: one projection, no shuffle, pruned scan") {
+    val p = plan("q_winnow")
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
+  }
+
   test("q_merge_inner: dimension join broadcasts") {
     val p = plan("q_merge_inner")
     assert(p.contains("BroadcastHashJoin"), p)

@@ -338,4 +338,51 @@ object StatsPruneProps extends Properties("graft.statsprune") {
       got == naiveCdc(t, k, d, mn, mx) &&
         got.map(_._2).mkString == t
     }
+
+  // ---- Winnowing kernel vs a naive per-window reference ----
+  // The deque-based O(n) selection must equal the obviously-correct
+  // O(n·w) simulation: for every window of w consecutive gram hashes
+  // (one window over all grams when there are fewer than w), keep the
+  // minimum, RIGHTMOST occurrence on ties, distinct positions in order.
+  private def naiveWinnow(s: String, k: Int, w: Int): Seq[(Int, Long)] = {
+    val h = graft.ops.Winnow.gramHashes(s, k)
+    val g = h.length
+    if (g == 0) return Seq.empty
+    val sel = (0 to math.max(g - w, 0)).map { ws =>
+      val end = math.min(ws + w - 1, g - 1)
+      val mn = (ws to end).map(h).min
+      (ws to end).filter(i => h(i) == mn).max
+    }.distinct.sorted
+    sel.map(i => (i + 1, h(i)))
+  }
+
+  property("winnow fingerprintSpans == naive reference") =
+    forAll(uniText, Gen.choose(2, 9), Gen.choose(1, 10)) { (t, k, w) =>
+      graft.ops.Winnow.fingerprintSpans(t, k, w) == naiveWinnow(t, k, w)
+    }
+
+  property("winnow catches every shared run of >= w+k-1 codepoints") =
+    forAll(uniText, uniText, Gen.choose(2, 6), Gen.choose(1, 8),
+      Gen.listOfN(24, Gen.alphaNumChar).map(_.mkString)) {
+      (pre, suf, k, w, core0) =>
+        // a common core of exactly w+k-1 codepoints embedded in
+        // different contexts must yield at least one shared fp VALUE
+        val core = core0.take(w + k - 1)
+        (core.length == w + k - 1) ==> {
+          val a = pre + core + suf
+          val b = suf + core + pre
+          val fa = graft.ops.Winnow.fingerprintSpans(a, k, w).map(_._2).toSet
+          val fb = graft.ops.Winnow.fingerprintSpans(b, k, w).map(_._2).toSet
+          fa.intersect(fb).nonEmpty
+        }
+    }
+
+  property("winnow density: consecutive selections at most w grams apart") =
+    forAll(uniText, Gen.choose(2, 6), Gen.choose(1, 8)) { (t, k, w) =>
+      val pos = graft.ops.Winnow.fingerprintSpans(t, k, w).map(_._1)
+      pos.sliding(2).forall {
+        case Seq(a, b) => b > a && b - a <= w
+        case _ => true
+      }
+    }
 }
