@@ -1813,6 +1813,52 @@ object SparkEntry {
         .select(col("o_orderkey"), col("zval"))
     }),
 
+    "q_hilbert" -> ((s, dir) => {
+      // Hilbert layout key over the same dimensions as q_zorder: same
+      // exact linear bins, but curve positions from the classic 2-D
+      // reflect+rotate kernel — consecutive positions are grid-ADJACENT
+      // cells, so range-partitioned files cover compact connected
+      // regions (no Morton quadrant jumps). The kernel carries only
+      // (x, y, s, d) scalar state per bit plane, so the oracle replays
+      // the loop verbatim with a recursive CTE — every hval re-derived
+      // bit-for-bit in DuckDB
+      val o = T(s, dir, "orders")
+      graft.io.Layout.hilbertFrame(o, "o_custkey", "o_totalprice")
+        .select(col("o_orderkey"), col("hval"))
+    }),
+
+    "q_hilbert_skip" -> ((s, dir) => {
+      // Hilbert layout × catalog file-stats skipping, composed
+      // end-to-end (the q_zorder_skip twin): a curve-prefix-aligned
+      // save gives every file a compact sub-quadrant envelope on BOTH
+      // dimensions (Skilling N-d kernel over quantile buckets), a 2-D
+      // box predicate prunes files from footer stats alone (asserted),
+      // and the pruned read still returns the exact full-scan aggregate
+      val root = Files.createTempDirectory("graft_hskip").toString
+      val cat = new Catalog(root, s)
+      val o = T(s, dir, "orders")
+      val bits = 8
+      val h = graft.io.Layout
+        .hilbertFrameQuantileN(o, Seq("o_custkey", "o_totalprice"), bits)
+        .withColumn("__hcell", shiftright(col("hval"), 2 * bits - 5))
+        .repartitionByRange(32, col("__hcell"))
+        .sortWithinPartitions("__hcell", "hval")
+        .drop("hval", "__hcell")
+      cat.save(Chain(h), "hord")
+      val mx = o.agg(max("o_custkey"), max("o_totalprice")).head()
+      val (ck, tp) = (mx.getLong(0), mx.getDouble(1))
+      val pred = col("o_custkey") <= ck / 8 &&
+        col("o_totalprice") <= tp / 8
+      val (kept, total) = cat.pruneCount("hord", pred)
+      require(kept >= 1 && kept < total / 2,
+        s"hilbert 2-D box must prune most files: kept $kept of $total")
+      cat.readDatasetWhere("hord", pred).selectExcept("sys").toDF
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"),
+          coalesce(min("o_orderkey"), lit(0L)).as("min_key"))
+    }),
+
     "q_zorder_skip" -> ((s, dir) => {
       // Z-order layout × catalog file-stats skipping, composed end-to-end:
       // a Morton-cell-aligned save gives every file a narrow min/max
@@ -5966,6 +6012,39 @@ object SparkEntry {
           |  AS BIGINT) AS zval
           |FROM b""".stripMargin,
 
+      "q_hilbert" ->
+        // the classic reflect+rotate loop replayed verbatim: the
+        // recursive CTE carries (x, y, s, d) per row, one step per bit
+        // plane from s=2^15 down; validated cell-for-cell against the
+        // kernel on random grids before landing
+        """WITH RECURSIVE
+          | r AS (SELECT min(CAST(o_custkey AS DOUBLE)) AS xmin,
+          |    max(CAST(o_custkey AS DOUBLE)) AS xmax,
+          |    min(CAST(o_totalprice AS DOUBLE)) AS ymin,
+          |    max(CAST(o_totalprice AS DOUBLE)) AS ymax FROM orders),
+          | b AS (SELECT o_orderkey,
+          |   CAST(least(greatest(floor((CAST(o_custkey AS DOUBLE) - xmin)
+          |     * 65535.0 / (xmax - xmin)), 0), 65535) AS BIGINT) AS bxx,
+          |   CAST(least(greatest(floor((CAST(o_totalprice AS DOUBLE) - ymin)
+          |     * 65535.0 / (ymax - ymin)), 0), 65535) AS BIGINT) AS byy
+          |  FROM orders CROSS JOIN r),
+          | h AS (
+          |  SELECT o_orderkey, bxx AS x, byy AS y,
+          |    CAST(32768 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d FROM b
+          |  UNION ALL
+          |  SELECT o_orderkey,
+          |    CASE WHEN (y & s) != 0 THEN x
+          |         WHEN (x & s) != 0 THEN 65535 - y
+          |         ELSE y END,
+          |    CASE WHEN (y & s) != 0 THEN y
+          |         WHEN (x & s) != 0 THEN 65535 - x
+          |         ELSE x END,
+          |    s // 2,
+          |    d + s * s * xor(3 * CASE WHEN (x & s) != 0 THEN 1 ELSE 0 END,
+          |                    CASE WHEN (y & s) != 0 THEN 1 ELSE 0 END)
+          |  FROM h WHERE s > 0)
+          |SELECT o_orderkey, d AS hval FROM h WHERE s = 0""".stripMargin,
+
       "q_label_prop" ->
         """WITH pe AS (SELECT DISTINCT CAST(l1.l_partkey AS VARCHAR) AS a,
           |     CAST(l2.l_partkey AS VARCHAR) AS b
@@ -7404,6 +7483,15 @@ object SparkEntry {
           |FROM events WHERE event_id < 20000""".stripMargin,
 
       "q_zorder_skip" ->
+        """SELECT count(*) AS n,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |   AS total,
+          | coalesce(min(o_orderkey), 0) AS min_key
+          |FROM orders
+          |WHERE o_custkey <= (SELECT max(o_custkey) // 8 FROM orders)
+          | AND o_totalprice <= (SELECT max(o_totalprice) / 8 FROM orders)""".stripMargin,
+
+      "q_hilbert_skip" ->
         """SELECT count(*) AS n,
           | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
           |   AS total,

@@ -25,6 +25,16 @@ object GraftFunctions {
   def bit_hamming_distance(a: Column, b: Column): Column =
     toCol(BitHammingDistance(toExpr(a), toExpr(b)))
 
+  /** Hilbert curve position of 2-D grid cell (x, y), classic kernel
+    * ([[graft.io.Hilbert.index2]] — oracle-replayable exact int64). */
+  def hilbert_2(x: Column, y: Column, bits: Int = 16): Column =
+    toCol(HilbertIndex2(toExpr(x), toExpr(y), bits))
+
+  /** Hilbert curve position of an N-d grid cell (array<long> of bucket
+    * ids), Skilling transpose kernel ([[graft.io.Hilbert.indexN]]). */
+  def hilbert_n(coords: Column, bits: Int): Column =
+    toCol(HilbertIndexN(toExpr(coords), bits))
+
   /** char-wise hamming (reference: src/datachain/func/string.py:179). */
   def byte_hamming_distance(a: Column, b: Column): Column =
     toCol(ByteHammingDistance(toExpr(a), toExpr(b)))

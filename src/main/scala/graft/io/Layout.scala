@@ -148,6 +148,77 @@ object Layout {
       cols.zipWithIndex.map { case (c, i) => bucket(c, bounds(i)) }, b)
   }
 
+  /** `df` plus an `hval` column — the Hilbert-curve twin of
+    * [[zorderFrame]]: same exact linear bins over the one min/max agg,
+    * but positions come from the classic 2-D Hilbert kernel
+    * ([[Hilbert.index2]]) instead of the Morton interleave. Consecutive
+    * curve positions are grid-ADJACENT cells (no Morton quadrant
+    * jumps), so contiguous hval ranges — i.e. range-partitioned files —
+    * cover compact connected regions and per-file envelopes tighten on
+    * both dimensions. Engine-exact like the z twin: the oracle replays
+    * the reflect+rotate loop with a recursive CTE. */
+  def hilbertFrame(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val r = df.agg(
+      min(col(xCol).cast("double")), max(col(xCol).cast("double")),
+      min(col(yCol).cast("double")), max(col(yCol).cast("double"))).head()
+    val names = Seq("__hb0", "__hb1")
+    require(!df.columns.exists(names.toSet),
+      "input columns use reserved internal names __hb<i>")
+    df.withColumn(names(0), linearBucket(col(xCol), r.getDouble(0), r.getDouble(1)))
+      .withColumn(names(1), linearBucket(col(yCol), r.getDouble(2), r.getDouble(3)))
+      .withColumn("hval", graft.functions.GraftFunctions
+        .hilbert_2(col(names(0)), col(names(1)), Bits))
+      .drop(names: _*)
+  }
+
+  /** N-dimensional Hilbert layout key over QUANTILE buckets — the
+    * production twin of [[zorderFrameQuantileN]] (equal-mass bins keep
+    * pruning power under skew) with Skilling's transpose kernel
+    * ([[Hilbert.indexN]]) as the curve. Bucket expressions are
+    * LET-BOUND to columns first (the CollapseProject fan-out trap —
+    * see [[bindAndInterleaveN]]); the kernel itself references each
+    * bucket once, as one static call inside whole-stage codegen. */
+  def hilbertFrameQuantileN(df: DataFrame, cols: Seq[String],
+                            bits: Int = 8): DataFrame = {
+    require(cols.size >= 2, "hilbert layout needs at least 2 columns")
+    val b = math.min(bits, 63 / cols.size)
+    val nb = 1 << b
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val bounds = df.stat.approxQuantile(cols.toArray, probs, 1.0 / (4 * nb))
+    val names = cols.indices.map(i => s"__hb$i")
+    require(!df.columns.exists(names.toSet),
+      "input columns use reserved internal names __hb<i>")
+    val bound = names.zip(cols.zipWithIndex).foldLeft(df) {
+      case (d, (n, (c, i))) =>
+        d.withColumn(n, coalesce(graft.functions.GraftFunctions
+          .bounds_rank(col(c).cast("double"), bounds(i)), lit(0L)))
+    }
+    bound.withColumn("hval", graft.functions.GraftFunctions
+        .hilbert_n(array(names.map(col): _*), b))
+      .drop(names: _*)
+  }
+
+  /** Write `df` as ~`nFiles` parquet files clustered by the Hilbert
+    * curve over `cols` — the [[writeZOrdered]] twin. File boundaries
+    * align to whole curve-prefix blocks (the top log2(nFiles) index
+    * bits), which for a Hilbert curve are compact square sub-quadrants:
+    * every file's envelope is one such region on EVERY dimension, with
+    * none of the Morton cell-edge discontinuities. */
+  def writeHilbertOrdered(df: DataFrame, path: String, cols: Seq[String],
+                          nFiles: Int = 64): Unit = {
+    val bits = 8
+    val logF = math.max(1,
+      math.ceil(math.log(nFiles.toDouble) / math.log(2.0)).toInt)
+    val n = 1 << logF
+    val total = math.min(bits, 63 / cols.size) * cols.size
+    hilbertFrameQuantileN(df, cols, bits)
+      .withColumn("__hcell", shiftright(col("hval"), total - logF))
+      .repartitionByRange(n, col("__hcell"))
+      .sortWithinPartitions("__hcell", "hval")
+      .drop("hval", "__hcell")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Write `df` as ~`nFiles` parquet files clustered by the z-curve over
     * (`xCol`, `yCol`) — quantile-bucketed ([[zorderFrameQuantile]]), so
     * skewed distributions still spread across cells. Files are aligned to

@@ -113,6 +113,45 @@ case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** Hilbert curve index of 2-D grid cell (x, y) on the 2^bits-per-side
+  * grid — classic reflect+rotate kernel in [[graft.io.Hilbert.index2]];
+  * exact int64, SQL-replayable via a recursive CTE (the oracle does). */
+case class HilbertIndex2(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  require(bits >= 1 && bits <= 31, s"hilbert bits in [1,31], got $bits")
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hilbert_index2"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    graft.io.Hilbert.index2(x.asInstanceOf[Long], y.asInstanceOf[Long], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) =>
+      s"graft.io.Hilbert.index2($x, $y, $bits)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HilbertIndex2 =
+    copy(left = l, right = r)
+}
+
+/** Hilbert curve index of an N-d grid cell (`array<long>` of bucket ids,
+  * each < 2^bits) — Skilling transpose kernel in
+  * [[graft.io.Hilbert.indexN]]; n*bits must fit 63 bits. */
+case class HilbertIndexN(child: Expression, bits: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hilbert_index_n"
+  override protected def nullSafeEval(a: Any): Any =
+    graft.io.Hilbert.indexNArray(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.io.Hilbert.indexNArray($c, $bits)")
+  override protected def withNewChildInternal(c: Expression): HilbertIndexN =
+    copy(child = c)
+}
+
 /** popcount(a ^ b) — hamming distance between two 64-bit values. */
 case class BitHammingDistance(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

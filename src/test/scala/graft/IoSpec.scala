@@ -173,6 +173,73 @@ class IoSpec extends SparkSpec {
     assert(back.columns.sorted === orders.columns.sorted)
   }
 
+  test("hilbert layout: expression parity, locality vs morton, pruning write") {
+    import org.apache.spark.sql.functions._
+    import graft.io.Hilbert
+    import graft.functions.GraftFunctions
+    // (a) the codegen'd expressions match the kernels row-for-row, and
+    // the full 64x64 grid maps bijectively onto [0, 4096) THROUGH the
+    // expression (codegen path included)
+    val g = spark.range(0, 4096).select(
+      (col("id") % 64).cast("long").as("x"),
+      (col("id") / 64).cast("long").as("y"))
+    val hv2 = g.select(col("x"), col("y"),
+        GraftFunctions.hilbert_2(col("x"), col("y"), 6).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hv2.forall { case (x, y, h) => Hilbert.index2(x, y, 6) == h })
+    assert(hv2.map(_._3).toSet === (0L until 4096L).toSet)
+    val hvN = g.select(col("x"), col("y"),
+        GraftFunctions.hilbert_n(array(
+          (col("x") / 8).cast("long"), pmod(col("x"), lit(8)).cast("long"),
+          (col("y") / 8).cast("long")), 3).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hvN.forall { case (x, y, h) =>
+      Hilbert.indexN(Array(x / 8, x % 8, y / 8), 3) == h })
+
+    // (b) the locality claim, measured: split each curve's index domain
+    // into 10 EQUAL ranges (10 is not a power of two, so every boundary
+    // cuts mid-cell — exactly what sampled range partitioning does) and
+    // sum the per-block (x, y) envelope widths. Hilbert blocks are
+    // contiguous curve runs of grid-adjacent cells; Morton runs jump at
+    // quadrant seams, so their bounding boxes come out wider on the
+    // same uniform grid.
+    def blockEnvSum(df: org.apache.spark.sql.DataFrame, v: String): Long = {
+      val width = math.ceil(math.pow(2.0, 32) / 10.0).toLong
+      df.groupBy((col(v) / width).cast("long").as("blk"))
+        .agg((max("x") - min("x") + max("y") - min("y")).as("w"))
+        .agg(sum("w")).head().getLong(0)
+    }
+    val zSum = blockEnvSum(graft.io.Layout.zorderFrame(g, "x", "y"), "zval")
+    val hSum = blockEnvSum(graft.io.Layout.hilbertFrame(g, "x", "y"), "hval")
+    assert(hSum < zSum, s"hilbert envelope sum $hSum vs morton $zSum")
+
+    // (c) the write path: curve-prefix-aligned files prune a 12.5%-mass
+    // window on BOTH dimensions (same bar as the z-order test above)
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    val root = java.nio.file.Files.createTempDirectory("hilb").toString
+    graft.io.Layout.writeHilbertOrdered(orders, s"$root/h",
+      Seq("o_custkey", "o_totalprice"), nFiles = 64)
+    val env = spark.read.parquet(s"$root/h")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_custkey").as("xlo"), max("o_custkey").as("xhi"),
+        min("o_totalprice").as("ylo"), max("o_totalprice").as("yhi"))
+      .collect()
+    assert(env.length >= 56 && env.length <= 64, env.length.toString)
+    val Array(qx1, qx2) = orders
+      .selectExpr("CAST(o_custkey AS DOUBLE) AS x")
+      .stat.approxQuantile("x", Array(0.40, 0.525), 0.001)
+    val Array(qy1, qy2) =
+      orders.stat.approxQuantile("o_totalprice", Array(0.40, 0.525), 0.001)
+    val hx = env.count(e => e.getLong(2) >= qx1 && e.getLong(1) <= qx2)
+    val hy = env.count(e => e.getDouble(4) >= qy1 && e.getDouble(3) <= qy2)
+    assert(hx <= 24, s"hilbert x-hits $hx")
+    assert(hy <= 24, s"hilbert y-hits $hy")
+    val back = spark.read.parquet(s"$root/h")
+    assert(back.count() === orders.count())
+    assert(back.agg(sum("o_orderkey")).head().getLong(0) ===
+      orders.agg(sum("o_orderkey")).head().getLong(0))
+  }
+
   test("writePartitioned: per-directory file cap, lossless read-back") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .select("event_id", "event_type")

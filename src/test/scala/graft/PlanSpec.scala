@@ -451,6 +451,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("* Project"), p.take(2000)) // starred = codegen'd
   }
 
+  test("q_hilbert: the hilbert value is a zero-exchange codegen'd projection") {
+    val p = plan("q_hilbert")
+    // same shape bar as q_zorder: after the build-time min/max agg,
+    // stamping the curve position is one static kernel call inside a
+    // codegen'd projection — no shuffle, no interpreted expression
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("* Project"), p.take(2000))
+  }
+
   test("q_triangles: wedge join shuffles ids only — no cartesian product") {
     val p = plan("q_triangles")
     // degree orientation makes every stage a hash join on (node, node)

@@ -386,3 +386,70 @@ object StatsPruneProps extends Properties("graft.statsprune") {
       }
     }
 }
+
+// ---- Hilbert curve kernels (graft.io.Hilbert) ----
+// The classic 2-D kernel and Skilling's N-d transpose kernel are pinned
+// on the three properties that define a Hilbert curve: the index/coords
+// maps invert each other on the FULL index domain (bijectivity), the
+// curve starts at the origin, and consecutive curve positions are
+// grid-adjacent (one axis changes, by exactly 1 — the locality property
+// Morton/Z-order lacks at quadrant boundaries).
+object HilbertProps extends Properties("graft.hilbert") {
+  import org.scalacheck.{Gen, Prop}
+  import Prop.forAll
+  import graft.io.Hilbert
+
+  private val bits2: Gen[Int] = Gen.choose(1, 16)
+  private def d2(bits: Int): Gen[Long] = Gen.choose(0L, (1L << (2 * bits)) - 1)
+
+  property("index2 ∘ coords2 ≡ id (bijective on the full domain)") =
+    forAll(bits2.flatMap(b => d2(b).map((b, _)))) { case (b, d) =>
+      val (x, y) = Hilbert.coords2(d, b)
+      x >= 0 && x < (1L << b) && y >= 0 && y < (1L << b) &&
+        Hilbert.index2(x, y, b) == d
+    }
+
+  property("index2 starts at the origin") =
+    forAll(bits2)(b => Hilbert.index2(0, 0, b) == 0L)
+
+  property("coords2 unit step: consecutive positions are grid-adjacent") =
+    forAll(bits2.flatMap(b => d2(b).map((b, _)))) { case (b, d0) =>
+      val d = math.min(d0, (1L << (2 * b)) - 2)
+      val (x1, y1) = Hilbert.coords2(d, b)
+      val (x2, y2) = Hilbert.coords2(d + 1, b)
+      math.abs(x1 - x2) + math.abs(y1 - y2) == 1
+    }
+
+  private val nb: Gen[(Int, Int)] = for {
+    n <- Gen.choose(2, 6)
+    b <- Gen.choose(1, math.min(10, 62 / n))
+  } yield (n, b)
+
+  property("indexN ∘ coordsN ≡ id (bijective on the full domain)") =
+    forAll(nb.flatMap { case (n, b) =>
+      Gen.choose(0L, (1L << (n * b)) - 1).map((n, b, _)) }) { case (n, b, d) =>
+      val c = Hilbert.coordsN(d, n, b)
+      c.forall(v => v >= 0 && v < (1L << b)) &&
+        Hilbert.indexN(c, b) == d
+    }
+
+  property("coordsN ∘ indexN ≡ id (coordinate-side round trip)") =
+    forAll(nb.flatMap { case (n, b) =>
+      Gen.listOfN(n, Gen.choose(0L, (1L << b) - 1)).map(c => (n, b, c)) }) {
+      case (n, b, c0) =>
+        val c = c0.toArray
+        Hilbert.coordsN(Hilbert.indexN(c, b), n, b).sameElements(c)
+    }
+
+  property("indexN starts at the origin") =
+    forAll(nb) { case (n, b) =>
+      Hilbert.indexN(new Array[Long](n), b) == 0L }
+
+  property("coordsN unit step: one axis changes by exactly 1") =
+    forAll(nb.flatMap { case (n, b) =>
+      Gen.choose(0L, (1L << (n * b)) - 2).map((n, b, _)) }) { case (n, b, d) =>
+      val c1 = Hilbert.coordsN(d, n, b)
+      val c2 = Hilbert.coordsN(d + 1, n, b)
+      c1.indices.map(i => math.abs(c1(i) - c2(i))).sum == 1
+    }
+}
