@@ -118,6 +118,50 @@ object SparkEntry {
       |     AND win.h = m.fp
       |   GROUP BY win.doc_id, win.ws, m.fp)""".stripMargin
 
+  /** Unrolled BPE training + encode oracle (k merges, whitespace
+    * words). One merge application is a PURE list expression —
+    * matches `mt` = positions of the pair, `kept` = greedy LTR
+    * non-overlap via run parity (p - first-index-of-run even), rebuild
+    * fuses kept positions and drops their right halves — so stage k is
+    * a plain projection and the argmax a plain aggregate: no recursion
+    * (DuckDB's chained recursive CTEs mis-evaluate; see the gate
+    * comment), every merge and token re-derived exactly. MATERIALIZED
+    * keeps the k-stage chain linear instead of re-inlining f_{k-1}
+    * into each of its two consumers. */
+  private def bpeTrainCtes(k: Int): String = {
+    def pick(j: Int): String =
+      s""" p$j AS (SELECT s.syms[i] AS a, s.syms[i+1] AS b, sum(wf.cnt) AS c
+         |   FROM f${j - 1} s JOIN wf USING (word),
+         |     unnest(range(1, len(s.syms))) AS t(i)
+         |   GROUP BY 1, 2),
+         | mm$j AS MATERIALIZED (
+         |   SELECT a, b FROM p$j ORDER BY c DESC, a, b LIMIT 1)""".stripMargin
+    def apply(j: Int): String =
+      s""" n$j AS (SELECT word, syms,
+         |    list_filter(range(1, len(syms)), i -> syms[i] = mm.a
+         |      AND syms[i+1] = mm.b) AS mt
+         |   FROM f${j - 1}, mm$j AS mm),
+         | kp$j AS (SELECT word, syms,
+         |    list_filter(mt, (x, p) ->
+         |      (p - list_position(list_transform(mt, (y, q) -> y - q),
+         |         x - p)) % 2 = 0) AS kept
+         |   FROM n$j),
+         | f$j AS MATERIALIZED (SELECT word,
+         |    [y for y in list_transform(range(1, len(syms) + 1), j ->
+         |       CASE WHEN list_contains(kept, j) THEN syms[j] || syms[j+1]
+         |            WHEN list_contains(kept, j - 1) THEN NULL
+         |            ELSE syms[j] END) if y IS NOT NULL] AS syms
+         |   FROM kp$j)""".stripMargin
+    val stages = (1 to k).map(j => pick(j) + ",\n" + apply(j)).mkString(",\n")
+    s""" wf AS MATERIALIZED (SELECT w AS word, count(*) AS cnt FROM (
+       |   SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+       |     x -> x != '')) AS w
+       |   FROM documents) GROUP BY 1),
+       | f0 AS (SELECT word,
+       |   [x for x in string_split_regex(word, '')] AS syms FROM wf),
+       |$stages""".stripMargin
+  }
+
   private val chunkDedupOracleSql: String =
     """WITH newdocs AS (
       |  SELECT doc_id + 300000 AS doc_id,
@@ -2177,6 +2221,20 @@ object SparkEntry {
       T(s, dir, "documents").select(
         col("doc_id"),
         TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))),
+
+    "q_bpe" -> ((s, dir) => {
+      // byte-pair encoding end-to-end: ONE distributed word-count, an
+      // 8-merge driver loop over the bounded frequency table, then a
+      // codegen'd tokenize projection over the corpus. The oracle
+      // re-runs the whole thing in SQL — each merge application is a
+      // pure list expression (greedy LTR via run parity), so the 8
+      // training stages unroll as plain projections + aggregates and
+      // DuckDB re-derives every merge AND every token bit-for-bit
+      // (count ties break by UTF-8 byte order on both sides)
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val model = graft.ops.Bpe.trainOn(docs, "text", numMerges = 8)
+      graft.ops.Bpe.tokenize(docs, "doc_id", "text", model)
+    }),
 
     "q_winnow" -> ((s, dir) =>
       // winnowed fingerprints (Schleimer et al. 2003, the MOSS
@@ -7191,6 +7249,19 @@ object SparkEntry {
 
       "q_fingerprint" ->
         s"SELECT doc_id, md5($norm) AS fp_md5 FROM documents",
+
+      "q_bpe" ->
+        s"""WITH
+           |${bpeTrainCtes(8)},
+           | docs AS (SELECT doc_id,
+           |    list_filter(string_split_regex(text, '\\s+'),
+           |      x -> x != '') AS ws
+           |   FROM documents),
+           | wpos AS (SELECT d.doc_id, t.widx, d.ws[t.widx] AS word
+           |   FROM docs d, unnest(range(1, len(d.ws) + 1)) AS t(widx))
+           |SELECT w.doc_id, w.widx, u.tidx, f.syms[u.tidx] AS token
+           |FROM wpos w JOIN f8 f USING (word),
+           |  unnest(range(1, len(f.syms) + 1)) AS u(tidx)""".stripMargin,
 
       "q_winnow" ->
         s"""WITH corpus AS (SELECT doc_id, text FROM documents),

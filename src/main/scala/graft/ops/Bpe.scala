@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/**
+ * Byte-pair encoding tokenizer (Sennrich, Haddow & Birch, ACL 2016 —
+ * the subword algorithm behind GPT/LLaMA-family vocabularies): start
+ * from characters, repeatedly merge the corpus-wide most frequent
+ * adjacent symbol pair, and tokenize by replaying the learned merges.
+ * This is the REAL token counter for token-budget work ([[Corpus]]'s
+ * mixing/packing operate on counts; a trained BPE makes those counts
+ * vocabulary-faithful instead of whitespace-approximate).
+ *
+ * Scale shape: the corpus-proportional work is ONE distributed
+ * word-count groupBy; training then runs driver-side on the BOUNDED
+ * word-frequency table (top `maxWords` by count — the standard
+ * formulation trains on the word-frequency dict, not the raw corpus,
+ * so the driver holds O(vocab) state, never O(corpus)). Encoding is a
+ * pure codegen'd projection — one static call per row against the
+ * broadcast-referenced model, with a per-JVM memo so repeated words
+ * (Zipf says: almost all of them) encode once per executor.
+ *
+ * Determinism & oracle: pair selection breaks count ties by UTF-8
+ * byte order of (a, b) — DuckDB's default VARCHAR collation — and
+ * merges apply left-to-right non-overlapping. Both training and
+ * encoding are therefore replayable in plain SQL: one merge step is a
+ * pure list expression (greedy LTR via a run-parity trick for the
+ * a==b case), so the driver's oracle unrolls K training stages and
+ * re-derives every merge AND every token bit-for-bit.
+ *
+ * Encoding replays merges IN RANK ORDER (exactly how training applies
+ * them). For tables this object trained, that is provably the same as
+ * the min-rank-iterative formulation GPT-2 style encoders use —
+ * scalacheck pins the equivalence on randomly trained corpora.
+ */
+object Bpe {
+
+  /** UTF-8 byte-order comparison (DuckDB/Spark binary collation) —
+    * the tie-break order for equal pair counts. */
+  private def u8lt(x: (String, String), y: (String, String)): Boolean = {
+    val c = UTF8String.fromString(x._1).binaryCompare(UTF8String.fromString(y._1))
+    if (c != 0) c < 0
+    else UTF8String.fromString(x._2).binaryCompare(UTF8String.fromString(y._2)) < 0
+  }
+
+  /** One merge pass: replace adjacent (a, b) with the fused symbol,
+    * left-to-right non-overlapping ("aaa" + (a,a) → [aa, a]). */
+  def mergeLtr(seq: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < seq.length) {
+      if (i + 1 < seq.length && seq(i) == a && seq(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += seq(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Learn up to `numMerges` merges from a word-frequency table.
+    * Stops early when no adjacent pair remains. Pure function of the
+    * (word, count) multiset — input order never matters. */
+  def train(wordCounts: Seq[(String, Long)], numMerges: Int): Vector[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    // collapse duplicate words, split to codepoint symbols
+    var seqs: Map[Vector[String], Long] = wordCounts
+      .groupMapReduce(w => splitChars(w._1))(_._2)(_ + _)
+      .filter(_._1.nonEmpty)
+    val merges = Vector.newBuilder[(String, String)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((s, c) <- seqs; i <- 0 until s.length - 1)
+        counts.updateWith((s(i), s(i + 1)))(v => Some(v.getOrElse(0L) + c))
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.foldLeft(Option.empty[((String, String), Long)]) {
+          case (acc, kv) => acc match {
+            case Some(b) if b._2 > kv._2 || (b._2 == kv._2 && u8lt(b._1, kv._1)) => acc
+            case _ => Some(kv)
+          }
+        }.get._1
+        merges += best
+        seqs = seqs.groupMapReduce { case (s, _) =>
+          mergeLtr(s, best._1, best._2) }(_._2)(_ + _)
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Split a word into codepoint symbols (astral-safe). */
+  def splitChars(w: String): Vector[String] =
+    w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
+
+  /** A trained merge list with an in-rank-order replay encoder and a
+    * per-JVM word memo (serializable; rides expressions via
+    * addReferenceObj). */
+  case class Model(merges: Vector[(String, String)]) {
+    @transient private lazy val memo =
+      new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
+
+    /** Tokens of one word: replay every merge in rank order. */
+    def encode(word: String): Vector[String] = {
+      val hit = memo.get(word)
+      if (hit != null) return hit
+      var s = splitChars(word)
+      var i = 0
+      while (i < merges.length && s.length > 1) {
+        s = mergeLtr(s, merges(i)._1, merges(i)._2)
+        i += 1
+      }
+      // bound the memo: Zipf heads fit easily; a pathological unique-
+      // word stream must not grow executor memory without limit
+      if (memo.size < (1 << 20)) memo.put(word, s)
+      s
+    }
+
+    /** The codegen entry point: whitespace-split `text` (empties
+      * dropped), encode each word, pack as
+      * array<struct<widx:int, tidx:int, token:string>> with 1-based
+      * word/token positions (the SQL unnest convention). */
+    def tokenizeRow(text: UTF8String): ArrayData = {
+      val words = text.toString.split("\\s+").filter(_.nonEmpty)
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var wi = 0
+      while (wi < words.length) {
+        val toks = encode(words(wi))
+        var ti = 0
+        while (ti < toks.length) {
+          rows += InternalRow(wi + 1, ti + 1, UTF8String.fromString(toks(ti)))
+          ti += 1
+        }
+        wi += 1
+      }
+      new GenericArrayData(rows.toArray)
+    }
+  }
+
+  /** Distributed (word, count) table for `textCol` — the one
+    * corpus-proportional job training needs. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Train on `df`'s `textCol`: one distributed word count, then the
+    * driver loop over the top-`maxWords` frequency table (ties at the
+    * cut kept deterministically by word). `maxWords` bounds driver
+    * memory at any corpus size — the standard vocabulary cap. */
+  def trainOn(df: DataFrame, textCol: String, numMerges: Int,
+              maxWords: Int = 1 << 20): Model = {
+    val wc = wordCounts(df, textCol)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    Model(train(wc, numMerges))
+  }
+
+  /** `array<struct<widx, tidx, token>>` column of BPE tokens. */
+  def tokensCol(text: Column, model: Model): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      org.apache.spark.sql.graft.BpeTokenizeExpr(
+        org.apache.spark.sql.graft.bridge.expression(text), model))
+
+  /** Exploded token table `(id, widx, tidx, token)` — one codegen'd
+    * projection + one Generate, no shuffle. */
+  def tokenize(df: DataFrame, idCol: String, textCol: String,
+               model: Model): DataFrame =
+    df.select(col(idCol), explode(tokensCol(col(textCol), model)).as("t"))
+      .select(col(idCol), col("t.widx").as("widx"),
+        col("t.tidx").as("tidx"), col("t.token").as("token"))
+}

@@ -119,6 +119,17 @@ object chainops {
           maxDocsPerFp),
         "winnow_dedup", textCol, idCol, k, w, minJaccard, maxDocsPerFp)
 
+    /** BPE-tokenized table ([[Bpe.tokenize]]): trains `numMerges`
+      * merges on this chain's `textCol` (one distributed word count +
+      * a driver loop over the top-`maxWords` frequency table), then
+      * tokenizes every row with the codegen'd encoder. */
+    def bpeTokenize(textCol: String, idCol: String, numMerges: Int = 64,
+                    maxWords: Int = 1 << 20): Chain = {
+      val model = Bpe.trainOn(c.toDF, textCol, numMerges, maxWords)
+      derive(Bpe.tokenize(c.toDF, idCol, textCol, model),
+        "bpe_tokenize", textCol, idCol, numMerges, maxWords)
+    }
+
     /** 1:N character chunking (see [[TextAnalysis.chunkText]]). */
     def chunkDocs(textCol: String, size: Int, overlap: Int = 0): Chain =
       derive(c.toDF

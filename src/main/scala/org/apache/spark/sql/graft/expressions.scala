@@ -113,6 +113,32 @@ case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
     copy(child = c)
 }
 
+/** BPE tokenization of whitespace-split text under a trained
+  * [[graft.ops.Bpe.Model]]: array<struct<widx:int, tidx:int,
+  * token:string>>, 1-based positions. The model rides generated code
+  * via addReferenceObj (one virtual call per row); its per-JVM word
+  * memo makes Zipf-headed corpora encode each distinct word once. */
+case class BpeTokenizeExpr(child: Expression, model: graft.ops.Bpe.Model)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("widx", IntegerType, nullable = false),
+    StructField("tidx", IntegerType, nullable = false),
+    StructField("token", StringType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_tokenize"
+  override protected def nullSafeEval(v: Any): Any =
+    model.tokenizeRow(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model,
+      classOf[graft.ops.Bpe.Model].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.tokenizeRow($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeTokenizeExpr =
+    copy(child = c)
+}
+
 /** Hilbert curve index of 2-D grid cell (x, y) on the 2^bits-per-side
   * grid — classic reflect+rotate kernel in [[graft.io.Hilbert.index2]];
   * exact int64, SQL-replayable via a recursive CTE (the oracle does). */

@@ -2595,4 +2595,50 @@ class OpsSpec extends SparkSpec {
     assert(Winnow.nearDup(docs, "doc_id", "text", k = 5, w = 4,
       minJaccard = 0.01, maxDocsPerFp = 1).count() === 0)
   }
+
+  test("bpe: paper example, encode replay, expression parity, edge shapes") {
+    import graft.ops.Bpe
+    // the ACL'16 example vocabulary (no end-of-word marker — documented
+    // choice): first four merges are the classic es, est, lo, low
+    val wc = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Bpe.train(wc, 4)
+    assert(merges === Vector(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")),
+      merges.toString)
+    val model = Bpe.Model(merges)
+    assert(model.encode("lowest") === Vector("low", "est"))
+    assert(model.encode("newest") === Vector("n", "e", "w", "est"))
+    assert(model.encode("zzz") === Vector("z", "z", "z"))
+    // ties break by UTF-8 byte order; early stop when nothing pairs
+    assert(Bpe.train(Seq(("ab", 1L), ("cd", 1L)), 5) ===
+      Vector(("a", "b"), ("c", "d")))
+    // mergeLtr is greedy left-to-right non-overlapping
+    assert(Bpe.mergeLtr(Vector("a", "a", "a"), "a", "a") ===
+      Vector("aa", "a"))
+
+    // DataFrame tokenize matches the model word-for-word, 1-based
+    // positions, empties dropped, astral chars survive
+    import spark.implicits._
+    val docs = Seq((1L, "low lower  newest"), (2L, "  "), (3L, ""),
+      (4L, "wid\u00e9st low\ud83d\ude00")).toDF("doc_id", "text")
+    val got = Bpe.tokenize(docs, "doc_id", "text", model)
+      .as[(Long, Int, Int, String)].collect().toSet
+    val want = Seq((1L, "low lower  newest"),
+        (4L, "wid\u00e9st low\ud83d\ude00")).flatMap { case (id, t) =>
+      t.split("\\s+").filter(_.nonEmpty).zipWithIndex.flatMap { case (w, wi) =>
+        model.encode(w).zipWithIndex.map { case (tk, ti) =>
+          (id, wi + 1, ti + 1, tk) } }
+    }.toSet
+    assert(got === want && got.nonEmpty)
+    // every word reassembles from its tokens in order (lossless)
+    val joined = Bpe.tokenize(docs, "doc_id", "text", model)
+      .groupBy($"doc_id", $"widx")
+      .agg(concat_ws("", sort_array(collect_list(struct($"tidx", $"token")))
+        .getField("token")).as("w"))
+      .as[(Long, Int, String)].collect().toSet
+    val words = Seq((1L, "low lower  newest"),
+        (4L, "wid\u00e9st low\ud83d\ude00")).flatMap { case (id, t) =>
+      t.split("\\s+").filter(_.nonEmpty).zipWithIndex.map { case (w, i) =>
+        (id, i + 1, w) } }.toSet
+    assert(joined === words)
+  }
 }

@@ -451,6 +451,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("* Project"), p.take(2000)) // starred = codegen'd
   }
 
+  test("q_bpe: tokenize is one Generate over a codegen'd projection") {
+    val p = plan("q_bpe")
+    // training's aggregates run eagerly at gate build; the returned
+    // frame must be scan -> bpe_tokenize projection -> one explode —
+    // no shuffle, no per-word join against a merges table
+    assert(!p.contains("Exchange"), p)
+    // exactly one Generate operator = tree row + its detail section
+    // (the q_cdc_chunks counting idiom)
+    assert("Generate".r.findAllIn(p).length === 2, p)
+    assert(p.contains("bpe_tokenize"), p)
+  }
+
   test("q_hilbert: the hilbert value is a zero-exchange codegen'd projection") {
     val p = plan("q_hilbert")
     // same shape bar as q_zorder: after the build-time min/max agg,

@@ -453,3 +453,93 @@ object HilbertProps extends Properties("graft.hilbert") {
       c1.indices.map(i => math.abs(c1(i) - c2(i))).sum == 1
     }
 }
+
+// ---- BPE kernels (graft.ops.Bpe) ----
+// Training is pinned against an independently written O(V²) reference
+// (sliding-window pair counts, sortBy argmax — different code shape
+// from the library's fold/updateWith loop), and the replay encoder is
+// pinned equal to the min-rank-iterative formulation GPT-2-style
+// encoders use — the classical equivalence that holds for any table
+// the trainer itself produced.
+object BpeProps extends Properties("graft.bpe") {
+  import org.scalacheck.{Gen, Prop}
+  import Prop.forAll
+  import graft.ops.Bpe
+
+  private val word: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')))
+      .map(_.mkString)
+  private val corpus: Gen[List[(String, Long)]] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n,
+      word.flatMap(w => Gen.choose(1L, 9L).map((w, _)))))
+
+  private def naiveTrain(wc: Seq[(String, Long)], k: Int): Vector[(String, String)] = {
+    var seqs = wc.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      .map { case (w, c) => (Bpe.splitChars(w), c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    var out = Vector.empty[(String, String)]
+    for (_ <- 1 to k) {
+      val counts = seqs.flatMap { case (s, c) =>
+        s.sliding(2).filter(_.size == 2).map(p => ((p(0), p(1)), c)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      if (counts.nonEmpty) {
+        // utf-8 order == natural order on this ascii alphabet
+        val best = counts.sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+        out :+= best
+        seqs = seqs.map { case (s, c) => (Bpe.mergeLtr(s, best._1, best._2), c) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      }
+    }
+    out
+  }
+
+  /** min-rank-iterative encode (the GPT-2 formulation). */
+  private def minRankEncode(w: String, merges: Vector[(String, String)]): Vector[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var s = Bpe.splitChars(w)
+    var go = true
+    while (go && s.length > 1) {
+      val cand = (0 until s.length - 1)
+        .flatMap(i => rank.get((s(i), s(i + 1))).map(r => (r, i)))
+      if (cand.isEmpty) go = false
+      else {
+        val r = cand.map(_._1).min
+        val i = cand.filter(_._1 == r).map(_._2).min
+        s = s.take(i) ++ Vector(s(i) + s(i + 1)) ++ s.drop(i + 2)
+      }
+    }
+    s
+  }
+
+  property("train == independent naive reference") =
+    forAll(corpus, Gen.choose(1, 10)) { (wc, k) =>
+      Bpe.train(wc, k) == naiveTrain(wc, k)
+    }
+
+  property("train is input-order invariant") =
+    forAll(corpus, Gen.choose(1, 6)) { (wc, k) =>
+      Bpe.train(wc, k) == Bpe.train(wc.reverse, k)
+    }
+
+  property("mergeLtr: concat preserved, pair eliminated") =
+    forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "ab")),
+      Gen.oneOf("a", "b", "c"), Gen.oneOf("a", "b", "c")) { (s0, a, b) =>
+      val s = s0.toVector
+      val m = Bpe.mergeLtr(s, a, b)
+      m.mkString == s.mkString &&
+        !m.iterator.sliding(2).withPartial(false)
+          .exists(p => p(0) == a && p(1) == b)
+    }
+
+  property("encode: tokens reassemble the word") =
+    forAll(corpus, word, Gen.choose(1, 8)) { (wc, w, k) =>
+      val model = Bpe.Model(Bpe.train(wc, k))
+      model.encode(w).mkString == w
+    }
+
+  property("replay encode == min-rank encode on trained tables") =
+    forAll(corpus, word, Gen.choose(1, 10)) { (wc, w, k) =>
+      val merges = Bpe.train(wc, k)
+      Bpe.Model(merges).encode(w) == minRankEncode(w, merges)
+    }
+}
