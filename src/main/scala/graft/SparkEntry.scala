@@ -127,7 +127,10 @@ object SparkEntry {
     * (DuckDB's chained recursive CTEs mis-evaluate; see the gate
     * comment), every merge and token re-derived exactly. MATERIALIZED
     * keeps the k-stage chain linear instead of re-inlining f_{k-1}
-    * into each of its two consumers. */
+    * into each of its two consumers. A stage whose mm is empty (the
+    * corpus ran out of adjacent pairs) passes f_{k-1} through
+    * unchanged — mirroring Bpe.train's early stop, so the gate
+    * survives a regenerated fixture with a tiny vocabulary. */
   private def bpeTrainCtes(k: Int): String = {
     def pick(j: Int): String =
       s""" p$j AS (SELECT s.syms[i] AS a, s.syms[i+1] AS b, sum(wf.cnt) AS c
@@ -151,7 +154,10 @@ object SparkEntry {
          |       CASE WHEN list_contains(kept, j) THEN syms[j] || syms[j+1]
          |            WHEN list_contains(kept, j - 1) THEN NULL
          |            ELSE syms[j] END) if y IS NOT NULL] AS syms
-         |   FROM kp$j)""".stripMargin
+         |   FROM kp$j
+         |   UNION ALL
+         |   SELECT word, syms FROM f${j - 1}
+         |   WHERE NOT EXISTS (SELECT 1 FROM mm$j))""".stripMargin
     val stages = (1 to k).map(j => pick(j) + ",\n" + apply(j)).mkString(",\n")
     s""" wf AS MATERIALIZED (SELECT w AS word, count(*) AS cnt FROM (
        |   SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
@@ -2230,7 +2236,11 @@ object SparkEntry {
       // pure list expression (greedy LTR via run parity), so the 8
       // training stages unroll as plain projections + aggregates and
       // DuckDB re-derives every merge AND every token bit-for-bit
-      // (count ties break by UTF-8 byte order on both sides)
+      // (count ties break by UTF-8 byte order on both sides). NOTE:
+      // trainOn's top-maxWords vocabulary cap (default 2^20) is NOT
+      // modeled by the oracle — safe here because this corpus holds a
+      // few dozen distinct words; a gate on an open-vocabulary corpus
+      // would need the cap mirrored as a top-N filter on wf
       val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
       val model = graft.ops.Bpe.trainOn(docs, "text", numMerges = 8)
       graft.ops.Bpe.tokenize(docs, "doc_id", "text", model)

@@ -124,28 +124,38 @@ object Layout {
                           bits: Int = 8): DataFrame =
     zorderFrameQuantileN(df, Seq(xCol, yCol), bits)
 
+  /** Per-dimension bucket resolution for an N-dim curve key that must
+    * fit 63 bits — the ONE place the clamp formula lives (the quantile
+    * frames and both cell-aligned write paths all derive from it). */
+  def curveBits(bits: Int, dims: Int): Int = math.min(bits, 63 / dims)
+
+  /** Quantile bucket expressions for `cols` at 2^bits resolution — ONE
+    * multi-column approxQuantile job, bucket = #boundaries <= v via the
+    * binary-search kernel (the filter-HOF formulation compared all
+    * 2^bits-1 boundaries and allocated the filtered array per row);
+    * nulls keep the bucket-0 convention of the linear variant. Shared
+    * by the Z-order and Hilbert quantile frames. */
+  private def quantileBuckets(df: DataFrame, cols: Seq[String],
+                              b: Int): Seq[Column] = {
+    val nb = 1 << b
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val bounds = df.stat.approxQuantile(cols.toArray, probs, 1.0 / (4 * nb))
+    cols.zipWithIndex.map { case (c, i) =>
+      coalesce(graft.functions.GraftFunctions
+        .bounds_rank(col(c).cast("double"), bounds(i)), lit(0L)) }
+  }
+
   /** N-dimensional [[zorderFrameQuantile]] — Delta's `ZORDER BY (c1, …,
     * cN)`. Still ONE multi-column quantile job; per-dimension resolution
     * is capped so the interleave fits a long (N=2 → 8 bits, N=3 → 8,
-    * N=4 → 8, N=7 → 9 total... bits param is clamped to 63/N). */
+    * N=4 → 8, N=7 → 9 total... bits param is clamped to 63/N). The
+    * bucket expressions are evaluated ONCE per row via
+    * bindAndInterleaveN's let-binding. */
   def zorderFrameQuantileN(df: DataFrame, cols: Seq[String],
                            bits: Int = 8): DataFrame = {
     require(cols.size >= 2, "zorder needs at least 2 columns")
-    val b = math.min(bits, 63 / cols.size)
-    val nb = 1 << b
-    val probs = (1 until nb).map(_.toDouble / nb).toArray
-    // ONE multi-column quantile job for all dimensions
-    val bounds = df.stat.approxQuantile(cols.toArray, probs, 1.0 / (4 * nb))
-    def bucket(c: String, bs: Array[Double]): Column =
-      // bucket = #boundaries <= v: log2(2^bits) comparisons via the
-      // binary-search kernel (the filter-HOF formulation compared all
-      // 2^bits-1 boundaries and allocated the filtered array per row),
-      // evaluated ONCE per row via bindAndInterleaveN's let-binding;
-      // nulls keep the bucket-0 convention of the linear variant
-      coalesce(graft.functions.GraftFunctions
-        .bounds_rank(col(c).cast("double"), bs), lit(0L))
-    bindAndInterleaveN(df,
-      cols.zipWithIndex.map { case (c, i) => bucket(c, bounds(i)) }, b)
+    val b = curveBits(bits, cols.size)
+    bindAndInterleaveN(df, quantileBuckets(df, cols, b), b)
   }
 
   /** `df` plus an `hval` column — the Hilbert-curve twin of
@@ -181,17 +191,12 @@ object Layout {
   def hilbertFrameQuantileN(df: DataFrame, cols: Seq[String],
                             bits: Int = 8): DataFrame = {
     require(cols.size >= 2, "hilbert layout needs at least 2 columns")
-    val b = math.min(bits, 63 / cols.size)
-    val nb = 1 << b
-    val probs = (1 until nb).map(_.toDouble / nb).toArray
-    val bounds = df.stat.approxQuantile(cols.toArray, probs, 1.0 / (4 * nb))
+    val b = curveBits(bits, cols.size)
     val names = cols.indices.map(i => s"__hb$i")
     require(!df.columns.exists(names.toSet),
       "input columns use reserved internal names __hb<i>")
-    val bound = names.zip(cols.zipWithIndex).foldLeft(df) {
-      case (d, (n, (c, i))) =>
-        d.withColumn(n, coalesce(graft.functions.GraftFunctions
-          .bounds_rank(col(c).cast("double"), bounds(i)), lit(0L)))
+    val bound = names.zip(quantileBuckets(df, cols, b)).foldLeft(df) {
+      case (d, (n, bk)) => d.withColumn(n, bk)
     }
     bound.withColumn("hval", graft.functions.GraftFunctions
         .hilbert_n(array(names.map(col): _*), b))
@@ -207,10 +212,13 @@ object Layout {
   def writeHilbertOrdered(df: DataFrame, path: String, cols: Seq[String],
                           nFiles: Int = 64): Unit = {
     val bits = 8
-    val logF = math.max(1,
-      math.ceil(math.log(nFiles.toDouble) / math.log(2.0)).toInt)
+    // clamp the block count to the curve's total bit width: a shift by
+    // a negative count would mask to hval >> 63 == 0 and silently
+    // collapse every row into one partition
+    val total = curveBits(bits, cols.size) * cols.size
+    val logF = math.min(total, math.max(1,
+      math.ceil(math.log(nFiles.toDouble) / math.log(2.0)).toInt))
     val n = 1 << logF
-    val total = math.min(bits, 63 / cols.size) * cols.size
     hilbertFrameQuantileN(df, cols, bits)
       .withColumn("__hcell", shiftright(col("hval"), total - logF))
       .repartitionByRange(n, col("__hcell"))
@@ -236,11 +244,13 @@ object Layout {
   def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
                     nFiles: Int = 64): Unit = {
     val bits = 8
-    val logF = math.max(1,
-      math.ceil(math.log(nFiles.toDouble) / math.log(2.0)).toInt)
+    // same negative-shift clamp as writeHilbertOrdered
+    val total = curveBits(bits, 2) * 2
+    val logF = math.min(total, math.max(1,
+      math.ceil(math.log(nFiles.toDouble) / math.log(2.0)).toInt))
     val n = 1 << logF
     zorderFrameQuantile(df, xCol, yCol, bits)
-      .withColumn("__zcell", shiftright(col("zval"), 2 * bits - logF))
+      .withColumn("__zcell", shiftright(col("zval"), total - logF))
       .repartitionByRange(n, col("__zcell"))
       .sortWithinPartitions("__zcell", "zval")
       .drop("zval", "__zcell")

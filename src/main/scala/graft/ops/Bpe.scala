@@ -93,6 +93,11 @@ object Bpe {
     merges.result()
   }
 
+  /** Precompiled whitespace splitter — tokenizeRow runs per row inside
+    * whole-stage codegen, so the Pattern must not recompile per call. */
+  private[ops] val Ws: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("\\s+")
+
   /** Split a word into codepoint symbols (astral-safe). */
   def splitChars(w: String): Vector[String] =
     w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
@@ -125,7 +130,7 @@ object Bpe {
       * array<struct<widx:int, tidx:int, token:string>> with 1-based
       * word/token positions (the SQL unnest convention). */
     def tokenizeRow(text: UTF8String): ArrayData = {
-      val words = text.toString.split("\\s+").filter(_.nonEmpty)
+      val words = Bpe.Ws.split(text.toString).filter(_.nonEmpty)
       val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
       var wi = 0
       while (wi < words.length) {

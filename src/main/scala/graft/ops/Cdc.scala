@@ -47,7 +47,7 @@ object Cdc {
     * `length` share — so an astral character (emoji, rare CJK) is one
     * window element on both sides, never a surrogate pair split across
     * chunks. INT64-EXACTNESS BOUND: max codepoint (0x10FFFF) × Σ W^j
-    * stays below 2^63 only for k <= 9 (k <= 11 for BMP-only text) — in
+    * stays below 2^63 only for k <= 9 (k <= 10 for BMP-only text: 0xFFFF x (31^10-1)/30 ~ 1.8e18 < 2^63; k = 11 already overflows at 5.5e19) — in
     * that regime the polynomial is exact int64 arithmetic and any SQL
     * engine recomputes it verbatim (the driver gate's regime, k=8).
     * Larger k (up to the accepted 16) evaluates with two's-complement

@@ -27,7 +27,7 @@ import org.apache.spark.sql.catalyst.InternalRow
  *
  * The gram hash is the same plain window polynomial the CDC kernel
  * uses (`Σ code(i+j)·W^(k-1-j)`, `W = 31`, codepoint domain) —
- * deliberately NOT a private hash: for `k <= 9` (`k <= 11` BMP-only)
+ * deliberately NOT a private hash: for `k <= 9` (`k <= 10` BMP-only)
  * the value is exact int64 arithmetic any SQL engine recomputes
  * verbatim, which is what lets the driver's DuckDB oracle re-derive
  * every fingerprint bit-for-bit. Larger `k` (to the accepted 16)
