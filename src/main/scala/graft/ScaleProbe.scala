@@ -21,7 +21,7 @@ object ScaleProbe {
     //   pq,profile,rollingdistinct,funnel,statsskip,bloomskip,
     //   intervaljoin,mediameta,optimize,tokenmix,crawl,fuzzyjoin,mutate,statstier,
     //   mergelarge,cdfchurn,annindexq,
-    //   matview,cdc,linkfarm,idxcarry,chunkdedup (default all)
+    //   matview,cdc,linkfarm,idxcarry,chunkdedup,winnow,bpe (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
       .map(s => (x: String) => s(x)).getOrElse(_ => true)
@@ -1613,6 +1613,52 @@ object ScaleProbe {
         println(f"cdc K=$k%-3d docs=${5000L * k}%-8d " +
           f"chunks=${agg.getLong(0)}%-9d shared=${agg.getLong(1)}%-9d " +
           f"${sec}%.2f s")
+      }
+    }
+    // Winnow near-dup at growing corpus: every copy keeps the original
+    // text's fingerprints (content-based grams ignore the tail tag), so
+    // UNCAPPED pairing would grow quadratically in K. The probe pins the
+    // production posture: the maxDocsPerFp cap bounds every posting, so
+    // wall time tracks the LINEAR fingerprint projection while the pair
+    // stage stays bounded — the same hot-key story as the MinHash bucket
+    // cap, measured.
+    if (want("winnow")) {
+      ks.foreach { k =>
+        val corpus = docs.crossJoin(
+            spark.range(k).select(col("id").as("__copy")))
+          .select((col("doc_id") * k + col("__copy")).as("doc_id"),
+            concat(col("text"), lit(" v"), col("__copy")).as("text"))
+        val t0 = System.nanoTime()
+        val pairs = graft.ops.Winnow.nearDup(corpus, "doc_id", "text",
+          k = 9, w = 12, minJaccard = 0.65, maxDocsPerFp = 200)
+        val n = pairs.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val fps = graft.ops.Winnow.fingerprints(corpus, "doc_id", "text",
+          k = 9, w = 12).count()
+        println(f"winnow K=$k%-3d docs=${5000L * k}%-8d fps=$fps%-9d " +
+          f"pairs=$n%-9d ${sec}%.2f s")
+      }
+    }
+
+    // BPE at growing corpus: training cost is bounded by the VOCABULARY
+    // (driver loop over the word-frequency table — flat in K by
+    // construction), encoding is a linear projection with the per-JVM
+    // word memo. The probe separates the two timings.
+    if (want("bpe")) {
+      ks.foreach { k =>
+        val corpus = docs.crossJoin(
+            spark.range(k).select(col("id").as("__copy")))
+          .select((col("doc_id") * k + col("__copy")).as("doc_id"),
+            concat(col("text"), lit(" v"), col("__copy")).as("text"))
+        val t0 = System.nanoTime()
+        val model = graft.ops.Bpe.trainOn(corpus, "text", numMerges = 16)
+        val trainSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val nTok = graft.ops.Bpe.tokenize(corpus, "doc_id", "text", model)
+          .count()
+        val encSec = (System.nanoTime() - t1) / 1e9
+        println(f"bpe K=$k%-3d docs=${5000L * k}%-8d tokens=$nTok%-10d " +
+          f"train ${trainSec}%.2f s  encode ${encSec}%.2f s")
       }
     }
     spark.stop()
