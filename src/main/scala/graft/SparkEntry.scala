@@ -2920,6 +2920,28 @@ object SparkEntry {
           "src2" -> 2000L, "src3" -> 300L),
         seed = "tmix")),
 
+    "q_bpe_mix" -> ((s, dir) => {
+      // the cross-module composition data recipes actually need: train
+      // a BPE on the corpus, count REAL tokens per document (not the
+      // n_chars proxy), and fill per-domain token budgets with those
+      // counts. The oracle re-derives the tokenizer (unrolled training
+      // stages), recounts every document, and replays the running-sum
+      // selection — one hash match certifying tokenizer AND recipe
+      // together. Empty docs keep tokens=0 (LEFT JOIN + coalesce on
+      // the oracle side; size() of an empty token array on ours).
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val model = graft.ops.Bpe.trainOn(docs, "text", numMerges = 8)
+      Corpus.mixByTokenBudget(
+        docs.select(col("doc_id"), col("source"),
+          size(graft.ops.Bpe.tokensCol(col("text"), model))
+            .cast("long").as("tokens")),
+        "doc_id", "source", "tokens",
+        budgets = Map("src0" -> 500000L, "src1" -> 3000L,
+          "src2" -> 1200L, "src3" -> 200L),
+        seed = "bmix")
+    }),
+
     "q_token_mix_epochs" -> ((s, dir) =>
       // the UPSAMPLING half of data recipes: src0's budget is many times
       // its token mass, so the whole domain repeats floor(budget/mass)
@@ -7183,6 +7205,31 @@ object SparkEntry {
           |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
           |   AS before FROM j)
           |SELECT doc_id, source, tokens FROM r WHERE before < budget""".stripMargin,
+
+      "q_bpe_mix" ->
+        s"""WITH
+           |${bpeTrainCtes(8)},
+           | dws AS (SELECT doc_id,
+           |    list_filter(string_split_regex(text, '\\s+'),
+           |      x -> x != '') AS ws
+           |   FROM documents),
+           | wpos AS (SELECT d.doc_id, d.ws[t.widx] AS word
+           |   FROM dws d, unnest(range(1, len(d.ws) + 1)) AS t(widx)),
+           | dt AS (SELECT w.doc_id, sum(len(f.syms)) AS tokens
+           |   FROM wpos w JOIN f8 f USING (word) GROUP BY 1),
+           | b(source, budget) AS (VALUES ('src0', 500000),
+           |   ('src1', 3000), ('src2', 1200), ('src3', 200)),
+           | d0 AS (SELECT d.doc_id, d.source,
+           |   CAST(coalesce(dt.tokens, 0) AS BIGINT) AS tokens,
+           |   md5(d.doc_id || ':bmix') AS h
+           |  FROM documents d LEFT JOIN dt USING (doc_id)),
+           | j AS (SELECT d0.*, b.budget FROM d0 JOIN b USING (source)),
+           | r AS (SELECT *, coalesce(sum(tokens) OVER (PARTITION BY source
+           |   ORDER BY h, doc_id
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |   AS before FROM j)
+           |SELECT doc_id, source, tokens FROM r
+           |WHERE before < budget""".stripMargin,
 
       "q_token_mix_epochs" ->
         """WITH b(source, budget) AS (VALUES ('src0', 200000), ('src1', 5000)),
