@@ -3339,6 +3339,33 @@ object SparkEntry {
       cat.readDataset("ord").selectExcept("sys").toDF
     }),
 
+    "q_optimize_hilbert" -> ((s, dir) => {
+      // OPTIMIZE with the Hilbert curve instead of the Morton key —
+      // same compaction/lineage/pruning contract as q_optimize, the
+      // locality-maximal layout now reachable from the lake layer's
+      // maintenance verb. Lossless oracle + in-query asserts (compact,
+      // lineage, 2-D box prune) pin the layout properties.
+      val root = Files.createTempDirectory("graft_opth").toString
+      val cat = new Catalog(root, s)
+      val orders = T(s, dir, "orders").repartition(40)
+      cat.save(Chain(orders), "ord")
+      val (v2, before, after) = cat.optimize("ord", nFiles = 16,
+        zorderByCols = Seq("o_custkey", "o_totalprice"),
+        curve = "hilbert")
+      require(before == 40 && after <= 16,
+        s"optimize must compact: $before -> $after files")
+      require(cat.depsOf("ord", v2)
+          .map { case (n, dv) => s"$n@v$dv" } == Seq("ord@v1.0.0"),
+        s"optimize must record lineage, got ${cat.depsOf("ord", v2)}")
+      val mx = orders.agg(max("o_custkey"), max("o_totalprice")).head()
+      val pred = col("o_custkey") <= mx.getLong(0) / 8 &&
+        col("o_totalprice") <= mx.getDouble(1) / 8
+      val (kept, total) = cat.pruneCount("ord", pred)
+      require(kept < total / 2,
+        s"hilbert layout must prune the 2-D box: kept $kept of $total")
+      cat.readDataset("ord").selectExcept("sys").toDF
+    }),
+
     "q_auto_compact" -> ((s, dir) => {
       // auto-compaction folds the small-file debris of N drip appends
       // back into a bounded file count as a NEW layout-only version:
@@ -7636,6 +7663,9 @@ object SparkEntry {
           |GROUP BY 1""".stripMargin,
 
       "q_optimize" ->
+        "SELECT * FROM orders",
+
+      "q_optimize_hilbert" ->
         "SELECT * FROM orders",
 
       "q_auto_compact" ->

@@ -763,7 +763,10 @@ final class Catalog(val root: String, spark: SparkSession) {
                bloomCols: Seq[String] = Nil,
                bloomExpected: Long = 100000L,
                partitionBy: Seq[String] = Nil,
-               zorderByCols: Seq[String] = Nil): (SemVer, Int, Int) = {
+               zorderByCols: Seq[String] = Nil,
+               curve: String = "zorder"): (SemVer, Int, Int) = {
+    require(curve == "zorder" || curve == "hilbert",
+      s"optimize curve must be zorder|hilbert, got $curve")
     val v = latestVersion(name).getOrElse(
       throw new NoSuchElementException(s"dataset $name not found"))
     val dataDir = vDir(name, v).resolve("data")
@@ -786,18 +789,31 @@ final class Catalog(val root: String, spark: SparkSession) {
         guardLatest = Some(v))
     val nv =
       if (zcols.nonEmpty) {
-        val bits = math.min(8, 63 / zcols.size)
-        val logF = math.max(1,
-          math.ceil(math.log(nFiles.toDouble) / math.log(2.0)).toInt)
-        commit(graft.io.Layout.zorderFrameQuantileN(df0, zcols, bits)
-          .withColumn("__zcell",
+        // curve = "hilbert" swaps the Morton interleave for the
+        // locality-maximal Hilbert key (grid-adjacent consecutive
+        // positions — tighter per-file envelopes on mid-cell range
+        // splits); everything else (quantile bins, cell-aligned range
+        // partitioning, version/lineage mechanics) is identical. logF
+        // is clamped to the curve's bit width so an oversized nFiles
+        // can't shift negative (which Java masks to >> 63, collapsing
+        // the layout into one partition).
+        val bits = graft.io.Layout.curveBits(8, zcols.size)
+        val total = bits * zcols.size
+        val logF = math.min(total, math.max(1,
+          math.ceil(math.log(nFiles.toDouble) / math.log(2.0)).toInt))
+        val (frame, vcol) =
+          if (curve == "hilbert")
+            (graft.io.Layout.hilbertFrameQuantileN(df0, zcols, bits), "hval")
+          else
+            (graft.io.Layout.zorderFrameQuantileN(df0, zcols, bits), "zval")
+        commit(frame
+          .withColumn("__cell",
             org.apache.spark.sql.functions.shiftright(
-              org.apache.spark.sql.functions.col("zval"),
-              zcols.size * bits - logF))
+              org.apache.spark.sql.functions.col(vcol), total - logF))
           .repartitionByRange(1 << logF,
-            org.apache.spark.sql.functions.col("__zcell"))
-          .sortWithinPartitions("__zcell", "zval")
-          .drop("zval", "__zcell"))
+            org.apache.spark.sql.functions.col("__cell"))
+          .sortWithinPartitions("__cell", vcol)
+          .drop(vcol, "__cell"))
       } else {
         // size-aware bin-packing (Layout.compactTo's approach): size the
         // SCAN partitions to ~total/nFiles so coalesce merges even-byte
