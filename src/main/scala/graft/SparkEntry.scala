@@ -2280,6 +2280,25 @@ object SparkEntry {
         k = 9, w = 12, minJaccard = 0.65, maxDocsPerFp = 200)
     }),
 
+    "q_winnow_spans" -> ((s, dir) => {
+      // passage LOCALIZATION — the winnowing differentiator: for every
+      // near-dup pair the fingerprints carry positions, so the match
+      // points at the reused run (pos_a, pos_b are 1-based codepoint
+      // gram starts; consecutive rows chain into the shared passage).
+      // Spans come from the RAW fingerprint table (no cap —
+      // localization wants every anchor); the pair table is tiny so
+      // both joins broadcast it
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(expr("substr(text, 1, length(text) - 5)"),
+            lit(" tail edited now")).as("text"))
+      val corpus = docs.unionByName(copies)
+      val pairs = Winnow.nearDup(corpus, "doc_id", "text",
+        k = 9, w = 12, minJaccard = 0.65, maxDocsPerFp = 200)
+      Winnow.sharedSpans(corpus, "doc_id", "text", pairs, k = 9, w = 12)
+    }),
+
     // ------------------------------------------------------- multimodal
     "q_image_header" -> ((s, dir) =>
       // header-only dims over real encoded PNGs: the expression reads the
@@ -7374,6 +7393,34 @@ object SparkEntry {
            |  GROUP BY 1, 2)
            |SELECT id_a, id_b, n_shared, n_union FROM pairs
            |WHERE CAST(n_shared AS DOUBLE) / n_union >= 0.65""".stripMargin,
+
+      "q_winnow_spans" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 300000,
+           |    substr(text, 1, length(text) - 5) || ' tail edited now'
+           |  FROM documents WHERE doc_id % 9 = 0),
+           |$winnowSelCtes,
+           | fps0 AS (SELECT DISTINCT doc_id, fp FROM m),
+           | df AS (SELECT fp, count(*) AS c FROM fps0 GROUP BY 1),
+           | fps AS (SELECT fps0.* FROM fps0 JOIN df USING (fp)
+           |   WHERE df.c <= 200),
+           | sz AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
+           | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    count(*) AS n_shared,
+           |    any_value(sa.n) + any_value(sb.n) - count(*) AS n_union
+           |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  JOIN sz sa ON sa.doc_id = a.doc_id
+           |  JOIN sz sb ON sb.doc_id = b.doc_id
+           |  GROUP BY 1, 2),
+           | kp AS (SELECT id_a, id_b FROM pairs
+           |  WHERE CAST(n_shared AS DOUBLE) / n_union >= 0.65),
+           | spos AS (SELECT DISTINCT doc_id, pos, fp FROM sel)
+           |SELECT k.id_a, k.id_b, sa.pos AS pos_a, sb.pos AS pos_b, sa.fp
+           |FROM kp k
+           |JOIN spos sa ON sa.doc_id = k.id_a
+           |JOIN spos sb ON sb.doc_id = k.id_b AND sb.fp = sa.fp""".stripMargin,
 
       "q_merge_stem" ->
         """WITH l AS (SELECT doc_id, 'docs/doc_' || doc_id || '.txt' AS path, n_chars

@@ -135,6 +135,29 @@ object Winnow {
     * an uncapped hot fingerprint's posting must fit one aggregation
     * buffer). Feed the pairs to [[Dedup.connectedComponents]] for
     * cluster-level dedup. */
+  /** Localize WHERE near-dup pairs overlap — the property that makes
+    * winnowing worth its index over MinHash: fingerprints carry
+    * positions, so a match points at the reused passage. For each
+    * `(id_a, id_b)` in `pairs`, emits one row per matching fingerprint
+    * position pair: `(id_a, id_b, pos_a, pos_b, fp)` with `pos_*` the
+    * 1-based codepoint starts of the shared k-gram. Spans come from the
+    * RAW fingerprint table (no hot-fp cap — localization wants every
+    * anchor, including boilerplate); consecutive output positions
+    * chain into the full reused run. The pair table is typically tiny
+    * (nearDup's output), so both joins broadcast it and the corpus
+    * fingerprints never shuffle. */
+  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
+                  pairs: DataFrame, k: Int = 5, w: Int = 8): DataFrame = {
+    val fps = fingerprints(df, idCol, textCol, k, w)
+    pairs.select(col("id_a"), col("id_b"))
+      .join(fps.select(col(idCol).as("id_a"), col("pos").as("pos_a"),
+        col("fp")), "id_a")
+      .join(fps.select(col(idCol).as("id_b"), col("pos").as("pos_b"),
+        col("fp")), Seq("id_b", "fp"))
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"),
+        col("fp"))
+  }
+
   def nearDup(df: DataFrame, idCol: String, textCol: String,
               k: Int = 5, w: Int = 8, minJaccard: Double = 0.5,
               maxDocsPerFp: Int = 0): DataFrame = {

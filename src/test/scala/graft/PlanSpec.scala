@@ -48,6 +48,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p)
   }
 
+  test("q_winnow_spans: pair-restricted span joins, never a cross join") {
+    val p = plan("q_winnow_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the tiny pair table broadcasts into the fingerprint side
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q_merge_inner: dimension join broadcasts") {
     val p = plan("q_merge_inner")
     assert(p.contains("BroadcastHashJoin"), p)
