@@ -168,6 +168,31 @@ object SparkEntry {
        |$stages""".stripMargin
   }
 
+  /** The winnow-dedup fixture corpus (base docs + tail-edited copies of
+    * every ninth) and the capped pair pipeline over [[winnowSelCtes]]'s
+    * `m` — shared by the q_winnow_dedup and q_winnow_spans oracles. */
+  private val winnowCopyCorpus: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 300000,
+      |    substr(text, 1, length(text) - 5) || ' tail edited now'
+      |  FROM documents WHERE doc_id % 9 = 0)""".stripMargin
+
+  private val winnowPairCtes: String =
+    """ fps0 AS (SELECT DISTINCT doc_id, fp FROM m),
+      | df AS (SELECT fp, count(*) AS c FROM fps0 GROUP BY 1),
+      | fps AS (SELECT fps0.* FROM fps0 JOIN df USING (fp)
+      |   WHERE df.c <= 200),
+      | sz AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
+      | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    count(*) AS n_shared,
+      |    any_value(sa.n) + any_value(sb.n) - count(*) AS n_union
+      |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  JOIN sz sa ON sa.doc_id = a.doc_id
+      |  JOIN sz sb ON sb.doc_id = b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
   private val chunkDedupOracleSql: String =
     """WITH newdocs AS (
       |  SELECT doc_id + 300000 AS doc_id,
@@ -1888,12 +1913,10 @@ object SparkEntry {
       val cat = new Catalog(root, s)
       val o = T(s, dir, "orders")
       val bits = 8
-      val h = graft.io.Layout
-        .hilbertFrameQuantileN(o, Seq("o_custkey", "o_totalprice"), bits)
-        .withColumn("__hcell", shiftright(col("hval"), 2 * bits - 5))
-        .repartitionByRange(32, col("__hcell"))
-        .sortWithinPartitions("__hcell", "hval")
-        .drop("hval", "__hcell")
+      val h = graft.io.Layout.cellAligned(
+        graft.io.Layout.hilbertFrameQuantileN(o,
+          Seq("o_custkey", "o_totalprice"), bits), "hval", 2 * bits,
+        nFiles = 32)
       cat.save(Chain(h), "hord")
       val mx = o.agg(max("o_custkey"), max("o_totalprice")).head()
       val (ck, tp) = (mx.getLong(0), mx.getDouble(1))
@@ -1919,12 +1942,9 @@ object SparkEntry {
       val cat = new Catalog(root, s)
       val o = T(s, dir, "orders")
       val bits = 8
-      val z = graft.io.Layout
-        .zorderFrameQuantile(o, "o_custkey", "o_totalprice", bits)
-        .withColumn("__zcell", shiftright(col("zval"), 2 * bits - 5))
-        .repartitionByRange(32, col("__zcell"))
-        .sortWithinPartitions("__zcell", "zval")
-        .drop("zval", "__zcell")
+      val z = graft.io.Layout.cellAligned(
+        graft.io.Layout.zorderFrameQuantile(o, "o_custkey", "o_totalprice",
+          bits), "zval", 2 * bits, nFiles = 32)
       cat.save(Chain(z), "zord")
       val mx = o.agg(max("o_custkey"), max("o_totalprice")).head()
       val (ck, tp) = (mx.getLong(0), mx.getDouble(1))
@@ -7372,48 +7392,16 @@ object SparkEntry {
            |SELECT DISTINCT doc_id, pos, fp FROM sel""".stripMargin,
 
       "q_winnow_dedup" ->
-        s"""WITH corpus AS (
-           |  SELECT doc_id, text FROM documents
-           |  UNION ALL
-           |  SELECT doc_id + 300000,
-           |    substr(text, 1, length(text) - 5) || ' tail edited now'
-           |  FROM documents WHERE doc_id % 9 = 0),
+        s"""WITH $winnowCopyCorpus,
            |$winnowSelCtes,
-           | fps0 AS (SELECT DISTINCT doc_id, fp FROM m),
-           | df AS (SELECT fp, count(*) AS c FROM fps0 GROUP BY 1),
-           | fps AS (SELECT fps0.* FROM fps0 JOIN df USING (fp)
-           |   WHERE df.c <= 200),
-           | sz AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
-           | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |    count(*) AS n_shared,
-           |    any_value(sa.n) + any_value(sb.n) - count(*) AS n_union
-           |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-           |  JOIN sz sa ON sa.doc_id = a.doc_id
-           |  JOIN sz sb ON sb.doc_id = b.doc_id
-           |  GROUP BY 1, 2)
+           |$winnowPairCtes
            |SELECT id_a, id_b, n_shared, n_union FROM pairs
            |WHERE CAST(n_shared AS DOUBLE) / n_union >= 0.65""".stripMargin,
 
       "q_winnow_spans" ->
-        s"""WITH corpus AS (
-           |  SELECT doc_id, text FROM documents
-           |  UNION ALL
-           |  SELECT doc_id + 300000,
-           |    substr(text, 1, length(text) - 5) || ' tail edited now'
-           |  FROM documents WHERE doc_id % 9 = 0),
+        s"""WITH $winnowCopyCorpus,
            |$winnowSelCtes,
-           | fps0 AS (SELECT DISTINCT doc_id, fp FROM m),
-           | df AS (SELECT fp, count(*) AS c FROM fps0 GROUP BY 1),
-           | fps AS (SELECT fps0.* FROM fps0 JOIN df USING (fp)
-           |   WHERE df.c <= 200),
-           | sz AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
-           | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           |    count(*) AS n_shared,
-           |    any_value(sa.n) + any_value(sb.n) - count(*) AS n_union
-           |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-           |  JOIN sz sa ON sa.doc_id = a.doc_id
-           |  JOIN sz sb ON sb.doc_id = b.doc_id
-           |  GROUP BY 1, 2),
+           |$winnowPairCtes,
            | kp AS (SELECT id_a, id_b FROM pairs
            |  WHERE CAST(n_shared AS DOUBLE) / n_union >= 0.65),
            | spos AS (SELECT DISTINCT doc_id, pos, fp FROM sel)

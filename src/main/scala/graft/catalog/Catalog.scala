@@ -793,27 +793,16 @@ final class Catalog(val root: String, spark: SparkSession) {
         // locality-maximal Hilbert key (grid-adjacent consecutive
         // positions — tighter per-file envelopes on mid-cell range
         // splits); everything else (quantile bins, cell-aligned range
-        // partitioning, version/lineage mechanics) is identical. logF
-        // is clamped to the curve's bit width so an oversized nFiles
-        // can't shift negative (which Java masks to >> 63, collapsing
-        // the layout into one partition).
+        // partitioning via Layout.cellAligned, version/lineage
+        // mechanics) is identical.
         val bits = graft.io.Layout.curveBits(8, zcols.size)
-        val total = bits * zcols.size
-        val logF = math.min(total, math.max(1,
-          math.ceil(math.log(nFiles.toDouble) / math.log(2.0)).toInt))
         val (frame, vcol) =
           if (curve == "hilbert")
             (graft.io.Layout.hilbertFrameQuantileN(df0, zcols, bits), "hval")
           else
             (graft.io.Layout.zorderFrameQuantileN(df0, zcols, bits), "zval")
-        commit(frame
-          .withColumn("__cell",
-            org.apache.spark.sql.functions.shiftright(
-              org.apache.spark.sql.functions.col(vcol), total - logF))
-          .repartitionByRange(1 << logF,
-            org.apache.spark.sql.functions.col("__cell"))
-          .sortWithinPartitions("__cell", vcol)
-          .drop(vcol, "__cell"))
+        commit(graft.io.Layout.cellAligned(frame, vcol,
+          bits * zcols.size, nFiles))
       } else {
         // size-aware bin-packing (Layout.compactTo's approach): size the
         // SCAN partitions to ~total/nFiles so coalesce merges even-byte

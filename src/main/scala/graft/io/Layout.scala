@@ -85,29 +85,53 @@ object Layout {
       linearBucket(col(yCol), r.getDouble(2), r.getDouble(3)), Bits)
   }
 
-  /** `zval` with the bucket expressions LET-BOUND to columns first:
-    * [[interleave]] references each bucket `bits` times, and
-    * CollapseProject would inline a bucket expression into every bit
-    * term — for the quantile variant's bucket kernel that meant 8× the
-    * work per row per dimension (with the binary-search kernel, the
-    * z-order skipping gate measured 7.2 s → 1.4 s). A multiply-referenced
+  /** The one let-binding mechanism every curve frame uses: bucket
+    * expressions are bound to columns FIRST because a curve key
+    * references each bucket many times ([[interleave]]: `bits` times
+    * per dimension) and CollapseProject would inline a bucket
+    * expression into every reference — for the quantile bucket kernel
+    * that meant 8× the work per row per dimension (the z-order
+    * skipping gate measured 7.2 s → 1.4 s). A multiply-referenced
     * non-cheap alias stays a separate projection, so each bucket
-    * evaluates once per row. */
+    * evaluates once per row. `mk` builds the key column from the bound
+    * bucket columns; the reserved-name guard lives here and nowhere
+    * else. */
+  private def bindKey(df: DataFrame, bs: Seq[Column], keyName: String)
+                     (mk: Seq[Column] => Column): DataFrame = {
+    val names = bs.indices.map(i => s"__cb$i")
+    require(!df.columns.exists(names.toSet),
+      "input columns use reserved internal names __cb<i>")
+    val bound = names.zip(bs).foldLeft(df) { case (d, (n, b)) =>
+      d.withColumn(n, b)
+    }
+    bound.withColumn(keyName, mk(names.map(col))).drop(names: _*)
+  }
+
   private def bindAndInterleave(df: DataFrame, bx: Column, by: Column,
                                 bits: Int): DataFrame =
     bindAndInterleaveN(df, Seq(bx, by), bits)
 
   private def bindAndInterleaveN(df: DataFrame, bs: Seq[Column],
-                                 bits: Int): DataFrame = {
-    val names = bs.indices.map(i => s"__zb$i")
-    require(!df.columns.exists(names.toSet),
-      "input columns use reserved internal names __zb<i>")
-    val bound = names.zip(bs).foldLeft(df) { case (d, (n, b)) =>
-      d.withColumn(n, b)
-    }
-    bound.withColumn("zval",
-        interleaveN(names.map(col), bits))
-      .drop(names: _*)
+                                 bits: Int): DataFrame =
+    bindKey(df, bs, "zval")(interleaveN(_, bits))
+
+  /** Range-partition `frame` into whole curve-prefix blocks: the top
+    * log2(nFiles) bits of the `vcol` curve key (clamped to its
+    * `totalBits` width — an oversized nFiles would shift negative,
+    * which Java masks to >> 63 and silently collapses the layout into
+    * one partition), sorted by (block, key) within each output
+    * partition. The one cell-alignment mechanism both write paths, the
+    * catalog OPTIMIZE verb and the skipping gates share; the key and
+    * cell working columns are dropped on the way out. */
+  private[graft] def cellAligned(frame: DataFrame, vcol: String,
+                                 totalBits: Int, nFiles: Int): DataFrame = {
+    val logF = math.min(totalBits, math.max(1,
+      math.ceil(math.log(nFiles.toDouble) / math.log(2.0)).toInt))
+    frame
+      .withColumn("__cell", shiftright(col(vcol), totalBits - logF))
+      .repartitionByRange(1 << logF, col("__cell"))
+      .sortWithinPartitions("__cell", vcol)
+      .drop(vcol, "__cell")
   }
 
   /** `df` plus a `zval` column over QUANTILE buckets of (`xCol`, `yCol`):
@@ -171,14 +195,11 @@ object Layout {
     val r = df.agg(
       min(col(xCol).cast("double")), max(col(xCol).cast("double")),
       min(col(yCol).cast("double")), max(col(yCol).cast("double"))).head()
-    val names = Seq("__hb0", "__hb1")
-    require(!df.columns.exists(names.toSet),
-      "input columns use reserved internal names __hb<i>")
-    df.withColumn(names(0), linearBucket(col(xCol), r.getDouble(0), r.getDouble(1)))
-      .withColumn(names(1), linearBucket(col(yCol), r.getDouble(2), r.getDouble(3)))
-      .withColumn("hval", graft.functions.GraftFunctions
-        .hilbert_2(col(names(0)), col(names(1)), Bits))
-      .drop(names: _*)
+    bindKey(df, Seq(
+        linearBucket(col(xCol), r.getDouble(0), r.getDouble(1)),
+        linearBucket(col(yCol), r.getDouble(2), r.getDouble(3))), "hval") {
+      case Seq(bx, by) => graft.functions.GraftFunctions.hilbert_2(bx, by, Bits)
+    }
   }
 
   /** N-dimensional Hilbert layout key over QUANTILE buckets — the
@@ -192,15 +213,8 @@ object Layout {
                             bits: Int = 8): DataFrame = {
     require(cols.size >= 2, "hilbert layout needs at least 2 columns")
     val b = curveBits(bits, cols.size)
-    val names = cols.indices.map(i => s"__hb$i")
-    require(!df.columns.exists(names.toSet),
-      "input columns use reserved internal names __hb<i>")
-    val bound = names.zip(quantileBuckets(df, cols, b)).foldLeft(df) {
-      case (d, (n, bk)) => d.withColumn(n, bk)
-    }
-    bound.withColumn("hval", graft.functions.GraftFunctions
-        .hilbert_n(array(names.map(col): _*), b))
-      .drop(names: _*)
+    bindKey(df, quantileBuckets(df, cols, b), "hval")(bs =>
+      graft.functions.GraftFunctions.hilbert_n(array(bs: _*), b))
   }
 
   /** Write `df` as ~`nFiles` parquet files clustered by the Hilbert
@@ -212,18 +226,8 @@ object Layout {
   def writeHilbertOrdered(df: DataFrame, path: String, cols: Seq[String],
                           nFiles: Int = 64): Unit = {
     val bits = 8
-    // clamp the block count to the curve's total bit width: a shift by
-    // a negative count would mask to hval >> 63 == 0 and silently
-    // collapse every row into one partition
-    val total = curveBits(bits, cols.size) * cols.size
-    val logF = math.min(total, math.max(1,
-      math.ceil(math.log(nFiles.toDouble) / math.log(2.0)).toInt))
-    val n = 1 << logF
-    hilbertFrameQuantileN(df, cols, bits)
-      .withColumn("__hcell", shiftright(col("hval"), total - logF))
-      .repartitionByRange(n, col("__hcell"))
-      .sortWithinPartitions("__hcell", "hval")
-      .drop("hval", "__hcell")
+    cellAligned(hilbertFrameQuantileN(df, cols, bits), "hval",
+        curveBits(bits, cols.size) * cols.size, nFiles)
       .write.mode("overwrite").parquet(path)
   }
 
@@ -244,16 +248,8 @@ object Layout {
   def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
                     nFiles: Int = 64): Unit = {
     val bits = 8
-    // same negative-shift clamp as writeHilbertOrdered
-    val total = curveBits(bits, 2) * 2
-    val logF = math.min(total, math.max(1,
-      math.ceil(math.log(nFiles.toDouble) / math.log(2.0)).toInt))
-    val n = 1 << logF
-    zorderFrameQuantile(df, xCol, yCol, bits)
-      .withColumn("__zcell", shiftright(col("zval"), total - logF))
-      .repartitionByRange(n, col("__zcell"))
-      .sortWithinPartitions("__zcell", "zval")
-      .drop("zval", "__zcell")
+    cellAligned(zorderFrameQuantile(df, xCol, yCol, bits), "zval",
+        curveBits(bits, 2) * 2, nFiles)
       .write.mode("overwrite").parquet(path)
   }
 
