@@ -21,7 +21,7 @@ object ScaleProbe {
     //   pq,profile,rollingdistinct,funnel,statsskip,bloomskip,
     //   intervaljoin,mediameta,optimize,tokenmix,crawl,fuzzyjoin,mutate,statstier,
     //   mergelarge,cdfchurn,annindexq,
-    //   matview,cdc,linkfarm,idxcarry,chunkdedup,winnow,bpe (default all)
+    //   matview,cdc,manifest,idxcarry,chunkdedup,winnow,bpe (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
       .map(s => (x: String) => s(x)).getOrElse(_ => true)
@@ -1196,59 +1196,44 @@ object ScaleProbe {
       }
     }
 
-    // The cow link farm at MANY files: restore is one hard link per
-    // file and nothing else, so it isolates the farm. Same version
-    // linked twice — once with the farm forced driver-side, once forced
-    // through the Spark-job fan-out — wall times compared and the
-    // fanned-out version's inodes asserted shared. The claim: the
-    // distributed farm stays comparable at probe scale (local[32]
-    // executors ARE the driver's cores) and removes the single-thread
-    // ceiling that a real cluster's millions-of-files version would hit.
-    if (want("linkfarm")) {
+    // Manifest-based zero-copy carry at MANY files: restore commits a
+    // NEW version that references every file of the old one, so it
+    // isolates the carry cost. The evidence: the commit writes ZERO
+    // data bytes at any K (the new version's data dir is physically
+    // empty), wall cost is metadata-only (µs-class per referenced
+    // file: one manifest line), and reads resolve — where the old
+    // hard-link farm burned one inode link per file and degraded to a
+    // FULL DATA COPY on object stores.
+    if (want("manifest")) {
       import java.nio.file.{Files => JFiles}
       ks.foreach { k =>
         val files = 1280 * k
         val df = spark.range(100L * files).select(col("id").as("k1"))
           .repartitionByRange(files, col("k1"))
-        val root = JFiles.createTempDirectory(s"probe_lnk_$k").toString
+        val root = JFiles.createTempDirectory(s"probe_man_$k").toString
         val cat = new graft.catalog.Catalog(root, spark)
         cat.save(graft.core.Chain(df), "big")
         val v1 = graft.catalog.SemVer(1, 0, 0)
-        val prev = sys.props.get("graft.link.fanoutThreshold")
-        try {
-          sys.props("graft.link.fanoutThreshold") = Int.MaxValue.toString
-          val t0 = System.nanoTime()
-          cat.restore("big", v1)
-          val drvSec = (System.nanoTime() - t0) / 1e9
-          sys.props("graft.link.fanoutThreshold") = "1"
-          val t1 = System.nanoTime()
-          val vFan = cat.restore("big", v1)
-          val fanSec = (System.nanoTime() - t1) / 1e9
-          import scala.jdk.CollectionConverters._
-          val base = java.nio.file.Paths.get(root, "datasets", "big")
-          def ino(p: java.nio.file.Path) = JFiles.getAttribute(p, "unix:ino")
-          val olds = {
-            val w = JFiles.walk(base.resolve("v1.0.0").resolve("data"))
-            try w.iterator().asScala.filter(_.toString.endsWith(".parquet"))
-              .map(p => p.getFileName.toString -> ino(p)).toMap
-            finally w.close()
-          }
-          val w2 = JFiles.walk(base.resolve(s"v$vFan").resolve("data"))
-          val shared = try w2.iterator().asScala
-            .filter(_.toString.endsWith(".parquet"))
-            .count(p => olds.get(p.getFileName.toString)
-              .contains(ino(p)))
-          finally w2.close()
-          require(shared == files, s"fan-out farm linked $shared/$files")
-          println(f"linkfarm K=$k%-3d files=$files%-6d " +
-            f"driver=${drvSec}%.2f s  fanout=${fanSec}%.2f s  " +
-            f"shared inodes $shared/$files")
-        } finally {
-          prev match {
-            case Some(v) => sys.props("graft.link.fanoutThreshold") = v
-            case None => sys.props.remove("graft.link.fanoutThreshold")
-          }
-        }
+        val t0 = System.nanoTime()
+        val v2 = cat.restore("big", v1)
+        val resSec = (System.nanoTime() - t0) / 1e9
+        import scala.jdk.CollectionConverters._
+        val base = java.nio.file.Paths.get(root, "datasets", "big")
+        // physical census of the restored version dir: data/ holds
+        // nothing, the manifest carries everything by reference
+        val w2 = JFiles.walk(base.resolve(s"v$v2").resolve("data"))
+        val physical = try w2.iterator().asScala
+          .count(_.toString.endsWith(".parquet")) finally w2.close()
+        require(physical == 0, s"restore materialized $physical files")
+        val manifest = cat.versionDataFiles("big", v2)
+        require(manifest.size == files,
+          s"manifest carries ${manifest.size}/$files")
+        val manBytes = JFiles.size(
+          base.resolve(s"v$v2").resolve("manifest.json"))
+        println(f"manifest K=$k%-3d files=$files%-6d " +
+          f"restore=${resSec}%.3f s  data bytes written=0  " +
+          f"manifest=${manBytes / 1024} KiB  us/file=${
+            resSec * 1e6 / files}%.1f")
       }
     }
 
@@ -1308,9 +1293,11 @@ object ScaleProbe {
           val t0 = System.nanoTime()
           val d = cat.deleteWhere("big", col("k1") <= rows / 64)
           val mutSec = (System.nanoTime() - t0) / 1e9
-          val v2 = cat.latestVersion("big").get
+          // whole-rebuild comparator over the BASE version's physical
+          // tree (the mutated version's own dir holds only the rewrite
+          // output now — its full census lives in the manifest)
           val dataDir = java.nio.file.Paths.get(root, "datasets", "big",
-            s"v$v2", "data").toString
+            "v1.0.0", "data").toString
           val cmp = JFiles.createTempDirectory(s"probe_idx_cmp_$k")
           val t1 = System.nanoTime()
           graft.catalog.FileStats.writeStatsIndex(spark, dataDir,

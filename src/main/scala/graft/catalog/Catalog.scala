@@ -135,55 +135,22 @@ object Catalog {
     sys.props.get("graft.env.stringNestedLoopMax").map(_.toInt)
       .getOrElse(1024)
 
-  /** Above this many links, the cow link farm fans out as a Spark job
-    * over the pair list instead of a driver loop (tunable for tests via
-    * `-Dgraft.link.fanoutThreshold=`). Each link is a µs-class metadata
-    * op, but at millions of files per version a single driver thread
-    * serializes the whole commit — the same bottleneck class the stats
-    * read tier and listing already fan out. */
-  private[catalog] def linkFanoutThreshold: Int =
-    sys.props.get("graft.link.fanoutThreshold").map(_.toInt).getOrElse(10000)
+  /** One data file of a version: `rel`ative path under the data dir of
+    * the version that physically WROTE it. Owners are always resolved —
+    * a manifest entry never points at another manifest (one hop from any
+    * version to bytes, no chains to walk, no chain to break). */
+  final case class ManifestEntry(ds: String, v: SemVer, rel: String)
 
-  /** Hard-link `dst` to `src`, copying where the filesystem refuses
-    * links — the ONE link-or-copy primitive of every cow path. Static
-    * (no session state) so the fan-out job can ship it to executors. */
-  private[catalog] def linkOne(src: String, dst: String): Unit = {
-    val s = java.nio.file.Paths.get(src)
-    val d = java.nio.file.Paths.get(dst)
-    java.nio.file.Files.createDirectories(d.getParent)
-    try java.nio.file.Files.createLink(d, s)
-    catch {
-      // an existing dst inside a writer's PRIVATE tmp tree can only be
-      // this writer's own earlier attempt (task retry) — idempotent:
-      // a hard link is atomic, so an existing dst is always complete
-      case _: java.nio.file.FileAlreadyExistsException => ()
-      case _: UnsupportedOperationException |
-           _: java.nio.file.FileSystemException =>
-        // copy is NOT atomic — a task killed mid-copy leaves a
-        // truncated dst that a retry must not treat as done. Copy to a
-        // HIDDEN temp sibling (dot-prefixed: a hard-killed task's
-        // orphan must be invisible to parquet directory listings when
-        // the tree commits) and ATOMIC_MOVE into place. POSIX rename
-        // replaces a prior truncated attempt silently; a filesystem
-        // that throws FileAlreadyExistsException instead gets the dst
-        // cleared and one more atomic rename.
-        val tmp = d.resolveSibling("." + d.getFileName.toString +
-          ".cptmp-" + java.util.UUID.randomUUID)
-        try {
-          java.nio.file.Files.copy(s, tmp)
-          try java.nio.file.Files.move(tmp, d,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileAlreadyExistsException =>
-              java.nio.file.Files.deleteIfExists(d)
-              java.nio.file.Files.move(tmp, d,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          }
-        } finally {
-          try java.nio.file.Files.deleteIfExists(tmp)
-          catch { case _: java.io.IOException => () }
-        }
-    }
+  /** A version's file manifest: the complete data-file census with
+    * physical owners, plus an optional pointer at the version whose
+    * parquet-tier stats/blooms index dirs this version reuses verbatim
+    * (restore/clone carry — the index keys are version-dir-relative file
+    * names, identical for a zero-copy version). */
+  private[graft] final case class Manifest(
+      entries: Vector[ManifestEntry],
+      indexFrom: Option[(String, SemVer)]) {
+    lazy val relOwner: Map[String, (String, SemVer)] =
+      entries.iterator.map(e => e.rel -> ((e.ds, e.v))).toMap
   }
 
   /** Retry loop for optimistic-concurrency aborts: re-runs `body` (which
@@ -225,34 +192,150 @@ final class Catalog(val root: String, spark: SparkSession) {
       }
     }
 
-  /** The hive partition columns of a version's data dir, read off the
-    * key=value directory chain of its first data file (empty for plain
-    * layouts). */
-  private def detectPartitionCols(dataDir: Path): Seq[String] =
-    walkParquet(dataDir).headOption.map { f =>
-      dataDir.relativize(f).iterator.asScala.toSeq.init
-        .map(_.toString).takeWhile(_.contains('='))
-        .map(_.takeWhile(_ != '='))
-    }.getOrElse(Seq.empty)
+  /** The hive partition columns encoded in a version-relative file name
+    * — the leading key=value directory chain (empty for plain layouts).
+    * Works off the MANIFEST rel, so a zero-copy version whose own data
+    * dir is empty still reports its layout. */
+  private def relPartitionCols(rel: String): Seq[String] =
+    rel.split('/').toSeq.init.takeWhile(_.contains('='))
+      .map(_.takeWhile(_ != '='))
 
-  /** Hard-link (copy-fallback) every (src → dst) pair. Below
-    * [[Catalog.linkFanoutThreshold]] pairs it's a driver loop (µs-class
-    * metadata ops, not worth a job); above, the links run as ONE Spark
-    * job over the pair list — a restore/clone/mutation of a
-    * millions-of-files version schedules its link farm across
-    * executors instead of serializing on the driver thread. Distinct
-    * destination names by construction, so tasks never collide; a
-    * failed task's retry re-links into the same private tmp tree, which
-    * [[Catalog.linkOne]] treats as idempotent. */
-  private def linkAll(pairs: Seq[(Path, Path)]): Unit =
-    if (pairs.size < Catalog.linkFanoutThreshold)
-      pairs.foreach { case (s, d) => Catalog.linkOne(s.toString, d.toString) }
-    else {
-      val strs = pairs.map { case (s, d) => (s.toString, d.toString) }
-      val slices = math.max(4, math.min(256, strs.size / 4096 + 1))
-      spark.sparkContext.parallelize(strs, slices)
-        .foreach { case (s, d) => Catalog.linkOne(s, d) }
+  private def partitionColsOf(name: String, v: SemVer): Seq[String] =
+    dataFilesOf(name, v).headOption
+      .map(e => relPartitionCols(e.rel)).getOrElse(Seq.empty)
+
+  // ---- version file manifests: zero-copy carry without hard links ----
+  // A version whose commit REUSES ancestor files (cow mutations, append,
+  // restore, clone, partial optimize/compaction) records a MANIFEST
+  // beside its meta.json instead of materializing a linked file tree:
+  // each entry names the version that physically owns the file, and
+  // readers assemble the scan's file list across owner dirs. This is the
+  // Delta-log / Iceberg-manifest mechanism: a commit writes only its
+  // rewrite output plus O(files) metadata, is object-store-safe (no
+  // link(), no degradation to a physical copy of the untouched 99%),
+  // and vacuum tracks liveness per FILE — a kept version pins exactly
+  // the ancestor files it references, never whole ancestor versions.
+  // Plain saves and full optimize write self-contained trees and carry
+  // no manifest; absence = "every file lives under this version's own
+  // data/" (the pre-manifest layout), so existing catalogs read
+  // unchanged.
+
+  private def manifestPath(name: String, v: SemVer): Path =
+    vDir(name, v).resolve("manifest.json")
+
+  // manifest cache: versions are immutable once committed, so entries
+  // only churn on vacuum/move (freshness-token checked like statsCache)
+  private val manifestCacheMax = 64
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, (String, Option[Catalog.Manifest])](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Option[Catalog.Manifest])])
+          : Boolean = size() > manifestCacheMax
     }
+
+  private[graft] def manifestOf(name: String, v: SemVer)
+      : Option[Catalog.Manifest] = manifestCache.synchronized {
+    val p = manifestPath(name, v)
+    val key = s"$name@@$v"
+    val tok = freshToken(p)
+    val hit = manifestCache.get(key)
+    if (hit != null && hit._1 == tok) hit._2
+    else {
+      val parsed =
+        if (!Files.exists(p)) None
+        else Some(parseManifest(name, v,
+          new String(Files.readAllBytes(p), "UTF-8")))
+      manifestCache.put(key, (tok, parsed))
+      parsed
+    }
+  }
+
+  /** Serialize with the version's OWN files as "." so the written bytes
+    * never embed the version number they live under (claimVersion picks
+    * it inside the commit lock). Line-oriented: escaped rel strings
+    * contain no literal newline, so the `\n    ]}` group terminator is
+    * unambiguous for the parser below (the stats.json idiom). */
+  private def manifestJson(self: (String, SemVer),
+                           m: Catalog.Manifest): String = {
+    def ownerStr(o: (String, SemVer)) =
+      if (o == self) "." else s"${o._1}@v${o._2}"
+    val groups = m.entries.groupBy(e => (e.ds, e.v)).toSeq
+      .sortBy { case (o, _) => ownerStr(o) }
+      .map { case (o, es) =>
+        val rels = es.map(_.rel).sorted
+          .map(r => s"""      "${esc(r)}"""").mkString(",\n")
+        s"""    {"d": "${esc(ownerStr(o))}", "r": [\n$rels\n    ]}"""
+      }.mkString(",\n")
+    val ix = m.indexFrom.map(o =>
+      s"""  "indexFrom": "${esc(ownerStr(o))}",\n""").getOrElse("")
+    s"{\n  \"version\": 1,\n$ix  \"owners\": [\n$groups\n  ]\n}"
+  }
+
+  private def parseManifest(name: String, v: SemVer,
+                            s: String): Catalog.Manifest = {
+    def ownerOf(x: String): (String, SemVer) =
+      if (x == ".") (name, v)
+      else {
+        val i = x.lastIndexOf("@v")
+        require(i > 0, s"manifest of $name@v$v: bad owner '$x'")
+        (x.substring(0, i), SemVer.parse(x.substring(i + 2)))
+      }
+    val strRe = "\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    val ix = "\"indexFrom\": \"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findFirstMatchIn(s).map(m => ownerOf(metaUnesc(m.group(1))))
+    val ownerRe =
+      ("\\{\"d\": \"((?:[^\"\\\\]|\\\\.)*)\", \"r\": \\[\\n" +
+        "([\\s\\S]*?)\\n    \\]\\}").r
+    val entries = ownerRe.findAllMatchIn(s).flatMap { m =>
+      val (d, ov) = ownerOf(metaUnesc(m.group(1)))
+      strRe.findAllMatchIn(m.group(2)).map(r =>
+        Catalog.ManifestEntry(d, ov, metaUnesc(r.group(1))))
+    }.toVector
+    Catalog.Manifest(entries, ix)
+  }
+
+  /** Every data file of `name@v` as (physical owner, rel): the manifest
+    * when present, else the version's own tree (self-contained layout). */
+  private[graft] def dataFilesOf(name: String, v: SemVer)
+      : Seq[Catalog.ManifestEntry] =
+    manifestOf(name, v) match {
+      case Some(m) => m.entries
+      case None =>
+        val dataDir = vDir(name, v).resolve("data")
+        walkParquet(dataDir).map(f =>
+          Catalog.ManifestEntry(name, v, dataDir.relativize(f).toString))
+    }
+
+  /** Absolute physical path of one version-relative data file — the
+    * one-hop manifest resolution every path consumer goes through. */
+  private[graft] def resolveDataFile(name: String, v: SemVer,
+                                     rel: String): Path = {
+    val (d, ov) = manifestOf(name, v).flatMap(_.relOwner.get(rel))
+      .getOrElse((name, v))
+    vDir(d, ov).resolve("data").resolve(rel)
+  }
+
+  /** Physical stats/ index dir of `name@v`: its own when present, else
+    * the manifest's indexFrom target (restore/clone reuse the source's
+    * parquet-tier index verbatim — same version-relative keys). */
+  private def statsDirOf(name: String, v: SemVer): Path = {
+    val own = vDir(name, v).resolve("stats")
+    if (Files.isDirectory(own)) own
+    else manifestOf(name, v).flatMap(_.indexFrom) match {
+      case Some((d, ov)) => vDir(d, ov).resolve("stats")
+      case None => own
+    }
+  }
+
+  private def bloomsDirOf(name: String, v: SemVer): Path = {
+    val own = vDir(name, v).resolve("blooms")
+    if (Files.isDirectory(own)) own
+    else manifestOf(name, v).flatMap(_.indexFrom) match {
+      case Some((d, ov)) => vDir(d, ov).resolve("blooms")
+      case None => own
+    }
+  }
 
   /** Recursive parquet-file census of a data dir (partitioned versions
     * nest files under key=value subdirs). */
@@ -769,8 +852,8 @@ final class Catalog(val root: String, spark: SparkSession) {
       s"optimize curve must be zorder|hilbert, got $curve")
     val v = latestVersion(name).getOrElse(
       throw new NoSuchElementException(s"dataset $name not found"))
-    val dataDir = vDir(name, v).resolve("data")
-    val before = walkParquet(dataDir).size
+    val files = dataFilesOf(name, v)
+    val before = files.size
     // partitioned versions: the rewrite reads partition columns back as
     // plain data columns (at their RECORDED types); unless the caller
     // overrides, the detected layout is re-applied so OPTIMIZE preserves
@@ -778,7 +861,7 @@ final class Catalog(val root: String, spark: SparkSession) {
     // coalesce, not nFiles alone)
     val layout =
       if (partitionBy.nonEmpty) partitionBy
-      else detectPartitionCols(dataDir)
+      else partitionColsOf(name, v)
     val df0 = readVersionData(name, v)
     // 2-col tuple or the N-col list — same quantile z-curve either way
     val zcols = zorderBy.map(t => Seq(t._1, t._2)).getOrElse(zorderByCols)
@@ -813,13 +896,14 @@ final class Catalog(val root: String, spark: SparkSession) {
         // SQLConf) whose catalog twin re-derives the scan — no JVM-wide
         // lock held across the rewrite job, and concurrent reads on the
         // base session never see the flip.
-        val total = walkParquet(dataDir).map(Files.size(_)).sum
+        val total = files.map(e =>
+          Files.size(vDir(e.ds, e.v).resolve("data").resolve(e.rel))).sum
         val target = math.max(64L << 10,
           math.ceil(total.toDouble / math.max(1, nFiles)).toLong)
         commit(packedSession(target).readVersionData(name, v)
           .coalesce(nFiles))
       }
-    val after = walkParquet(vDir(name, nv).resolve("data")).size
+    val after = dataFilesOf(name, nv).size
     (nv, before, after)
   }
 
@@ -830,11 +914,10 @@ final class Catalog(val root: String, spark: SparkSession) {
   // GDPR deletes, label fixes, upserts from a curation UI). Mechanism:
   // the stats/bloom index picks the files that MAY contain affected rows;
   // only those are rewritten, every other file crosses to the new version
-  // as a HARD LINK — a metadata-only reuse (the inode lives until its
-  // last name goes, so either version can be vacuumed independently). On
-  // filesystems without hard links (object stores) the link degrades to a
-  // copy; the cluster seam there is a manifest-based format (Delta's log
-  // / Iceberg's manifests), the same swap point `save` documents.
+  // BY REFERENCE in its manifest — a metadata-only commit that writes
+  // zero carried bytes on any store (the Delta-log/Iceberg mechanism;
+  // vacuum's per-file refcount keeps referenced ancestors' bytes alive
+  // while either version can still be retired independently).
 
   /** Relative files of `name@v` that MAY contain a row matching `pred`
     * (footer-stats + bloom pruning; conservative: stats-less versions,
@@ -843,8 +926,7 @@ final class Catalog(val root: String, spark: SparkSession) {
   private def touchedFiles(name: String, v: SemVer,
                            pred: org.apache.spark.sql.Column)
       : (Seq[String], Seq[String]) = {
-    val dataDir = vDir(name, v).resolve("data")
-    val all = walkParquet(dataDir).map(f => dataDir.relativize(f).toString)
+    val all = dataFilesOf(name, v).map(_.rel)
     val cond = resolvedCondition(readVersionData(name, v).filter(pred))
     val touched = cond match {
       case Some(pe) if statsTierIsParquet(name, v) && distributedPruneOn =>
@@ -881,16 +963,23 @@ final class Catalog(val root: String, spark: SparkSession) {
 
   /** Version-relative parquet names of `name@v` with on-disk sizes —
     * the carried-file detector for file-level version diffs: cow
-    * mutations hard-link untouched files under the SAME relative name
-    * (and fresh saves never reuse a name), so same-name same-size files
-    * across two versions are byte-identical. */
+    * mutations carry untouched files under the SAME relative name via
+    * the manifest (and fresh saves never reuse a name), so same-name
+    * same-size files across two versions are byte-identical (with
+    * manifests on both sides they are the same physical file). */
   private[graft] def versionDataFiles(name: String, v: SemVer)
-      : Map[String, Long] = {
-    val dataDir = vDir(name, v).resolve("data")
-    walkParquet(dataDir).map { p =>
-      dataDir.relativize(p).toString -> Files.size(p)
-    }.toMap
-  }
+      : Map[String, Long] =
+    manifestOf(name, v) match {
+      case Some(m) => m.entries.iterator.map { e =>
+        e.rel -> Files.size(
+          vDir(e.ds, e.v).resolve("data").resolve(e.rel))
+      }.toMap
+      case None =>
+        val dataDir = vDir(name, v).resolve("data")
+        walkParquet(dataDir).map { p =>
+          dataDir.relativize(p).toString -> Files.size(p)
+        }.toMap
+    }
 
   /** Read only the named version-relative files of `name@v`
     * (explicit-schema rules applied; empty = empty frame with the
@@ -901,18 +990,45 @@ final class Catalog(val root: String, spark: SparkSession) {
 
   /** Read exactly `files` (relative) of `name@v` with the version's
     * recorded types restored; empty `files` reads nothing (a zero-row
-    * frame with the version's schema). */
+    * frame with the version's schema). Manifest versions group the
+    * files by PHYSICAL owner and union the per-owner scans — each scan
+    * keeps its owner's data dir as basePath, so hive partition columns
+    * parse off the shared rel layout exactly as a self-contained read
+    * (owner count = mutation-chain depth, small by construction). */
   private def readVersionFiles(name: String, v: SemVer,
-                               files: Seq[String]): DataFrame = {
-    val dataDir = vDir(name, v).resolve("data").toString
-    if (files.isEmpty) readVersionData(name, v).limit(0)
-    else fullReadSchema(name, v) match {
-      case Some(full) =>
-        readWithSchema(dataDir, files.map(r => s"$dataDir/$r"), full)
-      case None => restoreTypes(
-        readNoInfer(dataDir, files.map(r => s"$dataDir/$r")), name, v)
+                               files: Seq[String]): DataFrame =
+    manifestOf(name, v) match {
+      case Some(m) =>
+        val full = fullReadSchema(name, v).getOrElse(
+          throw new IllegalStateException(
+            s"manifest version $name@v$v lacks a recorded schema"))
+        if (files.isEmpty)
+          // the version's OWN data dir may hold rewrite files — an empty
+          // slice must not read them; a zero-row local frame with the
+          // recorded schema preserves the contract
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            full)
+        else {
+          val byOwner = files
+            .map(r => m.relOwner.getOrElse(r, (name, v)) -> r)
+            .groupBy(_._1).toSeq
+            .sortBy { case ((d, ov), _) => s"$d@v$ov" }
+          byOwner.map { case ((d, ov), rs) =>
+            val dd = vDir(d, ov).resolve("data").toString
+            readWithSchema(dd, rs.map(p => s"$dd/${p._2}"), full)
+          }.reduce(_.unionByName(_))
+        }
+      case None =>
+        val dataDir = vDir(name, v).resolve("data").toString
+        if (files.isEmpty) readVersionData(name, v).limit(0)
+        else fullReadSchema(name, v) match {
+          case Some(full) =>
+            readWithSchema(dataDir, files.map(r => s"$dataDir/$r"), full)
+          case None => restoreTypes(
+            readNoInfer(dataDir, files.map(r => s"$dataDir/$r")), name, v)
+        }
     }
-  }
 
   /**
    * Copy-on-write rewrite engine shared by the three mutations: replace
@@ -941,7 +1057,9 @@ final class Catalog(val root: String, spark: SparkSession) {
     // once a version chain carries files that predate a column, every
     // descendant keeps the explicit-schema read flag
     val evolvedFlag = evolves || isEvolved(name, v)
-    val dataDir = vDir(name, v).resolve("data")
+    // carried entries resolve through the base's manifest to the files'
+    // PHYSICAL owners, so a mutation chain of any depth stays one hop
+    val baseManifest = manifestOf(name, v)
     val touchedSet = touched.toSet
     val untouched = all.filterNot(touchedSet)
     // parquet stats tier: the old index never collects to the driver —
@@ -965,7 +1083,7 @@ final class Catalog(val root: String, spark: SparkSession) {
       // not cover every file (a write-side invariant violation) aborts
       val census =
         try Some(FileStats.statsIndexCensusCount(spark,
-          vDir(name, v).resolve("stats").toString))
+          statsDirOf(name, v).toString))
         catch { case scala.util.control.NonFatal(_) => None }
       census match {
         case Some(c) =>
@@ -977,16 +1095,16 @@ final class Catalog(val root: String, spark: SparkSession) {
       }
     }
     val untouchedSet = untouched.toSet
-    val layout = detectPartitionCols(dataDir)
+    val layout = partitionColsOf(name, v)
     val tmp = dsDir(name).resolve(s".tmp-${java.util.UUID.randomUUID}")
     Files.createDirectories(tmp.resolve("data"))
     try {
-      linkAll(untouched.map(rel =>
-        (dataDir.resolve(rel), tmp.resolve("data").resolve(rel))))
+      // untouched files never move: they cross to the new version as
+      // manifest references (resolved to physical owners at commit)
       // old bloom shape, read up front: inline filters are carried per
-      // linked file and built ONLY over the rewrite output
+      // referenced file and built ONLY over the rewrite output
       val inlineP = vDir(name, v).resolve("blooms.json")
-      val parqB = vDir(name, v).resolve("blooms")
+      val parqB = bloomsDirOf(name, v)
       val oldInline: Map[String, Map[String, Array[Byte]]] =
         if (!Files.exists(inlineP)) Map.empty
         else FileStats.bloomsFromJson(
@@ -1047,14 +1165,18 @@ final class Catalog(val root: String, spark: SparkSession) {
             } catch { case scala.util.control.NonFatal(_) =>
               deleteTree(tmp.resolve("blooms.new")); false
             }
-        // merge the rewrite's part files into the linked tree, partition
-        // subdirs preserved (part names carry job UUIDs — no collisions)
+        // move the rewrite's part files into the version tree, partition
+        // subdirs preserved (part names carry job UUIDs — no collisions
+        // with any referenced ancestor file)
         rewFiles.foreach { f =>
           val dst = tmp.resolve("data").resolve(rewriteDir.relativize(f))
           Files.createDirectories(dst.getParent)
           Files.move(f, dst)
         }
       }
+      // pure path math (the files just moved); version-relative names of
+      // the rewrite output — the manifest's self-owned entries
+      val rewRels = rewFiles.map(f => rewriteDir.relativize(f).toString)
       // stats.json must cover EVERY file or not exist at all — a partial
       // stats file would make pruned reads skip the uncovered files
       val statsComplete = !oldTierParquet &&
@@ -1076,7 +1198,7 @@ final class Catalog(val root: String, spark: SparkSession) {
             require(statsNewOk || rewFiles.isEmpty,
               "rewrite partial stats index missing")
             val keptIdx = spark.read
-              .parquet(vDir(name, v).resolve("stats").toString)
+              .parquet(statsDirOf(name, v).toString)
               .join(touchedDf, Seq("file"), "left_anti")
             val full =
               if (statsNewOk) keptIdx.unionByName(
@@ -1146,7 +1268,7 @@ final class Catalog(val root: String, spark: SparkSession) {
           // every-file list that at millions of files could exceed limits
           (if (untouched.isEmpty) 0L
            else FileStats.statsIndexRowsExcluding(spark,
-             vDir(name, v).resolve("stats").toString, touched)) + rewrittenRows
+             statsDirOf(name, v).toString, touched)) + rewrittenRows
         else if (oldStats.isEmpty && untouched.nonEmpty)
           rowsBefore + rewrittenRows
         else kept.map(_.rows).sum + rewrittenRows
@@ -1161,6 +1283,21 @@ final class Catalog(val root: String, spark: SparkSession) {
           Files.move(tmp.resolve("blooms"), dir.resolve("blooms"))
         if (Files.isDirectory(tmp.resolve("stats")))
           Files.move(tmp.resolve("stats"), dir.resolve("stats"))
+        // the manifest lands BEFORE meta.json (the commit point): a
+        // crash in between leaves an invisible claimed dir, never a
+        // committed version without its file census. A full rewrite
+        // (untouched empty) is self-contained and skips the manifest.
+        if (untouched.nonEmpty) {
+          val entries = (untouched.map { rel =>
+            val (d, ov) = baseManifest.flatMap(_.relOwner.get(rel))
+              .getOrElse((name, v))
+            Catalog.ManifestEntry(d, ov, rel)
+          } ++ rewRels.map(Catalog.ManifestEntry(name, nv, _))).toVector
+          Files.write(dir.resolve("manifest.json"),
+            manifestJson((name, nv),
+              Catalog.Manifest(entries, None)).getBytes("UTF-8"),
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        }
         // chainHash is a fresh UUID-tagged marker: a mutation is not a
         // chain checkpoint, so it must never satisfy findCheckpoint
         val meta = metaJson(VersionMeta(
@@ -1189,12 +1326,14 @@ final class Catalog(val root: String, spark: SparkSession) {
 
   /**
    * Zero-copy commit of `srcName@srcV`'s files as a NEW version of
-   * `dstName`: every data file hard-links (no byte copied), the stats
-   * and bloom indexes carry verbatim (their keys are version-dir-
-   * relative, so they stay valid), and the meta records the
-   * cross-version lineage dep — which also makes the source version
-   * vacuum-protected for as long as the link-version lives. The engine
-   * behind [[restore]] and [[cloneDataset]].
+   * `dstName`: the manifest references every source data file by its
+   * PHYSICAL owner (resolved one hop through the source's own manifest,
+   * so chains of restores/clones never deepen), the parquet-tier stats
+   * and bloom indexes carry by `indexFrom` pointer (their keys are
+   * version-dir-relative, identical for a zero-copy version), and the
+   * meta records the cross-version lineage dep. O(files) metadata, zero
+   * data bytes, on any store. The engine behind [[restore]] and
+   * [[cloneDataset]].
    */
   private def linkVersion(srcName: String, srcV: SemVer,
                           dstName: String,
@@ -1203,47 +1342,39 @@ final class Catalog(val root: String, spark: SparkSession) {
     val srcDir = vDir(srcName, srcV)
     require(Files.exists(srcDir.resolve("meta.json")),
       s"unknown version $srcName@v$srcV")
-    val tmp = dsDir(dstName).resolve(s".tmp-${java.util.UUID.randomUUID}")
-    Files.createDirectories(tmp.resolve("data"))
-    try {
-      def linkTree(from: Path, to: Path): Unit =
-        linkAll(walkParquet(from).map(f =>
-          (f, to.resolve(from.relativize(f)))))
-      linkTree(srcDir.resolve("data"), tmp.resolve("data"))
-      Seq("blooms", "stats").foreach { d =>
-        if (Files.isDirectory(srcDir.resolve(d))) {
-          Files.createDirectories(tmp.resolve(d))
-          linkTree(srcDir.resolve(d), tmp.resolve(d))
-        }
+    val entries = dataFilesOf(srcName, srcV).toVector
+    val indexFrom: Option[(String, SemVer)] =
+      if (Files.isDirectory(srcDir.resolve("stats")) ||
+          Files.isDirectory(srcDir.resolve("blooms")))
+        Some((srcName, srcV))
+      else manifestOf(srcName, srcV).flatMap(_.indexFrom)
+    // schema derivation can launch a read — resolve it BEFORE the lock
+    val schemaJson = recordedSchema(srcName, srcV).map(SignalSchema.toJson)
+      .getOrElse(SignalSchema.toJson(
+        Sys.drop(readVersionData(srcName, srcV)).schema))
+    withCommitLock(dstName) {
+      guardLatestIs(dstName, guardLatest)
+      val (nv, dir) = claimVersion(dstName, None)
+      Files.createDirectories(dir.resolve("data"))
+      // inline index sidecars are metadata-sized — copy them so the new
+      // version's inline tier stands alone (dir-tier carries by pointer)
+      Seq("stats.json", "blooms.json").foreach { f =>
+        if (Files.exists(srcDir.resolve(f)))
+          Files.copy(srcDir.resolve(f), dir.resolve(f))
       }
-      // schema derivation can launch a read — resolve it BEFORE the lock
-      val schemaJson = recordedSchema(srcName, srcV).map(SignalSchema.toJson)
-        .getOrElse(SignalSchema.toJson(
-          Sys.drop(readVersionData(srcName, srcV)).schema))
-      withCommitLock(dstName) {
-        guardLatestIs(dstName, guardLatest)
-        val (nv, dir) = claimVersion(dstName, None)
-        Files.move(tmp.resolve("data"), dir.resolve("data"))
-        Seq("blooms", "stats").foreach { d =>
-          if (Files.isDirectory(tmp.resolve(d)))
-            Files.move(tmp.resolve(d), dir.resolve(d))
-        }
-        Seq("stats.json", "blooms.json").foreach { f =>
-          if (Files.exists(srcDir.resolve(f)))
-            Files.copy(srcDir.resolve(f), dir.resolve(f))
-        }
-        val meta = metaJson(VersionMeta(
-          dstName, nv.toString, s"cow-link-${java.util.UUID.randomUUID}",
-          schemaJson, Seq(s"$srcName@v$srcV"),
-          java.time.Instant.now.toString, rowsOf(srcName, srcV),
-          attrs = if (isEvolved(srcName, srcV)) Seq("schema:evolved")
-            else Nil))
-        Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
-          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-        nv
-      }
-    } finally {
-      deleteTree(tmp)
+      Files.write(dir.resolve("manifest.json"),
+        manifestJson((dstName, nv),
+          Catalog.Manifest(entries, indexFrom)).getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      val meta = metaJson(VersionMeta(
+        dstName, nv.toString, s"cow-link-${java.util.UUID.randomUUID}",
+        schemaJson, Seq(s"$srcName@v$srcV"),
+        java.time.Instant.now.toString, rowsOf(srcName, srcV),
+        attrs = if (isEvolved(srcName, srcV)) Seq("schema:evolved")
+          else Nil))
+      Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      nv
     }
   }
 
@@ -1301,8 +1432,8 @@ final class Catalog(val root: String, spark: SparkSession) {
       cowRewrite(name, v, touched, all, None, op, bloomExpected,
         guardLatest = Some(v))
     else {
-      val dataDir = vDir(name, v).resolve("data")
-      val total = touched.map(r => Files.size(dataDir.resolve(r))).sum
+      val total = touched.map(r =>
+        Files.size(resolveDataFile(name, v, r))).sum
       val target = math.max(64L << 10,
         math.ceil(total.toDouble / math.max(1, nFiles)).toLong)
       // the scan packs at WRITE time (inside cowRewrite); the packing
@@ -1577,7 +1708,7 @@ final class Catalog(val root: String, spark: SparkSession) {
   private def maxSysId(name: String, v: SemVer, all: Seq[String],
                        target: DataFrame): Long =
     FileStats.leafMaxLong(spark,
-      all.map(r => s"${vDir(name, v).resolve("data")}/$r"), "sys.id")
+      all.map(r => resolveDataFile(name, v, r).toString), "sys.id")
       .getOrElse {
         val r = target.agg(max(col("sys.id"))).head()
         if (r.isNullAt(0)) -1L else r.getLong(0)
@@ -1649,8 +1780,7 @@ final class Catalog(val root: String, spark: SparkSession) {
    */
   private def touchedByEnvelope(name: String, v: SemVer, src: DataFrame,
                                 on: Seq[String]): (Seq[String], Seq[String]) = {
-    val dataDir = vDir(name, v).resolve("data")
-    val all = walkParquet(dataDir).map(f => dataDir.relativize(f).toString)
+    val all = dataFilesOf(name, v).map(_.rel)
     val stats = try fileStatsFor(name, v, Some(on))
       catch { case scala.util.control.NonFatal(_) =>
         Seq.empty[FileStats.FileStat] }
@@ -1910,6 +2040,9 @@ final class Catalog(val root: String, spark: SparkSession) {
     keptCache.synchronized {
       keptCache.keySet.removeIf(_.startsWith(name + "@@"))
     }
+    manifestCache.synchronized {
+      manifestCache.keySet.removeIf(_.startsWith(name + "@@"))
+    }
   }
   private def freshToken(p: Path): String =
     try s"${Files.getLastModifiedTime(p).toMillis}:${Files.size(p)}"
@@ -1935,11 +2068,12 @@ final class Catalog(val root: String, spark: SparkSession) {
     }
 
   /** TRUE when `name@v` carries the parquet-table stats tier (the
-    * many-file form) rather than inline stats.json. */
+    * many-file form) rather than inline stats.json — its own dir or a
+    * zero-copy version's indexFrom pointer. */
   private[graft] def statsTierIsParquet(name: String, version: SemVer)
       : Boolean =
     !Files.exists(vDir(name, version).resolve("stats.json")) &&
-      Files.isDirectory(vDir(name, version).resolve("stats"))
+      Files.isDirectory(statsDirOf(name, version))
 
   /** Column-restricted stats: the inline tier parses whole (small by
     * construction, cached) and the restriction is a no-op; the parquet
@@ -1953,7 +2087,7 @@ final class Catalog(val root: String, spark: SparkSession) {
     val jsonP = vDir(name, version).resolve("stats.json")
     if (Files.exists(jsonP)) fileStats(name, version)
     else {
-      val pdir = vDir(name, version).resolve("stats")
+      val pdir = statsDirOf(name, version)
       if (!Files.isDirectory(pdir)) Seq.empty
       else {
         val key = s"$name@@$version@@" +
@@ -1989,7 +2123,6 @@ final class Catalog(val root: String, spark: SparkSession) {
                        version: Option[SemVer] = None): Chain = {
     val v = version.orElse(latestVersion(name))
       .getOrElse(throw new NoSuchElementException(s"dataset $name not found"))
-    val dataDir = vDir(name, v).resolve("data").toString
     val full = readVersionData(name, v).filter(predicate)
     val df =
       resolvedCondition(full) match {
@@ -2000,7 +2133,7 @@ final class Catalog(val root: String, spark: SparkSession) {
           keptFilesParquetTier(name, v, pe) match {
             case Some((kept, total)) =>
               if (kept.size.toLong == total || kept.isEmpty) full
-              else readSelected(name, v, dataDir, kept, predicate)
+              else readSelected(name, v, kept, predicate)
             case None => full
           }
         case Some(pe) =>
@@ -2012,7 +2145,7 @@ final class Catalog(val root: String, spark: SparkSession) {
             catch { case scala.util.control.NonFatal(_) =>
               Seq.empty[FileStats.FileStat] }
           if (stats.isEmpty) full
-          else pruneWith(full, stats, pe, name, v, dataDir, predicate)
+          else pruneWith(full, stats, pe, name, v, predicate)
       }
     Chain(df, OpTree.empty.append("read_dataset_where", name, v.toString))
   }
@@ -2020,7 +2153,6 @@ final class Catalog(val root: String, spark: SparkSession) {
   private def pruneWith(full: DataFrame, stats: Seq[FileStats.FileStat],
                         pe: org.apache.spark.sql.catalyst.expressions.Expression,
                         name: String, v: SemVer,
-                        dataDir: String,
                         predicate: org.apache.spark.sql.Column)
       : DataFrame = {
           val blooms = fileBlooms(name, v,
@@ -2031,25 +2163,19 @@ final class Catalog(val root: String, spark: SparkSession) {
             // nothing pruned, or nothing survives (read the dir anyway
             // for the schema; the filter returns zero rows)
             full
-          else readSelected(name, v, dataDir, kept.map(_.file), predicate)
+          else readSelected(name, v, kept.map(_.file), predicate)
   }
 
   /** Read exactly `files` (version-relative) of `name@v` with the
     * recorded types restored, then apply `predicate` — the shared tail
-    * of the driver and distributed pruning paths. basePath keeps hive
-    * partition columns alive when the kept files sit under key=value
-    * subdirs (harmless otherwise). */
-  private def readSelected(name: String, v: SemVer, dataDir: String,
+    * of the driver and distributed pruning paths ([[readVersionFiles]]
+    * resolves manifest owners and keeps hive partition columns alive
+    * via per-owner basePaths). */
+  private def readSelected(name: String, v: SemVer,
                            files: Seq[String],
                            predicate: org.apache.spark.sql.Column)
-      : DataFrame = {
-    val sel = files.map(f => s"$dataDir/$f")
-    fullReadSchema(name, v) match {
-      case Some(fs) => readWithSchema(dataDir, sel, fs).filter(predicate)
-      case None => restoreTypes(readNoInfer(dataDir, sel), name, v)
-        .filter(predicate)
-    }
-  }
+      : DataFrame =
+    readVersionFiles(name, v, files).filter(predicate)
 
   // Distributed-prune result cache: (version, predicate, columns) →
   // (kept files, census total). Same freshness-token discipline as
@@ -2084,7 +2210,7 @@ final class Catalog(val root: String, spark: SparkSession) {
   private def keptFilesParquetTier(name: String, v: SemVer,
       pe: org.apache.spark.sql.catalyst.expressions.Expression)
       : Option[(Seq[String], Long)] = {
-    val pdir = vDir(name, v).resolve("stats")
+    val pdir = statsDirOf(name, v)
     try {
       val refs = pe.references.map(_.name).toSeq.distinct.sorted
       val cp = FileStats.compile(pe)
@@ -2097,7 +2223,7 @@ final class Catalog(val root: String, spark: SparkSession) {
           // bloom tier: inline blooms.json broadcasts as a map (small by
           // its own tier's construction), a blooms/ table joins by file
           val bj = vDir(name, v).resolve("blooms.json")
-          val bd = vDir(name, v).resolve("blooms")
+          val bd = bloomsDirOf(name, v)
           val inline =
             if (Files.exists(bj)) fileBlooms(name, v, Some(refs))
             else Map.empty[String, Map[String, Array[Byte]]]
@@ -2141,7 +2267,7 @@ final class Catalog(val root: String, spark: SparkSession) {
                  wanted: Option[Seq[String]] = None)
       : Map[String, Map[String, Array[Byte]]] = bloomCache.synchronized {
     val p = vDir(name, version).resolve("blooms.json")
-    val d = vDir(name, version).resolve("blooms")
+    val d = bloomsDirOf(name, version)
     val src =
       if (Files.exists(p)) p
       else if (Files.isDirectory(d)) d
@@ -2231,12 +2357,15 @@ final class Catalog(val root: String, spark: SparkSession) {
     * int 0 and lose the leading zero). Plain versions pass through
     * untouched (no partition columns, types already match). */
   private def readVersionData(name: String, v: SemVer): DataFrame =
-    fullReadSchema(name, v) match {
-      case Some(full) =>
-        readWithSchema(vDir(name, v).resolve("data").toString, Nil, full)
-      case None =>
-        restoreTypes(readNoInfer(vDir(name, v).resolve("data").toString,
-          Nil), name, v)
+    manifestOf(name, v) match {
+      case Some(m) => readVersionFiles(name, v, m.entries.map(_.rel))
+      case None => fullReadSchema(name, v) match {
+        case Some(full) =>
+          readWithSchema(vDir(name, v).resolve("data").toString, Nil, full)
+        case None =>
+          restoreTypes(readNoInfer(vDir(name, v).resolve("data").toString,
+            Nil), name, v)
+      }
     }
 
   /** TRUE when `name@v` committed a SCHEMA EXTENSION (some data files
@@ -2446,13 +2575,32 @@ final class Catalog(val root: String, spark: SparkSession) {
       .getOrElse(throw new IllegalStateException(s"no rows in $name@v$version meta"))
 
   /** Remove a single version (rollback of a failed multi-save protocol
-    * step; versions are otherwise immutable). */
+    * step; versions are otherwise immutable). Files that another LIVE
+    * version's manifest still references survive as a headless pool
+    * ([[reduceToPool]]) — deleting a zero-copy descendant's physical
+    * base must never break the descendant. */
   def deleteVersion(name: String, version: SemVer): Unit = {
-    invalidateStats(name)
-    val d = vDir(name, version)
-    if (Files.exists(d)) {
-      Files.walk(d).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+    val (keepRels, keepIdx) = liveRefsTo(name, version)
+    reduceToPool(name, version, keepRels, keepIdx)
+  }
+
+  /** Files of `name@v` that committed manifests of OTHER versions still
+    * reference, and whether any indexFrom pointer targets it. Metadata
+    * scan: one cached manifest read per committed version. */
+  private def liveRefsTo(name: String, v: SemVer): (Set[String], Boolean) = {
+    var rels = Set.empty[String]
+    var idx = false
+    datasets().foreach { n =>
+      versions(n).foreach { ov =>
+        if ((n, ov) != ((name, v)))
+          manifestOf(n, ov).foreach { m =>
+            m.entries.foreach(e =>
+              if (e.ds == name && e.v == v) rels += e.rel)
+            if (m.indexFrom.contains((name, v))) idx = true
+          }
+      }
     }
+    (rels, idx)
   }
 
   /** Lineage deps (`name@vX.Y.Z`) recorded at save time for one version. */
@@ -2490,12 +2638,13 @@ final class Catalog(val root: String, spark: SparkSession) {
       val (n, v) = queue.dequeue()
       depsOf(n, v).foreach { d =>
         // SAME-dataset deps (a cow mutation's / optimize's / restore's
-        // parent-version link) are PROVENANCE, not liveness: children
-        // hard-link every carried file, so deleting an ancestor's
-        // version dir never breaks them, and following these links
-        // would make every mutation trail immortal (unbounded storage
-        // on a daily-mutated 100 TB table). Retention (keepLast)
-        // governs a dataset's own history; the closure protects only
+        // parent-version link) are PROVENANCE, not liveness: the
+        // FILE-level manifest refcount below keeps exactly the carried
+        // bytes a surviving child references, so deleting an ancestor
+        // VERSION never breaks it — while following these links would
+        // make every mutation trail immortal (unbounded storage on a
+        // daily-mutated 100 TB table). Retention (keepLast) governs a
+        // dataset's own history; the closure protects only
         // CROSS-dataset lineage (derived pins its source).
         val exists = d._1 != n && all.get(d._1).exists(_.contains(d._2))
         if (exists && !protect(d)) { protect += d; queue += d }
@@ -2507,10 +2656,85 @@ final class Catalog(val root: String, spark: SparkSession) {
     // dryRun reports what WOULD go — the audit step before a destructive
     // pass over someone's catalog
     if (!dryRun) {
-      victims.foreach { case (n, v) => deleteVersion(n, v) }
+      // FILE-level liveness: every protected version's manifest pins the
+      // exact ancestor files it references (and its indexFrom pins the
+      // index dirs). A victim that still physically owns referenced
+      // bytes is reduced to a headless FILE POOL — meta.json and every
+      // unreferenced file removed, the version gone from the reader
+      // view, the referenced bytes alive until their last referencing
+      // manifest itself goes. Victims' own manifests pin nothing: they
+      // are deleted in the same pass.
+      val liveFiles =
+        scala.collection.mutable.Map.empty[(String, SemVer), Set[String]]
+      val liveIdx = scala.collection.mutable.Set.empty[(String, SemVer)]
+      protect.foreach { case (n, v) =>
+        manifestOf(n, v).foreach { m =>
+          m.entries.foreach { e =>
+            if ((e.ds, e.v) != ((n, v)))
+              liveFiles((e.ds, e.v)) =
+                liveFiles.getOrElse((e.ds, e.v), Set.empty) + e.rel
+          }
+          m.indexFrom.foreach { ix => if (ix != ((n, v))) liveIdx += ix }
+        }
+      }
+      victims.foreach { case (n, v) =>
+        reduceToPool(n, v, liveFiles.getOrElse((n, v), Set.empty),
+          liveIdx((n, v)))
+      }
+      // prior pools whose references have since lapsed shrink further
+      // (and disappear once nothing points at them)
+      all.keys.toSeq.sorted.foreach { n =>
+        listDir(dsDir(n))
+          .filter(p => Files.exists(p.resolve(".pool")))
+          .foreach { p =>
+            val pv = SemVer.parse(p.getFileName.toString.drop(1))
+            reduceToPool(n, pv, liveFiles.getOrElse((n, pv), Set.empty),
+              liveIdx((n, pv)))
+          }
+      }
       sweepTempDirs()
     }
     victims
+  }
+
+  /** Reduce a retired version dir to the files other LIVE manifests
+    * still reference: nothing referenced → the whole dir goes (today's
+    * full delete); otherwise the dir stays as a headless pool (`.pool`
+    * marker, no meta.json → invisible to readers, its version number
+    * never reclaimed while newer versions exist) holding exactly the
+    * referenced data files, plus the index dirs when a zero-copy
+    * descendant's indexFrom still points here. */
+  private def reduceToPool(name: String, v: SemVer,
+                           keepRels: Set[String], keepIdx: Boolean): Unit = {
+    invalidateStats(name)
+    val d = vDir(name, v)
+    if (!Files.exists(d)) return
+    if (keepRels.isEmpty && !keepIdx) { deleteTree(d); return }
+    // marker FIRST: a crash mid-prune leaves either a still-complete
+    // version (re-vacuumed later) or a recognizable pool — never an
+    // anonymous headless dir that looks like an in-flight claim forever
+    Files.write(d.resolve(".pool"), Array.empty[Byte],
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Seq("meta.json", "manifest.json", "stats.json", "blooms.json")
+      .foreach(f => Files.deleteIfExists(d.resolve(f)))
+    if (!keepIdx) {
+      deleteTree(d.resolve("stats"))
+      deleteTree(d.resolve("blooms"))
+    }
+    val dataDir = d.resolve("data")
+    walkParquet(dataDir).foreach { f =>
+      if (!keepRels(dataDir.relativize(f).toString)) Files.delete(f)
+    }
+    // sweep now-empty partition subdirs (deepest first), keeping data/
+    if (Files.isDirectory(dataDir)) {
+      val w = Files.walk(dataDir)
+      val dirs = try w.iterator.asScala.filter(Files.isDirectory(_))
+        .toSeq.reverse finally w.close()
+      dirs.filterNot(_ == dataDir).foreach { sub =>
+        if (listDir(sub).isEmpty)
+          try Files.delete(sub) catch { case _: java.io.IOException => () }
+      }
+    }
   }
 
   /** Remove save-protocol temp dirs older than an hour — debris of
@@ -2559,6 +2783,20 @@ final class Catalog(val root: String, spark: SparkSession) {
   }
 
   def deleteDataset(name: String): Unit = {
+    // another dataset's live manifest referencing this one's files
+    // (a clone, or a derived zero-copy version) would silently lose
+    // rows if the bytes vanished under it — refuse; delete or
+    // materialize (optimize) the referencing dataset first
+    val refs = datasets().filter(_ != name).flatMap { o =>
+      versions(o).filter { v =>
+        manifestOf(o, v).exists(m =>
+          m.indexFrom.exists(_._1 == name) || m.entries.exists(_.ds == name))
+      }.map(v => s"$o@v$v")
+    }
+    require(refs.isEmpty,
+      s"deleteDataset($name): files are still referenced by " +
+        s"${refs.take(3).mkString(", ")}" +
+        (if (refs.size > 3) s" (+${refs.size - 3} more)" else ""))
     invalidateStats(name)
     val d = dsDir(name)
     if (Files.exists(d)) {
@@ -2615,11 +2853,43 @@ final class Catalog(val root: String, spark: SparkSession) {
         Files.write(vDir(to, v).resolve("meta.json"),
           patched.getBytes("UTF-8"), StandardOpenOption.TRUNCATE_EXISTING)
       }
+      // manifests name their physical owners BY DATASET — every live
+      // manifest referencing `from` (the moved dataset's own restore
+      // trails, and any clone of it elsewhere) must follow the rename
+      // or its reads break. Metadata-only: one rewrite per manifest
+      // that actually mentions the old name.
+      rewriteManifestOwner(from, to)
       // the held lock file traveled with the directory, serializing
       // writers that discover the NEW name until the meta patch above
       // is complete — drop the carried copy LAST (the finally deletes
       // only the old path, which no longer exists)
       Files.deleteIfExists(dsDir(to).resolve(".commit.lock"))
+    }
+  }
+
+  /** Rename dataset `from` → `to` inside every committed manifest of
+    * the catalog (the [[moveDataset]] fix-up). Owners serialize at the
+    * line head as `{"d": "<ds>@v` — a safe structural match (`esc`
+    * leaves `@` alone and dataset names cannot contain quotes). */
+  private def rewriteManifestOwner(from: String, to: String): Unit = {
+    val needle = "\"d\": \"" + esc(from) + "@v"
+    val repl = "\"d\": \"" + esc(to) + "@v"
+    val ixNeedle = "\"indexFrom\": \"" + esc(from) + "@v"
+    val ixRepl = "\"indexFrom\": \"" + esc(to) + "@v"
+    datasets().foreach { n =>
+      versions(n).foreach { v =>
+        val p = manifestPath(n, v)
+        if (Files.exists(p)) {
+          val s = new String(Files.readAllBytes(p), "UTF-8")
+          if (s.contains(needle) || s.contains(ixNeedle)) {
+            Files.write(p,
+              s.replace(needle, repl).replace(ixNeedle, ixRepl)
+                .getBytes("UTF-8"),
+              StandardOpenOption.TRUNCATE_EXISTING)
+            invalidateStats(n)
+          }
+        }
+      }
     }
   }
 

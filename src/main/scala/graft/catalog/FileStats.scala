@@ -575,7 +575,8 @@ $files
     * serialized bloom per requested column. */
   private def bloomAggDf(spark: SparkSession, dataDir: String,
                          cols: Seq[String], expectedItems: Long,
-                         schema: Option[org.apache.spark.sql.types.StructType])
+                         schema: Option[org.apache.spark.sql.types.StructType],
+                         listed: Option[Seq[String]] = None)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
     import org.apache.spark.sql.types._
@@ -586,13 +587,21 @@ $files
     // know the written frame's schema pass it (explicit-schema read, no
     // session-conf involvement); the fallback flips inference off under
     // the shared ConfFlip lock.
-    val df = schema match {
-      case Some(s) => spark.read.schema(s).parquet(dataDir)
-      case None => ConfFlip.lock.synchronized {
+    // `listed`: explicit (possibly cross-dir, manifest-resolved) file
+    // paths; reads without a basePath, so bloom columns must be DATA
+    // columns there (a partition column would resolve null) — every
+    // listed caller blooms data columns only.
+    val df = (schema, listed) match {
+      case (Some(s), Some(fs)) => spark.read.schema(s).parquet(fs: _*)
+      case (Some(s), None) => spark.read.schema(s).parquet(dataDir)
+      case (None, fs) => ConfFlip.lock.synchronized {
         val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
         val prevInfer = spark.conf.get(inferKey)
         spark.conf.set(inferKey, "false")
-        try spark.read.parquet(dataDir)
+        try fs match {
+          case Some(l) => spark.read.parquet(l: _*)
+          case None => spark.read.parquet(dataDir)
+        }
         finally spark.conf.set(inferKey, prevInfer)
       }
     }
@@ -634,7 +643,8 @@ $files
   def writeBloomIndex(spark: SparkSession, dataDir: String, cols: Seq[String],
                       expectedItems: Long, outDir: String,
                       schema: Option[org.apache.spark.sql.types.StructType] =
-                        None): Unit = {
+                        None,
+                      listed: Option[Seq[String]] = None): Unit = {
     import org.apache.spark.sql.functions.{array, col, explode, struct, udf, lit => flit}
     val pairs = cols.map(c =>
       struct(flit(c).as("col"), col(s"__bloom_$c").as("bloom")))
@@ -642,7 +652,7 @@ $files
     // scale), never in the data path — and the version-dir-relative key
     // must survive partition subdirectories AND scheme-qualified names
     val rel = udf((f: String) => relativize(dataDir, f))
-    bloomAggDf(spark, dataDir, cols, expectedItems, schema)
+    bloomAggDf(spark, dataDir, cols, expectedItems, schema, listed)
       .select(rel(col("__f")).as("file"),
         explode(array(pairs: _*)).as("e"))
       .select(col("file"), col("e.col").as("col"), col("e.bloom").as("bloom"))

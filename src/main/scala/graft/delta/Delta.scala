@@ -240,8 +240,10 @@ object Delta {
     JF.createDirectories(dir)
     catalog.versions(changesName).foreach { v =>
       catalog.versionDataFiles(changesName, v).keysIterator.foreach { rel =>
+        // resolveDataFile: a manifest version's bytes live under the
+        // owning ancestor's dir, not its own
         linkIntoStream(dir,
-          JP.get(catalog.root, "datasets", changesName, s"v$v", "data", rel),
+          catalog.resolveDataFile(changesName, v, rel),
           s"v${v}__${rel.replace('/', '_')}")
       }
     }
@@ -467,7 +469,7 @@ object Delta {
         cur.keysIterator
           .filterNot(k => prev.get(k).contains(cur(k)))
           .foreach(rel => linkIntoStream(dir,
-            JP.get(catalog.root, "datasets", name, s"v$v", "data", rel),
+            catalog.resolveDataFile(name, v, rel),
             s"v${v}__${rel.replace('/', '_')}"))
         prev = cur
         linkedTo = Some(v)

@@ -695,11 +695,13 @@ class IoSpec extends SparkSpec {
       val (keptAfter, totalAfter) = cat.pruneCount("big", p2)
       assert(keptAfter < totalAfter,
         s"rebuilt index must still prune: $keptAfter/$totalAfter")
-      // zero-copy clone carries the index
+      // zero-copy clone carries the index BY POINTER (indexFrom): no
+      // physical stats dir of its own, pruning identical to the source
       cat.cloneDataset("big", "big2")
       val vc = cat.latestVersion("big2").get
-      assert(Files.isDirectory(java.nio.file.Paths.get(rootP, "datasets",
-        "big2", s"v$vc", "stats")))
+      assert(!Files.isDirectory(java.nio.file.Paths.get(rootP, "datasets",
+        "big2", s"v$vc", "stats")),
+        "clone must not materialize an index tree")
       assert(cat.pruneCount("big2", p2)._1 === keptAfter)
     } finally prev match {
       case Some(x) => spark.conf.set(confKey, x)

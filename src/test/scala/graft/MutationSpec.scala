@@ -10,9 +10,8 @@ import graft.core.Chain
   * hard-link the rest. */
 class MutationSpec extends SparkSpec {
 
-  private def inode(p: java.nio.file.Path): Any =
-    Files.getAttribute(p, "unix:ino")
-
+  /** PHYSICAL parquet files under the version's own data dir — for a
+    * manifest version, exactly its rewrite output. */
   private def dataFiles(root: String, name: String, v: SemVer) = {
     import scala.jdk.CollectionConverters._
     val d = Paths.get(root, "datasets", name, s"v$v", "data")
@@ -20,6 +19,26 @@ class MutationSpec extends SparkSpec {
     try w.iterator.asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).toList
     finally w.close()
+  }
+
+  /** Pins the zero-copy carry: every carried (non-physical) file of
+    * `name@v` resolves to the SAME physical file the base version
+    * reads — zero data bytes were written for it. Returns the carried
+    * count. */
+  private def assertCarried(cat: Catalog, root: String, name: String,
+                            v: SemVer, baseName: String,
+                            baseV: SemVer): Int = {
+    val own = dataFiles(root, name, v).map(_.getFileName.toString).toSet
+    val census = cat.versionDataFiles(name, v).keys.toSeq.sorted
+    val carried = census.filterNot(r =>
+      own(Paths.get(r).getFileName.toString))
+    carried.foreach { rel =>
+      val got = cat.resolveDataFile(name, v, rel)
+      val base = cat.resolveDataFile(baseName, baseV, rel)
+      assert(Files.isSameFile(got, base),
+        s"carried $rel must resolve to the base's physical file")
+    }
+    carried.size
   }
 
   /** orders saved as 8 range-partitioned files → narrow o_orderkey
@@ -54,59 +73,53 @@ class MutationSpec extends SparkSpec {
     val oldIds = expect.select("sys.id").collect().map(_.getLong(0)).toSet
     val newIds = got.select("sys.id").collect().map(_.getLong(0)).toSet
     assert(newIds === oldIds)
-    // linked files share the inode with the old version (zero bytes copied)
+    // carried files cross by manifest reference: the new version's own
+    // data dir holds ONLY the rewrite output (zero bytes written for
+    // the reused files), and every carried rel resolves to the base's
+    // physical file
     val v2 = cat.latestVersion("ord").get
-    val oldByName = dataFiles(root, "ord", v1)
-      .map(p => p.getFileName.toString -> p).toMap
-    val shared = dataFiles(root, "ord", v2).filter(p =>
-      oldByName.get(p.getFileName.toString)
-        .exists(o => inode(o) == inode(p)))
-    assert(shared.size === r.filesReused)
+    assert(dataFiles(root, "ord", v2).size === r.filesRewritten)
+    assert(assertCarried(cat, root, "ord", v2, "ord", v1) === r.filesReused)
     // lineage dep on the mutated version
     assert(cat.depsOf("ord", v2) === Seq(("ord", v1)))
   }
 
-  test("link farm above the fan-out threshold: Spark-job links, same inodes") {
-    val prev = sys.props.get("graft.link.fanoutThreshold")
-    sys.props("graft.link.fanoutThreshold") = "4"
-    try {
-      val root = Files.createTempDirectory("mut_fan").toString
-      val cat = new Catalog(root, spark)
-      saveOrders(cat, "ord")
-      val v1 = cat.latestVersion("ord").get
-      val before = cat.readDataset("ord").toDF
-      val mx = before.agg(max("o_orderkey")).head().getLong(0)
-      val pred = col("o_orderkey") <= mx / 16
-      val r = cat.deleteWhere("ord", pred)
-      // ≥5 untouched links > threshold 4 → the cow rewrite took the
-      // distributed farm; result and inode sharing must be unchanged
-      assert(r.filesReused > 4, s"fixture must exceed the threshold: $r")
-      val v2 = cat.latestVersion("ord").get
-      val oldByName = dataFiles(root, "ord", v1)
-        .map(p => p.getFileName.toString -> p).toMap
-      val linked = dataFiles(root, "ord", v2).filter(p =>
-        oldByName.get(p.getFileName.toString)
-          .exists(o => inode(o) == inode(p)))
-      assert(linked.size === r.filesReused)
-      val expect = before.filter(not(coalesce(pred, lit(false))))
-      val got = cat.readDataset("ord").toDF
-      assert(got.count() === r.rowsAfter)
-      assert(expect.exceptAll(got.select(expect.columns.map(col): _*))
-        .isEmpty)
-      // and linkVersion (restore/clone) fans out through the same farm
-      val cv = cat.cloneDataset("ord", "ord2")
-      val srcByName = dataFiles(root, "ord", v2)
-        .map(p => p.getFileName.toString -> p).toMap
-      val cloneFiles = dataFiles(root, "ord2", cv)
-      assert(cloneFiles.nonEmpty && cloneFiles.forall(p =>
-        srcByName.get(p.getFileName.toString)
-          .exists(o => inode(o) == inode(p))))
-    } finally {
-      prev match {
-        case Some(v) => sys.props("graft.link.fanoutThreshold") = v
-        case None => sys.props.remove("graft.link.fanoutThreshold")
-      }
+  test("chained mutations resolve one hop; clone carries zero-copy") {
+    val root = Files.createTempDirectory("mut_chain").toString
+    val cat = new Catalog(root, spark)
+    saveOrders(cat, "ord")
+    val v1 = cat.latestVersion("ord").get
+    val before = cat.readDataset("ord").toDF
+    val mx = before.agg(max("o_orderkey")).head().getLong(0)
+    val r2 = cat.deleteWhere("ord", col("o_orderkey") <= mx / 16)
+    // second mutation on TOP of a manifest version: carried entries
+    // must resolve to their PHYSICAL owners (v1 for files untouched by
+    // both, r2 for its rewrite output) — never chain through r2's
+    // manifest
+    val r3 = cat.deleteWhere("ord", col("o_orderkey") > mx - mx / 16)
+    val v3 = cat.latestVersion("ord").get
+    assert(r3.filesReused > 0)
+    assert(dataFiles(root, "ord", v3).size === r3.filesRewritten)
+    assert(assertCarried(cat, root, "ord", v3, "ord", r2.version)
+      === r3.filesReused)
+    // every carried entry's owner is a PHYSICAL file holder
+    cat.manifestOf("ord", v3).get.entries.foreach { e =>
+      val p = Paths.get(root, "datasets", e.ds, s"v${e.v}", "data", e.rel)
+      assert(Files.exists(p), s"manifest owner of ${e.rel} must be physical")
     }
+    val expect = before
+      .filter(col("o_orderkey") > mx / 16 && col("o_orderkey") <= mx - mx / 16)
+    val got = cat.readDataset("ord").toDF
+    assert(got.count() === r3.rowsAfter)
+    assert(expect.exceptAll(got.select(expect.columns.map(col): _*))
+      .isEmpty)
+    // clone of the twice-mutated table: zero physical files, full read
+    val cv = cat.cloneDataset("ord", "ord2")
+    assert(dataFiles(root, "ord2", cv).isEmpty,
+      "clone must not materialize any data file")
+    assert(cat.readDataset("ord2").toDF.count() === r3.rowsAfter)
+    assert(assertCarried(cat, root, "ord2", cv, "ord", v3)
+      === cat.versionDataFiles("ord2", cv).size)
   }
 
   test("deleteWhere keeps NULL-predicate rows (SQL DELETE semantics)") {
@@ -132,7 +145,8 @@ class MutationSpec extends SparkSpec {
       .head().getLong(0)
     cat.deleteWhere("ord", col("o_orderkey") <= mx / 16)
     val v2 = cat.latestVersion("ord").get
-    val files = dataFiles(root, "ord", v2)
+    // stats cover the full manifest census (carried + rewritten alike)
+    val files = cat.versionDataFiles("ord", v2)
     assert(cat.fileStats("ord", v2).size === files.size)
     // the carried + rebuilt index still prunes, and pruned == full filter
     val pred = col("o_orderkey") > mx / 2
@@ -468,13 +482,14 @@ class MutationSpec extends SparkSpec {
     assert(r.filesReused > 16, s"cold files must link, not rewrite: $r")
     assert(r.filesRewritten < 8, s"hot band must compact: $r")
     val v2 = cat.latestVersion("ord").get
-    assert(dataFiles(root, "ord", v2).size <
-      dataFiles(root, "ord", v1).size, "file count must drop")
+    assert(cat.versionDataFiles("ord", v2).size <
+      cat.versionDataFiles("ord", v1).size, "file count must drop")
     // identical rows, sys included (layout-only rewrite carries sys)
     val after = cat.readDataset("ord").toDF
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
-    // stats stay complete: pruning on the new version still exact
-    assert(cat.fileStats("ord", v2).size === dataFiles(root, "ord", v2).size)
+    // stats stay complete over the manifest census: pruning still exact
+    assert(cat.fileStats("ord", v2).size ===
+      cat.versionDataFiles("ord", v2).size)
   }
 
   test("mergeInto evolveSchema: new column lands, old rows read null") {
@@ -524,15 +539,16 @@ class MutationSpec extends SparkSpec {
     val v1 = cat.latestVersion("t").get
     cat.deleteWhere("t", col("k") <= 25L) // the "bad" mutation
     assert(cat.readDataset("t").toDF.count() === 25)
-    // RESTORE: new latest identical to v1, files shared by inode
+    // RESTORE: new latest identical to v1, zero data bytes written —
+    // the restored version's own data dir is empty and every file
+    // resolves to v1's physical bytes
     val v3 = cat.restore("t", v1)
     assert(cat.latestVersion("t").get === v3)
     assert(cat.readDataset("t").toDF.count() === 50)
-    val f1 = dataFiles(root, "t", v1).map(p =>
-      p.getFileName.toString -> inode(p)).toMap
-    assert(dataFiles(root, "t", v3).forall(p =>
-      f1.get(p.getFileName.toString).contains(inode(p))),
-      "restore must link, not copy")
+    assert(dataFiles(root, "t", v3).isEmpty,
+      "restore must reference, not copy")
+    assert(assertCarried(cat, root, "t", v3, "t", v1)
+      === cat.versionDataFiles("t", v3).size)
     // history intact; dep protects v1 from vacuum
     assert(cat.depsOf("t", v3) === Seq(("t", v1)))
     // CLONE: independent fork, source untouched by clone's mutations
@@ -916,10 +932,15 @@ class MutationSpec extends SparkSpec {
             r.getAs[Array[Byte]]("bloom")))).toSet
       val carried = idxRows(
         Paths.get(root, "datasets", "ord", s"v$v2", "blooms").toString)
+      // rebuild comparator over the manifest-RESOLVED census (v2's own
+      // dir holds only the rewrite output now)
+      val v2census = cat.versionDataFiles("ord", v2).keys.toSeq.sorted
       val rebuiltDir = Files.createTempDirectory("pbloom_rebuild")
       graft.catalog.FileStats.writeBloomIndex(spark,
         Paths.get(root, "datasets", "ord", s"v$v2", "data").toString,
-        Seq("okey"), 100000L, rebuiltDir.resolve("idx").toString)
+        Seq("okey"), 100000L, rebuiltDir.resolve("idx").toString,
+        listed = Some(v2census.map(r =>
+          cat.resolveDataFile("ord", v2, r).toString)))
       val rebuilt = idxRows(rebuiltDir.resolve("idx").toString)
       assert(carried === rebuilt,
         s"carried index diverges from rebuild: ${carried.size} vs " +
@@ -930,12 +951,12 @@ class MutationSpec extends SparkSpec {
       // untouched files (verbatim carry, not a coincidental rebuild)
       val v1Rows = idxRows(
         Paths.get(root, "datasets", "ord", s"v$v1", "blooms").toString)
-      val untouchedNames = dataFiles(root, "ord", v2)
-        .map(_.getFileName.toString)
-        .filter(n => dataFiles(root, "ord", v1)
-          .exists(_.getFileName.toString == n)).toSet
-      assert(carried.filter(r => untouchedNames(
-          Paths.get(r._1).getFileName.toString))
+      val ownNames = dataFiles(root, "ord", v2)
+        .map(_.getFileName.toString).toSet
+      val untouchedNames = v2census.filterNot(r =>
+        ownNames(Paths.get(r).getFileName.toString)).toSet
+      assert(untouchedNames.nonEmpty, "fixture must carry files")
+      assert(carried.filter(r => untouchedNames(r._1))
         .subsetOf(v1Rows), "untouched files' bloom rows must carry verbatim")
     } finally spark.conf.set("graft.bloom.inlineMaxFiles", "32")
   }
@@ -962,7 +983,9 @@ class MutationSpec extends SparkSpec {
       val rebuiltDir = Files.createTempDirectory("pstats_rebuild")
       graft.catalog.FileStats.writeStatsIndex(spark,
         Paths.get(root, "datasets", "ord16", s"v$v2", "data").toString,
-        rebuiltDir.resolve("idx").toString)
+        rebuiltDir.resolve("idx").toString,
+        listed = Some(cat.versionDataFiles("ord16", v2).keys.toSeq.sorted
+          .map(r => cat.resolveDataFile("ord16", v2, r).toString)))
       val rebuilt = idxRows(rebuiltDir.resolve("idx").toString)
       assert(carried === rebuilt,
         s"carried stats index diverges: ${carried.size} vs " +
