@@ -1647,6 +1647,32 @@ object ScaleProbe {
         println(f"bpe K=$k%-3d docs=${5000L * k}%-8d tokens=$nTok%-10d " +
           f"train ${trainSec}%.2f s  encode ${encSec}%.2f s")
       }
+      // merge-count scaling on a FIXED word table: the incremental
+      // trainer's per-merge cost must stay flat-ish as the vocabulary
+      // grows (the naive recount paid the whole word table per merge —
+      // linear in merges × corpus, intractable at 32k). The docs
+      // fixture's vocabulary saturates at ~90 merges, so the curve
+      // runs on a deterministic synthetic Zipf table with enough
+      // symbol diversity to sustain thousands of merges; the naive
+      // trainer is timed once at the small end as the comparator.
+      val rnd = new scala.util.Random(42)
+      val wc = (0 until 100000).map { i =>
+        val len = 3 + rnd.nextInt(10)
+        val w = Array.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+        (w, 1L + 1000000L / (i + 1))
+      }
+      val tN = System.nanoTime()
+      graft.ops.Bpe.trainNaive(wc, 64)
+      val naiveSec = (System.nanoTime() - tN) / 1e9
+      println(f"bpe merges=64    naive-recount train ${naiveSec}%.2f s  " +
+        f"ms/merge=${naiveSec * 1000 / 64}%.2f")
+      Seq(64, 512, 2048, 8192).foreach { m =>
+        val t0 = System.nanoTime()
+        val merges = graft.ops.Bpe.train(wc, m)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"bpe merges=$m%-5d learned=${merges.size}%-5d " +
+          f"train ${sec}%.2f s  ms/merge=${sec * 1000 / merges.size}%.2f")
+      }
     }
     spark.stop()
   }

@@ -41,11 +41,15 @@ object Bpe {
 
   /** UTF-8 byte-order comparison (DuckDB/Spark binary collation) —
     * the tie-break order for equal pair counts. */
-  private def u8lt(x: (String, String), y: (String, String)): Boolean = {
-    val c = UTF8String.fromString(x._1).binaryCompare(UTF8String.fromString(y._1))
-    if (c != 0) c < 0
-    else UTF8String.fromString(x._2).binaryCompare(UTF8String.fromString(y._2)) < 0
+  private def u8cmp(x: (String, String), y: (String, String)): Int = {
+    val c = UTF8String.fromString(x._1)
+      .binaryCompare(UTF8String.fromString(y._1))
+    if (c != 0) c
+    else UTF8String.fromString(x._2)
+      .binaryCompare(UTF8String.fromString(y._2))
   }
+  private def u8lt(x: (String, String), y: (String, String)): Boolean =
+    u8cmp(x, y) < 0
 
   /** One merge pass: replace adjacent (a, b) with the fused symbol,
     * left-to-right non-overlapping ("aaa" + (a,a) → [aa, a]). */
@@ -60,12 +64,128 @@ object Bpe {
     out.result()
   }
 
-  /** Learn up to `numMerges` merges from a word-frequency table.
-    * Stops early when no adjacent pair remains. Pure function of the
-    * (word, count) multiset — input order never matters. */
-  def train(wordCounts: Seq[(String, Long)], numMerges: Int): Vector[(String, String)] = {
+  /**
+   * Learn up to `numMerges` merges from a word-frequency table. Stops
+   * early when no adjacent pair remains. Pure function of the
+   * (word, count) multiset — input order never matters.
+   *
+   * INCREMENTAL: pair counts live in a hash map maintained as deltas, a
+   * pair→words inverted index names the only words a merge can touch,
+   * and the arg-max comes off a lazy-deletion max-heap (every count
+   * CHANGE enqueues a fresh (count, pair) entry; a popped entry is
+   * valid iff it matches the pair's current count). Per-merge cost is
+   * O(touched words × length + changed pairs × log heap) — flat-ish in
+   * the MERGE COUNT, where the naive recount walked every symbol of
+   * every word per merge (intractable at a production 32k-merge
+   * vocabulary: ~1e11 driver ops at the 1M-word cap). Merge selection
+   * is bit-identical to [[trainNaive]]: same max-count pair, same
+   * UTF-8 tie-break (the heap orders ties by reversed byte compare, so
+   * the smallest pair surfaces first; scalacheck pins the equivalence
+   * on random corpora).
+   */
+  def train(wordCounts: Seq[(String, Long)],
+            numMerges: Int): Vector[(String, String)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    // collapse duplicate words, split to codepoint symbols
+    // indexed word table: splitChars is injective, so distinct input
+    // words stay distinct; sequences that become equal after a merge
+    // need no collapsing — their counts contribute identically apart
+    val tab = wordCounts.iterator
+      .map { case (w, c) => (splitChars(w), c) }
+      .filter(_._1.nonEmpty).toArray
+    val words = tab.map(_._1)
+    val wcnt = tab.map(_._2)
+    def pairsOf(s: Vector[String]): Iterator[(String, String)] =
+      (0 until s.length - 1).iterator.map(i => (s(i), s(i + 1)))
+    val pairCounts =
+      scala.collection.mutable.HashMap.empty[(String, String), Long]
+    // membership is add-only (stale members are re-validated against
+    // the word's CURRENT symbols before any work) — total inserts are
+    // bounded by pair occurrences processed, never rebuilt
+    val pairWords =
+      scala.collection.mutable.HashMap.empty[(String, String),
+        scala.collection.mutable.BitSet]
+    // max-heap: count first, UTF-8-SMALLEST pair wins ties (reversed
+    // compare — PriorityQueue dequeues the ordering's maximum)
+    val heapOrd: Ordering[(Long, String, String)] =
+      new Ordering[(Long, String, String)] {
+        def compare(x: (Long, String, String),
+                    y: (Long, String, String)): Int = {
+          val c = java.lang.Long.compare(x._1, y._1)
+          if (c != 0) c else u8cmp((y._2, y._3), (x._2, x._3))
+        }
+      }
+    val heap =
+      scala.collection.mutable.PriorityQueue.empty[(Long, String, String)](
+        heapOrd)
+    var wi = 0
+    while (wi < words.length) {
+      val c = wcnt(wi)
+      pairsOf(words(wi)).foreach { p =>
+        pairCounts.updateWith(p)(v => Some(v.getOrElse(0L) + c))
+        pairWords.getOrElseUpdate(p,
+          scala.collection.mutable.BitSet.empty) += wi
+      }
+      wi += 1
+    }
+    pairCounts.foreach { case (p, c) => heap.enqueue((c, p._1, p._2)) }
+    val merges = Vector.newBuilder[(String, String)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      var best: (String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val (c, a, b) = heap.dequeue()
+        if (c > 0 && pairCounts.getOrElse((a, b), 0L) == c) best = (a, b)
+      }
+      if (best == null) done = true
+      else {
+        merges += best
+        val changed =
+          scala.collection.mutable.HashSet.empty[(String, String)]
+        pairWords.getOrElse(best,
+            scala.collection.mutable.BitSet.empty).foreach { w =>
+          val s = words(w)
+          // stale member (the pair vanished from this word under an
+          // earlier merge): one linear re-validation, no rewrite
+          var has = false
+          var i = 0
+          while (!has && i < s.length - 1) {
+            if (s(i) == best._1 && s(i + 1) == best._2) has = true
+            i += 1
+          }
+          if (has) {
+            val c = wcnt(w)
+            val s2 = mergeLtr(s, best._1, best._2)
+            pairsOf(s).foreach { p =>
+              pairCounts.updateWith(p)(_.map(_ - c).filter(_ != 0L))
+              changed += p
+            }
+            pairsOf(s2).foreach { p =>
+              pairCounts.updateWith(p)(v => Some(v.getOrElse(0L) + c))
+              pairWords.getOrElseUpdate(p,
+                scala.collection.mutable.BitSet.empty) += w
+              changed += p
+            }
+            words(w) = s2
+          }
+        }
+        pairWords.remove(best)
+        changed.foreach { p =>
+          val c = pairCounts.getOrElse(p, 0L)
+          if (c > 0) heap.enqueue((c, p._1, p._2))
+        }
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The textbook full-recount trainer — kept as the equivalence
+    * reference for the incremental [[train]] (scalacheck pins
+    * bit-identical merge lists on random corpora). */
+  private[graft] def trainNaive(wordCounts: Seq[(String, Long)],
+                              numMerges: Int): Vector[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     var seqs: Map[Vector[String], Long] = wordCounts
       .groupMapReduce(w => splitChars(w._1))(_._2)(_ + _)
       .filter(_._1.nonEmpty)

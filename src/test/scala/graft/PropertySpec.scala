@@ -516,6 +516,22 @@ object BpeProps extends Properties("graft.bpe") {
       Bpe.train(wc, k) == naiveTrain(wc, k)
     }
 
+  // multi-byte symbols (2-byte é, 3-byte 中, astral 𝄞) exercise the
+  // UTF-8 tie-break through the incremental trainer's lazy heap — the
+  // ascii generator above can't distinguish byte order from char order
+  private val wordU: Gen[String] =
+    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("a", "z", "é", "中", "𝄞")))
+      .map(_.mkString)
+  private val corpusU: Gen[List[(String, Long)]] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n,
+      wordU.flatMap(w => Gen.choose(1L, 9L).map((w, _)))))
+
+  property("incremental train == in-library full-recount trainer") =
+    forAll(corpusU, Gen.choose(1, 12)) { (wc, k) =>
+      Bpe.train(wc, k) == Bpe.trainNaive(wc, k)
+    }
+
   property("train is input-order invariant") =
     forAll(corpus, Gen.choose(1, 6)) { (wc, k) =>
       Bpe.train(wc, k) == Bpe.train(wc.reverse, k)
