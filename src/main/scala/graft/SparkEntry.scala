@@ -168,6 +168,17 @@ object SparkEntry {
        |$stages""".stripMargin
   }
 
+  /** The winnow fixture corpus on the Spark side: base docs plus a
+    * tail-edited copy of every ninth (the planted near-dups the
+    * winnow_dedup/spans/runs gates detect and localize). */
+  private def winnowCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.unionByName(docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        concat(expr("substr(text, 1, length(text) - 5)"),
+          lit(" tail edited now")).as("text")))
+  }
+
   /** The winnow-dedup fixture corpus (base docs + tail-edited copies of
     * every ninth) and the capped pair pipeline over [[winnowSelCtes]]'s
     * `m` — shared by the q_winnow_dedup and q_winnow_spans oracles. */
@@ -2291,12 +2302,7 @@ object SparkEntry {
       // oracle replays it exactly. The 0.65 compare is deterministic
       // cross-engine: n_shared/n_union are exact int64 and the ratio
       // is ONE ieee754 division on both sides
-      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      val copies = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
-        .select((col("doc_id") + 300000).as("doc_id"),
-          concat(expr("substr(text, 1, length(text) - 5)"),
-            lit(" tail edited now")).as("text"))
-      Winnow.nearDup(docs.unionByName(copies), "doc_id", "text",
+      Winnow.nearDup(winnowCorpus(s, dir), "doc_id", "text",
         k = 9, w = 12, minJaccard = 0.65, maxDocsPerFp = 200)
     }),
 
@@ -2305,18 +2311,28 @@ object SparkEntry {
       // near-dup pair the fingerprints carry positions, so the match
       // points at the reused run (pos_a, pos_b are 1-based codepoint
       // gram starts; consecutive rows chain into the shared passage).
-      // Spans come from the RAW fingerprint table (no cap —
-      // localization wants every anchor); the pair table is tiny so
-      // both joins broadcast it
-      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      val copies = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
-        .select((col("doc_id") + 300000).as("doc_id"),
-          concat(expr("substr(text, 1, length(text) - 5)"),
-            lit(" tail edited now")).as("text"))
-      val corpus = docs.unionByName(copies)
-      val pairs = Winnow.nearDup(corpus, "doc_id", "text",
+      // Composed form: detection and localization share ONE persisted
+      // fingerprint pass (PlanSpec pins a single winnow_fingerprints
+      // projection in the whole plan); the pair table is tiny so both
+      // span joins broadcast it
+      val corpus = winnowCorpus(s, dir)
+      Winnow.nearDupWithSpans(corpus, "doc_id", "text",
+        k = 9, w = 12, minJaccard = 0.65, maxDocsPerFp = 200)._2
+    }),
+
+    "q_winnow_runs" -> ((s, dir) => {
+      // span-RUN coalescing: matching position pairs advancing in
+      // lockstep (constant pos_b - pos_a alignment, gaps <= w+k-1 —
+      // winnowing guarantees a fingerprint at least every w grams of a
+      // shared run) chain into (start_a, start_b, length) passages.
+      // One window + one groupBy over pair-local frames on top of the
+      // composed single-pass plan; the planted tail-edited copies make
+      // the expected runs analytic (one long shared-prefix run per
+      // pair), and the oracle re-derives every run from raw text
+      val corpus = winnowCorpus(s, dir)
+      val (_, spans) = Winnow.nearDupWithSpans(corpus, "doc_id", "text",
         k = 9, w = 12, minJaccard = 0.65, maxDocsPerFp = 200)
-      Winnow.sharedSpans(corpus, "doc_id", "text", pairs, k = 9, w = 12)
+      Winnow.coalesceRuns(spans, k = 9, w = 12)
     }),
 
     // ------------------------------------------------------- multimodal
@@ -2967,14 +2983,18 @@ object SparkEntry {
       // stages), recounts every document, and replays the running-sum
       // selection — one hash match certifying tokenizer AND recipe
       // together. Empty docs keep tokens=0 (LEFT JOIN + coalesce on
-      // the oracle side; size() of an empty token array on ours).
+      // the oracle side; size() of an empty token array on ours), and
+      // a NULL text also counts 0 — size() null-propagates (or yields
+      // -1 under legacy sizeOfNull) where the oracle's LEFT JOIN +
+      // coalesce counts 0; greatest(…, 0) skips nulls AND floors -1,
+      // keeping both engines aligned on null-text rows either way.
       val docs = T(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
       val model = graft.ops.Bpe.trainOn(docs, "text", numMerges = 8)
       Corpus.mixByTokenBudget(
         docs.select(col("doc_id"), col("source"),
-          size(graft.ops.Bpe.tokensCol(col("text"), model))
-            .cast("long").as("tokens")),
+          greatest(size(graft.ops.Bpe.tokensCol(col("text"), model)),
+            lit(0)).cast("long").as("tokens")),
         "doc_id", "source", "tokens",
         budgets = Map("src0" -> 500000L, "src1" -> 3000L,
           "src2" -> 1200L, "src3" -> 200L),
@@ -7409,6 +7429,34 @@ object SparkEntry {
            |FROM kp k
            |JOIN spos sa ON sa.doc_id = k.id_a
            |JOIN spos sb ON sb.doc_id = k.id_b AND sb.fp = sa.fp""".stripMargin,
+
+      // the spans oracle + the run coalescer replayed in SQL: lockstep
+      // alignment (delta = pos_b - pos_a), gap bound w+k-1 = 20, run
+      // id by prefix sum of gap breaks, one aggregate per run
+      "q_winnow_runs" ->
+        s"""WITH $winnowCopyCorpus,
+           |$winnowSelCtes,
+           |$winnowPairCtes,
+           | kp AS (SELECT id_a, id_b FROM pairs
+           |  WHERE CAST(n_shared AS DOUBLE) / n_union >= 0.65),
+           | spos AS (SELECT DISTINCT doc_id, pos, fp FROM sel),
+           | sp AS (SELECT k.id_a, k.id_b, sa.pos AS pos_a, sb.pos AS pos_b
+           |  FROM kp k
+           |  JOIN spos sa ON sa.doc_id = k.id_a
+           |  JOIN spos sb ON sb.doc_id = k.id_b AND sb.fp = sa.fp),
+           | marked AS (SELECT id_a, id_b, pos_a, pos_b,
+           |    pos_b - pos_a AS delta,
+           |    CASE WHEN pos_a - lag(pos_a) OVER
+           |      (PARTITION BY id_a, id_b, pos_b - pos_a
+           |       ORDER BY pos_a) > 20 THEN 1 ELSE 0 END AS brk
+           |  FROM sp),
+           | runs AS (SELECT *, sum(brk) OVER
+           |    (PARTITION BY id_a, id_b, delta ORDER BY pos_a
+           |     ROWS UNBOUNDED PRECEDING) AS run
+           |  FROM marked)
+           |SELECT id_a, id_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+           |  max(pos_a) + 9 - min(pos_a) AS length
+           |FROM runs GROUP BY id_a, id_b, delta, run""".stripMargin,
 
       "q_merge_stem" ->
         """WITH l AS (SELECT doc_id, 'docs/doc_' || doc_id || '.txt' AS path, n_chars

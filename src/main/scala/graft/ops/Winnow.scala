@@ -117,6 +117,75 @@ object Winnow {
         explode(fingerprintsCol(col(textCol), k, w)).as("f"))
       .select(col(idCol), col("f.pos").as("pos"), col("f.fp").as("fp"))
 
+  /** [[sharedSpans]] over a PRECOMPUTED fingerprint table `(id, pos,
+    * fp)` (the [[fingerprints]] shape) — the `subtractSeenChunksPre`
+    * pattern: a caller that already fingerprinted the corpus (e.g. the
+    * composed [[nearDupWithSpans]]) pays the dominant linear
+    * projection exactly once for detection AND localization. */
+  def sharedSpansPre(fpTable: DataFrame, pairs: DataFrame,
+                     idCol: String = "id"): DataFrame =
+    pairs.select(col("id_a"), col("id_b"))
+      .join(fpTable.select(col(idCol).as("id_a"), col("pos").as("pos_a"),
+        col("fp")), "id_a")
+      .join(fpTable.select(col(idCol).as("id_b"), col("pos").as("pos_b"),
+        col("fp")), Seq("id_b", "fp"))
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"),
+        col("fp"))
+
+  /** Localize WHERE near-dup pairs overlap — the property that makes
+    * winnowing worth its index over MinHash: fingerprints carry
+    * positions, so a match points at the reused passage. For each
+    * `(id_a, id_b)` in `pairs`, emits one row per matching fingerprint
+    * position pair: `(id_a, id_b, pos_a, pos_b, fp)` with `pos_*` the
+    * 1-based codepoint starts of the shared k-gram. Spans come from the
+    * RAW fingerprint table (no hot-fp cap — localization wants every
+    * anchor, including boilerplate); chain consecutive positions with
+    * [[coalesceRuns]]. The pair table is typically tiny (nearDup's
+    * output), so both joins broadcast it and the corpus fingerprints
+    * never shuffle. The fingerprint frame is PERSISTED (it feeds both
+    * join sides — uncached, each side would re-run the full projection
+    * over the corpus) and stays cached after return: the result is
+    * lazy, so the op cannot unpersist behind it; blocks are
+    * LRU-evictable (id, pos, fp) triples, orders of magnitude smaller
+    * than the text (the nearDup cache idiom). */
+  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
+                  pairs: DataFrame, k: Int = 5, w: Int = 8): DataFrame = {
+    val fps = fingerprints(df, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sharedSpansPre(fps, pairs, idCol)
+  }
+
+  /** Chain [[sharedSpans]] position pairs into contiguous RUNS: rows
+    * of one `(id_a, id_b)` pair whose positions advance in lockstep
+    * (`pos_b - pos_a` constant — the same reused passage at one
+    * alignment) merge into `(id_a, id_b, start_a, start_b, length)`
+    * with `length` in codepoints (`last gram start + k - start`).
+    * Successive fingerprints of a shared run are at most `w` grams
+    * apart (the winnowing window guarantee), so a gap of more than
+    * `w + k - 1` codepoints at the same alignment is a DIFFERENT
+    * reused passage. One window + one groupBy, both partitioned by
+    * the (pair, alignment) key — pair-local frames, no shuffle growth
+    * beyond the span table itself. */
+  def coalesceRuns(spans: DataFrame, k: Int, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byAlign = Window
+      .partitionBy(col("id_a"), col("id_b"), col("__delta"))
+      .orderBy(col("pos_a"))
+    val gap = w + k - 1
+    spans
+      .withColumn("__delta", col("pos_b") - col("pos_a"))
+      .withColumn("__new", when(col("pos_a") -
+        lag(col("pos_a"), 1).over(byAlign) > gap, 1).otherwise(0))
+      .withColumn("__run", sum(col("__new")).over(
+        byAlign.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id_a"), col("id_b"), col("__delta"), col("__run"))
+      .agg(min(col("pos_a")).as("start_a"),
+        min(col("pos_b")).as("start_b"),
+        (max(col("pos_a")) + lit(k) - min(col("pos_a"))).as("length"))
+      .select(col("id_a"), col("id_b"), col("start_a"), col("start_b"),
+        col("length"))
+  }
+
   /** Near-duplicate pairs by fingerprint-set Jaccard:
     * `(id_a, id_b, n_shared, n_union)` for every pair whose DISTINCT
     * fingerprint-value sets overlap at `jaccard >= minJaccard`
@@ -134,47 +203,64 @@ object Winnow {
     * entries. 0 keeps every gram (exact, small/trusted corpora only:
     * an uncapped hot fingerprint's posting must fit one aggregation
     * buffer). Feed the pairs to [[Dedup.connectedComponents]] for
-    * cluster-level dedup. */
-  /** Localize WHERE near-dup pairs overlap — the property that makes
-    * winnowing worth its index over MinHash: fingerprints carry
-    * positions, so a match points at the reused passage. For each
-    * `(id_a, id_b)` in `pairs`, emits one row per matching fingerprint
-    * position pair: `(id_a, id_b, pos_a, pos_b, fp)` with `pos_*` the
-    * 1-based codepoint starts of the shared k-gram. Spans come from the
-    * RAW fingerprint table (no hot-fp cap — localization wants every
-    * anchor, including boilerplate); consecutive output positions
-    * chain into the full reused run. The pair table is typically tiny
-    * (nearDup's output), so both joins broadcast it and the corpus
-    * fingerprints never shuffle. */
-  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
-                  pairs: DataFrame, k: Int = 5, w: Int = 8): DataFrame = {
-    val fps = fingerprints(df, idCol, textCol, k, w)
-    pairs.select(col("id_a"), col("id_b"))
-      .join(fps.select(col(idCol).as("id_a"), col("pos").as("pos_a"),
-        col("fp")), "id_a")
-      .join(fps.select(col(idCol).as("id_b"), col("pos").as("pos_b"),
-        col("fp")), Seq("id_b", "fp"))
-      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"),
-        col("fp"))
-  }
-
+    * cluster-level dedup.
+    *
+    * Caching: the fingerprint frame and the postings lists persist and
+    * stay cached after return — the result is lazy, so the op cannot
+    * unpersist behind it. Blocks are metadata-sized and LRU-evictable
+    * (the minhashCandidates idiom); a caller that wants them gone after
+    * materializing calls `spark.catalog.clearCache()` or re-plans from
+    * [[nearDupWithSpans]], which shares ONE cached table across
+    * detection and localization. */
   def nearDup(df: DataFrame, idCol: String, textCol: String,
               k: Int = 5, w: Int = 8, minJaccard: Double = 0.5,
               maxDocsPerFp: Int = 0): DataFrame = {
-    require(minJaccard > 0.0 && minJaccard <= 1.0,
-      s"minJaccard must be in (0,1], got $minJaccard")
     // per-doc DISTINCT fp values locally inside the projection
     // (array_distinct before the explode) — the dedup that a
     // groupBy-distinct would otherwise pay a full shuffle for is free.
     // Cached: this one frame feeds the hot-fp count and the postings
     // aggregation; without the cache each consumer re-fingerprints the
-    // full corpus. Cached rows are (id, fp) pairs — orders of
-    // magnitude smaller than the text; LRU-evictable (the
-    // minhashCandidates idiom, Dedup.scala:71-77).
+    // full corpus.
     val fps = df.select(col(idCol).as("id"),
         explode(array_distinct(transform(
           fingerprintsCol(col(textCol), k, w), f => f("fp")))).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nearDupFromDistinct(fps, minJaccard, maxDocsPerFp)
+  }
+
+  /** Detection + localization off ONE fingerprint pass: fingerprints
+    * the corpus once into a persisted `(id, pos, fp)` table, derives
+    * the near-dup pairs from it ([[nearDup]] semantics — the per-doc
+    * distinct collapses inside the postings aggregation via
+    * collect_set, so no second projection runs), and localizes the
+    * pairs over the SAME table. Returns (pairs, spans). */
+  def nearDupWithSpans(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 5, w: Int = 8, minJaccard: Double = 0.5,
+                       maxDocsPerFp: Int = 0): (DataFrame, DataFrame) = {
+    // cache the PRE-EXPLODE fingerprint arrays: the one expensive
+    // linear pass over the text runs once; the detection side derives
+    // its per-doc-distinct VALUE rows and the localization side its
+    // POSITIONAL rows as cheap in-array projections of the cache — no
+    // extra shuffle anywhere (a distinct() on the exploded table would
+    // pay one, and the in-array array_distinct is free)
+    val arr = df.select(col(idCol).as("id"),
+        fingerprintsCol(col(textCol), k, w).as("__fps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fps = arr.select(col("id"),
+      explode(array_distinct(transform(col("__fps"),
+        f => f("fp")))).as("fp"))
+    val pairs = nearDupFromDistinct(fps, minJaccard, maxDocsPerFp)
+    val fpTable = arr.select(col("id"), explode(col("__fps")).as("f"))
+      .select(col("id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
+    (pairs, sharedSpansPre(fpTable, pairs, "id"))
+  }
+
+  /** The shared pair pipeline over a distinct `(id, fp)` frame (the
+    * caller persists it — every branch below consumes it). */
+  private def nearDupFromDistinct(fps: DataFrame, minJaccard: Double,
+                                  maxDocsPerFp: Int): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0,1], got $minJaccard")
     val kept =
       if (maxDocsPerFp <= 0) fps
       else {

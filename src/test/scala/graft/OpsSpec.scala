@@ -2594,6 +2594,50 @@ class OpsSpec extends SparkSpec {
     // fp capped away, no pairs survive
     assert(Winnow.nearDup(docs, "doc_id", "text", k = 5, w = 4,
       minJaccard = 0.01, maxDocsPerFp = 1).count() === 0)
+
+    // composed single-pass variant == nearDup + sharedSpans, row for row
+    val (cp, cs) = Winnow.nearDupWithSpans(docs, "doc_id", "text",
+      k = 5, w = 4, minJaccard = 0.5)
+    assert(cp.as[(Long, Long, Long, Long)].collect().toSet === pairs)
+    val spans = Winnow.sharedSpans(docs, "doc_id", "text",
+      Winnow.nearDup(docs, "doc_id", "text", k = 5, w = 4,
+        minJaccard = 0.5), k = 5, w = 4)
+      .as[(Long, Long, Int, Int, Long)].collect().toSet
+    assert(cs.as[(Long, Long, Int, Int, Long)].collect().toSet === spans
+      && spans.nonEmpty)
+  }
+
+  test("winnow coalesceRuns: lockstep spans chain, gaps and misalignments split") {
+    import graft.ops.Winnow
+    import spark.implicits._
+    // k=5, w=4 -> gap bound w+k-1 = 8. One pair, three regimes:
+    //  - delta 10, positions 1,4,9 (steps <= 8): ONE run, len 9+5-1=13
+    //  - delta 10, position 40 (gap 31 > 8): its own run, len 5
+    //  - delta 20, position 6: different alignment, its own run
+    val spans = Seq(
+      (1L, 2L, 1, 11, 100L), (1L, 2L, 4, 14, 101L), (1L, 2L, 9, 19, 102L),
+      (1L, 2L, 40, 50, 103L),
+      (1L, 2L, 6, 26, 104L)
+    ).toDF("id_a", "id_b", "pos_a", "pos_b", "fp")
+    val runs = Winnow.coalesceRuns(spans, k = 5, w = 4)
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    assert(runs === Set(
+      (1L, 2L, 1, 11, 13),
+      (1L, 2L, 40, 50, 5),
+      (1L, 2L, 6, 26, 5)), runs.toString)
+    // end-to-end: the planted shared prefix coalesces into one long run
+    // per near-dup pair whose length covers most of the prefix
+    val docs2 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog ok then"),
+      (2L, "the quick brown fox jumps over the lazy dog ok soon"))
+      .toDF("doc_id", "text")
+    val (_, cs2) = Winnow.nearDupWithSpans(docs2, "doc_id", "text",
+      k = 5, w = 4, minJaccard = 0.5)
+    val rr = Winnow.coalesceRuns(cs2, k = 5, w = 4)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    assert(rr.exists(r => r._3 == r._4 && r._5 > 30),
+      s"shared prefix must coalesce into one long aligned run: " +
+        rr.mkString(","))
   }
 
   test("bpe: paper example, encode replay, expression parity, edge shapes") {

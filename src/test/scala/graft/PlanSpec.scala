@@ -54,6 +54,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     // the tiny pair table broadcasts into the fingerprint side
     assert(p.contains("BroadcastHashJoin"), p)
+    // composed single-pass pin: detection + localization share ONE
+    // persisted fingerprint-array cache. Structural check (formatted
+    // explain re-prints cached plans under every scan, so string
+    // counting over-counts): no fingerprint expression may survive
+    // OUTSIDE a cached relation — InMemoryRelation is a logical leaf,
+    // so walking the optimized plan sees only uncached operators
+    assert(p.contains("InMemoryTableScan"), p)
+    val opt = SparkEntry.queries("q_winnow_spans")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(opt.collectFirst {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }.nonEmpty, "fingerprints must come from the shared cache")
+    val uncachedFp = opt.exists(_.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.graft.WinnowFingerprintsExpr])))
+    assert(!uncachedFp,
+      "the fingerprint projection must run only inside the cache")
+  }
+
+  test("q_winnow_runs: coalescer adds pair-local window, no cross join") {
+    val p = plan("q_winnow_runs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
   }
 
   test("q_merge_inner: dimension join broadcasts") {
