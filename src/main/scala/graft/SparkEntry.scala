@@ -131,7 +131,11 @@ object SparkEntry {
     * corpus ran out of adjacent pairs) passes f_{k-1} through
     * unchanged — mirroring Bpe.train's early stop, so the gate
     * survives a regenerated fixture with a tiny vocabulary. */
-  private def bpeTrainCtes(k: Int): String = {
+  /** The K unrolled BPE merge stages (pick the max-count pair with the
+    * UTF-8 tie-break, apply it greedily LTR via the run-parity trick)
+    * over a caller-provided `wf(word, cnt)` + `f0(word, syms)` header
+    * — shared by the whitespace and byte-level train oracles. */
+  private def bpeStageCtes(k: Int): String = {
     def pick(j: Int): String =
       s""" p$j AS (SELECT s.syms[i] AS a, s.syms[i+1] AS b, sum(wf.cnt) AS c
          |   FROM f${j - 1} s JOIN wf USING (word),
@@ -158,14 +162,73 @@ object SparkEntry {
          |   UNION ALL
          |   SELECT word, syms FROM f${j - 1}
          |   WHERE NOT EXISTS (SELECT 1 FROM mm$j))""".stripMargin
-    val stages = (1 to k).map(j => pick(j) + ",\n" + apply(j)).mkString(",\n")
+    (1 to k).map(j => pick(j) + ",\n" + apply(j)).mkString(",\n")
+  }
+
+  private def bpeTrainCtes(k: Int): String =
     s""" wf AS MATERIALIZED (SELECT w AS word, count(*) AS cnt FROM (
        |   SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
        |     x -> x != '')) AS w
        |   FROM documents) GROUP BY 1),
        | f0 AS (SELECT word,
        |   [x for x in string_split_regex(word, '')] AS syms FROM wf),
-       |$stages""".stripMargin
+       |${bpeStageCtes(k)}""".stripMargin
+
+  /** GPT-2 byte→char mapping as pure SQL arithmetic (the
+    * bytes_to_unicode rule: printable bytes keep their codepoint, the
+    * rest get 256 + their index among non-printables — counted as
+    * b minus the printables below b). */
+  private val bpeByteMapSql: String =
+    """chr(CAST(CASE WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+      |      OR (b BETWEEN 174 AND 255) THEN b
+      |    ELSE 256 + b - (least(greatest(b-33,0),94)
+      |      + least(greatest(b-161,0),12)
+      |      + least(greatest(b-174,0),82)) END AS INTEGER))""".stripMargin
+
+  /** The RE2-safe GPT-2-style pre-tokenization pattern as a DuckDB
+    * string literal (apostrophe doubled). Must stay equal to
+    * [[graft.ops.Bpe.Gpt2ishPatternStr]]. */
+  private val bpePreTokPatSql: String =
+    "''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** BYTE-LEVEL train replay over a `corpus(doc_id, text)` CTE:
+    * GPT-2-style regex pre-tokens counted corpus-wide, each word's
+    * chars expanded to UTF-8 bytes ARITHMETICALLY (no blob ops — pure
+    * codepoint math both engines share), bytes mapped through the
+    * bytes_to_unicode rule, then the same K unrolled merge stages as
+    * the whitespace oracle. Also emits `voc(token, id)` — byte
+    * alphabet 0-255 plus 255+j per learned merge (min id on fused-
+    * string collision) — and `nmerges` (learned merge count). */
+  private def bpeByteTrainCtes(k: Int): String = {
+    val stages = bpeStageCtes(k)
+    val mergeRows = (1 to k).map(j =>
+      s"SELECT a || b AS token, 255 + $j AS id FROM mm$j")
+      .mkString("\n   UNION ALL ")
+    s""" wf AS MATERIALIZED (SELECT w AS word, count(*) AS cnt FROM (
+       |   SELECT unnest(regexp_extract_all(text, '$bpePreTokPatSql')) AS w
+       |   FROM corpus) GROUP BY 1),
+       | wch AS (SELECT word, i, ord(string_split_regex(word, '')[i]) AS cp
+       |   FROM wf, unnest(range(1, length(word) + 1)) AS t(i)),
+       | wby AS (SELECT word, i,
+       |   CASE WHEN cp < 128 THEN [cp]
+       |        WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+       |        WHEN cp < 65536 THEN [224 + cp // 4096,
+       |          128 + (cp // 64) % 64, 128 + cp % 64]
+       |        ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64,
+       |          128 + (cp // 64) % 64, 128 + cp % 64] END AS bs
+       |   FROM wch),
+       | f0 AS MATERIALIZED (SELECT word, flatten(list(mapped ORDER BY i))
+       |     AS syms
+       |   FROM (SELECT word, i,
+       |     list_transform(bs, b -> $bpeByteMapSql) AS mapped FROM wby)
+       |   GROUP BY word),
+       |$stages,
+       | voc AS (SELECT token, min(id) AS id FROM (
+       |   SELECT $bpeByteMapSql AS token, b AS id FROM range(0, 256) t(b)
+       |   UNION ALL $mergeRows) GROUP BY 1),
+       | nmerges AS (SELECT count(*) AS n FROM (
+       |   ${(1 to k).map(j => s"SELECT a FROM mm$j")
+             .mkString("\n   UNION ALL ")}))""".stripMargin
   }
 
   /** The winnow fixture corpus on the Spark side: base docs plus a
@@ -2999,6 +3062,39 @@ object SparkEntry {
         budgets = Map("src0" -> 500000L, "src1" -> 3000L,
           "src2" -> 1200L, "src3" -> 200L),
         seed = "bmix")
+    }),
+
+    "q_bpe_bytes" -> ((s, dir) => {
+      // byte-level GPT-2-style BPE: closed 256-symbol alphabet via the
+      // bytes_to_unicode mapping, regex pre-tokenization (the RE2-safe
+      // variant both engines share), and a token-id vocabulary
+      // (alphabet 0-255, 256+rank per merge, specials after) — the
+      // fidelity mode that makes token budgets structurally
+      // interchangeable with released byte-level tokenizers. The
+      // fixture plants 2/3/4-byte UTF-8 so the byte expansion is
+      // actually exercised; per-doc id checksums bound the output
+      // while pinning every token and id (any difference breaks a
+      // sum). The oracle re-derives the byte map, the pre-tokens,
+      // every merge, and every id in SQL.
+      val corpus = T(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select(col("doc_id"),
+          concat(expr("substr(text, 1, 200)"),
+            lit(" café 中文 €9 𝄞x")).as("text"))
+      val model = graft.ops.Bpe.trainBytesOn(corpus, "text", numMerges = 8)
+      val ids = graft.ops.Bpe.tokenIds(model,
+        specials = Seq("<|endoftext|>"))
+      import s.implicits._
+      val vocab = ids.toSeq.toDF("token", "token_id")
+      graft.ops.Bpe.tokenize(corpus, "doc_id", "text", model)
+        .join(vocab, "token")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("token_id")).as("id_sum"),
+          sum(col("widx") * col("token_id")).as("wid_sum"),
+          sum(col("tidx") * col("token_id")).as("tid_sum"))
+        .withColumn("eot_id",
+          lit(256 + model.merges.size).cast("long"))
     }),
 
     "q_token_mix_epochs" -> ((s, dir) =>
@@ -7316,6 +7412,29 @@ object SparkEntry {
            |   AS before FROM j)
            |SELECT doc_id, source, tokens FROM r
            |WHERE before < budget""".stripMargin,
+
+      "q_bpe_bytes" ->
+        s"""WITH corpus AS (SELECT doc_id,
+           |    substr(text, 1, 200) || ' café 中文 €9 𝄞x' AS text
+           |   FROM documents WHERE doc_id % 11 = 0),
+           |${bpeByteTrainCtes(8)},
+           | docs AS (SELECT doc_id,
+           |    regexp_extract_all(text, '$bpePreTokPatSql') AS ws
+           |   FROM corpus),
+           | wpos AS (SELECT d.doc_id, t.widx, d.ws[t.widx] AS word
+           |   FROM docs d, unnest(range(1, len(d.ws) + 1)) AS t(widx)),
+           | toks AS (SELECT w.doc_id, w.widx, u.tidx,
+           |    f.syms[u.tidx] AS token
+           |   FROM wpos w JOIN f8 f USING (word),
+           |     unnest(range(1, len(f.syms) + 1)) AS u(tidx))
+           |SELECT t.doc_id,
+           |  count(*) AS n_tokens,
+           |  sum(v.id) AS id_sum,
+           |  sum(t.widx * v.id) AS wid_sum,
+           |  sum(t.tidx * v.id) AS tid_sum,
+           |  256 + (SELECT n FROM nmerges) AS eot_id
+           |FROM toks t JOIN voc v ON v.token = t.token
+           |GROUP BY 1""".stripMargin,
 
       "q_token_mix_epochs" ->
         """WITH b(source, budget) AS (VALUES ('src0', 200000), ('src1', 5000)),

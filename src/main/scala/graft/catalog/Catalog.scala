@@ -426,6 +426,39 @@ final class Catalog(val root: String, spark: SparkSession) {
    * [[ConcurrentMutationException]] instead of silently dropping the
    * winner's rows from the new latest (the classic lost update).
    */
+  // tokens of locks THIS thread currently holds (body runs inline, so
+  // thread identity is lock identity) — what [[commitFence]] checks
+  // against the on-disk lock immediately before a meta.json commit
+  private val heldTokens =
+    new ThreadLocal[scala.collection.mutable.Map[String, String]] {
+      override def initialValue() =
+        scala.collection.mutable.Map.empty[String, String]
+    }
+
+  /** The COMMIT FENCE closing the frozen-holder lease gap: a holder
+    * frozen whole past the stale period (GC pause, VM freeze) can have
+    * its lock stolen and a rival commit land; when it wakes, writing
+    * meta.json would interleave the two commits. Version writers call
+    * this immediately before the meta.json write — if the on-disk lock
+    * no longer carries our token, the commit ABORTS as a retryable
+    * [[ConcurrentMutationException]] with no metadata written (the
+    * claimed dir stays an invisible orphan of the tolerated debris
+    * class). Residual: a freeze landing between this read and the
+    * write is still exposed — the gap shrinks from body-length to one
+    * read-to-write instant. */
+  private def commitFence(name: String): Unit =
+    heldTokens.get.get(name).foreach { token =>
+      val lockP = dsDir(name).resolve(".commit.lock")
+      val owned =
+        try new String(Files.readAllBytes(lockP), "UTF-8") == token
+        catch { case _: java.io.IOException => false }
+      if (!owned)
+        throw new ConcurrentMutationException(
+          s"dataset '$name': commit lock was stolen mid-commit (holder " +
+            "frozen past the stale period); nothing was committed — " +
+            "re-read the table and retry")
+    }
+
   private def withCommitLock[T](name: String)(body: => T): T = {
     val lockP = dsDir(name).resolve(".commit.lock")
     Files.createDirectories(lockP.getParent)
@@ -480,8 +513,9 @@ final class Catalog(val root: String, spark: SparkSession) {
     // crashed holder stops beating and ages out exactly as before. (A
     // holder frozen WHOLE — a GC pause longer than the stale period —
     // can still be stolen; the owner-token release below then leaves
-    // the thief's fresh lock alone, and the stolen holder's commit may
-    // interleave — the documented residual lease gap.)
+    // the thief's fresh lock alone, and [[commitFence]] turns the
+    // woken holder's would-be interleaved commit into a retryable
+    // abort at the meta.json write.)
     val beat = new Thread(() => {
       val period = math.max(Catalog.lockStaleMs / 4, 5L)
       try {
@@ -506,8 +540,10 @@ final class Catalog(val root: String, spark: SparkSession) {
     }, s"graft-lock-heartbeat-$name")
     beat.setDaemon(true)
     beat.start()
+    heldTokens.get.put(name, token)
     try body
     finally {
+      heldTokens.get.remove(name)
       beat.interrupt()
       // ATOMIC disposal: a read-then-delete pair would let a holder
       // waking from a long freeze delete a THIEF's fresh lock (steal
@@ -546,6 +582,11 @@ final class Catalog(val root: String, spark: SparkSession) {
     * slow-holder lease behavior without a public slow verb. */
   private[graft] def withCommitLockForTest[T](name: String)(body: => T): T =
     withCommitLock(name)(body)
+
+  /** Test seam for the pre-meta commit fence — exactly what every
+    * version writer calls before its meta.json write. */
+  private[graft] def commitFenceForTest(name: String): Unit =
+    commitFence(name)
 
   /** Inside the commit lock: the latest committed version must still be
     * the one this writer's read-modify-write started from.
@@ -810,6 +851,7 @@ final class Catalog(val root: String, spark: SparkSession) {
           name, v.toString, chain.hash, SignalSchema.toJson(chain.schema),
           deps, java.time.Instant.now.toString, rows, description,
           attrs ++ expectAttrs))
+        commitFence(name)
         Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
           StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
         if (stats.nonEmpty)
@@ -1306,6 +1348,7 @@ final class Catalog(val root: String, spark: SparkSession) {
           rowsAfter,
           attrs = (if (evolvedFlag) Seq("schema:evolved") else Nil) ++
             extraAttrs))
+        commitFence(name)
         Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
           StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
         if (newStats.nonEmpty)
@@ -1372,6 +1415,7 @@ final class Catalog(val root: String, spark: SparkSession) {
         java.time.Instant.now.toString, rowsOf(srcName, srcV),
         attrs = if (isEvolved(srcName, srcV)) Seq("schema:evolved")
           else Nil))
+      commitFence(dstName)
       Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
       nv

@@ -222,10 +222,92 @@ object Bpe {
   def splitChars(w: String): Vector[String] =
     w.codePoints().toArray.toVector.map(cp => new String(Character.toChars(cp)))
 
+  // ---- byte-level mode (the GPT-2/LLaMA alphabet) ----
+
+  /** GPT-2's byte→unicode bijection (Radford et al. 2019, encoder.py's
+    * bytes_to_unicode — a public algorithm): printable bytes keep
+    * their codepoint, the other 68 map to 256+n in byte order. Every
+    * byte becomes one visible BMP char, so any UTF-8 string becomes a
+    * char sequence with a CLOSED 256-symbol alphabet — no unknown
+    * tokens, and token ids are well-defined (0-255 alphabet, 256+rank
+    * per merge). The mapping is pure arithmetic, which is what lets
+    * the DuckDB oracle rebuild the identical table from range(256). */
+  private[graft] val byteToChar: Array[String] = {
+    val out = new Array[String](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      val printable = (b >= 33 && b <= 126) || (b >= 161 && b <= 172) ||
+        (b >= 174 && b <= 255)
+      if (printable) out(b) = String.valueOf(b.toChar)
+      else { out(b) = String.valueOf((256 + n).toChar); n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** A word's UTF-8 bytes as their mapped chars — one char per byte.
+    * Injective, so byte-level training reuses the codepoint kernels
+    * verbatim on the mapped string. */
+  def toByteChars(w: String): String = {
+    val bs = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bs.length)
+    var i = 0
+    while (i < bs.length) { sb.append(byteToChar(bs(i) & 0xff)); i += 1 }
+    sb.toString
+  }
+
+  /** GPT-2-STYLE pre-tokenization, RE2-compatible variant: the
+    * original pattern's `\s+(?!\S)` lookahead arm is dropped (RE2 —
+    * DuckDB's regex engine — has no lookahead), so interior
+    * whitespace runs tokenize as one greedy token instead of leaving
+    * the last space to the following word. Both engines run this
+    * IDENTICAL pattern — that, not GPT-2 exactness, is what makes the
+    * gate replayable; counts are interchangeable with a released
+    * tokenizer's in structure (contractions, space-prefixed words,
+    * number runs, punctuation runs), documented as a variant. */
+  val Gpt2ishPatternStr: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  private[ops] val Gpt2ish: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(Gpt2ishPatternStr)
+
+  /** The pre-tokens of `text` in order (spaces ride as prefixes of the
+    * following word, the byte-level convention). */
+  def preTokenize(text: String): Array[String] = {
+    val m = Gpt2ish.matcher(text)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  /** Token-id vocabulary of a byte-level model: ids 0-255 are the byte
+    * alphabet in byte order, merge rank k's fused symbol gets 256+k
+    * (first rank wins if two merge paths fuse the same string), and
+    * `specials` append after the merges — the GPT-2-style id space
+    * that makes token BUDGETS interchangeable across runs. Requires
+    * byte-level (the alphabet must be closed for ids to be total). */
+  def tokenIds(model: Model, specials: Seq[String] = Nil): Map[String, Int] = {
+    require(model.byteLevel, "token ids need the closed byte alphabet")
+    val spec = specials.zipWithIndex.map { case (s, j) =>
+      s -> (256 + model.merges.size + j) }
+    val merged = model.merges.zipWithIndex.map { case ((a, b), r) =>
+      (a + b) -> (256 + r) }
+    // toMap keeps the LAST entry per key — reverse the merges so the
+    // lowest rank survives a fused-string collision
+    (spec ++ merged.reverse ++
+      byteToChar.zipWithIndex.map { case (s, i) => s -> i }).toMap
+  }
+
   /** A trained merge list with an in-rank-order replay encoder and a
     * per-JVM word memo (serializable; rides expressions via
-    * addReferenceObj). */
-  case class Model(merges: Vector[(String, String)]) {
+    * addReferenceObj). `byteLevel`: words map to their GPT-2 byte
+    * chars before the replay (train the merges on mapped words —
+    * [[trainBytesOn]] does). `preTok`: [[tokenizeRow]] splits with the
+    * GPT-2-style regex instead of plain whitespace (spaces ride as
+    * word prefixes, so token counts include them). */
+  case class Model(merges: Vector[(String, String)],
+                   byteLevel: Boolean = false,
+                   preTok: Boolean = false) {
     @transient private lazy val memo =
       new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
 
@@ -233,7 +315,7 @@ object Bpe {
     def encode(word: String): Vector[String] = {
       val hit = memo.get(word)
       if (hit != null) return hit
-      var s = splitChars(word)
+      var s = splitChars(if (byteLevel) toByteChars(word) else word)
       var i = 0
       while (i < merges.length && s.length > 1) {
         s = mergeLtr(s, merges(i)._1, merges(i)._2)
@@ -245,12 +327,15 @@ object Bpe {
       s
     }
 
-    /** The codegen entry point: whitespace-split `text` (empties
-      * dropped), encode each word, pack as
+    /** The codegen entry point: split `text` into words (whitespace,
+      * empties dropped — or the GPT-2-style regex when `preTok`),
+      * encode each word, pack as
       * array<struct<widx:int, tidx:int, token:string>> with 1-based
       * word/token positions (the SQL unnest convention). */
     def tokenizeRow(text: UTF8String): ArrayData = {
-      val words = Bpe.Ws.split(text.toString).filter(_.nonEmpty)
+      val words =
+        if (preTok) Bpe.preTokenize(text.toString)
+        else Bpe.Ws.split(text.toString).filter(_.nonEmpty)
       val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
       var wi = 0
       while (wi < words.length) {
@@ -284,6 +369,26 @@ object Bpe {
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     Model(train(wc, numMerges))
+  }
+
+  /** Distributed pre-token counts under the GPT-2-style regex — the
+    * byte-level trainer's one corpus job. */
+  def preTokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(regexp_extract_all(col(textCol),
+        lit(Gpt2ishPatternStr), lit(0))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Byte-level GPT-2-style training: regex pre-tokens counted
+    * corpus-wide, mapped to their byte chars, merges learned over the
+    * closed 256-symbol alphabet. The returned model byte-maps and
+    * regex-splits at encode time ([[Model.byteLevel]]/[[Model.preTok]]). */
+  def trainBytesOn(df: DataFrame, textCol: String, numMerges: Int,
+                   maxWords: Int = 1 << 20): Model = {
+    val wc = preTokenCounts(df, textCol)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxWords)
+      .collect().map(r => (toByteChars(r.getString(0)), r.getLong(1))).toSeq
+    Model(train(wc, numMerges), byteLevel = true, preTok = true)
   }
 
   /** `array<struct<widx, tidx, token>>` column of BPE tokens. */

@@ -854,6 +854,41 @@ class MutationSpec extends SparkSpec {
     }
   }
 
+  test("commit fence: a mid-body steal aborts before meta lands, retry commits") {
+    import graft.catalog.ConcurrentMutationException
+    val root = Files.createTempDirectory("mut_fence").toString
+    val cat = new Catalog(root, spark)
+    import spark.implicits._
+    cat.save(Chain((1L to 9L).map(k => (k, k)).toDF("k", "v")), "l")
+    val before = cat.versions("l")
+    val lockP = Paths.get(root, "datasets", "l", ".commit.lock")
+    // the frozen-holder interleave, body delayed past a forced steal:
+    // while we hold the lock, a breaker's fresh lock replaces ours
+    // (thief token). The fence — called exactly where save/cowRewrite/
+    // linkVersion call it, immediately before the meta.json write —
+    // must abort as the retryable conflict instead of committing over
+    // the thief.
+    val ex = intercept[ConcurrentMutationException] {
+      cat.withCommitLockForTest("l") {
+        Thread.sleep(50) // the delayed body
+        Files.write(lockP, "thief-token".getBytes("UTF-8")) // the steal
+        cat.commitFenceForTest("l") // the pre-meta fence
+        fail("fence must abort a stolen commit")
+      }
+    }
+    assert(ex.getMessage.contains("stolen"))
+    // no meta damage: the version list is untouched and readable
+    assert(cat.versions("l") === before)
+    assert(cat.readDataset("l").toDF.count() === 9)
+    Files.deleteIfExists(lockP) // drop the simulated thief's lock
+    // an un-stolen commit passes the fence (the every-writer path) and
+    // retryOnConflict composes over the fenced abort shape
+    val r = graft.catalog.Catalog.retryOnConflict(3) {
+      cat.deleteWhere("l", col("k") === 1L)
+    }
+    assert(r.rowsAfter === 8 && cat.versions("l").size === before.size + 1)
+  }
+
   test("lock release leaves a foreign (stolen-and-recreated) lock in place") {
     val root = Files.createTempDirectory("mut_rel").toString
     val cat = new Catalog(root, spark)

@@ -2640,6 +2640,36 @@ class OpsSpec extends SparkSpec {
         rr.mkString(","))
   }
 
+  test("bpe byte-level: GPT-2 byte map, pre-tokenizer, token ids") {
+    import graft.ops.Bpe
+    // bytes_to_unicode spot pins: printables keep their codepoint,
+    // space (byte 32, the 33rd non-printable is NOT it — bytes 0-32
+    // are the first 33) maps to 256+32 = U+0120 'Ġ', newline to 'Ċ'
+    assert(Bpe.toByteChars("ab") === "ab")
+    assert(Bpe.toByteChars("a b") === "aĠb")
+    assert(Bpe.toByteChars("a\nb") === "aĊb")
+    // multi-byte expansion: one mapped char per UTF-8 byte
+    assert(Bpe.toByteChars("é").length === 2)
+    assert(Bpe.toByteChars("中").length === 3)
+    assert(Bpe.toByteChars("𝄞").length === 4)
+    // pre-tokenizer: contractions split, spaces prefix words, digit
+    // and punctuation runs separate
+    assert(Bpe.preTokenize("it's a test, no.42").toSeq ===
+      Seq("it", "'s", " a", " test", ",", " no", ".", "42"))
+    // token ids: alphabet by byte, merges by rank, specials after
+    val m = Bpe.Model(Vector(("a", "b"), ("ab", "c")), byteLevel = true,
+      preTok = true)
+    val ids = Bpe.tokenIds(m, specials = Seq("<|eot|>"))
+    // ids are BYTE VALUES for the alphabet (the char is the byte's
+    // mapped codepoint: Ġ = U+0120 = 256+32, its id = the byte, 32)
+    assert(ids("a") === 97 && ids("Ġ") === 32)
+    assert(ids("ab") === 256 && ids("abc") === 257)
+    assert(ids("<|eot|>") === 258)
+    // byte-level encode replays merges over the mapped word
+    assert(m.encode("abc") === Vector("abc"))
+    assert(m.encode(" ab") === Vector("Ġ", "ab"))
+  }
+
   test("bpe: paper example, encode replay, expression parity, edge shapes") {
     import graft.ops.Bpe
     // the ACL'16 example vocabulary (no end-of-word marker — documented
