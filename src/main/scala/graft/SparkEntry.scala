@@ -511,6 +511,27 @@ object SparkEntry {
         .toDF
     }),
 
+    "q_read_database_part" -> ((s, dir) => {
+      // the partitioned-ingest correctness trap, pinned: JDBC
+      // lower/upperBound only shape the range predicates — they must
+      // NOT filter. Bounds deliberately INSIDE the key domain and more
+      // partitions than bound width: the first/last stripes absorb the
+      // out-of-bounds rows, and the union must still be every supplier
+      // exactly once (the 100 TB ingest shape: N executors pulling
+      // range slices concurrently).
+      System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+      val db = Files.createTempDirectory("graft_derby_p").resolve("db")
+      val url = s"jdbc:derby:$db;create=true"
+      val src = T(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+      graft.io.Writers.toDatabase(src, url, "supplier_db")
+      Chain.readDatabasePartitioned(s, url,
+          """SELECT "s_suppkey", "s_name", "s_nationkey" FROM supplier_db""",
+          partitionColumn = "s_suppkey",
+          lowerBound = 5L, upperBound = 15L, numPartitions = 8)
+        .toDF
+    }),
+
     "q_read_hf" -> ((s, dir) => {
       // HF parquet-export bridge: stage nation as a two-split dataset dir
       // (train/validation, split by key mod 5) with hub-style denormalized
@@ -3064,6 +3085,22 @@ object SparkEntry {
         seed = "bmix")
     }),
 
+    "q_seq_pack" -> ((s, dir) => {
+      // sequence packing over REAL BPE token counts — the pretraining
+      // input pipeline: the corpus token stream in seeded-hash order,
+      // cut into 512-token context windows; one row per doc×window
+      // fragment. Composes the trained tokenizer with the bucketed
+      // prefix-sum packer; the oracle re-derives the tokenizer, every
+      // count, the global order, and every fragment boundary
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val model = graft.ops.Bpe.trainOn(docs, "text", numMerges = 8)
+      val counts = docs.select(col("doc_id"),
+        greatest(size(graft.ops.Bpe.tokensCol(col("text"), model)),
+          lit(0)).cast("long").as("tokens"))
+      Corpus.packSequences(counts, "doc_id", "tokens",
+        seqLen = 512L, seed = "pack")
+    }),
+
     "q_bpe_bytes" -> ((s, dir) => {
       // byte-level GPT-2-style BPE: closed 256-symbol alphabet via the
       // bytes_to_unicode mapping, regex pre-tokenization (the RE2-safe
@@ -5299,6 +5336,9 @@ object SparkEntry {
       "q_read_database" ->
         "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 
+      "q_read_database_part" ->
+        "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+
       "q_save_roundtrip" ->
         """SELECT s_nationkey, count(*) AS n_suppliers,
           | CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
@@ -7412,6 +7452,36 @@ object SparkEntry {
            |   AS before FROM j)
            |SELECT doc_id, source, tokens FROM r
            |WHERE before < budget""".stripMargin,
+
+      "q_seq_pack" ->
+        s"""WITH
+           |${bpeTrainCtes(8)},
+           | dws AS (SELECT doc_id,
+           |    list_filter(string_split_regex(text, '\\s+'),
+           |      x -> x != '') AS ws
+           |   FROM documents),
+           | wpos AS (SELECT d.doc_id, d.ws[t.widx] AS word
+           |   FROM dws d, unnest(range(1, len(d.ws) + 1)) AS t(widx)),
+           | dt AS (SELECT w.doc_id, sum(len(f.syms)) AS tokens
+           |   FROM wpos w JOIN f8 f USING (word) GROUP BY 1),
+           | d0 AS (SELECT d.doc_id,
+           |   CAST(coalesce(dt.tokens, 0) AS BIGINT) AS tokens,
+           |   md5(d.doc_id || ':pack') AS h
+           |  FROM documents d LEFT JOIN dt USING (doc_id)),
+           | dpos AS (SELECT *, coalesce(sum(tokens) OVER (
+           |    ORDER BY h, doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |    AS strt
+           |   FROM d0 WHERE tokens > 0),
+           | fr AS (SELECT doc_id, tokens, strt,
+           |    unnest(range(strt // 512, (strt + tokens - 1) // 512 + 1))
+           |      AS seq_id
+           |   FROM dpos)
+           |SELECT doc_id, seq_id,
+           |  greatest(strt, seq_id * 512) - seq_id * 512 AS seq_off,
+           |  greatest(strt, seq_id * 512) - strt + 1 AS tok_from,
+           |  least(strt + tokens, (seq_id + 1) * 512) - strt AS tok_to
+           |FROM fr""".stripMargin,
 
       "q_bpe_bytes" ->
         s"""WITH corpus AS (SELECT doc_id,

@@ -658,6 +658,74 @@ object Corpus {
   }
 
   /**
+   * SEQUENCE PACKING for LLM pretraining (the GPT-3/T5 input pipeline
+   * shape): lay the corpus's token stream end to end in a
+   * deterministic seeded order and cut it into fixed `seqLen`-token
+   * context windows. Emits one row per (document × window) FRAGMENT:
+   * `(id, seq_id, seq_off, tok_from, tok_to)` — window number, 0-based
+   * offset of the fragment inside its window, and the 1-based token
+   * span of the document it carries (a doc longer than a window spans
+   * several; short docs pack together; nothing is padded or dropped).
+   *
+   * Scale shape: the global token offsets come from the hash-BUCKET
+   * prefix sum ([[mixByTokenBudget]]'s histogram idiom) — one groupBy
+   * to a ≤65536-row bucket histogram (its running sum is the only
+   * unpartitioned window, bounded by construction), bucket offsets
+   * broadcast back, and per-doc positions from a window PARTITIONED by
+   * bucket. The total order (bucket, h, id) equals (h, id) because the
+   * bucket is a prefix of the hash — no global sort, no single-
+   * partition window over the corpus. Fragment expansion is an
+   * in-array sequence explode: output rows = fragments, at most
+   * docs + total_tokens/seqLen.
+   *
+   * Deterministic and SQL-replayable: order = (md5(id:seed), id), all
+   * arithmetic exact int64 — the oracle re-derives every fragment.
+   */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    seqLen: Long, seed: String = "",
+                    buckets: Int = 1 << 16): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(buckets > 0 && buckets <= (1 << 16) &&
+      Integer.bitCount(buckets) == 1,
+      s"buckets must be a power of two in [1, 65536], got $buckets")
+    val shift = 16 - Integer.numberOfTrailingZeros(buckets)
+    val h = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+    val keyed = df
+      .filter(col(tokensCol).cast("long") > 0)
+      .withColumn("__h", h)
+      .withColumn("__b", shiftright(
+        conv(substring(col("__h"), 1, 4), 16, 10).cast("long"), shift))
+    val wb = org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
+    val hist = keyed.groupBy(col("__b"))
+      .agg(sum(col(tokensCol).cast("long")).as("__m"))
+      .withColumn("__off", coalesce(sum(col("__m")).over(
+        wb.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__h"), col(idCol))
+    val placed = keyed
+      .join(broadcast(hist), Seq("__b"))
+      .withColumn("__local", coalesce(sum(col(tokensCol).cast("long"))
+        .over(wd.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__start", col("__off") + col("__local"))
+      .withColumn("__end",
+        col("__start") + col(tokensCol).cast("long")) // exclusive
+    placed
+      .withColumn("seq_id", explode(sequence(
+        expr(s"__start div $seqLen"),
+        expr(s"(__end - 1) div $seqLen"))))
+      .select(col(idCol), col("seq_id"),
+        (greatest(col("__start"), col("seq_id") * seqLen)
+          - col("seq_id") * seqLen).as("seq_off"),
+        (greatest(col("__start"), col("seq_id") * seqLen)
+          - col("__start") + 1L).as("tok_from"),
+        (least(col("__end"), (col("seq_id") + 1L) * seqLen)
+          - col("__start")).as("tok_to"))
+  }
+
+  /**
    * Token-budget mix WITH upsampling — the full "data recipe" semantics
    * (real recipes repeat small curated domains several epochs while
    * sampling the crawl down): when a domain's budget exceeds its total

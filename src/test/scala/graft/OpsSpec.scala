@@ -2640,6 +2640,44 @@ class OpsSpec extends SparkSpec {
         rr.mkString(","))
   }
 
+  test("packSequences: fragments tile windows, docs reassemble, zero-docs drop") {
+    import graft.ops.Corpus
+    import spark.implicits._
+    val L = 8L
+    val df = Seq((1L, 5L), (2L, 3L), (3L, 9L), (4L, 17L), (5L, 1L),
+      (6L, 0L)).toDF("doc_id", "tokens")
+    val out = Corpus.packSequences(df, "doc_id", "tokens", seqLen = L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // zero-token doc contributes nothing
+    assert(!out.exists(_._1 == 6L))
+    // per doc: fragments chain 1..tokens contiguously
+    val toks = Map(1L -> 5L, 2L -> 3L, 3L -> 9L, 4L -> 17L, 5L -> 1L)
+    toks.foreach { case (id, n) =>
+      val fr = out.filter(_._1 == id).sortBy(_._4)
+      assert(fr.head._4 === 1L && fr.last._5 === n, fr.mkString(","))
+      fr.sliding(2).filter(_.size == 2).foreach(p =>
+        assert(p(1)._4 === p(0)._5 + 1, fr.mkString(",")))
+    }
+    // per window: fragments tile [0, L) contiguously; every window but
+    // the last is exactly full (total mass 35 -> windows 0..4, last 3)
+    val bySeq = out.groupBy(_._2)
+    assert(bySeq.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    bySeq.foreach { case (sid, fr0) =>
+      val fr = fr0.sortBy(_._3)
+      assert(fr.head._3 === 0L)
+      fr.sliding(2).filter(_.size == 2).foreach(p =>
+        assert(p(1)._3 === p(0)._3 + (p(0)._5 - p(0)._4 + 1)))
+      val mass = fr.map(f => f._5 - f._4 + 1).sum
+      assert(if (sid == 4L) mass === 3L else mass === L)
+    }
+    // deterministic: same seed same layout, different seed permutes the
+    // doc order (with overwhelming probability on 5 docs)
+    val again = Corpus.packSequences(df, "doc_id", "tokens", seqLen = L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ===
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("bpe byte-level: GPT-2 byte map, pre-tokenizer, token ids") {
     import graft.ops.Bpe
     // bytes_to_unicode spot pins: printables keep their codepoint,
