@@ -1204,6 +1204,41 @@ object ScaleProbe {
     // file: one manifest line), and reads resolve — where the old
     // hard-link farm burned one inode link per file and degraded to a
     // FULL DATA COPY on object stores.
+    // Hilbert vs Morton at 3 dims: same rows, same file count, laid
+    // out by Catalog.optimize under each curve; footer-stats pruning
+    // measured on box/slab predicates at several selectivities. The
+    // comparison documents when the Hilbert swap is worth it — its
+    // unit-step locality tightens per-file envelopes on MID-CELL range
+    // splits, which matters more as dimensionality rises.
+    if (want("hilbert3d")) {
+      import org.apache.spark.sql.functions.{xxhash64, pmod, abs => fabs}
+      val n = 2000000L
+      val df = spark.range(n).select(
+        pmod(fabs(xxhash64(col("id"), lit(1))), lit(1000L)).as("x"),
+        pmod(fabs(xxhash64(col("id"), lit(2))), lit(1000L)).as("y"),
+        pmod(fabs(xxhash64(col("id"), lit(3))), lit(1000L)).as("z"))
+      val root = java.nio.file.Files
+        .createTempDirectory("probe_h3").toString
+      val cat = new graft.catalog.Catalog(root, spark)
+      cat.save(graft.core.Chain(df), "h3")
+      val preds = Seq(
+        "box 10%" -> (col("x") < 464L && col("y") < 464L &&
+          col("z") < 464L),
+        "box 1%" -> (col("x") < 215L && col("y") < 215L &&
+          col("z") < 215L),
+        "2d 1%" -> (col("x") < 100L && col("y") < 100L),
+        "slab 5%" -> (col("x") >= 500L && col("x") < 550L))
+      for (files <- Seq(64, 256); curve <- Seq("zorder", "hilbert")) {
+        cat.optimize("h3", nFiles = files,
+          zorderByCols = Seq("x", "y", "z"), curve = curve)
+        val row = preds.map { case (nm, p) =>
+          val (kept, total) = cat.pruneCount("h3", p)
+          f"$nm kept $kept%3d/$total"
+        }.mkString("  ")
+        println(f"hilbert3d files=$files%-4d curve=$curve%-8s $row")
+      }
+    }
+
     if (want("manifest")) {
       import java.nio.file.{Files => JFiles}
       ks.foreach { k =>
