@@ -3085,13 +3085,16 @@ object SparkEntry {
         seed = "bmix")
     }),
 
-    "q_seq_pack" -> ((s, dir) => {
-      // sequence packing over REAL BPE token counts — the pretraining
-      // input pipeline: the corpus token stream in seeded-hash order,
-      // cut into 512-token context windows; one row per doc×window
-      // fragment. Composes the trained tokenizer with the bucketed
-      // prefix-sum packer; the oracle re-derives the tokenizer, every
-      // count, the global order, and every fragment boundary
+    "q_ctx_windows" -> ((s, dir) => {
+      // concatenate-and-cut sequence packing over REAL BPE token
+      // counts — the pretraining input pipeline (distinct from
+      // q_seq_pack's whole-doc shard packing: HERE documents split
+      // across fixed windows, nothing padded or dropped): the corpus
+      // token stream in seeded-hash order, cut into 512-token context
+      // windows; one row per doc×window fragment. Composes the
+      // trained tokenizer with the bucketed prefix-sum packer; the
+      // oracle re-derives the tokenizer, every count, the global
+      // order, and every fragment boundary
       val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
       val model = graft.ops.Bpe.trainOn(docs, "text", numMerges = 8)
       val counts = docs.select(col("doc_id"),
@@ -7453,7 +7456,7 @@ object SparkEntry {
            |SELECT doc_id, source, tokens FROM r
            |WHERE before < budget""".stripMargin,
 
-      "q_seq_pack" ->
+      "q_ctx_windows" ->
         s"""WITH
            |${bpeTrainCtes(8)},
            | dws AS (SELECT doc_id,
@@ -7468,10 +7471,10 @@ object SparkEntry {
            |   CAST(coalesce(dt.tokens, 0) AS BIGINT) AS tokens,
            |   md5(d.doc_id || ':pack') AS h
            |  FROM documents d LEFT JOIN dt USING (doc_id)),
-           | dpos AS (SELECT *, coalesce(sum(tokens) OVER (
+           | dpos AS (SELECT *, CAST(coalesce(sum(tokens) OVER (
            |    ORDER BY h, doc_id
            |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           |    AS strt
+           |    AS BIGINT) AS strt
            |   FROM d0 WHERE tokens > 0),
            | fr AS (SELECT doc_id, tokens, strt,
            |    unnest(range(strt // 512, (strt + tokens - 1) // 512 + 1))
