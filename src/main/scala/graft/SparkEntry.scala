@@ -315,7 +315,17 @@ object SparkEntry {
   // Queries
   // ======================================================================
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Map literal with a DUPLICATE-KEY guard: Scala's Map(...) keeps
+    * only the LAST entry per key, so a re-used gate name silently
+    * shadows an existing gate and its oracle with zero signal (it
+    * happened — q_seq_pack). Both registries build through this. */
+  private def gateMap[V](pairs: (String, V)*): Map[String, V] = {
+    val dup = pairs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dup.isEmpty, s"duplicate gate names: ${dup.mkString(", ")}")
+    pairs.toMap
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = gateMap(
 
     // ------------------------------------------------------------ sources
     "q1_agg" -> ((s, dir) =>
@@ -5236,7 +5246,7 @@ object SparkEntry {
          |           / $tokCount END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
          | ) / 5.0, 2)""".stripMargin
 
-    Map(
+    gateMap(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
           | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
