@@ -21,7 +21,8 @@ object ScaleProbe {
     //   pq,profile,rollingdistinct,funnel,statsskip,bloomskip,
     //   intervaljoin,mediameta,optimize,tokenmix,crawl,fuzzyjoin,mutate,statstier,
     //   mergelarge,cdfchurn,annindexq,
-    //   matview,cdc,manifest,idxcarry,chunkdedup,winnow,bpe (default all)
+    //   matview,cdc,manifest,hilbert3d,idxcarry,chunkdedup,winnow,bpe
+    //   (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
       .map(s => (x: String) => s(x)).getOrElse(_ => true)

@@ -128,6 +128,16 @@ object Catalog {
   private[catalog] def lockStaleMs: Long =
     sys.props.get("graft.lock.staleMs").map(_.toLong).getOrElse(60000L)
 
+  /** Retirement grace: a vacuumed version's bytes are PRUNED only
+    * after its tombstone has aged past this window (phase 2 of the
+    * two-phase vacuum) — the retention discipline that makes the
+    * liveness scan sound against commits racing the scan. Set it above
+    * any plausible commit wall (Delta's retention-check rationale).
+    * Tunable via `-Dgraft.vacuum.graceMs=` (tests use 0). */
+  private[catalog] def vacuumGraceMs: Long =
+    sys.props.get("graft.vacuum.graceMs").map(_.toLong)
+      .getOrElse(24L * 3600 * 1000)
+
   /** String envelopes use the broadcast nested-loop probe up to this
     * many string-stat files; beyond, the binned equi-join arm runs
     * (tunable for tests via `-Dgraft.env.stringNestedLoopMax=`). */
@@ -2619,13 +2629,18 @@ final class Catalog(val root: String, spark: SparkSession) {
       .getOrElse(throw new IllegalStateException(s"no rows in $name@v$version meta"))
 
   /** Remove a single version (rollback of a failed multi-save protocol
-    * step; versions are otherwise immutable). Files that another LIVE
-    * version's manifest still references survive as a headless pool
-    * ([[reduceToPool]]) — deleting a zero-copy descendant's physical
-    * base must never break the descendant. */
+    * step; versions are otherwise immutable). A version another LIVE
+    * manifest still references is TOMBSTONED instead (invisible to
+    * readers, every byte retained until vacuum's grace-matured prune)
+    * — deleting a zero-copy descendant's physical base must never
+    * break the descendant. */
   def deleteVersion(name: String, version: SemVer): Unit = {
     val (keepRels, keepIdx) = liveRefsTo(name, version)
-    reduceToPool(name, version, keepRels, keepIdx)
+    if (keepRels.isEmpty && !keepIdx) {
+      invalidateStats(name)
+      val d = vDir(name, version)
+      if (Files.exists(d)) deleteTree(d)
+    } else tombstone(name, version)
   }
 
   /** Files of `name@v` that committed manifests of OTHER versions still
@@ -2700,40 +2715,63 @@ final class Catalog(val root: String, spark: SparkSession) {
     // dryRun reports what WOULD go — the audit step before a destructive
     // pass over someone's catalog
     if (!dryRun) {
-      // FILE-level liveness: every protected version's manifest pins the
-      // exact ancestor files it references (and its indexFrom pins the
-      // index dirs). A victim that still physically owns referenced
-      // bytes is reduced to a headless FILE POOL — meta.json and every
-      // unreferenced file removed, the version gone from the reader
-      // view, the referenced bytes alive until their last referencing
-      // manifest itself goes. Victims' own manifests pin nothing: they
-      // are deleted in the same pass.
+      // TWO-PHASE retirement (the Delta/Iceberg retention-window
+      // discipline). Phase 1 — TOMBSTONE: every victim loses its
+      // meta.json (invisible to readers) and becomes a FILE POOL whose
+      // bytes all stay. Phase 2 — PRUNE, only for pools retired at
+      // least [[Catalog.vacuumGraceMs]] ago: delete the files no
+      // committed manifest references (plus index dirs nothing
+      // indexFrom-points at), and the whole dir once nothing is
+      // referenced. The grace window is what makes the liveness scan
+      // sound against CONCURRENT commits: a restore/clone/mutation
+      // racing phase 1 resolved its references from a then-committed
+      // version; by the time its owner files could be pruned, its own
+      // manifest has been visible for the whole grace period and pins
+      // them. (Residual: a single commit stalled LONGER than the grace
+      // period can still lose referenced files — set the grace above
+      // any plausible commit wall, as Delta documents for its
+      // retention check.)
+      victims.foreach { case (n, v) => tombstone(n, v) }
+      // FILE-level liveness at PRUNE time: every committed manifest
+      // (the reader view right now, tombstones excluded) pins the
+      // exact files it references; indexFrom pins index dirs
       val liveFiles =
         scala.collection.mutable.Map.empty[(String, SemVer), Set[String]]
       val liveIdx = scala.collection.mutable.Set.empty[(String, SemVer)]
-      protect.foreach { case (n, v) =>
-        manifestOf(n, v).foreach { m =>
-          m.entries.foreach { e =>
-            if ((e.ds, e.v) != ((n, v)))
-              liveFiles((e.ds, e.v)) =
-                liveFiles.getOrElse((e.ds, e.v), Set.empty) + e.rel
+      datasets().foreach { n =>
+        versions(n).foreach { ov =>
+          manifestOf(n, ov).foreach { m =>
+            m.entries.foreach { e =>
+              if ((e.ds, e.v) != ((n, ov)))
+                liveFiles((e.ds, e.v)) =
+                  liveFiles.getOrElse((e.ds, e.v), Set.empty) + e.rel
+            }
+            m.indexFrom.foreach { ix =>
+              if (ix != ((n, ov))) liveIdx += ix }
           }
-          m.indexFrom.foreach { ix => if (ix != ((n, v))) liveIdx += ix }
         }
       }
-      victims.foreach { case (n, v) =>
-        reduceToPool(n, v, liveFiles.getOrElse((n, v), Set.empty),
-          liveIdx((n, v)))
-      }
-      // prior pools whose references have since lapsed shrink further
-      // (and disappear once nothing points at them)
+      val cutoff = System.currentTimeMillis() - Catalog.vacuumGraceMs
       all.keys.toSeq.sorted.foreach { n =>
         listDir(dsDir(n))
           .filter(p => Files.exists(p.resolve(".pool")))
           .foreach { p =>
             val pv = SemVer.parse(p.getFileName.toString.drop(1))
-            reduceToPool(n, pv, liveFiles.getOrElse((n, pv), Set.empty),
-              liveIdx((n, pv)))
+            if (Files.exists(p.resolve("meta.json"))) {
+              // a crash between the marker and the meta delete left a
+              // COMMITTED version wearing a pool marker — it may be
+              // protected again by now; resurrect it, never prune it
+              Files.deleteIfExists(p.resolve(".pool"))
+            } else {
+              val matured =
+                try Files.getLastModifiedTime(p.resolve(".pool"))
+                  .toMillis <= cutoff
+                catch { case _: java.io.IOException => false }
+              if (matured)
+                prunePool(n, pv,
+                  liveFiles.getOrElse((n, pv), Set.empty),
+                  liveIdx((n, pv)))
+            }
           }
       }
       sweepTempDirs()
@@ -2741,26 +2779,33 @@ final class Catalog(val root: String, spark: SparkSession) {
     victims
   }
 
-  /** Reduce a retired version dir to the files other LIVE manifests
-    * still reference: nothing referenced → the whole dir goes (today's
-    * full delete); otherwise the dir stays as a headless pool (`.pool`
-    * marker, no meta.json → invisible to readers, its version number
-    * never reclaimed while newer versions exist) holding exactly the
-    * referenced data files, plus the index dirs when a zero-copy
-    * descendant's indexFrom still points here. */
-  private def reduceToPool(name: String, v: SemVer,
-                           keepRels: Set[String], keepIdx: Boolean): Unit = {
+  /** Phase 1 of retirement: mark the dir as a pool (`.pool` mtime is
+    * the retirement clock — created once, never refreshed) and drop
+    * the reader-visible metadata. Every data byte stays until the
+    * grace period passes. The marker lands BEFORE the meta delete so a
+    * crash leaves either a still-committed version (the sweep
+    * resurrects it) or a recognizable pool — never an anonymous
+    * headless dir. */
+  private def tombstone(name: String, v: SemVer): Unit = {
+    invalidateStats(name)
+    val d = vDir(name, v)
+    if (!Files.exists(d)) return
+    try Files.createFile(d.resolve(".pool"))
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    Seq("meta.json", "manifest.json", "stats.json", "blooms.json")
+      .foreach(f => Files.deleteIfExists(d.resolve(f)))
+  }
+
+  /** Phase 2: shrink a matured pool to the files/indexes committed
+    * manifests still reference; a fully unreferenced pool is deleted
+    * whole (its version number stays unreclaimable while newer dirs
+    * exist — claimVersion bumps past every claimed dir). */
+  private def prunePool(name: String, v: SemVer,
+                        keepRels: Set[String], keepIdx: Boolean): Unit = {
     invalidateStats(name)
     val d = vDir(name, v)
     if (!Files.exists(d)) return
     if (keepRels.isEmpty && !keepIdx) { deleteTree(d); return }
-    // marker FIRST: a crash mid-prune leaves either a still-complete
-    // version (re-vacuumed later) or a recognizable pool — never an
-    // anonymous headless dir that looks like an in-flight claim forever
-    Files.write(d.resolve(".pool"), Array.empty[Byte],
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Seq("meta.json", "manifest.json", "stats.json", "blooms.json")
-      .foreach(f => Files.deleteIfExists(d.resolve(f)))
     if (!keepIdx) {
       deleteTree(d.resolve("stats"))
       deleteTree(d.resolve("blooms"))
@@ -2914,7 +2959,11 @@ final class Catalog(val root: String, spark: SparkSession) {
   /** Rename dataset `from` → `to` inside every committed manifest of
     * the catalog (the [[moveDataset]] fix-up). Owners serialize at the
     * line head as `{"d": "<ds>@v` — a safe structural match (`esc`
-    * leaves `@` alone and dataset names cannot contain quotes). */
+    * leaves `@` alone and dataset names cannot contain quotes). Each
+    * rewrite lands as temp-write + ATOMIC_MOVE: a committed manifest
+    * must never be observable (or survivable after a crash) in a
+    * truncated state — a partial parse would silently drop owner
+    * groups and lose rows from reads. */
   private def rewriteManifestOwner(from: String, to: String): Unit = {
     val needle = "\"d\": \"" + esc(from) + "@v"
     val repl = "\"d\": \"" + esc(to) + "@v"
@@ -2926,10 +2975,15 @@ final class Catalog(val root: String, spark: SparkSession) {
         if (Files.exists(p)) {
           val s = new String(Files.readAllBytes(p), "UTF-8")
           if (s.contains(needle) || s.contains(ixNeedle)) {
-            Files.write(p,
+            val tmp = p.resolveSibling(
+              s".manifest.json.tmp-${java.util.UUID.randomUUID}")
+            Files.write(tmp,
               s.replace(needle, repl).replace(ixNeedle, ixRepl)
                 .getBytes("UTF-8"),
-              StandardOpenOption.TRUNCATE_EXISTING)
+              StandardOpenOption.CREATE_NEW)
+            Files.move(tmp, p,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
             invalidateStats(n)
           }
         }

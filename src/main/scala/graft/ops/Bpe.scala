@@ -292,10 +292,13 @@ object Bpe {
       s -> (256 + model.merges.size + j) }
     val merged = model.merges.zipWithIndex.map { case ((a, b), r) =>
       (a + b) -> (256 + r) }
-    // toMap keeps the LAST entry per key — reverse the merges so the
-    // lowest rank survives a fused-string collision
-    (spec ++ merged.reverse ++
-      byteToChar.zipWithIndex.map { case (s, i) => s -> i }).toMap
+    // toMap keeps the LAST entry per key: merges reversed so the lowest
+    // rank survives a fused-string collision, and SPECIALS LAST so a
+    // corpus that literally contains a marker string (documents joined
+    // with <|endoftext|> — the normal situation) cannot have a learned
+    // merge steal the special's reserved id
+    (byteToChar.zipWithIndex.map { case (s, i) => s -> i } ++
+      merged.reverse ++ spec).toMap
   }
 
   /** A trained merge list with an in-rank-order replay encoder and a

@@ -249,7 +249,11 @@ object Winnow {
     val fps = arr.select(col("id"),
       explode(array_distinct(transform(col("__fps"),
         f => f("fp")))).as("fp"))
+    // the pair table feeds the caller AND both span joins — without its
+    // own cache, materializing the spans frame would re-run the whole
+    // postings/pair pipeline a second time
     val pairs = nearDupFromDistinct(fps, minJaccard, maxDocsPerFp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fpTable = arr.select(col("id"), explode(col("__fps")).as("f"))
       .select(col("id"), col("f.pos").as("pos"), col("f.fp").as("fp"))
     (pairs, sharedSpansPre(fpTable, pairs, "id"))

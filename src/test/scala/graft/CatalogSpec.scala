@@ -256,6 +256,70 @@ class CatalogSpec extends SparkSpec {
     assert(cat.readDataset("t", Some(v1)).toDF.count() === n.count())
   }
 
+  test("vacuum two-phase: tombstone keeps bytes through the grace window, matured prune shrinks, marker+meta resurrects") {
+    val prevG = sys.props.get("graft.vacuum.graceMs")
+    try {
+      val root = Files.createTempDirectory("cat_vac_grace").toString
+      val cat = new Catalog(root, spark)
+      import org.apache.spark.sql.functions.col
+      val n = spark.read.parquet(s"$sf/orders.parquet")
+      val v1 = cat.save(Chain(n), "t")
+      val r2 = cat.deleteWhere("t", col("o_orderkey") % 7 === 0)
+      val r3 = cat.deleteWhere("t", col("o_orderkey") % 11 === 0)
+      def files(v: graft.catalog.SemVer): Int = {
+        import scala.jdk.CollectionConverters._
+        val d = java.nio.file.Paths.get(root, "datasets", "t", s"v$v", "data")
+        if (!Files.isDirectory(d)) 0
+        else { val w = Files.walk(d)
+          try w.iterator.asScala.count(_.toString.endsWith(".parquet"))
+          finally w.close() }
+      }
+      val v1Files = files(v1)
+      val v2Files = files(r2.version)
+      // phase 1 under a LONG grace: both retired versions tombstone
+      // (invisible) but every byte stays — a commit racing the scan
+      // could still be about to reference them
+      sys.props("graft.vacuum.graceMs") = "3600000"
+      assert(cat.vacuum(keepLast = 1).toSet ===
+        Set(("t", v1), ("t", r2.version)))
+      assert(cat.versions("t") === Seq(r3.version))
+      assert(files(v1) === v1Files && files(r2.version) === v2Files,
+        "grace keeps every byte")
+      assert(Files.exists(java.nio.file.Paths.get(root, "datasets", "t",
+        s"v$v1", ".pool")))
+      // the survivor reads whole through the pools the entire time
+      assert(cat.readDataset("t").toDF.count() === r3.rowsAfter)
+      // phase 2 once matured: each pool shrinks to exactly the files
+      // r3's manifest references (v1 keeps the twice-untouched bulk,
+      // r2 keeps only its rewrite output that survived r3)
+      sys.props("graft.vacuum.graceMs") = "0"
+      cat.vacuum(keepLast = 1)
+      // exact pin: each pool holds precisely the files r3's manifest
+      // resolves to it — nothing more, nothing less
+      val byOwner = cat.dataFilesOf("t", r3.version)
+        .groupBy(e => e.v).view.mapValues(_.size).toMap
+      assert(files(v1) === byOwner.getOrElse(v1, 0))
+      assert(files(r2.version) === byOwner.getOrElse(r2.version, 0))
+      assert(files(v1) + files(r2.version) < v1Files + v2Files,
+        "the prune must actually reclaim unreferenced bytes")
+      assert(cat.readDataset("t").toDF.count() === r3.rowsAfter)
+      // crash-resurrect guard: a committed version wearing a stray
+      // .pool marker (crash between marker and meta delete) is healed,
+      // never pruned
+      val latestDir = java.nio.file.Paths.get(root, "datasets", "t",
+        s"v${r3.version}")
+      Files.write(latestDir.resolve(".pool"), Array.empty[Byte])
+      cat.vacuum(keepLast = 1)
+      assert(!Files.exists(latestDir.resolve(".pool")),
+        "marker on a committed version must be healed")
+      assert(cat.versions("t").contains(r3.version) &&
+        cat.readDataset("t").toDF.count() === r3.rowsAfter)
+    } finally prevG match {
+      case Some(x) => sys.props("graft.vacuum.graceMs") = x
+      case None => sys.props.remove("graft.vacuum.graceMs")
+    }
+  }
+
   test("readDatasetAsOf resolves timestamp time travel over createdAt") {
     val root = Files.createTempDirectory("cat_asof").toString
     val cat = new Catalog(root, spark)

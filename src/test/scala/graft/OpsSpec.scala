@@ -2703,6 +2703,10 @@ class OpsSpec extends SparkSpec {
     assert(ids("a") === 97 && ids("Ġ") === 32)
     assert(ids("ab") === 256 && ids("abc") === 257)
     assert(ids("<|eot|>") === 258)
+    // a learned merge fusing the LITERAL special string must not steal
+    // the special's reserved id (specials win the collision)
+    val mc = Bpe.Model(Vector(("a", "b")), byteLevel = true)
+    assert(Bpe.tokenIds(mc, specials = Seq("ab"))("ab") === 257)
     // byte-level encode replays merges over the mapped word
     assert(m.encode("abc") === Vector("abc"))
     assert(m.encode(" ab") === Vector("Ġ", "ab"))
