@@ -326,26 +326,24 @@ final class Catalog(val root: String, spark: SparkSession) {
     vDir(d, ov).resolve("data").resolve(rel)
   }
 
-  /** Physical stats/ index dir of `name@v`: its own when present, else
-    * the manifest's indexFrom target (restore/clone reuse the source's
-    * parquet-tier index verbatim — same version-relative keys). */
-  private def statsDirOf(name: String, v: SemVer): Path = {
-    val own = vDir(name, v).resolve("stats")
+  /** Physical parquet-tier index dir (`stats` or `blooms`) of
+    * `name@v`: its own when present, else the manifest's indexFrom
+    * target (restore/clone reuse the source's index verbatim — same
+    * version-relative keys). */
+  private def idxDirOf(name: String, v: SemVer, which: String): Path = {
+    val own = vDir(name, v).resolve(which)
     if (Files.isDirectory(own)) own
     else manifestOf(name, v).flatMap(_.indexFrom) match {
-      case Some((d, ov)) => vDir(d, ov).resolve("stats")
+      case Some((d, ov)) => vDir(d, ov).resolve(which)
       case None => own
     }
   }
 
-  private def bloomsDirOf(name: String, v: SemVer): Path = {
-    val own = vDir(name, v).resolve("blooms")
-    if (Files.isDirectory(own)) own
-    else manifestOf(name, v).flatMap(_.indexFrom) match {
-      case Some((d, ov)) => vDir(d, ov).resolve("blooms")
-      case None => own
-    }
-  }
+  private def statsDirOf(name: String, v: SemVer): Path =
+    idxDirOf(name, v, "stats")
+
+  private def bloomsDirOf(name: String, v: SemVer): Path =
+    idxDirOf(name, v, "blooms")
 
   /** Recursive parquet-file census of a data dir (partitioned versions
     * nest files under key=value subdirs). */
@@ -2643,23 +2641,36 @@ final class Catalog(val root: String, spark: SparkSession) {
     } else tombstone(name, version)
   }
 
-  /** Files of `name@v` that committed manifests of OTHER versions still
-    * reference, and whether any indexFrom pointer targets it. Metadata
-    * scan: one cached manifest read per committed version. */
-  private def liveRefsTo(name: String, v: SemVer): (Set[String], Boolean) = {
-    var rels = Set.empty[String]
-    var idx = false
+  /** FILE-level liveness across every committed manifest in the
+    * catalog (the reader view right now — tombstoned pools have no
+    * manifest): per owning version, the set of referenced rels; plus
+    * the versions some indexFrom pointer targets. Metadata scan: one
+    * cached manifest read per committed version. */
+  private def liveRefs()
+      : (Map[(String, SemVer), Set[String]], Set[(String, SemVer)]) = {
+    val files =
+      scala.collection.mutable.Map.empty[(String, SemVer), Set[String]]
+    val idx = scala.collection.mutable.Set.empty[(String, SemVer)]
     datasets().foreach { n =>
       versions(n).foreach { ov =>
-        if ((n, ov) != ((name, v)))
-          manifestOf(n, ov).foreach { m =>
-            m.entries.foreach(e =>
-              if (e.ds == name && e.v == v) rels += e.rel)
-            if (m.indexFrom.contains((name, v))) idx = true
+        manifestOf(n, ov).foreach { m =>
+          m.entries.foreach { e =>
+            if ((e.ds, e.v) != ((n, ov)))
+              files((e.ds, e.v)) =
+                files.getOrElse((e.ds, e.v), Set.empty) + e.rel
           }
+          m.indexFrom.foreach { ix => if (ix != ((n, ov))) idx += ix }
+        }
       }
     }
-    (rels, idx)
+    (files.toMap, idx.toSet)
+  }
+
+  /** Files of `name@v` that committed manifests of OTHER versions still
+    * reference, and whether any indexFrom pointer targets it. */
+  private def liveRefsTo(name: String, v: SemVer): (Set[String], Boolean) = {
+    val (files, idx) = liveRefs()
+    (files.getOrElse((name, v), Set.empty), idx((name, v)))
   }
 
   /** Lineage deps (`name@vX.Y.Z`) recorded at save time for one version. */
@@ -2732,25 +2743,9 @@ final class Catalog(val root: String, spark: SparkSession) {
       // any plausible commit wall, as Delta documents for its
       // retention check.)
       victims.foreach { case (n, v) => tombstone(n, v) }
-      // FILE-level liveness at PRUNE time: every committed manifest
-      // (the reader view right now, tombstones excluded) pins the
-      // exact files it references; indexFrom pins index dirs
-      val liveFiles =
-        scala.collection.mutable.Map.empty[(String, SemVer), Set[String]]
-      val liveIdx = scala.collection.mutable.Set.empty[(String, SemVer)]
-      datasets().foreach { n =>
-        versions(n).foreach { ov =>
-          manifestOf(n, ov).foreach { m =>
-            m.entries.foreach { e =>
-              if ((e.ds, e.v) != ((n, ov)))
-                liveFiles((e.ds, e.v)) =
-                  liveFiles.getOrElse((e.ds, e.v), Set.empty) + e.rel
-            }
-            m.indexFrom.foreach { ix =>
-              if (ix != ((n, ov))) liveIdx += ix }
-          }
-        }
-      }
+      // liveness at PRUNE time (computed lazily — most vacuums
+      // tombstone fresh victims and find no matured pool to prune)
+      lazy val (liveFiles, liveIdx) = liveRefs()
       val cutoff = System.currentTimeMillis() - Catalog.vacuumGraceMs
       all.keys.toSeq.sorted.foreach { n =>
         listDir(dsDir(n))
