@@ -521,6 +521,28 @@ object SparkEntry {
         .toDF
     }),
 
+    "q_export_version" -> ((s, dir) => {
+      // EXPORT materializes a zero-copy version into a portable
+      // self-contained tree: the cow delete's manifest references v1
+      // for the three cold files, so the export must resolve owners
+      // and copy real bytes — the read goes straight at the exported
+      // data dir (no catalog, no manifest), proving the tree stands
+      // alone. Oracle: the surviving rows.
+      val root = Files.createTempDirectory("graft_export").toString
+      val cat = new Catalog(root, s)
+      val n = T(s, dir, "nation")
+        .repartitionByRange(4, col("n_nationkey"))
+        .sortWithinPartitions("n_nationkey")
+      cat.save(Chain(n), "n")
+      val r = cat.deleteWhere("n", col("n_nationkey") < 5)
+      require(r.filesReused > 0, s"fixture must carry files: $r")
+      val dest = Files.createTempDirectory("graft_export_out")
+        .resolve("snap")
+      cat.exportVersion("n", r.version, dest.toString)
+      s.read.parquet(dest.resolve("data").toString).drop("sys")
+        .select(n.columns.map(col): _*)
+    }),
+
     "q_read_database_part" -> ((s, dir) => {
       // the partitioned-ingest correctness trap, pinned: JDBC
       // lower/upperBound only shape the range predicates — they must
@@ -5351,6 +5373,9 @@ object SparkEntry {
 
       "q_read_database_part" ->
         "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+
+      "q_export_version" ->
+        "SELECT * FROM nation WHERE n_nationkey >= 5",
 
       "q_save_roundtrip" ->
         """SELECT s_nationkey, count(*) AS n_suppliers,

@@ -1443,6 +1443,79 @@ final class Catalog(val root: String, spark: SparkSession) {
     linkVersion(name, to, name, guardLatest = versions(name).lastOption)
   }
 
+  /**
+   * EXPORT a version as a SELF-CONTAINED portable tree at `dest`:
+   * every data file physically copied (manifest resolved — a
+   * zero-copy version's bytes live across ancestor dirs, so shipping
+   * a snapshot off the warehouse genuinely needs this verb now),
+   * plus meta.json, the inline index sidecars, and the parquet-tier
+   * index dirs when present (carried-by-pointer indexes are copied
+   * from their owner). The exported tree has NO manifest — it reads
+   * as a plain pre-manifest version dir (`dest/data` is directly
+   * `spark.read.parquet`-able), and dropping it under another
+   * catalog's `datasets/<name>/v<version>/` registers it verbatim.
+   * Returns (files copied, bytes copied). Deep-clone-to-elsewhere;
+   * for an in-catalog deep copy, `optimize` already materializes.
+   */
+  def exportVersion(name: String, version: SemVer,
+                    dest: String): (Int, Long) = {
+    require(versions(name).contains(version),
+      s"exportVersion: no committed version $name@v$version")
+    val out = Paths.get(dest)
+    require(!Files.exists(out) || listDir(out).isEmpty,
+      s"exportVersion: destination $dest must be empty")
+    Files.createDirectories(out.resolve("data"))
+    var bytes = 0L
+    val entries = dataFilesOf(name, version)
+    entries.foreach { e =>
+      val src = vDir(e.ds, e.v).resolve("data").resolve(e.rel)
+      val dst = out.resolve("data").resolve(e.rel)
+      Files.createDirectories(dst.getParent)
+      Files.copy(src, dst)
+      bytes += Files.size(dst)
+    }
+    val srcDir = vDir(name, version)
+    Seq("meta.json", "stats.json", "blooms.json").foreach { f =>
+      if (Files.exists(srcDir.resolve(f)))
+        Files.copy(srcDir.resolve(f), out.resolve(f))
+    }
+    Seq("stats", "blooms").foreach { d =>
+      val idx = idxDirOf(name, version, d)
+      if (Files.isDirectory(idx)) {
+        val w = Files.walk(idx)
+        try w.iterator.asScala.filter(Files.isRegularFile(_)).foreach { f =>
+          val dst = out.resolve(d).resolve(idx.relativize(f).toString)
+          Files.createDirectories(dst.getParent)
+          Files.copy(f, dst)
+        } finally w.close()
+      }
+    }
+    (entries.size, bytes)
+  }
+
+  /** Per-dataset storage accounting — what the manifest layer makes
+    * worth asking: `logicalBytes` is what every committed version
+    * claims to hold (manifest-resolved sizes, carried files counted
+    * once PER VERSION), `physicalBytes` is what the dataset dir
+    * actually stores (each byte once, pools included). Their ratio is
+    * the zero-copy sharing factor; rows are
+    * (dataset, versions, logicalBytes, physicalBytes). */
+  def storageStats(): Seq[(String, Int, Long, Long)] =
+    datasets().sorted.map { n =>
+      val vs = versions(n)
+      val logical = vs.iterator.map(v =>
+        versionDataFiles(n, v).values.sum).sum
+      val physical = {
+        val w = Files.walk(dsDir(n))
+        try w.iterator.asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(Files.size(_)).sum
+        finally w.close()
+      }
+      (n, vs.size, logical, physical)
+    }
+
   /** Shallow CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`): a new
     * dataset whose v1 zero-copy-links `src`'s files. Clone and source
     * then evolve independently — mutations of either are copy-on-write —

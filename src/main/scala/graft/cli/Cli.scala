@@ -69,9 +69,9 @@ object Cli {
   val usage: String =
     """usage: graft-cli <command> [args]
       |commands: ls du find cp datasets versions show rm-dataset mv-dataset
-      |          lineage vacuum restore clone optimize append auto-compact
-      |          sync-changes mv-refresh locks break-lock namespaces
-      |          projects""".stripMargin
+      |          lineage storage export vacuum restore clone optimize append
+      |          auto-compact sync-changes mv-refresh locks break-lock
+      |          namespaces projects""".stripMargin
 
   /** Run a command; returns (exit code, rendered output). Never calls
     * System.exit — `main` owns process concerns, tests call this. */
@@ -117,6 +117,20 @@ object Cli {
           s"moved ${arg(p, 0, "from")} -> ${arg(p, 1, "to")}"
         case "lineage" => render(cat.lineageDF()
           .orderBy("dataset", "version", "dep_name"))
+        case "storage" =>
+          // logical (per-version claims) vs physical bytes — the
+          // manifest sharing factor per dataset
+          cat.storageStats().map { case (n, vs, log, phys) =>
+            s"$n versions=$vs logical=$log physical=$phys"
+          } match {
+            case Nil => "no datasets"
+            case rows => rows.mkString("\n")
+          }
+        case "export" =>
+          val name = arg(p, 0, "name")
+          val v = SemVer.parse(arg(p, 1, "version"))
+          val (nf, bytes) = cat.exportVersion(name, v, arg(p, 2, "dest"))
+          s"exported $name@v$v: $nf files, $bytes bytes"
         case "vacuum" =>
           val keep = p.flags.getOrElse("keep", "2").toInt
           val dry = p.flags.get("dry-run").exists(_.equalsIgnoreCase("true"))

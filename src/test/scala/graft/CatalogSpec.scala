@@ -320,6 +320,45 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("exportVersion materializes a manifest version; storageStats shows the sharing") {
+    val root = Files.createTempDirectory("cat_export").toString
+    val cat = new Catalog(root, spark)
+    import org.apache.spark.sql.functions.col
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    cat.save(Chain(o), "t", partitionBy = Seq("o_orderstatus"))
+    val mx = o.agg(org.apache.spark.sql.functions.max("o_orderkey"))
+      .head().getLong(0)
+    val r = cat.deleteWhere("t", col("o_orderkey") <= mx / 16)
+    assert(r.filesReused > 0)
+    // storage accounting: two versions share the cold bulk, so the
+    // logical sum (per-version claims) exceeds physical bytes
+    val st = cat.storageStats().find(_._1 == "t").get
+    assert(st._2 === 2 && st._3 > st._4,
+      s"zero-copy sharing must show logical > physical: $st")
+    // export resolves the manifest and copies real bytes; the tree is
+    // self-contained (read WITHOUT the catalog), hive layout intact
+    val dest = Files.createTempDirectory("cat_export_out").resolve("snap")
+    val (nf, bytes) = cat.exportVersion("t", r.version, dest.toString)
+    assert(nf === cat.versionDataFiles("t", r.version).size && bytes > 0)
+    val got = spark.read.parquet(dest.resolve("data").toString)
+    assert(got.count() === r.rowsAfter)
+    assert(got.columns.contains("o_orderstatus"),
+      "partition columns must survive the export")
+    val expect = cat.readDataset("t").toDF.drop("sys")
+    val gotSel = got.drop("sys").select(expect.columns.map(col): _*)
+      .withColumn("o_orderstatus", col("o_orderstatus").cast("string"))
+    assert(gotSel.exceptAll(expect).isEmpty &&
+      expect.exceptAll(gotSel).isEmpty)
+    // inline stats sidecar traveled: the exported tree carries the
+    // same skipping metadata a fresh save would
+    assert(Files.exists(dest.resolve("meta.json")))
+    // destination must be empty (no silent overwrite)
+    intercept[IllegalArgumentException](
+      cat.exportVersion("t", r.version, dest.toString))
+  }
+
   test("readDatasetAsOf resolves timestamp time travel over createdAt") {
     val root = Files.createTempDirectory("cat_asof").toString
     val cat = new Catalog(root, spark)
