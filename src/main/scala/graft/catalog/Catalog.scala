@@ -1452,10 +1452,13 @@ final class Catalog(val root: String, spark: SparkSession) {
    * index dirs when present (carried-by-pointer indexes are copied
    * from their owner). The exported tree has NO manifest — it reads
    * as a plain pre-manifest version dir (`dest/data` is directly
-   * `spark.read.parquet`-able), and dropping it under another
-   * catalog's `datasets/<name>/v<version>/` registers it verbatim.
-   * Returns (files copied, bytes copied). Deep-clone-to-elsewhere;
-   * for an in-catalog deep copy, `optimize` already materializes.
+   * `spark.read.parquet`-able for non-evolved schemas; an EVOLVED
+   * version's old files predate some columns, so read those through
+   * [[importVersion]] + [[readDataset]], which supplies the recorded
+   * schema from the traveling meta.json), and [[importVersion]]
+   * registers it in another catalog. Returns (files copied, bytes
+   * copied). Deep-clone-to-elsewhere; for an in-catalog deep copy,
+   * `optimize` already materializes.
    */
   def exportVersion(name: String, version: SemVer,
                     dest: String): (Int, Long) = {
@@ -1491,6 +1494,59 @@ final class Catalog(val root: String, spark: SparkSession) {
       }
     }
     (entries.size, bytes)
+  }
+
+  /** IMPORT an [[exportVersion]] tree as a NEW version of `name` in
+    * THIS catalog: the self-contained dir is copied in under a freshly
+    * claimed version number (the commit protocol — data lands before
+    * the meta.json commit point, name/version fields patched to the
+    * local identity, lineage cleared: deps reference the SOURCE
+    * catalog's versions, meaningless here). The transport pair for
+    * moving snapshots between warehouses. */
+  def importVersion(name: String, src: String): SemVer = {
+    requireValidName(name)
+    val in = Paths.get(src)
+    require(Files.exists(in.resolve("meta.json")) &&
+      Files.isDirectory(in.resolve("data")),
+      s"importVersion: $src is not an exported version tree")
+    val tmp = dsDir(name).resolve(s".tmp-${java.util.UUID.randomUUID}")
+    Files.createDirectories(tmp)
+    try {
+      // copy the tree into the save protocol's private temp first —
+      // the claim-then-move commit stays metadata-fast and atomic
+      val w = Files.walk(in)
+      try w.iterator.asScala.filter(Files.isRegularFile(_)).foreach { f =>
+        val dst = tmp.resolve(in.relativize(f).toString)
+        Files.createDirectories(dst.getParent)
+        Files.copy(f, dst)
+      } finally w.close()
+      val meta = new String(
+        Files.readAllBytes(tmp.resolve("meta.json")), "UTF-8")
+      withCommitLock(name) {
+        val (nv, dir) = claimVersion(name, None)
+        Files.move(tmp.resolve("data"), dir.resolve("data"))
+        Seq("stats", "blooms").foreach { d =>
+          if (Files.isDirectory(tmp.resolve(d)))
+            Files.move(tmp.resolve(d), dir.resolve(d))
+        }
+        Seq("stats.json", "blooms.json").foreach { f =>
+          if (Files.exists(tmp.resolve(f)))
+            Files.move(tmp.resolve(f), dir.resolve(f))
+        }
+        val patched = meta
+          .replaceFirst("\"name\": \"(?:[^\"\\\\]|\\\\.)*\"",
+            java.util.regex.Matcher.quoteReplacement(
+              "\"name\": \"" + esc(name) + "\""))
+          .replaceFirst("\"version\": \"[^\"]*\"",
+            java.util.regex.Matcher.quoteReplacement(
+              "\"version\": \"" + nv + "\""))
+          .replaceFirst("\"deps\": \\[[^\\]]*\\]", "\"deps\": []")
+        commitFence(name)
+        Files.write(dir.resolve("meta.json"), patched.getBytes("UTF-8"),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        nv
+      }
+    } finally deleteTree(tmp)
   }
 
   /** Per-dataset storage accounting — what the manifest layer makes

@@ -69,8 +69,8 @@ object Cli {
   val usage: String =
     """usage: graft-cli <command> [args]
       |commands: ls du find cp datasets versions show rm-dataset mv-dataset
-      |          lineage storage export vacuum restore clone optimize append
-      |          auto-compact sync-changes mv-refresh locks break-lock
+      |          lineage storage export import vacuum restore clone optimize
+      |          append auto-compact sync-changes mv-refresh locks break-lock
       |          namespaces projects""".stripMargin
 
   /** Run a command; returns (exit code, rendered output). Never calls
@@ -131,6 +131,10 @@ object Cli {
           val v = SemVer.parse(arg(p, 1, "version"))
           val (nf, bytes) = cat.exportVersion(name, v, arg(p, 2, "dest"))
           s"exported $name@v$v: $nf files, $bytes bytes"
+        case "import" =>
+          val name = arg(p, 0, "name")
+          val nv = cat.importVersion(name, arg(p, 1, "src"))
+          s"imported $name@v$nv"
         case "vacuum" =>
           val keep = p.flags.getOrElse("keep", "2").toInt
           val dry = p.flags.get("dry-run").exists(_.equalsIgnoreCase("true"))

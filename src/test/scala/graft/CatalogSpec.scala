@@ -357,6 +357,25 @@ class CatalogSpec extends SparkSpec {
     // destination must be empty (no silent overwrite)
     intercept[IllegalArgumentException](
       cat.exportVersion("t", r.version, dest.toString))
+    // the transport round-trip: import into a SECOND catalog registers
+    // the snapshot as a fresh version with local identity and cleared
+    // lineage; reads are identical through the catalog's recorded
+    // schema (partition values at their saved types)
+    val root2 = Files.createTempDirectory("cat_import").toString
+    val cat2 = new Catalog(root2, spark)
+    val iv = cat2.importVersion("t2", dest.toString)
+    assert(iv === graft.catalog.SemVer(1, 0, 0))
+    assert(cat2.depsOf("t2", iv).isEmpty, "source-catalog deps cleared")
+    val imported = cat2.readDataset("t2").toDF.drop("sys")
+      .select(expect.columns.map(col): _*)
+    assert(imported.exceptAll(expect).isEmpty &&
+      expect.exceptAll(imported).isEmpty)
+    // skipping metadata traveled: the imported version still prunes
+    val mid = cat2.readDataset("t2").toDF
+      .agg(org.apache.spark.sql.functions.max("o_orderkey"))
+      .head().getLong(0) / 2
+    val (k2, t2) = cat2.pruneCount("t2", col("o_orderkey") > mid)
+    assert(k2 < t2, s"imported stats must prune: $k2/$t2")
   }
 
   test("readDatasetAsOf resolves timestamp time travel over createdAt") {
