@@ -7537,9 +7537,9 @@ object SparkEntry {
            |     unnest(range(1, len(f.syms) + 1)) AS u(tidx))
            |SELECT t.doc_id,
            |  count(*) AS n_tokens,
-           |  sum(v.id) AS id_sum,
-           |  sum(t.widx * v.id) AS wid_sum,
-           |  sum(t.tidx * v.id) AS tid_sum,
+           |  CAST(sum(v.id) AS BIGINT) AS id_sum,
+           |  CAST(sum(t.widx * v.id) AS BIGINT) AS wid_sum,
+           |  CAST(sum(t.tidx * v.id) AS BIGINT) AS tid_sum,
            |  256 + (SELECT n FROM nmerges) AS eot_id
            |FROM toks t JOIN voc v ON v.token = t.token
            |GROUP BY 1""".stripMargin,

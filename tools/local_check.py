@@ -35,13 +35,32 @@ def canon(df):
     rows.sort()
     return rows
 
+def dtypes_of(df):
+    # the driver's comparator hashes dtypes alongside values (a DuckDB
+    # HUGEINT sum lands in pandas as float64 while Spark writes int64 —
+    # equal values still hash-mismatch); mirror that here so a local
+    # "N pass" is the driver's "N pass". Empirically the driver accepts
+    # integer-WIDTH divergence (q_winnow's int32-vs-int64 is green in
+    # CORRECTNESS_r14) but rejects KIND divergence (q_bpe_bytes's
+    # int64-vs-float64 is the one red row), so compare normalized kinds.
+    df = df.reindex(sorted(df.columns), axis=1)
+    kind = {"i": "int", "u": "int", "f": "float", "b": "bool",
+            "O": "object", "M": "datetime", "m": "timedelta"}
+    return [kind.get(t.kind, str(t)) for t in df.dtypes]
+
 ok = fail = 0
 for name, sql in sorted(oracle.items()):
     try:
         got = con.sql(f"SELECT * FROM read_parquet('{OUT_DIR}/{name}/*.parquet')").df()
         want = con.sql(sql).df()
         g, w = canon(got), canon(want)
-        if g == w:
+        gt, wt = dtypes_of(got), dtypes_of(want)
+        if g == w and gt != wt:
+            fail += 1
+            print(f"FAIL {name} values match but dtypes differ: "
+                  f"got={list(zip(sorted(got.columns), gt))} "
+                  f"want={list(zip(sorted(want.columns), wt))}")
+        elif g == w:
             print(f"PASS {name} rows={len(g)}")
             ok += 1
         else:
