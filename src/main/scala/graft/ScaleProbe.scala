@@ -21,7 +21,8 @@ object ScaleProbe {
     //   pq,profile,rollingdistinct,funnel,statsskip,bloomskip,
     //   intervaljoin,mediameta,optimize,tokenmix,crawl,fuzzyjoin,mutate,statstier,
     //   mergelarge,cdfchurn,annindexq,
-    //   matview,cdc,manifest,hilbert3d,idxcarry,chunkdedup,winnow,bpe
+    //   matview,cdc,manifest,hilbert3d,idxcarry,chunkdedup,winnow,bpe,
+    //   chain,export
     //   (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
@@ -1270,6 +1271,90 @@ object ScaleProbe {
           f"restore=${resSec}%.3f s  data bytes written=0  " +
           f"manifest=${manBytes / 1024} KiB  us/file=${
             resSec * 1e6 / files}%.1f")
+      }
+    }
+
+    // Read cost vs MUTATION-CHAIN depth: D sequential point deletes on
+    // a 64-file table, then time a full read + count the planned scan
+    // nodes at the deepest version. The unpartitioned read must plan
+    // ONE scan regardless of how many physical owners the manifest
+    // names (the depth-365 daily-mutation shape); flattenVersion then
+    // resets the owner count and the read cost must match a fresh save.
+    if (want("chain")) {
+      import java.nio.file.{Files => JFiles}
+      ks.foreach { k =>
+        val depth = 32 * k
+        val files = 64
+        val df = spark.range(2000L * files).select(col("id").as("k1"),
+          (col("id") % 97).as("v"))
+          .repartitionByRange(files, col("k1"))
+        val root = JFiles.createTempDirectory(s"probe_chain_$k").toString
+        val cat = new graft.catalog.Catalog(root, spark)
+        cat.save(graft.core.Chain(df), "t")
+        val n0 = 2000L * files
+        val step = n0 / (depth + 2)
+        val t0 = System.nanoTime()
+        (1 to depth).foreach { i =>
+          cat.deleteWhere("t", col("k1") === i * step)
+        }
+        val mutSec = (System.nanoTime() - t0) / 1e9
+        val v = cat.latestVersion("t").get
+        val owners = cat.dataFilesOf("t", v)
+          .map(e => (e.ds, e.v)).distinct.size
+        val read = cat.readDataset("t").toDF
+        val scans = read.queryExecution.executedPlan.collectLeaves()
+          .collect { case f: org.apache.spark.sql.execution
+            .FileSourceScanExec => f }.size
+        val t1 = System.nanoTime()
+        val rows = read.count()
+        val readSec = (System.nanoTime() - t1) / 1e9
+        require(rows == n0 - depth, s"chain lost rows: $rows")
+        val t2 = System.nanoTime()
+        cat.flattenVersion("t")
+        val flatSec = (System.nanoTime() - t2) / 1e9
+        val t3 = System.nanoTime()
+        val rowsF = cat.readDataset("t").toDF.count()
+        val readFlatSec = (System.nanoTime() - t3) / 1e9
+        require(rowsF == rows, s"flatten lost rows: $rowsF != $rows")
+        println(f"chain K=$k%-3d depth=$depth%-4d owners=$owners%-4d " +
+          f"scans=$scans%-3d read=${readSec}%.2f s  " +
+          f"mut=${mutSec / depth}%.3f s/commit  " +
+          f"flatten=${flatSec}%.2f s  read-after=${readFlatSec}%.2f s")
+      }
+    }
+
+    // exportVersion at a 10k-file version: the fanned copier (Spark job
+    // past graft.export.fanThreshold) vs the driver-serial loop. The
+    // verb exists to ship snapshots — at 10 TB a single driver thread
+    // is a days-long copy, so the fan-out is the scale path.
+    if (want("export")) {
+      import java.nio.file.{Files => JFiles}
+      ks.foreach { k =>
+        val files = 1280 * k
+        val df = spark.range(20L * files).select(col("id").as("k1"))
+          .repartitionByRange(files, col("k1"))
+        val root = JFiles.createTempDirectory(s"probe_exp_$k").toString
+        val cat = new graft.catalog.Catalog(root, spark)
+        cat.save(graft.core.Chain(df), "big")
+        val v1 = graft.catalog.SemVer(1, 0, 0)
+        val serialDir = JFiles.createTempDirectory(s"probe_exp_s$k")
+          .resolve("out")
+        spark.conf.set("graft.export.fanThreshold",
+          Int.MaxValue.toString)
+        val t0 = System.nanoTime()
+        val (nf1, b1) = cat.exportVersion("big", v1, serialDir.toString)
+        val serSec = (System.nanoTime() - t0) / 1e9
+        val fanDir = JFiles.createTempDirectory(s"probe_exp_f$k")
+          .resolve("out")
+        spark.conf.set("graft.export.fanThreshold", "64")
+        val t1 = System.nanoTime()
+        val (nf2, b2) = cat.exportVersion("big", v1, fanDir.toString)
+        val fanSec = (System.nanoTime() - t1) / 1e9
+        spark.conf.unset("graft.export.fanThreshold")
+        require((nf1, b1) == (nf2, b2), s"parity: $nf1/$b1 vs $nf2/$b2")
+        println(f"export K=$k%-3d files=$files%-6d " +
+          f"serial=${serSec}%.2f s  fanned=${fanSec}%.2f s  " +
+          f"speedup=${serSec / fanSec}%.1fx  bytes=${b1 / 1024 / 1024} MiB")
       }
     }
 

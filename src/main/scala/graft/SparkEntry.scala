@@ -543,6 +543,40 @@ object SparkEntry {
         .select(n.columns.map(col): _*)
     }),
 
+    "q_storage_stats" -> ((s, dir) => {
+      // the manifest layer's user-facing accounting: after a
+      // save → cow-delete → restore trail the dataset holds three
+      // versions whose LOGICAL bytes (what every committed version
+      // claims, carried files counted once per version) must exceed
+      // the PHYSICAL bytes actually stored (v2 carries 7 of 8 files by
+      // reference, v3 is a zero-copy restore of v1) — the sharing
+      // factor is the proof the zero-copy design shares. Byte sizes
+      // aren't SQL-derivable, so the gate emits the analytically
+      // certain shape: version count, per-version recorded row counts,
+      // and the sharing inequality (logical − physical = 2·B(v1) −
+      // B(touched) > 0 by construction); CatalogSpec pins the byte
+      // arithmetic exactly.
+      val root = Files.createTempDirectory("graft_storage").toString
+      val cat = new Catalog(root, s)
+      val d = T(s, dir, "documents").select("doc_id", "source", "n_chars")
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+      cat.save(Chain(d), "docs")
+      val v1 = cat.versions("docs").head
+      val r = cat.deleteWhere("docs", col("doc_id") < 50)
+      require(r.filesReused > 0, s"fixture must carry files: $r")
+      cat.restore("docs", v1)
+      val st = cat.storageStats().filter(_._1 == "docs")
+      require(st.size == 1, s"one accounting row for docs: $st")
+      val (_, nv, logical, physical) = st.head
+      val rows = cat.versions("docs").map(v => cat.rowsOf("docs", v))
+      import s.implicits._
+      Seq((nv.toLong, rows(0), rows(1), rows(2),
+          logical > physical, physical > 0L))
+        .toDF("versions", "v1_rows", "v2_rows", "v3_rows",
+          "logical_gt_physical", "physical_positive")
+    }),
+
     "q_read_database_part" -> ((s, dir) => {
       // the partitioned-ingest correctness trap, pinned: JDBC
       // lower/upperBound only shape the range predicates — they must
@@ -3169,6 +3203,73 @@ object SparkEntry {
           lit(256 + model.merges.size).cast("long"))
     }),
 
+    "q_bpe_extend" -> ((s, dir) => {
+      // vocabulary EXPANSION: continue a trained byte-level model with
+      // four MORE merges from the same corpus — greedy BPE is strictly
+      // sequential, so the extended model must be bit-identical to an
+      // 8-merge from-scratch train (old merge ranks — and therefore
+      // already-assigned token ids — never move; streams encoded under
+      // the 4-merge model stay decodable). The oracle derives the
+      // 8-merge training and every token id independently in SQL.
+      val corpus = T(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select(col("doc_id"),
+          concat(expr("substr(text, 1, 180)"),
+            lit(" naïve 東京 ₿7")).as("text"))
+      val base = graft.ops.Bpe.trainBytesOn(corpus, "text", numMerges = 4)
+      val model = graft.ops.Bpe.extendBytesOn(corpus, "text", base,
+        extraMerges = 4)
+      require(model.merges.take(4) == base.merges,
+        "extension must preserve the base ranks")
+      import s.implicits._
+      val vocab = graft.ops.Bpe.tokenIds(model).toSeq
+        .toDF("token", "token_id")
+      graft.ops.Bpe.tokenize(corpus, "doc_id", "text", model)
+        .join(vocab, "token")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("token_id")).as("id_sum"),
+          sum(col("widx") * col("token_id")).as("wid_sum"),
+          sum(col("tidx") * col("token_id")).as("tid_sum"))
+    }),
+
+    "q_bpe_persist" -> ((s, dir) => {
+      // the persisted tokenizer artifact + special-token splitting:
+      // train byte-level BPE, SAVE it as a catalog dataset, LOAD it
+      // back through a fresh Catalog instance, and tokenize a
+      // marker-bearing corpus with the LOADED model. Two contracts
+      // pinned at once: (1) the model round-trips bit-for-bit (token
+      // budgets are reproducible across sessions only if it does), and
+      // (2) a document CONTAINING `<|endoftext|>` encodes it as the
+      // RESERVED id — tokenize splits ON specials before
+      // pre-tokenization (GPT-2 semantics), never as ordinary bytes.
+      // The tokenize corpus is text‖marker‖text so every plain
+      // pre-token is in the training vocabulary — the oracle re-derives
+      // training, the split, the global word index, and every id.
+      val trainC = T(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select(col("doc_id"), expr("substr(text, 1, 150)").as("text"))
+      val corpus = trainC.select(col("doc_id"),
+        concat(col("text"), lit("<|endoftext|>"), col("text")).as("text"))
+      val trained = graft.ops.Bpe.trainBytesOn(trainC, "text",
+          numMerges = 6)
+        .copy(specials = Vector("<|endoftext|>"))
+      val root = Files.createTempDirectory("graft_bpe_persist").toString
+      graft.ops.Bpe.save(new Catalog(root, s), "tok", trained)
+      val model = graft.ops.Bpe.load(new Catalog(root, s), "tok")
+      require(model == trained, "persisted bpe model must round-trip")
+      import s.implicits._
+      val vocab = graft.ops.Bpe.tokenIds(model).toSeq
+        .toDF("token", "token_id")
+      graft.ops.Bpe.tokenize(corpus, "doc_id", "text", model)
+        .join(vocab, "token")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("token_id")).as("id_sum"),
+          sum(col("widx") * col("token_id")).as("wid_sum"),
+          sum(col("tidx") * col("token_id")).as("tid_sum"))
+    }),
+
     "q_token_mix_epochs" -> ((s, dir) =>
       // the UPSAMPLING half of data recipes: src0's budget is many times
       // its token mass, so the whole domain repeats floor(budget/mass)
@@ -5377,6 +5478,15 @@ object SparkEntry {
       "q_export_version" ->
         "SELECT * FROM nation WHERE n_nationkey >= 5",
 
+      "q_storage_stats" ->
+        """SELECT CAST(3 AS BIGINT) AS versions,
+          | (SELECT count(*) FROM documents) AS v1_rows,
+          | (SELECT count(*) FROM documents WHERE NOT (doc_id < 50))
+          |   AS v2_rows,
+          | (SELECT count(*) FROM documents) AS v3_rows,
+          | true AS logical_gt_physical,
+          | true AS physical_positive""".stripMargin,
+
       "q_save_roundtrip" ->
         """SELECT s_nationkey, count(*) AS n_suppliers,
           | CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
@@ -7542,6 +7652,71 @@ object SparkEntry {
            |  CAST(sum(t.tidx * v.id) AS BIGINT) AS tid_sum,
            |  256 + (SELECT n FROM nmerges) AS eot_id
            |FROM toks t JOIN voc v ON v.token = t.token
+           |GROUP BY 1""".stripMargin,
+
+      "q_bpe_extend" ->
+        s"""WITH corpus AS (SELECT doc_id,
+           |    substr(text, 1, 180) || ' naïve 東京 ₿7' AS text
+           |   FROM documents WHERE doc_id % 17 = 0),
+           |${bpeByteTrainCtes(8)},
+           | docs AS (SELECT doc_id,
+           |    regexp_extract_all(text, '$bpePreTokPatSql') AS ws
+           |   FROM corpus),
+           | wpos AS (SELECT d.doc_id, t.widx, d.ws[t.widx] AS word
+           |   FROM docs d, unnest(range(1, len(d.ws) + 1)) AS t(widx)),
+           | toks AS (SELECT w.doc_id, w.widx, u.tidx,
+           |    f.syms[u.tidx] AS token
+           |   FROM wpos w JOIN f8 f USING (word),
+           |     unnest(range(1, len(f.syms) + 1)) AS u(tidx))
+           |SELECT t.doc_id,
+           |  count(*) AS n_tokens,
+           |  CAST(sum(v.id) AS BIGINT) AS id_sum,
+           |  CAST(sum(t.widx * v.id) AS BIGINT) AS wid_sum,
+           |  CAST(sum(t.tidx * v.id) AS BIGINT) AS tid_sum
+           |FROM toks t JOIN voc v ON v.token = t.token
+           |GROUP BY 1""".stripMargin,
+
+      "q_bpe_persist" ->
+        s"""WITH corpus AS (SELECT doc_id, substr(text, 1, 150) AS text
+           |   FROM documents WHERE doc_id % 13 = 0),
+           |${bpeByteTrainCtes(6)},
+           | docs AS (SELECT doc_id,
+           |    string_split(text || '<|endoftext|>' || text,
+           |      '<|endoftext|>') AS parts
+           |   FROM corpus),
+           | segs AS (SELECT d.doc_id, t.sidx, d.parts[t.sidx] AS seg,
+           |    len(d.parts) AS np
+           |   FROM docs d, unnest(range(1, len(d.parts) + 1)) AS t(sidx)),
+           | wseg AS (SELECT doc_id, sidx, np,
+           |    regexp_extract_all(seg, '$bpePreTokPatSql') AS ws
+           |   FROM segs),
+           | pwords AS (SELECT w.doc_id, w.sidx, t.pos, w.ws[t.pos] AS word,
+           |    false AS isspec
+           |   FROM wseg w, unnest(range(1, len(w.ws) + 1)) AS t(pos)),
+           | swords AS (SELECT doc_id, sidx, 2147483647 AS pos,
+           |    '<|endoftext|>' AS word, true AS isspec
+           |   FROM wseg WHERE sidx < np),
+           | words AS (SELECT doc_id, isspec, word,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY sidx, pos) AS widx
+           |   FROM (SELECT * FROM pwords UNION ALL SELECT * FROM swords)),
+           | toks AS (
+           |   SELECT w.doc_id, w.widx, u.tidx, f.syms[u.tidx] AS token
+           |   FROM (SELECT * FROM words WHERE NOT isspec) w
+           |     JOIN f6 f USING (word),
+           |     unnest(range(1, len(f.syms) + 1)) AS u(tidx)
+           |   UNION ALL
+           |   SELECT doc_id, widx, 1 AS tidx, word AS token
+           |   FROM words WHERE isspec),
+           | voc2 AS (SELECT token, id FROM voc
+           |   UNION ALL
+           |   SELECT '<|endoftext|>', 256 + (SELECT n FROM nmerges))
+           |SELECT t.doc_id,
+           |  count(*) AS n_tokens,
+           |  CAST(sum(v.id) AS BIGINT) AS id_sum,
+           |  CAST(sum(t.widx * v.id) AS BIGINT) AS wid_sum,
+           |  CAST(sum(t.tidx * v.id) AS BIGINT) AS tid_sum
+           |FROM toks t JOIN voc2 v ON v.token = t.token
            |GROUP BY 1""".stripMargin,
 
       "q_token_mix_epochs" ->

@@ -1059,7 +1059,24 @@ final class Catalog(val root: String, spark: SparkSession) {
           spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
             full)
-        else {
+        else if (files.headOption.forall(relPartitionCols(_).isEmpty)) {
+          // UNPARTITIONED layout: partition columns don't exist, so
+          // per-owner basePaths buy nothing — read every resolved path
+          // as ONE relation (basePath = the warehouse root, a common
+          // prefix with no key=value segments). A mutation chain of any
+          // depth then plans exactly one scan node; without this, a
+          // table cow-mutated daily for a year reads as a ~365-way
+          // union of per-owner scans.
+          val paths = files.map { r =>
+            val (d, ov) = m.relOwner.getOrElse(r, (name, v))
+            s"${vDir(d, ov).resolve("data")}/$r"
+          }
+          readWithSchema(Paths.get(root).toString, paths, full)
+        } else {
+          // hive-partitioned: partition VALUES derive from each file's
+          // path relative to its owner's data dir, so the scans stay
+          // per-owner (owner count = mutation-chain depth — bounded by
+          // flattenVersion / graft.manifest.maxOwners)
           val byOwner = files
             .map(r => m.relOwner.getOrElse(r, (name, v)) -> r)
             .groupBy(_._1).toSeq
@@ -1148,7 +1165,7 @@ final class Catalog(val root: String, spark: SparkSession) {
     val layout = partitionColsOf(name, v)
     val tmp = dsDir(name).resolve(s".tmp-${java.util.UUID.randomUUID}")
     Files.createDirectories(tmp.resolve("data"))
-    try {
+    val res = try {
       // untouched files never move: they cross to the new version as
       // manifest references (resolved to physical owners at commit)
       // old bloom shape, read up front: inline filters are carried per
@@ -1245,6 +1262,8 @@ final class Catalog(val root: String, spark: SparkSession) {
       if (oldTierParquet) {
         val carriedOk =
           try {
+            require(!sys.props.contains("graft.test.failStatsCarry"),
+              "test hook: forced stats-carry failure")
             require(statsNewOk || rewFiles.isEmpty,
               "rewrite partial stats index missing")
             val keptIdx = spark.read
@@ -1267,9 +1286,25 @@ final class Catalog(val root: String, spark: SparkSession) {
             deleteTree(tmp.resolve("stats")); false
           }
         if (!carriedOk)
-          try FileStats.writeStatsIndex(spark, tmp.resolve("data").toString,
-            tmp.resolve("stats").toString)
-          catch { case scala.util.control.NonFatal(_) =>
+          // full-census rebuild: under the manifest design tmp/data holds
+          // ONLY the rewrite output, so indexing just that dir would
+          // commit a PARTIAL stats index — and stats pruning, unlike
+          // bloom pruning, is not conservative for missing files (pruned
+          // reads silently drop every row of an unindexed file). Resolve
+          // the untouched rels to their physical owners and index the
+          // whole census; relativize's `/data/` anchor keys cross-dir
+          // files by their version-relative names, matching the manifest.
+          // Any failure degrades to an index-LESS version (readable,
+          // just unpruned) — never a partial index.
+          try {
+            require(!sys.props.contains("graft.test.failStatsRebuild"),
+              "test hook: forced stats-rebuild failure")
+            val resolved = untouched.map(r =>
+              resolveDataFile(name, v, r).toString) ++
+              walkParquet(tmp.resolve("data")).map(_.toString)
+            FileStats.writeStatsIndex(spark, tmp.resolve("data").toString,
+              tmp.resolve("stats").toString, listed = Some(resolved))
+          } catch { case scala.util.control.NonFatal(_) =>
             deleteTree(tmp.resolve("stats"))
           }
       }
@@ -1373,6 +1408,8 @@ final class Catalog(val root: String, spark: SparkSession) {
     } finally {
       deleteTree(tmp)
     }
+    maybeAutoFlatten(name)
+    res
   }
 
   /**
@@ -1444,6 +1481,100 @@ final class Catalog(val root: String, spark: SparkSession) {
   }
 
   /**
+   * FLATTEN a manifest version: commit a row-identical NEW version whose
+   * data dir physically holds every file (same version-relative names,
+   * bytes moved by the fanned copier) with the index tables copied in,
+   * so the new version stands alone — no manifest, no owner fan-out, no
+   * ancestor pins. The mutation-chain maintenance verb (Delta's
+   * checkpoint-compaction role): every cow/append commit adds one
+   * physical owner to the chain, so a table mutated daily reads as an
+   * ever-wider per-owner union on PARTITIONED layouts (unpartitioned
+   * reads already collapse to one scan) and pins every ancestor's
+   * referenced files against vacuum until a flatten (or full `optimize`)
+   * resets the owner count to 1. Zero shuffle, zero rewrite — cost is
+   * one distributed byte copy, strictly cheaper than optimize; the
+   * chain's bytes reclaim at the next matured vacuum. Layout-only
+   * (row-identical, sys ids preserved), so table streams SKIP it.
+   * No-op on an already self-contained version. Only the LATEST version
+   * can flatten (a flatten of an ancestor would resurrect old rows as
+   * the new latest — that verb is [[restore]]).
+   */
+  def flattenVersion(name: String): SemVer = {
+    val v = latestVersion(name).getOrElse(
+      throw new NoSuchElementException(s"dataset $name not found"))
+    if (manifestOf(name, v).isEmpty) return v
+    val entries = dataFilesOf(name, v)
+    val tmp = dsDir(name).resolve(s".tmp-${java.util.UUID.randomUUID}")
+    try {
+      copyFanned(entries.map(e => (
+        vDir(e.ds, e.v).resolve("data").resolve(e.rel).toString,
+        tmp.resolve("data").resolve(e.rel).toString)))
+      // the parquet-tier index tables travel physically too (keys are
+      // version-relative — identical file set, identical keys); a
+      // pointer carry would pin the chain's index dirs in vacuum,
+      // defeating the point of flattening
+      Seq("stats", "blooms").foreach { d =>
+        val idx = idxDirOf(name, v, d)
+        if (Files.isDirectory(idx)) {
+          val fs = {
+            val w = Files.walk(idx)
+            try w.iterator.asScala.filter(Files.isRegularFile(_)).toSeq
+            finally w.close()
+          }
+          copyFanned(fs.map(f => (f.toString,
+            tmp.resolve(d).resolve(idx.relativize(f).toString).toString)))
+        }
+      }
+      val srcDir = vDir(name, v)
+      val schemaJson = recordedSchema(name, v).map(SignalSchema.toJson)
+        .getOrElse(SignalSchema.toJson(
+          Sys.drop(readVersionData(name, v)).schema))
+      withCommitLock(name) {
+        // losing a race to a concurrent mutation aborts — the caller
+        // (or the next commit's auto-trigger) simply flattens later
+        guardLatestIs(name, Some(v))
+        val (nv, dir) = claimVersion(name, None)
+        Files.move(tmp.resolve("data"), dir.resolve("data"))
+        Seq("stats", "blooms").foreach { d =>
+          if (Files.isDirectory(tmp.resolve(d)))
+            Files.move(tmp.resolve(d), dir.resolve(d))
+        }
+        Seq("stats.json", "blooms.json").foreach { f =>
+          if (Files.exists(srcDir.resolve(f)))
+            Files.copy(srcDir.resolve(f), dir.resolve(f))
+        }
+        val meta = metaJson(VersionMeta(
+          name, nv.toString, s"cow-flatten-${java.util.UUID.randomUUID}",
+          schemaJson, Seq(s"$name@v$v"),
+          java.time.Instant.now.toString, rowsOf(name, v),
+          attrs = if (isEvolved(name, v)) Seq("schema:evolved") else Nil))
+        commitFence(name)
+        Files.write(dir.resolve("meta.json"), meta.getBytes("UTF-8"),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        nv
+      }
+    } finally deleteTree(tmp)
+  }
+
+  /** Auto-flatten trigger, run after every manifest-writing commit:
+    * when the latest version's manifest names more than
+    * `graft.manifest.maxOwners` distinct physical owners (default off),
+    * flatten it — bounding both the partitioned read fan-out and the
+    * vacuum pin set. Losing a race is fine; the next commit
+    * re-triggers. */
+  private def maybeAutoFlatten(name: String): Unit = {
+    val max = spark.conf.get("graft.manifest.maxOwners",
+      Int.MaxValue.toString).toInt
+    if (max == Int.MaxValue) return
+    val owners = latestVersion(name).flatMap(manifestOf(name, _))
+      .map(_.entries.iterator.map(e => (e.ds, e.v)).toSet.size)
+      .getOrElse(0)
+    if (owners > max)
+      try flattenVersion(name)
+      catch { case _: ConcurrentMutationException => () }
+  }
+
+  /**
    * EXPORT a version as a SELF-CONTAINED portable tree at `dest`:
    * every data file physically copied (manifest resolved — a
    * zero-copy version's bytes live across ancestor dirs, so shipping
@@ -1460,6 +1591,34 @@ final class Catalog(val root: String, spark: SparkSession) {
    * copied). Deep-clone-to-elsewhere; for an in-catalog deep copy,
    * `optimize` already materializes.
    */
+  /** Copy `(src, dst)` file pairs and return total bytes copied.
+    * Below `graft.export.fanThreshold` (default 64 files) the copies
+    * run driver-serial (no job overhead for the common small export);
+    * past it they fan out over the executors — a 10 TB snapshot must
+    * never funnel through one driver thread. Executor-side java.nio
+    * matches the catalog's shared-filesystem contract (the same one
+    * every commit-protocol move relies on). */
+  private def copyFanned(pairs: Seq[(String, String)]): Long = {
+    val threshold =
+      spark.conf.get("graft.export.fanThreshold", "64").toInt
+    if (pairs.size <= threshold)
+      pairs.map { case (s, d) =>
+        val dst = Paths.get(d)
+        Files.createDirectories(dst.getParent)
+        Files.copy(Paths.get(s), dst)
+        Files.size(dst)
+      }.sum
+    else
+      spark.sparkContext
+        .parallelize(pairs, math.min(pairs.size, 128))
+        .map { case (s, d) =>
+          val dst = Paths.get(d)
+          Files.createDirectories(dst.getParent)
+          Files.copy(Paths.get(s), dst)
+          Files.size(dst)
+        }.fold(0L)(_ + _)
+  }
+
   def exportVersion(name: String, version: SemVer,
                     dest: String): (Int, Long) = {
     require(versions(name).contains(version),
@@ -1468,15 +1627,12 @@ final class Catalog(val root: String, spark: SparkSession) {
     require(!Files.exists(out) || listDir(out).isEmpty,
       s"exportVersion: destination $dest must be empty")
     Files.createDirectories(out.resolve("data"))
-    var bytes = 0L
     val entries = dataFilesOf(name, version)
-    entries.foreach { e =>
-      val src = vDir(e.ds, e.v).resolve("data").resolve(e.rel)
-      val dst = out.resolve("data").resolve(e.rel)
-      Files.createDirectories(dst.getParent)
-      Files.copy(src, dst)
-      bytes += Files.size(dst)
+    val pairs = entries.map { e =>
+      (vDir(e.ds, e.v).resolve("data").resolve(e.rel).toString,
+        out.resolve("data").resolve(e.rel).toString)
     }
+    val bytes = copyFanned(pairs)
     val srcDir = vDir(name, version)
     Seq("meta.json", "stats.json", "blooms.json").foreach { f =>
       if (Files.exists(srcDir.resolve(f)))
@@ -1485,12 +1641,14 @@ final class Catalog(val root: String, spark: SparkSession) {
     Seq("stats", "blooms").foreach { d =>
       val idx = idxDirOf(name, version, d)
       if (Files.isDirectory(idx)) {
-        val w = Files.walk(idx)
-        try w.iterator.asScala.filter(Files.isRegularFile(_)).foreach { f =>
-          val dst = out.resolve(d).resolve(idx.relativize(f).toString)
-          Files.createDirectories(dst.getParent)
-          Files.copy(f, dst)
-        } finally w.close()
+        val idxFiles = {
+          val w = Files.walk(idx)
+          try w.iterator.asScala.filter(Files.isRegularFile(_)).toSeq
+          finally w.close()
+        }
+        copyFanned(idxFiles.map(f =>
+          (f.toString,
+            out.resolve(d).resolve(idx.relativize(f).toString).toString)))
       }
     }
     (entries.size, bytes)
@@ -1509,17 +1667,26 @@ final class Catalog(val root: String, spark: SparkSession) {
     require(Files.exists(in.resolve("meta.json")) &&
       Files.isDirectory(in.resolve("data")),
       s"importVersion: $src is not an exported version tree")
+    // a raw zero-copy version dir from another warehouse carries a
+    // manifest whose data lives across ANCESTOR dirs — importing it
+    // would commit a version missing most of its bytes while the
+    // patched meta still claims the full row count; only exportVersion
+    // trees (manifest resolved, self-contained) are importable
+    require(!Files.exists(in.resolve("manifest.json")),
+      s"importVersion: $src is not self-contained " +
+        "(has a manifest.json — produce the tree with exportVersion)")
     val tmp = dsDir(name).resolve(s".tmp-${java.util.UUID.randomUUID}")
     Files.createDirectories(tmp)
     try {
       // copy the tree into the save protocol's private temp first —
       // the claim-then-move commit stays metadata-fast and atomic
-      val w = Files.walk(in)
-      try w.iterator.asScala.filter(Files.isRegularFile(_)).foreach { f =>
-        val dst = tmp.resolve(in.relativize(f).toString)
-        Files.createDirectories(dst.getParent)
-        Files.copy(f, dst)
-      } finally w.close()
+      val files = {
+        val w = Files.walk(in)
+        try w.iterator.asScala.filter(Files.isRegularFile(_)).toSeq
+        finally w.close()
+      }
+      copyFanned(files.map(f =>
+        (f.toString, tmp.resolve(in.relativize(f).toString).toString)))
       val meta = new String(
         Files.readAllBytes(tmp.resolve("meta.json")), "UTF-8")
       withCommitLock(name) {
@@ -1561,15 +1728,33 @@ final class Catalog(val root: String, spark: SparkSession) {
       val vs = versions(n)
       val logical = vs.iterator.map(v =>
         versionDataFiles(n, v).values.sum).sum
-      val physical = {
-        val w = Files.walk(dsDir(n))
-        try w.iterator.asScala
-          .filter(p => Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet"))
-          .map(Files.size(_)).sum
-        finally w.close()
-      }
+      // walk only each version/pool dir's data/ subtree: the stats/ and
+      // blooms/ index tables are parquet too, and a whole-dataset-dir
+      // walk (index dirs, stream farms) would skew the physical census
+      // — and with it the advertised zero-copy sharing factor
+      val physical = listDir(dsDir(n))
+        .filter(_.getFileName.toString.startsWith("v"))
+        .map(_.resolve("data"))
+        .flatMap(walkParquet)
+        .map(Files.size(_)).sum
       (n, vs.size, logical, physical)
+    }
+
+  /** Per-version sharing detail for one dataset: each committed
+    * version's file count, logical bytes, and the physical owners its
+    * manifest resolves to ("self" = its own data dir, `owner:count`
+    * per group) — which versions share which pools, the drill-down
+    * behind [[storageStats]]. */
+  def storageDetail(name: String): Seq[(SemVer, Int, Long, String)] =
+    versions(name).map { v =>
+      val entries = dataFilesOf(name, v)
+      val bytes = versionDataFiles(name, v).values.sum
+      val owners = entries.groupBy(e => (e.ds, e.v)).toSeq
+        .map { case ((d, ov), es) =>
+          val tag = if ((d, ov) == ((name, v))) "self" else s"$d@v$ov"
+          s"$tag:${es.size}"
+        }.sorted.mkString(",")
+      (v, entries.size, bytes, owners)
     }
 
   /** Shallow CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`): a new
@@ -2398,8 +2583,8 @@ final class Catalog(val root: String, spark: SparkSession) {
       val key = s"$name@@$v@@kept@@${refs.mkString(",")}@@$cp"
       val tok = freshToken(pdir)
       val hit = keptCache.synchronized(Option(keptCache.get(key)))
-      hit match {
-        case Some((t, res)) if t == tok => Some(res)
+      val res = hit match {
+        case Some((t, r)) if t == tok => r
         case _ =>
           // bloom tier: inline blooms.json broadcasts as a map (small by
           // its own tier's construction), a blooms/ table joins by file
@@ -2413,11 +2598,17 @@ final class Catalog(val root: String, spark: SparkSession) {
             else None
           // kept names AND the census total come back from ONE pass
           // over the index (the second scan per pruned read is gone)
-          val res = FileStats.prunedFilesDistributed(spark, pdir.toString,
+          val r = FileStats.prunedFilesDistributed(spark, pdir.toString,
             bloomDir, inline, cp, refs)
-          keptCache.synchronized(keptCache.put(key, (tok, res)))
-          Some(res)
+          keptCache.synchronized(keptCache.put(key, (tok, r)))
+          r
       }
+      // stats pruning is only safe when the index covers EVERY data
+      // file (unlike blooms it is not conservative for missing files —
+      // a pruned read would silently drop every row of an unindexed
+      // file). A census mismatch with the manifest means a partial or
+      // foreign index: degrade to the unpruned path.
+      if (res._2 == dataFilesOf(name, v).size.toLong) Some(res) else None
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -2475,7 +2666,11 @@ final class Catalog(val root: String, spark: SparkSession) {
   private def resolvedCondition(df: DataFrame)
       : Option[org.apache.spark.sql.catalyst.expressions.Expression] =
     df.queryExecution.analyzed.collectFirst {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        // normalize literal-side promote-casts once, at the birthplace
+        // of every pruning predicate (`longCol < 50` with an int
+        // literal must prune like `< 50L`)
+        FileStats.foldLiteralCasts(f.condition)
     }
 
   /** (files kept, files total) the skipping evaluator would read for
@@ -2756,18 +2951,20 @@ final class Catalog(val root: String, spark: SparkSession) {
       .getOrElse(throw new IllegalStateException(s"no rows in $name@v$version meta"))
 
   /** Remove a single version (rollback of a failed multi-save protocol
-    * step; versions are otherwise immutable). A version another LIVE
-    * manifest still references is TOMBSTONED instead (invisible to
-    * readers, every byte retained until vacuum's grace-matured prune)
-    * — deleting a zero-copy descendant's physical base must never
-    * break the descendant. */
+    * step; versions are otherwise immutable). ALWAYS two-phase: the
+    * version is tombstoned (invisible to readers immediately) and its
+    * bytes stay until the grace window passes — an immediate physical
+    * delete would race a concurrent restore/clone/mutation that already
+    * resolved its file census from the still-committed version and is
+    * about to commit a manifest referencing these files (and a clone
+    * into ANOTHER dataset holds a different commit lock, so no lock
+    * here could close that window; only the grace period does, exactly
+    * as vacuum argues). Matured pools of this dataset are swept on the
+    * way out, so repeated deletes still reclaim space without a full
+    * vacuum. */
   def deleteVersion(name: String, version: SemVer): Unit = {
-    val (keepRels, keepIdx) = liveRefsTo(name, version)
-    if (keepRels.isEmpty && !keepIdx) {
-      invalidateStats(name)
-      val d = vDir(name, version)
-      if (Files.exists(d)) deleteTree(d)
-    } else tombstone(name, version)
+    tombstone(name, version)
+    sweepMaturedPools(name, liveRefs())
   }
 
   /** FILE-level liveness across every committed manifest in the
@@ -2793,13 +2990,6 @@ final class Catalog(val root: String, spark: SparkSession) {
       }
     }
     (files.toMap, idx.toSet)
-  }
-
-  /** Files of `name@v` that committed manifests of OTHER versions still
-    * reference, and whether any indexFrom pointer targets it. */
-  private def liveRefsTo(name: String, v: SemVer): (Set[String], Boolean) = {
-    val (files, idx) = liveRefs()
-    (files.getOrElse((name, v), Set.empty), idx((name, v)))
   }
 
   /** Lineage deps (`name@vX.Y.Z`) recorded at save time for one version. */
@@ -2874,33 +3064,42 @@ final class Catalog(val root: String, spark: SparkSession) {
       victims.foreach { case (n, v) => tombstone(n, v) }
       // liveness at PRUNE time (computed lazily — most vacuums
       // tombstone fresh victims and find no matured pool to prune)
-      lazy val (liveFiles, liveIdx) = liveRefs()
-      val cutoff = System.currentTimeMillis() - Catalog.vacuumGraceMs
-      all.keys.toSeq.sorted.foreach { n =>
-        listDir(dsDir(n))
-          .filter(p => Files.exists(p.resolve(".pool")))
-          .foreach { p =>
-            val pv = SemVer.parse(p.getFileName.toString.drop(1))
-            if (Files.exists(p.resolve("meta.json"))) {
-              // a crash between the marker and the meta delete left a
-              // COMMITTED version wearing a pool marker — it may be
-              // protected again by now; resurrect it, never prune it
-              Files.deleteIfExists(p.resolve(".pool"))
-            } else {
-              val matured =
-                try Files.getLastModifiedTime(p.resolve(".pool"))
-                  .toMillis <= cutoff
-                catch { case _: java.io.IOException => false }
-              if (matured)
-                prunePool(n, pv,
-                  liveFiles.getOrElse((n, pv), Set.empty),
-                  liveIdx((n, pv)))
-            }
-          }
-      }
+      lazy val live = liveRefs()
+      all.keys.toSeq.sorted.foreach(n => sweepMaturedPools(n, live))
       sweepTempDirs()
     }
     victims
+  }
+
+  /** Prune every GRACE-MATURED pool dir of dataset `n` (phase 2 of
+    * retirement, shared by [[vacuum]] and [[deleteVersion]]); `live`
+    * is the catalog-wide manifest refcount, evaluated at most once and
+    * only if a matured pool actually exists. */
+  private def sweepMaturedPools(n: String,
+      live: => (Map[(String, SemVer), Set[String]], Set[(String, SemVer)]))
+      : Unit = {
+    lazy val (liveFiles, liveIdx) = live
+    val cutoff = System.currentTimeMillis() - Catalog.vacuumGraceMs
+    listDir(dsDir(n))
+      .filter(p => Files.exists(p.resolve(".pool")))
+      .foreach { p =>
+        val pv = SemVer.parse(p.getFileName.toString.drop(1))
+        if (Files.exists(p.resolve("meta.json"))) {
+          // a crash between the marker and the meta delete left a
+          // COMMITTED version wearing a pool marker — it may be
+          // protected again by now; resurrect it, never prune it
+          Files.deleteIfExists(p.resolve(".pool"))
+        } else {
+          val matured =
+            try Files.getLastModifiedTime(p.resolve(".pool"))
+              .toMillis <= cutoff
+            catch { case _: java.io.IOException => false }
+          if (matured)
+            prunePool(n, pv,
+              liveFiles.getOrElse((n, pv), Set.empty),
+              liveIdx((n, pv)))
+        }
+      }
   }
 
   /** Phase 1 of retirement: mark the dir as a pool (`.pool` mtime is

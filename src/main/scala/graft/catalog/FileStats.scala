@@ -893,6 +893,37 @@ $files
     case _ => None
   }
 
+  /** Fold a literal-side promote-cast into the literal itself: the
+    * analyzer wraps the NARROWER side of a comparison, so `longCol < 50`
+    * (int literal — the most common predicate shape there is) arrives
+    * as `longCol < cast(50 as bigint)`, and a bare-Literal matcher
+    * falls to the conservative arm — silently disabling pruning.
+    * Evaluating the cast at compile time yields exactly the value the
+    * runtime comparison uses; folding is restricted to
+    * timezone-independent target domains (the stats domains), so the
+    * fold can never drift from execution. A cast that throws at fold
+    * time (ANSI overflow) stays unfolded → conservative. */
+  private[graft] def foldLiteralCasts(e: Expression): Expression =
+    e.transformUp {
+      case c: Cast if c.child.isInstanceOf[Literal] &&
+          foldableTarget(c.dataType) =>
+        try Literal.create(
+          c.eval(org.apache.spark.sql.catalyst.InternalRow.empty),
+          c.dataType)
+        catch { case scala.util.control.NonFatal(_) => c }
+    }
+
+  private def foldableTarget(
+      t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
   private def wideningCast(c: Cast): Boolean = {
     import org.apache.spark.sql.types._
     def rank(d: DataType): Int = d match {

@@ -70,8 +70,8 @@ object Cli {
     """usage: graft-cli <command> [args]
       |commands: ls du find cp datasets versions show rm-dataset mv-dataset
       |          lineage storage export import vacuum restore clone optimize
-      |          append auto-compact sync-changes mv-refresh locks break-lock
-      |          namespaces projects""".stripMargin
+      |          flatten append auto-compact sync-changes mv-refresh locks
+      |          break-lock namespaces projects""".stripMargin
 
   /** Run a command; returns (exit code, rendered output). Never calls
     * System.exit — `main` owns process concerns, tests call this. */
@@ -119,13 +119,29 @@ object Cli {
           .orderBy("dataset", "version", "dep_name"))
         case "storage" =>
           // logical (per-version claims) vs physical bytes — the
-          // manifest sharing factor per dataset
-          cat.storageStats().map { case (n, vs, log, phys) =>
-            s"$n versions=$vs logical=$log physical=$phys"
-          } match {
-            case Nil => "no datasets"
-            case rows => rows.mkString("\n")
+          // manifest sharing factor per dataset; with a dataset arg,
+          // the per-version drill-down: which versions share which
+          // owners' pools
+          p.positional.headOption match {
+            case Some(name) =>
+              cat.storageDetail(name).map { case (v, nf, bytes, owners) =>
+                s"v$v files=$nf logical=$bytes owners=$owners"
+              } match {
+                case Nil => s"no versions in $name"
+                case rows => rows.mkString("\n")
+              }
+            case None =>
+              cat.storageStats().map { case (n, vs, log, phys) =>
+                s"$n versions=$vs logical=$log physical=$phys"
+              } match {
+                case Nil => "no datasets"
+                case rows => rows.mkString("\n")
+              }
           }
+        case "flatten" =>
+          val name = arg(p, 0, "name")
+          val nv = cat.flattenVersion(name)
+          s"flattened $name as v$nv"
         case "export" =>
           val name = arg(p, 0, "name")
           val v = SemVer.parse(arg(p, 1, "version"))

@@ -349,7 +349,8 @@ object Delta {
     * `optimizeWhere` maintenance never re-emits or stalls a follower.
     * (Full `optimize`/Z-ORDER commits as a fresh save and is NOT
     * detectable — run the partial forms on streamed tables.) */
-  private val LayoutOnlyOps = Set("optimize_where", "auto_compact")
+  private val LayoutOnlyOps = Set("optimize_where", "auto_compact",
+    "flatten")
 
   /** Link every committed version's new-vs-parent data files into the
     * dataset's per-policy `_stream/<policy>` link farm (strict and

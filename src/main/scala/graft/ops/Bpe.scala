@@ -85,13 +85,20 @@ object Bpe {
    */
   def train(wordCounts: Seq[(String, Long)],
             numMerges: Int): Vector[(String, String)] = {
-    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     // indexed word table: splitChars is injective, so distinct input
     // words stay distinct; sequences that become equal after a merge
     // need no collapsing — their counts contribute identically apart
-    val tab = wordCounts.iterator
+    trainFrom(wordCounts.iterator
       .map { case (w, c) => (splitChars(w), c) }
-      .filter(_._1.nonEmpty).toArray
+      .filter(_._1.nonEmpty).toArray, numMerges)
+  }
+
+  /** The trainer's engine over PRE-SPLIT symbol sequences — the entry
+    * [[extend]] needs (its sequences carry an earlier model's merges
+    * already applied). */
+  private def trainFrom(tab: Array[(Vector[String], Long)],
+                        numMerges: Int): Vector[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val words = tab.map(_._1)
     val wcnt = tab.map(_._2)
     def pairsOf(s: Vector[String]): Iterator[(String, String)] =
@@ -178,6 +185,45 @@ object Bpe {
       }
     }
     merges.result()
+  }
+
+  /** CONTINUE training: learn `extraMerges` more merges on top of
+    * `model`'s, from a word-count table in the model's symbol domain
+    * (byte-mapped for a byte-level model — [[extendBytesOn]] handles
+    * that). Greedy BPE is strictly sequential, so extending k1 merges
+    * by k2 over the SAME counts is bit-identical to training k1+k2
+    * from scratch (scalacheck pins it) — the vocabulary-EXPANSION
+    * verb: grow a persisted tokenizer's vocab without invalidating
+    * ids already assigned (old merges keep their ranks, new ones
+    * append), so token streams encoded under the old model stay
+    * decodable under the extended one. */
+  def extend(model: Model, wordCounts: Seq[(String, Long)],
+             extraMerges: Int): Model = {
+    val tab = wordCounts.iterator
+      .map { case (w, c) =>
+        var s = splitChars(w)
+        var i = 0
+        while (i < model.merges.length && s.length > 1) {
+          s = mergeLtr(s, model.merges(i)._1, model.merges(i)._2)
+          i += 1
+        }
+        (s, c)
+      }
+      .filter(_._1.nonEmpty).toArray
+    model.copy(merges = model.merges ++ trainFrom(tab, extraMerges))
+  }
+
+  /** [[extend]] over a DataFrame corpus for a byte-level model: one
+    * distributed pre-token count (the same job [[trainBytesOn]] runs),
+    * byte-mapped, then the driver-side continuation. */
+  def extendBytesOn(df: DataFrame, textCol: String, model: Model,
+                    extraMerges: Int, maxWords: Int = 1 << 20): Model = {
+    require(model.byteLevel, "extendBytesOn needs a byte-level model")
+    val wc = preTokenCounts(df, textCol)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxWords)
+      .collect().map(r => (toByteChars(r.getString(0)), r.getLong(1))).toSeq
+    extend(model, wc, extraMerges)
   }
 
   /** The textbook full-recount trainer — kept as the equivalence
@@ -288,7 +334,10 @@ object Bpe {
     * byte-level (the alphabet must be closed for ids to be total). */
   def tokenIds(model: Model, specials: Seq[String] = Nil): Map[String, Int] = {
     require(model.byteLevel, "token ids need the closed byte alphabet")
-    val spec = specials.zipWithIndex.map { case (s, j) =>
+    // explicit arg wins; a model carrying its own reserved specials
+    // (the save/load round-trip) needs no repetition at every call
+    val sp = if (specials.nonEmpty) specials else model.specials
+    val spec = sp.zipWithIndex.map { case (s, j) =>
       s -> (256 + model.merges.size + j) }
     val merged = model.merges.zipWithIndex.map { case ((a, b), r) =>
       (a + b) -> (256 + r) }
@@ -301,16 +350,52 @@ object Bpe {
       merged.reverse ++ spec).toMap
   }
 
+  /** Split `text` into (segment, isSpecial) runs: every literal
+    * occurrence of a special token becomes its own segment (GPT-2 /
+    * HF `split` pre-tokenizer semantics — a document that contains
+    * `<|endoftext|>` must encode it as the RESERVED id, never as
+    * ordinary bytes). Longest special wins at a shared prefix;
+    * non-special runs pass through for normal pre-tokenization. */
+  private[graft] def splitOnSpecials(text: String, specials: Seq[String])
+      : Vector[(String, Boolean)] = {
+    if (specials.isEmpty) return Vector((text, false))
+    val byLen = specials.distinct.sortBy(-_.length)
+    val heads = byLen.map(_.head).toSet
+    val out = Vector.newBuilder[(String, Boolean)]
+    var i = 0
+    var start = 0
+    while (i < text.length) {
+      if (heads.contains(text.charAt(i))) {
+        byLen.find(sp => text.startsWith(sp, i)) match {
+          case Some(sp) =>
+            if (i > start) out += ((text.substring(start, i), false))
+            out += ((sp, true))
+            i += sp.length
+            start = i
+          case None => i += 1
+        }
+      } else i += 1
+    }
+    if (start < text.length) out += ((text.substring(start), false))
+    out.result()
+  }
+
   /** A trained merge list with an in-rank-order replay encoder and a
     * per-JVM word memo (serializable; rides expressions via
     * addReferenceObj). `byteLevel`: words map to their GPT-2 byte
     * chars before the replay (train the merges on mapped words —
     * [[trainBytesOn]] does). `preTok`: [[tokenizeRow]] splits with the
     * GPT-2-style regex instead of plain whitespace (spaces ride as
-    * word prefixes, so token counts include them). */
+    * word prefixes, so token counts include them). `specials`:
+    * reserved marker strings [[tokenizeRow]] splits ON before any
+    * pre-tokenization — each literal occurrence surfaces as its own
+    * single-token word whose id [[tokenIds]] reserves after the
+    * merges (GPT-2 semantics; empty = no splitting, markers encode
+    * as ordinary bytes). */
   case class Model(merges: Vector[(String, String)],
                    byteLevel: Boolean = false,
-                   preTok: Boolean = false) {
+                   preTok: Boolean = false,
+                   specials: Vector[String] = Vector.empty) {
     @transient private lazy val memo =
       new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
 
@@ -336,19 +421,30 @@ object Bpe {
       * array<struct<widx:int, tidx:int, token:string>> with 1-based
       * word/token positions (the SQL unnest convention). */
     def tokenizeRow(text: UTF8String): ArrayData = {
-      val words =
-        if (preTok) Bpe.preTokenize(text.toString)
-        else Bpe.Ws.split(text.toString).filter(_.nonEmpty)
       val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
-      var wi = 0
-      while (wi < words.length) {
-        val toks = encode(words(wi))
-        var ti = 0
-        while (ti < toks.length) {
-          rows += InternalRow(wi + 1, ti + 1, UTF8String.fromString(toks(ti)))
-          ti += 1
-        }
-        wi += 1
+      var w = 0 // global 1-based word position across segments
+      Bpe.splitOnSpecials(text.toString, specials).foreach {
+        case (seg, true) =>
+          // a special is its own word AND its own single token — never
+          // byte-mapped, never merged
+          w += 1
+          rows += InternalRow(w, 1, UTF8String.fromString(seg))
+        case (seg, false) =>
+          val words =
+            if (preTok) Bpe.preTokenize(seg)
+            else Bpe.Ws.split(seg).filter(_.nonEmpty)
+          var wi = 0
+          while (wi < words.length) {
+            val toks = encode(words(wi))
+            w += 1
+            var ti = 0
+            while (ti < toks.length) {
+              rows += InternalRow(w, ti + 1,
+                UTF8String.fromString(toks(ti)))
+              ti += 1
+            }
+            wi += 1
+          }
       }
       new GenericArrayData(rows.toArray)
     }
@@ -407,4 +503,59 @@ object Bpe {
     df.select(col(idCol), explode(tokensCol(col(textCol), model)).as("t"))
       .select(col(idCol), col("t.widx").as("widx"),
         col("t.tidx").as("tidx"), col("t.token").as("token"))
+
+  // ---- persisted tokenizer artifact ----
+  // A trained model is worthless if every job retrains it: token
+  // budgets (mixing recipes, context-window packing) are reproducible
+  // across sessions only when the merges/vocab are PINNED — the GPT-2
+  // merges.txt / HF tokenizer.json role, played by a catalog dataset so
+  // versioning, lineage deps, and vacuum protection all apply
+  // (the Similarity.saveIndex idiom).
+
+  /** Persist `model` (+ its reserved specials) as catalog dataset
+    * `name`: one row per merge (kind='merge', rank, a, b) and one per
+    * special (kind='special', rank=position, a=text); alphabet/pre-tok
+    * mode ride the version attrs. Returns the committed version —
+    * datasets whose budgets used this tokenizer should record
+    * `deps = Seq(s"$name@v$v")` so vacuum can never orphan them. */
+  def save(catalog: graft.catalog.Catalog, name: String,
+           model: Model): graft.catalog.SemVer = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val rows =
+      model.merges.zipWithIndex.map { case ((a, b), r) =>
+        ("merge", r, a, b)
+      } ++ model.specials.zipWithIndex.map { case (s, j) =>
+        ("special", j, s, "")
+      }
+    val df = rows.toDF("kind", "rank", "a", "b")
+      .repartition(1).sortWithinPartitions("kind", "rank")
+    catalog.save(graft.core.Chain(df), name,
+      attrs = Seq(s"bpe:byteLevel=${model.byteLevel}",
+        s"bpe:preTok=${model.preTok}"),
+      harvestStats = false)
+  }
+
+  /** Load a persisted model (latest version when not given). The
+    * round-trip is exact: merges in rank order, specials in reserved-id
+    * order, mode flags from the version attrs — `tokenize`/`tokenIds`
+    * with a loaded model reproduce the trained one bit-for-bit. */
+  def load(catalog: graft.catalog.Catalog, name: String,
+           version: Option[graft.catalog.SemVer] = None): Model = {
+    val v = version.orElse(catalog.versions(name).lastOption).getOrElse(
+      throw new NoSuchElementException(s"bpe model '$name' not found"))
+    val attrs = catalog.annotationsOf(name, v)._2
+    def flag(p: String): Boolean = attrs.exists(_ == s"$p=true")
+    require(attrs.exists(_.startsWith("bpe:byteLevel=")),
+      s"'$name'@v$v is not a persisted bpe model (no bpe: attrs)")
+    val rows = graft.core.Sys.drop(catalog.readDataset(name, Some(v)).toDF)
+      .select(col("kind"), col("rank"), col("a"), col("b"))
+      .collect()
+    val merges = rows.filter(_.getString(0) == "merge")
+      .sortBy(_.getInt(1)).map(r => (r.getString(2), r.getString(3)))
+    val specials = rows.filter(_.getString(0) == "special")
+      .sortBy(_.getInt(1)).map(_.getString(2))
+    Model(merges.toVector, byteLevel = flag("bpe:byteLevel"),
+      preTok = flag("bpe:preTok"), specials = specials.toVector)
+  }
 }

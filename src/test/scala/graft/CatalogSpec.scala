@@ -378,6 +378,181 @@ class CatalogSpec extends SparkSpec {
     assert(k2 < t2, s"imported stats must prune: $k2/$t2")
   }
 
+  test("deleteVersion is two-phase: grace keeps bytes, matured sweep reclaims, live refs survive") {
+    val prevG = sys.props.get("graft.vacuum.graceMs")
+    try {
+      val root = Files.createTempDirectory("cat_delver").toString
+      val cat = new Catalog(root, spark)
+      import org.apache.spark.sql.functions.col
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      val v1 = cat.save(Chain(o), "t")
+      val r2 = cat.deleteWhere("t", col("o_orderkey") % 7 === 0)
+      val d1 = java.nio.file.Paths.get(root, "datasets", "t", s"v$v1")
+      // an immediate physical delete would race a concurrent
+      // restore/clone that already resolved its census from the
+      // still-committed version — under a long grace the version goes
+      // INVISIBLE but every byte stays
+      sys.props("graft.vacuum.graceMs") = "3600000"
+      cat.deleteVersion("t", v1)
+      assert(cat.versions("t") === Seq(r2.version), "invisible at once")
+      assert(Files.exists(d1.resolve(".pool")) &&
+        !Files.exists(d1.resolve("meta.json")))
+      assert(cat.readDataset("t").toDF.count() === r2.rowsAfter,
+        "the carried survivor reads whole through the pool")
+      // matured: the sweep (run by the next deleteVersion on this
+      // dataset — no full vacuum needed) shrinks the pool to exactly
+      // the files the survivor's manifest still references
+      sys.props("graft.vacuum.graceMs") = "0"
+      cat.deleteVersion("t", v1)
+      val kept = {
+        import scala.jdk.CollectionConverters._
+        val dd = d1.resolve("data")
+        if (!Files.isDirectory(dd)) Set.empty[String]
+        else { val w = Files.walk(dd)
+          try w.iterator.asScala.filter(_.toString.endsWith(".parquet"))
+            .map(p => dd.relativize(p).toString).toSet
+          finally w.close() }
+      }
+      val referenced = cat.dataFilesOf("t", r2.version)
+        .filter(_.v == v1).map(_.rel).toSet
+      assert(kept === referenced,
+        s"pool must keep exactly the live refs: kept=${kept.size} " +
+          s"referenced=${referenced.size}")
+      assert(cat.readDataset("t").toDF.count() === r2.rowsAfter)
+      // a wholly unreferenced version reclaims fully once matured
+      val v3 = cat.save(Chain(o.limit(10)), "u")
+      cat.deleteVersion("u", v3)
+      assert(!Files.exists(
+        java.nio.file.Paths.get(root, "datasets", "u", s"v$v3")),
+        "unreferenced matured pool deletes whole")
+    } finally prevG match {
+      case Some(x) => sys.props("graft.vacuum.graceMs") = x
+      case None => sys.props.remove("graft.vacuum.graceMs")
+    }
+  }
+
+  test("storageStats counts only data bytes; byte-exact after save → delete → restore") {
+    val sKey = "graft.stats.inlineMaxFiles"
+    val prev = spark.conf.getOption(sKey)
+    try {
+      spark.conf.set(sKey, "4") // parquet stats tier → index parquet exists
+      val root = Files.createTempDirectory("cat_storage").toString
+      val cat = new Catalog(root, spark)
+      import org.apache.spark.sql.functions.col
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      val v1 = cat.save(Chain(o), "t")
+      val mx = o.agg(org.apache.spark.sql.functions.max("o_orderkey"))
+        .head().getLong(0)
+      val r = cat.deleteWhere("t", col("o_orderkey") <= mx / 16)
+      assert(r.filesReused > 0)
+      cat.restore("t", v1)
+      // the index tables are parquet too — they must NOT skew the census
+      import scala.jdk.CollectionConverters._
+      val statsDir = java.nio.file.Paths.get(root, "datasets", "t",
+        s"v$v1", "stats")
+      assert(Files.isDirectory(statsDir), "fixture needs a parquet index")
+      def dataBytes(v: graft.catalog.SemVer): Long = {
+        val dd = java.nio.file.Paths.get(root, "datasets", "t", s"v$v",
+          "data")
+        if (!Files.isDirectory(dd)) 0L
+        else { val w = Files.walk(dd)
+          try w.iterator.asScala.filter(_.toString.endsWith(".parquet"))
+            .map(Files.size(_)).sum
+          finally w.close() }
+      }
+      val vs = cat.versions("t")
+      assert(vs.size === 3)
+      val logicalExp = vs.map(v =>
+        cat.versionDataFiles("t", v).values.sum).sum
+      val physicalExp = vs.map(dataBytes).sum
+      val (_, nv, logical, physical) =
+        cat.storageStats().find(_._1 == "t").get
+      assert(nv === 3)
+      assert(logical === logicalExp, "logical = per-version claims")
+      assert(physical === physicalExp,
+        "physical = data bytes only, never the index tables")
+      assert(logical > physical, "the trail must show sharing")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(sKey, v)
+        case None => spark.conf.set(sKey, "512")
+      }
+    }
+  }
+
+  test("importVersion rejects a raw manifest version dir; export fan-out parity") {
+    val root = Files.createTempDirectory("cat_impguard").toString
+    val cat = new Catalog(root, spark)
+    import org.apache.spark.sql.functions.col
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    cat.save(Chain(o), "t")
+    val mx = o.agg(org.apache.spark.sql.functions.max("o_orderkey"))
+      .head().getLong(0)
+    val r = cat.deleteWhere("t", col("o_orderkey") <= mx / 8)
+    assert(r.filesReused > 0, s"fixture must carry files: $r")
+    // a raw zero-copy version dir carries a manifest whose bytes live
+    // in ancestor dirs — importing it would commit a half-empty version
+    val rawDir = java.nio.file.Paths.get(root, "datasets", "t",
+      s"v${r.version}")
+    assert(Files.exists(rawDir.resolve("manifest.json")))
+    val cat2 = new Catalog(
+      Files.createTempDirectory("cat_impguard2").toString, spark)
+    val e = intercept[IllegalArgumentException](
+      cat2.importVersion("t2", rawDir.toString))
+    assert(e.getMessage.contains("exportVersion"))
+    // the distributed copy arm (threshold 0 forces the Spark job)
+    // produces the identical tree and accounting as the serial arm
+    val serial = Files.createTempDirectory("cat_exp_ser").resolve("s")
+    val fanned = Files.createTempDirectory("cat_exp_fan").resolve("f")
+    val (nf1, b1) = cat.exportVersion("t", r.version, serial.toString)
+    val prevT = spark.conf.getOption("graft.export.fanThreshold")
+    try {
+      spark.conf.set("graft.export.fanThreshold", "0")
+      val (nf2, b2) = cat.exportVersion("t", r.version, fanned.toString)
+      assert((nf1, b1) === (nf2, b2))
+    } finally prevT match {
+      case Some(x) => spark.conf.set("graft.export.fanThreshold", x)
+      case None => spark.conf.unset("graft.export.fanThreshold")
+    }
+    val a = spark.read.parquet(serial.resolve("data").toString)
+    val b = spark.read.parquet(fanned.resolve("data").toString)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // and the fanned tree imports cleanly
+    val iv = cat2.importVersion("t2", fanned.toString)
+    assert(cat2.readDataset("t2").toDF.count() === r.rowsAfter)
+    assert(iv === graft.catalog.SemVer(1, 0, 0))
+  }
+
+  test("int-literal predicates prune long columns (promote-cast folding)") {
+    // the analyzer wraps `longCol < 50`'s INT literal in a cast — before
+    // the fold, the stats evaluator saw no bare Literal and silently
+    // read every file for the most common predicate shape there is
+    val root = Files.createTempDirectory("cat_litcast").toString
+    val cat = new Catalog(root, spark)
+    import org.apache.spark.sql.functions.col
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    cat.save(Chain(o), "t")
+    val (kept, total) = cat.pruneCount("t", col("o_orderkey") <= 100)
+    assert(total === 8 && kept < total,
+      s"int-literal range predicate must prune: $kept/$total")
+    // correctness unchanged: pruned read equals the unpruned filter
+    assert(cat.readDatasetWhere("t", col("o_orderkey") <= 100).toDF.count()
+      === cat.readDataset("t").toDF.filter(col("o_orderkey") <= 100).count())
+    // and a string-typed literal cast to a numeric folds too
+    val (k2, t2) = cat.pruneCount("t",
+      col("o_orderkey") <= org.apache.spark.sql.functions.lit("100")
+        .cast("bigint"))
+    assert(k2 < t2, s"castable string literal must prune: $k2/$t2")
+  }
+
   test("readDatasetAsOf resolves timestamp time travel over createdAt") {
     val root = Files.createTempDirectory("cat_asof").toString
     val cat = new Catalog(root, spark)

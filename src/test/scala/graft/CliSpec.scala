@@ -187,6 +187,33 @@ class CliSpec extends SparkSpec {
     assert(c5 === 2 && out5.contains("needs <name>"))
   }
 
+  test("storage detail / flatten commands") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("clistore").toString
+    val cat = new Catalog(root, spark)
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    cat.save(graft.core.Chain(o), "t")
+    val mx = o.agg(org.apache.spark.sql.functions.max("o_orderkey"))
+      .head().getLong(0)
+    cat.deleteWhere("t", col("o_orderkey") <= mx / 8)
+    val cargs = Seq("--catalog", root)
+    // summary: one row per dataset with the sharing factor
+    val (c0, out0) = Cli.run(Seq("storage") ++ cargs, spark)
+    assert(c0 === 0 && out0.contains("t versions=2"))
+    // drill-down: v2's manifest names v1 as a shared owner
+    val (c1, out1) = Cli.run(Seq("storage", "t") ++ cargs, spark)
+    assert(c1 === 0 && out1.linesIterator.size === 2)
+    assert(out1.contains("t@v1.0.0:"), s"owner drill-down missing: $out1")
+    // flatten re-owns everything; detail shows self-only
+    val (c2, out2) = Cli.run(Seq("flatten", "t") ++ cargs, spark)
+    assert(c2 === 0 && out2.startsWith("flattened t as v"))
+    val (c3, out3) = Cli.run(Seq("storage", "t") ++ cargs, spark)
+    val last = out3.linesIterator.toSeq.last
+    assert(last.contains("owners=self:"), s"flattened owners: $last")
+  }
+
   test("locks / break-lock commands") {
     import spark.implicits._
     val root = Files.createTempDirectory("clilock").toString

@@ -1041,6 +1041,165 @@ class MutationSpec extends SparkSpec {
     }
   }
 
+  test("stats-carry failure rebuilds a FULL index over the manifest census") {
+    // the degraded arm of the parquet-tier carry: when the verbatim
+    // carry fails, the fallback must index the manifest-RESOLVED census
+    // (carried files live in ancestor dirs), never just the rewrite
+    // output — a partial stats index makes pruned reads silently drop
+    // every row of the unindexed files
+    val sKey = "graft.stats.inlineMaxFiles"
+    val prev = spark.conf.getOption(sKey)
+    try {
+      spark.conf.set(sKey, "4")
+      val root = Files.createTempDirectory("mut_carryfail").toString
+      val cat = new Catalog(root, spark)
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      cat.save(Chain(o), "ord16")
+      val mx = o.agg(max("o_orderkey")).head().getLong(0)
+      sys.props("graft.test.failStatsCarry") = "1"
+      val r =
+        try cat.deleteWhere("ord16", col("o_orderkey") <= mx / 16)
+        finally sys.props -= "graft.test.failStatsCarry"
+      assert(r.filesReused > 0, s"fixture must carry files: $r")
+      val v2 = cat.latestVersion("ord16").get
+      // the rebuilt index covers EVERY file of the manifest census
+      // (all-or-nothing invariant) with owner-aware rel keys
+      val idxFiles = spark.read.parquet(
+          Paths.get(root, "datasets", "ord16", s"v$v2", "stats").toString)
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+      val census = cat.versionDataFiles("ord16", v2).keys.toSet
+      assert(idxFiles === census,
+        s"rebuilt index census diverges: onlyIdx=" +
+          s"${(idxFiles -- census).take(2)}, onlyCensus=" +
+          s"${(census -- idxFiles).take(2)}")
+      // pruned reads stay exact AND still prune
+      val pred = col("o_orderkey") > mx / 2
+      val full = cat.readDataset("ord16").toDF.filter(pred).count()
+      assert(cat.readDatasetWhere("ord16", pred).toDF.count() === full)
+      val (kept, total) = cat.pruneCount("ord16", pred)
+      assert(total === census.size, s"census must cover all: $kept/$total")
+      assert(kept < total, s"rebuilt stats must prune: $kept/$total")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(sKey, v)
+        case None => spark.conf.set(sKey, "512")
+      }
+    }
+  }
+
+  test("double stats failure commits an index-LESS version, never partial") {
+    val sKey = "graft.stats.inlineMaxFiles"
+    val prev = spark.conf.getOption(sKey)
+    try {
+      spark.conf.set(sKey, "4")
+      val root = Files.createTempDirectory("mut_idxless").toString
+      val cat = new Catalog(root, spark)
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .repartitionByRange(16, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      cat.save(Chain(o), "ord16")
+      val mx = o.agg(max("o_orderkey")).head().getLong(0)
+      sys.props("graft.test.failStatsCarry") = "1"
+      sys.props("graft.test.failStatsRebuild") = "1"
+      val r =
+        try cat.deleteWhere("ord16", col("o_orderkey") <= mx / 16)
+        finally {
+          sys.props -= "graft.test.failStatsCarry"
+          sys.props -= "graft.test.failStatsRebuild"
+        }
+      assert(r.filesReused > 0, s"fixture must carry files: $r")
+      val v2 = cat.latestVersion("ord16").get
+      assert(!Files.isDirectory(
+        Paths.get(root, "datasets", "ord16", s"v$v2", "stats")),
+        "no partial index may commit — index-less is the only degradation")
+      // reads are correct, just unpruned
+      val pred = col("o_orderkey") > mx / 2
+      val full = cat.readDataset("ord16").toDF.filter(pred).count()
+      assert(cat.readDatasetWhere("ord16", pred).toDF.count() === full)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(sKey, v)
+        case None => spark.conf.set(sKey, "512")
+      }
+    }
+  }
+
+  test("mutation chains: unpartitioned reads plan ONE scan at any depth; flatten resets owners") {
+    def scanCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.size
+    val root = Files.createTempDirectory("mut_chain").toString
+    val cat = new Catalog(root, spark)
+    saveOrders(cat, "ord")
+    // 6 sequential point deletes on keys SPREAD across the range-laid
+    // files → a 6-deep mutation chain whose manifest names many
+    // distinct physical owners (clustered keys would rewrite the same
+    // file's descendant every time)
+    val all = cat.readDataset("ord").toDF.select("o_orderkey")
+      .distinct().orderBy(col("o_orderkey")).collect().map(_.getLong(0))
+    val keys = (1 to 6).map(i => all((all.length - 1) * i / 7))
+    keys.foreach(k => cat.deleteWhere("ord", col("o_orderkey") === k))
+    val vN = cat.latestVersion("ord").get
+    val owners = cat.dataFilesOf("ord", vN)
+      .map(e => (e.ds, e.v)).distinct.size
+    assert(owners >= 3, s"fixture must build a real chain: $owners owners")
+    // the read-side guarantee: owner count never reaches the plan —
+    // an unpartitioned manifest read is ONE relation at any depth
+    assert(scanCount(cat.readDataset("ord").toDF) === 1,
+      "unpartitioned chain read must plan exactly one scan node")
+    val expect = cat.readDataset("ord").toDF.count()
+    // FLATTEN: row-identical, self-contained, layout-only, index intact
+    val fv = cat.flattenVersion("ord")
+    assert(cat.latestVersion("ord").get === fv)
+    assert(cat.dataFilesOf("ord", fv).forall(e => e.ds == "ord" && e.v == fv),
+      "flattened version owns every file")
+    assert(!Files.exists(java.nio.file.Paths.get(root, "datasets", "ord",
+      s"v$fv", "manifest.json")), "flattened version is self-contained")
+    assert(cat.readDataset("ord").toDF.count() === expect)
+    assert(cat.cowOpOf("ord", fv) === Some("flatten"),
+      "streams must see flatten as layout-only")
+    // footer-stats skipping carried through the byte copy
+    val mx = cat.readDataset("ord").toDF
+      .agg(max("o_orderkey")).head().getLong(0)
+    val (kept, total) = cat.pruneCount("ord", col("o_orderkey") > mx / 2)
+    assert(kept < total, s"flattened version must still prune: $kept/$total")
+    // flattening an already self-contained version is a no-op
+    assert(cat.flattenVersion("ord") === fv)
+  }
+
+  test("auto-flatten: graft.manifest.maxOwners bounds the chain at commit") {
+    val key = "graft.manifest.maxOwners"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "3")
+      val root = Files.createTempDirectory("mut_autoflat").toString
+      val cat = new Catalog(root, spark)
+      saveOrders(cat, "ord")
+      val before = cat.readDataset("ord").toDF
+      val all = before.select("o_orderkey").distinct()
+        .orderBy(col("o_orderkey")).collect().map(_.getLong(0))
+      val keys = (1 to 10).map(i => all((all.length - 1) * i / 11))
+      val expect = before
+        .filter(!col("o_orderkey").isin(keys: _*)).count()
+      keys.foreach { k =>
+        cat.deleteWhere("ord", col("o_orderkey") === k)
+        val v = cat.latestVersion("ord").get
+        val owners = cat.dataFilesOf("ord", v)
+          .map(e => (e.ds, e.v)).distinct.size
+        assert(owners <= 3,
+          s"commit left $owners owners past the bound at v$v")
+      }
+      // rows survived ten mutations + interleaved auto-flattens
+      assert(cat.readDataset("ord").toDF.count() === expect)
+    } finally prev match {
+      case Some(x) => spark.conf.set(key, x)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("restore of a hive-partitioned version keeps the layout") {
     val root = Files.createTempDirectory("mut_restpart").toString
     val cat = new Catalog(root, spark)

@@ -2712,6 +2712,69 @@ class OpsSpec extends SparkSpec {
     assert(m.encode(" ab") === Vector("Ġ", "ab"))
   }
 
+  test("bpe specials: tokenize splits ON reserved markers (GPT-2 semantics)") {
+    import graft.ops.Bpe
+    // splitOnSpecials: literal occurrences surface as their own
+    // segments, longest special wins a shared prefix, reassembly is
+    // lossless
+    assert(Bpe.splitOnSpecials("a<|eot|>b", Seq("<|eot|>")) ===
+      Vector(("a", false), ("<|eot|>", true), ("b", false)))
+    assert(Bpe.splitOnSpecials("<|eot|><|eot|>", Seq("<|eot|>")) ===
+      Vector(("<|eot|>", true), ("<|eot|>", true)))
+    assert(Bpe.splitOnSpecials("x<|e|>y", Seq("<|e|>", "<|e")) ===
+      Vector(("x", false), ("<|e|>", true), ("y", false)),
+      "longest special wins at a shared prefix")
+    assert(Bpe.splitOnSpecials("plain", Seq("<|eot|>")) ===
+      Vector(("plain", false)))
+    // a model CARRYING specials encodes the marker as ONE token that
+    // takes its reserved id — never as ordinary bytes; word positions
+    // stay global across the split
+    val m = Bpe.Model(Vector(("a", "b")), byteLevel = true, preTok = true,
+      specials = Vector("<|eot|>"))
+    import spark.implicits._
+    val docs = Seq((1L, "ab<|eot|> ab")).toDF("doc_id", "text")
+    val got = Bpe.tokenize(docs, "doc_id", "text", m)
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(got === Set((1L, 1, 1, "ab"), (1L, 2, 1, "<|eot|>"),
+      (1L, 3, 1, "Ġ"), (1L, 3, 2, "ab")), got.toString)
+    val ids = Bpe.tokenIds(m) // model-carried specials, no repetition
+    assert(ids("<|eot|>") === 257)
+    // an EMPTY specials model keeps the documented non-splitting
+    // behavior: the marker encodes as ordinary bytes
+    val m0 = m.copy(specials = Vector.empty)
+    val raw = Bpe.tokenize(docs, "doc_id", "text", m0)
+      .as[(Long, Int, Int, String)].collect()
+    assert(!raw.exists(_._4 == "<|eot|>"),
+      "without specials the marker must byte-encode")
+  }
+
+  test("bpe save/load: the persisted tokenizer round-trips bit-for-bit") {
+    import graft.ops.Bpe
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("bpe_persist")
+      .toString
+    val cat = new graft.catalog.Catalog(root, spark)
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id"), col("text"))
+    val trained = Bpe.trainBytesOn(corpus, "text", numMerges = 12)
+      .copy(specials = Vector("<|endoftext|>", "<|pad|>"))
+    val v = Bpe.save(cat, "tok", trained)
+    // a FRESH catalog instance (cold caches — the cross-session shape)
+    val loaded = Bpe.load(new graft.catalog.Catalog(root, spark), "tok")
+    assert(loaded === trained, "merges, mode flags, specials — all exact")
+    assert(Bpe.tokenIds(loaded) === Bpe.tokenIds(trained))
+    // versioned like any dataset: retrain → v2, the old pin still loads
+    val retrained = Bpe.trainBytesOn(corpus, "text", numMerges = 4)
+    Bpe.save(cat, "tok", retrained)
+    assert(Bpe.load(cat, "tok").merges.size === retrained.merges.size)
+    assert(Bpe.load(cat, "tok", Some(v)) === trained,
+      "the pinned version keeps the original model")
+    // a non-model dataset refuses to load as one
+    cat.save(graft.core.Chain(corpus), "notatok")
+    intercept[IllegalArgumentException](Bpe.load(cat, "notatok"))
+  }
+
   test("bpe: paper example, encode replay, expression parity, edge shapes") {
     import graft.ops.Bpe
     // the ACL'16 example vocabulary (no end-of-word marker — documented

@@ -558,4 +558,27 @@ object BpeProps extends Properties("graft.bpe") {
       val merges = Bpe.train(wc, k)
       Bpe.Model(merges).encode(w) == minRankEncode(w, merges)
     }
+
+  property("extend(train(k1), k2) == train(k1+k2) — continuation is exact") =
+    forAll(corpusU, Gen.choose(1, 6), Gen.choose(1, 6)) { (wc, k1, k2) =>
+      val base = Bpe.Model(Bpe.train(wc, k1))
+      Bpe.extend(base, wc, k2).merges == Bpe.train(wc, k1 + k2)
+    }
+
+  // text built from marker FRAGMENTS so partial/overlapping prefixes
+  // ("<|", "eot", full markers) land adjacent in every combination
+  private val markerText: Gen[String] =
+    Gen.listOf(Gen.oneOf("a", "b", " ", "<", "|", ">", "eot", "pad",
+      "<|eot|>", "<|pad|>")).map(_.mkString)
+
+  property("splitOnSpecials: lossless, exact, specials never in plain runs") =
+    forAll(markerText) { t =>
+      val specials = Seq("<|eot|>", "<|pad|>")
+      val segs = Bpe.splitOnSpecials(t, specials)
+      segs.map(_._1).mkString == t &&
+        segs.forall { case (s, isSp) =>
+          if (isSp) specials.contains(s)
+          else s.nonEmpty && specials.forall(sp => !s.contains(sp))
+        }
+    }
 }
