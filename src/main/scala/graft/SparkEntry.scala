@@ -3203,6 +3203,24 @@ object SparkEntry {
           lit(256 + model.merges.size).cast("long"))
     }),
 
+    "q_bpe_roundtrip" -> ((s, dir) => {
+      // decode is the exact inverse of encode: tokenize with a trained
+      // byte-level model (multibyte chars, an astral emoji, and a
+      // reserved special planted in every doc), then detokenize — the
+      // oracle is the IDENTITY (the fixture itself), so any asymmetry
+      // in the regex pre-tokenizer, the byte map, the merge replay,
+      // the special splitting, or the token ordering breaks the hash.
+      val corpus = T(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(19)) === 0)
+        .select(col("doc_id"),
+          concat(expr("substr(text, 1, 220)"),
+            lit(" ¡mixté! 🙂<|endoftext|>中 ok")).as("text"))
+      val model = graft.ops.Bpe.trainBytesOn(corpus, "text", numMerges = 6)
+        .copy(specials = Vector("<|endoftext|>"))
+      graft.ops.Bpe.detokenize(
+        graft.ops.Bpe.tokenize(corpus, "doc_id", "text", model), "doc_id")
+    }),
+
     "q_bpe_extend" -> ((s, dir) => {
       // vocabulary EXPANSION: continue a trained byte-level model with
       // four MORE merges from the same corpus — greedy BPE is strictly
@@ -7653,6 +7671,12 @@ object SparkEntry {
            |  256 + (SELECT n FROM nmerges) AS eot_id
            |FROM toks t JOIN voc v ON v.token = t.token
            |GROUP BY 1""".stripMargin,
+
+      "q_bpe_roundtrip" ->
+        """SELECT doc_id,
+          |  substr(text, 1, 220) || ' ¡mixté! 🙂<|endoftext|>中 ok'
+          |    AS text
+          |FROM documents WHERE doc_id % 19 = 0""".stripMargin,
 
       "q_bpe_extend" ->
         s"""WITH corpus AS (SELECT doc_id,

@@ -504,6 +504,30 @@ object Bpe {
       .select(col(idCol), col("t.widx").as("widx"),
         col("t.tidx").as("tidx"), col("t.token").as("token"))
 
+  // ---- detokenize: the inverse, tokens → original text ----
+
+  /** Reassemble original text from a [[tokenize]] table of a BYTE-LEVEL
+    * model — entirely codegen built-ins, no UDF: tokens concat in
+    * (widx, tidx) order, one `translate` inverts the GPT-2 byte map
+    * (each mapped char → the Latin-1 char of its original byte), then
+    * `encode(…, 'ISO-8859-1')` yields the raw bytes and a UTF-8 decode
+    * restores the text. Specials pass through verbatim (their chars
+    * are printable ASCII — byte-map fixed points). The round-trip
+    * `detokenize(tokenize(text)) == text` is exact because the
+    * pre-tokenizer is lossless (every char class has an alternative)
+    * and BPE merges only ever CONCATENATE symbols. */
+  def detokenize(tokens: DataFrame, idCol: String): DataFrame = {
+    val mapped = byteToChar.mkString
+    val latin1 = (0 until 256).map(_.toChar).mkString
+    tokens.groupBy(col(idCol))
+      .agg(decode(encode(translate(
+          concat_ws("", transform(
+            array_sort(collect_list(struct(col("widx"), col("tidx"),
+              col("token")))),
+            x => x.getField("token"))),
+          mapped, latin1), "ISO-8859-1"), "UTF-8").as("text"))
+  }
+
   // ---- persisted tokenizer artifact ----
   // A trained model is worthless if every job retrains it: token
   // budgets (mixing recipes, context-window packing) are reproducible

@@ -565,6 +565,30 @@ object BpeProps extends Properties("graft.bpe") {
       Bpe.extend(base, wc, k2).merges == Bpe.train(wc, k1 + k2)
     }
 
+  // arbitrary multibyte text (2/3/4-byte UTF-8, whitespace runs,
+  // contractions, specials and their fragments) for the round-trip pin
+  private val uniText: Gen[String] =
+    Gen.listOf(Gen.oneOf("a", "B", " ", "  ", "\n", "\t", "'s", "é",
+      "中", "𝄞", "🙂", ",", "9", "<|eot|>", "<", "|", ">")).map(_.mkString)
+
+  property("tokenizeRow → byte-inverse == original text (lossless)") = {
+    val charToByte = Bpe.byteToChar.zipWithIndex
+      .map { case (s, i) => s.charAt(0) -> i.toByte }.toMap
+    forAll(uniText, corpusU, Gen.choose(1, 6)) { (t, wc, k) =>
+      val merges = Bpe.train(
+        wc.map { case (w, c) => (Bpe.toByteChars(w), c) }, k)
+      val model = Bpe.Model(merges, byteLevel = true, preTok = true,
+        specials = Vector("<|eot|>"))
+      val rows = model.tokenizeRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      val bytes = (0 until rows.numElements()).flatMap { i =>
+        val r = rows.getStruct(i, 3)
+        r.getUTF8String(2).toString.map(charToByte)
+      }.toArray
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8) == t
+    }
+  }
+
   // text built from marker FRAGMENTS so partial/overlapping prefixes
   // ("<|", "eot", full markers) land adjacent in every combination
   private val markerText: Gen[String] =
