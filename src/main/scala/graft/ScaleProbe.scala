@@ -21,8 +21,8 @@ object ScaleProbe {
     //   pq,profile,rollingdistinct,funnel,statsskip,bloomskip,
     //   intervaljoin,mediameta,optimize,tokenmix,crawl,fuzzyjoin,mutate,statstier,
     //   mergelarge,cdfchurn,annindexq,
-    //   matview,cdc,manifest,hilbert3d,idxcarry,chunkdedup,winnow,bpe,
-    //   chain,export
+    //   matview,cdc,manifest,hilbert3d,hilbert2d,idxcarry,chunkdedup,
+    //   winnow,bpe,chain,export
     //   (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
@@ -1238,6 +1238,47 @@ object ScaleProbe {
           f"$nm kept $kept%3d/$total"
         }.mkString("  ")
         println(f"hilbert3d files=$files%-4d curve=$curve%-8s $row")
+      }
+    }
+
+    // The case Hilbert is KEPT for, measured: on 2-D data laid out in
+    // curve order, a spatial box maps to runs of CONSECUTIVE files —
+    // fewer runs = fewer seeks on a range scan. For each curve: kept
+    // files (prune parity) and the number of contiguous runs among the
+    // kept part indexes (write order = curve order). Hilbert's unit-step
+    // path should turn the same kept set into fewer, longer runs.
+    if (want("hilbert2d")) {
+      import org.apache.spark.sql.functions.{xxhash64, pmod, abs => fabs,
+        input_file_name}
+      val n = 2000000L
+      val df = spark.range(n).select(
+        pmod(fabs(xxhash64(col("id"), lit(1))), lit(1000L)).as("x"),
+        pmod(fabs(xxhash64(col("id"), lit(2))), lit(1000L)).as("y"))
+      val root = java.nio.file.Files
+        .createTempDirectory("probe_h2").toString
+      val cat = new graft.catalog.Catalog(root, spark)
+      cat.save(graft.core.Chain(df), "h2")
+      val preds = Seq(
+        "box 10%" -> (col("x") < 316L && col("y") < 316L),
+        "box 1%" -> (col("x") < 100L && col("y") < 100L),
+        "strip 5%" -> (col("y") >= 500L && col("y") < 550L))
+      def runsOf(parts: Seq[Int]): Int =
+        if (parts.isEmpty) 0
+        else 1 + parts.sorted.sliding(2).count {
+          case Seq(a, b) => b != a + 1
+          case _ => false
+        }
+      for (curve <- Seq("zorder", "hilbert")) {
+        cat.optimize("h2", nFiles = 256, zorderByCols = Seq("x", "y"),
+          curve = curve)
+        val row = preds.map { case (nm, p) =>
+          val kept = cat.readDatasetWhere("h2", p).toDF
+            .select(input_file_name()).distinct()
+            .collect().map(_.getString(0))
+            .map(f => f.split('/').last.split('-')(1).toInt).toSeq
+          f"$nm kept ${kept.size}%3d runs ${runsOf(kept)}%3d"
+        }.mkString("  ")
+        println(f"hilbert2d files=256 curve=$curve%-8s $row")
       }
     }
 
