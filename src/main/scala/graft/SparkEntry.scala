@@ -3205,20 +3205,22 @@ object SparkEntry {
 
     "q_bpe_roundtrip" -> ((s, dir) => {
       // decode is the exact inverse of encode: tokenize with a trained
-      // byte-level model (multibyte chars, an astral emoji, and a
-      // reserved special planted in every doc), then detokenize — the
-      // oracle is the IDENTITY (the fixture itself), so any asymmetry
-      // in the regex pre-tokenizer, the byte map, the merge replay,
-      // the special splitting, or the token ordering breaks the hash.
+      // byte-level model (multibyte chars, an astral emoji, an ASCII
+      // special AND a non-Latin-1 special planted in every doc), then
+      // detokenize — the oracle is the IDENTITY (the fixture itself),
+      // so any asymmetry in the regex pre-tokenizer, the byte map, the
+      // merge replay, the special splitting, or the token ordering
+      // breaks the hash.
       val corpus = T(s, dir, "documents")
         .filter(pmod(col("doc_id"), lit(19)) === 0)
         .select(col("doc_id"),
           concat(expr("substr(text, 1, 220)"),
-            lit(" ¡mixté! 🙂<|endoftext|>中 ok")).as("text"))
+            lit(" ¡mixté! 🙂<|endoftext|>中<|fim▁|>ok")).as("text"))
       val model = graft.ops.Bpe.trainBytesOn(corpus, "text", numMerges = 6)
-        .copy(specials = Vector("<|endoftext|>"))
+        .copy(specials = Vector("<|endoftext|>", "<|fim▁|>"))
       graft.ops.Bpe.detokenize(
-        graft.ops.Bpe.tokenize(corpus, "doc_id", "text", model), "doc_id")
+        graft.ops.Bpe.tokenize(corpus, "doc_id", "text", model),
+        "doc_id", model.specials)
     }),
 
     "q_bpe_extend" -> ((s, dir) => {
@@ -7674,7 +7676,7 @@ object SparkEntry {
 
       "q_bpe_roundtrip" ->
         """SELECT doc_id,
-          |  substr(text, 1, 220) || ' ¡mixté! 🙂<|endoftext|>中 ok'
+          |  substr(text, 1, 220) || ' ¡mixté! 🙂<|endoftext|>中<|fim▁|>ok'
           |    AS text
           |FROM documents WHERE doc_id % 19 = 0""".stripMargin,
 

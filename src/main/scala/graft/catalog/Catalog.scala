@@ -361,6 +361,22 @@ final class Catalog(val root: String, spark: SparkSession) {
       }
     }
 
+  /** Every regular file under `d` (any extension — meta, index, data),
+    * stream closed, racing-delete-safe: the export/import/flatten tree
+    * walks share this. */
+  private def walkFiles(d: Path): Seq[Path] =
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      try {
+        val w = Files.walk(d)
+        try w.iterator.asScala.filter(Files.isRegularFile(_)).toSeq
+        finally w.close()
+      } catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException =>
+          Seq.empty
+      }
+    }
+
   def datasets(): Seq[String] = {
     val d = Paths.get(root, "datasets")
     listDir(d).filter(Files.isDirectory(_))
@@ -671,8 +687,10 @@ final class Catalog(val root: String, spark: SparkSession) {
   private def requireValidName(name: String): Unit =
     require(name.nonEmpty && !name.contains('/') && !name.contains('\\') &&
       // brackets would corrupt the attrs metadata parse (dataset names
-      // are embedded in expect:quarantine=... attrs)
-      !name.contains('[') && !name.contains(']') &&
+      // are embedded in expect:quarantine=... attrs); '=' would make
+      // the dataset DIRECTORY parse as a hive partition under any read
+      // whose basePath sits above it
+      !name.contains('[') && !name.contains(']') && !name.contains('=') &&
       name != "." && name != ".." && !name.startsWith("."),
       s"invalid dataset name: '$name'")
 
@@ -1059,14 +1077,18 @@ final class Catalog(val root: String, spark: SparkSession) {
           spark.createDataFrame(
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
             full)
-        else if (files.headOption.forall(relPartitionCols(_).isEmpty)) {
+        else if (files.headOption.forall(relPartitionCols(_).isEmpty) &&
+            !name.contains('=') &&
+            m.entries.forall(e => !e.ds.contains('='))) {
           // UNPARTITIONED layout: partition columns don't exist, so
           // per-owner basePaths buy nothing — read every resolved path
           // as ONE relation (basePath = the warehouse root, a common
           // prefix with no key=value segments). A mutation chain of any
           // depth then plans exactly one scan node; without this, a
           // table cow-mutated daily for a year reads as a ~365-way
-          // union of per-owner scans.
+          // union of per-owner scans. Legacy dataset names containing
+          // '=' (new ones are rejected) would hive-parse under the
+          // root basePath, so they keep the per-owner arm.
           val paths = files.map { r =>
             val (d, ov) = m.relOwner.getOrElse(r, (name, v))
             s"${vDir(d, ov).resolve("data")}/$r"
@@ -1506,6 +1528,9 @@ final class Catalog(val root: String, spark: SparkSession) {
     val entries = dataFilesOf(name, v)
     val tmp = dsDir(name).resolve(s".tmp-${java.util.UUID.randomUUID}")
     try {
+      // up front, not per copied pair: a zero-entry manifest (restore
+      // of an empty save) must still move a data dir at commit
+      Files.createDirectories(tmp.resolve("data"))
       copyFanned(entries.map(e => (
         vDir(e.ds, e.v).resolve("data").resolve(e.rel).toString,
         tmp.resolve("data").resolve(e.rel).toString)))
@@ -1515,15 +1540,8 @@ final class Catalog(val root: String, spark: SparkSession) {
       // defeating the point of flattening
       Seq("stats", "blooms").foreach { d =>
         val idx = idxDirOf(name, v, d)
-        if (Files.isDirectory(idx)) {
-          val fs = {
-            val w = Files.walk(idx)
-            try w.iterator.asScala.filter(Files.isRegularFile(_)).toSeq
-            finally w.close()
-          }
-          copyFanned(fs.map(f => (f.toString,
-            tmp.resolve(d).resolve(idx.relativize(f).toString).toString)))
-        }
+        copyFanned(walkFiles(idx).map(f => (f.toString,
+          tmp.resolve(d).resolve(idx.relativize(f).toString).toString)))
       }
       val srcDir = vDir(name, v)
       val schemaJson = recordedSchema(name, v).map(SignalSchema.toJson)
@@ -1562,17 +1580,20 @@ final class Catalog(val root: String, spark: SparkSession) {
     * flatten it — bounding both the partitioned read fan-out and the
     * vacuum pin set. Losing a race is fine; the next commit
     * re-triggers. */
-  private def maybeAutoFlatten(name: String): Unit = {
-    val max = spark.conf.get("graft.manifest.maxOwners",
-      Int.MaxValue.toString).toInt
-    if (max == Int.MaxValue) return
-    val owners = latestVersion(name).flatMap(manifestOf(name, _))
-      .map(_.entries.iterator.map(e => (e.ds, e.v)).toSet.size)
-      .getOrElse(0)
-    if (owners > max)
-      try flattenVersion(name)
-      catch { case _: ConcurrentMutationException => () }
-  }
+  private def maybeAutoFlatten(name: String): Unit =
+    // the mutation is ALREADY COMMITTED when this runs — no failure
+    // here (bad conf value, disk-full mid-copy, a lost commit race)
+    // may escape, or the caller would believe the commit failed and
+    // retry it, committing the same batch twice
+    try {
+      val max = spark.conf.get("graft.manifest.maxOwners",
+        Int.MaxValue.toString).toInt
+      if (max == Int.MaxValue) return
+      val owners = latestVersion(name).flatMap(manifestOf(name, _))
+        .map(_.entries.iterator.map(e => (e.ds, e.v)).toSet.size)
+        .getOrElse(0)
+      if (owners > max) flattenVersion(name)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /**
    * EXPORT a version as a SELF-CONTAINED portable tree at `dest`:
@@ -1599,22 +1620,32 @@ final class Catalog(val root: String, spark: SparkSession) {
     * matches the catalog's shared-filesystem contract (the same one
     * every commit-protocol move relies on). */
   private def copyFanned(pairs: Seq[(String, String)]): Long = {
+    // REPLACE_EXISTING makes the copy IDEMPOTENT: a retried or
+    // speculative Spark task re-runs its pairs over destinations a
+    // dead attempt may have part-written — without it the retry fails
+    // deterministically on FileAlreadyExists and the export aborts at
+    // exactly the scale the fan-out exists for. Destinations are
+    // always private (fresh export dest / commit-protocol tmp), so
+    // replace can never clobber foreign data.
+    def copyOne(s: String, d: String): Long = {
+      val dst = Paths.get(d)
+      Files.createDirectories(dst.getParent)
+      Files.copy(Paths.get(s), dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.size(dst)
+    }
     val threshold =
       spark.conf.get("graft.export.fanThreshold", "64").toInt
     if (pairs.size <= threshold)
-      pairs.map { case (s, d) =>
-        val dst = Paths.get(d)
-        Files.createDirectories(dst.getParent)
-        Files.copy(Paths.get(s), dst)
-        Files.size(dst)
-      }.sum
+      pairs.map { case (s, d) => copyOne(s, d) }.sum
     else
       spark.sparkContext
         .parallelize(pairs, math.min(pairs.size, 128))
         .map { case (s, d) =>
           val dst = Paths.get(d)
           Files.createDirectories(dst.getParent)
-          Files.copy(Paths.get(s), dst)
+          Files.copy(Paths.get(s), dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           Files.size(dst)
         }.fold(0L)(_ + _)
   }
@@ -1640,16 +1671,9 @@ final class Catalog(val root: String, spark: SparkSession) {
     }
     Seq("stats", "blooms").foreach { d =>
       val idx = idxDirOf(name, version, d)
-      if (Files.isDirectory(idx)) {
-        val idxFiles = {
-          val w = Files.walk(idx)
-          try w.iterator.asScala.filter(Files.isRegularFile(_)).toSeq
-          finally w.close()
-        }
-        copyFanned(idxFiles.map(f =>
-          (f.toString,
-            out.resolve(d).resolve(idx.relativize(f).toString).toString)))
-      }
+      copyFanned(walkFiles(idx).map(f =>
+        (f.toString,
+          out.resolve(d).resolve(idx.relativize(f).toString).toString)))
     }
     (entries.size, bytes)
   }
@@ -1680,12 +1704,7 @@ final class Catalog(val root: String, spark: SparkSession) {
     try {
       // copy the tree into the save protocol's private temp first —
       // the claim-then-move commit stays metadata-fast and atomic
-      val files = {
-        val w = Files.walk(in)
-        try w.iterator.asScala.filter(Files.isRegularFile(_)).toSeq
-        finally w.close()
-      }
-      copyFanned(files.map(f =>
+      copyFanned(walkFiles(in).map(f =>
         (f.toString, tmp.resolve(in.relativize(f).toString).toString)))
       val meta = new String(
         Files.readAllBytes(tmp.resolve("meta.json")), "UTF-8")
@@ -2608,9 +2627,39 @@ final class Catalog(val root: String, spark: SparkSession) {
       // a pruned read would silently drop every row of an unindexed
       // file). A census mismatch with the manifest means a partial or
       // foreign index: degrade to the unpruned path.
-      if (res._2 == dataFilesOf(name, v).size.toLong) Some(res) else None
+      if (res._2 == censusCountOf(name, v)) Some(res) else None
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  // per-version data-file count, cached: manifest versions read it from
+  // the (cached) manifest, but a SELF-CONTAINED version's count is a
+  // recursive dir walk — without the cache every pruned read of a
+  // 100k-file version would pay that walk, even on keptCache hits.
+  // Committed versions are immutable (vacuum touches only tombstoned
+  // pools), so the meta.json freshness token is a sufficient key.
+  private val censusCacheMax = 64
+  private val censusCache =
+    new java.util.LinkedHashMap[String, (String, Long)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Long)]): Boolean =
+        size() > censusCacheMax
+    }
+
+  private def censusCountOf(name: String, v: SemVer): Long =
+    manifestOf(name, v) match {
+      case Some(m) => m.entries.size.toLong
+      case None => censusCache.synchronized {
+        val key = s"$name@@$v"
+        val tok = freshToken(vDir(name, v).resolve("meta.json"))
+        val hit = censusCache.get(key)
+        if (hit != null && hit._1 == tok) hit._2
+        else {
+          val n = walkParquet(vDir(name, v).resolve("data")).size.toLong
+          censusCache.put(key, (tok, n))
+          n
+        }
+      }
+    }
 
   /** Per-file bloom index recorded at save time with `bloomCols` (empty
     * when the version has none). file → column → serialized filter.

@@ -358,8 +358,11 @@ object Bpe {
     * non-special runs pass through for normal pre-tokenization. */
   private[graft] def splitOnSpecials(text: String, specials: Seq[String])
       : Vector[(String, Boolean)] = {
-    if (specials.isEmpty) return Vector((text, false))
-    val byLen = specials.distinct.sortBy(-_.length)
+    // an empty special (a blank config entry) matches nowhere and would
+    // crash the first-char prefilter — drop it rather than fail the
+    // tokenize job on the executors
+    val byLen = specials.filter(_.nonEmpty).distinct.sortBy(-_.length)
+    if (byLen.isEmpty) return Vector((text, false))
     val heads = byLen.map(_.head).toSet
     val out = Vector.newBuilder[(String, Boolean)]
     var i = 0
@@ -511,20 +514,28 @@ object Bpe {
     * (widx, tidx) order, one `translate` inverts the GPT-2 byte map
     * (each mapped char → the Latin-1 char of its original byte), then
     * `encode(…, 'ISO-8859-1')` yields the raw bytes and a UTF-8 decode
-    * restores the text. Specials pass through verbatim (their chars
-    * are printable ASCII — byte-map fixed points). The round-trip
+    * restores the text. `specials` ride UNMAPPED through tokenize, so
+    * each is pre-mapped into the byte-char domain (a literal
+    * [[toByteChars]] per special — driver-side constants) before the
+    * shared inversion; any special round-trips exactly, not just
+    * printable-ASCII ones. The round-trip
     * `detokenize(tokenize(text)) == text` is exact because the
     * pre-tokenizer is lossless (every char class has an alternative)
     * and BPE merges only ever CONCATENATE symbols. */
-  def detokenize(tokens: DataFrame, idCol: String): DataFrame = {
+  def detokenize(tokens: DataFrame, idCol: String,
+                 specials: Seq[String] = Nil): DataFrame = {
     val mapped = byteToChar.mkString
     val latin1 = (0 until 256).map(_.toChar).mkString
+    def toMapped(tok: Column): Column =
+      specials.filter(_.nonEmpty).distinct.foldLeft(tok) { (acc, sp) =>
+        when(tok === lit(sp), lit(toByteChars(sp))).otherwise(acc)
+      }
     tokens.groupBy(col(idCol))
       .agg(decode(encode(translate(
           concat_ws("", transform(
             array_sort(collect_list(struct(col("widx"), col("tidx"),
               col("token")))),
-            x => x.getField("token"))),
+            x => toMapped(x.getField("token")))),
           mapped, latin1), "ISO-8859-1"), "UTF-8").as("text"))
   }
 

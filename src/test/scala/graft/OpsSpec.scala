@@ -2726,6 +2726,9 @@ class OpsSpec extends SparkSpec {
       "longest special wins at a shared prefix")
     assert(Bpe.splitOnSpecials("plain", Seq("<|eot|>")) ===
       Vector(("plain", false)))
+    // a blank config entry must not crash the executor-side tokenizer
+    assert(Bpe.splitOnSpecials("plain", Seq("", "<|eot|>")) ===
+      Vector(("plain", false)))
     // a model CARRYING specials encodes the marker as ONE token that
     // takes its reserved id — never as ordinary bytes; word positions
     // stay global across the split

@@ -569,21 +569,27 @@ object BpeProps extends Properties("graft.bpe") {
   // contractions, specials and their fragments) for the round-trip pin
   private val uniText: Gen[String] =
     Gen.listOf(Gen.oneOf("a", "B", " ", "  ", "\n", "\t", "'s", "é",
-      "中", "𝄞", "🙂", ",", "9", "<|eot|>", "<", "|", ">")).map(_.mkString)
+      "中", "𝄞", "🙂", ",", "9", "<|eot|>", "<|f▁|>", "<", "|", ">"))
+      .map(_.mkString)
 
   property("tokenizeRow → byte-inverse == original text (lossless)") = {
     val charToByte = Bpe.byteToChar.zipWithIndex
       .map { case (s, i) => s.charAt(0) -> i.toByte }.toMap
+    val specials = Vector("<|eot|>", "<|f▁|>") // one non-Latin-1
     forAll(uniText, corpusU, Gen.choose(1, 6)) { (t, wc, k) =>
       val merges = Bpe.train(
         wc.map { case (w, c) => (Bpe.toByteChars(w), c) }, k)
       val model = Bpe.Model(merges, byteLevel = true, preTok = true,
-        specials = Vector("<|eot|>"))
+        specials = specials)
       val rows = model.tokenizeRow(
         org.apache.spark.unsafe.types.UTF8String.fromString(t))
       val bytes = (0 until rows.numElements()).flatMap { i =>
         val r = rows.getStruct(i, 3)
-        r.getUTF8String(2).toString.map(charToByte)
+        val tok = r.getUTF8String(2).toString
+        // specials ride UNMAPPED (detokenize pre-maps them the same way)
+        if (specials.contains(tok))
+          tok.getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq
+        else tok.map(charToByte)
       }.toArray
       new String(bytes, java.nio.charset.StandardCharsets.UTF_8) == t
     }
