@@ -543,6 +543,30 @@ object SparkEntry {
         .select(n.columns.map(col): _*)
     }),
 
+    "q_flatten" -> ((s, dir) => {
+      // the mutation-chain maintenance verb end-to-end: two cow deletes
+      // build a multi-owner chain, flattenVersion materializes it
+      // (row-identical, self-contained, layout-only), and the read of
+      // the flattened latest must equal the plain double filter — with
+      // the owner census proving the chain actually collapsed.
+      val root = Files.createTempDirectory("graft_flatten").toString
+      val cat = new Catalog(root, s)
+      val d = T(s, dir, "documents").select("doc_id", "source", "n_chars")
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+      cat.save(Chain(d), "docs")
+      cat.deleteWhere("docs", col("doc_id") < 40)
+      cat.deleteWhere("docs", col("doc_id") >= 460)
+      val owners = cat.latestVersion("docs").map(v =>
+        cat.dataFilesOf("docs", v).map(e => (e.ds, e.v)).distinct.size)
+      require(owners.exists(_ >= 2), s"fixture must chain: $owners")
+      val fv = cat.flattenVersion("docs")
+      require(cat.dataFilesOf("docs", fv)
+        .forall(e => e.ds == "docs" && e.v == fv),
+        "flattened version must own every file")
+      cat.readDataset("docs").toDF.drop("sys")
+    }),
+
     "q_storage_stats" -> ((s, dir) => {
       // the manifest layer's user-facing accounting: after a
       // save → cow-delete → restore trail the dataset holds three
@@ -5497,6 +5521,10 @@ object SparkEntry {
 
       "q_export_version" ->
         "SELECT * FROM nation WHERE n_nationkey >= 5",
+
+      "q_flatten" ->
+        """SELECT doc_id, source, n_chars FROM documents
+          |WHERE NOT (doc_id < 40) AND NOT (doc_id >= 460)""".stripMargin,
 
       "q_storage_stats" ->
         """SELECT CAST(3 AS BIGINT) AS versions,
