@@ -555,8 +555,13 @@ object SparkEntry {
         .repartitionByRange(8, col("doc_id"))
         .sortWithinPartitions("doc_id")
       cat.save(Chain(d), "docs")
-      cat.deleteWhere("docs", col("doc_id") < 40)
-      cat.deleteWhere("docs", col("doc_id") >= 460)
+      // scale-independent bounds (doc_id is dense 0..n-1 at every sf):
+      // each delete clips one tail, so the two rewrites touch DISJOINT
+      // edge files and the middle carries — a multi-owner chain at any
+      // corpus size
+      val n = d.count()
+      cat.deleteWhere("docs", col("doc_id") < n / 10)
+      cat.deleteWhere("docs", col("doc_id") >= n * 9 / 10)
       val owners = cat.latestVersion("docs").map(v =>
         cat.dataFilesOf("docs", v).map(e => (e.ds, e.v)).distinct.size)
       require(owners.exists(_ >= 2), s"fixture must chain: $owners")
@@ -5524,7 +5529,9 @@ object SparkEntry {
 
       "q_flatten" ->
         """SELECT doc_id, source, n_chars FROM documents
-          |WHERE NOT (doc_id < 40) AND NOT (doc_id >= 460)""".stripMargin,
+          |WHERE NOT (doc_id < (SELECT count(*) // 10 FROM documents))
+          |  AND NOT (doc_id >=
+          |    (SELECT count(*) * 9 // 10 FROM documents))""".stripMargin,
 
       "q_storage_stats" ->
         """SELECT CAST(3 AS BIGINT) AS versions,
