@@ -151,6 +151,17 @@ object Catalog {
     * version to bytes, no chains to walk, no chain to break). */
   final case class ManifestEntry(ds: String, v: SemVer, rel: String)
 
+  /** One idempotent file copy (REPLACE_EXISTING — a retried/speculative
+    * task re-copies safely). Lives on the companion so the fanned
+    * task closure serializes the module reference, never a Catalog. */
+  private[catalog] def copyOne(s: String, d: String): Long = {
+    val dst = java.nio.file.Paths.get(d)
+    java.nio.file.Files.createDirectories(dst.getParent)
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s), dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.size(dst)
+  }
+
   /** A version's file manifest: the complete data-file census with
     * physical owners, plus an optional pointer at the version whose
     * parquet-tier stats/blooms index dirs this version reuses verbatim
@@ -1588,11 +1599,12 @@ final class Catalog(val root: String, spark: SparkSession) {
     try {
       val max = spark.conf.get("graft.manifest.maxOwners",
         Int.MaxValue.toString).toInt
-      if (max == Int.MaxValue) return
-      val owners = latestVersion(name).flatMap(manifestOf(name, _))
-        .map(_.entries.iterator.map(e => (e.ds, e.v)).toSet.size)
-        .getOrElse(0)
-      if (owners > max) flattenVersion(name)
+      if (max != Int.MaxValue) {
+        val owners = latestVersion(name).flatMap(manifestOf(name, _))
+          .map(_.entries.iterator.map(e => (e.ds, e.v)).toSet.size)
+          .getOrElse(0)
+        if (owners > max) flattenVersion(name)
+      }
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /**
@@ -1627,27 +1639,15 @@ final class Catalog(val root: String, spark: SparkSession) {
     // exactly the scale the fan-out exists for. Destinations are
     // always private (fresh export dest / commit-protocol tmp), so
     // replace can never clobber foreign data.
-    def copyOne(s: String, d: String): Long = {
-      val dst = Paths.get(d)
-      Files.createDirectories(dst.getParent)
-      Files.copy(Paths.get(s), dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      Files.size(dst)
-    }
     val threshold =
       spark.conf.get("graft.export.fanThreshold", "64").toInt
     if (pairs.size <= threshold)
-      pairs.map { case (s, d) => copyOne(s, d) }.sum
+      pairs.map { case (s, d) => Catalog.copyOne(s, d) }.sum
     else
       spark.sparkContext
         .parallelize(pairs, math.min(pairs.size, 128))
-        .map { case (s, d) =>
-          val dst = Paths.get(d)
-          Files.createDirectories(dst.getParent)
-          Files.copy(Paths.get(s), dst,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          Files.size(dst)
-        }.fold(0L)(_ + _)
+        .map { case (s, d) => Catalog.copyOne(s, d) }
+        .fold(0L)(_ + _)
   }
 
   def exportVersion(name: String, version: SemVer,
