@@ -672,6 +672,39 @@ object SparkEntry {
       s.table(qn)
     }),
 
+    "q_stream_tokens" -> ((s, dir) => {
+      // the live token-budget meter: a byte-level BPE tokenizer running
+      // INSIDE a streaming aggregation. Training happens batch-side;
+      // the model rides the stream projection as a broadcast-referenced
+      // object (the persisted-artifact deployment shape), the tokenize
+      // expression is a stateless codegen projection, and the
+      // per-source token/doc counters live in the state store — counts
+      // must equal the static replay the oracle derives.
+      val corpus = T(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(23)) === 0)
+        .select(col("doc_id"), col("source"),
+          expr("substr(text, 1, 120)").as("text"))
+      val model = graft.ops.Bpe.trainBytesOn(corpus, "text", numMerges = 4)
+      val schema = T(s, dir, "documents").schema
+      val stage = Files.createTempDirectory("graft_st")
+      Files.createSymbolicLink(stage.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val stream = s.readStream.schema(schema).parquet(stage.toString)
+        .filter(pmod(col("doc_id"), lit(23)) === 0)
+        .select(col("source"),
+          size(graft.ops.Bpe.tokensCol(
+            expr("substr(text, 1, 120)"), model)).as("n"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_docs"))
+      val ckpt = Files.createTempDirectory("graft_st_ckpt").toString
+      val qn = "st_" + math.abs(scala.util.Random.nextInt())
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try graft.streaming.EventStream.runCompleteNow(stream, qn, ckpt)
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.table(qn)
+    }),
+
     "q_stream_session_window" -> ((s, dir) => {
       // Spark's NATIVE session_window streaming aggregation (state-store
       // session merging) beside the custom flatMapGroupsWithState
@@ -6213,6 +6246,26 @@ object SparkEntry {
           | max(CASE WHEN rn = greatest(1, CAST(ceil(0.9*n) AS BIGINT))
           |   THEN v END) AS p90
           |FROM r GROUP BY w""".stripMargin,
+
+      "q_stream_tokens" ->
+        s"""WITH corpus AS (SELECT doc_id, source,
+           |    substr(text, 1, 120) AS text
+           |   FROM documents WHERE doc_id % 23 = 0),
+           |${bpeByteTrainCtes(4)},
+           | docs AS (SELECT doc_id, source,
+           |    regexp_extract_all(text, '$bpePreTokPatSql') AS ws
+           |   FROM corpus),
+           | wpos AS (SELECT d.doc_id, d.source, d.ws[t.widx] AS word
+           |   FROM docs d, unnest(range(1, len(d.ws) + 1)) AS t(widx)),
+           | cnt AS (SELECT w.source, len(f.syms) AS k
+           |   FROM wpos w JOIN f4 f USING (word))
+           |SELECT c.source,
+           |  CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+           |  c.n_docs
+           |FROM (SELECT source, count(*) AS n_docs FROM corpus
+           |      GROUP BY 1) c
+           |LEFT JOIN (SELECT source, sum(k) AS n_tokens FROM cnt
+           |      GROUP BY 1) t USING (source)""".stripMargin,
 
       "q_winsorize" ->
         """WITH v AS (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS x
