@@ -1776,6 +1776,99 @@ final class Catalog(val root: String, spark: SparkSession) {
       (v, entries.size, bytes, owners)
     }
 
+  /**
+   * Catalog FSCK — scan every dataset for invariant violations and
+   * crash debris; returns (dataset, subject, finding, severity) rows,
+   * empty = clean. READ-ONLY: nothing is repaired here (vacuum sweeps
+   * pools/tmp, break-lock frees crashed locks, flatten/optimize
+   * rebuild layouts, a stats rebuild re-indexes). Findings:
+   *  - `missing-data-file` (critical): a committed manifest entry
+   *    resolves to a physical path that no longer exists — reads of
+   *    that version lose rows. The one finding that can only come from
+   *    outside interference (the grace-window protocol never deletes
+   *    referenced bytes).
+   *  - `partial-stats-index` (warn): parquet-tier index census ≠ the
+   *    version's file count — the read-side census guard already
+   *    degrades such reads to unpruned, but the index should be
+   *    dropped or rebuilt.
+   *  - `missing-index-owner` (warn): an indexFrom pointer targets a
+   *    version whose index dirs are gone — reads degrade to unpruned.
+   *  - `broken-dep` (warn): recorded CROSS-dataset lineage names a
+   *    missing version (same-dataset parent links are provenance —
+   *    vacuum legitimately retires those ancestors).
+   *  - `stale-lock` (warn): a commit-lock file older than the stale
+   *    bar (a crashed holder; writers steal it themselves).
+   *  - `stray-pool-marker` (info): `.pool` beside a committed
+   *    meta.json (crash between marker and meta delete; the next
+   *    vacuum resurrects it).
+   *  - `claimed-headless` (info): a claimed version dir with neither
+   *    meta.json nor `.pool` (a writer crashed pre-commit; invisible
+   *    to readers, swept with the tmp debris).
+   *  - `stale-tmp` (info): a `.tmp-*` dir older than an hour.
+   * Cost: metadata-only — one stat per referenced file plus one index
+   * census query per parquet-tier version; run it like vacuum, as a
+   * maintenance pass.
+   */
+  def fsck(): Seq[(String, String, String, String)] = {
+    val out = Seq.newBuilder[(String, String, String, String)]
+    val now = System.currentTimeMillis()
+    datasets().sorted.foreach { n =>
+      val lockP = dsDir(n).resolve(".commit.lock")
+      if (Files.exists(lockP)) {
+        val age = try now - Files.getLastModifiedTime(lockP).toMillis
+          catch { case _: java.io.IOException => 0L }
+        if (age > Catalog.lockStaleMs)
+          out += ((n, "-", s"stale-lock:${age}ms", "warn"))
+      }
+      listDir(dsDir(n))
+        .filter(_.getFileName.toString.startsWith(".tmp-"))
+        .foreach { t =>
+          val age = try now - Files.getLastModifiedTime(t).toMillis
+            catch { case _: java.io.IOException => 0L }
+          if (age > 3600000L)
+            out += ((n, t.getFileName.toString, "stale-tmp", "info"))
+        }
+      rawVersions(n).foreach { v =>
+        val dir = vDir(n, v)
+        val hasMeta = Files.exists(dir.resolve("meta.json"))
+        val hasPool = Files.exists(dir.resolve(".pool"))
+        if (hasMeta && hasPool)
+          out += ((n, s"v$v", "stray-pool-marker", "info"))
+        if (!hasMeta && !hasPool)
+          out += ((n, s"v$v", "claimed-headless", "info"))
+        if (hasMeta) {
+          dataFilesOf(n, v).foreach { e =>
+            val p = vDir(e.ds, e.v).resolve("data").resolve(e.rel)
+            if (!Files.exists(p))
+              out += ((n, s"v$v",
+                s"missing-data-file:${e.ds}@v${e.v}/${e.rel}", "critical"))
+          }
+          manifestOf(n, v).flatMap(_.indexFrom).foreach { case (d, ov) =>
+            if (!Files.isDirectory(vDir(d, ov).resolve("stats")) &&
+                !Files.isDirectory(vDir(d, ov).resolve("blooms")))
+              out += ((n, s"v$v", s"missing-index-owner:$d@v$ov", "warn"))
+          }
+          if (statsTierIsParquet(n, v)) {
+            val census =
+              try FileStats.statsIndexCensusCount(spark,
+                statsDirOf(n, v).toString)
+              catch { case scala.util.control.NonFatal(_) => -1L }
+            val files = censusCountOf(n, v)
+            if (census >= 0 && census != files)
+              out += ((n, s"v$v",
+                s"partial-stats-index:$census/$files", "warn"))
+          }
+          depsOf(n, v).foreach { case (dn, dv) =>
+            if (dn != n &&
+                !Files.exists(vDir(dn, dv).resolve("meta.json")))
+              out += ((n, s"v$v", s"broken-dep:$dn@v$dv", "warn"))
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
   /** Shallow CLONE (Delta `CREATE TABLE ... SHALLOW CLONE`): a new
     * dataset whose v1 zero-copy-links `src`'s files. Clone and source
     * then evolve independently — mutations of either are copy-on-write —

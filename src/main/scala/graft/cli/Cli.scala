@@ -70,8 +70,8 @@ object Cli {
     """usage: graft-cli <command> [args]
       |commands: ls du find cp datasets versions show rm-dataset mv-dataset
       |          lineage storage export import vacuum restore clone optimize
-      |          flatten append auto-compact sync-changes mv-refresh locks
-      |          break-lock namespaces projects""".stripMargin
+      |          flatten fsck append auto-compact sync-changes mv-refresh
+      |          locks break-lock namespaces projects""".stripMargin
 
   /** Run a command; returns (exit code, rendered output). Never calls
     * System.exit — `main` owns process concerns, tests call this. */
@@ -142,6 +142,13 @@ object Cli {
           val name = arg(p, 0, "name")
           val nv = cat.flattenVersion(name)
           s"flattened $name as v$nv"
+        case "fsck" =>
+          cat.fsck() match {
+            case Nil => "clean"
+            case rows => rows.map { case (n, subj, finding, sev) =>
+              s"$sev $n $subj $finding"
+            }.mkString("\n")
+          }
         case "export" =>
           val name = arg(p, 0, "name")
           val v = SemVer.parse(arg(p, 1, "version"))

@@ -553,6 +553,70 @@ class CatalogSpec extends SparkSpec {
     assert(k2 < t2, s"castable string literal must prune: $k2/$t2")
   }
 
+  test("fsck: clean catalog reports nothing; planted corruptions are each found") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("cat_fsck").toString
+    val cat = new Catalog(root, spark)
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    cat.save(Chain(o), "t")
+    val mx = o.agg(org.apache.spark.sql.functions.max("o_orderkey"))
+      .head().getLong(0)
+    val r = cat.deleteWhere("t", col("o_orderkey") <= mx / 8) // manifest v2
+    assert(r.filesReused > 0)
+    cat.save(Chain(o.limit(3)), "src")
+    cat.save(cat.readDataset("src").limit(2), "derived",
+      deps = Seq("src@v1.0.0"))
+    assert(cat.fsck() === Nil, "healthy catalog must be clean")
+    val base = java.nio.file.Paths.get(root, "datasets")
+    // 1. outside interference: physically remove a carried file of v1
+    val victim = cat.dataFilesOf("t", r.version)
+      .filterNot(_.v == r.version).head
+    Files.delete(base.resolve("t").resolve(s"v${victim.v}")
+      .resolve("data").resolve(victim.rel))
+    // 2. stale commit lock (mtime pushed past the stale bar)
+    val lock = base.resolve("t").resolve(".commit.lock")
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 600000L))
+    // 3. stray pool marker on a committed version
+    Files.createFile(base.resolve("src").resolve("v1.0.0")
+      .resolve(".pool"))
+    // 4. claimed-headless version dir (crashed writer pre-commit)
+    Files.createDirectories(base.resolve("src").resolve("v9.0.0"))
+    // 5. cross-dataset broken dep (simulate external deletion)
+    def deleteTreeRaw(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      val w = Files.walk(p)
+      try w.iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
+    deleteTreeRaw(base.resolve("src").resolve("v1.0.0"))
+    // 6. stale tmp dir
+    val tmp = base.resolve("t").resolve(".tmp-fsck")
+    Files.createDirectories(tmp)
+    Files.setLastModifiedTime(tmp,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L))
+    val findings = cat.fsck()
+    def has(sev: String, n: String, pat: String): Boolean =
+      findings.exists(f => f._4 == sev && f._1 == n && f._3.contains(pat))
+    assert(has("critical", "t", "missing-data-file"), findings.toString)
+    assert(has("warn", "t", "stale-lock"), findings.toString)
+    assert(has("info", "t", "stale-tmp"), findings.toString)
+    assert(has("info", "src", "claimed-headless"), findings.toString)
+    assert(has("warn", "derived", "broken-dep:src@v1.0.0"),
+      findings.toString)
+    // the stray marker vanished with v1.0.0's dir (case 5 deleted it);
+    // plant a fresh one on the surviving version to pin the finding
+    Files.createFile(base.resolve("derived").resolve("v1.0.0")
+      .resolve(".pool"))
+    assert(cat.fsck().exists(f => f._1 == "derived" &&
+      f._3 == "stray-pool-marker"), "marker beside meta must be flagged")
+  }
+
   test("readDatasetAsOf resolves timestamp time travel over createdAt") {
     val root = Files.createTempDirectory("cat_asof").toString
     val cat = new Catalog(root, spark)
