@@ -22,7 +22,7 @@ object ScaleProbe {
     //   intervaljoin,mediameta,optimize,tokenmix,crawl,fuzzyjoin,mutate,statstier,
     //   mergelarge,cdfchurn,annindexq,
     //   matview,cdc,manifest,hilbert3d,hilbert2d,idxcarry,chunkdedup,
-    //   winnow,bpe,chain,export
+    //   winnow,bpe,chain,export,fsck
     //   (default all)
     val want: String => Boolean = sys.env.get("SPARK_GRAFT_PROBE")
       .map(_.split(',').map(_.trim).toSet)
@@ -1396,6 +1396,33 @@ object ScaleProbe {
         println(f"export K=$k%-3d files=$files%-6d " +
           f"serial=${serSec}%.2f s  fanned=${fanSec}%.2f s  " +
           f"speedup=${serSec / fanSec}%.1fx  bytes=${b1 / 1024 / 1024} MiB")
+      }
+    }
+
+    // fsck wall cost vs catalog size: the advertised contract is
+    // metadata-only (one stat per manifest-referenced file + one index
+    // census per parquet-tier version), so the curve must be linear in
+    // files with a tiny constant — cheap enough to run at vacuum cadence.
+    if (want("fsck")) {
+      import java.nio.file.{Files => JFiles}
+      ks.foreach { k =>
+        val files = 1280 * k
+        val df = spark.range(20L * files).select(col("id").as("k1"))
+          .repartitionByRange(files, col("k1"))
+        val root = JFiles.createTempDirectory(s"probe_fsck_$k").toString
+        val cat = new graft.catalog.Catalog(root, spark)
+        cat.save(graft.core.Chain(df), "big")
+        // one cow mutation → a manifest version whose entries fsck must
+        // resolve cross-owner, the probe's dominant stat loop
+        cat.deleteWhere("big", col("k1") < 20L * files / 100)
+        cat.save(graft.core.Chain(df.limit(100)), "side")
+        val t0 = System.nanoTime()
+        val findings = cat.fsck()
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(findings.isEmpty, s"clean catalog: $findings")
+        val perFile = sec * 1e6 / files
+        println(f"fsck K=$k%-3d files=$files%-6d wall=${sec}%.3f s  " +
+          f"(${perFile}%.1f us/file)")
       }
     }
 

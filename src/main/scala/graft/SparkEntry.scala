@@ -56,6 +56,34 @@ object SparkEntry {
   private def C(s: SparkSession, dir: String, name: String): Chain =
     Chain.readParquet(s, s"$dir/$name.parquet")
 
+  /** The streaming file source wants a DIRECTORY: stage a temp dir
+    * holding a symlink to the single testdata parquet. */
+  private def stageStreamDir(dir: String, table: String): String = {
+    val stage = Files.createTempDirectory("graft_stage")
+    Files.createSymbolicLink(stage.resolve(s"$table.parquet"),
+      java.nio.file.Paths.get(s"$dir/$table.parquet"))
+    stage.toString
+  }
+
+  /** Run a complete-mode streaming query to quiescence and return its
+    * memory-sink table. State-store instances scale with shuffle
+    * partitions; for gate-sized state, fewer+bigger state partitions
+    * commit far faster (each partition fsyncs its own delta file per
+    * batch) — on a real cluster this is sized to state volume, not core
+    * count. The conf is saved/restored around the run; the query name
+    * derives from a logical-shift random (never negative, unlike
+    * math.abs at Int.MinValue). */
+  private def runCompleteGate(s: SparkSession, stream: DataFrame,
+                              prefix: String): DataFrame = {
+    val ckpt = Files.createTempDirectory(s"${prefix}_ckpt").toString
+    val qn = prefix + "_" + (scala.util.Random.nextInt() >>> 1)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try graft.streaming.EventStream.runCompleteNow(stream, qn, ckpt)
+    finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table(qn)
+  }
+
   /** Exact decimal sum surfaced as double — deterministic across engines
     * (plain double sums are order-dependent). */
   private def dsum(c: Column): Column =
@@ -652,10 +680,8 @@ object SparkEntry {
       // reproduce row-for-row in SQL.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = T(s, dir, "events").schema
-      val stage = Files.createTempDirectory("graft_sq")
-      Files.createSymbolicLink(stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val stream = normTs(s.readStream.schema(schema).parquet(stage.toString))
+      val stream = normTs(s.readStream.schema(schema)
+          .parquet(stageStreamDir(dir, "events")))
         .groupBy(window(col("ts"), "1 hour"))
         .agg(graft.functions.GraftFunctions.kll_quantiles(
           col("value").cast("double"), Seq(0.5, 0.9), 16384).as("__q"))
@@ -663,13 +689,7 @@ object SparkEntry {
           .as("window_start"),
           element_at(col("__q"), 1).as("p50"),
           element_at(col("__q"), 2).as("p90"))
-      val ckpt = Files.createTempDirectory("graft_sq_ckpt").toString
-      val qn = "sq_" + math.abs(scala.util.Random.nextInt())
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try graft.streaming.EventStream.runCompleteNow(stream, qn, ckpt)
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(qn)
+      runCompleteGate(s, stream, "sq")
     }),
 
     "q_stream_tokens" -> ((s, dir) => {
@@ -686,23 +706,15 @@ object SparkEntry {
           expr("substr(text, 1, 120)").as("text"))
       val model = graft.ops.Bpe.trainBytesOn(corpus, "text", numMerges = 4)
       val schema = T(s, dir, "documents").schema
-      val stage = Files.createTempDirectory("graft_st")
-      Files.createSymbolicLink(stage.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
-      val stream = s.readStream.schema(schema).parquet(stage.toString)
+      val stream = s.readStream.schema(schema)
+        .parquet(stageStreamDir(dir, "documents"))
         .filter(pmod(col("doc_id"), lit(23)) === 0)
         .select(col("source"),
           size(graft.ops.Bpe.tokensCol(
             expr("substr(text, 1, 120)"), model)).as("n"))
         .groupBy(col("source"))
         .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_docs"))
-      val ckpt = Files.createTempDirectory("graft_st_ckpt").toString
-      val qn = "st_" + math.abs(scala.util.Random.nextInt())
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try graft.streaming.EventStream.runCompleteNow(stream, qn, ckpt)
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(qn)
+      runCompleteGate(s, stream, "st")
     }),
 
     "q_stream_session_window" -> ((s, dir) => {
@@ -749,11 +761,9 @@ object SparkEntry {
       // q_sessionize's oracle shape
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = T(s, dir, "events").schema
-      val stage = Files.createTempDirectory("graft_ssz")
-      Files.createSymbolicLink(stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stage = stageStreamDir(dir, "events")
       import s.implicits._
-      val stream = normTs(s.readStream.schema(schema).parquet(stage.toString))
+      val stream = normTs(s.readStream.schema(schema).parquet(stage))
         .filter(col("user_id") < 100)
         .select(col("event_id"), col("ts"), col("user_id"))
         .as[graft.streaming.EventStream.EventIn]
@@ -779,27 +789,20 @@ object SparkEntry {
       // the streamed estimate must land within the lgK=14 envelope
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = T(s, dir, "events").schema
-      val stage = Files.createTempDirectory("graft_sdc")
-      Files.createSymbolicLink(stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val stream = normTs(s.readStream.schema(schema).parquet(stage.toString))
+      val stream = normTs(s.readStream.schema(schema)
+          .parquet(stageStreamDir(dir, "events")))
         .groupBy(window(col("ts"), "1 day"))
         .agg(hll_sketch_estimate(
           hll_sketch_agg(col("user_id"), lit(14))).as("approx_users"),
           count(lit(1)).as("n_events"))
         .select(date_format(col("window.start"), "yyyy-MM-dd")
           .as("day"), col("approx_users"), col("n_events"))
-      val ckpt = Files.createTempDirectory("graft_sdc_ckpt").toString
-      val qn = "sdc_" + math.abs(scala.util.Random.nextInt())
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try graft.streaming.EventStream.runCompleteNow(stream, qn, ckpt)
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      val streamed = runCompleteGate(s, stream, "sdc")
       val exact = normTs(T(s, dir, "events"))
         .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd")
           .as("day"))
         .agg(countDistinct(col("user_id")).as("exact_users"))
-      s.table(qn).join(exact, Seq("day"))
+      streamed.join(exact, Seq("day"))
         .select(col("day"), col("exact_users"), col("n_events"),
           (abs(col("approx_users") - col("exact_users")).cast("double") /
             col("exact_users") <= 0.02).as("est_ok"))
@@ -835,12 +838,10 @@ object SparkEntry {
       // the AvailableNow run equals the plain batch join the oracle runs
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = T(s, dir, "events").schema
-      val stage = Files.createTempDirectory("graft_sen")
-      Files.createSymbolicLink(stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stage = stageStreamDir(dir, "events")
       val dim = T(s, dir, "events").select(col("user_id")).distinct()
         .withColumn("segment", pmod(col("user_id"), lit(4)))
-      val stream = s.readStream.schema(schema).parquet(stage.toString)
+      val stream = s.readStream.schema(schema).parquet(stage)
         .select(col("event_id"), col("user_id"))
       val out = graft.streaming.EventStream.enrich(stream, dim,
         Seq("user_id"))
@@ -861,21 +862,13 @@ object SparkEntry {
       // per-type count table in state
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = T(s, dir, "events").schema
-      val stage = Files.createTempDirectory("graft_shh")
-      Files.createSymbolicLink(stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val stream = s.readStream.schema(schema).parquet(stage.toString)
+      val stream = s.readStream.schema(schema)
+        .parquet(stageStreamDir(dir, "events"))
         .filter(col("props").isNotNull)
         .groupBy(col("event_type"))
         .agg(graft.functions.GraftFunctions
           .heavy_hitters(col("props"), capacity = 4096, topK = 3).as("__hh"))
-      val ckpt = Files.createTempDirectory("graft_shh_ckpt").toString
-      val qn = "shh_" + math.abs(scala.util.Random.nextInt())
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try graft.streaming.EventStream.runCompleteNow(stream, qn, ckpt)
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(qn)
+      runCompleteGate(s, stream, "shh")
         .select(col("event_type"), posexplode(col("__hh")).as(Seq("__p", "__e")))
         .select(col("event_type"), (col("__p") + 1).cast("long").as("rank"),
           col("__e.item").as("props"), col("__e.count").as("n"))
@@ -890,21 +883,13 @@ object SparkEntry {
       // numeric order; AvailableNow reproduces the batch answer exactly
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = T(s, dir, "events").schema
-      val stage = Files.createTempDirectory("graft_stk")
-      Files.createSymbolicLink(stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val stream = s.readStream.schema(schema).parquet(stage.toString)
+      val stream = s.readStream.schema(schema)
+        .parquet(stageStreamDir(dir, "events"))
         .filter(col("value").isNotNull)
         .groupBy(col("event_type"))
         .agg(graft.functions.GraftFunctions.topk_rows(col("value"),
           lpad(col("event_id").cast("string"), 10, "0"), 3).as("__tk"))
-      val ckpt = Files.createTempDirectory("graft_stk_ckpt").toString
-      val qn = "stk_" + math.abs(scala.util.Random.nextInt())
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try graft.streaming.EventStream.runCompleteNow(stream, qn, ckpt)
-      finally s.conf.set("spark.sql.shuffle.partitions", prev)
-      s.table(qn)
+      runCompleteGate(s, stream, "stk")
         .select(col("event_type"), posexplode(col("__tk")).as(Seq("__p", "__e")))
         .select(col("event_type"), (col("__p") + 1).cast("long").as("rank"),
           col("__e.item").cast("long").as("event_id"),
@@ -919,11 +904,9 @@ object SparkEntry {
       // exactly — the oracle is q_funnel's CTE chain unpivoted
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = T(s, dir, "events").schema
-      val stage = Files.createTempDirectory("graft_sfn")
-      Files.createSymbolicLink(stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stage = stageStreamDir(dir, "events")
       import s.implicits._
-      val stream = normTs(s.readStream.schema(schema).parquet(stage.toString))
+      val stream = normTs(s.readStream.schema(schema).parquet(stage))
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
         .as[graft.streaming.EventStream.FunnelEventIn]
       val out = graft.streaming.EventStream.streamingFunnel(stream,
@@ -944,13 +927,11 @@ object SparkEntry {
       // and the AvailableNow run reproduces batch subtractSeen exactly
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = T(s, dir, "events").schema
-      val stage = Files.createTempDirectory("graft_sdh")
-      Files.createSymbolicLink(stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stage = stageStreamDir(dir, "events")
       val content = concat_ws("|", col("user_id"), col("event_type"),
         col("props"))
       val history = T(s, dir, "events").filter(col("event_id") % 3 === 0)
-      val stream = s.readStream.schema(schema).parquet(stage.toString)
+      val stream = s.readStream.schema(schema).parquet(stage)
       val out = graft.streaming.EventStream
         .subtractSeenStream(stream, history, content,
           expectedItems = 200000L)
@@ -1918,28 +1899,14 @@ object SparkEntry {
     "q_streaming" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = T(s, dir, "events").schema
-      // the streaming file source wants a directory: stage a symlink dir
-      val stage = Files.createTempDirectory("graft_stream")
-      Files.createSymbolicLink(stage.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
       val stream = normTs(s.readStream.schema(schema)
-        .parquet(stage.toString))
+        .parquet(stageStreamDir(dir, "events")))
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"), col("event_type"), col("n"), col("value_sum"))
-      val ckpt = Files.createTempDirectory("graft_ckpt").toString
-      val qn = "evw_" + math.abs(scala.util.Random.nextInt())
-      // State-store instances scale with shuffle partitions; for a windowed
-      // agg whose state is small, fewer+bigger state partitions commit far
-      // faster (each partition fsyncs its own delta file per batch). On a
-      // real cluster this is sized to state volume, not core count.
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try graft.streaming.EventStream.runCompleteNow(stream, qn, ckpt)
-      finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      s.table(qn)
+      runCompleteGate(s, stream, "evw")
     }),
 
     // --------------------------------------------------- splits / chunks
@@ -2805,14 +2772,14 @@ object SparkEntry {
       // batch answer exactly — the same oracle SQL applies verbatim).
       // maxFilesPerTrigger=1 forces a genuinely multi-batch run.
       val hist = T(s, dir, "documents").select(col("doc_id"), col("text"))
-      val stage = Files.createTempDirectory("graft_scd_feed")
+      val stage = Files.createTempDirectory("graft_scd_feed").toString
       chunkDedupBatch(s, dir)
-        .coalesce(2).write.mode("overwrite").parquet(stage.toString)
+        .coalesce(2).write.mode("overwrite").parquet(stage)
       val outDir = Files.createTempDirectory("graft_scd_out").toString
       val stream = s.readStream
-        .schema(s.read.parquet(stage.toString).schema)
+        .schema(s.read.parquet(stage).schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(stage.toString)
+        .parquet(stage)
       val ckpt = Files.createTempDirectory("graft_scd_ckpt").toString
       // the history chunk table is computed + persisted ONCE — inside
       // foreachBatch it would re-chunk the whole corpus per trigger
@@ -4143,13 +4110,13 @@ object SparkEntry {
       val inserts = base.filter(col("o_orderkey") % 9 === 2)
         .withColumn("o_orderkey", col("o_orderkey") + lit(mx + 1000000L))
         .withColumn("__del", lit(false))
-      val stage = Files.createTempDirectory("graft_scdc_feed")
+      val stage = Files.createTempDirectory("graft_scdc_feed").toString
       updates.union(deletes).union(inserts)
-        .coalesce(2).write.mode("overwrite").parquet(stage.toString)
+        .coalesce(2).write.mode("overwrite").parquet(stage)
       val stream = s.readStream
-        .schema(s.read.parquet(stage.toString).schema)
+        .schema(s.read.parquet(stage).schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(stage.toString)
+        .parquet(stage)
       val ckpt = Files.createTempDirectory("graft_scdc_ckpt").toString
       graft.streaming.EventStream.applyChanges(stream, cat, "ord",
         Seq("o_orderkey"), ckpt, deleteCol = Some("__del"))

@@ -1804,15 +1804,42 @@ final class Catalog(val root: String, spark: SparkSession) {
    *  - `claimed-headless` (info): a claimed version dir with neither
    *    meta.json nor `.pool` (a writer crashed pre-commit; invisible
    *    to readers, swept with the tmp debris).
-   *  - `stale-tmp` (info): a `.tmp-*` dir older than an hour.
-   * Cost: metadata-only — one stat per referenced file plus one index
-   * census query per parquet-tier version; run it like vacuum, as a
-   * maintenance pass.
+   *  - `stale-tmp` (info): a `.tmp-*` dir whose NEWEST content mtime is
+   *    older than an hour (the [[sweepTempDirs]] aging rule — a large
+   *    save still streaming parquet parts after an hour is live, not
+   *    debris).
+   *  - `corrupt-manifest` (critical): a committed manifest that fails
+   *    to parse, or parses to zero entries while the meta claims rows —
+   *    the corruption that erases its own evidence (reads return zero
+   *    rows "successfully"). Truncation that drops only SOME owner
+   *    groups is caught by the missing-data-file / partial-stats-index
+   *    census checks when an index exists.
+   *  - `empty-data-dir` (critical): a self-contained committed version
+   *    claiming rows whose data dir holds no parquet.
+   *  - `unreadable-stats-index` (warn): the parquet-tier index census
+   *    query itself fails (corrupt index files) — reads permanently
+   *    degrade to unpruned until the index is dropped or rebuilt.
+   *  - `unparseable-version-dir` (info): a `v*` dir whose suffix isn't
+   *    a semver (foreign debris in the dataset dir).
+   *  - `scan-error` (warn): a dataset/version whose metadata could not
+   *    be read at all (I/O error, permissions) — fsck reports it and
+   *    keeps scanning instead of aborting, since its whole purpose is
+   *    running against damaged catalogs.
+   * Cost: metadata-only — one stat per manifest-referenced file plus
+   * one index census query per parquet-tier version; run it like
+   * vacuum, as a maintenance pass.
    */
   def fsck(): Seq[(String, String, String, String)] = {
     val out = Seq.newBuilder[(String, String, String, String)]
     val now = System.currentTimeMillis()
-    datasets().sorted.foreach { n =>
+    def guard[A](n: String, subj: String)(body: => A): Unit =
+      try { body; () } catch {
+        case scala.util.control.NonFatal(e) =>
+          out += ((n, subj,
+            s"scan-error:${e.getClass.getSimpleName}:${
+              Option(e.getMessage).getOrElse("").take(120)}", "warn"))
+      }
+    datasets().sorted.foreach { n => guard(n, "-") {
       val lockP = dsDir(n).resolve(".commit.lock")
       if (Files.exists(lockP)) {
         val age = try now - Files.getLastModifiedTime(lockP).toMillis
@@ -1823,12 +1850,20 @@ final class Catalog(val root: String, spark: SparkSession) {
       listDir(dsDir(n))
         .filter(_.getFileName.toString.startsWith(".tmp-"))
         .foreach { t =>
-          val age = try now - Files.getLastModifiedTime(t).toMillis
-            catch { case _: java.io.IOException => 0L }
-          if (age > 3600000L)
+          if (now - newestMtimeUnder(t) > 3600000L)
             out += ((n, t.getFileName.toString, "stale-tmp", "info"))
         }
-      rawVersions(n).foreach { v =>
+      // parse version dirs one by one: a stray "version-backup" dir must
+      // flag itself, not abort the dataset's whole scan
+      val vs = listDir(dsDir(n)).map(_.getFileName.toString)
+        .filter(_.startsWith("v"))
+        .flatMap { s =>
+          try Some(SemVer.parse(s.drop(1)))
+          catch { case scala.util.control.NonFatal(_) =>
+            out += ((n, s, "unparseable-version-dir", "info")); None
+          }
+        }.sorted
+      vs.foreach { v => guard(n, s"v$v") {
         val dir = vDir(n, v)
         val hasMeta = Files.exists(dir.resolve("meta.json"))
         val hasPool = Files.exists(dir.resolve(".pool"))
@@ -1837,16 +1872,37 @@ final class Catalog(val root: String, spark: SparkSession) {
         if (!hasMeta && !hasPool)
           out += ((n, s"v$v", "claimed-headless", "info"))
         if (hasMeta) {
-          dataFilesOf(n, v).foreach { e =>
-            val p = vDir(e.ds, e.v).resolve("data").resolve(e.rel)
-            if (!Files.exists(p))
+          val manifest =
+            try Right(manifestOf(n, v))
+            catch { case scala.util.control.NonFatal(e) => Left(e) }
+          manifest match {
+            case Left(e) =>
               out += ((n, s"v$v",
-                s"missing-data-file:${e.ds}@v${e.v}/${e.rel}", "critical"))
-          }
-          manifestOf(n, v).flatMap(_.indexFrom).foreach { case (d, ov) =>
-            if (!Files.isDirectory(vDir(d, ov).resolve("stats")) &&
-                !Files.isDirectory(vDir(d, ov).resolve("blooms")))
-              out += ((n, s"v$v", s"missing-index-owner:$d@v$ov", "warn"))
+                s"corrupt-manifest:${e.getClass.getSimpleName}", "critical"))
+            case Right(Some(m)) =>
+              if (m.entries.isEmpty && rowsOf(n, v) > 0)
+                out += ((n, s"v$v",
+                  "corrupt-manifest:zero-entries", "critical"))
+              m.entries.foreach { e =>
+                val p = vDir(e.ds, e.v).resolve("data").resolve(e.rel)
+                if (!Files.exists(p))
+                  out += ((n, s"v$v",
+                    s"missing-data-file:${e.ds}@v${e.v}/${e.rel}",
+                    "critical"))
+              }
+              m.indexFrom.foreach { case (d, ov) =>
+                if (!Files.isDirectory(vDir(d, ov).resolve("stats")) &&
+                    !Files.isDirectory(vDir(d, ov).resolve("blooms")))
+                  out += ((n, s"v$v",
+                    s"missing-index-owner:$d@v$ov", "warn"))
+              }
+            case Right(None) =>
+              // self-contained layout: dataFilesOf enumerates the disk,
+              // so per-file exists checks are tautologies — the only
+              // detectable loss is the whole data dir emptied
+              if (rowsOf(n, v) > 0 &&
+                  walkParquet(dir.resolve("data")).isEmpty)
+                out += ((n, s"v$v", "empty-data-dir", "critical"))
           }
           if (statsTierIsParquet(n, v)) {
             val census =
@@ -1854,7 +1910,9 @@ final class Catalog(val root: String, spark: SparkSession) {
                 statsDirOf(n, v).toString)
               catch { case scala.util.control.NonFatal(_) => -1L }
             val files = censusCountOf(n, v)
-            if (census >= 0 && census != files)
+            if (census < 0)
+              out += ((n, s"v$v", "unreadable-stats-index", "warn"))
+            else if (census != files)
               out += ((n, s"v$v",
                 s"partial-stats-index:$census/$files", "warn"))
           }
@@ -1864,8 +1922,8 @@ final class Catalog(val root: String, spark: SparkSession) {
               out += ((n, s"v$v", s"broken-dep:$dn@v$dv", "warn"))
           }
         }
-      }
-    }
+      }}
+    }}
     out.result()
   }
 
@@ -3291,6 +3349,24 @@ final class Catalog(val root: String, spark: SparkSession) {
     }
   }
 
+  /** Age of a staging tree = the NEWEST mtime under it, not the dir's
+    * own (set at creation and never refreshed while parquet parts
+    * stream into data/) — a save still writing after the age bar must
+    * not read as stale. A concurrent save can rename/delete the tree
+    * mid-walk; a vanished or unreadable tree reads as fresh
+    * (Long.MaxValue) so one racing dir never aborts a sweep or scan. */
+  private def newestMtimeUnder(p: java.nio.file.Path): Long =
+    try {
+      val walk = Files.walk(p)
+      try walk.iterator.asScala
+        .map(q => Files.getLastModifiedTime(q).toMillis)
+        .foldLeft(Long.MinValue)(math.max)
+      finally walk.close()
+    } catch {
+      case _: java.io.IOException | _: java.io.UncheckedIOException =>
+        Long.MaxValue
+    }
+
   /** Remove save-protocol temp dirs older than an hour — debris of
     * writers that crashed between the parquet write and the version
     * claim. The age guard keeps a concurrent in-flight save's temp dir
@@ -3299,31 +3375,13 @@ final class Catalog(val root: String, spark: SparkSession) {
   def sweepTempDirs(maxAge: java.time.Duration = java.time.Duration.ofHours(1))
       : Seq[String] = {
     val cutoff = System.currentTimeMillis() - maxAge.toMillis
-    // age by the NEWEST mtime under the tree, not the dir's own (set at
-    // creation and never refreshed while parquet parts stream into
-    // data/) — a save still writing after maxAge must not lose its dir
-    // to a concurrent vacuum
-    // a concurrent save can rename/delete a .tmp- dir mid-walk; treat a
-    // vanished or unreadable tree as fresh (skip it) rather than letting
-    // one racing dir abort the whole sweep
-    def newestMtime(p: java.nio.file.Path): Long =
-      try {
-        val walk = Files.walk(p)
-        try walk.iterator.asScala
-          .map(q => Files.getLastModifiedTime(q).toMillis)
-          .foldLeft(Long.MinValue)(math.max)
-        finally walk.close()
-      } catch {
-        case _: java.io.IOException | _: java.io.UncheckedIOException =>
-          Long.MaxValue
-      }
     datasets().flatMap { n =>
       // a concurrent deleteDataset can remove dsDir(n) after datasets()
       // enumerated it — listDir reads a vanished dataset as empty, so
       // the sweep skips it instead of aborting
       listDir(dsDir(n))
         .filter(p => p.getFileName.toString.startsWith(".tmp-") &&
-          newestMtime(p) < cutoff)
+          newestMtimeUnder(p) < cutoff)
         .flatMap { p =>
           try {
             Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)

@@ -143,11 +143,15 @@ object Cli {
           val nv = cat.flattenVersion(name)
           s"flattened $name as v$nv"
         case "fsck" =>
+          // fsck-family contract: exit 0 only when nothing critical was
+          // found, so `graft-cli fsck && promote.sh` gates correctly
           cat.fsck() match {
             case Nil => "clean"
-            case rows => rows.map { case (n, subj, finding, sev) =>
-              s"$sev $n $subj $finding"
-            }.mkString("\n")
+            case rows =>
+              val text = rows.map { case (n, subj, finding, sev) =>
+                s"$sev $n $subj $finding"
+              }.mkString("\n")
+              return (if (rows.exists(_._4 == "critical")) 1 else 0, text)
           }
         case "export" =>
           val name = arg(p, 0, "name")

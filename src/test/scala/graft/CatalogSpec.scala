@@ -617,6 +617,85 @@ class CatalogSpec extends SparkSpec {
       f._3 == "stray-pool-marker"), "marker beside meta must be flagged")
   }
 
+  test("fsck: containment + self-erasing corruptions (manifest, index, meta)") {
+    import org.apache.spark.sql.functions.col
+    val sKey = "graft.stats.inlineMaxFiles"
+    val prev = spark.conf.getOption(sKey)
+    try {
+      spark.conf.set(sKey, "4") // parquet stats tier on the 8-file save
+      val root = Files.createTempDirectory("cat_fsck2").toString
+      val cat = new Catalog(root, spark)
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      cat.save(Chain(o), "a")
+      val mx = o.agg(org.apache.spark.sql.functions.max("o_orderkey"))
+        .head().getLong(0)
+      val r = cat.deleteWhere("a", col("o_orderkey") <= mx / 16)
+      assert(r.filesReused > 0)
+      cat.save(Chain(o.limit(5)), "b") // must stay clean throughout
+      cat.save(Chain(o.limit(5)), "c")
+      cat.save(Chain(o.limit(5)), "d")
+      assert(cat.fsck() === Nil, "healthy catalog must be clean")
+      val base = java.nio.file.Paths.get(root, "datasets")
+      // 1. TRUNCATED manifest that still parses — zero owner groups while
+      //    the meta claims rows: the corruption that erases its own
+      //    evidence (reads "succeed" with zero rows)
+      Files.write(base.resolve("a").resolve(s"v${r.version}")
+        .resolve("manifest.json"),
+        "{\n  \"version\": 1,\n  \"owners\": [\n  ]\n}".getBytes("UTF-8"))
+      // 2. UNPARSEABLE manifest (bad owner string, no @v separator)
+      Files.write(base.resolve("d").resolve("v1.0.0")
+        .resolve("manifest.json"),
+        ("{\n  \"version\": 1,\n  \"owners\": [\n" +
+          "    {\"d\": \"noatv\", \"r\": [\n      \"x.parquet\"\n    ]}\n" +
+          "  ]\n}").getBytes("UTF-8"))
+      // 3. corrupt parquet stats index → census query throws
+      val statsDir = base.resolve("a").resolve("v1.0.0").resolve("stats")
+      assert(Files.isDirectory(statsDir), "fixture needs the parquet tier")
+      walkOf(statsDir).filter(_.toString.endsWith(".parquet"))
+        .foreach(p => Files.write(p, "not parquet".getBytes("UTF-8")))
+      // 4. garbage meta.json → rowsOf throws; fsck must report scan-error
+      //    for that version and keep scanning everything else
+      Files.write(base.resolve("c").resolve("v1.0.0").resolve("meta.json"),
+        "junk".getBytes("UTF-8"))
+      // 5. stray non-semver v* dir: flags itself, aborts nothing
+      Files.createDirectories(base.resolve("a").resolve("vbackup-old"))
+      // 6. LIVE tmp dir: old dir mtime but a fresh file inside — the
+      //    sweepTempDirs aging rule (newest mtime under the tree) must
+      //    keep it un-flagged
+      val live = base.resolve("a").resolve(".tmp-live")
+      Files.createDirectories(live)
+      Files.write(live.resolve("part-0"), "x".getBytes("UTF-8"))
+      Files.setLastModifiedTime(live,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 7200000L))
+      val f = cat.fsck()
+      def has(sev: String, n: String, pat: String): Boolean =
+        f.exists(x => x._4 == sev && x._1 == n && x._3.contains(pat))
+      assert(has("critical", "a", "corrupt-manifest:zero-entries"), f.toString)
+      assert(has("critical", "d", "corrupt-manifest:IllegalArgument"), f.toString)
+      assert(has("warn", "a", "unreadable-stats-index"), f.toString)
+      assert(has("warn", "c", "scan-error:"), f.toString)
+      assert(f.exists(x => x._1 == "a" && x._2 == "vbackup-old" &&
+        x._3 == "unparseable-version-dir"), f.toString)
+      assert(!f.exists(_._3 == "stale-tmp"),
+        s"live tmp tree must not read as debris: $f")
+      assert(!f.exists(_._1 == "b"),
+        s"containment: unrelated dataset must scan clean: $f")
+    } finally prev match {
+      case Some(x) => spark.conf.set(sKey, x)
+      case None => spark.conf.unset(sKey)
+    }
+  }
+
+  private def walkOf(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val w = Files.walk(p)
+    try w.iterator.asScala.filter(Files.isRegularFile(_)).toSeq
+    finally w.close()
+  }
+
   test("readDatasetAsOf resolves timestamp time travel over createdAt") {
     val root = Files.createTempDirectory("cat_asof").toString
     val cat = new Catalog(root, spark)

@@ -214,6 +214,37 @@ class CliSpec extends SparkSpec {
     assert(last.contains("owners=self:"), s"flattened owners: $last")
   }
 
+  test("fsck command: clean exit 0, critical findings exit 1") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("clifsck").toString
+    val cat = new Catalog(root, spark)
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    cat.save(Chain(o), "t")
+    val mx = o.agg(org.apache.spark.sql.functions.max("o_orderkey"))
+      .head().getLong(0)
+    val r = cat.deleteWhere("t", col("o_orderkey") <= mx / 8)
+    val cargs = Seq("--catalog", root)
+    val (c0, out0) = Cli.run(Seq("fsck") ++ cargs, spark)
+    assert(c0 === 0 && out0 === "clean")
+    // non-critical finding only → still exit 0 (scripts gate on data loss)
+    val lock = java.nio.file.Paths.get(root, "datasets", "t", ".commit.lock")
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 600000L))
+    val (c1, out1) = Cli.run(Seq("fsck") ++ cargs, spark)
+    assert(c1 === 0 && out1.contains("stale-lock"), out1)
+    // critical: physically remove a carried data file → exit 1
+    val victim = cat.dataFilesOf("t", r.version)
+      .filterNot(_.v == r.version).head
+    Files.delete(java.nio.file.Paths.get(root, "datasets", "t",
+      s"v${victim.v}", "data", victim.rel))
+    val (c2, out2) = Cli.run(Seq("fsck") ++ cargs, spark)
+    assert(c2 === 1 && out2.contains("missing-data-file"), out2)
+  }
+
   test("locks / break-lock commands") {
     import spark.implicits._
     val root = Files.createTempDirectory("clilock").toString
