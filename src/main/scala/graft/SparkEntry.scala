@@ -634,6 +634,54 @@ object SparkEntry {
           "logical_gt_physical", "physical_positive")
     }),
 
+    "q_fsck" -> ((s, dir) => {
+      // the maintenance verb end-to-end: a healthy catalog scans
+      // clean, then four planted corruptions — one per detection
+      // mechanism — are each found, and nothing else is. Finding
+      // strings carry non-deterministic detail (part-file UUIDs, lock
+      // ages), so the gate projects the finding TYPE; datasets,
+      // subjects, and severities are deterministic by construction.
+      // Oracle: the literal expected findings table.
+      val root = Files.createTempDirectory("graft_fsck").toString
+      val cat = new Catalog(root, s)
+      val n = T(s, dir, "nation")
+        .repartitionByRange(4, col("n_nationkey"))
+        .sortWithinPartitions("n_nationkey")
+      cat.save(Chain(n), "t")
+      val r = cat.deleteWhere("t", col("n_nationkey") < 5)
+      require(r.filesReused > 0, s"fixture must carry files: $r")
+      require(r.version.toString == "1.1.0", s"bump drifted: ${r.version}")
+      cat.save(Chain(n.limit(3)), "u")
+      require(cat.fsck().isEmpty, "healthy catalog must scan clean")
+      val base = java.nio.file.Paths.get(root, "datasets")
+      // critical: outside interference deletes a carried v1 byte —
+      // v2's manifest entry now resolves to nothing
+      val victim = cat.dataFilesOf("t", r.version)
+        .filterNot(_.v == r.version).head
+      Files.delete(base.resolve("t").resolve(s"v${victim.v}")
+        .resolve("data").resolve(victim.rel))
+      // critical: a self-contained version claiming rows with its data
+      // dir emptied (only whole-dir loss is detectable without a manifest)
+      import scala.jdk.CollectionConverters._
+      val uData = base.resolve("u").resolve("v1.0.0").resolve("data")
+      val w = Files.walk(uData)
+      try w.iterator.asScala.filter(_.toString.endsWith(".parquet"))
+        .toSeq.foreach(Files.delete)
+      finally w.close()
+      // warn: a crashed holder's commit lock (mtime past the stale bar)
+      val lock = base.resolve("t").resolve(".commit.lock")
+      Files.createFile(lock)
+      Files.setLastModifiedTime(lock,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 600000L))
+      // info: foreign debris posing as a version dir
+      Files.createDirectories(base.resolve("t").resolve("vbackup"))
+      import s.implicits._
+      cat.fsck().map { case (ds, subj, finding, sev) =>
+        (ds, subj, finding.split(':').head, sev) }
+        .toDF("dataset", "subject", "finding", "severity")
+    }),
+
     "q_read_database_part" -> ((s, dir) => {
       // the partitioned-ingest correctness trap, pinned: JDBC
       // lower/upperBound only shape the range predicates — they must
@@ -5541,6 +5589,14 @@ object SparkEntry {
           | (SELECT count(*) FROM documents) AS v3_rows,
           | true AS logical_gt_physical,
           | true AS physical_positive""".stripMargin,
+
+      "q_fsck" ->
+        """SELECT * FROM (VALUES
+          |  ('t', '-', 'stale-lock', 'warn'),
+          |  ('t', 'v1.1.0', 'missing-data-file', 'critical'),
+          |  ('t', 'vbackup', 'unparseable-version-dir', 'info'),
+          |  ('u', 'v1.0.0', 'empty-data-dir', 'critical'))
+          |  AS f(dataset, subject, finding, severity)""".stripMargin,
 
       "q_save_roundtrip" ->
         """SELECT s_nationkey, count(*) AS n_suppliers,
