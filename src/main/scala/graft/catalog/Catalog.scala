@@ -1597,8 +1597,17 @@ final class Catalog(val root: String, spark: SparkSession) {
     // may escape, or the caller would believe the commit failed and
     // retry it, committing the same batch twice
     try {
-      val max = spark.conf.get("graft.manifest.maxOwners",
-        Int.MaxValue.toString).toInt
+      val raw = spark.conf.get("graft.manifest.maxOwners",
+        Int.MaxValue.toString)
+      // a malformed cap must not be silently eaten with the flatten
+      // failures below — the operator would believe the bound is live
+      // while chains grow without limit; still must not escape, so
+      // complain loudly and treat as unset
+      val max = raw.toIntOption.getOrElse {
+        System.err.println(
+          s"[graft] ignoring non-integer graft.manifest.maxOwners='$raw'")
+        Int.MaxValue
+      }
       if (max != Int.MaxValue) {
         val owners = latestVersion(name).flatMap(manifestOf(name, _))
           .map(_.entries.iterator.map(e => (e.ds, e.v)).toSet.size)
@@ -2578,6 +2587,13 @@ final class Catalog(val root: String, spark: SparkSession) {
     }
     manifestCache.synchronized {
       manifestCache.keySet.removeIf(_.startsWith(name + "@@"))
+    }
+    // the census count guards pruning safety (keptFilesParquetTier
+    // rejects partial/foreign indexes by census mismatch) — a stale
+    // count across delete+re-create at the same name is the same
+    // token-collision hole as keptCache above
+    censusCache.synchronized {
+      censusCache.keySet.removeIf(_.startsWith(name + "@@"))
     }
   }
   private def freshToken(p: Path): String =

@@ -194,9 +194,11 @@ object Bpe {
     * by k2 over the SAME counts is bit-identical to training k1+k2
     * from scratch (scalacheck pins it) — the vocabulary-EXPANSION
     * verb: grow a persisted tokenizer's vocab without invalidating
-    * ids already assigned (old merges keep their ranks, new ones
-    * append), so token streams encoded under the old model stay
-    * decodable under the extended one. */
+    * ids already assigned — old merges keep their ranks, and when the
+    * model reserves specials their ids are PINNED at the
+    * pre-extension positions (`specialBase`), the new merges' ids
+    * landing after them — so token streams encoded under the old
+    * model stay decodable under the extended one, specials included. */
   def extend(model: Model, wordCounts: Seq[(String, Long)],
              extraMerges: Int): Model = {
     val tab = wordCounts.iterator
@@ -210,7 +212,16 @@ object Bpe {
         (s, c)
       }
       .filter(_._1.nonEmpty).toArray
-    model.copy(merges = model.merges ++ trainFrom(tab, extraMerges))
+    // pin the specials' reserved ids at their pre-extension positions
+    // (first extension wins; later ones keep the existing pin) — without
+    // this, token streams already encoded with a special id would decode
+    // as whichever NEW merge landed on that id
+    val pinned =
+      if (model.specials.nonEmpty && model.specialBase < 0)
+        256 + model.merges.size
+      else model.specialBase
+    model.copy(merges = model.merges ++ trainFrom(tab, extraMerges),
+      specialBase = pinned)
   }
 
   /** [[extend]] over a DataFrame corpus for a byte-level model: one
@@ -329,18 +340,27 @@ object Bpe {
   /** Token-id vocabulary of a byte-level model: ids 0-255 are the byte
     * alphabet in byte order, merge rank k's fused symbol gets 256+k
     * (first rank wins if two merge paths fuse the same string), and
-    * `specials` append after the merges — the GPT-2-style id space
-    * that makes token BUDGETS interchangeable across runs. Requires
-    * byte-level (the alphabet must be closed for ids to be total). */
+    * `specials` append after the merges (after the PRE-EXTENSION
+    * merges, at the pinned `specialBase`, for an extended model) — the
+    * GPT-2-style id space that makes token BUDGETS interchangeable
+    * across runs. Requires byte-level (the alphabet must be closed for
+    * ids to be total). */
   def tokenIds(model: Model, specials: Seq[String] = Nil): Map[String, Int] = {
     require(model.byteLevel, "token ids need the closed byte alphabet")
     // explicit arg wins; a model carrying its own reserved specials
     // (the save/load round-trip) needs no repetition at every call
     val sp = if (specials.nonEmpty) specials else model.specials
-    val spec = sp.zipWithIndex.map { case (s, j) =>
-      s -> (256 + model.merges.size + j) }
+    // an EXTENDED model pins `specialBase` at its pre-extension value so
+    // ids already handed out stay valid: specials keep their reserved
+    // slots and the new merges' fused symbols shift PAST them — the
+    // layout is bytes | old merges | specials | new merges
+    val base =
+      if (model.specialBase >= 0) model.specialBase
+      else 256 + model.merges.size
+    val spec = sp.zipWithIndex.map { case (s, j) => s -> (base + j) }
     val merged = model.merges.zipWithIndex.map { case ((a, b), r) =>
-      (a + b) -> (256 + r) }
+      val id = 256 + r
+      (a + b) -> (if (id >= base) id + sp.size else id) }
     // toMap keeps the LAST entry per key: merges reversed so the lowest
     // rank survives a fused-string collision, and SPECIALS LAST so a
     // corpus that literally contains a marker string (documents joined
@@ -398,7 +418,8 @@ object Bpe {
   case class Model(merges: Vector[(String, String)],
                    byteLevel: Boolean = false,
                    preTok: Boolean = false,
-                   specials: Vector[String] = Vector.empty) {
+                   specials: Vector[String] = Vector.empty,
+                   specialBase: Int = -1) {
     @transient private lazy val memo =
       new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
 
@@ -521,7 +542,11 @@ object Bpe {
     * printable-ASCII ones. The round-trip
     * `detokenize(tokenize(text)) == text` is exact because the
     * pre-tokenizer is lossless (every char class has an alternative)
-    * and BPE merges only ever CONCATENATE symbols. */
+    * and BPE merges only ever CONCATENATE symbols — exact per
+    * TOKENIZED document: a document whose text produced ZERO tokens
+    * (empty string; whitespace-only under whitespace mode) has no
+    * rows here and so no output row — callers that must restore such
+    * documents left-join from the source ids with `coalesce('')`. */
   def detokenize(tokens: DataFrame, idCol: String,
                  specials: Seq[String] = Nil): DataFrame = {
     val mapped = byteToChar.mkString
@@ -567,7 +592,9 @@ object Bpe {
       .repartition(1).sortWithinPartitions("kind", "rank")
     catalog.save(graft.core.Chain(df), name,
       attrs = Seq(s"bpe:byteLevel=${model.byteLevel}",
-        s"bpe:preTok=${model.preTok}"),
+        s"bpe:preTok=${model.preTok}") ++
+        (if (model.specialBase >= 0)
+          Seq(s"bpe:specialBase=${model.specialBase}") else Nil),
       harvestStats = false)
   }
 
@@ -590,7 +617,12 @@ object Bpe {
       .sortBy(_.getInt(1)).map(r => (r.getString(2), r.getString(3)))
     val specials = rows.filter(_.getString(0) == "special")
       .sortBy(_.getInt(1)).map(_.getString(2))
+    val base = attrs.collectFirst {
+      case a if a.startsWith("bpe:specialBase=") =>
+        a.stripPrefix("bpe:specialBase=").toInt
+    }.getOrElse(-1)
     Model(merges.toVector, byteLevel = flag("bpe:byteLevel"),
-      preTok = flag("bpe:preTok"), specials = specials.toVector)
+      preTok = flag("bpe:preTok"), specials = specials.toVector,
+      specialBase = base)
   }
 }

@@ -2773,6 +2773,17 @@ class OpsSpec extends SparkSpec {
     assert(Bpe.load(cat, "tok").merges.size === retrained.merges.size)
     assert(Bpe.load(cat, "tok", Some(v)) === trained,
       "the pinned version keeps the original model")
+    // an EXTENDED model pins specialBase (old special ids stay valid)
+    // and the pin survives persistence
+    val ext = Bpe.extendBytesOn(corpus, "text", trained, extraMerges = 3)
+    assert(ext.specialBase === 256 + trained.merges.size)
+    assert(Bpe.tokenIds(ext)("<|endoftext|>") ===
+      Bpe.tokenIds(trained)("<|endoftext|>"),
+      "extension must not move a reserved special id")
+    Bpe.save(cat, "tok_ext", ext)
+    val loadedExt = Bpe.load(cat, "tok_ext")
+    assert(loadedExt === ext)
+    assert(Bpe.tokenIds(loadedExt) === Bpe.tokenIds(ext))
     // a non-model dataset refuses to load as one
     cat.save(graft.core.Chain(corpus), "notatok")
     intercept[IllegalArgumentException](Bpe.load(cat, "notatok"))

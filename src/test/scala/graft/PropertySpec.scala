@@ -565,6 +565,20 @@ object BpeProps extends Properties("graft.bpe") {
       Bpe.extend(base, wc, k2).merges == Bpe.train(wc, k1 + k2)
     }
 
+  property("extend pins ids: every pre-extension token id survives") =
+    forAll(corpusU, Gen.choose(1, 6), Gen.choose(1, 6)) { (wc, k1, k2) =>
+      val bwc = wc.map { case (w, c) => (Bpe.toByteChars(w), c) }
+      val base = Bpe.Model(Bpe.train(bwc, k1), byteLevel = true,
+        specials = Vector("<|eot|>", "<|pad|>"))
+      val ext = Bpe.extend(base, bwc, k2)
+      val idsB = Bpe.tokenIds(base)
+      val idsE = Bpe.tokenIds(ext)
+      // old merges AND the reserved specials keep their exact ids —
+      // a stream encoded under `base` decodes under `ext`
+      idsB.forall { case (t, i) => idsE.get(t).contains(i) } &&
+        idsE.values.toSeq.distinct.size == idsE.size
+    }
+
   // arbitrary multibyte text (2/3/4-byte UTF-8, whitespace runs,
   // contractions, specials and their fragments) for the round-trip pin
   private val uniText: Gen[String] =
