@@ -1365,8 +1365,15 @@ final class Catalog(val root: String, spark: SparkSession) {
             deleteTree(tmp.resolve("blooms")); false
           }
         if (!carriedOk)
+          // schema MUST ride along: the no-schema fallback reads with
+          // partition-type inference off, so a bloomed NON-STRING hive
+          // partition column would build its bitmap in the string
+          // domain while probes hash the recorded type — every equality
+          // on it would wrongly prune (bloom misses are not conservative)
           FileStats.writeBloomIndex(spark, tmp.resolve("data").toString,
-            parqCols, bloomExpected, tmp.resolve("blooms").toString)
+            parqCols, bloomExpected, tmp.resolve("blooms").toString,
+            schema = rewritten.map(_.schema)
+              .orElse(recordedSchema(name, v)))
       }
       deleteTree(tmp.resolve("stats.new"))
       deleteTree(tmp.resolve("blooms.new"))

@@ -82,7 +82,13 @@ object FileStats {
               if (st != null && st.isNumNullsSet && st.getNumNulls == b.getRowCount &&
                   acc.contains(name)) {
                 val p = acc(name)
-                acc(name) = p.copy(nulls = p.nulls + st.getNumNulls)
+                // an earlier group may have left the -1 "unknown" sentinel
+                // (num_nulls unset) — adding onto it would FABRICATE a
+                // count (-1 + 1 = 0 claims "no nulls" over a null row and
+                // IS NULL pruning would drop the group); propagate unknown
+                // exactly like merge() does
+                acc(name) = p.copy(nulls =
+                  if (p.nulls < 0) -1L else p.nulls + st.getNumNulls)
               } else { bad += name; acc.remove(name) }
             } else {
               val nulls = if (st.isNumNullsSet) st.getNumNulls else -1L
@@ -710,43 +716,90 @@ $files
     }.toMap
   }
 
-  /** xxhash64 (seed 42, Spark semantics) of a literal value in the
-    * CANONICAL domain buildBlooms hashed the column in; None for types
-    * blooms don't cover (→ no bloom pruning). */
-  private def bloomHash(v: Any): Option[Long] = {
+  /** xxhash64 (seed 42, Spark semantics) of a literal value, tagged
+    * with the DOMAIN it was hashed in ('l' integral / 'd' double /
+    * 's' string). buildBlooms hashes each column in the domain of its
+    * RECORDED type, so a probe may only use this hash when the file's
+    * stats kind agrees — a cross-family literal (int literal against a
+    * double-bloomed column: un-analyzed predicates reach the public
+    * mayMatch/compile without the analyzer's promote-cast) must
+    * re-hash in the column's own domain ([[hashInKind]]) or degrade to
+    * keep. None for types blooms don't cover (→ no bloom pruning). */
+  private def bloomHash(v: Any): Option[(Long, Char)] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.types._
-    val litE = v match {
+    val (litE, dom) = v match {
       case null => return None
-      case n: Byte => Literal(n.toLong, LongType)
-      case n: Short => Literal(n.toLong, LongType)
-      case n: Int => Literal(n.toLong, LongType)
-      case n: Long => Literal(n, LongType)
-      case n: Float => Literal(n.toDouble, DoubleType)
-      case n: Double => Literal(n, DoubleType)
+      case n: Byte => (Literal(n.toLong, LongType), 'l')
+      case n: Short => (Literal(n.toLong, LongType), 'l')
+      case n: Int => (Literal(n.toLong, LongType), 'l')
+      case n: Long => (Literal(n, LongType), 'l')
+      case n: Float => (Literal(n.toDouble, DoubleType), 'd')
+      case n: Double => (Literal(n, DoubleType), 'd')
       case s: org.apache.spark.unsafe.types.UTF8String =>
-        Literal(s, StringType)
+        (Literal(s, StringType), 's')
       case s: String =>
-        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
-          StringType)
+        (Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          StringType), 's')
       case _ => return None
     }
-    Some(new XxHash64(Seq(litE)).eval(null).asInstanceOf[Long])
+    Some((new XxHash64(Seq(litE)).eval(null).asInstanceOf[Long], dom))
   }
 
-  private def bloomMay(a: Expression, v: Any,
-                       blooms: Map[String, Array[Byte]]): Boolean =
-    attr(a) match {
-      case Some(n) => blooms.get(n) match {
-        case Some(bytes) => bloomHash(v) match {
-          case Some(h) =>
-            org.apache.spark.util.sketch.BloomFilter
-              .readFrom(new java.io.ByteArrayInputStream(bytes))
-              .mightContainLong(h)
-          case None => true
-        }
+  /** Hash the canonical literal in a REQUESTED domain — the file's
+    * stats kind — when the predicate literal's own family differs.
+    * None when the value cannot live in that domain (a fractional
+    * literal on an integral column, a string on a numeric one): the
+    * bloom then abstains and the range check decides. */
+  private def hashInKind(v: Either[BigDecimal, String], kind: String)
+      : Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.types._
+    def xx(l: Literal): Long =
+      new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
+    (kind, v) match {
+      case ("l", scala.Left(bd)) if bd.isValidLong =>
+        Some(xx(Literal(bd.longValue, LongType)))
+      case ("d", scala.Left(bd)) =>
+        Some(xx(Literal(bd.toDouble, DoubleType)))
+      case ("s", scala.Right(str)) => Some(xx(Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(str),
+        StringType)))
+      case _ => None
+    }
+  }
+
+  /** Shared bloom probe for both evaluator paths: use the precomputed
+    * hash when its domain matches the file's stats kind (the analyzed-
+    * predicate common case, and the only option when the column has no
+    * stats row), else re-hash in the column's domain or abstain. */
+  private def bloomCheck(n: String, vE: Option[Either[BigDecimal, String]],
+                         h: Option[(Long, Char)], f: FileStat,
+                         blooms: Map[String, Array[Byte]]): Boolean =
+    h match {
+      case Some((hash, dom)) => blooms.get(n) match {
+        case Some(bytes) =>
+          val use = f.cols.get(n).map(_.kind) match {
+            case Some(k) if k != dom.toString => vE.flatMap(hashInKind(_, k))
+            case _ => Some(hash)
+          }
+          use match {
+            case Some(hh) =>
+              org.apache.spark.util.sketch.BloomFilter
+                .readFrom(new java.io.ByteArrayInputStream(bytes))
+                .mightContainLong(hh)
+            case None => true
+          }
         case None => true
       }
+      case None => true
+    }
+
+  private def bloomMay(a: Expression, v: Any,
+                       blooms: Map[String, Array[Byte]],
+                       f: FileStat): Boolean =
+    attr(a) match {
+      case Some(n) => bloomCheck(n, lit(v), bloomHash(v), f, blooms)
       case None => true
     }
 
@@ -780,9 +833,9 @@ $files
       case None => true
     }
     case EqualTo(a, Literal(v, _)) =>
-      cmpMay(a, v, f, eq = true) && bloomMay(a, v, blooms)
+      cmpMay(a, v, f, eq = true) && bloomMay(a, v, blooms, f)
     case EqualTo(Literal(v, _), a) =>
-      cmpMay(a, v, f, eq = true) && bloomMay(a, v, blooms)
+      cmpMay(a, v, f, eq = true) && bloomMay(a, v, blooms, f)
     case LessThan(a, Literal(v, _)) => rangeMay(a, f, lt = Some(v))
     case GreaterThan(Literal(v, _), a) => rangeMay(a, f, lt = Some(v))
     case LessThanOrEqual(a, Literal(v, _)) => rangeMay(a, f, le = Some(v))
@@ -794,7 +847,7 @@ $files
     case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
       vs.exists { l =>
         val v = l.asInstanceOf[Literal].value
-        cmpMay(a, v, f, eq = true) && bloomMay(a, v, blooms)
+        cmpMay(a, v, f, eq = true) && bloomMay(a, v, blooms, f)
       }
     case EqualNullSafe(a, Literal(v, _)) => eqNsMay(a, v, f, blooms)
     case EqualNullSafe(Literal(v, _), a) => eqNsMay(a, v, f, blooms)
@@ -813,7 +866,7 @@ $files
       case Some(n) => f.cols.get(n).forall(c => c.nulls != 0)
       case None => true
     }
-    else cmpMay(a, v, f, eq = true) && bloomMay(a, v, blooms)
+    else cmpMay(a, v, f, eq = true) && bloomMay(a, v, blooms, f)
 
   /** mayMatch(NOT child): true unless EVERY row provably matches child.
     * Only the cases where min==max can prove "always matches"; anything
@@ -1099,10 +1152,10 @@ $files
     * (→ range check passes), `bloomHash` only set for eq. */
   final case class PCmp(col: String, op: String,
                         v: Option[Either[BigDecimal, String]],
-                        bloomHash: Option[Long]) extends PPred
+                        bloomHash: Option[(Long, Char)]) extends PPred
   final case class PIn(col: String,
                        vs: Seq[(Option[Either[BigDecimal, String]],
-                         Option[Long])]) extends PPred
+                         Option[(Long, Char)])]) extends PPred
   /** startsWith / LIKE 'p%' — the prefix in UTF-8 bytes. Array fields
     * default to reference equals/toString, which would destabilize the
     * kept-files cache key (every compile would render a fresh `[B@…`);
@@ -1119,7 +1172,7 @@ $files
   }
   /** `col <=> v`; `nullLit` marks `<=> NULL` (≡ isnull). */
   final case class PEqNs(col: String, v: Option[Either[BigDecimal, String]],
-                         bloomHash: Option[Long],
+                         bloomHash: Option[(Long, Char)],
                          nullLit: Boolean) extends PPred
   /** Unsupported shape — may always match (never prunes). */
   case object PAny extends PPred
@@ -1181,16 +1234,9 @@ $files
           case None => true
         }
       }
-    def bloomOk(n: String, h: Option[Long]): Boolean = h match {
-      case Some(hash) => blooms.get(n) match {
-        case Some(bytes) =>
-          org.apache.spark.util.sketch.BloomFilter
-            .readFrom(new java.io.ByteArrayInputStream(bytes))
-            .mightContainLong(hash)
-        case None => true
-      }
-      case None => true
-    }
+    def bloomOk(n: String, v: Option[Either[BigDecimal, String]],
+                h: Option[(Long, Char)]): Boolean =
+      bloomCheck(n, v, h, f, blooms)
     p match {
       case PAnd(l, r) => evalMay(l, f, blooms) && evalMay(r, f, blooms)
       case POr(l, r) => evalMay(l, f, blooms) || evalMay(r, f, blooms)
@@ -1200,7 +1246,7 @@ $files
         case Some(c) if c.nulls >= 0 => f.rows - c.nulls > 0
         case _ => true
       }
-      case PCmp(n, "eq", v, h) => cmpOk(n, v) && bloomOk(n, h)
+      case PCmp(n, "eq", v, h) => cmpOk(n, v) && bloomOk(n, v, h)
       case PCmp(n, op, vOpt, _) => vOpt match {
         case None => true
         case Some(x) => f.cols.get(n) match {
@@ -1214,11 +1260,11 @@ $files
         }
       }
       case PIn(n, vs) => vs.exists { case (v, h) =>
-        cmpOk(n, v) && bloomOk(n, h) }
+        cmpOk(n, v) && bloomOk(n, v, h) }
       case PPrefix(n, pb) => f.cols.get(n).forall(prefixMayC(_, pb))
       case PEqNs(n, v, h, isNullLit) =>
         if (isNullLit) f.cols.get(n).forall(c => c.nulls != 0)
-        else cmpOk(n, v) && bloomOk(n, h)
+        else cmpOk(n, v) && bloomOk(n, v, h)
       case PAny => true
     }
   }

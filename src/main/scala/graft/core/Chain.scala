@@ -308,8 +308,15 @@ final class Chain private (
     val l = Sys.drop(df).alias("l")
     val r = Sys.drop(other.df).alias("r")
     val cond = on.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+    // default comparators: the left's non-key columns that the right
+    // ALSO has — modifiedCond can only reference shared columns (the
+    // projection below already tolerates right-missing columns), and a
+    // keys-only right side (deltaSave's O(keys) snapshot) then means
+    // keys-only change detection: adds/deletes, never M
+    val rCols = Sys.drop(other.df).columns.toSet
     val cmp = if (compare.nonEmpty) compare
       else Sys.drop(df).columns.toSeq.filterNot(on.contains)
+        .filter(rCols.contains)
     // A row exists on a side iff any of its key cols is non-null after the
     // full join (presence markers tolerate all-null key corner cases).
     val joined = l.join(r, cond, "full_outer")

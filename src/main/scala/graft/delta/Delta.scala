@@ -371,6 +371,7 @@ object Delta {
     JF.createDirectories(dir)
     val strict = policy == "strict"
     val markP = dir.resolve("_linked")
+    val censusP = dir.resolve("_linked_census")
     val vs = catalog.versions(name)
     val markParsed =
       if (!JF.exists(markP)) None
@@ -430,8 +431,15 @@ object Delta {
       case Some(i) => (i, catalog.versionDataFiles(name, vs(i)))
       case None if mark.isDefined =>
         // vacuumed mark: skip every surviving version below it (already
-        // linked), walk only the versions past the mark
-        (vs.lastIndexWhere(_ < mark.get), farmLinks())
+        // linked), walk only the versions past the mark. Baseline for
+        // the removal check: the census SIDECAR written beside the mark
+        // (the mark version's exact rel->size census, vacuum-independent).
+        // The farm-link fallback (legacy dirs) conflates "repacked away
+        // by a CONSUMED layout-only version" with "removed" — on an
+        // append-only table that was auto-compacted it false-stalls a
+        // strict heal forever; the sidecar removes that ambiguity.
+        (vs.lastIndexWhere(_ < mark.get),
+          readCensus(censusP, mark.get).getOrElse(farmLinks()))
       case None if JF.exists(markP) =>
         // unreadable mark but the farm was active: conservative — walk
         // everything, the farm seed dedups what's already linked
@@ -464,7 +472,7 @@ object Delta {
               "deletes never surface)")
           // heal under strict: stall BEFORE the mutation — never
           // duplicates; the mark stays put so the break re-surfaces
-          writeMark(markP, linkedTo)
+          writeMark(markP, censusP, linkedTo, prev)
           return
         }
         cur.keysIterator
@@ -476,13 +484,44 @@ object Delta {
         linkedTo = Some(v)
       }
     }
-    writeMark(markP, linkedTo)
+    writeMark(markP, censusP, linkedTo, prev)
   }
 
+  /** Advance the high-water mark + its census sidecar. The sidecar
+    * (first line: the mark version; then `size\tREL` lines) is the
+    * mark version's exact file census — the removal-check baseline
+    * that survives the mark version being vacuumed. Census is written
+    * FIRST: a crash between the writes leaves an old mark beside a
+    * newer census, which the version tag detects (readCensus ignores
+    * it); the reverse order would leave a vacuumed-mark resume
+    * trusting a stale baseline. */
   private def writeMark(markP: java.nio.file.Path,
-                        to: Option[SemVer]): Unit =
-    to.foreach(v => java.nio.file.Files.write(markP,
-      v.toString.getBytes("UTF-8")))
+                        censusP: java.nio.file.Path,
+                        to: Option[SemVer],
+                        census: Map[String, Long]): Unit =
+    to.foreach { v =>
+      val body = (v.toString +: census.toSeq.sortBy(_._1)
+        .map { case (r, sz) => s"$sz\t$r" }).mkString("\n")
+      java.nio.file.Files.write(censusP, body.getBytes("UTF-8"))
+      java.nio.file.Files.write(markP, v.toString.getBytes("UTF-8"))
+    }
+
+  /** The census sidecar, iff present, parseable, and tagged with the
+    * expected mark version (anything else — legacy farm, torn write —
+    * reads as None and the caller falls back). */
+  private def readCensus(censusP: java.nio.file.Path,
+                         at: SemVer): Option[Map[String, Long]] =
+    if (!java.nio.file.Files.exists(censusP)) None
+    else scala.util.Try {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(censusP), "UTF-8")
+        .split("\n").filter(_.nonEmpty)
+      require(lines.head == at.toString, "census belongs to another mark")
+      lines.tail.map { l =>
+        val i = l.indexOf('\t')
+        l.substring(i + 1) -> l.substring(0, i).toLong
+      }.toMap
+    }.toOption
 
   /** Re-link a table's `_stream` dir if one exists (a follower started
     * [[datasetStream]] at some point) — called by writers after a
@@ -587,8 +626,13 @@ object Delta {
 
       val replayed = transform(toProcess)
       requireCompatible(toProcess, replayed)
-      // Previous result rows whose key was NOT re-derived, kept as-is.
-      val kept = prevOut.subtract(replayed, on = deltaOn)
+      // Previous result rows whose key was NOT REPROCESSED, kept as-is.
+      // Subtract the PROCESSED key set, not the replay output: a changed
+      // row the transform now filters out must lose its stale previous
+      // output (a full recompute would not produce it) — subtracting
+      // `replayed` kept it forever (reference delta semantics: the diff
+      // keys are what's removed, delta.py)
+      val kept = prevOut.subtract(toProcess, on = deltaOn)
       val out = Chain(kept.toDF.unionByName(replayed.toDF))
       val (v, _) = saveBoth(out,
         Seq(s"$snapName@v${prevSnap.get}", s"$name@v${prevResult.get}"))

@@ -778,6 +778,49 @@ class CatalogSpec extends SparkSpec {
     assert(out.count() === 3)
   }
 
+  test("delta save matches a full recompute when the transform filters a changed row") {
+    val root = Files.createTempDirectory("cat_dflt").toString
+    val cat = new Catalog(root, spark)
+    def transform(c: Chain): Chain =
+      c.filter(col("value") > 0.5).mutate("v2" -> (col("value") * 2))
+    val v1 = Seq((1L, 0.9), (2L, 0.7), (3L, 0.3)).toDF("id", "value")
+    Delta.deltaSave(cat, Chain(v1), "flt", Seq("id"), Seq("value"), transform)
+    assert(cat.readDataset("flt").toDF.select("id").as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L))
+    // row 1's value drops below the transform's filter: a full recompute
+    // would not emit it, so the incremental run must REMOVE its stale
+    // previous output (processed keys are subtracted, not replay output)
+    val v2 = Seq((1L, 0.1), (2L, 0.7), (3L, 0.3)).toDF("id", "value")
+    val r = Delta.deltaSave(cat, Chain(v2), "flt", Seq("id"), Seq("value"),
+      transform)
+    assert(!r.fullRecompute && r.changedRows === 1)
+    val out = cat.readDataset("flt").toDF
+    assert(out.select("id").as[Long].collect().toSeq === Seq(2L),
+      s"stale filtered-out row survived: ${out.collect().toSeq}")
+    assert(transform(Chain(v2)).toDF.count() === out.count(),
+      "incremental result must equal the full recompute")
+  }
+
+  test("delta save with compare=empty detects adds only (keys-only snapshot)") {
+    val root = Files.createTempDirectory("cat_dko").toString
+    val cat = new Catalog(root, spark)
+    def transform(c: Chain): Chain = c.mutate("v2" -> (col("value") * 2))
+    val v1 = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "value")
+    Delta.deltaSave(cat, Chain(v1), "ko", Seq("id"), Seq.empty, transform)
+    // modified value is INVISIBLE to keys-only detection; the added key
+    // is processed — and the run must not crash on the keys-only
+    // snapshot (diff defaults comparators to SHARED columns)
+    val v2 = Seq((1L, 9.0), (2L, 2.0), (3L, 3.0)).toDF("id", "value")
+    val r = Delta.deltaSave(cat, Chain(v2), "ko", Seq("id"), Seq.empty,
+      transform)
+    assert(!r.fullRecompute && r.changedRows === 1)
+    val out = cat.readDataset("ko").toDF
+    assert(out.count() === 3)
+    assert(out.filter(col("id") === 1).select("v2").as[Double].head() === 2.0,
+      "row 1's modification must NOT be re-derived under keys-only")
+    assert(out.filter(col("id") === 3).select("v2").as[Double].head() === 6.0)
+  }
+
   test("delta guards against delta-disabled ops") {
     val root = Files.createTempDirectory("cat").toString
     val cat = new Catalog(root, spark)
@@ -1494,6 +1537,91 @@ class CatalogSpec extends SparkSpec {
       noDataBatch = false)
     assert(replay.count() === 25L)
     assert(replay.select("n_nationkey").distinct().count() === 25L)
+  }
+
+  test("bloom probe re-hashes cross-family literals in the column's domain") {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    def xx(l: Literal): Long =
+      new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]
+    // build side: a DOUBLE column bloomed in the double domain (canon)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100)
+    Seq(1.5, 5.0).foreach(d => bf.putLong(xx(Literal(d, DoubleType))))
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val blooms = Map("d" -> bos.toByteArray)
+    val f = graft.catalog.FileStats.FileStat("f1", 2, Map("d" ->
+      graft.catalog.FileStats.ColStats("d", 0, 0, 1.5, 5.0, null, null, 0)))
+    // un-analyzed predicate: INT literal against the double column (no
+    // analyzer promote-cast). The probe must re-hash 5 in the column's
+    // domain (5.0) instead of missing in the long domain and pruning a
+    // file that holds the match.
+    val eq5 = EqualTo(UnresolvedAttribute("d"), Literal(5, IntegerType))
+    assert(graft.catalog.FileStats.mayMatch(eq5, f, blooms),
+      "cross-family equality must keep the file that holds the value")
+    assert(graft.catalog.FileStats.evalMay(
+      graft.catalog.FileStats.compile(eq5), f, blooms))
+    // genuine absence (inside the range envelope) still prunes
+    val eq3 = EqualTo(UnresolvedAttribute("d"), Literal(3, IntegerType))
+    assert(!graft.catalog.FileStats.mayMatch(eq3, f, blooms))
+    assert(!graft.catalog.FileStats.evalMay(
+      graft.catalog.FileStats.compile(eq3), f, blooms))
+    // fractional literal on an integral column: the bloom abstains
+    // (no long can equal 2.5; the range check is the decider)
+    val fl = graft.catalog.FileStats.FileStat("f2", 2, Map("k" ->
+      graft.catalog.FileStats.ColStats("l", 1, 9, 0, 0, null, null, 0)))
+    val bfL = org.apache.spark.util.sketch.BloomFilter.create(100)
+    bfL.putLong(xx(Literal(4L, org.apache.spark.sql.types.LongType)))
+    val bosL = new java.io.ByteArrayOutputStream()
+    bfL.writeTo(bosL)
+    val eqFrac = EqualTo(UnresolvedAttribute("k"), Literal(2.5, DoubleType))
+    assert(graft.catalog.FileStats.mayMatch(eqFrac, fl,
+      Map("k" -> bosL.toByteArray)), "bloom must abstain, not mis-hash")
+  }
+
+  test("datasetStream strict heal survives a vacuumed mark after auto-compact") {
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("cat_vaccomp").toString
+    val cat = new Catalog(root, spark)
+    val n = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"))
+    cat.save(Chain(n.filter(col("n_nationkey") < 8).repartition(2)), "nc")
+    Delta.datasetStream(cat, "nc") // strict farm up, mark=v1
+    cat.append("nc", n.filter(col("n_nationkey") >= 8 &&
+      col("n_nationkey") < 12)) // v2
+    Delta.healDatasetStream(cat, "nc")
+    // layout-only repack: the walk SKIPS it but the mark advances past
+    // it — the farm still holds the pre-compaction rels
+    val rc = cat.autoCompact("nc", maxSmallFiles = 1)
+    assert(rc.nonEmpty, "fixture must compact")
+    Delta.healDatasetStream(cat, "nc")
+    val markV = cat.latestVersion("nc").get
+    cat.append("nc", n.filter(col("n_nationkey") >= 12 &&
+      col("n_nationkey") < 15)) // v4 — heal lags
+    cat.deleteVersion("nc", markV) // the mark version vanishes
+    val farm = java.nio.file.Paths.get(root, "datasets", "nc",
+      "_stream", "strict")
+    def rels(): Seq[String] = {
+      val s = java.nio.file.Files.list(farm)
+      try s.iterator.asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v")).map(_.split("__", 2)(1)).toSeq
+      finally s.close()
+    }
+    val before = rels().size
+    // the census sidecar gives the heal the VACUUMED mark version's
+    // exact baseline: v4 is append-only relative to it, so the heal
+    // must LINK v4's file — the farm-seed fallback misread the
+    // compacted-away rels as removals and stalled strict forever
+    Delta.healDatasetStream(cat, "nc")
+    assert(rels().size === before + 1,
+      s"post-compaction append must link after a vacuumed mark: ${rels()}")
+    assert(rels().distinct.size === rels().size, "no re-links")
+    val ck = Files.createTempDirectory("cat_vaccomp_ck").toString
+    val replay = graft.streaming.EventStream.runAvailableNow(
+      Delta.datasetStream(cat, "nc"), "vaccomp_replay", ck,
+      noDataBatch = false)
+    assert(replay.select("n_nationkey").distinct().count() === 15L)
   }
 
   test("datasetStream heal: corrupt _linked mark self-heals from the farm") {
