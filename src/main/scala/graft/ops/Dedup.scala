@@ -34,9 +34,14 @@ object Dedup {
     val keyed = df.withColumn("__ck", contentKey(col(textCol)))
     val reps = keyed.groupBy(col("__ck"))
       .agg(min(col(idCol)).as("__keep"), count(lit(1)).as("dup_count"))
-    keyed.join(reps, "__ck")
+      .withColumnRenamed("__ck", "__rk")
+    // null-SAFE join: null-text rows hash to a null key, which a plain
+    // equi-join would never match — every null-text row silently
+    // vanished instead of its group keeping a representative (the one
+    // group exactDupGroups does report)
+    keyed.join(reps, col("__ck") <=> col("__rk"))
       .filter(col(idCol) === col("__keep"))
-      .drop("__ck", "__keep")
+      .drop("__ck", "__rk", "__keep")
   }
 
   /** Exact-dup groups only (hash, representative id, count>1). */
@@ -252,7 +257,13 @@ object Dedup {
    * Embedding cosine near-dup edges via random-hyperplane LSH:
    * `planes` sign bits (dot with pseudo-random hyperplanes derived from
    * int_hash_64 — deterministic, no RNG state to ship) form a bucket key;
-   * pairs sharing a bucket are verified with exact cosine ≥ threshold.
+   * pairs sharing a bucket are verified with cosine ≥ threshold.
+   * The threshold applies to the 6-dp ROUNDED cosine — intentionally:
+   * re-runs, cluster sizes, and the DuckDB oracle must make the SAME
+   * keep/drop decision, and raw float summation differs across engines
+   * by ulps exactly at a boundary. The decision boundary shifts by at
+   * most 5e-7 — immaterial for a similarity heuristic; determinism at
+   * 100 TB is not.
    */
   def embeddingNearDups(df: DataFrame, vecCol: String, idCol: String,
                         threshold: Double, planes: Int = 16): DataFrame = {
@@ -304,7 +315,11 @@ object Dedup {
       bos.toByteArray
     }
     val might = graft.functions.GraftFunctions.bloom_might_contain(col("__k"), bloomBytes)
-    val definiteNew = keyed.filter(!might)
+    // a null text row hashes to a null key: bloom_might_contain(null)
+    // is null, which fails BOTH branches' filters — the row would be
+    // silently deleted. It can never equal any history content (and the
+    // confirmation anti-join would keep it anyway), so it is definite-new.
+    val definiteNew = keyed.filter(might.isNull || !might)
     val confirmedNew = keyed.filter(might)
       .join(histKeys.distinct(), Seq("__k"), "left_anti")
     definiteNew.unionByName(confirmedNew)
@@ -601,6 +616,12 @@ object Dedup {
         struct(col(dstCol).cast("long").as("src"), col(srcCol).cast("long").as("dst"))))
         .as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
+      // a null endpoint (null id, or a non-ANSI cast that nulled) is not
+      // a node: the local path would NPE on it, and the distributed
+      // joins would neither propagate labels through it nor stop it
+      // emitting a phantom (id=null) row — drop the edge up front, the
+      // same contract as connectedComponentsStar
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct().persist()
     // Size-adaptive plan: below the threshold, union-find on the driver
     // beats distributed label propagation by an order of magnitude — each

@@ -97,7 +97,18 @@ object Similarity {
           array_sort(collect_list(struct(col("__d"), col("__m")))),
           x => x.getField("__m")).as("__centroid"))
     }
-    (assign(corpus, centroids, vecCol, idCol), centroids)
+    // PIN the centroid table before handing it out: the init subtree
+    // (hash-ordered limit + monotonically_increasing_id) is NOT
+    // deterministic across separate actions, and callers consume the
+    // pair with more than one (saveIndex saves centroids and the
+    // assignment separately) — a recomputed init could renumber or
+    // re-pick seeds, committing an assignment that disagrees with the
+    // stored centroids. nlist rows; the tiny cache is intentionally
+    // left pinned (the sessions that build indexes own their lifecycle).
+    val pinned = centroids
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pinned.count()
+    (assign(corpus, pinned, vecCol, idCol), pinned)
   }
 
   /**
@@ -249,7 +260,7 @@ object Similarity {
     val qc = q.join(broadcast(centroids))
       .withColumn("__d",
         euclidean_distance(col("__qv"), col("__centroid").cast("array<float>")))
-    val wq = Window.partitionBy(col(queryIdCol)).orderBy(col("__d").asc,
+    val wq = Window.partitionBy(col(queryIdCol)).orderBy(col("__d").asc_nulls_last,
       col("centroid_id").asc)
     qc.withColumn("__r", row_number().over(wq))
       .filter(col("__r") <= nprobe)
@@ -436,7 +447,7 @@ object Similarity {
       .withColumn("__d",
         round(sq8_distance(col("__qv"), col("__code"), mins, scales), 9))
     val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("__d").asc, col(idCol).asc)
+      .orderBy(col("__d").asc_nulls_last, col(idCol).asc)
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .select(col(queryIdCol), col(idCol), col("__d").as("dist"),
@@ -454,7 +465,7 @@ object Similarity {
           (x, y) => bit_count(x.bitwiseXOR(y))), lit(0),
           (acc, v) => acc + v).cast("long"))
     val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("__ham").asc, col(idCol).asc)
+      .orderBy(col("__ham").asc_nulls_last, col(idCol).asc)
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .select(col(queryIdCol), col(idCol), col("__ham").as("hamming"),
@@ -516,7 +527,7 @@ object Similarity {
         col(vecCol).cast("array<double>").as("__qv"))), Seq(queryIdCol))
       .withColumn("__d", round(decimal_sq_distance(col("__qv"), col("__cv")), 9))
     val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("__d").asc, col(idCol).asc)
+      .orderBy(col("__d").asc_nulls_last, col(idCol).asc)
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .select(col(queryIdCol), col(idCol), col("__d").as("dist"),
@@ -569,7 +580,7 @@ object Similarity {
     val adcScored = codes.join(broadcast(probes), "centroid_id")
       .withColumn("__d", round(pq_adc(col("__tbl"), col("codes"), kc), 9))
     val wa = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("__d").asc, col(idCol).asc)
+      .orderBy(col("__d").asc_nulls_last, col(idCol).asc)
     val cand = adcScored.withColumn("__rank", row_number().over(wa))
       .filter(col("__rank") <= pre)
       .select(col(queryIdCol), col(idCol))
@@ -580,7 +591,7 @@ object Similarity {
         col(vecCol).cast("array<double>").as("__fqv"))), Seq(queryIdCol))
       .withColumn("__d", round(decimal_sq_distance(col("__fqv"), col("__cv")), 9))
     val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("__d").asc, col(idCol).asc)
+      .orderBy(col("__d").asc_nulls_last, col(idCol).asc)
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .select(col(queryIdCol), col(idCol), col("__d").as("dist"),
@@ -613,7 +624,7 @@ object Similarity {
         col(vecCol).cast("array<double>").as("__qv"))), Seq(queryIdCol))
       .withColumn("__d", round(decimal_sq_distance(col("__qv"), col("__cv")), 9))
     val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("__d").asc, col(idCol).asc)
+      .orderBy(col("__d").asc_nulls_last, col(idCol).asc)
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .select(col(queryIdCol), col(idCol), col("__d").as("dist"),
@@ -953,7 +964,7 @@ object Similarity {
       .pq_adc(col("__tbl"), col("codes"), kc), 9)
     val scored = enc.join(broadcast(q)).withColumn("__d", adc)
     val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("__d").asc, col(idCol).asc)
+      .orderBy(col("__d").asc_nulls_last, col(idCol).asc)
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
       .select(col(queryIdCol), col(idCol), col("__d").as("dist"),

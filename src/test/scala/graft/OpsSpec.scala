@@ -34,6 +34,41 @@ class OpsSpec extends SparkSpec {
       .getAs[Long]("dup_count") === 1L)
   }
 
+  test("null-text rows survive dedup: exact keeps a representative, subtractSeen keeps them") {
+    // exact: null texts hash to a null key — the null-SAFE join must
+    // still elect one representative for the null group (min id), like
+    // exactDupGroups reports it, instead of dropping every null row
+    val withNulls = Seq((1L, "same"), (2L, "same"),
+      (7L, null.asInstanceOf[String]), (9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exact(withNulls, "text", "doc_id")
+    assert(kept.select("doc_id").as[Long].collect().toSet === Set(1L, 7L),
+      "one representative per group, null group included")
+    assert(kept.filter(col("doc_id") === 7).head()
+      .getAs[Long]("dup_count") === 2L)
+    // subtractSeen: bloom_might_contain(null) is null — the row must
+    // land in definite-new, never silently fail both branch filters
+    val hist = Seq((1L, "seen")).toDF("doc_id", "text")
+    val batch = Seq((10L, "seen"), (11L, null.asInstanceOf[String]),
+      (12L, "fresh")).toDF("doc_id", "text")
+    val out = Dedup.subtractSeen(batch, hist, "text", "doc_id",
+      expectedItems = 10L)
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(11L, 12L))
+    // connectedComponents: a null endpoint is not a node — no NPE on
+    // the local path, no phantom null row, star parity
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+      .unionByName(Seq(("x", "y")).toDF("a", "b")
+        .select(lit(null).cast("long").as("id_a"), lit(5L).as("id_b")))
+    val cc = Dedup.connectedComponents(e)
+    assert(cc.filter(col("id").isNull).count() === 0)
+    assert(cc.select("id").as[Long].collect().toSet === Set(1L, 2L, 3L),
+      "the null edge (and the node it alone introduced) is not a node")
+    assert(cc.select("cluster_id").distinct().count() === 1)
+    val ccDist = Dedup.connectedComponents(e, localEdgeThreshold = 0L)
+    assert(ccDist.filter(col("id").isNull).count() === 0)
+    assert(ccDist.select("id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+  }
+
   test("minhash signatures: identical for dups, k values, deterministic") {
     val sig = docs.select(col("doc_id"),
       Dedup.minhashSignature(col("text"), k = 16).as("sig"))
