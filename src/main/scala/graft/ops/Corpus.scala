@@ -530,13 +530,19 @@ object Corpus {
     val tr = cr.agg(sum(col("__cr")).as("__tr"))
     // full outer: a bucket seen only in raw still needs a (smoothed)
     // target probability, and vice versa
+    // an empty (or zero-token) corpus sums to NULL, which would ride
+    // silently through the log-ratio and leave EVERY document unscored
+    // (dsir_logratio = null) — fail loudly inside the expression instead
+    def nonEmpty(c: Column, side: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"dsirWeights: $side corpus has no tokens"))).otherwise(c)
     val lam = ct.join(cr, Seq("__b"), "full_outer")
       .crossJoin(broadcast(tt)).crossJoin(broadcast(tr))
       .select(col("__b"),
         (log((coalesce(col("__ct"), lit(0L)) + lit(alpha)) /
-             (col("__tt") + lit(alpha * buckets))) -
+             (nonEmpty(col("__tt"), "target") + lit(alpha * buckets))) -
          log((coalesce(col("__cr"), lit(0L)) + lit(alpha)) /
-             (col("__tr") + lit(alpha * buckets)))).as("__lam"))
+             (nonEmpty(col("__tr"), "raw") + lit(alpha * buckets)))).as("__lam"))
     rawBuckets
       .join(broadcast(lam), Seq("__b"))
       .groupBy(col(idCol))
@@ -576,7 +582,11 @@ object Corpus {
           floor(col("__keep") * lit(4294967296.0)).cast("long"))))
       .select(col(domainCol), col("__thr"))
     val u = substring(md5(concat(col(idCol).cast("string"), lit(":" + seed))), 1, 8)
-    df.join(broadcast(rates), Seq(domainCol))
+    // null-SAFE join: a NULL domain is a legitimate group (groupBy
+    // already counted it, so it participates in n_min like any other) —
+    // a plain equi-join would silently delete its rows even at t=1
+    df.join(broadcast(rates.withColumnRenamed(domainCol, "__dom")),
+        col(domainCol) <=> col("__dom"))
       .filter(u < col("__thr"))
       .select(df.columns.map(col): _*)
   }

@@ -25,7 +25,12 @@ object EventStream {
   private def normTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // FLOOR division, not `div` (truncate-toward-zero): a pre-epoch
+        // nanosecond value must round DOWN to its microsecond or boundary
+        // events land on the wrong side of a window/watermark cutoff —
+        // and DuckDB's // (the oracle side) floors
+        df.withColumn("ts", timestamp_micros(expr(
+          "CASE WHEN ts % 1000 < 0 THEN ts div 1000 - 1 ELSE ts div 1000 END")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
@@ -102,7 +107,10 @@ object EventStream {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     def micros(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+      // floorDiv: getTime truncates toward zero, so a pre-epoch ts with
+      // a sub-second part would flip sign (-0.5 s -> +500000 us) and
+      // mis-order events inside the group
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -150,7 +158,10 @@ object EventStream {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     def micros(t: java.sql.Timestamp): Long =
-      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+      // floorDiv: getTime truncates toward zero, so a pre-epoch ts with
+      // a sub-second part would flip sign (-0.5 s -> +500000 us) and
+      // mis-order events inside the group
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelAdvance](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -187,7 +198,11 @@ object EventStream {
                   watermark: String = "2 hours"): DataFrame =
     normTs(spark.readStream.schema(schema).parquet(dir))
       .withWatermark("ts", watermark)
-      .dropDuplicates("event_id")
+      // WithinWatermark, not plain dropDuplicates("event_id"): without
+      // the event-time column in the subset Spark never evicts dedup
+      // state, so the documented horizon contract was false and state
+      // grew with every distinct id forever
+      .dropDuplicatesWithinWatermark("event_id")
 
   /**
    * Streaming incremental dedup against an accumulated history corpus —
@@ -236,7 +251,10 @@ object EventStream {
     val keyed = stream.withColumn("__k", key)
     val might = graft.functions.GraftFunctions
       .bloom_might_contain(col("__k"), bloomBytes)
-    keyed.filter(!might)
+    // null content hashes to a null key and bloom_might_contain(null)
+    // is null — without the isNull arm the row fails BOTH branch
+    // filters and is silently deleted (the batch twin guards this too)
+    keyed.filter(might.isNull || !might)
       .unionByName(keyed.filter(might).join(histKeys, Seq("__k"), "left_anti"))
       .drop("__k")
   }
@@ -258,6 +276,12 @@ object EventStream {
    * dataset version in the catalog (foreachBatch → Catalog.save), so a
    * continuously-running pipeline produces the same immutable, lineage-
    * tracked versions a batch `save` does — time travel over stream output.
+   * EXACTLY-ONCE under checkpoint replay: the batch id rides the saved
+   * version's deps, and a batch whose marker is already recorded is
+   * skipped (same idempotent-writer contract — and the same boundary —
+   * as [[appendToDataset]]: batch ids restart at 0 with a FRESH
+   * checkpoint, so never point a new checkpoint generation at an
+   * existing output dataset).
    * Returns the started query; call `.awaitTermination()` (AvailableNow
    * runs drain what's available, then stop).
    */
@@ -270,7 +294,17 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty)
+        // replay guard: foreachBatch re-delivers the last batch when the
+        // driver dies between the sink commit and the checkpoint commit —
+        // the batch-id marker already rides the version's deps, so a
+        // version carrying this id means the batch landed; saving again
+        // would double-count every one of its rows for version-iterating
+        // consumers (the appendToDataset idempotent-writer contract,
+        // checked against the recorded marker instead of extraAttrs)
+        val marker = "\"stream@batch" + batchId + "\""
+        val already = catalog.versions(name)
+          .exists(v => catalog.readMeta(name, v).contains(marker))
+        if (!already && !batch.isEmpty)
           catalog.save(graft.core.Chain(batch), name,
             deps = Seq(s"stream@batch$batchId"))
         ()
@@ -376,8 +410,18 @@ object EventStream {
         if (!batch0.isEmpty) {
           val batch = seqCol match {
             case Some(sc) =>
+              // ties on the sequence value must break DETERMINISTICALLY:
+              // a delete+upsert pair sharing one seq would otherwise be
+              // applied by partition-order luck, and a checkpoint replay
+              // could pick the other row. Contract: the tombstone wins a
+              // tie (conservative), then a content hash totalizes the
+              // order for identical (seq, flag) rows.
+              val tieBreak: Seq[org.apache.spark.sql.Column] =
+                deleteCol.map(dc => col(dc).desc).toSeq :+
+                  xxhash64(struct(batch0.columns.map(col): _*)).asc
               val w = org.apache.spark.sql.expressions.Window
-                .partitionBy(on.map(col): _*).orderBy(col(sc).desc)
+                .partitionBy(on.map(col): _*)
+                .orderBy(col(sc).desc +: tieBreak: _*)
               batch0.withColumn("__rn", row_number().over(w))
                 .filter(col("__rn") === 1).drop("__rn")
             case None => batch0

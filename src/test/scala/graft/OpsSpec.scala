@@ -2335,6 +2335,34 @@ class OpsSpec extends SparkSpec {
     assert(big0 > 200 * 0.35 && big0 < 200 * 0.65, s"big0=$big0")
   }
 
+  test("temperatureMix keeps NULL-domain rows as their own group; dsirWeights fails loudly on an empty target") {
+    import graft.ops.Corpus
+    // NULL domain is a group like any other: at t=1 nothing is dropped
+    // (the old equi-join silently deleted every null-domain row)
+    val df = ((1 to 40).map(i => (i.toLong, "web")) ++
+      (41 to 50).map(i => (i.toLong, null.asInstanceOf[String])))
+      .toDF("id", "dom")
+    val all = Corpus.temperatureMix(df, "id", "dom", 1.0, "s")
+    assert(all.count() === 50)
+    assert(all.filter(col("dom").isNull).count() === 10)
+    // and it participates in n_min like any group (t=0 flattens web
+    // toward the 10-row null group in expectation, not toward 40)
+    val flat = Corpus.temperatureMix(df, "id", "dom", 0.0, "s")
+    assert(flat.filter(col("dom").isNull).count() === 10)
+    assert(flat.filter(col("dom") === "web").count() < 30)
+    // empty target corpus: every score would silently be NULL — raise
+    val target0 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val raw = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val e = intercept[Exception](
+      Corpus.dsirWeights(target0, raw, "doc_id", "text", buckets = 64)
+        .collect())
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("target corpus has no tokens")),
+      msgs(e).mkString(" | "))
+  }
+
   test("mixByTokenBudget matches the naive running-sum rule at any bucketing") {
     import graft.ops.Corpus
     import org.apache.spark.sql.expressions.Window

@@ -262,6 +262,53 @@ class StreamingSpec extends SparkSpec {
       "rejected batch must not commit any version")
   }
 
+  test("applyChanges: a delete+upsert TIE on the seq value resolves to the tombstone, deterministically") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cat_cdc_tie").toString
+    val cat = new graft.catalog.Catalog(root, spark)
+    cat.save(graft.core.Chain(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s")), "t")
+    val feed = Seq(
+      (1L, "zz", 5L, false), (1L, "yy", 5L, true), // TIE: delete wins
+      (2L, "b2", 1L, false))
+      .toDF("k", "s", "seq", "del")
+    val stage = Files.createTempDirectory("cdc_tie_feed")
+    feed.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(stage.toString).schema)
+      .parquet(stage.toString)
+    val ckpt = Files.createTempDirectory("cdc_tie_ckpt").toString
+    EventStream.applyChanges(stream, cat, "t", Seq("k"), ckpt,
+      seqCol = Some("seq"), deleteCol = Some("del")).awaitTermination()
+    val got = cat.readDataset("t").toDF.select("k", "s")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(2L -> "b2"),
+      s"the tombstone must win a sequence tie: $got")
+  }
+
+  test("toCatalog skips a replayed batch id (no double version)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cat_tocat").toString
+    val cat = new graft.catalog.Catalog(root, spark)
+    val stage = Files.createTempDirectory("tocat_feed")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    def run(ck: String): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(stage.toString).schema)
+        .parquet(stage.toString)
+      EventStream.toCatalog(stream, cat, "out", ck).awaitTermination()
+    }
+    run(Files.createTempDirectory("tocat_ck1").toString)
+    assert(cat.versions("out").size === 1)
+    // a FRESH checkpoint re-delivers batch 0 with the same id — the
+    // foreachBatch replay shape; the recorded marker must skip it
+    // instead of committing a second identical version
+    run(Files.createTempDirectory("tocat_ck2").toString)
+    assert(cat.versions("out").size === 1,
+      s"replayed batch id must not double-commit: ${cat.versions("out")}")
+  }
+
   test("streaming dedup drops duplicate event ids") {
     val dir = stageDir(s"$sf/events.parquet")
     val schema = spark.read.parquet(dir).schema
