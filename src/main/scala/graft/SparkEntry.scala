@@ -5431,7 +5431,8 @@ object SparkEntry {
     val all = markerSql(TextAnalysis.enStop ++ TextAnalysis.deStop ++
       TextAnalysis.frStop ++ TextAnalysis.esStop)
     val norm = raw"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
-    val tokCount = raw"len(string_split_regex(trim(text), '\s+'))"
+    val tokCount = raw"(CASE WHEN trim(text) = '' THEN 0 ELSE " +
+      raw"len(string_split_regex(trim(text), '\s+')) END)"
     val qualityProb =
       raw"""round(1.0 / (1.0 + exp(-(
            |  -1.0
@@ -7899,8 +7900,8 @@ object SparkEntry {
 
       "q_text_quality" ->
         s"""SELECT doc_id,
-           | CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS token_count,
-           | CAST(len(string_split_regex(trim(text), '\\s+')) +
+           | CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS token_count,
+           | CAST((CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) +
            |   length(regexp_replace(text, '[^0-9.,;:!?]', '', 'g')) AS BIGINT)
            |   AS subword_count,
            | round(CASE WHEN length(text) = 0 THEN 0.0
@@ -7909,19 +7910,19 @@ object SparkEntry {
            | round(CASE WHEN length(text) = 0 THEN 0.0
            |   ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
            |        / length(text) END, 4) AS upper_ratio,
-           | round(CASE WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 0.0
+           | round(CASE WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) = 0 THEN 0.0
            |   ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-           |        / len(string_split_regex(trim(text), '\\s+')) END, 4) AS mean_word_len,
+           |        / (CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) END, 4) AS mean_word_len,
            | round((
-           |   (CASE WHEN len(string_split_regex(trim(text), '\\s+')) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
+           |   (CASE WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END) +
            |   (CASE WHEN $all > 0 THEN 1.0 ELSE 0.0 END) +
            |   (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
            |      ELSE CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE) / length(text) END) < 0.3 THEN 1.0 ELSE 0.0 END) +
            |   (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
            |      ELSE CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text) END) < 0.3 THEN 1.0 ELSE 0.0 END) +
-           |   (CASE WHEN (CASE WHEN len(string_split_regex(trim(text), '\\s+')) = 0 THEN 0.0
+           |   (CASE WHEN (CASE WHEN (CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) = 0 THEN 0.0
            |      ELSE CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-           |           / len(string_split_regex(trim(text), '\\s+')) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+           |           / (CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
            | ) / 5.0, 2) AS quality
            |FROM documents""".stripMargin,
 
@@ -8598,7 +8599,7 @@ object SparkEntry {
            |    '@example.com or +1-555-123-4567 ssn 123-45-6789',
            |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
            |  '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
-           |  '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}',
+           |  '(\+?[0-9]{1,3}[-. ])?[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}',
            |  '<PHONE>', 'g') AS clean
            |FROM documents WHERE doc_id < 200""".stripMargin,
 

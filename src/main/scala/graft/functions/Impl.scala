@@ -148,6 +148,17 @@ object Impl {
    * steps — bit-identical to the BigDecimal formulation it replaces,
    * ~50× cheaper per row.
    */
+
+  /** Loud guard for vector kernels: ArrayData.getFloat/getDouble on a
+    * NULL slot silently reads 0.0 (the zeroed value region / unboxed
+    * null), which would turn a corrupt embedding into a plausible but
+    * wrong distance. Parquet-read arrays are containsNull=true, so the
+    * check must live at runtime. One predictable branch per element. */
+  @inline private def nn(a: ArrayData, i: Int): Unit =
+    if (a.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"null element at index $i in vector argument")
+
   def jlProject(v: ArrayData, outDim: Int): ArrayData = {
     val n = v.numElements()
     val terms = new Array[Long](n)
@@ -184,6 +195,7 @@ object Impl {
     var acc = java.math.BigDecimal.ZERO
     var i = 0
     while (i < n) {
+      nn(a, i); nn(b, i)
       val d = a.getDouble(i) - b.getDouble(i)
       acc = acc.add(java.math.BigDecimal.valueOf(d * d)
         .setScale(12, java.math.RoundingMode.HALF_UP))
@@ -251,6 +263,7 @@ object Impl {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      nn(a, i); nn(b, i)
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
@@ -267,6 +280,7 @@ object Impl {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      nn(a, i); nn(b, i)
       val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
       acc += d * d
       i += 1
@@ -279,7 +293,8 @@ object Impl {
     val n = a.numElements()
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) { nn(a, i); nn(b, i)
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     dot
   }
 
@@ -288,7 +303,7 @@ object Impl {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
-    while (i < n) { val x = a.getFloat(i).toDouble; acc += x * x; i += 1 }
+    while (i < n) { nn(a, i); val x = a.getFloat(i).toDouble; acc += x * x; i += 1 }
     math.sqrt(acc)
   }
 

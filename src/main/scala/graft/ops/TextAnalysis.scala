@@ -33,9 +33,13 @@ object TextAnalysis {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
-  /** Whitespace-token count. */
+  /** Whitespace-token count. Empty / whitespace-only text counts 0
+    * tokens (split of an empty string yields [""] — uncorrected, every
+    * `toks === 0` guard downstream would be dead code and empty
+    * documents would meter one phantom token). */
   def tokenCount(text: Column): Column =
-    size(split(trim(text), "\\s+"))
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
 
   /**
    * BPE-ish subword proxy count: words + digits + punctuation runs counted
@@ -97,11 +101,15 @@ object TextAnalysis {
 
   /** Fraction of whitespace tokens that are (any-language) stopwords. */
   def stopwordRatio(text: Column): Column = {
-    val stops = enStop ++ deStop ++ frStop ++ esStop
+    // distinct: 'que' is in BOTH the fr and es lists — a duplicated
+    // entry would count every occurrence twice. Membership is counted
+    // over the TOKEN array (the split-on-" word "-trick consumed the
+    // shared boundary space, undercounting adjacent stopwords).
+    val stops = (enStop ++ deStop ++ frStop ++ esStop).distinct
     val toks = tokenCount(text).cast("double")
-    val hits = stops.map(w =>
-      size(split(concat(lit(" "), lower(text), lit(" ")),
-        "\\s" + w + "\\s")) - 1).reduce(_ + _).cast("double")
+    val stopArr = array(stops.map(lit): _*)
+    val hits = size(filter(split(lower(trim(text)), "\\s+"),
+      t => array_contains(stopArr, t))).cast("double")
     when(toks === 0, 0.0).otherwise(least(hits / toks, lit(1.0)))
   }
 
@@ -256,8 +264,11 @@ object TextAnalysis {
     val email = regexp_replace(text,
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     val ssn = regexp_replace(email, "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>")
+    // the country code is OPTIONAL: a plain US-format 555-123-4567
+    // (three segments) must redact too, not only +1-555-123-4567
     regexp_replace(ssn,
-      "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}", "<PHONE>")
+      "(\\+?[0-9]{1,3}[-. ])?[0-9]{3}[-. ][0-9]{3,4}[-. ][0-9]{3,4}",
+      "<PHONE>")
   }
 
   /** Character n-gram set (overlapping shingles) as an array column.
@@ -278,8 +289,12 @@ object TextAnalysis {
    */
   def blocklistSignals(df: org.apache.spark.sql.DataFrame, textCol: String,
                        patterns: Seq[String]): org.apache.spark.sql.DataFrame = {
+    // Locale.ROOT: Spark's lower() is locale-independent; a default-
+    // locale toLowerCase under tr_TR would dotless-i the patterns and
+    // silently disable the filter
     val n = graft.functions.GraftFunctions.multi_pattern_count(
-      lower(col(textCol)), patterns.map(_.toLowerCase))
+      lower(col(textCol)),
+      patterns.map(_.toLowerCase(java.util.Locale.ROOT)))
     df.withColumn("n_blocked", n)
       .withColumn("blocklist_pass", col("n_blocked") === 0)
   }

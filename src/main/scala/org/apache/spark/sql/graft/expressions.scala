@@ -770,18 +770,31 @@ case class Mp3FrameMeta(child: Expression)
       i = 10 + sz
     }
     val end = math.min(b.length - 4, i + 2048)
-    while (i <= end && !((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xE0) == 0xE0))
-      i += 1
-    if (i > end || i + 3 >= b.length) return null
-    val h1 = b(i + 1) & 0xFF
-    val h2 = b(i + 2) & 0xFF
-    val h3 = b(i + 3) & 0xFF
+    // scan for a VALID frame header, resuming past false syncs: 0xFF
+    // padding after an ID3 tag looks like a sync word but decodes to
+    // reserved version/bitrate fields — aborting there would silently
+    // drop the real frame a few bytes later as "not MP3"
+    var h1 = 0; var h2 = 0; var h3 = 0
+    var found = false
+    while (!found && i <= end && i + 3 < b.length) {
+      if ((b(i) & 0xFF) == 0xFF && (b(i + 1) & 0xE0) == 0xE0) {
+        h1 = b(i + 1) & 0xFF
+        h2 = b(i + 2) & 0xFF
+        h3 = b(i + 3) & 0xFF
+        val vb = (h1 >> 3) & 3
+        val lb = (h1 >> 1) & 3
+        val br = (h2 >> 4) & 0xF
+        val sr = (h2 >> 2) & 3
+        if (vb != 1 && lb != 0 && br != 0 && br != 15 && sr != 3)
+          found = true
+        else i += 1
+      } else i += 1
+    }
+    if (!found) return null
     val verBits = (h1 >> 3) & 3    // 0=2.5, 2=2, 3=1 (1 reserved)
     val layerBits = (h1 >> 1) & 3  // 1=III, 2=II, 3=I (0 reserved)
-    if (verBits == 1 || layerBits == 0) return null
     val brIdx = (h2 >> 4) & 0xF
     val srIdx = (h2 >> 2) & 3
-    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return null
     val layer = 4 - layerBits // 1, 2, 3
     val table =
       if (verBits == 3) layer - 1

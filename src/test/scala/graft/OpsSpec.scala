@@ -174,6 +174,54 @@ class OpsSpec extends SparkSpec {
     assert(fps(0) === fps(1))
   }
 
+  test("text signal edges: empty token count, stopword membership, US phone scrub") {
+    // empty / whitespace-only text = 0 tokens (split of '' yields [''],
+    // which uncorrected metered one phantom token)
+    val tc = Seq("", "   ", "one two").toDF("text")
+      .select(TextAnalysis.tokenCount(col("text"))).as[Int].collect()
+    assert(tc.toSeq === Seq(0, 0, 2))
+    // stopword ratio counts TOKEN membership: 'que' (in both fr and es
+    // lists) counts once, and adjacent identical stopwords all count
+    val sw = Seq("que sera", "the the cat").toDF("text")
+      .select(TextAnalysis.stopwordRatio(col("text"))).as[Double].collect()
+    assert(math.abs(sw(0) - 0.5) < 1e-9, s"que counted twice? ${sw(0)}")
+    assert(math.abs(sw(1) - 2.0 / 3.0) < 1e-9,
+      s"adjacent stopwords undercounted? ${sw(1)}")
+    // plain US-format phone (no country code) must redact too
+    val pii = Seq("call 555-123-4567 or +1-555-123-4567 now").toDF("text")
+      .select(TextAnalysis.scrubPii(col("text"))).as[String].head()
+    assert(!pii.contains("4567"), pii)
+    assert(pii.contains("<PHONE>"), pii)
+  }
+
+  test("vector kernels reject null elements; mp3 scan resumes past false syncs") {
+    import graft.functions.GraftFunctions
+    // a null slot must raise, not read as 0.0 (a plausible wrong distance)
+    val vecs = Seq((Array[java.lang.Float](1.0f, null, 2.0f),
+        Array[java.lang.Float](1.0f, 1.0f, 2.0f)))
+      .toDF("a", "b")
+    val e = intercept[Exception](
+      vecs.select(GraftFunctions.cosine_distance(col("a"), col("b")))
+        .collect())
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(msgs(e).exists(_.contains("null element")), msgs(e).mkString("|"))
+    // mp3: ID3 tag followed by 0xFF padding (a false sync with reserved
+    // bitrate bits) then a REAL MPEG1 Layer III header — the scan must
+    // resume past the padding instead of bailing with null
+    val id3 = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 0)
+    val pad = Array.fill[Byte](4)(0xFF.toByte) // sync-looking, brIdx=15
+    val frame = Array[Byte](0xFF.toByte, 0xFB.toByte, 0x90.toByte, 0x00)
+    val body = Array.fill[Byte](100)(0)
+    val bytes = id3 ++ pad ++ frame ++ body
+    val meta = Seq(Tuple1(bytes)).toDF("b")
+      .select(GraftFunctions.mp3_frame_meta(col("b")).as("m"))
+      .select("m.*").head()
+    assert(meta.getAs[String]("version") === "1")
+    assert(meta.getAs[Int]("bitrate_kbps") === 128)
+  }
+
   test("htmlToText drops script/style/comment blocks and decodes entities") {
     val cases = Seq(
       ("<html><head><style media=\"x\">b{..}</style><script type=\"t\">" +
