@@ -120,9 +120,14 @@ object Graph {
     // the graph simply never match and are ignored
     val nodes = (seedsOpt match {
       case Some(seeds) =>
+        // null seeds drop BEFORE hashing: xxhash64 is non-nullable (a
+        // null input hashes to the seed constant 42), so a post-hash
+        // isNotNull filter was dead code and a null seed row silently
+        // became node-id 42
         val sd = broadcast(seeds
-          .select(xxhash64(col(seedCol).cast("string")).as("__nid"))
-          .filter(col("__nid").isNotNull).distinct()
+          .select(col(seedCol).cast("string").as("__sdS"))
+          .filter(col("__sdS").isNotNull)
+          .select(xxhash64(col("__sdS")).as("__nid")).distinct()
           .withColumn("__sd", lit(true)))
         nodesBase.join(sd, Seq("__nid"), "left_outer")
           .withColumn("__seed", coalesce(col("__sd"), lit(false)))

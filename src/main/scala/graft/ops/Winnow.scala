@@ -67,7 +67,16 @@ object Winnow {
     * convention the oracle shares) in increasing order, one entry per
     * distinct selected position. Every window of `w` consecutive grams
     * contributes its minimum hash, rightmost occurrence on ties (the
-    * paper's robust-winnowing rule); a text with fewer than `w` grams
+    * paper's BASIC winnowing with the rightmost-tie rule, not robust
+    * winnowing: on a run of EQUAL hashes — repeated-char separators,
+    * whitespace boilerplate — each window's rightmost minimum is a new
+    * position, so density degrades toward one fp per gram there, where
+    * the robust rule would re-select the prior pick. Matching
+    * correctness and the w+k-1 window guarantee are unaffected; the
+    * expected density 2/(w+1) holds for distinct-hash text. Kept basic
+    * because the oracle replays the selection as pure SQL window
+    * minima, which the robust rule's cross-window state cannot
+    * express); a text with fewer than `w` grams
     * is one window over all its grams, so any text of at least `k`
     * codepoints yields at least one fingerprint. */
   def fingerprintSpans(s: String, k: Int, w: Int): Seq[(Int, Long)] = {
