@@ -36,10 +36,18 @@ final class Chain private (
 
   // ------------------------------------------------------------- projection
 
-  /** Keep the given signals (dotted paths re-nest under their leaf name). */
-  def select(cols: String*): Chain =
+  /** Keep the given signals. A dotted path surfaces as a FLAT top-level
+    * column named with underscores ("file.path" -> file_path) — it does
+    * not re-nest. Colliding outputs (select("file.path", "file_path"))
+    * fail loudly rather than emitting two identically-named columns. */
+  def select(cols: String*): Chain = {
+    val outNames = cols.map(_.replace('.', '_'))
+    val dups = outNames.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty,
+      s"select: colliding output names ${dups.mkString(", ")}")
     next(df.select(cols.map(c => SignalSchema.resolve(c).as(c.replace('.', '_'))): _*),
       "select", cols: _*)
+  }
 
   def selectExpr(cols: Column*): Chain =
     next(df.select(cols: _*), "selectExpr", cols.map(_.toString): _*)
@@ -102,7 +110,10 @@ final class Chain private (
 
   /** Deterministic pseudo-random sample: exactly min(n, count) rows chosen
     * by md5-hash order of `keyCol` — reproducible across runs and engines
-    * (unlike [[sample]]'s fraction-based draw). Plans as a TakeOrderedAndProject
+    * (unlike [[sample]]'s fraction-based draw) PROVIDED `keyCol` is a row
+    * identity: among rows sharing a key value the hash and tiebreak are
+    * equal, so which of them crosses the limit boundary is partition-
+    * order luck. Plans as a TakeOrderedAndProject
     * (per-partition top-n, then merge), never a full sort. */
   def sampleDeterministic(n: Int, keyCol: String): Chain =
     next(df.orderBy(md5(SignalSchema.resolve(keyCol).cast("string")).asc,
@@ -116,7 +127,14 @@ final class Chain private (
   }
 
   /** Deterministic 1/total split by sys.rand
-    * (reference: src/datachain/lib/dc/datachain.py:2879). */
+    * (reference: src/datachain/lib/dc/datachain.py:2879).
+    * Deterministic PER SAVED VERSION: sys.rand persists with the data.
+    * On an unsaved chain the stamp derives from partition row order,
+    * which an upstream shuffle does not stabilize across jobs — calling
+    * chunk(0,2) and chunk(1,2) as two separate actions on such a chain
+    * can double- or zero-assign rows (the reference has the identical
+    * contract: its sys__rand exists only on materialized tables). Save
+    * or persist first when chunks must partition exactly. */
   def chunk(index: Int, total: Int): Chain = {
     require(index >= 0 && index < total, s"chunk index $index out of [0,$total)")
     val stamped = if (df.columns.contains(Sys.ColName)) df else Sys.stamp(df)
@@ -203,14 +221,17 @@ final class Chain private (
         // Equi-join by name: using-columns join keeps one key copy; rename
         // remaining right collisions with the rname prefix.
         val collide = (r0.columns.toSet -- on).intersect(df.columns.toSet)
+        // ALL right roots go into the mapping (not just the colliding
+        // subset): the two-phase claim inside mergeRootMapping needs to
+        // see every live right name, or a rename could land on one
         val mapping = SignalSchema.mergeRootMapping(
-          df.columns.toSeq, collide.toSeq.sorted, rname)
+          df.columns.toSeq, r0.columns.toSeq.filterNot(on.contains), rname)
         val r = collide.foldLeft(r0)((d, c) => d.withColumnRenamed(c, mapping(c)))
         df.join(r, on, how)
       } else {
         val collide = r0.columns.toSet.intersect(df.columns.toSet)
         val mapping = SignalSchema.mergeRootMapping(
-          df.columns.toSeq, collide.toSeq.sorted, rname)
+          df.columns.toSeq, r0.columns.toSeq, rname)
         val r = collide.foldLeft(r0)((d, c) => d.withColumnRenamed(c, mapping(c)))
         val rOnMapped = rightOn.map(c => mapping.getOrElse(c, c))
         val cond = on.zip(rOnMapped).map { case (a, b) => df(a) === r(b) }
@@ -319,11 +340,16 @@ final class Chain private (
         .filter(rCols.contains)
     // A row exists on a side iff any of its key cols is non-null after the
     // full join (presence markers tolerate all-null key corner cases).
-    val joined = l.join(r, cond, "full_outer")
-      .withColumn("__l_present",
-        on.map(k => col(s"l.$k").isNotNull).reduce(_ || _))
-      .withColumn("__r_present",
-        on.map(k => col(s"r.$k").isNotNull).reduce(_ || _))
+    // LITERAL presence markers (stamped pre-join), not key-isNotNull:
+    // the join is null-safe, so an all-null-key row is a real row that
+    // can match or stand alone — key-null tests would misread an
+    // unmatched all-null-key row as present-on-both-sides (M/S instead
+    // of A/D). Same device as Delta.readChanges.
+    val lm = l.withColumn("__lp0", lit(true)).alias("l")
+    val rm = r.withColumn("__rp0", lit(true)).alias("r")
+    val joined = lm.join(rm, cond, "full_outer")
+      .withColumn("__l_present", col("l.__lp0").isNotNull)
+      .withColumn("__r_present", col("r.__rp0").isNotNull)
     val modifiedCond =
       if (cmp.isEmpty) lit(false)
       else cmp.map(c => !(col(s"l.$c") <=> col(s"r.$c"))).reduce(_ || _)
@@ -808,7 +834,14 @@ object Chain {
         dtype(args.head) match {
           case _: ArrayType => size(path(args.head)).cast("long")
           case StringType => length(path(args.head)).cast("long")
-          case s: StructType => lit(s.fields.length.toLong)
+          case s: StructType =>
+            // jmespath length(object) = number of PRESENT keys, per row.
+            // Inferred JSON reads an absent key as a null struct field,
+            // so present = non-null (a literal JSON null is merged with
+            // absent by the schema inference — flat-schema limitation)
+            s.fields.map(f =>
+              when(path(args.head).getField(f.name).isNotNull, 1L)
+                .otherwise(0L)).reduce(_ + _)
           case dt => throw new IllegalArgumentException(
             s"jmespath length() needs array/string/object, got $dt")
         }

@@ -108,6 +108,10 @@ object Writers {
   def toAvro(df: DataFrame, path: String): Unit =
     graft.files.AvroIO.toAvro(df, path)
 
+  /** CSV export. String cells with embedded newlines are written
+    * QUOTED-MULTILINE per RFC 4180 — read such files back with
+    * `readCsv(multiLine = true)`; the default line-splittable parse
+    * would split those records mid-row (PERMISSIVE mode, silently). */
   def toCsv(df: DataFrame, path: String, header: Boolean = true,
             delimiter: String = ",",
             mode: SaveMode = SaveMode.ErrorIfExists): Unit = {
@@ -127,10 +131,13 @@ object Writers {
       .option("header", header.toString).option("sep", delimiter).csv(path)
   }
 
-  /** JSONL (the line-delimited layout Spark writes natively). */
+  /** JSONL (the line-delimited layout Spark writes natively). Null
+    * fields are WRITTEN (ignoreNullFields=false): Spark's default omits
+    * them, so an all-null column would vanish from the file entirely
+    * and a schema-less re-read would drop it from the inferred schema. */
   def toJsonl(df: DataFrame, path: String,
               mode: SaveMode = SaveMode.ErrorIfExists): Unit =
-    df.write.mode(mode).json(path)
+    df.write.mode(mode).option("ignoreNullFields", "false").json(path)
 
   /** Single JSON array document. DRIVER-SIDE, EXPORT-SCALE ONLY: rows
     * stream through `toLocalIterator` to one driver-written file — the
@@ -145,7 +152,14 @@ object Writers {
     try {
       out.write('[')
       var first = true
-      df.toJSON.toLocalIterator().forEachRemaining { line =>
+      // to_json with ignoreNullFields=false (df.toJSON has no option
+      // hook and would silently omit null fields — see toJsonl)
+      df.select(org.apache.spark.sql.functions.to_json(
+          org.apache.spark.sql.functions.struct(df.columns.map(
+            org.apache.spark.sql.functions.col): _*),
+          java.util.Map.of("ignoreNullFields", "false")).as("j"))
+        .as(org.apache.spark.sql.Encoders.STRING)
+        .toLocalIterator().forEachRemaining { line =>
         if (!first) out.write(',')
         out.write('\n')
         out.write(line.getBytes("UTF-8"))

@@ -128,6 +128,42 @@ class ChainSpec extends SparkSpec {
     assert(m("b") === "b")
   }
 
+  test("merge rename never lands on a live right column") {
+    // right already HAS right_name (non-colliding): the rename of the
+    // colliding `name` must escalate past it, not duplicate it
+    val l = Seq((1L, "l")).toDF("id", "name")
+    val r = Seq((1L, "r", "rn")).toDF("id", "name", "right_name")
+    val m = Chain(l).merge(Chain(r), on = Seq("id")).toDF
+    assert(m.columns.count(_ == "right_name") === 1, m.columns.toSeq)
+    assert(m.columns.contains("right_right_name"), m.columns.toSeq)
+    assert(m.select("right_right_name").head().getString(0) === "r")
+    assert(m.select("right_name").head().getString(0) === "rn")
+    // mapping-level guarantee for the other arms: a non-colliding right
+    // root claims its name FIRST, so the rename can't take it
+    val mp = SignalSchema.mergeRootMapping(
+      Seq("id", "name"), Seq("name", "right_name"), "right_")
+    assert(mp("name") === "right_right_name" && mp("right_name") === "right_name")
+  }
+
+  test("diff classifies unmatched all-null-key rows as A/D, not M/S") {
+    val dl = Seq((Option(1L), "x"), (Option.empty[Long], "y")).toDF("k", "v")
+    val dr = Seq((Option(1L), "x")).toDF("k", "v")
+    val d = Chain(dl).diff(Chain(dr), on = Seq("k"),
+      statusCol = Some("st")).toDF
+    assert(d.filter(col("k").isNull).select("st").head().getString(0)
+      === "A", d.collect().toSeq)
+    // and symmetric: right-only all-null-key row reads as D
+    val d2 = Chain(dr).diff(Chain(dl), on = Seq("k"),
+      statusCol = Some("st")).toDF
+    assert(d2.filter(col("k").isNull).select("st").head().getString(0)
+      === "D", d2.collect().toSeq)
+    // matching all-null keys still pair up null-safely (S)
+    val d3 = Chain(dl).diff(Chain(dl), on = Seq("k"), statusCol = Some("st"))
+      .toDF
+    assert(d3.filter(col("k").isNull).select("st").head().getString(0)
+      === "S")
+  }
+
   test("group_by with nested-free keys and aggregates") {
     val g = people.groupByAgg(Seq("city"),
       "n" -> count(lit(1)), "avg_age" -> avg(col("age")))
