@@ -74,11 +74,19 @@ final case class FileRef(
    */
   def open(conf: Configuration = new Configuration()): java.io.InputStream = {
     if (location != null && location.nonEmpty && location.contains("\"parent\"")) {
-      val (p, offset, size) = WebDataset.virtualRange(location)
-      val fs = p.getFileSystem(conf)
-      val in = fs.open(p)
-      in.seek(offset)
-      new BoundedInputStream(in, size)
+      // zip members need the SAME dispatch readBytes has: their offset
+      // is the local-header position (not the data) and deflate members
+      // must inflate — a raw range stream exported every zip member as
+      // header-prefixed, truncated, possibly-compressed garbage
+      if (location.contains("\"method\""))
+        new java.io.ByteArrayInputStream(ZipArchive.readMember(location, conf))
+      else {
+        val (p, offset, size) = WebDataset.virtualRange(location)
+        val fs = p.getFileSystem(conf)
+        val in = fs.open(p)
+        in.seek(offset)
+        new BoundedInputStream(in, size)
+      }
     } else {
       val p = new HPath(uri)
       p.getFileSystem(conf).open(p)
@@ -120,7 +128,9 @@ final case class FileRef(
     else {
       val st = fs.getFileStatus(p)
       copy(size = st.getLen,
-        etag = st.getModificationTime.toString + ":" + st.getLen,
+        // same mtime-len etag SHAPE as the listing rows build — a ":"
+        // here made every resolved file look modified vs its listing
+        etag = st.getModificationTime.toString + "-" + st.getLen,
         last_modified = new java.sql.Timestamp(st.getModificationTime),
         is_latest = true)
     }
@@ -307,7 +317,15 @@ object FileOps {
   val ListingTtl: java.time.Duration = java.time.Duration.ofHours(4)
 
   def listingDatasetName(uri: String): String =
-    "lst__" + uri.replaceAll("[^A-Za-z0-9._-]", "_")
+    // the sanitized form alone collides ("/a b" vs "/a_b" → one cache
+    // entry serving the other directory's listing); suffix a hash of
+    // the RAW uri so distinct uris can never share a listing dataset
+    "lst__" + uri.replaceAll("[^A-Za-z0-9._-]", "_") + "_" +
+      java.lang.Long.toHexString(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+          uri.getBytes("UTF-8"),
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          uri.getBytes("UTF-8").length, 42) & 0xffffffffL)
 
   def readStorageCached(catalog: graft.catalog.Catalog, spark: SparkSession,
                         uri: String, pattern: Option[String] = None,
@@ -512,7 +530,14 @@ object FileOps {
       glob.charAt(i) match {
         case '*' =>
           if (i + 1 < glob.length && glob.charAt(i + 1) == '*') {
-            sb.append(".*"); i += 1
+            // globstar matches ZERO or more segments (bash/gitignore/
+            // python semantics): "**/" as a unit → "(?:.*/)?" so
+            // "**/*.jpg" still matches a root-level "photo.jpg", and a
+            // bare "**" → ".*"; plain ".*" required at least one char
+            // before the next "/" and silently dropped root matches
+            if (i + 2 < glob.length && glob.charAt(i + 2) == '/') {
+              sb.append("(?:.*/)?"); i += 2
+            } else { sb.append(".*"); i += 1 }
           } else sb.append("[^/]*")
         case '?' => sb.append("[^/]")
         case c if "\\.[]()^$+|{}".indexOf(c) >= 0 => sb.append("\\").append(c)
@@ -557,7 +582,14 @@ object FileOps {
     * Shared by [[toStorage]] and [[FileRef.export]]. */
   def placementPath(r: FileRef, placement: String): String = placement match {
     case "filename" => r.path.split('/').last
-    case "etag"     => r.etag + "." + r.path.split('.').lastOption.getOrElse("bin")
+    case "etag"     =>
+      // extension of the BASENAME: splitting the whole path on '.'
+      // returned slash-containing "extensions" for dot-less names or
+      // dotted directories ("v1.2/data" → "2/data"), and the "bin"
+      // fallback could never fire
+      val base = r.path.split('/').last
+      val ext = if (base.contains('.')) base.substring(base.lastIndexOf('.') + 1) else "bin"
+      r.etag + "." + ext
     case _           => r.path
   }
 }

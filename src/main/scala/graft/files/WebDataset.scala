@@ -25,13 +25,18 @@ object WebDataset {
   case class WdsMember(sample_key: String, ext: String, tar_path: String,
                        offset: Long, size: Long, data: Array[Byte])
 
-  /** Split "dir/0001.jpg" → ("dir/0001", "jpg"); extension-less members
-    * get ext "" (the reference errors on unknown extensions only when a
-    * typed schema demands it — here the schema is (key, ext) generic). */
+  /** Split "dir/0001.jpg" → ("dir/0001", "jpg") at the FIRST dot of the
+    * basename — the WebDataset convention: everything after the first
+    * period is the (possibly multi-part) extension, so "0001.jpg" and
+    * "0001.seg.png" group under one sample key "0001" (last-dot
+    * splitting silently tore such samples apart). Extension-less
+    * members get ext "" (the reference errors on unknown extensions
+    * only when a typed schema demands it — here the schema is
+    * (key, ext) generic). */
   private[graft] def splitKey(name: String): (String, String) = {
     val base = name.stripSuffix("/")
     val slash = base.lastIndexOf('/')
-    val dot = base.lastIndexOf('.')
+    val dot = base.indexOf('.', slash + 1)
     if (dot > slash + 1) (base.substring(0, dot), base.substring(dot + 1))
     else (base, "")
   }
@@ -92,24 +97,33 @@ object WebDataset {
     * the shard, no tar scan (reference TarVFile, lib/tar.py). */
   /** Parse a virtual-file location JSON into (parent path, offset, size). */
   def virtualRange(location: String)
-      : (org.apache.hadoop.fs.Path, Long, Int) = {
-    def field(k: String): String =
-      ("\"" + k + "\"\\s*:\\s*\"?([^,\"}]+)\"?").r.findFirstMatchIn(location)
+      : (org.apache.hadoop.fs.Path, Long, Long) = {
+    // quoted values parse as full JSON strings (a parent path may
+    // contain commas); numbers as digit runs. Sizes are LONG — .toInt
+    // silently wrapped members >= 2 GiB into negative bounds.
+    def field(k: String): String = {
+      val quoted = ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      val bare = ("\"" + k + "\"\\s*:\\s*(-?[0-9]+)").r
+      quoted.findFirstMatchIn(location).map(_.group(1))
+        .orElse(bare.findFirstMatchIn(location).map(_.group(1)))
         .getOrElse(throw new IllegalArgumentException(s"bad location: $location"))
-        .group(1)
+    }
     (new org.apache.hadoop.fs.Path(field("parent")),
-      field("offset").toLong, field("size").toInt)
+      field("offset").toLong, field("size").toLong)
   }
 
   def readVirtual(location: String,
                   conf: org.apache.hadoop.conf.Configuration =
                     new org.apache.hadoop.conf.Configuration()): Array[Byte] = {
     val (p, offset, size) = virtualRange(location)
+    require(size <= Int.MaxValue,
+      s"virtual member of $size bytes cannot materialize — stream it " +
+        "via FileRef.open instead")
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     try {
       in.seek(offset)
-      val buf = new Array[Byte](size)
+      val buf = new Array[Byte](size.toInt)
       in.readFully(buf)
       buf
     } finally in.close()

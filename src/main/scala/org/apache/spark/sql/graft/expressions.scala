@@ -591,9 +591,19 @@ case class ImageHeaderDims(child: Expression)
         b(3) == '8') {
       InternalRow(UTF8String.fromString("gif"), le16(b, 6), le16(b, 8))
     } else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M') {
-      // negative height = top-down row order; magnitude is the dimension
-      InternalRow(UTF8String.fromString("bmp"),
-        le32(b, 18), math.abs(le32(b, 22)))
+      // dispatch on the DIB header size: BITMAPINFOHEADER (40+) stores
+      // 32-bit dims at 18/22, BITMAPCOREHEADER (12, OS/2) 16-bit dims at
+      // 18/20 — reading the core layout as 32-bit packed width|height
+      // into one int and planes+bitcount into the other, reporting
+      // confident garbage. Anything else → null (full-decode route).
+      val dib = le32(b, 14)
+      if (dib >= 40)
+        // negative height = top-down row order; magnitude is the dimension
+        InternalRow(UTF8String.fromString("bmp"),
+          le32(b, 18), math.abs(le32(b, 22)))
+      else if (dib == 12)
+        InternalRow(UTF8String.fromString("bmp"), le16(b, 18), le16(b, 20))
+      else null
     } else null
   }
 

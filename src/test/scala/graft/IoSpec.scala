@@ -1115,6 +1115,44 @@ class IoSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(dir.resolve("b.zip").toUri))
     val m5 = meta.find(_.name == "m5.txt").get
     assert(m5.method === 8 && m5.compSize < m5.uncompSize)
+    // EXPORT path (FileRef.open streams) must dispatch zip members like
+    // readBytes does: raw-range streaming exported header-prefixed,
+    // truncated, possibly-deflated garbage while readBytes looked fine
+    val dest = Files.createTempDirectory("zipexp").toString
+    graft.files.FileOps.toStorage(listed.toDF, dest, placement = "fullpath")
+    (0 to 2).foreach { i =>
+      val got = Files.readString(
+        java.nio.file.Paths.get(dest, "a.zip", s"m$i.txt"))
+      assert(got === texts(i), s"exported zip member m$i corrupt")
+    }
+  }
+
+  test("webdataset sample keys split at the FIRST dot; io edge fixes") {
+    import graft.files.{FileOps, WebDataset}
+    // first-dot grouping: img.jpg + img.seg.png are ONE sample
+    assert(WebDataset.splitKey("d/0001.jpg") === ("d/0001", "jpg"))
+    assert(WebDataset.splitKey("d/0001.seg.png") === ("d/0001", "seg.png"))
+    assert(WebDataset.splitKey("d/noext") === ("d/noext", ""))
+    // globstar matches ZERO segments: **/*.txt finds a root-level file
+    val d = Files.createTempDirectory("globz")
+    Files.writeString(d.resolve("root.txt"), "r")
+    Files.createDirectories(d.resolve("sub"))
+    Files.writeString(d.resolve("sub/deep.txt"), "s")
+    val paths = FileOps.readStorage(spark, d.toString, Some("**/*.txt"))
+      .toDF.select("file.path").as[String].collect().sorted.toSeq
+    assert(paths === Seq("root.txt", "sub/deep.txt"), paths)
+    // placement=etag on a dot-less basename falls back to .bin, and a
+    // dotted DIRECTORY never leaks into the extension
+    def ref(path: String, etag: String) = graft.files.FileRef(
+      d.toString, path, 1L, "", etag, true,
+      new java.sql.Timestamp(0L), "")
+    assert(FileOps.placementPath(ref("docs/README", "E1"), "etag") === "E1.bin")
+    assert(FileOps.placementPath(ref("v1.2/data", "E2"), "etag") === "E2.bin")
+    // resolve() builds the SAME etag shape as listing rows
+    val listed2 = FileOps.readStorage(spark, d.toString, Some("root.txt"))
+      .toDF.select("file.etag").as[String].head()
+    val resolved = ref("root.txt", "stale").resolve()
+    assert(resolved.etag === listed2, s"$listed2 vs ${resolved.etag}")
   }
 
   test("warc source: streaming records, multi-member gzip, http split") {
