@@ -1006,7 +1006,9 @@ class CatalogSpec extends SparkSpec {
   test("webdataset key split: hidden files, multi-dot names, no extension") {
     import graft.files.WebDataset.splitKey
     assert(splitKey("a/0001.jpg") === ("a/0001", "jpg"))
-    assert(splitKey("a/archive.tar.gz") === ("a/archive.tar", "gz"))
+    // FIRST dot of the basename (WebDataset convention): the multi-part
+    // extension stays whole so 0001.jpg / 0001.seg.png share one key
+    assert(splitKey("a/archive.tar.gz") === ("a/archive", "tar.gz"))
     assert(splitKey("noext") === ("noext", ""))
     assert(splitKey("dir/.hidden") === ("dir/.hidden", "")) // dot-prefix is not an ext
     assert(splitKey("dir/sub/x.json") === ("dir/sub/x", "json"))
