@@ -105,9 +105,13 @@ object Similarity {
     // re-pick seeds, committing an assignment that disagrees with the
     // stored centroids. nlist rows; the tiny cache is intentionally
     // left pinned (the sessions that build indexes own their lifecycle).
+    // no eager count(): the FIRST consuming action fills the cache and
+    // every later action reads it (consumers are sequential — saveIndex
+    // saves centroids, then the assignment), so the pin holds without
+    // paying one extra job per build; an evicted nlist-row cache is
+    // practically impossible at MEMORY_AND_DISK
     val pinned = centroids
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pinned.count()
     (assign(corpus, pinned, vecCol, idCol), pinned)
   }
 
