@@ -8021,7 +8021,8 @@ object SparkEntry {
           | FROM events WHERE user_id < 100)
           |SELECT event_id, user_id,
           | CAST(sum(CASE WHEN prev_ts IS NULL THEN 1
-          |               WHEN date_diff('second', prev_ts, ts) > 1800 THEN 1
+          |               WHEN date_diff('microsecond', prev_ts, ts)
+          |                 > 1800 * 1000000 THEN 1
           |               ELSE 0 END) OVER
           |   (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id

@@ -45,13 +45,16 @@ final case class MvRefresh(mode: String, from: String, to: String,
  *  - additive (count/sum/avg only): new state = old state + signed
  *    deltas. The SOURCE IS NEVER SCANNED — refresh reads only the change
  *    feed and the dirty slice of the view itself. Sums over float/double
- *    accumulate in DECIMAL(28,10) state so the result is exact and
- *    order-independent (a float-additive view would drift from a full
- *    recompute); they read back as double.
+ *    accumulate in DECIMAL(28,10) state: order-independent and exact
+ *    for inputs with at most 10 fractional digits — each input is
+ *    QUANTIZED to 10 dp on entry (a value below 5e-11 contributes 0
+ *    while still counting toward the non-null count), which is what
+ *    keeps the delta arithmetic reproducible where a float-additive
+ *    view would drift from a full recompute; they read back as double.
  *  - recompute (min/max present AND the batch REMOVES rows): a deleted
  *    or updated-away row can strip a group's current min/max, which no
  *    bounded per-group state can repair, so the dirty groups
- *    re-aggregate from the source's latest version — pruned to the
+ *    re-aggregate from the source AT THE REFRESH'S PINNED VERSION — pruned to the
  *    files whose stats overlap the dirty keys. An insert-only batch
  *    (the streaming-append shape) keeps min/max ADDITIVE via
  *    least/greatest — zero source scans even for extreme-tracking
@@ -392,7 +395,13 @@ object MatView {
       val combined: DataFrame = if (needsRecompute) {
         // dirty groups re-aggregate from the source (min/max repair);
         // groups whose rows all vanished surface as null __mv_n
-        val srcRows = readPruned(catalog, source, groupBy, dirty, collected)
+        // PINNED at srcLatest: an unpinned read resolves latest at call
+        // time, so a source commit landing mid-refresh would bake into
+        // the dirty groups while the cursor only advances to srcLatest —
+        // the next refresh would re-apply those rows (rebuild() pins the
+        // same way)
+        val srcRows = readPruned(catalog, source, groupBy, dirty,
+          collected, Some(srcLatest))
         val fresh = srcRows.groupBy(groupBy.map(col): _*)
           .agg(stateAggs(aggs, kinds).head, stateAggs(aggs, kinds).tail: _*)
         dirty.join(fresh, groupBy, "left")
@@ -507,15 +516,17 @@ object MatView {
     * otherwise; either way an exact semi-join against the dirty frame. */
   private def readPruned(catalog: Catalog, name: String, keys: Seq[String],
                          dirty: DataFrame,
-                         collected: Option[Array[org.apache.spark.sql.Row]])
+                         collected: Option[Array[org.apache.spark.sql.Row]],
+                         at: Option[graft.catalog.SemVer] = None)
       : DataFrame = {
     val base = collected match {
       case Some(rows) =>
         val preds = keys.zipWithIndex.map { case (k, i) =>
           col(k).isin(rows.map(_.get(i)).distinct.toSeq: _*)
         }
-        Sys.drop(catalog.readDatasetWhere(name, preds.reduce(_ && _)).toDF)
-      case None => Sys.drop(catalog.readDataset(name).toDF)
+        Sys.drop(catalog.readDatasetWhere(name, preds.reduce(_ && _),
+          version = at).toDF)
+      case None => Sys.drop(catalog.readDataset(name, at).toDF)
     }
     base.join(broadcastIfSmall(dirty, collected), keys, "left_semi")
   }

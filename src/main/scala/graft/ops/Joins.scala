@@ -56,7 +56,9 @@ object Joins {
       case Some(tol) => col("__m").isNotNull && (col("__t") - col("__m.__rt") <= tol * scale)
       case None      => col("__m").isNotNull
     }
-    val outVals = valueCols.map(v => when(withinTol, col(s"__m.$v")).as(v))
+    // a null-time LEFT row has no defined as-of position — null payload
+    val outVals = valueCols.map(v =>
+      when(col("__t").isNotNull && withinTol, col(s"__m.$v")).as(v))
     matched.select(left.columns.map(col).toSeq ++ outVals: _*)
   }
 
@@ -86,7 +88,10 @@ object Joins {
       case Some(tol) => col("__m").isNotNull && (col("__m.__rt") - col("__t") <= tol * scale)
       case None      => col("__m").isNotNull
     }
-    val outVals = valueCols.map(v => when(withinTol, col(s"__m.$v")).as(v))
+    // a null-time left row sorts to the frame head under asc nulls-first
+    // and would otherwise match the earliest right row
+    val outVals = valueCols.map(v =>
+      when(col("__t").isNotNull && withinTol, col(s"__m.$v")).as(v))
     matched.select(left.columns.map(col).toSeq ++ outVals: _*)
   }
 
@@ -164,6 +169,13 @@ object Joins {
     val r2 = right.withColumn("__t", tkey(rightTime))
       .withColumn("__side", lit(0))
       .drop(rightTime)
+      // a right row with a NULL key or NULL time is never a valid as-of
+      // candidate: null times sort to the frame head (asc nulls-first)
+      // and would attach their payload to every left row, and null keys
+      // would pair with null-key left rows — both diverging from
+      // equi-join / pandas merge_asof semantics (empirically confirmed)
+      .filter(col("__t").isNotNull &&
+        on.map(col(_).isNotNull).reduce(_ && _))
     (l2.unionByName(r2, allowMissingColumns = true), valueCols, scale)
   }
 
@@ -268,7 +280,13 @@ object Joins {
     def bins(lo: String, hi: String): Column = {
       val l = floor(col(lo) / binWidth).cast("long")
       val h = floor(col(hi) / binWidth).cast("long")
-      when(h < l, raise_error(concat(
+      // compare the VALUES, not the bins: an inverted interval whose
+      // ends share a bin (lo=5.6, hi=5.2, width 1) slipped the bin-level
+      // guard and emitted spurious pairs (empty set "overlapping").
+      // lo == hi passes: the overlap predicate then degenerates to the
+      // half-open point-containment test, the conventional reading of a
+      // degenerate interval.
+      when(col(hi) < col(lo), raise_error(concat(
           lit(s"intervalOverlapJoin: $lo > $hi on row with lo="),
           col(lo).cast("string"))))
         .when(h - l >= maxBinsPerInterval, raise_error(concat(

@@ -135,8 +135,13 @@ object Sessions {
       col(tsCol).asc +: tieBreak.map(c => col(c).asc).toSeq
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
     val prev = lag(col(tsCol), 1).over(w)
+    // MICROSECOND-precision gap: unix_timestamp truncates to whole
+    // seconds, so sub-second event data misclassified gaps up to ~1 s
+    // past the threshold as within-session (1800.8 s read as 1800) —
+    // and the streaming sessionizer compares exact micros
     val newSession = when(prev.isNull, 1)
-      .when(unix_timestamp(col(tsCol)) - unix_timestamp(prev) > gapSec, 1)
+      .when(unix_micros(col(tsCol)) - unix_micros(prev) >
+        gapSec * 1000000L, 1)
       .otherwise(0)
     df.withColumn(sessionCol,
       sum(newSession).over(w.rowsBetween(Window.unboundedPreceding,

@@ -20,6 +20,43 @@ class JoinsSpec extends SparkSpec {
     assert(out(4L) === None)        // right row is after left time
   }
 
+  test("asof joins: null times and null keys are never match candidates") {
+    // a right row with NULL time sorted to every frame head and attached
+    // its payload to every left row; null keys paired with null-key left
+    // rows — both now read as "no candidate"
+    val left = Seq((1L, "a", 10.0), (2L, null.asInstanceOf[String], 10.0))
+      .toDF("id", "k", "t")
+    val right = Seq(("a", Option.empty[Double], 99.0),
+        ("a", Option(5.0), 42.0),
+        (null.asInstanceOf[String], Option(5.0), 77.0))
+      .toDF("k", "rt", "v")
+      .select(col("k"), col("rt").cast("double").as("rt"), col("v"))
+    val out = Joins.asofBackward(left, right, Seq("k"), "t", "rt")
+      .select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) === Some(42.0), "the real candidate wins, not the null-time row")
+    assert(out(2L) === None, "null keys match nothing")
+    // a null-time LEFT row gets a null payload in BOTH directions
+    val leftN = Seq((3L, "a", Option.empty[Double])).toDF("id", "k", "t")
+      .select(col("id"), col("k"), col("t").cast("double").as("t"))
+    val b = Joins.asofBackward(leftN, right, Seq("k"), "t", "rt")
+      .select("v").as[Option[Double]].head()
+    val f = Joins.asofForward(leftN, right, Seq("k"), "t", "rt")
+      .select("v").as[Option[Double]].head()
+    assert(b === None && f === None, s"null left time must not match: $b $f")
+  }
+
+  test("intervalOverlapJoin raises on inverted intervals even inside one bin") {
+    val a = Seq((1L, 5.6, 5.2)).toDF("aid", "lo", "hi") // inverted, same bin
+    val b = Seq((9L, 0.0, 10.0)).toDF("bid", "blo", "bhi")
+    val e = intercept[Exception](
+      Joins.intervalOverlapJoin(a, "lo", "hi", b, "blo", "bhi",
+        binWidth = 1.0).collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("intervalOverlapJoin")), msgs.mkString("|"))
+  }
+
   test("asofBackward tolerance drops stale matches") {
     val left = Seq((1L, "a", 100.0)).toDF("id", "k", "t")
     val right = Seq(("a", 10.0, 7.0)).toDF("k", "rt", "v")
