@@ -1845,6 +1845,14 @@ final class Catalog(val root: String, spark: SparkSession) {
    * one index census query per parquet-tier version; run it like
    * vacuum, as a maintenance pass.
    */
+  /** Scheme-stripped, normalized path string — so `file:///x/y` (what
+    * `input_file_name()` reports) and `/x/y` (what a java.nio Path
+    * prints) compare equal in [[fsck]]'s batched census map. */
+  private def normalizeFsPath(p: String): String = {
+    val u = new org.apache.hadoop.fs.Path(p).toUri
+    if (u.getPath == null || u.getPath.isEmpty) p else u.getPath
+  }
+
   def fsck(): Seq[(String, String, String, String)] = {
     val out = Seq.newBuilder[(String, String, String, String)]
     val now = System.currentTimeMillis()
@@ -1855,6 +1863,65 @@ final class Catalog(val root: String, spark: SparkSession) {
             s"scan-error:${e.getClass.getSimpleName}:${
               Option(e.getMessage).getOrElse("").take(120)}", "warn"))
       }
+    // ---- batched pre-pass (findings unchanged, cost shape fixed) ----
+    // 1. missing-data-file probes: the per-entry Files.exists loop was
+    //    driver-serial (~30-56 µs/file — 8 driver-minutes at 10M files);
+    //    past a threshold the stat calls fan out as a Spark job (the
+    //    copyFanned idiom) and the loop below just consults the set.
+    // 2. stats-index censuses: one Spark count PER parquet-tier version
+    //    (~0.3 s job launch each — 150 s on a 500-version catalog)
+    //    batch into ONE read over every index dir, grouped by dir; any
+    //    version the batch can't answer falls back to its own query.
+    val allEntryPaths = scala.collection.mutable.ArrayBuffer.empty[String]
+    val allCensusDirs = scala.collection.mutable.ArrayBuffer.empty[String]
+    datasets().foreach { n =>
+      try listDir(dsDir(n)).map(_.getFileName.toString)
+        .filter(_.startsWith("v"))
+        .flatMap(s => try Some(SemVer.parse(s.drop(1)))
+                      catch { case scala.util.control.NonFatal(_) => None })
+        .foreach { v =>
+          if (Files.exists(vDir(n, v).resolve("meta.json"))) {
+            try manifestOf(n, v).foreach(_.entries.foreach(e =>
+              allEntryPaths +=
+                vDir(e.ds, e.v).resolve("data").resolve(e.rel).toString))
+            catch { case scala.util.control.NonFatal(_) => () }
+            try if (statsTierIsParquet(n, v))
+              allCensusDirs += statsDirOf(n, v).toString
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    val fanoutMin =
+      try spark.conf.get("graft.fsck.fanoutMinFiles", "4096").toInt
+      catch { case scala.util.control.NonFatal(_) => 4096 }
+    val distinctPaths = allEntryPaths.distinct
+    val missingPaths: Set[String] =
+      if (distinctPaths.size <= fanoutMin)
+        distinctPaths.filterNot(p =>
+          Files.exists(java.nio.file.Paths.get(p))).toSet
+      else
+        try spark.sparkContext
+          .parallelize(distinctPaths.toSeq, 32)
+          .filter(p => !java.nio.file.Files.exists(
+            java.nio.file.Paths.get(p)))
+          .collect().toSet
+        catch { case scala.util.control.NonFatal(_) =>
+          distinctPaths.filterNot(p =>
+            Files.exists(java.nio.file.Paths.get(p))).toSet
+        }
+    val batchedCensus: Map[String, Long] =
+      if (allCensusDirs.size < 2) Map.empty
+      else try {
+        import org.apache.spark.sql.functions.{col, count, input_file_name, lit, regexp_replace}
+        spark.read.parquet(allCensusDirs.distinct.toSeq: _*)
+          .where(col("col").isNull)
+          .groupBy(regexp_replace(input_file_name(), "/[^/]*$", "")
+            .as("__dir"))
+          .agg(count(lit(1)).as("__n"))
+          .collect()
+          .map(r => normalizeFsPath(r.getString(0)) -> r.getLong(1)).toMap
+      } catch { case scala.util.control.NonFatal(_) => Map.empty }
     datasets().sorted.foreach { n => guard(n, "-") {
       val lockP = dsDir(n).resolve(".commit.lock")
       if (Files.exists(lockP)) {
@@ -1901,7 +1968,7 @@ final class Catalog(val root: String, spark: SparkSession) {
                   "corrupt-manifest:zero-entries", "critical"))
               m.entries.foreach { e =>
                 val p = vDir(e.ds, e.v).resolve("data").resolve(e.rel)
-                if (!Files.exists(p))
+                if (missingPaths.contains(p.toString))
                   out += ((n, s"v$v",
                     s"missing-data-file:${e.ds}@v${e.v}/${e.rel}",
                     "critical"))
@@ -1921,10 +1988,14 @@ final class Catalog(val root: String, spark: SparkSession) {
                 out += ((n, s"v$v", "empty-data-dir", "critical"))
           }
           if (statsTierIsParquet(n, v)) {
-            val census =
+            // batch answer first; a dir the batched read couldn't cover
+            // (empty dir, scheme mismatch, corrupt sibling poisoning the
+            // union) falls back to its own query — identical findings
+            val census = batchedCensus.getOrElse(
+              normalizeFsPath(statsDirOf(n, v).toString),
               try FileStats.statsIndexCensusCount(spark,
                 statsDirOf(n, v).toString)
-              catch { case scala.util.control.NonFatal(_) => -1L }
+              catch { case scala.util.control.NonFatal(_) => -1L })
             val files = censusCountOf(n, v)
             if (census < 0)
               out += ((n, s"v$v", "unreadable-stats-index", "warn"))
@@ -3213,6 +3284,15 @@ final class Catalog(val root: String, spark: SparkSession) {
       }
     }
     (files.toMap, idx.toSet)
+  }
+
+  /** The deps list EXACTLY as recorded — including non-dataset markers
+    * (`stream@batchN`) that [[depsOf]]'s `name@vX.Y.Z` parse skips. */
+  def rawDepsOf(name: String, version: SemVer): Seq[String] = {
+    val meta = readMeta(name, version)
+    "\"deps\": \\[(.*?)\\]".r.findFirstMatchIn(meta).toSeq.flatMap { m =>
+      "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
+    }
   }
 
   /** Lineage deps (`name@vX.Y.Z`) recorded at save time for one version. */

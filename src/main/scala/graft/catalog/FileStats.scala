@@ -212,9 +212,18 @@ object FileStats {
   def harvest(spark: SparkSession, dataDir: String,
               listed: Option[Seq[String]] = None): Seq[FileStat] = {
     val files = listed.getOrElse(listParquet(dataDir))
+    // Driver-inline tier: a footer is a few-KB metadata read (~1-3 ms
+    // local), while even an empty Spark job costs tens of ms of scheduling
+    // — so small versions read their footers right here and save one job
+    // per save/mutation. Past the threshold the harvest fans out on
+    // executors exactly as before (the 100 TB path: ~100k footers in
+    // parallel, never a rescan).
+    val inlineMax =
+      try spark.conf.get("graft.stats.harvestInlineFiles", "32").toInt
+      catch { case scala.util.control.NonFatal(_) => 32 }
     val stats =
       if (files.isEmpty) Seq.empty[FileStat]
-      else if (files.size <= 4)
+      else if (files.size <= inlineMax)
         files.toSeq.map(readFooter(_, new Configuration()))
       else spark.sparkContext
         .parallelize(files.toSeq, math.min(files.size, 32))
@@ -771,8 +780,10 @@ $files
 
   /** Shared bloom probe for both evaluator paths: use the precomputed
     * hash when its domain matches the file's stats kind (the analyzed-
-    * predicate common case, and the only option when the column has no
-    * stats row), else re-hash in the column's domain or abstain. */
+    * predicate common case), re-hash in the column's domain when they
+    * differ, and ABSTAIN when the column has no stats row — without the
+    * kind tag the bloom's build domain is unknowable, and a cross-domain
+    * probe can falsely prune (bloom misses are not conservative). */
   private def bloomCheck(n: String, vE: Option[Either[BigDecimal, String]],
                          h: Option[(Long, Char)], f: FileStat,
                          blooms: Map[String, Array[Byte]]): Boolean =
@@ -781,7 +792,12 @@ $files
         case Some(bytes) =>
           val use = f.cols.get(n).map(_.kind) match {
             case Some(k) if k != dom.toString => vE.flatMap(hashInKind(_, k))
-            case _ => Some(hash)
+            case Some(_) => Some(hash)
+            // no stats row: the bloom's build domain is unknowable, and a
+            // cross-domain probe can FALSELY prune (bloom misses are not
+            // conservative) — abstain rather than trust the precomputed
+            // hash's domain
+            case None => None
           }
           use match {
             case Some(hh) =>

@@ -518,6 +518,13 @@ final class Chain private (
 }
 
 object Chain {
+  /** Session-lifetime memo of [[readJsonInferred]]'s sample-inferred
+    * schemas, keyed (path, sampleSize, listing fingerprint) — schema
+    * metadata only, never row data; bounded and invalidated by any
+    * file-size/mtime change through the fingerprint. */
+  private val jsonSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Long), org.apache.spark.sql.types.StructType]()
+
   def apply(df: DataFrame): Chain =
     new Chain(df, OpTree.empty.append("source", df.schema.map(_.name): _*))
 
@@ -596,8 +603,37 @@ object Chain {
                        jmespath: Option[String] = None,
                        sampleSize: Int = 1000): Chain = {
     import spark.implicits._
-    val sample = spark.read.text(path).limit(sampleSize).as[String]
-    val inferred = spark.read.json(sample).schema
+    // The inferred schema depends only on (path contents, sampleSize) —
+    // never on the jmespath, which compiles to column ops AFTER the scan.
+    // Memoize it per session keyed on a (name, size, mtime) listing
+    // fingerprint (the listing-TTL-cache precedent): a pipeline that
+    // reads the same JSONL source through N different jmespaths pays ONE
+    // inference pass, not N, and a changed/rewritten source re-infers.
+    val inferred = {
+      val fp = try {
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        val sts =
+          if (fs.isDirectory(hp)) fs.listStatus(hp).toSeq
+          else fs.globStatus(hp) match {
+            case null => Seq.empty
+            case arr => arr.toSeq
+          }
+        sts.map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
+          .sorted.hashCode.toLong
+      } catch { case scala.util.control.NonFatal(_) => Long.MinValue }
+      val key = (path, sampleSize, fp)
+      if (fp == Long.MinValue) { // unfingerprintable: never cache
+        val sample = spark.read.text(path).limit(sampleSize).as[String]
+        spark.read.json(sample).schema
+      } else Option(jsonSchemaCache.get(key)).getOrElse {
+        val sample = spark.read.text(path).limit(sampleSize).as[String]
+        val s = spark.read.json(sample).schema
+        if (jsonSchemaCache.size > 256) jsonSchemaCache.clear()
+        jsonSchemaCache.put(key, s)
+        s
+      }
+    }
     var out = spark.read.schema(inferred).json(path)
     jmespath.map(_.trim).filter(_.nonEmpty).foreach { jp =>
       out = applyJmespath(out, jp)

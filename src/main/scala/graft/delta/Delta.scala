@@ -500,9 +500,21 @@ object Delta {
                         to: Option[SemVer],
                         census: Map[String, Long]): Unit =
     to.foreach { v =>
-      val body = (v.toString +: census.toSeq.sortBy(_._1)
-        .map { case (r, sz) => s"$sz\t$r" }).mkString("\n")
-      java.nio.file.Files.write(censusP, body.getBytes("UTF-8"))
+      // entry-count trailer + temp-file ATOMIC_MOVE: a plain in-place
+      // write could crash line-aligned-truncated with the version tag
+      // intact, and readCensus would accept an incomplete baseline —
+      // the vacuumed-mark resume would then re-link files already
+      // emitted (duplicate rows to stream followers)
+      val entries = census.toSeq.sortBy(_._1)
+        .map { case (r, sz) => s"$sz\t$r" }
+      val body = ((v.toString +: entries) :+ s"#n=${entries.size}")
+        .mkString("\n")
+      val tmp = censusP.resolveSibling(
+        "." + censusP.getFileName + ".tmp-" + java.util.UUID.randomUUID)
+      java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, censusP,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       java.nio.file.Files.write(markP, v.toString.getBytes("UTF-8"))
     }
 
@@ -517,7 +529,14 @@ object Delta {
         java.nio.file.Files.readAllBytes(censusP), "UTF-8")
         .split("\n").filter(_.nonEmpty)
       require(lines.head == at.toString, "census belongs to another mark")
-      lines.tail.map { l =>
+      // completeness witness: the `#n=` trailer must match the entry
+      // count (a legacy census without the trailer still parses — the
+      // atomic writer above has stamped every census since it shipped)
+      val (entries, trailer) = lines.tail.partition(!_.startsWith("#n="))
+      trailer.headOption.foreach { t =>
+        require(t == s"#n=${entries.length}", "census truncated")
+      }
+      entries.map { l =>
         val i = l.indexOf('\t')
         l.substring(i + 1) -> l.substring(0, i).toLong
       }.toMap

@@ -164,6 +164,7 @@ object Impl {
     val terms = new Array[Long](n)
     var i = 0
     while (i < n) {
+      nn(v, i) // fail-loud on a null slot, like every other vector kernel
       terms(i) = java.math.BigDecimal.valueOf(v.getDouble(i))
         .setScale(12, java.math.RoundingMode.HALF_UP)
         .movePointRight(12).longValueExact()
@@ -221,6 +222,7 @@ object Impl {
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
+      nn(v, i) // fail-loud on a null slot, like every other vector kernel
       val c =
         if (scales(i) == 0.0) 0
         else {
@@ -247,6 +249,7 @@ object Impl {
     var acc = java.math.BigDecimal.ZERO
     var i = 0
     while (i < n) {
+      nn(q, i) // fail-loud on a null slot, like every other vector kernel
       val deq = mins(i) + (codes(i) & 0xFF) * scales(i)
       val d = q.getDouble(i) - deq
       acc = acc.add(java.math.BigDecimal.valueOf(d * d)

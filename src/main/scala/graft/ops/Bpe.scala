@@ -350,6 +350,14 @@ object Bpe {
     // explicit arg wins; a model carrying its own reserved specials
     // (the save/load round-trip) needs no repetition at every call
     val sp = if (specials.nonEmpty) specials else model.specials
+    // an EXTENDED model shifted every post-extension merge id by the
+    // specials-list SIZE pinned at extension — a different size here
+    // would silently renumber those ids between calls
+    if (model.specialBase >= 0)
+      require(sp.size == model.specials.size,
+        s"extended model pinned ${model.specials.size} specials at " +
+          s"specialBase=${model.specialBase}; got ${sp.size} — post-" +
+          "extension merge ids would silently renumber")
     // an EXTENDED model pins `specialBase` at its pre-extension value so
     // ids already handed out stay valid: specials keep their reserved
     // slots and the new merges' fused symbols shift PAST them — the

@@ -759,18 +759,29 @@ object Dedup {
     var iter = 0
     var converged = prevSig._1 == 0L
     while (!converged && iter < maxIter) {
-      // LARGE-STAR over the symmetrized adjacency
+      // LARGE-STAR over the symmetrized adjacency. ONE exchange covers
+      // the whole phase: hash-partitioning by u colocates the min-
+      // neighbor groups AND the adj⋈mins join (Catalyst reuses the
+      // exchange for both consumers — the same shared-exchange
+      // discipline as Graph.pageRank's edge setup); shuffle_hash skips
+      // the sort-merge re-sort of the adjacency per round.
       val adj = pairs.select(col("a").as("u"), col("b").as("v"))
         .unionAll(pairs.select(col("b"), col("a")))
+        .repartition(col("u"))
       val mins = adj.groupBy("u")
         .agg(least(first(col("u")), min(col("v"))).as("m"))
       val ls = adj.filter(col("v") > col("u"))
-        .join(mins, "u")
+        .join(mins.hint("shuffle_hash"), "u")
         .select(col("v").as("a"), col("m").as("b")) // a > u >= m = b
+        // partition by a ONCE: HashPartitioning(a) satisfies the
+        // distinct's ClusteredDistribution(a, b) by the subset rule and
+        // already clusters the groupBy + join below — 3 exchanges fold
+        // into 1
+        .repartition(col("a"))
         .distinct()
       // SMALL-STAR on the (hi = a, lo = b) pairs
       val mins2 = ls.groupBy("a").agg(min(col("b")).as("m"))
-      val ss = ls.join(mins2, "a")
+      val ss = ls.join(mins2.hint("shuffle_hash"), "a")
         .filter(col("b") =!= col("m"))
         .select(col("b").as("a"), col("m").as("b"))
         .unionAll(mins2.select(col("a"), col("m")))

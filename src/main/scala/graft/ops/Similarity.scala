@@ -790,12 +790,17 @@ object Similarity {
     require(dim % m == 0, s"vector dim $dim must divide into m=$m subspaces")
     val sub = dim / m
     if (iterations == 0) {
+      // ONE collect of the kc lowest full vectors, sliced into subspaces
+      // on the driver — the per-subspace loop ran m identical
+      // orderBy/limit jobs over the corpus (m scans for kc rows each);
+      // the driver slice is value-identical to the Catalyst slice
+      // (slice(cast<double>, s*sub+1, sub) over the same kc rows)
+      val full = corpus.select(col(idCol).as("vec_id"),
+          col(vecCol).cast("array<double>").as("embedding"))
+        .orderBy("vec_id").limit(kc).collect()
+        .map(_.getSeq[Double](1).toArray)
       (0 until m).toArray.map { s =>
-        corpus.select(col(idCol).as("vec_id"),
-            slice(col(vecCol).cast("array<double>"), s * sub + 1, sub)
-              .as("embedding"))
-          .orderBy("vec_id").limit(kc).collect()
-          .map(_.getSeq[Double](1).toArray)
+        full.map(v => java.util.Arrays.copyOfRange(v, s * sub, s * sub + sub))
       }
     } else {
       val rows = pqTrainCents(corpus, m, kc, iterations, vecCol, idCol)
