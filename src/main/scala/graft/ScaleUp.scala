@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev fixture tool (the ScaleProbe/ExtProbe family): synthesize an
+  * up-scaled copy of an sf directory by unioning `factor` key-shifted
+  * replicas of each table — a TIMING fixture for scaling receipts
+  * (s/q vs data size), not an oracle fixture (replicated text skews
+  * dedup selectivity; correctness gates stay on the driver's sf dirs).
+  * Key columns shift by `replica * span` so joins keep their fan-out;
+  * non-key payloads repeat verbatim. Deterministic: no randomness.
+  *
+  * Usage: runMain graft.ScaleUp <srcDir> <dstDir> <factor>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: ScaleUp <srcDir> <dstDir> <factor>")
+    val (src, dst, factor) = (args(0), args(1), args(2).toInt)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // per-table key columns to shift (everything else repeats verbatim)
+    val keyCols: Map[String, Seq[String]] = Map(
+      "region" -> Seq("r_regionkey"),
+      "nation" -> Seq("n_nationkey"),        // keep n_regionkey (FK fan-out)
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+
+    keyCols.foreach { case (t, keys) =>
+      val in = s"$src/$t.parquet"
+      if (new java.io.File(in).exists) {
+        val df = spark.read.parquet(in)
+        val spans: Map[String, Long] = keys.map { k =>
+          k -> (df.agg(max(col(k))).head().getAs[Number](0).longValue + 1L)
+        }.toMap
+        val reps: Seq[DataFrame] = (0 until factor).map { r =>
+          keys.foldLeft(df) { (d, k) =>
+            val dt = df.schema(k).dataType // shift, keep the exact dtype
+            d.withColumn(k, (col(k) + lit(r.toLong * spans(k))).cast(dt))
+          }
+        }
+        reps.reduce(_.unionAll(_))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+        println(s"[scaleup] $t x$factor done")
+      }
+    }
+    spark.stop()
+  }
+}

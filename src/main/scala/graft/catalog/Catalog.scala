@@ -771,8 +771,10 @@ final class Catalog(val root: String, spark: SparkSession) {
       val stamped = Sys.stamp(keptDf)
         .observe(obs, count(lit(1)).as("rows"), failMetrics: _*)
       val writer = stamped.write.mode("errorifexists")
-      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
-       else writer).parquet(tmp.resolve("data").toString)
+      withJobDesc(s"catalog.save $name: data write") {
+        (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+         else writer).parquet(tmp.resolve("data").toString)
+      }
       val rows = obs.get("rows").asInstanceOf[Long]
       // fail-mode expectations: abort BEFORE the claim — the version is
       // never visible (tmp dir removed by the finally), the transactional
@@ -837,8 +839,10 @@ final class Catalog(val root: String, spark: SparkSession) {
       val statsTiered = harvestStats && nDataFiles > statsInlineMax
       val stats =
         if (!harvestStats || statsTiered) Seq.empty[FileStats.FileStat]
-        else try FileStats.harvest(spark, tmp.resolve("data").toString,
-          Some(dataFileList))
+        else try withJobDesc(s"catalog.save $name: stats harvest") {
+          FileStats.harvest(spark, tmp.resolve("data").toString,
+            Some(dataFileList))
+        }
         catch { case scala.util.control.NonFatal(_) =>
           // stats are an optimization: a harvest failure must never fail
           // the save (readers fall back to scanning every file)
@@ -870,8 +874,10 @@ final class Catalog(val root: String, spark: SparkSession) {
               bloomCols, bloomExpected, tmp.resolve("blooms").toString,
               schema = Some(stamped.schema))
             Map.empty
-          } else FileStats.buildBlooms(spark, tmp.resolve("data").toString,
-            bloomCols, bloomExpected, schema = Some(stamped.schema))
+          } else withJobDesc(s"catalog.save $name: bloom index") {
+            FileStats.buildBlooms(spark, tmp.resolve("data").toString,
+              bloomCols, bloomExpected, schema = Some(stamped.schema))
+          }
         }
       withCommitLock(name) {
         // plain saves are overwrite-semantics (no guard by default:
@@ -1233,11 +1239,15 @@ final class Catalog(val root: String, spark: SparkSession) {
       var bloomsNewOk = false
       rewritten.foreach { df =>
         val w = df.write.mode("errorifexists")
-        (if (layout.nonEmpty) w.partitionBy(layout: _*) else w)
-          .parquet(rewriteDir.toString)
+        withJobDesc(s"catalog.$op $name: rewrite write") {
+          (if (layout.nonEmpty) w.partitionBy(layout: _*) else w)
+            .parquet(rewriteDir.toString)
+        }
         rewFiles = walkParquet(rewriteDir)
         rewriteStats =
-          try FileStats.harvest(spark, rewriteDir.toString)
+          try withJobDesc(s"catalog.$op $name: rewrite stats harvest") {
+            FileStats.harvest(spark, rewriteDir.toString)
+          }
           catch { case scala.util.control.NonFatal(_) => Seq.empty }
         rewrittenRows =
           if (rewriteStats.nonEmpty) rewriteStats.map(_.rows).sum
@@ -1845,6 +1855,15 @@ final class Catalog(val root: String, spark: SparkSession) {
    * one index census query per parquet-tier version; run it like
    * vacuum, as a maintenance pass.
    */
+  /** Label the Spark jobs a protocol phase launches (UI/profiler
+    * attribution — thread-local, restored after). */
+  private def withJobDesc[A](desc: String)(body: => A): A = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
   /** Scheme-stripped, normalized path string — so `file:///x/y` (what
     * `input_file_name()` reports) and `/x/y` (what a java.nio Path
     * prints) compare equal in [[fsck]]'s batched census map. */

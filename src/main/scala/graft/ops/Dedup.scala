@@ -703,6 +703,41 @@ object Dedup {
   /** Rounds the last [[connectedComponentsStar]] call took (diagnostics). */
   @volatile var lastStarRounds: Int = 0
 
+  /** One large-star + small-star round over canonical (a > b) pairs —
+    * package-visible so PlanSpec can pin its exchange count (the
+    * per-round localCheckpoint hides it from the full query's explain).
+    *
+    * Exchange discipline (3 per round, was 6): hash-partitioning the
+    * symmetrized adjacency ONCE by `u` colocates the min-neighbor
+    * groupBy AND the adj⋈mins join (Catalyst reuses the exchange for
+    * both consumers — the same shared-exchange discipline as
+    * Graph.pageRank's edge setup); the large-star output partitions
+    * ONCE by `a`, which the distinct (ClusteredDistribution(a, b) by
+    * the subset rule), the mins2 groupBy, and the ls⋈mins2 join all
+    * reuse; only the final small-star distinct pays its own exchange.
+    * shuffle_hash hints keep the O(nodes) min tables hashed per
+    * partition instead of re-sorting the edge-sized side every round. */
+  private[graft] def starRound(pairs: DataFrame): DataFrame = {
+    // LARGE-STAR over the symmetrized adjacency
+    val adj = pairs.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(pairs.select(col("b"), col("a")))
+      .repartition(col("u"))
+    val mins = adj.groupBy("u")
+      .agg(least(first(col("u")), min(col("v"))).as("m"))
+    val ls = adj.filter(col("v") > col("u"))
+      .join(mins.hint("shuffle_hash"), "u")
+      .select(col("v").as("a"), col("m").as("b")) // a > u >= m = b
+      .repartition(col("a"))
+      .distinct()
+    // SMALL-STAR on the (hi = a, lo = b) pairs
+    val mins2 = ls.groupBy("a").agg(min(col("b")).as("m"))
+    ls.join(mins2.hint("shuffle_hash"), "a")
+      .filter(col("b") =!= col("m"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .unionAll(mins2.select(col("a"), col("m")))
+      .distinct()
+  }
+
   /**
    * Connected components by alternating LARGE-STAR / SMALL-STAR rounds
    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -759,33 +794,7 @@ object Dedup {
     var iter = 0
     var converged = prevSig._1 == 0L
     while (!converged && iter < maxIter) {
-      // LARGE-STAR over the symmetrized adjacency. ONE exchange covers
-      // the whole phase: hash-partitioning by u colocates the min-
-      // neighbor groups AND the adj⋈mins join (Catalyst reuses the
-      // exchange for both consumers — the same shared-exchange
-      // discipline as Graph.pageRank's edge setup); shuffle_hash skips
-      // the sort-merge re-sort of the adjacency per round.
-      val adj = pairs.select(col("a").as("u"), col("b").as("v"))
-        .unionAll(pairs.select(col("b"), col("a")))
-        .repartition(col("u"))
-      val mins = adj.groupBy("u")
-        .agg(least(first(col("u")), min(col("v"))).as("m"))
-      val ls = adj.filter(col("v") > col("u"))
-        .join(mins.hint("shuffle_hash"), "u")
-        .select(col("v").as("a"), col("m").as("b")) // a > u >= m = b
-        // partition by a ONCE: HashPartitioning(a) satisfies the
-        // distinct's ClusteredDistribution(a, b) by the subset rule and
-        // already clusters the groupBy + join below — 3 exchanges fold
-        // into 1
-        .repartition(col("a"))
-        .distinct()
-      // SMALL-STAR on the (hi = a, lo = b) pairs
-      val mins2 = ls.groupBy("a").agg(min(col("b")).as("m"))
-      val ss = ls.join(mins2.hint("shuffle_hash"), "a")
-        .filter(col("b") =!= col("m"))
-        .select(col("b").as("a"), col("m").as("b"))
-        .unionAll(mins2.select(col("a"), col("m")))
-        .distinct()
+      val ss = starRound(pairs)
       val obs = org.apache.spark.sql.Observation()
       pairs = ss.observe(obs, count(lit(1)).as("n"), rowSig.as("h"))
         .localCheckpoint() // eager: materializes the round AND fills obs

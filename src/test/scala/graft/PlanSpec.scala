@@ -761,4 +761,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("starRound: one exchange per join key — 3 total, shuffled-hash joins") {
+    import org.apache.spark.sql.functions._
+    // a small canonical (a > b) pair frame, the loop's invariant shape
+    val pairs = spark.range(100).select(
+      (col("id") + 1).as("a"), (col("id") / 2).cast("long").as("b"))
+      .filter(col("a") > col("b"))
+    val p = graft.ops.Dedup.starRound(pairs).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // large-star: ONE exchange on u (groupBy + join share it via reuse);
+    // small-star: ONE on a (distinct + groupBy + join share it); plus the
+    // final distinct's own — anything above 3 means a shared exchange
+    // regressed into per-consumer shuffles (it was 6 before r16)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p.take(6000))
+    assert(p.contains("ShuffledHashJoin"), p.take(6000))
+  }
 }
