@@ -300,10 +300,16 @@ object EventStream {
         // version carrying this id means the batch landed; saving again
         // would double-count every one of its rows for version-iterating
         // consumers (the appendToDataset idempotent-writer contract,
-        // checked against the recorded marker instead of extraAttrs)
-        val marker = "\"stream@batch" + batchId + "\""
-        val already = catalog.versions(name)
-          .exists(v => catalog.readMeta(name, v).contains(marker))
+        // checked against the recorded marker instead of extraAttrs).
+        // Batch ids are monotonic and replay only re-delivers the LAST
+        // committed batch, so checking the latest version's PARSED deps
+        // is both sufficient and O(1) per batch — the old scan read
+        // every version's raw meta per microbatch (O(V²) over a
+        // stream's life) and substring-matched it, so a user-recorded
+        // dep merely CONTAINING "stream@batchN" skipped a live batch.
+        val marker = s"stream@batch$batchId"
+        val already = catalog.latestVersion(name)
+          .exists(v => catalog.rawDepsOf(name, v).contains(marker))
         if (!already && !batch.isEmpty)
           catalog.save(graft.core.Chain(batch), name,
             deps = Seq(s"stream@batch$batchId"))
