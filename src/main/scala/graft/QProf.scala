@@ -29,6 +29,11 @@ object QProf {
                       var end: Long = 0L, var stages: Int = 0,
                       var tasks: Int = 0)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
+    // stageId → jobId, recorded at job start so completed stages (and
+    // their task counts) attribute to the right job record (TrieMap: a
+    // juc.ConcurrentHashMap[Int, Int] unboxes an absent null to 0 and
+    // would silently attribute stray stages to job 0)
+    val stageToJob = scala.collection.concurrent.TrieMap.empty[Int, Int]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val d = Option(e.properties)
@@ -37,14 +42,21 @@ object QProf {
             .flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("")
         val stg = e.stageInfos.map(si => si.name.take(40)).mkString(" | ")
+        e.stageIds.foreach(sid => stageToJob.put(sid, e.jobId))
         jobs.put(e.jobId, JobRec(e.jobId, d + " :: " + stg.take(160), e.time))
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         Option(jobs.get(e.jobId)).foreach(_.end = e.time)
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
-        val jid = e.stageInfo.name // not reliable; count via details below
-        val _ = jid
+        stageToJob.get(e.stageInfo.stageId)
+          .flatMap(jid => Option(jobs.get(jid)))
+          .foreach { r =>
+            r.synchronized {
+              r.stages += 1
+              r.tasks += e.stageInfo.numTasks
+            }
+          }
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -63,6 +75,7 @@ object QProf {
         } catch { case _: Throwable => () }
       }
       jobs.clear()
+      stageToJob.clear()
       val t0 = System.nanoTime()
       val n = try fn(spark, dir).count()
               catch { case e: Throwable =>
@@ -78,7 +91,8 @@ object QProf {
       recs.foreach { r =>
         val ms = (r.end - r.start).max(0L)
         if (ms >= 20)
-          println(f"  job ${r.id}%4d ${ms / 1e3}%7.3f s  ${r.desc.take(200)}")
+          println(f"  job ${r.id}%4d ${ms / 1e3}%7.3f s " +
+            f"${r.stages}%3d stg ${r.tasks}%5d tsk  ${r.desc.take(200)}")
       }
       try {
         spark.catalog.clearCache()

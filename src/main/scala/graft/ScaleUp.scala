@@ -44,6 +44,24 @@ object ScaleUp {
         val spans: Map[String, Long] = keys.map { k =>
           k -> (df.agg(max(col(k))).head().getAs[Number](0).longValue + 1L)
         }.toMap
+        // overflow guard: the shift casts back to the key's narrow dtype,
+        // and under non-ANSI SQL an int/short overflow WRAPS silently —
+        // replicas would collide on wrapped keys and corrupt the
+        // fixture's join fan-out. Largest shifted value is
+        // factor*span - 1 (span = max+1); require it fits, loudly.
+        keys.foreach { k =>
+          val dtMax: BigInt = df.schema(k).dataType match {
+            case org.apache.spark.sql.types.ByteType => BigInt(Byte.MaxValue)
+            case org.apache.spark.sql.types.ShortType => BigInt(Short.MaxValue)
+            case org.apache.spark.sql.types.IntegerType => BigInt(Int.MaxValue)
+            case _ => BigInt(Long.MaxValue)
+          }
+          val top = BigInt(factor) * spans(k) - 1
+          require(top <= dtMax,
+            s"ScaleUp: $t.$k at factor $factor tops out at $top, past its " +
+              s"${df.schema(k).dataType.simpleString} max $dtMax — keys " +
+              "would wrap and collide; widen the column or lower the factor")
+        }
         val reps: Seq[DataFrame] = (0 until factor).map { r =>
           keys.foldLeft(df) { (d, k) =>
             val dt = df.schema(k).dataType // shift, keep the exact dtype

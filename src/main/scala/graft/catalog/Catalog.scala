@@ -1893,17 +1893,30 @@ final class Catalog(val root: String, spark: SparkSession) {
     //    version the batch can't answer falls back to its own query.
     val allEntryPaths = scala.collection.mutable.ArrayBuffer.empty[String]
     val allCensusDirs = scala.collection.mutable.ArrayBuffer.empty[String]
-    datasets().foreach { n =>
+    // versions whose manifests the pre-pass successfully enumerated: only
+    // THEIR entries may consult the batched missing-set below. A version
+    // skipped here (manifest parse failed, listing raced a save, the
+    // test-only skip conf) but parsed in the main loop would otherwise
+    // have every entry path absent from the set and be silently reported
+    // as present — a fail-open consistency check (r16 VERDICT #4).
+    val preCovered = scala.collection.mutable.HashSet.empty[(String, SemVer)]
+    val prePassSkip: Set[String] =
+      try spark.conf.get("graft.fsck.prePassSkipDatasets", "")
+        .split(',').map(_.trim).filter(_.nonEmpty).toSet
+      catch { case scala.util.control.NonFatal(_) => Set.empty }
+    datasets().filterNot(prePassSkip).foreach { n =>
       try listDir(dsDir(n)).map(_.getFileName.toString)
         .filter(_.startsWith("v"))
         .flatMap(s => try Some(SemVer.parse(s.drop(1)))
                       catch { case scala.util.control.NonFatal(_) => None })
         .foreach { v =>
           if (Files.exists(vDir(n, v).resolve("meta.json"))) {
-            try manifestOf(n, v).foreach(_.entries.foreach(e =>
-              allEntryPaths +=
-                vDir(e.ds, e.v).resolve("data").resolve(e.rel).toString))
-            catch { case scala.util.control.NonFatal(_) => () }
+            try {
+              manifestOf(n, v).foreach(_.entries.foreach(e =>
+                allEntryPaths +=
+                  vDir(e.ds, e.v).resolve("data").resolve(e.rel).toString))
+              preCovered += ((n, v))
+            } catch { case scala.util.control.NonFatal(_) => () }
             try if (statsTierIsParquet(n, v))
               allCensusDirs += statsDirOf(n, v).toString
             catch { case scala.util.control.NonFatal(_) => () }
@@ -1985,9 +1998,16 @@ final class Catalog(val root: String, spark: SparkSession) {
               if (m.entries.isEmpty && rowsOf(n, v) > 0)
                 out += ((n, s"v$v",
                   "corrupt-manifest:zero-entries", "critical"))
+              // versions the pre-pass didn't enumerate probe directly:
+              // their paths are absent from the batched set by
+              // construction, and consulting it would fail open
+              val covered = preCovered((n, v))
               m.entries.foreach { e =>
                 val p = vDir(e.ds, e.v).resolve("data").resolve(e.rel)
-                if (missingPaths.contains(p.toString))
+                val missing =
+                  if (covered) missingPaths.contains(p.toString)
+                  else !Files.exists(p)
+                if (missing)
                   out += ((n, s"v$v",
                     s"missing-data-file:${e.ds}@v${e.v}/${e.rel}",
                     "critical"))
@@ -2246,31 +2266,48 @@ final class Catalog(val root: String, spark: SparkSession) {
       if (newCols.contains(c)) src0.schema(c).dataType
       else target.schema(c).dataType
     val outUser = userCols.toSeq ++ newCols
-    // one aggregation job: cardinality rule + null keys + per-key bounds
-    val aggs =
-      Seq(count(lit(1)).as("__n"),
-        count_distinct(struct(on.map(col): _*)).as("__nd")) ++
-      on.map(k =>
-        sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"__nulls_$k"))
-    val h = src0.agg(aggs.head, aggs.tail: _*).head()
-    val srcRows = h.getAs[Long]("__n")
-    on.foreach(k => require(h.getAs[Long](s"__nulls_$k") == 0L,
-      s"mergeInto: source has NULL keys in '$k'"))
-    require(h.getAs[Long]("__nd") == srcRows,
-      s"mergeInto: source keys are not unique " +
-        s"(${srcRows} rows, ${h.getAs[Long]("__nd")} distinct keys)")
-    if (srcRows == 0L)
+    // ONE source pass for the pre-flight AND the key collect (was two:
+    // a full aggregation job plus a distinct-collect job). Group by the
+    // key capped at keyCollectMax+1 groups: when the cap isn't hit every
+    // group is visible, so per-key counts prove uniqueness (each must be
+    // 1), null keys are visible in the collected tuples, and the tuples
+    // themselves feed the IN-list file prune. Past the cap the envelope
+    // path re-runs the full validation aggregation — it must see every
+    // row anyway, and the common small-batch merge saves a job.
+    val keyed = src0.groupBy(on.map(col): _*)
+      .agg(count(lit(1)).as("__kn"))
+      .limit(keyCollectMax + 1).collect()
+    if (keyed.isEmpty)
       return MutationResult(v, 0, 0, rowsOf(name, v), rowsOf(name, v))
     val (touched, all) =
-      if (h.getAs[Long]("__nd") <= keyCollectMax) {
+      if (keyed.length <= keyCollectMax) {
+        on.indices.foreach(i => require(keyed.forall(!_.isNullAt(i)),
+          s"mergeInto: source has NULL keys in '${on(i)}'"))
+        val srcRows = keyed.iterator.map(_.getAs[Long]("__kn")).sum
+        require(srcRows == keyed.length.toLong,
+          s"mergeInto: source keys are not unique " +
+            s"($srcRows rows, ${keyed.length} distinct keys)")
         // small source: per-column IN lists ride the full stats + BLOOM
         // evaluator (a point-lookup merge on a bloom-indexed version
         // localizes to the exact files holding the keys)
-        val tuples = src0.select(on.map(col): _*).distinct().collect()
         touchedFiles(name, v, on.zipWithIndex.map { case (k, i) =>
-          col(k).isin(tuples.map(_.get(i)).distinct.toSeq: _*)
+          col(k).isin(keyed.map(_.get(i)).distinct.toSeq: _*)
         }.reduce(_ && _))
-      } else touchedByEnvelope(name, v, src0, on)
+      } else {
+        val aggs =
+          Seq(count(lit(1)).as("__n"),
+            count_distinct(struct(on.map(col): _*)).as("__nd")) ++
+          on.map(k =>
+            sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"__nulls_$k"))
+        val h = src0.agg(aggs.head, aggs.tail: _*).head()
+        on.foreach(k => require(h.getAs[Long](s"__nulls_$k") == 0L,
+          s"mergeInto: source has NULL keys in '$k'"))
+        require(h.getAs[Long]("__nd") == h.getAs[Long]("__n"),
+          s"mergeInto: source keys are not unique " +
+            s"(${h.getAs[Long]("__n")} rows, ${h.getAs[Long]("__nd")} " +
+            "distinct keys)")
+        touchedByEnvelope(name, v, src0, on)
+      }
     val touchedDf = readVersionFiles(name, v, touched)
     val s = src0.select(src0.columns.map(c => col(c).as(s"__s_$c")): _*)
     val joinCond = on.map(k => col(k) === col(s"__s_$k")).reduce(_ && _)

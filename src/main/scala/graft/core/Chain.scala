@@ -613,14 +613,30 @@ object Chain {
       val fp = try {
         val hp = new org.apache.hadoop.fs.Path(path)
         val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        // fingerprint LEAF FILES recursively: a direct-children listing
+        // missed in-place edits of files nested under subdirectories
+        // (partition-style layouts) — the subdir's own mtime/len don't
+        // change, so a stale schema was silently served. (A same-second
+        // same-length rewrite of one file still passes — mtime
+        // granularity; acceptable for a session-scoped memo.)
+        def leaves(st: org.apache.hadoop.fs.FileStatus)
+            : Seq[(String, Long, Long)] =
+          if (st.isDirectory) {
+            val it = fs.listFiles(st.getPath, true)
+            val buf = Seq.newBuilder[(String, Long, Long)]
+            while (it.hasNext) {
+              val f = it.next()
+              buf += ((f.getPath.toString, f.getLen, f.getModificationTime))
+            }
+            buf.result()
+          } else Seq((st.getPath.toString, st.getLen, st.getModificationTime))
         val sts =
-          if (fs.isDirectory(hp)) fs.listStatus(hp).toSeq
+          if (fs.isDirectory(hp)) leaves(fs.getFileStatus(hp))
           else fs.globStatus(hp) match {
             case null => Seq.empty
-            case arr => arr.toSeq
+            case arr => arr.toSeq.flatMap(leaves)
           }
-        sts.map(s => (s.getPath.toString, s.getLen, s.getModificationTime))
-          .sorted.hashCode.toLong
+        sts.sorted.hashCode.toLong
       } catch { case scala.util.control.NonFatal(_) => Long.MinValue }
       val key = (path, sampleSize, fp)
       if (fp == Long.MinValue) { // unfingerprintable: never cache

@@ -354,25 +354,41 @@ object MatView {
       .persist()
     try {
       val dirty = changes.select(groupBy.map(col): _*).distinct()
-      val dirtyRows = dirty.limit(keyCollectMax + 1).collect()
-      if (dirtyRows.isEmpty) { // versions advanced, view-relevant data didn't
+      // ONE job answers three probes (was up to three): the dirty-group
+      // collect carries a per-group removal flag, so the
+      // needsRecompute probe below and (in the collected case) the
+      // null-key check read the same collected rows instead of running
+      // their own jobs. When the cap trims the collect, the per-group
+      // flags are incomplete and both probes fall back to their own
+      // (cheap, cache-served) queries — the rare >keyCollectMax path.
+      val dirtyFlagged = changes.groupBy(groupBy.map(col): _*)
+        .agg(max(when(col("_change_type")
+          .isin("delete", "update_preimage"), 1L).otherwise(0L))
+          .as("__mv_rm"))
+        .limit(keyCollectMax + 1).collect()
+      if (dirtyFlagged.isEmpty) { // versions advanced, view-relevant data didn't
         patchCursor(catalog, name, source, srcLatest,
           defAttrs(source, rowKey, groupBy, aggs, kinds))
         return MvRefresh("additive", cursor.toString, srcLatest.toString,
           0, 0, 0, Nil)
       }
+      val capped = dirtyFlagged.length > keyCollectMax
+      // the group-key prefix of each collected row (drops __mv_rm), the
+      // same shape the old distinct-collect produced for readPruned
       val collected =
-        if (dirtyRows.length <= keyCollectMax) Some(dirtyRows) else None
+        if (capped) None
+        else Some(dirtyFlagged.map(r =>
+          org.apache.spark.sql.Row.fromSeq(groupBy.indices.map(r.get))))
       // null group keys break the merge contract — fail with the view's
       // own message (driver-side on the collected keys, one agg otherwise)
-      val nullKeyed = collected match {
-        case Some(rows) => rows.exists(r => groupBy.indices.exists(r.isNullAt))
-        case None =>
+      val nullKeyed =
+        if (!capped) dirtyFlagged.exists(r => groupBy.indices.exists(r.isNullAt))
+        else {
           val nulls = groupBy.map(c =>
             sum(when(col(c).isNull, 1L).otherwise(0L)).as(c))
           val r = dirty.agg(nulls.head, nulls.tail: _*).head()
           groupBy.exists(k => r.getAs[Long](k) > 0L)
-      }
+        }
       require(!nullKeyed, s"mat view '$name': changed rows carry NULL " +
         "group keys — null group keys are unsupported; group by a " +
         "coalesced derived column instead")
@@ -384,13 +400,16 @@ object MatView {
       // batch (the streaming-append shape) extends extremes with
       // least/greatest and stays on the zero-source-scan additive path.
       // min/max and HLL sketches are mergeable but not SUBTRACTIVE —
-      // only they care whether the batch removes rows (the probe job is
-      // skipped entirely for count/sum/avg-only views)
+      // only they care whether the batch removes rows (and the probe
+      // rides the dirty collect above — no extra job when uncapped)
       val nonSubtractive = aggs.exists(a =>
         a.fn == "min" || a.fn == "max" || a.fn == "approx_distinct")
-      val needsRecompute = nonSubtractive && changes
-        .filter(col("_change_type").isin("delete", "update_preimage"))
-        .limit(1).collect().nonEmpty
+      val needsRecompute = nonSubtractive && {
+        if (!capped) dirtyFlagged.exists(_.getAs[Long]("__mv_rm") == 1L)
+        else changes
+          .filter(col("_change_type").isin("delete", "update_preimage"))
+          .limit(1).collect().nonEmpty
+      }
 
       val combined: DataFrame = if (needsRecompute) {
         // dirty groups re-aggregate from the source (min/max repair);

@@ -718,12 +718,25 @@ object Dedup {
     * shuffle_hash hints keep the O(nodes) min tables hashed per
     * partition instead of re-sorting the edge-sized side every round. */
   private[graft] def starRound(pairs: DataFrame): DataFrame = {
-    // LARGE-STAR over the symmetrized adjacency
+    // LARGE-STAR over the symmetrized adjacency. No explicit
+    // repartition(u): PushDownPredicates moves the v>u filter below a
+    // RepartitionByExpression, so the r16 "shared" exchange actually
+    // materialized TWICE (full adj for mins + filtered adj for the
+    // join — 3|E| rows shuffled) and the repartition forced mins to
+    // aggregate entirely post-shuffle. Plain ENSURE exchanges shuffle
+    // less: the mins branch partial-aggregates map-side (~|V| agg rows),
+    // the join branch ships only the v>u half (|E| rows).
     val adj = pairs.select(col("a").as("u"), col("b").as("v"))
       .unionAll(pairs.select(col("b"), col("a")))
-      .repartition(col("u"))
     val mins = adj.groupBy("u")
       .agg(least(first(col("u")), min(col("v"))).as("m"))
+      // no-op filter (m = least(u, ...) over a non-empty group is never
+      // null), load-bearing for AQE stage reuse: the small-star join's
+      // b =!= m condition infers isnotnull into only ONE of ls's two
+      // consumer subtrees, which un-shares the ls exchange and runs the
+      // whole large-star join twice per round. With the constraint
+      // explicit, both copies canonicalize equal and reuse.
+      .filter(col("m").isNotNull)
     val ls = adj.filter(col("v") > col("u"))
       .join(mins.hint("shuffle_hash"), "u")
       .select(col("v").as("a"), col("m").as("b")) // a > u >= m = b
