@@ -2266,48 +2266,37 @@ final class Catalog(val root: String, spark: SparkSession) {
       if (newCols.contains(c)) src0.schema(c).dataType
       else target.schema(c).dataType
     val outUser = userCols.toSeq ++ newCols
-    // ONE source pass for the pre-flight AND the key collect (was two:
-    // a full aggregation job plus a distinct-collect job). Group by the
-    // key capped at keyCollectMax+1 groups: when the cap isn't hit every
-    // group is visible, so per-key counts prove uniqueness (each must be
-    // 1), null keys are visible in the collected tuples, and the tuples
-    // themselves feed the IN-list file prune. Past the cap the envelope
-    // path re-runs the full validation aggregation — it must see every
-    // row anyway, and the common small-batch merge saves a job.
-    val keyed = src0.groupBy(on.map(col): _*)
-      .agg(count(lit(1)).as("__kn"))
-      .limit(keyCollectMax + 1).collect()
-    if (keyed.isEmpty)
+    // two single-shot jobs, deliberately: one full-aggregate pre-flight
+    // (row count, key uniqueness, null keys — bounds driver memory
+    // before anything is collected), then the distinct-key collect for
+    // small sources. A fused groupBy().limit(cap+1).collect() was tried
+    // (r17) and measured SLOWER: CollectLimit schedules partitions
+    // incrementally, turning the single fused pass into 3-5 jobs per
+    // merge (q_stream_upsert 4.5 → 5.2-6.4 s).
+    val aggs =
+      Seq(count(lit(1)).as("__n"),
+        count_distinct(struct(on.map(col): _*)).as("__nd")) ++
+      on.map(k =>
+        sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"__nulls_$k"))
+    val h = src0.agg(aggs.head, aggs.tail: _*).head()
+    val srcRows = h.getAs[Long]("__n")
+    on.foreach(k => require(h.getAs[Long](s"__nulls_$k") == 0L,
+      s"mergeInto: source has NULL keys in '$k'"))
+    require(h.getAs[Long]("__nd") == srcRows,
+      s"mergeInto: source keys are not unique " +
+        s"(${srcRows} rows, ${h.getAs[Long]("__nd")} distinct keys)")
+    if (srcRows == 0L)
       return MutationResult(v, 0, 0, rowsOf(name, v), rowsOf(name, v))
     val (touched, all) =
-      if (keyed.length <= keyCollectMax) {
-        on.indices.foreach(i => require(keyed.forall(!_.isNullAt(i)),
-          s"mergeInto: source has NULL keys in '${on(i)}'"))
-        val srcRows = keyed.iterator.map(_.getAs[Long]("__kn")).sum
-        require(srcRows == keyed.length.toLong,
-          s"mergeInto: source keys are not unique " +
-            s"($srcRows rows, ${keyed.length} distinct keys)")
+      if (h.getAs[Long]("__nd") <= keyCollectMax) {
         // small source: per-column IN lists ride the full stats + BLOOM
         // evaluator (a point-lookup merge on a bloom-indexed version
         // localizes to the exact files holding the keys)
+        val tuples = src0.select(on.map(col): _*).distinct().collect()
         touchedFiles(name, v, on.zipWithIndex.map { case (k, i) =>
-          col(k).isin(keyed.map(_.get(i)).distinct.toSeq: _*)
+          col(k).isin(tuples.map(_.get(i)).distinct.toSeq: _*)
         }.reduce(_ && _))
-      } else {
-        val aggs =
-          Seq(count(lit(1)).as("__n"),
-            count_distinct(struct(on.map(col): _*)).as("__nd")) ++
-          on.map(k =>
-            sum(when(col(k).isNull, 1L).otherwise(0L)).as(s"__nulls_$k"))
-        val h = src0.agg(aggs.head, aggs.tail: _*).head()
-        on.foreach(k => require(h.getAs[Long](s"__nulls_$k") == 0L,
-          s"mergeInto: source has NULL keys in '$k'"))
-        require(h.getAs[Long]("__nd") == h.getAs[Long]("__n"),
-          s"mergeInto: source keys are not unique " +
-            s"(${h.getAs[Long]("__n")} rows, ${h.getAs[Long]("__nd")} " +
-            "distinct keys)")
-        touchedByEnvelope(name, v, src0, on)
-      }
+      } else touchedByEnvelope(name, v, src0, on)
     val touchedDf = readVersionFiles(name, v, touched)
     val s = src0.select(src0.columns.map(c => col(c).as(s"__s_$c")): _*)
     val joinCond = on.map(k => col(k) === col(s"__s_$k")).reduce(_ && _)

@@ -416,7 +416,15 @@ object Dedup {
                        shingleCandidatesOnly: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val nb = bandedMinhash(newDf, textCol, idCol, k, bands)
-    val hb = capBuckets(bandedMinhash(history, textCol, idCol, k, bands),
+    // capBuckets consumes its input twice (bucket counts + the capped
+    // join), which re-ran the k-hash signature kernel over the ENTIRE
+    // history text — the dominant cost on the unbounded side. Persist
+    // the banded rows ((id, band, bh) longs — orders of magnitude
+    // smaller than the text), as minhashCandidates already does;
+    // LRU-evictable, released by the ContextCleaner.
+    val hb = capBuckets(
+      bandedMinhash(history, textCol, idCol, k, bands)
+        .persist(MEMORY_AND_DISK),
       Seq("__band", "__bh"), maxBucketSize)
     // with candidate-scoped shingling the pairs feed three consumers (two
     // member semi-joins + the verification join) — persist the id pairs,
@@ -469,9 +477,16 @@ object Dedup {
                 threshold: Double = 0.5, k: Int = 64, bands: Int = 16,
                 ngram: Int = 5, maxBucketSize: Int = 10000): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val lb = capBuckets(bandedMinhash(left, leftText, leftId, k, bands),
+    // persist both banded frames: capBuckets reads each twice (bucket
+    // counts + capped join), which would re-run the signature kernel
+    // over both corpora — the banded rows are three longs each
+    val lb = capBuckets(
+      bandedMinhash(left, leftText, leftId, k, bands)
+        .persist(MEMORY_AND_DISK),
       Seq("__band", "__bh"), maxBucketSize)
-    val rb = capBuckets(bandedMinhash(right, rightText, rightId, k, bands),
+    val rb = capBuckets(
+      bandedMinhash(right, rightText, rightId, k, bands)
+        .persist(MEMORY_AND_DISK),
       Seq("__band", "__bh"), maxBucketSize)
     // the pair set feeds both member semi-joins and the verification join
     // cached: the pair set feeds three consumers below; released by the
