@@ -17,8 +17,21 @@ object RoundPlanDump {
     val pairs = spark.range(100).select(
       (col("id") + 1).as("a"), (col("id") / 2).cast("long").as("b"))
       .filter(col("a") > col("b"))
-    println(graft.ops.Dedup.starRound(pairs).queryExecution
+    val df = graft.ops.Dedup.starRound(pairs)
+    println(df.queryExecution
       .explainString(ExplainMode.fromString("formatted")))
+    // the sharing claim lives in the RUNTIME adaptive plan (equal
+    // canonical exchanges collapse into one materialized
+    // ShuffleQueryStage; the copies surface as ReusedExchange), so
+    // execute and print the final plan too
+    df.collect()
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec =>
+        println("========= EXECUTED ADAPTIVE PLAN =========")
+        println(a.executedPlan.treeString)
+      case p => println(p.treeString)
+    }
     spark.stop()
   }
 }

