@@ -32,8 +32,14 @@ object StageProf {
           f"cpu=${m.executorCpuTime/1e9}%7.2f  ${si.name.take(80)}")
       }
     }
-    spark.sparkContext.addSparkListener(listener)
     val fn = SparkEntry.queries(q)
+    // GRAFT_STAGEPROF_WARM=1: run the query once BEFORE attaching the
+    // listener, so the profiled pass measures steady state (cold runs
+    // are dominated by codegen-compile lock contention — tasks show
+    // multi-second run times at near-zero CPU)
+    if (sys.env.contains("GRAFT_STAGEPROF_WARM"))
+      fn(spark, args(0)).write.format("noop").mode("overwrite").save()
+    spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
     fn(spark, args(0)).write.format("noop").mode("overwrite").save()
     println(f"WALL ${(System.nanoTime()-t0)/1e9}%.3f s")
