@@ -617,6 +617,46 @@ class CatalogSpec extends SparkSpec {
       f._3 == "stray-pool-marker"), "marker beside meta must be flagged")
   }
 
+  test("fsck: a version the batched pre-pass skipped still probes its " +
+    "entries directly (no fail-open)") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("cat_fsck3").toString
+    val cat = new Catalog(root, spark)
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    cat.save(Chain(o), "t")
+    cat.save(Chain(o.limit(3)), "u")
+    // a manifest (carry) version, whose entries the missing-file check
+    // walks; physically remove one of its carried files
+    val mx = o.agg(org.apache.spark.sql.functions.max("o_orderkey"))
+      .head().getLong(0)
+    val r = cat.deleteWhere("t", col("o_orderkey") <= mx / 8)
+    assert(r.filesReused > 0)
+    val victim = cat.dataFilesOf("t", r.version)
+      .filterNot(_.v == r.version).head
+    Files.delete(java.nio.file.Paths.get(root, "datasets", "t",
+      s"v${victim.v}", "data").resolve(victim.rel))
+    val normal = cat.fsck()
+    assert(normal.exists(f => f._1 == "t" &&
+      f._3.contains("missing-data-file")), normal.toString)
+    // force the pre-pass to skip t (stands in for a manifest that throws
+    // in the pre-pass but parses in the main loop, or a racing save):
+    // its entry paths are then absent from the batched missing-set, and
+    // consulting that set would silently report every file as present —
+    // the main loop must fall back to direct per-entry probes instead
+    val key = "graft.fsck.prePassSkipDatasets"
+    try {
+      spark.conf.set(key, "t")
+      val skipped = cat.fsck()
+      assert(skipped.exists(f => f._1 == "t" &&
+        f._3.contains("missing-data-file")),
+        s"pre-pass-skipped dataset failed open: $skipped")
+      // findings parity with the normal pass
+      assert(skipped.toSet === normal.toSet)
+    } finally spark.conf.unset(key)
+  }
+
   test("fsck: containment + self-erasing corruptions (manifest, index, meta)") {
     import org.apache.spark.sql.functions.col
     val sKey = "graft.stats.inlineMaxFiles"

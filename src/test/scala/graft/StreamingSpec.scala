@@ -199,6 +199,44 @@ class StreamingSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("toCatalog replay guard survives a user save interleaved before " +
+    "the checkpoint commit (no duplicate batch)") {
+    val dir = stageDir(s"$sf/events.parquet")
+    val schema = spark.read.parquet(dir).schema
+    val root = Files.createTempDirectory("cat_stream_rg").toString
+    val cat = new graft.catalog.Catalog(root, spark)
+    val ckpt = Files.createTempDirectory("ckpt_rg").toString
+    def stream() = spark.readStream.schema(schema).parquet(dir)
+      .select("event_id", "event_type")
+    EventStream.toCatalog(stream(), cat, "ev_rg", ckpt).awaitTermination()
+    val srcRows = spark.read.parquet(dir).count()
+    assert(cat.readDataset("ev_rg").count() === srcRows)
+    // a user save lands AFTER the sink committed batch 0 but (from the
+    // stream's point of view) BEFORE the checkpoint commit: the LATEST
+    // version now carries no stream@ marker. A latest-version-only
+    // replay check would re-append the batch on restart.
+    cat.save(graft.core.Chain(
+      spark.read.parquet(dir).select("event_id", "event_type").limit(5)),
+      "ev_rg")
+    val vsBefore = cat.versions("ev_rg")
+    // re-deliver batch 0: a fresh checkpoint over the same source files
+    // produces the identical batch id 0 — the same shape a crash between
+    // sink commit and checkpoint commit re-delivers on restart (batch
+    // ids restart at 0). The guard must skip it via the RECORDED
+    // stream@batch0 marker even though the latest version (the user
+    // save) carries none; the r16 latest-version-only check re-appended
+    // here.
+    val ckpt2 = Files.createTempDirectory("ckpt_rg2").toString
+    EventStream.toCatalog(stream(), cat, "ev_rg", ckpt2).awaitTermination()
+    // the replayed batch must be SKIPPED: no new version (each batch
+    // saves as its OWN version, so a re-append would add one carrying
+    // the batch's rows again), latest still the user save
+    assert(cat.versions("ev_rg") === vsBefore,
+      "replayed batch re-appended as a new version")
+    assert(cat.readDataset("ev_rg").count() === 5L,
+      "latest version must still be the interleaved user save")
+  }
+
   test("toCatalog materializes each micro-batch as a dataset version") {
     val dir = stageDir(s"$sf/events.parquet")
     val schema = spark.read.parquet(dir).schema
