@@ -26,13 +26,21 @@ object QProf {
     val passes = sys.env.getOrElse("QPROF_PASSES", "2").toInt
 
     case class JobRec(id: Int, desc: String, start: Long,
-                      var end: Long = 0L, var stages: Int = 0,
-                      var tasks: Int = 0)
+                      var end: Long = 0L, var tasks: Int = 0) {
+      // distinct completed stage ids: a fetch-failure RETRY fires
+      // onStageCompleted once per attempt — counting attempts would
+      // inflate the stg/tsk evidence columns
+      val stageIds = scala.collection.mutable.HashSet.empty[Int]
+      def stages: Int = stageIds.size
+    }
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
     // stageId → jobId, recorded at job start so completed stages (and
     // their task counts) attribute to the right job record (TrieMap: a
     // juc.ConcurrentHashMap[Int, Int] unboxes an absent null to 0 and
-    // would silently attribute stray stages to job 0)
+    // would silently attribute stray stages to job 0). putIfAbsent: a
+    // stage can appear in several jobs' stageIds when result stages are
+    // shared — the FIRST job to claim it runs it; a later overwrite
+    // would credit its completion to the wrong job.
     val stageToJob = scala.collection.concurrent.TrieMap.empty[Int, Int]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
@@ -42,7 +50,7 @@ object QProf {
             .flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("")
         val stg = e.stageInfos.map(si => si.name.take(40)).mkString(" | ")
-        e.stageIds.foreach(sid => stageToJob.put(sid, e.jobId))
+        e.stageIds.foreach(sid => stageToJob.putIfAbsent(sid, e.jobId))
         jobs.put(e.jobId, JobRec(e.jobId, d + " :: " + stg.take(160), e.time))
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
@@ -53,8 +61,8 @@ object QProf {
           .flatMap(jid => Option(jobs.get(jid)))
           .foreach { r =>
             r.synchronized {
-              r.stages += 1
-              r.tasks += e.stageInfo.numTasks
+              if (r.stageIds.add(e.stageInfo.stageId))
+                r.tasks += e.stageInfo.numTasks
             }
           }
       }

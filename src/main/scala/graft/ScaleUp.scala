@@ -42,7 +42,16 @@ object ScaleUp {
       if (new java.io.File(in).exists) {
         val df = spark.read.parquet(in)
         val spans: Map[String, Long] = keys.map { k =>
-          k -> (df.agg(max(col(k))).head().getAs[Number](0).longValue + 1L)
+          val r = df.agg(max(col(k)), min(col(k))).head()
+          // span = max+1 separates replica ranges ONLY from a
+          // non-negative floor: with min < 0, replica r's range
+          // [min + r*span, max + r*span] overlaps replica r+1's and
+          // shifted keys collide silently — fail loudly instead
+          require(r.getAs[Number](1).longValue >= 0L,
+            s"ScaleUp: $t.$k has negative values (min " +
+              s"${r.getAs[Number](1)}) — the replica shift assumes a " +
+              "non-negative key floor; offset the column first")
+          k -> (r.getAs[Number](0).longValue + 1L)
         }.toMap
         // overflow guard: the shift casts back to the key's narrow dtype,
         // and under non-ANSI SQL an int/short overflow WRAPS silently —

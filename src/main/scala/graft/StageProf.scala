@@ -11,7 +11,14 @@ import org.apache.spark.scheduler._
   * profiling attributes to the wrong place. */
 object StageProf {
   def main(args: Array[String]): Unit = {
+    require(args.length == 2,
+      "usage: StageProf <sf_dir> <query>  (env GRAFT_STAGEPROF_WARM=1 " +
+        "runs the query once unprofiled first)")
+    require(new java.io.File(args(0)).isDirectory,
+      s"first arg must be the sf data directory, got: ${args(0)}")
     val q = args(1)
+    require(SparkEntry.queries.contains(q),
+      s"unknown query '$q' — see SparkEntry.queries")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.codegen.cache.maxEntries", "10000")

@@ -1904,6 +1904,13 @@ final class Catalog(val root: String, spark: SparkSession) {
       try spark.conf.get("graft.fsck.prePassSkipDatasets", "")
         .split(',').map(_.trim).filter(_.nonEmpty).toSet
       catch { case scala.util.control.NonFatal(_) => Set.empty }
+    // test seam only — findings are unaffected (skipped datasets take
+    // the direct-probe fallback below), but they lose the batched
+    // existence pre-pass (driver-serial probes); warn so a conf that
+    // leaks into a real session is visible
+    if (prePassSkip.nonEmpty)
+      System.err.println("[fsck] graft.fsck.prePassSkipDatasets is set " +
+        s"(${prePassSkip.mkString(",")}) — test seam, slow path")
     datasets().filterNot(prePassSkip).foreach { n =>
       try listDir(dsDir(n)).map(_.getFileName.toString)
         .filter(_.startsWith("v"))

@@ -722,16 +722,20 @@ object Dedup {
     * package-visible so PlanSpec can pin its exchange count (the
     * per-round localCheckpoint hides it from the full query's explain).
     *
-    * Exchange discipline (3 per round, was 6): hash-partitioning the
-    * symmetrized adjacency ONCE by `u` colocates the min-neighbor
-    * groupBy AND the adj⋈mins join (Catalyst reuses the exchange for
-    * both consumers — the same shared-exchange discipline as
-    * Graph.pageRank's edge setup); the large-star output partitions
-    * ONCE by `a`, which the distinct (ClusteredDistribution(a, b) by
-    * the subset rule), the mins2 groupBy, and the ls⋈mins2 join all
-    * reuse; only the final small-star distinct pays its own exchange.
-    * shuffle_hash hints keep the O(nodes) min tables hashed per
-    * partition instead of re-sorting the edge-sized side every round. */
+    * Exchange discipline (4 materialized per round, r17 — was 5 with
+    * the large-star join computed twice in r16, 6+ full-width before):
+    * the v>u half of the adjacency shuffles for the join probe side,
+    * the min-neighbor table shuffles as MAP-SIDE PARTIAL aggregates
+    * (~|V| rows, not the 2|E| raw pairs an explicit repartition(u)
+    * forced through), the large-star output partitions ONCE by `a` —
+    * the distinct (ClusteredDistribution(a, b) by the subset rule),
+    * the mins2 groupBy, and the ls⋈mins2 join all ride AQE stage reuse
+    * of that one exchange (ReusedExchange; kept canonical by the
+    * explicit isNotNull on mins below) — and only the final small-star
+    * distinct pays its own exchange. shuffle_hash hints keep the
+    * O(nodes) min tables hashed per partition instead of re-sorting
+    * the edge-sized side every round. PlanSpec executes a round and
+    * pins materialized-shuffles ≤ 4 with ≥ 2 reused copies. */
   private[graft] def starRound(pairs: DataFrame): DataFrame = {
     // LARGE-STAR over the symmetrized adjacency. No explicit
     // repartition(u): PushDownPredicates moves the v>u filter below a

@@ -301,26 +301,31 @@ object EventStream {
         // would double-count every one of its rows for version-iterating
         // consumers (the appendToDataset idempotent-writer contract,
         // checked against the recorded marker instead of extraAttrs).
-        // Batch ids are monotonic and replay only re-delivers an
-        // already-committed batch, so the batch landed iff the most
-        // RECENT stream-marked version carries an id >= batchId. Scan
-        // versions newest-first to the first stream@ marker — amortized
-        // O(1) metadata reads per batch (the marked version is at or
-        // near the tail), and, unlike the latest-version-only check this
+        // Batch ids are monotonic and replay only re-delivers the LAST
+        // committed batch, so the batch landed iff the most RECENT
+        // stream-marked version carries EXACTLY this id. Scan versions
+        // newest-first to the first stream@ marker — amortized O(1)
+        // metadata reads per batch (the marked version is at or near
+        // the tail), and, unlike the latest-version-only check this
         // replaces, correct when a user save or cowRewrite version
         // (marker-less deps) lands between the sink commit and the
         // checkpoint commit: that interleaving left the latest version
         // unmarked and the replayed batch re-appended (duplicate rows).
-        // Parsed deps + numeric suffix compare — a user-recorded dep
-        // merely CONTAINING "stream@batchN" still never skips a live
-        // batch (non-numeric suffixes are ignored).
+        // Equality, not >=: a >= would also "skip" every batch of a
+        // FRESH checkpoint generation pointed at this dataset (ids
+        // restart at 0 below the old generation's newest marker) —
+        // silently dropping new rows, where equality degrades that
+        // documented misuse to visible duplicates. Parsed deps +
+        // numeric suffix compare — a user-recorded dep merely
+        // CONTAINING "stream@batchN" still never skips a live batch
+        // (non-numeric suffixes are ignored).
         val prefix = "stream@batch"
         val already = catalog.versions(name).reverseIterator
           .flatMap(v => catalog.rawDepsOf(name, v).iterator.flatMap { d =>
             if (d.startsWith(prefix)) d.drop(prefix.length).toLongOption
             else None
           })
-          .nextOption().exists(_ >= batchId)
+          .nextOption().contains(batchId)
         if (!already && !batch.isEmpty)
           catalog.save(graft.core.Chain(batch), name,
             deps = Seq(s"stream@batch$batchId"))
